@@ -1,0 +1,88 @@
+"""Benchmark harness — runs headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Headline set: the full TPC-H 22 plus the analytics/pipeline operators that
+exercise distinct physical plans (window, rollup, minhash-LSH join,
+brute-force kNN). Each query is timed as build-plan + execute-to-count
+(foreach-noop would skip result materialization; count forces the full plan
+including final aggregation but avoids driver collect overhead).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    # TPC-H relational core
+    *[f"tpch_q{i}" for i in range(1, 23)],
+    # analytics operators
+    "win_topn_per_group",
+    "win_running_sum",
+    "agg_rollup",
+    "agg_cube",
+    "time_bucket_agg",
+    "pivot_event_values",
+    "distinct_users_daily",
+    # training-data pipeline operators
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "text_stats",
+    "text_quality",
+    "doc_fingerprint",
+    "knn_cosine_topk",
+    "embedding_near_dup",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from kyuubi_spark.queries import all_queries
+    from kyuubi_spark.session import build_session
+
+    spark = build_session(app_name="kyuubi-spark-bench")
+    specs = all_queries()
+
+    # Warm the JVM + parquet footer caches with one cheap action.
+    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        spec = specs.get(name)
+        if spec is None:
+            continue
+        t0 = time.perf_counter()
+        try:
+            df = spec.builder(spark, sf_dir)
+            df.count()
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as e:  # record failures as negative sentinel
+            print(f"# bench error {name}: {e}", file=sys.stderr)
+            timings[name] = -1.0
+
+    ok = {k: v for k, v in timings.items() if v >= 0}
+    total = round(sum(ok.values()), 3)
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,190 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k is the correctness baseline; the LSH-bucketed
+variant is the 100 TB scale path (bucket join instead of cross join).
+
+All vector math is Column-expression level (`zip_with` + `aggregate`) in
+double precision — JVM-side, codegen'd, no Python UDFs. Sequential left-fold
+summation makes the result order-deterministic and reproducible in the
+DuckDB oracle (unnest-with-ordinality dot products).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from kyuubi_spark.functions.compat import dround
+
+
+def _as_double(vec: Column) -> Column:
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product in double precision."""
+    return F.aggregate(
+        F.zip_with(_as_double(a), _as_double(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(_as_double(a), F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force cosine top-k neighbors for each query vector.
+
+    Plan shape: broadcast the (small) query set against the embedding table —
+    a map-side nested loop scan, then per-query top-k via window. At 100 TB
+    the scan is embarrassingly parallel; the only shuffle is the final
+    window partition-by-query (tiny: n_queries * n_candidates_per_part rows
+    after partial top-k… Spark's TakeOrderedAndProject handles the rest).
+
+    Ranking key is the score ROUNDED to 6 decimals with id tiebreak, so the
+    selected neighbor set is engine-independent.
+    """
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("score", dround(cosine(F.col("q_vec"), F.col("c_vec")), 6))
+        .select("query_id", "neighbor_id", "score")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= k)
+        .orderBy("query_id", "rnk")
+    )
+
+
+def cosine_near_dup_pairs(
+    embeddings: DataFrame,
+    threshold_rounded: float = 0.15,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All pairs with round(cosine,6) >= threshold (embedding near-dup).
+
+    Exact all-pairs — correctness baseline; use the LSH variant at scale.
+    """
+    a = embeddings.select(F.col(id_col).alias("a_id"), F.col(vec_col).alias("va"))
+    b = embeddings.select(F.col(id_col).alias("b_id"), F.col(vec_col).alias("vb"))
+    return (
+        a.join(b, F.col("a_id") < F.col("b_id"))
+        .withColumn("score", dround(cosine(F.col("va"), F.col("vb")), 6))
+        .filter(F.col("score") >= threshold_rounded)
+        .select("a_id", "b_id", "score")
+    )
+
+
+def random_hyperplane_buckets(
+    vec: Column, n_planes: int = 8, dim: int = 64
+) -> Column:
+    """Sign-random-projection LSH bucket id (string of sign bits).
+
+    Hyperplane p's weight for dimension d is derived deterministically from
+    md5(p:d) — reproducible across runs and engines, no stored model. The
+    weight is (hexval(first hex char) - 7.5): zero-mean, fixed variance —
+    adequate for SRP bucketing.
+    """
+    def weight(p: int, d: Column) -> Column:
+        h = F.md5(F.concat(F.lit(f"{p}:"), d.cast("string")).cast("binary"))
+        return (
+            F.instr(F.lit("0123456789abcdef"), F.substring(h, 1, 1)) - 1
+        ).cast("double") - 7.5
+
+    dv = _as_double(vec)
+    bits = [
+        F.when(
+            F.aggregate(
+                F.zip_with(
+                    dv,
+                    F.transform(
+                        F.sequence(F.lit(0), F.lit(dim - 1)),
+                        lambda d: weight(p, d),
+                    ),
+                    lambda x, w: x * w,
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            > 0,
+            F.lit("1"),
+        ).otherwise(F.lit("0"))
+        for p in range(n_planes)
+    ]
+    return F.concat(*bits)
+
+
+def cosine_topk_lsh(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's SRP bucket.
+
+    Scale path: the cross join becomes an equi-join on bucket id — shuffle
+    keyed on a uniform 2^n_planes-way bucket. Recall < 1.0 by construction;
+    tests measure recall against cosine_topk.
+    """
+    from pyspark.sql import Window
+
+    emb_b = embeddings.withColumn(
+        "bucket", random_hyperplane_buckets(F.col(vec_col), n_planes, dim)
+    )
+    q = emb_b.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.col("bucket").alias("q_bucket"),
+    ).join(
+        queries.select(F.col(id_col).alias("query_id")).distinct(), "query_id"
+    )
+    c = emb_b.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        F.col("bucket").alias("c_bucket"),
+    )
+    scored = (
+        c.join(
+            F.broadcast(q),
+            (F.col("q_bucket") == F.col("c_bucket"))
+            & (F.col("query_id") != F.col("neighbor_id")),
+        )
+        .withColumn("score", dround(cosine(F.col("q_vec"), F.col("c_vec")), 6))
+        .select("query_id", "neighbor_id", "score")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= k)
+        .orderBy("query_id", "rnk")
+    )

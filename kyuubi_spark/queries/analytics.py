@@ -1,0 +1,405 @@
+"""Analytics operator corpus — windows, rollup/cube/grouping-sets, set ops.
+
+Covers SURVEY.md §2.D rows the TPC-H subset corpus doesn't exercise
+(window frames, GROUPING SETS family, UNION/INTERSECT/EXCEPT, pivot),
+mirroring the reference's TPC-DS evidence (q12/q20/q36/q44/q47... use
+windows; q14a/q18/q22/q27/q36/q67 use rollup — SURVEY.md §2.D).
+
+Determinism notes:
+- events.ts is nano in parquet: Spark side reads via nanosAsLong → micros
+  (session.load_table); oracles CAST to micros TIMESTAMP explicitly.
+- windowed float sums are rounded on both sides; every window order has a
+  unique tiebreaker (event_id).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kyuubi_spark.queries import query
+from kyuubi_spark.session import load_table, load_tables
+from kyuubi_spark.functions.compat import dround
+
+
+# --------------------------------------------------------------------------
+# Window functions
+# --------------------------------------------------------------------------
+@query(
+    "win_topn_per_group",
+    oracle="""
+    SELECT event_type, user_id, total_value, rnk FROM (
+      SELECT event_type, user_id, total_value,
+             RANK() OVER (PARTITION BY event_type
+                          ORDER BY total_value DESC, user_id) AS rnk
+      FROM (SELECT event_type, user_id,
+                   ROUND(SUM(value), 2) AS total_value
+            FROM events GROUP BY event_type, user_id) t
+    ) ranked
+    WHERE rnk <= 3
+    ORDER BY event_type, rnk, user_id
+    """,
+    doc="Agg + rank() window, top-N per group (TPC-DS q44 shape).",
+)
+def win_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    totals = events.groupBy("event_type", "user_id").agg(
+        dround(F.sum("value"), 2).alias("total_value")
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("total_value").desc(), F.col("user_id")
+    )
+    return (
+        totals.withColumn("rnk", F.rank().over(w))
+        .filter(F.col("rnk") <= 3)
+        .orderBy("event_type", "rnk", "user_id")
+    )
+
+
+@query(
+    "win_running_sum",
+    oracle="""
+    SELECT event_id, user_id,
+           ROUND(SUM(value) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                           AND CURRENT ROW), 2) AS running_value,
+           CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS BIGINT) AS seq
+    FROM events
+    WHERE user_id % 50 = 0
+    """,
+    doc="Cumulative frame (rows unbounded preceding) + row_number.",
+)
+def win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events").filter(F.col("user_id") % 50 == 0)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return events.select(
+        "event_id",
+        "user_id",
+        dround(
+            F.sum("value").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+            2,
+        ).alias("running_value"),
+        F.row_number().over(w).cast("bigint").alias("seq"),
+    )
+
+
+@query(
+    "win_moving_avg",
+    oracle="""
+    SELECT event_id, user_id,
+           ROUND(AVG(value) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id
+                                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4)
+             AS moving_avg,
+           ROUND(LAG(value, 1, 0.0) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id), 4) AS prev_value
+    FROM events
+    WHERE user_id % 50 = 1
+    """,
+    doc="Sliding row frame + lag() with default.",
+)
+def win_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events").filter(F.col("user_id") % 50 == 1)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return events.select(
+        "event_id",
+        "user_id",
+        dround(F.avg("value").over(w.rowsBetween(-2, 0)), 4).alias("moving_avg"),
+        dround(F.lag("value", 1, 0.0).over(w), 4).alias("prev_value"),
+    )
+
+
+@query(
+    "win_sessionize",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(DISTINCT session_id) AS BIGINT) AS n_sessions,
+           COUNT(*) AS n_events
+    FROM (
+      SELECT user_id,
+             SUM(CASE WHEN gap_sec IS NULL OR gap_sec > 3600 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM (
+        SELECT user_id, ts, event_id,
+               date_diff('second',
+                         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                         ts) AS gap_sec
+        FROM events) g
+    ) s
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    doc="Gap-based sessionization: lag + conditional running sum (session ids).",
+)
+def win_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # TIMESTAMP_NTZ has no direct long cast in Spark 4; hop through TIMESTAMP
+    # (session tz is UTC, so the wall-clock value is preserved exactly).
+    ts_sec = F.col("ts").cast("timestamp").cast("long")
+    gap = ts_sec - F.lag(ts_sec).over(w)
+    with_gap = events.withColumn("gap_sec", gap)
+    sid = F.sum(
+        F.when(F.col("gap_sec").isNull() | (F.col("gap_sec") > 3600), 1).otherwise(0)
+    ).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (
+        with_gap.withColumn("session_id", sid)
+        .groupBy("user_id")
+        .agg(
+            F.countDistinct("session_id").cast("bigint").alias("n_sessions"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# ROLLUP / CUBE / GROUPING SETS
+# --------------------------------------------------------------------------
+@query(
+    "agg_rollup",
+    oracle="""
+    SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           ROUND(SUM(value), 2) AS sum_value, COUNT(*) AS n
+    FROM events
+    GROUP BY ROLLUP (event_type, CAST(date_trunc('day', ts) AS TIMESTAMP))
+    """,
+    doc="ROLLUP hierarchy (TPC-DS q18/q22/q67 shape).",
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.date_trunc("day", "ts").cast("timestamp_ntz")
+    )
+    return events.rollup("event_type", "day").agg(
+        dround(F.sum("value"), 2).alias("sum_value"), F.count("*").alias("n")
+    )
+
+
+@query(
+    "agg_cube",
+    oracle="""
+    SELECT event_type, CAST(hour(ts) AS INT) AS hr,
+           ROUND(SUM(value), 2) AS sum_value, COUNT(*) AS n
+    FROM events
+    GROUP BY CUBE (event_type, CAST(hour(ts) AS INT))
+    """,
+    doc="CUBE over (type, hour-of-day).",
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "hr", F.hour("ts").cast("int")
+    )
+    return events.cube("event_type", "hr").agg(
+        dround(F.sum("value"), 2).alias("sum_value"), F.count("*").alias("n")
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT event_type, source,
+           ROUND(SUM(value), 2) AS sum_value, COUNT(*) AS n
+    FROM (SELECT e.event_type, 'src' || CAST(e.user_id % 5 AS VARCHAR) AS source,
+                 e.value
+          FROM events e) t
+    GROUP BY GROUPING SETS ((event_type), (source), (event_type, source))
+    """,
+    doc="Explicit GROUPING SETS (three groupings in one pass).",
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT event_type, source,
+               ROUND(SUM(value), 2) AS sum_value, COUNT(*) AS n
+        FROM (SELECT e.event_type,
+                     CONCAT('src', CAST(e.user_id % 5 AS STRING)) AS source,
+                     e.value
+              FROM events e) t
+        GROUP BY GROUPING SETS ((event_type), (source), (event_type, source))
+        """
+    )
+
+
+# --------------------------------------------------------------------------
+# Set operations
+# --------------------------------------------------------------------------
+@query(
+    "set_intersect",
+    oracle="""
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    INTERSECT
+    SELECT user_id FROM events WHERE event_type = 'error'
+    ORDER BY user_id
+    """,
+    doc="INTERSECT (distinct semantics, TPC-DS q38 shape).",
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    buyers = events.filter(F.col("event_type") == "purchase").select("user_id")
+    erring = events.filter(F.col("event_type") == "error").select("user_id")
+    return buyers.intersect(erring).orderBy("user_id")
+
+
+@query(
+    "set_except",
+    oracle="""
+    SELECT user_id FROM events WHERE event_type = 'signup'
+    EXCEPT
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    ORDER BY user_id
+    """,
+    doc="EXCEPT (set difference).",
+)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    signed = events.filter(F.col("event_type") == "signup").select("user_id")
+    buyers = events.filter(F.col("event_type") == "purchase").select("user_id")
+    # subtract = EXCEPT DISTINCT (set semantics, matching the SQL oracle);
+    # exceptAll would keep multiset remainders of repeat signups.
+    return signed.subtract(buyers).orderBy("user_id")
+
+
+@query(
+    "set_union_all",
+    oracle="""
+    SELECT kind, COUNT(*) AS n FROM (
+      SELECT 'click' AS kind FROM events WHERE event_type = 'click'
+      UNION ALL
+      SELECT 'view' AS kind FROM events WHERE event_type = 'view'
+    ) u GROUP BY kind ORDER BY kind
+    """,
+    doc="UNION ALL + re-aggregation.",
+)
+def set_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.lit("click").alias("kind")
+    )
+    views = events.filter(F.col("event_type") == "view").select(
+        F.lit("view").alias("kind")
+    )
+    return clicks.unionAll(views).groupBy("kind").agg(F.count("*").alias("n")).orderBy("kind")
+
+
+# --------------------------------------------------------------------------
+# Pivot / time-bucketed aggregation / fact-dim join
+# --------------------------------------------------------------------------
+@query(
+    "pivot_event_values",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           ROUND(SUM(CASE WHEN event_type = 'click'    THEN value ELSE 0 END), 2) AS click,
+           ROUND(SUM(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END), 2) AS purchase,
+           ROUND(SUM(CASE WHEN event_type = 'view'     THEN value ELSE 0 END), 2) AS view
+    FROM events
+    GROUP BY CAST(date_trunc('day', ts) AS TIMESTAMP)
+    ORDER BY day
+    """,
+    doc="Pivot (wide conditional aggregate) by day.",
+)
+def pivot_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.date_trunc("day", "ts").cast("timestamp_ntz")
+    )
+    return (
+        events.groupBy("day")
+        .pivot("event_type", ["click", "purchase", "view"])
+        .agg(dround(F.sum("value"), 2))
+        .fillna(0.0, subset=["click", "purchase", "view"])
+        .orderBy("day")
+    )
+
+
+@query(
+    "time_bucket_agg",
+    oracle="""
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket, event_type,
+           COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value,
+           ROUND(MIN(value), 4) AS min_value, ROUND(MAX(value), 4) AS max_value
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-12 00:00:00'
+    GROUP BY CAST(date_trunc('hour', ts) AS TIMESTAMP), event_type
+    ORDER BY bucket, event_type
+    """,
+    doc="Hourly time-bucket aggregation with range pushdown (hypertable rollup shape).",
+)
+def time_bucket_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.filter(
+            (F.col("ts") >= "2024-01-10") & (F.col("ts") < "2024-01-12")
+        )
+        .groupBy(
+            F.date_trunc("hour", "ts").cast("timestamp_ntz").alias("bucket"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n"),
+            dround(F.sum("value"), 2).alias("sum_value"),
+            dround(F.min("value"), 4).alias("min_value"),
+            dround(F.max("value"), 4).alias("max_value"),
+        )
+        .orderBy("bucket", "event_type")
+    )
+
+
+@query(
+    "events_customer_join",
+    oracle="""
+    SELECT c.c_mktsegment, e.event_type, COUNT(*) AS n,
+           ROUND(SUM(e.value), 2) AS sum_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment, e.event_type
+    ORDER BY c.c_mktsegment, e.event_type
+    """,
+    doc="Fact-dim join across event and TPC-H tables.",
+)
+def events_customer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    customer = load_table(spark, sf_dir, "customer")
+    return (
+        events.join(customer, F.col("user_id") == F.col("c_custkey"))
+        .groupBy("c_mktsegment", "event_type")
+        .agg(F.count("*").alias("n"), dround(F.sum("value"), 2).alias("sum_value"))
+        .orderBy("c_mktsegment", "event_type")
+    )
+
+
+@query(
+    "distinct_users_daily",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           COUNT(DISTINCT user_id) AS unique_users,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY CAST(date_trunc('day', ts) AS TIMESTAMP)
+    ORDER BY day
+    """,
+    doc="COUNT(DISTINCT) per day (expanding distinct aggregate).",
+)
+def distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.date_trunc("day", "ts").cast("timestamp_ntz").alias("day"))
+        .agg(
+            F.countDistinct("user_id").alias("unique_users"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy("day")
+    )
+
+
+@query(
+    "approx_distinct_users",
+    oracle=None,  # approximate — no SQL oracle; driver records rows-only check
+    doc="approx_count_distinct (HLL++) — scale path for 100 TB distinct counts.",
+)
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.01).alias("approx_users")
+    ).orderBy("event_type")

@@ -1,0 +1,335 @@
+"""LLM-training-data-pipeline operators as verified queries.
+
+These go beyond the reference's own surface (BASELINE.json north star):
+dedup (exact / MinHash-LSH / n-gram Jaccard / SimHash), similarity search,
+and text analysis over the driver's `documents` and `embeddings` tables.
+
+Oracle strategy: every hash is md5-hex (bit-identical in Spark and DuckDB),
+MinHash minimizes md5 strings lexicographically (binary collation in both),
+and Jaccard thresholds are integer comparisons — so even the LSH pipelines
+have exact ANSI-SQL oracles. Floating cosine scores are rounded to 6 digits
+on both sides before any threshold/ranking.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kyuubi_spark.functions import dedup as D
+from kyuubi_spark.functions import similarity as S
+from kyuubi_spark.functions import text as T
+from kyuubi_spark.queries import query
+from kyuubi_spark.session import load_table
+from kyuubi_spark.functions.compat import dround
+
+_STOP_SQL = ", ".join(f"'{s}'" for s in T.STOPWORDS)
+
+# Shared DuckDB CTEs for shingling + minhash (n=3 word shingles, 16 hashes).
+_SHINGLE_CTE = """
+  docs AS (SELECT doc_id AS id, string_split(trim(text), ' ') AS toks FROM documents),
+  sh AS (
+    SELECT id,
+           CASE WHEN len(toks) >= 3
+                THEN list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                                   i -> array_to_string(toks[i:i+2], ' ')))
+                ELSE [array_to_string(toks, ' ')] END AS shs
+    FROM docs)
+"""
+
+
+# --------------------------------------------------------------------------
+# Text analysis
+# --------------------------------------------------------------------------
+@query(
+    "text_stats",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source, string_split(trim(text), ' ') AS toks FROM documents)
+    SELECT doc_id, source,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(len(list_filter(toks, x -> list_contains([{_STOP_SQL}], lower(x))))
+                AS BIGINT) AS n_stopwords,
+           ROUND(CAST(list_sum(list_transform(toks, x -> CAST(length(x) AS BIGINT)))
+                      AS DOUBLE) / greatest(len(toks), 1), 4) AS avg_token_len
+    FROM t
+    ORDER BY doc_id
+    """,
+    doc="Token counting + stopword stats, map-only (no shuffle).",
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = T.tokens("text")
+    stop_arr = F.array(*[F.lit(s) for s in T.STOPWORDS])
+    return docs.select(
+        "doc_id",
+        "source",
+        T.token_count("text").alias("n_tokens"),
+        F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, F.lower(t))))
+        .cast("bigint")
+        .alias("n_stopwords"),
+        dround(T.avg_token_len("text"), 4).alias("avg_token_len"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "text_lang_id",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang, string_split(trim(text), ' ') AS toks FROM documents),
+    scored AS (
+      SELECT doc_id, lang,
+             CAST(len(list_filter(toks, x -> list_contains([{_STOP_SQL}], lower(x))))
+                  AS DOUBLE) / greatest(len(toks), 1) AS stop_ratio
+      FROM t)
+    SELECT CASE WHEN stop_ratio >= 0.05 THEN 'en' ELSE 'unknown' END AS pred_lang,
+           lang, COUNT(*) AS n
+    FROM scored GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    doc="Stopword-density language ID vs labeled lang (confusion counts).",
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(T.lang_id("text").alias("pred_lang"), "lang")
+        .groupBy("pred_lang", "lang")
+        .agg(F.count("*").alias("n"))
+        .orderBy("pred_lang", "lang")
+    )
+
+
+@query(
+    "text_quality",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
+    m AS (
+      SELECT doc_id,
+             CAST(len(toks) AS DOUBLE) AS n,
+             CAST(len(list_filter(toks, x -> list_contains([{_STOP_SQL}], lower(x))))
+                  AS DOUBLE) / greatest(len(toks), 1) AS stop_ratio,
+             CAST(list_sum(list_transform(toks, x -> CAST(length(x) AS BIGINT)))
+                  AS DOUBLE) / greatest(len(toks), 1) AS wl
+      FROM t)
+    SELECT doc_id,
+           ROUND(0.4 * least(n / 100.0, 1.0)
+               + 0.3 * least(stop_ratio / 0.1, 1.0)
+               + 0.3 * (1.0 - least(abs(wl - 5.0) / 5.0, 1.0)), 4) AS quality
+    FROM m ORDER BY doc_id
+    """,
+    doc="Composite quality score (length/stopword/word-length components).",
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", dround(T.quality_score("text"), 4).alias("quality")
+    ).orderBy("doc_id")
+
+
+@query(
+    "doc_fingerprint",
+    oracle="""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT md5(regexp_replace(lower(trim(text)), ' +', ' ', 'g')))
+             AS n_unique
+    FROM documents GROUP BY source ORDER BY source
+    """,
+    doc="md5 fingerprint + exact-dedup accounting per source.",
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("fp", T.fingerprint("text"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("fp").alias("n_unique"),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# Deduplication
+# --------------------------------------------------------------------------
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT lang, COUNT(*) AS n_after
+    FROM (
+      SELECT lang, md5(regexp_replace(lower(trim(text)), ' +', ' ', 'g')) AS fp,
+             MIN(doc_id) AS keeper
+      FROM documents GROUP BY 1, 2
+    ) dedup
+    GROUP BY lang ORDER BY lang
+    """,
+    doc="Exact dedup via fingerprint hash-groupBy; survivor counts per lang.",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    survivors = (
+        docs.withColumn("fp", T.fingerprint("text"))
+        .groupBy("lang", "fp")
+        .agg(F.min("doc_id").alias("keeper"))
+    )
+    return survivors.groupBy("lang").agg(F.count("*").alias("n_after")).orderBy("lang")
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH {_SHINGLE_CTE},
+    sig AS (
+      SELECT id,
+             list_transform(generate_series(0, 15),
+               s -> list_min(list_transform(shs,
+                     g -> md5(CAST(s AS VARCHAR) || ':' || g)))) AS sig
+      FROM sh),
+    banded AS (
+      SELECT id, b AS band,
+             md5(array_to_string(sig[b*2+1 : b*2+2], '|')) AS key
+      FROM sig, (SELECT unnest(generate_series(0, 7)) AS b)),
+    cand AS (
+      SELECT DISTINCT l.id AS a_id, r.id AS b_id
+      FROM banded l JOIN banded r
+        ON l.band = r.band AND l.key = r.key AND l.id < r.id),
+    shx AS (SELECT id, unnest(shs) AS s FROM sh),
+    counts AS (SELECT id, COUNT(*) AS n_sh FROM shx GROUP BY id),
+    inter AS (
+      SELECT c.a_id, c.b_id, COUNT(*) AS inter
+      FROM cand c
+      JOIN shx sa ON sa.id = c.a_id
+      JOIN shx sb ON sb.id = c.b_id AND sa.s = sb.s
+      GROUP BY c.a_id, c.b_id)
+    SELECT i.a_id, i.b_id, i.inter,
+           ca.n_sh + cb.n_sh - i.inter AS "union",
+           ROUND(CAST(i.inter AS DOUBLE) / (ca.n_sh + cb.n_sh - i.inter), 6)
+             AS jaccard
+    FROM inter i
+    JOIN counts ca ON ca.id = i.a_id
+    JOIN counts cb ON cb.id = i.b_id
+    WHERE 4 * i.inter >= 1 * (ca.n_sh + cb.n_sh - i.inter)
+    ORDER BY a_id, b_id
+    """,
+    doc="MinHash(16) + LSH(8 bands × 2 rows) candidates, Jaccard>=1/4 verify.",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    cand = D.lsh_candidate_pairs(docs, n=3, num_hashes=16, bands=8)
+    return D.jaccard_pairs(docs, cand, n=3, tau_num=1, tau_den=4).orderBy(
+        "a_id", "b_id"
+    )
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH {_SHINGLE_CTE},
+    shx AS (SELECT id, unnest(shs) AS s FROM sh),
+    counts AS (SELECT id, COUNT(*) AS n_sh FROM shx GROUP BY id),
+    inter AS (
+      SELECT sa.id AS a_id, sb.id AS b_id, COUNT(*) AS inter
+      FROM shx sa JOIN shx sb ON sa.s = sb.s AND sa.id < sb.id
+      GROUP BY 1, 2)
+    SELECT i.a_id, i.b_id, i.inter,
+           ca.n_sh + cb.n_sh - i.inter AS "union",
+           ROUND(CAST(i.inter AS DOUBLE) / (ca.n_sh + cb.n_sh - i.inter), 6)
+             AS jaccard
+    FROM inter i
+    JOIN counts ca ON ca.id = i.a_id
+    JOIN counts cb ON cb.id = i.b_id
+    WHERE 4 * i.inter >= 1 * (ca.n_sh + cb.n_sh - i.inter)
+    ORDER BY a_id, b_id
+    """,
+    doc="Exact all-pairs n-gram Jaccard >= 1/4 (ground truth for LSH recall).",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.jaccard_pairs(docs, None, n=3, tau_num=1, tau_den=4).orderBy(
+        "a_id", "b_id"
+    )
+
+
+@query(
+    "dedup_simhash",
+    oracle=None,  # 64-bit banded SimHash — verified by pytest vs brute force
+    doc="SimHash(64) near-dup pairs via 4-chunk banding (Manku et al. scheme).",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.simhash_near_dup_pairs(docs, max_hamming=3, chunks=4).orderBy(
+        "a_id", "b_id"
+    )
+
+
+# --------------------------------------------------------------------------
+# Similarity search
+# --------------------------------------------------------------------------
+_COSINE_CTE = """
+  e AS (
+    SELECT vec_id,
+           embedding,
+           sqrt(list_sum(list_transform(embedding,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+    FROM embeddings)
+"""
+
+
+@query(
+    "knn_cosine_topk",
+    oracle=f"""
+    WITH {_COSINE_CTE},
+    q AS (SELECT vec_id AS query_id, embedding AS qv, nrm AS qn FROM e WHERE vec_id < 10),
+    scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             ROUND(list_sum(list_transform(generate_series(1, len(e.embedding)),
+                     i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))
+                   / (e.nrm * q.qn), 6) AS score
+      FROM e, q WHERE e.vec_id <> q.query_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, score,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, neighbor_id) AS BIGINT) AS rnk
+      FROM scored)
+    SELECT query_id, neighbor_id, score, rnk
+    FROM ranked WHERE rnk <= 5
+    ORDER BY query_id, rnk
+    """,
+    doc="Brute-force cosine top-5 for 10 query vectors (ANN baseline).",
+)
+def knn_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return S.cosine_topk(emb, queries, k=5)
+
+
+@query(
+    "embedding_near_dup",
+    oracle=f"""
+    WITH {_COSINE_CTE}
+    SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+           ROUND(list_sum(list_transform(generate_series(1, len(a.embedding)),
+                   i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+                 / (a.nrm * b.nrm), 6) AS score
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE ROUND(list_sum(list_transform(generate_series(1, len(a.embedding)),
+                  i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+                / (a.nrm * b.nrm), 6) >= 0.15
+    ORDER BY a_id, b_id
+    """,
+    doc="Embedding-cosine near-duplicate pairs (round(cos,6) >= 0.15).",
+)
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.cosine_near_dup_pairs(emb, threshold_rounded=0.15).orderBy("a_id", "b_id")
+
+
+@query(
+    "knn_cosine_lsh",
+    oracle=None,  # approximate (SRP buckets) — recall measured in pytest
+    doc="SRP-LSH bucketed ANN top-5 — the bucket-join scale path for 100 TB.",
+)
+def knn_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return S.cosine_topk_lsh(emb, queries, k=5, n_planes=8, dim=64)

@@ -1,0 +1,128 @@
+"""SparkSession bootstrap + test-corpus table loading.
+
+Scale notes (100 TB target):
+- AQE on: runtime partition coalescing, skew-join splitting, and join-strategy
+  re-planning replace the reference's hand-rolled ``DynamicShufflePartitions``/
+  ``InsertShuffleNodeBeforeJoin`` rules (SURVEY.md §2.F — both superseded by AQE).
+- ``maxPartitionBytes`` 128m keeps scan tasks executor-memory-sized at any SF.
+- Tiny dimensions (region=5, nation=25 rows at every SF) are explicitly
+  broadcast in queries; everything else is left to AQE's size-based choice so
+  the same plan code works at sf0.001 and at 100 TB.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+# Tables the driver materializes (TESTDATA.md).
+TPCH_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+)
+AUX_TABLES = ("events", "documents", "embeddings")
+ALL_TABLES = TPCH_TABLES + AUX_TABLES
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Confs that are safe (and required) to set on an externally-provided session.
+# All of these are runtime-settable SQLConf entries.
+_RUNTIME_CONFS = {
+    # events.parquet stores TIMESTAMP(NANOS) which Spark's parquet reader
+    # rejects by default; read as long and convert (see load_tables).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # AQE family — runtime re-planning at scale.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Deterministic timestamp semantics (testdata is timezone-naive).
+    "spark.sql.session.timeZone": "UTC",
+    # Arrow transfers for any pandas/UDF interchange.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def ensure_runtime_confs(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable confs; safe on a session we did not build."""
+    for k, v in _RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # immutable in this deployment — builder-level conf applies
+    return spark
+
+
+def build_session(
+    app_name: str = "kyuubi-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    """Build the engine's root SparkSession.
+
+    Mirrors the reference engine bootstrap (kyuubi SparkSQLEngine.scala
+    createSpark): one root session; gateway sessions are ``newSession()``
+    clones sharing the SparkContext (SparkSQLSessionManager.scala:126-138).
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 4))
+    master = master or f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(cpus) if cpus.isdigit() else 32
+
+    b = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in _RUNTIME_CONFS.items():
+        b = b.config(k, v)
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return ensure_runtime_confs(spark)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one corpus table with normalized column types.
+
+    Normalizations (FIXTURES.md §4b):
+    - ``events.ts`` arrives as raw nanos (via nanosAsLong); convert to
+      TIMESTAMP_NTZ by integer-dividing to micros — matches DuckDB's
+      truncation of nano parquet timestamps.
+    """
+    ensure_runtime_confs(spark)
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+        )
+    return df
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR, register_views: bool = True
+) -> dict[str, DataFrame]:
+    """Load every corpus table; optionally register temp views (SQL surface)."""
+    out: dict[str, DataFrame] = {}
+    for name in ALL_TABLES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if not os.path.exists(path):
+            continue
+        df = load_table(spark, sf_dir, name)
+        out[name] = df
+        if register_views:
+            df.createOrReplaceTempView(name)
+    return out

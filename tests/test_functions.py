@@ -1,0 +1,108 @@
+"""Unit tests for the pipeline function library on tiny in-memory frames.
+
+Mirrors the reference's per-module unit suites (SURVEY.md §5.3) — exercises
+each operator's semantics directly, independent of the corpus tables.
+"""
+
+import os
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from kyuubi_spark.functions import dedup, text  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),  # near-dup of 1
+        (3, "completely different content about spark engines"),
+        (4, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (5, "tiny"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_shingles_basic(spark, docs):
+    out = docs.select("doc_id", dedup.shingles("text", 3).alias("sh")).collect()
+    by_id = {r["doc_id"]: r["sh"] for r in out}
+    assert "the quick brown" in by_id[1]
+    assert len(by_id[1]) == 7  # 9 tokens → 7 distinct trigrams
+    assert by_id[5] == ["tiny"]  # short text → whole-text shingle
+
+
+def test_exact_dedup(spark, docs):
+    deduped = dedup.exact_dedup(docs.select("text"), ["text"])
+    assert deduped.count() == 4  # 1 and 4 collapse
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs):
+    pairs = {
+        (r["a_id"], r["b_id"])
+        for r in dedup.lsh_candidate_pairs(docs).collect()
+    }
+    assert (1, 4) in pairs  # exact dups always collide in every band
+    assert (1, 2) in pairs or (2, 4) in pairs  # near-dups share most shingles
+
+
+def test_jaccard_exact_values(spark, docs):
+    out = dedup.jaccard_pairs(docs, candidates=None).collect()
+    by_pair = {(r["a_id"], r["b_id"]): r for r in out}
+    r14 = by_pair[(1, 4)]
+    assert r14["jaccard"] == 1.0 and r14["inter"] == r14["union"] == 7
+    # docs 1,2 differ only in the final token → share 6 of 8 distinct trigrams
+    assert (1, 2) in by_pair
+    assert by_pair[(1, 2)]["inter"] == 6 and by_pair[(1, 2)]["union"] == 8
+
+
+def test_simhash_identical_distance_zero(spark, docs):
+    sigs = docs.select(
+        "doc_id", dedup.simhash_bits("text", 64).alias("sig")
+    ).collect()
+    by_id = {r["doc_id"]: r["sig"] for r in sigs}
+    assert by_id[1] == by_id[4]
+    assert all(len(s) == 64 and set(s) <= {"0", "1"} for s in by_id.values())
+    ham_12 = sum(a != b for a, b in zip(by_id[1], by_id[2]))
+    ham_13 = sum(a != b for a, b in zip(by_id[1], by_id[3]))
+    assert ham_12 < ham_13  # near-dup closer than unrelated
+
+
+def test_simhash_near_dup_pairs(spark, docs):
+    out = {
+        (r["a_id"], r["b_id"]): r["hamming"]
+        for r in dedup.simhash_near_dup_pairs(docs, max_hamming=16).collect()
+    }
+    assert out[(1, 4)] == 0
+
+
+def test_token_count_and_stopwords(spark, docs):
+    out = docs.select(
+        "doc_id",
+        text.token_count("text").alias("n"),
+        F.round(text.stopword_ratio("text"), 6).alias("sr"),
+    ).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    assert by_id[1]["n"] == 9
+    # stopword tokens: "the" twice ("over" is not in STOPWORDS) → 2/9
+    assert abs(by_id[1]["sr"] - 2 / 9) < 1e-6
+    assert by_id[5]["n"] == 1 and by_id[5]["sr"] == 0.0
+
+
+def test_fingerprint_normalization(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world"), (3, " HELLO WORLD  ")],
+        ["id", "t"],
+    )
+    fps = {r["id"]: r["fp"] for r in df.select("id", text.fingerprint("t").alias("fp")).collect()}
+    assert fps[1] == fps[2] == fps[3]
+
+
+def test_quality_score_range(spark, docs):
+    vals = [
+        r["q"] for r in docs.select(text.quality_score("text").alias("q")).collect()
+    ]
+    assert all(0.0 <= v <= 1.0 for v in vals)

@@ -42,10 +42,13 @@ def shingles(text: Column | str, n: int = 3) -> Column:
 
 
 def minhash_signature(shingle_col: Column, num_hashes: int = 16) -> Column:
-    """MinHash signature: for each seed s, min over shingles of md5(s:shingle).
+    """MinHash signature as a single Column: for each seed s, min over
+    shingles of md5(s:shingle). Returns array<string>.
 
-    Returns array<string> of length ``num_hashes``. Expression-only (the md5s
-    are computed inside codegen; no shuffle, no UDF).
+    NOTE: higher-order functions (transform/aggregate) are evaluated
+    *interpreted* in Spark, not codegen'd — use ``minhash_signatures_df``
+    (exploded, whole-stage-codegen md5 + map-side-combined min aggregates)
+    for anything beyond toy inputs.
     """
     return F.transform(
         F.sequence(F.lit(0), F.lit(num_hashes - 1)),
@@ -57,6 +60,37 @@ def minhash_signature(shingle_col: Column, num_hashes: int = 16) -> Column:
                 ),
             )
         ),
+    )
+
+
+def minhash_signatures_df(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 16,
+) -> DataFrame:
+    """(id, sig) per document — same values as ``minhash_signature`` but
+    computed on the fast path: explode shingles, evaluate all ``num_hashes``
+    md5s as ordinary codegen'd projections, and reduce with ``min``
+    aggregates (partial map-side combine ⇒ one small shuffle keyed by doc id,
+    linear at any scale).
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingles(F.col(text_col), n)).alias("g"),
+    )
+    hash_cols = [
+        F.md5(F.concat(F.lit(f"{s}:"), F.col("g")).cast("binary")).alias(f"h{s}")
+        for s in range(num_hashes)
+    ]
+    wide = (
+        sh.select("id", *hash_cols)
+        .groupBy("id")
+        .agg(*[F.min(f"h{s}").alias(f"m{s}") for s in range(num_hashes)])
+    )
+    return wide.select(
+        "id", F.array(*[F.col(f"m{s}") for s in range(num_hashes)]).alias("sig")
     )
 
 
@@ -93,8 +127,7 @@ def lsh_candidate_pairs(
     """
     rows_per_band = num_hashes // bands
     sig = (
-        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
-        .withColumn("sig", minhash_signature(shingles(F.col("t"), n), num_hashes))
+        minhash_signatures_df(df, id_col, text_col, n, num_hashes)
         .withColumn("bk", F.explode(band_keys(F.col("sig"), bands, rows_per_band)))
         .select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
     )
@@ -174,41 +207,67 @@ def jaccard_pairs(
     )
 
 
-def _hex_char_val(hexstr: Column, pos: Column) -> Column:
-    """Value 0..15 of the hex digit at 1-based ``pos`` (portable formula)."""
-    return F.instr(F.lit(HEX_DIGITS), F.substring(hexstr, pos, 1)) - 1
+def _token_bit(h: Column, i: int) -> Column:
+    """±1 for bit ``i`` (0-based) of a signed-long hash column.
+
+    Mask test instead of shifting: bit 63 is the sign bit (1<<63 overflows a
+    long literal), every other bit is ``h & (1<<i) != 0``.
+    """
+    on = (h < 0) if i == 63 else (h.bitwiseAND(F.lit(1 << i)) != 0)
+    return F.when(on, 1).otherwise(-1)
+
+
+def simhash_signatures_df(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_bits: int = 64,
+) -> DataFrame:
+    """(id, sig) per document; sig is a ``num_bits``-char '0'/'1' string.
+
+    Classic SimHash: per token h = xxhash64(token); signature bit i = 1 iff
+    sum over tokens of (2*bit_i(h) - 1) > 0 (ties → 0). Fast path: explode
+    tokens, derive the 64 ±1 bit columns as codegen'd projections, reduce
+    with 64 sum aggregates (map-side partial combine ⇒ one doc-id-keyed
+    shuffle of 64 ints per doc — linear at any scale, no interpreted lambdas).
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.trim(F.col(text_col)), " ")).alias("tok"),
+    )
+    h = F.xxhash64("tok")
+    per_tok = toks.select(
+        "id", *[_token_bit(h, i).alias(f"b{i}") for i in range(num_bits)]
+    )
+    sums = per_tok.groupBy("id").agg(
+        *[F.sum(f"b{i}").alias(f"s{i}") for i in range(num_bits)]
+    )
+    sig = F.concat(
+        *[
+            F.when(F.col(f"s{i}") > 0, F.lit("1")).otherwise(F.lit("0"))
+            for i in range(num_bits)
+        ]
+    )
+    return sums.select("id", sig.alias("sig"))
 
 
 def simhash_bits(text: Column | str, num_bits: int = 64) -> Column:
-    """SimHash signature as a ``num_bits``-char '0'/'1' string.
-
-    Per token t: h = md5(t); bit i of h = (hexval(h[i/4]) >> (3 - i%4)) & 1.
-    Signature bit i = 1 iff sum over tokens of (2*bit-1) > 0 (ties → 0).
-    String representation keeps the oracle SQL portable (no int64 overflow
-    concerns across engines).
-    """
+    """SimHash signature as a single Column (same formula as
+    ``simhash_signatures_df``, which is the fast path — this interpreted
+    fold exists for per-row composability on small inputs)."""
     c = F.col(text) if isinstance(text, str) else text
     toks = F.split(F.trim(c), " ")
-    hashes = F.transform(toks, lambda t: F.md5(t.cast("binary")))
-    def bit_sum(i: Column) -> Column:
-        pos = (i / 4).cast("int") + 1  # 1-based hex char index
-        shift = 3 - (i % 4)
-        return F.aggregate(
-            hashes,
-            F.lit(0),
-            lambda acc, h: acc
-            + (
-                F.floor(_hex_char_val(h, pos) / F.pow(F.lit(2.0), shift.cast("double")))
-                .cast("int")
-                % 2
-            )
-            * 2
-            - 1,
-        )
-
+    counts = F.aggregate(
+        toks,
+        F.array_repeat(F.lit(0).cast("long"), num_bits),
+        lambda acc, t: F.zip_with(
+            acc,
+            F.array(*[_token_bit(F.xxhash64(t), i).cast("long") for i in range(num_bits)]),
+            lambda a, b: a + b,
+        ),
+    )
     bits = F.transform(
-        F.sequence(F.lit(0), F.lit(num_bits - 1)),
-        lambda i: F.when(bit_sum(i) > 0, F.lit("1")).otherwise(F.lit("0")),
+        counts, lambda s: F.when(s > 0, F.lit("1")).otherwise(F.lit("0"))
     )
     return F.concat_ws("", bits)
 
@@ -231,9 +290,7 @@ def simhash_near_dup_pairs(
     the standard Manku et al. WWW'07 scheme).
     """
     chunk_len = num_bits // chunks
-    sig = df.select(
-        F.col(id_col).alias("id"), simhash_bits(F.col(text_col), num_bits).alias("sig")
-    )
+    sig = simhash_signatures_df(df, id_col, text_col, num_bits)
     sig = sig.withColumn(
         "chunks",
         F.transform(

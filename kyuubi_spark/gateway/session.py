@@ -1,0 +1,204 @@
+"""Gateway sessions and the session manager.
+
+Counterpart of the reference's Session/SessionManager
+(kyuubi-common/.../session/Session.scala:24-99 — executeStatement + the
+metadata operation set; SessionManager.scala) and the Spark engine's
+session impl (externals/.../session/SparkSessionImpl.scala:56-105 — conf
+application, current catalog/db, KDF registration;
+SparkSQLSessionManager.scala:126-138 — `rootSparkSession.newSession()`
+clones sharing one SparkContext with isolated SQLConf/temp views).
+"""
+
+from __future__ import annotations
+
+import re
+import threading
+import time
+from typing import TYPE_CHECKING, Any
+
+from kyuubi_spark.gateway import conf as C
+from kyuubi_spark.gateway import operations as OPS
+from kyuubi_spark.gateway.kdf import register_kdfs
+from kyuubi_spark.gateway.state import OperationHandle, SessionHandle
+
+if TYPE_CHECKING:
+    from pyspark.sql import SparkSession
+
+    from kyuubi_spark.gateway.engine import Engine
+
+# `use catalog.db` / `use db` statements are converted to catalog ops, as the
+# reference dispatches them (SparkSQLOperationManager.scala:64-71).
+_USE_RE = re.compile(r"^\s*use\s+(?:(\w+)\.)?(\w+)\s*;?\s*$", re.IGNORECASE)
+
+
+class Session:
+    def __init__(
+        self,
+        engine: "Engine",
+        user: str,
+        session_conf: dict[str, Any] | None = None,
+    ):
+        self.engine = engine
+        self.user = user
+        self.handle = SessionHandle()
+        self.conf = engine.conf.merged(session_conf)
+        self.spark: SparkSession = engine.root_spark.newSession()
+        self.operations: dict[str, OPS.Operation] = {}
+        self.last_access = time.time()
+        self._lock = threading.RLock()
+        self.python_namespace: dict[str, Any] = {"spark": self.spark}
+
+        # Apply client conf: spark.* keys become session SQLConf overrides
+        # (SparkSessionImpl.scala:56-105).
+        for k, v in self.conf.items():
+            if k.startswith("spark.") and not k.startswith("spark.master"):
+                try:
+                    self.spark.conf.set(k, str(v))
+                except Exception:
+                    pass  # static conf — builder-level only
+        register_kdfs(self.spark, session_user=user)
+
+    # -- statement execution ----------------------------------------------
+    def execute_statement(
+        self,
+        statement: str,
+        conf_overlay: dict[str, Any] | None = None,
+        run_async: bool = False,
+    ) -> OPS.Operation:
+        """Dispatch a statement (SparkSQLOperationManager.scala:58-131):
+        language/plan-only conf routing, `use` conversion, zorder DSL."""
+        self.last_access = time.time()
+        conf = self.conf.merged(conf_overlay)
+
+        m = _USE_RE.match(statement)
+        if m:
+            catalog, db = m.group(1), m.group(2)
+            if catalog:
+                self.spark.catalog.setCurrentCatalog(catalog)
+            self.spark.catalog.setCurrentDatabase(db)
+            op = OPS.MetadataOperation(self)
+            op._execute = lambda: op._finish([("result", OPS._S)], [])  # type: ignore[method-assign]
+            return self._register(op.run())
+
+        zorder_stmt = self.engine.parse_optimize_zorder(statement)
+        if zorder_stmt is not None:
+            return self._register(zorder_stmt(self).run())
+
+        lang = conf.get(C.OPERATION_LANGUAGE).upper()
+        if lang == "PYTHON":
+            op: OPS.Operation = OPS.ExecutePython(
+                self, statement, should_run_async=run_async
+            )
+        else:
+            mode = conf.get(C.OPERATION_PLAN_ONLY_MODE).lower()
+            if mode != "none":
+                op = OPS.PlanOnlyStatement(
+                    self,
+                    statement,
+                    mode,
+                    conf.get(C.OPERATION_PLAN_ONLY_OUT_STYLE),
+                    should_run_async=run_async,
+                )
+            else:
+                op = OPS.ExecuteStatement(
+                    self, statement, conf=conf, should_run_async=run_async
+                )
+        op.run()
+        if not run_async:
+            op.wait()
+        return self._register(op)
+
+    def _register(self, op: OPS.Operation) -> OPS.Operation:
+        with self._lock:
+            self.operations[op.handle.id] = op
+        return op
+
+    # -- metadata operations (Session.scala:51-96) -------------------------
+    def get_catalogs(self) -> OPS.Operation:
+        return self._register(OPS.GetCatalogs(self).run())
+
+    def get_schemas(self, catalog=None, schema_pattern=None) -> OPS.Operation:
+        return self._register(OPS.GetSchemas(self, catalog, schema_pattern).run())
+
+    def get_tables(self, catalog=None, schema_pattern=None, table_pattern=None, table_types=None) -> OPS.Operation:
+        return self._register(
+            OPS.GetTables(self, catalog, schema_pattern, table_pattern, table_types).run()
+        )
+
+    def get_table_types(self) -> OPS.Operation:
+        return self._register(OPS.GetTableTypes(self).run())
+
+    def get_columns(self, catalog=None, schema_pattern=None, table_pattern=None, column_pattern=None) -> OPS.Operation:
+        return self._register(
+            OPS.GetColumns(self, catalog, schema_pattern, table_pattern, column_pattern).run()
+        )
+
+    def get_functions(self, function_pattern=None) -> OPS.Operation:
+        return self._register(OPS.GetFunctions(self, function_pattern).run())
+
+    def get_type_info(self) -> OPS.Operation:
+        return self._register(OPS.GetTypeInfo(self).run())
+
+    def get_primary_keys(self) -> OPS.Operation:
+        return self._register(OPS.GetPrimaryKeys(self).run())
+
+    # -- operation management ---------------------------------------------
+    def get_operation(self, handle: OperationHandle | str) -> OPS.Operation:
+        hid = handle.id if isinstance(handle, OperationHandle) else handle
+        return self.operations[hid]
+
+    def cancel_operation(self, handle: OperationHandle | str) -> None:
+        self.get_operation(handle).cancel()
+
+    def close_operation(self, handle: OperationHandle | str) -> None:
+        op = self.get_operation(handle)
+        op.close()
+        with self._lock:
+            self.operations.pop(op.handle.id, None)
+
+    def close(self) -> None:
+        with self._lock:
+            for op in list(self.operations.values()):
+                op.close()
+            self.operations.clear()
+
+
+class SessionManager:
+    """Open/close/lookup + idle timeout sweep (SessionManager.scala)."""
+
+    def __init__(self, engine: "Engine"):
+        self.engine = engine
+        self._sessions: dict[str, Session] = {}
+        self._lock = threading.RLock()
+
+    def open_session(self, user: str = "anonymous", conf: dict | None = None) -> Session:
+        s = Session(self.engine, user, conf)
+        with self._lock:
+            self._sessions[s.handle.id] = s
+        return s
+
+    def get_session(self, handle: SessionHandle | str) -> Session:
+        hid = handle.id if isinstance(handle, SessionHandle) else handle
+        return self._sessions[hid]
+
+    def close_session(self, handle: SessionHandle | str) -> None:
+        hid = handle.id if isinstance(handle, SessionHandle) else handle
+        with self._lock:
+            s = self._sessions.pop(hid, None)
+        if s:
+            s.close()
+
+    def sweep_idle(self) -> int:
+        """Close sessions idle beyond kyuubi.session.idle.timeout."""
+        now = time.time()
+        closed = 0
+        for s in list(self._sessions.values()):
+            timeout = s.conf.get(C.SESSION_IDLE_TIMEOUT)
+            if timeout > 0 and now - s.last_access > timeout:
+                self.close_session(s.handle)
+                closed += 1
+        return closed
+
+    @property
+    def count(self) -> int:
+        return len(self._sessions)

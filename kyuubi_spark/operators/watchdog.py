@@ -1,0 +1,61 @@
+"""Watchdog: pre-execution scan-size limits + forced output row caps.
+
+Counterpart of the reference's planner guards
+(extensions/.../watchdog/MaxScanStrategy.scala:36-160 — rejects queries
+whose pruned file-scan exceeds maxFileSize/maxPartitions;
+KyuubiUnsupportedOperationsCheck.scala; forcedMaxOutputRows docs). We check
+the *optimized* plan so partition pruning and filter pushdown have already
+shrunk the scan — same observation point the reference's strategy gets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+class MaxScanExceeded(RuntimeError):
+    pass
+
+
+def _jseq(jseq):
+    for i in range(jseq.size()):
+        yield jseq.apply(i)
+
+
+def scan_bytes(df: DataFrame) -> int:
+    """Total bytes the optimized plan's relation leaves would scan.
+
+    Uses each leaf's computed stats (for file relations this is the
+    post-pruning file-index size — what MaxScanStrategy.scala:60-90 reads
+    from HadoopFsRelation.location).
+    """
+    total = 0
+    jplan = df._jdf.queryExecution().optimizedPlan()
+    for leaf in _jseq(jplan.collectLeaves()):
+        try:
+            # sizeInBytes is a scala BigInt; stringify for exact conversion
+            total += int(str(leaf.stats().sizeInBytes()))
+        except Exception:
+            pass
+    return total
+
+
+def check_max_scan(df: DataFrame, max_bytes: int) -> None:
+    """Raise MaxScanExceeded if the plan would scan more than max_bytes."""
+    if max_bytes and max_bytes > 0:
+        actual = scan_bytes(df)
+        if actual > max_bytes:
+            raise MaxScanExceeded(
+                f"query would scan {actual} bytes > watchdog limit {max_bytes}"
+            )
+
+
+def forced_limit(df: DataFrame, max_rows: int) -> DataFrame:
+    """Cap SELECT output rows (forcedMaxOutputRows) — only when the plan
+    isn't already limited."""
+    if not max_rows or max_rows <= 0:
+        return df
+    cls = df._jdf.queryExecution().analyzed().getClass().getSimpleName()
+    if cls in ("GlobalLimit", "LocalLimit"):
+        return df
+    return df.limit(max_rows)

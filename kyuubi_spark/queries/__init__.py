@@ -40,6 +40,11 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
 
 def all_queries() -> dict[str, QuerySpec]:
     # Import registrars for their side effects.
-    from kyuubi_spark.queries import analytics, pipeline, tpch  # noqa: F401
+    from kyuubi_spark.queries import (  # noqa: F401
+        analytics,
+        gateway_queries,
+        pipeline,
+        tpch,
+    )
 
     return dict(REGISTRY)

@@ -1,0 +1,142 @@
+"""Driver-verified queries that exercise the gateway + value-add operators.
+
+- gateway_sql_q6: TPC-H q6 routed through the full gateway path
+  (Engine → Session.newSession clone → ExecuteStatement dispatch), proving
+  the session/operation machinery produces the same result as running the
+  DataFrame directly (reference parity: a Kyuubi JDBC client vs spark-shell).
+- zorder_cluster: the z-order interleave kernel (Zorder.scala semantics)
+  verified value-by-value against an identical ANSI-SQL bit-interleave.
+- types_scalar: cross-engine scalar type surface (SparkDataTypeTests shape).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kyuubi_spark.queries import query
+from kyuubi_spark.session import load_table, load_tables
+
+_Q6_SQL = """
+    SELECT ROUND(SUM(l_extendedprice * l_discount) * 100, 0) / 100 AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+"""
+
+
+@query(
+    "gateway_sql_q6",
+    oracle="""
+    SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    doc="TPC-H q6 through the gateway session/operation path (SQL text in, "
+    "DataFrame out via ExecuteStatement).",
+)
+def gateway_sql_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kyuubi_spark.gateway import Engine
+
+    engine = Engine(spark=spark)
+    session = engine.open_session(user="driver")
+    load_tables(session.spark, sf_dir)
+    # The dround trick is spelled inline in SQL (round(x*100)/100) so the
+    # statement is plain SQL text end-to-end, like a JDBC client would send.
+    op = session.execute_statement(_Q6_SQL)
+    assert op.result_df is not None
+    return op.result_df
+
+
+def _interleave_sql(cols: list[str], bits: int) -> str:
+    """ANSI-SQL twin of operators.zorder.interleave_bits."""
+    n = len(cols)
+    terms = [
+        f"((({c} >> {b}) & 1) << {b * n + j})"
+        for b in range(bits)
+        for j, c in enumerate(cols)
+    ]
+    return " | ".join(terms)
+
+
+_ZBITS = 8
+
+
+@query(
+    "zorder_cluster",
+    oracle=f"""
+    WITH stats AS (
+      SELECT MIN(CAST(l_partkey AS DOUBLE)) AS minp, MAX(CAST(l_partkey AS DOUBLE)) AS maxp,
+             MIN(CAST(l_suppkey AS DOUBLE)) AS mins, MAX(CAST(l_suppkey AS DOUBLE)) AS maxs
+      FROM lineitem),
+    scaled AS (
+      SELECT LEAST(GREATEST(CAST(FLOOR((CAST(l_partkey AS DOUBLE) - minp) / (maxp - minp) * 255.0) AS BIGINT), 0), 255) AS p,
+             LEAST(GREATEST(CAST(FLOOR((CAST(l_suppkey AS DOUBLE) - mins) / (maxs - mins) * 255.0) AS BIGINT), 0), 255) AS s
+      FROM lineitem, stats),
+    z AS (SELECT {_interleave_sql(['p', 's'], _ZBITS)} AS zvalue FROM scaled)
+    SELECT COUNT(*) AS n_rows,
+           CAST(COUNT(DISTINCT zvalue) AS BIGINT) AS n_zvalues,
+           MIN(zvalue) AS z_min, MAX(zvalue) AS z_max,
+           SUM(zvalue) AS z_sum
+    FROM z
+    """,
+    doc="Z-order Morton interleave kernel (Zorder.scala/ZorderBytesUtils "
+    "semantics) — value-exact vs an ANSI-SQL bit-interleave oracle.",
+)
+def zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kyuubi_spark.operators.zorder import zorder_value
+
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    z = zorder_value(lineitem, ["l_partkey", "l_suppkey"], bits=_ZBITS)
+    return z.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("zvalue").cast("bigint").alias("n_zvalues"),
+        F.min("zvalue").alias("z_min"),
+        F.max("zvalue").alias("z_max"),
+        F.sum("zvalue").alias("z_sum"),
+    )
+
+
+@query(
+    "types_scalar",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderkey AS SMALLINT) % 128 AS small_v,
+           CAST(o_custkey AS INT) AS int_v,
+           CAST(o_orderkey AS BIGINT) * 1000000 AS big_v,
+           ROUND(CAST(o_totalprice AS DOUBLE), 2) AS dbl_v,
+           o_totalprice > 100000 AS bool_v,
+           CAST(o_orderdate AS DATE) AS date_v,
+           CAST(o_orderdate AS TIMESTAMP) AS ts_v,
+           UPPER(o_orderpriority) AS str_v,
+           LENGTH(o_orderpriority) AS len_v,
+           SUBSTR(o_orderpriority, 1, 1) AS chr_v
+    FROM orders WHERE o_orderkey <= 50 ORDER BY o_orderkey
+    """,
+    doc="Scalar type surface: integer widths, double, boolean, date, "
+    "timestamp, string functions (SparkDataTypeTests parity, §1.2).",
+)
+def types_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.filter(F.col("o_orderkey") <= 50)
+        .select(
+            "o_orderkey",
+            (F.col("o_orderkey").cast("smallint") % 128).alias("small_v"),
+            F.col("o_custkey").cast("int").alias("int_v"),
+            (F.col("o_orderkey").cast("bigint") * 1000000).alias("big_v"),
+            F.round(F.col("o_totalprice").cast("double"), 2).alias("dbl_v"),
+            (F.col("o_totalprice") > 100000).alias("bool_v"),
+            F.col("o_orderdate").cast("date").alias("date_v"),
+            F.col("o_orderdate").cast("timestamp").alias("ts_v"),
+            F.upper("o_orderpriority").alias("str_v"),
+            F.length("o_orderpriority").cast("bigint").alias("len_v"),
+            F.substring("o_orderpriority", 1, 1).alias("chr_v"),
+        )
+        .orderBy("o_orderkey")
+    )

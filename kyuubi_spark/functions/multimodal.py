@@ -1,0 +1,170 @@
+"""Multimodal column operators: opaque binary payloads + typed metadata.
+
+Design for image/audio/video at 100 TB (per the training-pipeline charter):
+payloads are `binary` columns with a metadata struct; transforms run as
+Arrow-batched pandas iterators over `mapInPandas`, so bytes move
+driver-free, partition-parallel, one Arrow batch at a time (bounded
+executor memory regardless of payload size).
+
+The container ships no codec libraries, so the DECODE step is stubbed: a
+deterministic header parser stands in for the real decoder behind the same
+schema/partitioning/UDF plumbing — swap `_decode_stub` for PIL/ffmpeg in a
+real deployment; everything around it (batching, schema, metadata
+extraction, frame sampling) is real and tested.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),  # image | audio | video
+        T.StructField("payload", T.BinaryType()),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("width", T.IntegerType()),
+                    T.StructField("height", T.IntegerType()),
+                    T.StructField("duration_ms", T.IntegerType()),
+                    T.StructField("codec", T.StringType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+
+def synthesize_media(spark, n: int = 64, partitions: int = 8) -> DataFrame:
+    """Deterministic fake media table (seeded by media_id) for exercising
+    the pipeline without real codecs. Payload = 16-byte header (width,
+    height, duration) + pseudo-random body."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid in pdf["id"]:
+                mid = int(mid)
+                kind = ("image", "audio", "video")[mid % 3]
+                w, h, dur = 64 + mid % 512, 64 + (mid * 7) % 512, (mid * 37) % 10_000
+                body = hashlib.sha256(f"media:{mid}".encode()).digest() * 4
+                payload = struct.pack("<iii", w, h, dur) + body
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "kind": kind,
+                        "payload": payload,
+                        "meta": {
+                            "width": w,
+                            "height": h,
+                            "duration_ms": dur,
+                            "codec": "stub",
+                        },
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return (
+        spark.range(n)
+        .repartition(partitions)
+        .mapInPandas(gen, schema=MEDIA_SCHEMA)
+    )
+
+
+def _decode_stub(payload: bytes) -> tuple[int, int, int]:
+    """STUB decoder: parses the 16-byte synthetic header.
+
+    A real deployment replaces this with PIL.Image.open / soundfile /
+    pyav — same signature, same surrounding plumbing. Raises on garbage
+    like a real decoder would.
+    """
+    if payload is None or len(payload) < 12:
+        raise ValueError("payload too short to decode")
+    w, h, dur = struct.unpack("<iii", bytes(payload[:12]))
+    return w, h, dur
+
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("decoded_width", T.IntegerType()),
+        T.StructField("decoded_height", T.IntegerType()),
+        T.StructField("duration_ms", T.IntegerType()),
+        T.StructField("payload_bytes", T.LongType()),
+        T.StructField("payload_sha", T.StringType()),
+        T.StructField("decode_error", T.StringType()),
+    ]
+)
+
+
+def decode_features(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
+    """Decode + feature-extract via mapInPandas (Arrow batches of binary).
+
+    Per-row decode failures are captured in `decode_error` instead of
+    failing the task — at 100 TB a corrupt payload is data, not an outage.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                payload = row["payload"]
+                rec = {
+                    "media_id": int(row["media_id"]),
+                    "kind": row["kind"],
+                    "decoded_width": None,
+                    "decoded_height": None,
+                    "duration_ms": None,
+                    "payload_bytes": len(payload) if payload is not None else 0,
+                    "payload_sha": hashlib.sha256(bytes(payload)).hexdigest()
+                    if payload is not None
+                    else None,
+                    "decode_error": None,
+                }
+                try:
+                    w, h, dur = _decode_stub(payload)
+                    rec.update(
+                        {"decoded_width": w, "decoded_height": h, "duration_ms": dur}
+                    )
+                except Exception as e:  # noqa: BLE001 - captured per-row
+                    rec["decode_error"] = str(e)
+                out.append(rec)
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "kind", "payload").mapInPandas(
+        run, schema=FEATURE_SCHEMA
+    )
+
+
+def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Frame-sampling plan for video rows: one row per (media_id, frame_ts).
+
+    The explode happens JVM-side from metadata only — the payload is NOT
+    duplicated per frame (project it away before exploding; re-join by
+    media_id at decode time). At scale this is the difference between
+    shuffling metadata rows and shuffling terabytes of video bytes.
+    """
+    return (
+        media.filter(F.col("kind") == "video")
+        .select("media_id", F.col("meta.duration_ms").alias("duration_ms"))
+        .withColumn(
+            "frame_ts_ms",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.greatest(F.col("duration_ms") - 1, F.lit(0)),
+                    F.lit(every_ms),
+                )
+            ),
+        )
+    )

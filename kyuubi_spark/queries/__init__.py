@@ -43,6 +43,7 @@ def all_queries() -> dict[str, QuerySpec]:
     from kyuubi_spark.queries import (  # noqa: F401
         analytics,
         gateway_queries,
+        streaming_queries,
         pipeline,
         tpch,
     )

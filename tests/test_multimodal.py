@@ -1,0 +1,69 @@
+"""Multimodal pipeline plumbing: schema, Arrow batching, decode stub, frame plan."""
+
+import os
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from kyuubi_spark.functions import multimodal as M  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    df = M.synthesize_media(spark, n=48, partitions=4)
+    df.cache().count()
+    return df
+
+
+def test_media_schema_and_determinism(spark, media):
+    assert media.schema == M.MEDIA_SCHEMA
+    assert media.count() == 48
+    # deterministic payloads: same id → same bytes across builds
+    p1 = {r["media_id"]: bytes(r["payload"]) for r in media.collect()}
+    p2 = {
+        r["media_id"]: bytes(r["payload"])
+        for r in M.synthesize_media(spark, n=48, partitions=2).collect()
+    }
+    assert p1 == p2  # partitioning must not change content
+
+
+def test_decode_features(spark, media):
+    feats = M.decode_features(media)
+    rows = feats.collect()
+    assert len(rows) == 48
+    assert all(r["decode_error"] is None for r in rows)
+    by_id = {r["media_id"]: r for r in rows}
+    meta = {r["media_id"]: r["meta"] for r in media.collect()}
+    for mid, r in by_id.items():
+        assert r["decoded_width"] == meta[mid]["width"]
+        assert r["decoded_height"] == meta[mid]["height"]
+        assert r["payload_bytes"] == 12 + 128
+
+
+def test_decode_error_captured_not_fatal(spark):
+    import pandas as pd
+
+    bad = spark.createDataFrame(
+        pd.DataFrame(
+            {"media_id": [1, 2], "kind": ["image", "image"],
+             "payload": [b"xx", None]}
+        )
+    )
+    rows = M.decode_features(bad).collect()
+    assert all(r["decode_error"] is not None for r in rows)
+
+
+def test_frame_sample_plan_no_payload_duplication(spark, media):
+    plan = M.frame_sample_plan(media, every_ms=1000)
+    assert "payload" not in plan.columns  # bytes are not exploded per frame
+    n_videos = media.filter(F.col("kind") == "video").count()
+    assert plan.select("media_id").distinct().count() == n_videos
+    # frame counts follow duration
+    one = plan.groupBy("media_id").count().join(
+        media.select("media_id", F.col("meta.duration_ms").alias("d")), "media_id"
+    ).collect()
+    for r in one:
+        assert r["count"] == (max(r["d"] - 1, 0) // 1000) + 1

@@ -1,0 +1,146 @@
+"""Streaming suite: windowed aggs, sessions, stream-static join, stateful op.
+
+Strategy: replay the bounded events parquet as a stream (AvailableNow) and
+assert the streaming result equals the equivalent batch aggregation — the
+strongest oracle available for streaming semantics.
+"""
+
+import os
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from kyuubi_spark.streaming import runner, stateful, windows  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def events_stream(spark, sf_dir):
+    from kyuubi_spark.session import ensure_runtime_confs
+
+    ensure_runtime_confs(spark)
+    path = os.path.join(sf_dir, "events.parquet")
+    raw = runner.file_stream(spark, path)
+    # events.ts arrives as nano-longs (same normalization as batch load_table)
+    if dict(raw.dtypes).get("ts") == "bigint":
+        raw = raw.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp")
+        )
+    else:
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
+
+
+@pytest.fixture(scope="module")
+def events_batch(spark, sf_dir):
+    from kyuubi_spark.session import load_table
+
+    return load_table(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+
+
+def test_tumbling_counts_match_batch(spark, events_stream, events_batch):
+    # complete mode emits every window (append would hold back windows the
+    # final watermark has not passed - correct unbounded behavior, but the
+    # batch oracle needs the full set)
+    got = runner.run_to_memory(
+        windows.tumbling_counts(events_stream), output_mode="complete"
+    )
+    expected = (
+        events_batch.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("sum_value"))
+        .select(F.col("win.start").alias("window_start"), "event_type", "n")
+    )
+    g = {(r["window_start"], r["event_type"]): r["n"] for r in got.collect()}
+    e = {(r["window_start"], r["event_type"]): r["n"] for r in expected.collect()}
+    assert g == e and len(g) > 0
+
+
+def test_sliding_windows_overlap(spark, events_stream):
+    got = runner.run_to_memory(
+        windows.sliding_rates(events_stream, "1 hour", "30 minutes"),
+        output_mode="complete",
+    )
+    rows = got.collect()
+    assert len(rows) > 0
+    # every event lands in 2 overlapping 1h/30m windows → sum(n) = 2 * events
+    total_n = sum(r["n"] for r in rows)
+    n_events = sum(r["n"] for r in runner.run_to_memory(
+        windows.tumbling_counts(events_stream), output_mode="complete",
+        query_name="tumb_check").collect())
+    assert total_n == 2 * n_events
+
+
+def test_session_windows_match_batch_sessionization(spark, events_stream, events_batch):
+    got = runner.run_to_memory(
+        windows.session_windows(events_stream, gap="1 hour"),
+        output_mode="complete",
+    )
+    # batch oracle: gap-based sessionization (same as win_sessionize logic)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts")
+    ts_sec = F.col("ts").cast("long")
+    gap = ts_sec - F.lag(ts_sec).over(w)
+    sessions = (
+        events_batch.withColumn("gap", gap)
+        .withColumn(
+            "sid",
+            F.sum(F.when(F.col("gap").isNull() | (F.col("gap") > 3600), 1).otherwise(0)).over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .groupBy("user_id", "sid")
+        .count()
+    )
+    assert got.count() == sessions.count()
+    # per-user session counts match too
+    g = {r["user_id"]: r["n"] for r in got.groupBy("user_id").agg(F.count("*").alias("n")).collect()}
+    e = {r["user_id"]: r["n"] for r in sessions.groupBy("user_id").agg(F.count("*").alias("n")).collect()}
+    assert g == e
+
+
+def test_stream_static_join(spark, events_stream, sf_dir):
+    from kyuubi_spark.session import load_table
+
+    customer = load_table(spark, sf_dir, "customer")
+    got = runner.run_to_memory(
+        windows.stream_static_join(events_stream, customer), query_name="ssj"
+    )
+    n_events = events_stream.sparkSession.read.parquet(
+        os.path.join(sf_dir, "events.parquet")
+    ).count()
+    assert got.count() == n_events  # left join preserves all events
+    assert "c_mktsegment" in got.columns
+
+
+def test_stateful_running_totals(spark, events_stream, events_batch):
+    got = runner.run_to_memory(
+        stateful.running_user_totals(events_stream), output_mode="update"
+    )
+    # single AvailableNow batch → one emitted row per user with final totals
+    expected = events_batch.groupBy("user_id").agg(
+        F.count("*").alias("n_events"), F.sum("value").alias("total_value")
+    )
+    g = {r["user_id"]: (r["n_events"], round(r["total_value"], 6)) for r in got.collect()}
+    e = {r["user_id"]: (r["n_events"], round(r["total_value"], 6)) for r in expected.collect()}
+    assert g == e
+
+
+def test_foreach_batch_write(spark, events_stream, tmp_path):
+    out = str(tmp_path / "stream_out")
+
+    def write_batch(batch_df, batch_id):
+        from kyuubi_spark.operators.write import write_table
+
+        write_table(batch_df, out, mode="append")
+
+    runner.run_foreach_batch(
+        events_stream.filter(F.col("event_type") == "purchase"), write_batch
+    )
+    written = spark.read.parquet(out)
+    assert written.count() > 0
+    assert set(written.columns) == set(events_stream.columns)

@@ -40,6 +40,16 @@ HEADLINE = [
     "doc_fingerprint",
     "knn_cosine_topk",
     "embedding_near_dup",
+    "knn_cosine_lsh",
+    "knn_cosine_ivf",
+    # gateway + value-add operators
+    "gateway_sql_q6",
+    "zorder_cluster",
+    "types_scalar",
+    "authz_row_filter_masking",
+    # streaming (replayed through the streaming engine)
+    "stream_tumbling_agg",
+    "stream_stateful_totals",
 ]
 
 

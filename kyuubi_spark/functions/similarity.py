@@ -11,8 +11,11 @@ DuckDB oracle (unnest-with-ordinality dot products).
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
 from kyuubi_spark.functions.compat import dround
 
 
@@ -229,6 +232,117 @@ def cosine_topk_lsh(
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("neighbor_id")
     )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= k)
+        .orderBy("query_id", "rnk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) approximate nearest neighbor
+# ---------------------------------------------------------------------------
+def ivf_assign(
+    embeddings: DataFrame,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, list]:
+    """Coarse quantizer: deterministic centroid sample + nearest-cell assign.
+
+    Centroids are the first vector of every (id % stride) class — a
+    deterministic stand-in for k-means that needs no training job; swap in
+    `pyspark.ml.clustering.KMeans` for learned centroids. Assignment is one
+    vectorized Arrow-batched pandas pass: a (batch x dim) @ (dim x cells)
+    matmul per batch — the documented fast path for per-row vector math
+    that expression folds can't match.
+
+    Returns (assigned DataFrame with a `cell` column, centroid matrix).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    cents = (
+        embeddings.filter((F.col(id_col) % n_cells) == 0)
+        .orderBy(id_col)
+        .limit(n_cells)
+        .select(vec_col)
+        .collect()
+    )
+    centroids = np.array([list(r[0]) for r in cents], dtype="float64")
+    centroids /= np.maximum(np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12)
+    bc = embeddings.sparkSession.sparkContext.broadcast(centroids)
+
+    @pandas_udf("int")
+    def nearest_cell(vecs: pd.Series) -> pd.Series:
+        c = bc.value
+        m = np.array(vecs.tolist(), dtype="float64")
+        m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        return pd.Series(np.argmax(m @ c.T, axis=1).astype("int32"))
+
+    return embeddings.withColumn("cell", nearest_cell(F.col(vec_col))), centroids
+
+
+def cosine_topk_ivf(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN: probe the query's ``n_probe`` nearest cells, exact-rerank
+    candidates. The 100 TB path: candidate scan is (n_probe/n_cells) of the
+    corpus, and the join is an equi-join on cell id (uniform shuffle key)
+    instead of a cross join. Recall grows with n_probe (tests measure it
+    against brute force).
+    """
+    from pyspark.sql import Window
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    assigned, centroids = ivf_assign(embeddings, n_cells, id_col, vec_col)
+    bc = embeddings.sparkSession.sparkContext.broadcast(centroids)
+
+    @pandas_udf(ArrayType(IntegerType()))
+    def probe_cells(vecs: pd.Series) -> pd.Series:
+        c = bc.value
+        m = np.array(vecs.tolist(), dtype="float64")
+        m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        order = np.argsort(-(m @ c.T), axis=1)[:, :n_probe]
+        return pd.Series([row.astype("int32").tolist() for row in order])
+
+    q = _with_vec_norm(queries, id_col, vec_col, "query").withColumn(
+        "cell", F.explode(probe_cells(F.col("query_vec")))
+    )
+    c = assigned.select(
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(F.col(vec_col)).alias("neighbor_vec"),
+        F.col("cell").alias("ncell"),
+    ).withColumn(
+        "neighbor_nrm",
+        F.sqrt(
+            F.aggregate(F.col("neighbor_vec"), F.lit(0.0), lambda acc, x: acc + x * x)
+        ),
+    )
+    scored = (
+        c.join(
+            F.broadcast(q),
+            (F.col("cell") == F.col("ncell"))
+            & (F.col("query_id") != F.col("neighbor_id")),
+        )
+        .withColumn(
+            "score",
+            dround(
+                _dot_pre(F.col("query_vec"), F.col("neighbor_vec"))
+                / (F.col("query_nrm") * F.col("neighbor_nrm")),
+                6,
+            ),
+        )
+        .select("query_id", "neighbor_id", "score")
+        .distinct()  # a pair may appear via multiple probed cells
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id"))
     return (
         scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rnk") <= k)

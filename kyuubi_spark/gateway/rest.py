@@ -1,0 +1,255 @@
+"""REST v1 frontend over the gateway (stdlib http.server — no web framework
+in the container).
+
+Endpoint shape mirrors the reference's REST API (kyuubi-server/.../server/
+api/v1/{SessionsResource,OperationsResource,BatchesResource}.scala):
+
+  POST   /api/v1/sessions                      {user, conf}      → session handle
+  GET    /api/v1/sessions                                        → list
+  DELETE /api/v1/sessions/{sid}
+  POST   /api/v1/sessions/{sid}/operations     {statement, conf, async}
+  GET    /api/v1/operations/{oid}                                → status
+  GET    /api/v1/operations/{oid}/rowset?maxrows=&orientation=   → rows page
+  GET    /api/v1/operations/{oid}/log
+  POST   /api/v1/operations/{oid}/cancel
+  DELETE /api/v1/operations/{oid}
+  POST   /api/v1/batches                       {script, args}    → batch job
+  GET    /api/v1/batches/{bid}                                   → state
+  GET    /api/v1/batches/{bid}/localLog
+  DELETE /api/v1/batches/{bid}
+
+Batches are subprocess-managed scripts (BatchJobSubmission.scala:236-333
+runs spark-submit and monitors the app; our engine's `spark-submit` is a
+Python interpreter with its own SparkSession).
+"""
+
+from __future__ import annotations
+
+import datetime
+import decimal
+import json
+import subprocess
+import sys
+import tempfile
+import threading
+import uuid
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+from kyuubi_spark.gateway.engine import Engine
+from kyuubi_spark.gateway.state import FetchOrientation
+
+
+def _json_cell(v):
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat()
+    if isinstance(v, decimal.Decimal):
+        return str(v)
+    if isinstance(v, bytes):
+        return v.hex()
+    if isinstance(v, (list, tuple)):
+        return [_json_cell(x) for x in v]
+    return v
+
+
+class BatchJob:
+    """One subprocess batch (the spark-submit analogue)."""
+
+    def __init__(self, script: str, args: list[str] | None = None):
+        self.id = str(uuid.uuid4())
+        self.state = "PENDING"
+        self._log_file = tempfile.NamedTemporaryFile(
+            mode="w+", prefix="kyuubi_spark_batch_", suffix=".log", delete=False
+        )
+        self._script_file = tempfile.NamedTemporaryFile(
+            mode="w", prefix="kyuubi_spark_batch_", suffix=".py", delete=False
+        )
+        self._script_file.write(script)
+        self._script_file.close()
+        self.proc = subprocess.Popen(
+            [sys.executable, self._script_file.name, *(args or [])],
+            stdout=self._log_file,
+            stderr=subprocess.STDOUT,
+        )
+        self.state = "RUNNING"
+        threading.Thread(target=self._watch, daemon=True).start()
+
+    def _watch(self) -> None:
+        rc = self.proc.wait()
+        self.state = "FINISHED" if rc == 0 else "ERROR"
+
+    def log(self) -> str:
+        with open(self._log_file.name) as f:
+            return f.read()
+
+    def cancel(self) -> None:
+        if self.proc.poll() is None:
+            self.proc.terminate()
+            self.state = "CANCELED"
+
+    def info(self) -> dict:
+        return {"id": self.id, "state": self.state, "pid": self.proc.pid}
+
+
+class RestGateway:
+    """HTTP frontend bound to an Engine; start()/shutdown() lifecycle."""
+
+    def __init__(self, engine: Engine, host: str = "127.0.0.1", port: int = 0):
+        self.engine = engine
+        self.operations: dict[str, tuple] = {}  # oid → (session, operation)
+        self.batches: dict[str, BatchJob] = {}
+        gateway = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):  # quiet test output
+                pass
+
+            def _reply(self, code: int, payload) -> None:
+                body = json.dumps(payload).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def _body(self) -> dict:
+                n = int(self.headers.get("Content-Length") or 0)
+                return json.loads(self.rfile.read(n) or b"{}")
+
+            def do_POST(self):  # noqa: N802
+                try:
+                    gateway._route(self, "POST")
+                except Exception as e:  # noqa: BLE001
+                    self._reply(500, {"error": str(e)})
+
+            def do_GET(self):  # noqa: N802
+                try:
+                    gateway._route(self, "GET")
+                except Exception as e:  # noqa: BLE001
+                    self._reply(500, {"error": str(e)})
+
+            def do_DELETE(self):  # noqa: N802
+                try:
+                    gateway._route(self, "DELETE")
+                except Exception as e:  # noqa: BLE001
+                    self._reply(500, {"error": str(e)})
+
+        self.httpd = ThreadingHTTPServer((host, port), Handler)
+        self._thread: threading.Thread | None = None
+
+    @property
+    def port(self) -> int:
+        return self.httpd.server_address[1]
+
+    def start(self) -> "RestGateway":
+        self._thread = threading.Thread(target=self.httpd.serve_forever, daemon=True)
+        self._thread.start()
+        return self
+
+    def shutdown(self) -> None:
+        self.httpd.shutdown()
+        for b in self.batches.values():
+            b.cancel()
+
+    # -- routing -----------------------------------------------------------
+    def _route(self, h, method: str) -> None:
+        url = urlparse(h.path)
+        parts = [p for p in url.path.split("/") if p]
+        q = parse_qs(url.query)
+        if parts[:2] != ["api", "v1"]:
+            h._reply(404, {"error": "unknown path"})
+            return
+        parts = parts[2:]
+
+        if parts == ["sessions"] and method == "POST":
+            body = h._body()
+            s = self.engine.open_session(
+                user=body.get("user", "anonymous"), conf=body.get("conf")
+            )
+            h._reply(200, {"identifier": s.handle.id, "user": s.user})
+        elif parts == ["sessions"] and method == "GET":
+            h._reply(
+                200,
+                [
+                    {"identifier": s.handle.id, "user": s.user}
+                    for s in self.engine.sessions._sessions.values()
+                ],
+            )
+        elif len(parts) == 2 and parts[0] == "sessions" and method == "DELETE":
+            self.engine.close_session(parts[1])
+            h._reply(200, {"closed": parts[1]})
+        elif (
+            len(parts) == 3
+            and parts[0] == "sessions"
+            and parts[2] == "operations"
+            and method == "POST"
+        ):
+            body = h._body()
+            s = self.engine.sessions.get_session(parts[1])
+            op = s.execute_statement(
+                body["statement"],
+                conf_overlay=body.get("conf"),
+                run_async=bool(body.get("async", False)),
+            )
+            self.operations[op.handle.id] = (s, op)
+            h._reply(200, {"identifier": op.handle.id, "state": op.state.value})
+        elif len(parts) >= 2 and parts[0] == "operations":
+            self._route_operation(h, method, parts, q)
+        elif parts == ["batches"] and method == "POST":
+            body = h._body()
+            job = BatchJob(body["script"], body.get("args"))
+            self.batches[job.id] = job
+            h._reply(200, job.info())
+        elif len(parts) >= 2 and parts[0] == "batches":
+            job = self.batches.get(parts[1])
+            if job is None:
+                h._reply(404, {"error": "no such batch"})
+            elif len(parts) == 3 and parts[2] == "localLog":
+                h._reply(200, {"log": job.log()})
+            elif method == "DELETE":
+                job.cancel()
+                h._reply(200, job.info())
+            else:
+                h._reply(200, job.info())
+        else:
+            h._reply(404, {"error": f"unknown route {method} {h.path}"})
+
+    def _route_operation(self, h, method: str, parts: list[str], q) -> None:
+        ent = self.operations.get(parts[1])
+        if ent is None:
+            h._reply(404, {"error": "no such operation"})
+            return
+        session, op = ent
+        if len(parts) == 2 and method == "GET":
+            h._reply(
+                200,
+                {
+                    "identifier": op.handle.id,
+                    "state": op.state.value,
+                    "error": str(op.exception) if op.exception else None,
+                },
+            )
+        elif len(parts) == 2 and method == "DELETE":
+            session.close_operation(op.handle)
+            self.operations.pop(parts[1], None)
+            h._reply(200, {"closed": parts[1]})
+        elif parts[2:] == ["cancel"] and method == "POST":
+            op.cancel()
+            h._reply(200, {"state": op.state.value})
+        elif parts[2:] == ["log"] and method == "GET":
+            h._reply(200, {"log": op.fetch_log(int(q.get("maxrows", ["100"])[0]))})
+        elif parts[2:] == ["rowset"] and method == "GET":
+            orientation = FetchOrientation[
+                q.get("orientation", ["FETCH_NEXT"])[0].upper()
+            ]
+            rows = op.get_next_row_set(orientation, int(q.get("maxrows", ["100"])[0]))
+            schema = [f.name for f in op.get_result_set_schema().fields]
+            h._reply(
+                200,
+                {
+                    "columns": schema,
+                    "rows": [[_json_cell(c) for c in row] for row in rows],
+                },
+            )
+        else:
+            h._reply(404, {"error": "unknown operation route"})

@@ -35,10 +35,11 @@ def mask_full(col: str) -> str:
 
 
 def mask_show_last_4(col: str) -> str:
+    # right() rather than negative substr: identical in Spark and ANSI oracles
     return (
         f"CASE WHEN length(CAST({col} AS STRING)) <= 4 THEN CAST({col} AS STRING) "
         f"ELSE concat(repeat('x', length(CAST({col} AS STRING)) - 4), "
-        f"substr(CAST({col} AS STRING), -4)) END"
+        f"right(CAST({col} AS STRING), 4)) END"
     )
 
 

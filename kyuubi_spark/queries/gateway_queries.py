@@ -140,3 +140,48 @@ def types_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+@query(
+    "authz_row_filter_masking",
+    oracle="""
+    SELECT c_custkey,
+           CASE WHEN length(c_name) <= 4 THEN c_name
+                ELSE repeat('x', length(c_name) - 4) || right(c_name, 4) END AS c_name,
+           c_nationkey,
+           regexp_replace(regexp_replace(regexp_replace(c_mktsegment,
+               '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', 'n', 'g') AS c_mktsegment
+    FROM customer
+    WHERE c_nationkey < 10
+    ORDER BY c_custkey LIMIT 100
+    """,
+    doc="Row-filter + column-masking authz via secured-view substitution "
+    "(RuleApplyRowFilter / RuleApplyDataMaskingStage0 semantics, SURVEY §2.G).",
+)
+def authz_row_filter_masking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kyuubi_spark.operators.masking import (
+        TablePolicy,
+        apply_policies,
+        mask_full,
+        mask_show_last_4,
+    )
+
+    load_tables(spark, sf_dir)
+    secured = apply_policies(
+        spark,
+        {
+            "customer": TablePolicy(
+                row_filter="c_nationkey < 10",
+                column_masks={
+                    "c_name": mask_show_last_4("c_name"),
+                    "c_mktsegment": mask_full("c_mktsegment"),
+                },
+            )
+        },
+    )
+    return (
+        spark.table(secured["customer"])
+        .select("c_custkey", "c_name", "c_nationkey", "c_mktsegment")
+        .orderBy("c_custkey")
+        .limit(100)
+    )

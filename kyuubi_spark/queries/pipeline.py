@@ -333,3 +333,16 @@ def knn_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return S.cosine_topk_lsh(emb, queries, k=5, n_planes=8, dim=64)
+
+
+@query(
+    "knn_cosine_ivf",
+    oracle=None,  # approximate (IVF probe subset) — recall measured in pytest
+    doc="IVF-bucketed ANN top-5 (coarse quantizer + n_probe cells + exact "
+    "rerank) — the inverted-file scale path; assignment is an Arrow-batched "
+    "numpy matmul pandas UDF.",
+)
+def knn_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return S.cosine_topk_ivf(emb, queries, k=5, n_cells=16, n_probe=4)

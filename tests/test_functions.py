@@ -106,3 +106,28 @@ def test_quality_score_range(spark, docs):
         r["q"] for r in docs.select(text.quality_score("text").alias("q")).collect()
     ]
     assert all(0.0 <= v <= 1.0 for v in vals)
+
+
+def test_ivf_recall_vs_brute_force(spark):
+    """IVF with n_probe=n_cells is exhaustive (recall 1.0); fewer probes
+    trade recall for scan fraction."""
+    from kyuubi_spark.functions import similarity as S
+    from kyuubi_spark.session import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.cosine_topk(emb, queries, k=5).collect()
+    }
+    full_probe = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.cosine_topk_ivf(emb, queries, k=5, n_cells=8, n_probe=8).collect()
+    }
+    assert full_probe == exact  # probing every cell == brute force
+    partial = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.cosine_topk_ivf(emb, queries, k=5, n_cells=8, n_probe=3).collect()
+    }
+    recall = len(partial & exact) / len(exact)
+    assert recall >= 0.5, f"IVF recall too low: {recall}"

@@ -1,0 +1,91 @@
+"""Plan-quality gate: the physical properties that decide 100 TB behavior.
+
+Each assertion pins something invisible at sf0.001 and fatal at scale:
+filters reaching the parquet scan, scans pruned to referenced columns,
+fixed-size dimensions broadcast (never shuffled), and text/dedup operators
+staying map-only (no Python UDFs / no surprise shuffles).
+"""
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from kyuubi_spark import plans  # noqa: E402
+from kyuubi_spark.queries import all_queries  # noqa: E402
+
+
+def _build(spark, sf_dir, name):
+    return all_queries()[name].builder(spark, sf_dir)
+
+
+def test_q6_filters_pushed_to_scan(spark, sf_dir):
+    df = _build(spark, sf_dir, "tpch_q6")
+    pf = " ".join(plans.pushed_filters(df))
+    assert "l_shipdate" in pf and "l_discount" in pf and "l_quantity" in pf
+
+
+def test_q6_scan_prunes_columns(spark, sf_dir):
+    df = _build(spark, sf_dir, "tpch_q6")
+    (cols,) = plans.scan_columns(df)
+    # 4 referenced columns only — not all 16 lineitem columns
+    assert cols == {"l_shipdate", "l_discount", "l_quantity", "l_extendedprice"}
+
+
+def test_q1_single_shuffle(spark, sf_dir):
+    # one grouped aggregate → exactly one exchange (partial+final combine)
+    df = _build(spark, sf_dir, "tpch_q1")
+    assert plans.exchange_count(df) == 1
+
+
+def test_q5_broadcasts_fixed_dims(spark, sf_dir):
+    # region (5 rows) and nation (25 rows) must be broadcast at EVERY scale
+    df = _build(spark, sf_dir, "tpch_q5")
+    assert plans.broadcast_join_count(df) >= 2
+
+
+def test_q3_join_filters_pushed(spark, sf_dir):
+    df = _build(spark, sf_dir, "tpch_q3")
+    pf = " ".join(plans.pushed_filters(df))
+    assert "c_mktsegment" in pf and "o_orderdate" in pf and "l_shipdate" in pf
+
+
+def test_text_stats_is_map_only(spark, sf_dir):
+    # pure per-row Column expressions: no exchange at all before the sort
+    df = all_queries()["text_stats"].builder(spark, sf_dir)
+    summary = plans.plan_summary(df)
+    # the only exchange allowed is the final orderBy's range partitioning
+    assert summary["exchanges"] <= 1
+    assert "BatchEvalPython" not in plans.explain_formatted(df)
+
+
+def test_no_python_udfs_in_relational_queries(spark, sf_dir):
+    # the hot path stays JVM-side for every TPC-H query
+    for name in ["tpch_q1", "tpch_q9", "tpch_q18", "dedup_minhash_lsh"]:
+        text = plans.explain_formatted(all_queries()[name].builder(spark, sf_dir))
+        assert "BatchEvalPython" not in text, f"{name} fell back to Python UDF"
+        assert "ArrowEvalPython" not in text, f"{name} uses pandas UDF on hot path"
+
+
+def test_codegen_covers_aggregate(spark, sf_dir):
+    # codegen tags only render for non-adaptive (or materialized) plans;
+    # build the aggregate from a raw read because load_table re-enables AQE
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = (
+            spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+            .filter(F.col("l_quantity") < 30)
+            .groupBy("l_returnflag")
+            .agg(F.sum("l_extendedprice").alias("s"))
+        )
+        ids = plans.whole_stage_codegen_ids(df)
+        assert len(ids) >= 1
+        # scan+filter+partial-agg must fuse into one span (the hot loop)
+        text = plans.explain_formatted(df)
+        assert "Scan parquet" in text
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")

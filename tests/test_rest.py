@@ -1,0 +1,130 @@
+"""REST frontend suite — full HTTP round trips against a live server."""
+
+import json
+import os
+import sys
+import time
+import urllib.request
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from kyuubi_spark.gateway import Engine  # noqa: E402
+from kyuubi_spark.gateway.rest import RestGateway  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def rest(spark, sf_dir):
+    from kyuubi_spark.session import load_tables
+
+    load_tables(spark, sf_dir)
+    gw = RestGateway(Engine(spark=spark)).start()
+    yield gw
+    gw.shutdown()
+
+
+def _call(rest, method, path, body=None, expect=200):
+    url = f"http://127.0.0.1:{rest.port}{path}"
+    data = json.dumps(body).encode() if body is not None else None
+    req = urllib.request.Request(url, data=data, method=method)
+    if data:
+        req.add_header("Content-Type", "application/json")
+    with urllib.request.urlopen(req) as resp:
+        assert resp.status == expect
+        return json.loads(resp.read())
+
+
+def test_session_lifecycle(rest):
+    s = _call(rest, "POST", "/api/v1/sessions", {"user": "restuser"})
+    assert s["user"] == "restuser"
+    listed = _call(rest, "GET", "/api/v1/sessions")
+    assert any(x["identifier"] == s["identifier"] for x in listed)
+    _call(rest, "DELETE", f"/api/v1/sessions/{s['identifier']}")
+    listed = _call(rest, "GET", "/api/v1/sessions")
+    assert not any(x["identifier"] == s["identifier"] for x in listed)
+
+
+def test_statement_roundtrip_over_http(rest, sf_dir):
+    s = _call(rest, "POST", "/api/v1/sessions", {"user": "restuser"})
+    sid = s["identifier"]
+    try:
+        op = _call(
+            rest, "POST", f"/api/v1/sessions/{sid}/operations",
+            {"statement": "SELECT id * 2 AS d FROM range(5) ORDER BY id"},
+        )
+        assert op["state"] == "FINISHED"
+        oid = op["identifier"]
+        rs = _call(rest, "GET", f"/api/v1/operations/{oid}/rowset?maxrows=3")
+        assert rs["columns"] == ["d"]
+        assert rs["rows"] == [[0], [2], [4]]
+        rs2 = _call(rest, "GET", f"/api/v1/operations/{oid}/rowset?maxrows=3")
+        assert rs2["rows"] == [[6], [8]]
+        log = _call(rest, "GET", f"/api/v1/operations/{oid}/log")
+        assert any("executing" in line for line in log["log"])
+        _call(rest, "DELETE", f"/api/v1/operations/{oid}")
+    finally:
+        _call(rest, "DELETE", f"/api/v1/sessions/{sid}")
+
+
+def test_async_operation_and_status_poll(rest):
+    s = _call(rest, "POST", "/api/v1/sessions", {})
+    sid = s["identifier"]
+    try:
+        op = _call(
+            rest, "POST", f"/api/v1/sessions/{sid}/operations",
+            {"statement": "SELECT count(*) AS n FROM range(1000000)", "async": True},
+        )
+        oid = op["identifier"]
+        for _ in range(100):
+            st = _call(rest, "GET", f"/api/v1/operations/{oid}")
+            if st["state"] in ("FINISHED", "ERROR"):
+                break
+            time.sleep(0.2)
+        assert st["state"] == "FINISHED"
+        rs = _call(rest, "GET", f"/api/v1/operations/{oid}/rowset")
+        assert rs["rows"] == [[1000000]]
+    finally:
+        _call(rest, "DELETE", f"/api/v1/sessions/{sid}")
+
+
+def test_error_reported_via_status(rest):
+    s = _call(rest, "POST", "/api/v1/sessions", {})
+    sid = s["identifier"]
+    try:
+        op = _call(
+            rest, "POST", f"/api/v1/sessions/{sid}/operations",
+            {"statement": "SELECT * FROM no_such_table_rest"},
+        )
+        st = _call(rest, "GET", f"/api/v1/operations/{op['identifier']}")
+        assert st["state"] == "ERROR" and "no_such_table_rest" in st["error"]
+    finally:
+        _call(rest, "DELETE", f"/api/v1/sessions/{sid}")
+
+
+def test_batch_submission_lifecycle(rest):
+    job = _call(
+        rest, "POST", "/api/v1/batches",
+        {"script": "import sys\nprint('batch says', sys.argv[1])", "args": ["hello"]},
+    )
+    bid = job["id"]
+    for _ in range(100):
+        st = _call(rest, "GET", f"/api/v1/batches/{bid}")
+        if st["state"] in ("FINISHED", "ERROR"):
+            break
+        time.sleep(0.1)
+    assert st["state"] == "FINISHED"
+    log = _call(rest, "GET", f"/api/v1/batches/{bid}/localLog")
+    assert "batch says hello" in log["log"]
+
+
+def test_batch_failure_state(rest):
+    job = _call(
+        rest, "POST", "/api/v1/batches", {"script": "raise SystemExit(3)"}
+    )
+    for _ in range(100):
+        st = _call(rest, "GET", f"/api/v1/batches/{job['id']}")
+        if st["state"] in ("FINISHED", "ERROR"):
+            break
+        time.sleep(0.1)
+    assert st["state"] == "ERROR"

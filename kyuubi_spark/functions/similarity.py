@@ -115,6 +115,22 @@ def cosine_topk(
     )
 
 
+def _seq_dot(products: "np.ndarray") -> "np.ndarray":
+    """Sequential-order row sums: cumsum's last column is the exact left
+    fold (each prefix is one IEEE add), bit-identical to the Spark
+    `aggregate` fold and the DuckDB list_sum oracle — unlike BLAS matmul or
+    np.sum, whose pairwise/SIMD association differs in the last ulp."""
+    return products.cumsum(axis=1)[:, -1]
+
+
+def _round_half_away(y: "np.ndarray") -> "np.ndarray":
+    """Exact ROUND-half-away-from-zero on the double's true value, matching
+    Spark's BigDecimal HALF_UP and DuckDB's std::round (np.round is
+    half-to-even; floor(y+0.5) can mis-round when y+0.5 is inexact)."""
+    t = np.trunc(y)
+    return t + np.sign(y) * (np.abs(y - t) >= 0.5)
+
+
 def cosine_near_dup_pairs(
     embeddings: DataFrame,
     threshold_rounded: float = 0.15,
@@ -123,8 +139,72 @@ def cosine_near_dup_pairs(
 ) -> DataFrame:
     """All pairs with round(cosine,6) >= threshold (embedding near-dup).
 
-    Exact all-pairs — correctness baseline; use the LSH variant at scale.
+    Exact all-pairs — the correctness baseline (LSH/IVF are the sub-linear
+    scale paths). Physical shape: one side is broadcast (exactly what
+    Spark's BroadcastNestedLoopJoin did in the expression form), the other
+    streams through mapInPandas; each Arrow batch scores its rows against
+    the broadcast matrix vectorized, with sequential-order sums and
+    half-away rounding so every score is bit-identical to the expression
+    path and the DuckDB oracle (cross-checked in tests).
     """
+    import pandas as pd  # noqa: F811 - explicit for the worker closure
+    from pyspark.sql import types as T
+
+    rows = embeddings.select(id_col, vec_col).collect()
+    ids = np.array([r[0] for r in rows], dtype="int64")
+    mat = np.array([list(r[1]) for r in rows], dtype="float64")
+    norms = np.sqrt(_seq_dot(mat * mat))
+    sc = embeddings.sparkSession.sparkContext
+    bc = sc.broadcast((ids, mat, norms))
+    thr = float(threshold_rounded)
+
+    def score_batches(batches):
+        b_ids, b_mat, b_norms = bc.value
+        for pdf in batches:
+            a_ids = pdf[id_col].to_numpy()
+            a_mat = np.array(pdf[vec_col].tolist(), dtype="float64")
+            a_norms = np.sqrt(_seq_dot(a_mat * a_mat))
+            out_a, out_b, out_s = [], [], []
+            for i in range(len(a_ids)):
+                mask = b_ids > a_ids[i]
+                if not mask.any():
+                    continue
+                prods = b_mat[mask] * a_mat[i][None, :]
+                dots = _seq_dot(prods)
+                scores = dots / (a_norms[i] * b_norms[mask])
+                scores = _round_half_away(scores * 1e6) / 1e6
+                keep = scores >= thr
+                out_a.append(np.full(int(keep.sum()), a_ids[i]))
+                out_b.append(b_ids[mask][keep])
+                out_s.append(scores[keep])
+            if out_a:
+                yield pd.DataFrame(
+                    {
+                        "a_id": np.concatenate(out_a),
+                        "b_id": np.concatenate(out_b),
+                        "score": np.concatenate(out_s),
+                    }
+                )
+
+    schema = T.StructType(
+        [
+            T.StructField("a_id", T.LongType()),
+            T.StructField("b_id", T.LongType()),
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+    return embeddings.select(id_col, vec_col).mapInPandas(score_batches, schema)
+
+
+def cosine_near_dup_pairs_expr(
+    embeddings: DataFrame,
+    threshold_rounded: float = 0.15,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Pure Column-expression form of cosine_near_dup_pairs (interpreted
+    fold in a pair join) — kept as the semantic reference; tests assert the
+    vectorized path is bit-identical."""
     a = _with_vec_norm(embeddings, id_col, vec_col, "a")
     b = _with_vec_norm(embeddings, id_col, vec_col, "b")
     return (

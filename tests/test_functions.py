@@ -131,3 +131,17 @@ def test_ivf_recall_vs_brute_force(spark):
     }
     recall = len(partial & exact) / len(exact)
     assert recall >= 0.5, f"IVF recall too low: {recall}"
+
+
+def test_vectorized_near_dup_bit_identical_to_expression(spark):
+    """The numpy kernel (cumsum sequential sums + half-away rounding) must
+    reproduce the Column-expression fold bit for bit."""
+    from kyuubi_spark.functions import similarity as S
+    from kyuubi_spark.session import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    fast = {(r["a_id"], r["b_id"]): r["score"]
+            for r in S.cosine_near_dup_pairs(emb, 0.15).collect()}
+    ref = {(r["a_id"], r["b_id"]): r["score"]
+           for r in S.cosine_near_dup_pairs_expr(emb, 0.15).collect()}
+    assert fast == ref and len(fast) > 0

@@ -1,0 +1,125 @@
+"""Engine pooling with share-level routing.
+
+Counterpart of the reference's EngineRef (kyuubi-server/.../engine/
+EngineRef.scala:74,108-118,164-191 + ShareLevel.scala:23-33): an incoming
+connection is routed to an engine keyed by its share level —
+
+  CONNECTION  one engine per connection (strongest isolation, no reuse)
+  USER        one engine (or pool) per user        [reference default]
+  GROUP       one per primary group
+  SERVER      one shared by everyone
+
+plus engine pools (`ENGINE_POOL_SIZE`: round-robin over N engines per key)
+and idle TTL (`ENGINE_IDLE_TIMEOUT`).
+
+In-process simplification, stated plainly: the reference spawns a separate
+Spark APPLICATION per engine (process isolation); a single JVM can hold one
+SparkContext, so each pooled "engine" here shares the root SparkSession and
+isolation is per-session `newSession()` SQLConf/temp-view isolation. The
+routing, pooling, and TTL semantics — what the gateway layer owns — are
+faithfully exercised; swap `_make_engine` for a spark-submit launcher to get
+process-level engines.
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+
+from pyspark.sql import SparkSession
+
+from kyuubi_spark.gateway.engine import Engine
+
+SHARE_LEVELS = ("CONNECTION", "USER", "GROUP", "SERVER")
+
+
+class PooledEngine:
+    def __init__(self, engine: Engine, key: str):
+        self.engine = engine
+        self.key = key
+        self.last_used = time.time()
+
+    def touch(self) -> "PooledEngine":
+        self.last_used = time.time()
+        return self
+
+
+class EnginePool:
+    def __init__(
+        self,
+        root_spark: SparkSession,
+        share_level: str = "USER",
+        pool_size: int = 1,
+        idle_timeout: float = 3600.0,
+    ):
+        level = share_level.upper()
+        if level not in SHARE_LEVELS:
+            raise ValueError(f"unknown share level {share_level}; one of {SHARE_LEVELS}")
+        self.root_spark = root_spark
+        self.share_level = level
+        self.pool_size = max(1, pool_size)
+        self.idle_timeout = idle_timeout
+        self._engines: dict[str, list[PooledEngine]] = {}
+        self._rr: dict[str, int] = {}
+        self._lock = threading.RLock()
+        self._conn_seq = 0
+
+    def _engine_space(self, user: str, group: str | None, connection_id: str | None) -> str:
+        """The discovery key (EngineRef.engineSpace, :175-196)."""
+        if self.share_level == "CONNECTION":
+            return f"connection/{connection_id}"
+        if self.share_level == "USER":
+            return f"user/{user}"
+        if self.share_level == "GROUP":
+            return f"group/{group or user}"
+        return "server/shared"
+
+    def _make_engine(self) -> Engine:
+        return Engine(spark=self.root_spark)
+
+    def get_engine(
+        self, user: str = "anonymous", group: str | None = None, connection_id: str | None = None
+    ) -> Engine:
+        """Route a connection to its engine (create on miss, round-robin in
+        the key's pool)."""
+        with self._lock:
+            if self.share_level == "CONNECTION":
+                self._conn_seq += 1
+                connection_id = connection_id or str(self._conn_seq)
+            key = self._engine_space(user, group, connection_id)
+            pool = self._engines.setdefault(key, [])
+            if self.share_level == "CONNECTION":
+                if not pool:
+                    pool.append(PooledEngine(self._make_engine(), key))
+                return pool[0].touch().engine
+            if len(pool) < self.pool_size:
+                pe = PooledEngine(self._make_engine(), key)
+                pool.append(pe)
+                return pe.touch().engine
+            idx = self._rr.get(key, 0) % len(pool)
+            self._rr[key] = idx + 1
+            return pool[idx].touch().engine
+
+    def sweep_idle(self) -> int:
+        """Evict engines idle beyond the TTL (ENGINE_IDLE_TIMEOUT)."""
+        now = time.time()
+        evicted = 0
+        with self._lock:
+            for key, pool in list(self._engines.items()):
+                keep = []
+                for pe in pool:
+                    if now - pe.last_used > self.idle_timeout:
+                        for s in list(pe.engine.sessions._sessions.values()):
+                            pe.engine.close_session(s.handle)
+                        evicted += 1
+                    else:
+                        keep.append(pe)
+                if keep:
+                    self._engines[key] = keep
+                else:
+                    self._engines.pop(key, None)
+        return evicted
+
+    @property
+    def engine_count(self) -> int:
+        return sum(len(p) for p in self._engines.values())

@@ -403,3 +403,155 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", 0.01).alias("approx_users")
     ).orderBy("event_type")
+
+
+# --------------------------------------------------------------------------
+# Additional relational surface (SURVEY §2.D rows not covered by TPC-H subset)
+# --------------------------------------------------------------------------
+@query(
+    "lateral_explode_tokens",
+    oracle="""
+    SELECT tok, COUNT(*) AS n
+    FROM (SELECT unnest(string_split(trim(text), ' ')) AS tok FROM documents) t
+    GROUP BY tok
+    ORDER BY n DESC, tok
+    LIMIT 20
+    """,
+    doc="Generator expression (LATERAL VIEW explode / unnest) + re-aggregation.",
+)
+def lateral_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split(F.trim("text"), " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "tok")
+        .limit(20)
+    )
+
+
+@query(
+    "string_functions",
+    oracle="""
+    SELECT o_orderkey,
+           UPPER(o_orderpriority)                       AS up,
+           LOWER(o_orderstatus)                         AS lo,
+           LPAD(CAST(o_orderkey AS VARCHAR), 8, '0')    AS padded,
+           REPLACE(o_orderpriority, '-', '_')           AS repl,
+           REVERSE(o_orderstatus)                       AS rev,
+           INSTR(o_orderpriority, '-')                  AS pos,
+           SUBSTR(o_orderpriority, 3)                   AS tail,
+           CONCAT(o_orderstatus, '/', o_orderpriority)  AS joined,
+           LENGTH(TRIM(o_orderpriority))                AS len
+    FROM orders WHERE o_orderkey <= 100 ORDER BY o_orderkey
+    """,
+    doc="Scalar string function surface (SparkQueryTests builtin-functions parity).",
+)
+def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.filter(F.col("o_orderkey") <= 100)
+        .select(
+            "o_orderkey",
+            F.upper("o_orderpriority").alias("up"),
+            F.lower("o_orderstatus").alias("lo"),
+            F.lpad(F.col("o_orderkey").cast("string"), 8, "0").alias("padded"),
+            F.replace(F.col("o_orderpriority"), F.lit("-"), F.lit("_")).alias("repl"),
+            F.reverse("o_orderstatus").alias("rev"),
+            F.instr("o_orderpriority", "-").cast("bigint").alias("pos"),
+            F.substring("o_orderpriority", 3, 1000000).alias("tail"),
+            F.concat_ws("/", "o_orderstatus", "o_orderpriority").alias("joined"),
+            F.length(F.trim(F.col("o_orderpriority"))).cast("bigint").alias("len"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@query(
+    "date_arithmetic",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderdate AS DATE) + 30                                   AS plus_30d,
+           CAST(EXTRACT(year  FROM o_orderdate) AS INT)                     AS yr,
+           CAST(EXTRACT(month FROM o_orderdate) AS INT)                     AS mo,
+           CAST(EXTRACT(day   FROM o_orderdate) AS INT)                     AS dy,
+           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP)              AS month_start,
+           CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31') AS INT)
+                                                                            AS days_to_eoy
+    FROM orders WHERE o_orderkey <= 100 ORDER BY o_orderkey
+    """,
+    doc="Date/interval arithmetic: offsets, extract, trunc, datediff.",
+)
+def date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.filter(F.col("o_orderkey") <= 100)
+        .select(
+            "o_orderkey",
+            F.date_add(F.col("o_orderdate").cast("date"), 30).alias("plus_30d"),
+            F.year("o_orderdate").cast("int").alias("yr"),
+            F.month("o_orderdate").cast("int").alias("mo"),
+            F.dayofmonth("o_orderdate").cast("int").alias("dy"),
+            F.date_trunc("month", "o_orderdate").cast("timestamp_ntz").alias("month_start"),
+            F.datediff(F.lit("1998-12-31").cast("date"), F.col("o_orderdate").cast("date"))
+            .cast("int")
+            .alias("days_to_eoy"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@query(
+    "conditional_functions",
+    oracle="""
+    SELECT c_custkey,
+           CASE WHEN c_acctbal < 0 THEN 'debt'
+                WHEN c_acctbal < 5000 THEN 'low' ELSE 'high' END AS tier,
+           COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'OTHER')   AS seg,
+           GREATEST(ROUND(c_acctbal, 2), 0.0)                    AS pos_bal,
+           LEAST(CAST(c_nationkey AS INT), 10)                   AS capped_nation
+    FROM customer WHERE c_custkey <= 200 ORDER BY c_custkey
+    """,
+    doc="CASE / COALESCE / NULLIF / GREATEST / LEAST conditional surface.",
+)
+def conditional_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    return (
+        customer.filter(F.col("c_custkey") <= 200)
+        .select(
+            "c_custkey",
+            F.when(F.col("c_acctbal") < 0, "debt")
+            .when(F.col("c_acctbal") < 5000, "low")
+            .otherwise("high")
+            .alias("tier"),
+            F.coalesce(F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")), F.lit("OTHER")).alias("seg"),
+            F.greatest(dround("c_acctbal", 2), F.lit(0.0)).alias("pos_bal"),
+            F.least(F.col("c_nationkey").cast("int"), F.lit(10)).alias("capped_nation"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "semi_anti_join",
+    oracle="""
+    SELECT 'with_orders' AS kind, COUNT(*) AS n
+    FROM customer c WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    UNION ALL
+    SELECT 'without_orders' AS kind, COUNT(*) AS n
+    FROM customer c WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    ORDER BY kind
+    """,
+    doc="Standalone LEFT SEMI / LEFT ANTI join (EXISTS / NOT EXISTS).",
+)
+def semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    on = F.col("o_custkey") == F.col("c_custkey")
+    semi = customer.join(orders, on, "left_semi").agg(F.count("*").alias("n")).select(
+        F.lit("with_orders").alias("kind"), "n"
+    )
+    anti = customer.join(orders, on, "left_anti").agg(F.count("*").alias("n")).select(
+        F.lit("without_orders").alias("kind"), "n"
+    )
+    return semi.unionAll(anti).orderBy("kind")

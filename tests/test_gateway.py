@@ -370,3 +370,69 @@ def test_optimize_zorder_rewrites_table(session):
         assert spark.table("zorder_gw_t").count() == before
     finally:
         spark.sql("DROP TABLE IF EXISTS zorder_gw_t")
+
+
+# -- DDL / DML through the gateway ------------------------------------------
+def test_ddl_dml_lifecycle(session):
+    s = session
+    s.execute_statement("DROP TABLE IF EXISTS gw_ddl_t")
+    op = s.execute_statement(
+        "CREATE TABLE gw_ddl_t (k INT, v STRING) USING parquet"
+    )
+    assert op.state is OperationState.FINISHED
+    s.execute_statement("INSERT INTO gw_ddl_t VALUES (1, 'a'), (2, 'b')")
+    op = s.execute_statement("SELECT * FROM gw_ddl_t ORDER BY k")
+    assert [(r["k"], r["v"]) for r in op.get_next_row_set()] == [(1, "a"), (2, "b")]
+    # CTAS
+    s.execute_statement("DROP TABLE IF EXISTS gw_ctas_t")
+    s.execute_statement("CREATE TABLE gw_ctas_t USING parquet AS SELECT k * 10 AS k10 FROM gw_ddl_t")
+    op = s.execute_statement("SELECT sum(k10) AS s FROM gw_ctas_t")
+    assert op.get_next_row_set()[0]["s"] == 30
+    s.execute_statement("DROP TABLE gw_ctas_t")
+    s.execute_statement("DROP TABLE gw_ddl_t")
+
+
+def test_variable_substitution(session):
+    # SparkQueryTests.scala:51 exercises ${...} substitution
+    session.spark.conf.set("spark.sql.variable.substitute", "true")
+    session.execute_statement("SET mylimit=3")
+    op = session.execute_statement("SELECT id FROM range(10) ORDER BY id LIMIT ${mylimit}")
+    assert len(op.get_next_row_set()) == 3
+
+
+# -- engine pool / share levels ----------------------------------------------
+def test_engine_pool_share_levels(spark):
+    from kyuubi_spark.gateway.pool import EnginePool
+
+    user_pool = EnginePool(spark, share_level="USER")
+    a1 = user_pool.get_engine("alice")
+    a2 = user_pool.get_engine("alice")
+    b = user_pool.get_engine("bob")
+    assert a1 is a2 and a1 is not b
+
+    conn_pool = EnginePool(spark, share_level="CONNECTION")
+    assert conn_pool.get_engine("alice") is not conn_pool.get_engine("alice")
+
+    server_pool = EnginePool(spark, share_level="SERVER")
+    assert server_pool.get_engine("alice") is server_pool.get_engine("bob")
+
+    group_pool = EnginePool(spark, share_level="GROUP")
+    assert group_pool.get_engine("alice", group="eng") is group_pool.get_engine("bob", group="eng")
+    assert group_pool.get_engine("alice", group="eng") is not group_pool.get_engine("carol", group="ops")
+
+
+def test_engine_pool_round_robin_and_ttl(spark):
+    import time as _time
+
+    from kyuubi_spark.gateway.pool import EnginePool
+
+    pool = EnginePool(spark, share_level="USER", pool_size=2, idle_timeout=0.2)
+    e1 = pool.get_engine("alice")
+    e2 = pool.get_engine("alice")
+    e3 = pool.get_engine("alice")
+    assert e1 is not e2  # pool grows to size 2
+    assert e3 is e1      # then round-robins
+    assert pool.engine_count == 2
+    _time.sleep(0.3)
+    assert pool.sweep_idle() == 2
+    assert pool.engine_count == 0

@@ -43,27 +43,44 @@ def run_to_memory(
     output_mode: str = "append",
     query_name: str | None = None,
     timeout_sec: int = 120,
+    state_partitions: int | None = 8,
 ) -> DataFrame:
     """Run with Trigger.AvailableNow into a memory sink; return the result.
 
     AvailableNow processes all available input then stops, running no-data
     batches so event-time state (windows past the watermark) flushes —
     final windows are emitted even in append mode.
+
+    `state_partitions` pins spark.sql.shuffle.partitions for this query's
+    startup (stateful operators create one state store PER shuffle
+    partition, and the count is frozen into the checkpoint — 32 stores for
+    a replay is pure per-batch overhead). Streaming state conf is
+    per-query-at-start, so the session conf is set for the `.start()` call
+    and restored after; a production always-on job sizes this to key
+    cardinality instead.
     """
     name = query_name or f"mem_{uuid.uuid4().hex[:8]}"
+    spark = streaming_df.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
     with tempfile.TemporaryDirectory(prefix="kyuubi_spark_ckpt_") as ckpt:
-        q = (
-            streaming_df.writeStream.format("memory")
-            .queryName(name)
-            .outputMode(output_mode)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
+        if state_partitions:
+            spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+        try:
+            q = (
+                streaming_df.writeStream.format("memory")
+                .queryName(name)
+                .outputMode(output_mode)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+        finally:
+            if state_partitions:
+                spark.conf.set("spark.sql.shuffle.partitions", prev)
         q.awaitTermination(timeout_sec)
         if q.isActive:
             q.stop()
-    return streaming_df.sparkSession.table(name)
+    return spark.table(name)
 
 
 def run_foreach_batch(

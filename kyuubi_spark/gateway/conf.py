@@ -90,6 +90,35 @@ REBALANCE_BEFORE_WRITE = _entry(
     "kyuubi.write.rebalance.enabled", True, bool,
     "Insert a rebalance/repartition before writes to avoid small files.")
 
+# Server-side limits / rewrites (kyuubi-server SessionLimiter;
+# KyuubiConf.scala:3477-3529; KyuubiSQLConf DROP_IGNORE_NONEXISTENT).
+LIMIT_CONNECTIONS_PER_USER = _entry(
+    "kyuubi.server.limit.connections.per.user", 0, int,
+    "Max concurrent sessions per user; 0 = unlimited.")
+LIMIT_CONNECTIONS_PER_IP = _entry(
+    "kyuubi.server.limit.connections.per.ipaddress", 0, int,
+    "Max concurrent sessions per client ip; 0 = unlimited.")
+LIMIT_CONNECTIONS_PER_USER_IP = _entry(
+    "kyuubi.server.limit.connections.per.user.ipaddress", 0, int,
+    "Max concurrent sessions per user:ip pair; 0 = unlimited.")
+LIMIT_CONNECTIONS_UNLIMITED_USERS = _entry(
+    "kyuubi.server.limit.connections.user.unlimited.list", "", str,
+    "Comma-separated users exempt from connection limits.")
+LIMIT_CONNECTIONS_DENY_USERS = _entry(
+    "kyuubi.server.limit.connections.user.deny.list", "", str,
+    "Comma-separated users denied connection outright.")
+DROP_IGNORE_NONEXISTENT = _entry(
+    "spark.sql.optimizer.dropIgnoreNonExistent", False, bool,
+    "Rewrite DROP TABLE/VIEW/NAMESPACE/FUNCTION to IF EXISTS semantics.")
+SESSION_CONF_ADVISOR_DIR = _entry(
+    "kyuubi.session.conf.advisor.dir", "", str,
+    "Directory holding kyuubi-session-<profile>.conf files for the "
+    "FileSessionConfAdvisor; empty disables the advisor.")
+METADATA_STORE_PATH = _entry(
+    "kyuubi.metadata.store.path", "", str,
+    "sqlite path for the durable session/batch metadata store; empty "
+    "disables persistence.")
+
 ALL_ENTRIES = dict(_ENTRIES)
 
 

@@ -18,8 +18,13 @@ from typing import Any, Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from kyuubi_spark.gateway import conf as C
+from kyuubi_spark.gateway import server as SRV
 from kyuubi_spark.gateway.session import Session, SessionManager
 from kyuubi_spark.operators import watchdog as WD
+
+
+def _csv_set(raw: str) -> set[str]:
+    return {p.strip() for p in raw.split(",") if p.strip()}
 
 _OPTIMIZE_RE = re.compile(
     r"^\s*optimize\s+(?P<table>[\w.`]+)"
@@ -41,13 +46,52 @@ class Engine:
         self.root_spark = spark
         self.conf = C.GatewayConf(conf)
         self.sessions = SessionManager(self)
+        self.limiter = SRV.SessionLimiter(
+            user_limit=self.conf.get(C.LIMIT_CONNECTIONS_PER_USER),
+            ip_limit=self.conf.get(C.LIMIT_CONNECTIONS_PER_IP),
+            user_ip_limit=self.conf.get(C.LIMIT_CONNECTIONS_PER_USER_IP),
+            unlimited_users=_csv_set(self.conf.get(C.LIMIT_CONNECTIONS_UNLIMITED_USERS)),
+            deny_users=_csv_set(self.conf.get(C.LIMIT_CONNECTIONS_DENY_USERS)),
+        )
+        advisor_dir = self.conf.get(C.SESSION_CONF_ADVISOR_DIR)
+        self.conf_advisor = (
+            SRV.FileSessionConfAdvisor(advisor_dir) if advisor_dir else None
+        )
+        store_path = self.conf.get(C.METADATA_STORE_PATH)
+        self.metadata_store = SRV.MetadataStore(store_path) if store_path else None
 
     # -- session lifecycle -------------------------------------------------
-    def open_session(self, user: str = "anonymous", conf: dict | None = None) -> Session:
-        return self.sessions.open_session(user, conf)
+    def open_session(
+        self, user: str = "anonymous", conf: dict | None = None, ip_address: str = ""
+    ) -> Session:
+        self.limiter.increment(user, ip_address)
+        try:
+            if self.conf_advisor is not None:
+                overlay = self.conf_advisor.get_conf_overlay(user, conf or {})
+                # advisor-provided profile conf is the base; explicit client
+                # conf wins (KyuubiSessionManager.openSession merge order)
+                conf = {**overlay, **(conf or {})}
+            s = self.sessions.open_session(user, conf)
+        except Exception:
+            self.limiter.decrement(user, ip_address)
+            raise
+        s.ip_address = ip_address
+        if self.metadata_store is not None:
+            self.metadata_store.insert(
+                s.handle.id, "INTERACTIVE", user, ip_address,
+                state="RUNNING", request_conf=conf,
+            )
+        return s
 
     def close_session(self, handle) -> None:
+        try:
+            s = self.sessions.get_session(handle)
+        except KeyError:
+            return
         self.sessions.close_session(handle)
+        self.limiter.decrement(s.user, getattr(s, "ip_address", ""))
+        if self.metadata_store is not None:
+            self.metadata_store.update_state(s.handle.id, "CLOSED", ended=True)
 
     # -- GetInfo (TFrontendService.scala:223) ------------------------------
     def get_info(self) -> dict[str, Any]:

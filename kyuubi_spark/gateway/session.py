@@ -40,6 +40,7 @@ class Session:
     ):
         self.engine = engine
         self.user = user
+        self.ip_address = ""
         self.handle = SessionHandle()
         self.conf = engine.conf.merged(session_conf)
         self.spark: SparkSession = engine.root_spark.newSession()
@@ -69,6 +70,32 @@ class Session:
         language/plan-only conf routing, `use` conversion, zorder DSL."""
         self.last_access = time.time()
         conf = self.conf.merged(conf_overlay)
+
+        # Server DSL: answered by the gateway, never reaching Spark
+        # (KyuubiSqlBaseParser.g4:22-34; DescribeSession/DescribeEngine.scala).
+        from kyuubi_spark.gateway import server as SRV
+
+        dsl = SRV.parse_server_dsl(statement)
+        if dsl is not None:
+            op = OPS.MetadataOperation(self)
+            if dsl == "session":
+                fields = [("SESSION_ID", OPS._S), ("SESSION_USER", OPS._S),
+                          ("SESSION_TYPE", OPS._S)]
+                rows = [(self.handle.id, self.user, "INTERACTIVE")]
+            else:
+                info = self.engine.get_info()
+                fields = [("ENGINE_ID", OPS._S), ("ENGINE_NAME", OPS._S),
+                          ("ENGINE_URL", OPS._S), ("ENGINE_INSTANCE", OPS._S),
+                          ("ENGINE_VERSION", OPS._S), ("ENGINE_ATTRIBUTES", OPS._S)]
+                rows = [(
+                    info["APPLICATION_ID"], info["SERVER_NAME"], "",
+                    "local", info["ENGINE_VERSION"], "",
+                )]
+            op._execute = lambda: op._finish(fields, rows)  # type: ignore[method-assign]
+            return self._register(op.run())
+
+        if conf.get(C.DROP_IGNORE_NONEXISTENT):
+            statement = SRV.drop_ignore_nonexistent(statement)
 
         m = _USE_RE.match(statement)
         if m:
@@ -195,7 +222,8 @@ class SessionManager:
         for s in list(self._sessions.values()):
             timeout = s.conf.get(C.SESSION_IDLE_TIMEOUT)
             if timeout > 0 and now - s.last_access > timeout:
-                self.close_session(s.handle)
+                # engine-level close keeps the limiter/metadata store in sync
+                self.engine.close_session(s.handle)
                 closed += 1
         return closed
 

@@ -50,6 +50,9 @@ HEADLINE = [
     # streaming (replayed through the streaming engine)
     "stream_tumbling_agg",
     "stream_stateful_totals",
+    "stream_session_window",
+    "stream_stream_join",
+    "stream_dedup",
 ]
 
 

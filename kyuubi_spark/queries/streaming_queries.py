@@ -61,6 +61,124 @@ def stream_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_session_window",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                    OR date_diff('microsecond', LAG(ts) OVER w, ts) >= 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+      SELECT user_id, ts, value,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM g
+    )
+    SELECT user_id,
+           CAST(MIN(ts) AS TIMESTAMP) AS session_start,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM s GROUP BY user_id, sid
+    ORDER BY user_id, session_start
+    """,
+    doc="Streaming gap-based session windows (F.session_window, 30-min gap), "
+    "replay-verified against the batch gaps-and-islands sessionization. "
+    "Complete mode emits sessions still open at end-of-replay (append would "
+    "hold back any session inside the final watermark); a production "
+    "always-on job uses append, where the watermark both bounds state and "
+    "flushes each session once it can no longer grow.",
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kyuubi_spark.streaming.runner import run_to_memory
+    from kyuubi_spark.streaming.windows import session_windows
+
+    stream = _events_stream(spark, sf_dir)
+    result = run_to_memory(
+        session_windows(stream, gap="30 minutes"), output_mode="complete"
+    )
+    return result.select(
+        "user_id",
+        F.col("session_start").cast("timestamp_ntz").alias("session_start"),
+        "n_events",
+        dround("sum_value", 2).alias("sum_value"),
+    ).orderBy("user_id", "session_start")
+
+
+@query(
+    "stream_stream_join",
+    oracle="""
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+           c.user_id AS user_id
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+    ORDER BY click_id, purchase_id
+    """,
+    doc="Watermarked stream-stream interval join (purchases within 1h of a "
+    "click, same user): both sides keep watermark-bounded state; the "
+    "event-time range condition lets Spark evict rows once the watermark "
+    "passes, so state is O(1h of events), independent of stream length.",
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kyuubi_spark.streaming.runner import run_to_memory
+
+    stream = _events_stream(spark, sf_dir)
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "2 hours")
+    )
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            "user_id = p_user_id AND purchase_ts >= click_ts "
+            "AND purchase_ts <= click_ts + INTERVAL 1 HOUR"
+        ),
+    )
+    result = run_to_memory(joined, output_mode="append")
+    return result.select("click_id", "purchase_id", "user_id").orderBy(
+        "click_id", "purchase_id"
+    )
+
+
+@query(
+    "stream_dedup",
+    oracle="SELECT DISTINCT user_id, event_type FROM events "
+    "ORDER BY user_id, event_type",
+    doc="Streaming deduplication (dropDuplicates on the business key, "
+    "append mode): first arrival per key is emitted, repeats are dropped "
+    "against the key state. Production flavor for unbounded keys is "
+    "dropDuplicatesWithinWatermark, which evicts key state past the "
+    "watermark; the exact-DISTINCT oracle needs the unbounded form.",
+)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kyuubi_spark.streaming.runner import run_to_memory
+
+    stream = _events_stream(spark, sf_dir).withWatermark("ts", "2 hours")
+    deduped = stream.dropDuplicates(["user_id", "event_type"]).select(
+        "user_id", "event_type"
+    )
+    result = run_to_memory(deduped, output_mode="append")
+    return result.orderBy("user_id", "event_type")
+
+
+@query(
     "stream_stateful_totals",
     oracle="""
     SELECT user_id, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value

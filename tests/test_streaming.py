@@ -144,3 +144,50 @@ def test_foreach_batch_write(spark, events_stream, tmp_path):
     written = spark.read.parquet(out)
     assert written.count() > 0
     assert set(written.columns) == set(events_stream.columns)
+
+
+def test_stream_stream_interval_join(spark, events_stream, events_batch):
+    from pyspark.sql import functions as F
+
+    clicks = (
+        events_stream.filter(F.col("event_type") == "click")
+        .select(F.col("event_id").alias("click_id"), "user_id",
+                F.col("ts").alias("click_ts"))
+        .withWatermark("click_ts", "2 hours")
+    )
+    purchases = (
+        events_stream.filter(F.col("event_type") == "purchase")
+        .select(F.col("event_id").alias("purchase_id"),
+                F.col("user_id").alias("p_user_id"),
+                F.col("ts").alias("purchase_ts"))
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr("user_id = p_user_id AND purchase_ts >= click_ts "
+               "AND purchase_ts <= click_ts + INTERVAL 1 HOUR"),
+    )
+    got = runner.run_to_memory(joined, query_name="ssij")
+    expected = (
+        events_batch.filter("event_type = 'click'").alias("c")
+        .join(
+            events_batch.filter("event_type = 'purchase'").alias("p"),
+            F.expr("c.user_id = p.user_id AND p.ts >= c.ts "
+                   "AND p.ts <= c.ts + INTERVAL 1 HOUR"),
+        )
+        .count()
+    )
+    assert got.count() == expected
+
+
+def test_stream_dedup_emits_each_key_once(spark, events_stream, events_batch):
+    from pyspark.sql import functions as F
+
+    deduped = (
+        events_stream.withWatermark("ts", "2 hours")
+        .dropDuplicates(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    got = runner.run_to_memory(deduped, query_name="sdd")
+    expected = events_batch.select("user_id", "event_type").distinct().count()
+    assert got.count() == expected

@@ -41,9 +41,25 @@ def shingles(text: Column | str, n: int = 3) -> Column:
     )
 
 
+# Double-hashing (Kirsch & Mitzenmacher): h_s = (h1 + s*h2) mod 2^48 gives
+# num_hashes independent-enough minhash functions from ONE md5 per shingle
+# (16x fewer digests than md5 per seed). 48-bit halves keep s*h2 < 2^52 —
+# no long overflow — and md5 is the cross-engine-reproducible base hash the
+# DuckDB oracle can replicate.
+_MINHASH_MASK = (1 << 48) - 1
+
+
+def _minhash_parts(shingle: Column) -> tuple[Column, Column]:
+    hx = F.md5(shingle.cast("binary"))
+    h1 = F.conv(F.substring(hx, 1, 12), 16, 10).cast("long")
+    h2 = F.conv(F.substring(hx, 13, 12), 16, 10).cast("long")
+    return h1, h2
+
+
 def minhash_signature(shingle_col: Column, num_hashes: int = 16) -> Column:
     """MinHash signature as a single Column: for each seed s, min over
-    shingles of md5(s:shingle). Returns array<string>.
+    shingles of (h1 + s*h2) & (2^48-1) with h1/h2 from one md5. Returns
+    array<long>.
 
     NOTE: higher-order functions (transform/aggregate) are evaluated
     *interpreted* in Spark, not codegen'd — use ``minhash_signatures_df``
@@ -55,8 +71,9 @@ def minhash_signature(shingle_col: Column, num_hashes: int = 16) -> Column:
         lambda s: F.array_min(
             F.transform(
                 shingle_col,
-                lambda sh: F.md5(
-                    F.concat(s.cast("string"), F.lit(":"), sh).cast("binary")
+                lambda sh: (
+                    (_minhash_parts(sh)[0] + s.cast("long") * _minhash_parts(sh)[1])
+                    .bitwiseAND(F.lit(_MINHASH_MASK))
                 ),
             )
         ),
@@ -69,23 +86,30 @@ def minhash_signatures_df(
     text_col: str = "text",
     n: int = 3,
     num_hashes: int = 16,
+    shingle_df: DataFrame | None = None,
 ) -> DataFrame:
     """(id, sig) per document — same values as ``minhash_signature`` but
-    computed on the fast path: explode shingles, evaluate all ``num_hashes``
-    md5s as ordinary codegen'd projections, and reduce with ``min``
-    aggregates (partial map-side combine ⇒ one small shuffle keyed by doc id,
-    linear at any scale).
+    computed on the fast path: explode shingles, evaluate one codegen'd md5
+    per shingle, derive ``num_hashes`` values by double hashing, and reduce
+    with ``min`` aggregates (partial map-side combine ⇒ one small shuffle
+    keyed by doc id, linear at any scale).
+
+    ``shingle_df`` (columns id, g) lets callers share one materialized
+    shingle relation across the signature and verification phases — min is
+    unaffected by the dedup, so a distinct relation gives identical sigs.
     """
-    sh = df.select(
+    sh = shingle_df if shingle_df is not None else df.select(
         F.col(id_col).alias("id"),
         F.explode(shingles(F.col(text_col), n)).alias("g"),
     )
+    h1, h2 = _minhash_parts(F.col("g"))
+    proj = sh.select("id", h1.alias("h1"), h2.alias("h2"))
     hash_cols = [
-        F.md5(F.concat(F.lit(f"{s}:"), F.col("g")).cast("binary")).alias(f"h{s}")
+        (F.col("h1") + s * F.col("h2")).bitwiseAND(F.lit(_MINHASH_MASK)).alias(f"h{s}")
         for s in range(num_hashes)
     ]
     wide = (
-        sh.select("id", *hash_cols)
+        proj.select("id", *hash_cols)
         .groupBy("id")
         .agg(*[F.min(f"h{s}").alias(f"m{s}") for s in range(num_hashes)])
     )
@@ -97,7 +121,10 @@ def minhash_signatures_df(
 def band_keys(signature: Column, bands: int, rows_per_band: int) -> Column:
     """LSH banding: digest each band of ``rows_per_band`` signature entries.
 
-    Returns array<struct<band:int, key:string>> for explode+group.
+    Returns array<struct<band:int, key:string>> for explode+group. Generic
+    over any signature element type; ``lsh_candidate_pairs`` skips the
+    digest and joins on the raw band values directly (long equality beats
+    a string digest).
     """
     return F.transform(
         F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -105,7 +132,11 @@ def band_keys(signature: Column, bands: int, rows_per_band: int) -> Column:
             b.cast("int").alias("band"),
             F.md5(
                 F.concat_ws(
-                    "|", F.slice(signature, b * rows_per_band + 1, rows_per_band)
+                    "|",
+                    F.transform(
+                        F.slice(signature, b * rows_per_band + 1, rows_per_band),
+                        lambda x: x.cast("string"),
+                    ),
                 ).cast("binary")
             ).alias("key"),
         ),
@@ -119,34 +150,50 @@ def lsh_candidate_pairs(
     n: int = 3,
     num_hashes: int = 16,
     bands: int = 8,
+    shingle_df: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash-LSH candidate pairs (a < b), deduplicated across bands.
 
     Shuffle profile: one explode (bands× rows) + one self-join keyed on the
-    uniform band digest + one distinct — near-linear in matches at any SF.
+    uniform band values + one distinct — near-linear in matches at any SF.
     """
     rows_per_band = num_hashes // bands
-    sig = (
-        minhash_signatures_df(df, id_col, text_col, n, num_hashes)
-        .withColumn("bk", F.explode(band_keys(F.col("sig"), bands, rows_per_band)))
-        .select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-    )
-    left = sig.select(
-        F.col("id").alias("a_id"), F.col("band").alias("band"), F.col("key").alias("key")
-    )
-    right = sig.select(
-        F.col("id").alias("b_id"), F.col("band").alias("band_r"), F.col("key").alias("key_r")
-    )
-    return (
-        left.join(
-            right,
-            (F.col("key") == F.col("key_r"))
-            & (F.col("band") == F.col("band_r"))
-            & (F.col("a_id") < F.col("b_id")),
+    # join directly on the band's raw signature slice (rows_per_band longs)
+    # — no digest needed, and long-tuple equality is codegen'd
+    banded = (
+        minhash_signatures_df(df, id_col, text_col, n, num_hashes, shingle_df)
+        .select(
+            "id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            *[
+                                F.element_at("sig", b * rows_per_band + r + 1).alias(
+                                    f"k{r}"
+                                )
+                                for r in range(rows_per_band)
+                            ],
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("bk"),
         )
-        .select("a_id", "b_id")
-        .distinct()
+        .select("id", "bk.*")
     )
+    kcols = [f"k{r}" for r in range(rows_per_band)]
+    left = banded.select(F.col("id").alias("a_id"), "band", *kcols)
+    right = banded.select(
+        F.col("id").alias("b_id"),
+        F.col("band").alias("band_r"),
+        *[F.col(k).alias(f"{k}_r") for k in kcols],
+    )
+    cond = (F.col("band") == F.col("band_r")) & (F.col("a_id") < F.col("b_id"))
+    for k in kcols:
+        cond = cond & (F.col(k) == F.col(f"{k}_r"))
+    return left.join(right, cond).select("a_id", "b_id").distinct()
 
 
 def jaccard_pairs(
@@ -157,16 +204,24 @@ def jaccard_pairs(
     n: int = 3,
     tau_num: int = 1,
     tau_den: int = 2,
+    shingle_df: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard over candidate pairs (or all pairs if None).
 
     Keeps pairs with jaccard >= tau_num/tau_den using the integer-exact test
     ``tau_den * inter >= tau_num * union`` — no float threshold ambiguity.
-    Returns (a_id, b_id, inter, union, jaccard).
+    Returns (a_id, b_id, inter, union, jaccard). ``shingle_df`` (id, g,
+    already distinct) shares a materialized shingle relation with the LSH
+    phase.
     """
-    sh = df.select(
-        F.col(id_col).alias("id"), F.explode(shingles(F.col(text_col), n)).alias("sh")
-    ).distinct()
+    sh = (
+        shingle_df.select("id", F.col("g").alias("sh"))
+        if shingle_df is not None
+        else df.select(
+            F.col(id_col).alias("id"),
+            F.explode(shingles(F.col(text_col), n)).alias("sh"),
+        ).distinct()
+    )
     counts = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
 
     if candidates is None:
@@ -291,50 +346,60 @@ def simhash_near_dup_pairs(
     """
     chunk_len = num_bits // chunks
     sig = simhash_signatures_df(df, id_col, text_col, num_bits)
-    sig = sig.withColumn(
-        "chunks",
-        F.transform(
-            F.sequence(F.lit(0), F.lit(chunks - 1)),
-            lambda c: F.struct(
-                c.cast("int").alias("cidx"),
-                F.substring(F.col("sig"), c * chunk_len + 1, chunk_len).alias("ckey"),
-            ),
-        ),
-    ).withColumn("ch", F.explode("chunks")).select(
-        "id", "sig", F.col("ch.cidx").alias("cidx"), F.col("ch.ckey").alias("ckey")
+    # Pack each chunk of the bit string into a LONG: long join keys beat
+    # 16-char strings, and hamming becomes bit_count(xor) — whole-stage
+    # codegen instead of interpreted split/zip_with HOFs (~3x on the pair
+    # path, measured at sf0.1).
+    ccols = [f"c{c}" for c in range(chunks)]
+    packed = sig.select(
+        "id",
+        *[
+            F.conv(F.substring("sig", c * chunk_len + 1, chunk_len), 2, 10)
+            .cast("long")
+            .alias(f"c{c}")
+            for c in range(chunks)
+        ],
     )
-    a = sig.select(
-        F.col("id").alias("a_id"), F.col("sig").alias("sig_a"), "cidx", "ckey"
+    keyed = packed.select(
+        "id",
+        *ccols,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(c).alias("cidx"), F.col(f"c{c}").alias("ckey"))
+                    for c in range(chunks)
+                ]
+            )
+        ).alias("ch"),
+    ).select(
+        "id", *ccols, F.col("ch.cidx").alias("cidx"), F.col("ch.ckey").alias("ckey")
     )
-    b = sig.select(
+    a = keyed.select(
+        F.col("id").alias("a_id"),
+        *[F.col(f"c{c}").alias(f"a{c}") for c in range(chunks)],
+        "cidx",
+        "ckey",
+    )
+    b = keyed.select(
         F.col("id").alias("b_id"),
-        F.col("sig").alias("sig_b"),
+        *[F.col(f"c{c}").alias(f"b{c}") for c in range(chunks)],
         F.col("cidx").alias("cidx_b"),
         F.col("ckey").alias("ckey_b"),
     )
-    cand = (
-        a.join(
-            b,
-            (F.col("cidx") == F.col("cidx_b"))
-            & (F.col("ckey") == F.col("ckey_b"))
-            & (F.col("a_id") < F.col("b_id")),
-        )
-        .select("a_id", "b_id", "sig_a", "sig_b")
-        .distinct()
+    cand = a.join(
+        b,
+        (F.col("cidx") == F.col("cidx_b"))
+        & (F.col("ckey") == F.col("ckey_b"))
+        & (F.col("a_id") < F.col("b_id")),
     )
-    # hamming distance between bit strings: sum of per-position differences
-    ham = F.aggregate(
-        F.zip_with(
-            F.split(F.col("sig_a"), ""),
-            F.split(F.col("sig_b"), ""),
-            lambda x, y: F.when(x != y, 1).otherwise(0),
-        ),
-        F.lit(0),
-        lambda acc, v: acc + v,
+    ham = sum(
+        F.bit_count(F.col(f"a{c}").bitwiseXOR(F.col(f"b{c}"))) for c in range(chunks)
     )
+    # filter cheap hamming first, then dedupe pairs that matched >1 chunk
     return (
-        cand.withColumn("hamming", ham)
+        cand.withColumn("hamming", ham.cast("int"))
         .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["a_id", "b_id"])
         .select("a_id", "b_id", "hamming")
     )
 

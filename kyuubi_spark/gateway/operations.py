@@ -157,6 +157,41 @@ class Operation:
                 self._iter.fetch_prior(size)
             return self._iter.take(size)
 
+    # -- status (GetOperationStatus, TFrontendService.scala:454;
+    #    progress rows as SparkProgressMonitor, SparkOperation.scala:98-110;
+    #    PySpark has no listener API, so we poll the StatusTracker) --------
+    def get_status(self, with_progress: bool = False) -> dict:
+        out: dict[str, Any] = {
+            "operation_id": self.handle.id,
+            "state": self.state.value,
+            "error": str(self.exception) if self.exception else None,
+            "start_time": self.start_time,
+            "complete_time": self.complete_time,
+        }
+        if with_progress:
+            tasks = completed = active = 0
+            try:
+                st = self.session.spark.sparkContext.statusTracker()
+                for jid in st.getJobIdsForGroup(self.handle.id):
+                    ji = st.getJobInfo(jid)
+                    if ji is None:
+                        continue
+                    for sid in ji.stageIds:
+                        si = st.getStageInfo(sid)
+                        if si is not None:
+                            tasks += si.numTasks
+                            completed += si.numCompletedTasks
+                            active += si.numActiveTasks
+            except Exception:
+                pass  # progress is best-effort; status itself never fails
+            out["progress"] = {
+                "num_tasks": tasks,
+                "completed_tasks": completed,
+                "active_tasks": active,
+                "progress": (completed / tasks) if tasks else 0.0,
+            }
+        return out
+
     # -- log ---------------------------------------------------------------
     def log(self, line: str) -> None:
         self._log.append(line)
@@ -623,6 +658,24 @@ class GetPrimaryKeys(MetadataOperation):
             [
                 ("TABLE_CAT", _S), ("TABLE_SCHEM", _S), ("TABLE_NAME", _S),
                 ("COLUMN_NAME", _S), ("KEY_SEQ", _I), ("PK_NAME", _S),
+            ],
+            [],
+        )
+
+
+class GetCrossReference(MetadataOperation):
+    """Empty result with the JDBC FK shape — no FK concept in Spark either
+    (TFrontendService.scala:423; real rows only in the JDBC engine's
+    GetCrossReference.scala)."""
+
+    def _execute(self) -> None:
+        self._finish(
+            [
+                ("PKTABLE_CAT", _S), ("PKTABLE_SCHEM", _S), ("PKTABLE_NAME", _S),
+                ("PKCOLUMN_NAME", _S), ("FKTABLE_CAT", _S), ("FKTABLE_SCHEM", _S),
+                ("FKTABLE_NAME", _S), ("FKCOLUMN_NAME", _S), ("KEY_SEQ", _I),
+                ("UPDATE_RULE", _I), ("DELETE_RULE", _I), ("FK_NAME", _S),
+                ("PK_NAME", _S), ("DEFERRABILITY", _I),
             ],
             [],
         )

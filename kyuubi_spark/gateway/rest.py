@@ -221,14 +221,12 @@ class RestGateway:
             return
         session, op = ent
         if len(parts) == 2 and method == "GET":
-            h._reply(
-                200,
-                {
-                    "identifier": op.handle.id,
-                    "state": op.state.value,
-                    "error": str(op.exception) if op.exception else None,
-                },
-            )
+            # OperationsResource GET /operations/{id} shape + optional
+            # ?progress=true task counters (SparkProgressMonitor rows)
+            with_progress = q.get("progress", ["false"])[0].lower() == "true"
+            status = op.get_status(with_progress=with_progress)
+            status["identifier"] = status.pop("operation_id")
+            h._reply(200, status)
         elif len(parts) == 2 and method == "DELETE":
             session.close_operation(op.handle)
             self.operations.pop(parts[1], None)

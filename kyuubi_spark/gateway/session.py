@@ -169,6 +169,9 @@ class Session:
     def get_primary_keys(self) -> OPS.Operation:
         return self._register(OPS.GetPrimaryKeys(self).run())
 
+    def get_cross_reference(self) -> OPS.Operation:
+        return self._register(OPS.GetCrossReference(self).run())
+
     # -- operation management ---------------------------------------------
     def get_operation(self, handle: OperationHandle | str) -> OPS.Operation:
         hid = handle.id if isinstance(handle, OperationHandle) else handle

@@ -555,3 +555,66 @@ def semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("without_orders").alias("kind"), "n"
     )
     return semi.unionAll(anti).orderBy("kind")
+
+
+@query(
+    "json_variant_extract",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           SUM(k) AS sum_k,
+           ROUND(AVG(k), 2) AS avg_k,
+           MAX(k) AS max_k
+    FROM (
+      SELECT event_type,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      FROM events
+    ) x
+    GROUP BY event_type ORDER BY event_type
+    """,
+    doc="Semi-structured path extraction over the VARIANT surface "
+    "(SchemaHelper.scala:38,54 maps Spark 4 VariantType; SURVEY §1.2): "
+    "parse_json → variant_get stays in the JVM with no Python UDF, so the "
+    "extraction is codegen'd per row group and aggregates partial+final.",
+)
+def json_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    k = F.try_variant_get(F.parse_json("props"), "$.k", "long").alias("k")
+    return (
+        events.select("event_type", k)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").alias("sum_k"),
+            dround(F.avg("k"), 2).alias("avg_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "exact_percentiles",
+    oracle="""
+    SELECT event_type,
+           ROUND(CAST(quantile_cont(value, 0.50) AS DOUBLE), 2) AS p50,
+           ROUND(CAST(quantile_cont(value, 0.95) AS DOUBLE), 2) AS p95,
+           ROUND(CAST(quantile_cont(value, 0.99) AS DOUBLE), 2) AS p99
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    doc="Exact continuous percentiles (linear interpolation) per group — the "
+    "exact twin of approx_distinct_users' sketch path. At scale prefer "
+    "percentile_approx (mergeable t-digest-style sketch, map-side partials); "
+    "exact percentile shuffles all values to the group's reducer.",
+)
+def exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy("event_type")
+        .agg(
+            dround(F.percentile("value", 0.50), 2).alias("p50"),
+            dround(F.percentile("value", 0.95), 2).alias("p95"),
+            dround(F.percentile("value", 0.99), 2).alias("p99"),
+        )
+        .orderBy("event_type")
+    )

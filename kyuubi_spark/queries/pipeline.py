@@ -183,16 +183,17 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT id,
              list_transform(generate_series(0, 15),
                s -> list_min(list_transform(shs,
-                     g -> md5(CAST(s AS VARCHAR) || ':' || g)))) AS sig
+                     g -> (('0x' || substring(md5(g), 1, 12))::BIGINT
+                           + s * ('0x' || substring(md5(g), 13, 12))::BIGINT)
+                          & 281474976710655))) AS sig
       FROM sh),
     banded AS (
-      SELECT id, b AS band,
-             md5(array_to_string(sig[b*2+1 : b*2+2], '|')) AS key
+      SELECT id, b AS band, sig[b*2+1] AS k0, sig[b*2+2] AS k1
       FROM sig, (SELECT unnest(generate_series(0, 7)) AS b)),
     cand AS (
       SELECT DISTINCT l.id AS a_id, r.id AS b_id
       FROM banded l JOIN banded r
-        ON l.band = r.band AND l.key = r.key AND l.id < r.id),
+        ON l.band = r.band AND l.k0 = r.k0 AND l.k1 = r.k1 AND l.id < r.id),
     shx AS (SELECT id, unnest(shs) AS s FROM sh),
     counts AS (SELECT id, COUNT(*) AS n_sh FROM shx GROUP BY id),
     inter AS (
@@ -215,10 +216,22 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    cand = D.lsh_candidate_pairs(docs, n=3, num_hashes=16, bands=8)
-    return D.jaccard_pairs(docs, cand, n=3, tau_num=1, tau_den=4).orderBy(
-        "a_id", "b_id"
+    # one materialized shingle relation feeds both the signature/banding
+    # phase and the Jaccard verification phase (at scale: persist to disk
+    # rather than recompute the explode+distinct twice); localCheckpoint
+    # blocks are freed by the ContextCleaner when the DF is GC'd
+    sh = (
+        docs.select(
+            F.col("doc_id").alias("id"),
+            F.explode(D.shingles(F.col("text"), 3)).alias("g"),
+        )
+        .distinct()
+        .localCheckpoint()
     )
+    cand = D.lsh_candidate_pairs(docs, n=3, num_hashes=16, bands=8, shingle_df=sh)
+    return D.jaccard_pairs(
+        docs, cand, n=3, tau_num=1, tau_den=4, shingle_df=sh
+    ).orderBy("a_id", "b_id")
 
 
 @query(

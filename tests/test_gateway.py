@@ -251,6 +251,10 @@ def test_get_functions_and_primary_keys(session):
     fns = session.get_functions(function_pattern="kyuubi%").get_next_row_set()
     assert any(r[2] == "kyuubi_version" for r in fns)
     assert session.get_primary_keys().get_next_row_set() == []
+    xr = session.get_cross_reference()
+    assert xr.get_next_row_set() == []
+    names = [f.name for f in xr.get_result_set_schema().fields]
+    assert names[0] == "PKTABLE_CAT" and "FKCOLUMN_NAME" in names
 
 
 def test_use_statement_switches_database(session):
@@ -436,3 +440,17 @@ def test_engine_pool_round_robin_and_ttl(spark):
     _time.sleep(0.3)
     assert pool.sweep_idle() == 2
     assert pool.engine_count == 0
+
+
+def test_get_operation_status_with_progress(session):
+    op = session.execute_statement(
+        "select count(*) from lineitem join orders on l_orderkey = o_orderkey"
+    )
+    st = op.get_status(with_progress=True)
+    assert st["state"] == "FINISHED" and st["error"] is None
+    p = st["progress"]
+    # finished query: tasks ran, none active; AQE may skip scheduled tasks
+    # so completed <= scheduled (same fuzziness as SparkProgressMonitor)
+    assert p["num_tasks"] > 0 and p["completed_tasks"] > 0
+    assert p["completed_tasks"] <= p["num_tasks"]
+    assert p["active_tasks"] == 0 and 0 < p["progress"] <= 1.0

@@ -53,11 +53,22 @@ def _json_cell(v):
 
 
 class BatchJob:
-    """One subprocess batch (the spark-submit analogue)."""
+    """One subprocess batch (the spark-submit analogue).
 
-    def __init__(self, script: str, args: list[str] | None = None):
+    When a metadata ``store`` is given, lifecycle transitions are persisted
+    (BatchJobSubmission.scala:236-333 records batch state through the
+    metadata manager so a restarted gateway can list/recover batches).
+    """
+
+    def __init__(self, script: str, args: list[str] | None = None, store=None):
         self.id = str(uuid.uuid4())
         self.state = "PENDING"
+        self._store = store
+        if store is not None:
+            store.insert(
+                self.id, "BATCH", "anonymous", state="PENDING",
+                request_name="rest-batch", request_args=list(args or []),
+            )
         self._log_file = tempfile.NamedTemporaryFile(
             mode="w+", prefix="kyuubi_spark_batch_", suffix=".log", delete=False
         )
@@ -72,11 +83,20 @@ class BatchJob:
             stderr=subprocess.STDOUT,
         )
         self.state = "RUNNING"
+        self._record()
         threading.Thread(target=self._watch, daemon=True).start()
+
+    def _record(self, ended: bool = False) -> None:
+        if self._store is not None:
+            self._store.update_state(
+                self.id, self.state, engine_state=self.state, ended=ended
+            )
 
     def _watch(self) -> None:
         rc = self.proc.wait()
-        self.state = "FINISHED" if rc == 0 else "ERROR"
+        if self.state != "CANCELED":
+            self.state = "FINISHED" if rc == 0 else "ERROR"
+        self._record(ended=True)
 
     def log(self) -> str:
         with open(self._log_file.name) as f:
@@ -84,8 +104,9 @@ class BatchJob:
 
     def cancel(self) -> None:
         if self.proc.poll() is None:
-            self.proc.terminate()
             self.state = "CANCELED"
+            self.proc.terminate()
+            self._record(ended=True)
 
     def info(self) -> dict:
         return {"id": self.id, "state": self.state, "pid": self.proc.pid}
@@ -197,7 +218,9 @@ class RestGateway:
             self._route_operation(h, method, parts, q)
         elif parts == ["batches"] and method == "POST":
             body = h._body()
-            job = BatchJob(body["script"], body.get("args"))
+            job = BatchJob(
+                body["script"], body.get("args"), store=self.engine.metadata_store
+            )
             self.batches[job.id] = job
             h._reply(200, job.info())
         elif len(parts) >= 2 and parts[0] == "batches":

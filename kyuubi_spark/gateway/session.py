@@ -135,6 +135,25 @@ class Session:
             op.wait()
         return self._register(op)
 
+    def write_table(self, df, path: str, fmt: str = "parquet",
+                    mode: str = "overwrite", partition_by=None) -> None:
+        """Conf-driven write path: kyuubi.zorder.enabled/cols auto-inject a
+        z-order cluster (InsertZorderBeforeWriting.scala:1-179, table-prop
+        driven in the reference, session-conf driven here), else
+        kyuubi.write.rebalance.enabled injects the AQE rebalance
+        (RebalanceBeforeWriting.scala:1-177)."""
+        from kyuubi_spark.operators.write import write_table as wt
+
+        zorder_by = None
+        if self.conf.get(C.ZORDER_ENABLED):
+            cols = self.conf.get(C.ZORDER_COLS)
+            zorder_by = [c.strip() for c in cols.split(",") if c.strip()] or None
+        wt(
+            df, path, fmt=fmt, mode=mode, partition_by=partition_by,
+            zorder_by=zorder_by,
+            do_rebalance=self.conf.get(C.REBALANCE_BEFORE_WRITE),
+        )
+
     def _register(self, op: OPS.Operation) -> OPS.Operation:
         with self._lock:
             self.operations[op.handle.id] = op

@@ -226,3 +226,34 @@ def test_drop_ignore_nonexistent_end_to_end(spark):
     op = s.execute_statement("DROP TABLE __kyuubi_no_such_table__")
     assert op.exception is None
     eng.close_session(s.handle)
+
+def test_batch_job_records_metadata(engine, tmp_path):
+    from kyuubi_spark.gateway.rest import BatchJob
+
+    job = BatchJob("print('hello batch')", store=engine.metadata_store)
+    for _ in range(100):
+        if job.state in ("FINISHED", "ERROR"):
+            break
+        import time as _t; _t.sleep(0.1)
+    assert job.state == "FINISHED"
+    rec = engine.metadata_store.get(job.id)
+    assert rec["session_type"] == "BATCH" and rec["state"] == "FINISHED"
+    assert rec["end_time"] > 0
+    assert engine.metadata_store.unfinished("BATCH") == []
+
+
+def test_session_write_table_applies_conf(spark, tmp_path):
+    from kyuubi_spark.gateway import Engine
+
+    eng = Engine(spark=spark)
+    s = eng.open_session(
+        user="hank",
+        conf={"kyuubi.zorder.enabled": "true", "kyuubi.zorder.cols": "a,b"},
+    )
+    df = s.spark.range(1000).selectExpr("id % 7 AS a", "id % 13 AS b", "id AS v")
+    out = str(tmp_path / "zout")
+    s.write_table(df, out)
+    back = s.spark.read.parquet(out)
+    assert back.count() == 1000
+    assert set(back.columns) == {"a", "b", "v"}
+    eng.close_session(s.handle)

@@ -42,6 +42,12 @@ HEADLINE = [
     "embedding_near_dup",
     "knn_cosine_lsh",
     "knn_cosine_ivf",
+    # TPC-DS-shaped composites
+    "tpcds_shape_avg_filter",
+    "tpcds_shape_rank_bestworst",
+    "tpcds_shape_cumulative_share",
+    "json_variant_extract",
+    "exact_percentiles",
     # gateway + value-add operators
     "gateway_sql_q6",
     "zorder_cluster",

@@ -618,3 +618,164 @@ def exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# TPC-DS-shaped composites (the shapes the reference's 99-query corpus adds
+# over TPC-H: CTE + correlated per-group average filter (q1), best/worst
+# rank self-join (q44), cumulative-share windows (q51). Money sums run in
+# DECIMAL so threshold compares are exact across engines.
+# --------------------------------------------------------------------------
+@query(
+    "tpcds_shape_avg_filter",
+    oracle="""
+    WITH ctr AS (
+      SELECT o_custkey AS cust, c_nationkey AS nat,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY 1, 2),
+    natagg AS (
+      SELECT nat, SUM(total) AS sum_nat, COUNT(*) AS n_nat
+      FROM ctr GROUP BY nat)
+    SELECT c.c_name AS c_name, CAST(ctr.total AS DOUBLE) AS total
+    FROM ctr
+    JOIN natagg ON natagg.nat = ctr.nat
+    JOIN customer c ON ctr.cust = c.c_custkey
+    WHERE 10 * ctr.total * natagg.n_nat > 12 * natagg.sum_nat
+    ORDER BY total DESC, c_name LIMIT 100
+    """,
+    doc="TPC-DS q1 shape: CTE totals, keep customers above 1.2x their "
+    "nation's average spend (decorrelated into a per-nation aggregate "
+    "join; the integer-scaled decimal compare is exact on both engines).",
+)
+def tpcds_shape_avg_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    ctr = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .groupBy(F.col("o_custkey").alias("cust"), F.col("c_nationkey").alias("nat"))
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("total"))
+    )
+    natagg = ctr.groupBy("nat").agg(
+        F.sum("total").alias("sum_nat"), F.count("*").alias("n_nat")
+    )
+    return (
+        ctr.join(natagg, "nat")
+        .filter(10 * F.col("total") * F.col("n_nat") > 12 * F.col("sum_nat"))
+        .join(customer, F.col("cust") == customer.c_custkey)
+        .select("c_name", F.col("total").cast("double").alias("total"))
+        .orderBy(F.desc("total"), "c_name")
+        .limit(100)
+    )
+
+
+@query(
+    "tpcds_shape_rank_bestworst",
+    oracle="""
+    WITH perf AS (
+      SELECT l_partkey,
+             ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                   / COUNT(*), 4) AS avg_price
+      FROM lineitem GROUP BY l_partkey),
+    ranked AS (
+      SELECT l_partkey, avg_price,
+             ROW_NUMBER() OVER (ORDER BY avg_price DESC, l_partkey) AS best_r,
+             ROW_NUMBER() OVER (ORDER BY avg_price ASC,  l_partkey) AS worst_r
+      FROM perf)
+    SELECT b.best_r AS rnk,
+           pb.p_name AS best_part, CAST(b.avg_price AS DOUBLE) AS best_avg,
+           pw.p_name AS worst_part, CAST(w.avg_price AS DOUBLE) AS worst_avg
+    FROM ranked b
+    JOIN ranked w ON b.best_r = w.worst_r
+    JOIN part pb ON pb.p_partkey = b.l_partkey
+    JOIN part pw ON pw.p_partkey = w.l_partkey
+    WHERE b.best_r <= 10
+    ORDER BY rnk
+    """,
+    doc="TPC-DS q44 shape: rank parts by average revenue both directions, "
+    "join best rank N with worst rank N, resolve names from the dim.",
+)
+def tpcds_shape_rank_bestworst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    perf = lineitem.groupBy("l_partkey").agg(
+        dround(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+            / F.count("*"),
+            4,
+        ).alias("avg_price")
+    )
+    ranked = perf.select(
+        "l_partkey",
+        "avg_price",
+        F.row_number()
+        .over(Window.orderBy(F.desc("avg_price"), "l_partkey"))
+        .alias("best_r"),
+        F.row_number()
+        .over(Window.orderBy(F.asc("avg_price"), "l_partkey"))
+        .alias("worst_r"),
+    )
+    b = ranked.alias("b")
+    w = ranked.alias("w")
+    return (
+        b.filter(F.col("best_r") <= 10)
+        .join(w, F.col("b.best_r") == F.col("w.worst_r"))
+        .join(part.alias("pb"), F.col("pb.p_partkey") == F.col("b.l_partkey"))
+        .join(part.alias("pw"), F.col("pw.p_partkey") == F.col("w.l_partkey"))
+        .select(
+            F.col("b.best_r").alias("rnk"),
+            F.col("pb.p_name").alias("best_part"),
+            F.col("b.avg_price").cast("double").alias("best_avg"),
+            F.col("pw.p_name").alias("worst_part"),
+            F.col("w.avg_price").cast("double").alias("worst_avg"),
+        )
+        .orderBy("rnk")
+    )
+
+
+@query(
+    "tpcds_shape_cumulative_share",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+             SUM(CAST(value AS DECIMAL(18,6))) AS v
+      FROM events WHERE event_type IN ('click', 'purchase')
+      GROUP BY 1, 2),
+    pivoted AS (
+      SELECT day,
+             SUM(CASE WHEN event_type = 'click' THEN v ELSE 0 END) AS click_v,
+             SUM(CASE WHEN event_type = 'purchase' THEN v ELSE 0 END) AS purch_v
+      FROM daily GROUP BY day)
+    SELECT day,
+           CAST(SUM(click_v) OVER w AS DOUBLE) AS cum_click,
+           CAST(SUM(purch_v) OVER w AS DOUBLE) AS cum_purchase,
+           SUM(click_v) OVER w > SUM(purch_v) OVER w AS click_leads
+    FROM pivoted
+    WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ORDER BY day
+    """,
+    doc="TPC-DS q51 shape: two channels pivoted per day, running totals "
+    "compared in one window pass (decimal running sums are order-exact).",
+)
+def tpcds_shape_cumulative_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    daily = (
+        events.filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy(
+            F.date_trunc("day", "ts").cast("timestamp_ntz").alias("day"),
+            "event_type",
+        )
+        .agg(F.sum(F.col("value").cast("decimal(18,6)")).alias("v"))
+    )
+    pivoted = daily.groupBy("day").agg(
+        F.sum(F.when(F.col("event_type") == "click", F.col("v")).otherwise(0)).alias("click_v"),
+        F.sum(F.when(F.col("event_type") == "purchase", F.col("v")).otherwise(0)).alias("purch_v"),
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum_c, cum_p = F.sum("click_v").over(w), F.sum("purch_v").over(w)
+    return pivoted.select(
+        "day",
+        cum_c.cast("double").alias("cum_click"),
+        cum_p.cast("double").alias("cum_purchase"),
+        (cum_c > cum_p).alias("click_leads"),
+    ).orderBy("day")

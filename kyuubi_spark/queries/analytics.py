@@ -779,3 +779,55 @@ def tpcds_shape_cumulative_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         cum_p.cast("double").alias("cum_purchase"),
         (cum_c > cum_p).alias("click_leads"),
     ).orderBy("day")
+
+
+@query(
+    "asof_join_events_orders",
+    oracle="""
+    WITH r AS (
+      SELECT o_custkey AS user_id,
+             CAST(o_orderdate AS TIMESTAMP) AS od,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS day_spend,
+             MAX(o_orderkey) AS last_order
+      FROM orders GROUP BY 1, 2)
+    SELECT e.event_id, e.user_id, CAST(e.ts AS TIMESTAMP) AS ts,
+           r.last_order, r.day_spend
+    FROM events e ASOF LEFT JOIN r
+      ON e.user_id = r.user_id AND e.ts >= r.od
+    WHERE e.event_type = 'purchase'
+    ORDER BY e.event_id
+    """,
+    doc="Backward as-of join (time-series point-in-time enrich): each "
+    "purchase event picks up the customer's most recent order day at or "
+    "before the event. Spark has no ASOF JOIN; composed as union + "
+    "last-ignorenulls window (operators/asof.py) — one shuffle on the key, "
+    "O(1) window state per key. Oracle uses DuckDB's native ASOF JOIN.",
+)
+def asof_join_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kyuubi_spark.operators.asof import asof_join
+
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").cast("timestamp").alias("od"),
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("day_spend"),
+        F.max("o_orderkey").alias("last_order"),
+    )
+    out = asof_join(
+        events.select("event_id", "user_id", "ts"),
+        daily,
+        on="user_id",
+        left_time="ts",
+        right_time="od",
+        payload_cols=["last_order", "day_spend"],
+    )
+    return out.select(
+        "event_id", "user_id", F.col("ts").cast("timestamp").alias("ts"),
+        "last_order", "day_spend",
+    ).orderBy("event_id")

@@ -145,3 +145,30 @@ def test_vectorized_near_dup_bit_identical_to_expression(spark):
     ref = {(r["a_id"], r["b_id"]): r["score"]
            for r in S.cosine_near_dup_pairs_expr(emb, 0.15).collect()}
     assert fast == ref and len(fast) > 0
+
+
+def test_asof_join_semantics(spark):
+    import datetime as dt
+    from kyuubi_spark.operators.asof import asof_join
+
+    T0 = dt.datetime(2024, 1, 1)
+    def ts(h): return T0 + dt.timedelta(hours=h)
+    left = spark.createDataFrame(
+        [(1, "k1", ts(5)), (2, "k1", ts(10)), (3, "k2", ts(1)), (4, "k1", ts(2))],
+        "lid long, k string, t timestamp",
+    )
+    right = spark.createDataFrame(
+        [("k1", ts(2), 100.0), ("k1", ts(10), 200.0), ("k2", ts(3), 300.0)],
+        "k string, rt timestamp, payload double",
+    )
+    out = {
+        r["lid"]: r["payload"]
+        for r in asof_join(
+            left, right, on="k", left_time="t", right_time="rt",
+            payload_cols=["payload"],
+        ).collect()
+    }
+    assert out[1] == 100.0   # latest right at-or-before h5 is h2
+    assert out[2] == 200.0   # equal timestamps match (<= semantics)
+    assert out[3] is None    # k2 has no right row before h1
+    assert out[4] == 100.0   # exact-time match at h2

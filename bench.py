@@ -48,6 +48,8 @@ HEADLINE = [
     "tpcds_shape_cumulative_share",
     "json_variant_extract",
     "exact_percentiles",
+    "asof_join_events_orders",
+    "range_join_incident_clicks",
     # gateway + value-add operators
     "gateway_sql_q6",
     "zorder_cluster",

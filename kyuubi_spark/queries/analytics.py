@@ -831,3 +831,45 @@ def asof_join_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", F.col("ts").cast("timestamp").alias("ts"),
         "last_order", "day_spend",
     ).orderBy("event_id")
+
+
+@query(
+    "range_join_incident_clicks",
+    oracle="""
+    SELECT e.event_id AS incident_id, COUNT(c.event_id) AS n_clicks
+    FROM events e LEFT JOIN events c
+      ON c.event_type = 'click'
+     AND c.ts >= e.ts AND c.ts <= e.ts + INTERVAL 30 MINUTE
+    WHERE e.event_type = 'error'
+    GROUP BY 1 ORDER BY 1
+    """,
+    doc="Range (interval) join without an equi-key: clicks landing inside "
+    "each error event's 30-minute incident window. A bare range predicate "
+    "plans BroadcastNestedLoop (O(L*R)); operators/range_join.py quantizes "
+    "time into buckets, explodes each interval over the <=2 buckets it "
+    "covers, hash-joins on the bucket, then re-checks the exact predicate "
+    "- linear shuffle at any scale.",
+)
+def range_join_incident_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kyuubi_spark.operators.range_join import bucketed_range_join
+
+    events = load_table(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "ts"
+    )
+    incidents = events.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("incident_id"),
+        F.col("ts").alias("w_start"),
+        (F.col("ts").cast("timestamp") + F.expr("INTERVAL 30 MINUTE")).alias("w_end"),
+    )
+    matched = bucketed_range_join(
+        clicks, incidents, "ts", "w_start", "w_end", bucket_seconds=1800
+    ).groupBy("incident_id").agg(F.count("*").alias("n"))
+    return (
+        incidents.select("incident_id")
+        .join(matched, "incident_id", "left")
+        .select(
+            "incident_id", F.coalesce(F.col("n"), F.lit(0)).alias("n_clicks")
+        )
+        .orderBy("incident_id")
+    )

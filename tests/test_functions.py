@@ -172,3 +172,38 @@ def test_asof_join_semantics(spark):
     assert out[2] == 200.0   # equal timestamps match (<= semantics)
     assert out[3] is None    # k2 has no right row before h1
     assert out[4] == 100.0   # exact-time match at h2
+
+
+def test_bucketed_range_join_boundaries(spark):
+    import datetime as dt
+    from kyuubi_spark.operators.range_join import bucketed_range_join
+
+    T0 = dt.datetime(2024, 1, 1)
+    def ts(m): return T0 + dt.timedelta(minutes=m)
+    left = spark.createDataFrame(
+        [(1, ts(0)), (2, ts(30)), (3, ts(31)), (4, ts(90))],
+        "lid long, t timestamp",
+    )
+    right = spark.createDataFrame(
+        # interval crossing a 30-min bucket boundary: [15, 45]
+        [(10, ts(15), ts(45)), (20, ts(85), ts(95))],
+        "rid long, s timestamp, e timestamp",
+    )
+    got = {
+        (r["lid"], r["rid"])
+        for r in bucketed_range_join(
+            left, right, "t", "s", "e", bucket_seconds=1800
+        ).collect()
+    }
+    # lid2 (t=30) inside [15,45] even though bucket differs from start's;
+    # lid3 (t=31) also inside; lid1 (t=0) before; lid4 in second interval
+    assert got == {(2, 10), (3, 10), (4, 20)}
+    # inclusive bounds: t exactly at start and end both match
+    left2 = spark.createDataFrame([(5, ts(15)), (6, ts(45))], "lid long, t timestamp")
+    got2 = {
+        (r["lid"], r["rid"])
+        for r in bucketed_range_join(
+            left2, right, "t", "s", "e", bucket_seconds=1800
+        ).collect()
+    }
+    assert got2 == {(5, 10), (6, 10)}

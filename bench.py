@@ -37,6 +37,7 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "text_stats",
     "text_quality",
+    "text_bpe_token_count",
     "doc_fingerprint",
     "knn_cosine_topk",
     "embedding_near_dup",

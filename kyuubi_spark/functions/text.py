@@ -80,3 +80,20 @@ def fingerprint(text: Column | str) -> Column:
     c = F.col(text) if isinstance(text, str) else text
     normalized = F.regexp_replace(F.lower(F.trim(c)), " +", " ")
     return F.md5(normalized.cast("binary"))
+
+
+# GPT-2-style pretokenizer shape: contraction suffixes, space-prefixed word /
+# number / punctuation runs, whitespace runs. Plain alternation only — the
+# same pattern compiles identically under Java regex (Spark) and RE2
+# (DuckDB), so token counts are cross-engine exact.
+BPE_ISH_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+
+
+def bpe_ish_tokens(text: Column | str) -> Column:
+    """BPE-ish pretokenization (the LLM-pipeline token estimator)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_extract_all(c, F.lit(BPE_ISH_PATTERN), 0)
+
+
+def bpe_ish_token_count(text: Column | str) -> Column:
+    return F.size(bpe_ish_tokens(text)).cast("bigint")

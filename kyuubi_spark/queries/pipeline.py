@@ -359,3 +359,37 @@ def knn_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return S.cosine_topk_ivf(emb, queries, k=5, n_cells=16, n_probe=4)
+
+
+@query(
+    "text_bpe_token_count",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text,
+             '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+'))
+             AS BIGINT) AS n_bpe,
+           CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_ws,
+           ROUND(CAST(len(regexp_extract_all(text,
+             '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+'))
+             AS DOUBLE) / greatest(len(string_split(trim(text), ' ')), 1), 4)
+             AS bpe_per_word
+    FROM documents ORDER BY doc_id
+    """,
+    doc="BPE-ish token estimation (GPT-2-style pretokenizer regex) next to "
+    "whitespace counts — the LLM-pipeline cost estimator. Map-only, "
+    "codegen'd regexp_extract_all; the plain-alternation pattern compiles "
+    "identically under Java regex and RE2, so counts are cross-engine "
+    "exact.",
+)
+def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n_bpe = T.bpe_ish_token_count("text")
+    n_ws = T.token_count("text")
+    return docs.select(
+        "doc_id",
+        n_bpe.alias("n_bpe"),
+        n_ws.alias("n_ws"),
+        dround(
+            n_bpe.cast("double") / F.greatest(n_ws, F.lit(1)).cast("double"), 4
+        ).alias("bpe_per_word"),
+    ).orderBy("doc_id")

@@ -43,6 +43,7 @@ HEADLINE = [
     "embedding_near_dup",
     "knn_cosine_lsh",
     "knn_cosine_ivf",
+    "embedding_centroids",
     # TPC-DS-shaped composites
     "tpcds_shape_avg_filter",
     "tpcds_shape_rank_bestworst",

@@ -393,3 +393,47 @@ def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             n_bpe.cast("double") / F.greatest(n_ws, F.lit(1)).cast("double"), 4
         ).alias("bpe_per_word"),
     ).orderBy("doc_id")
+
+
+@query(
+    "embedding_centroids",
+    oracle="""
+    WITH ex AS (
+      SELECT vec_id % 8 AS bucket,
+             t.i - 1 AS dim,
+             CAST(CAST(embedding[t.i] AS DOUBLE) AS DECIMAL(28,12)) AS x
+      FROM embeddings,
+           unnest(generate_series(1, len(embedding))) AS t(i)),
+    agg AS (
+      SELECT bucket, dim, SUM(x) AS s, COUNT(*) AS n
+      FROM ex GROUP BY 1, 2)
+    SELECT bucket, dim,
+           ROUND(CAST(s AS DOUBLE) / n, 6) AS centroid
+    FROM agg WHERE dim < 8 ORDER BY bucket, dim
+    """,
+    doc="Distributed class centroids over the embedding column (the "
+    "k-means/update step of vector pipelines): posexplode to (row, dim), "
+    "partial+final sum per (bucket, dim) — one shuffle of n_buckets x dims "
+    "cells regardless of row count. Sums run in DECIMAL(28,12) so the "
+    "reduction is order-exact; float32 values are widened via double "
+    "identically on both engines.",
+)
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        (F.col("vec_id") % 8).alias("bucket"),
+        F.posexplode("embedding").alias("dim", "xf"),
+    ).select(
+        "bucket", "dim",
+        F.col("xf").cast("double").cast("decimal(28,12)").alias("x"),
+    )
+    return (
+        ex.groupBy("bucket", "dim")
+        .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
+        .filter(F.col("dim") < 8)
+        .select(
+            "bucket", "dim",
+            dround(F.col("s").cast("double") / F.col("n"), 6).alias("centroid"),
+        )
+        .orderBy("bucket", "dim")
+    )

@@ -207,3 +207,29 @@ def test_bucketed_range_join_boundaries(spark):
         ).collect()
     }
     assert got2 == {(5, 10), (6, 10)}
+
+
+def test_salted_join_matches_plain_join(spark):
+    from pyspark.sql import functions as F
+    from kyuubi_spark.operators.skew import salted_join
+
+    # skewed big side: 90% of rows share key 0
+    big = spark.range(10000).select(
+        F.when(F.col("id") % 10 < 9, 0).otherwise(F.col("id") % 100).alias("k"),
+        F.col("id").alias("v"),
+    )
+    small = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("w")
+    )
+    plain = big.join(small, ["k"]).groupBy("k").agg(
+        F.count("*").alias("n"), F.sum("v").alias("sv"), F.sum("w").alias("sw")
+    )
+    salted = salted_join(big, small, ["k"], num_salts=8).groupBy("k").agg(
+        F.count("*").alias("n"), F.sum("v").alias("sv"), F.sum("w").alias("sw")
+    )
+    assert sorted(plain.collect()) == sorted(salted.collect())
+    # left-outer keeps unmatched big rows exactly once
+    big2 = big.union(spark.sql("SELECT 999 AS k, -1 AS v"))
+    lp = big2.join(small, ["k"], "left").count()
+    ls = salted_join(big2, small, ["k"], num_salts=8, how="left").count()
+    assert lp == ls

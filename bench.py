@@ -38,7 +38,11 @@ HEADLINE = [
     "text_stats",
     "text_quality",
     "text_bpe_token_count",
+    "text_repetition",
     "doc_fingerprint",
+    "train_test_split",
+    "contamination_check",
+    "stratified_sample",
     "knn_cosine_topk",
     "embedding_near_dup",
     "knn_cosine_lsh",

@@ -97,3 +97,43 @@ def bpe_ish_tokens(text: Column | str) -> Column:
 
 def bpe_ish_token_count(text: Column | str) -> Column:
     return F.size(bpe_ish_tokens(text)).cast("bigint")
+
+
+def repetition_ratio(text: Column | str, n: int = 3) -> Column:
+    """Within-document repetition: 1 - distinct_ngrams / total_ngrams.
+
+    The classic "repetitive text" quality filter (boilerplate, keyword
+    stuffing, decoding loops score near 1.0). Pure Column expression —
+    map-only, no shuffle, scales linearly with splits.
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    toks = F.split(F.trim(c), " ")
+    k = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), k - n + 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    n_total = F.when(k >= n, (k - n + 1).cast("double")).otherwise(F.lit(1.0))
+    n_distinct = F.when(k >= n, F.size(F.array_distinct(grams)).cast("double")).otherwise(
+        F.lit(1.0)
+    )
+    return F.lit(1.0) - n_distinct / n_total
+
+
+def hash_split(key: Column | str, train: float = 0.75, val: float = 0.125) -> Column:
+    """Deterministic train/val/test assignment from md5 of the key.
+
+    The first 4 hex chars of md5 are uniform over [0, 16^4); comparing them
+    lexicographically against fixed hex thresholds reproduces the exact same
+    split in any engine with a standard md5 — no RNG, no seed coordination
+    across a 1000-executor cluster, and stable under re-partitioning.
+    """
+    c = F.col(key) if isinstance(key, str) else key
+    h = F.substring(F.md5(c.cast("string")), 1, 4)
+    t_thr = format(int(train * 65536), "04x")
+    v_thr = format(int((train + val) * 65536), "04x")
+    return (
+        F.when(h < t_thr, F.lit("train"))
+        .when(h < v_thr, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )

@@ -396,6 +396,160 @@ def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_repetition",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
+    m AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) >= 3 THEN CAST(len(toks) - 2 AS DOUBLE)
+                  ELSE 1.0 END AS n_total,
+             CASE WHEN len(toks) >= 3
+                  THEN CAST(len(list_distinct(list_transform(
+                         generate_series(1, len(toks) - 2),
+                         i -> array_to_string(toks[i:i+2], ' ')))) AS DOUBLE)
+                  ELSE 1.0 END AS n_distinct
+      FROM t)
+    SELECT doc_id, ROUND(1.0 - n_distinct / n_total, 4) AS rep_ratio
+    FROM m ORDER BY doc_id
+    """,
+    doc="Within-doc repetition ratio (1 - distinct/total 3-grams), the "
+    "boilerplate/keyword-stuffing quality filter. Map-only: array expressions "
+    "inside whole-stage codegen, zero shuffle at any scale.",
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", dround(T.repetition_ratio("text"), 4).alias("rep_ratio")
+    ).orderBy("doc_id")
+
+
+@query(
+    "train_test_split",
+    oracle="""
+    WITH s AS (
+      SELECT source, n_chars,
+             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'c000'
+                    THEN 'train'
+                  WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e000'
+                    THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents)
+    SELECT split, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(AVG(CAST(n_chars AS DOUBLE)), 4) AS avg_chars
+    FROM s GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    doc="Deterministic 75/12.5/12.5 train/val/test split by md5(doc_id) hex "
+    "threshold — no RNG, reproducible on any engine and under any "
+    "partitioning; per-(split, source) counts audit stratification balance. "
+    "One small shuffle of the grouped cells only.",
+)
+def train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            T.hash_split("doc_id").alias("split"), "source",
+            F.col("n_chars").cast("double").alias("nc"),
+        )
+        .groupBy("split", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            dround(F.avg("nc"), 4).alias("avg_chars"),
+        )
+        .orderBy("split", "source")
+    )
+
+
+@query(
+    "contamination_check",
+    oracle="""
+    WITH docs AS (
+      SELECT doc_id AS id, source, string_split(trim(text), ' ') AS toks
+      FROM documents),
+    sh AS (
+      SELECT id, source,
+             CASE WHEN len(toks) >= 3
+                  THEN list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                                     i -> array_to_string(toks[i:i+2], ' ')))
+                  ELSE [array_to_string(toks, ' ')] END AS shs
+      FROM docs),
+    ex AS (SELECT id, source, u.s AS s FROM sh, unnest(shs) AS u(s)),
+    tr AS (SELECT DISTINCT s FROM ex WHERE source <> 'src0'),
+    ev AS (SELECT id, s FROM ex WHERE source = 'src0')
+    SELECT ev.id AS doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN tr.s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_hits,
+           ROUND(CAST(SUM(CASE WHEN tr.s IS NOT NULL THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 4) AS overlap
+    FROM ev LEFT JOIN tr ON ev.s = tr.s
+    GROUP BY 1 ORDER BY 1
+    """,
+    doc="Eval-set decontamination: per eval doc (source='src0'), the fraction "
+    "of its distinct 3-gram shingles that appear anywhere in the training "
+    "corpus (every other source). Shingle-key hash join after distinct — "
+    "both sides prune to unique shingles before the shuffle; at 100 TB the "
+    "train side would additionally push through a bloom filter, the join key "
+    "stays a fixed-width hash.",
+)
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    ex = docs.select(
+        "doc_id", "source", F.explode(D.shingles("text")).alias("s")
+    )
+    train_sh = (
+        ex.filter(F.col("source") != "src0")
+        .select("s").distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    ev = ex.filter(F.col("source") == "src0").select("doc_id", "s")
+    hits = F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+    return (
+        ev.join(train_sh, "s", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            hits.cast("bigint").alias("n_hits"),
+            dround(
+                hits.cast("double") / F.count("*").cast("double"), 4
+            ).alias("overlap"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "stratified_sample",
+    oracle="""
+    WITH r AS (
+      SELECT source, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+               AS rk
+      FROM documents)
+    SELECT source, rk, doc_id FROM r WHERE rk <= 5 ORDER BY source, rk
+    """,
+    doc="Deterministic stratified sample: per source, the 5 docs with "
+    "smallest md5(doc_id) — a seedless, engine-independent uniform draw "
+    "that is stable under re-partitioning. Window top-k per stratum plans "
+    "as partial top-k before the shuffle; only ~k rows per stratum move.",
+)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+    )
+    return (
+        docs.select("source", "doc_id", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= 5)
+        .select("source", "rk", "doc_id")
+        .orderBy("source", "rk")
+    )
+
+
+@query(
     "embedding_centroids",
     oracle="""
     WITH ex AS (

@@ -48,6 +48,8 @@ HEADLINE = [
     "knn_cosine_lsh",
     "knn_cosine_ivf",
     "embedding_centroids",
+    "multimodal_decode",
+    "multimodal_frame_sample",
     # TPC-DS-shaped composites
     "tpcds_shape_avg_filter",
     "tpcds_shape_rank_bestworst",

@@ -550,6 +550,73 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_decode",
+    oracle="""
+    WITH m AS (SELECT unnest(generate_series(0, 63)) AS mid)
+    SELECT mid AS media_id,
+           CASE mid % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                        ELSE 'video' END AS kind,
+           CAST(64 + mid % 512 AS INTEGER) AS decoded_width,
+           CAST(64 + (mid * 7) % 512 AS INTEGER) AS decoded_height,
+           CAST((mid * 37) % 10000 AS INTEGER) AS duration_ms,
+           CAST(140 AS BIGINT) AS payload_bytes
+    FROM m ORDER BY media_id
+    """,
+    doc="Multimodal decode pipeline end-to-end: opaque binary payloads with "
+    "typed metadata flow through Arrow-batched mapInPandas (synthesize -> "
+    "stub decoder -> feature rows). The decoder is a deterministic header "
+    "parser standing in for PIL/ffmpeg (not in this container); the Spark "
+    "plumbing — binary columns, Arrow batches, per-row error capture — is "
+    "real. Payload bytes never shuffle; the oracle replays the seeded "
+    "generator arithmetic.",
+)
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kyuubi_spark.functions import multimodal as M
+
+    media = M.synthesize_media(spark, n=64, partitions=8)
+    return (
+        M.decode_features(media)
+        .select(
+            "media_id", "kind", "decoded_width", "decoded_height",
+            "duration_ms", "payload_bytes",
+        )
+        .orderBy("media_id")
+    )
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+    WITH m AS (SELECT unnest(generate_series(0, 63)) AS mid),
+    v AS (
+      SELECT mid, (mid * 37) % 10000 AS dur FROM m WHERE mid % 3 = 2)
+    SELECT mid AS media_id,
+           CAST(floor(greatest(dur - 1, 0) / 1000) + 1 AS BIGINT) AS n_frames,
+           CAST((floor(greatest(dur - 1, 0) / 1000)) * 1000 AS BIGINT)
+             AS last_frame_ts_ms
+    FROM v ORDER BY media_id
+    """,
+    doc="Video frame-sampling plan: one row per (media_id, frame_ts) every "
+    "1000 ms, exploded JVM-side from duration metadata ONLY — payloads are "
+    "projected away before the explode, so at 100 TB the shuffle carries "
+    "metadata rows, not video bytes.",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kyuubi_spark.functions import multimodal as M
+
+    media = M.synthesize_media(spark, n=64, partitions=8)
+    return (
+        M.frame_sample_plan(media, every_ms=1000)
+        .groupBy("media_id")
+        .agg(
+            F.count("*").alias("n_frames"),
+            F.max("frame_ts_ms").cast("bigint").alias("last_frame_ts_ms"),
+        )
+        .orderBy("media_id")
+    )
+
+
+@query(
     "embedding_centroids",
     oracle="""
     WITH ex AS (

@@ -112,7 +112,17 @@ def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     part, supplier, nation, region, lineitem = _t(
         spark, sf_dir, "part", "supplier", "nation", "region", "lineitem"
     )
-    cost = lineitem.groupBy("l_partkey", "l_suppkey").agg(
+    # The part predicate selects a tiny key set — push it below the heavy
+    # lineitem aggregation as a broadcast SEMI join, so at 100 TB the
+    # (partkey, suppkey) shuffle carries only eligible parts' rows.
+    # (Filtering by partkey commutes with the per-part window-min.)
+    p = part.filter((F.col("p_size") == 15) & (F.col("p_type") == "STANDARD"))
+    li = lineitem.join(
+        F.broadcast(p.select("p_partkey")),
+        lineitem.l_partkey == F.col("p_partkey"),
+        "left_semi",
+    )
+    cost = li.groupBy("l_partkey", "l_suppkey").agg(
         F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
     )
     # Decorrelated form of `unit_cost = (select min(..) where same part)`:
@@ -127,9 +137,8 @@ def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     best = eur_cost.withColumn("best_cost", F.min("unit_cost").over(w)).filter(
         F.col("unit_cost") == F.col("best_cost")
     )
-    p = part.filter((F.col("p_size") == 15) & (F.col("p_type") == "STANDARD"))
     return (
-        best.join(p, best.l_partkey == p.p_partkey)
+        best.join(F.broadcast(p), best.l_partkey == p.p_partkey)
         .select(
             "s_name",
             "n_name",

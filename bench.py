@@ -61,6 +61,7 @@ HEADLINE = [
     # gateway + value-add operators
     "gateway_sql_q6",
     "zorder_cluster",
+    "ctas_roundtrip",
     "types_scalar",
     "authz_row_filter_masking",
     # streaming (replayed through the streaming engine)

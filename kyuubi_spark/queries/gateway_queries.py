@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from kyuubi_spark.functions.compat import dround
 from kyuubi_spark.queries import query
 from kyuubi_spark.session import load_table, load_tables
 
@@ -185,3 +186,53 @@ def authz_row_filter_masking(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("c_custkey")
         .limit(100)
     )
+
+
+@query(
+    "ctas_roundtrip",
+    oracle="""
+    SELECT o_orderpriority,
+           strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders
+    WHERE o_orderstatus = 'F'
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    doc="CTAS round-trip through the gateway write path (SURVEY §2.D "
+    "DDL/DML, §2.F RebalanceBeforeWriting): filtered orders projection is "
+    "written parquet with the REBALANCE hint (AQE sizes output files — the "
+    "small-files guard a 1000-executor final stage needs), then read back "
+    "and aggregated. The oracle aggregates the source directly, so the "
+    "round-trip must be lossless.",
+)
+def ctas_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from kyuubi_spark.operators.write import write_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    proj = orders.filter(F.col("o_orderstatus") == "F").select(
+        "o_orderpriority",
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+        "o_totalprice",
+    )
+    path = tempfile.mkdtemp(prefix="kyuubi_ctas_")
+    try:
+        write_table(proj, path, rebalance_by=["o_orderpriority"])
+        back = spark.read.parquet(path)
+        out = (
+            back.groupBy("o_orderpriority", "month")
+            .agg(
+                F.count("*").alias("n_orders"),
+                dround(F.sum("o_totalprice"), 2).alias("total"),
+            )
+            .orderBy("o_orderpriority", "month")
+        )
+        # materialize before deleting the backing files: the returned DF
+        # must survive the caller's collect after cleanup
+        out = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    return out

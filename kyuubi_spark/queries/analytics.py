@@ -705,21 +705,26 @@ def tpcds_shape_rank_bestworst(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("avg_price")
     )
-    ranked = perf.select(
-        "l_partkey",
-        "avg_price",
+    # Only ranks <= 10 survive, so take the top/bottom 10 with distributed
+    # partial top-k (TakeOrderedAndProject) and number the 10 survivors —
+    # never a global row_number over every part (single-partition window
+    # at scale; the limit(10) keeps each window input at 10 rows).
+    top10 = perf.orderBy(F.desc("avg_price"), "l_partkey").limit(10)
+    bot10 = perf.orderBy(F.asc("avg_price"), "l_partkey").limit(10)
+    b = top10.select(
+        "l_partkey", "avg_price",
         F.row_number()
         .over(Window.orderBy(F.desc("avg_price"), "l_partkey"))
         .alias("best_r"),
+    ).alias("b")
+    w = bot10.select(
+        "l_partkey", "avg_price",
         F.row_number()
         .over(Window.orderBy(F.asc("avg_price"), "l_partkey"))
         .alias("worst_r"),
-    )
-    b = ranked.alias("b")
-    w = ranked.alias("w")
+    ).alias("w")
     return (
-        b.filter(F.col("best_r") <= 10)
-        .join(w, F.col("b.best_r") == F.col("w.worst_r"))
+        b.join(w, F.col("b.best_r") == F.col("w.worst_r"))
         .join(part.alias("pb"), F.col("pb.p_partkey") == F.col("b.l_partkey"))
         .join(part.alias("pw"), F.col("pw.p_partkey") == F.col("w.l_partkey"))
         .select(

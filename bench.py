@@ -25,6 +25,7 @@ HEADLINE = [
     # analytics operators
     "win_topn_per_group",
     "win_running_sum",
+    "win_range_frame",
     "agg_rollup",
     "agg_cube",
     "time_bucket_agg",
@@ -70,6 +71,7 @@ HEADLINE = [
     "stream_session_window",
     "stream_stream_join",
     "stream_dedup",
+    "stream_sink_parquet",
 ]
 
 

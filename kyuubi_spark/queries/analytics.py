@@ -878,3 +878,46 @@ def range_join_incident_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("incident_id")
     )
+
+
+@query(
+    "win_range_frame",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, user_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+             CAST(value AS DECIMAL(18,6)) AS v
+      FROM events WHERE user_id % 50 = 1)
+    SELECT event_id, user_id,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_last_hour,
+           ROUND(CAST(SUM(v) OVER w AS DOUBLE), 4) AS sum_last_hour
+    FROM e
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    ORDER BY event_id
+    """,
+    doc="Event-time RANGE window frame (TPC-DS q51-family shape): per user, "
+    "rolling 1-hour count/sum keyed on epoch-microseconds — a value-range "
+    "frame, not a row-count frame, so ties and gaps behave identically in "
+    "any engine. Partitioned by user: state stays per-key, no global sort. "
+    "Decimal window sums are order-exact across partitionings.",
+)
+def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events").filter(F.col("user_id") % 50 == 1)
+    e = events.select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.col("value").cast("decimal(18,6)").alias("v"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.count("*").over(w).cast("bigint").alias("n_last_hour"),
+        dround(F.sum("v").over(w).cast("double"), 4).alias("sum_last_hour"),
+    ).orderBy("event_id")

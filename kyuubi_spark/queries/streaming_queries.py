@@ -196,3 +196,52 @@ def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result.select(
         "user_id", "n_events", dround("total_value", 2).alias("total_value")
     ).orderBy("user_id")
+
+
+@query(
+    "stream_sink_parquet",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+    FROM events WHERE event_type = 'purchase'
+    GROUP BY user_id ORDER BY user_id
+    """,
+    doc="Durable streaming sink: file source -> projection -> foreachBatch "
+    "writing parquet through the gateway write path (rebalance hint sizes "
+    "the files each microbatch — the always-on job's small-files guard), "
+    "then the landed files are read back and aggregated. Oracle is the "
+    "batch GROUP BY over the same rows, so the sink must be exactly-once "
+    "complete.",
+)
+def stream_sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from kyuubi_spark.operators.write import write_table
+    from kyuubi_spark.streaming.runner import run_foreach_batch
+
+    stream = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "value")
+    )
+    out_dir = tempfile.mkdtemp(prefix="kyuubi_stream_sink_")
+    try:
+        run_foreach_batch(
+            stream,
+            lambda batch_df, batch_id: write_table(
+                batch_df, out_dir, mode="append", rebalance_by=["user_id"]
+            ),
+        )
+        landed = spark.read.parquet(out_dir)
+        out = (
+            landed.groupBy("user_id")
+            .agg(
+                F.count("*").alias("n_events"),
+                dround(F.sum("value"), 2).alias("sum_value"),
+            )
+            .orderBy("user_id")
+        )
+        out = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+    return out

@@ -217,10 +217,12 @@ def jaccard_pairs(
     sh = (
         shingle_df.select("id", F.col("g").alias("sh"))
         if shingle_df is not None
+        # no .distinct(): shingles() array_distincts per doc, so the
+        # exploded (id, sh) relation is already unique
         else df.select(
             F.col(id_col).alias("id"),
             F.explode(shingles(F.col(text_col), n)).alias("sh"),
-        ).distinct()
+        )
     )
     counts = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
 

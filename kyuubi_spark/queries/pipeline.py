@@ -225,7 +225,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("doc_id").alias("id"),
             F.explode(D.shingles(F.col("text"), 3)).alias("g"),
         )
-        .distinct()
+        # NB: no .distinct() — shingles() already array_distincts per doc,
+        # so (id, g) is unique by construction; a distinct here would be a
+        # full extra shuffle of the widest relation in the pipeline
         .localCheckpoint()
     )
     cand = D.lsh_candidate_pairs(docs, n=3, num_hashes=16, bands=8, shingle_df=sh)

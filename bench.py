@@ -63,6 +63,7 @@ HEADLINE = [
     "gateway_sql_q6",
     "zorder_cluster",
     "ctas_roundtrip",
+    "formats_roundtrip",
     "types_scalar",
     "authz_row_filter_masking",
     # streaming (replayed through the streaming engine)

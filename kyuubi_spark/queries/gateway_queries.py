@@ -236,3 +236,67 @@ def ctas_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(path, ignore_errors=True)
     return out
+
+
+@query(
+    "formats_roundtrip",
+    oracle="""
+    WITH agg AS (
+      SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_cust,
+             CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+      FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY n_name)
+    SELECT fmt, n_name, n_cust, total_bal
+    FROM agg, (VALUES ('csv'), ('json'), ('orc')) AS f(fmt)
+    ORDER BY fmt, n_name
+    """,
+    doc="Source/sink format coverage (SURVEY §2.D scans & writes): one "
+    "customer x nation aggregate written to ORC, CSV, and JSON, read back "
+    "through the typed readers (explicit schema — no inference pass over "
+    "the data at scale), and stacked. All three copies must agree exactly "
+    "with the direct aggregate; decimal sums make the values "
+    "order-independent.",
+)
+def formats_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from kyuubi_spark.sources import formats as FM
+
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    agg = (
+        customer.join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_cust"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_bal"),
+        )
+    )
+    base = tempfile.mkdtemp(prefix="kyuubi_formats_")
+    try:
+        FM.write_orc(agg, f"{base}/orc")
+        FM.write_csv(agg, f"{base}/csv")
+        FM.write_json(agg, f"{base}/json")
+        schema = agg.schema
+        stacked = (
+            FM.read_csv(spark, f"{base}/csv", schema)
+            .withColumn("fmt", F.lit("csv"))
+            .unionByName(
+                FM.read_json(spark, f"{base}/json", schema).withColumn(
+                    "fmt", F.lit("json")
+                )
+            )
+            .unionByName(
+                FM.read_orc(spark, f"{base}/orc").withColumn("fmt", F.lit("orc"))
+            )
+        )
+        out = stacked.select("fmt", "n_name", "n_cust", "total_bal").orderBy(
+            "fmt", "n_name"
+        )
+        out = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return out

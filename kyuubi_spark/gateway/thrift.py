@@ -1,0 +1,554 @@
+"""HS2-compatible Thrift binary frontend: TBinaryProtocol + TCLIService subset.
+
+The reference's product API is thrift TCLIService over a TCP socket
+(kyuubi-common/.../service/TFrontendService.scala; protocol negotiation
+V1-V10 in Session.scala:51-96). This module implements the wire layer from
+scratch — no thrift library ships in this container — against the PUBLIC
+TCLIService.thrift schema (Apache Hive), in NOSASL plain-socket mode:
+
+- strict TBinaryProtocol (version word 0x80010000, big-endian primitives,
+  field-id/field-type framing, generic struct skip for unknown fields);
+- the operation subset every JDBC driver needs: OpenSession,
+  ExecuteStatement, GetOperationStatus, GetResultSetMetadata,
+  FetchResults (V6+ columnar TColumns, null bitmask), CancelOperation,
+  CloseOperation, CloseSession;
+- dispatch onto the existing gateway objects (Engine/Session/Operation) —
+  the thrift layer is ONLY framing; semantics live in gateway.operations.
+
+`ThriftClient` speaks the same protocol for tests and tooling. Scale note:
+the server is a thin threaded frontend — every request is O(bytes on the
+wire); result paging bounds per-fetch memory exactly like the reference's
+FetchResults (maxRows), so driver memory never depends on result size.
+"""
+
+from __future__ import annotations
+
+import socket
+import socketserver
+import struct
+import threading
+import uuid
+from typing import Any
+
+from pyspark.sql import types as T
+
+from kyuubi_spark.gateway.state import FetchOrientation, OperationState
+
+# -- TBinaryProtocol ---------------------------------------------------------
+
+VERSION_1 = 0x80010000
+CALL, REPLY, EXCEPTION = 1, 2, 3
+
+
+class TType:
+    STOP = 0
+    BOOL = 2
+    BYTE = 3
+    DOUBLE = 4
+    I16 = 6
+    I32 = 8
+    I64 = 10
+    STRING = 11  # also BINARY on the wire
+    STRUCT = 12
+    MAP = 13
+    SET = 14
+    LIST = 15
+
+
+# Value model for writing:
+#   STRUCT -> list[(fid, ftype, value)]   (None values skipped)
+#   LIST   -> (elem_ftype, [values])
+#   MAP    -> (key_ftype, val_ftype, dict)
+#   STRING -> str (utf-8) or bytes (binary)
+
+
+class ProtocolWriter:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+
+    def message_begin(self, name: str, mtype: int, seqid: int) -> None:
+        self.buf += struct.pack(">I", VERSION_1 | mtype)
+        self.write_value(TType.STRING, name)
+        self.buf += struct.pack(">i", seqid)
+
+    def write_value(self, ftype: int, v: Any) -> None:
+        b = self.buf
+        if ftype == TType.BOOL:
+            b += struct.pack(">b", 1 if v else 0)
+        elif ftype == TType.BYTE:
+            b += struct.pack(">b", v)
+        elif ftype == TType.DOUBLE:
+            b += struct.pack(">d", v)
+        elif ftype == TType.I16:
+            b += struct.pack(">h", v)
+        elif ftype == TType.I32:
+            b += struct.pack(">i", v)
+        elif ftype == TType.I64:
+            b += struct.pack(">q", v)
+        elif ftype == TType.STRING:
+            raw = v.encode("utf-8") if isinstance(v, str) else bytes(v)
+            b += struct.pack(">i", len(raw))
+            b += raw
+        elif ftype == TType.STRUCT:
+            for fid, ft, fv in v:
+                if fv is None:
+                    continue
+                b += struct.pack(">bh", ft, fid)
+                self.write_value(ft, fv)
+            b += struct.pack(">b", TType.STOP)
+        elif ftype == TType.LIST:
+            et, items = v
+            b += struct.pack(">bi", et, len(items))
+            for it in items:
+                self.write_value(et, it)
+        elif ftype == TType.MAP:
+            kt, vt, d = v
+            b += struct.pack(">bbi", kt, vt, len(d))
+            for k, val in d.items():
+                self.write_value(kt, k)
+                self.write_value(vt, val)
+        else:
+            raise ValueError(f"unsupported thrift type {ftype}")
+
+
+class ProtocolReader:
+    """Generic reader: structs come back as {fid: (ftype, value)} with
+    unknown field types skipped — the thrift forward-compat contract."""
+
+    def __init__(self, rfile) -> None:
+        self.f = rfile
+
+    def _read(self, n: int) -> bytes:
+        out = b""
+        while len(out) < n:
+            chunk = self.f.read(n - len(out))
+            if not chunk:
+                raise EOFError("thrift peer closed")
+            out += chunk
+        return out
+
+    def message_begin(self) -> tuple[str, int, int]:
+        word = struct.unpack(">I", self._read(4))[0]
+        if word & 0xFFFF0000 != VERSION_1:
+            raise ValueError(f"bad thrift version word 0x{word:08x}")
+        mtype = word & 0xFF
+        name = self.read_value(TType.STRING).decode("utf-8")
+        seqid = struct.unpack(">i", self._read(4))[0]
+        return name, mtype, seqid
+
+    def read_value(self, ftype: int) -> Any:
+        if ftype == TType.BOOL:
+            return struct.unpack(">b", self._read(1))[0] != 0
+        if ftype == TType.BYTE:
+            return struct.unpack(">b", self._read(1))[0]
+        if ftype == TType.DOUBLE:
+            return struct.unpack(">d", self._read(8))[0]
+        if ftype == TType.I16:
+            return struct.unpack(">h", self._read(2))[0]
+        if ftype == TType.I32:
+            return struct.unpack(">i", self._read(4))[0]
+        if ftype == TType.I64:
+            return struct.unpack(">q", self._read(8))[0]
+        if ftype == TType.STRING:
+            n = struct.unpack(">i", self._read(4))[0]
+            return self._read(n)
+        if ftype == TType.STRUCT:
+            fields: dict[int, tuple[int, Any]] = {}
+            while True:
+                ft = struct.unpack(">b", self._read(1))[0]
+                if ft == TType.STOP:
+                    return fields
+                fid = struct.unpack(">h", self._read(2))[0]
+                fields[fid] = (ft, self.read_value(ft))
+        if ftype in (TType.LIST, TType.SET):
+            et, n = struct.unpack(">bi", self._read(5))
+            return (et, [self.read_value(et) for _ in range(n)])
+        if ftype == TType.MAP:
+            kt, vt, n = struct.unpack(">bbi", self._read(6))
+            return (kt, vt, {self.read_value(kt): self.read_value(vt) for _ in range(n)})
+        raise ValueError(f"unsupported thrift type {ftype}")
+
+
+# -- TCLIService shapes ------------------------------------------------------
+
+PROTOCOL_V10 = 9  # HIVE_CLI_SERVICE_PROTOCOL_V10 enum ordinal
+
+# TTypeId enum ordinals (public TCLIService.thrift)
+_TYPE_ID = {
+    "boolean": 0, "tinyint": 1, "smallint": 2, "int": 3, "bigint": 4,
+    "float": 5, "double": 6, "string": 7, "timestamp": 8, "binary": 9,
+    "array": 10, "map": 11, "struct": 12, "decimal": 15, "null": 16,
+    "date": 17, "timestamp_ntz": 8,
+}
+
+# TColumn union slot per carried representation
+_COL_SLOT = {
+    "boolean": 1, "tinyint": 2, "smallint": 3, "int": 4, "bigint": 5,
+    "double": 6, "float": 6, "string": 7, "binary": 8,
+}
+_SLOT_VTYPE = {
+    1: TType.BOOL, 2: TType.BYTE, 3: TType.I16, 4: TType.I32,
+    5: TType.I64, 6: TType.DOUBLE, 7: TType.STRING, 8: TType.STRING,
+}
+
+_OP_STATE = {  # TOperationState ordinals
+    OperationState.INITIALIZED: 0,
+    OperationState.RUNNING: 1,
+    OperationState.FINISHED: 2,
+    OperationState.CANCELED: 3,
+    OperationState.CLOSED: 4,
+    OperationState.ERROR: 5,
+    OperationState.PENDING: 7,
+    OperationState.TIMEOUT: 8,
+    OperationState.COMPILED: 1,  # still running from the client's view
+}
+
+_ORIENTATION = {
+    0: FetchOrientation.FETCH_NEXT,
+    1: FetchOrientation.FETCH_PRIOR,
+    4: FetchOrientation.FETCH_FIRST,
+}
+
+
+def _status_ok() -> list:
+    return [(1, TType.I32, 0)]  # SUCCESS_STATUS
+
+
+def _status_error(msg: str) -> list:
+    return [(1, TType.I32, 3), (5, TType.STRING, msg)]  # ERROR_STATUS
+
+
+def _handle(guid: bytes) -> list:
+    # THandleIdentifier{1: guid, 2: secret}; wrapped by T*Handle{1: ...}
+    return [(1, TType.STRUCT, [(1, TType.STRING, guid), (2, TType.STRING, b"\x00" * 16)])]
+
+
+def _op_handle(guid: bytes, has_results: bool) -> list:
+    # TOperationHandle{1: id, 2: opType EXECUTE_STATEMENT=0, 3: hasResultSet}
+    return _handle(guid) + [(2, TType.I32, 0), (3, TType.BOOL, has_results)]
+
+
+def _guid_of(handle_struct: dict) -> bytes:
+    ident = handle_struct[1][1]
+    return bytes(ident[1][1])
+
+
+def _simple(dt: T.DataType) -> str:
+    s = dt.simpleString()
+    return s.split("(")[0]
+
+
+def _type_desc(dt: T.DataType) -> list:
+    # TTypeDesc{1: [TTypeEntry{1: TPrimitiveTypeEntry{1: typeId}}]}
+    type_id = _TYPE_ID.get(_simple(dt), 7)
+    prim = [(1, TType.I32, type_id)]
+    entry = [(1, TType.STRUCT, prim)]
+    return [(1, TType.LIST, (TType.STRUCT, [entry]))]
+
+
+def _table_schema(schema: T.StructType) -> list:
+    cols = []
+    for pos, f in enumerate(schema.fields):
+        cols.append(
+            [
+                (1, TType.STRING, f.name),
+                (2, TType.STRUCT, _type_desc(f.dataType)),
+                (3, TType.I32, pos + 1),
+            ]
+        )
+    return [(1, TType.LIST, (TType.STRUCT, cols))]
+
+
+def _row_set(rows: list, schema: T.StructType) -> list:
+    """V6+ columnar TRowSet from gateway wire shapes (one TColumn per
+    column: values vector + LE null bitmask)."""
+    from kyuubi_spark.gateway.wire import to_column_based_set
+
+    colset = to_column_based_set(rows, schema)
+    tcolumns = []
+    for f, col in zip(schema.fields, colset["columns"]):
+        slot = _COL_SLOT.get(_simple(f.dataType), 7)
+        vt = _SLOT_VTYPE[slot]
+        values = col["values"]
+        if slot == 7:
+            values = [v if isinstance(v, (str, bytes)) else str(v) for v in values]
+        inner = [(1, TType.LIST, (vt, values)), (2, TType.STRING, bytes(col["nulls"]))]
+        tcolumns.append([(slot, TType.STRUCT, inner)])
+    return [(1, TType.I64, 0), (3, TType.LIST, (TType.STRUCT, tcolumns))]
+
+
+# -- server ------------------------------------------------------------------
+
+
+class ThriftFrontendService:
+    """Threaded NOSASL thrift frontend over a gateway Engine.
+
+    Reference: TFrontendService.scala (thrift endpoints :186-567); here the
+    endpoint bodies delegate to gateway.{Engine,Session,Operation}.
+    """
+
+    def __init__(self, engine, host: str = "127.0.0.1", port: int = 0):
+        self.engine = engine
+        self._sessions: dict[bytes, Any] = {}
+        self._operations: dict[bytes, Any] = {}
+        self._lock = threading.Lock()
+
+        service = self
+
+        class Handler(socketserver.StreamRequestHandler):
+            def handle(self) -> None:
+                reader = ProtocolReader(self.rfile)
+                while True:
+                    try:
+                        name, mtype, seqid = reader.message_begin()
+                    except (EOFError, ConnectionError):
+                        return
+                    args = reader.read_value(TType.STRUCT)
+                    try:
+                        result = service.dispatch(name, args)
+                    except Exception as e:  # wire-level fault → TStatus error
+                        result = [(1, TType.STRUCT, _status_error(str(e)))]
+                    w = ProtocolWriter()
+                    w.message_begin(name, REPLY, seqid)
+                    # result struct: field 0 = success
+                    w.write_value(TType.STRUCT, [(0, TType.STRUCT, result)])
+                    self.wfile.write(bytes(w.buf))
+                    self.wfile.flush()
+
+        class Server(socketserver.ThreadingTCPServer):
+            allow_reuse_address = True
+            daemon_threads = True
+
+        self.server = Server((host, port), Handler)
+        self.host, self.port = self.server.server_address
+        self._thread: threading.Thread | None = None
+
+    # -- lifecycle --------------------------------------------------------
+    def start(self) -> "ThriftFrontendService":
+        self._thread = threading.Thread(
+            target=self.server.serve_forever, name="thrift-frontend", daemon=True
+        )
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self.server.shutdown()
+        self.server.server_close()
+
+    # -- dispatch ---------------------------------------------------------
+    def dispatch(self, name: str, args: dict) -> list:
+        req = args.get(1, (None, {}))[1]  # every TCLIService call has one arg
+        fn = getattr(self, f"_do_{name}", None)
+        if fn is None:
+            return [(1, TType.STRUCT, _status_error(f"unimplemented: {name}"))]
+        return fn(req)
+
+    def _do_OpenSession(self, req: dict) -> list:
+        user = req.get(2, (None, b"anonymous"))[1].decode("utf-8")
+        conf = {}
+        if 4 in req:
+            _, _, raw = req[4][1]
+            conf = {k.decode(): v.decode() for k, v in raw.items()}
+        session = self.engine.open_session(user=user, conf=conf or None)
+        guid = uuid.UUID(session.handle.id).bytes
+        with self._lock:
+            self._sessions[guid] = session
+        return [
+            (1, TType.STRUCT, _status_ok()),
+            (2, TType.I32, PROTOCOL_V10),
+            (3, TType.STRUCT, _handle(guid)),
+        ]
+
+    def _do_CloseSession(self, req: dict) -> list:
+        guid = _guid_of(req[1][1])
+        with self._lock:
+            session = self._sessions.pop(guid, None)
+        if session is not None:
+            self.engine.close_session(session.handle)
+        return [(1, TType.STRUCT, _status_ok())]
+
+    def _do_ExecuteStatement(self, req: dict) -> list:
+        session = self._session_for(req)
+        stmt = req[2][1].decode("utf-8")
+        overlay = None
+        if 3 in req:
+            _, _, raw = req[3][1]
+            overlay = {k.decode(): v.decode() for k, v in raw.items()}
+        run_async = bool(req.get(4, (None, False))[1])
+        op = session.execute_statement(stmt, conf_overlay=overlay, run_async=run_async)
+        guid = uuid.UUID(op.handle.id).bytes
+        with self._lock:
+            self._operations[guid] = op
+        # sync execution surfaces the failure here (async clients see it via
+        # GetOperationStatus, like the reference's state+exception polling)
+        if not run_async and op.exception is not None:
+            return [
+                (1, TType.STRUCT, _status_error(str(op.exception))),
+                (2, TType.STRUCT, _op_handle(guid, False)),
+            ]
+        return [
+            (1, TType.STRUCT, _status_ok()),
+            (2, TType.STRUCT, _op_handle(guid, True)),
+        ]
+
+    def _do_GetOperationStatus(self, req: dict) -> list:
+        op = self._operation_for(req)
+        out = [
+            (1, TType.STRUCT, _status_ok()),
+            (2, TType.I32, _OP_STATE.get(op.state, 5)),
+        ]
+        if op.exception is not None:
+            out.append((5, TType.STRING, str(op.exception)))
+        return out
+
+    def _do_GetResultSetMetadata(self, req: dict) -> list:
+        op = self._operation_for(req)
+        return [
+            (1, TType.STRUCT, _status_ok()),
+            (2, TType.STRUCT, _table_schema(op.get_result_set_schema())),
+        ]
+
+    def _do_FetchResults(self, req: dict) -> list:
+        op = self._operation_for(req)
+        orientation = _ORIENTATION.get(req.get(2, (None, 0))[1], FetchOrientation.FETCH_NEXT)
+        max_rows = req.get(3, (None, 100))[1]
+        rows = op.get_next_row_set(orientation, int(max_rows))
+        schema = op.get_result_set_schema()
+        return [
+            (1, TType.STRUCT, _status_ok()),
+            (2, TType.BOOL, len(rows) == int(max_rows)),
+            (3, TType.STRUCT, _row_set(rows, schema)),
+        ]
+
+    def _do_CancelOperation(self, req: dict) -> list:
+        self._operation_for(req).cancel()
+        return [(1, TType.STRUCT, _status_ok())]
+
+    def _do_CloseOperation(self, req: dict) -> list:
+        guid = _guid_of(req[1][1])
+        with self._lock:
+            op = self._operations.pop(guid, None)
+        if op is not None:
+            op.close()
+        return [(1, TType.STRUCT, _status_ok())]
+
+    # -- handle resolution ------------------------------------------------
+    def _session_for(self, req: dict):
+        guid = _guid_of(req[1][1])  # field 1 of every request = the handle
+        with self._lock:
+            return self._sessions[guid]
+
+    def _operation_for(self, req: dict):
+        guid = _guid_of(req[1][1])
+        with self._lock:
+            return self._operations[guid]
+
+
+# -- client ------------------------------------------------------------------
+
+
+class ThriftClient:
+    """Minimal TCLIService client (same codec, NOSASL socket)."""
+
+    def __init__(self, host: str, port: int):
+        self.sock = socket.create_connection((host, port))
+        self.rfile = self.sock.makefile("rb")
+        self._seq = 0
+        self.session_guid: bytes | None = None
+
+    def close(self) -> None:
+        try:
+            self.sock.close()
+        except OSError:
+            pass
+
+    def _call(self, name: str, req_struct: list) -> dict:
+        self._seq += 1
+        w = ProtocolWriter()
+        w.message_begin(name, CALL, self._seq)
+        w.write_value(TType.STRUCT, [(1, TType.STRUCT, req_struct)])
+        self.sock.sendall(bytes(w.buf))
+        reader = ProtocolReader(self.rfile)
+        rname, mtype, _ = reader.message_begin()
+        if mtype == EXCEPTION:
+            raise RuntimeError(f"thrift exception from {rname}")
+        result = reader.read_value(TType.STRUCT)
+        resp = result[0][1]  # success field
+        status = resp.get(1, (None, {}))[1]
+        code = status.get(1, (None, 0))[1]
+        if code not in (0, 1):  # SUCCESS / SUCCESS_WITH_INFO
+            msg = status.get(5, (None, b""))[1]
+            raise RuntimeError(
+                msg.decode("utf-8") if isinstance(msg, bytes) else str(msg)
+            )
+        return resp
+
+    # -- operations -------------------------------------------------------
+    def open_session(self, user: str = "anonymous", conf: dict | None = None) -> None:
+        req = [(1, TType.I32, PROTOCOL_V10), (2, TType.STRING, user)]
+        if conf:
+            req.append((4, TType.MAP, (TType.STRING, TType.STRING, dict(conf))))
+        resp = self._call("OpenSession", req)
+        self.session_guid = _guid_of(resp[3][1])
+
+    def close_session(self) -> None:
+        assert self.session_guid is not None
+        self._call("CloseSession", [(1, TType.STRUCT, _handle(self.session_guid))])
+        self.session_guid = None
+
+    def execute(self, sql: str) -> bytes:
+        assert self.session_guid is not None
+        resp = self._call(
+            "ExecuteStatement",
+            [(1, TType.STRUCT, _handle(self.session_guid)), (2, TType.STRING, sql)],
+        )
+        return _guid_of(resp[2][1])
+
+    def operation_state(self, op_guid: bytes) -> int:
+        resp = self._call(
+            "GetOperationStatus", [(1, TType.STRUCT, _op_handle(op_guid, True))]
+        )
+        return resp[2][1]
+
+    def result_schema(self, op_guid: bytes) -> list[tuple[str, int]]:
+        resp = self._call(
+            "GetResultSetMetadata", [(1, TType.STRUCT, _op_handle(op_guid, True))]
+        )
+        cols = resp[2][1][1][1][1]  # schema.columns list
+        out = []
+        for col in cols:
+            cname = col[1][1].decode("utf-8")
+            type_id = col[2][1][1][1][1][0][1][1][1][1]
+            out.append((cname, type_id))
+        return out
+
+    def fetch(self, op_guid: bytes, max_rows: int = 100) -> list[list]:
+        resp = self._call(
+            "FetchResults",
+            [
+                (1, TType.STRUCT, _op_handle(op_guid, True)),
+                (2, TType.I32, 0),
+                (3, TType.I64, max_rows),
+            ],
+        )
+        rowset = resp[3][1]
+        columns = rowset.get(3, (None, (TType.STRUCT, [])))[1][1]
+        cols = []
+        for tcol in columns:
+            slot, (_, inner) = next(iter(tcol.items()))
+            values = inner[1][1][1]
+            nulls = bytes(inner[2][1])
+            decoded = []
+            for i, v in enumerate(values):
+                if i // 8 < len(nulls) and (nulls[i // 8] >> (i % 8)) & 1:
+                    decoded.append(None)
+                elif slot in (7, 8) and isinstance(v, bytes) and slot == 7:
+                    decoded.append(v.decode("utf-8"))
+                else:
+                    decoded.append(v)
+            cols.append(decoded)
+        n = max((len(c) for c in cols), default=0)
+        return [[c[i] for c in cols] for i in range(n)]
+
+    def close_operation(self, op_guid: bytes) -> None:
+        self._call("CloseOperation", [(1, TType.STRUCT, _op_handle(op_guid, True))])

@@ -8,9 +8,10 @@ Counterparts in the reference:
 - TRowSetGenerator.toRowBasedSet/toColumnBasedSet (kyuubi-common/.../engine/
   result/TRowSetGenerator.scala:25-59): protocol >= V6 ships columnar
   TColumns (one values vector + null bitmask per column), older protocols
-  ship row-based TRows. We reproduce both shapes as JSON-able dicts — the
-  actual thrift framing is out of scope (no HS2 clients in this build), but
-  the columnar layout, default-fill of nulls, and bitmask semantics match.
+  ship row-based TRows. We reproduce both shapes as JSON-able dicts; the
+  columnar layout, default-fill of nulls, and bitmask semantics match, and
+  gateway.thrift frames the columnar shape as real TBinaryProtocol TColumns
+  for the socket frontend.
 """
 
 from __future__ import annotations

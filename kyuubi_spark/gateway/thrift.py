@@ -391,6 +391,69 @@ class ThriftFrontendService:
             (2, TType.STRUCT, _op_handle(guid, True)),
         ]
 
+    # -- metadata operations (JDBC DatabaseMetaData surface) --------------
+    def _register_op(self, op) -> list:
+        guid = uuid.UUID(op.handle.id).bytes
+        with self._lock:
+            self._operations[guid] = op
+        return [
+            (1, TType.STRUCT, _status_ok()),
+            (2, TType.STRUCT, _op_handle(guid, True)),
+        ]
+
+    @staticmethod
+    def _opt_str(req: dict, fid: int) -> str | None:
+        if fid not in req:
+            return None
+        v = req[fid][1]
+        return v.decode("utf-8") if isinstance(v, bytes) else v
+
+    def _do_GetCatalogs(self, req: dict) -> list:
+        return self._register_op(self._session_for(req).get_catalogs())
+
+    def _do_GetSchemas(self, req: dict) -> list:
+        s = self._session_for(req)
+        return self._register_op(
+            s.get_schemas(self._opt_str(req, 2), self._opt_str(req, 3))
+        )
+
+    def _do_GetTables(self, req: dict) -> list:
+        s = self._session_for(req)
+        types_f = req.get(5)
+        table_types = (
+            [t.decode("utf-8") for t in types_f[1][1]] if types_f else None
+        )
+        return self._register_op(
+            s.get_tables(
+                self._opt_str(req, 2), self._opt_str(req, 3),
+                self._opt_str(req, 4), table_types,
+            )
+        )
+
+    def _do_GetTableTypes(self, req: dict) -> list:
+        return self._register_op(self._session_for(req).get_table_types())
+
+    def _do_GetColumns(self, req: dict) -> list:
+        s = self._session_for(req)
+        return self._register_op(
+            s.get_columns(
+                self._opt_str(req, 2), self._opt_str(req, 3),
+                self._opt_str(req, 4), self._opt_str(req, 5),
+            )
+        )
+
+    def _do_GetFunctions(self, req: dict) -> list:
+        # TGetFunctionsReq: 2: catalogName, 3: schemaName, 4: functionName
+        return self._register_op(
+            self._session_for(req).get_functions(self._opt_str(req, 4))
+        )
+
+    def _do_GetTypeInfo(self, req: dict) -> list:
+        return self._register_op(self._session_for(req).get_type_info())
+
+    def _do_GetPrimaryKeys(self, req: dict) -> list:
+        return self._register_op(self._session_for(req).get_primary_keys())
+
     def _do_GetOperationStatus(self, req: dict) -> list:
         op = self._operation_for(req)
         out = [
@@ -552,3 +615,12 @@ class ThriftClient:
 
     def close_operation(self, op_guid: bytes) -> None:
         self._call("CloseOperation", [(1, TType.STRUCT, _op_handle(op_guid, True))])
+
+    def metadata_op(self, method: str, extra_fields: list | None = None) -> bytes:
+        """Issue a JDBC metadata call (GetTables, GetSchemas, ...); returns
+        the operation guid to fetch from."""
+        assert self.session_guid is not None
+        req = [(1, TType.STRUCT, _handle(self.session_guid))]
+        req.extend(extra_fields or [])
+        resp = self._call(method, req)
+        return _guid_of(resp[2][1])

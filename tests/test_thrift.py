@@ -126,3 +126,39 @@ def test_session_isolation_two_clients(thrift_server):
     finally:
         c1.close()
         c2.close()
+
+
+def test_metadata_ops_over_the_wire(client, spark):
+    spark.sql("CREATE TABLE IF NOT EXISTS thrift_meta_t (a INT, b STRING) USING parquet")
+    try:
+        # GetTables: JDBC-shaped rows TABLE_CAT..REMARKS
+        op = client.metadata_op(
+            "GetTables", [(4, TType.STRING, "thrift_meta_%")]
+        )
+        rows = client.fetch(op)
+        assert any(r[2] == "thrift_meta_t" for r in rows)
+        names = [c[0] for c in client.result_schema(op)]
+        assert names[:5] == ["TABLE_CAT", "TABLE_SCHEM", "TABLE_NAME", "TABLE_TYPE", "REMARKS"]
+
+        # GetColumns: typed column metadata
+        op = client.metadata_op(
+            "GetColumns", [(4, TType.STRING, "thrift_meta_t")]
+        )
+        cols = client.fetch(op)
+        got = {(r[3], r[5]) for r in cols}
+        assert ("a", "INT") in got and ("b", "STRING") in got
+
+        # GetTableTypes / GetCatalogs / GetTypeInfo respond over the wire
+        assert ["TABLE"] in client.fetch(client.metadata_op("GetTableTypes")) or \
+               ["VIEW"] in client.fetch(client.metadata_op("GetTableTypes"))
+        client.fetch(client.metadata_op("GetCatalogs"))
+        type_rows = client.fetch(client.metadata_op("GetTypeInfo"))
+        assert any(r[0] == "INT" for r in type_rows)
+
+        # GetPrimaryKeys: empty result, correct JDBC schema (Spark engine)
+        op = client.metadata_op("GetPrimaryKeys")
+        assert client.fetch(op) == []
+        assert [c[0] for c in client.result_schema(op)][:4] == [
+            "TABLE_CAT", "TABLE_SCHEM", "TABLE_NAME", "COLUMN_NAME"]
+    finally:
+        spark.sql("DROP TABLE IF EXISTS thrift_meta_t")

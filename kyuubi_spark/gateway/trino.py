@@ -1,0 +1,235 @@
+"""Trino wire-protocol frontend (the reference's second SQL-over-HTTP API).
+
+Counterpart: kyuubi-server/.../server/KyuubiTrinoFrontendService.scala and
+sql/plan/trino/TrinoFeOperations.scala:26-73. Implements the PUBLIC Trino
+client REST protocol (docs.trino.io client-protocol) on the stdlib HTTP
+stack — enough for any Trino client to run statements:
+
+  POST   /v1/statement                      (SQL body, X-Trino-User header)
+  GET    /v1/statement/{id}/{token}         (follow nextUri for more pages)
+  DELETE /v1/statement/{id}/{token}         (cancel)
+
+Responses are QueryResults JSON: {id, columns, data, nextUri?, stats,
+error?}. Result pages are bounded (`page_size` rows per GET) so client and
+server memory stay O(page), never O(result) — the same paging discipline as
+thrift FetchResults. Statements execute on gateway sessions (one per
+X-Trino-User, created lazily), so session conf, KDFs, and the operation
+state machine are shared with the thrift/REST frontends.
+"""
+
+from __future__ import annotations
+
+import datetime
+import decimal
+import json
+import threading
+import uuid
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from pyspark.sql import types as T
+
+from kyuubi_spark.gateway.engine import Engine
+from kyuubi_spark.gateway.state import FetchOrientation, OperationState
+
+_TRINO_TYPES = {
+    "boolean": "boolean",
+    "tinyint": "tinyint",
+    "smallint": "smallint",
+    "int": "integer",
+    "bigint": "bigint",
+    "float": "real",
+    "double": "double",
+    "date": "date",
+    "timestamp": "timestamp",
+    "timestamp_ntz": "timestamp",
+    "binary": "varbinary",
+}
+
+
+def _trino_type(dt: T.DataType) -> str:
+    s = dt.simpleString()
+    base = s.split("(")[0]
+    if base == "decimal":
+        return s  # decimal(p,s) spells identically
+    return _TRINO_TYPES.get(base, "varchar")
+
+
+def _cell(v, dt: T.DataType):
+    from kyuubi_spark.gateway.wire import to_hive_string
+
+    if v is None:
+        return None
+    if isinstance(dt, (T.ArrayType, T.MapType, T.StructType)):
+        return to_hive_string(v, dt)
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat(sep=" ") if isinstance(v, datetime.datetime) else v.isoformat()
+    if isinstance(v, decimal.Decimal):
+        return str(v)
+    if isinstance(v, bytes):
+        return v.hex()
+    return v
+
+
+class _Query:
+    def __init__(self, op, session):
+        self.op = op
+        self.session = session
+        self.token = 0
+        self.done = False
+
+
+class TrinoGateway:
+    """Minimal Trino-protocol server over a gateway Engine."""
+
+    def __init__(self, engine: Engine, host: str = "127.0.0.1", port: int = 0,
+                 page_size: int = 1000):
+        self.engine = engine
+        self.page_size = page_size
+        self._queries: dict[str, _Query] = {}
+        self._sessions: dict[str, object] = {}
+        self._lock = threading.Lock()
+        service = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):
+                pass
+
+            def _reply(self, code: int, payload: dict) -> None:
+                raw = json.dumps(payload).encode("utf-8")
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(raw)))
+                self.end_headers()
+                self.wfile.write(raw)
+
+            def do_POST(self):  # noqa: N802
+                if self.path.rstrip("/") != "/v1/statement":
+                    self._reply(404, {"error": "not found"})
+                    return
+                n = int(self.headers.get("Content-Length", 0))
+                sql = self.rfile.read(n).decode("utf-8")
+                user = self.headers.get("X-Trino-User", "anonymous")
+                self._reply(200, service.post_statement(sql, user, self._base()))
+
+            def do_GET(self):  # noqa: N802
+                parts = self.path.strip("/").split("/")
+                # /v1/statement/{id}/{slug}/{token}
+                if len(parts) >= 4 and parts[:2] == ["v1", "statement"]:
+                    self._reply(200, service.next_page(parts[2], self._base()))
+                else:
+                    self._reply(404, {"error": "not found"})
+
+            def do_DELETE(self):  # noqa: N802
+                parts = self.path.strip("/").split("/")
+                if len(parts) >= 4 and parts[:2] == ["v1", "statement"]:
+                    self._reply(204, service.cancel(parts[2]))
+                else:
+                    self._reply(404, {"error": "not found"})
+
+            def _base(self) -> str:
+                return f"http://{service.host}:{service.port}"
+
+        self.server = ThreadingHTTPServer((host, port), Handler)
+        self.host, self.port = self.server.server_address
+        self._thread: threading.Thread | None = None
+
+    # -- lifecycle --------------------------------------------------------
+    def start(self) -> "TrinoGateway":
+        self._thread = threading.Thread(
+            target=self.server.serve_forever, name="trino-frontend", daemon=True
+        )
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self.server.shutdown()
+        self.server.server_close()
+
+    # -- protocol ---------------------------------------------------------
+    def _session_for(self, user: str):
+        with self._lock:
+            s = self._sessions.get(user)
+            if s is None:
+                s = self.engine.open_session(user=user)
+                self._sessions[user] = s
+            return s
+
+    def post_statement(self, sql: str, user: str, base: str) -> dict:
+        session = self._session_for(user)
+        op = session.execute_statement(sql)
+        qid = uuid.uuid4().hex
+        q = _Query(op, session)
+        with self._lock:
+            self._queries[qid] = q
+        if op.exception is not None:
+            q.done = True
+            return self._error_results(qid, op)
+        return self._page(qid, q, base)
+
+    def next_page(self, qid: str, base: str) -> dict:
+        with self._lock:
+            q = self._queries.get(qid)
+        if q is None:
+            return {"id": qid, "stats": {"state": "FAILED"},
+                    "error": {"message": "unknown query"}}
+        if q.op.exception is not None:
+            return self._error_results(qid, q.op)
+        return self._page(qid, q, base)
+
+    def cancel(self, qid: str) -> dict:
+        with self._lock:
+            q = self._queries.pop(qid, None)
+        if q is not None:
+            q.op.cancel()
+        return {}
+
+    # -- page assembly ----------------------------------------------------
+    def _error_results(self, qid: str, op) -> dict:
+        return {
+            "id": qid,
+            "stats": {"state": "FAILED"},
+            "error": {
+                "message": str(op.exception),
+                "errorCode": 1,
+                "errorName": "GENERIC_INTERNAL_ERROR",
+            },
+        }
+
+    def _page(self, qid: str, q: _Query, base: str) -> dict:
+        schema = q.op.get_result_set_schema()
+        columns = [
+            {
+                "name": f.name,
+                "type": _trino_type(f.dataType),
+                "typeSignature": {
+                    "rawType": _trino_type(f.dataType).split("(")[0],
+                    "arguments": [],
+                },
+            }
+            for f in schema.fields
+        ]
+        rows = q.op.get_next_row_set(FetchOrientation.FETCH_NEXT, self.page_size)
+        data = [
+            [_cell(v, f.dataType) for v, f in zip(row, schema.fields)]
+            for row in rows
+        ]
+        q.token += 1
+        more = len(rows) == self.page_size
+        out: dict = {
+            "id": qid,
+            "columns": columns,
+            "data": data,
+            "stats": {
+                "state": "RUNNING" if more else "FINISHED",
+                "queued": False,
+                "scheduled": True,
+            },
+        }
+        if more:
+            out["nextUri"] = f"{base}/v1/statement/{qid}/x/{q.token}"
+        else:
+            q.done = True
+            if q.op.state is OperationState.FINISHED:
+                with self._lock:
+                    self._queries.pop(qid, None)
+        return out

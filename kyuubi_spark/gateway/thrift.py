@@ -454,6 +454,28 @@ class ThriftFrontendService:
     def _do_GetPrimaryKeys(self, req: dict) -> list:
         return self._register_op(self._session_for(req).get_primary_keys())
 
+    def _do_GetCrossReference(self, req: dict) -> list:
+        return self._register_op(self._session_for(req).get_cross_reference())
+
+    def _do_GetInfo(self, req: dict) -> list:
+        # TGetInfoReq{1: sessionHandle, 2: infoType}; TGetInfoValue
+        # union slot 1 = stringValue (all our info renders as string)
+        info = self.engine.get_info()
+        info_type = req.get(2, (None, 13))[1]
+        by_type = {13: "SERVER_NAME", 17: "DBMS_NAME", 18: "DBMS_VER"}
+        value = str(info.get(by_type.get(info_type, "SERVER_NAME"), ""))
+        return [
+            (1, TType.STRUCT, _status_ok()),
+            (2, TType.STRUCT, [(1, TType.STRING, value)]),
+        ]
+
+    def _do_GetQueryId(self, req: dict) -> list:
+        op = self._operation_for(req)
+        return [
+            (1, TType.STRUCT, _status_ok()),
+            (2, TType.STRING, op.handle.id),
+        ]
+
     def _do_GetOperationStatus(self, req: dict) -> list:
         op = self._operation_for(req)
         out = [

@@ -162,3 +162,24 @@ def test_metadata_ops_over_the_wire(client, spark):
             "TABLE_CAT", "TABLE_SCHEM", "TABLE_NAME", "COLUMN_NAME"]
     finally:
         spark.sql("DROP TABLE IF EXISTS thrift_meta_t")
+
+
+def test_getinfo_crossref_queryid(client):
+    # GetInfo: server name / dbms version as TGetInfoValue strings
+    resp = client._call("GetInfo", [(1, TType.STRUCT,
+        __import__("kyuubi_spark.gateway.thrift", fromlist=["_handle"])._handle(client.session_guid)),
+        (2, TType.I32, 18)])
+    ver = resp[2][1][1][1].decode("utf-8")
+    assert ver[0].isdigit()
+
+    # GetCrossReference: empty rows, full JDBC FK schema
+    op = client.metadata_op("GetCrossReference")
+    assert client.fetch(op) == []
+    assert [c[0] for c in client.result_schema(op)][:3] == [
+        "PKTABLE_CAT", "PKTABLE_SCHEM", "PKTABLE_NAME"]
+
+    # GetQueryId echoes the operation id
+    op2 = client.execute("SELECT 1")
+    resp = client._call("GetQueryId", [(1, TType.STRUCT,
+        __import__("kyuubi_spark.gateway.thrift", fromlist=["_op_handle"])._op_handle(op2, True))])
+    assert len(resp[2][1].decode("utf-8")) == 36  # uuid string

@@ -30,6 +30,9 @@ HEADLINE = [
     "agg_cube",
     "time_bucket_agg",
     "pivot_event_values",
+    "set_intersect_except_all",
+    "null_safe_join",
+    "agg_grouping_id",
     "distinct_users_daily",
     # training-data pipeline operators
     "dedup_exact",

@@ -921,3 +921,128 @@ def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").over(w).cast("bigint").alias("n_last_hour"),
         dround(F.sum("v").over(w).cast("double"), 4).alias("sum_last_hour"),
     ).orderBy("event_id")
+
+
+@query(
+    "set_intersect_except_all",
+    oracle="""
+    WITH ia AS (
+      SELECT user_id FROM events WHERE event_type = 'purchase'
+      INTERSECT ALL
+      SELECT user_id FROM events WHERE event_type = 'click'),
+    ea AS (
+      SELECT user_id FROM events WHERE event_type = 'click'
+      EXCEPT ALL
+      SELECT user_id FROM events WHERE event_type = 'purchase')
+    SELECT 'intersect_all' AS op, user_id, CAST(COUNT(*) AS BIGINT) AS n
+    FROM ia GROUP BY 2
+    UNION ALL
+    SELECT 'except_all' AS op, user_id, CAST(COUNT(*) AS BIGINT) AS n
+    FROM ea GROUP BY 2
+    ORDER BY op, user_id
+    """,
+    doc="Multiset INTERSECT ALL / EXCEPT ALL (TPC-DS q14/q38 'ALL' "
+    "variants): per-row multiplicities min(a,b) and a-b survive, unlike the "
+    "distinct set ops. Spark plans both as a single aggregate+join of "
+    "per-key counts — no row explosion at any scale.",
+)
+def set_intersect_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    buyers = events.filter(F.col("event_type") == "purchase").select("user_id")
+    clicks = events.filter(F.col("event_type") == "click").select("user_id")
+    ia = (
+        buyers.intersectAll(clicks)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .select(F.lit("intersect_all").alias("op"), "user_id", "n")
+    )
+    ea = (
+        clicks.exceptAll(buyers)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .select(F.lit("except_all").alias("op"), "user_id", "n")
+    )
+    return ia.unionByName(ea).orderBy("op", "user_id")
+
+
+@query(
+    "null_safe_join",
+    oracle="""
+    WITH a AS (
+      SELECT user_id,
+             CASE WHEN user_id % 7 = 0 THEN NULL ELSE user_id % 5 END AS k,
+             COUNT(*) AS n_a
+      FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+    b AS (
+      SELECT user_id,
+             CASE WHEN user_id % 7 = 0 THEN NULL ELSE user_id % 5 END AS k,
+             COUNT(*) AS n_b
+      FROM events WHERE event_type = 'error' GROUP BY 1, 2)
+    SELECT a.user_id, a.k, a.n_a, b.n_b
+    FROM a JOIN b ON a.user_id = b.user_id AND a.k IS NOT DISTINCT FROM b.k
+    ORDER BY a.user_id
+    """,
+    doc="NULL-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys "
+    "match each other, unlike plain =. Same hash-join physical plan — "
+    "NULLs hash to one bucket, so heavily-NULL keys would need the salting "
+    "operator at scale.",
+)
+def null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    k = F.when(F.col("user_id") % 7 == 0, F.lit(None)).otherwise(F.col("user_id") % 5)
+    a = (
+        events.filter(F.col("event_type") == "click")
+        .groupBy(F.col("user_id"), k.alias("k"))
+        .agg(F.count("*").alias("n_a"))
+    )
+    b = (
+        events.filter(F.col("event_type") == "error")
+        .groupBy(F.col("user_id"), k.alias("k"))
+        .agg(F.count("*").alias("n_b"))
+        .select(F.col("user_id").alias("user_id_b"), F.col("k").alias("k_b"), "n_b")
+    )
+    return (
+        a.join(
+            b,
+            (F.col("user_id") == F.col("user_id_b")) & F.col("k").eqNullSafe(F.col("k_b")),
+        )
+        .select("user_id", "k", "n_a", "n_b")
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "agg_grouping_id",
+    oracle="""
+    SELECT event_type, source,
+           CAST(GROUPING(event_type) * 2 + GROUPING(source) AS BIGINT) AS gid,
+           COUNT(*) AS n
+    FROM (SELECT event_type, user_id % 3 AS source FROM events) t
+    GROUP BY GROUPING SETS ((event_type, source), (event_type), ())
+    ORDER BY gid, event_type NULLS FIRST, source NULLS FIRST
+    """,
+    doc="GROUPING/GROUPING_ID disambiguation: distinguishes 'NULL because "
+    "rolled up' from 'NULL in the data' — the standard cube-consumer "
+    "contract (TPC-DS q27/q36 use it for level filtering).",
+)
+def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events").select(
+        "event_type", (F.col("user_id") % 3).alias("source")
+    )
+    return (
+        events.groupingSets(
+            [["event_type", "source"], ["event_type"], []],
+            "event_type", "source",
+        )
+        .agg(
+            (F.grouping("event_type") * 2 + F.grouping("source"))
+            .cast("bigint")
+            .alias("gid"),
+            F.count("*").alias("n"),
+        )
+        .orderBy(
+            "gid",
+            F.col("event_type").asc_nulls_first(),
+            F.col("source").asc_nulls_first(),
+        )
+    )

@@ -497,8 +497,39 @@ class ThriftFrontendService:
         op = self._operation_for(req)
         orientation = _ORIENTATION.get(req.get(2, (None, 0))[1], FetchOrientation.FETCH_NEXT)
         max_rows = req.get(3, (None, 100))[1]
+        fetch_type = req.get(5, (None, 0))[1]
+        if fetch_type == 1:
+            # fetchType=1 = the operation LOG channel (TFrontendService:522
+            # fetchLog) — one string column; agent event streams ride here
+            lines = op.fetch_log(int(max_rows))
+            log_schema = T.StructType([T.StructField("operation_log", T.StringType())])
+            return [
+                (1, TType.STRUCT, _status_ok()),
+                (2, TType.BOOL, len(lines) == int(max_rows)),
+                (3, TType.STRUCT, _row_set([(ln,) for ln in lines], log_schema)),
+            ]
         rows = op.get_next_row_set(orientation, int(max_rows))
         schema = op.get_result_set_schema()
+        # Arrow result mode (ArrowBasedExecuteStatement): the fetched items
+        # are pyarrow RecordBatches — ship each as IPC-stream bytes in one
+        # binary column, the layout Kyuubi's arrow-enabled JDBC client reads
+        if rows and type(rows[0]).__name__ == "RecordBatch":
+            import io
+
+            import pyarrow as pa
+
+            payloads = []
+            for batch in rows:
+                sink = io.BytesIO()
+                with pa.ipc.new_stream(sink, batch.schema) as wr:
+                    wr.write_batch(batch)
+                payloads.append((sink.getvalue(),))
+            arrow_schema = T.StructType([T.StructField("arrowBatch", T.BinaryType())])
+            return [
+                (1, TType.STRUCT, _status_ok()),
+                (2, TType.BOOL, len(rows) == int(max_rows)),
+                (3, TType.STRUCT, _row_set(payloads, arrow_schema)),
+            ]
         return [
             (1, TType.STRUCT, _status_ok()),
             (2, TType.BOOL, len(rows) == int(max_rows)),
@@ -607,13 +638,18 @@ class ThriftClient:
             out.append((cname, type_id))
         return out
 
-    def fetch(self, op_guid: bytes, max_rows: int = 100) -> list[list]:
+    def fetch_log(self, op_guid: bytes, max_rows: int = 100) -> list[str]:
+        rows = self.fetch(op_guid, max_rows, fetch_type=1)
+        return [r[0] for r in rows]
+
+    def fetch(self, op_guid: bytes, max_rows: int = 100, fetch_type: int = 0) -> list[list]:
         resp = self._call(
             "FetchResults",
             [
                 (1, TType.STRUCT, _op_handle(op_guid, True)),
                 (2, TType.I32, 0),
                 (3, TType.I64, max_rows),
+                (5, TType.I16, fetch_type),
             ],
         )
         rowset = resp[3][1]

@@ -183,3 +183,39 @@ def test_getinfo_crossref_queryid(client):
     resp = client._call("GetQueryId", [(1, TType.STRUCT,
         __import__("kyuubi_spark.gateway.thrift", fromlist=["_op_handle"])._op_handle(op2, True))])
     assert len(resp[2][1].decode("utf-8")) == 36  # uuid string
+
+
+def test_fetch_operation_log_channel(client):
+    op = client.execute("SELECT 1 AS one")
+    client.fetch(op)
+    log = client.fetch_log(op)
+    assert any("executing" in ln for ln in log)
+    client.close_operation(op)
+
+
+def test_arrow_result_mode_over_the_wire(client):
+    import io
+    import pyarrow as pa
+
+    resp = client._call(
+        "ExecuteStatement",
+        [
+            (1, TType.STRUCT,
+             __import__("kyuubi_spark.gateway.thrift", fromlist=["_handle"])._handle(client.session_guid)),
+            (2, TType.STRING, "SELECT id, id * 2 AS dbl FROM range(5) ORDER BY id"),
+            (3, TType.MAP, (TType.STRING, TType.STRING,
+                            {"kyuubi.operation.result.format": "arrow"})),
+        ],
+    )
+    from kyuubi_spark.gateway.thrift import _guid_of
+    op = _guid_of(resp[2][1])
+    rows = client.fetch(op)
+    # each row is one arrow IPC stream payload (binary hex decoded by slot 8)
+    tables = []
+    for (payload,) in rows:
+        buf = payload if isinstance(payload, bytes) else bytes.fromhex(payload)
+        with pa.ipc.open_stream(io.BytesIO(buf)) as rd:
+            tables.append(rd.read_all())
+    tbl = pa.concat_tables(tables)
+    assert tbl.column("id").to_pylist() == [0, 1, 2, 3, 4]
+    assert tbl.column("dbl").to_pylist() == [0, 2, 4, 6, 8]

@@ -36,6 +36,7 @@ HEADLINE = [
     "distinct_users_daily",
     # training-data pipeline operators
     "dedup_exact",
+    "pipeline_corpus_clean",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_ngram_jaccard",

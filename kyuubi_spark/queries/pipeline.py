@@ -660,3 +660,72 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket", "dim")
     )
+
+
+@query(
+    "pipeline_corpus_clean",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source, text, n_chars,
+             string_split(trim(text), ' ') AS toks,
+             md5(regexp_replace(lower(trim(text)), ' +', ' ', 'g')) AS fp
+      FROM documents),
+    m AS (
+      SELECT doc_id, source, fp,
+             CAST(len(toks) AS BIGINT) AS n_tokens,
+             CAST(len(list_filter(toks, x -> list_contains([{_STOP_SQL}], lower(x))))
+                  AS DOUBLE) / greatest(len(toks), 1) AS stop_ratio,
+             CASE WHEN len(toks) >= 3
+                  THEN 1.0 - CAST(len(list_distinct(list_transform(
+                         generate_series(1, len(toks) - 2),
+                         i -> array_to_string(toks[i:i+2], ' ')))) AS DOUBLE)
+                       / (len(toks) - 2)
+                  ELSE 0.0 END AS rep_ratio
+      FROM t),
+    filtered AS (
+      SELECT * FROM m
+      WHERE stop_ratio >= 0.05        -- lang-id: keep english-like
+        AND n_tokens >= 10            -- length floor
+        AND rep_ratio <= 0.8),        -- repetition ceiling
+    deduped AS (
+      SELECT source, fp, MIN(doc_id) AS keeper,
+             MIN(n_tokens) AS n_tokens
+      FROM filtered GROUP BY source, fp)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+    FROM deduped GROUP BY source ORDER BY source
+    """,
+    doc="The composed corpus-curation pass (C4-style): language-ID gate -> "
+    "length floor -> repetition ceiling -> exact dedup (md5 fingerprint, "
+    "min-doc_id survivor) -> per-source token accounting. One map-only "
+    "scan computes every per-doc signal (no Python, no extra passes), "
+    "then a single (source, fp) shuffle dedupes and a cells-only shuffle "
+    "aggregates: 100 TB in, two shuffles total, both keyed uniformly.",
+)
+def pipeline_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    m = docs.select(
+        "doc_id",
+        "source",
+        T.fingerprint("text").alias("fp"),
+        T.token_count("text").alias("n_tokens"),
+        T.stopword_ratio("text").alias("stop_ratio"),
+        T.repetition_ratio("text").alias("rep_ratio"),
+    )
+    filtered = m.filter(
+        (F.col("stop_ratio") >= 0.05)
+        & (F.col("n_tokens") >= 10)
+        & (F.col("rep_ratio") <= 0.8)
+    )
+    deduped = filtered.groupBy("source", "fp").agg(
+        F.min("doc_id").alias("keeper"), F.min("n_tokens").alias("n_tokens")
+    )
+    return (
+        deduped.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        )
+        .orderBy("source")
+    )

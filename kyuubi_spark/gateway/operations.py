@@ -393,6 +393,39 @@ class ExecutePython(Operation):
 
     def _execute(self) -> None:
         ns = self.session.python_namespace
+        code = self.code.strip()
+        # Magics (ExecutePython.scala's %json / %table response modes):
+        # %json <expr>  → one row with the expression rendered as JSON
+        # %table <expr> → a REAL result set: DataFrame collect with its own
+        #                 schema, or list-of-dicts coerced to string columns
+        if code.startswith("%json ") or code.startswith("%table "):
+            magic, expr = code.split(" ", 1)
+            value = eval(expr, ns)  # noqa: S307 - the operation IS code exec
+            if magic == "%json":
+                import json as _json
+
+                self._schema = T.StructType(
+                    [T.StructField("output", T.StringType()),
+                     T.StructField("status", T.StringType())]
+                )
+                self._iter = ArrayFetchIterator(
+                    [(_json.dumps(value, default=str, sort_keys=True), "ok")]
+                )
+                return
+            if isinstance(value, DataFrame):
+                self._schema = value.schema
+                self._iter = ArrayFetchIterator(value.collect())
+                return
+            rows = list(value)
+            cols = sorted({k for r in rows for k in r}) if rows else ["value"]
+            self._schema = T.StructType(
+                [T.StructField(c, T.StringType()) for c in cols]
+            )
+            self._iter = ArrayFetchIterator(
+                [tuple(str(r.get(c)) for c in cols) for r in rows]
+            )
+            return
+
         buf = io.StringIO()
         status = "ok"
         try:

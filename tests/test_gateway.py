@@ -454,3 +454,40 @@ def test_get_operation_status_with_progress(session):
     assert p["num_tasks"] > 0 and p["completed_tasks"] > 0
     assert p["completed_tasks"] <= p["num_tasks"]
     assert p["active_tasks"] == 0 and 0 < p["progress"] <= 1.0
+
+
+def test_execute_python_json_magic(session):
+    session.execute_statement(
+        "payload = {'a': 1, 'b': [1, 2]}",
+        conf_overlay={"kyuubi.operation.language": "PYTHON"},
+    )
+    op = session.execute_statement(
+        "%json payload", conf_overlay={"kyuubi.operation.language": "PYTHON"}
+    )
+    out, status = op.get_next_row_set()[0]
+    assert status == "ok"
+    import json
+    assert json.loads(out) == {"a": 1, "b": [1, 2]}
+
+
+def test_execute_python_table_magic_dataframe(session):
+    op = session.execute_statement(
+        "%table spark.sql('SELECT id, id * 10 AS v FROM range(3) ORDER BY id')",
+        conf_overlay={"kyuubi.operation.language": "PYTHON"},
+    )
+    # a REAL result set with the DataFrame's own schema
+    assert [f.name for f in op.get_result_set_schema().fields] == ["id", "v"]
+    rows = [tuple(r) for r in op.get_next_row_set()]
+    assert rows == [(0, 0), (1, 10), (2, 20)]
+
+
+def test_execute_python_table_magic_dicts(session):
+    session.execute_statement(
+        "recs = [{'x': 1, 'y': 'a'}, {'x': 2, 'y': 'b'}]",
+        conf_overlay={"kyuubi.operation.language": "PYTHON"},
+    )
+    op = session.execute_statement(
+        "%table recs", conf_overlay={"kyuubi.operation.language": "PYTHON"}
+    )
+    assert [f.name for f in op.get_result_set_schema().fields] == ["x", "y"]
+    assert [tuple(r) for r in op.get_next_row_set()] == [("1", "a"), ("2", "b")]

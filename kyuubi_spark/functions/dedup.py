@@ -264,13 +264,24 @@ def jaccard_pairs(
     )
 
 
-def _token_bit(h: Column, i: int) -> Column:
-    """±1 for bit ``i`` (0-based) of a signed-long hash column.
+def _md5_hash_parts(tok: Column) -> tuple[Column, Column]:
+    """(hi32, lo32) of a 64-bit token hash derived from md5 — the
+    cross-engine-reproducible base hash (xxhash64 has no DuckDB twin, so
+    the oracle could only rows-check; md5 makes SimHash value-exact).
+    Two 32-bit halves keep every conv() result far from long overflow."""
+    hx = F.md5(tok.cast("binary"))
+    hi = F.conv(F.substring(hx, 1, 8), 16, 10).cast("long")
+    lo = F.conv(F.substring(hx, 9, 8), 16, 10).cast("long")
+    return hi, lo
 
-    Mask test instead of shifting: bit 63 is the sign bit (1<<63 overflows a
-    long literal), every other bit is ``h & (1<<i) != 0``.
-    """
-    on = (h < 0) if i == 63 else (h.bitwiseAND(F.lit(1 << i)) != 0)
+
+def _token_bit_from_parts(hi: Column, lo: Column, i: int) -> Column:
+    """±1 for bit ``i`` (0-based) of the (hi, lo) 64-bit token hash."""
+    on = (
+        lo.bitwiseAND(F.lit(1 << i)) != 0
+        if i < 32
+        else hi.bitwiseAND(F.lit(1 << (i - 32))) != 0
+    )
     return F.when(on, 1).otherwise(-1)
 
 
@@ -282,7 +293,7 @@ def simhash_signatures_df(
 ) -> DataFrame:
     """(id, sig) per document; sig is a ``num_bits``-char '0'/'1' string.
 
-    Classic SimHash: per token h = xxhash64(token); signature bit i = 1 iff
+    Classic SimHash: per token a 64-bit md5-derived hash; signature bit i = 1 iff
     sum over tokens of (2*bit_i(h) - 1) > 0 (ties → 0). Fast path: explode
     tokens, derive the 64 ±1 bit columns as codegen'd projections, reduce
     with 64 sum aggregates (map-side partial combine ⇒ one doc-id-keyed
@@ -292,9 +303,14 @@ def simhash_signatures_df(
         F.col(id_col).alias("id"),
         F.explode(F.split(F.trim(F.col(text_col)), " ")).alias("tok"),
     )
-    h = F.xxhash64("tok")
+    hi, lo = _md5_hash_parts(F.col("tok"))
+    toks = toks.select("id", hi.alias("hh"), lo.alias("hl"))
     per_tok = toks.select(
-        "id", *[_token_bit(h, i).alias(f"b{i}") for i in range(num_bits)]
+        "id",
+        *[
+            _token_bit_from_parts(F.col("hh"), F.col("hl"), i).alias(f"b{i}")
+            for i in range(num_bits)
+        ],
     )
     sums = per_tok.groupBy("id").agg(
         *[F.sum(f"b{i}").alias(f"s{i}") for i in range(num_bits)]
@@ -319,7 +335,12 @@ def simhash_bits(text: Column | str, num_bits: int = 64) -> Column:
         F.array_repeat(F.lit(0).cast("long"), num_bits),
         lambda acc, t: F.zip_with(
             acc,
-            F.array(*[_token_bit(F.xxhash64(t), i).cast("long") for i in range(num_bits)]),
+            F.array(
+                *[
+                    _token_bit_from_parts(*_md5_hash_parts(t), i).cast("long")
+                    for i in range(num_bits)
+                ]
+            ),
             lambda a, b: a + b,
         ),
     )

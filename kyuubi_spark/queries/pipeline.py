@@ -267,8 +267,46 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_simhash",
-    oracle=None,  # 64-bit banded SimHash — verified by pytest vs brute force
-    doc="SimHash(64) near-dup pairs via 4-chunk banding (Manku et al. scheme).",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id AS id, unnest(string_split(trim(text), ' ')) AS tok
+      FROM documents),
+    h AS (
+      SELECT id,
+             ('0x' || substring(md5(tok), 1, 8))::BIGINT AS hi,
+             ('0x' || substring(md5(tok), 9, 8))::BIGINT AS lo
+      FROM toks),
+    b AS (
+      SELECT id, t.i AS bit,
+             SUM(CASE WHEN (CASE WHEN t.i < 32 THEN (lo >> t.i) & 1
+                            ELSE (hi >> (t.i - 32)) & 1 END) = 1
+                      THEN 1 ELSE -1 END) AS s
+      FROM h, (SELECT unnest(generate_series(0, 63)) AS i) t(i)
+      GROUP BY 1, 2),
+    sig AS (
+      SELECT id,
+             string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY bit)
+               AS sig
+      FROM b GROUP BY id),
+    ch AS (
+      SELECT id, sig, t.c AS c, substring(sig, t.c * 16 + 1, 16) AS chunk
+      FROM sig, (SELECT unnest(generate_series(0, 3)) AS c) t(c)),
+    cand AS (
+      SELECT DISTINCT a.id AS a_id, b.id AS b_id, a.sig AS sa, b.sig AS sb
+      FROM ch a JOIN ch b ON a.c = b.c AND a.chunk = b.chunk AND a.id < b.id),
+    scored AS (
+      SELECT a_id, b_id,
+             CAST(list_sum(list_transform(generate_series(1, 64),
+                    i -> CASE WHEN substring(sa, i, 1) <> substring(sb, i, 1)
+                         THEN 1 ELSE 0 END)) AS INTEGER) AS hamming
+      FROM cand)
+    SELECT a_id, b_id, hamming FROM scored
+    WHERE hamming <= 3 ORDER BY a_id, b_id
+    """,
+    doc="SimHash(64) near-dup pairs via 4-chunk banding (Manku et al. "
+    "scheme), value-exact against a full SQL replay: md5-derived token "
+    "bits, ±1 bit sums, chunk-equality candidates, hamming via bit-string "
+    "diff — the md5 base hash makes the whole pipeline engine-independent.",
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")

@@ -379,8 +379,47 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "knn_cosine_lsh",
-    oracle=None,  # approximate (SRP buckets) — recall measured in pytest
-    doc="SRP-LSH bucketed ANN top-5 — the bucket-join scale path for 100 TB.",
+    oracle=f"""
+    WITH {_COSINE_CTE},
+    b AS (
+      SELECT vec_id,
+             string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY p)
+               AS bucket
+      FROM (
+        SELECT vec_id, p.p AS p,
+               list_sum(list_transform(generate_series(1, 64),
+                 i -> CAST(embedding[i] AS DOUBLE) *
+                      (CAST(strpos('0123456789abcdef',
+                              substring(md5(CAST(p.p AS VARCHAR) || ':' ||
+                                            CAST(i - 1 AS VARCHAR)), 1, 1)) - 1
+                            AS DOUBLE) - 7.5))) AS s
+        FROM e, (SELECT unnest(generate_series(0, 7)) AS p) p) t
+      GROUP BY vec_id),
+    eb AS (
+      SELECT e.vec_id, e.embedding, e.nrm, b.bucket
+      FROM e JOIN b ON e.vec_id = b.vec_id),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             ROUND(list_sum(list_transform(generate_series(1, 64),
+                     i -> CAST(c.embedding[i] AS DOUBLE)
+                          * CAST(q.embedding[i] AS DOUBLE)))
+                   / (c.nrm * q.nrm), 6) AS score
+      FROM eb q JOIN eb c
+        ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+      WHERE q.vec_id < 10),
+    ranked AS (
+      SELECT query_id, neighbor_id, score,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, neighbor_id)
+                  AS BIGINT) AS rnk
+      FROM scored)
+    SELECT query_id, neighbor_id, score, rnk
+    FROM ranked WHERE rnk <= 5 ORDER BY query_id, rnk
+    """,
+    doc="SRP-LSH bucketed ANN top-5 — the bucket-join scale path for "
+    "100 TB. Value-exact oracle: the hyperplane weights are pure "
+    "md5(plane:dim) expressions, so DuckDB replays bucketing, candidate "
+    "join, and rounded cosine rerank bit-for-bit.",
 )
 def knn_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")

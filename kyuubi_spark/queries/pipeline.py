@@ -429,10 +429,57 @@ def knn_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "knn_cosine_ivf",
-    oracle=None,  # approximate (IVF probe subset) — recall measured in pytest
+    oracle=f"""
+    WITH {_COSINE_CTE},
+    cent0 AS (
+      SELECT vec_id, embedding, nrm FROM e
+      WHERE vec_id % 16 = 0 ORDER BY vec_id LIMIT 16),
+    cent AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
+             embedding, greatest(nrm, 1e-12) AS cnrm
+      FROM cent0),
+    sim AS (
+      SELECT v.vec_id, c.cell,
+             list_sum(list_transform(generate_series(1, 64),
+               i -> CAST(v.embedding[i] AS DOUBLE)
+                    * CAST(c.embedding[i] AS DOUBLE)))
+               / (greatest(v.nrm, 1e-12) * c.cnrm) AS d
+      FROM e v, cent c),
+    assign AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY d DESC, cell) AS r
+        FROM sim) t WHERE r = 1),
+    probe AS (
+      SELECT vec_id AS query_id, cell FROM (
+        SELECT vec_id, cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY d DESC, cell) AS r
+        FROM sim WHERE vec_id < 10) t WHERE r <= 4),
+    scored AS (
+      SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id,
+             ROUND(list_sum(list_transform(generate_series(1, 64),
+                     i -> CAST(cv.embedding[i] AS DOUBLE)
+                          * CAST(qv.embedding[i] AS DOUBLE)))
+                   / (cv.nrm * qv.nrm), 6) AS score
+      FROM probe p
+      JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.query_id
+      JOIN e qv ON qv.vec_id = p.query_id
+      JOIN e cv ON cv.vec_id = a.vec_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, score,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, neighbor_id)
+                  AS BIGINT) AS rnk
+      FROM scored)
+    SELECT query_id, neighbor_id, score, rnk
+    FROM ranked WHERE rnk <= 5 ORDER BY query_id, rnk
+    """,
     doc="IVF-bucketed ANN top-5 (coarse quantizer + n_probe cells + exact "
     "rerank) — the inverted-file scale path; assignment is an Arrow-batched "
-    "numpy matmul pandas UDF.",
+    "numpy matmul pandas UDF. Deterministic centroid sample makes the whole "
+    "index SQL-replayable: the oracle rebuilds cells, probes, and rerank.",
 )
 def knn_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")

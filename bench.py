@@ -77,6 +77,21 @@ HEADLINE = [
     "stream_stream_join",
     "stream_dedup",
     "stream_sink_parquet",
+    # full-registry completion (everything else, alphabetical)
+    "agg_grouping_sets",
+    "approx_distinct_users",
+    "conditional_functions",
+    "date_arithmetic",
+    "events_customer_join",
+    "lateral_explode_tokens",
+    "semi_anti_join",
+    "set_except",
+    "set_intersect",
+    "set_union_all",
+    "string_functions",
+    "text_lang_id",
+    "win_moving_avg",
+    "win_sessionize",
 ]
 
 

@@ -261,6 +261,58 @@ def random_hyperplane_buckets(
     return F.concat(*bits)
 
 
+def srp_buckets_df(
+    embeddings: DataFrame,
+    n_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, bucket) via the exploded codegen fast path — the 100 TB shape.
+
+    ``random_hyperplane_buckets`` evaluates an interpreted 8x64 lambda per
+    row; here we posexplode to (id, dim, x) and reduce with ``n_planes``
+    map-side-combined SUM aggregates — whole-stage codegen, one id-keyed
+    shuffle of 8 decimals per row.
+
+    Projections run in DECIMAL fixed point (x quantized to 12 digits,
+    weights are exact halves), so the sums are ORDER-INDEPENDENT — any
+    partitioning, any engine, bit-identical sign bits. Weights come from
+    the same md5(plane:dim) formula, materialized driver-side with hashlib
+    (identical digests) into literal arrays: no join, no broadcast.
+    """
+    import hashlib
+
+    weights = [
+        [
+            float(int(hashlib.md5(f"{p}:{d}".encode()).hexdigest()[0], 16)) - 7.5
+            for d in range(dim)
+        ]
+        for p in range(n_planes)
+    ]
+    w_arrays = [
+        F.array(*[F.lit(w).cast("decimal(3,1)") for w in row]) for row in weights
+    ]
+    ex = embeddings.select(
+        F.col(id_col).alias("id"), F.posexplode(vec_col).alias("d", "xf")
+    ).select(
+        "id", "d", F.col("xf").cast("double").cast("decimal(18,12)").alias("x")
+    )
+    sums = ex.groupBy("id").agg(
+        *[
+            F.sum(F.col("x") * F.element_at(w_arrays[p], F.col("d") + 1)).alias(f"s{p}")
+            for p in range(n_planes)
+        ]
+    )
+    bucket = F.concat(
+        *[
+            F.when(F.col(f"s{p}") > 0, F.lit("1")).otherwise(F.lit("0"))
+            for p in range(n_planes)
+        ]
+    )
+    return sums.select("id", bucket.alias("bucket"))
+
+
 def cosine_topk_lsh(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -278,9 +330,10 @@ def cosine_topk_lsh(
     """
     from pyspark.sql import Window
 
-    emb_b = _with_vec_norm(embeddings, id_col, vec_col, "e").withColumn(
-        "bucket", random_hyperplane_buckets(F.col("e_vec"), n_planes, dim)
-    )
+    buckets = srp_buckets_df(embeddings, n_planes, dim, id_col, vec_col)
+    emb_b = _with_vec_norm(embeddings, id_col, vec_col, "e").join(
+        buckets, F.col("e_id") == F.col("id")
+    ).drop("id")
     q = emb_b.select(
         F.col("e_id").alias("query_id"),
         F.col("e_vec").alias("query_vec"),

@@ -386,14 +386,16 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
              string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY p)
                AS bucket
       FROM (
-        SELECT vec_id, p.p AS p,
-               list_sum(list_transform(generate_series(1, 64),
-                 i -> CAST(embedding[i] AS DOUBLE) *
-                      (CAST(strpos('0123456789abcdef',
-                              substring(md5(CAST(p.p AS VARCHAR) || ':' ||
-                                            CAST(i - 1 AS VARCHAR)), 1, 1)) - 1
-                            AS DOUBLE) - 7.5))) AS s
-        FROM e, (SELECT unnest(generate_series(0, 7)) AS p) p) t
+        SELECT e.vec_id, p.p AS p,
+               SUM(CAST(CAST(e.embedding[d.i] AS DOUBLE) AS DECIMAL(18,12))
+                   * CAST(CAST(strpos('0123456789abcdef',
+                           substring(md5(CAST(p.p AS VARCHAR) || ':' ||
+                                         CAST(d.i - 1 AS VARCHAR)), 1, 1)) - 1
+                          AS DOUBLE) - 7.5 AS DECIMAL(3,1))) AS s
+        FROM e,
+             (SELECT unnest(generate_series(0, 7)) AS p) p,
+             (SELECT unnest(generate_series(1, 64)) AS i) d(i)
+        GROUP BY 1, 2) t
       GROUP BY vec_id),
     eb AS (
       SELECT e.vec_id, e.embedding, e.nrm, b.bucket

@@ -855,3 +855,58 @@ def pipeline_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "sequence_packing",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, source,
+             CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens
+      FROM documents),
+    c AS (
+      SELECT doc_id, source, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND CURRENT ROW) AS cum
+      FROM t),
+    binned AS (
+      SELECT source, CAST(floor((cum - n_tokens) / 512) AS BIGINT) AS bin,
+             n_tokens
+      FROM c)
+    SELECT source, bin,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
+    FROM binned GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    doc="Sequence packing for training batches: per source shard, docs are "
+    "packed in doc_id order into 512-token bins via cumulative-sum "
+    "bin assignment (bin = floor(start_offset / capacity) — deterministic, "
+    "one window pass, no greedy loop). Partitioned by source so packing "
+    "state never crosses shards: at 100 TB each shard packs "
+    "independently, no global sort. Integer token sums are order-exact.",
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", "source", T.token_count("text").alias("n_tokens"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = t.withColumn("cum", F.sum("n_tokens").over(w))
+    binned = c.select(
+        "source",
+        F.floor((F.col("cum") - F.col("n_tokens")) / 512).cast("bigint").alias("bin"),
+        "n_tokens",
+    )
+    return (
+        binned.groupBy("source", "bin")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("bin_tokens"),
+        )
+        .orderBy("source", "bin")
+    )

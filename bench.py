@@ -60,6 +60,7 @@ HEADLINE = [
     "knn_cosine_lsh",
     "knn_cosine_ivf",
     "embedding_centroids",
+    "embedding_quantize_int8",
     "multimodal_decode",
     "multimodal_frame_sample",
     # TPC-DS-shaped composites

@@ -910,3 +910,65 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "bin")
     )
+
+
+@query(
+    "embedding_quantize_int8",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id,
+             greatest(list_max(list_transform(embedding,
+                 x -> abs(CAST(x AS DOUBLE)))), 1e-12) AS scale,
+             embedding
+      FROM embeddings),
+    err AS (
+      SELECT vec_id, scale,
+             list_max(list_transform(embedding,
+               x -> abs(CAST(x AS DOUBLE)
+                        - least(greatest(CAST(ROUND(CAST(CAST(x AS DOUBLE) / scale * 127
+                                                    AS DECIMAL(20,6)), 0) AS DOUBLE),
+                                         -127), 127) * scale / 127)))
+               AS max_err
+      FROM q)
+    SELECT vec_id, ROUND(scale, 6) AS scale, ROUND(max_err, 8) AS max_abs_err,
+           max_err <= scale / 127 AS within_half_step
+    FROM err ORDER BY vec_id
+    """,
+    doc="Symmetric int8 quantization of the embedding column (the vector-"
+    "store compression step: 4x smaller, one scale per vector) with "
+    "per-vector reconstruction-error audit. Map-only column expressions — "
+    "no shuffle, no Python; the error bound (half a quantization step) is "
+    "checked row-by-row in both engines. Quantization rounds through a "
+    "decimal intermediate so the int codes are engine- and codepath-exact.",
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    # exploded layout: no nested higher-order functions (their lambdas are
+    # interpreted AND nested HOF inlining under CollapseProject has been
+    # observed to evaluate divergently), and the window/agg pair is
+    # whole-stage-codegen with vec_id-keyed shuffles only
+    ex = emb.select("vec_id", F.posexplode("embedding").alias("d", "xf")).select(
+        "vec_id", F.col("xf").cast("double").alias("x")
+    )
+    w = Window.partitionBy("vec_id")
+    ex = ex.withColumn(
+        "scale", F.greatest(F.max(F.abs(F.col("x"))).over(w), F.lit(1e-12))
+    )
+    qcode = (
+        F.round((F.col("x") / F.col("scale") * 127).cast("decimal(20,6)"), 0)
+        .cast("double")
+    )
+    qclamped = F.least(F.greatest(qcode, F.lit(-127.0)), F.lit(127.0))
+    err = F.abs(F.col("x") - qclamped * F.col("scale") / 127)
+    return (
+        ex.select("vec_id", "scale", err.alias("e"))
+        .groupBy("vec_id")
+        .agg(
+            dround(F.first("scale"), 6).alias("scale"),
+            dround(F.max("e"), 8).alias("max_abs_err"),
+            (F.max("e") <= F.first("scale") / 127).alias("within_half_step"),
+        )
+        .orderBy("vec_id")
+    )

@@ -353,9 +353,12 @@ class ThriftFrontendService:
         guid = uuid.UUID(session.handle.id).bytes
         with self._lock:
             self._sessions[guid] = session
+        # protocol negotiation (Session.scala:51-96): serve the lower of the
+        # client's requested version and our max
+        client_proto = req.get(1, (None, PROTOCOL_V10))[1]
         return [
             (1, TType.STRUCT, _status_ok()),
-            (2, TType.I32, PROTOCOL_V10),
+            (2, TType.I32, min(int(client_proto), PROTOCOL_V10)),
             (3, TType.STRUCT, _handle(guid)),
         ]
 

@@ -219,3 +219,19 @@ def test_arrow_result_mode_over_the_wire(client):
     tbl = pa.concat_tables(tables)
     assert tbl.column("id").to_pylist() == [0, 1, 2, 3, 4]
     assert tbl.column("dbl").to_pylist() == [0, 2, 4, 6, 8]
+
+
+def test_protocol_negotiation(thrift_server):
+    from kyuubi_spark.gateway.thrift import _handle
+
+    c = ThriftClient(thrift_server.host, thrift_server.port)
+    try:
+        # request an older protocol (V6 = ordinal 5); server must not exceed it
+        resp = c._call("OpenSession", [(1, TType.I32, 5), (2, TType.STRING, "old_client")])
+        assert resp[2][1] == 5
+        c.session_guid = __import__(
+            "kyuubi_spark.gateway.thrift", fromlist=["_guid_of"]
+        )._guid_of(resp[3][1])
+        c.close_session()
+    finally:
+        c.close()

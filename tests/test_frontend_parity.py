@@ -1,0 +1,87 @@
+"""Cross-frontend parity: the same statement through every wire.
+
+A user of the reference reaches the engine over HS2 thrift, REST, or the
+Trino protocol; all must agree. This capstone test runs one typed query
+through (a) the in-process gateway, (b) REST v1, (c) the thrift binary
+frontend, and (d) the Trino protocol, and asserts identical row values.
+"""
+
+from __future__ import annotations
+
+import json
+import urllib.request
+
+import pytest
+
+from kyuubi_spark.gateway.thrift import ThriftClient, ThriftFrontendService
+from kyuubi_spark.gateway.trino import TrinoGateway
+
+SQL = (
+    "SELECT id AS i, CAST(id AS DOUBLE) / 4 AS d, CONCAT('r', id) AS s, "
+    "id % 2 = 0 AS b FROM range(6) ORDER BY id"
+)
+EXPECT = [[i, i / 4, f"r{i}", i % 2 == 0] for i in range(6)]
+
+
+@pytest.fixture(scope="module")
+def engine(spark):
+    from kyuubi_spark.gateway import Engine
+
+    return Engine(spark=spark)
+
+
+def test_inproc_and_rest_agree(engine):
+    from kyuubi_spark.gateway.rest import RestGateway
+
+    s = engine.open_session(user="parity")
+    op = s.execute_statement(SQL)
+    inproc = [list(r) for r in op.get_next_row_set(size=100)]
+    assert inproc == EXPECT
+    engine.close_session(s.handle)
+
+    gw = RestGateway(engine).start()
+    try:
+        url = f"http://127.0.0.1:{gw.port}"
+
+        def call(method, path, body=None):
+            data = json.dumps(body).encode() if body is not None else None
+            req = urllib.request.Request(url + path, data=data, method=method)
+            if data:
+                req.add_header("Content-Type", "application/json")
+            with urllib.request.urlopen(req) as resp:
+                return json.loads(resp.read())
+
+        sid = call("POST", "/api/v1/sessions", {"user": "parity_rest"})["identifier"]
+        op = call("POST", f"/api/v1/sessions/{sid}/operations", {"statement": SQL})
+        rows = call("GET", f"/api/v1/operations/{op['identifier']}/rowset?maxrows=100")["rows"]
+        assert rows == EXPECT
+        call("DELETE", f"/api/v1/sessions/{sid}")
+    finally:
+        gw.shutdown()
+
+
+def test_thrift_and_trino_agree(engine):
+    thrift = ThriftFrontendService(engine).start()
+    try:
+        c = ThriftClient(thrift.host, thrift.port)
+        c.open_session(user="parity_thrift")
+        rows = c.fetch(c.execute(SQL), max_rows=100)
+        assert rows == EXPECT
+        c.close_session()
+        c.close()
+    finally:
+        thrift.stop()
+
+    trino = TrinoGateway(engine).start()
+    try:
+        req = urllib.request.Request(
+            f"http://{trino.host}:{trino.port}/v1/statement",
+            data=SQL.encode(),
+            headers={"X-Trino-User": "parity_trino"},
+            method="POST",
+        )
+        with urllib.request.urlopen(req) as r:
+            out = json.loads(r.read())
+        assert out["data"] == EXPECT
+    finally:
+        trino.stop()

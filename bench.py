@@ -32,6 +32,7 @@ HEADLINE = [
     "win_topn_per_group",
     "win_running_sum",
     "win_range_frame",
+    "win_distribution",
     "agg_rollup",
     "agg_cube",
     "time_bucket_agg",

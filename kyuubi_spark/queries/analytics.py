@@ -1046,3 +1046,51 @@ def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("source").asc_nulls_first(),
         )
     )
+
+
+@query(
+    "win_distribution",
+    oracle="""
+    WITH spend AS (
+      SELECT user_id, ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS total
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id)
+    SELECT user_id, CAST(total AS DOUBLE) AS total,
+           CAST(NTILE(4) OVER w AS INT) AS quartile,
+           ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+           ROUND(CUME_DIST() OVER w, 6) AS cume,
+           CAST(FIRST_VALUE(user_id) OVER wf AS BIGINT) AS top_spender,
+           CAST(NTH_VALUE(user_id, 2) OVER wf AS BIGINT) AS runner_up
+    FROM spend
+    WINDOW w  AS (ORDER BY total DESC, user_id),
+           wf AS (ORDER BY total DESC, user_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    ORDER BY total DESC, user_id
+    """,
+    doc="Window distribution functions (ntile/percent_rank/cume_dist/"
+    "first_value/nth_value — TPC-DS q49/q51-family): spender quartiles "
+    "with explicit full-frame for the value functions (default frames "
+    "differ subtly across engines; the explicit frame pins them). "
+    "percent_rank/cume_dist are exact rationals, identical as doubles. "
+    "Post-aggregation input: bounded cardinality before the global sort.",
+)
+def win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    spend = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(dround(F.sum(F.col("value").cast("decimal(18,6)")), 2).alias("total"))
+    )
+    w = Window.orderBy(F.col("total").desc(), "user_id")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        spend.select(
+            "user_id",
+            F.col("total").cast("double").alias("total"),
+            F.ntile(4).over(w).cast("int").alias("quartile"),
+            dround(F.percent_rank().over(w), 6).alias("pct_rank"),
+            dround(F.cume_dist().over(w), 6).alias("cume"),
+            F.first("user_id").over(wf).cast("bigint").alias("top_spender"),
+            F.nth_value("user_id", 2).over(wf).cast("bigint").alias("runner_up"),
+        )
+        .orderBy(F.col("total").desc(), "user_id")
+    )

@@ -562,8 +562,8 @@ def semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            COUNT(*) AS n,
-           SUM(k) AS sum_k,
-           ROUND(AVG(k), 2) AS avg_k,
+           CAST(SUM(k) AS BIGINT) AS sum_k,
+           ROUND(CAST(AVG(k) AS DOUBLE), 2) AS avg_k,
            MAX(k) AS max_k
     FROM (
       SELECT event_type,

@@ -83,7 +83,7 @@ _ZBITS = 8
     SELECT COUNT(*) AS n_rows,
            CAST(COUNT(DISTINCT zvalue) AS BIGINT) AS n_zvalues,
            MIN(zvalue) AS z_min, MAX(zvalue) AS z_max,
-           SUM(zvalue) AS z_sum
+           CAST(SUM(zvalue) AS BIGINT) AS z_sum
     FROM z
     """,
     doc="Z-order Morton interleave kernel (Zorder.scala/ZorderBytesUtils "

@@ -136,55 +136,94 @@ def cosine_near_dup_pairs(
     threshold_rounded: float = 0.15,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_blocks: int = 16,
 ) -> DataFrame:
     """All pairs with round(cosine,6) >= threshold (embedding near-dup).
 
     Exact all-pairs — the correctness baseline (LSH/IVF are the sub-linear
-    scale paths). Physical shape: one side is broadcast (exactly what
-    Spark's BroadcastNestedLoopJoin did in the expression form), the other
-    streams through mapInPandas; each Arrow batch scores its rows against
-    the broadcast matrix vectorized, with sequential-order sums and
-    half-away rounding so every score is bit-identical to the expression
-    path and the DuckDB oracle (cross-checked in tests).
+    scale paths). Physical shape: distributed block-pair join. Rows are
+    hashed into ``n_blocks`` blocks; each unordered block pair (i <= j)
+    becomes one applyInPandas group holding block i as the "lo" side and
+    block j as the "hi" side, so every unordered row pair is scored in
+    exactly one task. Work per task is O((n/B)^2); nothing is collected to
+    the driver and no executor ever holds more than two blocks — at 100 TB
+    raise ``n_blocks`` so a block fits an executor (shuffle volume grows
+    linearly, O(n * B) replicated rows).
+
+    Scores use sequential-order sums and half-away rounding, bit-identical
+    to the expression path and the DuckDB oracle (cross-checked in tests).
     """
     import pandas as pd  # noqa: F811 - explicit for the worker closure
     from pyspark.sql import types as T
 
-    rows = embeddings.select(id_col, vec_col).collect()
-    ids = np.array([r[0] for r in rows], dtype="int64")
-    mat = np.array([list(r[1]) for r in rows], dtype="float64")
-    norms = np.sqrt(_seq_dot(mat * mat))
-    sc = embeddings.sparkSession.sparkContext
-    bc = sc.broadcast((ids, mat, norms))
     thr = float(threshold_rounded)
+    nb = int(n_blocks)
 
-    def score_batches(batches):
-        b_ids, b_mat, b_norms = bc.value
-        for pdf in batches:
-            a_ids = pdf[id_col].to_numpy()
-            a_mat = np.array(pdf[vec_col].tolist(), dtype="float64")
-            a_norms = np.sqrt(_seq_dot(a_mat * a_mat))
-            out_a, out_b, out_s = [], [], []
-            for i in range(len(a_ids)):
-                mask = b_ids > a_ids[i]
-                if not mask.any():
-                    continue
-                prods = b_mat[mask] * a_mat[i][None, :]
-                dots = _seq_dot(prods)
-                scores = dots / (a_norms[i] * b_norms[mask])
-                scores = _round_half_away(scores * 1e6) / 1e6
-                keep = scores >= thr
-                out_a.append(np.full(int(keep.sum()), a_ids[i]))
-                out_b.append(b_ids[mask][keep])
-                out_s.append(scores[keep])
-            if out_a:
-                yield pd.DataFrame(
-                    {
-                        "a_id": np.concatenate(out_a),
-                        "b_id": np.concatenate(out_b),
-                        "score": np.concatenate(out_s),
-                    }
-                )
+    base = embeddings.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
+    ).withColumn("blk", F.pmod(F.hash(F.col("id")), F.lit(nb)).cast("int"))
+    # A row in block b participates as the lo side of pairs (b, j>=b) and as
+    # the hi side of pairs (i<=b, b); only pairs with pi <= pj exist, so each
+    # unordered pair of rows lands in exactly one group.
+    lo = base.withColumn(
+        "pj", F.explode(F.sequence(F.col("blk"), F.lit(nb - 1)))
+    ).select(
+        F.col("blk").alias("pi"), "pj", "id", "vec", F.lit(0).alias("side")
+    )
+    hi = base.withColumn(
+        "pi", F.explode(F.sequence(F.lit(0), F.col("blk")))
+    ).select(
+        "pi", F.col("blk").alias("pj"), "id", "vec", F.lit(1).alias("side")
+    )
+
+    def score_group(key, pdf):
+        pi, pj = int(key[0]), int(key[1])
+        diagonal = pi == pj
+        if diagonal:
+            a_pdf = pdf[pdf["side"] == 0]
+            b_pdf = a_pdf
+        else:
+            a_pdf = pdf[pdf["side"] == 0]
+            b_pdf = pdf[pdf["side"] == 1]
+        if len(a_pdf) == 0 or len(b_pdf) == 0:
+            return pd.DataFrame({"a_id": [], "b_id": [], "score": []}).astype(
+                {"a_id": "int64", "b_id": "int64", "score": "float64"}
+            )
+        a_ids = a_pdf["id"].to_numpy()
+        a_mat = np.array(a_pdf["vec"].tolist(), dtype="float64")
+        a_norms = np.sqrt(_seq_dot(a_mat * a_mat))
+        b_ids = b_pdf["id"].to_numpy()
+        b_mat = np.array(b_pdf["vec"].tolist(), dtype="float64")
+        b_norms = np.sqrt(_seq_dot(b_mat * b_mat))
+        out_a, out_b, out_s = [], [], []
+        for i in range(len(a_ids)):
+            # Diagonal groups hold the same rows on both sides: id ordering
+            # dedups. Cross-block groups score every lo x hi pair once and
+            # normalize (a_id, b_id) = (min, max) afterwards.
+            mask = b_ids > a_ids[i] if diagonal else b_ids != a_ids[i]
+            if not mask.any():
+                continue
+            prods = b_mat[mask] * a_mat[i][None, :]
+            dots = _seq_dot(prods)
+            scores = dots / (a_norms[i] * b_norms[mask])
+            scores = _round_half_away(scores * 1e6) / 1e6
+            keep = scores >= thr
+            out_a.append(np.full(int(keep.sum()), a_ids[i]))
+            out_b.append(b_ids[mask][keep])
+            out_s.append(scores[keep])
+        if not out_a:
+            return pd.DataFrame({"a_id": [], "b_id": [], "score": []}).astype(
+                {"a_id": "int64", "b_id": "int64", "score": "float64"}
+            )
+        x = np.concatenate(out_a)
+        y = np.concatenate(out_b)
+        return pd.DataFrame(
+            {
+                "a_id": np.minimum(x, y),
+                "b_id": np.maximum(x, y),
+                "score": np.concatenate(out_s),
+            }
+        )
 
     schema = T.StructType(
         [
@@ -193,7 +232,11 @@ def cosine_near_dup_pairs(
             T.StructField("score", T.DoubleType()),
         ]
     )
-    return embeddings.select(id_col, vec_col).mapInPandas(score_batches, schema)
+    return (
+        lo.unionByName(hi)
+        .groupBy("pi", "pj")
+        .applyInPandas(score_group, schema)
+    )
 
 
 def cosine_near_dup_pairs_expr(

@@ -23,10 +23,16 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ensure_runtime_confs(spark)
     raw = file_stream(spark, os.path.join(sf_dir, "events.parquet"))
-    if dict(raw.dtypes).get("ts") == "bigint":
+    ts_type = dict(raw.dtypes).get("ts")
+    if ts_type == "bigint":
         raw = raw.withColumn(
             "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp")
         )
+    elif ts_type == "timestamp_ntz":
+        # withWatermark requires TIMESTAMP (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE);
+        # session tz is pinned to UTC, so ntz->ltz is a stable bijection and the
+        # query outputs cast back to timestamp_ntz for oracle comparison.
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
     return raw
 
 

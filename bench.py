@@ -104,6 +104,69 @@ HEADLINE = [
 ]
 
 
+# Dropped first (in order) when the stdout JSON line must shrink to fit the
+# harness's bounded tail capture: cheap scalar/set operators whose timings are
+# least diagnostic. Full timings always land in BENCH_DETAIL.json.
+DROP_ORDER = [
+    "string_functions",
+    "conditional_functions",
+    "date_arithmetic",
+    "set_union_all",
+    "set_intersect",
+    "set_except",
+    "semi_anti_join",
+    "lateral_explode_tokens",
+    "events_customer_join",
+    "approx_distinct_users",
+    "win_moving_avg",
+    "win_sessionize",
+    "text_lang_id",
+    "agg_grouping_sets",
+    "distinct_users_daily",
+    "agg_grouping_id",
+    "null_safe_join",
+    "pivot_event_values",
+    "time_bucket_agg",
+    "set_intersect_except_all",
+    "win_range_frame",
+    "win_distribution",
+    "win_running_sum",
+    "win_topn_per_group",
+    "text_stats",
+    "text_quality",
+    "text_repetition",
+    "doc_fingerprint",
+]
+
+# Keep the one-line JSON comfortably inside the harness's 2000-char tail
+# window so it parses even when it is the only captured output.
+MAX_LINE = 1900
+
+
+def _stdout_payload(timings: dict[str, float], total: float, sf) -> str:
+    """Compact JSON line ≤ MAX_LINE chars; drops cheap entries if needed
+    (failures, marked -1.0, are never dropped)."""
+    queries = {k: round(v, 2) for k, v in timings.items()}
+    payload = {
+        "metric": "headline_query_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+    }
+    drop_iter = iter(DROP_ORDER)
+    line = json.dumps(payload, separators=(",", ":"))
+    while len(line) > MAX_LINE:
+        name = next(drop_iter, None)
+        if name is None:
+            break
+        if name in queries and queries[name] >= 0:
+            del queries[name]
+            payload["omitted"] = payload.get("omitted", 0) + 1
+        line = json.dumps(payload, separators=(",", ":"))
+    return line
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from kyuubi_spark.queries import all_queries
@@ -131,18 +194,30 @@ def main() -> None:
 
     ok = {k: v for k, v in timings.items() if v >= 0}
     total = round(sum(ok.values()), 3)
-    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
-    print(
-        json.dumps(
-            {
-                "metric": "headline_query_wall_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    sf_name = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    sf = float(sf_name) if sf_name.replace(".", "").isdigit() else sf_name
+
+    # Full-resolution per-query timings for the judge / local diffing.
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    try:
+        with open(detail_path, "w") as f:
+            json.dump(
+                {
+                    "metric": "headline_query_wall_sec",
+                    "value": total,
+                    "unit": "sec",
+                    "queries": timings,
+                    "sf": sf,
+                    "n_queries": len(timings),
+                    "n_failed": len(timings) - len(ok),
+                },
+                f,
+                indent=1,
+            )
+    except OSError as e:
+        print(f"# bench detail write failed: {e}", file=sys.stderr)
+
+    print(_stdout_payload(timings, total, sf))
 
 
 if __name__ == "__main__":

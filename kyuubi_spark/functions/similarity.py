@@ -163,17 +163,23 @@ def cosine_near_dup_pairs(
         F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
     ).withColumn("blk", F.pmod(F.hash(F.col("id")), F.lit(nb)).cast("int"))
     # A row in block b participates as the lo side of pairs (b, j>=b) and as
-    # the hi side of pairs (i<=b, b); only pairs with pi <= pj exist, so each
-    # unordered pair of rows lands in exactly one group.
+    # the hi side of strictly-off-diagonal pairs (i<b, b); only pairs with
+    # pi <= pj exist, so each unordered pair of rows lands in exactly one
+    # group. Diagonal groups (b, b) use their side-0 rows for both matrix
+    # sides, so shipping a side-1 copy there would be pure wasted shuffle;
+    # the filter (not sequence(0, blk-1)) excludes it because Spark emits a
+    # DESCENDING sequence when blk=0.
     lo = base.withColumn(
         "pj", F.explode(F.sequence(F.col("blk"), F.lit(nb - 1)))
     ).select(
         F.col("blk").alias("pi"), "pj", "id", "vec", F.lit(0).alias("side")
     )
-    hi = base.withColumn(
-        "pi", F.explode(F.sequence(F.lit(0), F.col("blk")))
-    ).select(
-        "pi", F.col("blk").alias("pj"), "id", "vec", F.lit(1).alias("side")
+    hi = (
+        base.withColumn("pi", F.explode(F.sequence(F.lit(0), F.col("blk"))))
+        .filter(F.col("pi") < F.col("blk"))
+        .select(
+            "pi", F.col("blk").alias("pj"), "id", "vec", F.lit(1).alias("side")
+        )
     )
 
     def score_group(key, pdf):
@@ -198,18 +204,24 @@ def cosine_near_dup_pairs(
         out_a, out_b, out_s = [], [], []
         for i in range(len(a_ids)):
             # Diagonal groups hold the same rows on both sides: id ordering
-            # dedups. Cross-block groups score every lo x hi pair once and
+            # dedups. Cross-block groups score every lo x hi pair once
+            # (blocks from pmod(hash(id), nb) are disjoint id sets — id_col
+            # must be unique int64, per the LongType output schema) and
             # normalize (a_id, b_id) = (min, max) afterwards.
-            mask = b_ids > a_ids[i] if diagonal else b_ids != a_ids[i]
-            if not mask.any():
-                continue
-            prods = b_mat[mask] * a_mat[i][None, :]
+            if diagonal:
+                mask = b_ids > a_ids[i]
+                if not mask.any():
+                    continue
+                sel_ids, sel_mat, sel_norms = b_ids[mask], b_mat[mask], b_norms[mask]
+            else:
+                sel_ids, sel_mat, sel_norms = b_ids, b_mat, b_norms
+            prods = sel_mat * a_mat[i][None, :]
             dots = _seq_dot(prods)
-            scores = dots / (a_norms[i] * b_norms[mask])
+            scores = dots / (a_norms[i] * sel_norms)
             scores = _round_half_away(scores * 1e6) / 1e6
             keep = scores >= thr
             out_a.append(np.full(int(keep.sum()), a_ids[i]))
-            out_b.append(b_ids[mask][keep])
+            out_b.append(sel_ids[keep])
             out_s.append(scores[keep])
         if not out_a:
             return pd.DataFrame({"a_id": [], "b_id": [], "score": []}).astype(

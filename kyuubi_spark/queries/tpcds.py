@@ -1,6 +1,842 @@
 """TPC-DS representative slice re-expressed over the driver testdata schema.
 
-Populated in round 2 — see registry ordering in ``__init__.py``.
+The reference's correctness bar is the TPC-DS 99-query golden corpus
+(extensions/spark/kyuubi-spark-connector-tpcds/src/main/resources/kyuubi/
+tpcds_3.2/q*.sql, verified by OutputSchemaTPCDSSuite.scala).  The driver
+testdata has no TPC-DS tables, so each port keeps the original query's PLAN
+SHAPE — the join graph, CTE stack, grouping structure, window usage — on the
+TPC-H-ish star schema: fact = lineitem, date dim derived from l_shipdate /
+o_orderdate, item → part, store → supplier, demographics → customer.
+Each docstring names the original query whose shape it preserves.
+
+Cross-engine determinism rules (same as tpch.py):
+- every float aggregate is rounded identically on both sides (dround ↔
+  DuckDB ROUND);
+- running/cumulative aggregates go through DECIMAL(18,2) so window summation
+  is exact and association-independent, cast back to DOUBLE at the end;
+- top-k cuts are either rank()-filters (set semantics, order-independent) or
+  LIMIT behind a total order on non-null unique keys.
+
+Scale notes (100 TB): every query is a star join over the lineitem fact —
+dimension sides are broadcast (explicitly for the fixed-size ones, by AQE
+size estimate for part/supplier/customer), so the only big shuffles are the
+fact-table aggregations on their grouping keys.  Rollups add a constant
+factor (grouping-set expansion), not a new shuffle.
 """
 
 from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kyuubi_spark.functions.compat import dround
+from kyuubi_spark.queries import query
+from kyuubi_spark.session import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
+    return [load_table(spark, sf_dir, n) for n in names]
+
+
+def _rev():
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+# --------------------------------------------------------------------------
+# q1 — CTE + correlated average over the CTE + star join (tpcds_3.2/q1.sql)
+# --------------------------------------------------------------------------
+@query(
+    "tpcds_q1",
+    oracle="""
+    WITH customer_total_return AS (
+      SELECT o.o_custkey AS ctr_customer, l.l_suppkey AS ctr_store,
+             ROUND(SUM(l.l_extendedprice), 2) AS ctr_total_return
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE l.l_returnflag = 'R' AND year(l.l_shipdate) = 1996
+      GROUP BY o.o_custkey, l.l_suppkey
+    )
+    SELECT c.c_name AS c_name
+    FROM customer_total_return ctr1
+    JOIN supplier s ON s.s_suppkey = ctr1.ctr_store
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN customer c ON c.c_custkey = ctr1.ctr_customer
+    WHERE n.n_regionkey = 1
+      AND ctr1.ctr_total_return > (
+        SELECT AVG(ctr2.ctr_total_return) * 1.2
+        FROM customer_total_return ctr2
+        WHERE ctr2.ctr_store = ctr1.ctr_store)
+    ORDER BY c_name
+    LIMIT 100
+    """,
+    doc="TPC-DS q1 shape: returns CTE, correlated avg-per-store subquery "
+    "over the same CTE (Catalyst decorrelates to an aggregate+join), "
+    "star join back to the customer dim.",
+)
+def tpcds_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem, orders, supplier, nation, customer = _t(
+        spark, sf_dir, "lineitem", "orders", "supplier", "nation", "customer"
+    )
+    ctr = (
+        lineitem.filter(
+            (F.col("l_returnflag") == "R") & (F.year("l_shipdate") == 1996)
+        )
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.col("o_custkey").alias("ctr_customer"),
+            F.col("l_suppkey").alias("ctr_store"),
+        )
+        .agg(dround(F.sum("l_extendedprice"), 2).alias("ctr_total_return"))
+    )
+    # Decorrelated form of the per-store average threshold.
+    store_avg = ctr.groupBy(F.col("ctr_store").alias("avg_store")).agg(
+        (F.avg("ctr_total_return") * 1.2).alias("avg_return")
+    )
+    return (
+        ctr.join(store_avg, F.col("ctr_store") == F.col("avg_store"))
+        .filter(F.col("ctr_total_return") > F.col("avg_return"))
+        .join(
+            supplier.join(
+                F.broadcast(nation.filter(F.col("n_regionkey") == 1)),
+                F.col("n_nationkey") == F.col("s_nationkey"),
+            ),
+            F.col("s_suppkey") == F.col("ctr_store"),
+        )
+        .join(customer, F.col("c_custkey") == F.col("ctr_customer"))
+        .select("c_name")
+        .orderBy("c_name")
+        .limit(100)
+    )
+
+
+# --------------------------------------------------------------------------
+# q2 — union-all channels + day-of-week pivot + week self-join (q2.sql)
+# --------------------------------------------------------------------------
+_Q2_DAYS = [
+    ("Sunday", "sun"),
+    ("Monday", "mon"),
+    ("Tuesday", "tue"),
+    ("Wednesday", "wed"),
+    ("Thursday", "thu"),
+    ("Friday", "fri"),
+    ("Saturday", "sat"),
+]
+
+
+@query(
+    "tpcds_q2",
+    oracle="""
+    WITH wscs AS (
+      SELECT l_shipdate AS sold_ts, l_extendedprice AS sales_price
+      FROM lineitem WHERE l_linestatus = 'O'
+      UNION ALL
+      SELECT l_shipdate, l_extendedprice FROM lineitem WHERE l_linestatus = 'F'
+    ),
+    wswscs AS (
+      SELECT year(sold_ts) AS d_year, weekofyear(sold_ts) AS d_week_seq,
+             ROUND(SUM(CASE WHEN dayname(sold_ts) = 'Sunday' THEN sales_price END), 2) AS sun_sales,
+             ROUND(SUM(CASE WHEN dayname(sold_ts) = 'Monday' THEN sales_price END), 2) AS mon_sales,
+             ROUND(SUM(CASE WHEN dayname(sold_ts) = 'Tuesday' THEN sales_price END), 2) AS tue_sales,
+             ROUND(SUM(CASE WHEN dayname(sold_ts) = 'Wednesday' THEN sales_price END), 2) AS wed_sales,
+             ROUND(SUM(CASE WHEN dayname(sold_ts) = 'Thursday' THEN sales_price END), 2) AS thu_sales,
+             ROUND(SUM(CASE WHEN dayname(sold_ts) = 'Friday' THEN sales_price END), 2) AS fri_sales,
+             ROUND(SUM(CASE WHEN dayname(sold_ts) = 'Saturday' THEN sales_price END), 2) AS sat_sales
+      FROM wscs GROUP BY 1, 2
+    )
+    SELECT y.d_week_seq AS d_week_seq1,
+           ROUND(y.sun_sales / NULLIF(z.sun_sales, 0), 2) AS sun_ratio,
+           ROUND(y.mon_sales / NULLIF(z.mon_sales, 0), 2) AS mon_ratio,
+           ROUND(y.tue_sales / NULLIF(z.tue_sales, 0), 2) AS tue_ratio,
+           ROUND(y.wed_sales / NULLIF(z.wed_sales, 0), 2) AS wed_ratio,
+           ROUND(y.thu_sales / NULLIF(z.thu_sales, 0), 2) AS thu_ratio,
+           ROUND(y.fri_sales / NULLIF(z.fri_sales, 0), 2) AS fri_ratio,
+           ROUND(y.sat_sales / NULLIF(z.sat_sales, 0), 2) AS sat_ratio
+    FROM wswscs y JOIN wswscs z
+      ON y.d_week_seq = z.d_week_seq AND y.d_year = 1996 AND z.d_year = 1997
+    ORDER BY d_week_seq1
+    """,
+    doc="TPC-DS q2 shape: union-all of two channel scans, per-week "
+    "day-of-week pivot (7 conditional sums), year-over-year self-join on "
+    "the week sequence, rounded ratios.",
+)
+def tpcds_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    web = lineitem.filter(F.col("l_linestatus") == "O").select(
+        F.col("l_shipdate").alias("sold_ts"),
+        F.col("l_extendedprice").alias("sales_price"),
+    )
+    catalog = lineitem.filter(F.col("l_linestatus") == "F").select(
+        F.col("l_shipdate").alias("sold_ts"),
+        F.col("l_extendedprice").alias("sales_price"),
+    )
+    wscs = web.unionByName(catalog)
+    day = F.date_format("sold_ts", "EEEE")
+    wswscs = wscs.groupBy(
+        F.year("sold_ts").alias("d_year"),
+        F.weekofyear("sold_ts").alias("d_week_seq"),
+    ).agg(
+        *[
+            dround(
+                F.sum(F.when(day == label, F.col("sales_price"))), 2
+            ).alias(f"{pre}_sales")
+            for label, pre in _Q2_DAYS
+        ]
+    )
+    y = wswscs.filter(F.col("d_year") == 1996).alias("y")
+    z = wswscs.filter(F.col("d_year") == 1997).alias("z")
+    ratio = [
+        dround(
+            F.col(f"y.{pre}_sales")
+            / F.nullif(F.col(f"z.{pre}_sales"), F.lit(0.0)),
+            2,
+        ).alias(f"{pre}_ratio")
+        for _, pre in _Q2_DAYS
+    ]
+    return (
+        y.join(z, F.col("y.d_week_seq") == F.col("z.d_week_seq"))
+        .select(F.col("y.d_week_seq").alias("d_week_seq1"), *ratio)
+        .orderBy("d_week_seq1")
+    )
+
+
+# --------------------------------------------------------------------------
+# q7 — 5-way star join with demographic + promotion filters (q7.sql)
+# --------------------------------------------------------------------------
+@query(
+    "tpcds_q7",
+    oracle="""
+    SELECT p.p_brand AS p_brand,
+           ROUND(AVG(l.l_quantity), 4) AS agg1,
+           ROUND(AVG(l.l_extendedprice), 4) AS agg2,
+           ROUND(AVG(l.l_discount), 4) AS agg3,
+           ROUND(AVG(l.l_tax), 4) AS agg4
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND (o.o_orderpriority = '5-LOW' OR o.o_orderstatus = 'F')
+      AND year(o.o_orderdate) = 1996
+    GROUP BY p.p_brand
+    ORDER BY p_brand
+    LIMIT 100
+    """,
+    doc="TPC-DS q7 shape: fact × 4 dims star join (demographics filter on "
+    "the customer dim, disjunctive promotion-style filter on orders), four "
+    "AVG aggregates per item brand.",
+)
+def tpcds_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem, orders, customer, part = _t(
+        spark, sf_dir, "lineitem", "orders", "customer", "part"
+    )
+    o = orders.filter(
+        (F.year("o_orderdate") == 1996)
+        & ((F.col("o_orderpriority") == "5-LOW") | (F.col("o_orderstatus") == "F"))
+    )
+    c = customer.filter(F.col("c_mktsegment") == "BUILDING")
+    return (
+        lineitem.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            dround(F.avg("l_quantity"), 4).alias("agg1"),
+            dround(F.avg("l_extendedprice"), 4).alias("agg2"),
+            dround(F.avg("l_discount"), 4).alias("agg3"),
+            dround(F.avg("l_tax"), 4).alias("agg4"),
+        )
+        .orderBy("p_brand")
+        .limit(100)
+    )
+
+
+# --------------------------------------------------------------------------
+# q19 — star join with cross-dim inequality predicate (q19.sql)
+# --------------------------------------------------------------------------
+@query(
+    "tpcds_q19",
+    oracle="""
+    SELECT p.p_brand AS brand, p.p_type AS p_type,
+           ROUND(SUM(l.l_extendedprice), 2) AS ext_price
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN (SELECT n_nationkey AS cn_key, n_name AS cn_name FROM nation) cn
+      ON cn.cn_key = c.c_nationkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN (SELECT n_nationkey AS sn_key, n_name AS sn_name FROM nation) sn
+      ON sn.sn_key = s.s_nationkey
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE year(o.o_orderdate) = 1996 AND month(o.o_orderdate) = 11
+      AND cn.cn_name <> sn.sn_name
+      AND p.p_size <= 20
+    GROUP BY p.p_brand, p.p_type
+    ORDER BY ext_price DESC, brand, p_type
+    LIMIT 100
+    """,
+    doc="TPC-DS q19 shape: fact × 5 dims with a cross-dimension inequality "
+    "(customer nation ≠ supplier nation — the zip-prefix mismatch of the "
+    "original), month/year filters, top brands by revenue.",
+)
+def tpcds_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem, orders, customer, nation, supplier, part = _t(
+        spark, sf_dir, "lineitem", "orders", "customer", "nation", "supplier", "part"
+    )
+    o = orders.filter(
+        (F.year("o_orderdate") == 1996) & (F.month("o_orderdate") == 11)
+    )
+    cn = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cn_name")
+    )
+    sn = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("sn_name")
+    )
+    return (
+        lineitem.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(cn), F.col("cn_key") == F.col("c_nationkey"))
+        .join(supplier, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(sn), F.col("sn_key") == F.col("s_nationkey"))
+        .filter(F.col("cn_name") != F.col("sn_name"))
+        .join(part.filter(F.col("p_size") <= 20), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy(F.col("p_brand").alias("brand"), "p_type")
+        .agg(dround(F.sum("l_extendedprice"), 2).alias("ext_price"))
+        .orderBy(F.col("ext_price").desc(), "brand", "p_type")
+        .limit(100)
+    )
+
+
+# --------------------------------------------------------------------------
+# q22 — 4-level ROLLUP average over a dated fact window (q22.sql)
+# --------------------------------------------------------------------------
+@query(
+    "tpcds_q22",
+    oracle="""
+    SELECT p.p_brand AS p_brand, p.p_type AS p_type,
+           CAST(p.p_size AS INT) AS p_size, l.l_returnflag AS ret_flag,
+           ROUND(AVG(l.l_quantity), 4) AS qoh,
+           COUNT(*) AS n
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                           AND TIMESTAMP '1996-12-31 23:59:59'
+    GROUP BY ROLLUP (p.p_brand, p.p_type, CAST(p.p_size AS INT), l.l_returnflag)
+    """,
+    doc="TPC-DS q22 shape: 12-month fact window, AVG at every prefix level "
+    "of a 4-column rollup hierarchy (brand → type → size → returnflag).",
+)
+def tpcds_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem, part = _t(spark, sf_dir, "lineitem", "part")
+    base = (
+        lineitem.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") <= "1996-12-31 23:59:59")
+        )
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            "p_brand",
+            "p_type",
+            F.col("p_size").cast("int").alias("p_size"),
+            F.col("l_returnflag").alias("ret_flag"),
+            "l_quantity",
+        )
+    )
+    return base.rollup("p_brand", "p_type", "p_size", "ret_flag").agg(
+        dround(F.avg("l_quantity"), 4).alias("qoh"), F.count("*").alias("n")
+    )
+
+
+# --------------------------------------------------------------------------
+# q34 — dense grouped count with HAVING band + join back to the dim (q34.sql)
+# --------------------------------------------------------------------------
+@query(
+    "tpcds_q34",
+    oracle="""
+    WITH freq AS (
+      SELECT o_custkey, year(o_orderdate) AS d_year, month(o_orderdate) AS d_moy,
+             COUNT(*) AS cnt
+      FROM orders GROUP BY 1, 2, 3
+      HAVING COUNT(*) BETWEEN 2 AND 5
+    )
+    SELECT c.c_name AS c_name, f.d_year AS d_year, f.d_moy AS d_moy,
+           f.cnt AS cnt
+    FROM freq f JOIN customer c ON c.c_custkey = f.o_custkey
+    ORDER BY c_name, d_year, d_moy
+    """,
+    doc="TPC-DS q34 shape: per-customer-month order frequency, HAVING band "
+    "filter on the count, join back to the customer dimension.",
+)
+def tpcds_q34(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders, customer = _t(spark, sf_dir, "orders", "customer")
+    freq = (
+        orders.groupBy(
+            "o_custkey",
+            F.year("o_orderdate").alias("d_year"),
+            F.month("o_orderdate").alias("d_moy"),
+        )
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt").between(2, 5))
+    )
+    return (
+        freq.join(customer, F.col("c_custkey") == F.col("o_custkey"))
+        .select("c_name", "d_year", "d_moy", "cnt")
+        .orderBy("c_name", "d_year", "d_moy")
+    )
+
+
+# --------------------------------------------------------------------------
+# q36 — rollup + GROUPING() hierarchy + rank within parent (q36.sql)
+# --------------------------------------------------------------------------
+@query(
+    "tpcds_q36",
+    oracle="""
+    SELECT gross_margin, p_type, p_brand, lochierarchy,
+           CAST(RANK() OVER (
+             PARTITION BY lochierarchy,
+                          CASE WHEN g_brand = 0 THEN p_type END
+             ORDER BY gross_margin ASC) AS BIGINT) AS rank_within_parent
+    FROM (
+      SELECT ROUND(ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2)
+                   / ROUND(SUM(l.l_extendedprice), 2), 6) AS gross_margin,
+             p.p_type AS p_type, p.p_brand AS p_brand,
+             CAST(GROUPING(p.p_type) + GROUPING(p.p_brand) AS INT) AS lochierarchy,
+             CAST(GROUPING(p.p_brand) AS INT) AS g_brand
+      FROM lineitem l
+      JOIN part p ON l.l_partkey = p.p_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      WHERE s.s_nationkey IN (1, 2, 3) AND year(l.l_shipdate) = 1996
+      GROUP BY ROLLUP (p.p_type, p.p_brand)
+    ) t
+    """,
+    doc="TPC-DS q36 shape: discounted-margin ratio at every rollup level, "
+    "GROUPING()-derived hierarchy depth, rank-within-parent window "
+    "partitioned by the grouping level.",
+)
+def tpcds_q36(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem, part, supplier = _t(spark, sf_dir, "lineitem", "part", "supplier")
+    base = (
+        lineitem.filter(F.year("l_shipdate") == 1996)
+        .join(
+            supplier.filter(F.col("s_nationkey").isin(1, 2, 3)),
+            F.col("s_suppkey") == F.col("l_suppkey"),
+        )
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
+    )
+    agged = base.rollup("p_type", "p_brand").agg(
+        dround(
+            dround(F.sum(_rev()), 2) / dround(F.sum("l_extendedprice"), 2), 6
+        ).alias("gross_margin"),
+        (F.grouping("p_type") + F.grouping("p_brand"))
+        .cast("int")
+        .alias("lochierarchy"),
+        F.grouping("p_brand").cast("int").alias("g_brand"),
+    )
+    w = Window.partitionBy(
+        "lochierarchy", F.when(F.col("g_brand") == 0, F.col("p_type"))
+    ).orderBy(F.col("gross_margin").asc())
+    return agged.select(
+        "gross_margin",
+        "p_type",
+        "p_brand",
+        "lochierarchy",
+        F.rank().over(w).cast("bigint").alias("rank_within_parent"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q38 — three-channel INTERSECT + count (q38.sql)
+# --------------------------------------------------------------------------
+@query(
+    "tpcds_q38",
+    oracle="""
+    SELECT COUNT(*) AS n FROM (
+      SELECT DISTINCT o.o_custkey, CAST(l.l_shipdate AS DATE) AS d
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE l.l_returnflag = 'N'
+      INTERSECT
+      SELECT DISTINCT o.o_custkey, CAST(l.l_shipdate AS DATE)
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE l.l_returnflag = 'R'
+      INTERSECT
+      SELECT DISTINCT o.o_custkey, CAST(l.l_shipdate AS DATE)
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE l.l_returnflag = 'A'
+    ) t
+    """,
+    doc="TPC-DS q38 shape: (customer, date) appearing in all three sales "
+    "channels via a chained INTERSECT, counted.",
+)
+def tpcds_q38(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem, orders = _t(spark, sf_dir, "lineitem", "orders")
+
+    def chan(flag: str) -> DataFrame:
+        return (
+            lineitem.filter(F.col("l_returnflag") == flag)
+            .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+            .select("o_custkey", F.col("l_shipdate").cast("date").alias("d"))
+            .distinct()
+        )
+
+    both = chan("N").intersect(chan("R")).intersect(chan("A"))
+    return both.agg(F.count("*").alias("n"))
+
+
+# --------------------------------------------------------------------------
+# q47 — grouped monthly series + window avg/rank + lag/lead self-joins (q47.sql)
+# --------------------------------------------------------------------------
+@query(
+    "tpcds_q47",
+    oracle="""
+    WITH v1 AS (
+      SELECT p.p_type AS p_type, p.p_brand AS p_brand, s.s_name AS s_name,
+             year(l.l_shipdate) AS d_year, month(l.l_shipdate) AS d_moy,
+             ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS sum_sales,
+             ROUND(AVG(ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2)) OVER (
+               PARTITION BY p.p_type, p.p_brand, s.s_name, year(l.l_shipdate)), 4)
+               AS avg_monthly_sales,
+             CAST(RANK() OVER (
+               PARTITION BY p.p_type, p.p_brand, s.s_name
+               ORDER BY year(l.l_shipdate), month(l.l_shipdate)) AS BIGINT) AS rn
+      FROM lineitem l
+      JOIN part p ON l.l_partkey = p.p_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      WHERE year(l.l_shipdate) BETWEEN 1995 AND 1997
+      GROUP BY 1, 2, 3, 4, 5
+    )
+    SELECT v1.p_type AS p_type, v1.p_brand AS p_brand, v1.s_name AS s_name,
+           v1.d_year AS d_year, v1.d_moy AS d_moy,
+           v1.avg_monthly_sales AS avg_monthly_sales,
+           v1.sum_sales AS sum_sales,
+           v1_lag.sum_sales AS psum, v1_lead.sum_sales AS nsum
+    FROM v1
+    JOIN v1 v1_lag ON v1.p_type = v1_lag.p_type AND v1.p_brand = v1_lag.p_brand
+      AND v1.s_name = v1_lag.s_name AND v1.rn = v1_lag.rn + 1
+    JOIN v1 v1_lead ON v1.p_type = v1_lead.p_type AND v1.p_brand = v1_lead.p_brand
+      AND v1.s_name = v1_lead.s_name AND v1.rn = v1_lead.rn - 1
+    WHERE v1.d_year = 1996 AND v1.avg_monthly_sales > 0
+      AND ABS(v1.sum_sales - v1.avg_monthly_sales) / v1.avg_monthly_sales > 0.1
+    ORDER BY v1.sum_sales - v1.avg_monthly_sales, nsum,
+             p_type, p_brand, s_name, d_moy
+    LIMIT 100
+    """,
+    doc="TPC-DS q47 shape: per-(item,store,month) sales series, yearly-avg "
+    "window over the grouped series, rank-as-time-index, lag/lead via rn±1 "
+    "self-joins, >10% deviation filter.",
+)
+def tpcds_q47(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem, part, supplier = _t(spark, sf_dir, "lineitem", "part", "supplier")
+    grouped = (
+        lineitem.filter(F.year("l_shipdate").between(1995, 1997))
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .join(supplier, F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy(
+            "p_type",
+            "p_brand",
+            "s_name",
+            F.year("l_shipdate").alias("d_year"),
+            F.month("l_shipdate").alias("d_moy"),
+        )
+        .agg(dround(F.sum(_rev()), 2).alias("sum_sales"))
+    )
+    w_avg = Window.partitionBy("p_type", "p_brand", "s_name", "d_year")
+    w_rn = Window.partitionBy("p_type", "p_brand", "s_name").orderBy(
+        "d_year", "d_moy"
+    )
+    v1 = grouped.select(
+        "p_type",
+        "p_brand",
+        "s_name",
+        "d_year",
+        "d_moy",
+        "sum_sales",
+        dround(F.avg("sum_sales").over(w_avg), 4).alias("avg_monthly_sales"),
+        F.rank().over(w_rn).cast("bigint").alias("rn"),
+    )
+    lag = v1.select(
+        F.col("p_type").alias("lg_type"),
+        F.col("p_brand").alias("lg_brand"),
+        F.col("s_name").alias("lg_name"),
+        F.col("rn").alias("lg_rn"),
+        F.col("sum_sales").alias("psum"),
+    )
+    lead = v1.select(
+        F.col("p_type").alias("ld_type"),
+        F.col("p_brand").alias("ld_brand"),
+        F.col("s_name").alias("ld_name"),
+        F.col("rn").alias("ld_rn"),
+        F.col("sum_sales").alias("nsum"),
+    )
+    return (
+        v1.filter(
+            (F.col("d_year") == 1996)
+            & (F.col("avg_monthly_sales") > 0)
+            & (
+                F.abs(F.col("sum_sales") - F.col("avg_monthly_sales"))
+                / F.col("avg_monthly_sales")
+                > 0.1
+            )
+        )
+        .join(
+            lag,
+            (F.col("p_type") == F.col("lg_type"))
+            & (F.col("p_brand") == F.col("lg_brand"))
+            & (F.col("s_name") == F.col("lg_name"))
+            & (F.col("rn") == F.col("lg_rn") + 1),
+        )
+        .join(
+            lead,
+            (F.col("p_type") == F.col("ld_type"))
+            & (F.col("p_brand") == F.col("ld_brand"))
+            & (F.col("s_name") == F.col("ld_name"))
+            & (F.col("rn") == F.col("ld_rn") - 1),
+        )
+        .select(
+            "p_type",
+            "p_brand",
+            "s_name",
+            "d_year",
+            "d_moy",
+            "avg_monthly_sales",
+            "sum_sales",
+            "psum",
+            "nsum",
+        )
+        .orderBy(
+            F.col("sum_sales") - F.col("avg_monthly_sales"),
+            "nsum",
+            "p_type",
+            "p_brand",
+            "s_name",
+            "d_moy",
+        )
+        .limit(100)
+    )
+
+
+# --------------------------------------------------------------------------
+# q51 — dual-channel cumulative sums, full outer join, running max (q51.sql)
+# --------------------------------------------------------------------------
+@query(
+    "tpcds_q51",
+    oracle="""
+    WITH web_v1 AS (
+      SELECT l.l_partkey AS item_sk, CAST(l.l_shipdate AS DATE) AS d_date,
+             SUM(CAST(ROUND(SUM(l.l_extendedprice), 2) AS DECIMAL(18,2))) OVER (
+               PARTITION BY l.l_partkey ORDER BY CAST(l.l_shipdate AS DATE)
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cume_sales
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+        AND year(l.l_shipdate) = 1996
+      GROUP BY l.l_partkey, CAST(l.l_shipdate AS DATE)
+    ),
+    store_v1 AS (
+      SELECT l.l_partkey AS item_sk, CAST(l.l_shipdate AS DATE) AS d_date,
+             SUM(CAST(ROUND(SUM(l.l_extendedprice), 2) AS DECIMAL(18,2))) OVER (
+               PARTITION BY l.l_partkey ORDER BY CAST(l.l_shipdate AS DATE)
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cume_sales
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        AND year(l.l_shipdate) = 1996
+      GROUP BY l.l_partkey, CAST(l.l_shipdate AS DATE)
+    )
+    SELECT item_sk, d_date,
+           CAST(web_cumulative AS DOUBLE) AS web_cumulative,
+           CAST(store_cumulative AS DOUBLE) AS store_cumulative
+    FROM (
+      SELECT CASE WHEN web.item_sk IS NOT NULL THEN web.item_sk
+                  ELSE store.item_sk END AS item_sk,
+             CASE WHEN web.d_date IS NOT NULL THEN web.d_date
+                  ELSE store.d_date END AS d_date,
+             MAX(web.cume_sales) OVER (
+               PARTITION BY CASE WHEN web.item_sk IS NOT NULL THEN web.item_sk
+                                 ELSE store.item_sk END
+               ORDER BY CASE WHEN web.d_date IS NOT NULL THEN web.d_date
+                             ELSE store.d_date END
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS web_cumulative,
+             MAX(store.cume_sales) OVER (
+               PARTITION BY CASE WHEN web.item_sk IS NOT NULL THEN web.item_sk
+                                 ELSE store.item_sk END
+               ORDER BY CASE WHEN web.d_date IS NOT NULL THEN web.d_date
+                             ELSE store.d_date END
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS store_cumulative
+      FROM web_v1 web FULL OUTER JOIN store_v1 store
+        ON web.item_sk = store.item_sk AND web.d_date = store.d_date
+    ) y
+    WHERE web_cumulative > store_cumulative
+    ORDER BY item_sk, d_date
+    """,
+    doc="TPC-DS q51 shape: per-channel cumulative revenue (sum-of-sum "
+    "window over the grouped series, exact DECIMAL accumulation), full "
+    "outer date alignment, running-max crossover filter.",
+)
+def tpcds_q51(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem, orders = _t(spark, sf_dir, "lineitem", "orders")
+    urgent = ("1-URGENT", "2-HIGH")
+
+    def channel(pred) -> DataFrame:
+        cume_w = (
+            Window.partitionBy("item_sk")
+            .orderBy("d_date")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return (
+            lineitem.filter(F.year("l_shipdate") == 1996)
+            .join(orders.filter(pred), F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy(
+                F.col("l_partkey").alias("item_sk"),
+                F.col("l_shipdate").cast("date").alias("d_date"),
+            )
+            .agg(
+                dround(F.sum("l_extendedprice"), 2)
+                .cast("decimal(18,2)")
+                .alias("day_sales")
+            )
+            .select(
+                "item_sk",
+                "d_date",
+                F.sum("day_sales").over(cume_w).alias("cume_sales"),
+            )
+        )
+
+    web = channel(F.col("o_orderpriority").isin(*urgent)).select(
+        F.col("item_sk").alias("w_item"),
+        F.col("d_date").alias("w_date"),
+        F.col("cume_sales").alias("w_cume"),
+    )
+    store = channel(~F.col("o_orderpriority").isin(*urgent)).select(
+        F.col("item_sk").alias("s_item"),
+        F.col("d_date").alias("s_date"),
+        F.col("cume_sales").alias("s_cume"),
+    )
+    aligned = web.join(
+        store,
+        (F.col("w_item") == F.col("s_item")) & (F.col("w_date") == F.col("s_date")),
+        "full_outer",
+    ).select(
+        F.coalesce("w_item", "s_item").alias("item_sk"),
+        F.coalesce("w_date", "s_date").alias("d_date"),
+        "w_cume",
+        "s_cume",
+    )
+    run_w = (
+        Window.partitionBy("item_sk")
+        .orderBy("d_date")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        aligned.select(
+            "item_sk",
+            "d_date",
+            F.max("w_cume").over(run_w).cast("double").alias("web_cumulative"),
+            F.max("s_cume").over(run_w).cast("double").alias("store_cumulative"),
+        )
+        .filter(F.col("web_cumulative") > F.col("store_cumulative"))
+        .orderBy("item_sk", "d_date")
+    )
+
+
+# --------------------------------------------------------------------------
+# q67 — wide rollup + rank-per-category cut (q67.sql)
+# --------------------------------------------------------------------------
+@query(
+    "tpcds_q67",
+    oracle="""
+    SELECT * FROM (
+      SELECT p_type, p_brand, d_year, d_qoy, d_moy, s_name, sumsales,
+             CAST(RANK() OVER (PARTITION BY p_type ORDER BY sumsales DESC)
+                  AS BIGINT) AS rk
+      FROM (
+        SELECT p.p_type AS p_type, p.p_brand AS p_brand,
+               year(l.l_shipdate) AS d_year, quarter(l.l_shipdate) AS d_qoy,
+               month(l.l_shipdate) AS d_moy, s.s_name AS s_name,
+               ROUND(SUM(COALESCE(l.l_extendedprice * l.l_quantity, 0)), 2)
+                 AS sumsales
+        FROM lineitem l
+        JOIN part p ON l.l_partkey = p.p_partkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        WHERE year(l.l_shipdate) = 1996
+        GROUP BY ROLLUP (p.p_type, p.p_brand, year(l.l_shipdate),
+                         quarter(l.l_shipdate), month(l.l_shipdate), s.s_name)
+      ) dw1
+    ) dw2
+    WHERE rk <= 10
+    """,
+    doc="TPC-DS q67 shape: 6-column rollup of quantity-weighted sales over "
+    "a dated window, rank within item category, top-N cut by rank value "
+    "(set semantics — no LIMIT, so the result is order-independent).",
+)
+def tpcds_q67(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem, part, supplier = _t(spark, sf_dir, "lineitem", "part", "supplier")
+    base = (
+        lineitem.filter(F.year("l_shipdate") == 1996)
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .join(supplier, F.col("s_suppkey") == F.col("l_suppkey"))
+        .select(
+            "p_type",
+            "p_brand",
+            F.year("l_shipdate").alias("d_year"),
+            F.quarter("l_shipdate").alias("d_qoy"),
+            F.month("l_shipdate").alias("d_moy"),
+            "s_name",
+            F.coalesce(
+                F.col("l_extendedprice") * F.col("l_quantity"), F.lit(0.0)
+            ).alias("sales"),
+        )
+    )
+    agged = base.rollup(
+        "p_type", "p_brand", "d_year", "d_qoy", "d_moy", "s_name"
+    ).agg(dround(F.sum("sales"), 2).alias("sumsales"))
+    w = Window.partitionBy("p_type").orderBy(F.col("sumsales").desc())
+    return (
+        agged.withColumn("rk", F.rank().over(w).cast("bigint"))
+        .filter(F.col("rk") <= 10)
+        .select(
+            "p_type", "p_brand", "d_year", "d_qoy", "d_moy", "s_name",
+            "sumsales", "rk",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q88 — eight independent scalar-count subqueries cross-joined (q88.sql)
+# --------------------------------------------------------------------------
+_Q88_BANDS = [(i * 6 + 1, i * 6 + 6) for i in range(8)]  # quantity bands 1-48
+
+
+@query(
+    "tpcds_q88",
+    oracle="""
+    SELECT
+      (SELECT COUNT(*) FROM lineitem WHERE l_quantity BETWEEN 1 AND 6
+         AND l_discount >= 0.05) AS h1,
+      (SELECT COUNT(*) FROM lineitem WHERE l_quantity BETWEEN 7 AND 12
+         AND l_discount >= 0.05) AS h2,
+      (SELECT COUNT(*) FROM lineitem WHERE l_quantity BETWEEN 13 AND 18
+         AND l_discount >= 0.05) AS h3,
+      (SELECT COUNT(*) FROM lineitem WHERE l_quantity BETWEEN 19 AND 24
+         AND l_discount >= 0.05) AS h4,
+      (SELECT COUNT(*) FROM lineitem WHERE l_quantity BETWEEN 25 AND 30
+         AND l_discount >= 0.05) AS h5,
+      (SELECT COUNT(*) FROM lineitem WHERE l_quantity BETWEEN 31 AND 36
+         AND l_discount >= 0.05) AS h6,
+      (SELECT COUNT(*) FROM lineitem WHERE l_quantity BETWEEN 37 AND 42
+         AND l_discount >= 0.05) AS h7,
+      (SELECT COUNT(*) FROM lineitem WHERE l_quantity BETWEEN 43 AND 48
+         AND l_discount >= 0.05) AS h8
+    """,
+    doc="TPC-DS q88 shape: eight independent scalar COUNT subqueries (one "
+    "per quantity band) cross-joined into a single row. Spark plans eight "
+    "scans that run as one multi-aggregate pass here via conditional "
+    "aggregation — same values, one scan instead of eight.",
+)
+def tpcds_q88(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    # One conditional-aggregation scan replaces the original's 8 self-scans
+    # (the values are identical; at 100 TB one pass beats eight).
+    base = lineitem.filter(F.col("l_discount") >= 0.05)
+    return base.agg(
+        *[
+            F.count(
+                F.when(F.col("l_quantity").between(lo, hi), F.lit(1))
+            ).alias(f"h{i + 1}")
+            for i, (lo, hi) in enumerate(_Q88_BANDS)
+        ]
+    )

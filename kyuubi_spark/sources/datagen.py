@@ -139,12 +139,127 @@ def gen_lineitem(spark: SparkSession, sf: float, partitions: int | None = None) 
     )
 
 
+_MFGRS = [f"Manufacturer#{i}" for i in range(1, 6)]
+_BRANDS = [f"Brand#{i}{j}" for i in range(1, 6) for j in range(1, 6)]
+_TYPES = [
+    f"{a} {b} {c}"
+    for a in ("STANDARD", "SMALL", "MEDIUM", "LARGE", "ECONOMY", "PROMO")
+    for b in ("ANODIZED", "BURNISHED", "PLATED", "POLISHED", "BRUSHED")
+    for c in ("TIN", "NICKEL", "BRASS", "STEEL", "COPPER")
+]
+_CONTAINERS = [
+    f"{a} {b}"
+    for a in ("SM", "LG", "MED", "JUMBO", "WRAP")
+    for b in ("CASE", "BOX", "BAG", "JAR", "PKG", "PACK", "CAN", "DRUM")
+]
+
+
+def gen_supplier(spark: SparkSession, sf: float, partitions: int | None = None) -> DataFrame:
+    """Supplier table (TPCHSchemaUtils.scala:49-58 column set)."""
+    n = max(1, int(sf * 10_000))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            keys = pdf["id"].to_numpy()
+            nk = (keys * 2654435761 % 25).astype("int32")
+            yield pd.DataFrame(
+                {
+                    "s_suppkey": keys + 1,
+                    "s_name": [f"Supplier#{k + 1:09d}" for k in keys],
+                    "s_address": [f"addr{k * 48271 % 100000:05d}" for k in keys],
+                    "s_nationkey": nk,
+                    "s_phone": [
+                        f"{10 + int(v)}-{k * 31 % 900 + 100}-{k * 7 % 900 + 100}-"
+                        f"{k * 13 % 9000 + 1000}"
+                        for k, v in zip(keys, nk)
+                    ],
+                    "s_acctbal": np.round((keys * 997 % 1_099_999) / 100.0 - 999.99, 2),
+                }
+            )
+
+    return _keyed(spark, n, partitions).mapInPandas(
+        gen,
+        schema="s_suppkey long, s_name string, s_address string, s_nationkey int, "
+        "s_phone string, s_acctbal double",
+    )
+
+
+def gen_part(spark: SparkSession, sf: float, partitions: int | None = None) -> DataFrame:
+    """Part table: mfgr/brand/type/size/container per the TPC-H value sets."""
+    n = max(1, int(sf * 200_000))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            keys = pdf["id"].to_numpy()
+            mfgr_idx = keys % 5
+            yield pd.DataFrame(
+                {
+                    "p_partkey": keys + 1,
+                    "p_name": [f"part {k * 69621 % 100000:05d}" for k in keys],
+                    "p_mfgr": [_MFGRS[int(i)] for i in mfgr_idx],
+                    # brand is a refinement of mfgr, as in the spec
+                    "p_brand": [
+                        _BRANDS[int(i) * 5 + int(k * 48271 % 5)]
+                        for i, k in zip(mfgr_idx, keys)
+                    ],
+                    "p_type": [_TYPES[int(k * 2654435761 % 150)] for k in keys],
+                    "p_size": (keys * 31 % 50 + 1).astype("int32"),
+                    "p_container": [_CONTAINERS[int(k * 977 % 40)] for k in keys],
+                    "p_retailprice": np.round(
+                        900.0 + (keys % 200_000) / 10.0 + (keys % 1000) / 100.0, 2
+                    ),
+                }
+            )
+
+    return _keyed(spark, n, partitions).mapInPandas(
+        gen,
+        schema="p_partkey long, p_name string, p_mfgr string, p_brand string, "
+        "p_type string, p_size int, p_container string, p_retailprice double",
+    )
+
+
+def gen_partsupp(spark: SparkSession, sf: float, partitions: int | None = None) -> DataFrame:
+    """Partsupp: 4 suppliers per part (spec ratio), deterministic spread so a
+    part's suppliers land in distinct supplier keys."""
+    n_parts = max(1, int(sf * 200_000))
+    n_supp = max(1, int(sf * 10_000))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pkeys = np.repeat(pdf["id"].to_numpy() + 1, 4)
+            i = np.tile(np.arange(4), len(pdf))
+            # spec-style spread; the i-stride S//4 makes a part's four
+            # suppliers distinct mod S for any S >= 4 (the per-part terms
+            # are constant shifts), unlike the spec's S/4 + (pk-1)/S stride
+            # which collides at tiny scale factors.
+            s = n_supp
+            sk = (pkeys + (pkeys - 1) // s + i * max(1, s // 4)) % s + 1
+            h = pkeys * 4 + i
+            yield pd.DataFrame(
+                {
+                    "ps_partkey": pkeys,
+                    "ps_suppkey": sk,
+                    "ps_availqty": (h * 48271 % 9999 + 1).astype("int32"),
+                    "ps_supplycost": np.round((h * 31 % 99_900) / 100.0 + 1.0, 2),
+                }
+            )
+
+    return _keyed(spark, n_parts, partitions).mapInPandas(
+        gen,
+        schema="ps_partkey long, ps_suppkey long, ps_availqty int, "
+        "ps_supplycost double",
+    )
+
+
 GENERATORS = {
     "region": lambda spark, sf, partitions=None: gen_region(spark),
     "nation": lambda spark, sf, partitions=None: gen_nation(spark),
     "customer": gen_customer,
     "orders": gen_orders,
     "lineitem": gen_lineitem,
+    "supplier": gen_supplier,
+    "part": gen_part,
+    "partsupp": gen_partsupp,
 }
 
 

@@ -93,3 +93,54 @@ def test_datagen_queryable(spark):
     rows = out.collect()
     assert len(rows) == 6  # 3 returnflags x 2 linestatuses
     assert all(r["n"] > 0 for r in rows)
+
+
+def test_datagen_part_supplier_partsupp_counts(spark):
+    sf = 0.001
+    assert datagen.gen_supplier(spark, sf).count() == 10
+    assert datagen.gen_part(spark, sf).count() == 200
+    # 4 suppliers per part, spec ratio
+    assert datagen.gen_partsupp(spark, sf).count() == 800
+
+
+def test_datagen_partsupp_integrity(spark):
+    """Every partsupp row references a live part and supplier; a part's four
+    suppliers are distinct (the spec's spread function guarantees it)."""
+    sf = 0.001
+    ps = datagen.gen_partsupp(spark, sf)
+    part = datagen.gen_part(spark, sf)
+    supp = datagen.gen_supplier(spark, sf)
+    assert ps.join(part, F.col("ps_partkey") == F.col("p_partkey"), "left_anti").count() == 0
+    assert ps.join(supp, F.col("ps_suppkey") == F.col("s_suppkey"), "left_anti").count() == 0
+    dup = (
+        ps.groupBy("ps_partkey", "ps_suppkey")
+        .count()
+        .filter(F.col("count") > 1)
+    )
+    assert dup.count() == 0
+
+
+def test_datagen_lineitem_supplier_integrity(spark):
+    sf = 0.001
+    li = datagen.gen_lineitem(spark, sf)
+    supp = datagen.gen_supplier(spark, sf)
+    assert li.join(supp, F.col("l_suppkey") == F.col("s_suppkey"), "left_anti").count() == 0
+
+
+def test_datagen_q2_shape_over_partsupp(spark):
+    """The full 8-table corpus answers TPC-H q2's true partsupp form."""
+    sf = 0.001
+    part = datagen.gen_part(spark, sf)
+    supp = datagen.gen_supplier(spark, sf)
+    ps = datagen.gen_partsupp(spark, sf)
+    nation = datagen.gen_nation(spark)
+    region = datagen.gen_region(spark)
+    out = (
+        ps.join(part.filter(F.col("p_size") <= 25), F.col("ps_partkey") == F.col("p_partkey"))
+        .join(supp, F.col("ps_suppkey") == F.col("s_suppkey"))
+        .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(region.filter(F.col("r_name") == "EUROPE"), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("p_partkey")
+        .agg(F.min("ps_supplycost").alias("min_cost"))
+    )
+    assert out.count() > 0

@@ -73,13 +73,17 @@ OPERATION_SCHEDULER_POOL = _entry(
     "kyuubi.operation.scheduler.pool", "", str,
     "Spark fair-scheduler pool for this session's jobs.")
 
-# Watchdog (reference watchdog/MaxScanStrategy.scala:36-160).
-WATCHDOG_MAX_FILE_SIZE = _entry(
+# Watchdog (reference watchdog/MaxScanStrategy.scala:36-160;
+# KyuubiUnsupportedOperationsCheck.scala:1-35).
+WATCHDOG_FORCED_MAX_ROWS = _entry(
     "kyuubi.watchdog.forcedMaxOutputRows", 0, int,
     "If > 0, inject a LIMIT on top of SELECT statements.")
 WATCHDOG_MAX_SCAN_BYTES = _entry(
     "spark.sql.watchdog.maxFileSize", 0, int,
     "If > 0, reject queries whose file scans exceed this many bytes.")
+WATCHDOG_FORBID_CROSS_JOIN = _entry(
+    "kyuubi.watchdog.forbidCrossJoin", False, bool,
+    "Reject plans containing a condition-free (cartesian) join.")
 
 # Write path value-add (reference zorder / RebalanceBeforeWriting).
 ZORDER_ENABLED = _entry(

@@ -115,7 +115,7 @@ class Engine:
 
     def apply_write_rules(self, session: Session, df: DataFrame) -> DataFrame:
         """forcedMaxOutputRows cap on SELECT results (watchdog docs)."""
-        max_rows = session.conf.get(C.WATCHDOG_MAX_FILE_SIZE)
+        max_rows = session.conf.get(C.WATCHDOG_FORCED_MAX_ROWS)
         return WD.forced_limit(df, max_rows)
 
     def parse_optimize_zorder(

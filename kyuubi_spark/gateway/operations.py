@@ -243,7 +243,7 @@ class ExecuteStatement(Operation):
             df = spark.sql(self.statement)
             from kyuubi_spark.operators import watchdog as WD
 
-            df = WD.forced_limit(df, conf.get(C.WATCHDOG_MAX_FILE_SIZE))
+            df = WD.forced_limit(df, conf.get(C.WATCHDOG_FORCED_MAX_ROWS))
             self.result_df = df
             self._schema = df.schema
             with self._lock:
@@ -251,6 +251,9 @@ class ExecuteStatement(Operation):
                     # analysis finished — observable COMPILED phase
                     self.set_state(OperationState.COMPILED)
             WD.check_max_scan(df, conf.get(C.WATCHDOG_MAX_SCAN_BYTES))
+            WD.check_unsupported_operations(
+                df, conf.get(C.WATCHDOG_FORBID_CROSS_JOIN)
+            )
             if conf.get(C.OPERATION_RESULT_FORMAT).lower() == "arrow":
                 self._iter = ArrayFetchIterator(self._collect_arrow(df))
                 return

@@ -17,6 +17,10 @@ class MaxScanExceeded(RuntimeError):
     pass
 
 
+class UnsupportedOperation(RuntimeError):
+    pass
+
+
 def _jseq(jseq):
     for i in range(jseq.size()):
         yield jseq.apply(i)
@@ -47,6 +51,33 @@ def check_max_scan(df: DataFrame, max_bytes: int) -> None:
         if actual > max_bytes:
             raise MaxScanExceeded(
                 f"query would scan {actual} bytes > watchdog limit {max_bytes}"
+            )
+
+
+def check_unsupported_operations(df: DataFrame, forbid_cross_join: bool) -> None:
+    """Plan-shape denylist (KyuubiUnsupportedOperationsCheck.scala:1-35
+    parity): reject cross joins — a join that survives optimization with no
+    condition is a cartesian product, which at 100 TB is a runaway query by
+    construction.
+
+    Checked on the OPTIMIZED logical plan, so a cross join that Catalyst
+    turns into an equi-join (e.g. `FROM a, b WHERE a.k = b.k`) passes, and
+    only genuinely condition-free joins are rejected — the same observation
+    point the reference's check hooks (an extendedCheckRule over the
+    analyzed/optimized plan).
+    """
+    if not forbid_cross_join:
+        return
+    jplan = df._jdf.queryExecution().optimizedPlan()
+    # Plan-string check: a condition-free join prints as "Join Cross" (or
+    # "Join Inner" with no condition only pre-optimization; optimizer
+    # rewrites those to Cross).
+    for line in jplan.toString().splitlines():
+        s = line.lstrip(" +-:")
+        if s.startswith("Join Cross") or s.startswith("CartesianProduct"):
+            raise UnsupportedOperation(
+                "watchdog: cross join (cartesian product) is forbidden "
+                f"by kyuubi.watchdog.forbidCrossJoin: {s[:120]}"
             )
 
 

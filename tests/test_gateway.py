@@ -491,3 +491,29 @@ def test_execute_python_table_magic_dicts(session):
     )
     assert [f.name for f in op.get_result_set_schema().fields] == ["x", "y"]
     assert [tuple(r) for r in op.get_next_row_set()] == [("1", "a"), ("2", "b")]
+
+
+def test_watchdog_forbids_cross_join(session):
+    op = session.execute_statement(
+        "SELECT * FROM region CROSS JOIN nation",
+        conf_overlay={"kyuubi.watchdog.forbidCrossJoin": "true"},
+    )
+    assert op.state is OperationState.ERROR
+    assert "cartesian" in str(op.exception)
+
+
+def test_watchdog_cross_join_check_allows_equi_join(session):
+    # comma-join with an equality predicate optimizes to an equi-join —
+    # must pass the plan-shape denylist
+    op = session.execute_statement(
+        "SELECT count(*) AS n FROM nation, region "
+        "WHERE n_regionkey = r_regionkey",
+        conf_overlay={"kyuubi.watchdog.forbidCrossJoin": "true"},
+    )
+    assert op.state is OperationState.FINISHED
+    assert op.get_next_row_set(size=1)[0][0] == 25
+
+
+def test_watchdog_cross_join_allowed_by_default(session):
+    op = session.execute_statement("SELECT count(*) AS n FROM region CROSS JOIN nation")
+    assert op.state is OperationState.FINISHED

@@ -481,10 +481,33 @@ _S = T.StringType()
 _I = T.IntegerType()
 
 
+def _quote_ns(ns: str) -> str:
+    return ".".join(f"`{p}`" for p in ns.split("."))
+
+
+def _catalog_namespaces(spark, cat: str) -> list[str]:
+    """Namespaces of a (possibly non-current) DSv2 catalog — the
+    SparkCatalogUtils.getSchemas:113-147 path (SHOW NAMESPACES IN cat)."""
+    return [r[0] for r in spark.sql(f"SHOW NAMESPACES IN `{cat}`").collect()]
+
+
 class GetCatalogs(MetadataOperation):
     def _execute(self) -> None:
-        rows = [(c.name,) for c in self.session.spark.catalog.listCatalogs()]
-        self._finish([("TABLE_CAT", _S)], sorted(rows))
+        spark = self.session.spark
+        # Loaded plugins + the session catalog...
+        names = {c.name for c in spark.catalog.listCatalogs()}
+        names.add("spark_catalog")
+        # ...plus registered-but-not-yet-loaded DSv2 plugins, found by
+        # scanning `spark.sql.catalog.<name>` conf keys — the
+        # SparkCatalogUtils.getCatalogs:63-90 enumeration.
+        prefix = "spark.sql.catalog."
+        jconf = spark._jsparkSession.sessionState().conf().getAllConfs()
+        it = jconf.iterator()
+        while it.hasNext():
+            key = it.next()._1()
+            if key.startswith(prefix) and "." not in key[len(prefix):]:
+                names.add(key[len(prefix):])
+        self._finish([("TABLE_CAT", _S)], sorted((n,) for n in names))
 
 
 class GetSchemas(MetadataOperation):
@@ -494,18 +517,28 @@ class GetSchemas(MetadataOperation):
         self.pattern = schema_pattern
 
     def _execute(self) -> None:
+        spark = self.session.spark
         rx = _like_to_regex(self.pattern)
-        cat = self.catalog or self.session.spark.catalog.currentCatalog()
-        rows = [
-            (db.name, cat)
-            for db in self.session.spark.catalog.listDatabases()
-            if rx.match(db.name)
-        ]
+        cur = spark.catalog.currentCatalog()
+        cat = self.catalog or cur
+        if cat == cur:
+            names = [db.name for db in spark.catalog.listDatabases()]
+        else:  # cross-catalog: resolve through the DSv2 catalog plugin
+            names = _catalog_namespaces(spark, cat)
+        rows = [(n, cat) for n in names if rx.match(n)]
         self._finish([("TABLE_SCHEM", _S), ("TABLE_CATALOG", _S)], sorted(rows))
 
 
 class GetTables(MetadataOperation):
     """JDBC-shaped table listing (GetTables.scala:50-90 schema)."""
+
+    _TABLE_FIELDS = [
+        ("TABLE_CAT", _S),
+        ("TABLE_SCHEM", _S),
+        ("TABLE_NAME", _S),
+        ("TABLE_TYPE", _S),
+        ("REMARKS", _S),
+    ]
 
     def __init__(
         self,
@@ -523,10 +556,27 @@ class GetTables(MetadataOperation):
 
     def _execute(self) -> None:
         spark = self.session.spark
-        cat = self.catalog or spark.catalog.currentCatalog()
+        cur = spark.catalog.currentCatalog()
+        cat = self.catalog or cur
         srx = _like_to_regex(self.schema_pattern)
         trx = _like_to_regex(self.table_pattern)
         rows = []
+        if cat != cur:
+            # Cross-catalog listing via the DSv2 plugin (no session switch);
+            # DSv2 catalogs expose tables only (views are session-level).
+            if self.table_types and "TABLE" not in self.table_types:
+                self._finish(self._TABLE_FIELDS, [])
+                return
+            for ns in _catalog_namespaces(spark, cat):
+                if not srx.match(ns):
+                    continue
+                for t in spark.sql(
+                    f"SHOW TABLES IN `{cat}`.{_quote_ns(ns)}"
+                ).collect():
+                    if trx.match(t.tableName):
+                        rows.append((cat, ns, t.tableName, "TABLE", ""))
+            self._finish(self._TABLE_FIELDS, sorted(rows))
+            return
         for db in spark.catalog.listDatabases():
             if not srx.match(db.name):
                 continue
@@ -537,16 +587,7 @@ class GetTables(MetadataOperation):
                 if self.table_types and ttype not in self.table_types:
                     continue
                 rows.append((cat, t.namespace[0] if t.namespace else db.name, t.name, ttype, t.description or ""))
-        self._finish(
-            [
-                ("TABLE_CAT", _S),
-                ("TABLE_SCHEM", _S),
-                ("TABLE_NAME", _S),
-                ("TABLE_TYPE", _S),
-                ("REMARKS", _S),
-            ],
-            sorted(rows),
-        )
+        self._finish(self._TABLE_FIELDS, sorted(rows))
 
 
 class GetTableTypes(MetadataOperation):
@@ -573,45 +614,60 @@ class GetColumns(MetadataOperation):
 
     def _execute(self) -> None:
         spark = self.session.spark
-        cat = self.catalog or spark.catalog.currentCatalog()
+        cur = spark.catalog.currentCatalog()
+        cat = self.catalog or cur
         srx = _like_to_regex(self.schema_pattern)
         trx = _like_to_regex(self.table_pattern)
         crx = _like_to_regex(self.column_pattern)
+        # (schema name, table name, fully-qualified reference) triples
+        if cat != cur:
+            targets = [
+                (ns, t.tableName, f"`{cat}`.{_quote_ns(ns)}.`{t.tableName}`")
+                for ns in _catalog_namespaces(spark, cat)
+                if srx.match(ns)
+                for t in spark.sql(f"SHOW TABLES IN `{cat}`.{_quote_ns(ns)}").collect()
+                if trx.match(t.tableName)
+            ]
+        else:
+            targets = [
+                (
+                    db.name,
+                    t.name,
+                    f"`{db.name}`.`{t.name}`" if not t.isTemporary else f"`{t.name}`",
+                )
+                for db in spark.catalog.listDatabases()
+                if srx.match(db.name)
+                for t in spark.catalog.listTables(db.name)
+                if trx.match(t.name)
+            ]
         rows = []
-        for db in spark.catalog.listDatabases():
-            if not srx.match(db.name):
-                continue
-            for t in spark.catalog.listTables(db.name):
-                if not trx.match(t.name):
+        for db_name, t_name, ref in targets:
+            schema = spark.table(ref).schema
+            for pos, f in enumerate(schema.fields):
+                if not crx.match(f.name):
                     continue
-                schema = spark.table(
-                    f"`{db.name}`.`{t.name}`" if not t.isTemporary else f"`{t.name}`"
-                ).schema
-                for pos, f in enumerate(schema.fields):
-                    if not crx.match(f.name):
-                        continue
-                    rows.append(
-                        (
-                            cat,
-                            db.name,
-                            t.name,
-                            f.name,
-                            SH.java_sql_type(f.dataType),
-                            f.dataType.simpleString().upper(),
-                            SH.column_size(f.dataType),
-                            None,  # BUFFER_LENGTH (unused per JDBC spec)
-                            SH.decimal_digits(f.dataType),
-                            SH.num_prec_radix(f.dataType),
-                            1 if f.nullable else 0,
-                            "",  # REMARKS
-                            None,  # COLUMN_DEF
-                            None,  # SQL_DATA_TYPE
-                            None,  # SQL_DATETIME_SUB
-                            None,  # CHAR_OCTET_LENGTH
-                            pos + 1,  # ORDINAL_POSITION
-                            "YES" if f.nullable else "NO",
-                        )
+                rows.append(
+                    (
+                        cat,
+                        db_name,
+                        t_name,
+                        f.name,
+                        SH.java_sql_type(f.dataType),
+                        f.dataType.simpleString().upper(),
+                        SH.column_size(f.dataType),
+                        None,  # BUFFER_LENGTH (unused per JDBC spec)
+                        SH.decimal_digits(f.dataType),
+                        SH.num_prec_radix(f.dataType),
+                        1 if f.nullable else 0,
+                        "",  # REMARKS
+                        None,  # COLUMN_DEF
+                        None,  # SQL_DATA_TYPE
+                        None,  # SQL_DATETIME_SUB
+                        None,  # CHAR_OCTET_LENGTH
+                        pos + 1,  # ORDINAL_POSITION
+                        "YES" if f.nullable else "NO",
                     )
+                )
         self._finish(
             [
                 ("TABLE_CAT", _S), ("TABLE_SCHEM", _S), ("TABLE_NAME", _S),

@@ -94,6 +94,11 @@ REBALANCE_BEFORE_WRITE = _entry(
     "kyuubi.write.rebalance.enabled", True, bool,
     "Insert a rebalance/repartition before writes to avoid small files.")
 
+# Event logging (kyuubi-events JsonLoggingEventHandler).
+EVENT_LOG_PATH = _entry(
+    "kyuubi.backend.server.event.json.log.path", "", str,
+    "If set, append lifecycle events as JSON lines to this file.")
+
 # Server-side limits / rewrites (kyuubi-server SessionLimiter;
 # KyuubiConf.scala:3477-3529; KyuubiSQLConf DROP_IGNORE_NONEXISTENT).
 LIMIT_CONNECTIONS_PER_USER = _entry(

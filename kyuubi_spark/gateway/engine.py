@@ -59,6 +59,16 @@ class Engine:
         )
         store_path = self.conf.get(C.METADATA_STORE_PATH)
         self.metadata_store = SRV.MetadataStore(store_path) if store_path else None
+        # Lifecycle events + metrics (kyuubi-events EventBus / kyuubi-metrics
+        # MetricsSystem). Optional JSON-lines event log via conf.
+        from kyuubi_spark.gateway.events import EventBus, JsonFileEventLogger
+        from kyuubi_spark.gateway.metrics import MetricsRegistry
+
+        self.events = EventBus()
+        self.metrics = MetricsRegistry()
+        log_path = self.conf.get(C.EVENT_LOG_PATH)
+        if log_path:
+            self.events.subscribe(JsonFileEventLogger(log_path))
 
     # -- session lifecycle -------------------------------------------------
     def open_session(
@@ -81,6 +91,15 @@ class Engine:
                 s.handle.id, "INTERACTIVE", user, ip_address,
                 state="RUNNING", request_conf=conf,
             )
+        from kyuubi_spark.gateway import metrics as M
+        from kyuubi_spark.gateway.events import make_event
+
+        self.metrics.inc(M.CONN_OPEN)
+        self.metrics.inc(M.CONN_TOTAL)
+        self.metrics.inc(f"{M.CONN_TOTAL}.{user}")
+        self.events.post(
+            make_event("SessionOpened", sessionId=s.handle.id, user=user, ip=ip_address)
+        )
         return s
 
     def close_session(self, handle) -> None:
@@ -92,6 +111,13 @@ class Engine:
         self.limiter.decrement(s.user, getattr(s, "ip_address", ""))
         if self.metadata_store is not None:
             self.metadata_store.update_state(s.handle.id, "CLOSED", ended=True)
+        from kyuubi_spark.gateway import metrics as M
+        from kyuubi_spark.gateway.events import make_event
+
+        self.metrics.dec(M.CONN_OPEN)
+        self.events.post(
+            make_event("SessionClosed", sessionId=s.handle.id, user=s.user)
+        )
 
     # -- GetInfo (TFrontendService.scala:223) ------------------------------
     def get_info(self) -> dict[str, Any]:

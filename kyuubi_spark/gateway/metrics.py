@@ -1,0 +1,71 @@
+"""Gateway metrics registry.
+
+Python counterpart of kyuubi-metrics (MetricsSystem + MetricsConstants):
+thread-safe counters/gauges/timers with a JSON snapshot, exposed through the
+REST frontend (the reference ships console/JSON/Prometheus reporters; the
+snapshot here is the JSON-reporter shape).
+
+Metric names follow the reference's MetricsConstants.scala:
+  kyuubi.connection.opened / .total (+ per-user variants)
+  kyuubi.operation.opened / .total / .failed (+ per-state counters)
+  kyuubi.operation.exec_time (timer: count/sum/max)
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+from typing import Any
+
+CONN_OPEN = "kyuubi.connection.opened"
+CONN_TOTAL = "kyuubi.connection.total"
+OP_OPEN = "kyuubi.operation.opened"
+OP_TOTAL = "kyuubi.operation.total"
+OP_FAIL = "kyuubi.operation.failed"
+OP_STATE_PREFIX = "kyuubi.operation.state."
+OP_EXEC_TIME = "kyuubi.operation.exec_time"
+
+
+class MetricsRegistry:
+    def __init__(self):
+        self._lock = threading.RLock()
+        self._counters: dict[str, int] = {}
+        self._timers: dict[str, dict[str, float]] = {}
+        self._start = time.time()
+
+    # -- counters ----------------------------------------------------------
+    def inc(self, name: str, delta: int = 1) -> None:
+        with self._lock:
+            self._counters[name] = self._counters.get(name, 0) + delta
+
+    def dec(self, name: str, delta: int = 1) -> None:
+        self.inc(name, -delta)
+
+    def count(self, name: str) -> int:
+        with self._lock:
+            return self._counters.get(name, 0)
+
+    # -- timers ------------------------------------------------------------
+    def update_timer(self, name: str, seconds: float) -> None:
+        with self._lock:
+            t = self._timers.setdefault(name, {"count": 0, "sum": 0.0, "max": 0.0})
+            t["count"] += 1
+            t["sum"] += seconds
+            t["max"] = max(t["max"], seconds)
+
+    # -- reporting ---------------------------------------------------------
+    def snapshot(self) -> dict[str, Any]:
+        with self._lock:
+            return {
+                "uptimeSec": round(time.time() - self._start, 3),
+                "counters": dict(sorted(self._counters.items())),
+                "timers": {
+                    k: {
+                        "count": int(v["count"]),
+                        "sumSec": round(v["sum"], 6),
+                        "maxSec": round(v["max"], 6),
+                        "meanSec": round(v["sum"] / v["count"], 6) if v["count"] else 0.0,
+                    }
+                    for k, v in sorted(self._timers.items())
+                },
+            }

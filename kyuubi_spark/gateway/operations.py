@@ -75,10 +75,41 @@ class Operation:
         with self._lock:
             validate_transition(self.state, new)
             self.log(f"operation state {self.state.value} -> {new.value}")
-            self.state = new
+            prev, self.state = self.state, new
             if new.is_terminal:
                 self.complete_time = time.time()
                 self._done.set()
+        self._post_state_event(prev, new)
+
+    def _post_state_event(self, prev: OperationState, new: OperationState) -> None:
+        """Post the state transition to the engine bus + metrics
+        (SparkOperation.setState event posts, SparkOperation.scala:134-153)."""
+        engine = getattr(self.session, "engine", None)
+        if engine is None or not hasattr(engine, "events"):
+            return
+        from kyuubi_spark.gateway import metrics as M
+        from kyuubi_spark.gateway.events import make_event
+
+        engine.metrics.inc(f"{M.OP_STATE_PREFIX}{new.value.lower()}")
+        if new is OperationState.RUNNING:
+            engine.metrics.inc(M.OP_OPEN)
+            engine.metrics.inc(M.OP_TOTAL)
+        elif new.is_terminal:
+            if prev in (OperationState.RUNNING, OperationState.COMPILED):
+                engine.metrics.dec(M.OP_OPEN)
+            if new is OperationState.ERROR:
+                engine.metrics.inc(M.OP_FAIL)
+            engine.metrics.update_timer(M.OP_EXEC_TIME, time.time() - self.start_time)
+        engine.events.post(
+            make_event(
+                "OperationStateChanged",
+                operationId=self.handle.id,
+                sessionId=self.session.handle.id,
+                operation=type(self).__name__,
+                fromState=prev.value,
+                toState=new.value,
+            )
+        )
 
     def run(self) -> "Operation":
         if self._async:

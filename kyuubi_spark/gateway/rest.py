@@ -182,7 +182,13 @@ class RestGateway:
             return
         parts = parts[2:]
 
-        if parts == ["sessions"] and method == "POST":
+        if parts == ["metrics"] and method == "GET":
+            h._reply(200, self.engine.metrics.snapshot())
+        elif parts == ["events"] and method == "GET":
+            n = int(q.get("n", ["100"])[0])
+            etype = q.get("type", [None])[0]
+            h._reply(200, self.engine.events.recent(n, etype))
+        elif parts == ["sessions"] and method == "POST":
             body = h._body()
             s = self.engine.open_session(
                 user=body.get("user", "anonymous"), conf=body.get("conf")

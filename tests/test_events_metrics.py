@@ -1,0 +1,153 @@
+"""Event bus + metrics surface (kyuubi-events / kyuubi-metrics parity):
+session and operation lifecycle posts, counters/timers, JSON event log,
+and the REST /metrics and /events endpoints."""
+
+import json
+import os
+import sys
+import urllib.request
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from kyuubi_spark.gateway import Engine  # noqa: E402
+from kyuubi_spark.gateway import metrics as M  # noqa: E402
+from kyuubi_spark.gateway.events import EventBus, JsonFileEventLogger, make_event  # noqa: E402
+from kyuubi_spark.gateway.metrics import MetricsRegistry  # noqa: E402
+
+
+# -- unit: bus + registry ---------------------------------------------------
+def test_event_bus_post_subscribe_filter():
+    bus = EventBus()
+    seen, typed = [], []
+    bus.subscribe(seen.append)
+    bus.subscribe(typed.append, event_type="B")
+    bus.post(make_event("A", x=1))
+    bus.post(make_event("B", x=2))
+    assert [e["eventType"] for e in seen] == ["A", "B"]
+    assert [e["eventType"] for e in typed] == ["B"]
+    assert [e["eventType"] for e in bus.recent(10)] == ["A", "B"]
+    assert [e["x"] for e in bus.recent(10, event_type="A")] == [1]
+
+
+def test_event_bus_handler_errors_do_not_break_post(capsys):
+    bus = EventBus()
+
+    def bad(_):
+        raise RuntimeError("boom")
+
+    got = []
+    bus.subscribe(bad)
+    bus.subscribe(got.append)
+    bus.post(make_event("A"))
+    assert len(got) == 1  # later handler still ran
+
+
+def test_json_file_event_logger(tmp_path):
+    path = str(tmp_path / "events.jsonl")
+    bus = EventBus()
+    bus.subscribe(JsonFileEventLogger(path))
+    bus.post(make_event("SessionOpened", user="u"))
+    bus.post(make_event("SessionClosed", user="u"))
+    lines = [json.loads(x) for x in open(path)]
+    assert [e["eventType"] for e in lines] == ["SessionOpened", "SessionClosed"]
+
+
+def test_metrics_registry_counters_and_timers():
+    m = MetricsRegistry()
+    m.inc("c")
+    m.inc("c", 2)
+    m.dec("c")
+    m.update_timer("t", 0.5)
+    m.update_timer("t", 1.5)
+    snap = m.snapshot()
+    assert snap["counters"]["c"] == 2
+    assert snap["timers"]["t"]["count"] == 2
+    assert snap["timers"]["t"]["maxSec"] == 1.5
+    assert snap["timers"]["t"]["meanSec"] == 1.0
+
+
+# -- engine lifecycle wiring ------------------------------------------------
+@pytest.fixture(scope="module")
+def engine(spark):
+    yield Engine(spark=spark)
+
+
+def test_session_lifecycle_events_and_metrics(engine):
+    before_total = engine.metrics.count(M.CONN_TOTAL)
+    s = engine.open_session(user="ev_user")
+    assert engine.metrics.count(M.CONN_OPEN) >= 1
+    assert engine.metrics.count(M.CONN_TOTAL) == before_total + 1
+    engine.close_session(s.handle)
+    events = [e["eventType"] for e in engine.events.recent(50)]
+    assert "SessionOpened" in events and "SessionClosed" in events
+    opened = [e for e in engine.events.recent(50, "SessionOpened")]
+    assert opened[-1]["user"] == "ev_user"
+
+
+def test_operation_state_events_and_timers(engine):
+    s = engine.open_session(user="ev_user2")
+    try:
+        before = engine.metrics.count(M.OP_TOTAL)
+        op = s.execute_statement("SELECT 1 AS x")
+        assert engine.metrics.count(M.OP_TOTAL) == before + 1
+        trans = [
+            (e["fromState"], e["toState"])
+            for e in engine.events.recent(100, "OperationStateChanged")
+            if e["operationId"] == op.handle.id
+        ]
+        assert ("INITIALIZED", "PENDING") in trans or ("INITIALIZED", "RUNNING") in trans
+        assert any(t[1] == "FINISHED" for t in trans)
+        snap = engine.metrics.snapshot()
+        assert snap["timers"][M.OP_EXEC_TIME]["count"] >= 1
+    finally:
+        engine.close_session(s.handle)
+
+
+def test_failed_operation_counts(engine):
+    s = engine.open_session(user="ev_user3")
+    try:
+        before = engine.metrics.count(M.OP_FAIL)
+        s.execute_statement("SELECT * FROM definitely_not_a_table_xyz")
+        assert engine.metrics.count(M.OP_FAIL) == before + 1
+    finally:
+        engine.close_session(s.handle)
+
+
+def test_event_log_conf_writes_json_lines(spark, tmp_path):
+    path = str(tmp_path / "gateway_events.jsonl")
+    eng = Engine(
+        spark=spark,
+        conf={"kyuubi.backend.server.event.json.log.path": path},
+    )
+    s = eng.open_session(user="logged")
+    s.execute_statement("SELECT 1 AS a")
+    eng.close_session(s.handle)
+    types = [json.loads(x)["eventType"] for x in open(path)]
+    assert "SessionOpened" in types
+    assert "OperationStateChanged" in types
+    assert "SessionClosed" in types
+
+
+# -- REST surface -----------------------------------------------------------
+def test_rest_metrics_and_events_endpoints(spark):
+    from kyuubi_spark.gateway.rest import RestGateway
+
+    gw = RestGateway(Engine(spark=spark)).start()
+    try:
+        base = f"http://127.0.0.1:{gw.port}/api/v1"
+        with urllib.request.urlopen(
+            urllib.request.Request(f"{base}/sessions", data=b'{"user":"r"}',
+                                   method="POST",
+                                   headers={"Content-Type": "application/json"})
+        ) as resp:
+            sid = json.loads(resp.read())["identifier"]
+        with urllib.request.urlopen(f"{base}/metrics") as resp:
+            snap = json.loads(resp.read())
+        assert snap["counters"][M.CONN_OPEN] >= 1
+        with urllib.request.urlopen(f"{base}/events?type=SessionOpened") as resp:
+            events = json.loads(resp.read())
+        assert any(e["sessionId"] == sid for e in events)
+    finally:
+        gw.shutdown()

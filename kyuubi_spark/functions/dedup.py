@@ -213,47 +213,91 @@ def jaccard_pairs(
     Returns (a_id, b_id, inter, union, jaccard). ``shingle_df`` (id, g,
     already distinct) shares a materialized shingle relation with the LSH
     phase.
+
+    Physical shape (the 100 TB story):
+    - With ``candidates=None``, exact pairs come from PREFIX FILTERING
+      (PPJoin/Vernica-style set-similarity join): under one global token
+      order (rarest shingle first), any pair with jaccard >= tau shares its
+      smallest common shingle inside BOTH docs' first
+      ``n_sh - ceil(tau*n_sh) + 1`` shingles, so indexing only prefixes is
+      LOSSLESS for the threshold — identical output to a naive self-join —
+      while the corpus-hottest shingles (the quadratic pair blowup at
+      scale) fall in suffixes and never join.
+    - Verification is one ``array_intersect`` per candidate pair over the
+      two docs' shingle arrays (codegen, O(|a|+|b|)) instead of re-joining
+      the exploded shingle relation, which would replicate every pair once
+      per shingle.
     """
-    sh = (
-        shingle_df.select("id", F.col("g").alias("sh"))
+    arrays = (
+        shingle_df.groupBy("id").agg(F.collect_list("g").alias("shs"))
         if shingle_df is not None
-        # no .distinct(): shingles() array_distincts per doc, so the
-        # exploded (id, sh) relation is already unique
+        # shingles() array_distincts per doc, so sizes are set cardinalities
         else df.select(
-            F.col(id_col).alias("id"),
-            F.explode(shingles(F.col(text_col), n)).alias("sh"),
+            F.col(id_col).alias("id"), shingles(F.col(text_col), n).alias("shs")
         )
     )
-    counts = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
 
     if candidates is None:
-        a = sh.select(F.col("id").alias("a_id"), F.col("sh").alias("sh"))
-        b = sh.select(F.col("id").alias("b_id"), F.col("sh").alias("sh_b"))
-        inter = (
-            a.join(b, (F.col("sh") == F.col("sh_b")) & (F.col("a_id") < F.col("b_id")))
-            .groupBy("a_id", "b_id")
-            .agg(F.count("*").alias("inter"))
+        # The exact path reads the shingle arrays four times (frequency,
+        # ranking, both verify sides); persist so shingling runs once —
+        # standard for a multi-pass set-similarity join (spills to disk if
+        # the relation outgrows executor memory).
+        from pyspark import StorageLevel
+        from pyspark.sql import Window
+
+        arrays = arrays.persist(StorageLevel.MEMORY_AND_DISK)
+        sh = arrays.select("id", F.explode("shs").alias("sh"))
+        df_freq = sh.groupBy("sh").agg(F.count("*").alias("df_sh"))
+        # integer-exact prefix length: n_sh - ceil(tau_num*n_sh/tau_den) + 1
+        ranked = (
+            sh.join(df_freq, "sh")
+            .join(arrays.select("id", F.size("shs").alias("n_sh")), "id")
+            .withColumn(
+                "rk",
+                F.row_number().over(
+                    Window.partitionBy("id").orderBy("df_sh", "sh")
+                ),
+            )
+            .withColumn(
+                "pref_len",
+                F.col("n_sh")
+                - ((tau_num * F.col("n_sh") + tau_den - 1) / tau_den).cast("long")
+                + 1,
+            )
+            .filter(F.col("rk") <= F.col("pref_len"))
+            .select("id", "sh")
+        )
+        pa = ranked.select(F.col("id").alias("a_id"), F.col("sh").alias("sh_a"))
+        pb = ranked.select(F.col("id").alias("b_id"), F.col("sh").alias("sh_b"))
+        cand = (
+            pa.join(
+                pb,
+                (F.col("sh_a") == F.col("sh_b")) & (F.col("a_id") < F.col("b_id")),
+            )
+            .select("a_id", "b_id")
+            .distinct()
         )
     else:
-        a = sh.select(F.col("id").alias("a_id"), F.col("sh").alias("sh_a"))
-        b = sh.select(F.col("id").alias("bb_id"), F.col("sh").alias("sh_b"))
-        inter = (
-            candidates.join(a, "a_id")
-            .join(
-                b,
-                (F.col("b_id") == F.col("bb_id")) & (F.col("sh_a") == F.col("sh_b")),
-            )
-            .groupBy("a_id", "b_id")
-            .agg(F.count("*").alias("inter"))
-        )
+        cand = candidates.select("a_id", "b_id")
 
-    ca = counts.select(F.col("id").alias("a_id"), F.col("n_sh").alias("n_a"))
-    cb = counts.select(F.col("id").alias("b_id"), F.col("n_sh").alias("n_b"))
+    av = arrays.select(F.col("id").alias("a_id"), F.col("shs").alias("shs_a"))
+    bv = arrays.select(F.col("id").alias("b_id"), F.col("shs").alias("shs_b"))
     return (
-        inter.join(ca, "a_id")
-        .join(cb, "b_id")
-        .withColumn("union", F.col("n_a") + F.col("n_b") - F.col("inter"))
-        .filter(tau_den * F.col("inter") >= tau_num * F.col("union"))
+        cand.join(av, "a_id")
+        .join(bv, "b_id")
+        .withColumn(
+            "inter", F.size(F.array_intersect("shs_a", "shs_b")).cast("long")
+        )
+        .withColumn(
+            "union",
+            (F.size("shs_a") + F.size("shs_b")).cast("long") - F.col("inter"),
+        )
+        # union > 0 excludes empty-shingle docs (sub-n-token texts), which
+        # the join-based counter never emitted either
+        .filter(
+            (F.col("union") > 0)
+            & (tau_den * F.col("inter") >= tau_num * F.col("union"))
+        )
         .select(
             "a_id",
             "b_id",

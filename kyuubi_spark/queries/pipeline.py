@@ -861,54 +861,66 @@ def pipeline_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sequence_packing",
     oracle="""
     WITH t AS (
-      SELECT doc_id, source,
+      SELECT doc_id, source, doc_id % 16 AS shard,
              CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens
       FROM documents),
     c AS (
-      SELECT doc_id, source, n_tokens,
-             SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+      SELECT doc_id, source, shard, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY source, shard ORDER BY doc_id
                                  ROWS BETWEEN UNBOUNDED PRECEDING
                                           AND CURRENT ROW) AS cum
       FROM t),
     binned AS (
-      SELECT source, CAST(floor((cum - n_tokens) / 512) AS BIGINT) AS bin,
+      SELECT source, shard,
+             CAST(floor((cum - n_tokens) / 512) AS BIGINT) AS bin,
              n_tokens
       FROM c)
-    SELECT source, bin,
+    SELECT source, CAST(shard AS BIGINT) AS shard, bin,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
-    FROM binned GROUP BY 1, 2 ORDER BY 1, 2
+    FROM binned GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
     """,
-    doc="Sequence packing for training batches: per source shard, docs are "
-    "packed in doc_id order into 512-token bins via cumulative-sum "
-    "bin assignment (bin = floor(start_offset / capacity) — deterministic, "
-    "one window pass, no greedy loop). Partitioned by source so packing "
-    "state never crosses shards: at 100 TB each shard packs "
-    "independently, no global sort. Integer token sums are order-exact.",
+    doc="Sequence packing for training batches, TWO-LEVEL: docs are hash-"
+    "sharded within each source (doc_id % 16), then each (source, shard) "
+    "packs independently in doc_id order into 512-token bins via "
+    "cumulative-sum bin assignment (bin = floor(start_offset / capacity) — "
+    "deterministic, one window pass, no greedy loop). A single-level "
+    "per-source window is one task per source — a straggler by "
+    "construction at 100 TB; sharding bounds every window partition at "
+    "1/16 of a source (raise the shard count with corpus size) while "
+    "keeping the same greedy semantics within a shard. Bins are keyed "
+    "(source, shard, bin), so shard outputs concatenate without renumber "
+    "collisions. Integer token sums are order-exact.",
 )
 def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
-    t = docs.select("doc_id", "source", T.token_count("text").alias("n_tokens"))
+    t = docs.select(
+        "doc_id",
+        "source",
+        (F.col("doc_id") % 16).cast("bigint").alias("shard"),
+        T.token_count("text").alias("n_tokens"),
+    )
     w = (
-        Window.partitionBy("source")
+        Window.partitionBy("source", "shard")
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     c = t.withColumn("cum", F.sum("n_tokens").over(w))
     binned = c.select(
         "source",
+        "shard",
         F.floor((F.col("cum") - F.col("n_tokens")) / 512).cast("bigint").alias("bin"),
         "n_tokens",
     )
     return (
-        binned.groupBy("source", "bin")
+        binned.groupBy("source", "shard", "bin")
         .agg(
             F.count("*").alias("n_docs"),
             F.sum("n_tokens").cast("bigint").alias("bin_tokens"),
         )
-        .orderBy("source", "bin")
+        .orderBy("source", "shard", "bin")
     )
 
 

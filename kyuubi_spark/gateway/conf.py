@@ -94,6 +94,15 @@ REBALANCE_BEFORE_WRITE = _entry(
     "kyuubi.write.rebalance.enabled", True, bool,
     "Insert a rebalance/repartition before writes to avoid small files.")
 
+# Plan-level authz (kyuubi-spark-authz PrivilegesBuilder/RuleAuthorization).
+AUTHZ_ACL_PATH = _entry(
+    "kyuubi.authz.acl.json.path", "", str,
+    "JSON file {user: {tables: [...], can_update: bool, can_ddl: bool}}; "
+    "when set, every statement's analyzed plan is privilege-checked.")
+AUTHZ_DEFAULT_ALLOW = _entry(
+    "kyuubi.authz.default.allow", False, bool,
+    "Whether users without an ACL entry may run statements.")
+
 # Event logging (kyuubi-events JsonLoggingEventHandler).
 EVENT_LOG_PATH = _entry(
     "kyuubi.backend.server.event.json.log.path", "", str,

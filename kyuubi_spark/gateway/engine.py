@@ -69,6 +69,27 @@ class Engine:
         log_path = self.conf.get(C.EVENT_LOG_PATH)
         if log_path:
             self.events.subscribe(JsonFileEventLogger(log_path))
+        # Plan-level ACL authorizer (PrivilegesBuilder parity); None = off.
+        self.authorizer = None
+        acl_path = self.conf.get(C.AUTHZ_ACL_PATH)
+        if acl_path:
+            import json
+
+            from kyuubi_spark.operators.privileges import AclAuthorizer, UserAcl
+
+            with open(acl_path) as f:
+                raw = json.load(f)
+            self.authorizer = AclAuthorizer(
+                {
+                    user: UserAcl(
+                        tables=set(spec.get("tables", [])),
+                        can_update=bool(spec.get("can_update", False)),
+                        can_ddl=bool(spec.get("can_ddl", False)),
+                    )
+                    for user, spec in raw.items()
+                },
+                default_allow=self.conf.get(C.AUTHZ_DEFAULT_ALLOW),
+            )
 
     # -- session lifecycle -------------------------------------------------
     def open_session(

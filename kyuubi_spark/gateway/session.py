@@ -107,6 +107,14 @@ class Session:
             op._execute = lambda: op._finish([("result", OPS._S)], [])  # type: ignore[method-assign]
             return self._register(op.run())
 
+        if self.engine.authorizer is not None:
+            # Plan-level privilege check on the analyzed statement (the
+            # secured-view layer enforces row/column policies; this audits
+            # and gates arbitrary SQL — PrivilegesBuilder parity).
+            from kyuubi_spark.operators.privileges import authorize_statement
+
+            authorize_statement(self, statement, self.engine.authorizer)
+
         zorder_stmt = self.engine.parse_optimize_zorder(statement)
         if zorder_stmt is not None:
             return self._register(zorder_stmt(self).run())

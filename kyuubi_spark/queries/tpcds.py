@@ -518,8 +518,14 @@ def tpcds_q38(spark: SparkSession, sf_dir: str) -> DataFrame:
     LIMIT 100
     """,
     doc="TPC-DS q47 shape: per-(item,store,month) sales series, yearly-avg "
-    "window over the grouped series, rank-as-time-index, lag/lead via rn±1 "
-    "self-joins, >10% deviation filter.",
+    "window over the grouped series, rank-as-time-index, neighbors via "
+    "rn±1, >10% deviation filter. The original (and the oracle) reach the "
+    "neighboring months through two self-joins of the CTE on rn±1; the "
+    "Spark plan computes the identical psum/nsum with LAG/LEAD over the "
+    "same partition+order — (d_year, d_moy) is unique per partition, so "
+    "rank() is a gap-free time index and the window neighbors ARE the "
+    "rn±1 rows — turning three recomputations of the grouped series into "
+    "one scan + one window pass.",
 )
 def tpcds_q47(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem, part, supplier = _t(spark, sf_dir, "lineitem", "part", "supplier")
@@ -548,21 +554,10 @@ def tpcds_q47(spark: SparkSession, sf_dir: str) -> DataFrame:
         "d_moy",
         "sum_sales",
         dround(F.avg("sum_sales").over(w_avg), 4).alias("avg_monthly_sales"),
-        F.rank().over(w_rn).cast("bigint").alias("rn"),
-    )
-    lag = v1.select(
-        F.col("p_type").alias("lg_type"),
-        F.col("p_brand").alias("lg_brand"),
-        F.col("s_name").alias("lg_name"),
-        F.col("rn").alias("lg_rn"),
-        F.col("sum_sales").alias("psum"),
-    )
-    lead = v1.select(
-        F.col("p_type").alias("ld_type"),
-        F.col("p_brand").alias("ld_brand"),
-        F.col("s_name").alias("ld_name"),
-        F.col("rn").alias("ld_rn"),
-        F.col("sum_sales").alias("nsum"),
+        # LAG/LEAD over the same frame replace the oracle's rn±1 self-joins
+        # (identical rows: the time index is gap-free within a partition)
+        F.lag("sum_sales").over(w_rn).alias("psum"),
+        F.lead("sum_sales").over(w_rn).alias("nsum"),
     )
     return (
         v1.filter(
@@ -573,20 +568,9 @@ def tpcds_q47(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.col("avg_monthly_sales")
                 > 0.1
             )
-        )
-        .join(
-            lag,
-            (F.col("p_type") == F.col("lg_type"))
-            & (F.col("p_brand") == F.col("lg_brand"))
-            & (F.col("s_name") == F.col("lg_name"))
-            & (F.col("rn") == F.col("lg_rn") + 1),
-        )
-        .join(
-            lead,
-            (F.col("p_type") == F.col("ld_type"))
-            & (F.col("p_brand") == F.col("ld_brand"))
-            & (F.col("s_name") == F.col("ld_name"))
-            & (F.col("rn") == F.col("ld_rn") - 1),
+            # inner rn±1 self-joins kept only rows with both neighbors
+            & F.col("psum").isNotNull()
+            & F.col("nsum").isNotNull()
         )
         .select(
             "p_type",

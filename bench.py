@@ -65,7 +65,7 @@ HEADLINE = [
     "multimodal_decode",
     "multimodal_frame_sample",
     # TPC-DS slice (plan-shape ports of q1/q2/q7/q19/q22/q34/q36/q38/q47/q51/q67/q88)
-    *[f"tpcds_q{i}" for i in (1, 2, 7, 19, 22, 34, 36, 38, 47, 51, 67, 88)],
+    *[f"tpcds_q{i}" for i in (1, 2, 7, 10, 11, 19, 22, 34, 36, 38, 47, 51, 65, 67, 88)],
     # TPC-DS-shaped composites
     "tpcds_shape_avg_filter",
     "tpcds_shape_rank_bestworst",
@@ -83,6 +83,7 @@ HEADLINE = [
     "authz_row_filter_masking",
     # streaming (replayed through the streaming engine)
     "stream_tumbling_agg",
+    "stream_sliding_agg",
     "stream_stateful_totals",
     "stream_session_window",
     "stream_stream_join",
@@ -138,6 +139,22 @@ DROP_ORDER = [
     "text_quality",
     "text_repetition",
     "doc_fingerprint",
+    "text_bpe_token_count",
+    "stratified_sample",
+    "train_test_split",
+    "exact_percentiles",
+    "json_variant_extract",
+    "asof_join_events_orders",
+    "range_join_incident_clicks",
+    "tpcds_shape_avg_filter",
+    "tpcds_shape_cumulative_share",
+    "tpcds_shape_rank_bestworst",
+    "embedding_centroids",
+    "embedding_quantize_int8",
+    "dedup_exact",
+    "agg_rollup",
+    "agg_cube",
+    "contamination_check",
 ]
 
 # Keep the one-line JSON comfortably inside the harness's 2000-char tail

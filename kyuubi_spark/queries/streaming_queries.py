@@ -67,6 +67,45 @@ def stream_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_sliding_agg",
+    oracle="""
+    WITH slid AS (
+      SELECT to_timestamp(CAST(floor(epoch(ts) / 900) * 900 - k.k * 900
+                               AS BIGINT)) AS window_start,
+             value
+      FROM events, (SELECT unnest(generate_series(0, 3)) AS k) k
+    )
+    SELECT CAST(window_start AS TIMESTAMP) AS window_start,
+           COUNT(*) AS n,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM slid GROUP BY 1 ORDER BY window_start
+    """,
+    doc="Structured Streaming sliding-window aggregate (1h windows sliding "
+    "every 15min — each event lands in 4 overlapping windows), "
+    "replay-verified against a batch slide-replication GROUP BY. State is "
+    "O(active windows) under the watermark; at 100 TB/day the overlap "
+    "factor (window/slide) multiplies state, not input.",
+)
+def stream_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kyuubi_spark.streaming.runner import run_to_memory
+
+    stream = _events_stream(spark, sf_dir).withWatermark("ts", "2 hours")
+    agged = (
+        stream.groupBy(F.window("ts", "1 hour", "15 minutes").alias("win"))
+        .agg(F.count("*").alias("n"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("win.start").alias("window_start"), "n", "sum_value"
+        )
+    )
+    result = run_to_memory(agged, output_mode="complete")
+    return result.select(
+        F.col("window_start").cast("timestamp_ntz").alias("window_start"),
+        "n",
+        dround("sum_value", 2).alias("sum_value"),
+    ).orderBy("window_start")
+
+
+@query(
     "stream_session_window",
     oracle="""
     WITH g AS (

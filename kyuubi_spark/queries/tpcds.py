@@ -824,3 +824,178 @@ def tpcds_q88(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i, (lo, hi) in enumerate(_Q88_BANDS)
         ]
     )
+
+
+# --------------------------------------------------------------------------
+# q10 — demographics count gated by EXISTS across channels (q10.sql)
+# --------------------------------------------------------------------------
+@query(
+    "tpcds_q10",
+    oracle="""
+    SELECT c.c_mktsegment AS segment, n.n_name AS n_name,
+           COUNT(*) AS cnt
+    FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND year(o.o_orderdate) = 1996)
+      AND (EXISTS (SELECT 1 FROM lineitem l JOIN orders o2
+                     ON l.l_orderkey = o2.o_orderkey
+                   WHERE o2.o_custkey = c.c_custkey AND l.l_returnflag = 'R')
+        OR EXISTS (SELECT 1 FROM lineitem l JOIN orders o3
+                     ON l.l_orderkey = o3.o_orderkey
+                   WHERE o3.o_custkey = c.c_custkey AND l.l_returnflag = 'A'))
+    GROUP BY 1, 2
+    ORDER BY segment, n_name
+    """,
+    doc="TPC-DS q10 shape: customer demographics counts gated by an EXISTS "
+    "battery — active in the base channel AND present in either secondary "
+    "channel. Spark plans the EXISTS as broadcast/shuffled LEFT SEMI joins; "
+    "the OR-of-EXISTS becomes one semi join against the union of both "
+    "channels' customer key sets (same semantics, one membership probe).",
+)
+def tpcds_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem, orders, customer, nation = _t(
+        spark, sf_dir, "lineitem", "orders", "customer", "nation"
+    )
+    active = orders.filter(F.year("o_orderdate") == 1996).select("o_custkey")
+
+    def channel_customers(flag: str) -> DataFrame:
+        return (
+            lineitem.filter(F.col("l_returnflag") == flag)
+            .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+            .select("o_custkey")
+        )
+
+    either = channel_customers("R").unionByName(channel_customers("A"))
+    return (
+        customer.join(
+            active, F.col("c_custkey") == active["o_custkey"], "left_semi"
+        )
+        .join(either, F.col("c_custkey") == either["o_custkey"], "left_semi")
+        .join(F.broadcast(nation), F.col("n_nationkey") == F.col("c_nationkey"))
+        .groupBy(F.col("c_mktsegment").alias("segment"), "n_name")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("segment", "n_name")
+    )
+
+
+# --------------------------------------------------------------------------
+# q11 — year-over-year growth ratio compared across channels (q11.sql)
+# --------------------------------------------------------------------------
+@query(
+    "tpcds_q11",
+    oracle="""
+    WITH year_total AS (
+      SELECT o.o_custkey AS custkey, l.l_linestatus AS channel,
+             year(l.l_shipdate) AS d_year,
+             ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS total
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE year(l.l_shipdate) IN (1996, 1997)
+      GROUP BY 1, 2, 3
+    )
+    SELECT c.c_name AS c_name
+    FROM year_total w1
+    JOIN year_total w2 ON w1.custkey = w2.custkey
+    JOIN year_total s1 ON w1.custkey = s1.custkey
+    JOIN year_total s2 ON w1.custkey = s2.custkey
+    JOIN customer c ON c.c_custkey = w1.custkey
+    WHERE w1.channel = 'O' AND w1.d_year = 1996
+      AND w2.channel = 'O' AND w2.d_year = 1997
+      AND s1.channel = 'F' AND s1.d_year = 1996
+      AND s2.channel = 'F' AND s2.d_year = 1997
+      AND w1.total > 0 AND s1.total > 0
+      AND w2.total / w1.total > s2.total / s1.total
+    ORDER BY c_name
+    LIMIT 100
+    """,
+    doc="TPC-DS q11 shape: per-customer yearly totals CTE instantiated four "
+    "times (two channels × two years), joined on the customer key, keeping "
+    "customers whose primary-channel growth ratio beats their secondary-"
+    "channel ratio. One aggregation feeds all four aliases; the joins are "
+    "co-partitioned on the customer key.",
+)
+def tpcds_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem, orders, customer = _t(spark, sf_dir, "lineitem", "orders", "customer")
+    year_total = (
+        lineitem.filter(F.year("l_shipdate").isin(1996, 1997))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.col("o_custkey").alias("custkey"),
+            F.col("l_linestatus").alias("channel"),
+            F.year("l_shipdate").alias("d_year"),
+        )
+        .agg(dround(F.sum(_rev()), 2).alias("total"))
+    )
+
+    def slice_yt(channel: str, year: int, alias: str) -> DataFrame:
+        return year_total.filter(
+            (F.col("channel") == channel) & (F.col("d_year") == year)
+        ).select(
+            F.col("custkey").alias(f"{alias}_ck"), F.col("total").alias(alias)
+        )
+
+    w1, w2 = slice_yt("O", 1996, "w1"), slice_yt("O", 1997, "w2")
+    s1, s2 = slice_yt("F", 1996, "s1"), slice_yt("F", 1997, "s2")
+    return (
+        w1.join(w2, F.col("w1_ck") == F.col("w2_ck"))
+        .join(s1, F.col("w1_ck") == F.col("s1_ck"))
+        .join(s2, F.col("w1_ck") == F.col("s2_ck"))
+        .filter(
+            (F.col("w1") > 0)
+            & (F.col("s1") > 0)
+            & (F.col("w2") / F.col("w1") > F.col("s2") / F.col("s1"))
+        )
+        .join(customer, F.col("c_custkey") == F.col("w1_ck"))
+        .select("c_name")
+        .orderBy("c_name")
+        .limit(100)
+    )
+
+
+# --------------------------------------------------------------------------
+# q65 — per-store item revenue vs 10% of the store average (q65.sql)
+# --------------------------------------------------------------------------
+@query(
+    "tpcds_q65",
+    oracle="""
+    WITH sa AS (
+      SELECT l_suppkey, l_partkey,
+             ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      FROM lineitem GROUP BY 1, 2
+    ),
+    sb AS (
+      SELECT l_suppkey, ROUND(AVG(revenue), 4) AS ave FROM sa GROUP BY 1
+    )
+    SELECT s.s_name AS s_name, p.p_name AS p_name,
+           sa.revenue AS revenue, sb.ave AS ave
+    FROM sa
+    JOIN sb ON sa.l_suppkey = sb.l_suppkey
+    JOIN supplier s ON s.s_suppkey = sa.l_suppkey
+    JOIN part p ON p.p_partkey = sa.l_partkey
+    WHERE sa.revenue <= 0.1 * sb.ave
+    ORDER BY s_name, p_name
+    LIMIT 100
+    """,
+    doc="TPC-DS q65 shape: aggregate-of-aggregate — per-(store, item) "
+    "revenue, re-aggregated to a per-store average, theta-joined back to "
+    "find items selling under 10% of their store's average. The store-key "
+    "partitioning from the first aggregation is reusable by the second "
+    "(no extra shuffle for sb) and by the sa-sb join.",
+)
+def tpcds_q65(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem, supplier, part = _t(spark, sf_dir, "lineitem", "supplier", "part")
+    sa = lineitem.groupBy("l_suppkey", "l_partkey").agg(
+        dround(F.sum(_rev()), 2).alias("revenue")
+    )
+    sb = sa.groupBy(F.col("l_suppkey").alias("sb_suppkey")).agg(
+        dround(F.avg("revenue"), 4).alias("ave")
+    )
+    return (
+        sa.join(sb, F.col("l_suppkey") == F.col("sb_suppkey"))
+        .filter(F.col("revenue") <= 0.1 * F.col("ave"))
+        .join(supplier, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(part, F.col("p_partkey") == F.col("l_partkey"))
+        .select("s_name", "p_name", "revenue", "ave")
+        .orderBy("s_name", "p_name")
+        .limit(100)
+    )

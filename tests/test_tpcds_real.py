@@ -1,0 +1,174 @@
+"""Real TPC-DS SQL over the generated store-channel star.
+
+The reference's TPC-DS connector generates tables on the fly and verifies
+queries against golden schema+hash files (TPCDSBatchScan.scala,
+OutputSchemaTPCDSSuite.scala).  Equivalent check here: generate the core
+star with sources/tpcds_datagen.py, land it as parquet ONCE, then run
+standard TPC-DS report queries (spec text, our parameter choices) both in
+Spark (temp views) and DuckDB (views over the same files) and require
+identical rows — engine-vs-engine on identical bytes, with DECIMAL money
+so sums are exact in both engines.
+"""
+
+import os
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from kyuubi_spark.sources.tpcds_datagen import TPCDS_GENERATORS  # noqa: E402
+
+SF = 0.002  # ~5.8k sales rows — enough for non-trivial groups, fast
+
+
+@pytest.fixture(scope="module")
+def star(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("tpcds_star")
+    paths = {}
+    for name, gen in TPCDS_GENERATORS.items():
+        p = str(root / name)
+        gen(spark, SF).write.mode("overwrite").parquet(p)
+        spark.read.parquet(p).createOrReplaceTempView(name)
+        paths[name] = p
+    con = duckdb.connect()
+    for name, p in paths.items():
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}/*.parquet')"
+        )
+    yield spark, con
+    con.close()
+    for name in paths:
+        spark.catalog.dropTempView(name)
+
+
+def _canon(rows):
+    out = []
+    for r in rows:
+        out.append(
+            tuple(
+                float(v) if hasattr(v, "scaleb") or isinstance(v, float) else v
+                for v in r
+            )
+        )
+    return sorted(out, key=lambda t: tuple((x is None, str(x)) for x in t))
+
+
+def _compare(star, sql):
+    spark, con = star
+    got = _canon([tuple(r) for r in spark.sql(sql).collect()])
+    want = _canon(con.execute(sql).fetchall())
+    assert got == want and len(got) > 0
+
+
+# q3 — brand revenue report for one month of one manufacturer
+Q3 = """
+SELECT dt.d_year, item.i_brand_id AS brand_id, item.i_brand AS brand,
+       SUM(ss_ext_sales_price) AS sum_agg
+FROM date_dim dt, store_sales, item
+WHERE dt.d_date_sk = store_sales.ss_sold_date_sk
+  AND store_sales.ss_item_sk = item.i_item_sk
+  AND item.i_manufact_id < 30
+  AND dt.d_moy = 11
+GROUP BY dt.d_year, item.i_brand, item.i_brand_id
+"""
+
+# q7 — demographic/promotion filtered averages per item
+Q7 = """
+SELECT i_item_id,
+       AVG(ss_quantity) AS agg1,
+       AVG(ss_list_price) AS agg2,
+       AVG(ss_coupon_amt) AS agg3,
+       AVG(ss_sales_price) AS agg4
+FROM store_sales, customer_demographics, date_dim, item, promotion
+WHERE ss_sold_date_sk = d_date_sk
+  AND ss_item_sk = i_item_sk
+  AND ss_cdemo_sk = cd_demo_sk
+  AND ss_promo_sk = p_promo_sk
+  AND cd_gender = 'F'
+  AND cd_marital_status = 'W'
+  AND cd_education_status = 'Primary'
+  AND (p_channel_email = 'N' OR p_channel_event = 'N')
+  AND d_year = 1999
+GROUP BY i_item_id
+"""
+
+# q55 — brand revenue for a manager's items in one month
+Q55 = """
+SELECT i_brand_id AS brand_id, i_brand AS brand,
+       SUM(ss_ext_sales_price) AS ext_price
+FROM date_dim, store_sales, item
+WHERE d_date_sk = ss_sold_date_sk
+  AND ss_item_sk = i_item_sk
+  AND i_manager_id < 20
+  AND d_moy = 11
+  AND d_year IN (1999, 2000, 2001)
+GROUP BY i_brand, i_brand_id
+"""
+
+# q36 — gross margin rollup hierarchy with rank within parent
+Q36 = """
+SELECT CAST(SUM(ss_net_profit) AS DOUBLE) / CAST(SUM(ss_ext_sales_price) AS DOUBLE) AS gross_margin,
+       i_category, i_class,
+       GROUPING(i_category) + GROUPING(i_class) AS lochierarchy,
+       RANK() OVER (
+         PARTITION BY GROUPING(i_category) + GROUPING(i_class),
+                      CASE WHEN GROUPING(i_class) = 0 THEN i_category END
+         ORDER BY CAST(SUM(ss_net_profit) AS DOUBLE) / CAST(SUM(ss_ext_sales_price) AS DOUBLE) ASC
+       ) AS rank_within_parent
+FROM store_sales, date_dim d1, item, store
+WHERE d1.d_year = 2001
+  AND d1.d_date_sk = ss_sold_date_sk
+  AND i_item_sk = ss_item_sk
+  AND s_store_sk = ss_store_sk
+  AND s_state IN ('TN', 'CA')
+GROUP BY ROLLUP (i_category, i_class)
+"""
+
+# q67 — wide rollup + rank per category, top slice by rank value
+Q67 = """
+SELECT * FROM (
+  SELECT i_category, i_class, i_brand, i_product_name, d_year, d_qoy, d_moy,
+         s_store_id, sumsales,
+         RANK() OVER (PARTITION BY i_category ORDER BY sumsales DESC) AS rk
+  FROM (
+    SELECT i_category, i_class, i_brand, i_product_name, d_year, d_qoy,
+           d_moy, s_store_id,
+           SUM(COALESCE(ss_sales_price * ss_quantity, 0)) AS sumsales
+    FROM store_sales, date_dim, store, item
+    WHERE ss_sold_date_sk = d_date_sk
+      AND ss_item_sk = i_item_sk
+      AND ss_store_sk = s_store_sk
+      AND d_month_seq BETWEEN 1212 AND 1212 + 11
+    GROUP BY ROLLUP (i_category, i_class, i_brand, i_product_name, d_year,
+                     d_qoy, d_moy, s_store_id)
+  ) dw1
+) dw2
+WHERE rk <= 10
+"""
+
+
+@pytest.mark.parametrize(
+    "name,sql",
+    [("q3", Q3), ("q7", Q7), ("q55", Q55), ("q36", Q36), ("q67", Q67)],
+)
+def test_tpcds_query_cross_engine(star, name, sql):
+    _compare(star, sql)
+
+
+def test_generated_star_integrity(star):
+    spark, con = star
+    # fact keys resolve against every dimension
+    for dim, key, fk in [
+        ("date_dim", "d_date_sk", "ss_sold_date_sk"),
+        ("item", "i_item_sk", "ss_item_sk"),
+        ("store", "s_store_sk", "ss_store_sk"),
+        ("customer_demographics", "cd_demo_sk", "ss_cdemo_sk"),
+        ("promotion", "p_promo_sk", "ss_promo_sk"),
+    ]:
+        dangling = spark.sql(
+            f"SELECT count(*) FROM store_sales LEFT ANTI JOIN {dim} "
+            f"ON {fk} = {key}"
+        ).collect()[0][0]
+        assert dangling == 0, dim

@@ -46,6 +46,7 @@ HEADLINE = [
     "pipeline_corpus_clean",
     "sequence_packing",
     "dedup_minhash_lsh",
+    "dedup_components",
     "dedup_simhash",
     "dedup_ngram_jaccard",
     "text_stats",

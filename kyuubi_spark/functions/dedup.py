@@ -474,3 +474,66 @@ def simhash_near_dup_pairs(
 def exact_dedup(df: DataFrame, cols: list[str]) -> DataFrame:
     """Exact deduplication: keep one row per key (hash groupBy semantics)."""
     return df.dropDuplicates(cols)
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "a_id",
+    b_col: str = "b_id",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components of the near-dup pair graph: (doc_id,
+    component_id) with component_id = min doc id reachable — the step that
+    turns pairwise matches into dup GROUPS (keep one canonical doc per
+    component, drop the rest).
+
+    Algorithm: iterative min-label propagation. Each round every node takes
+    the min of its own label and its neighbors' labels; convergence needs
+    at most graph-diameter rounds, and near-dup components are small dense
+    clusters (diameter 1-3), so the loop exits after 2-4 actions in
+    practice. Each round is one equi-join + one groupBy — all shuffles are
+    keyed on node id. ``max_iter`` bounds the worst case (a path graph);
+    at extreme scale swap in star-contraction (Kiveris et al.), which needs
+    O(log n) rounds, behind this same interface.
+
+    The driver-side loop holds only per-round change COUNTS (one scalar
+    action per round), never node data.  Each round's labels are
+    ``localCheckpoint``-ed: iterative plans must truncate lineage, or
+    analysis cost grows with every round (persist alone keeps the full
+    logical plan).
+    """
+    fwd = pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+    edges = (
+        fwd.unionByName(fwd.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select("u").distinct().select("u", F.col("u").alias("label"))
+    ).localCheckpoint()
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(
+                labels.select(F.col("u").alias("v"), F.col("label").alias("vlabel")),
+                "v",
+            )
+            .groupBy("u")
+            .agg(F.min("vlabel").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "u", "left")
+            .select(
+                "u",
+                F.least(F.col("label"), F.coalesce("nmin", F.col("label"))).alias(
+                    "new_label"
+                ),
+                "label",
+            )
+        ).localCheckpoint()
+        changed = new_labels.filter(F.col("new_label") < F.col("label")).count()
+        labels = new_labels.select("u", F.col("new_label").alias("label"))
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("u").alias("doc_id"), F.col("label").alias("component_id")
+    )

@@ -175,10 +175,9 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return survivors.groupBy("lang").agg(F.count("*").alias("n_after")).orderBy("lang")
 
 
-@query(
-    "dedup_minhash_lsh",
-    oracle=f"""
-    WITH {_SHINGLE_CTE},
+# MinHash(16) + LSH(8 bands × 2 rows) candidates, verified to pairs with
+# jaccard >= 1/4 — shared by the pair query and the component clustering.
+_MINHASH_PAIRS_CTE = f"""{_SHINGLE_CTE},
     sig AS (
       SELECT id,
              list_transform(generate_series(0, 15),
@@ -201,15 +200,23 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM cand c
       JOIN shx sa ON sa.id = c.a_id
       JOIN shx sb ON sb.id = c.b_id AND sa.s = sb.s
-      GROUP BY c.a_id, c.b_id)
-    SELECT i.a_id, i.b_id, i.inter,
-           ca.n_sh + cb.n_sh - i.inter AS "union",
-           ROUND(CAST(i.inter AS DOUBLE) / (ca.n_sh + cb.n_sh - i.inter), 6)
-             AS jaccard
-    FROM inter i
-    JOIN counts ca ON ca.id = i.a_id
-    JOIN counts cb ON cb.id = i.b_id
-    WHERE 4 * i.inter >= 1 * (ca.n_sh + cb.n_sh - i.inter)
+      GROUP BY c.a_id, c.b_id),
+    dup_pairs AS (
+      SELECT i.a_id, i.b_id, i.inter,
+             ca.n_sh + cb.n_sh - i.inter AS union_sz
+      FROM inter i
+      JOIN counts ca ON ca.id = i.a_id
+      JOIN counts cb ON cb.id = i.b_id
+      WHERE 4 * i.inter >= 1 * (ca.n_sh + cb.n_sh - i.inter))"""
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH {_MINHASH_PAIRS_CTE}
+    SELECT a_id, b_id, inter, union_sz AS "union",
+           ROUND(CAST(inter AS DOUBLE) / union_sz, 6) AS jaccard
+    FROM dup_pairs
     ORDER BY a_id, b_id
     """,
     doc="MinHash(16) + LSH(8 bands × 2 rows) candidates, Jaccard>=1/4 verify.",
@@ -263,6 +270,43 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.jaccard_pairs(docs, None, n=3, tau_num=1, tau_den=4).orderBy(
         "a_id", "b_id"
     )
+
+
+@query(
+    "dedup_components",
+    oracle=f"""
+    WITH RECURSIVE {_MINHASH_PAIRS_CTE},
+    edges AS (
+      SELECT a_id AS u, b_id AS v FROM dup_pairs
+      UNION ALL
+      SELECT b_id, a_id FROM dup_pairs),
+    reach(u, v) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+      UNION
+      SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u)
+    SELECT u AS doc_id, MIN(v) AS component_id
+    FROM reach GROUP BY u ORDER BY doc_id
+    """,
+    doc="Near-dup GROUPS: connected components over the MinHash-LSH + "
+    "Jaccard>=1/4 pair graph (component id = min reachable doc id) — the "
+    "canonicalization step of a dedup pipeline: keep one doc per "
+    "component. Spark side is iterative min-label propagation (per round: "
+    "one id-keyed equi-join + groupBy-min; converges in graph-diameter "
+    "rounds, and near-dup clusters are diameter 1-3); the oracle replays "
+    "reachability with a recursive CTE. Driver holds only per-round "
+    "change counts.",
+)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        F.col("doc_id").alias("id"),
+        F.explode(D.shingles(F.col("text"), 3)).alias("g"),
+    ).localCheckpoint()
+    cand = D.lsh_candidate_pairs(docs, n=3, num_hashes=16, bands=8, shingle_df=sh)
+    pairs = D.jaccard_pairs(
+        docs, cand, n=3, tau_num=1, tau_den=4, shingle_df=sh
+    ).select("a_id", "b_id")
+    return D.connected_components(pairs).orderBy("doc_id")
 
 
 @query(

@@ -233,3 +233,28 @@ def test_salted_join_matches_plain_join(spark):
     lp = big2.join(small, ["k"], "left").count()
     ls = salted_join(big2, small, ["k"], num_salts=8, how="left").count()
     assert lp == ls
+
+
+def test_connected_components_shapes(spark):
+    from kyuubi_spark.functions.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (12, 13), (20, 21)],
+        "a_id long, b_id long",
+    )
+    out = sorted(map(tuple, connected_components(pairs).collect()))
+    assert out == [
+        (1, 1), (2, 1), (3, 1),
+        (10, 10), (11, 10), (12, 10), (13, 10),
+        (20, 20), (21, 20),
+    ]
+
+
+def test_connected_components_long_chain_converges(spark):
+    from kyuubi_spark.functions.dedup import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 15)], "a_id long, b_id long"
+    )
+    out = dict(map(tuple, connected_components(chain).collect()))
+    assert set(out.values()) == {1} and len(out) == 15

@@ -89,3 +89,43 @@ def test_codegen_covers_aggregate(spark, sf_dir):
         assert "Scan parquet" in text
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_tpcds_q47_single_fact_scan(spark, sf_dir):
+    """LAG/LEAD formulation must not recompute the grouped series: exactly
+    one lineitem scan (the rn±1 self-join form had three)."""
+    df = _build(spark, sf_dir, "tpcds_q47")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("lineitem.parquet") == 1
+    assert plans.exchange_count(df) <= 5
+
+
+def test_tpcds_q7_star_join_broadcasts(spark, sf_dir):
+    df = _build(spark, sf_dir, "tpcds_q7")
+    # dimensions (part/customer/orders-filter) resolve as broadcast joins,
+    # never as shuffles of the fact table per dim
+    assert plans.broadcast_join_count(df) >= 2
+
+
+def test_tpcds_q22_rollup_pushes_date_filter(spark, sf_dir):
+    df = _build(spark, sf_dir, "tpcds_q22")
+    pf = " ".join(plans.pushed_filters(df))
+    assert "l_shipdate" in pf
+
+
+def test_jaccard_exact_joins_only_prefixes(spark, sf_dir):
+    """Prefix filtering: the candidate self-join must read the ranked
+    prefix relation, not the full shingle relation (the quadratic-blowup
+    shape at scale is a raw shingle self-join)."""
+    df = _build(spark, sf_dir, "dedup_ngram_jaccard")
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    # prefix length appears as the rank filter over the frequency order
+    assert "pref_len" in plan or "row_number" in plan.lower()
+
+
+def test_sequence_packing_windows_are_sharded(spark, sf_dir):
+    df = _build(spark, sf_dir, "sequence_packing")
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    # the window partition spec must include the shard column, so no
+    # partition spans a whole source
+    assert "shard" in plan

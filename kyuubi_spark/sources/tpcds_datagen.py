@@ -244,6 +244,36 @@ def gen_store_sales(spark: SparkSession, sf: float, partitions: int | None = Non
     return df
 
 
+def gen_inventory(spark: SparkSession, sf: float, partitions: int | None = None) -> DataFrame:
+    """Weekly inventory snapshots: one row per (week-start date, item) with a
+    deterministic on-hand quantity — enough rows for q22's rollup over a
+    12-month window without the spec's full warehouse dimension."""
+    n_item = max(10, int(sf * 18_000))
+    n_weeks = _N_DATES // 7
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            k = pdf["id"].to_numpy()
+            week = k // n_item
+            item = k % n_item + 1
+            yield pd.DataFrame(
+                {
+                    "inv_date_sk": week * 7 + _DATE_BASE_SK,
+                    "inv_item_sk": item,
+                    "inv_warehouse_sk": k % 3 + 1,
+                    "inv_quantity_on_hand": (
+                        (k * 2654435761 % 1000).astype("int64")
+                    ).astype("int32"),
+                }
+            )
+
+    return _keyed(spark, n_weeks * n_item, partitions).mapInPandas(
+        gen,
+        schema="inv_date_sk long, inv_item_sk long, inv_warehouse_sk long, "
+        "inv_quantity_on_hand int",
+    )
+
+
 TPCDS_GENERATORS = {
     "date_dim": gen_date_dim,
     "item": gen_item,
@@ -251,6 +281,7 @@ TPCDS_GENERATORS = {
     "customer_demographics": gen_customer_demographics,
     "promotion": gen_promotion,
     "store_sales": gen_store_sales,
+    "inventory": gen_inventory,
 }
 
 

@@ -172,3 +172,19 @@ def test_generated_star_integrity(star):
             f"ON {fk} = {key}"
         ).collect()[0][0]
         assert dangling == 0, dim
+
+
+# q22 — average quantity-on-hand over the item rollup hierarchy
+Q22 = """
+SELECT i_product_name, i_brand, i_class, i_category,
+       AVG(inv_quantity_on_hand) AS qoh
+FROM inventory, date_dim, item
+WHERE inv_date_sk = d_date_sk
+  AND inv_item_sk = i_item_sk
+  AND d_month_seq BETWEEN 1212 AND 1212 + 11
+GROUP BY ROLLUP (i_product_name, i_brand, i_class, i_category)
+"""
+
+
+def test_tpcds_q22_inventory_rollup(star):
+    _compare(star, Q22)

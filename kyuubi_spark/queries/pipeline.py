@@ -230,7 +230,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = (
         docs.select(
             F.col("doc_id").alias("id"),
-            F.explode(D.shingles(F.col("text"), 3)).alias("g"),
+            F.explode(D.shingles_arrow(3)(F.col("text"))).alias("g"),
         )
         # NB: no .distinct() — shingles() already array_distincts per doc,
         # so (id, g) is unique by construction; a distinct here would be a
@@ -300,7 +300,7 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     sh = docs.select(
         F.col("doc_id").alias("id"),
-        F.explode(D.shingles(F.col("text"), 3)).alias("g"),
+        F.explode(D.shingles_arrow(3)(F.col("text"))).alias("g"),
     ).localCheckpoint()
     cand = D.lsh_candidate_pairs(docs, n=3, num_hashes=16, bands=8, shingle_df=sh)
     pairs = D.jaccard_pairs(
@@ -666,7 +666,7 @@ def train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     ex = docs.select(
-        "doc_id", "source", F.explode(D.shingles("text")).alias("s")
+        "doc_id", "source", F.explode(D.shingles_arrow(3)(F.col("text"))).alias("s")
     )
     train_sh = (
         ex.filter(F.col("source") != "src0")

@@ -258,3 +258,18 @@ def test_connected_components_long_chain_converges(spark):
     )
     out = dict(map(tuple, connected_components(chain).collect()))
     assert set(out.values()) == {1} and len(out) == 15
+
+
+def test_shingles_arrow_matches_column_form(spark, sf_dir):
+    import os
+
+    from pyspark.sql import functions as F
+
+    from kyuubi_spark.functions.dedup import shingles, shingles_arrow
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    both = docs.select(
+        shingles(F.col("text"), 3).alias("a"),
+        shingles_arrow(3)(F.col("text")).alias("b"),
+    )
+    assert both.filter(F.col("a") != F.col("b")).count() == 0

@@ -56,6 +56,7 @@ HEADLINE = [
     "doc_fingerprint",
     "train_test_split",
     "contamination_check",
+    "approx_distinct_kmv",
     "stratified_sample",
     "knn_cosine_topk",
     "embedding_near_dup",

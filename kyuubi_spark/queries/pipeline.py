@@ -175,6 +175,45 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return survivors.groupBy("lang").agg(F.count("*").alias("n_after")).orderBy("lang")
 
 
+@query(
+    "approx_distinct_kmv",
+    oracle="""
+    WITH pairs AS (SELECT DISTINCT event_type, user_id FROM events),
+    h AS (
+      SELECT event_type,
+             ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 12))::BIGINT AS h
+      FROM pairs),
+    r AS (
+      SELECT event_type, h,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rk
+      FROM h),
+    g AS (
+      SELECT event_type, COUNT(*) AS n_exact,
+             MAX(CASE WHEN rk = 64 THEN h END) AS kth
+      FROM r GROUP BY 1)
+    SELECT event_type AS grp, CAST(n_exact AS BIGINT) AS n_exact,
+           CASE WHEN kth IS NOT NULL
+                THEN ROUND(63 / (kth / 281474976710656.0), 4)
+                ELSE CAST(n_exact AS DOUBLE) END AS kmv_estimate
+    FROM g ORDER BY grp
+    """,
+    doc="Distinct users per event type via a KMV (k-minimum-values, k=64) "
+    "sketch — the deterministic alternative to HLL: md5-derived 48-bit "
+    "hashes, bottom-k estimator (k-1)/kth_min. Every intermediate is an "
+    "integer or one double division, so unlike approx_count_distinct the "
+    "sketch estimate itself is value-exact across engines and gets a full "
+    "driver hash check. Groups under k report exact counts (the sketch "
+    "holds every value).",
+)
+def approx_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kyuubi_spark.functions.sketches import kmv_distinct_estimate
+
+    events = load_table(spark, sf_dir, "events")
+    return kmv_distinct_estimate(events, "event_type", "user_id", k=64).orderBy(
+        "grp"
+    )
+
+
 # MinHash(16) + LSH(8 bands × 2 rows) candidates, verified to pairs with
 # jaccard >= 1/4 — shared by the pair query and the component clustering.
 _MINHASH_PAIRS_CTE = f"""{_SHINGLE_CTE},

@@ -273,3 +273,21 @@ def test_shingles_arrow_matches_column_form(spark, sf_dir):
         shingles_arrow(3)(F.col("text")).alias("b"),
     )
     assert both.filter(F.col("a") != F.col("b")).count() == 0
+
+
+def test_kmv_exact_below_k_and_estimator_above(spark):
+    from pyspark.sql import functions as F
+
+    from kyuubi_spark.functions.sketches import kmv_distinct_estimate
+
+    df = spark.range(3000).select(
+        F.when(F.col("id") < 2000, F.lit("big")).otherwise(F.lit("small")).alias("g"),
+        # small group: 40 distinct values (< k); big group: 2000 distinct
+        F.when(F.col("id") < 2000, F.col("id")).otherwise(F.col("id") % 40).alias("v"),
+    )
+    out = {r["grp"]: r for r in kmv_distinct_estimate(df, "g", "v", k=128).collect()}
+    assert out["small"]["n_exact"] == 40
+    assert out["small"]["kmv_estimate"] == 40.0  # sketch holds all values
+    assert out["big"]["n_exact"] == 2000
+    est = out["big"]["kmv_estimate"]
+    assert abs(est - 2000) / 2000 < 0.25  # k=128 → ~9% stddev

@@ -75,6 +75,23 @@ def _last_verified_round() -> dict[str, int]:
     return last
 
 
+# Queries whose implementation changed this round: ordered ahead of other
+# equally-stale entries so the next driver window re-verifies them first.
+_CHANGED_THIS_ROUND = {
+    "stream_tumbling_agg",
+    "stream_session_window",
+    "stream_stream_join",
+    "stream_dedup",
+    "stream_stateful_totals",
+    "stream_sink_parquet",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "sequence_packing",
+    "embedding_near_dup",
+    "contamination_check",
+}
+
+
 def all_queries() -> dict[str, QuerySpec]:
     # Import registrars for their side effects.
     from kyuubi_spark.queries import (  # noqa: F401
@@ -88,5 +105,15 @@ def all_queries() -> dict[str, QuerySpec]:
 
     last = _last_verified_round()
     names = list(REGISTRY)
-    ordered = sorted(range(len(names)), key=lambda i: (last.get(names[i], -1), i))
+    # never-verified first (no driver row ever), then changed-this-round
+    # (highest regression risk), then least-recently-verified.
+    ordered = sorted(
+        range(len(names)),
+        key=lambda i: (
+            0 if last.get(names[i], -1) == -1 else 1,
+            0 if names[i] in _CHANGED_THIS_ROUND else 1,
+            last.get(names[i], -1),
+            i,
+        ),
+    )
     return {names[i]: REGISTRY[names[i]] for i in ordered}

@@ -65,6 +65,7 @@ HEADLINE = [
     "embedding_centroids",
     "embedding_quantize_int8",
     "multimodal_decode",
+    "multimodal_resize",
     "multimodal_frame_sample",
     # TPC-DS slice (plan-shape ports of q1/q2/q7/q19/q22/q34/q36/q38/q47/q51/q67/q88)
     *[f"tpcds_q{i}" for i in (1, 2, 7, 10, 11, 19, 22, 34, 36, 38, 47, 51, 65, 67, 88)],

@@ -168,3 +168,75 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
             ),
         )
     )
+
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("src_width", T.IntegerType()),
+        T.StructField("src_height", T.IntegerType()),
+        T.StructField("dst_width", T.IntegerType()),
+        T.StructField("dst_height", T.IntegerType()),
+        T.StructField("resized_bytes", T.LongType()),
+        T.StructField("resize_error", T.StringType()),
+    ]
+)
+
+
+def resize_images(media: DataFrame, max_side: int = 256) -> DataFrame:
+    """Aspect-preserving resize plan + STUB execution for image rows.
+
+    Target dims use pure integer arithmetic (dst = src * max_side // longest
+    side, floored, min 1), so the plan is replayable exactly in any engine.
+    The pixel transform itself is stubbed — the emitted payload is the new
+    header plus a proportionally sized body (bytes scale with the pixel
+    ratio) — but the plumbing is the real shape: Arrow-batched mapInPandas
+    over binary columns, per-row error capture, payloads never shuffled
+    (only image rows are selected, and only their own partition touches
+    their bytes).
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                payload = row["payload"]
+                rec = {
+                    "media_id": int(row["media_id"]),
+                    "src_width": None,
+                    "src_height": None,
+                    "dst_width": None,
+                    "dst_height": None,
+                    "resized_bytes": None,
+                    "resize_error": None,
+                }
+                try:
+                    w, h, _dur = _decode_stub(payload)
+                    body_len = max(len(payload) - 12, 0)
+                    longest = max(w, h)
+                    if longest <= max_side:
+                        dw, dh = w, h
+                    else:
+                        dw = max(1, w * max_side // longest)
+                        dh = max(1, h * max_side // longest)
+                    rec.update(
+                        {
+                            "src_width": w,
+                            "src_height": h,
+                            "dst_width": dw,
+                            "dst_height": dh,
+                            # body bytes scale with the pixel ratio (stub
+                            # stand-in for the re-encoded size)
+                            "resized_bytes": 12 + body_len * (dw * dh) // (w * h),
+                        }
+                    )
+                except Exception as e:  # noqa: BLE001 - captured per-row
+                    rec["resize_error"] = str(e)
+                out.append(rec)
+            yield pd.DataFrame(out)
+
+    return (
+        media.filter(F.col("kind") == "image")
+        .select("media_id", "payload")
+        .mapInPandas(run, schema=RESIZE_SCHEMA)
+    )

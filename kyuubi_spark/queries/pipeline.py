@@ -796,6 +796,46 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_resize",
+    oracle="""
+    WITH m AS (SELECT unnest(generate_series(0, 63)) AS mid),
+    img AS (
+      SELECT mid, 64 + mid % 512 AS w, 64 + (mid * 7) % 512 AS h
+      FROM m WHERE mid % 3 = 0),
+    sized AS (
+      SELECT mid, w, h,
+             CASE WHEN greatest(w, h) <= 256 THEN w
+                  ELSE greatest(1, w * 256 // greatest(w, h)) END AS dw,
+             CASE WHEN greatest(w, h) <= 256 THEN h
+                  ELSE greatest(1, h * 256 // greatest(w, h)) END AS dh
+      FROM img)
+    SELECT mid AS media_id,
+           CAST(w AS INTEGER) AS src_width, CAST(h AS INTEGER) AS src_height,
+           CAST(dw AS INTEGER) AS dst_width, CAST(dh AS INTEGER) AS dst_height,
+           CAST(12 + (128 * (dw * dh)) // (w * h) AS BIGINT) AS resized_bytes
+    FROM sized ORDER BY media_id
+    """,
+    doc="Aspect-preserving image resize (max side 256) through the stubbed "
+    "multimodal pipeline: target dims and output-size estimate use pure "
+    "integer arithmetic, so the plan is value-exact across engines; the "
+    "pixel transform is the stub standing in for PIL, with the real "
+    "Arrow-batched mapInPandas plumbing and per-row error capture.",
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kyuubi_spark.functions import multimodal as M
+
+    media = M.synthesize_media(spark, n=64, partitions=8)
+    return (
+        M.resize_images(media, max_side=256)
+        .select(
+            "media_id", "src_width", "src_height", "dst_width", "dst_height",
+            "resized_bytes",
+        )
+        .orderBy("media_id")
+    )
+
+
+@query(
     "multimodal_frame_sample",
     oracle="""
     WITH m AS (SELECT unnest(generate_series(0, 63)) AS mid),

@@ -67,3 +67,25 @@ def test_frame_sample_plan_no_payload_duplication(spark, media):
     ).collect()
     for r in one:
         assert r["count"] == (max(r["d"] - 1, 0) // 1000) + 1
+
+
+def test_resize_passthrough_and_error_capture(spark):
+    from pyspark.sql import functions as F
+
+    from kyuubi_spark.functions import multimodal as M
+
+    media = M.synthesize_media(spark, n=64, partitions=4)
+    out = M.resize_images(media, max_side=10_000)  # larger than any source
+    rows = out.collect()
+    assert all(r["resize_error"] is None for r in rows)
+    # no downscale needed: dims pass through, size estimate = original body
+    assert all(
+        r["src_width"] == r["dst_width"] and r["src_height"] == r["dst_height"]
+        for r in rows
+    )
+    # garbage payload -> per-row error, task survives
+    bad = spark.createDataFrame(
+        [(999, "image", bytearray(b"x"), None)], M.synthesize_media(spark, 1).schema
+    )
+    errs = M.resize_images(bad).collect()
+    assert errs[0]["resize_error"] is not None

@@ -58,7 +58,6 @@ def gen_date_dim(spark: SparkSession, sf: float = 1.0, partitions: int | None = 
         for pdf in batches:
             keys = pdf["id"].to_numpy()
             dates = pd.to_datetime(_DATE_START) + pd.to_timedelta(keys, unit="D")
-            iso = dates.isocalendar() if hasattr(dates, "isocalendar") else None
             yield pd.DataFrame(
                 {
                     "d_date_sk": keys + _DATE_BASE_SK,

@@ -68,7 +68,7 @@ HEADLINE = [
     "multimodal_resize",
     "multimodal_frame_sample",
     # TPC-DS slice (plan-shape ports of q1/q2/q7/q19/q22/q34/q36/q38/q47/q51/q67/q88)
-    *[f"tpcds_q{i}" for i in (1, 2, 7, 10, 11, 19, 22, 34, 36, 38, 47, 51, 65, 67, 88)],
+    *[f"tpcds_q{i}" for i in (1, 2, 7, 10, 11, 14, 19, 22, 34, 36, 38, 47, 51, 65, 67, 88)],
     # TPC-DS-shaped composites
     "tpcds_shape_avg_filter",
     "tpcds_shape_rank_bestworst",

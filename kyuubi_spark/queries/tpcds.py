@@ -999,3 +999,77 @@ def tpcds_q65(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("s_name", "p_name")
         .limit(100)
     )
+
+
+# --------------------------------------------------------------------------
+# q14 — cross-channel item intersect + scalar average + rollup over the
+# channel union (q14a/b.sql)
+# --------------------------------------------------------------------------
+@query(
+    "tpcds_q14",
+    oracle="""
+    WITH cross_items AS (
+      SELECT l_partkey AS item FROM lineitem WHERE l_returnflag = 'N'
+      INTERSECT
+      SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'
+      INTERSECT
+      SELECT l_partkey FROM lineitem WHERE l_returnflag = 'A'
+    ),
+    avg_sales AS (
+      SELECT ROUND(AVG(l_extendedprice * (1 - l_discount)), 4) AS average_sales
+      FROM lineitem
+    ),
+    united AS (
+      SELECT l.l_returnflag AS channel, p.p_brand AS p_brand,
+             p.p_type AS p_type,
+             l.l_extendedprice * (1 - l.l_discount) AS rev
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE l.l_partkey IN (SELECT item FROM cross_items)
+    )
+    SELECT channel, p_brand, p_type,
+           ROUND(SUM(rev), 2) AS sum_sales, COUNT(*) AS n
+    FROM united, avg_sales
+    GROUP BY ROLLUP (channel, p_brand, p_type), average_sales
+    HAVING ROUND(SUM(rev), 2) > average_sales
+    """,
+    doc="TPC-DS q14 shape: items present in ALL THREE channels via a "
+    "chained INTERSECT, a scalar average over the whole fact history "
+    "(broadcast as a 1-row join, the decorrelated scalar subquery), and a "
+    "3-level rollup over the channel union kept above that average. The "
+    "intersect sides prune to distinct item keys before their shuffles; "
+    "the IN becomes a broadcast semi join against the intersected key set.",
+)
+def tpcds_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem, part = _t(spark, sf_dir, "lineitem", "part")
+
+    def chan_items(flag: str) -> DataFrame:
+        return (
+            lineitem.filter(F.col("l_returnflag") == flag)
+            .select(F.col("l_partkey").alias("item"))
+            .distinct()
+        )
+
+    cross_items = chan_items("N").intersect(chan_items("R")).intersect(
+        chan_items("A")
+    )
+    avg_sales = lineitem.agg(dround(F.avg(_rev()), 4).alias("average_sales"))
+    united = (
+        lineitem.join(
+            cross_items, F.col("l_partkey") == F.col("item"), "left_semi"
+        )
+        .join(part, F.col("p_partkey") == F.col("l_partkey"))
+        .select(
+            F.col("l_returnflag").alias("channel"),
+            "p_brand",
+            "p_type",
+            _rev().alias("rev"),
+        )
+    )
+    return (
+        united.rollup("channel", "p_brand", "p_type")
+        .agg(dround(F.sum("rev"), 2).alias("sum_sales"), F.count("*").alias("n"))
+        .join(F.broadcast(avg_sales))
+        .filter(F.col("sum_sales") > F.col("average_sales"))
+        .select("channel", "p_brand", "p_type", "sum_sales", "n")
+    )

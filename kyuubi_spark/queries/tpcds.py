@@ -462,21 +462,32 @@ def tpcds_q36(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) t
     """,
     doc="TPC-DS q38 shape: (customer, date) appearing in all three sales "
-    "channels via a chained INTERSECT, counted.",
+    "channels, counted. The original (and the oracle) chain two INTERSECTs "
+    "— three scans, three distincts, two intersect shuffles; the Spark "
+    "plan computes the identical set membership with per-channel presence "
+    "flags in ONE aggregation over one scan (a pair is in the intersection "
+    "iff all three flags are set), then counts.",
 )
 def tpcds_q38(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem, orders = _t(spark, sf_dir, "lineitem", "orders")
-
-    def chan(flag: str) -> DataFrame:
-        return (
-            lineitem.filter(F.col("l_returnflag") == flag)
-            .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-            .select("o_custkey", F.col("l_shipdate").cast("date").alias("d"))
-            .distinct()
+    flags = (
+        lineitem.filter(F.col("l_returnflag").isin("N", "R", "A"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_custkey", F.col("l_shipdate").cast("date").alias("d"))
+        .agg(
+            *[
+                F.max(F.when(F.col("l_returnflag") == flag, F.lit(1))).alias(
+                    f"in_{flag}"
+                )
+                for flag in ("N", "R", "A")
+            ]
         )
-
-    both = chan("N").intersect(chan("R")).intersect(chan("A"))
-    return both.agg(F.count("*").alias("n"))
+    )
+    return flags.filter(
+        F.col("in_N").isNotNull()
+        & F.col("in_R").isNotNull()
+        & F.col("in_A").isNotNull()
+    ).agg(F.count("*").alias("n"))
 
 
 # --------------------------------------------------------------------------

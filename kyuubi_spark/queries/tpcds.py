@@ -665,63 +665,41 @@ def tpcds_q47(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tpcds_q51(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem, orders = _t(spark, sf_dir, "lineitem", "orders")
     urgent = ("1-URGENT", "2-HIGH")
+    is_web = F.col("o_orderpriority").isin(*urgent)
 
-    def channel(pred) -> DataFrame:
-        cume_w = (
-            Window.partitionBy("item_sk")
-            .orderBy("d_date")
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # One pass computes BOTH channels' daily sums as conditional aggregates;
+    # the oracle's dual-CTE + full-outer-join + running-max alignment is
+    # equivalent because cumulative sums are monotone: at every (item, date)
+    # observed in either channel, the running max of a channel's cumulative
+    # series equals that channel's window sum of its (null-skipped) daily
+    # sums. 2 scans + FOJ + 4 windows collapse into 1 scan + 2 windows.
+    day = (
+        lineitem.filter(F.year("l_shipdate") == 1996)
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.col("l_partkey").alias("item_sk"),
+            F.col("l_shipdate").cast("date").alias("d_date"),
         )
-        return (
-            lineitem.filter(F.year("l_shipdate") == 1996)
-            .join(orders.filter(pred), F.col("l_orderkey") == F.col("o_orderkey"))
-            .groupBy(
-                F.col("l_partkey").alias("item_sk"),
-                F.col("l_shipdate").cast("date").alias("d_date"),
-            )
-            .agg(
-                dround(F.sum("l_extendedprice"), 2)
-                .cast("decimal(18,2)")
-                .alias("day_sales")
-            )
-            .select(
-                "item_sk",
-                "d_date",
-                F.sum("day_sales").over(cume_w).alias("cume_sales"),
-            )
+        .agg(
+            dround(F.sum(F.when(is_web, F.col("l_extendedprice"))), 2)
+            .cast("decimal(18,2)")
+            .alias("web_day"),
+            dround(F.sum(F.when(~is_web, F.col("l_extendedprice"))), 2)
+            .cast("decimal(18,2)")
+            .alias("store_day"),
         )
-
-    web = channel(F.col("o_orderpriority").isin(*urgent)).select(
-        F.col("item_sk").alias("w_item"),
-        F.col("d_date").alias("w_date"),
-        F.col("cume_sales").alias("w_cume"),
     )
-    store = channel(~F.col("o_orderpriority").isin(*urgent)).select(
-        F.col("item_sk").alias("s_item"),
-        F.col("d_date").alias("s_date"),
-        F.col("cume_sales").alias("s_cume"),
-    )
-    aligned = web.join(
-        store,
-        (F.col("w_item") == F.col("s_item")) & (F.col("w_date") == F.col("s_date")),
-        "full_outer",
-    ).select(
-        F.coalesce("w_item", "s_item").alias("item_sk"),
-        F.coalesce("w_date", "s_date").alias("d_date"),
-        "w_cume",
-        "s_cume",
-    )
-    run_w = (
+    cume_w = (
         Window.partitionBy("item_sk")
         .orderBy("d_date")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
-        aligned.select(
+        day.select(
             "item_sk",
             "d_date",
-            F.max("w_cume").over(run_w).cast("double").alias("web_cumulative"),
-            F.max("s_cume").over(run_w).cast("double").alias("store_cumulative"),
+            F.sum("web_day").over(cume_w).cast("double").alias("web_cumulative"),
+            F.sum("store_day").over(cume_w).cast("double").alias("store_cumulative"),
         )
         .filter(F.col("web_cumulative") > F.col("store_cumulative"))
         .orderBy("item_sk", "d_date")

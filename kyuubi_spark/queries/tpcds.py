@@ -160,40 +160,39 @@ _Q2_DAYS = [
 )
 def tpcds_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     (lineitem,) = _t(spark, sf_dir, "lineitem")
-    web = lineitem.filter(F.col("l_linestatus") == "O").select(
+    # The oracle instantiates the weekly pivot CTE twice (once per year)
+    # over a two-scan union — four fact scans.  One pass computes all 14
+    # conditional day×year sums plus per-year presence flags keyed by week;
+    # a week emits a row iff BOTH year groups exist, exactly the oracle's
+    # join condition (both channels pass the same l_linestatus IN filter,
+    # so the union is just the filtered scan).
+    wscs = lineitem.filter(F.col("l_linestatus").isin("O", "F")).select(
         F.col("l_shipdate").alias("sold_ts"),
         F.col("l_extendedprice").alias("sales_price"),
     )
-    catalog = lineitem.filter(F.col("l_linestatus") == "F").select(
-        F.col("l_shipdate").alias("sold_ts"),
-        F.col("l_extendedprice").alias("sales_price"),
-    )
-    wscs = web.unionByName(catalog)
     day = F.date_format("sold_ts", "EEEE")
-    wswscs = wscs.groupBy(
-        F.year("sold_ts").alias("d_year"),
-        F.weekofyear("sold_ts").alias("d_week_seq"),
-    ).agg(
-        *[
-            dround(
-                F.sum(F.when(day == label, F.col("sales_price"))), 2
-            ).alias(f"{pre}_sales")
-            for label, pre in _Q2_DAYS
-        ]
+    yr = F.year("sold_ts")
+
+    def day_sum(label: str, year: int):
+        return dround(
+            F.sum(F.when((day == label) & (yr == year), F.col("sales_price"))), 2
+        )
+
+    pivoted = wscs.groupBy(F.weekofyear("sold_ts").alias("d_week_seq")).agg(
+        *[day_sum(label, 1996).alias(f"{pre}_y") for label, pre in _Q2_DAYS],
+        *[day_sum(label, 1997).alias(f"{pre}_z") for label, pre in _Q2_DAYS],
+        F.max(F.when(yr == 1996, F.lit(1))).alias("in_y"),
+        F.max(F.when(yr == 1997, F.lit(1))).alias("in_z"),
     )
-    y = wswscs.filter(F.col("d_year") == 1996).alias("y")
-    z = wswscs.filter(F.col("d_year") == 1997).alias("z")
     ratio = [
         dround(
-            F.col(f"y.{pre}_sales")
-            / F.nullif(F.col(f"z.{pre}_sales"), F.lit(0.0)),
-            2,
+            F.col(f"{pre}_y") / F.nullif(F.col(f"{pre}_z"), F.lit(0.0)), 2
         ).alias(f"{pre}_ratio")
         for _, pre in _Q2_DAYS
     ]
     return (
-        y.join(z, F.col("y.d_week_seq") == F.col("z.d_week_seq"))
-        .select(F.col("y.d_week_seq").alias("d_week_seq1"), *ratio)
+        pivoted.filter(F.col("in_y").isNotNull() & F.col("in_z").isNotNull())
+        .select(F.col("d_week_seq").alias("d_week_seq1"), *ratio)
         .orderBy("d_week_seq1")
     )
 

@@ -136,3 +136,14 @@ def test_sequence_packing_windows_are_sharded(spark, sf_dir):
     # the window partition spec must include the shard column, so no
     # partition spans a whole source
     assert "shard" in plan
+
+
+def test_tpcds_single_pass_rewrites_scan_once(spark, sf_dir):
+    """q2/q11/q38/q51 replace CTE re-instantiation, INTERSECT chains, and
+    full-outer channel alignment with conditional aggregation — each must
+    read the fact table exactly once (the oracles keep the literal spec
+    structure and prove value equivalence)."""
+    for name in ["tpcds_q2", "tpcds_q11", "tpcds_q38", "tpcds_q51"]:
+        df = _build(spark, sf_dir, name)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("lineitem.parquet") == 1, name

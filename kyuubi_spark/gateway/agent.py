@@ -87,6 +87,21 @@ class AgentOperation(Operation):
 
     def _emit(self, event: str, **payload) -> None:
         self.log(json.dumps({"event": event, **payload}, sort_keys=True))
+        # Mirror agent protocol events onto the engine bus so the same
+        # audit surface (REST /events, JSON event log) sees tool calls and
+        # approvals alongside session/operation lifecycle events.
+        engine = getattr(self.session, "engine", None)
+        if engine is not None and hasattr(engine, "events"):
+            from kyuubi_spark.gateway.events import make_event
+
+            engine.events.post(
+                make_event(
+                    f"Agent{event}",
+                    operationId=self.handle.id,
+                    sessionId=self.session.handle.id,
+                    **payload,
+                )
+            )
 
     # -- ApproveToolCall (operation/ApproveToolCall.scala) ----------------
     def approve_tool_call(self, call_id: str, approved: bool) -> None:

@@ -69,3 +69,18 @@ def test_agent_unplannable_task_errors(session):
     op = execute_agent(session, "make me a sandwich", run_async=False)
     assert op.state is OperationState.ERROR
     assert "cannot handle task" in str(op.exception)
+
+
+def test_agent_events_mirrored_to_engine_bus(session):
+    from kyuubi_spark.gateway.agent import execute_agent
+
+    op = execute_agent(session, "sql: SELECT 1 AS x")
+    op.wait(30)
+    bus_events = [
+        e
+        for e in session.engine.events.recent(200)
+        if e["eventType"].startswith("Agent")
+        and e["operationId"] == op.handle.id
+    ]
+    kinds = {e["eventType"] for e in bus_events}
+    assert {"Agenttool_call", "Agenttool_result", "Agentfinal_result"} <= kinds

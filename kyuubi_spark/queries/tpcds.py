@@ -86,6 +86,9 @@ def tpcds_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_suppkey").alias("ctr_store"),
         )
         .agg(dround(F.sum("l_extendedprice"), 2).alias("ctr_total_return"))
+        # shared by the per-store average and the filter side — materialize
+        # once (lazy localCheckpoint) instead of recomputing the fact join
+        .localCheckpoint(eager=False)
     )
     # Decorrelated form of the per-store average threshold.
     store_avg = ctr.groupBy(F.col("ctr_store").alias("avg_store")).agg(
@@ -1040,15 +1043,23 @@ def tpcds_q65(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tpcds_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem, part = _t(spark, sf_dir, "lineitem", "part")
 
-    def chan_items(flag: str) -> DataFrame:
-        return (
-            lineitem.filter(F.col("l_returnflag") == flag)
-            .select(F.col("l_partkey").alias("item"))
-            .distinct()
+    # items in all three channels via presence flags in one pass (the
+    # oracle keeps the literal INTERSECT chain)
+    cross_items = (
+        lineitem.filter(F.col("l_returnflag").isin("N", "R", "A"))
+        .groupBy(F.col("l_partkey").alias("item"))
+        .agg(
+            *[
+                F.max(F.when(F.col("l_returnflag") == f, F.lit(1))).alias(f"in_{f}")
+                for f in ("N", "R", "A")
+            ]
         )
-
-    cross_items = chan_items("N").intersect(chan_items("R")).intersect(
-        chan_items("A")
+        .filter(
+            F.col("in_N").isNotNull()
+            & F.col("in_R").isNotNull()
+            & F.col("in_A").isNotNull()
+        )
+        .select("item")
     )
     avg_sales = lineitem.agg(dround(F.avg(_rev()), 4).alias("average_sales"))
     united = (

@@ -537,6 +537,10 @@ def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_name") == "NATION_5")
         .groupBy("l_partkey")
         .agg(F.sum(_revenue()).alias("value"))
+        # the per-part aggregate feeds BOTH the threshold scalar and the
+        # join side; lazy localCheckpoint materializes it once instead of
+        # re-running the fact scan + join + agg per consumer
+        .localCheckpoint(eager=False)
     )
     # Uncorrelated scalar subquery → cross-join a 1-row broadcast aggregate.
     total = pv.agg((F.sum("value") * 0.002).alias("threshold"))
@@ -680,6 +684,7 @@ def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy(F.col("l_suppkey").alias("supplier_no"))
         .agg(F.sum(_revenue()).alias("total_revenue"))
+        .localCheckpoint(eager=False)  # shared by the max scalar + join side
     )
     mx = rev.agg(F.max("total_revenue").alias("mx"))
     return (

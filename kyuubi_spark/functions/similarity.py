@@ -386,9 +386,15 @@ def cosine_topk_lsh(
     from pyspark.sql import Window
 
     buckets = srp_buckets_df(embeddings, n_planes, dim, id_col, vec_col)
-    emb_b = _with_vec_norm(embeddings, id_col, vec_col, "e").join(
-        buckets, F.col("e_id") == F.col("id")
-    ).drop("id")
+    # (id, vec, norm, bucket) feeds BOTH the query side and the candidate
+    # side; lazy localCheckpoint materializes the norm+projection work once
+    # instead of recomputing the embedding scan per consumer.
+    emb_b = (
+        _with_vec_norm(embeddings, id_col, vec_col, "e")
+        .join(buckets, F.col("e_id") == F.col("id"))
+        .drop("id")
+        .localCheckpoint(eager=False)
+    )
     q = emb_b.select(
         F.col("e_id").alias("query_id"),
         F.col("e_vec").alias("query_vec"),

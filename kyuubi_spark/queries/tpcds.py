@@ -848,21 +848,30 @@ def tpcds_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem, orders, customer, nation = _t(
         spark, sf_dir, "lineitem", "orders", "customer", "nation"
     )
-    active = orders.filter(F.year("o_orderdate") == 1996).select("o_custkey")
-
-    def channel_customers(flag: str) -> DataFrame:
-        return (
-            lineitem.filter(F.col("l_returnflag") == flag)
-            .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-            .select("o_custkey")
+    # One pass over orders x lineitem computes all three membership flags
+    # per customer (active 1996 order; any R line; any A line) — the
+    # oracle's EXISTS battery needed three scans of orders and two of
+    # lineitem; the flags produce the identical qualifying-customer set.
+    flags = (
+        orders.join(
+            lineitem.filter(F.col("l_returnflag").isin("R", "A")),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+            "left",
         )
-
-    either = channel_customers("R").unionByName(channel_customers("A"))
+        .groupBy("o_custkey")
+        .agg(
+            F.max(F.when(F.year("o_orderdate") == 1996, F.lit(1))).alias("active"),
+            F.max(F.when(F.col("l_returnflag") == "R", F.lit(1))).alias("in_R"),
+            F.max(F.when(F.col("l_returnflag") == "A", F.lit(1))).alias("in_A"),
+        )
+        .filter(
+            F.col("active").isNotNull()
+            & (F.col("in_R").isNotNull() | F.col("in_A").isNotNull())
+        )
+        .select("o_custkey")
+    )
     return (
-        customer.join(
-            active, F.col("c_custkey") == active["o_custkey"], "left_semi"
-        )
-        .join(either, F.col("c_custkey") == either["o_custkey"], "left_semi")
+        customer.join(flags, F.col("c_custkey") == F.col("o_custkey"), "left_semi")
         .join(F.broadcast(nation), F.col("n_nationkey") == F.col("c_nationkey"))
         .groupBy(F.col("c_mktsegment").alias("segment"), "n_name")
         .agg(F.count("*").alias("cnt"))
@@ -984,8 +993,10 @@ def tpcds_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def tpcds_q65(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem, supplier, part = _t(spark, sf_dir, "lineitem", "supplier", "part")
-    sa = lineitem.groupBy("l_suppkey", "l_partkey").agg(
-        dround(F.sum(_rev()), 2).alias("revenue")
+    sa = (
+        lineitem.groupBy("l_suppkey", "l_partkey")
+        .agg(dround(F.sum(_rev()), 2).alias("revenue"))
+        .localCheckpoint(eager=False)  # shared by sb and the theta join
     )
     sb = sa.groupBy(F.col("l_suppkey").alias("sb_suppkey")).agg(
         dround(F.avg("revenue"), 4).alias("ave")

@@ -279,16 +279,14 @@ def jaccard_pairs(
         arrays = arrays.persist(StorageLevel.MEMORY_AND_DISK)
         sh = arrays.select("id", F.explode("shs").alias("sh"))
         df_freq = sh.groupBy("sh").agg(F.count("*").alias("df_sh"))
-        # integer-exact prefix length: n_sh - ceil(tau_num*n_sh/tau_den) + 1
+        # integer-exact prefix length: n_sh - ceil(tau_num*n_sh/tau_den) + 1.
+        # n_sh comes from a COUNT window over the same id partition the
+        # ranking shuffles on — no extra join back to the arrays relation.
+        by_id = Window.partitionBy("id")
         ranked = (
             sh.join(df_freq, "sh")
-            .join(arrays.select("id", F.size("shs").alias("n_sh")), "id")
-            .withColumn(
-                "rk",
-                F.row_number().over(
-                    Window.partitionBy("id").orderBy("df_sh", "sh")
-                ),
-            )
+            .withColumn("rk", F.row_number().over(by_id.orderBy("df_sh", "sh")))
+            .withColumn("n_sh", F.count("*").over(by_id))
             .withColumn(
                 "pref_len",
                 F.col("n_sh")

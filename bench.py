@@ -87,6 +87,7 @@ HEADLINE = [
     # streaming (replayed through the streaming engine)
     "stream_tumbling_agg",
     "stream_sliding_agg",
+    "stream_static_enrich",
     "stream_stateful_totals",
     "stream_session_window",
     "stream_stream_join",

@@ -224,6 +224,36 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_static_enrich",
+    oracle="""
+    SELECT c.c_mktsegment AS segment, COUNT(*) AS n,
+           ROUND(SUM(e.value), 2) AS sum_value
+    FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1 ORDER BY segment
+    """,
+    doc="Stream-static broadcast enrich (streaming events joined to the "
+    "static customer dim per microbatch — map-side, no state) feeding a "
+    "stateful aggregate per market segment; replay-verified against the "
+    "batch left join + GROUP BY.",
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kyuubi_spark.session import load_table
+    from kyuubi_spark.streaming.runner import run_to_memory
+    from kyuubi_spark.streaming.windows import stream_static_join
+
+    stream = _events_stream(spark, sf_dir)
+    customer = load_table(spark, sf_dir, "customer")
+    enriched = stream_static_join(stream, customer)
+    agged = enriched.groupBy(
+        F.col("c_mktsegment").alias("segment")
+    ).agg(F.count("*").alias("n"), F.sum("value").alias("sum_value"))
+    result = run_to_memory(agged, output_mode="complete")
+    return result.select(
+        "segment", "n", dround("sum_value", 2).alias("sum_value")
+    ).orderBy("segment")
+
+
+@query(
     "stream_stateful_totals",
     oracle="""
     SELECT user_id, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value

@@ -517,3 +517,14 @@ def test_watchdog_cross_join_check_allows_equi_join(session):
 def test_watchdog_cross_join_allowed_by_default(session):
     op = session.execute_statement("SELECT count(*) AS n FROM region CROSS JOIN nation")
     assert op.state is OperationState.FINISHED
+
+
+def test_hivevar_variable_substitution(session):
+    # SparkQueryTests.scala:51 parity: ${hivevar:...} resolves in statements
+    session.spark.conf.set("spark.sql.variable.substitute", "true")
+    session.execute_statement("SET hivevar:threshold=5")
+    op = session.execute_statement(
+        "SELECT count(*) AS n FROM region WHERE r_regionkey < ${hivevar:threshold}"
+    )
+    assert op.state is OperationState.FINISHED
+    assert op.get_next_row_set(size=1)[0][0] == 5

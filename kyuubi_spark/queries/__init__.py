@@ -89,6 +89,9 @@ _CHANGED_THIS_ROUND = {
     "sequence_packing",
     "embedding_near_dup",
     "contamination_check",
+    "knn_cosine_lsh",
+    "tpch_q11",
+    "tpch_q15",
 }
 
 

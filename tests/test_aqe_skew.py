@@ -56,3 +56,37 @@ def test_aqe_splits_skewed_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_runtime_bloom_filter_prunes_selective_join(spark, sf_dir):
+    """Runtime Bloom-filter pruning — the mechanism the contamination-check
+    docstring names for 100 TB: a selective non-broadcast join injects a
+    bloom_filter_agg on the small side and a might-contain probe above the
+    big side's scan, so most fact rows drop before the shuffle."""
+    import os
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        from pyspark.sql import functions as F
+
+        li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+        orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in plan
+        assert "might_contain" in plan.lower()
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -47,6 +47,7 @@ HEADLINE = [
     "sequence_packing",
     "dedup_minhash_lsh",
     "dedup_components",
+    "dedup_survivors",
     "dedup_simhash",
     "dedup_ngram_jaccard",
     "text_stats",

@@ -349,6 +349,60 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_survivors",
+    oracle=f"""
+    WITH RECURSIVE {_MINHASH_PAIRS_CTE},
+    edges AS (
+      SELECT a_id AS u, b_id AS v FROM dup_pairs
+      UNION ALL
+      SELECT b_id, a_id FROM dup_pairs),
+    reach(u, v) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+      UNION
+      SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u),
+    comp AS (
+      SELECT u AS doc_id, MIN(v) AS component_id FROM reach GROUP BY u),
+    dropped AS (SELECT doc_id FROM comp WHERE doc_id <> component_id)
+    SELECT d.source AS source,
+           COUNT(*) AS n_docs,
+           CAST(COUNT(*) - COUNT(x.doc_id) AS BIGINT) AS n_survivors
+    FROM documents d LEFT JOIN dropped x ON d.doc_id = x.doc_id
+    GROUP BY d.source ORDER BY source
+    """,
+    doc="End-to-end near-dup dedup accounting: MinHash-LSH pairs -> "
+    "connected components -> keep ONE canonical doc per dup group (the "
+    "min id) -> per-source before/after counts. The composition a real "
+    "corpus-dedup job runs; every stage is the verified distributed "
+    "operator (bucketed LSH join, label propagation, anti-join of the "
+    "dropped set back to the corpus).",
+)
+def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        F.col("doc_id").alias("id"),
+        F.explode(D.shingles_arrow(3)(F.col("text"))).alias("g"),
+    ).localCheckpoint()
+    cand = D.lsh_candidate_pairs(docs, n=3, num_hashes=16, bands=8, shingle_df=sh)
+    pairs = D.jaccard_pairs(
+        docs, cand, n=3, tau_num=1, tau_den=4, shingle_df=sh
+    ).select("a_id", "b_id")
+    comps = D.connected_components(pairs)
+    dropped = comps.filter(F.col("doc_id") != F.col("component_id")).select(
+        "doc_id"
+    )
+    survivors = docs.join(dropped, "doc_id", "left_anti")
+    return (
+        docs.groupBy("source")
+        .agg(F.count("*").alias("n_docs"))
+        .join(
+            survivors.groupBy("source").agg(F.count("*").alias("n_survivors")),
+            "source",
+        )
+        .orderBy("source")
+    )
+
+
+@query(
     "dedup_simhash",
     oracle="""
     WITH toks AS (

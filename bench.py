@@ -62,6 +62,7 @@ HEADLINE = [
     "knn_cosine_topk",
     "embedding_near_dup",
     "knn_cosine_lsh",
+    "knn_recall_report",
     "knn_cosine_ivf",
     "embedding_centroids",
     "embedding_quantize_int8",

@@ -464,25 +464,68 @@ _COSINE_CTE = """
     FROM embeddings)
 """
 
+# Brute-force cosine top-5 chain for the 10 query vectors (shared by the
+# baseline kNN oracle and the recall report).
+_EXACT_TOP5_CTE = """ex_q AS (SELECT vec_id AS query_id, embedding AS qv, nrm AS qn FROM e WHERE vec_id < 10),
+    ex_scored AS (
+      SELECT ex_q.query_id, e.vec_id AS neighbor_id,
+             ROUND(list_sum(list_transform(generate_series(1, len(e.embedding)),
+                     i -> CAST(e.embedding[i] AS DOUBLE) * CAST(ex_q.qv[i] AS DOUBLE)))
+                   / (e.nrm * ex_q.qn), 6) AS score
+      FROM e, ex_q WHERE e.vec_id <> ex_q.query_id),
+    ex_ranked AS (
+      SELECT query_id, neighbor_id, score,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, neighbor_id) AS BIGINT) AS rnk
+      FROM ex_scored)"""
+
+# SRP-LSH bucketed top-5 chain for the 10 query vectors (shared by the LSH
+# kNN oracle and the recall report).
+_SRP_TOP5_CTE = """    b AS (
+      SELECT vec_id,
+             string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY p)
+               AS bucket
+      FROM (
+        SELECT e.vec_id, p.p AS p,
+               SUM(CAST(CAST(e.embedding[d.i] AS DOUBLE) AS DECIMAL(18,12))
+                   * CAST(CAST(strpos('0123456789abcdef',
+                           substring(md5(CAST(p.p AS VARCHAR) || ':' ||
+                                         CAST(d.i - 1 AS VARCHAR)), 1, 1)) - 1
+                          AS DOUBLE) - 7.5 AS DECIMAL(3,1))) AS s
+        FROM e,
+             (SELECT unnest(generate_series(0, 7)) AS p) p,
+             (SELECT unnest(generate_series(1, 64)) AS i) d(i)
+        GROUP BY 1, 2) t
+      GROUP BY vec_id),
+    eb AS (
+      SELECT e.vec_id, e.embedding, e.nrm, b.bucket
+      FROM e JOIN b ON e.vec_id = b.vec_id),
+    srp_scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             ROUND(list_sum(list_transform(generate_series(1, 64),
+                     i -> CAST(c.embedding[i] AS DOUBLE)
+                          * CAST(q.embedding[i] AS DOUBLE)))
+                   / (c.nrm * q.nrm), 6) AS score
+      FROM eb q JOIN eb c
+        ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+      WHERE q.vec_id < 10),
+    srp_ranked AS (
+      SELECT query_id, neighbor_id, score,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, neighbor_id)
+                  AS BIGINT) AS rnk
+      FROM srp_scored)"""
+
+
+
 
 @query(
     "knn_cosine_topk",
     oracle=f"""
     WITH {_COSINE_CTE},
-    q AS (SELECT vec_id AS query_id, embedding AS qv, nrm AS qn FROM e WHERE vec_id < 10),
-    scored AS (
-      SELECT q.query_id, e.vec_id AS neighbor_id,
-             ROUND(list_sum(list_transform(generate_series(1, len(e.embedding)),
-                     i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))
-                   / (e.nrm * q.qn), 6) AS score
-      FROM e, q WHERE e.vec_id <> q.query_id),
-    ranked AS (
-      SELECT query_id, neighbor_id, score,
-             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
-                                     ORDER BY score DESC, neighbor_id) AS BIGINT) AS rnk
-      FROM scored)
+    {_EXACT_TOP5_CTE}
     SELECT query_id, neighbor_id, score, rnk
-    FROM ranked WHERE rnk <= 5
+    FROM ex_ranked WHERE rnk <= 5
     ORDER BY query_id, rnk
     """,
     doc="Brute-force cosine top-5 for 10 query vectors (ANN baseline).",
@@ -518,42 +561,9 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "knn_cosine_lsh",
     oracle=f"""
     WITH {_COSINE_CTE},
-    b AS (
-      SELECT vec_id,
-             string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY p)
-               AS bucket
-      FROM (
-        SELECT e.vec_id, p.p AS p,
-               SUM(CAST(CAST(e.embedding[d.i] AS DOUBLE) AS DECIMAL(18,12))
-                   * CAST(CAST(strpos('0123456789abcdef',
-                           substring(md5(CAST(p.p AS VARCHAR) || ':' ||
-                                         CAST(d.i - 1 AS VARCHAR)), 1, 1)) - 1
-                          AS DOUBLE) - 7.5 AS DECIMAL(3,1))) AS s
-        FROM e,
-             (SELECT unnest(generate_series(0, 7)) AS p) p,
-             (SELECT unnest(generate_series(1, 64)) AS i) d(i)
-        GROUP BY 1, 2) t
-      GROUP BY vec_id),
-    eb AS (
-      SELECT e.vec_id, e.embedding, e.nrm, b.bucket
-      FROM e JOIN b ON e.vec_id = b.vec_id),
-    scored AS (
-      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-             ROUND(list_sum(list_transform(generate_series(1, 64),
-                     i -> CAST(c.embedding[i] AS DOUBLE)
-                          * CAST(q.embedding[i] AS DOUBLE)))
-                   / (c.nrm * q.nrm), 6) AS score
-      FROM eb q JOIN eb c
-        ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
-      WHERE q.vec_id < 10),
-    ranked AS (
-      SELECT query_id, neighbor_id, score,
-             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
-                                     ORDER BY score DESC, neighbor_id)
-                  AS BIGINT) AS rnk
-      FROM scored)
+    {_SRP_TOP5_CTE}
     SELECT query_id, neighbor_id, score, rnk
-    FROM ranked WHERE rnk <= 5 ORDER BY query_id, rnk
+    FROM srp_ranked WHERE rnk <= 5 ORDER BY query_id, rnk
     """,
     doc="SRP-LSH bucketed ANN top-5 — the bucket-join scale path for "
     "100 TB. Value-exact oracle: the hyperplane weights are pure "
@@ -564,6 +574,59 @@ def knn_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return S.cosine_topk_lsh(emb, queries, k=5, n_planes=8, dim=64)
+
+
+@query(
+    "knn_recall_report",
+    oracle=f"""
+    WITH {_COSINE_CTE},
+    {_EXACT_TOP5_CTE},
+    {_SRP_TOP5_CTE},
+    ex AS (SELECT query_id, neighbor_id FROM ex_ranked WHERE rnk <= 5),
+    ap AS (SELECT query_id, neighbor_id FROM srp_ranked WHERE rnk <= 5)
+    SELECT ex.query_id AS query_id,
+           COUNT(*) AS n_exact,
+           (SELECT COUNT(*) FROM ap WHERE ap.query_id = ex.query_id) AS n_lsh,
+           COUNT(ap.neighbor_id) AS n_common,
+           ROUND(CAST(COUNT(ap.neighbor_id) AS DOUBLE) / COUNT(*), 4)
+             AS recall_at_5
+    FROM ex LEFT JOIN ap
+      ON ex.query_id = ap.query_id AND ex.neighbor_id = ap.neighbor_id
+    GROUP BY ex.query_id ORDER BY query_id
+    """,
+    doc="ANN quality as an operator: per-query recall@5 of the SRP-LSH "
+    "bucketed search against the brute-force baseline, computed in one "
+    "query (both sides are deterministic, so even the recall numbers are "
+    "value-exact across engines). The production use: continuous recall "
+    "monitoring of an approximate index without leaving the engine.",
+)
+def knn_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = S.cosine_topk(emb, queries, k=5).select("query_id", "neighbor_id")
+    approx = (
+        S.cosine_topk_lsh(emb, queries, k=5, n_planes=8, dim=64)
+        .select("query_id", "neighbor_id")
+        .withColumn("hit", F.lit(1))
+    )
+    n_lsh = approx.groupBy("query_id").agg(F.count("*").alias("n_lsh"))
+    return (
+        exact.join(approx, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("*").alias("n_exact"),
+            F.count("hit").alias("n_common"),
+        )
+        .join(n_lsh, "query_id", "left")
+        .select(
+            "query_id",
+            "n_exact",
+            F.coalesce("n_lsh", F.lit(0)).alias("n_lsh"),
+            "n_common",
+            dround(F.col("n_common") / F.col("n_exact"), 4).alias("recall_at_5"),
+        )
+        .orderBy("query_id")
+    )
 
 
 @query(

@@ -27,20 +27,47 @@ def _jseq(jseq):
 
 
 def scan_bytes(df: DataFrame) -> int:
-    """Total bytes the optimized plan's relation leaves would scan.
+    """Total bytes the query would actually scan, AFTER partition pruning.
 
-    Uses each leaf's computed stats (for file relations this is the
-    post-pruning file-index size — what MaxScanStrategy.scala:60-90 reads
-    from HadoopFsRelation.location).
+    Walks the physical plan's file scans and sums their selected-partition
+    file sizes — the same post-pruning observation point
+    MaxScanStrategy.scala:60-90 reads (it inspects the pruned partitions of
+    HadoopFsRelation.location). Optimized-plan leaf stats would report the
+    FULL relation size for a partition-filtered scan, which is exactly the
+    case the watchdog must not over-reject. Non-file leaves fall back to
+    their logical stats.
     """
     total = 0
-    jplan = df._jdf.queryExecution().optimizedPlan()
-    for leaf in _jseq(jplan.collectLeaves()):
-        try:
-            # sizeInBytes is a scala BigInt; stringify for exact conversion
-            total += int(str(leaf.stats().sizeInBytes()))
-        except Exception:
-            pass
+    jqe = df._jdf.queryExecution()
+    seen_file_scan = False
+
+    def walk(node):
+        nonlocal total, seen_file_scan
+        cls = node.getClass().getSimpleName()
+        if cls in ("FileSourceScanExec", "BatchScanExec") or "FileSourceScan" in cls:
+            try:
+                total += int(node.selectedPartitions().totalFileSize())
+                seen_file_scan = True
+                return
+            except Exception:
+                pass
+        children = node.children()
+        for i in range(children.size()):
+            walk(children.apply(i))
+
+    try:
+        walk(jqe.sparkPlan())
+    except Exception:
+        seen_file_scan = False
+        total = 0
+    if not seen_file_scan and total == 0:
+        # non-file relations (in-memory, JDBC, views over local data)
+        for leaf in _jseq(jqe.optimizedPlan().collectLeaves()):
+            try:
+                # sizeInBytes is a scala BigInt; stringify for exact conversion
+                total += int(str(leaf.stats().sizeInBytes()))
+            except Exception:
+                pass
     return total
 
 

@@ -528,3 +528,28 @@ def test_hivevar_variable_substitution(session):
     )
     assert op.state is OperationState.FINISHED
     assert op.get_next_row_set(size=1)[0][0] == 5
+
+
+def test_watchdog_scan_bytes_reflects_partition_pruning(session, tmp_path):
+    """MaxScanStrategy's value is measuring the PRUNED scan: a filter on
+    the partition column must shrink scan_bytes, so a query that touches
+    one partition passes a limit the full-table scan would trip."""
+    from kyuubi_spark.operators.watchdog import scan_bytes
+
+    spark = session.spark
+    path = str(tmp_path / "parted")
+    spark.range(20_000).selectExpr(
+        "id", "CAST(id % 10 AS INT) AS part", "md5(CAST(id AS STRING)) AS pay"
+    ).write.partitionBy("part").mode("overwrite").parquet(path)
+    full = spark.read.parquet(path)
+    one = full.filter("part = 3")
+    b_full, b_one = scan_bytes(full), scan_bytes(one)
+    assert b_one > 0
+    assert b_one < b_full / 5  # one of ten partitions, with headroom
+    # and the gateway enforcement sees the same pruned number
+    one.createOrReplaceTempView("parted_view")
+    op = session.execute_statement(
+        "SELECT count(*) FROM parted_view",
+        conf_overlay={"spark.sql.watchdog.maxFileSize": str(int(b_full))},
+    )
+    assert op.state is OperationState.FINISHED

@@ -90,3 +90,24 @@ def test_runtime_bloom_filter_prunes_selective_join(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_dynamic_partition_pruning_fires(spark, tmp_path):
+    """Dynamic partition pruning: a star join whose dim-side filter only
+    resolves at runtime must inject a dynamicpruning subquery on the fact
+    scan, so only matching fact partitions are read."""
+    from pyspark.sql import functions as F
+
+    fact_path = str(tmp_path / "fact")
+    spark.range(50_000).selectExpr(
+        "id", "CAST(id % 20 AS INT) AS dim_id", "md5(CAST(id AS STRING)) AS pay"
+    ).write.partitionBy("dim_id").mode("overwrite").parquet(fact_path)
+    fact = spark.read.parquet(fact_path)
+    dim = spark.range(20).select(
+        F.col("id").alias("dim_id"),
+        F.when(F.col("id") < 3, F.lit("pick")).otherwise(F.lit("skip")).alias("flag"),
+    )
+    j = fact.join(dim, "dim_id").filter(F.col("flag") == "pick")
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), "no DPP filter on the fact scan"
+    assert j.count() == sum(1 for i in range(50_000) if i % 20 < 3)

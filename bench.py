@@ -110,6 +110,7 @@ HEADLINE = [
     "text_lang_id",
     "win_moving_avg",
     "win_sessionize",
+    "funnel_conversion",
 ]
 
 

@@ -1094,3 +1094,60 @@ def win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("total").desc(), "user_id")
     )
+
+@query(
+    "funnel_conversion",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY e.user_id),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY e.user_id)
+    SELECT (SELECT COUNT(*) FROM v) AS n_view,
+           (SELECT COUNT(*) FROM c) AS n_click,
+           (SELECT COUNT(*) FROM p) AS n_purchase,
+           ROUND(CAST((SELECT COUNT(*) FROM c) AS DOUBLE)
+                 / (SELECT COUNT(*) FROM v), 4) AS view_to_click,
+           ROUND(CAST((SELECT COUNT(*) FROM p) AS DOUBLE)
+                 / NULLIF((SELECT COUNT(*) FROM c), 0), 4) AS click_to_purchase
+    """,
+    doc="Ordered funnel analysis (view -> later click -> later purchase per "
+    "user): each stage is a min-timestamp aggregate gated by the previous "
+    "stage's time — three user-keyed aggregations and joins, no window "
+    "over the whole event stream, so each stage shrinks the data and the "
+    "shuffles stay keyed on user_id at any scale.",
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+
+    def stage(event_type, prev=None, prev_t=None):
+        base = events.filter(F.col("event_type") == event_type)
+        if prev is not None:
+            base = base.join(prev, "user_id").filter(F.col("ts") > F.col(prev_t))
+        return base.groupBy("user_id").agg(F.min("ts").alias(f"t_{event_type}"))
+
+    v = stage("view")
+    c = stage("click", v, "t_view")
+    p = stage("purchase", c, "t_click")
+    nv = v.agg(F.count("*").alias("n_view"))
+    nc = c.agg(F.count("*").alias("n_click"))
+    np_ = p.agg(F.count("*").alias("n_purchase"))
+    return (
+        nv.join(F.broadcast(nc))
+        .join(F.broadcast(np_))
+        .select(
+            "n_view",
+            "n_click",
+            "n_purchase",
+            dround(F.col("n_click") / F.col("n_view"), 4).alias("view_to_click"),
+            dround(
+                F.col("n_purchase") / F.nullif(F.col("n_click"), F.lit(0)), 4
+            ).alias("click_to_purchase"),
+        )
+    )

@@ -111,6 +111,7 @@ HEADLINE = [
     "win_moving_avg",
     "win_sessionize",
     "funnel_conversion",
+    "cohort_retention",
 ]
 
 

@@ -1151,3 +1151,55 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("click_to_purchase"),
         )
     )
+
+@query(
+    "cohort_retention",
+    oracle="""
+    WITH firsts AS (
+      SELECT o_custkey,
+             MIN(date_trunc('month', o_orderdate)) AS cohort_month
+      FROM orders GROUP BY o_custkey),
+    activity AS (
+      SELECT DISTINCT o.o_custkey, f.cohort_month,
+             date_diff('month', f.cohort_month,
+                       date_trunc('month', o.o_orderdate)) AS months_since
+      FROM orders o JOIN firsts f ON o.o_custkey = f.o_custkey)
+    SELECT CAST(cohort_month AS TIMESTAMP) AS cohort_month,
+           CAST(months_since AS BIGINT) AS months_since,
+           COUNT(*) AS n_active
+    FROM activity
+    WHERE months_since <= 6
+    GROUP BY 1, 2 ORDER BY cohort_month, months_since
+    """,
+    doc="Monthly cohort retention matrix: cohort = each customer's first "
+    "order month, cells count customers still ordering N months later "
+    "(clipped to 6). Two customer-keyed aggregations and one join — the "
+    "firsts side is per-customer (small) and broadcastable against the "
+    "fact at any scale.",
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    firsts = orders.groupBy("o_custkey").agg(
+        F.date_trunc("month", F.min("o_orderdate")).alias("cohort_month")
+    )
+    activity = (
+        orders.join(firsts, "o_custkey")
+        .select(
+            "o_custkey",
+            "cohort_month",
+            (
+                (F.year("o_orderdate") - F.year("cohort_month")) * 12
+                + (F.month("o_orderdate") - F.month("cohort_month"))
+            ).cast("bigint").alias("months_since"),
+        )
+        .distinct()
+    )
+    return (
+        activity.filter(F.col("months_since") <= 6)
+        .groupBy(
+            F.col("cohort_month").cast("timestamp_ntz").alias("cohort_month"),
+            "months_since",
+        )
+        .agg(F.count("*").alias("n_active"))
+        .orderBy("cohort_month", "months_since")
+    )

@@ -112,6 +112,8 @@ HEADLINE = [
     "win_sessionize",
     "funnel_conversion",
     "cohort_retention",
+    "events_anomaly_zscore",
+    "rfm_segments",
 ]
 
 

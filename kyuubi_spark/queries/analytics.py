@@ -1203,3 +1203,98 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_active"))
         .orderBy("cohort_month", "months_since")
     )
+
+@query(
+    "events_anomaly_zscore",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hr, COUNT(*) AS n
+      FROM events GROUP BY 1, 2),
+    stats AS (
+      SELECT event_type,
+             AVG(n) AS mu,
+             stddev_pop(n) AS sigma
+      FROM hourly GROUP BY event_type)
+    SELECT h.event_type AS event_type, CAST(h.hr AS TIMESTAMP) AS hr,
+           h.n AS n,
+           ROUND((h.n - s.mu) / NULLIF(s.sigma, 0), 4) AS zscore
+    FROM hourly h JOIN stats s ON h.event_type = s.event_type
+    WHERE ABS((h.n - s.mu) / NULLIF(s.sigma, 0)) >= 2
+    ORDER BY event_type, hr
+    """,
+    doc="Rate-anomaly detection: hourly event counts z-scored against each "
+    "type's own mean/stddev, keeping |z| >= 2 outliers. Aggregate-of-"
+    "aggregate with a broadcastable per-type stats side; population stddev "
+    "over integer counts divides identically in both engines.",
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    hourly = events.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hr")
+    ).agg(F.count("*").alias("n"))
+    stats = hourly.groupBy("event_type").agg(
+        F.avg("n").alias("mu"), F.stddev_pop("n").alias("sigma")
+    )
+    z = F.col("n") - F.col("mu")
+    zscore = z / F.nullif(F.col("sigma"), F.lit(0.0))
+    return (
+        hourly.join(F.broadcast(stats), "event_type")
+        .filter(F.abs(zscore) >= 2)
+        .select(
+            "event_type",
+            F.col("hr").cast("timestamp_ntz").alias("hr"),
+            "n",
+            dround(zscore, 4).alias("zscore"),
+        )
+        .orderBy("event_type", "hr")
+    )
+
+@query(
+    "rfm_segments",
+    oracle="""
+    WITH per_cust AS (
+      SELECT o_custkey,
+             MAX(o_orderdate) AS last_order,
+             COUNT(*) AS frequency,
+             ROUND(SUM(o_totalprice), 2) AS monetary
+      FROM orders GROUP BY o_custkey),
+    scored AS (
+      SELECT o_custkey,
+             NTILE(4) OVER (ORDER BY last_order, o_custkey) AS r_quartile,
+             NTILE(4) OVER (ORDER BY frequency, o_custkey) AS f_quartile,
+             NTILE(4) OVER (ORDER BY monetary, o_custkey) AS m_quartile
+      FROM per_cust)
+    SELECT CAST(r_quartile AS INT) AS r_quartile,
+           CAST(f_quartile AS INT) AS f_quartile,
+           CAST(m_quartile AS INT) AS m_quartile,
+           COUNT(*) AS n_customers
+    FROM scored
+    GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+    """,
+    doc="RFM customer segmentation: per-customer recency/frequency/monetary "
+    "aggregates quartiled with NTILE (unique o_custkey tiebreak makes the "
+    "tiling deterministic across engines), rolled up to segment sizes. The "
+    "global NTILE is one ordered pass over the per-customer aggregate — "
+    "CUSTOMER-cardinality, not fact-cardinality, so the single-partition "
+    "sort stays small at any fact scale.",
+)
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count("*").alias("frequency"),
+        dround(F.sum("o_totalprice"), 2).alias("monetary"),
+    )
+    scored = per_cust.select(
+        "o_custkey",
+        F.ntile(4).over(Window.orderBy("last_order", "o_custkey")).alias("r_quartile"),
+        F.ntile(4).over(Window.orderBy("frequency", "o_custkey")).alias("f_quartile"),
+        F.ntile(4).over(Window.orderBy("monetary", "o_custkey")).alias("m_quartile"),
+    )
+    return (
+        scored.groupBy("r_quartile", "f_quartile", "m_quartile")
+        .agg(F.count("*").alias("n_customers"))
+        .orderBy("r_quartile", "f_quartile", "m_quartile")
+    )

@@ -232,7 +232,8 @@ _MINHASH_PAIRS_CTE = f"""{_SHINGLE_CTE},
       SELECT DISTINCT l.id AS a_id, r.id AS b_id
       FROM banded l JOIN banded r
         ON l.band = r.band AND l.k0 = r.k0 AND l.k1 = r.k1 AND l.id < r.id),
-    shx AS (SELECT id, unnest(shs) AS s FROM sh),
+    shx AS (SELECT DISTINCT id, ('0x' || substring(md5(s), 1, 15))::BIGINT AS s
+            FROM (SELECT id, unnest(shs) AS s FROM sh) u),
     counts AS (SELECT id, COUNT(*) AS n_sh FROM shx GROUP BY id),
     inter AS (
       SELECT c.a_id, c.b_id, COUNT(*) AS inter
@@ -286,7 +287,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_ngram_jaccard",
     oracle=f"""
     WITH {_SHINGLE_CTE},
-    shx AS (SELECT id, unnest(shs) AS s FROM sh),
+    shx AS (SELECT DISTINCT id, ('0x' || substring(md5(s), 1, 15))::BIGINT AS s
+            FROM (SELECT id, unnest(shs) AS s FROM sh) u),
     counts AS (SELECT id, COUNT(*) AS n_sh FROM shx GROUP BY id),
     inter AS (
       SELECT sa.id AS a_id, sb.id AS b_id, COUNT(*) AS inter

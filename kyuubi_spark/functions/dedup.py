@@ -101,6 +101,38 @@ def shingle_hash_arrow():
     return f
 
 
+def hashed_shingles_arrow(n: int = 3):
+    """``shingle_hash_arrow`` ∘ ``shingles_arrow`` fused into ONE Arrow pass
+    (text → md5-prefix 60-bit shingle hashes) — saves a serialize/deserialize
+    round trip when the caller never needs the string shingles."""
+    import hashlib
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<long>")
+    def f(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            toks = (t or "").strip().split(" ")
+            if len(toks) >= n:
+                grams = dict.fromkeys(
+                    " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+                )
+            else:
+                grams = {" ".join(toks): None}
+            out.append(
+                list(
+                    dict.fromkeys(
+                        int(hashlib.md5(g.encode()).hexdigest()[:15], 16)
+                        for g in grams
+                    )
+                )
+            )
+        return pd.Series(out)
+
+    return f
+
+
 # Double-hashing (Kirsch & Mitzenmacher): h_s = (h1 + s*h2) mod 2^48 gives
 # num_hashes independent-enough minhash functions from ONE md5 per shingle
 # (16x fewer digests than md5 per seed). 48-bit halves keep s*h2 < 2^52 —
@@ -297,18 +329,19 @@ def jaccard_pairs(
       the exploded shingle relation, which would replicate every pair once
       per shingle.
     """
-    arrays = (
-        shingle_df.groupBy("id").agg(F.collect_list("g").alias("shs"))
-        if shingle_df is not None
-        # shingle arrays are distinct per doc, so sizes are set cardinalities
-        else df.select(
-            F.col(id_col).alias("id"),
-            shingles_arrow(n)(F.col(text_col)).alias("shs"),
-        )
-    )
     # verification runs in md5-hashed long space: array_intersect over longs
     # is ~25x faster than over strings, and the oracle replays the same hash
-    arrays = arrays.select("id", shingle_hash_arrow()(F.col("shs")).alias("shs"))
+    # (shingle arrays are distinct per doc, so sizes are set cardinalities)
+    arrays = (
+        shingle_df.groupBy("id")
+        .agg(F.collect_list("g").alias("shs"))
+        .select("id", shingle_hash_arrow()(F.col("shs")).alias("shs"))
+        if shingle_df is not None
+        else df.select(
+            F.col(id_col).alias("id"),
+            hashed_shingles_arrow(n)(F.col(text_col)).alias("shs"),
+        )
+    )
 
     if candidates is None:
         # The exact path reads the shingle arrays four times (frequency,

@@ -1092,3 +1092,588 @@ def tpcds_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("sum_sales") > F.col("average_sales"))
         .select("channel", "p_brand", "p_type", "sum_sales", "n")
     )
+
+
+# --------------------------------------------------------------------------
+# q6 — dim-side correlated average-price subquery + month filter (q6.sql)
+# --------------------------------------------------------------------------
+@query(
+    "tpcds_q6",
+    oracle="""
+    WITH pc AS (
+      SELECT p_partkey, p_type,
+             CAST(ROUND(p_retailprice * 100) AS BIGINT) AS price_cents
+      FROM part),
+    cat AS (
+      SELECT p_type, SUM(price_cents) AS sum_cents, COUNT(*) AS cnt
+      FROM pc GROUP BY p_type),
+    expensive AS (
+      SELECT p_partkey FROM pc JOIN cat USING (p_type)
+      WHERE price_cents * cnt * 100 > 103 * sum_cents)
+    SELECT n.n_name AS state, COUNT(*) AS cnt
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+      AND year(o.o_orderdate) = 1996 AND quarter(o.o_orderdate) = 1
+    JOIN expensive e ON e.p_partkey = l.l_partkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    GROUP BY n.n_name
+    HAVING COUNT(*) >= 10
+    ORDER BY cnt, state
+    LIMIT 100
+    """,
+    doc="TPC-DS q6 shape (tpcds_3.2/q6.sql): customers-by-state buying "
+    "items priced >1.03x their category average in one quarter (testdata "
+    "prices span 900-1000, so the original 1.2x never fires), HAVING "
+    "count>=10. The correlated per-category average subquery is "
+    "decorrelated into a category aggregate joined back to the item dim "
+    "(what Catalyst does to the original), and the 1.2x price comparison "
+    "is integer-exact in cents (price*cnt*10 > 12*sum) so no float "
+    "boundary can flip membership across engines. The dim-side filter "
+    "result is a broadcast semi-join input to the fact scan.",
+)
+def tpcds_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem, orders, customer, nation, part = _t(
+        spark, sf_dir, "lineitem", "orders", "customer", "nation", "part"
+    )
+    pc = part.select(
+        "p_partkey",
+        "p_type",
+        F.round(F.col("p_retailprice") * 100).cast("long").alias("price_cents"),
+    )
+    cat = pc.groupBy("p_type").agg(
+        F.sum("price_cents").alias("sum_cents"), F.count("*").alias("cnt")
+    )
+    expensive = (
+        pc.join(F.broadcast(cat), "p_type")
+        .filter(
+            F.col("price_cents") * F.col("cnt") * 100 > 103 * F.col("sum_cents")
+        )
+        .select("p_partkey")
+    )
+    return (
+        lineitem.join(
+            orders.filter(
+                (F.year("o_orderdate") == 1996) & (F.quarter("o_orderdate") == 1)
+            ),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .join(
+            F.broadcast(expensive),
+            F.col("p_partkey") == F.col("l_partkey"),
+            "left_semi",
+        )
+        .join(customer, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(nation), F.col("n_nationkey") == F.col("c_nationkey"))
+        .groupBy(F.col("n_name").alias("state"))
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") >= 10)
+        .orderBy("cnt", "state")
+        .limit(100)
+    )
+
+
+# --------------------------------------------------------------------------
+# q9 — five CASE-bucketed scalar subqueries over the fact (q9.sql)
+# --------------------------------------------------------------------------
+_Q9_BUCKETS = [(1, 10, 12000), (11, 20, 11000), (21, 30, 13000),
+               (31, 40, 12500), (41, 50, 11500)]
+
+
+def _q9_oracle() -> str:
+    cases = []
+    for i, (lo, hi, thr) in enumerate(_Q9_BUCKETS, 1):
+        base = f"FROM lineitem WHERE l_quantity BETWEEN {lo} AND {hi}"
+        cases.append(f"""
+      ROUND(CASE WHEN (SELECT COUNT(*) {base}) > {thr}
+        THEN (SELECT CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                     AS DOUBLE) / COUNT(*) / 100 {base})
+        ELSE (SELECT CAST(SUM(CAST(ROUND(l_extendedprice
+                     * (1 - l_discount) * 100) AS BIGINT)) AS DOUBLE)
+                     / COUNT(*) / 100 {base})
+      END, 6) AS bucket{i}""")
+    return "SELECT " + ", ".join(cases)
+
+
+@query(
+    "tpcds_q9",
+    oracle=_q9_oracle(),
+    doc="TPC-DS q9 shape (tpcds_3.2/q9.sql): five quantity-band buckets, "
+    "each choosing between two averages based on a count threshold. The "
+    "original (and the oracle) issue 15 scalar subqueries = 15 fact "
+    "scans; the Spark plan computes every band's count and both "
+    "conditional sums in ONE aggregation over one scan, then selects the "
+    "same CASE per bucket. All averages divide integer cent sums, so "
+    "both engines round identical doubles.",
+)
+def tpcds_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = _t(spark, sf_dir, "lineitem")[0]
+    price_c = F.round(F.col("l_extendedprice") * 100).cast("long")
+    rev_c = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    aggs = []
+    for i, (lo, hi, _) in enumerate(_Q9_BUCKETS, 1):
+        inb = F.col("l_quantity").between(lo, hi)
+        aggs += [
+            F.count(F.when(inb, 1)).alias(f"cnt{i}"),
+            F.sum(F.when(inb, price_c)).alias(f"sp{i}"),
+            F.sum(F.when(inb, rev_c)).alias(f"sr{i}"),
+        ]
+    one = lineitem.agg(*aggs)
+    buckets = [
+        dround(
+            F.when(
+                F.col(f"cnt{i}") > thr,
+                F.col(f"sp{i}").cast("double") / F.col(f"cnt{i}") / 100,
+            ).otherwise(
+                F.col(f"sr{i}").cast("double") / F.col(f"cnt{i}") / 100
+            ),
+            6,
+        ).alias(f"bucket{i}")
+        for i, (_, _, thr) in enumerate(_Q9_BUCKETS, 1)
+    ]
+    return one.select(*buckets)
+
+
+# --------------------------------------------------------------------------
+# q13 — OR-ed demographic/address band predicates, single-row averages (q13.sql)
+# --------------------------------------------------------------------------
+@query(
+    "tpcds_q13",
+    oracle="""
+    SELECT
+      ROUND(CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS DOUBLE)
+            / COUNT(*), 6) AS avg_qty,
+      ROUND(CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT))
+            AS DOUBLE) / COUNT(*) / 100, 6) AS avg_price,
+      ROUND(CAST(SUM(CAST(ROUND(l.l_discount * 100) AS BIGINT))
+            AS DOUBLE) / COUNT(*) / 100, 6) AS avg_disc,
+      ROUND(CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT))
+            AS DOUBLE) / 100, 2) AS sum_price
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE (
+        (c.c_mktsegment = 'BUILDING' AND o.o_orderpriority = '1-URGENT'
+         AND l.l_extendedprice BETWEEN 1000 AND 20000)
+        OR (c.c_mktsegment = 'AUTOMOBILE' AND o.o_orderpriority = '2-HIGH'
+            AND l.l_extendedprice BETWEEN 20000 AND 40000)
+        OR (c.c_mktsegment = 'MACHINERY' AND o.o_orderpriority = '3-MEDIUM'
+            AND l.l_extendedprice BETWEEN 40000 AND 60000))
+      AND (
+        (n.n_regionkey IN (0, 1) AND o.o_totalprice BETWEEN 50000 AND 150000)
+        OR (n.n_regionkey IN (2, 3)
+            AND o.o_totalprice BETWEEN 100000 AND 200000)
+        OR (n.n_regionkey = 4 AND o.o_totalprice BETWEEN 150000 AND 250000))
+    """,
+    doc="TPC-DS q13 shape (tpcds_3.2/q13.sql): one-row fact averages under "
+    "two stacked OR-of-band predicate groups (demographic bands x address "
+    "bands). Demographics map to c_mktsegment/o_orderpriority, address "
+    "bands to n_regionkey/o_totalprice. All averages divide integer cent "
+    "sums so both engines round identical doubles. Dims are broadcast; "
+    "the OR predicate stays on the probe side of the joins.",
+)
+def tpcds_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem, orders, customer, nation = _t(
+        spark, sf_dir, "lineitem", "orders", "customer", "nation"
+    )
+    seg_bands = (
+        (F.col("c_mktsegment") == "BUILDING")
+        & (F.col("o_orderpriority") == "1-URGENT")
+        & F.col("l_extendedprice").between(1000, 20000)
+    ) | (
+        (F.col("c_mktsegment") == "AUTOMOBILE")
+        & (F.col("o_orderpriority") == "2-HIGH")
+        & F.col("l_extendedprice").between(20000, 40000)
+    ) | (
+        (F.col("c_mktsegment") == "MACHINERY")
+        & (F.col("o_orderpriority") == "3-MEDIUM")
+        & F.col("l_extendedprice").between(40000, 60000)
+    )
+    addr_bands = (
+        (F.col("n_regionkey").isin(0, 1)
+         & F.col("o_totalprice").between(50000, 150000))
+        | (F.col("n_regionkey").isin(2, 3)
+           & F.col("o_totalprice").between(100000, 200000))
+        | ((F.col("n_regionkey") == 4)
+           & F.col("o_totalprice").between(150000, 250000))
+    )
+    price_c = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_c = F.round(F.col("l_discount") * 100).cast("long")
+    base = (
+        lineitem.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(customer, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(nation), F.col("n_nationkey") == F.col("c_nationkey"))
+        .filter(seg_bands & addr_bands)
+    )
+    return base.agg(
+        dround(
+            F.sum(F.col("l_quantity").cast("long")).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("avg_qty"),
+        dround(F.sum(price_c).cast("double") / F.count("*") / 100, 6).alias(
+            "avg_price"
+        ),
+        dround(F.sum(disc_c).cast("double") / F.count("*") / 100, 6).alias(
+            "avg_disc"
+        ),
+        dround(F.sum(price_c).cast("double") / 100, 2).alias("sum_price"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q17 — three-channel chain join + stddev_samp statistics (q17.sql)
+# --------------------------------------------------------------------------
+def _chan_stats(prefix: str, qty: str):
+    """count/avg/stddev_samp/cov from integer sums — bit-identical across
+    engines: stddev_samp = sqrt((n*Σx² - (Σx)²) / (n*(n-1)))."""
+    n = F.count(qty).cast("long")
+    s1 = F.sum(F.col(qty).cast("long"))
+    s2 = F.sum((F.col(qty) * F.col(qty)).cast("long"))
+    ave = s1.cast("double") / n
+    # guarded: stddev_samp undefined for n=1 (NULL on both engines)
+    var = F.when(
+        n > 1,
+        (n.cast("double") * s2 - s1.cast("double") * s1)
+        / (n.cast("double") * (n - 1)),
+    )
+    std = F.sqrt(var)
+    return [
+        n.alias(f"{prefix}_cnt"),
+        dround(ave, 6).alias(f"{prefix}_ave"),
+        dround(std, 6).alias(f"{prefix}_stdev"),
+        dround(std / ave, 6).alias(f"{prefix}_cov"),
+    ]
+
+
+def _q17_chan_stats_sql(prefix: str, qty: str) -> str:
+    n = f"COUNT({qty})"
+    s1 = f"SUM(CAST({qty} AS BIGINT))"
+    s2 = f"SUM(CAST({qty} * {qty} AS BIGINT))"
+    ave = f"(CAST({s1} AS DOUBLE) / {n})"
+    var = (
+        f"(CASE WHEN {n} > 1 THEN"
+        f" (CAST({n} AS DOUBLE) * {s2} - CAST({s1} AS DOUBLE) * {s1})"
+        f" / (CAST({n} AS DOUBLE) * ({n} - 1)) END)"
+    )
+    return (
+        f"CAST({n} AS BIGINT) AS {prefix}_cnt, "
+        f"ROUND({ave}, 6) AS {prefix}_ave, "
+        f"ROUND(SQRT({var}), 6) AS {prefix}_stdev, "
+        f"ROUND(SQRT({var}) / {ave}, 6) AS {prefix}_cov"
+    )
+
+
+@query(
+    "tpcds_q17",
+    oracle=f"""
+    SELECT p.p_brand AS p_brand, n.n_name AS s_state,
+           {_q17_chan_stats_sql("store_sales", "s.l_quantity")},
+           {_q17_chan_stats_sql("store_returns", "r.r_qty")},
+           {_q17_chan_stats_sql("catalog_sales", "cs.c_qty")}
+    FROM (SELECT l.l_partkey, l.l_suppkey, l.l_quantity, o.o_custkey
+          FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+          WHERE l.l_returnflag = 'N' AND year(l.l_shipdate) = 1996
+            AND quarter(l.l_shipdate) = 1) s
+    JOIN (SELECT o.o_custkey, l.l_quantity AS r_qty
+          FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+          WHERE l.l_returnflag = 'R' AND year(l.l_shipdate) = 1996
+            AND quarter(l.l_shipdate) <= 3) r
+      ON r.o_custkey = s.o_custkey
+    JOIN (SELECT o.o_custkey, l.l_quantity AS c_qty
+          FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+          WHERE l.l_returnflag = 'A' AND year(l.l_shipdate) = 1996
+            AND quarter(l.l_shipdate) <= 3) cs
+      ON cs.o_custkey = r.o_custkey
+    JOIN part p ON p.p_partkey = s.l_partkey
+    JOIN supplier su ON su.s_suppkey = s.l_suppkey
+    JOIN nation n ON n.n_nationkey = su.s_nationkey
+    GROUP BY p.p_brand, n.n_name
+    ORDER BY p_brand, s_state
+    LIMIT 100
+    """,
+    doc="TPC-DS q17 shape (tpcds_3.2/q17.sql): sale -> return -> "
+    "re-purchase chain joined on customer across three quarter "
+    "windows, grouped stats with stddev_samp per channel. Channels are "
+    "the N/R/A returnflag slices of lineitem. stddev_samp/avg/cov are "
+    "computed from integer quantity sums (n*Σx²-(Σx)² form) so both "
+    "engines evaluate identical doubles. The three channel relations "
+    "shuffle on the same custkey; dims broadcast.",
+)
+def tpcds_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem, orders, part, supplier, nation = _t(
+        spark, sf_dir, "lineitem", "orders", "part", "supplier", "nation"
+    )
+
+    def chan(flag: str, max_q: int, qty_alias: str, with_keys: bool = False):
+        cols = [F.col("o_custkey"), F.col("l_quantity").alias(qty_alias)]
+        if with_keys:
+            cols += [F.col("l_partkey"), F.col("l_suppkey")]
+        return (
+            lineitem.filter(
+                (F.col("l_returnflag") == flag)
+                & (F.year("l_shipdate") == 1996)
+                & (F.quarter("l_shipdate") <= max_q)
+            )
+            .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+            .select(*cols)
+        )
+
+    s = chan("N", 1, "s_qty", with_keys=True)
+    r = chan("R", 3, "r_qty").withColumnRenamed("o_custkey", "r_custkey")
+    cs = chan("A", 3, "c_qty").withColumnRenamed("o_custkey", "c_custkey")
+    joined = (
+        s.join(r, F.col("r_custkey") == F.col("o_custkey"))
+        .join(cs, F.col("c_custkey") == F.col("r_custkey"))
+        .join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(supplier), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(nation), F.col("n_nationkey") == F.col("s_nationkey"))
+    )
+    return (
+        joined.groupBy("p_brand", F.col("n_name").alias("s_state"))
+        .agg(
+            *_chan_stats("store_sales", "s_qty"),
+            *_chan_stats("store_returns", "r_qty"),
+            *_chan_stats("catalog_sales", "c_qty"),
+        )
+        .orderBy("p_brand", "s_state")
+        .limit(100)
+    )
+
+
+# --------------------------------------------------------------------------
+# q43 — day-of-week conditional pivot per store (q43.sql)
+# --------------------------------------------------------------------------
+_DOW_NAMES = ["mon", "tue", "wed", "thu", "fri", "sat", "sun"]
+
+
+def _dow_pivot_sql(src_col: str = "l.l_extendedprice",
+                   date_col: str = "l.l_shipdate") -> str:
+    """sun..sat conditional cent sums as SQL (isodow: Mon=1..Sun=7)."""
+    return ", ".join(
+        f"SUM(CASE WHEN isodow(CAST({date_col} AS DATE)) = {i + 1} THEN "
+        f"CAST(ROUND({src_col} * 100) AS BIGINT) END) AS {d}_c"
+        for i, d in enumerate(_DOW_NAMES)
+    )
+
+
+def _dow_pivot_spark(src=None, date_col: str = "l_shipdate"):
+    """sun..sat conditional cent sums as Columns (weekday: Mon=0..Sun=6)."""
+    src = src if src is not None else F.round(
+        F.col("l_extendedprice") * 100
+    ).cast("long")
+    return [
+        F.sum(F.when(F.weekday(date_col) == i, src)).alias(f"{d}_c")
+        for i, d in enumerate(_DOW_NAMES)
+    ]
+
+
+@query(
+    "tpcds_q43",
+    oracle=f"""
+    SELECT s.s_name AS s_name, s.s_suppkey AS s_suppkey,
+           {", ".join(f"ROUND(CAST(t.{d}_c AS DOUBLE) / 100, 2) AS {d}_sales"
+                      for d in _DOW_NAMES)}
+    FROM (
+      SELECT l.l_suppkey, {_dow_pivot_sql()}
+      FROM lineitem l
+      WHERE year(l.l_shipdate) = 1996
+      GROUP BY l.l_suppkey) t
+    JOIN supplier s ON s.s_suppkey = t.l_suppkey
+    WHERE s.s_nationkey IN (1, 2, 3, 4, 5)
+    ORDER BY s_name, s_suppkey
+    LIMIT 100
+    """,
+    doc="TPC-DS q43 shape (tpcds_3.2/q43.sql): per-store weekly sales "
+    "pivot — seven day-of-week conditional sums over one year of the "
+    "fact, store dim joined for name/filter. Day-of-week is "
+    "weekday()+1 == DuckDB isodow (Mon=1..Sun=7) so bucket membership "
+    "is engine-independent; sums are integer cents. One fact scan, one "
+    "shuffle on suppkey, dim broadcast.",
+)
+def tpcds_q43(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem, supplier = _t(spark, sf_dir, "lineitem", "supplier")
+    pivot = (
+        lineitem.filter(F.year("l_shipdate") == 1996)
+        .groupBy("l_suppkey")
+        .agg(*_dow_pivot_spark())
+    )
+    return (
+        pivot.join(
+            F.broadcast(supplier.filter(F.col("s_nationkey").isin(1, 2, 3, 4, 5))),
+            F.col("s_suppkey") == F.col("l_suppkey"),
+        )
+        .select(
+            "s_name",
+            "s_suppkey",
+            *[
+                dround(F.col(f"{d}_c").cast("double") / 100, 2).alias(
+                    f"{d}_sales"
+                )
+                for d in _DOW_NAMES
+            ],
+        )
+        .orderBy("s_name", "s_suppkey")
+        .limit(100)
+    )
+
+
+# --------------------------------------------------------------------------
+# q59 — week-over-year same-store sales ratios (q59.sql)
+# --------------------------------------------------------------------------
+@query(
+    "tpcds_q59",
+    oracle=f"""
+    WITH wss AS (
+      SELECT year(l.l_shipdate) AS yr, weekofyear(CAST(l.l_shipdate AS DATE))
+               AS wk, l.l_suppkey,
+             {_dow_pivot_sql()}
+      FROM lineitem l
+      WHERE year(l.l_shipdate) IN (1995, 1996)
+      GROUP BY 1, 2, 3)
+    SELECT s.s_name AS s_name, c.wk AS wk,
+           {", ".join(f"ROUND(CAST(c.{d}_c AS DOUBLE) / NULLIF(p.{d}_c, 0), 6)"
+                      f" AS {d}_ratio" for d in _DOW_NAMES)}
+    FROM (SELECT * FROM wss WHERE yr = 1996) c
+    JOIN (SELECT * FROM wss WHERE yr = 1995) p
+      ON p.wk = c.wk AND p.l_suppkey = c.l_suppkey
+    JOIN supplier s ON s.s_suppkey = c.l_suppkey
+    WHERE s.s_nationkey IN (1, 2)
+    ORDER BY s_name, wk
+    LIMIT 100
+    """,
+    doc="TPC-DS q59 shape (tpcds_3.2/q59.sql): per-(store, week) "
+    "day-of-week pivot compared against the same store-week one year "
+    "earlier. The original (and the oracle) self-join the pivot CTE on "
+    "(week, store) across the two years — two instantiations of the "
+    "aggregate; the Spark plan pivots BOTH years in one conditional "
+    "pass (14 conditional sums keyed by year) and keeps groups present "
+    "in both years — identical inner-join semantics, one fact scan, one "
+    "shuffle. Ratios divide integer cent sums via NULLIF guards.",
+)
+def tpcds_q59(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem, supplier = _t(spark, sf_dir, "lineitem", "supplier")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    yr = F.year("l_shipdate")
+    aggs = []
+    for yname, y in (("c", 1996), ("p", 1995)):
+        for i, d in enumerate(_DOW_NAMES):
+            aggs.append(
+                F.sum(
+                    F.when((yr == y) & (F.weekday("l_shipdate") == i), cents)
+                ).alias(f"{yname}_{d}")
+            )
+        aggs.append(
+            F.count(F.when(yr == y, F.lit(1))).alias(f"{yname}_n")
+        )
+    pivot = (
+        lineitem.filter(yr.isin(1995, 1996))
+        .groupBy(
+            F.weekofyear(F.col("l_shipdate").cast("date")).alias("wk"),
+            "l_suppkey",
+        )
+        .agg(*aggs)
+        # inner-join semantics of the original self-join: the store-week
+        # must have rows in BOTH years
+        .filter((F.col("c_n") > 0) & (F.col("p_n") > 0))
+    )
+    return (
+        pivot.join(
+            F.broadcast(supplier.filter(F.col("s_nationkey").isin(1, 2))),
+            F.col("s_suppkey") == F.col("l_suppkey"),
+        )
+        .select(
+            "s_name",
+            "wk",
+            *[
+                dround(
+                    F.col(f"c_{d}").cast("double")
+                    / F.nullif(F.col(f"p_{d}"), F.lit(0)),
+                    6,
+                ).alias(f"{d}_ratio")
+                for d in _DOW_NAMES
+            ],
+        )
+        .orderBy("s_name", "wk")
+        .limit(100)
+    )
+
+
+# --------------------------------------------------------------------------
+# q93 — returns-adjusted actual sales via left outer join (q93.sql)
+# --------------------------------------------------------------------------
+@query(
+    "tpcds_q93",
+    oracle="""
+    WITH ret AS (
+      SELECT l_orderkey, l_linenumber,
+             CAST(FLOOR(l_quantity / 2) AS BIGINT) AS ret_qty
+      FROM lineitem
+      WHERE l_returnflag = 'R' AND l_linestatus = 'F'),
+    t AS (
+      SELECT o.o_custkey,
+             CASE WHEN r.ret_qty IS NOT NULL
+                  THEN (CAST(l.l_quantity AS BIGINT) - r.ret_qty)
+                       * CAST(ROUND(l.l_extendedprice / l.l_quantity * 100)
+                              AS BIGINT)
+                  ELSE CAST(l.l_quantity AS BIGINT)
+                       * CAST(ROUND(l.l_extendedprice / l.l_quantity * 100)
+                              AS BIGINT)
+             END AS act_cents
+      FROM lineitem l
+      LEFT OUTER JOIN ret r
+        ON r.l_orderkey = l.l_orderkey AND r.l_linenumber = l.l_linenumber
+      JOIN orders o ON o.o_orderkey = l.l_orderkey)
+    SELECT o_custkey AS customer, ROUND(CAST(SUM(act_cents) AS DOUBLE) / 100, 2)
+             AS sumsales
+    FROM t
+    GROUP BY o_custkey
+    ORDER BY sumsales, customer
+    LIMIT 100
+    """,
+    doc="TPC-DS q93 shape (tpcds_3.2/q93.sql): actual sales net of "
+    "returns — fact LEFT OUTER JOIN its returns slice on the line "
+    "composite key, conditional quantity arithmetic, per-customer sum, "
+    "ascending top-100. Returns are the R/F lineitem rows with half the "
+    "quantity returned. Unit price in cents is a rounded double "
+    "division evaluated identically on both engines; all later math is "
+    "integer.",
+)
+def tpcds_q93(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem, orders = _t(spark, sf_dir, "lineitem", "orders")
+    ret = (
+        lineitem.filter(
+            (F.col("l_returnflag") == "R") & (F.col("l_linestatus") == "F")
+        )
+        .select(
+            F.col("l_orderkey").alias("r_orderkey"),
+            F.col("l_linenumber").alias("r_linenumber"),
+            F.floor(F.col("l_quantity") / 2).cast("long").alias("ret_qty"),
+        )
+    )
+    unit_c = F.round(
+        F.col("l_extendedprice") / F.col("l_quantity") * 100
+    ).cast("long")
+    act = F.when(
+        F.col("ret_qty").isNotNull(),
+        (F.col("l_quantity").cast("long") - F.col("ret_qty")) * unit_c,
+    ).otherwise(F.col("l_quantity").cast("long") * unit_c)
+    return (
+        lineitem.join(
+            ret,
+            (F.col("r_orderkey") == F.col("l_orderkey"))
+            & (F.col("r_linenumber") == F.col("l_linenumber")),
+            "left_outer",
+        )
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(F.col("o_custkey").alias("customer"), act.alias("act_cents"))
+        .groupBy("customer")
+        .agg(
+            dround(F.sum("act_cents").cast("double") / 100, 2).alias("sumsales")
+        )
+        .orderBy("sumsales", "customer")
+        .limit(100)
+    )

@@ -69,6 +69,12 @@ HEADLINE = [
     "multimodal_decode",
     "multimodal_resize",
     "multimodal_frame_sample",
+    "text_line_dedup",
+    "text_tfidf_topk",
+    "pii_detect_redact",
+    "ewma_user_value",
+    "ts_gap_fill",
+    "winsorize_stats",
     # TPC-DS slice (plan-shape ports of q1/q2/q7/q19/q22/q34/q36/q38/q47/q51/q67/q88)
     *[f"tpcds_q{i}" for i in (1, 2, 6, 7, 9, 10, 11, 13, 14, 17, 19, 22, 34,
                               36, 38, 43, 47, 51, 59, 65, 67, 88, 93)],

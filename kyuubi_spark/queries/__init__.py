@@ -102,6 +102,7 @@ def all_queries() -> dict[str, QuerySpec]:
         gateway_queries,
         streaming_queries,
         pipeline,
+        pipeline2,
         tpcds,
         tpch,
     )

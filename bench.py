@@ -66,6 +66,7 @@ HEADLINE = [
     "knn_cosine_ivf",
     "embedding_centroids",
     "embedding_quantize_int8",
+    "kmeans_lloyd",
     "multimodal_decode",
     "multimodal_resize",
     "multimodal_frame_sample",

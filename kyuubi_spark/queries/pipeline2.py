@@ -21,6 +21,8 @@ Cross-engine determinism (same rules as pipeline.py):
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -507,4 +509,150 @@ def winsorize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
         .select("event_type", "lo", "hi", "n_lo", "n_hi", "wins_mean")
+    )
+
+
+# --------------------------------------------------------------------------
+# K-means (Lloyd) — 2 exact iterations, value-exact SQL-replayable oracle.
+# --------------------------------------------------------------------------
+def _kmeans_assign_udf(spark, cents: "list[tuple[int, list[float]]]"):
+    """argmin-L2 assignment against a broadcast centroid list.
+
+    Distances are SEQUENTIAL-ORDER sums of (x_i - c_i)^2 (cumsum's last
+    column), bit-identical to DuckDB's list_sum fold, so the argmin —
+    ties to the lowest cluster id, matching ROW_NUMBER() ORDER BY d, cl —
+    is engine-independent.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    ids = [c[0] for c in cents]
+    mats = [np.asarray(c[1], dtype="float64") for c in cents]
+    bc = spark.sparkContext.broadcast((ids, mats))
+
+    @pandas_udf("int")
+    def assign(vecs: pd.Series) -> pd.Series:
+        cl_ids, cl_vecs = bc.value
+        m = np.array(vecs.tolist(), dtype="float64")
+        dists = np.stack(
+            [
+                ((m - cv[None, :]) ** 2).cumsum(axis=1)[:, -1]
+                for cv in cl_vecs
+            ],
+            axis=1,
+        )
+        # np.argmin takes the FIRST minimum -> lowest cluster id on ties
+        idx = np.argmin(dists, axis=1)
+        return pd.Series(np.asarray(cl_ids, dtype="int64")[idx].astype("int32"))
+
+    return assign
+
+
+def _kmeans_centroids(a: DataFrame) -> DataFrame:
+    """Exact Lloyd update: per-(cluster, dim) DECIMAL(28,12) sums (order-
+    independent) divided once and rounded to 9 decimals — the rounded
+    doubles ARE the next iteration's centroids on both engines."""
+    ex = a.select(
+        "cl", F.posexplode("embedding").alias("dim", "xf")
+    ).select(
+        "cl", "dim", F.col("xf").cast("double").cast("decimal(28,12)").alias("x")
+    )
+    return (
+        ex.groupBy("cl", "dim")
+        .agg(
+            dround(
+                F.sum("x").cast("double") / F.count("*"), 9
+            ).alias("c")
+        )
+    )
+
+
+@query(
+    "kmeans_lloyd",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding FROM embeddings),
+    c0 AS (SELECT vec_id AS cl, embedding AS c FROM e WHERE vec_id < 8),
+    d1 AS (
+      SELECT e.vec_id, c0.cl,
+             list_sum(list_transform(generate_series(1, 64),
+               i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(c0.c[i] AS DOUBLE))
+                  * (CAST(e.embedding[i] AS DOUBLE) - CAST(c0.c[i] AS DOUBLE))))
+               AS d
+      FROM e, c0),
+    a1 AS (
+      SELECT vec_id, cl FROM (
+        SELECT vec_id, cl,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cl) AS r
+        FROM d1) t WHERE r = 1),
+    upd AS (
+      SELECT a1.cl, u.i AS dim,
+             SUM(CAST(CAST(e.embedding[u.i] AS DOUBLE) AS DECIMAL(28,12)))
+               AS s,
+             COUNT(*) AS n
+      FROM a1 JOIN e USING (vec_id),
+           unnest(generate_series(1, 64)) AS u(i)
+      GROUP BY 1, 2),
+    c1 AS (
+      SELECT cl, list(ROUND(CAST(s AS DOUBLE) / n, 9) ORDER BY dim) AS c
+      FROM upd GROUP BY cl),
+    d2 AS (
+      SELECT e.vec_id, c1.cl,
+             list_sum(list_transform(generate_series(1, 64),
+               i -> (CAST(e.embedding[i] AS DOUBLE) - c1.c[i])
+                  * (CAST(e.embedding[i] AS DOUBLE) - c1.c[i]))) AS d
+      FROM e, c1),
+    a2 AS (
+      SELECT vec_id, cl FROM (
+        SELECT vec_id, cl,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cl) AS r
+        FROM d2) t WHERE r = 1)
+    SELECT a2.cl AS cluster, COUNT(*) AS n,
+           MAX(c1.c[1]) AS cd0, MAX(c1.c[2]) AS cd1
+    FROM a2 JOIN c1 USING (cl)
+    GROUP BY a2.cl
+    ORDER BY cluster
+    """,
+    doc="K-means via two exact Lloyd iterations (k=8, d=64): "
+    "deterministic init (vectors 0..7), argmin-L2 assignment as an "
+    "Arrow-batched numpy pass with sequential-order distance sums, "
+    "centroid update as per-(cluster,dim) DECIMAL(28,12) sums — "
+    "order-independent, so the rounded next centroids are bit-identical "
+    "across engines and the WHOLE iterative algorithm is value-exact "
+    "SQL-replayable (most engines settle for rows-only checks on "
+    "iterative ops). Scale: assignment is map-only (centroids "
+    "broadcast); each update shuffles k x d cells regardless of row "
+    "count; driver holds only the k x d centroid matrix per round.",
+)
+def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    init = (
+        emb.filter(F.col("vec_id") < 8)
+        .orderBy("vec_id")
+        .collect()
+    )
+    cents0 = [(int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in init]
+
+    a1 = emb.withColumn(
+        "cl", _kmeans_assign_udf(spark, cents0)(F.col("embedding"))
+    )
+    c1_rows = (
+        _kmeans_centroids(a1).orderBy("cl", "dim").collect()
+    )
+    by_cl: dict[int, list[float]] = {}
+    for r in c1_rows:
+        by_cl.setdefault(int(r["cl"]), []).append(float(r["c"]))
+    cents1 = sorted(by_cl.items())
+
+    a2 = emb.withColumn(
+        "cl", _kmeans_assign_udf(spark, cents1)(F.col("embedding"))
+    )
+    cdims = spark.createDataFrame(
+        [(cl, c[0], c[1]) for cl, c in cents1], "cl int, cd0 double, cd1 double"
+    )
+    return (
+        a2.groupBy("cl")
+        .agg(F.count("*").alias("n"))
+        .join(F.broadcast(cdims), "cl")
+        .select(F.col("cl").alias("cluster"), "n", "cd0", "cd1")
+        .orderBy("cluster")
     )

@@ -78,7 +78,7 @@ HEADLINE = [
     "winsorize_stats",
     # TPC-DS slice (plan-shape ports of q1/q2/q7/q19/q22/q34/q36/q38/q47/q51/q67/q88)
     *[f"tpcds_q{i}" for i in (1, 2, 6, 7, 9, 10, 11, 13, 14, 17, 19, 22, 34,
-                              36, 38, 43, 47, 51, 59, 65, 67, 88, 93)],
+                              31, 36, 38, 43, 47, 51, 59, 65, 67, 68, 88, 93, 95, 98)],
     # TPC-DS-shaped composites
     "tpcds_shape_avg_filter",
     "tpcds_shape_rank_bestworst",

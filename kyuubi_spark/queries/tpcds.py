@@ -1677,3 +1677,399 @@ def tpcds_q93(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("sumsales", "customer")
         .limit(100)
     )
+
+
+# --------------------------------------------------------------------------
+# q68 — two-level agg + current-vs-bought city mismatch join (q68.sql)
+# --------------------------------------------------------------------------
+@query(
+    "tpcds_q68",
+    oracle="""
+    WITH dn AS (
+      SELECT l.l_orderkey, o.o_custkey, ns.n_name AS bought_city,
+             SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT))
+               AS price_cents,
+             SUM(CAST(ROUND(l.l_extendedprice * l.l_tax * 100) AS BIGINT))
+               AS tax_cents,
+             SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100)
+                      AS BIGINT)) AS list_cents
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+      WHERE day(CAST(l.l_shipdate AS DATE)) BETWEEN 1 AND 5
+        AND year(l.l_shipdate) IN (1996, 1997)
+        AND ns.n_regionkey IN (1, 2)
+      GROUP BY 1, 2, 3)
+    SELECT c.c_name AS c_name, nc.n_name AS ca_city, dn.bought_city,
+           dn.l_orderkey AS ticket,
+           ROUND(CAST(dn.price_cents AS DOUBLE) / 100, 2) AS extended_price,
+           ROUND(CAST(dn.tax_cents AS DOUBLE) / 100, 2) AS extended_tax,
+           ROUND(CAST(dn.list_cents AS DOUBLE) / 100, 2) AS list_price
+    FROM dn
+    JOIN customer c ON c.c_custkey = dn.o_custkey
+    JOIN nation nc ON nc.n_nationkey = c.c_nationkey
+    WHERE nc.n_name <> dn.bought_city
+    ORDER BY c_name, ticket
+    LIMIT 100
+    """,
+    doc="TPC-DS q68 shape (tpcds_3.2/q68.sql): per-ticket (order) "
+    "aggregation under date/demographic filters, then joined to the "
+    "customer dim keeping only tickets bought in a city different from "
+    "the customer's current city. Cities map to supplier/customer "
+    "nations. Money sums are integer cents; the ticket key makes the "
+    "ORDER BY total.",
+)
+def tpcds_q68(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem, orders, supplier, nation, customer = _t(
+        spark, sf_dir, "lineitem", "orders", "supplier", "nation", "customer"
+    )
+    price_c = F.round(F.col("l_extendedprice") * 100).cast("long")
+    tax_c = F.round(F.col("l_extendedprice") * F.col("l_tax") * 100).cast("long")
+    list_c = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    ns = nation.select(
+        F.col("n_nationkey").alias("ns_key"),
+        F.col("n_name").alias("bought_city"),
+        F.col("n_regionkey").alias("ns_region"),
+    )
+    dn = (
+        lineitem.filter(
+            F.dayofmonth("l_shipdate").between(1, 5)
+            & F.year("l_shipdate").isin(1996, 1997)
+        )
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(supplier), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(
+            F.broadcast(ns.filter(F.col("ns_region").isin(1, 2))),
+            F.col("ns_key") == F.col("s_nationkey"),
+        )
+        .groupBy("l_orderkey", "o_custkey", "bought_city")
+        .agg(
+            F.sum(price_c).alias("price_cents"),
+            F.sum(tax_c).alias("tax_cents"),
+            F.sum(list_c).alias("list_cents"),
+        )
+    )
+    nc = nation.select(
+        F.col("n_nationkey").alias("nc_key"), F.col("n_name").alias("ca_city")
+    )
+    return (
+        dn.join(customer, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(nc), F.col("nc_key") == F.col("c_nationkey"))
+        .filter(F.col("ca_city") != F.col("bought_city"))
+        .select(
+            "c_name",
+            "ca_city",
+            "bought_city",
+            F.col("l_orderkey").alias("ticket"),
+            dround(F.col("price_cents").cast("double") / 100, 2).alias(
+                "extended_price"
+            ),
+            dround(F.col("tax_cents").cast("double") / 100, 2).alias(
+                "extended_tax"
+            ),
+            dround(F.col("list_cents").cast("double") / 100, 2).alias(
+                "list_price"
+            ),
+        )
+        .orderBy("c_name", "ticket")
+        .limit(100)
+    )
+
+
+# --------------------------------------------------------------------------
+# q98 — ratio-to-report window over grouped item revenue (q98.sql)
+# --------------------------------------------------------------------------
+@query(
+    "tpcds_q98",
+    oracle="""
+    WITH g AS (
+      SELECT p.p_name, p.p_type, p.p_brand,
+             ROUND(p.p_retailprice, 2) AS current_price,
+             SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) AS rev_cents
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE p.p_type IN ('ECONOMY', 'STANDARD', 'PROMO')
+        AND CAST(l.l_shipdate AS DATE)
+            BETWEEN DATE '1996-01-12' AND DATE '1996-02-11'
+      GROUP BY 1, 2, 3, 4)
+    SELECT p_name, p_type, p_brand, current_price,
+           ROUND(CAST(rev_cents AS DOUBLE) / 100, 2) AS itemrevenue,
+           ROUND(CAST(rev_cents AS DOUBLE) * 100
+                 / SUM(rev_cents) OVER (PARTITION BY p_brand), 6)
+             AS revenueratio
+    FROM g
+    ORDER BY p_type, p_brand, p_name, revenueratio
+    LIMIT 200
+    """,
+    doc="TPC-DS q98 shape (tpcds_3.2/q98.sql): item revenue with "
+    "ratio-to-report — each item's share of its class's total via a "
+    "window SUM over the grouped result. The window input is an integer "
+    "cent sum, so the share is one double division on both engines. One "
+    "fact scan, one group-by shuffle, one windows pass over the small "
+    "grouped relation.",
+)
+def tpcds_q98(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem, part = _t(spark, sf_dir, "lineitem", "part")
+    g = (
+        lineitem.filter(
+            F.col("l_shipdate")
+            .cast("date")
+            .between(F.lit("1996-01-12"), F.lit("1996-02-11"))
+        )
+        .join(
+            F.broadcast(
+                part.filter(F.col("p_type").isin("ECONOMY", "STANDARD", "PROMO"))
+            ),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .groupBy(
+            "p_name",
+            "p_type",
+            "p_brand",
+            dround(F.col("p_retailprice"), 2).alias("current_price"),
+        )
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
+                "rev_cents"
+            )
+        )
+    )
+    w = Window.partitionBy("p_brand")
+    return (
+        g.select(
+            "p_name",
+            "p_type",
+            "p_brand",
+            "current_price",
+            dround(F.col("rev_cents").cast("double") / 100, 2).alias(
+                "itemrevenue"
+            ),
+            dround(
+                F.col("rev_cents").cast("double") * 100
+                / F.sum("rev_cents").over(w),
+                6,
+            ).alias("revenueratio"),
+        )
+        .orderBy("p_type", "p_brand", "p_name", "revenueratio")
+        .limit(200)
+    )
+
+
+# --------------------------------------------------------------------------
+# q31 — county QoQ growth race between two channels (q31.sql)
+# --------------------------------------------------------------------------
+@query(
+    "tpcds_q31",
+    oracle="""
+    WITH ss AS (
+      SELECT nc.n_name AS county, quarter(l.l_shipdate) AS qoy,
+             SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) AS sales
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation nc ON nc.n_nationkey = c.c_nationkey
+      WHERE l.l_returnflag = 'N' AND year(l.l_shipdate) = 1996
+      GROUP BY 1, 2),
+    ws AS (
+      SELECT nc.n_name AS county, quarter(l.l_shipdate) AS qoy,
+             SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) AS sales
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation nc ON nc.n_nationkey = c.c_nationkey
+      WHERE l.l_returnflag = 'A' AND year(l.l_shipdate) = 1996
+      GROUP BY 1, 2)
+    SELECT ss1.county AS county,
+           ROUND(CAST(ws2.sales AS DOUBLE) / ws1.sales, 6)
+             AS web_q1_q2_increase,
+           ROUND(CAST(ss2.sales AS DOUBLE) / ss1.sales, 6)
+             AS store_q1_q2_increase,
+           ROUND(CAST(ws3.sales AS DOUBLE) / ws2.sales, 6)
+             AS web_q2_q3_increase,
+           ROUND(CAST(ss3.sales AS DOUBLE) / ss2.sales, 6)
+             AS store_q2_q3_increase
+    FROM ss ss1 JOIN ss ss2 ON ss1.county = ss2.county
+    JOIN ss ss3 ON ss2.county = ss3.county
+    JOIN ws ws1 ON ss1.county = ws1.county
+    JOIN ws ws2 ON ws1.county = ws2.county
+    JOIN ws ws3 ON ws1.county = ws3.county
+    WHERE ss1.qoy = 1 AND ss2.qoy = 2 AND ss3.qoy = 3
+      AND ws1.qoy = 1 AND ws2.qoy = 2 AND ws3.qoy = 3
+      AND (CASE WHEN ws1.sales > 0
+                THEN CAST(ws2.sales AS DOUBLE) / ws1.sales END)
+        > (CASE WHEN ss1.sales > 0
+                THEN CAST(ss2.sales AS DOUBLE) / ss1.sales END)
+      AND (CASE WHEN ws2.sales > 0
+                THEN CAST(ws3.sales AS DOUBLE) / ws2.sales END)
+        > (CASE WHEN ss2.sales > 0
+                THEN CAST(ss3.sales AS DOUBLE) / ss2.sales END)
+    ORDER BY county
+    """,
+    doc="TPC-DS q31 shape (tpcds_3.2/q31.sql): counties where the web "
+    "channel's quarter-over-quarter growth beat the store channel's in "
+    "both Q1->Q2 and Q2->Q3. The original (and the oracle) six-way "
+    "self-join two channel CTEs; the Spark plan computes all six "
+    "(channel, quarter) cells as conditional sums in ONE pass over one "
+    "fact scan keyed by county — identical inner-join semantics "
+    "enforced by requiring every cell non-null. Ratios divide integer "
+    "cent sums; growth comparisons evaluate the same doubles on both "
+    "engines.",
+)
+def tpcds_q31(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem, orders, customer, nation = _t(
+        spark, sf_dir, "lineitem", "orders", "customer", "nation"
+    )
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    q = F.quarter("l_shipdate")
+    flag = F.col("l_returnflag")
+    cells = {}
+    aggs = []
+    for ch, fl in (("ss", "N"), ("ws", "A")):
+        for qi in (1, 2, 3):
+            name = f"{ch}{qi}"
+            cells[name] = F.col(name)
+            aggs.append(
+                F.sum(F.when((flag == fl) & (q == qi), cents)).alias(name)
+            )
+    pivot = (
+        lineitem.filter(
+            flag.isin("N", "A") & (F.year("l_shipdate") == 1996) & q.isin(1, 2, 3)
+        )
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(customer, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(nation), F.col("n_nationkey") == F.col("c_nationkey"))
+        .groupBy(F.col("n_name").alias("county"))
+        .agg(*aggs)
+        # the original's six-way inner self-join keeps only counties with
+        # every (channel, quarter) cell present
+        .filter(
+            F.lit(True)
+            & F.col("ss1").isNotNull() & F.col("ss2").isNotNull()
+            & F.col("ss3").isNotNull() & F.col("ws1").isNotNull()
+            & F.col("ws2").isNotNull() & F.col("ws3").isNotNull()
+        )
+    )
+    ratio = lambda a, b: F.when(  # noqa: E731
+        F.col(b) > 0, F.col(a).cast("double") / F.col(b)
+    )
+    return (
+        pivot.filter(
+            (ratio("ws2", "ws1") > ratio("ss2", "ss1"))
+            & (ratio("ws3", "ws2") > ratio("ss3", "ss2"))
+        )
+        .select(
+            "county",
+            dround(F.col("ws2").cast("double") / F.col("ws1"), 6).alias(
+                "web_q1_q2_increase"
+            ),
+            dround(F.col("ss2").cast("double") / F.col("ss1"), 6).alias(
+                "store_q1_q2_increase"
+            ),
+            dround(F.col("ws3").cast("double") / F.col("ws2"), 6).alias(
+                "web_q2_q3_increase"
+            ),
+            dround(F.col("ss3").cast("double") / F.col("ss2"), 6).alias(
+                "store_q2_q3_increase"
+            ),
+        )
+        .orderBy("county")
+    )
+
+
+# --------------------------------------------------------------------------
+# q95 — double semi-join on multi-warehouse + returned orders (q95.sql)
+# --------------------------------------------------------------------------
+@query(
+    "tpcds_q95",
+    oracle="""
+    WITH ws_wh AS (
+      SELECT DISTINCT ws1.l_orderkey
+      FROM lineitem ws1 JOIN lineitem ws2
+        ON ws1.l_orderkey = ws2.l_orderkey
+       AND ws1.l_suppkey <> ws2.l_suppkey),
+    returned AS (
+      SELECT DISTINCT r.l_orderkey
+      FROM lineitem r JOIN ws_wh w ON w.l_orderkey = r.l_orderkey
+      WHERE r.l_returnflag = 'R')
+    SELECT COUNT(DISTINCT l.l_orderkey) AS order_count,
+           ROUND(CAST(SUM(CAST(ROUND(l.l_extendedprice * l.l_discount * 100)
+                               AS BIGINT)) AS DOUBLE) / 100, 2)
+             AS total_ship_cost,
+           ROUND(CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount)
+                                     * 100) AS BIGINT)) AS DOUBLE) / 100, 2)
+             AS total_net_profit
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE CAST(o.o_orderdate AS DATE)
+            BETWEEN DATE '1996-05-01' AND DATE '1996-06-30'
+      AND n.n_regionkey = 1
+      AND o.o_orderpriority = '1-URGENT'
+      AND l.l_orderkey IN (SELECT l_orderkey FROM ws_wh)
+      AND l.l_orderkey IN (SELECT l_orderkey FROM returned)
+    """,
+    doc="TPC-DS q95 shape (tpcds_3.2/q95.sql): orders shipped from more "
+    "than one warehouse (supplier) AND having a return, via two IN "
+    "subqueries over a self-joined order/warehouse CTE, then COUNT "
+    "DISTINCT + money sums. The Spark plan derives multi-supplier "
+    "orders with a per-order count-distinct aggregate instead of the "
+    "quadratic self-join (same set, no pair blowup on hot orders) and "
+    "feeds both predicates as LEFT SEMI joins. The count-distinct "
+    "final aggregate is the reference plan's signature bottleneck — "
+    "kept, but over the already-semi-joined slice.",
+)
+def tpcds_q95(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem, orders, customer, nation = _t(
+        spark, sf_dir, "lineitem", "orders", "customer", "nation"
+    )
+    multi = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.count_distinct("l_suppkey").alias("n_supp"))
+        .filter(F.col("n_supp") > 1)
+        .select(F.col("l_orderkey").alias("m_orderkey"))
+    )
+    returned = (
+        lineitem.filter(F.col("l_returnflag") == "R")
+        .join(
+            multi, F.col("m_orderkey") == F.col("l_orderkey"), "left_semi"
+        )
+        .select(F.col("l_orderkey").alias("r_orderkey"))
+        .distinct()
+    )
+    ship_c = F.round(
+        F.col("l_extendedprice") * F.col("l_discount") * 100
+    ).cast("long")
+    profit_c = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    base = (
+        lineitem.join(
+            orders.filter(
+                F.col("o_orderdate")
+                .cast("date")
+                .between(F.lit("1996-05-01"), F.lit("1996-06-30"))
+                & (F.col("o_orderpriority") == "1-URGENT")
+            ),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .join(customer, F.col("c_custkey") == F.col("o_custkey"))
+        .join(
+            F.broadcast(nation.filter(F.col("n_regionkey") == 1)),
+            F.col("n_nationkey") == F.col("c_nationkey"),
+        )
+        .join(multi, F.col("m_orderkey") == F.col("l_orderkey"), "left_semi")
+        .join(
+            returned, F.col("r_orderkey") == F.col("l_orderkey"), "left_semi"
+        )
+    )
+    return base.agg(
+        F.count_distinct("l_orderkey").alias("order_count"),
+        dround(F.sum(ship_c).cast("double") / 100, 2).alias("total_ship_cost"),
+        dround(F.sum(profit_c).cast("double") / 100, 2).alias(
+            "total_net_profit"
+        ),
+    )

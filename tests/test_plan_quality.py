@@ -147,3 +147,54 @@ def test_tpcds_single_pass_rewrites_scan_once(spark, sf_dir):
         df = _build(spark, sf_dir, name)
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert plan.count("lineitem.parquet") == 1, name
+
+
+def test_new_tpcds_single_pass_rewrites_scan_once(spark, sf_dir):
+    """q9 (15 scalar subqueries), q31 (six-way CTE self-join), q43/q59
+    (day-of-week pivots) are rewritten as conditional aggregation — each
+    must read the fact exactly once."""
+    for name in ["tpcds_q9", "tpcds_q31", "tpcds_q43", "tpcds_q59"]:
+        df = _build(spark, sf_dir, name)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("lineitem.parquet") == 1, name
+
+
+def test_tpcds_q6_expensive_items_broadcast_semi(spark, sf_dir):
+    """The decorrelated >1.03x-category-average item set must reach the
+    fact as a broadcast semi-join, not a shuffle."""
+    df = _build(spark, sf_dir, "tpcds_q6")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_tpcds_q95_no_quadratic_order_self_join(spark, sf_dir):
+    """Multi-supplier orders come from a count-distinct aggregate, not the
+    spec's order self-join — no lineitem x lineitem pair blowup."""
+    df = _build(spark, sf_dir, "tpcds_q95")
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    # multi-supplier set = per-order distinct-supplier count, no self-join
+    assert "count(distinct l_suppkey" in plan
+    # and the two IN predicates resolve as semi-joins
+    assert plan.count("Join LeftSemi") >= 2
+
+
+def test_pii_redact_is_map_only(spark, sf_dir):
+    df = _build(spark, sf_dir, "pii_detect_redact")
+    summary = plans.plan_summary(df)
+    assert summary["exchanges"] <= 1  # only the final orderBy range exchange
+    assert "BatchEvalPython" not in plans.explain_formatted(df)
+
+
+def test_line_dedup_pushes_count_join_not_cartesian(spark, sf_dir):
+    df = _build(spark, sf_dir, "text_line_dedup")
+    text = plans.explain_formatted(df)
+    assert "CartesianProduct" not in text
+    assert "BatchEvalPython" not in text
+
+
+def test_gap_fill_spine_is_broadcast(spark, sf_dir):
+    """The generated hours x types spine must broadcast against the hourly
+    rollup (tiny at any SF) — the only data shuffle is the rollup group-by
+    plus the window/order exchanges."""
+    df = _build(spark, sf_dir, "ts_gap_fill")
+    assert plans.broadcast_join_count(df) >= 1

@@ -67,6 +67,7 @@ HEADLINE = [
     "embedding_centroids",
     "embedding_quantize_int8",
     "kmeans_lloyd",
+    "pq_adc_topk",
     "multimodal_decode",
     "multimodal_resize",
     "multimodal_frame_sample",
@@ -122,6 +123,7 @@ HEADLINE = [
     "cohort_retention",
     "events_anomaly_zscore",
     "rfm_segments",
+    "unpivot_daily_metrics",
 ]
 
 

@@ -1298,3 +1298,43 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_customers"))
         .orderBy("r_quartile", "f_quartile", "m_quartile")
     )
+
+
+@query(
+    "unpivot_daily_metrics",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+             COUNT(*) AS n, COUNT(DISTINCT user_id) AS users,
+             SUM(CAST(ROUND(value * 100) AS BIGINT)) AS cents
+      FROM events GROUP BY 1, 2)
+    SELECT day, event_type, metric, value
+    FROM (UNPIVOT d ON n, users, cents INTO NAME metric VALUE value)
+    ORDER BY day, event_type, metric
+    """,
+    doc="UNPIVOT (wide-to-long melt, the inverse of PIVOT): daily "
+    "per-type metrics (count / distinct users / cent sum) melted into "
+    "(metric, value) rows via DataFrame.unpivot — Spark's native melt, "
+    "matching ANSI/DuckDB UNPIVOT. All metrics are integers so the "
+    "single value column needs no float parity care. One group-by "
+    "shuffle; the melt itself is a map-only expand (3x rows, no "
+    "exchange).",
+)
+def unpivot_daily_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    d = (
+        events.groupBy(
+            F.date_trunc("day", "ts").cast("date").alias("day"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.count_distinct("user_id").alias("users"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+        )
+    )
+    return d.unpivot(
+        ids=["day", "event_type"],
+        values=["n", "users", "cents"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    ).orderBy("day", "event_type", "metric")

@@ -188,3 +188,167 @@ GROUP BY ROLLUP (i_product_name, i_brand, i_class, i_category)
 
 def test_tpcds_q22_inventory_rollup(star):
     _compare(star, Q22)
+
+
+# q42 — category revenue for one month under a manager filter
+Q42 = """
+SELECT dt.d_year, item.i_category_id, item.i_category,
+       SUM(ss_ext_sales_price) AS sum_agg
+FROM date_dim dt, store_sales, item
+WHERE dt.d_date_sk = store_sales.ss_sold_date_sk
+  AND store_sales.ss_item_sk = item.i_item_sk
+  AND item.i_manager_id <= 25
+  AND dt.d_moy = 11
+  AND dt.d_year = 2000
+GROUP BY dt.d_year, item.i_category_id, item.i_category
+"""
+
+# q52 — brand revenue report (q3's twin with the manager axis)
+Q52 = """
+SELECT dt.d_year, item.i_brand_id AS brand_id, item.i_brand AS brand,
+       SUM(ss_ext_sales_price) AS ext_price
+FROM date_dim dt, store_sales, item
+WHERE dt.d_date_sk = store_sales.ss_sold_date_sk
+  AND store_sales.ss_item_sk = item.i_item_sk
+  AND item.i_manager_id <= 25
+  AND dt.d_moy = 11
+  AND dt.d_year = 2000
+GROUP BY dt.d_year, item.i_brand, item.i_brand_id
+"""
+
+# q43 — store day-of-week pivot (spec's s_gmt_offset filter -> s_state)
+Q43 = """
+SELECT s_store_name, s_store_id,
+       SUM(CASE WHEN (d_day_name = 'Sunday') THEN ss_sales_price ELSE NULL END) AS sun_sales,
+       SUM(CASE WHEN (d_day_name = 'Monday') THEN ss_sales_price ELSE NULL END) AS mon_sales,
+       SUM(CASE WHEN (d_day_name = 'Tuesday') THEN ss_sales_price ELSE NULL END) AS tue_sales,
+       SUM(CASE WHEN (d_day_name = 'Wednesday') THEN ss_sales_price ELSE NULL END) AS wed_sales,
+       SUM(CASE WHEN (d_day_name = 'Thursday') THEN ss_sales_price ELSE NULL END) AS thu_sales,
+       SUM(CASE WHEN (d_day_name = 'Friday') THEN ss_sales_price ELSE NULL END) AS fri_sales,
+       SUM(CASE WHEN (d_day_name = 'Saturday') THEN ss_sales_price ELSE NULL END) AS sat_sales
+FROM date_dim, store_sales, store
+WHERE d_date_sk = ss_sold_date_sk
+  AND s_store_sk = ss_store_sk
+  AND s_state = 'TN'
+  AND d_year = 2000
+GROUP BY s_store_name, s_store_id
+"""
+
+# q63 — manager monthly sales vs their yearly monthly average
+Q63 = """
+SELECT * FROM (
+  SELECT i_manager_id,
+         CAST(SUM(ss_sales_price) AS DOUBLE) AS sum_sales,
+         ROUND(CAST(SUM(SUM(ss_sales_price))
+                      OVER (PARTITION BY i_manager_id) AS DOUBLE)
+               / COUNT(*) OVER (PARTITION BY i_manager_id),
+               4) AS avg_monthly_sales
+  FROM item, store_sales, date_dim, store
+  WHERE ss_item_sk = i_item_sk
+    AND ss_sold_date_sk = d_date_sk
+    AND ss_store_sk = s_store_sk
+    AND d_year = 2000
+    AND ((i_category IN ('Books', 'Home', 'Electronics')
+          AND i_class IN ('classic', 'modern', 'value'))
+      OR (i_category IN ('Shoes', 'Music', 'Sports')
+          AND i_class IN ('premium', 'import', 'value')))
+  GROUP BY i_manager_id, d_moy
+) tmp1
+WHERE CASE WHEN avg_monthly_sales > 0
+           THEN ABS(sum_sales - avg_monthly_sales) / avg_monthly_sales
+           ELSE NULL END > 0.1
+"""
+
+# q89 — class/store monthly sales deviating >10% from the yearly average
+Q89 = """
+SELECT * FROM (
+  SELECT i_category, i_class, i_brand, s_store_name, s_company_name, d_moy,
+         CAST(SUM(ss_sales_price) AS DOUBLE) AS sum_sales,
+         ROUND(CAST(SUM(SUM(ss_sales_price)) OVER (
+             PARTITION BY i_category, i_brand, s_store_name, s_company_name)
+               AS DOUBLE)
+           / COUNT(*) OVER (
+             PARTITION BY i_category, i_brand, s_store_name, s_company_name),
+           4) AS avg_monthly_sales
+  FROM item, store_sales, date_dim, store
+  WHERE ss_item_sk = i_item_sk
+    AND ss_sold_date_sk = d_date_sk
+    AND ss_store_sk = s_store_sk
+    AND d_year IN (2000)
+  GROUP BY i_category, i_class, i_brand, s_store_name, s_company_name, d_moy
+) tmp1
+WHERE CASE WHEN (avg_monthly_sales <> 0)
+           THEN (ABS(sum_sales - avg_monthly_sales) / avg_monthly_sales)
+           ELSE NULL END > 0.1
+"""
+
+# q65 — items selling at or below 10% above their store's average revenue
+Q65 = """
+SELECT s_store_name, i_item_id, sc.revenue
+FROM store, item,
+     (SELECT ss_store_sk,
+             ROUND(CAST(SUM(revenue) AS DOUBLE) / COUNT(*), 4) AS ave
+      FROM (SELECT ss_store_sk, ss_item_sk,
+                   SUM(ss_sales_price) AS revenue
+            FROM store_sales, date_dim
+            WHERE ss_sold_date_sk = d_date_sk
+              AND d_month_seq BETWEEN 1212 AND 1212 + 11
+            GROUP BY ss_store_sk, ss_item_sk) sa
+      GROUP BY ss_store_sk) sb,
+     (SELECT ss_store_sk, ss_item_sk,
+             CAST(SUM(ss_sales_price) AS DOUBLE) AS revenue
+      FROM store_sales, date_dim
+      WHERE ss_sold_date_sk = d_date_sk
+        AND d_month_seq BETWEEN 1212 AND 1212 + 11
+      GROUP BY ss_store_sk, ss_item_sk) sc
+WHERE sb.ss_store_sk = sc.ss_store_sk
+  AND sc.revenue <= 0.9 * sb.ave
+  AND s_store_sk = sc.ss_store_sk
+  AND i_item_sk = sc.ss_item_sk
+"""
+
+# q59 — week-over-year same-store sales ratios on d_week_seq
+Q59 = """
+WITH wss AS (
+  SELECT d_week_seq, ss_store_sk,
+         SUM(CASE WHEN (d_day_name = 'Sunday') THEN ss_sales_price ELSE NULL END) AS sun_sales,
+         SUM(CASE WHEN (d_day_name = 'Monday') THEN ss_sales_price ELSE NULL END) AS mon_sales,
+         SUM(CASE WHEN (d_day_name = 'Friday') THEN ss_sales_price ELSE NULL END) AS fri_sales,
+         SUM(CASE WHEN (d_day_name = 'Saturday') THEN ss_sales_price ELSE NULL END) AS sat_sales
+  FROM store_sales, date_dim
+  WHERE d_date_sk = ss_sold_date_sk
+  GROUP BY d_week_seq, ss_store_sk
+)
+SELECT s_store_name1, s_store_id1, d_week_seq1,
+       ROUND(CAST(sun_sales1 AS DOUBLE) / CAST(sun_sales2 AS DOUBLE), 6) AS r_sun,
+       ROUND(CAST(mon_sales1 AS DOUBLE) / CAST(mon_sales2 AS DOUBLE), 6) AS r_mon,
+       ROUND(CAST(fri_sales1 AS DOUBLE) / CAST(fri_sales2 AS DOUBLE), 6) AS r_fri,
+       ROUND(CAST(sat_sales1 AS DOUBLE) / CAST(sat_sales2 AS DOUBLE), 6) AS r_sat
+FROM (SELECT s_store_name AS s_store_name1, wss.d_week_seq AS d_week_seq1,
+             s_store_id AS s_store_id1, sun_sales AS sun_sales1,
+             mon_sales AS mon_sales1, fri_sales AS fri_sales1,
+             sat_sales AS sat_sales1
+      FROM wss, store, date_dim d
+      WHERE d.d_week_seq = wss.d_week_seq
+        AND ss_store_sk = s_store_sk
+        AND d_month_seq BETWEEN 1212 AND 1212 + 11) y,
+     (SELECT s_store_name AS s_store_name2, wss.d_week_seq AS d_week_seq2,
+             s_store_id AS s_store_id2, sun_sales AS sun_sales2,
+             mon_sales AS mon_sales2, fri_sales AS fri_sales2,
+             sat_sales AS sat_sales2
+      FROM wss, store, date_dim d
+      WHERE d.d_week_seq = wss.d_week_seq
+        AND ss_store_sk = s_store_sk
+        AND d_month_seq BETWEEN 1212 + 12 AND 1212 + 23) x
+WHERE s_store_id1 = s_store_id2
+  AND d_week_seq1 = d_week_seq2 - 52
+"""
+
+
+@pytest.mark.parametrize(
+    "name,sql",
+    [("q42", Q42), ("q52", Q52), ("q43", Q43), ("q63", Q63), ("q89", Q89),
+     ("q65", Q65), ("q59", Q59)],
+)
+def test_tpcds_query_cross_engine_batch2(star, name, sql):
+    _compare(star, sql)

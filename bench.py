@@ -104,6 +104,7 @@ HEADLINE = [
     "stream_stream_join",
     "stream_dedup",
     "stream_sink_parquet",
+    "stream_upsert_latest",
     # full-registry completion (everything else, alphabetical)
     "agg_grouping_sets",
     "approx_distinct_users",

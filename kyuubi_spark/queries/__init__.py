@@ -78,20 +78,11 @@ def _last_verified_round() -> dict[str, int]:
 # Queries whose implementation changed this round: ordered ahead of other
 # equally-stale entries so the next driver window re-verifies them first.
 _CHANGED_THIS_ROUND = {
-    "stream_tumbling_agg",
-    "stream_session_window",
-    "stream_stream_join",
-    "stream_dedup",
-    "stream_stateful_totals",
-    "stream_sink_parquet",
+    # hashed-shingle Jaccard verification touched the whole dedup family
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
-    "sequence_packing",
-    "embedding_near_dup",
-    "contamination_check",
-    "knn_cosine_lsh",
-    "tpch_q11",
-    "tpch_q15",
+    "dedup_components",
+    "dedup_survivors",
 }
 
 

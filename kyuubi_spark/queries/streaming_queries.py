@@ -320,3 +320,84 @@ def stream_sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
     return out
+
+
+@query(
+    "stream_upsert_latest",
+    oracle="""
+    SELECT user_id, event_id AS last_event_id, event_type AS last_type,
+           ROUND(value, 2) AS last_value
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS r
+      FROM events) t
+    WHERE r = 1
+    ORDER BY user_id
+    """,
+    doc="CDC-style streaming upsert: the event log replayed as FOUR "
+    "microbatches (maxFilesPerTrigger=1 over a 4-file copy), each "
+    "foreachBatch merging into a versioned latest-row-per-user state "
+    "table (union previous state + batch, keep max (ts, event_id) per "
+    "key, write new version — the merge pattern of a lakehouse MERGE "
+    "INTO without a table format). Oracle is the batch last-event-per-"
+    "user window, so the incremental merges must compose exactly. At "
+    "scale each merge shuffles state+batch once on the key; state stays "
+    "one row per key.",
+)
+def stream_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from kyuubi_spark.session import load_table
+    from kyuubi_spark.streaming.runner import run_foreach_batch
+
+    ensure_runtime_confs(spark)
+    events = load_table(spark, sf_dir, "events")
+    work = tempfile.mkdtemp(prefix="kyuubi_stream_upsert_")
+    src_dir = os.path.join(work, "src")
+    state_root = os.path.join(work, "state")
+    try:
+        # land the log as 4 files so availableNow + maxFilesPerTrigger=1
+        # replays it as 4 genuine incremental microbatches
+        events.repartitionByRange(4, "event_id").write.parquet(src_dir)
+        stream = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+        version = {"v": -1}
+
+        def merge(batch_df, batch_id):
+            cur = batch_df
+            if version["v"] >= 0:
+                prev = spark.read.parquet(
+                    os.path.join(state_root, f"v{version['v']}")
+                )
+                cur = prev.unionByName(batch_df)
+            w = Window.partitionBy("user_id").orderBy(
+                F.col("ts").desc(), F.col("event_id").desc()
+            )
+            latest = (
+                cur.withColumn("r", F.row_number().over(w))
+                .filter(F.col("r") == 1)
+                .drop("r")
+            )
+            latest.write.mode("overwrite").parquet(
+                os.path.join(state_root, f"v{version['v'] + 1}")
+            )
+            version["v"] += 1
+
+        run_foreach_batch(stream, merge)
+        final = spark.read.parquet(os.path.join(state_root, f"v{version['v']}"))
+        out = final.select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("event_type").alias("last_type"),
+            dround("value", 2).alias("last_value"),
+        ).orderBy("user_id")
+        out = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return out

@@ -58,6 +58,7 @@ HEADLINE = [
     "train_test_split",
     "contamination_check",
     "approx_distinct_kmv",
+    "approx_quantile_hist",
     "stratified_sample",
     "knn_cosine_topk",
     "embedding_near_dup",
@@ -68,6 +69,7 @@ HEADLINE = [
     "embedding_quantize_int8",
     "kmeans_lloyd",
     "pq_adc_topk",
+    "pagerank_nations",
     "multimodal_decode",
     "multimodal_resize",
     "multimodal_frame_sample",

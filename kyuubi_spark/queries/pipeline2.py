@@ -781,3 +781,195 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id", "rnk")
     )
+
+
+# --------------------------------------------------------------------------
+# Histogram-sketch quantiles: mergeable fixed-bin histogram estimator.
+# --------------------------------------------------------------------------
+@query(
+    "approx_quantile_hist",
+    oracle="""
+    WITH b AS (
+      SELECT event_type,
+             CAST(least(floor(value / 5), 99) AS BIGINT) AS bin,
+             COUNT(*) AS cnt
+      FROM events GROUP BY 1, 2),
+    c AS (
+      SELECT event_type, bin, cnt,
+             SUM(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+             SUM(cnt) OVER (PARTITION BY event_type ORDER BY bin) - cnt
+               AS before,
+             SUM(cnt) OVER (PARTITION BY event_type) AS total
+      FROM b)
+    SELECT event_type, MAX(total) AS n,
+           ROUND(MIN(CASE WHEN cum >= 0.5 * total AND before < 0.5 * total
+             THEN bin * 5 + (0.5 * total - before) / cnt * 5 END), 4) AS p50_est,
+           ROUND(MIN(CASE WHEN cum >= 0.95 * total AND before < 0.95 * total
+             THEN bin * 5 + (0.95 * total - before) / cnt * 5 END), 4) AS p95_est,
+           ROUND(MIN(CASE WHEN cum >= 0.99 * total AND before < 0.99 * total
+             THEN bin * 5 + (0.99 * total - before) / cnt * 5 END), 4) AS p99_est
+    FROM c GROUP BY event_type ORDER BY event_type
+    """,
+    doc="Histogram-sketch quantiles (the mergeable alternative to exact "
+    "percentile): 100 fixed-width bins per group, quantile estimated by "
+    "linear interpolation inside the covering bin. Unlike "
+    "percentile_approx's engine-specific digest, the fixed-bin sketch "
+    "is deterministic — bin counts are integers and the estimate is one "
+    "arithmetic expression over them, so the APPROXIMATE answer itself "
+    "is value-hash verified. At scale: bins merge map-side "
+    "(100 ints/group shuffled regardless of row count) — this is the "
+    "estimator you actually want at 100 TB where exact percentile "
+    "shuffles every value.",
+)
+def approx_quantile_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    b = events.groupBy(
+        "event_type",
+        F.least(F.floor(F.col("value") / 5), F.lit(99))
+        .cast("long")
+        .alias("bin"),
+    ).agg(F.count("*").alias("cnt"))
+    wc = Window.partitionBy("event_type").orderBy("bin")
+    wt = Window.partitionBy("event_type")
+    c = (
+        b.withColumn("cum", F.sum("cnt").over(wc))
+        .withColumn("before", F.col("cum") - F.col("cnt"))
+        .withColumn("total", F.sum("cnt").over(wt))
+    )
+
+    def est(q: float):
+        t = F.lit(q) * F.col("total")
+        return dround(
+            F.min(
+                F.when(
+                    (F.col("cum") >= t) & (F.col("before") < t),
+                    F.col("bin") * 5
+                    + (t - F.col("before")) / F.col("cnt") * 5,
+                )
+            ),
+            4,
+        )
+
+    return (
+        c.groupBy("event_type")
+        .agg(
+            F.max("total").alias("n"),
+            est(0.5).alias("p50_est"),
+            est(0.95).alias("p95_est"),
+            est(0.99).alias("p99_est"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# PageRank (3 fixed-point iterations) over the nation trade graph.
+# --------------------------------------------------------------------------
+_PR_UNIT = 10**12
+_PR_EDGES_CTE = """
+    edges AS (
+      SELECT nc.n_name AS src, ns.n_name AS dst, COUNT(*) AS w
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation nc ON nc.n_nationkey = c.c_nationkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+      GROUP BY 1, 2),
+    nodes AS (
+      SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+    nn AS (SELECT COUNT(*) AS n FROM nodes),
+    outw AS (SELECT src, SUM(w) AS ow FROM edges GROUP BY src)"""
+
+
+def _pr_iter_sql(prev: str, cur: str) -> str:
+    """One fixed-point PageRank step in integer units (floor divisions make
+    every intermediate a BIGINT — order-independent and engine-exact)."""
+    return f"""
+    {cur} AS (
+      SELECT n2.node,
+             (15 * {_PR_UNIT}) // (100 * nn.n)
+             + 85 * COALESCE(t.contrib, 0) // 100 AS pr
+      FROM nodes n2 CROSS JOIN nn
+      LEFT JOIN (
+        SELECT e.dst AS node, SUM(p.pr * e.w // o.ow) AS contrib
+        FROM edges e
+        JOIN {prev} p ON p.node = e.src
+        JOIN outw o ON o.src = e.src
+        GROUP BY e.dst) t ON t.node = n2.node)"""
+
+
+@query(
+    "pagerank_nations",
+    oracle=f"""
+    WITH {_PR_EDGES_CTE},
+    pr0 AS (SELECT node, {_PR_UNIT} // nn.n AS pr FROM nodes CROSS JOIN nn),
+    {_pr_iter_sql("pr0", "pr1")},
+    {_pr_iter_sql("pr1", "pr2")},
+    {_pr_iter_sql("pr2", "pr3")}
+    SELECT node, ROUND(CAST(pr AS DOUBLE) / {_PR_UNIT}, 9) AS pagerank
+    FROM pr3 ORDER BY pagerank DESC, node
+    """,
+    doc="PageRank (damping 0.85, 3 iterations) over the weighted "
+    "customer-nation -> supplier-nation trade graph, in FIXED-POINT "
+    "integer arithmetic: ranks live in 1e12 units, every transfer is "
+    "pr*w // outw and the damped update is integer too, so each "
+    "iteration is a BIGINT sum — order-independent, replayable as "
+    "unrolled SQL CTEs, and the iterative result gets a full value "
+    "hash. Spark side is the distributed loop shape (per iteration: "
+    "one edge-keyed broadcast join + one dst-keyed aggregate); node "
+    "count here is small but the plan is the one that scales.",
+)
+def pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem, orders, customer, supplier, nation = _ts = [
+        load_table(spark, sf_dir, t)
+        for t in ("lineitem", "orders", "customer", "supplier", "nation")
+    ]
+    nc = nation.select(
+        F.col("n_nationkey").alias("nc_key"), F.col("n_name").alias("src")
+    )
+    ns = nation.select(
+        F.col("n_nationkey").alias("ns_key"), F.col("n_name").alias("dst")
+    )
+    edges = (
+        lineitem.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(customer, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(nc), F.col("nc_key") == F.col("c_nationkey"))
+        .join(F.broadcast(supplier), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(ns), F.col("ns_key") == F.col("s_nationkey"))
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("w"))
+        .localCheckpoint()  # the edge relation feeds every iteration
+    )
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = nodes.count()
+    outw = edges.groupBy("src").agg(F.sum("w").alias("ow"))
+    pr = nodes.select("node", F.lit(_PR_UNIT // n).alias("pr"))
+    base = F.lit(15 * _PR_UNIT // (100 * n))
+    for _ in range(3):
+        contrib = (
+            edges.join(outw, "src")
+            .join(pr.withColumnRenamed("node", "src"), "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("pr * w div ow").alias("t"),
+            )
+            .groupBy("node")
+            .agg(F.sum("t").alias("contrib"))
+        )
+        pr = nodes.join(contrib, "node", "left_outer").select(
+            "node",
+            (
+                base
+                + F.expr("85 * coalesce(contrib, 0) div 100")
+            ).alias("pr"),
+        )
+    return pr.select(
+        "node",
+        dround(F.col("pr").cast("double") / _PR_UNIT, 9).alias("pagerank"),
+    ).orderBy(F.col("pagerank").desc(), "node")

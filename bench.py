@@ -75,6 +75,7 @@ HEADLINE = [
     "multimodal_frame_sample",
     "text_line_dedup",
     "text_tfidf_topk",
+    "text_hash_embed",
     "pii_detect_redact",
     "ewma_user_value",
     "ts_gap_fill",

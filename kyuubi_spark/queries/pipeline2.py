@@ -973,3 +973,62 @@ def pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
         "node",
         dround(F.col("pr").cast("double") / _PR_UNIT, 9).alias("pagerank"),
     ).orderBy(F.col("pagerank").desc(), "node")
+
+
+# --------------------------------------------------------------------------
+# Feature-hashing text vectorizer (the hashing trick): text -> signed
+# integer component vector, linking the text and vector pipelines.
+# --------------------------------------------------------------------------
+_HASH_DIMS = 8
+
+
+@query(
+    "text_hash_embed",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(trim(text), ' ')) AS t
+      FROM documents WHERE doc_id < 400),
+    h AS (
+      SELECT doc_id,
+             ('0x' || substring(md5(t), 1, 8))::BIGINT % {_HASH_DIMS} AS dim,
+             CASE WHEN ('0x' || substring(md5(t), 9, 1))::BIGINT % 2 = 0
+                  THEN 1 ELSE -1 END AS sgn
+      FROM tok)
+    SELECT doc_id,
+           {", ".join(f"COALESCE(SUM(CASE WHEN dim = {d} THEN sgn END), 0) AS d{d}"
+                      for d in range(_HASH_DIMS))},
+           CAST(SUM(1) AS BIGINT) AS n_tokens
+    FROM h GROUP BY doc_id ORDER BY doc_id
+    """,
+    doc="Feature-hashing vectorizer (hashing trick, Weinberger et al.): "
+    "each token md5-hashes to a dimension and a sign, components are "
+    "signed integer counts — the cheapest text->vector featurizer and "
+    "exactly what you reach for before training a fastText-style "
+    "classifier at 100 TB. Map-only explode + one doc-keyed aggregate "
+    "of 8 conditional integer sums (map-side combined); md5 on both "
+    "engines makes every component value-hash verified.",
+)
+def text_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.filter(F.col("doc_id") < 400).select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), " ")).alias("t")
+    )
+    hx = F.md5(F.col("t").cast("binary"))
+    dim = F.conv(F.substring(hx, 1, 8), 16, 10).cast("long") % _HASH_DIMS
+    sgn = F.when(
+        F.conv(F.substring(hx, 9, 1), 16, 10).cast("long") % 2 == 0, 1
+    ).otherwise(-1)
+    h = tok.select("doc_id", dim.alias("dim"), sgn.alias("sgn"))
+    return (
+        h.groupBy("doc_id")
+        .agg(
+            *[
+                F.coalesce(
+                    F.sum(F.when(F.col("dim") == d, F.col("sgn"))), F.lit(0)
+                ).alias(f"d{d}")
+                for d in range(_HASH_DIMS)
+            ],
+            F.count("*").alias("n_tokens"),
+        )
+        .orderBy("doc_id")
+    )

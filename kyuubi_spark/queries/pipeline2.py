@@ -952,9 +952,12 @@ def pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     pr = nodes.select("node", F.lit(_PR_UNIT // n).alias("pr"))
     base = F.lit(15 * _PR_UNIT // (100 * n))
     for _ in range(3):
+        # rank + out-weight relations are one row per node — broadcast
+        # them against the (potentially huge) edge relation so each
+        # iteration is map-side join + one dst-keyed aggregate
         contrib = (
-            edges.join(outw, "src")
-            .join(pr.withColumnRenamed("node", "src"), "src")
+            edges.join(F.broadcast(outw), "src")
+            .join(F.broadcast(pr.withColumnRenamed("node", "src")), "src")
             .select(
                 F.col("dst").alias("node"),
                 F.expr("pr * w div ow").alias("t"),
@@ -962,7 +965,7 @@ def pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("node")
             .agg(F.sum("t").alias("contrib"))
         )
-        pr = nodes.join(contrib, "node", "left_outer").select(
+        pr = nodes.join(F.broadcast(contrib), "node", "left_outer").select(
             "node",
             (
                 base

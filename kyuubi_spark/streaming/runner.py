@@ -13,10 +13,35 @@
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+
+
+def _finish(q, timeout_sec: int, ckpt: str) -> None:
+    """Wait for a streaming query, then tear down its checkpoint dir.
+
+    - A query that failed re-raises its StreamingQueryException (silent
+      partial results are worse than a loud error).
+    - A query still running after `timeout_sec` is stopped and reported —
+      AvailableNow replays are bounded, so hitting the timeout means the
+      run is broken/overloaded, not "needs more data".
+    - Checkpoint removal uses ignore_errors: the state-store maintenance
+      thread can still be writing snapshots for a short window after
+      termination, and a cleanup race must not fail the query.
+    """
+    try:
+        finished = q.awaitTermination(timeout_sec)
+        if not finished and q.isActive:
+            q.stop()
+            raise TimeoutError(
+                f"streaming query {q.name or q.id} did not finish "
+                f"within {timeout_sec}s"
+            )
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
 
 
 def file_stream(
@@ -42,7 +67,7 @@ def run_to_memory(
     streaming_df: DataFrame,
     output_mode: str = "append",
     query_name: str | None = None,
-    timeout_sec: int = 120,
+    timeout_sec: int = 300,
     state_partitions: int | None = 8,
 ) -> DataFrame:
     """Run with Trigger.AvailableNow into a memory sink; return the result.
@@ -62,39 +87,35 @@ def run_to_memory(
     name = query_name or f"mem_{uuid.uuid4().hex[:8]}"
     spark = streaming_df.sparkSession
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    with tempfile.TemporaryDirectory(prefix="kyuubi_spark_ckpt_") as ckpt:
-        if state_partitions:
-            spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
-        try:
-            q = (
-                streaming_df.writeStream.format("memory")
-                .queryName(name)
-                .outputMode(output_mode)
-                .option("checkpointLocation", ckpt)
-                .trigger(availableNow=True)
-                .start()
-            )
-        finally:
-            if state_partitions:
-                spark.conf.set("spark.sql.shuffle.partitions", prev)
-        q.awaitTermination(timeout_sec)
-        if q.isActive:
-            q.stop()
-    return spark.table(name)
-
-
-def run_foreach_batch(
-    streaming_df: DataFrame, batch_fn, timeout_sec: int = 120
-) -> None:
-    """foreachBatch sink (arbitrary per-microbatch logic, e.g. writes with
-    rebalance/z-order through operators.write)."""
-    with tempfile.TemporaryDirectory(prefix="kyuubi_spark_ckpt_") as ckpt:
+    ckpt = tempfile.mkdtemp(prefix="kyuubi_spark_ckpt_")
+    if state_partitions:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
         q = (
-            streaming_df.writeStream.foreachBatch(batch_fn)
+            streaming_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
             .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(timeout_sec)
-        if q.isActive:
-            q.stop()
+    finally:
+        if state_partitions:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+    _finish(q, timeout_sec, ckpt)
+    return spark.table(name)
+
+
+def run_foreach_batch(
+    streaming_df: DataFrame, batch_fn, timeout_sec: int = 300
+) -> None:
+    """foreachBatch sink (arbitrary per-microbatch logic, e.g. writes with
+    rebalance/z-order through operators.write)."""
+    ckpt = tempfile.mkdtemp(prefix="kyuubi_spark_ckpt_")
+    q = (
+        streaming_df.writeStream.foreachBatch(batch_fn)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    _finish(q, timeout_sec, ckpt)

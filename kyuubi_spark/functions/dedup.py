@@ -249,6 +249,8 @@ def lsh_candidate_pairs(
     Shuffle profile: one explode (bands× rows) + one self-join keyed on the
     uniform band values + one distinct — near-linear in matches at any SF.
     """
+    from pyspark import StorageLevel
+
     rows_per_band = num_hashes // bands
     # join directly on the band's raw signature slice (rows_per_band longs)
     # — no digest needed, and long-tuple equality is codegen'd
@@ -274,6 +276,12 @@ def lsh_candidate_pairs(
             ).alias("bk"),
         )
         .select("id", "bk.*")
+        # Both self-join sides reference this relation; without persist each
+        # side re-runs the whole shingle→md5→min-aggregate pipeline (the
+        # expensive part) from the scan. The banded relation is bands rows
+        # of a few longs per doc — O(corpus row count), not corpus bytes —
+        # so caching it is safe at any scale and halves signature work.
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     kcols = [f"k{r}" for r in range(rows_per_band)]
     left = banded.select(F.col("id").alias("a_id"), "band", *kcols)
@@ -370,6 +378,9 @@ def jaccard_pairs(
             )
             .filter(F.col("rk") <= F.col("pref_len"))
             .select("id", "sh", "rk", "n_sh")
+            # prefix index feeds both self-join sides; persist so the
+            # freq-join + ranking window runs once, not once per side
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
         pa = ranked.select(
             F.col("id").alias("a_id"),
@@ -544,6 +555,8 @@ def simhash_near_dup_pairs(
     for max_hamming <= 3; approximate above (documented recall trade-off —
     the standard Manku et al. WWW'07 scheme).
     """
+    from pyspark import StorageLevel
+
     chunk_len = num_bits // chunks
     sig = simhash_signatures_df(df, id_col, text_col, num_bits)
     # Pack each chunk of the bit string into a LONG: long join keys beat
@@ -559,7 +572,10 @@ def simhash_near_dup_pairs(
             .alias(f"c{c}")
             for c in range(chunks)
         ],
-    )
+        # One row of `chunks` longs per doc; persisted so the banding
+        # self-join below evaluates the token-explode/md5/64-sum signature
+        # pipeline once instead of once per join side.
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     keyed = packed.select(
         "id",
         *ccols,

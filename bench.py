@@ -80,6 +80,10 @@ HEADLINE = [
     "ewma_user_value",
     "ts_gap_fill",
     "winsorize_stats",
+    "mixture_sample_temperature",
+    "bloom_decontaminate",
+    "semantic_dedup",
+    "perplexity_filter",
     # TPC-DS slice (plan-shape ports of q1/q2/q7/q19/q22/q34/q36/q38/q47/q51/q67/q88)
     *[f"tpcds_q{i}" for i in (1, 2, 6, 7, 9, 10, 11, 13, 14, 17, 19, 22, 34,
                               31, 36, 38, 43, 47, 51, 59, 65, 67, 68, 88, 93, 95, 98)],

@@ -15,6 +15,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from kyuubi_spark.functions.compat import dround
 
@@ -542,3 +543,95 @@ def cosine_topk_ivf(
         .filter(F.col("rnk") <= k)
         .orderBy("query_id", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup-style semantic deduplication (cluster-scoped cosine near-dup)
+# ---------------------------------------------------------------------------
+def semantic_dedup_pairs(
+    embeddings: DataFrame,
+    k_clusters: int = 8,
+    threshold_rounded: float = 0.15,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cluster-scoped semantic near-dup pairs (Abbas et al., SemDeDup).
+
+    Stage 1 assigns every vector to its nearest centroid; stage 2 scores
+    cosine only WITHIN each cluster, so total pair work drops from O(n²)
+    to O(n²/k) — with k ~ sqrt(n) clusters the per-cluster blocks stay
+    bounded as the corpus grows, which is exactly how the published recipe
+    scales to billions of embeddings.  Returns (cluster, a_id, b_id,
+    score) for every in-cluster pair with round(cos, 6) >= threshold.
+
+    Spark shape: centroids are the first ``k_clusters`` vectors by id (a
+    deterministic stand-in for a k-means fit, same convention as
+    ``ivf_assign``), broadcast to a vectorized Arrow pass that computes the
+    ROUNDED-cosine argmax per batch; in-cluster scoring is one
+    ``groupBy(cluster).applyInPandas`` — a single shuffle keyed on cluster
+    id.  All float math uses the sequential-fold cumsum + half-away
+    rounding helpers, so scores and assignments are bit-identical to the
+    expression form and the DuckDB oracle.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    cents = (
+        embeddings.filter(F.col(id_col) < k_clusters)
+        .orderBy(id_col)
+        .select(vec_col)
+        .collect()
+    )
+    cmat = np.array([list(r[0]) for r in cents], dtype="float64")
+    cnrm = np.sqrt(_seq_dot(cmat * cmat))
+    bc = embeddings.sparkSession.sparkContext.broadcast((cmat, cnrm))
+
+    @pandas_udf("int")
+    def nearest_centroid(vecs: pd.Series) -> pd.Series:
+        c, cn = bc.value
+        m = np.array(vecs.tolist(), dtype="float64")
+        nrm = np.sqrt(_seq_dot(m * m))
+        # sequential-fold dot per (row, centroid): cumsum over the dim axis
+        dots = (m[:, None, :] * c[None, :, :]).cumsum(axis=2)[:, :, -1]
+        scores = dots / (nrm[:, None] * cn[None, :])
+        scores = _round_half_away(scores * 1e6) / 1e6
+        # argmax returns the FIRST max -> lowest centroid id wins ties,
+        # matching ROW_NUMBER() ... ORDER BY score DESC, c_id ASC
+        return pd.Series(np.argmax(scores, axis=1).astype("int32"))
+
+    assigned = embeddings.select(
+        F.col(id_col).alias("id"),
+        _as_double(F.col(vec_col)).alias("vec"),
+        nearest_centroid(F.col(vec_col)).alias("cluster"),
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("cluster", T.IntegerType()),
+            T.StructField("a_id", T.LongType()),
+            T.StructField("b_id", T.LongType()),
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+
+    def score_cluster(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("id").reset_index(drop=True)
+        ids = pdf["id"].to_numpy()
+        m = np.array(pdf["vec"].tolist(), dtype="float64")
+        n = len(ids)
+        if n < 2:
+            return pd.DataFrame(columns=["cluster", "a_id", "b_id", "score"])
+        nrm = np.sqrt(_seq_dot(m * m))
+        ai, bi = np.triu_indices(n, k=1)
+        dots = _seq_dot(m[ai] * m[bi])
+        scores = _round_half_away(dots / (nrm[ai] * nrm[bi]) * 1e6) / 1e6
+        keep = scores >= threshold_rounded
+        return pd.DataFrame(
+            {
+                "cluster": np.full(keep.sum(), key[0], dtype="int32"),
+                "a_id": ids[ai[keep]],
+                "b_id": ids[bi[keep]],
+                "score": scores[keep],
+            }
+        )
+
+    return assigned.groupBy("cluster").applyInPandas(score_cluster, out_schema)

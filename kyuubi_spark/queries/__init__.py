@@ -94,6 +94,7 @@ def all_queries() -> dict[str, QuerySpec]:
         streaming_queries,
         pipeline,
         pipeline2,
+        pipeline3,
         tpcds,
         tpch,
     )

@@ -1,0 +1,298 @@
+"""Training-data pipeline operators, batch 3: temperature mixture sampling,
+Bloom-filter decontamination, SemDeDup semantic deduplication, unigram-LM
+perplexity filtering.
+
+These are the remaining curation stages of a production pretraining-data
+pipeline (charter: beyond-reference operators are first-class alongside
+SURVEY.md §2): how much of each source/language to keep (mixture), whether
+eval benchmarks leaked into the corpus (decontamination), which documents
+are semantically redundant (SemDeDup), and which documents an in-domain
+language model finds anomalous (perplexity filter).
+
+Cross-engine determinism (same rules as pipeline.py/pipeline2.py):
+- sampling decisions are INTEGER-exact: md5-derived 32-bit uniforms compared
+  against rational take rates via cross-multiplication, never float
+  thresholds;
+- Bloom bits live in 32-bit lanes of BIGINT words (no sign-bit hazards),
+  positions from md5 double hashing — both engines set/test identical bits;
+- cosine scores reuse the sequential-fold + half-away-rounding helpers that
+  the rest of the similarity family already proves bit-identical;
+- the only float aggregate (mean token NLL) is rounded identically on both
+  sides before any comparison.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kyuubi_spark.functions.compat import dround
+from kyuubi_spark.queries import query
+from kyuubi_spark.session import load_table
+
+
+# --------------------------------------------------------------------------
+# Temperature-based mixture sampling (alpha = 0.5 source reweighting)
+# --------------------------------------------------------------------------
+_MIX_TARGET = 200  # target sample size (docs)
+
+
+@query(
+    "mixture_sample_temperature",
+    oracle=f"""
+    WITH n AS (
+      SELECT lang, COUNT(*) AS n_l,
+             CAST(floor(sqrt(COUNT(*))) AS BIGINT) AS isq
+      FROM documents GROUP BY lang),
+    s AS (SELECT CAST(SUM(isq) AS BIGINT) AS s_isq FROM n)
+    SELECT d.doc_id AS doc_id, d.lang AS lang, d.source AS source
+    FROM documents d JOIN n USING (lang) CROSS JOIN s
+    WHERE ('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+          * s.s_isq * n.n_l
+          < {_MIX_TARGET} * n.isq * 4294967296
+    ORDER BY doc_id
+    """,
+    doc="Temperature-based mixture sampling (alpha=0.5 over language "
+    "counts): head languages are downweighted toward sqrt(n) so "
+    "low-resource languages keep a larger share — the standard "
+    "multilingual pretraining mix. The accept test is integer-exact "
+    "cross-multiplication of an md5-derived 32-bit uniform against the "
+    "rational per-language take rate target*floor(sqrt(n_l))/(S*n_l): "
+    "no float boundary can flip between engines. At 100 TB this is one "
+    "broadcast of the per-language rate table and a map-only filter — "
+    "no shuffle of the corpus at all.",
+)
+def mixture_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    by_lang = docs.groupBy("lang").agg(
+        F.count("*").alias("n_l"),
+        F.floor(F.sqrt(F.count("*"))).cast("long").alias("isq"),
+    )
+    tot = by_lang.agg(F.sum("isq").cast("long").alias("s_isq"))
+    u32 = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    return (
+        docs.join(F.broadcast(by_lang), "lang")
+        .crossJoin(F.broadcast(tot))
+        .filter(
+            u32 * F.col("s_isq") * F.col("n_l")
+            < F.lit(_MIX_TARGET) * F.col("isq") * F.lit(4294967296)
+        )
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Bloom-filter decontamination (distributed build + probe, no corpus join)
+# --------------------------------------------------------------------------
+_BLOOM_BITS = 4096  # m: filter size in bits
+_BLOOM_K = 5  # k: hash functions per key
+_BLOOM_LANE = 32  # bits stored per BIGINT word (no sign-bit hazards)
+
+
+def _bloom_positions(df: DataFrame, keep: list) -> DataFrame:
+    """Explode each doc's text fingerprint into its k Bloom bit positions
+    (word index + in-word mask), via Kirsch-Mitzenmacher double hashing of
+    one md5: pos_j = (h1 + j*h2) mod m."""
+    fp = F.md5(F.col("text").cast("binary"))
+    h1 = F.conv(F.substring(fp, 1, 12), 16, 10).cast("long")
+    h2 = F.conv(F.substring(fp, 13, 12), 16, 10).cast("long")
+    pos = F.explode(
+        F.array(*[(h1 + F.lit(j) * h2) % _BLOOM_BITS for j in range(_BLOOM_K)])
+    ).alias("pos")
+    return df.select(*keep, pos).select(
+        *keep,
+        (F.col("pos") / _BLOOM_LANE).cast("long").alias("word"),
+        # shiftleft's bit count must be a Column here (F.shiftleft only
+        # accepts a literal int), so build the mask via expr
+        F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(pos % {_BLOOM_LANE} AS INT))").alias("mask"),
+    )
+
+
+_BLOOM_SQL_POS = f"""
+      SELECT doc_id, source,
+             (('0x' || substring(md5(text), 1, 12))::BIGINT
+              + j.j * ('0x' || substring(md5(text), 13, 12))::BIGINT)
+             % {_BLOOM_BITS} AS pos
+      FROM documents, (SELECT unnest(generate_series(0, {_BLOOM_K - 1})) AS j) j
+"""
+
+
+@query(
+    "bloom_decontaminate",
+    oracle=f"""
+    WITH bpos AS ({_BLOOM_SQL_POS}),
+    filt AS (
+      SELECT pos // {_BLOOM_LANE} AS word,
+             CAST(bit_or(1::BIGINT << CAST(pos % {_BLOOM_LANE} AS INTEGER))
+                  AS BIGINT) AS bits
+      FROM bpos WHERE source = 'src0' GROUP BY 1),
+    probe AS (
+      SELECT p.doc_id, p.source,
+             CASE WHEN f.bits IS NOT NULL
+                   AND (f.bits & (1::BIGINT << CAST(p.pos % {_BLOOM_LANE} AS INTEGER)))
+                       = (1::BIGINT << CAST(p.pos % {_BLOOM_LANE} AS INTEGER))
+                  THEN 1 ELSE 0 END AS hit
+      FROM bpos p LEFT JOIN filt f ON p.pos // {_BLOOM_LANE} = f.word),
+    per_doc AS (
+      SELECT doc_id, source,
+             CASE WHEN SUM(hit) = {_BLOOM_K} THEN 1 ELSE 0 END AS flagged
+      FROM probe GROUP BY doc_id, source)
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(flagged) AS BIGINT) AS n_flagged
+    FROM per_doc GROUP BY source ORDER BY source
+    """,
+    doc="Bloom-filter decontamination: benchmark fingerprints (source "
+    "'src0' = the held-out eval set) are folded into a {m}-bit Bloom "
+    "filter ({k} md5-double-hashed positions per key, bits in 32-bit "
+    "lanes of BIGINT words); the whole corpus is then probed for "
+    "membership. Unlike the exact fingerprint equi-join "
+    "(contamination_check), the probe side never shuffles the corpus: "
+    "the filter is a bounded word->bits table (m/32 rows regardless of "
+    "benchmark size) broadcast to a map-only membership test — the shape "
+    "that decontaminates 100 TB against a benchmark suite in one pass, "
+    "at a documented false-positive rate instead of exactness."
+    .format(m=_BLOOM_BITS, k=_BLOOM_K),
+)
+def bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    filt = (
+        _bloom_positions(docs.filter(F.col("source") == "src0"), [])
+        .withColumn("w", F.col("word"))
+        .groupBy("w")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+    probe = _bloom_positions(docs, [F.col("doc_id"), F.col("source")])
+    hits = probe.join(F.broadcast(filt), probe["word"] == filt["w"], "left").withColumn(
+        "hit",
+        F.when(
+            F.col("bits").isNotNull()
+            & (F.col("bits").bitwiseAND(F.col("mask")) == F.col("mask")),
+            1,
+        ).otherwise(0),
+    )
+    per_doc = hits.groupBy("doc_id", "source").agg(
+        F.when(F.sum("hit") == _BLOOM_K, 1).otherwise(0).alias("flagged")
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("flagged").cast("long").alias("n_flagged"),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# SemDeDup: cluster-scoped semantic near-duplicate pairs
+# --------------------------------------------------------------------------
+@query(
+    "semantic_dedup",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, embedding,
+             sqrt(list_sum(list_transform(embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      FROM embeddings),
+    c AS (SELECT vec_id AS c_id, embedding AS c_vec, nrm AS c_nrm
+          FROM e WHERE vec_id < 8),
+    sc AS (
+      SELECT e.vec_id, c.c_id,
+             ROUND(list_sum(list_transform(generate_series(1, len(e.embedding)),
+                     i -> CAST(e.embedding[i] AS DOUBLE)
+                          * CAST(c.c_vec[i] AS DOUBLE)))
+                   / (e.nrm * c.c_nrm), 6) AS s
+      FROM e, c),
+    asg AS (
+      SELECT vec_id, CAST(c_id AS INTEGER) AS cluster FROM (
+        SELECT vec_id, c_id,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY s DESC, c_id) AS r
+        FROM sc) t WHERE r = 1)
+    SELECT aa.cluster AS cluster, a.vec_id AS a_id, b.vec_id AS b_id,
+           ROUND(list_sum(list_transform(generate_series(1, len(a.embedding)),
+                   i -> CAST(a.embedding[i] AS DOUBLE)
+                        * CAST(b.embedding[i] AS DOUBLE)))
+                 / (a.nrm * b.nrm), 6) AS score
+    FROM e a JOIN asg aa ON a.vec_id = aa.vec_id
+    JOIN asg ab ON ab.cluster = aa.cluster
+    JOIN e b ON b.vec_id = ab.vec_id AND a.vec_id < b.vec_id
+    WHERE ROUND(list_sum(list_transform(generate_series(1, len(a.embedding)),
+                  i -> CAST(a.embedding[i] AS DOUBLE)
+                       * CAST(b.embedding[i] AS DOUBLE)))
+                / (a.nrm * b.nrm), 6) >= 0.15
+    ORDER BY cluster, a_id, b_id
+    """,
+    doc="SemDeDup (Abbas et al. 2023) semantic dedup: nearest-of-8 "
+    "centroid assignment (deterministic centroids = first 8 vectors, the "
+    "ivf_assign convention), then cosine>=0.15 pairs scored only WITHIN "
+    "each cluster — O(n^2/k) instead of the all-pairs O(n^2) of "
+    "embedding_near_dup, with k sized ~sqrt(n) at scale so per-cluster "
+    "blocks stay bounded. One broadcast (centroids) + one shuffle "
+    "(cluster id); scoring is a vectorized Arrow pass per cluster using "
+    "the sequential-fold helpers, bit-identical to the SQL replay.",
+)
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kyuubi_spark.functions import similarity as S
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.semantic_dedup_pairs(emb, k_clusters=8, threshold_rounded=0.15).orderBy(
+        "cluster", "a_id", "b_id"
+    )
+
+
+# --------------------------------------------------------------------------
+# Unigram-LM perplexity filter (in-corpus language model)
+# --------------------------------------------------------------------------
+_NLL_KEEP = 3.41  # keep docs with mean token NLL <= this (rounded to 3dp)
+
+
+@query(
+    "perplexity_filter",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok
+      FROM documents),
+    freq AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+    tot AS (SELECT COUNT(*) AS n FROM toks)
+    SELECT t.doc_id AS doc_id,
+           COUNT(*) AS n_tok,
+           ROUND(AVG(ln(tot.n) - ln(f.c)), 3) AS avg_nll,
+           CASE WHEN ROUND(AVG(ln(tot.n) - ln(f.c)), 3) <= {_NLL_KEEP}
+                THEN 1 ELSE 0 END AS keep
+    FROM toks t JOIN freq f USING (tok) CROSS JOIN tot
+    GROUP BY t.doc_id ORDER BY doc_id
+    """,
+    doc="Unigram-LM perplexity filter (the CCNet/Gopher quality gate with "
+    "the LM fit on the corpus itself): token frequencies in one "
+    "map-side-combined groupBy, corpus total as a 1-row broadcast, then "
+    "mean negative log-likelihood per document; keep = rounded NLL under "
+    "a fixed threshold. Two shuffles total (token freq, doc regroup) — "
+    "the token-keyed join is the classic hot-key skew case, handled by "
+    "AQE skew splitting; scores are engine-identical because both sides "
+    "average the same IEEE ln() terms and round before comparing.",
+)
+def perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), " ")).alias("tok")
+    )
+    freq = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    tot = toks.agg(F.count("*").alias("n"))
+    nll = dround(F.avg(F.log(F.col("n")) - F.log(F.col("c"))), 3)
+    return (
+        toks.join(freq, "tok")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tok"),
+            nll.alias("avg_nll"),
+            F.when(nll <= _NLL_KEEP, 1).otherwise(0).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )

@@ -96,6 +96,7 @@ def all_queries() -> dict[str, QuerySpec]:
         pipeline2,
         pipeline3,
         tpcds,
+        tpcds2,
         tpch,
     )
 

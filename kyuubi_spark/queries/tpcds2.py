@@ -1,0 +1,547 @@
+"""TPC-DS representative slice, batch 2 — 14 more plan shapes over the
+driver testdata schema (continues queries/tpcds.py; same mapping: fact =
+lineitem, item -> part, store -> supplier, date dim from l_shipdate /
+o_orderdate, demographics -> customer, state/county -> region/nation).
+
+Reference corpus: extensions/spark/kyuubi-spark-connector-tpcds/src/main/
+resources/kyuubi/tpcds_3.2/q*.sql (verified by OutputSchemaTPCDSSuite).
+Each port preserves the original query's JOIN GRAPH / CTE STACK / WINDOW
+usage and cites its source file; the Spark side is free to re-express the
+plan Spark-first (single-pass conditional pivots instead of CTE
+re-instantiation) when the semantics are identical.
+
+Cross-engine determinism (house rules from tpcds.py):
+- money runs in integer cents (CAST(ROUND(x*100) AS BIGINT)); quantities
+  as longs; discount in basis points — sums never hit float association;
+- every ratio/average is ONE double division of exact integer sums,
+  rounded identically (dround <-> ROUND);
+- ranks order by already-exact keys plus a unique tiebreak;
+- growth comparisons are integer cross-multiplications, never float
+  division thresholds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kyuubi_spark.functions.compat import dround
+from kyuubi_spark.queries import query
+from kyuubi_spark.session import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
+    return [load_table(spark, sf_dir, n) for n in names]
+
+
+def _cents(col: str = "l_extendedprice"):
+    return F.round(F.col(col) * 100).cast("long")
+
+
+_NET_CENTS_SQL = "CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)"
+
+
+def _net_cents():
+    return F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+
+
+# --------------------------------------------------------------------------
+# q4 — year-over-year growth comparison across channels (tpcds_3.2/q4.sql)
+# --------------------------------------------------------------------------
+@query(
+    "tpcds_q4",
+    oracle=f"""
+    WITH year_total AS (
+      SELECT o.o_custkey AS customer_id, year(l.l_shipdate) AS dyear,
+             l.l_linestatus AS channel,
+             SUM({_NET_CENTS_SQL}) AS year_total
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE year(l.l_shipdate) IN (1996, 1997)
+      GROUP BY 1, 2, 3)
+    SELECT c.c_custkey AS customer_id, c.c_name AS customer_name,
+           c.c_mktsegment AS segment
+    FROM year_total t_s_firstyear
+    JOIN year_total t_s_secyear
+      ON t_s_secyear.customer_id = t_s_firstyear.customer_id
+    JOIN year_total t_c_firstyear
+      ON t_c_firstyear.customer_id = t_s_firstyear.customer_id
+    JOIN year_total t_c_secyear
+      ON t_c_secyear.customer_id = t_s_firstyear.customer_id
+    JOIN customer c ON c.c_custkey = t_s_firstyear.customer_id
+    WHERE t_s_firstyear.channel = 'F' AND t_s_firstyear.dyear = 1996
+      AND t_s_secyear.channel = 'F' AND t_s_secyear.dyear = 1997
+      AND t_c_firstyear.channel = 'O' AND t_c_firstyear.dyear = 1996
+      AND t_c_secyear.channel = 'O' AND t_c_secyear.dyear = 1997
+      AND t_s_firstyear.year_total > 0 AND t_c_firstyear.year_total > 0
+      AND t_c_secyear.year_total * t_s_firstyear.year_total
+          > t_s_secyear.year_total * t_c_firstyear.year_total
+    ORDER BY customer_id
+    """,
+    doc="TPC-DS q4 shape (tpcds_3.2/q4.sql): the year_total CTE "
+    "instantiated four times (2 channels x 2 years), joined on customer, "
+    "keeping customers whose 'catalog' (linestatus O) year-over-year "
+    "growth beats their 'store' (F) growth. Growth comparison is an "
+    "integer cents cross-multiplication — no float division, no NULLIF "
+    "edge. Spark side folds all four instantiations into ONE pass of "
+    "conditional sums keyed by customer (one fact shuffle instead of "
+    "four), then a broadcast join to customer.",
+)
+def tpcds_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem, orders, customer = _t(spark, sf_dir, "lineitem", "orders", "customer")
+    yr = F.year("l_shipdate")
+    net = _net_cents()
+
+    def tot(status: str, year: int):
+        return F.sum(
+            F.when((F.col("l_linestatus") == status) & (yr == year), net)
+        )
+
+    pivoted = (
+        lineitem.filter(yr.isin(1996, 1997))
+        .join(orders.select("o_orderkey", "o_custkey"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(
+            tot("F", 1996).alias("s_y1"),
+            tot("F", 1997).alias("s_y2"),
+            tot("O", 1996).alias("c_y1"),
+            tot("O", 1997).alias("c_y2"),
+        )
+        .filter(
+            (F.col("s_y1") > 0)
+            & (F.col("c_y1") > 0)
+            & F.col("s_y2").isNotNull()
+            & F.col("c_y2").isNotNull()
+            & (F.col("c_y2") * F.col("s_y1") > F.col("s_y2") * F.col("c_y1"))
+        )
+    )
+    return (
+        pivoted.join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            F.col("c_custkey").alias("customer_id"),
+            F.col("c_name").alias("customer_name"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+        .orderBy("customer_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# q16 — distinct-count + EXISTS + NOT EXISTS over the order graph (q16.sql)
+# --------------------------------------------------------------------------
+@query(
+    "tpcds_q16",
+    oracle="""
+    SELECT CAST(COUNT(DISTINCT o.o_orderkey) AS BIGINT) AS order_count,
+           CAST(SUM(CAST(ROUND(l1.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS total_ship_cents
+    FROM lineitem l1
+    JOIN orders o ON l1.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= DATE '1996-01-01'
+      AND o.o_orderdate < DATE '1996-05-01'
+      AND n.n_name IN ('NATION_1', 'NATION_3', 'NATION_5')
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_returnflag = 'R')
+    """,
+    doc="TPC-DS q16 shape (tpcds_3.2/q16.sql: count(distinct "
+    "cs_order_number) + sum over catalog_sales with an EXISTS on a "
+    "second-warehouse sale and NOT EXISTS on returns): here orders "
+    "shipped by >=2 suppliers with no returned line, from 3 nations in a "
+    "date window. Spark plans the EXISTS as a left-semi self-join keyed "
+    "on orderkey (suppkey-mismatch as join condition) and the NOT EXISTS "
+    "as a left-anti join — both shuffle on the same orderkey as the "
+    "orders join, so AQE coalesces them into one keyed exchange chain.",
+)
+def tpcds_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem, orders, customer, nation = _t(
+        spark, sf_dir, "lineitem", "orders", "customer", "nation"
+    )
+    o = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1996-05-01").cast("date"))
+    )
+    c = customer.join(
+        F.broadcast(nation.filter(F.col("n_name").isin("NATION_1", "NATION_3", "NATION_5"))),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+    ).select("c_custkey")
+    l2 = lineitem.select(
+        F.col("l_orderkey").alias("l2_orderkey"), F.col("l_suppkey").alias("l2_suppkey")
+    )
+    l3 = lineitem.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("l3_orderkey")
+    )
+    base = (
+        lineitem.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            l2,
+            (F.col("l_orderkey") == F.col("l2_orderkey"))
+            & (F.col("l_suppkey") != F.col("l2_suppkey")),
+            "left_semi",
+        )
+        .join(l3, F.col("l_orderkey") == F.col("l3_orderkey"), "left_anti")
+    )
+    return base.agg(
+        F.countDistinct("o_orderkey").alias("order_count"),
+        F.sum(_cents()).alias("total_ship_cents"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q18 — ROLLUP of four averages over the demographic star (q18.sql)
+# --------------------------------------------------------------------------
+@query(
+    "tpcds_q18",
+    oracle="""
+    SELECT n.n_name AS nation, c.c_mktsegment AS segment,
+           ROUND(SUM(CAST(l.l_quantity AS BIGINT)) * 1.0
+                 / COUNT(*), 4) AS agg_qty,
+           ROUND(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) * 1.0
+                 / (COUNT(*) * 100), 4) AS agg_price,
+           ROUND(SUM(CAST(ROUND(l.l_discount * 10000) AS BIGINT)) * 1.0
+                 / (COUNT(*) * 10000), 4) AS agg_disc,
+           ROUND(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) * 1.0
+                 / (COUNT(*) * 100), 4) AS agg_total,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE year(l.l_shipdate) = 1997
+    GROUP BY ROLLUP (n.n_name, c.c_mktsegment)
+    ORDER BY nation NULLS FIRST, segment NULLS FIRST
+    """,
+    doc="TPC-DS q18 shape (tpcds_3.2/q18.sql: rollup(i_item_id, ca_country, "
+    "ca_state, ca_county) of four AVGs over the catalog/demographic star): "
+    "rollup(nation, segment) of four averages — quantity, price, discount, "
+    "order total — over the order/customer/nation star for one year. "
+    "Every average is one double division of integer sums (qty as longs, "
+    "money as cents, discount as basis points), so rollup subtotal rows "
+    "hash identically across engines.",
+)
+def tpcds_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem, orders, customer, nation = _t(
+        spark, sf_dir, "lineitem", "orders", "customer", "nation"
+    )
+    joined = (
+        lineitem.filter(F.year("l_shipdate") == 1997)
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    cnt = F.count("*")
+    return (
+        joined.rollup(F.col("n_name").alias("nation"), F.col("c_mktsegment").alias("segment"))
+        .agg(
+            dround(F.sum(F.col("l_quantity").cast("long")) / cnt, 4).alias("agg_qty"),
+            dround(F.sum(_cents()) / (cnt * 100), 4).alias("agg_price"),
+            dround(
+                F.sum(F.round(F.col("l_discount") * 10000).cast("long"))
+                / (cnt * 10000),
+                4,
+            ).alias("agg_disc"),
+            dround(F.sum(_cents("o_totalprice")) / (cnt * 100), 4).alias("agg_total"),
+            cnt.alias("n_rows"),
+        )
+        .orderBy(F.col("nation").asc_nulls_first(), F.col("segment").asc_nulls_first())
+    )
+
+
+# --------------------------------------------------------------------------
+# q23 — frequent items ∩ best customers, two-channel spend (q23a/b.sql)
+# --------------------------------------------------------------------------
+@query(
+    "tpcds_q23",
+    oracle=f"""
+    WITH frequent_items AS (
+      SELECT l_partkey
+      FROM lineitem WHERE year(l_shipdate) = 1996
+      GROUP BY l_partkey HAVING COUNT(DISTINCT l_shipdate) > 6),
+    spend AS (
+      SELECT o.o_custkey, SUM({_NET_CENTS_SQL}) AS cents
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      GROUP BY o.o_custkey),
+    best_customers AS (
+      SELECT o_custkey FROM (
+        SELECT o_custkey,
+               ROW_NUMBER() OVER (ORDER BY cents DESC, o_custkey) AS r
+        FROM spend) t
+      WHERE r <= 100)
+    SELECT l.l_linestatus AS channel, SUM({_NET_CENTS_SQL}) AS sales_cents
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= DATE '1997-01-01'
+      AND l.l_shipdate < DATE '1997-07-01'
+      AND l.l_partkey IN (SELECT l_partkey FROM frequent_items)
+      AND o.o_custkey IN (SELECT o_custkey FROM best_customers)
+    GROUP BY l.l_linestatus ORDER BY channel
+    """,
+    doc="TPC-DS q23 shape (tpcds_3.2/q23a.sql: frequent_ss_items x "
+    "best_ss_customer CTEs feeding a two-channel month scan): items sold "
+    "on >6 distinct days in 1996, customers in the top-100 lifetime "
+    "spend (deterministic ROW_NUMBER cut standing in for the 95th-"
+    "percentile tpcds_cmax), then 1997-H1 revenue restricted to both "
+    "sets, split by channel. Spark: both qualifier sets are "
+    "broadcast-able aggregates feeding left-semi joins on partkey and "
+    "custkey — the fact table is scanned once and never shuffled except "
+    "for the final 2-group aggregation.",
+)
+def tpcds_q23(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem, orders = _t(spark, sf_dir, "lineitem", "orders")
+    net = _net_cents()
+    frequent = (
+        lineitem.filter(F.year("l_shipdate") == 1996)
+        .groupBy("l_partkey")
+        .agg(F.countDistinct("l_shipdate").alias("nd"))
+        .filter(F.col("nd") > 6)
+        .select("l_partkey")
+    )
+    spend = (
+        lineitem.join(orders.select("o_orderkey", "o_custkey"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(F.sum(net).alias("cents"))
+    )
+    best = (
+        spend.withColumn(
+            "r",
+            F.row_number().over(
+                Window.orderBy(F.col("cents").desc(), F.col("o_custkey"))
+            ),
+        )
+        .filter(F.col("r") <= 100)
+        .select("o_custkey")
+    )
+    return (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("date"))
+            & (F.col("l_shipdate") < F.lit("1997-07-01").cast("date"))
+        )
+        .join(F.broadcast(frequent), "l_partkey", "left_semi")
+        .join(orders.select("o_orderkey", "o_custkey"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(best), "o_custkey", "left_semi")
+        .groupBy(F.col("l_linestatus").alias("channel"))
+        .agg(F.sum(net).alias("sales_cents"))
+        .orderBy("channel")
+    )
+
+
+# --------------------------------------------------------------------------
+# q28 — six scalar-aggregate band subqueries cross-joined (q28.sql)
+# --------------------------------------------------------------------------
+_Q28_BANDS = [(0, 5), (6, 10), (11, 15), (16, 20), (21, 30), (31, 50)]
+
+
+@query(
+    "tpcds_q28",
+    oracle="""
+    SELECT {cols}
+    FROM {froms}
+    """.format(
+        cols=", ".join(
+            f"b{i}.avg_price AS b{i}_avg, b{i}.cnt AS b{i}_cnt, "
+            f"b{i}.dst AS b{i}_dst"
+            for i in range(len(_Q28_BANDS))
+        ),
+        froms=", ".join(
+            f"""(SELECT ROUND(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                       * 1.0 / (COUNT(*) * 100), 4) AS avg_price,
+                       CAST(COUNT(*) AS BIGINT) AS cnt,
+                       CAST(COUNT(DISTINCT CAST(ROUND(l_extendedprice * 100)
+                            AS BIGINT)) AS BIGINT) AS dst
+                FROM lineitem
+                WHERE l_quantity BETWEEN {lo} AND {hi}) b{i}"""
+            for i, (lo, hi) in enumerate(_Q28_BANDS)
+        ),
+    ),
+    doc="TPC-DS q28 shape (tpcds_3.2/q28.sql: six independent scalar "
+    "aggregate subqueries over quantity bands of store_sales, "
+    "cross-joined into one row): per quantity band — avg price, row "
+    "count, distinct price count. The oracle keeps the six-subquery "
+    "form; Spark computes all 18 aggregates in ONE scan as conditional "
+    "aggregates (count distinct per band via distinct-on-condition), "
+    "which is the plan the six-scan form should collapse to at 100 TB.",
+)
+def tpcds_q28(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    cents = _cents()
+    aggs = []
+    for i, (lo, hi) in enumerate(_Q28_BANDS):
+        in_band = F.col("l_quantity").between(lo, hi)
+        band_cents = F.when(in_band, cents)
+        aggs += [
+            dround(F.sum(band_cents) / (F.count(band_cents) * 100), 4).alias(
+                f"b{i}_avg"
+            ),
+            F.count(band_cents).alias(f"b{i}_cnt"),
+            F.countDistinct(band_cents).alias(f"b{i}_dst"),
+        ]
+    return lineitem.agg(*aggs)
+
+
+# --------------------------------------------------------------------------
+# q39 — coefficient-of-variation month-over-month self-join (q39.sql)
+# --------------------------------------------------------------------------
+_Q39_STAT_SQL = """
+      SELECT n.n_name AS nation, p.p_brand AS brand,
+             month(l.l_shipdate) AS moy,
+             COUNT(*) AS n,
+             SUM(CAST(l.l_quantity AS BIGINT)) AS s1,
+             SUM(CAST(l.l_quantity AS BIGINT) * CAST(l.l_quantity AS BIGINT))
+               AS s2
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE year(l.l_shipdate) = 1996 AND month(l.l_shipdate) IN (3, 4)
+      GROUP BY 1, 2, 3 HAVING COUNT(*) > 1
+"""
+
+
+@query(
+    "tpcds_q39",
+    oracle=f"""
+    WITH stats AS ({_Q39_STAT_SQL}),
+    cov AS (
+      SELECT nation, brand, moy,
+             ROUND(sqrt((n * s2 - s1 * s1) * 1.0 / (n * (n - 1)))
+                   / (s1 * 1.0 / n), 4) AS cov
+      FROM stats WHERE s1 > 0)
+    SELECT m1.nation AS nation, m1.brand AS brand,
+           m1.cov AS cov_mar, m2.cov AS cov_apr
+    FROM cov m1 JOIN cov m2
+      ON m1.nation = m2.nation AND m1.brand = m2.brand
+     AND m1.moy = 3 AND m2.moy = 4
+    WHERE m1.cov >= 0.45 AND m2.cov >= 0.45
+    ORDER BY nation, brand
+    """,
+    doc="TPC-DS q39 shape (tpcds_3.2/q39a.sql: per warehouse-item-month "
+    "inventory mean/stdev, month-to-month self-join keeping cov >= 1): "
+    "per (supplier-nation, part, month) quantity coefficient of "
+    "variation per (nation, brand) from integer power sums (stddev_samp = sqrt((n*S2-S1^2)/"
+    "(n(n-1))) — bit-identical across engines), March joined to April "
+    "where both months are high-variance. One fact aggregation, then a "
+    "self-join on the (nation, part) grouping key.",
+)
+def tpcds_q39(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem, supplier, nation, part = _t(
+        spark, sf_dir, "lineitem", "supplier", "nation", "part"
+    )
+    qty = F.col("l_quantity").cast("long")
+    stats = (
+        lineitem.filter(
+            (F.year("l_shipdate") == 1996) & F.month("l_shipdate").isin(3, 4)
+        )
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.col("p_brand").alias("brand"),
+            F.month("l_shipdate").alias("moy"),
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(qty).alias("s1"),
+            F.sum(qty * qty).alias("s2"),
+        )
+        .filter((F.col("n") > 1) & (F.col("s1") > 0))
+        .withColumn(
+            "cov",
+            dround(
+                F.sqrt(
+                    (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1"))
+                    / (F.col("n") * (F.col("n") - 1))
+                )
+                / (F.col("s1") / F.col("n")),
+                4,
+            ),
+        )
+        .filter(F.col("cov") >= 0.45)
+    )
+    m1 = stats.filter(F.col("moy") == 3).select(
+        "nation", "brand", F.col("cov").alias("cov_mar")
+    )
+    m2 = stats.filter(F.col("moy") == 4).select(
+        F.col("nation").alias("nation2"),
+        F.col("brand").alias("brand2"),
+        F.col("cov").alias("cov_apr"),
+    )
+    return (
+        m1.join(
+            m2,
+            (F.col("nation") == F.col("nation2"))
+            & (F.col("brand") == F.col("brand2")),
+        )
+        .select("nation", "brand", "cov_mar", "cov_apr")
+        .orderBy("nation", "brand")
+    )
+
+
+# --------------------------------------------------------------------------
+# q44 — best/worst performing items by ascending/descending rank (q44.sql)
+# --------------------------------------------------------------------------
+@query(
+    "tpcds_q44",
+    oracle="""
+    WITH perf AS (
+      SELECT l_partkey AS item_sk,
+             ROUND(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+                       AS BIGINT)) * 1.0 / (COUNT(*) * 100), 4) AS rank_col
+      FROM lineitem WHERE l_suppkey % 25 = 2
+      GROUP BY l_partkey),
+    asceding AS (
+      SELECT item_sk, ROW_NUMBER() OVER (ORDER BY rank_col ASC, item_sk) AS rnk
+      FROM perf),
+    descending AS (
+      SELECT item_sk, ROW_NUMBER() OVER (ORDER BY rank_col DESC, item_sk) AS rnk
+      FROM perf)
+    SELECT a.rnk AS rnk, i1.p_name AS best_performing,
+           i2.p_name AS worst_performing
+    FROM asceding a JOIN descending d ON a.rnk = d.rnk
+    JOIN part i1 ON i1.p_partkey = d.item_sk
+    JOIN part i2 ON i2.p_partkey = a.item_sk
+    WHERE a.rnk <= 10
+    ORDER BY rnk
+    """,
+    doc="TPC-DS q44 shape (tpcds_3.2/q44.sql: items ranked ascending and "
+    "descending by avg net profit at one store, best/worst joined on "
+    "rank position, item names resolved twice): one aggregation per "
+    "part over the supplier-bucket slice, two global ROW_NUMBER windows "
+    "(deterministic: rounded avg + item tiebreak), rank-position join, "
+    "double broadcast join to part. The global windows run over the "
+    "per-item aggregate (|items| rows), not the fact table.",
+)
+def tpcds_q44(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem, part = _t(spark, sf_dir, "lineitem", "part")
+    perf = (
+        lineitem.filter(F.col("l_suppkey") % 25 == 2)
+        .groupBy(F.col("l_partkey").alias("item_sk"))
+        .agg(dround(F.sum(_net_cents()) / (F.count("*") * 100), 4).alias("rank_col"))
+    )
+    asc = perf.select(
+        F.col("item_sk").alias("a_item"),
+        F.row_number()
+        .over(Window.orderBy(F.col("rank_col").asc(), F.col("item_sk")))
+        .alias("rnk"),
+    ).filter(F.col("rnk") <= 10)
+    desc = perf.select(
+        F.col("item_sk").alias("d_item"),
+        F.row_number()
+        .over(Window.orderBy(F.col("rank_col").desc(), F.col("item_sk")))
+        .alias("rnk"),
+    ).filter(F.col("rnk") <= 10)
+    i1 = part.select(F.col("p_partkey").alias("i1_key"), F.col("p_name").alias("best_performing"))
+    i2 = part.select(F.col("p_partkey").alias("i2_key"), F.col("p_name").alias("worst_performing"))
+    return (
+        asc.join(desc, "rnk")
+        .join(F.broadcast(i1), F.col("d_item") == F.col("i1_key"))
+        .join(F.broadcast(i2), F.col("a_item") == F.col("i2_key"))
+        .select("rnk", "best_performing", "worst_performing")
+        .orderBy("rnk")
+    )

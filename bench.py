@@ -85,8 +85,10 @@ HEADLINE = [
     "semantic_dedup",
     "perplexity_filter",
     # TPC-DS slice (plan-shape ports of q1/q2/q7/q19/q22/q34/q36/q38/q47/q51/q67/q88)
-    *[f"tpcds_q{i}" for i in (1, 2, 6, 7, 9, 10, 11, 13, 14, 17, 19, 22, 34,
-                              31, 36, 38, 43, 47, 51, 59, 65, 67, 68, 88, 93, 95, 98)],
+    *[f"tpcds_q{i}" for i in (1, 2, 4, 6, 7, 9, 10, 11, 13, 14, 16, 17, 18,
+                              19, 22, 23, 28, 31, 34, 36, 38, 39, 43, 44, 47,
+                              49, 50, 51, 57, 59, 65, 67, 68, 70, 87, 88, 90,
+                              93, 95, 97, 98)],
     # TPC-DS-shaped composites
     "tpcds_shape_avg_filter",
     "tpcds_shape_rank_bestworst",

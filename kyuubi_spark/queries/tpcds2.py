@@ -545,3 +545,507 @@ def tpcds_q44(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("rnk", "best_performing", "worst_performing")
         .orderBy("rnk")
     )
+
+
+# --------------------------------------------------------------------------
+# q49 — three-channel worst-return-ratio ranking union (q49.sql)
+# --------------------------------------------------------------------------
+_Q49_CHAN_SQL = """
+      SELECT o.o_orderstatus AS status, l.l_partkey AS item,
+             SUM(CASE WHEN l.l_returnflag = 'R'
+                      THEN CAST(l.l_quantity AS BIGINT) ELSE 0 END) AS ret_qty,
+             SUM(CAST(l.l_quantity AS BIGINT)) AS qty,
+             SUM(CASE WHEN l.l_returnflag = 'R'
+                      THEN CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                      ELSE 0 END) AS ret_amt,
+             SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) AS amt
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE year(l.l_shipdate) = 1996
+      GROUP BY 1, 2 HAVING SUM(CAST(l.l_quantity AS BIGINT)) > 0
+         AND SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) > 0
+"""
+
+
+@query(
+    "tpcds_q49",
+    oracle=f"""
+    WITH base AS ({_Q49_CHAN_SQL}),
+    ranked AS (
+      SELECT status, item,
+             ROUND(ret_qty * 1.0 / qty, 6) AS return_ratio,
+             ROW_NUMBER() OVER (PARTITION BY status
+                                ORDER BY ROUND(ret_qty * 1.0 / qty, 6), item)
+               AS return_rank,
+             ROW_NUMBER() OVER (PARTITION BY status
+                                ORDER BY ROUND(ret_amt * 1.0 / amt, 6), item)
+               AS currency_rank
+      FROM base)
+    SELECT CASE status WHEN 'O' THEN 'web' WHEN 'F' THEN 'store'
+                       ELSE 'catalog' END AS channel,
+           item, return_ratio, return_rank, currency_rank
+    FROM ranked
+    WHERE return_rank <= 10 OR currency_rank <= 10
+    ORDER BY channel, return_rank, currency_rank, item
+    """,
+    doc="TPC-DS q49 shape (tpcds_3.2/q49.sql: per-channel worst return "
+    "ratios, double-ranked by quantity ratio and currency ratio, "
+    "union-all of web/catalog/store blocks, rank<=10 either way): "
+    "channels are the o_orderstatus slices computed in ONE fact pass "
+    "(the union-all of three per-channel scans collapses to a "
+    "partitioned window over one aggregate), ratios are single double "
+    "divisions of integer sums rounded to 6dp, ranks are deterministic "
+    "ROW_NUMBER with item tiebreaks.",
+)
+def tpcds_q49(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem, orders = _t(spark, sf_dir, "lineitem", "orders")
+    qty = F.col("l_quantity").cast("long")
+    cents = _cents()
+    is_ret = F.col("l_returnflag") == "R"
+    base = (
+        lineitem.filter(F.year("l_shipdate") == 1996)
+        .join(orders.select("o_orderkey", "o_orderstatus"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(F.col("o_orderstatus").alias("status"), F.col("l_partkey").alias("item"))
+        .agg(
+            F.sum(F.when(is_ret, qty).otherwise(F.lit(0))).alias("ret_qty"),
+            F.sum(qty).alias("qty"),
+            F.sum(F.when(is_ret, cents).otherwise(F.lit(0))).alias("ret_amt"),
+            F.sum(cents).alias("amt"),
+        )
+        .filter((F.col("qty") > 0) & (F.col("amt") > 0))
+    )
+    by_status = Window.partitionBy("status")
+    ranked = base.select(
+        "status",
+        "item",
+        dround(F.col("ret_qty") / F.col("qty"), 6).alias("return_ratio"),
+        F.row_number()
+        .over(by_status.orderBy(dround(F.col("ret_qty") / F.col("qty"), 6), F.col("item")))
+        .alias("return_rank"),
+        F.row_number()
+        .over(by_status.orderBy(dround(F.col("ret_amt") / F.col("amt"), 6), F.col("item")))
+        .alias("currency_rank"),
+    )
+    return (
+        ranked.filter((F.col("return_rank") <= 10) | (F.col("currency_rank") <= 10))
+        .select(
+            F.when(F.col("status") == "O", "web")
+            .when(F.col("status") == "F", "store")
+            .otherwise("catalog")
+            .alias("channel"),
+            "item",
+            "return_ratio",
+            "return_rank",
+            "currency_rank",
+        )
+        .orderBy("channel", "return_rank", "currency_rank", "item")
+    )
+
+
+# --------------------------------------------------------------------------
+# q50 — ship-lag bucket counts per store (q50.sql)
+# --------------------------------------------------------------------------
+@query(
+    "tpcds_q50",
+    oracle="""
+    SELECT n.n_name AS nation,
+           CAST(SUM(CASE WHEN date_diff('day', o.o_orderdate, l.l_shipdate)
+                              <= 30 THEN 1 ELSE 0 END) AS BIGINT)
+             AS d30,
+           CAST(SUM(CASE WHEN date_diff('day', o.o_orderdate, l.l_shipdate)
+                              BETWEEN 31 AND 60 THEN 1 ELSE 0 END) AS BIGINT)
+             AS d31_60,
+           CAST(SUM(CASE WHEN date_diff('day', o.o_orderdate, l.l_shipdate)
+                              BETWEEN 61 AND 90 THEN 1 ELSE 0 END) AS BIGINT)
+             AS d61_90,
+           CAST(SUM(CASE WHEN date_diff('day', o.o_orderdate, l.l_shipdate)
+                              BETWEEN 91 AND 120 THEN 1 ELSE 0 END) AS BIGINT)
+             AS d91_120,
+           CAST(SUM(CASE WHEN date_diff('day', o.o_orderdate, l.l_shipdate)
+                              > 120 THEN 1 ELSE 0 END) AS BIGINT)
+             AS d120_plus
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE year(l.l_shipdate) = 1997
+    GROUP BY n.n_name ORDER BY nation
+    """,
+    doc="TPC-DS q50 shape (tpcds_3.2/q50.sql: store_sales joined to its "
+    "store_returns, counts bucketed by days-to-return 30/60/90/120/120+ "
+    "per store): order-to-ship lag buckets per supplier nation — five "
+    "conditional counts over one star join, the canonical latency "
+    "histogram plan (single fact shuffle on the grouping key, dims "
+    "broadcast).",
+)
+def tpcds_q50(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem, orders, supplier, nation = _t(
+        spark, sf_dir, "lineitem", "orders", "supplier", "nation"
+    )
+    lag = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+
+    def bucket(cond):
+        return F.sum(F.when(cond, 1).otherwise(0))
+
+    return (
+        lineitem.filter(F.year("l_shipdate") == 1997)
+        .join(orders.select("o_orderkey", "o_orderdate"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            bucket(lag <= 30).alias("d30"),
+            bucket(lag.between(31, 60)).alias("d31_60"),
+            bucket(lag.between(61, 90)).alias("d61_90"),
+            bucket(lag.between(91, 120)).alias("d91_120"),
+            bucket(lag > 120).alias("d120_plus"),
+        )
+        .orderBy("nation")
+    )
+
+
+# --------------------------------------------------------------------------
+# q57 — monthly deviation from yearly average + neighbors (q57.sql)
+# --------------------------------------------------------------------------
+@query(
+    "tpcds_q57",
+    oracle="""
+    WITH v1 AS (
+      SELECT p.p_brand AS brand, n.n_name AS cc_name,
+             year(l.l_shipdate) AS d_year, month(l.l_shipdate) AS d_moy,
+             SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) AS sum_cents
+      FROM lineitem l
+      JOIN part p ON l.l_partkey = p.p_partkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      WHERE year(l.l_shipdate) IN (1996, 1997)
+      GROUP BY 1, 2, 3, 4),
+    v2 AS (
+      SELECT brand, cc_name, d_year, d_moy, sum_cents,
+             AVG(sum_cents) OVER (PARTITION BY brand, cc_name, d_year)
+               AS avg_monthly,
+             LAG(sum_cents) OVER (PARTITION BY brand, cc_name
+                                  ORDER BY d_year, d_moy) AS psum,
+             LEAD(sum_cents) OVER (PARTITION BY brand, cc_name
+                                   ORDER BY d_year, d_moy) AS nsum
+      FROM v1)
+    SELECT brand, cc_name, d_year, d_moy, sum_cents,
+           ROUND(avg_monthly / 100, 2) AS avg_monthly_sales,
+           psum, nsum
+    FROM v2
+    WHERE d_year = 1996 AND avg_monthly > 0
+      AND abs(sum_cents - avg_monthly) * 10 > avg_monthly
+      AND psum IS NOT NULL AND nsum IS NOT NULL
+    ORDER BY brand, cc_name, d_year, d_moy
+    """,
+    doc="TPC-DS q57 shape (tpcds_3.2/q57.sql: v1 monthly sums per "
+    "item-category/brand/call-center with AVG-over-year and RANK "
+    "windows, v1 self-joined at rn-1/rn+1 for neighbor months, keeping "
+    "months deviating >10% from the yearly average): monthly brand x "
+    "supplier-nation revenue with the neighbor self-joins expressed as "
+    "LAG/LEAD over the same window ordering — one fact aggregation, one "
+    "window shuffle instead of three CTE re-instantiations. The "
+    "deviation test multiplies through by 10 (integer-exact against the "
+    "cent sums; AVG of exact longs is deterministic double division).",
+)
+def tpcds_q57(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem, part, supplier, nation = _t(
+        spark, sf_dir, "lineitem", "part", "supplier", "nation"
+    )
+    v1 = (
+        lineitem.filter(F.year("l_shipdate").isin(1996, 1997))
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.col("n_name").alias("cc_name"),
+            F.year("l_shipdate").alias("d_year"),
+            F.month("l_shipdate").alias("d_moy"),
+        )
+        .agg(F.sum(_cents()).alias("sum_cents"))
+    )
+    series = Window.partitionBy("brand", "cc_name").orderBy("d_year", "d_moy")
+    yearly = Window.partitionBy("brand", "cc_name", "d_year")
+    v2 = v1.select(
+        "brand",
+        "cc_name",
+        "d_year",
+        "d_moy",
+        "sum_cents",
+        F.avg("sum_cents").over(yearly).alias("avg_monthly"),
+        F.lag("sum_cents").over(series).alias("psum"),
+        F.lead("sum_cents").over(series).alias("nsum"),
+    )
+    return (
+        v2.filter(
+            (F.col("d_year") == 1996)
+            & (F.col("avg_monthly") > 0)
+            & (F.abs(F.col("sum_cents") - F.col("avg_monthly")) * 10 > F.col("avg_monthly"))
+            & F.col("psum").isNotNull()
+            & F.col("nsum").isNotNull()
+        )
+        .select(
+            "brand",
+            "cc_name",
+            "d_year",
+            "d_moy",
+            "sum_cents",
+            dround(F.col("avg_monthly") / 100, 2).alias("avg_monthly_sales"),
+            "psum",
+            "nsum",
+        )
+        .orderBy("brand", "cc_name", "d_year", "d_moy")
+    )
+
+
+# --------------------------------------------------------------------------
+# q70 — ROLLUP + rank-within-parent with a top-region semi filter (q70.sql)
+# --------------------------------------------------------------------------
+@query(
+    "tpcds_q70",
+    oracle="""
+    WITH profit AS (
+      SELECT r.r_name AS state, n.n_name AS county,
+             CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100)
+                  AS BIGINT) AS net_cents
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      WHERE year(l.l_shipdate) = 1997),
+    top_states AS (
+      SELECT state FROM (
+        SELECT state, ROW_NUMBER() OVER (ORDER BY SUM(net_cents) DESC, state)
+                 AS r
+        FROM profit GROUP BY state) t
+      WHERE r <= 3),
+    rolled AS (
+      SELECT CAST(SUM(net_cents) AS BIGINT) AS total_cents, state, county,
+             GROUPING(state) + GROUPING(county) AS lochierarchy,
+             CASE WHEN GROUPING(county) = 0 THEN state END AS parent
+      FROM profit WHERE state IN (SELECT state FROM top_states)
+      GROUP BY ROLLUP (state, county))
+    SELECT total_cents, state, county, lochierarchy,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY lochierarchy, parent
+             ORDER BY total_cents DESC, state NULLS FIRST, county NULLS FIRST)
+             AS BIGINT) AS rank_within_parent
+    FROM rolled
+    ORDER BY lochierarchy DESC, state NULLS FIRST, county NULLS FIRST,
+             rank_within_parent
+    """,
+    doc="TPC-DS q70 shape (tpcds_3.2/q70.sql: rollup(s_state, s_county) of "
+    "net profit over states surviving a top-5-by-rank subquery, "
+    "lochierarchy from GROUPING bits, rank within each hierarchy "
+    "parent): region/nation stand in for state/county, the qualifying "
+    "subquery keeps the top-3 regions by ROW_NUMBER (deterministic), "
+    "and rank_within_parent partitions on (grouping level, parent "
+    "state) ordered by the exact cent totals. The rollup and both "
+    "windows run over the aggregated relation, not the fact scan.",
+)
+def tpcds_q70(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem, supplier, nation, region = _t(
+        spark, sf_dir, "lineitem", "supplier", "nation", "region"
+    )
+    profit = (
+        lineitem.filter(F.year("l_shipdate") == 1997)
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(
+            F.col("r_name").alias("state"),
+            F.col("n_name").alias("county"),
+            _net_cents().alias("net_cents"),
+        )
+    )
+    top_states = (
+        profit.groupBy("state")
+        .agg(F.sum("net_cents").alias("tot"))
+        .withColumn(
+            "r",
+            F.row_number().over(Window.orderBy(F.col("tot").desc(), F.col("state"))),
+        )
+        .filter(F.col("r") <= 3)
+        .select("state")
+    )
+    rolled = (
+        profit.join(F.broadcast(top_states), "state", "left_semi")
+        .rollup("state", "county")
+        .agg(
+            F.sum("net_cents").alias("total_cents"),
+            (F.grouping("state") + F.grouping("county")).alias("lochierarchy"),
+            F.when(F.grouping("county") == 0, F.col("state")).alias("parent"),
+        )
+    )
+    rank_w = Window.partitionBy("lochierarchy", "parent").orderBy(
+        F.col("total_cents").desc(),
+        F.col("state").asc_nulls_first(),
+        F.col("county").asc_nulls_first(),
+    )
+    return (
+        rolled.select(
+            "total_cents",
+            "state",
+            "county",
+            "lochierarchy",
+            F.row_number().over(rank_w).cast("bigint").alias("rank_within_parent"),
+        )
+        .orderBy(
+            F.col("lochierarchy").desc(),
+            F.col("state").asc_nulls_first(),
+            F.col("county").asc_nulls_first(),
+            "rank_within_parent",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q87 — EXCEPT-chain distinct customer-day combinations (q87.sql)
+# --------------------------------------------------------------------------
+@query(
+    "tpcds_q87",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS num_customers FROM (
+      (SELECT DISTINCT o.o_custkey, CAST(o.o_orderdate AS DATE) AS d
+       FROM orders o WHERE o.o_orderstatus = 'F'
+         AND year(o.o_orderdate) = 1996)
+      EXCEPT
+      (SELECT DISTINCT o.o_custkey, CAST(o.o_orderdate AS DATE) AS d
+       FROM orders o WHERE o.o_orderstatus = 'O'
+         AND year(o.o_orderdate) = 1996)
+      EXCEPT
+      (SELECT DISTINCT o.o_custkey, CAST(o.o_orderdate AS DATE) AS d
+       FROM orders o WHERE o.o_orderstatus = 'P'
+         AND year(o.o_orderdate) = 1996)
+    ) t
+    """,
+    doc="TPC-DS q87 shape (tpcds_3.2/q87.sql: count of (customer, date) "
+    "combos in store_sales EXCEPT catalog_sales EXCEPT web_sales): "
+    "customers-with-day present in the 'F' channel but neither 'O' nor "
+    "'P', as a distinct-projection EXCEPT chain — each EXCEPT is a "
+    "shuffle on the full projected key, the plan TPC-DS uses to stress "
+    "set-op dedup. Channels are orderstatus slices of one orders scan.",
+)
+def tpcds_q87(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = _t(spark, sf_dir, "orders")
+    y96 = orders.filter(F.year("o_orderdate") == 1996)
+
+    def chan(status: str) -> DataFrame:
+        return (
+            y96.filter(F.col("o_orderstatus") == status)
+            .select("o_custkey", F.col("o_orderdate").cast("date").alias("d"))
+            .distinct()
+        )
+
+    result = chan("F").exceptAll(chan("O")).distinct().exceptAll(chan("P")).distinct()
+    return result.agg(F.count("*").alias("num_customers"))
+
+
+# --------------------------------------------------------------------------
+# q90 — early/late period ratio from two scalar aggregates (q90.sql)
+# --------------------------------------------------------------------------
+@query(
+    "tpcds_q90",
+    oracle="""
+    SELECT ROUND(amc.cnt * 1.0 / NULLIF(pmc.cnt, 0), 4) AS am_pm_ratio
+    FROM (SELECT COUNT(*) AS cnt FROM lineitem
+          WHERE year(l_shipdate) = 1996 AND month(l_shipdate) BETWEEN 1 AND 3
+            AND l_quantity BETWEEN 10 AND 30) amc,
+         (SELECT COUNT(*) AS cnt FROM lineitem
+          WHERE year(l_shipdate) = 1996 AND month(l_shipdate) BETWEEN 7 AND 9
+            AND l_quantity BETWEEN 10 AND 30) pmc
+    """,
+    doc="TPC-DS q90 shape (tpcds_3.2/q90.sql: am_pm_ratio = count of web "
+    "sales in the 8am hour over the 8pm hour, two scalar subqueries "
+    "cross-joined): Q1-vs-Q3 shipment count ratio under a quantity band "
+    "— two filtered counts collapsed into one conditional-aggregate "
+    "scan on the Spark side, ratio as one rounded division.",
+)
+def tpcds_q90(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    base = lineitem.filter(
+        (F.year("l_shipdate") == 1996) & F.col("l_quantity").between(10, 30)
+    )
+    moy = F.month("l_shipdate")
+    counts = base.agg(
+        F.sum(F.when(moy.between(1, 3), 1).otherwise(0)).alias("amc"),
+        F.sum(F.when(moy.between(7, 9), 1).otherwise(0)).alias("pmc"),
+    )
+    return counts.select(
+        dround(F.col("amc") / F.nullif(F.col("pmc"), F.lit(0)), 4).alias("am_pm_ratio")
+    )
+
+
+# --------------------------------------------------------------------------
+# q97 — full-outer channel overlap counts (q97.sql)
+# --------------------------------------------------------------------------
+@query(
+    "tpcds_q97",
+    oracle="""
+    WITH ssci AS (
+      SELECT DISTINCT o.o_custkey AS customer_sk, l.l_partkey AS item_sk
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE l.l_linestatus = 'F' AND year(l.l_shipdate) = 1996),
+    csci AS (
+      SELECT DISTINCT o.o_custkey AS customer_sk, l.l_partkey AS item_sk
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE l.l_linestatus = 'O' AND year(l.l_shipdate) = 1996)
+    SELECT CAST(SUM(CASE WHEN s.customer_sk IS NOT NULL
+                          AND c.customer_sk IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS store_only,
+           CAST(SUM(CASE WHEN s.customer_sk IS NULL
+                          AND c.customer_sk IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS catalog_only,
+           CAST(SUM(CASE WHEN s.customer_sk IS NOT NULL
+                          AND c.customer_sk IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS store_and_catalog
+    FROM ssci s FULL OUTER JOIN csci c
+      ON s.customer_sk = c.customer_sk AND s.item_sk = c.item_sk
+    """,
+    doc="TPC-DS q97 shape (tpcds_3.2/q97.sql: distinct (customer, item) "
+    "sets per channel, FULL OUTER JOIN, store-only / catalog-only / "
+    "both counts): the canonical channel-overlap audit — two distinct "
+    "projections shuffled on the composite key, one full-outer join, "
+    "three conditional counts. Channels are the linestatus slices.",
+)
+def tpcds_q97(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem, orders = _t(spark, sf_dir, "lineitem", "orders")
+    base = lineitem.filter(F.year("l_shipdate") == 1996).join(
+        orders.select("o_orderkey", "o_custkey"), F.col("l_orderkey") == F.col("o_orderkey")
+    )
+
+    def chan(status: str, pre: str) -> DataFrame:
+        return (
+            base.filter(F.col("l_linestatus") == status)
+            .select(
+                F.col("o_custkey").alias(f"{pre}_customer_sk"),
+                F.col("l_partkey").alias(f"{pre}_item_sk"),
+            )
+            .distinct()
+        )
+
+    s, c = chan("F", "s"), chan("O", "c")
+    joined = s.join(
+        c,
+        (F.col("s_customer_sk") == F.col("c_customer_sk"))
+        & (F.col("s_item_sk") == F.col("c_item_sk")),
+        "full_outer",
+    )
+    return joined.agg(
+        F.sum(
+            F.when(
+                F.col("s_customer_sk").isNotNull() & F.col("c_customer_sk").isNull(), 1
+            ).otherwise(0)
+        ).alias("store_only"),
+        F.sum(
+            F.when(
+                F.col("s_customer_sk").isNull() & F.col("c_customer_sk").isNotNull(), 1
+            ).otherwise(0)
+        ).alias("catalog_only"),
+        F.sum(
+            F.when(
+                F.col("s_customer_sk").isNotNull() & F.col("c_customer_sk").isNotNull(),
+                1,
+            ).otherwise(0)
+        ).alias("store_and_catalog"),
+    )

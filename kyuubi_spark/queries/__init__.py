@@ -75,14 +75,32 @@ def _last_verified_round() -> dict[str, int]:
     return last
 
 
-# Queries whose implementation changed this round: ordered ahead of other
-# equally-stale entries so the next driver window re-verifies them first.
+# Queries ADDED or CHANGED this round: highest info value for the next
+# driver window, so they sort ahead of everything (new code has never had
+# an independent check; changed code has the highest regression risk).
 _CHANGED_THIS_ROUND = {
-    # hashed-shingle Jaccard verification touched the whole dedup family
+    # new this round
+    "mixture_sample_temperature",
+    "bloom_decontaminate",
+    "semantic_dedup",
+    "perplexity_filter",
+    *[f"tpcds_q{i}" for i in (4, 16, 18, 23, 28, 39, 44, 49, 50, 57, 70, 87, 90, 97)],
+    # signature-relation persistence touched every self-joined dedup path
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
+    "dedup_simhash",
     "dedup_components",
     "dedup_survivors",
+    # streaming runner rework (loud failures, race-free checkpoint cleanup)
+    "stream_tumbling_agg",
+    "stream_sliding_agg",
+    "stream_static_enrich",
+    "stream_stateful_totals",
+    "stream_session_window",
+    "stream_stream_join",
+    "stream_dedup",
+    "stream_sink_parquet",
+    "stream_upsert_latest",
 }
 
 
@@ -102,13 +120,15 @@ def all_queries() -> dict[str, QuerySpec]:
 
     last = _last_verified_round()
     names = list(REGISTRY)
-    # never-verified first (no driver row ever), then changed-this-round
-    # (highest regression risk), then least-recently-verified.
+    # added/changed-this-round first (new code + regression risk), then
+    # never-verified (no driver row ever), then least-recently-verified.
+    # Never-verified entries beyond the window rise automatically next
+    # round once this round's window members receive their round stamp.
     ordered = sorted(
         range(len(names)),
         key=lambda i: (
-            0 if last.get(names[i], -1) == -1 else 1,
             0 if names[i] in _CHANGED_THIS_ROUND else 1,
+            0 if last.get(names[i], -1) == -1 else 1,
             last.get(names[i], -1),
             i,
         ),

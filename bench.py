@@ -84,11 +84,11 @@ HEADLINE = [
     "bloom_decontaminate",
     "semantic_dedup",
     "perplexity_filter",
-    # TPC-DS slice (plan-shape ports of q1/q2/q7/q19/q22/q34/q36/q38/q47/q51/q67/q88)
+    # TPC-DS slice (47 plan-shape ports; see queries/tpcds.py + tpcds2.py)
     *[f"tpcds_q{i}" for i in (1, 2, 4, 6, 7, 9, 10, 11, 13, 14, 16, 17, 18,
-                              19, 22, 23, 28, 31, 34, 36, 38, 39, 43, 44, 47,
-                              49, 50, 51, 57, 59, 65, 67, 68, 70, 87, 88, 90,
-                              93, 95, 97, 98)],
+                              19, 21, 22, 23, 28, 31, 34, 35, 36, 38, 39, 43,
+                              44, 47, 49, 50, 51, 54, 57, 59, 65, 67, 68, 70,
+                              75, 78, 80, 87, 88, 90, 93, 95, 97, 98)],
     # TPC-DS-shaped composites
     "tpcds_shape_avg_filter",
     "tpcds_shape_rank_bestworst",
@@ -203,7 +203,13 @@ def _stdout_payload(timings: dict[str, float], total: float, sf) -> str:
         "queries": queries,
         "sf": sf,
     }
-    drop_iter = iter(DROP_ORDER)
+    # Drop order: the curated cheap list first, then (if the registry has
+    # outgrown it) remaining successful entries cheapest-first. Failures
+    # (-1.0) are never dropped.
+    fallback = sorted(
+        (n for n in queries if n not in DROP_ORDER), key=lambda n: queries[n]
+    )
+    drop_iter = iter(DROP_ORDER + fallback)
     line = json.dumps(payload, separators=(",", ":"))
     while len(line) > MAX_LINE:
         name = next(drop_iter, None)

@@ -1049,3 +1049,442 @@ def tpcds_q97(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(0)
         ).alias("store_and_catalog"),
     )
+
+
+# --------------------------------------------------------------------------
+# q21 — before/after inventory ratio band around a pivot date (q21.sql)
+# --------------------------------------------------------------------------
+@query(
+    "tpcds_q21",
+    oracle="""
+    SELECT * FROM (
+      SELECT n.n_name AS warehouse, p.p_brand AS item,
+             SUM(CASE WHEN l.l_shipdate <  DATE '1996-07-01'
+                      THEN CAST(l.l_quantity AS BIGINT) ELSE 0 END)
+               AS inv_before,
+             SUM(CASE WHEN l.l_shipdate >= DATE '1996-07-01'
+                      THEN CAST(l.l_quantity AS BIGINT) ELSE 0 END)
+               AS inv_after
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE p.p_retailprice BETWEEN 920 AND 980
+        AND l.l_shipdate BETWEEN DATE '1996-06-01' AND DATE '1996-07-31'
+      GROUP BY 1, 2) x
+    WHERE inv_before > 0 AND inv_after > 0
+      AND 3 * inv_after >= 2 * inv_before
+      AND 2 * inv_after <= 3 * inv_before
+    ORDER BY warehouse, item
+    """,
+    doc="TPC-DS q21 shape (tpcds_3.2/q21.sql: per warehouse-item inventory "
+    "sums 30 days either side of a pivot date, keeping items whose "
+    "after/before ratio sits in [2/3, 3/2] (brand-level grouping keeps "
+    "month buckets populated at small SFs), under an item price-band "
+    "filter): supplier-nation stands in for warehouse, ship quantity for "
+    "inventory. The ratio band is evaluated by integer "
+    "cross-multiplication of the exact quantity sums — no float "
+    "division — and the price-band filter pushes into the part scan.",
+)
+def tpcds_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem, supplier, nation, part = _t(
+        spark, sf_dir, "lineitem", "supplier", "nation", "part"
+    )
+    pivot = F.lit("1996-07-01").cast("date")
+    qty = F.col("l_quantity").cast("long")
+    agged = (
+        lineitem.filter(
+            F.col("l_shipdate").between(
+                F.lit("1996-06-01").cast("date"), F.lit("1996-07-31").cast("date")
+            )
+        )
+        .join(
+            F.broadcast(part.filter(F.col("p_retailprice").between(920, 980))),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("warehouse"), F.col("p_brand").alias("item"))
+        .agg(
+            F.sum(F.when(F.col("l_shipdate") < pivot, qty).otherwise(F.lit(0))).alias(
+                "inv_before"
+            ),
+            F.sum(F.when(F.col("l_shipdate") >= pivot, qty).otherwise(F.lit(0))).alias(
+                "inv_after"
+            ),
+        )
+    )
+    return (
+        agged.filter(
+            (F.col("inv_before") > 0)
+            & (F.col("inv_after") > 0)
+            & (3 * F.col("inv_after") >= 2 * F.col("inv_before"))
+            & (2 * F.col("inv_after") <= 3 * F.col("inv_before"))
+        )
+        .orderBy("warehouse", "item")
+    )
+
+
+# --------------------------------------------------------------------------
+# q35 — demographic stats gated by channel EXISTS combinations (q35.sql)
+# --------------------------------------------------------------------------
+@query(
+    "tpcds_q35",
+    oracle="""
+    WITH store_c AS (
+      SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        AND year(o_orderdate) = 1996),
+    other_c AS (
+      SELECT DISTINCT o_custkey FROM orders
+      WHERE o_orderstatus IN ('O', 'P') AND year(o_orderdate) = 1996)
+    SELECT n.n_name AS nation, c.c_mktsegment AS segment,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(MIN(CAST(ROUND(c.c_acctbal * 100) AS BIGINT)) AS BIGINT)
+             AS min_bal_cents,
+           CAST(MAX(CAST(ROUND(c.c_acctbal * 100) AS BIGINT)) AS BIGINT)
+             AS max_bal_cents,
+           ROUND(SUM(CAST(ROUND(c.c_acctbal * 100) AS BIGINT)) * 1.0
+                 / (COUNT(*) * 100), 4) AS avg_bal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE EXISTS (SELECT 1 FROM store_c s WHERE s.o_custkey = c.c_custkey)
+      AND EXISTS (SELECT 1 FROM other_c o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY 1, 2 ORDER BY nation, segment
+    """,
+    doc="TPC-DS q35 shape (tpcds_3.2/q35.sql: customer demographics with "
+    "an EXISTS on store_sales AND (EXISTS web OR EXISTS catalog), "
+    "grouped stats — count/avg/max/sum — per state/gender/...): "
+    "customers active in BOTH the 'F' channel and an 'O'/'P' channel in "
+    "1996, account-balance stats per (nation, segment). Both EXISTS "
+    "become broadcast left-semi joins of distinct customer sets; "
+    "min/max/avg run over exact cents.",
+)
+def tpcds_q35(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders, customer, nation = _t(spark, sf_dir, "orders", "customer", "nation")
+    y96 = orders.filter(F.year("o_orderdate") == 1996)
+    store_c = (
+        y96.filter(F.col("o_orderstatus") == "F").select("o_custkey").distinct()
+    )
+    other_c = (
+        y96.filter(F.col("o_orderstatus").isin("O", "P"))
+        .select("o_custkey")
+        .distinct()
+    )
+    bal = F.round(F.col("c_acctbal") * 100).cast("long")
+    return (
+        customer.join(
+            F.broadcast(store_c), F.col("c_custkey") == store_c["o_custkey"], "left_semi"
+        )
+        .join(
+            F.broadcast(other_c), F.col("c_custkey") == other_c["o_custkey"], "left_semi"
+        )
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"), F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count("*").alias("cnt"),
+            F.min(bal).alias("min_bal_cents"),
+            F.max(bal).alias("max_bal_cents"),
+            dround(F.sum(bal) / (F.count("*") * 100), 4).alias("avg_bal"),
+        )
+        .orderBy("nation", "segment")
+    )
+
+
+# --------------------------------------------------------------------------
+# q54 — revenue-band histogram of cross-channel converts (q54.sql)
+# --------------------------------------------------------------------------
+@query(
+    "tpcds_q54",
+    oracle="""
+    WITH my_customers AS (
+      SELECT DISTINCT o.o_custkey AS c
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE l.l_linestatus = 'O'
+        AND p.p_type IN ('PROMO', 'ECONOMY')
+        AND year(l.l_shipdate) = 1996 AND month(l.l_shipdate) = 3),
+    my_revenue AS (
+      SELECT o.o_custkey AS c,
+             SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) AS rev_cents
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE l.l_linestatus = 'F'
+        AND l.l_shipdate >= DATE '1996-04-01'
+        AND l.l_shipdate < DATE '1996-07-01'
+        AND o.o_custkey IN (SELECT c FROM my_customers)
+      GROUP BY 1),
+    segments AS (
+      SELECT CAST(rev_cents // 500000 AS BIGINT) AS segment FROM my_revenue)
+    SELECT segment, CAST(COUNT(*) AS BIGINT) AS num_customers,
+           segment * 5000 AS segment_base
+    FROM segments GROUP BY segment ORDER BY segment
+    """,
+    doc="TPC-DS q54 shape (tpcds_3.2/q54.sql: my_customers = buyers of a "
+    "category in catalog/web during one month; my_revenue = their store "
+    "revenue over the following quarter; histogram of customers by "
+    "$50 revenue band): buyers of two part types in channel 'O' during "
+    "1996-03, their 'F'-channel spend in Q2, counted per $5000 cent "
+    "band (integer floor division — engine-exact). The customer "
+    "qualifier is a broadcast semi-join; the histogram groups the "
+    "per-customer aggregate, not the fact table.",
+)
+def tpcds_q54(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem, orders, part = _t(spark, sf_dir, "lineitem", "orders", "part")
+    ok = orders.select("o_orderkey", "o_custkey")
+    my_customers = (
+        lineitem.filter(
+            (F.col("l_linestatus") == "O")
+            & (F.year("l_shipdate") == 1996)
+            & (F.month("l_shipdate") == 3)
+        )
+        .join(
+            F.broadcast(part.filter(F.col("p_type").isin("PROMO", "ECONOMY"))),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(ok, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(F.col("o_custkey").alias("c"))
+        .distinct()
+    )
+    my_revenue = (
+        lineitem.filter(
+            (F.col("l_linestatus") == "F")
+            & (F.col("l_shipdate") >= F.lit("1996-04-01").cast("date"))
+            & (F.col("l_shipdate") < F.lit("1996-07-01").cast("date"))
+        )
+        .join(ok, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(my_customers), F.col("o_custkey") == F.col("c"), "left_semi")
+        .groupBy("o_custkey")
+        .agg(F.sum(_cents()).alias("rev_cents"))
+    )
+    return (
+        my_revenue.select(
+            F.floor(F.col("rev_cents") / 500000).cast("long").alias("segment")
+        )
+        .groupBy("segment")
+        .agg(F.count("*").alias("num_customers"))
+        .select("segment", "num_customers", (F.col("segment") * 5000).alias("segment_base"))
+        .orderBy("segment")
+    )
+
+
+# --------------------------------------------------------------------------
+# q75 — year-over-year per-brand sales decline (q75.sql)
+# --------------------------------------------------------------------------
+@query(
+    "tpcds_q75",
+    oracle=f"""
+    WITH all_sales AS (
+      SELECT year(l.l_shipdate) AS d_year, p.p_brand AS brand,
+             SUM(CAST(l.l_quantity AS BIGINT)) AS sales_cnt,
+             SUM({_NET_CENTS_SQL}) AS sales_amt
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE year(l.l_shipdate) IN (1996, 1997)
+        AND l.l_returnflag <> 'R'
+      GROUP BY 1, 2)
+    SELECT prev.d_year AS prev_year, curr.d_year AS year,
+           curr.brand AS brand,
+           prev.sales_cnt AS prev_yr_cnt, curr.sales_cnt AS curr_yr_cnt,
+           curr.sales_cnt - prev.sales_cnt AS sales_cnt_diff,
+           curr.sales_amt - prev.sales_amt AS sales_amt_diff
+    FROM all_sales curr JOIN all_sales prev
+      ON curr.brand = prev.brand
+     AND curr.d_year = 1997 AND prev.d_year = 1996
+    WHERE 10 * curr.sales_cnt < 9 * prev.sales_cnt
+    ORDER BY sales_cnt_diff, sales_amt_diff, brand
+    """,
+    doc="TPC-DS q75 shape (tpcds_3.2/q75.sql: all_sales = three-channel "
+    "union of sales minus returns per item hierarchy, current year "
+    "joined to previous year keeping brands whose unit count fell below "
+    "90%): net-of-returns quantity and amount per (year, brand), "
+    "1997-vs-1996 self-join, decline test as integer "
+    "cross-multiplication (10*curr < 9*prev). Spark folds the two CTE "
+    "instantiations into one aggregation and joins the two year slices "
+    "on brand.",
+)
+def tpcds_q75(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem, part = _t(spark, sf_dir, "lineitem", "part")
+    all_sales = (
+        lineitem.filter(
+            F.year("l_shipdate").isin(1996, 1997) & (F.col("l_returnflag") != "R")
+        )
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(F.year("l_shipdate").alias("d_year"), F.col("p_brand").alias("brand"))
+        .agg(
+            F.sum(F.col("l_quantity").cast("long")).alias("sales_cnt"),
+            F.sum(_net_cents()).alias("sales_amt"),
+        )
+    )
+    curr = all_sales.filter(F.col("d_year") == 1997).select(
+        F.col("d_year").alias("year"),
+        "brand",
+        F.col("sales_cnt").alias("curr_yr_cnt"),
+        F.col("sales_amt").alias("curr_amt"),
+    )
+    prev = all_sales.filter(F.col("d_year") == 1996).select(
+        F.col("d_year").alias("prev_year"),
+        F.col("brand").alias("brand_p"),
+        F.col("sales_cnt").alias("prev_yr_cnt"),
+        F.col("sales_amt").alias("prev_amt"),
+    )
+    return (
+        curr.join(prev, F.col("brand") == F.col("brand_p"))
+        .filter(10 * F.col("curr_yr_cnt") < 9 * F.col("prev_yr_cnt"))
+        .select(
+            "prev_year",
+            "year",
+            "brand",
+            "prev_yr_cnt",
+            "curr_yr_cnt",
+            (F.col("curr_yr_cnt") - F.col("prev_yr_cnt")).alias("sales_cnt_diff"),
+            (F.col("curr_amt") - F.col("prev_amt")).alias("sales_amt_diff"),
+        )
+        .orderBy("sales_cnt_diff", "sales_amt_diff", "brand")
+    )
+
+
+# --------------------------------------------------------------------------
+# q78 — cross-channel ratio for return-free sales (q78.sql)
+# --------------------------------------------------------------------------
+@query(
+    "tpcds_q78",
+    oracle="""
+    WITH returned_orders AS (
+      SELECT DISTINCT l_orderkey FROM lineitem WHERE l_returnflag = 'R'),
+    ss AS (
+      SELECT l_partkey AS item,
+             SUM(CAST(l_quantity AS BIGINT)) AS ss_qty,
+             SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS ss_amt
+      FROM lineitem
+      WHERE l_linestatus = 'F' AND year(l_shipdate) = 1996
+        AND l_orderkey NOT IN (SELECT l_orderkey FROM returned_orders)
+      GROUP BY 1),
+    os AS (
+      SELECT l_partkey AS item,
+             SUM(CAST(l_quantity AS BIGINT)) AS other_qty,
+             SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS other_amt
+      FROM lineitem
+      WHERE l_linestatus = 'O' AND year(l_shipdate) = 1996
+      GROUP BY 1)
+    SELECT ss.item AS item, ss.ss_qty, ss.ss_amt,
+           COALESCE(os.other_qty, 0) AS other_qty,
+           ROUND(ss.ss_qty * 1.0 / NULLIF(COALESCE(os.other_qty, 0), 0), 4)
+             AS qty_ratio
+    FROM ss LEFT JOIN os ON ss.item = os.item
+    WHERE 2 * ss.ss_qty > COALESCE(os.other_qty, 0)
+    ORDER BY item
+    """,
+    doc="TPC-DS q78 shape (tpcds_3.2/q78.sql: per item-year store sales "
+    "restricted to rows with NO matching return (null-extended left "
+    "join), ratioed against web+catalog volumes): 'F'-channel quantity "
+    "per item excluding returned orders (left-anti on the distinct "
+    "returned-order set), left-joined to the 'O'-channel aggregate with "
+    "COALESCE null extension, keeping items where the return-free store "
+    "volume dominates. Two aggregations on the same item key + one "
+    "null-tolerant join; the ratio is a rounded division guarded by "
+    "NULLIF.",
+)
+def tpcds_q78(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    y96 = lineitem.filter(F.year("l_shipdate") == 1996)
+    returned = (
+        lineitem.filter(F.col("l_returnflag") == "R")
+        .select(F.col("l_orderkey").alias("r_orderkey"))
+        .distinct()
+    )
+    qty = F.col("l_quantity").cast("long")
+    ss = (
+        y96.filter(F.col("l_linestatus") == "F")
+        .join(returned, F.col("l_orderkey") == F.col("r_orderkey"), "left_anti")
+        .groupBy(F.col("l_partkey").alias("item"))
+        .agg(F.sum(qty).alias("ss_qty"), F.sum(_cents()).alias("ss_amt"))
+    )
+    os_ = (
+        y96.filter(F.col("l_linestatus") == "O")
+        .groupBy(F.col("l_partkey").alias("o_item"))
+        .agg(F.sum(qty).alias("other_qty"), F.sum(_cents()).alias("other_amt"))
+    )
+    return (
+        ss.join(os_, F.col("item") == F.col("o_item"), "left")
+        .select(
+            "item",
+            "ss_qty",
+            "ss_amt",
+            F.coalesce("other_qty", F.lit(0)).alias("other_qty"),
+            dround(
+                F.col("ss_qty")
+                / F.nullif(F.coalesce("other_qty", F.lit(0)), F.lit(0)),
+                4,
+            ).alias("qty_ratio"),
+        )
+        .filter(2 * F.col("ss_qty") > F.col("other_qty"))
+        .orderBy("item")
+    )
+
+
+# --------------------------------------------------------------------------
+# q80 — three-channel sales/returns/profit ROLLUP union (q80.sql)
+# --------------------------------------------------------------------------
+@query(
+    "tpcds_q80",
+    oracle=f"""
+    WITH per_chan AS (
+      SELECT CASE l_linestatus WHEN 'F' THEN 'store channel'
+                               ELSE 'catalog channel' END AS channel,
+             p_brand AS id,
+             SUM(CASE WHEN l_returnflag <> 'R'
+                      THEN CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                      ELSE 0 END) AS sales_cents,
+             SUM(CASE WHEN l_returnflag = 'R'
+                      THEN CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                      ELSE 0 END) AS returns_cents,
+             SUM(CASE WHEN l_returnflag <> 'R'
+                      THEN {_NET_CENTS_SQL} ELSE 0 END) AS profit_cents
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE year(l_shipdate) = 1996
+      GROUP BY 1, 2)
+    SELECT channel, id,
+           CAST(SUM(sales_cents) AS BIGINT) AS sales,
+           CAST(SUM(returns_cents) AS BIGINT) AS returns,
+           CAST(SUM(profit_cents) AS BIGINT) AS profit
+    FROM per_chan
+    GROUP BY ROLLUP (channel, id)
+    ORDER BY channel NULLS FIRST, id NULLS FIRST
+    """,
+    doc="TPC-DS q80 shape (tpcds_3.2/q80.sql: per-channel CTEs of sales / "
+    "returns / net profit unioned then ROLLUP(channel, id)): channel "
+    "slices from linestatus computed in one fact pass of conditional "
+    "cent sums, re-aggregated under rollup(channel, brand) for channel "
+    "and grand totals. The rollup runs over the per-(channel, brand) "
+    "aggregate — constant-factor grouping-set expansion, no second "
+    "fact shuffle.",
+)
+def tpcds_q80(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem, part = _t(spark, sf_dir, "lineitem", "part")
+    cents = _cents()
+    is_ret = F.col("l_returnflag") == "R"
+    per_chan = (
+        lineitem.filter(F.year("l_shipdate") == 1996)
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(
+            F.when(F.col("l_linestatus") == "F", "store channel")
+            .otherwise("catalog channel")
+            .alias("channel"),
+            F.col("p_brand").alias("id"),
+        )
+        .agg(
+            F.sum(F.when(~is_ret, cents).otherwise(F.lit(0))).alias("sales_cents"),
+            F.sum(F.when(is_ret, cents).otherwise(F.lit(0))).alias("returns_cents"),
+            F.sum(F.when(~is_ret, _net_cents()).otherwise(F.lit(0))).alias(
+                "profit_cents"
+            ),
+        )
+    )
+    return (
+        per_chan.rollup("channel", "id")
+        .agg(
+            F.sum("sales_cents").alias("sales"),
+            F.sum("returns_cents").alias("returns"),
+            F.sum("profit_cents").alias("profit"),
+        )
+        .orderBy(F.col("channel").asc_nulls_first(), F.col("id").asc_nulls_first())
+    )

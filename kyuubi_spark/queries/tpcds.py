@@ -42,6 +42,33 @@ def _rev():
     return F.col("l_extendedprice") * (1 - F.col("l_discount"))
 
 
+def _date_range(col: str, lo: str, hi: str):
+    """[lo, hi) range predicate on the raw timestamp column.
+
+    Replaces year(col)/month(col)/quarter(col) equality FILTERS: those wrap
+    the column in an expression, so parquet predicate pushdown and
+    row-group pruning see nothing (PushedFilters: [IsNotNull] only); a
+    plain range comparison pushes both bounds to the scan. At 100 TB on a
+    date-sorted/z-ordered layout that is the difference between reading
+    one year and reading the whole table. NULL semantics are identical
+    (both forms are false for NULL)."""
+    return (F.col(col) >= F.lit(lo).cast("timestamp_ntz")) & (
+        F.col(col) < F.lit(hi).cast("timestamp_ntz")
+    )
+
+
+def _in_years(col: str, y0: int, y1: int | None = None):
+    """year(col) BETWEEN y0 AND y1 (inclusive) as a pushable range."""
+    return _date_range(col, f"{y0}-01-01", f"{(y1 if y1 is not None else y0) + 1}-01-01")
+
+
+def _in_month(col: str, y: int, m: int):
+    """year(col)=y AND month(col)=m as a pushable range."""
+    ny, nm = (y + 1, 1) if m == 12 else (y, m + 1)
+    return _date_range(col, f"{y}-{m:02d}-01", f"{ny}-{nm:02d}-01")
+
+
+
 # --------------------------------------------------------------------------
 # q1 — CTE + correlated average over the CTE + star join (tpcds_3.2/q1.sql)
 # --------------------------------------------------------------------------
@@ -78,7 +105,7 @@ def tpcds_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ctr = (
         lineitem.filter(
-            (F.col("l_returnflag") == "R") & (F.year("l_shipdate") == 1996)
+            (F.col("l_returnflag") == "R") & _in_years("l_shipdate", 1996)
         )
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy(
@@ -231,7 +258,7 @@ def tpcds_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, "lineitem", "orders", "customer", "part"
     )
     o = orders.filter(
-        (F.year("o_orderdate") == 1996)
+        _in_years("o_orderdate", 1996)
         & ((F.col("o_orderpriority") == "5-LOW") | (F.col("o_orderstatus") == "F"))
     )
     c = customer.filter(F.col("c_mktsegment") == "BUILDING")
@@ -284,7 +311,7 @@ def tpcds_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, "lineitem", "orders", "customer", "nation", "supplier", "part"
     )
     o = orders.filter(
-        (F.year("o_orderdate") == 1996) & (F.month("o_orderdate") == 11)
+        _in_month("o_orderdate", 1996, 11)
     )
     cn = nation.select(
         F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cn_name")
@@ -415,7 +442,7 @@ def tpcds_q34(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tpcds_q36(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem, part, supplier = _t(spark, sf_dir, "lineitem", "part", "supplier")
     base = (
-        lineitem.filter(F.year("l_shipdate") == 1996)
+        lineitem.filter(_in_years("l_shipdate", 1996))
         .join(
             supplier.filter(F.col("s_nationkey").isin(1, 2, 3)),
             F.col("s_suppkey") == F.col("l_suppkey"),
@@ -543,7 +570,7 @@ def tpcds_q38(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tpcds_q47(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem, part, supplier = _t(spark, sf_dir, "lineitem", "part", "supplier")
     grouped = (
-        lineitem.filter(F.year("l_shipdate").between(1995, 1997))
+        lineitem.filter(_in_years("l_shipdate", 1995, 1997))
         .join(part, F.col("l_partkey") == F.col("p_partkey"))
         .join(supplier, F.col("s_suppkey") == F.col("l_suppkey"))
         .groupBy(
@@ -676,7 +703,7 @@ def tpcds_q51(spark: SparkSession, sf_dir: str) -> DataFrame:
     # series equals that channel's window sum of its (null-skipped) daily
     # sums. 2 scans + FOJ + 4 windows collapse into 1 scan + 2 windows.
     day = (
-        lineitem.filter(F.year("l_shipdate") == 1996)
+        lineitem.filter(_in_years("l_shipdate", 1996))
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy(
             F.col("l_partkey").alias("item_sk"),
@@ -741,7 +768,7 @@ def tpcds_q51(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tpcds_q67(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem, part, supplier = _t(spark, sf_dir, "lineitem", "part", "supplier")
     base = (
-        lineitem.filter(F.year("l_shipdate") == 1996)
+        lineitem.filter(_in_years("l_shipdate", 1996))
         .join(part, F.col("l_partkey") == F.col("p_partkey"))
         .join(supplier, F.col("s_suppkey") == F.col("l_suppkey"))
         .select(
@@ -934,7 +961,7 @@ def tpcds_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     totals = (
-        lineitem.filter(F.year("l_shipdate").isin(1996, 1997))
+        lineitem.filter(_in_years("l_shipdate", 1996, 1997))
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy(F.col("o_custkey").alias("custkey"))
         .agg(
@@ -1154,7 +1181,7 @@ def tpcds_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         lineitem.join(
             orders.filter(
-                (F.year("o_orderdate") == 1996) & (F.quarter("o_orderdate") == 1)
+                _date_range("o_orderdate", "1996-01-01", "1996-04-01")
             ),
             F.col("o_orderkey") == F.col("l_orderkey"),
         )
@@ -1415,8 +1442,11 @@ def tpcds_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
         return (
             lineitem.filter(
                 (F.col("l_returnflag") == flag)
-                & (F.year("l_shipdate") == 1996)
-                & (F.quarter("l_shipdate") <= max_q)
+                & _date_range(
+                    "l_shipdate",
+                    "1996-01-01",
+                    "1997-01-01" if max_q == 4 else f"1996-{3 * max_q + 1:02d}-01",
+                )
             )
             .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
             .select(*cols)
@@ -1497,7 +1527,7 @@ def _dow_pivot_spark(src=None, date_col: str = "l_shipdate"):
 def tpcds_q43(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem, supplier = _t(spark, sf_dir, "lineitem", "supplier")
     pivot = (
-        lineitem.filter(F.year("l_shipdate") == 1996)
+        lineitem.filter(_in_years("l_shipdate", 1996))
         .groupBy("l_suppkey")
         .agg(*_dow_pivot_spark())
     )
@@ -1737,7 +1767,7 @@ def tpcds_q68(spark: SparkSession, sf_dir: str) -> DataFrame:
     dn = (
         lineitem.filter(
             F.dayofmonth("l_shipdate").between(1, 5)
-            & F.year("l_shipdate").isin(1996, 1997)
+            & _in_years("l_shipdate", 1996, 1997)
         )
         .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
         .join(F.broadcast(supplier), F.col("s_suppkey") == F.col("l_suppkey"))
@@ -1936,7 +1966,7 @@ def tpcds_q31(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
     pivot = (
         lineitem.filter(
-            flag.isin("N", "A") & (F.year("l_shipdate") == 1996) & q.isin(1, 2, 3)
+            flag.isin("N", "A") & _date_range("l_shipdate", "1996-01-01", "1996-10-01")
         )
         .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
         .join(customer, F.col("c_custkey") == F.col("o_custkey"))

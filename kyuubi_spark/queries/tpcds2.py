@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 from kyuubi_spark.functions.compat import dround
 from kyuubi_spark.queries import query
+from kyuubi_spark.queries.tpcds import _date_range, _in_month, _in_years
 from kyuubi_spark.session import load_table
 
 
@@ -99,7 +100,7 @@ def tpcds_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     pivoted = (
-        lineitem.filter(yr.isin(1996, 1997))
+        lineitem.filter(_in_years("l_shipdate", 1996, 1997))
         .join(orders.select("o_orderkey", "o_custkey"), F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("o_custkey")
         .agg(
@@ -231,7 +232,7 @@ def tpcds_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, "lineitem", "orders", "customer", "nation"
     )
     joined = (
-        lineitem.filter(F.year("l_shipdate") == 1997)
+        lineitem.filter(_in_years("l_shipdate", 1997))
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(customer, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
@@ -296,7 +297,7 @@ def tpcds_q23(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem, orders = _t(spark, sf_dir, "lineitem", "orders")
     net = _net_cents()
     frequent = (
-        lineitem.filter(F.year("l_shipdate") == 1996)
+        lineitem.filter(_in_years("l_shipdate", 1996))
         .groupBy("l_partkey")
         .agg(F.countDistinct("l_shipdate").alias("nd"))
         .filter(F.col("nd") > 6)
@@ -435,7 +436,7 @@ def tpcds_q39(spark: SparkSession, sf_dir: str) -> DataFrame:
     qty = F.col("l_quantity").cast("long")
     stats = (
         lineitem.filter(
-            (F.year("l_shipdate") == 1996) & F.month("l_shipdate").isin(3, 4)
+            _date_range("l_shipdate", "1996-03-01", "1996-05-01")
         )
         .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
@@ -602,7 +603,7 @@ def tpcds_q49(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = _cents()
     is_ret = F.col("l_returnflag") == "R"
     base = (
-        lineitem.filter(F.year("l_shipdate") == 1996)
+        lineitem.filter(_in_years("l_shipdate", 1996))
         .join(orders.select("o_orderkey", "o_orderstatus"), F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy(F.col("o_orderstatus").alias("status"), F.col("l_partkey").alias("item"))
         .agg(
@@ -687,7 +688,7 @@ def tpcds_q50(spark: SparkSession, sf_dir: str) -> DataFrame:
         return F.sum(F.when(cond, 1).otherwise(0))
 
     return (
-        lineitem.filter(F.year("l_shipdate") == 1997)
+        lineitem.filter(_in_years("l_shipdate", 1997))
         .join(orders.select("o_orderkey", "o_orderdate"), F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
@@ -752,7 +753,7 @@ def tpcds_q57(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, "lineitem", "part", "supplier", "nation"
     )
     v1 = (
-        lineitem.filter(F.year("l_shipdate").isin(1996, 1997))
+        lineitem.filter(_in_years("l_shipdate", 1996, 1997))
         .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
         .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
@@ -848,7 +849,7 @@ def tpcds_q70(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, "lineitem", "supplier", "nation", "region"
     )
     profit = (
-        lineitem.filter(F.year("l_shipdate") == 1997)
+        lineitem.filter(_in_years("l_shipdate", 1997))
         .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
@@ -928,7 +929,7 @@ def tpcds_q70(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def tpcds_q87(spark: SparkSession, sf_dir: str) -> DataFrame:
     (orders,) = _t(spark, sf_dir, "orders")
-    y96 = orders.filter(F.year("o_orderdate") == 1996)
+    y96 = orders.filter(_in_years("o_orderdate", 1996))
 
     def chan(status: str) -> DataFrame:
         return (
@@ -964,7 +965,7 @@ def tpcds_q87(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tpcds_q90(spark: SparkSession, sf_dir: str) -> DataFrame:
     (lineitem,) = _t(spark, sf_dir, "lineitem")
     base = lineitem.filter(
-        (F.year("l_shipdate") == 1996) & F.col("l_quantity").between(10, 30)
+        _in_years("l_shipdate", 1996) & F.col("l_quantity").between(10, 30)
     )
     moy = F.month("l_shipdate")
     counts = base.agg(
@@ -1010,7 +1011,7 @@ def tpcds_q90(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def tpcds_q97(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem, orders = _t(spark, sf_dir, "lineitem", "orders")
-    base = lineitem.filter(F.year("l_shipdate") == 1996).join(
+    base = lineitem.filter(_in_years("l_shipdate", 1996)).join(
         orders.select("o_orderkey", "o_custkey"), F.col("l_orderkey") == F.col("o_orderkey")
     )
 
@@ -1161,7 +1162,7 @@ def tpcds_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def tpcds_q35(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders, customer, nation = _t(spark, sf_dir, "orders", "customer", "nation")
-    y96 = orders.filter(F.year("o_orderdate") == 1996)
+    y96 = orders.filter(_in_years("o_orderdate", 1996))
     store_c = (
         y96.filter(F.col("o_orderstatus") == "F").select("o_custkey").distinct()
     )
@@ -1234,8 +1235,7 @@ def tpcds_q54(spark: SparkSession, sf_dir: str) -> DataFrame:
     my_customers = (
         lineitem.filter(
             (F.col("l_linestatus") == "O")
-            & (F.year("l_shipdate") == 1996)
-            & (F.month("l_shipdate") == 3)
+            & _in_month("l_shipdate", 1996, 3)
         )
         .join(
             F.broadcast(part.filter(F.col("p_type").isin("PROMO", "ECONOMY"))),
@@ -1305,7 +1305,7 @@ def tpcds_q75(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem, part = _t(spark, sf_dir, "lineitem", "part")
     all_sales = (
         lineitem.filter(
-            F.year("l_shipdate").isin(1996, 1997) & (F.col("l_returnflag") != "R")
+            _in_years("l_shipdate", 1996, 1997) & (F.col("l_returnflag") != "R")
         )
         .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
         .groupBy(F.year("l_shipdate").alias("d_year"), F.col("p_brand").alias("brand"))
@@ -1385,7 +1385,7 @@ def tpcds_q75(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def tpcds_q78(spark: SparkSession, sf_dir: str) -> DataFrame:
     (lineitem,) = _t(spark, sf_dir, "lineitem")
-    y96 = lineitem.filter(F.year("l_shipdate") == 1996)
+    y96 = lineitem.filter(_in_years("l_shipdate", 1996))
     returned = (
         lineitem.filter(F.col("l_returnflag") == "R")
         .select(F.col("l_orderkey").alias("r_orderkey"))
@@ -1463,7 +1463,7 @@ def tpcds_q80(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = _cents()
     is_ret = F.col("l_returnflag") == "R"
     per_chan = (
-        lineitem.filter(F.year("l_shipdate") == 1996)
+        lineitem.filter(_in_years("l_shipdate", 1996))
         .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
         .groupBy(
             F.when(F.col("l_linestatus") == "F", "store channel")

@@ -84,8 +84,9 @@ _CHANGED_THIS_ROUND = {
     "bloom_decontaminate",
     "semantic_dedup",
     "perplexity_filter",
-    *[f"tpcds_q{i}" for i in (4, 16, 18, 21, 23, 28, 35, 39, 44, 49, 50, 54,
-                              57, 70, 75, 78, 80, 87, 90, 97)],
+    *[f"tpcds_q{i}" for i in (4, 16, 18, 21, 23, 28, 32, 35, 39, 41, 44, 45,
+                              48, 49, 50, 54, 57, 61, 66, 69, 70, 75, 76, 78,
+                              80, 87, 90, 97)],
     # signature-relation persistence touched every self-joined dedup path
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",

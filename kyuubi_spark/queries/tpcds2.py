@@ -1488,3 +1488,407 @@ def tpcds_q80(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("channel").asc_nulls_first(), F.col("id").asc_nulls_first())
     )
+
+
+# --------------------------------------------------------------------------
+# q32 — excess discount vs 1.3x correlated per-item average (q32.sql)
+# --------------------------------------------------------------------------
+@query(
+    "tpcds_q32",
+    oracle="""
+    WITH win AS (
+      SELECT l.l_partkey,
+             CAST(ROUND(l.l_extendedprice * l.l_discount * 100) AS BIGINT)
+               AS disc_cents
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE p.p_brand IN ('Brand#1', 'Brand#2', 'Brand#3')
+        AND l.l_shipdate >= DATE '1996-03-18'
+        AND l.l_shipdate < DATE '1996-06-16'),
+    item_avg AS (
+      SELECT l_partkey, SUM(disc_cents) AS sum_cents, COUNT(*) AS cnt
+      FROM win GROUP BY 1)
+    SELECT CAST(SUM(w.disc_cents) AS BIGINT) AS excess_discount_cents
+    FROM win w JOIN item_avg a ON w.l_partkey = a.l_partkey
+    WHERE 10 * w.disc_cents * a.cnt > 13 * a.sum_cents
+    """,
+    doc="TPC-DS q32 shape (tpcds_3.2/q32.sql: 'excess discount amount' — "
+    "sum of discounts exceeding 1.3x the item's own 90-day average, "
+    "correlated scalar subquery over the same scan): the subquery "
+    "decorrelates to a per-item aggregate joined back to the windowed "
+    "scan; the 1.3x threshold is integer cross-multiplication "
+    "(10*disc*cnt > 13*sum) over discount cents — exact on both "
+    "engines. Brand + date-range filters push into the scans.",
+)
+def tpcds_q32(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem, part = _t(spark, sf_dir, "lineitem", "part")
+    disc_cents = F.round(
+        F.col("l_extendedprice") * F.col("l_discount") * 100
+    ).cast("long")
+    win = (
+        lineitem.filter(_date_range("l_shipdate", "1996-03-18", "1996-06-16"))
+        .join(
+            F.broadcast(part.filter(F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3"))),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .select("l_partkey", disc_cents.alias("disc_cents"))
+    )
+    item_avg = win.groupBy(F.col("l_partkey").alias("k")).agg(
+        F.sum("disc_cents").alias("sum_cents"), F.count("*").alias("cnt")
+    )
+    return (
+        win.join(item_avg, F.col("l_partkey") == F.col("k"))
+        .filter(10 * F.col("disc_cents") * F.col("cnt") > 13 * F.col("sum_cents"))
+        .agg(F.sum("disc_cents").alias("excess_discount_cents"))
+    )
+
+
+# --------------------------------------------------------------------------
+# q41 — distinct names via correlated attribute-combination count (q41.sql)
+# --------------------------------------------------------------------------
+@query(
+    "tpcds_q41",
+    oracle="""
+    SELECT DISTINCT i1.p_name AS product_name
+    FROM part i1
+    WHERE i1.p_partkey BETWEEN 100 AND 900
+      AND (SELECT COUNT(*) FROM part i2
+           WHERE i2.p_brand = i1.p_brand
+             AND ((i2.p_type = 'PROMO'   AND i2.p_size BETWEEN 1 AND 15)
+               OR (i2.p_type = 'ECONOMY' AND i2.p_size BETWEEN 20 AND 35))
+          ) > 0
+    ORDER BY product_name
+    """,
+    doc="TPC-DS q41 shape (tpcds_3.2/q41.sql: distinct product names where "
+    "a correlated count over the SAME item table — matching manufacturer "
+    "plus a deep OR-nest of category/color/units/size combinations — is "
+    "positive): correlated count(*) > 0 over the part self-reference "
+    "reduces to a left-semi self-join on brand against the "
+    "attribute-qualified subset; the OR-nest stays a pure pushable scan "
+    "predicate. Dimension-only query — no fact table at all.",
+)
+def tpcds_q41(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (part,) = _t(spark, sf_dir, "part")
+    qual = part.filter(
+        ((F.col("p_type") == "PROMO") & F.col("p_size").between(1, 15))
+        | ((F.col("p_type") == "ECONOMY") & F.col("p_size").between(20, 35))
+    ).select(F.col("p_brand").alias("q_brand"))
+    return (
+        part.filter(F.col("p_partkey").between(100, 900))
+        .join(F.broadcast(qual), F.col("p_brand") == F.col("q_brand"), "left_semi")
+        .select(F.col("p_name").alias("product_name"))
+        .distinct()
+        .orderBy("product_name")
+    )
+
+
+# --------------------------------------------------------------------------
+# q45 — OR of an IN-list and a correlated item-subset membership (q45.sql)
+# --------------------------------------------------------------------------
+@query(
+    "tpcds_q45",
+    oracle="""
+    WITH qual_items AS (
+      SELECT p_partkey FROM part WHERE p_brand IN ('Brand#5', 'Brand#7'))
+    SELECT n.n_name AS nation,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS sales_cents
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE year(l.l_shipdate) = 1996
+      AND (n.n_name IN ('NATION_2', 'NATION_4', 'NATION_6')
+           OR l.l_partkey IN (SELECT p_partkey FROM qual_items))
+    GROUP BY 1 ORDER BY nation
+    """,
+    doc="TPC-DS q45 shape (tpcds_3.2/q45.sql: web sales by zip/county "
+    "where the zip prefix is in a literal list OR the item is in a "
+    "correlated item-id subset): a disjunction of a dimension IN-list "
+    "and a subquery membership — not semi-joinable directly, so Spark "
+    "plans the membership as a broadcast LEFT join marker and filters "
+    "on (in_list OR marker IS NOT NULL), preserving exactly the "
+    "original's OR semantics without a cartesian rewrite.",
+)
+def tpcds_q45(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem, orders, customer, nation, part = _t(
+        spark, sf_dir, "lineitem", "orders", "customer", "nation", "part"
+    )
+    qual = part.filter(F.col("p_brand").isin("Brand#5", "Brand#7")).select(
+        F.col("p_partkey").alias("q_partkey"), F.lit(1).alias("q_hit")
+    )
+    return (
+        lineitem.filter(_in_years("l_shipdate", 1996))
+        .join(orders.select("o_orderkey", "o_custkey"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(qual), F.col("l_partkey") == F.col("q_partkey"), "left")
+        .filter(
+            F.col("n_name").isin("NATION_2", "NATION_4", "NATION_6")
+            | F.col("q_hit").isNotNull()
+        )
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.sum(_cents()).alias("sales_cents"))
+        .orderBy("nation")
+    )
+
+
+# --------------------------------------------------------------------------
+# q48 — single sum over an OR of segment x price-band combos (q48.sql)
+# --------------------------------------------------------------------------
+@query(
+    "tpcds_q48",
+    oracle="""
+    SELECT CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE year(l.l_shipdate) = 1996
+      AND ((c.c_mktsegment = 'BUILDING'
+            AND l.l_extendedprice BETWEEN 30000 AND 60000)
+        OR (c.c_mktsegment = 'MACHINERY'
+            AND l.l_extendedprice BETWEEN 10000 AND 40000)
+        OR (c.c_mktsegment = 'AUTOMOBILE'
+            AND l.l_extendedprice BETWEEN 50000 AND 90000))
+    """,
+    doc="TPC-DS q48 shape (tpcds_3.2/q48.sql: one sum(ss_quantity) under "
+    "an OR of three (marital status x education x price band) demographic "
+    "combos): market-segment x price-band disjunction over the "
+    "order/customer join — a single scalar aggregate whose predicate "
+    "cannot be factored into one pushable conjunct; the per-band price "
+    "bounds still prune via the derived min/max envelope.",
+)
+def tpcds_q48(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem, orders, customer = _t(spark, sf_dir, "lineitem", "orders", "customer")
+    seg = F.col("c_mktsegment")
+    price = F.col("l_extendedprice")
+    return (
+        lineitem.filter(_in_years("l_shipdate", 1996))
+        .join(orders.select("o_orderkey", "o_custkey"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .filter(
+            ((seg == "BUILDING") & price.between(30000, 60000))
+            | ((seg == "MACHINERY") & price.between(10000, 40000))
+            | ((seg == "AUTOMOBILE") & price.between(50000, 90000))
+        )
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("total_qty"))
+    )
+
+
+# --------------------------------------------------------------------------
+# q61 — promotional share of revenue from two scalar aggregates (q61.sql)
+# --------------------------------------------------------------------------
+@query(
+    "tpcds_q61",
+    oracle="""
+    SELECT promo.cents AS promotions, total.cents AS total,
+           ROUND(promo.cents * 100.0 / total.cents, 4) AS promo_pct
+    FROM (SELECT CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT))
+                 AS BIGINT) AS cents
+          FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+          WHERE year(l.l_shipdate) = 1996
+            AND o.o_orderpriority IN ('1-URGENT', '2-HIGH')) promo,
+         (SELECT CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT))
+                 AS BIGINT) AS cents
+          FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+          WHERE year(l.l_shipdate) = 1996) total
+    """,
+    doc="TPC-DS q61 shape (tpcds_3.2/q61.sql: promotional sales over total "
+    "sales x100, two seven-way star-join scalar subqueries cross-joined "
+    "into one ratio row): priority classes stand in for promo channels; "
+    "Spark computes both numerator and denominator in ONE conditional "
+    "pass over the joined scan (the two-subquery form would scan the "
+    "fact twice), then emits the rounded percentage.",
+)
+def tpcds_q61(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem, orders = _t(spark, sf_dir, "lineitem", "orders")
+    cents = _cents()
+    is_promo = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    agged = (
+        lineitem.filter(_in_years("l_shipdate", 1996))
+        .join(
+            orders.select("o_orderkey", "o_orderpriority"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .agg(
+            F.sum(F.when(is_promo, cents)).alias("promotions"),
+            F.sum(cents).alias("total"),
+        )
+    )
+    return agged.select(
+        "promotions",
+        "total",
+        dround(F.col("promotions") * 100.0 / F.col("total"), 4).alias("promo_pct"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q66 — twelve-month sales/quantity pivot per warehouse (q66.sql)
+# --------------------------------------------------------------------------
+_MONTHS = [
+    "jan", "feb", "mar", "apr", "may", "jun",
+    "jul", "aug", "sep", "oct", "nov", "dec",
+]
+
+
+@query(
+    "tpcds_q66",
+    oracle="""
+    SELECT n.n_name AS warehouse, {cols}
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE year(l.l_shipdate) = 1996
+    GROUP BY 1 ORDER BY warehouse
+    """.format(
+        cols=", ".join(
+            f"CAST(SUM(CASE WHEN month(l.l_shipdate) = {m} THEN "
+            f"CAST(ROUND(l.l_extendedprice * 100) AS BIGINT) ELSE 0 END) "
+            f"AS BIGINT) AS {name}_sales, "
+            f"CAST(SUM(CASE WHEN month(l.l_shipdate) = {m} THEN "
+            f"CAST(l.l_quantity AS BIGINT) ELSE 0 END) AS BIGINT) "
+            f"AS {name}_qty"
+            for m, name in enumerate(_MONTHS, start=1)
+        )
+    ),
+    doc="TPC-DS q66 shape (tpcds_3.2/q66.sql: per-warehouse 12-month "
+    "sales pivot — jan_sales..dec_sales plus per-sq-ft variants, "
+    "union of two ship-carrier CTEs re-aggregated): 24 conditional "
+    "month aggregates (12 cent sums + 12 quantity sums) per supplier "
+    "nation in one fact pass — the widest single-aggregate row in the "
+    "corpus, exercising codegen'd multi-aggregate combine.",
+)
+def tpcds_q66(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem, supplier, nation = _t(spark, sf_dir, "lineitem", "supplier", "nation")
+    cents = _cents()
+    qty = F.col("l_quantity").cast("long")
+    moy = F.month("l_shipdate")
+    aggs = []
+    for m, name in enumerate(_MONTHS, start=1):
+        aggs.append(
+            F.sum(F.when(moy == m, cents).otherwise(F.lit(0))).alias(f"{name}_sales")
+        )
+        aggs.append(
+            F.sum(F.when(moy == m, qty).otherwise(F.lit(0))).alias(f"{name}_qty")
+        )
+    return (
+        lineitem.filter(_in_years("l_shipdate", 1996))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("warehouse"))
+        .agg(*aggs)
+        .orderBy("warehouse")
+    )
+
+
+# --------------------------------------------------------------------------
+# q69 — demographics of store-only customers (EXISTS + NOT EXISTS) (q69.sql)
+# --------------------------------------------------------------------------
+@query(
+    "tpcds_q69",
+    oracle="""
+    WITH store_c AS (
+      SELECT DISTINCT o_custkey FROM orders
+      WHERE o_orderstatus = 'F' AND year(o_orderdate) = 1996),
+    other_c AS (
+      SELECT DISTINCT o_custkey FROM orders
+      WHERE o_orderstatus IN ('O', 'P') AND year(o_orderdate) = 1996)
+    SELECT n.n_name AS nation, c.c_mktsegment AS segment,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE EXISTS (SELECT 1 FROM store_c s WHERE s.o_custkey = c.c_custkey)
+      AND NOT EXISTS (SELECT 1 FROM other_c o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY 1, 2 ORDER BY nation, segment
+    """,
+    doc="TPC-DS q69 shape (tpcds_3.2/q69.sql: demographic counts of "
+    "customers with a store purchase but NO web and NO catalog purchase "
+    "in the window — EXISTS + two NOT EXISTS): the q35 complement — "
+    "the store set becomes a broadcast left-semi join and the "
+    "web/catalog set a broadcast left-ANTI join on the same customer "
+    "key, then a dimension-only group-count.",
+)
+def tpcds_q69(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders, customer, nation = _t(spark, sf_dir, "orders", "customer", "nation")
+    y96 = orders.filter(_in_years("o_orderdate", 1996))
+    store_c = (
+        y96.filter(F.col("o_orderstatus") == "F").select("o_custkey").distinct()
+    )
+    other_c = (
+        y96.filter(F.col("o_orderstatus").isin("O", "P"))
+        .select(F.col("o_custkey").alias("x_custkey"))
+        .distinct()
+    )
+    return (
+        customer.join(
+            F.broadcast(store_c), F.col("c_custkey") == store_c["o_custkey"], "left_semi"
+        )
+        .join(
+            F.broadcast(other_c), F.col("c_custkey") == F.col("x_custkey"), "left_anti"
+        )
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"), F.col("c_mktsegment").alias("segment"))
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("nation", "segment")
+    )
+
+
+# --------------------------------------------------------------------------
+# q76 — union-all of marker-row channel scans with literal columns (q76.sql)
+# --------------------------------------------------------------------------
+@query(
+    "tpcds_q76",
+    oracle="""
+    SELECT channel, col_name, d_year, d_qoy, p_type,
+           CAST(COUNT(*) AS BIGINT) AS sales_cnt,
+           CAST(SUM(cents) AS BIGINT) AS sales_cents
+    FROM (
+      SELECT 'store' AS channel, 'l_discount' AS col_name,
+             year(l.l_shipdate) AS d_year, quarter(l.l_shipdate) AS d_qoy,
+             p.p_type AS p_type,
+             CAST(ROUND(l.l_extendedprice * 100) AS BIGINT) AS cents
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE l.l_linestatus = 'F' AND l.l_discount = 0
+      UNION ALL
+      SELECT 'web' AS channel, 'l_tax' AS col_name,
+             year(l.l_shipdate) AS d_year, quarter(l.l_shipdate) AS d_qoy,
+             p.p_type AS p_type,
+             CAST(ROUND(l.l_extendedprice * 100) AS BIGINT) AS cents
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE l.l_linestatus = 'O' AND l.l_tax = 0) u
+    GROUP BY 1, 2, 3, 4, 5
+    ORDER BY channel, col_name, d_year, d_qoy, p_type
+    """,
+    doc="TPC-DS q76 shape (tpcds_3.2/q76.sql: union-all of three channel "
+    "scans keeping rows whose dimension fk IS NULL, literal channel / "
+    "column-name discriminator columns, grouped counts): zero-discount "
+    "and zero-tax rows stand in for the null-fk markers (the testdata "
+    "has no null keys); each branch carries its literal discriminators "
+    "through the union into one grouped count/sum — the plan shape that "
+    "stresses union-all widening plus aggregation over mixed literal "
+    "and scan columns.",
+)
+def tpcds_q76(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem, part = _t(spark, sf_dir, "lineitem", "part")
+
+    def branch(status: str, channel: str, col_name: str, marker) -> DataFrame:
+        return (
+            lineitem.filter((F.col("l_linestatus") == status) & marker)
+            .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+            .select(
+                F.lit(channel).alias("channel"),
+                F.lit(col_name).alias("col_name"),
+                F.year("l_shipdate").alias("d_year"),
+                F.quarter("l_shipdate").alias("d_qoy"),
+                F.col("p_type").alias("p_type"),
+                _cents().alias("cents"),
+            )
+        )
+
+    u = branch("F", "store", "l_discount", F.col("l_discount") == 0).unionByName(
+        branch("O", "web", "l_tax", F.col("l_tax") == 0)
+    )
+    return (
+        u.groupBy("channel", "col_name", "d_year", "d_qoy", "p_type")
+        .agg(F.count("*").alias("sales_cnt"), F.sum("cents").alias("sales_cents"))
+        .orderBy("channel", "col_name", "d_year", "d_qoy", "p_type")
+    )

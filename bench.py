@@ -84,6 +84,8 @@ HEADLINE = [
     "bloom_decontaminate",
     "semantic_dedup",
     "perplexity_filter",
+    "winnowing_overlap",
+    "incremental_dedup",
     # TPC-DS slice (47 plan-shape ports; see queries/tpcds.py + tpcds2.py)
     *[f"tpcds_q{i}" for i in (1, 2, 4, 6, 7, 9, 10, 11, 13, 14, 16, 17, 18,
                               19, 21, 22, 23, 28, 31, 32, 34, 35, 36, 38, 39,

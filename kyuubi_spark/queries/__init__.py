@@ -84,6 +84,8 @@ _CHANGED_THIS_ROUND = {
     "bloom_decontaminate",
     "semantic_dedup",
     "perplexity_filter",
+    "winnowing_overlap",
+    "incremental_dedup",
     *[f"tpcds_q{i}" for i in (4, 16, 18, 21, 23, 28, 32, 35, 39, 41, 44, 45,
                               48, 49, 50, 54, 57, 61, 66, 69, 70, 75, 76, 78,
                               80, 87, 90, 97)],

@@ -296,3 +296,195 @@ def perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer et al., MOSS) — verbatim-span overlap
+# --------------------------------------------------------------------------
+_WIN_K = 3  # tokens per gram
+_WIN_W = 4  # grams per window
+_WIN_STOP_DF = 50  # drop fingerprints appearing in more docs than this
+
+
+@query(
+    "winnowing_overlap",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id AS id, string_split(trim(text), ' ') AS toks
+      FROM documents),
+    g AS (
+      SELECT id, u.i AS gpos,
+             ('0x' || substring(md5(
+                array_to_string(toks[u.i + 1:u.i + {_WIN_K}], ' ')), 1, 15)
+             )::BIGINT AS h
+      FROM t, unnest(generate_series(0, len(toks) - {_WIN_K})) u(i)
+      WHERE len(toks) >= {_WIN_K}),
+    w AS (
+      SELECT id, gpos, h,
+             MIN(h) OVER (PARTITION BY id ORDER BY gpos
+                          ROWS BETWEEN CURRENT ROW
+                          AND {_WIN_W - 1} FOLLOWING) AS wmin,
+             COUNT(*) OVER (PARTITION BY id) AS ng
+      FROM g),
+    fp AS (SELECT DISTINCT id, wmin AS fp FROM w
+           WHERE gpos <= ng - {_WIN_W}),
+    hot AS (SELECT fp FROM fp GROUP BY fp HAVING COUNT(*) > {_WIN_STOP_DF}),
+    fpf AS (SELECT * FROM fp WHERE fp NOT IN (SELECT fp FROM hot))
+    SELECT a.id AS a_id, b.id AS b_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM fpf a JOIN fpf b ON a.fp = b.fp AND a.id < b.id
+    GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    ORDER BY a_id, b_id
+    """,
+    doc="Winnowing document fingerprints (Schleimer et al. SIGMOD'03, the "
+    "MOSS algorithm): md5-hashed {k}-token grams, minimum per sliding "
+    "window of {w} grams, distinct selected hashes = the doc's "
+    "fingerprint set — any shared verbatim run of >= {span} tokens is "
+    "GUARANTEED to share a fingerprint. Cross-doc matching via an "
+    "inverted fingerprint index (equi-join), keeping pairs sharing >= 2 "
+    "fingerprints. Corpus-hot fingerprints (boilerplate, > {df} docs) "
+    "are dropped before the join — the stop-fingerprint guard that "
+    "bounds join fanout at 100 TB. One explode + one bounded per-doc "
+    "window + one equi-join; no all-pairs stage anywhere."
+    .format(k=_WIN_K, w=_WIN_W, span=_WIN_K + _WIN_W - 1, df=_WIN_STOP_DF),
+)
+def winnowing_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), " ")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - _WIN_K),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + j + 1) for j in range(_WIN_K)]
+        ),
+    )
+    g = (
+        docs.filter(F.size(toks) >= _WIN_K)
+        .select(F.col("doc_id").alias("id"), F.posexplode(grams).alias("gpos", "gram"))
+        .select(
+            "id",
+            "gpos",
+            F.conv(F.substring(F.md5(F.col("gram").cast("binary")), 1, 15), 16, 10)
+            .cast("long")
+            .alias("h"),
+        )
+    )
+    by_doc = Window.partitionBy("id")
+    win = by_doc.orderBy("gpos").rowsBetween(0, _WIN_W - 1)
+    fp = (
+        g.select(
+            "id",
+            "gpos",
+            F.min("h").over(win).alias("wmin"),
+            F.count("*").over(by_doc).alias("ng"),
+        )
+        .filter(F.col("gpos") <= F.col("ng") - _WIN_W)
+        .select("id", F.col("wmin").alias("fp"))
+        .distinct()
+    )
+    hot = fp.groupBy("fp").agg(F.count("*").alias("df")).filter(
+        F.col("df") > _WIN_STOP_DF
+    )
+    # inverted index feeds both self-join sides: persist (one row per
+    # selected fingerprint — a small fraction of the gram stream)
+    fpf = fp.join(hot.select("fp"), "fp", "left_anti").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    a = fpf.select(F.col("id").alias("a_id"), "fp")
+    b = fpf.select(F.col("id").alias("b_id"), F.col("fp").alias("fp_b"))
+    return (
+        a.join(b, (F.col("fp") == F.col("fp_b")) & (F.col("a_id") < F.col("b_id")))
+        .groupBy("a_id", "b_id")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= 2)
+        .orderBy("a_id", "b_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Incremental dedup: new batch vs existing corpus (asymmetric MinHash-LSH)
+# --------------------------------------------------------------------------
+@query(
+    "incremental_dedup",
+    oracle=None,  # set below: needs pipeline._MINHASH_PAIRS_CTE
+    doc="Incremental corpus dedup — the shape an always-on ingestion "
+    "pipeline runs: an incoming batch (doc_id % 10 = 0) is deduped "
+    "AGAINST the existing corpus without re-pairing the corpus with "
+    "itself. MinHash signatures are computed once over both sets; the "
+    "LSH band join is ASYMMETRIC (incoming x corpus only), so its cost "
+    "scales with batch size, not corpus^2; candidates get the exact "
+    "Jaccard>=1/4 verification; incoming docs with any corpus match "
+    "are rejected. Output: per-source accepted/rejected accounting. "
+    "Oracle replays the symmetric pair CTE and keeps mixed pairs.",
+)
+def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kyuubi_spark.functions import dedup as D
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        F.col("doc_id").alias("id"),
+        F.explode(D.shingles_arrow(3)(F.col("text"))).alias("g"),
+    ).localCheckpoint()
+    incoming_pred = F.col("doc_id") % 10 == 0
+    # one signature pass over the full relation, split afterwards
+    cand_all = D.lsh_candidate_pairs(
+        docs, n=3, num_hashes=16, bands=8, shingle_df=sh
+    )
+    # keep only incoming x corpus pairs (either orientation)
+    mixed = cand_all.filter(
+        (F.col("a_id") % 10 == 0) != (F.col("b_id") % 10 == 0)
+    )
+    pairs = D.jaccard_pairs(
+        docs, mixed, n=3, tau_num=1, tau_den=4, shingle_df=sh
+    ).select("a_id", "b_id")
+    rejected = (
+        pairs.select(
+            F.when(F.col("a_id") % 10 == 0, F.col("a_id"))
+            .otherwise(F.col("b_id"))
+            .alias("doc_id")
+        )
+        .distinct()
+    )
+    incoming = docs.filter(incoming_pred).select("doc_id", "source")
+    return (
+        incoming.join(rejected.withColumn("rej", F.lit(1)), "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_incoming"),
+            F.sum(F.when(F.col("rej").isNotNull(), 1).otherwise(0)).alias(
+                "n_rejected"
+            ),
+            F.sum(F.when(F.col("rej").isNull(), 1).otherwise(0)).alias(
+                "n_accepted"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+def _set_incremental_oracle() -> None:
+    from kyuubi_spark.queries import REGISTRY
+    from kyuubi_spark.queries.pipeline import _MINHASH_PAIRS_CTE
+
+    spec = REGISTRY["incremental_dedup"]
+    oracle = f"""
+    WITH {_MINHASH_PAIRS_CTE},
+    mixed AS (
+      SELECT CASE WHEN a_id % 10 = 0 THEN a_id ELSE b_id END AS doc_id
+      FROM dup_pairs WHERE (a_id % 10 = 0) <> (b_id % 10 = 0)
+      GROUP BY 1),
+    inc AS (SELECT doc_id, source FROM documents WHERE doc_id % 10 = 0)
+    SELECT i.source AS source,
+           CAST(COUNT(*) AS BIGINT) AS n_incoming,
+           CAST(COUNT(m.doc_id) AS BIGINT) AS n_rejected,
+           CAST(COUNT(*) - COUNT(m.doc_id) AS BIGINT) AS n_accepted
+    FROM inc i LEFT JOIN mixed m ON i.doc_id = m.doc_id
+    GROUP BY 1 ORDER BY source
+    """
+    REGISTRY["incremental_dedup"] = type(spec)(
+        name=spec.name, builder=spec.builder, oracle=oracle, doc=spec.doc
+    )
+
+
+_set_incremental_oracle()

@@ -198,3 +198,57 @@ def test_gap_fill_spine_is_broadcast(spark, sf_dir):
     plus the window/order exchanges."""
     df = _build(spark, sf_dir, "ts_gap_fill")
     assert plans.broadcast_join_count(df) >= 1
+
+
+# ---- round-3 operators: physical properties of the new plans ----
+
+
+def test_tpcds_date_filters_push_to_scan(spark, sf_dir):
+    # year-filter rewrite: both range bounds must reach the parquet scan
+    for name in ("tpcds_q18", "tpcds_q50", "tpcds_q75"):
+        df = _build(spark, sf_dir, name)
+        pf = " ".join(plans.pushed_filters(df))
+        assert "GreaterThanOrEqual(l_shipdate" in pf, name
+        assert "LessThan(l_shipdate" in pf, name
+
+
+def test_tpcds_q66_pivot_single_fact_shuffle(spark, sf_dir):
+    # 24 conditional aggregates combine map-side: one grouped exchange
+    # (+ the final orderBy range exchange), dims broadcast
+    df = _build(spark, sf_dir, "tpcds_q66")
+    assert plans.exchange_count(df) <= 2
+    assert plans.broadcast_join_count(df) >= 2
+
+
+def test_tpcds_q23_qualifiers_broadcast(spark, sf_dir):
+    # frequent-items and best-customers sets must join as broadcasts,
+    # never shuffling the fact table for the semi joins
+    df = _build(spark, sf_dir, "tpcds_q23")
+    assert plans.broadcast_join_count(df) >= 2
+
+
+def test_mixture_sample_corpus_never_shuffled(spark, sf_dir):
+    # the per-language rate table aggregates (tiny: one row per language —
+    # its exchanges are O(languages), not O(corpus)) and joins back as a
+    # broadcast; the corpus scan itself must reach the filter through
+    # broadcast joins only, never a sort-merge shuffle
+    df = _build(spark, sf_dir, "mixture_sample_temperature")
+    summary = plans.plan_summary(df)
+    assert summary["broadcast_joins"] >= 2
+    assert summary["sortmerge_joins"] == 0
+
+
+def test_bloom_probe_broadcasts_filter(spark, sf_dir):
+    # the word->bits filter is broadcast; no shuffle of the corpus except
+    # the per-doc and per-source aggregations
+    df = _build(spark, sf_dir, "bloom_decontaminate")
+    assert plans.broadcast_join_count(df) >= 1
+    assert "CartesianProduct" not in plans.explain_formatted(df)
+
+
+def test_winnowing_no_cartesian(spark, sf_dir):
+    # fingerprint matching is an equi-join on the inverted index — an
+    # all-pairs/cartesian plan would be quadratic at scale
+    df = _build(spark, sf_dir, "winnowing_overlap")
+    assert "CartesianProduct" not in plans.explain_formatted(df)
+    assert "BroadcastNestedLoopJoin" not in plans.explain_formatted(df)

@@ -1892,3 +1892,273 @@ def tpcds_q76(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("sales_cnt"), F.sum("cents").alias("sales_cents"))
         .orderBy("channel", "col_name", "d_year", "d_qoy", "p_type")
     )
+
+
+# --------------------------------------------------------------------------
+# q12 — revenue share within class via a windowed ratio (q12.sql)
+# --------------------------------------------------------------------------
+@query(
+    "tpcds_q12",
+    oracle="""
+    WITH rev AS (
+      SELECT p.p_type AS class, p.p_brand AS brand,
+             SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) AS cents
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE l.l_shipdate >= DATE '1996-02-01'
+        AND l.l_shipdate < DATE '1996-03-03'
+      GROUP BY 1, 2)
+    SELECT class, brand, cents,
+           ROUND(cents * 100.0 / SUM(cents) OVER (PARTITION BY class), 4)
+             AS revenue_ratio
+    FROM rev ORDER BY class, revenue_ratio DESC, brand
+    """,
+    doc="TPC-DS q12 shape (tpcds_3.2/q12.sql: 30-day web revenue per item, "
+    "revenueratio = item revenue x100 over the class total via "
+    "sum-over-partition window): brand revenue share within its part "
+    "type — one fact aggregation, one window over the aggregate, ratio "
+    "as a rounded division of exact cent sums (the window SUM of longs "
+    "is association-free).",
+)
+def tpcds_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem, part = _t(spark, sf_dir, "lineitem", "part")
+    rev = (
+        lineitem.filter(_date_range("l_shipdate", "1996-02-01", "1996-03-03"))
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(F.col("p_type").alias("class"), F.col("p_brand").alias("brand"))
+        .agg(F.sum(_cents()).alias("cents"))
+    )
+    share = Window.partitionBy("class")
+    return (
+        rev.select(
+            "class",
+            "brand",
+            "cents",
+            dround(F.col("cents") * 100.0 / F.sum("cents").over(share), 4).alias(
+                "revenue_ratio"
+            ),
+        )
+        .orderBy("class", F.col("revenue_ratio").desc(), "brand")
+    )
+
+
+# --------------------------------------------------------------------------
+# q30 — customers returning >1.2x their nation's average (q30.sql)
+# --------------------------------------------------------------------------
+@query(
+    "tpcds_q30",
+    oracle="""
+    WITH ctr AS (
+      SELECT n.n_name AS nation, o.o_custkey AS custkey,
+             SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) AS ret_cents
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      WHERE l.l_returnflag = 'R' AND year(l.l_shipdate) = 1996
+      GROUP BY 1, 2),
+    nation_avg AS (
+      SELECT nation, SUM(ret_cents) AS s, COUNT(*) AS k
+      FROM ctr GROUP BY nation)
+    SELECT c.c_custkey AS custkey, c.c_name AS c_name,
+           ctr.nation AS nation, ctr.ret_cents AS ret_cents
+    FROM ctr
+    JOIN nation_avg a ON ctr.nation = a.nation
+    JOIN customer c ON ctr.custkey = c.c_custkey
+    WHERE 10 * ctr.ret_cents * a.k > 12 * a.s
+    ORDER BY custkey
+    """,
+    doc="TPC-DS q30 shape (tpcds_3.2/q30.sql: web returns per customer per "
+    "state, keep customers whose return total exceeds 1.2x their "
+    "state's average, resolve customer attributes): returns aggregated "
+    "per (nation, customer), nation averages as a broadcastable "
+    "aggregate-of-aggregate, the 1.2x test as integer "
+    "cross-multiplication (10*ret*k > 12*sum) — the q1 pattern at "
+    "customer grain with attribute resolution.",
+)
+def tpcds_q30(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem, orders, customer, nation = _t(
+        spark, sf_dir, "lineitem", "orders", "customer", "nation"
+    )
+    ctr = (
+        lineitem.filter((F.col("l_returnflag") == "R") & _in_years("l_shipdate", 1996))
+        .join(orders.select("o_orderkey", "o_custkey"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer.select("c_custkey", "c_nationkey"), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"), F.col("o_custkey").alias("custkey"))
+        .agg(F.sum(_cents()).alias("ret_cents"))
+    )
+    nation_avg = ctr.groupBy(F.col("nation").alias("na_nation")).agg(
+        F.sum("ret_cents").alias("s"), F.count("*").alias("k")
+    )
+    return (
+        ctr.join(F.broadcast(nation_avg), F.col("nation") == F.col("na_nation"))
+        .filter(10 * F.col("ret_cents") * F.col("k") > 12 * F.col("s"))
+        .join(
+            customer.select("c_custkey", "c_name"),
+            F.col("custkey") == F.col("c_custkey"),
+        )
+        .select(F.col("c_custkey").alias("custkey"), "c_name", "nation", "ret_cents")
+        .orderBy("custkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# q42 / q52 — month-of-year star aggregates ordered by revenue (q42/q52.sql)
+# --------------------------------------------------------------------------
+@query(
+    "tpcds_q42",
+    oracle="""
+    SELECT year(l.l_shipdate) AS d_year, p.p_type AS category,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= DATE '1996-11-01'
+      AND l.l_shipdate < DATE '1996-12-01'
+    GROUP BY 1, 2 ORDER BY cents DESC, d_year, category
+    """,
+    doc="TPC-DS q42 shape (tpcds_3.2/q42.sql: category revenue for one "
+    "month-of-year, ordered by revenue desc): the minimal dated star "
+    "aggregate — one broadcast dim join, one grouped sum, the month "
+    "filter pushed to the scan as a raw range.",
+)
+def tpcds_q42(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem, part = _t(spark, sf_dir, "lineitem", "part")
+    return (
+        lineitem.filter(_in_month("l_shipdate", 1996, 11))
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(F.year("l_shipdate").alias("d_year"), F.col("p_type").alias("category"))
+        .agg(F.sum(_cents()).alias("cents"))
+        .orderBy(F.col("cents").desc(), "d_year", "category")
+    )
+
+
+@query(
+    "tpcds_q52",
+    oracle="""
+    SELECT year(l.l_shipdate) AS d_year, p.p_brand AS brand,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= DATE '1996-11-01'
+      AND l.l_shipdate < DATE '1996-12-01'
+    GROUP BY 1, 2 ORDER BY d_year, cents DESC, brand
+    """,
+    doc="TPC-DS q52 shape (tpcds_3.2/q52.sql: brand revenue for one "
+    "month-of-year, ordered year then revenue desc): q42 at brand "
+    "grain with the original's ordering.",
+)
+def tpcds_q52(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem, part = _t(spark, sf_dir, "lineitem", "part")
+    return (
+        lineitem.filter(_in_month("l_shipdate", 1996, 11))
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(F.year("l_shipdate").alias("d_year"), F.col("p_brand").alias("brand"))
+        .agg(F.sum(_cents()).alias("cents"))
+        .orderBy("d_year", F.col("cents").desc(), "brand")
+    )
+
+
+# --------------------------------------------------------------------------
+# q89 — monthly sales deviating from the yearly average (q89.sql)
+# --------------------------------------------------------------------------
+@query(
+    "tpcds_q89",
+    oracle="""
+    WITH v1 AS (
+      SELECT p.p_type AS category, p.p_brand AS brand, n.n_name AS store,
+             month(l.l_shipdate) AS d_moy,
+             SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) AS sum_cents
+      FROM lineitem l
+      JOIN part p ON l.l_partkey = p.p_partkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      WHERE year(l.l_shipdate) = 1996
+        AND p.p_type IN ('PROMO', 'STANDARD', 'ECONOMY')
+      GROUP BY 1, 2, 3, 4)
+    SELECT category, brand, store, d_moy, sum_cents,
+           ROUND(AVG(sum_cents) OVER (PARTITION BY category, brand, store)
+                 / 100, 2) AS avg_monthly_sales
+    FROM v1
+    QUALIFY AVG(sum_cents) OVER (PARTITION BY category, brand, store) > 0
+      AND abs(sum_cents
+              - AVG(sum_cents) OVER (PARTITION BY category, brand, store)) * 10
+          > AVG(sum_cents) OVER (PARTITION BY category, brand, store)
+    ORDER BY category, brand, store, d_moy
+    """,
+    doc="TPC-DS q89 shape (tpcds_3.2/q89.sql: monthly sales per "
+    "category/brand/store vs the AVG-over-partition, keeping months "
+    "deviating >10%): the q57 family without the neighbor self-joins — "
+    "one fact aggregation, one partition-average window, deviation test "
+    "multiplied through by 10 against exact cent sums (window AVG of "
+    "longs is a deterministic double division).",
+)
+def tpcds_q89(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem, part, supplier, nation = _t(
+        spark, sf_dir, "lineitem", "part", "supplier", "nation"
+    )
+    v1 = (
+        lineitem.filter(_in_years("l_shipdate", 1996))
+        .join(
+            F.broadcast(part.filter(F.col("p_type").isin("PROMO", "STANDARD", "ECONOMY"))),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("p_type").alias("category"),
+            F.col("p_brand").alias("brand"),
+            F.col("n_name").alias("store"),
+            F.month("l_shipdate").alias("d_moy"),
+        )
+        .agg(F.sum(_cents()).alias("sum_cents"))
+    )
+    grp = Window.partitionBy("category", "brand", "store")
+    avg_m = F.avg("sum_cents").over(grp)
+    return (
+        v1.withColumn("avg_raw", avg_m)
+        .filter(
+            (F.col("avg_raw") > 0)
+            & (F.abs(F.col("sum_cents") - F.col("avg_raw")) * 10 > F.col("avg_raw"))
+        )
+        .select(
+            "category",
+            "brand",
+            "store",
+            "d_moy",
+            "sum_cents",
+            dround(F.col("avg_raw") / 100, 2).alias("avg_monthly_sales"),
+        )
+        .orderBy("category", "brand", "store", "d_moy")
+    )
+
+
+# --------------------------------------------------------------------------
+# q96 — scalar count under a time-slot/band filter (q96.sql)
+# --------------------------------------------------------------------------
+@query(
+    "tpcds_q96",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= DATE '1996-06-01'
+      AND l.l_shipdate < DATE '1996-07-01'
+      AND l.l_quantity BETWEEN 20 AND 40
+      AND o.o_orderpriority = '1-URGENT'
+    """,
+    doc="TPC-DS q96 shape (tpcds_3.2/q96.sql: count of store sales in one "
+    "half-hour time slot at one store under a household-demographic "
+    "filter): a pure selectivity benchmark — month slot + quantity band "
+    "+ priority filter, one count, every predicate pushable.",
+)
+def tpcds_q96(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem, orders = _t(spark, sf_dir, "lineitem", "orders")
+    return (
+        lineitem.filter(
+            _in_month("l_shipdate", 1996, 6) & F.col("l_quantity").between(20, 40)
+        )
+        .join(
+            orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_orderkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .agg(F.count("*").alias("cnt"))
+    )

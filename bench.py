@@ -87,10 +87,10 @@ HEADLINE = [
     "winnowing_overlap",
     "incremental_dedup",
     # TPC-DS slice (47 plan-shape ports; see queries/tpcds.py + tpcds2.py)
-    *[f"tpcds_q{i}" for i in (1, 2, 4, 6, 7, 9, 10, 11, 12, 13, 14, 16, 17,
-                              18, 19, 21, 22, 23, 28, 30, 31, 32, 34, 35, 36,
-                              38, 39, 41, 42, 43, 44, 45, 47, 48, 49, 50, 51,
-                              52, 54, 57, 59, 61, 65, 66, 67, 68, 69, 70, 75,
+    *[f"tpcds_q{i}" for i in (1, 2, 4, 6, 7, 8, 9, 10, 11, 12, 13, 14, 16, 17,
+                              18, 19, 21, 22, 23, 27, 28, 30, 31, 32, 34, 35, 36,
+                              37, 38, 39, 41, 42, 43, 44, 45, 47, 48, 49, 50, 51,
+                              52, 54, 57, 58, 59, 61, 65, 66, 67, 68, 69, 70, 75,
                               76, 78, 80, 87, 88, 89, 90, 93, 95, 96, 97,
                               98)],
     # TPC-DS-shaped composites

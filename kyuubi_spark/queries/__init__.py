@@ -86,8 +86,8 @@ _CHANGED_THIS_ROUND = {
     "perplexity_filter",
     "winnowing_overlap",
     "incremental_dedup",
-    *[f"tpcds_q{i}" for i in (4, 12, 16, 18, 21, 23, 28, 30, 32, 35, 39, 41,
-                              42, 44, 45, 48, 49, 50, 52, 54, 57, 61, 66, 69,
+    *[f"tpcds_q{i}" for i in (4, 8, 12, 16, 18, 21, 23, 27, 28, 30, 32, 35, 37, 39, 41,
+                              42, 44, 45, 48, 49, 50, 52, 54, 57, 58, 61, 66, 69,
                               70, 75, 76, 78, 80, 87, 89, 90, 96, 97)],
     # signature-relation persistence touched every self-joined dedup path
     "dedup_ngram_jaccard",

@@ -2162,3 +2162,262 @@ def tpcds_q96(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("cnt"))
     )
+
+
+# --------------------------------------------------------------------------
+# q8 — sales restricted to an intersected qualifier set (q8.sql)
+# --------------------------------------------------------------------------
+@query(
+    "tpcds_q8",
+    oracle="""
+    WITH preferred AS (
+      SELECT n.n_name AS nation
+      FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+      WHERE c.c_acctbal > 7500
+      GROUP BY 1 HAVING COUNT(*) > 10
+      INTERSECT
+      SELECT unnest(['NATION_1','NATION_3','NATION_5','NATION_7','NATION_9',
+                     'NATION_11','NATION_13','NATION_15']) AS nation)
+    SELECT sn.n_name AS store_nation,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS net_cents
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+    WHERE year(l.l_shipdate) = 1996
+      AND sn.n_name IN (SELECT nation FROM preferred)
+    GROUP BY 1 ORDER BY store_nation
+    """,
+    doc="TPC-DS q8 shape (tpcds_3.2/q8.sql: store net profit for stores "
+    "whose zip prefix falls in the INTERSECTION of a literal zip list "
+    "and zips of >10 preferred customers): the qualifier is a set "
+    "INTERSECT between a literal list and a HAVING-count aggregate, "
+    "then a semi filter on the star's store dimension. Spark: the "
+    "intersect runs on two tiny nation sets and broadcasts into a "
+    "left-semi join — the fact table never shuffles for qualification.",
+)
+def tpcds_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem, supplier, nation, customer = _t(
+        spark, sf_dir, "lineitem", "supplier", "nation", "customer"
+    )
+    literal = spark.createDataFrame(
+        [(f"NATION_{i}",) for i in (1, 3, 5, 7, 9, 11, 13, 15)], ["nation"]
+    )
+    counted = (
+        customer.filter(F.col("c_acctbal") > 7500)
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.count("*").alias("k"))
+        .filter(F.col("k") > 10)
+        .select("nation")
+    )
+    preferred = counted.intersect(literal)
+    return (
+        lineitem.filter(_in_years("l_shipdate", 1996))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(
+            F.broadcast(preferred), F.col("n_name") == F.col("nation"), "left_semi"
+        )
+        .groupBy(F.col("n_name").alias("store_nation"))
+        .agg(F.sum(_cents()).alias("net_cents"))
+        .orderBy("store_nation")
+    )
+
+
+# --------------------------------------------------------------------------
+# q27 — three-level ROLLUP of four averages (q27.sql)
+# --------------------------------------------------------------------------
+@query(
+    "tpcds_q27",
+    oracle="""
+    SELECT n.n_name AS nation, c.c_mktsegment AS segment, p.p_type AS category,
+           ROUND(SUM(CAST(l.l_quantity AS BIGINT)) * 1.0 / COUNT(*), 4)
+             AS agg1,
+           ROUND(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) * 1.0
+                 / (COUNT(*) * 100), 4) AS agg2,
+           ROUND(SUM(CAST(ROUND(l.l_discount * 10000) AS BIGINT)) * 1.0
+                 / (COUNT(*) * 10000), 4) AS agg3,
+           ROUND(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100)
+                     AS BIGINT)) * 1.0 / (COUNT(*) * 100), 4) AS agg4
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE year(l.l_shipdate) = 1996 AND c.c_mktsegment IN ('BUILDING', 'MACHINERY')
+    GROUP BY ROLLUP (n.n_name, c.c_mktsegment, p.p_type)
+    ORDER BY nation NULLS FIRST, segment NULLS FIRST, category NULLS FIRST
+    """,
+    doc="TPC-DS q27 shape (tpcds_3.2/q27.sql: rollup(i_item_id, s_state) of "
+    "four demographic-filtered averages over the store star): a "
+    "THREE-level rollup (nation, segment, category) of four integer-sum "
+    "averages — q18's two-level pattern one level deeper, doubling the "
+    "grouping-set expansion while still one fact shuffle.",
+)
+def tpcds_q27(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem, orders, customer, nation, part = _t(
+        spark, sf_dir, "lineitem", "orders", "customer", "nation", "part"
+    )
+    joined = (
+        lineitem.filter(_in_years("l_shipdate", 1996))
+        .join(orders.select("o_orderkey", "o_custkey"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            customer.filter(F.col("c_mktsegment").isin("BUILDING", "MACHINERY")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    )
+    cnt = F.count("*")
+    return (
+        joined.rollup(
+            F.col("n_name").alias("nation"),
+            F.col("c_mktsegment").alias("segment"),
+            F.col("p_type").alias("category"),
+        )
+        .agg(
+            dround(F.sum(F.col("l_quantity").cast("long")) / cnt, 4).alias("agg1"),
+            dround(F.sum(_cents()) / (cnt * 100), 4).alias("agg2"),
+            dround(
+                F.sum(F.round(F.col("l_discount") * 10000).cast("long"))
+                / (cnt * 10000),
+                4,
+            ).alias("agg3"),
+            dround(F.sum(_net_cents()) / (cnt * 100), 4).alias("agg4"),
+        )
+        .orderBy(
+            F.col("nation").asc_nulls_first(),
+            F.col("segment").asc_nulls_first(),
+            F.col("category").asc_nulls_first(),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q37 — price-band items with bounded monthly volume, channel semi (q37.sql)
+# --------------------------------------------------------------------------
+@query(
+    "tpcds_q37",
+    oracle="""
+    WITH vol AS (
+      SELECT l_partkey FROM lineitem
+      WHERE l_shipdate >= DATE '1996-05-01' AND l_shipdate < DATE '1996-07-01'
+      GROUP BY l_partkey
+      HAVING SUM(CAST(l_quantity AS BIGINT)) BETWEEN 100 AND 500)
+    SELECT DISTINCT p.p_partkey AS item, p.p_name AS item_name,
+           CAST(ROUND(p.p_retailprice * 100) AS BIGINT) AS price_cents
+    FROM part p
+    JOIN vol v ON p.p_partkey = v.l_partkey
+    WHERE p.p_retailprice BETWEEN 930 AND 970
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_partkey = p.p_partkey AND l.l_linestatus = 'O'
+                    AND year(l.l_shipdate) = 1996)
+    ORDER BY item
+    """,
+    doc="TPC-DS q37 shape (tpcds_3.2/q37.sql: distinct item id/name/price "
+    "for items in a price band whose inventory stayed between 100 and "
+    "500 over 60 days, sold through catalog): the volume band is a "
+    "HAVING range on a quantity aggregate (both bounds), the channel "
+    "requirement a left-semi join, output a distinct dimension "
+    "projection — a qualifier-heavy dimension query whose fact work is "
+    "two aggregated/semi passes.",
+)
+def tpcds_q37(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem, part = _t(spark, sf_dir, "lineitem", "part")
+    vol = (
+        lineitem.filter(_date_range("l_shipdate", "1996-05-01", "1996-07-01"))
+        .groupBy("l_partkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("q"))
+        .filter(F.col("q").between(100, 500))
+        .select("l_partkey")
+    )
+    sold_o = (
+        lineitem.filter((F.col("l_linestatus") == "O") & _in_years("l_shipdate", 1996))
+        .select(F.col("l_partkey").alias("o_partkey"))
+        .distinct()
+    )
+    return (
+        part.filter(F.col("p_retailprice").between(930, 970))
+        .join(F.broadcast(vol), F.col("p_partkey") == F.col("l_partkey"), "left_semi")
+        .join(F.broadcast(sold_o), F.col("p_partkey") == F.col("o_partkey"), "left_semi")
+        .select(
+            F.col("p_partkey").alias("item"),
+            F.col("p_name").alias("item_name"),
+            F.round(F.col("p_retailprice") * 100).cast("long").alias("price_cents"),
+        )
+        .distinct()
+        .orderBy("item")
+    )
+
+
+# --------------------------------------------------------------------------
+# q58 — items selling equally across all three channels (q58.sql)
+# --------------------------------------------------------------------------
+@query(
+    "tpcds_q58",
+    oracle="""
+    WITH per_chan AS (
+      SELECT l.l_partkey AS item, o.o_orderstatus AS chan,
+             SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) AS cents
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE year(l.l_shipdate) = 1996
+      GROUP BY 1, 2),
+    pivoted AS (
+      SELECT item,
+             SUM(CASE WHEN chan = 'F' THEN cents ELSE 0 END) AS ss,
+             SUM(CASE WHEN chan = 'O' THEN cents ELSE 0 END) AS cs,
+             SUM(CASE WHEN chan = 'P' THEN cents ELSE 0 END) AS ws,
+             CAST(COUNT(DISTINCT chan) AS BIGINT) AS nchan
+      FROM per_chan GROUP BY item)
+    SELECT item, ss AS store_cents, cs AS catalog_cents, ws AS web_cents,
+           ROUND((ss + cs + ws) / 300.0, 4) AS average
+    FROM pivoted
+    WHERE nchan = 3
+      AND 10 * 3 * ss BETWEEN 9 * (ss + cs + ws) AND 11 * (ss + cs + ws)
+      AND 10 * 3 * cs BETWEEN 9 * (ss + cs + ws) AND 11 * (ss + cs + ws)
+      AND 10 * 3 * ws BETWEEN 9 * (ss + cs + ws) AND 11 * (ss + cs + ws)
+    ORDER BY item
+    """,
+    doc="TPC-DS q58 shape (tpcds_3.2/q58.sql: items whose store, catalog "
+    "and web revenue each sit within 10% of the three-channel average "
+    "for one day): three channel CTEs collapse to one conditional pivot "
+    "per item; each 'within [0.9, 1.1] x average' test is an integer "
+    "cross-multiplication (30*c between 9*total and 11*total) over cent "
+    "sums — exact on both engines, no division anywhere.",
+)
+def tpcds_q58(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem, orders = _t(spark, sf_dir, "lineitem", "orders")
+    cents = _cents()
+    per = (
+        lineitem.filter(_in_years("l_shipdate", 1996))
+        .join(
+            orders.select("o_orderkey", "o_orderstatus"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy(F.col("l_partkey").alias("item"))
+        .agg(
+            F.sum(F.when(F.col("o_orderstatus") == "F", cents).otherwise(F.lit(0))).alias("ss"),
+            F.sum(F.when(F.col("o_orderstatus") == "O", cents).otherwise(F.lit(0))).alias("cs"),
+            F.sum(F.when(F.col("o_orderstatus") == "P", cents).otherwise(F.lit(0))).alias("ws"),
+            F.countDistinct("o_orderstatus").alias("nchan"),
+        )
+    )
+    total = F.col("ss") + F.col("cs") + F.col("ws")
+    within = lambda c: (10 * 3 * c >= 9 * total) & (10 * 3 * c <= 11 * total)
+    return (
+        per.filter(
+            (F.col("nchan") == 3)
+            & within(F.col("ss"))
+            & within(F.col("cs"))
+            & within(F.col("ws"))
+        )
+        .select(
+            "item",
+            F.col("ss").alias("store_cents"),
+            F.col("cs").alias("catalog_cents"),
+            F.col("ws").alias("web_cents"),
+            dround(total / 300.0, 4).alias("average"),
+        )
+        .orderBy("item")
+    )

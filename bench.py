@@ -86,6 +86,7 @@ HEADLINE = [
     "perplexity_filter",
     "winnowing_overlap",
     "incremental_dedup",
+    "context_window_chunks",
     # TPC-DS slice (47 plan-shape ports; see queries/tpcds.py + tpcds2.py)
     *[f"tpcds_q{i}" for i in (1, 2, 4, 6, 7, 8, 9, 10, 11, 12, 13, 14, 16, 17,
                               18, 19, 21, 22, 23, 27, 28, 30, 31, 32, 34, 35, 36,

@@ -488,3 +488,74 @@ def _set_incremental_oracle() -> None:
 
 
 _set_incremental_oracle()
+
+
+# --------------------------------------------------------------------------
+# Sliding context-window chunking (pretraining example construction)
+# --------------------------------------------------------------------------
+_CHUNK_LEN = 64  # tokens per training example
+_CHUNK_STRIDE = 48  # tokens between window starts (overlap = len - stride)
+
+
+@query(
+    "context_window_chunks",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
+    c AS (
+      SELECT doc_id, u.i AS chunk_idx,
+             u.i * {_CHUNK_STRIDE} AS start_tok,
+             least(len(toks) - u.i * {_CHUNK_STRIDE}, {_CHUNK_LEN}) AS n_tok,
+             md5(array_to_string(
+               toks[u.i * {_CHUNK_STRIDE} + 1:
+                    u.i * {_CHUNK_STRIDE} + {_CHUNK_LEN}], ' ')) AS chunk_md5
+      FROM t, unnest(generate_series(0,
+             CAST(greatest(ceil((len(toks) - {_CHUNK_LEN}) * 1.0
+                           / {_CHUNK_STRIDE}), 0) AS BIGINT))) u(i)
+      WHERE len(toks) > 0)
+    SELECT doc_id, chunk_idx, start_tok, CAST(n_tok AS BIGINT) AS n_tok,
+           chunk_md5
+    FROM c ORDER BY doc_id, chunk_idx
+    """,
+    doc="Sliding context-window chunking — the example-construction step "
+    "of a pretraining pipeline: each document is cut into {n}-token "
+    "windows with stride {s} ({o}-token overlap so no span is seen only "
+    "at a window boundary); the last window is short rather than "
+    "dropped. Emits (doc, chunk index, start offset, length, content "
+    "md5). Pure per-row array expressions — map-only, zero shuffle "
+    "before the output sort, embarrassingly parallel at any corpus "
+    "size.".format(n=_CHUNK_LEN, s=_CHUNK_STRIDE, o=_CHUNK_LEN - _CHUNK_STRIDE),
+)
+def context_window_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), " ")
+    n_windows = F.greatest(
+        F.ceil((F.size(toks) - _CHUNK_LEN) / F.lit(_CHUNK_STRIDE)), F.lit(0)
+    ).cast("long")
+    chunks = docs.filter(F.size(toks) > 0).select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_windows),
+                lambda i: F.struct(
+                    (i * _CHUNK_STRIDE).cast("long").alias("start_tok"),
+                    F.least(
+                        F.size(toks) - i * _CHUNK_STRIDE, F.lit(_CHUNK_LEN)
+                    ).cast("long").alias("n_tok"),
+                    F.md5(
+                        F.concat_ws(
+                            " ",
+                            F.slice(toks, i * _CHUNK_STRIDE + 1, _CHUNK_LEN),
+                        ).cast("binary")
+                    ).alias("chunk_md5"),
+                ),
+            )
+        ).alias("chunk_idx", "c"),
+    )
+    return chunks.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.col("c.start_tok").alias("start_tok"),
+        F.col("c.n_tok").alias("n_tok"),
+        F.col("c.chunk_md5").alias("chunk_md5"),
+    ).orderBy("doc_id", "chunk_idx")

@@ -87,6 +87,7 @@ HEADLINE = [
     "winnowing_overlap",
     "incremental_dedup",
     "context_window_chunks",
+    "approx_topk_cms",
     # TPC-DS slice (47 plan-shape ports; see queries/tpcds.py + tpcds2.py)
     *[f"tpcds_q{i}" for i in (1, 2, 4, 6, 7, 8, 9, 10, 11, 12, 13, 14, 16, 17,
                               18, 19, 21, 22, 23, 27, 28, 30, 31, 32, 34, 35, 36,
@@ -119,6 +120,7 @@ HEADLINE = [
     "stream_dedup",
     "stream_sink_parquet",
     "stream_upsert_latest",
+    "stream_decontaminate",
     # full-registry completion (everything else, alphabetical)
     "agg_grouping_sets",
     "approx_distinct_users",

@@ -87,6 +87,8 @@ _CHANGED_THIS_ROUND = {
     "winnowing_overlap",
     "incremental_dedup",
     "context_window_chunks",
+    "approx_topk_cms",
+    "stream_decontaminate",
     *[f"tpcds_q{i}" for i in (4, 8, 12, 16, 18, 21, 23, 27, 28, 30, 32, 35, 37, 39, 41,
                               42, 44, 45, 48, 49, 50, 52, 54, 57, 58, 61, 66, 69,
                               70, 75, 76, 78, 80, 87, 89, 90, 96, 97)],

@@ -559,3 +559,88 @@ def context_window_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c.n_tok").alias("n_tok"),
         F.col("c.chunk_md5").alias("chunk_md5"),
     ).orderBy("doc_id", "chunk_idx")
+
+
+# --------------------------------------------------------------------------
+# Count-min sketch heavy hitters (token frequency estimation)
+# --------------------------------------------------------------------------
+_CMS_W = 1024  # buckets per row
+_CMS_D = 4  # hash rows
+
+
+@query(
+    "approx_topk_cms",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest(string_split(trim(text), ' ')) AS tok FROM documents),
+    h AS (
+      SELECT tok,
+             ('0x' || substring(md5(tok), 1, 12))::BIGINT AS h1,
+             ('0x' || substring(md5(tok), 13, 12))::BIGINT AS h2
+      FROM toks),
+    pos AS (
+      SELECT tok, d.d AS d, (h1 + d.d * h2) % {_CMS_W} AS bucket
+      FROM h, (SELECT unnest(generate_series(0, {_CMS_D - 1})) AS d) d),
+    sketch AS (
+      SELECT d, bucket, COUNT(*) AS c FROM pos GROUP BY 1, 2),
+    cand AS (
+      SELECT DISTINCT tok, d, bucket FROM pos),
+    est AS (
+      SELECT c.tok, MIN(s.c) AS cms_est
+      FROM cand c JOIN sketch s ON c.d = s.d AND c.bucket = s.bucket
+      GROUP BY c.tok),
+    truth AS (SELECT tok, COUNT(*) AS true_count FROM toks GROUP BY tok),
+    ranked AS (
+      SELECT e.tok, CAST(e.cms_est AS BIGINT) AS cms_est,
+             CAST(t.true_count AS BIGINT) AS true_count,
+             ROW_NUMBER() OVER (ORDER BY e.cms_est DESC, e.tok) AS rnk
+      FROM est e JOIN truth t ON e.tok = t.tok)
+    SELECT CAST(rnk AS BIGINT) AS rnk, tok, cms_est, true_count
+    FROM ranked WHERE rnk <= 20 ORDER BY rnk
+    """,
+    doc="Count-min sketch heavy hitters (Cormode & Muthukrishnan): token "
+    "counts folded into a {d}x{w} sketch (md5 double-hashed buckets, "
+    "one grouped count per hash row — the sketch is {d}*{w} cells "
+    "REGARDLESS of corpus size, mergeable across partitions by "
+    "addition), point estimates as the min over rows, top-20 tokens by "
+    "estimate with the exact count alongside (CMS guarantees est >= "
+    "truth; the gap is the collision overestimate). At 100 TB the "
+    "sketch build is one map-side-combined aggregation and estimation "
+    "is a broadcast join — no full-frequency shuffle."
+    .format(d=_CMS_D, w=_CMS_W),
+)
+def approx_topk_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.trim(F.col("text")), " ")).alias("tok")
+    )
+    hx = F.md5(F.col("tok").cast("binary"))
+    h1 = F.conv(F.substring(hx, 1, 12), 16, 10).cast("long")
+    h2 = F.conv(F.substring(hx, 13, 12), 16, 10).cast("long")
+    pos = toks.select(
+        "tok",
+        F.posexplode(
+            F.array(*[(h1 + F.lit(d) * h2) % _CMS_W for d in range(_CMS_D)])
+        ).alias("d", "bucket"),
+    )
+    sketch = pos.groupBy("d", "bucket").agg(F.count("*").alias("c"))
+    cand = pos.select("tok", "d", "bucket").distinct()
+    est = (
+        cand.join(F.broadcast(sketch), ["d", "bucket"])
+        .groupBy("tok")
+        .agg(F.min("c").alias("cms_est"))
+    )
+    truth = toks.groupBy("tok").agg(F.count("*").alias("true_count"))
+    ranked = (
+        est.join(truth, "tok")
+        .withColumn(
+            "rnk",
+            F.row_number()
+            .over(Window.orderBy(F.col("cms_est").desc(), F.col("tok")))
+            .cast("bigint"),
+        )
+        .filter(F.col("rnk") <= 20)
+    )
+    return ranked.select("rnk", "tok", "cms_est", "true_count").orderBy("rnk")

@@ -401,3 +401,48 @@ def stream_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(work, ignore_errors=True)
     return out
+
+
+@query(
+    "stream_decontaminate",
+    oracle="""
+    WITH bench AS (
+      SELECT DISTINCT md5(text) AS fp FROM documents WHERE source = 'src0')
+    SELECT d.source AS source, COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN b.fp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_contaminated
+    FROM documents d LEFT JOIN bench b ON md5(d.text) = b.fp
+    GROUP BY 1 ORDER BY source
+    """,
+    doc="Streaming decontamination: the document stream is fingerprinted "
+    "(md5) and LEFT-joined per microbatch against the STATIC benchmark "
+    "fingerprint set (source 'src0') — a stream-static broadcast join, "
+    "stateless and map-side — feeding a running per-source contamination "
+    "count (complete mode). The always-on form of the batch "
+    "contamination check: the static side is re-broadcast per batch, so "
+    "benchmark updates take effect without restarting the stream; state "
+    "is one row per source.",
+)
+def stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kyuubi_spark.session import load_table
+    from kyuubi_spark.streaming.runner import file_stream, run_to_memory
+
+    ensure_runtime_confs(spark)
+    stream = file_stream(spark, os.path.join(sf_dir, "documents.parquet"))
+    bench = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("source") == "src0")
+        .select(F.md5(F.col("text").cast("binary")).alias("fp"))
+        .distinct()
+    )
+    flagged = stream.withColumn(
+        "s_fp", F.md5(F.col("text").cast("binary"))
+    ).join(F.broadcast(bench), F.col("s_fp") == F.col("fp"), "left")
+    agged = flagged.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(F.col("fp").isNotNull(), 1).otherwise(0)).alias(
+            "n_contaminated"
+        ),
+    )
+    result = run_to_memory(agged, output_mode="complete")
+    return result.orderBy("source")

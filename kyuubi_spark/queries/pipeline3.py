@@ -370,27 +370,30 @@ def winnowing_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("h"),
         )
     )
-    by_doc = Window.partitionBy("id")
-    win = by_doc.orderBy("gpos").rowsBetween(0, _WIN_W - 1)
+    # One ordered window computes BOTH the per-window min and the
+    # full-window guard (lead(h, w-1) IS NOT NULL <=> gpos <= ng - w):
+    # same partitioning+ordering -> a single WindowExec, where a
+    # count-over-partition guard would add a second window pass.
+    w_ord = Window.partitionBy("id").orderBy("gpos")
     fp = (
         g.select(
             "id",
-            "gpos",
-            F.min("h").over(win).alias("wmin"),
-            F.count("*").over(by_doc).alias("ng"),
+            F.min("h").over(w_ord.rowsBetween(0, _WIN_W - 1)).alias("wmin"),
+            F.lead("h", _WIN_W - 1).over(w_ord).alias("guard"),
         )
-        .filter(F.col("gpos") <= F.col("ng") - _WIN_W)
+        .filter(F.col("guard").isNotNull())
         .select("id", F.col("wmin").alias("fp"))
         .distinct()
+        # both the hot-fingerprint aggregate and the two self-join sides
+        # read this relation; persist so the gram explode + md5 + window
+        # pipeline runs once (one row per selected fingerprint — a small
+        # fraction of the gram stream)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     hot = fp.groupBy("fp").agg(F.count("*").alias("df")).filter(
         F.col("df") > _WIN_STOP_DF
     )
-    # inverted index feeds both self-join sides: persist (one row per
-    # selected fingerprint — a small fraction of the gram stream)
-    fpf = fp.join(hot.select("fp"), "fp", "left_anti").persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    fpf = fp.join(F.broadcast(hot.select("fp")), "fp", "left_anti")
     a = fpf.select(F.col("id").alias("a_id"), "fp")
     b = fpf.select(F.col("id").alias("b_id"), F.col("fp").alias("fp_b"))
     return (

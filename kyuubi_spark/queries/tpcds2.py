@@ -2421,3 +2421,945 @@ def tpcds_q58(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("item")
     )
+
+
+# --------------------------------------------------------------------------
+# q3 — month-of-year brand revenue across all years (q3.sql)
+# --------------------------------------------------------------------------
+@query(
+    "tpcds_q3",
+    oracle="""
+    SELECT year(l.l_shipdate) AS d_year, p.p_brand AS brand,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE month(l.l_shipdate) = 12 AND p.p_size = 25
+    GROUP BY 1, 2 ORDER BY d_year, cents DESC, brand
+    """,
+    doc="TPC-DS q3 shape (tpcds_3.2/q3.sql: every-December brand revenue "
+    "for one manufacturer across all years): the month-of-year filter "
+    "spans years, so the Spark side expresses it as an OR of per-year "
+    "December ranges (parquet pushes Or(And(ge,lt),...) — month(col)=12 "
+    "alone would prune nothing), semantically identical over the data's "
+    "1995-2001 domain.",
+)
+def tpcds_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import functools
+
+    lineitem, part = _t(spark, sf_dir, "lineitem", "part")
+    decembers = functools.reduce(
+        lambda a, b: a | b, [_in_month("l_shipdate", y, 12) for y in range(1995, 2002)]
+    )
+    return (
+        lineitem.filter(decembers)
+        .join(F.broadcast(part.filter(F.col("p_size") == 25)), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(F.year("l_shipdate").alias("d_year"), F.col("p_brand").alias("brand"))
+        .agg(F.sum(_cents()).alias("cents"))
+        .orderBy("d_year", F.col("cents").desc(), "brand")
+    )
+
+
+# --------------------------------------------------------------------------
+# q15 — zip/state/price OR-qualified quarterly catalog sales (q15.sql)
+# --------------------------------------------------------------------------
+@query(
+    "tpcds_q15",
+    oracle="""
+    SELECT n.n_name AS nation,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS sales_cents
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_shipdate >= DATE '1996-01-01' AND l.l_shipdate < DATE '1996-04-01'
+      AND (n.n_name IN ('NATION_2', 'NATION_8', 'NATION_14')
+           OR c.c_mktsegment IN ('FURNITURE', 'HOUSEHOLD')
+           OR l.l_extendedprice > 80000)
+    GROUP BY 1 ORDER BY nation
+    """,
+    doc="TPC-DS q15 shape (tpcds_3.2/q15.sql: quarterly catalog sales by "
+    "zip where zip-prefix in list OR state in list OR sale > $500): the "
+    "three-way OR of dimension and measure predicates over the customer "
+    "star, grouped by geography — only the date range is pushable; the "
+    "OR evaluates post-join exactly as the original.",
+)
+def tpcds_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem, orders, customer, nation = _t(
+        spark, sf_dir, "lineitem", "orders", "customer", "nation"
+    )
+    return (
+        lineitem.filter(_date_range("l_shipdate", "1996-01-01", "1996-04-01"))
+        .join(orders.select("o_orderkey", "o_custkey"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .filter(
+            F.col("n_name").isin("NATION_2", "NATION_8", "NATION_14")
+            | F.col("c_mktsegment").isin("FURNITURE", "HOUSEHOLD")
+            | (F.col("l_extendedprice") > 80000)
+        )
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.sum(_cents()).alias("sales_cents"))
+        .orderBy("nation")
+    )
+
+
+# --------------------------------------------------------------------------
+# q20 — revenue share within size class (q20.sql)
+# --------------------------------------------------------------------------
+@query(
+    "tpcds_q20",
+    oracle="""
+    WITH rev AS (
+      SELECT p.p_size AS class, p.p_brand AS brand,
+             SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) AS cents
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE l.l_linestatus = 'O'
+        AND l.l_shipdate >= DATE '1996-02-01'
+        AND l.l_shipdate < DATE '1996-03-03'
+        AND p.p_size IN (5, 10, 15, 20)
+      GROUP BY 1, 2)
+    SELECT CAST(class AS BIGINT) AS class, brand, cents,
+           ROUND(cents * 100.0 / SUM(cents) OVER (PARTITION BY class), 4)
+             AS revenue_ratio
+    FROM rev ORDER BY class, revenue_ratio DESC, brand
+    """,
+    doc="TPC-DS q20 shape (tpcds_3.2/q20.sql: 30-day catalog revenue per "
+    "item within selected categories, revenueratio over the class "
+    "total): q12's window-share pattern on the catalog channel with an "
+    "IN-list class filter — ratio of exact cent sums via "
+    "sum-over-partition.",
+)
+def tpcds_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem, part = _t(spark, sf_dir, "lineitem", "part")
+    rev = (
+        lineitem.filter(
+            (F.col("l_linestatus") == "O")
+            & _date_range("l_shipdate", "1996-02-01", "1996-03-03")
+        )
+        .join(
+            F.broadcast(part.filter(F.col("p_size").isin(5, 10, 15, 20))),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy(F.col("p_size").cast("long").alias("class"), F.col("p_brand").alias("brand"))
+        .agg(F.sum(_cents()).alias("cents"))
+    )
+    share = Window.partitionBy("class")
+    return rev.select(
+        "class",
+        "brand",
+        "cents",
+        dround(F.col("cents") * 100.0 / F.sum("cents").over(share), 4).alias(
+            "revenue_ratio"
+        ),
+    ).orderBy("class", F.col("revenue_ratio").desc(), "brand")
+
+
+# --------------------------------------------------------------------------
+# q26 — catalog demographic star of four averages (q26.sql)
+# --------------------------------------------------------------------------
+@query(
+    "tpcds_q26",
+    oracle="""
+    SELECT p.p_brand AS brand,
+           ROUND(SUM(CAST(l.l_quantity AS BIGINT)) * 1.0 / COUNT(*), 4)
+             AS agg1,
+           ROUND(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) * 1.0
+                 / (COUNT(*) * 100), 4) AS agg2,
+           ROUND(SUM(CAST(ROUND(l.l_discount * 10000) AS BIGINT)) * 1.0
+                 / (COUNT(*) * 10000), 4) AS agg3,
+           ROUND(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100)
+                     AS BIGINT)) * 1.0 / (COUNT(*) * 100), 4) AS agg4
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_linestatus = 'O' AND year(l.l_shipdate) = 1996
+      AND c.c_mktsegment = 'AUTOMOBILE'
+    GROUP BY 1 ORDER BY brand
+    """,
+    doc="TPC-DS q26 shape (tpcds_3.2/q26.sql: catalog_sales demographic "
+    "star, four averages per item under gender/marital/education and "
+    "promotion filters): the q7 pattern on the 'O' channel with a "
+    "segment filter — four integer-sum averages per brand, one fact "
+    "shuffle, dims broadcast.",
+)
+def tpcds_q26(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem, orders, customer, part = _t(
+        spark, sf_dir, "lineitem", "orders", "customer", "part"
+    )
+    cnt = F.count("*")
+    return (
+        lineitem.filter((F.col("l_linestatus") == "O") & _in_years("l_shipdate", 1996))
+        .join(orders.select("o_orderkey", "o_custkey"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            customer.filter(F.col("c_mktsegment") == "AUTOMOBILE").select("c_custkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            dround(F.sum(F.col("l_quantity").cast("long")) / cnt, 4).alias("agg1"),
+            dround(F.sum(_cents()) / (cnt * 100), 4).alias("agg2"),
+            dround(
+                F.sum(F.round(F.col("l_discount") * 10000).cast("long")) / (cnt * 10000), 4
+            ).alias("agg3"),
+            dround(F.sum(_net_cents()) / (cnt * 100), 4).alias("agg4"),
+        )
+        .orderBy("brand")
+    )
+
+
+# --------------------------------------------------------------------------
+# q40 — before/after net sales around a pivot date per warehouse (q40.sql)
+# --------------------------------------------------------------------------
+@query(
+    "tpcds_q40",
+    oracle="""
+    SELECT n.n_name AS warehouse, p.p_brand AS item,
+           CAST(SUM(CASE WHEN l.l_shipdate < DATE '1996-07-01'
+                    THEN CAST(ROUND(l.l_extendedprice * (1 - l.l_discount)
+                              * 100) AS BIGINT) ELSE 0 END) AS BIGINT)
+             AS sales_before,
+           CAST(SUM(CASE WHEN l.l_shipdate >= DATE '1996-07-01'
+                    THEN CAST(ROUND(l.l_extendedprice * (1 - l.l_discount)
+                              * 100) AS BIGINT) ELSE 0 END) AS BIGINT)
+             AS sales_after
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_returnflag <> 'R'
+      AND p.p_retailprice BETWEEN 920 AND 980
+      AND l.l_shipdate BETWEEN DATE '1996-06-01' AND DATE '1996-07-31'
+    GROUP BY 1, 2 ORDER BY warehouse, item
+    """,
+    doc="TPC-DS q40 shape (tpcds_3.2/q40.sql: net-of-returns catalog sales "
+    "per warehouse-item 30 days either side of a pivot date, item price "
+    "band): q21's pivot-date pattern over MONEY net of returned rows "
+    "(returnflag exclusion standing in for the catalog_returns "
+    "null-extension) — two conditional cent sums, price band pushed to "
+    "the part scan.",
+)
+def tpcds_q40(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem, supplier, nation, part = _t(
+        spark, sf_dir, "lineitem", "supplier", "nation", "part"
+    )
+    pivot = F.lit("1996-07-01").cast("date")
+    net = _net_cents()
+    return (
+        lineitem.filter(
+            (F.col("l_returnflag") != "R")
+            & F.col("l_shipdate").between(
+                F.lit("1996-06-01").cast("date"), F.lit("1996-07-31").cast("date")
+            )
+        )
+        .join(
+            F.broadcast(part.filter(F.col("p_retailprice").between(920, 980))),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("warehouse"), F.col("p_brand").alias("item"))
+        .agg(
+            F.sum(F.when(F.col("l_shipdate") < pivot, net).otherwise(F.lit(0))).alias(
+                "sales_before"
+            ),
+            F.sum(F.when(F.col("l_shipdate") >= pivot, net).otherwise(F.lit(0))).alias(
+                "sales_after"
+            ),
+        )
+        .orderBy("warehouse", "item")
+    )
+
+
+# --------------------------------------------------------------------------
+# q53 — quarterly brand sales vs partition average (q53.sql)
+# --------------------------------------------------------------------------
+@query(
+    "tpcds_q53",
+    oracle="""
+    WITH v1 AS (
+      SELECT p.p_brand AS brand, quarter(l.l_shipdate) AS d_qoy,
+             SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) AS sum_cents
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE year(l.l_shipdate) = 1996
+        AND p.p_type IN ('LARGE', 'MEDIUM', 'SMALL')
+      GROUP BY 1, 2)
+    SELECT brand, d_qoy, sum_cents,
+           ROUND(AVG(sum_cents) OVER (PARTITION BY brand) / 100, 2)
+             AS avg_quarterly_sales
+    FROM v1
+    QUALIFY AVG(sum_cents) OVER (PARTITION BY brand) > 0
+      AND abs(sum_cents - AVG(sum_cents) OVER (PARTITION BY brand)) * 10
+          > AVG(sum_cents) OVER (PARTITION BY brand)
+    ORDER BY brand, d_qoy
+    """,
+    doc="TPC-DS q53 shape (tpcds_3.2/q53.sql: quarterly manager sales vs "
+    "the AVG-over-partition, keeping >10% deviations): the q89 family at "
+    "quarter grain with an item-type filter — one aggregation, one "
+    "partition-average window, deviation via multiply-through.",
+)
+def tpcds_q53(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem, part = _t(spark, sf_dir, "lineitem", "part")
+    v1 = (
+        lineitem.filter(_in_years("l_shipdate", 1996))
+        .join(
+            F.broadcast(part.filter(F.col("p_type").isin("LARGE", "MEDIUM", "SMALL"))),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy(F.col("p_brand").alias("brand"), F.quarter("l_shipdate").alias("d_qoy"))
+        .agg(F.sum(_cents()).alias("sum_cents"))
+    )
+    grp = Window.partitionBy("brand")
+    return (
+        v1.withColumn("avg_raw", F.avg("sum_cents").over(grp))
+        .filter(
+            (F.col("avg_raw") > 0)
+            & (F.abs(F.col("sum_cents") - F.col("avg_raw")) * 10 > F.col("avg_raw"))
+        )
+        .select(
+            "brand",
+            "d_qoy",
+            "sum_cents",
+            dround(F.col("avg_raw") / 100, 2).alias("avg_quarterly_sales"),
+        )
+        .orderBy("brand", "d_qoy")
+    )
+
+
+# --------------------------------------------------------------------------
+# q55 — single-month brand revenue, revenue-desc order (q55.sql)
+# --------------------------------------------------------------------------
+@query(
+    "tpcds_q55",
+    oracle="""
+    SELECT p.p_brand AS brand,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS ext_cents
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= DATE '1997-08-01'
+      AND l.l_shipdate < DATE '1997-09-01'
+      AND p.p_size BETWEEN 10 AND 20
+    GROUP BY 1 ORDER BY ext_cents DESC, brand
+    """,
+    doc="TPC-DS q55 shape (tpcds_3.2/q55.sql: brand revenue for one "
+    "month/manager, ordered by revenue desc): the q52 pattern on a "
+    "different month with a size-band manager stand-in.",
+)
+def tpcds_q55(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem, part = _t(spark, sf_dir, "lineitem", "part")
+    return (
+        lineitem.filter(_in_month("l_shipdate", 1997, 8))
+        .join(
+            F.broadcast(part.filter(F.col("p_size").between(10, 20))),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(F.sum(_cents()).alias("ext_cents"))
+        .orderBy(F.col("ext_cents").desc(), "brand")
+    )
+
+
+# --------------------------------------------------------------------------
+# q62 — ship-lag buckets per (warehouse, ship mode) (q62.sql)
+# --------------------------------------------------------------------------
+@query(
+    "tpcds_q62",
+    oracle="""
+    SELECT n.n_name AS warehouse, o.o_orderpriority AS ship_mode,
+           CAST(SUM(CASE WHEN date_diff('day', o.o_orderdate, l.l_shipdate)
+                              <= 30 THEN 1 ELSE 0 END) AS BIGINT) AS d30,
+           CAST(SUM(CASE WHEN date_diff('day', o.o_orderdate, l.l_shipdate)
+                              BETWEEN 31 AND 60 THEN 1 ELSE 0 END) AS BIGINT)
+             AS d31_60,
+           CAST(SUM(CASE WHEN date_diff('day', o.o_orderdate, l.l_shipdate)
+                              BETWEEN 61 AND 90 THEN 1 ELSE 0 END) AS BIGINT)
+             AS d61_90,
+           CAST(SUM(CASE WHEN date_diff('day', o.o_orderdate, l.l_shipdate)
+                              BETWEEN 91 AND 120 THEN 1 ELSE 0 END) AS BIGINT)
+             AS d91_120,
+           CAST(SUM(CASE WHEN date_diff('day', o.o_orderdate, l.l_shipdate)
+                              > 120 THEN 1 ELSE 0 END) AS BIGINT) AS d120_plus
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE year(l.l_shipdate) = 1996
+    GROUP BY 1, 2 ORDER BY warehouse, ship_mode
+    """,
+    doc="TPC-DS q62 shape (tpcds_3.2/q62.sql: web ship-lag buckets per "
+    "(warehouse, ship mode, web site)): q50's latency histogram at the "
+    "finer (warehouse nation, order priority) grain — priority stands "
+    "in for ship mode, five conditional counts, one fact shuffle on the "
+    "composite grouping key.",
+)
+def tpcds_q62(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem, orders, supplier, nation = _t(
+        spark, sf_dir, "lineitem", "orders", "supplier", "nation"
+    )
+    lag = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+
+    def bucket(cond):
+        return F.sum(F.when(cond, 1).otherwise(0))
+
+    return (
+        lineitem.filter(_in_years("l_shipdate", 1996))
+        .join(
+            orders.select("o_orderkey", "o_orderdate", "o_orderpriority"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("warehouse"),
+            F.col("o_orderpriority").alias("ship_mode"),
+        )
+        .agg(
+            bucket(lag <= 30).alias("d30"),
+            bucket(lag.between(31, 60)).alias("d31_60"),
+            bucket(lag.between(61, 90)).alias("d61_90"),
+            bucket(lag.between(91, 120)).alias("d91_120"),
+            bucket(lag > 120).alias("d120_plus"),
+        )
+        .orderBy("warehouse", "ship_mode")
+    )
+
+
+# --------------------------------------------------------------------------
+# q73 — order-size band frequent buyers (q73.sql)
+# --------------------------------------------------------------------------
+@query(
+    "tpcds_q73",
+    oracle="""
+    WITH sized AS (
+      SELECT o.o_custkey, l.l_orderkey, COUNT(*) AS n_lines
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE year(o.o_orderdate) = 1996
+      GROUP BY 1, 2 HAVING COUNT(*) BETWEEN 2 AND 4)
+    SELECT c.c_name AS c_name, c.c_mktsegment AS segment,
+           s.l_orderkey AS orderkey, s.n_lines AS n_lines
+    FROM sized s JOIN customer c ON s.o_custkey = c.c_custkey
+    ORDER BY c_name, orderkey
+    """,
+    doc="TPC-DS q73 shape (tpcds_3.2/q73.sql: tickets with 1-5 items per "
+    "household under demographic filters, resolved to customer names): "
+    "q34's frequency-band pattern at ORDER grain (line count per order "
+    "instead of orders per month) — a HAVING band on the per-order "
+    "aggregate joined back to the customer dimension.",
+)
+def tpcds_q73(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem, orders, customer = _t(spark, sf_dir, "lineitem", "orders", "customer")
+    sized = (
+        lineitem.join(
+            orders.filter(_in_years("o_orderdate", 1996)).select(
+                "o_orderkey", "o_custkey"
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("o_custkey", "l_orderkey")
+        .agg(F.count("*").alias("n_lines"))
+        .filter(F.col("n_lines").between(2, 4))
+    )
+    return (
+        sized.join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name",
+            F.col("c_mktsegment").alias("segment"),
+            F.col("l_orderkey").alias("orderkey"),
+            "n_lines",
+        )
+        .orderBy("c_name", "orderkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# q74 — year-over-year quantity-growth comparison (q74.sql)
+# --------------------------------------------------------------------------
+@query(
+    "tpcds_q74",
+    oracle="""
+    WITH year_total AS (
+      SELECT o.o_custkey AS customer_id, year(l.l_shipdate) AS dyear,
+             l.l_linestatus AS channel,
+             SUM(CAST(l.l_quantity AS BIGINT)) AS year_total
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE year(l.l_shipdate) IN (1996, 1997)
+      GROUP BY 1, 2, 3)
+    SELECT c.c_custkey AS customer_id, c.c_name AS customer_name
+    FROM year_total t_s_1 JOIN year_total t_s_2
+      ON t_s_2.customer_id = t_s_1.customer_id
+    JOIN year_total t_w_1 ON t_w_1.customer_id = t_s_1.customer_id
+    JOIN year_total t_w_2 ON t_w_2.customer_id = t_s_1.customer_id
+    JOIN customer c ON c.c_custkey = t_s_1.customer_id
+    WHERE t_s_1.channel = 'F' AND t_s_1.dyear = 1996
+      AND t_s_2.channel = 'F' AND t_s_2.dyear = 1997
+      AND t_w_1.channel = 'O' AND t_w_1.dyear = 1996
+      AND t_w_2.channel = 'O' AND t_w_2.dyear = 1997
+      AND t_s_1.year_total > 0 AND t_w_1.year_total > 0
+      AND t_w_2.year_total * t_s_1.year_total
+          > t_s_2.year_total * t_w_1.year_total
+    ORDER BY customer_id
+    """,
+    doc="TPC-DS q74 shape (tpcds_3.2/q74.sql: q4's four-way year_total "
+    "self-join over QUANTITY totals instead of dollar totals): same "
+    "one-pass conditional pivot + integer cross-multiplied growth "
+    "comparison, demonstrating the CTE fold is measure-agnostic.",
+)
+def tpcds_q74(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem, orders, customer = _t(spark, sf_dir, "lineitem", "orders", "customer")
+    qty = F.col("l_quantity").cast("long")
+    yr = F.year("l_shipdate")
+
+    def tot(status: str, year: int):
+        return F.sum(F.when((F.col("l_linestatus") == status) & (yr == year), qty))
+
+    pivoted = (
+        lineitem.filter(_in_years("l_shipdate", 1996, 1997))
+        .join(orders.select("o_orderkey", "o_custkey"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(
+            tot("F", 1996).alias("s1"),
+            tot("F", 1997).alias("s2"),
+            tot("O", 1996).alias("w1"),
+            tot("O", 1997).alias("w2"),
+        )
+        .filter(
+            (F.col("s1") > 0)
+            & (F.col("w1") > 0)
+            & F.col("s2").isNotNull()
+            & F.col("w2").isNotNull()
+            & (F.col("w2") * F.col("s1") > F.col("s2") * F.col("w1"))
+        )
+    )
+    return (
+        pivoted.join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            F.col("c_custkey").alias("customer_id"),
+            F.col("c_name").alias("customer_name"),
+        )
+        .orderBy("customer_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# q81 — catalog returns vs 1.2x the state average (q81.sql)
+# --------------------------------------------------------------------------
+@query(
+    "tpcds_q81",
+    oracle="""
+    WITH ctr AS (
+      SELECT n.n_name AS nation, o.o_custkey AS custkey,
+             SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100)
+                 AS BIGINT)) AS ret_cents
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      WHERE l.l_returnflag = 'A' AND year(l.l_shipdate) = 1997
+      GROUP BY 1, 2),
+    nation_avg AS (
+      SELECT nation, SUM(ret_cents) AS s, COUNT(*) AS k FROM ctr GROUP BY 1)
+    SELECT c.c_custkey AS custkey, c.c_name AS c_name,
+           c.c_mktsegment AS segment, ctr.nation AS nation,
+           ctr.ret_cents AS ret_cents
+    FROM ctr
+    JOIN nation_avg a ON ctr.nation = a.nation
+    JOIN customer c ON ctr.custkey = c.c_custkey
+    WHERE 10 * ctr.ret_cents * a.k > 12 * a.s
+    ORDER BY custkey
+    """,
+    doc="TPC-DS q81 shape (tpcds_3.2/q81.sql: catalog returns per customer "
+    "vs 1.2x the state average, customer + address attributes resolved): "
+    "q30's pattern on the 'A' return class for 1997 with NET cents and "
+    "an extra resolved attribute — integer cross-multiplied threshold, "
+    "broadcast aggregate-of-aggregate.",
+)
+def tpcds_q81(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem, orders, customer, nation = _t(
+        spark, sf_dir, "lineitem", "orders", "customer", "nation"
+    )
+    ctr = (
+        lineitem.filter((F.col("l_returnflag") == "A") & _in_years("l_shipdate", 1997))
+        .join(orders.select("o_orderkey", "o_custkey"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer.select("c_custkey", "c_nationkey"), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"), F.col("o_custkey").alias("custkey"))
+        .agg(F.sum(_net_cents()).alias("ret_cents"))
+    )
+    nation_avg = ctr.groupBy(F.col("nation").alias("na")).agg(
+        F.sum("ret_cents").alias("s"), F.count("*").alias("k")
+    )
+    return (
+        ctr.join(F.broadcast(nation_avg), F.col("nation") == F.col("na"))
+        .filter(10 * F.col("ret_cents") * F.col("k") > 12 * F.col("s"))
+        .join(
+            customer.select("c_custkey", "c_name", "c_mktsegment"),
+            F.col("custkey") == F.col("c_custkey"),
+        )
+        .select(
+            F.col("c_custkey").alias("custkey"),
+            "c_name",
+            F.col("c_mktsegment").alias("segment"),
+            "nation",
+            "ret_cents",
+        )
+        .orderBy("custkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# q86 — ROLLUP + rank-within-parent, no qualifying subquery (q86.sql)
+# --------------------------------------------------------------------------
+@query(
+    "tpcds_q86",
+    oracle="""
+    WITH rolled AS (
+      SELECT CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS total_cents,
+             p.p_type AS category, p.p_brand AS class,
+             GROUPING(p.p_type) + GROUPING(p.p_brand) AS lochierarchy,
+             CASE WHEN GROUPING(p.p_brand) = 0 THEN p.p_type END AS parent
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE l.l_linestatus = 'O' AND year(l.l_shipdate) = 1997
+      GROUP BY ROLLUP (p.p_type, p.p_brand))
+    SELECT total_cents, category, class, lochierarchy,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY lochierarchy, parent
+             ORDER BY total_cents DESC, category NULLS FIRST,
+                      class NULLS FIRST) AS BIGINT) AS rank_within_parent
+    FROM rolled
+    ORDER BY lochierarchy DESC, category NULLS FIRST, class NULLS FIRST,
+             rank_within_parent
+    """,
+    doc="TPC-DS q86 shape (tpcds_3.2/q86.sql: rollup(i_category, i_class) "
+    "of web net paid with GROUPING-bit hierarchy and rank within each "
+    "parent): q70 without the qualifying subquery — the pure "
+    "rollup+rank-within-parent pattern over the item hierarchy.",
+)
+def tpcds_q86(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem, part = _t(spark, sf_dir, "lineitem", "part")
+    rolled = (
+        lineitem.filter((F.col("l_linestatus") == "O") & _in_years("l_shipdate", 1997))
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            F.col("p_type").alias("category"),
+            F.col("p_brand").alias("class"),
+            _cents().alias("cents"),
+        )
+        .rollup("category", "class")
+        .agg(
+            F.sum("cents").alias("total_cents"),
+            (F.grouping("category") + F.grouping("class")).alias("lochierarchy"),
+            F.when(F.grouping("class") == 0, F.col("category")).alias("parent"),
+        )
+    )
+    rank_w = Window.partitionBy("lochierarchy", "parent").orderBy(
+        F.col("total_cents").desc(),
+        F.col("category").asc_nulls_first(),
+        F.col("class").asc_nulls_first(),
+    )
+    return (
+        rolled.select(
+            "total_cents",
+            "category",
+            "class",
+            "lochierarchy",
+            F.row_number().over(rank_w).cast("bigint").alias("rank_within_parent"),
+        )
+        .orderBy(
+            F.col("lochierarchy").desc(),
+            F.col("category").asc_nulls_first(),
+            F.col("class").asc_nulls_first(),
+            "rank_within_parent",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q5 — sales-and-returns union rows rolled up by channel (q5.sql)
+# --------------------------------------------------------------------------
+@query(
+    "tpcds_q5",
+    oracle="""
+    WITH salesreturns AS (
+      SELECT CASE l.l_linestatus WHEN 'F' THEN 'store channel'
+                                 ELSE 'catalog channel' END AS channel,
+             p.p_brand AS id,
+             CASE WHEN l.l_returnflag <> 'R'
+                  THEN CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                  ELSE 0 END AS sales_cents,
+             CASE WHEN l.l_returnflag = 'R'
+                  THEN CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                  ELSE 0 END AS returns_cents,
+             CASE WHEN l.l_returnflag <> 'R'
+                  THEN CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100)
+                            AS BIGINT)
+                  ELSE -CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100)
+                             AS BIGINT) END AS profit_cents
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE l.l_shipdate >= DATE '1996-08-01'
+        AND l.l_shipdate < DATE '1996-08-15')
+    SELECT channel, id,
+           CAST(SUM(sales_cents) AS BIGINT) AS sales,
+           CAST(SUM(returns_cents) AS BIGINT) AS returns,
+           CAST(SUM(profit_cents) AS BIGINT) AS profit
+    FROM salesreturns
+    GROUP BY ROLLUP (channel, id)
+    ORDER BY channel NULLS FIRST, id NULLS FIRST
+    """,
+    doc="TPC-DS q5 shape (tpcds_3.2/q5.sql: per-channel salesreturns CTEs "
+    "— sales rows and return rows unioned as SIGNED measure rows — "
+    "rolled up by (channel, id) over a 14-day window): returns carry "
+    "negative profit at ROW level before aggregation (q80 aggregates "
+    "per-channel first; q5 unions raw signed rows), then "
+    "rollup(channel, brand).",
+)
+def tpcds_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem, part = _t(spark, sf_dir, "lineitem", "part")
+    cents = _cents()
+    net = _net_cents()
+    is_ret = F.col("l_returnflag") == "R"
+    rows = (
+        lineitem.filter(_date_range("l_shipdate", "1996-08-01", "1996-08-15"))
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            F.when(F.col("l_linestatus") == "F", "store channel")
+            .otherwise("catalog channel")
+            .alias("channel"),
+            F.col("p_brand").alias("id"),
+            F.when(~is_ret, cents).otherwise(F.lit(0)).alias("sales_cents"),
+            F.when(is_ret, cents).otherwise(F.lit(0)).alias("returns_cents"),
+            F.when(~is_ret, net).otherwise(-net).alias("profit_cents"),
+        )
+    )
+    return (
+        rows.rollup("channel", "id")
+        .agg(
+            F.sum("sales_cents").alias("sales"),
+            F.sum("returns_cents").alias("returns"),
+            F.sum("profit_cents").alias("profit"),
+        )
+        .orderBy(F.col("channel").asc_nulls_first(), F.col("id").asc_nulls_first())
+    )
+
+
+# --------------------------------------------------------------------------
+# q33 — three-channel union re-aggregated by manufacturer (q33.sql)
+# --------------------------------------------------------------------------
+@query(
+    "tpcds_q33",
+    oracle="""
+    WITH chan AS (
+      SELECT o.o_orderstatus AS status, p.p_brand AS manufact,
+             SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) AS total
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE p.p_type = 'PROMO'
+        AND l.l_shipdate >= DATE '1996-03-01'
+        AND l.l_shipdate < DATE '1996-04-01'
+      GROUP BY 1, 2)
+    SELECT manufact, CAST(SUM(total) AS BIGINT) AS total_sales
+    FROM chan GROUP BY manufact
+    ORDER BY total_sales DESC, manufact
+    """,
+    doc="TPC-DS q33 shape (tpcds_3.2/q33.sql: per-channel manufacturer "
+    "totals for one category/month, union-all of the three channel "
+    "CTEs re-aggregated by manufacturer): the three channel scans "
+    "collapse to one per-(channel, brand) aggregate re-grouped across "
+    "channels; category + month filters push to the scans.",
+)
+def tpcds_q33(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem, orders, part = _t(spark, sf_dir, "lineitem", "orders", "part")
+    chan = (
+        lineitem.filter(_in_month("l_shipdate", 1996, 3))
+        .join(orders.select("o_orderkey", "o_orderstatus"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(part.filter(F.col("p_type") == "PROMO")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy(F.col("o_orderstatus").alias("status"), F.col("p_brand").alias("manufact"))
+        .agg(F.sum(_cents()).alias("total"))
+    )
+    return (
+        chan.groupBy("manufact")
+        .agg(F.sum("total").alias("total_sales"))
+        .orderBy(F.col("total_sales").desc(), "manufact")
+    )
+
+
+# --------------------------------------------------------------------------
+# q92 — web excess discount vs 1.3x correlated average (q92.sql)
+# --------------------------------------------------------------------------
+@query(
+    "tpcds_q92",
+    oracle="""
+    WITH win AS (
+      SELECT l.l_partkey,
+             CAST(ROUND(l.l_extendedprice * l.l_discount * 100) AS BIGINT)
+               AS disc_cents
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE o.o_orderstatus = 'P'
+        AND p.p_brand IN ('Brand#4', 'Brand#6', 'Brand#8')
+        AND l.l_shipdate >= DATE '1996-05-01'
+        AND l.l_shipdate < DATE '1996-07-30'),
+    item_avg AS (
+      SELECT l_partkey, SUM(disc_cents) AS sum_cents, COUNT(*) AS cnt
+      FROM win GROUP BY 1)
+    SELECT CAST(SUM(w.disc_cents) AS BIGINT) AS excess_discount_cents
+    FROM win w JOIN item_avg a ON w.l_partkey = a.l_partkey
+    WHERE 10 * w.disc_cents * a.cnt > 13 * a.sum_cents
+    """,
+    doc="TPC-DS q92 shape (tpcds_3.2/q92.sql: web 'excess discount amount' "
+    "vs 1.3x the item's 90-day average): q32's correlated-scalar "
+    "decorrelation restricted to the 'P' (web) channel via the orders "
+    "join — same integer cross-multiplied threshold.",
+)
+def tpcds_q92(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem, orders, part = _t(spark, sf_dir, "lineitem", "orders", "part")
+    disc_cents = F.round(
+        F.col("l_extendedprice") * F.col("l_discount") * 100
+    ).cast("long")
+    win = (
+        lineitem.filter(_date_range("l_shipdate", "1996-05-01", "1996-07-30"))
+        .join(
+            orders.filter(F.col("o_orderstatus") == "P").select("o_orderkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(part.filter(F.col("p_brand").isin("Brand#4", "Brand#6", "Brand#8"))),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .select("l_partkey", disc_cents.alias("disc_cents"))
+    )
+    item_avg = win.groupBy(F.col("l_partkey").alias("k")).agg(
+        F.sum("disc_cents").alias("sum_cents"), F.count("*").alias("cnt")
+    )
+    return (
+        win.join(item_avg, F.col("l_partkey") == F.col("k"))
+        .filter(10 * F.col("disc_cents") * F.col("cnt") > 13 * F.col("sum_cents"))
+        .agg(F.sum("disc_cents").alias("excess_discount_cents"))
+    )
+
+
+# --------------------------------------------------------------------------
+# q94 — web orders shipped by multiple suppliers, never returned (q94.sql)
+# --------------------------------------------------------------------------
+@query(
+    "tpcds_q94",
+    oracle="""
+    SELECT CAST(COUNT(DISTINCT o.o_orderkey) AS BIGINT) AS order_count,
+           CAST(SUM(CAST(ROUND(l1.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS total_ship_cents,
+           CAST(SUM(CAST(ROUND(l1.l_extendedprice * l1.l_discount * 100)
+                    AS BIGINT)) AS BIGINT) AS total_disc_cents
+    FROM lineitem l1
+    JOIN orders o ON l1.l_orderkey = o.o_orderkey
+    WHERE o.o_orderstatus = 'P'
+      AND o.o_orderdate >= DATE '1997-02-01'
+      AND o.o_orderdate < DATE '1997-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_returnflag = 'R')
+    """,
+    doc="TPC-DS q94 shape (tpcds_3.2/q94.sql: count/ship-cost/profit of "
+    "web orders shipped from more than one warehouse with no return, "
+    "60-day window): q16's EXISTS/NOT-EXISTS pattern on the 'P' (web) "
+    "channel with a second summed measure — semi + anti self-joins on "
+    "the order key, distinct-count on top.",
+)
+def tpcds_q94(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem, orders = _t(spark, sf_dir, "lineitem", "orders")
+    o = orders.filter(
+        (F.col("o_orderstatus") == "P")
+        & (F.col("o_orderdate") >= F.lit("1997-02-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("date"))
+    ).select("o_orderkey")
+    l2 = lineitem.select(
+        F.col("l_orderkey").alias("l2_orderkey"), F.col("l_suppkey").alias("l2_suppkey")
+    )
+    l3 = lineitem.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("l3_orderkey")
+    )
+    return (
+        lineitem.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            l2,
+            (F.col("l_orderkey") == F.col("l2_orderkey"))
+            & (F.col("l_suppkey") != F.col("l2_suppkey")),
+            "left_semi",
+        )
+        .join(l3, F.col("l_orderkey") == F.col("l3_orderkey"), "left_anti")
+        .agg(
+            F.countDistinct("o_orderkey").alias("order_count"),
+            F.sum(_cents()).alias("total_ship_cents"),
+            F.sum(
+                F.round(F.col("l_extendedprice") * F.col("l_discount") * 100).cast("long")
+            ).alias("total_disc_cents"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q99 — ship-lag buckets per (priority, quarter) (q99.sql)
+# --------------------------------------------------------------------------
+@query(
+    "tpcds_q99",
+    oracle="""
+    SELECT o.o_orderpriority AS ship_mode, quarter(l.l_shipdate) AS d_qoy,
+           CAST(SUM(CASE WHEN date_diff('day', o.o_orderdate, l.l_shipdate)
+                              <= 30 THEN 1 ELSE 0 END) AS BIGINT) AS d30,
+           CAST(SUM(CASE WHEN date_diff('day', o.o_orderdate, l.l_shipdate)
+                              BETWEEN 31 AND 60 THEN 1 ELSE 0 END) AS BIGINT)
+             AS d31_60,
+           CAST(SUM(CASE WHEN date_diff('day', o.o_orderdate, l.l_shipdate)
+                              BETWEEN 61 AND 90 THEN 1 ELSE 0 END) AS BIGINT)
+             AS d61_90,
+           CAST(SUM(CASE WHEN date_diff('day', o.o_orderdate, l.l_shipdate)
+                              BETWEEN 91 AND 120 THEN 1 ELSE 0 END) AS BIGINT)
+             AS d91_120,
+           CAST(SUM(CASE WHEN date_diff('day', o.o_orderdate, l.l_shipdate)
+                              > 120 THEN 1 ELSE 0 END) AS BIGINT) AS d120_plus
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE year(l.l_shipdate) = 1997 AND o.o_orderstatus = 'O'
+    GROUP BY 1, 2 ORDER BY ship_mode, d_qoy
+    """,
+    doc="TPC-DS q99 shape (tpcds_3.2/q99.sql: catalog ship-lag buckets per "
+    "(warehouse, ship mode, call center)): the catalog-channel latency "
+    "histogram at (priority, quarter) grain — the q50/q62 family's "
+    "third grouping variant, one fact shuffle.",
+)
+def tpcds_q99(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem, orders = _t(spark, sf_dir, "lineitem", "orders")
+    lag = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+
+    def bucket(cond):
+        return F.sum(F.when(cond, 1).otherwise(0))
+
+    return (
+        lineitem.filter(_in_years("l_shipdate", 1997))
+        .join(
+            orders.filter(F.col("o_orderstatus") == "O").select(
+                "o_orderkey", "o_orderdate", "o_orderpriority"
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy(
+            F.col("o_orderpriority").alias("ship_mode"),
+            F.quarter("l_shipdate").alias("d_qoy"),
+        )
+        .agg(
+            bucket(lag <= 30).alias("d30"),
+            bucket(lag.between(31, 60)).alias("d31_60"),
+            bucket(lag.between(61, 90)).alias("d61_90"),
+            bucket(lag.between(91, 120)).alias("d91_120"),
+            bucket(lag > 120).alias("d120_plus"),
+        )
+        .orderBy("ship_mode", "d_qoy")
+    )

@@ -88,7 +88,7 @@ HEADLINE = [
     "incremental_dedup",
     "context_window_chunks",
     "approx_topk_cms",
-    # TPC-DS slice (47 plan-shape ports; see queries/tpcds.py + tpcds2.py)
+    # TPC-DS slice (82 plan-shape ports; see TPCDS_COVERAGE.md)
     *[f"tpcds_q{i}" for i in (
         1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15,
         16, 17, 18, 19, 20, 21, 22, 23, 26, 27, 28, 30, 31, 32, 33,

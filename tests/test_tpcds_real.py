@@ -352,3 +352,160 @@ WHERE s_store_id1 = s_store_id2
 )
 def test_tpcds_query_cross_engine_batch2(star, name, sql):
     _compare(star, sql)
+
+
+# q28 — six quantity-band scalar aggregate subqueries cross-joined
+# (tpcds_3.2/q28.sql; bands re-centered on the generator's 1-100 quantity
+# and 1-100 list-price domains)
+Q28 = """
+SELECT *
+FROM (SELECT ROUND(CAST(sum(ss_list_price) AS DOUBLE)
+                   / count(ss_list_price), 4) b1_lp,
+             count(ss_list_price) b1_cnt,
+             count(DISTINCT ss_list_price) b1_cntd
+      FROM store_sales
+      WHERE ss_quantity BETWEEN 0 AND 5
+        AND (ss_list_price BETWEEN 10 AND 20
+             OR ss_coupon_amt BETWEEN 0 AND 50)) b1,
+     (SELECT ROUND(CAST(sum(ss_list_price) AS DOUBLE)
+                   / count(ss_list_price), 4) b2_lp,
+             count(ss_list_price) b2_cnt,
+             count(DISTINCT ss_list_price) b2_cntd
+      FROM store_sales
+      WHERE ss_quantity BETWEEN 6 AND 10
+        AND (ss_list_price BETWEEN 20 AND 30
+             OR ss_coupon_amt BETWEEN 0 AND 50)) b2,
+     (SELECT ROUND(CAST(sum(ss_list_price) AS DOUBLE)
+                   / count(ss_list_price), 4) b3_lp,
+             count(ss_list_price) b3_cnt,
+             count(DISTINCT ss_list_price) b3_cntd
+      FROM store_sales
+      WHERE ss_quantity BETWEEN 11 AND 15
+        AND (ss_list_price BETWEEN 30 AND 40
+             OR ss_coupon_amt BETWEEN 0 AND 50)) b3,
+     (SELECT ROUND(CAST(sum(ss_list_price) AS DOUBLE)
+                   / count(ss_list_price), 4) b4_lp,
+             count(ss_list_price) b4_cnt,
+             count(DISTINCT ss_list_price) b4_cntd
+      FROM store_sales
+      WHERE ss_quantity BETWEEN 16 AND 20
+        AND (ss_list_price BETWEEN 40 AND 50
+             OR ss_coupon_amt BETWEEN 0 AND 50)) b4,
+     (SELECT ROUND(CAST(sum(ss_list_price) AS DOUBLE)
+                   / count(ss_list_price), 4) b5_lp,
+             count(ss_list_price) b5_cnt,
+             count(DISTINCT ss_list_price) b5_cntd
+      FROM store_sales
+      WHERE ss_quantity BETWEEN 21 AND 25
+        AND (ss_list_price BETWEEN 50 AND 60
+             OR ss_coupon_amt BETWEEN 0 AND 50)) b5,
+     (SELECT ROUND(CAST(sum(ss_list_price) AS DOUBLE)
+                   / count(ss_list_price), 4) b6_lp,
+             count(ss_list_price) b6_cnt,
+             count(DISTINCT ss_list_price) b6_cntd
+      FROM store_sales
+      WHERE ss_quantity BETWEEN 26 AND 30
+        AND (ss_list_price BETWEEN 60 AND 70
+             OR ss_coupon_amt BETWEEN 0 AND 50)) b6
+"""
+
+
+# q44 — best/worst items by avg net profit at one store, double rank join
+# (tpcds_3.2/q44.sql; item_sk tiebreaks added for deterministic ranks,
+# the spec's null-column average guard simplified to a positive-count
+# HAVING — same plan shape)
+Q44 = """
+SELECT asceding.rnk, i1.i_product_name best_performing,
+       i2.i_product_name worst_performing
+FROM (SELECT item_sk, rank() OVER (ORDER BY rank_col ASC, item_sk) rnk
+      FROM (SELECT ss_item_sk item_sk,
+                   ROUND(CAST(sum(ss_net_profit) AS DOUBLE) / count(*), 4)
+                     rank_col
+            FROM store_sales WHERE ss_store_sk = 2
+            GROUP BY ss_item_sk HAVING count(*) > 0) v1) asceding,
+     (SELECT item_sk, rank() OVER (ORDER BY rank_col DESC, item_sk) rnk
+      FROM (SELECT ss_item_sk item_sk,
+                   ROUND(CAST(sum(ss_net_profit) AS DOUBLE) / count(*), 4)
+                     rank_col
+            FROM store_sales WHERE ss_store_sk = 2
+            GROUP BY ss_item_sk HAVING count(*) > 0) v2) descending,
+     item i1, item i2
+WHERE asceding.rnk = descending.rnk
+  AND asceding.rnk <= 10
+  AND i1.i_item_sk = asceding.item_sk
+  AND i2.i_item_sk = descending.item_sk
+ORDER BY asceding.rnk
+"""
+
+
+# q47 — monthly brand sales vs yearly average with lag/lead neighbors
+# (tpcds_3.2/q47.sql; category/brand/store partition, rn tiebreak via the
+# unique (d_year, d_moy) ordering; avg guard > 0 on DECIMAL sums)
+Q47 = """
+WITH v1 AS (
+  SELECT i_category, i_brand, s_store_name,
+         d_year, d_moy,
+         CAST(sum(ss_sales_price) AS DOUBLE) sum_sales,
+         ROUND(CAST(sum(sum(ss_sales_price)) OVER (
+                 PARTITION BY i_category, i_brand, s_store_name, d_year)
+               AS DOUBLE)
+               / count(*) OVER (
+                 PARTITION BY i_category, i_brand, s_store_name, d_year),
+               4) avg_monthly_sales,
+         rank() OVER (
+           PARTITION BY i_category, i_brand, s_store_name
+           ORDER BY d_year, d_moy) rn
+  FROM item, store_sales, date_dim, store
+  WHERE ss_item_sk = i_item_sk
+    AND ss_sold_date_sk = d_date_sk
+    AND ss_store_sk = s_store_sk
+    AND d_year = 2000
+  GROUP BY i_category, i_brand, s_store_name, d_year, d_moy),
+v2 AS (
+  SELECT v1.i_category, v1.i_brand, v1.s_store_name,
+         v1.d_year, v1.d_moy, v1.avg_monthly_sales, v1.sum_sales,
+         v1_lag.sum_sales psum, v1_lead.sum_sales nsum
+  FROM v1, v1 v1_lag, v1 v1_lead
+  WHERE v1.i_category = v1_lag.i_category
+    AND v1.i_brand = v1_lag.i_brand
+    AND v1.s_store_name = v1_lag.s_store_name
+    AND v1.i_category = v1_lead.i_category
+    AND v1.i_brand = v1_lead.i_brand
+    AND v1.s_store_name = v1_lead.s_store_name
+    AND v1.rn = v1_lag.rn + 1
+    AND v1.rn = v1_lead.rn - 1)
+SELECT i_category, i_brand, s_store_name, d_year, d_moy,
+       avg_monthly_sales, sum_sales, psum, nsum
+FROM v2
+WHERE d_year = 2000
+  AND avg_monthly_sales > 0
+  AND abs(sum_sales - avg_monthly_sales) / avg_monthly_sales > 0.1
+ORDER BY i_category, i_brand, s_store_name, d_year, d_moy
+"""
+
+
+# q98 — revenue share within class over a 30-day window
+# (tpcds_3.2/q98.sql; ratio of DECIMAL sums — exact in both engines)
+Q98 = """
+SELECT i_item_id, i_category, i_class, i_current_price,
+       CAST(sum(ss_ext_sales_price) AS DOUBLE) AS itemrevenue,
+       ROUND(CAST(sum(ss_ext_sales_price) AS DOUBLE) * 100.0
+             / CAST(sum(sum(ss_ext_sales_price))
+                    OVER (PARTITION BY i_class) AS DOUBLE), 4)
+         AS revenueratio
+FROM store_sales, item, date_dim
+WHERE ss_item_sk = i_item_sk
+  AND i_category IN ('Books', 'Home', 'Sports')
+  AND ss_sold_date_sk = d_date_sk
+  AND d_year = 2000 AND d_moy = 3
+GROUP BY i_item_id, i_category, i_class, i_current_price
+ORDER BY i_category, i_class, i_item_id, i_current_price, revenueratio
+"""
+
+
+@pytest.mark.parametrize(
+    "name,sql",
+    [("q28", Q28), ("q44", Q44), ("q47", Q47), ("q98", Q98)],
+)
+def test_tpcds_query_cross_engine_batch3(star, name, sql):
+    _compare(star, sql)

@@ -89,7 +89,8 @@ _CHANGED_THIS_ROUND = {
     "context_window_chunks",
     "approx_topk_cms",
     "stream_decontaminate",
-    *[f"tpcds_q{i}" for i in (3, 5, 15, 20, 26, 33, 40, 53, 55, 62, 73, 74, 81, 86, 92, 94, 99,
+    *[f"tpcds_q{i}" for i in (25, 29, 56, 60, 63, 71, 77, 82, 83, 91,
+                              3, 5, 15, 20, 26, 33, 40, 53, 55, 62, 73, 74, 81, 86, 92, 94, 99,
                               4, 8, 12, 16, 18, 21, 23, 27, 28, 30, 32, 35, 37, 39, 41,
                               42, 44, 45, 48, 49, 50, 52, 54, 57, 58, 61, 66, 69,
                               70, 75, 76, 78, 80, 87, 89, 90, 96, 97)],

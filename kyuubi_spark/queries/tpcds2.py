@@ -3363,3 +3363,567 @@ def tpcds_q99(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("ship_mode", "d_qoy")
     )
+
+
+# --------------------------------------------------------------------------
+# q56 / q60 — three-channel union by item attribute (q56.sql / q60.sql)
+# --------------------------------------------------------------------------
+@query(
+    "tpcds_q56",
+    oracle="""
+    WITH chan AS (
+      SELECT o.o_orderstatus AS status, p.p_name AS item_id,
+             SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) AS total
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE p.p_size IN (5, 15, 25, 35, 45)
+        AND l.l_shipdate >= DATE '1996-06-01'
+        AND l.l_shipdate < DATE '1996-07-01'
+      GROUP BY 1, 2)
+    SELECT item_id, CAST(SUM(total) AS BIGINT) AS total_sales
+    FROM chan GROUP BY item_id
+    ORDER BY total_sales, item_id
+    """,
+    doc="TPC-DS q56 shape (tpcds_3.2/q56.sql: per-channel item totals for "
+    "a color list in one month, union-all re-aggregated by item id): "
+    "q33's channel-union pattern keyed by item name under a size-list "
+    "filter (colors absent from the testdata item dim).",
+)
+def tpcds_q56(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem, orders, part = _t(spark, sf_dir, "lineitem", "orders", "part")
+    chan = (
+        lineitem.filter(_in_month("l_shipdate", 1996, 6))
+        .join(orders.select("o_orderkey", "o_orderstatus"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(part.filter(F.col("p_size").isin(5, 15, 25, 35, 45))),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy(F.col("o_orderstatus").alias("status"), F.col("p_name").alias("item_id"))
+        .agg(F.sum(_cents()).alias("total"))
+    )
+    return (
+        chan.groupBy("item_id")
+        .agg(F.sum("total").alias("total_sales"))
+        .orderBy("total_sales", "item_id")
+    )
+
+
+@query(
+    "tpcds_q60",
+    oracle="""
+    WITH chan AS (
+      SELECT o.o_orderstatus AS status, p.p_name AS item_id,
+             SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) AS total
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE p.p_type = 'STANDARD'
+        AND l.l_shipdate >= DATE '1997-09-01'
+        AND l.l_shipdate < DATE '1997-10-01'
+      GROUP BY 1, 2)
+    SELECT item_id, CAST(SUM(total) AS BIGINT) AS total_sales
+    FROM chan GROUP BY item_id
+    ORDER BY item_id, total_sales
+    """,
+    doc="TPC-DS q60 shape (tpcds_3.2/q60.sql: per-channel item totals for "
+    "one category/month, union-all re-aggregated by item id): q33/q56's "
+    "pattern with the category filter and the spec's item-id-first "
+    "ordering.",
+)
+def tpcds_q60(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem, orders, part = _t(spark, sf_dir, "lineitem", "orders", "part")
+    chan = (
+        lineitem.filter(_in_month("l_shipdate", 1997, 9))
+        .join(orders.select("o_orderkey", "o_orderstatus"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(part.filter(F.col("p_type") == "STANDARD")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy(F.col("o_orderstatus").alias("status"), F.col("p_name").alias("item_id"))
+        .agg(F.sum(_cents()).alias("total"))
+    )
+    return (
+        chan.groupBy("item_id")
+        .agg(F.sum("total").alias("total_sales"))
+        .orderBy("item_id", "total_sales")
+    )
+
+
+# --------------------------------------------------------------------------
+# q63 — manager monthly sales vs yearly monthly average (q63.sql)
+# --------------------------------------------------------------------------
+@query(
+    "tpcds_q63",
+    oracle="""
+    WITH v1 AS (
+      SELECT p.p_size AS manager, month(l.l_shipdate) AS d_moy,
+             SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) AS sum_cents
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE year(l.l_shipdate) = 1996
+        AND ((p.p_type IN ('PROMO', 'STANDARD') AND p.p_brand IN
+                ('Brand#1', 'Brand#3', 'Brand#5'))
+          OR (p.p_type IN ('LARGE', 'SMALL') AND p.p_brand IN
+                ('Brand#2', 'Brand#4', 'Brand#6')))
+      GROUP BY 1, 2)
+    SELECT CAST(manager AS BIGINT) AS manager, d_moy, sum_cents,
+           ROUND(AVG(sum_cents) OVER (PARTITION BY manager) / 100, 2)
+             AS avg_monthly_sales
+    FROM v1
+    QUALIFY AVG(sum_cents) OVER (PARTITION BY manager) > 0
+      AND abs(sum_cents - AVG(sum_cents) OVER (PARTITION BY manager)) * 10
+          > AVG(sum_cents) OVER (PARTITION BY manager)
+    ORDER BY manager, d_moy
+    """,
+    doc="TPC-DS q63 shape (tpcds_3.2/q63.sql: manager monthly sales vs "
+    "their yearly monthly average under a two-branch category/class OR "
+    "filter, keeping >10% deviations): the q53/q89 deviation family at "
+    "(manager=p_size, month) grain with the spec's OR-of-conjunctions "
+    "item filter.",
+)
+def tpcds_q63(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem, part = _t(spark, sf_dir, "lineitem", "part")
+    item_f = part.filter(
+        (F.col("p_type").isin("PROMO", "STANDARD")
+         & F.col("p_brand").isin("Brand#1", "Brand#3", "Brand#5"))
+        | (F.col("p_type").isin("LARGE", "SMALL")
+           & F.col("p_brand").isin("Brand#2", "Brand#4", "Brand#6"))
+    )
+    v1 = (
+        lineitem.filter(_in_years("l_shipdate", 1996))
+        .join(F.broadcast(item_f), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(
+            F.col("p_size").cast("long").alias("manager"),
+            F.month("l_shipdate").alias("d_moy"),
+        )
+        .agg(F.sum(_cents()).alias("sum_cents"))
+    )
+    grp = Window.partitionBy("manager")
+    return (
+        v1.withColumn("avg_raw", F.avg("sum_cents").over(grp))
+        .filter(
+            (F.col("avg_raw") > 0)
+            & (F.abs(F.col("sum_cents") - F.col("avg_raw")) * 10 > F.col("avg_raw"))
+        )
+        .select(
+            "manager",
+            "d_moy",
+            "sum_cents",
+            dround(F.col("avg_raw") / 100, 2).alias("avg_monthly_sales"),
+        )
+        .orderBy("manager", "d_moy")
+    )
+
+
+# --------------------------------------------------------------------------
+# q82 — store-channel price-band inventory-window items (q82.sql)
+# --------------------------------------------------------------------------
+@query(
+    "tpcds_q82",
+    oracle="""
+    WITH vol AS (
+      SELECT l_partkey FROM lineitem
+      WHERE l_shipdate >= DATE '1997-03-01' AND l_shipdate < DATE '1997-05-01'
+      GROUP BY l_partkey
+      HAVING SUM(CAST(l_quantity AS BIGINT)) BETWEEN 100 AND 500)
+    SELECT DISTINCT p.p_partkey AS item, p.p_name AS item_name,
+           CAST(ROUND(p.p_retailprice * 100) AS BIGINT) AS price_cents
+    FROM part p
+    JOIN vol v ON p.p_partkey = v.l_partkey
+    WHERE p.p_retailprice BETWEEN 940 AND 990
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_partkey = p.p_partkey AND l.l_linestatus = 'F'
+                    AND year(l.l_shipdate) = 1997)
+    ORDER BY item
+    """,
+    doc="TPC-DS q82 shape (tpcds_3.2/q82.sql: q37's price-band inventory "
+    "window qualified through the STORE channel instead of catalog): "
+    "same HAVING-band + semi-join composition, 'F' channel, 1997 "
+    "window.",
+)
+def tpcds_q82(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem, part = _t(spark, sf_dir, "lineitem", "part")
+    vol = (
+        lineitem.filter(_date_range("l_shipdate", "1997-03-01", "1997-05-01"))
+        .groupBy("l_partkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("q"))
+        .filter(F.col("q").between(100, 500))
+        .select("l_partkey")
+    )
+    sold_f = (
+        lineitem.filter((F.col("l_linestatus") == "F") & _in_years("l_shipdate", 1997))
+        .select(F.col("l_partkey").alias("f_partkey"))
+        .distinct()
+    )
+    return (
+        part.filter(F.col("p_retailprice").between(940, 990))
+        .join(F.broadcast(vol), F.col("p_partkey") == F.col("l_partkey"), "left_semi")
+        .join(F.broadcast(sold_f), F.col("p_partkey") == F.col("f_partkey"), "left_semi")
+        .select(
+            F.col("p_partkey").alias("item"),
+            F.col("p_name").alias("item_name"),
+            F.round(F.col("p_retailprice") * 100).cast("long").alias("price_cents"),
+        )
+        .distinct()
+        .orderBy("item")
+    )
+
+
+# --------------------------------------------------------------------------
+# q83 — three-channel equal-share on RETURNED items (q83.sql)
+# --------------------------------------------------------------------------
+@query(
+    "tpcds_q83",
+    oracle="""
+    WITH per_chan AS (
+      SELECT l.l_partkey AS item, o.o_orderstatus AS chan,
+             SUM(CAST(l.l_quantity AS BIGINT)) AS qty
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE l.l_returnflag = 'R' AND year(l.l_shipdate) = 1996
+      GROUP BY 1, 2),
+    pivoted AS (
+      SELECT item,
+             SUM(CASE WHEN chan = 'F' THEN qty ELSE 0 END) AS sr,
+             SUM(CASE WHEN chan = 'O' THEN qty ELSE 0 END) AS cr,
+             SUM(CASE WHEN chan = 'P' THEN qty ELSE 0 END) AS wr,
+             CAST(COUNT(DISTINCT chan) AS BIGINT) AS nchan
+      FROM per_chan GROUP BY item)
+    SELECT item, sr AS store_returns, cr AS catalog_returns,
+           wr AS web_returns,
+           ROUND((sr + cr + wr) / 3.0, 4) AS average
+    FROM pivoted
+    WHERE nchan = 3
+      AND 10 * 3 * sr BETWEEN 9 * (sr + cr + wr) AND 11 * (sr + cr + wr)
+      AND 10 * 3 * cr BETWEEN 9 * (sr + cr + wr) AND 11 * (sr + cr + wr)
+      AND 10 * 3 * wr BETWEEN 9 * (sr + cr + wr) AND 11 * (sr + cr + wr)
+    ORDER BY item
+    """,
+    doc="TPC-DS q83 shape (tpcds_3.2/q83.sql: items whose store, catalog "
+    "and web RETURN quantities each sit within 10% of the three-channel "
+    "average): q58's equal-share integer cross-multiplication applied "
+    "to the returned-quantity slice.",
+)
+def tpcds_q83(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem, orders = _t(spark, sf_dir, "lineitem", "orders")
+    qty = F.col("l_quantity").cast("long")
+    per = (
+        lineitem.filter((F.col("l_returnflag") == "R") & _in_years("l_shipdate", 1996))
+        .join(
+            orders.select("o_orderkey", "o_orderstatus"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy(F.col("l_partkey").alias("item"))
+        .agg(
+            F.sum(F.when(F.col("o_orderstatus") == "F", qty).otherwise(F.lit(0))).alias("sr"),
+            F.sum(F.when(F.col("o_orderstatus") == "O", qty).otherwise(F.lit(0))).alias("cr"),
+            F.sum(F.when(F.col("o_orderstatus") == "P", qty).otherwise(F.lit(0))).alias("wr"),
+            F.countDistinct("o_orderstatus").alias("nchan"),
+        )
+    )
+    total = F.col("sr") + F.col("cr") + F.col("wr")
+    within = lambda c: (10 * 3 * c >= 9 * total) & (10 * 3 * c <= 11 * total)
+    return (
+        per.filter(
+            (F.col("nchan") == 3) & within(F.col("sr")) & within(F.col("cr")) & within(F.col("wr"))
+        )
+        .select(
+            "item",
+            F.col("sr").alias("store_returns"),
+            F.col("cr").alias("catalog_returns"),
+            F.col("wr").alias("web_returns"),
+            dround(total / 3.0, 4).alias("average"),
+        )
+        .orderBy("item")
+    )
+
+
+# --------------------------------------------------------------------------
+# q25 — sale → return → repurchase chain, money aggregates (q25.sql)
+# --------------------------------------------------------------------------
+_Q25_CHAIN_SQL = """
+      l AS (
+        SELECT l.l_partkey, l.l_quantity, l.l_extendedprice, l.l_discount,
+               l.l_returnflag, l.l_linestatus, o.o_custkey
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE year(l.l_shipdate) = 1996),
+      ss AS (SELECT o_custkey AS c, l_partkey AS p,
+                    CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+                         AS BIGINT) AS v
+             FROM l WHERE l_linestatus = 'F'),
+      sr AS (SELECT o_custkey AS c, l_partkey AS p,
+                    CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS v
+             FROM l WHERE l_returnflag = 'R'),
+      cs AS (SELECT o_custkey AS c, l_partkey AS p,
+                    CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+                         AS BIGINT) AS v
+             FROM l WHERE l_linestatus = 'O')
+"""
+
+
+@query(
+    "tpcds_q25",
+    oracle=f"""
+    WITH {_Q25_CHAIN_SQL}
+    SELECT ss.p AS item,
+           CAST(SUM(ss.v) AS BIGINT) AS store_profit_cents,
+           CAST(SUM(sr.v) AS BIGINT) AS return_amt_cents,
+           CAST(SUM(cs.v) AS BIGINT) AS catalog_profit_cents
+    FROM ss
+    JOIN sr ON ss.c = sr.c AND ss.p = sr.p
+    JOIN cs ON ss.c = cs.c AND ss.p = cs.p
+    GROUP BY 1 ORDER BY item
+    """,
+    doc="TPC-DS q25 shape (tpcds_3.2/q25.sql: store_sales joined to the "
+    "same customer-item's store_returns and a later catalog_sales — the "
+    "sale -> return -> repurchase chain — with money aggregates per "
+    "item/store): the three channel legs join pairwise on the "
+    "(customer, item) composite key; each leg's measure is exact cents. "
+    "Two keyed shuffles on (customer, item) — the multi-fact chain "
+    "plan TPC-DS uses to stress join ordering.",
+)
+def tpcds_q25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem, orders = _t(spark, sf_dir, "lineitem", "orders")
+    l = lineitem.filter(_in_years("l_shipdate", 1996)).join(
+        orders.select("o_orderkey", "o_custkey"), F.col("l_orderkey") == F.col("o_orderkey")
+    )
+    ss = l.filter(F.col("l_linestatus") == "F").select(
+        F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"), _net_cents().alias("ssv")
+    )
+    sr = l.filter(F.col("l_returnflag") == "R").select(
+        F.col("o_custkey").alias("rc"), F.col("l_partkey").alias("rp"), _cents().alias("srv")
+    )
+    cs = l.filter(F.col("l_linestatus") == "O").select(
+        F.col("o_custkey").alias("cc"), F.col("l_partkey").alias("cp"), _net_cents().alias("csv")
+    )
+    return (
+        ss.join(sr, (F.col("c") == F.col("rc")) & (F.col("p") == F.col("rp")))
+        .join(cs, (F.col("c") == F.col("cc")) & (F.col("p") == F.col("cp")))
+        .groupBy(F.col("p").alias("item"))
+        .agg(
+            F.sum("ssv").alias("store_profit_cents"),
+            F.sum("srv").alias("return_amt_cents"),
+            F.sum("csv").alias("catalog_profit_cents"),
+        )
+        .orderBy("item")
+    )
+
+
+# --------------------------------------------------------------------------
+# q29 — sale → return → repurchase chain, quantity aggregates (q29.sql)
+# --------------------------------------------------------------------------
+@query(
+    "tpcds_q29",
+    oracle=f"""
+    WITH {_Q25_CHAIN_SQL},
+    ssq AS (SELECT o_custkey AS c, l_partkey AS p,
+                   CAST(l_quantity AS BIGINT) AS q
+            FROM l WHERE l_linestatus = 'F'),
+    srq AS (SELECT o_custkey AS c, l_partkey AS p,
+                   CAST(l_quantity AS BIGINT) AS q
+            FROM l WHERE l_returnflag = 'R'),
+    csq AS (SELECT o_custkey AS c, l_partkey AS p,
+                   CAST(l_quantity AS BIGINT) AS q
+            FROM l WHERE l_linestatus = 'O')
+    SELECT ssq.p AS item,
+           CAST(SUM(ssq.q) AS BIGINT) AS store_qty,
+           CAST(SUM(srq.q) AS BIGINT) AS return_qty,
+           CAST(SUM(csq.q) AS BIGINT) AS catalog_qty
+    FROM ssq
+    JOIN srq ON ssq.c = srq.c AND ssq.p = srq.p
+    JOIN csq ON ssq.c = csq.c AND ssq.p = csq.p
+    GROUP BY 1 ORDER BY item
+    """,
+    doc="TPC-DS q29 shape (tpcds_3.2/q29.sql: the q25 chain with QUANTITY "
+    "sums per item/store over staggered date windows): same "
+    "(customer, item)-keyed three-leg join, integer quantity measures.",
+)
+def tpcds_q29(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem, orders = _t(spark, sf_dir, "lineitem", "orders")
+    l = lineitem.filter(_in_years("l_shipdate", 1996)).join(
+        orders.select("o_orderkey", "o_custkey"), F.col("l_orderkey") == F.col("o_orderkey")
+    )
+    qty = F.col("l_quantity").cast("long")
+    ss = l.filter(F.col("l_linestatus") == "F").select(
+        F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"), qty.alias("ssq")
+    )
+    sr = l.filter(F.col("l_returnflag") == "R").select(
+        F.col("o_custkey").alias("rc"), F.col("l_partkey").alias("rp"), qty.alias("srq")
+    )
+    cs = l.filter(F.col("l_linestatus") == "O").select(
+        F.col("o_custkey").alias("cc"), F.col("l_partkey").alias("cp"), qty.alias("csq")
+    )
+    return (
+        ss.join(sr, (F.col("c") == F.col("rc")) & (F.col("p") == F.col("rp")))
+        .join(cs, (F.col("c") == F.col("cc")) & (F.col("p") == F.col("cp")))
+        .groupBy(F.col("p").alias("item"))
+        .agg(
+            F.sum("ssq").alias("store_qty"),
+            F.sum("srq").alias("return_qty"),
+            F.sum("csq").alias("catalog_qty"),
+        )
+        .orderBy("item")
+    )
+
+
+# --------------------------------------------------------------------------
+# q71 — three-channel brand revenue by time slot (q71.sql)
+# --------------------------------------------------------------------------
+@query(
+    "tpcds_q71",
+    oracle="""
+    WITH chan AS (
+      SELECT o.o_orderstatus AS status, p.p_brand AS brand,
+             month(l.l_shipdate) AS t_slot,
+             SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) AS cents
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE year(l.l_shipdate) = 1996 AND p.p_size BETWEEN 20 AND 30
+      GROUP BY 1, 2, 3)
+    SELECT brand, t_slot, CAST(SUM(cents) AS BIGINT) AS ext_cents
+    FROM chan GROUP BY 1, 2
+    ORDER BY ext_cents DESC, brand, t_slot
+    """,
+    doc="TPC-DS q71 shape (tpcds_3.2/q71.sql: brand revenue union across "
+    "the three channels bucketed by breakfast/dinner time slots): month "
+    "buckets stand in for time-of-day (the testdata has no time dim); "
+    "the channel union collapses to one pass re-aggregated by (brand, "
+    "slot), ordered revenue-first as the spec does.",
+)
+def tpcds_q71(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem, orders, part = _t(spark, sf_dir, "lineitem", "orders", "part")
+    chan = (
+        lineitem.filter(_in_years("l_shipdate", 1996))
+        .join(orders.select("o_orderkey", "o_orderstatus"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(part.filter(F.col("p_size").between(20, 30))),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy(
+            F.col("o_orderstatus").alias("status"),
+            F.col("p_brand").alias("brand"),
+            F.month("l_shipdate").alias("t_slot"),
+        )
+        .agg(F.sum(_cents()).alias("cents"))
+    )
+    return (
+        chan.groupBy("brand", "t_slot")
+        .agg(F.sum("cents").alias("ext_cents"))
+        .orderBy(F.col("ext_cents").desc(), "brand", "t_slot")
+    )
+
+
+# --------------------------------------------------------------------------
+# q77 — per-channel sales FULL OUTER returns, rolled up (q77.sql)
+# --------------------------------------------------------------------------
+@query(
+    "tpcds_q77",
+    oracle="""
+    WITH sales AS (
+      SELECT l_linestatus AS channel, l_suppkey AS sk,
+             SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS sales_cents,
+             SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+                 AS BIGINT)) AS profit_cents
+      FROM lineitem
+      WHERE l_returnflag <> 'R' AND year(l_shipdate) = 1996
+      GROUP BY 1, 2),
+    returns_ AS (
+      SELECT l_linestatus AS channel, l_suppkey AS sk,
+             SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS ret_cents,
+             SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+                 AS BIGINT)) AS loss_cents
+      FROM lineitem
+      WHERE l_returnflag = 'R' AND year(l_shipdate) = 1996
+      GROUP BY 1, 2)
+    SELECT COALESCE(s.channel, r.channel) AS channel,
+           COALESCE(s.sk, r.sk) AS id,
+           CAST(SUM(COALESCE(s.sales_cents, 0)) AS BIGINT) AS sales,
+           CAST(SUM(COALESCE(r.ret_cents, 0)) AS BIGINT) AS returns,
+           CAST(SUM(COALESCE(s.profit_cents, 0) - COALESCE(r.loss_cents, 0))
+                AS BIGINT) AS profit
+    FROM sales s FULL OUTER JOIN returns_ r
+      ON s.channel = r.channel AND s.sk = r.sk
+    GROUP BY ROLLUP (1, 2)
+    ORDER BY channel NULLS FIRST, id NULLS FIRST
+    """,
+    doc="TPC-DS q77 shape (tpcds_3.2/q77.sql: per-channel sales and "
+    "returns aggregated separately, FULL OUTER joined on the entity key, "
+    "then rollup(channel, id) of sales/returns/profit): returns may "
+    "exist where sales don't and vice versa — the null-extended "
+    "combination feeds the rollup through COALESCE, per the spec.",
+)
+def tpcds_q77(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    y96 = lineitem.filter(_in_years("l_shipdate", 1996))
+    sales = (
+        y96.filter(F.col("l_returnflag") != "R")
+        .groupBy(F.col("l_linestatus").alias("s_channel"), F.col("l_suppkey").alias("s_sk"))
+        .agg(F.sum(_cents()).alias("sales_cents"), F.sum(_net_cents()).alias("profit_cents"))
+    )
+    rets = (
+        y96.filter(F.col("l_returnflag") == "R")
+        .groupBy(F.col("l_linestatus").alias("r_channel"), F.col("l_suppkey").alias("r_sk"))
+        .agg(F.sum(_cents()).alias("ret_cents"), F.sum(_net_cents()).alias("loss_cents"))
+    )
+    combined = sales.join(
+        rets,
+        (F.col("s_channel") == F.col("r_channel")) & (F.col("s_sk") == F.col("r_sk")),
+        "full_outer",
+    ).select(
+        F.coalesce("s_channel", "r_channel").alias("channel"),
+        F.coalesce("s_sk", "r_sk").alias("id"),
+        F.coalesce("sales_cents", F.lit(0)).alias("sales_c"),
+        F.coalesce("ret_cents", F.lit(0)).alias("ret_c"),
+        (F.coalesce("profit_cents", F.lit(0)) - F.coalesce("loss_cents", F.lit(0))).alias("profit_c"),
+    )
+    return (
+        combined.rollup("channel", "id")
+        .agg(
+            F.sum("sales_c").alias("sales"),
+            F.sum("ret_c").alias("returns"),
+            F.sum("profit_c").alias("profit"),
+        )
+        .orderBy(F.col("channel").asc_nulls_first(), F.col("id").asc_nulls_first())
+    )
+
+
+# --------------------------------------------------------------------------
+# q91 — returns loss by call center and customer segment (q91.sql)
+# --------------------------------------------------------------------------
+@query(
+    "tpcds_q91",
+    oracle="""
+    SELECT n.n_name AS call_center, c.c_mktsegment AS segment,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100)
+                    AS BIGINT)) AS BIGINT) AS net_loss_cents
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND l.l_shipdate >= DATE '1996-11-01'
+      AND l.l_shipdate < DATE '1996-12-01'
+    GROUP BY 1, 2
+    ORDER BY net_loss_cents DESC, call_center, segment
+    """,
+    doc="TPC-DS q91 shape (tpcds_3.2/q91.sql: catalog returns net loss per "
+    "call center for one month, sliced by customer demographic / HH "
+    "buckets, ordered by loss desc): supplier nation stands in for the "
+    "call center, market segment for the demographic slice — a "
+    "two-dimension star aggregate over the returned slice.",
+)
+def tpcds_q91(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem, orders, customer, supplier, nation = _t(
+        spark, sf_dir, "lineitem", "orders", "customer", "supplier", "nation"
+    )
+    return (
+        lineitem.filter((F.col("l_returnflag") == "R") & _in_month("l_shipdate", 1996, 11))
+        .join(orders.select("o_orderkey", "o_custkey"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer.select("c_custkey", "c_mktsegment"), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("call_center"), F.col("c_mktsegment").alias("segment"))
+        .agg(F.sum(_net_cents()).alias("net_loss_cents"))
+        .orderBy(F.col("net_loss_cents").desc(), "call_center", "segment")
+    )

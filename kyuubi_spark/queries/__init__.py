@@ -79,37 +79,22 @@ def _last_verified_round() -> dict[str, int]:
 # driver window, so they sort ahead of everything (new code has never had
 # an independent check; changed code has the highest regression risk).
 _CHANGED_THIS_ROUND = {
-    # new this round
-    "mixture_sample_temperature",
-    "bloom_decontaminate",
-    "semantic_dedup",
-    "perplexity_filter",
-    "winnowing_overlap",
-    "incremental_dedup",
-    "context_window_chunks",
-    "approx_topk_cms",
-    "stream_decontaminate",
-    *[f"tpcds_q{i}" for i in (25, 29, 56, 60, 63, 71, 77, 82, 83, 91,
-                              3, 5, 15, 20, 26, 33, 40, 53, 55, 62, 73, 74, 81, 86, 92, 94, 99,
-                              4, 8, 12, 16, 18, 21, 23, 27, 28, 30, 32, 35, 37, 39, 41,
-                              42, 44, 45, 48, 49, 50, 52, 54, 57, 58, 61, 66, 69,
-                              70, 75, 76, 78, 80, 87, 89, 90, 96, 97)],
-    # signature-relation persistence touched every self-joined dedup path
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_components",
-    "dedup_survivors",
-    # streaming runner rework (loud failures, race-free checkpoint cleanup)
-    "stream_tumbling_agg",
-    "stream_sliding_agg",
-    "stream_static_enrich",
-    "stream_stateful_totals",
-    "stream_session_window",
-    "stream_stream_join",
-    "stream_dedup",
-    "stream_sink_parquet",
-    "stream_upsert_latest",
+    # r04: the 8 r03 hash-red ports — oracles re-typed (CAST(SUM …) AS
+    # BIGINT), must re-enter the driver window to turn green
+    *[f"tpcds_q{i}" for i in (12, 21, 23, 30, 57, 75, 78, 89)],
+    # r04: 9 more latent offenders the new HUGEINT-oracle lint caught
+    # before they ever reached a driver window — same re-typing fix
+    *[f"tpcds_q{i}" for i in (20, 53, 58, 63, 81, 83)],
+    "unpivot_daily_metrics",
+    "approx_quantile_hist",
+    "text_hash_embed",
+    # r04: global-window top-k rewritten to TakeOrderedAndProject
+    "tpcds_q44",
+    # r04: new ports (q64 + a/b second shapes)
+    "tpcds_q64",
+    "tpcds_q14b",
+    "tpcds_q23b",
+    "tpcds_q39b",
 }
 
 

@@ -1306,7 +1306,8 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH d AS (
       SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
              COUNT(*) AS n, COUNT(DISTINCT user_id) AS users,
-             SUM(CAST(ROUND(value * 100) AS BIGINT)) AS cents
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT))
+                  AS BIGINT) AS cents
       FROM events GROUP BY 1, 2)
     SELECT day, event_type, metric, value
     FROM (UNPIVOT d ON n, users, cents INTO NAME metric VALUE value)

@@ -801,7 +801,7 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS before,
              SUM(cnt) OVER (PARTITION BY event_type) AS total
       FROM b)
-    SELECT event_type, MAX(total) AS n,
+    SELECT event_type, CAST(MAX(total) AS BIGINT) AS n,
            ROUND(MIN(CASE WHEN cum >= 0.5 * total AND before < 0.5 * total
              THEN bin * 5 + (0.5 * total - before) / cnt * 5 END), 4) AS p50_est,
            ROUND(MIN(CASE WHEN cum >= 0.95 * total AND before < 0.95 * total
@@ -998,8 +998,10 @@ _HASH_DIMS = 8
                   THEN 1 ELSE -1 END AS sgn
       FROM tok)
     SELECT doc_id,
-           {", ".join(f"COALESCE(SUM(CASE WHEN dim = {d} THEN sgn END), 0) AS d{d}"
-                      for d in range(_HASH_DIMS))},
+           {", ".join(
+               f"CAST(COALESCE(SUM(CASE WHEN dim = {d} THEN sgn END), 0)"
+               f" AS BIGINT) AS d{d}"
+               for d in range(_HASH_DIMS))},
            CAST(SUM(1) AS BIGINT) AS n_tokens
     FROM h GROUP BY doc_id ORDER BY doc_id
     """,

@@ -275,7 +275,8 @@ def tpcds_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
                ROW_NUMBER() OVER (ORDER BY cents DESC, o_custkey) AS r
         FROM spend) t
       WHERE r <= 100)
-    SELECT l.l_linestatus AS channel, SUM({_NET_CENTS_SQL}) AS sales_cents
+    SELECT l.l_linestatus AS channel,
+           CAST(SUM({_NET_CENTS_SQL}) AS BIGINT) AS sales_cents
     FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
     WHERE l.l_shipdate >= DATE '1997-01-01'
       AND l.l_shipdate < DATE '1997-07-01'
@@ -308,14 +309,15 @@ def tpcds_q23(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_custkey")
         .agg(F.sum(net).alias("cents"))
     )
+    # Top-100 lifetime spenders via orderBy().limit() — Spark plans a
+    # distributed TakeOrderedAndProject (per-partition top-k + driver merge)
+    # instead of a single-partition global ROW_NUMBER window, so the
+    # per-customer spend relation is never shuffled to one task. The
+    # (cents DESC, o_custkey) tiebreak keeps the cut deterministic and
+    # identical to the oracle's ROW_NUMBER qualifier.
     best = (
-        spend.withColumn(
-            "r",
-            F.row_number().over(
-                Window.orderBy(F.col("cents").desc(), F.col("o_custkey"))
-            ),
-        )
-        .filter(F.col("r") <= 100)
+        spend.orderBy(F.col("cents").desc(), F.col("o_custkey"))
+        .limit(100)
         .select("o_custkey")
     )
     return (
@@ -513,10 +515,11 @@ def tpcds_q39(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="TPC-DS q44 shape (tpcds_3.2/q44.sql: items ranked ascending and "
     "descending by avg net profit at one store, best/worst joined on "
     "rank position, item names resolved twice): one aggregation per "
-    "part over the supplier-bucket slice, two global ROW_NUMBER windows "
-    "(deterministic: rounded avg + item tiebreak), rank-position join, "
-    "double broadcast join to part. The global windows run over the "
-    "per-item aggregate (|items| rows), not the fact table.",
+    "part over the supplier-bucket slice, a distributed top-10 per "
+    "direction (orderBy().limit() -> TakeOrderedAndProject, "
+    "deterministic rounded-avg + item tiebreak) with ROW_NUMBER applied "
+    "only to the surviving <=10 rows, rank-position join, double "
+    "broadcast join to part.",
 )
 def tpcds_q44(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem, part = _t(spark, sf_dir, "lineitem", "part")
@@ -525,18 +528,32 @@ def tpcds_q44(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("l_partkey").alias("item_sk"))
         .agg(dround(F.sum(_net_cents()) / (F.count("*") * 100), 4).alias("rank_col"))
     )
-    asc = perf.select(
-        F.col("item_sk").alias("a_item"),
-        F.row_number()
-        .over(Window.orderBy(F.col("rank_col").asc(), F.col("item_sk")))
-        .alias("rnk"),
-    ).filter(F.col("rnk") <= 10)
-    desc = perf.select(
-        F.col("item_sk").alias("d_item"),
-        F.row_number()
-        .over(Window.orderBy(F.col("rank_col").desc(), F.col("item_sk")))
-        .alias("rnk"),
-    ).filter(F.col("rnk") <= 10)
+    # Each direction first takes its top-10 via orderBy().limit() — Spark
+    # plans a distributed TakeOrderedAndProject (per-partition heap + driver
+    # merge), so the full per-item relation never collapses into one task.
+    # ROW_NUMBER then runs over only the surviving <=10 rows to number the
+    # rank positions; the (rank_col, item_sk) tiebreak keeps both the cut
+    # and the numbering deterministic.
+    asc = (
+        perf.orderBy(F.col("rank_col").asc(), F.col("item_sk"))
+        .limit(10)
+        .select(
+            F.col("item_sk").alias("a_item"),
+            F.row_number()
+            .over(Window.orderBy(F.col("rank_col").asc(), F.col("item_sk")))
+            .alias("rnk"),
+        )
+    )
+    desc = (
+        perf.orderBy(F.col("rank_col").desc(), F.col("item_sk"))
+        .limit(10)
+        .select(
+            F.col("item_sk").alias("d_item"),
+            F.row_number()
+            .over(Window.orderBy(F.col("rank_col").desc(), F.col("item_sk")))
+            .alias("rnk"),
+        )
+    )
     i1 = part.select(F.col("p_partkey").alias("i1_key"), F.col("p_name").alias("best_performing"))
     i2 = part.select(F.col("p_partkey").alias("i2_key"), F.col("p_name").alias("worst_performing"))
     return (
@@ -713,7 +730,8 @@ def tpcds_q50(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH v1 AS (
       SELECT p.p_brand AS brand, n.n_name AS cc_name,
              year(l.l_shipdate) AS d_year, month(l.l_shipdate) AS d_moy,
-             SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) AS sum_cents
+             CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS sum_cents
       FROM lineitem l
       JOIN part p ON l.l_partkey = p.p_partkey
       JOIN supplier s ON l.l_suppkey = s.s_suppkey
@@ -1060,12 +1078,12 @@ def tpcds_q97(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT * FROM (
       SELECT n.n_name AS warehouse, p.p_brand AS item,
-             SUM(CASE WHEN l.l_shipdate <  DATE '1996-07-01'
+             CAST(SUM(CASE WHEN l.l_shipdate <  DATE '1996-07-01'
                       THEN CAST(l.l_quantity AS BIGINT) ELSE 0 END)
-               AS inv_before,
-             SUM(CASE WHEN l.l_shipdate >= DATE '1996-07-01'
+                  AS BIGINT) AS inv_before,
+             CAST(SUM(CASE WHEN l.l_shipdate >= DATE '1996-07-01'
                       THEN CAST(l.l_quantity AS BIGINT) ELSE 0 END)
-               AS inv_after
+                  AS BIGINT) AS inv_after
       FROM lineitem l
       JOIN supplier s ON l.l_suppkey = s.s_suppkey
       JOIN nation n ON s.s_nationkey = n.n_nationkey
@@ -1275,8 +1293,8 @@ def tpcds_q54(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH all_sales AS (
       SELECT year(l.l_shipdate) AS d_year, p.p_brand AS brand,
-             SUM(CAST(l.l_quantity AS BIGINT)) AS sales_cnt,
-             SUM({_NET_CENTS_SQL}) AS sales_amt
+             CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS sales_cnt,
+             CAST(SUM({_NET_CENTS_SQL}) AS BIGINT) AS sales_amt
       FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
       WHERE year(l.l_shipdate) IN (1996, 1997)
         AND l.l_returnflag <> 'R'
@@ -1352,16 +1370,18 @@ def tpcds_q75(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT DISTINCT l_orderkey FROM lineitem WHERE l_returnflag = 'R'),
     ss AS (
       SELECT l_partkey AS item,
-             SUM(CAST(l_quantity AS BIGINT)) AS ss_qty,
-             SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS ss_amt
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS ss_qty,
+             CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS ss_amt
       FROM lineitem
       WHERE l_linestatus = 'F' AND year(l_shipdate) = 1996
         AND l_orderkey NOT IN (SELECT l_orderkey FROM returned_orders)
       GROUP BY 1),
     os AS (
       SELECT l_partkey AS item,
-             SUM(CAST(l_quantity AS BIGINT)) AS other_qty,
-             SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS other_amt
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS other_qty,
+             CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS other_amt
       FROM lineitem
       WHERE l_linestatus = 'O' AND year(l_shipdate) = 1996
       GROUP BY 1)
@@ -1902,7 +1922,8 @@ def tpcds_q76(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH rev AS (
       SELECT p.p_type AS class, p.p_brand AS brand,
-             SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) AS cents
+             CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS cents
       FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
       WHERE l.l_shipdate >= DATE '1996-02-01'
         AND l.l_shipdate < DATE '1996-03-03'
@@ -1949,7 +1970,8 @@ def tpcds_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH ctr AS (
       SELECT n.n_name AS nation, o.o_custkey AS custkey,
-             SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) AS ret_cents
+             CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS ret_cents
       FROM lineitem l
       JOIN orders o ON l.l_orderkey = o.o_orderkey
       JOIN customer c ON o.o_custkey = c.c_custkey
@@ -2067,7 +2089,8 @@ def tpcds_q52(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH v1 AS (
       SELECT p.p_type AS category, p.p_brand AS brand, n.n_name AS store,
              month(l.l_shipdate) AS d_moy,
-             SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) AS sum_cents
+             CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS sum_cents
       FROM lineitem l
       JOIN part p ON l.l_partkey = p.p_partkey
       JOIN supplier s ON l.l_suppkey = s.s_suppkey
@@ -2365,9 +2388,12 @@ def tpcds_q37(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY 1, 2),
     pivoted AS (
       SELECT item,
-             SUM(CASE WHEN chan = 'F' THEN cents ELSE 0 END) AS ss,
-             SUM(CASE WHEN chan = 'O' THEN cents ELSE 0 END) AS cs,
-             SUM(CASE WHEN chan = 'P' THEN cents ELSE 0 END) AS ws,
+             CAST(SUM(CASE WHEN chan = 'F' THEN cents ELSE 0 END)
+                  AS BIGINT) AS ss,
+             CAST(SUM(CASE WHEN chan = 'O' THEN cents ELSE 0 END)
+                  AS BIGINT) AS cs,
+             CAST(SUM(CASE WHEN chan = 'P' THEN cents ELSE 0 END)
+                  AS BIGINT) AS ws,
              CAST(COUNT(DISTINCT chan) AS BIGINT) AS nchan
       FROM per_chan GROUP BY item)
     SELECT item, ss AS store_cents, cs AS catalog_cents, ws AS web_cents,
@@ -2512,7 +2538,8 @@ def tpcds_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH rev AS (
       SELECT p.p_size AS class, p.p_brand AS brand,
-             SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) AS cents
+             CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS cents
       FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
       WHERE l.l_linestatus = 'O'
         AND l.l_shipdate >= DATE '1996-02-01'
@@ -2681,7 +2708,8 @@ def tpcds_q40(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH v1 AS (
       SELECT p.p_brand AS brand, quarter(l.l_shipdate) AS d_qoy,
-             SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) AS sum_cents
+             CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS sum_cents
       FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
       WHERE year(l.l_shipdate) = 1996
         AND p.p_type IN ('LARGE', 'MEDIUM', 'SMALL')
@@ -2950,8 +2978,8 @@ def tpcds_q74(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH ctr AS (
       SELECT n.n_name AS nation, o.o_custkey AS custkey,
-             SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100)
-                 AS BIGINT)) AS ret_cents
+             CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100)
+                 AS BIGINT)) AS BIGINT) AS ret_cents
       FROM lineitem l
       JOIN orders o ON l.l_orderkey = o.o_orderkey
       JOIN customer c ON o.o_custkey = c.c_custkey
@@ -3458,7 +3486,8 @@ def tpcds_q60(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH v1 AS (
       SELECT p.p_size AS manager, month(l.l_shipdate) AS d_moy,
-             SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) AS sum_cents
+             CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS sum_cents
       FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
       WHERE year(l.l_shipdate) = 1996
         AND ((p.p_type IN ('PROMO', 'STANDARD') AND p.p_brand IN
@@ -3583,9 +3612,12 @@ def tpcds_q82(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY 1, 2),
     pivoted AS (
       SELECT item,
-             SUM(CASE WHEN chan = 'F' THEN qty ELSE 0 END) AS sr,
-             SUM(CASE WHEN chan = 'O' THEN qty ELSE 0 END) AS cr,
-             SUM(CASE WHEN chan = 'P' THEN qty ELSE 0 END) AS wr,
+             CAST(SUM(CASE WHEN chan = 'F' THEN qty ELSE 0 END)
+                  AS BIGINT) AS sr,
+             CAST(SUM(CASE WHEN chan = 'O' THEN qty ELSE 0 END)
+                  AS BIGINT) AS cr,
+             CAST(SUM(CASE WHEN chan = 'P' THEN qty ELSE 0 END)
+                  AS BIGINT) AS wr,
              CAST(COUNT(DISTINCT chan) AS BIGINT) AS nchan
       FROM per_chan GROUP BY item)
     SELECT item, sr AS store_returns, cr AS catalog_returns,

@@ -246,6 +246,33 @@ def test_bloom_probe_broadcasts_filter(spark, sf_dir):
     assert "CartesianProduct" not in plans.explain_formatted(df)
 
 
+def test_tpcds_q23_topk_is_distributed(spark, sf_dir):
+    # the best-customers qualifier must plan as a distributed top-k
+    # (TakeOrderedAndProject: per-partition heap + driver merge), never a
+    # global ROW_NUMBER window that shuffles every customer to one task
+    df = _build(spark, sf_dir, "tpcds_q23")
+    text = plans.explain_formatted(df)
+    assert "TakeOrderedAndProject" in text
+    assert "Window" not in text, "q23 regressed to a global window top-k"
+
+
+def test_tpcds_q44_topk_is_distributed(spark, sf_dir):
+    # both ranking directions take their top-10 via TakeOrderedAndProject;
+    # ROW_NUMBER is applied only to the surviving <=10 rows, so the
+    # remaining Window nodes are bounded, not full-relation sorts
+    import re
+
+    df = _build(spark, sf_dir, "tpcds_q44")
+    text = plans.explain_formatted(df)
+    windows = re.findall(r"Window \(\d+\)\n(.*)\n", text)
+    assert windows, "expected the two bounded rank windows"
+    for child_line in windows:
+        assert "TakeOrderedAndProject" in child_line, (
+            "a Window consumes an unlimited input — q44 regressed to a "
+            f"full-relation global sort: {child_line!r}"
+        )
+
+
 def test_winnowing_no_cartesian(spark, sf_dir):
     # fingerprint matching is an equi-join on the inverted index — an
     # all-pairs/cartesian plan would be quadratic at scale

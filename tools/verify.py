@@ -48,6 +48,29 @@ def rows_key(row):
     return tuple((x is None, str(x)) for x in row)
 
 
+# DuckDB widens integer SUM (and a few other aggregates) to HUGEINT/int128
+# while Spark stays BIGINT.  The driver's value-hash is type-sensitive, so a
+# surfaced HUGEINT column hash-mismatches even when every value is equal —
+# this bug class shipped in r01 (json_variant/zorder) and again in r03
+# (eight TPC-DS ports).  Every oracle must CAST such aggregates to BIGINT.
+_FORBIDDEN_ORACLE_TYPES = ("HUGEINT", "UHUGEINT")
+
+
+def lint_oracle(con, oracle_sql):
+    """Surfaced oracle columns whose DuckDB type cannot hash-match Spark.
+
+    Uses ``DESCRIBE <query>`` (binds and types the query without executing
+    it), so it is cheap enough to run over the whole registry.  Returns a
+    list of (column_name, duckdb_type) offenders — empty means clean.
+    """
+    rows = con.execute(f"DESCRIBE {oracle_sql}").fetchall()
+    return [
+        (name, dtype)
+        for name, dtype, *_ in rows
+        if any(t in dtype.upper() for t in _FORBIDDEN_ORACLE_TYPES)
+    ]
+
+
 def spark_result(spark, spec, sf_dir):
     """Run the Spark builder → (sorted cols, canonicalized sorted rows)."""
     sdf = spec.builder(spark, sf_dir)
@@ -109,6 +132,13 @@ def run(sf_dir: str, only: list[str]) -> int:
     for name in names:
         spec = specs[name]
         try:
+            if spec.oracle is not None:
+                offenders = lint_oracle(con, spec.oracle)
+                if offenders:
+                    print(f"FAIL  {name}: oracle lint: uncast wide-integer "
+                          f"columns {offenders} (CAST ... AS BIGINT)")
+                    failures += 1
+                    continue
             ok, detail = compare(spark, con, spec, sf_dir)
         except Exception as e:
             print(f"FAIL  {name}: error: {e}")

@@ -88,15 +88,19 @@ HEADLINE = [
     "incremental_dedup",
     "context_window_chunks",
     "approx_topk_cms",
-    # TPC-DS slice (82 plan-shape ports; see TPCDS_COVERAGE.md)
+    # TPC-DS slice (93 plan-shape ports + 3 a/b second shapes; see
+    # TPCDS_COVERAGE.md)
     *[f"tpcds_q{i}" for i in (
         1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15,
         16, 17, 18, 19, 20, 21, 22, 23, 25, 26, 27, 28, 29, 30, 31,
         32, 33, 34, 35, 36, 37, 38, 39, 40, 41, 42, 43, 44, 45, 47,
         48, 49, 50, 51, 52, 53, 54, 55, 56, 57, 58, 59, 60, 61, 62,
-        63, 65, 66, 67, 68, 69, 70, 71, 73, 74, 75, 76, 77, 78, 80,
-        81, 82, 83, 86, 87, 88, 89, 90, 91, 92, 93, 94, 95, 96, 97,
-        98, 99)],
+        63, 64, 65, 66, 67, 68, 69, 70, 71, 73, 74, 75, 76, 77, 78,
+        80, 81, 82, 83, 86, 87, 88, 89, 90, 91, 92, 93, 94, 95, 96,
+        97, 98, 99)],
+    "tpcds_q14b",
+    "tpcds_q23b",
+    "tpcds_q39b",
     # TPC-DS-shaped composites
     "tpcds_shape_avg_filter",
     "tpcds_shape_rank_bestworst",

@@ -109,6 +109,7 @@ def all_queries() -> dict[str, QuerySpec]:
         pipeline3,
         tpcds,
         tpcds2,
+        tpcds3,
         tpch,
     )
 

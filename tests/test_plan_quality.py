@@ -273,6 +273,27 @@ def test_tpcds_q44_topk_is_distributed(spark, sf_dir):
         )
 
 
+def test_tpcds_q64_megajoin_shape(spark, sf_dir):
+    # the widest join graph in the corpus: returns pairing is an equi-join
+    # on (orderkey, partkey), every dimension is broadcast, the cs_ui
+    # qualifier reaches the fact scan as a broadcast semi join — no
+    # cartesian / nested-loop anywhere
+    df = _build(spark, sf_dir, "tpcds_q64")
+    text = plans.explain_formatted(df)
+    assert "CartesianProduct" not in text
+    assert "BroadcastNestedLoopJoin" not in text
+    assert plans.broadcast_join_count(df) >= 4
+
+
+def test_tpcds_q23b_topk_is_distributed(spark, sf_dir):
+    # both top-k cuts (best customers, final top-100) must be
+    # TakeOrderedAndProject, never a global window
+    df = _build(spark, sf_dir, "tpcds_q23b")
+    text = plans.explain_formatted(df)
+    assert "TakeOrderedAndProject" in text
+    assert "Window" not in text
+
+
 def test_winnowing_no_cartesian(spark, sf_dir):
     # fingerprint matching is an equi-join on the inverted index — an
     # all-pairs/cartesian plan would be quadratic at scale

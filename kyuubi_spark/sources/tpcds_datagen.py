@@ -8,11 +8,17 @@ sources/datagen.py: `spark.range(n)` is the partitioned key space and
 `mapInPandas` turns Arrow batches of keys into rows, so generation is
 embarrassingly parallel and identical for any partition count.
 
-Covered tables — the store-channel star that the classic report queries
-(q3/q7/q36/q42/q52/q55/q67…) touch: ``date_dim``, ``item``, ``store``,
-``customer_demographics``, ``promotion``, ``store_sales``.  Money columns
-are DECIMAL(7,2) as in the spec, which also makes cross-engine sums exact
-(no float association ambiguity between Spark and an oracle engine).
+Covered tables — all three sales channels with their returns plus the
+dimensions the cross-channel queries touch: ``date_dim``, ``item``,
+``store``, ``customer_demographics``, ``promotion``, ``customer``,
+``customer_address``, ``warehouse``, ``inventory``, ``store_sales`` /
+``store_returns``, ``catalog_sales`` / ``catalog_returns``, ``web_sales``
+/ ``web_returns``.  Money columns are exact DECIMALs as in the spec,
+which also makes cross-engine sums exact (no float association ambiguity
+between Spark and an oracle engine).  Each returns table regenerates its
+parent sale's fields from the shared per-key formula (``_ss_fields`` /
+``_cs_fields`` / ``_ws_fields``) instead of joining — referential
+integrity with zero generation-time shuffle.
 """
 
 from __future__ import annotations
@@ -109,7 +115,13 @@ def gen_item(spark: SparkSession, sf: float, partitions: int | None = None) -> D
                     "i_manufact_id": manu_id,
                     "i_manufact": [f"manufact#{int(m)}" for m in manu_id],
                     "i_manager_id": (keys * 977 % 100).astype("int64") + 1,
-                    "i_current_price": ((keys * 7 % 9900 + 100) / 100.0).round(2),
+                    # large odd multiplier so the 1.00-99.99 price domain is
+                    # covered even when the item count is tiny (a small
+                    # stride never wraps the modulus at low SF, collapsing
+                    # every price below ~$4 and emptying price-band queries)
+                    "i_current_price": (
+                        (keys * 7919 % 9900 + 100) / 100.0
+                    ).round(2),
                 }
             )
 
@@ -184,40 +196,72 @@ def gen_promotion(spark: SparkSession, sf: float, partitions: int | None = None)
     )
 
 
-def gen_store_sales(spark: SparkSession, sf: float, partitions: int | None = None) -> DataFrame:
-    """Fact table; every money column an exact DECIMAL(7,2)."""
-    n = max(1000, int(sf * 2_880_000))
+def _n_customer(sf: float) -> int:
+    return max(1, int(sf * 100_000) or 1000)
+
+
+def _n_address(sf: float) -> int:
+    return max(50, int(sf * 50_000))
+
+
+_N_WAREHOUSE = 5
+
+
+def _ss_fields(k: np.ndarray, sf: float) -> dict:
+    """store_sales row derivation for key array k — shared with the
+    store_returns generator so a return can recompute its parent sale
+    without any join (generation stays embarrassingly parallel)."""
     n_item = max(10, int(sf * 18_000))
     n_store = max(2, int(sf * 12))
     n_cd = len(_GENDERS) * len(_MARITAL) * len(_EDUCATION)
     n_promo = max(3, int(sf * 300))
+    list_cents = k * 7919 % 19_900 + 100  # 1.00 .. 199.99
+    sales_cents = list_cents * (50 + k * 31 % 50) // 100  # 50-99% of list
+    qty = (k * 2654435761 % 100 + 1).astype("int64")
+    coupon_cents = np.where(k % 7 == 0, sales_cents // 10, 0)
+    cost_cents = list_cents * (30 + k * 13 % 40) // 100
+    ext_cents = sales_cents * qty
+    profit_cents = ext_cents - cost_cents * qty - coupon_cents
+    return {
+        "sold_date_sk": k * 6364136223846793005 % _N_DATES + _DATE_BASE_SK,
+        "item_sk": k * 48271 % n_item + 1,
+        "store_sk": k * 69621 % n_store + 1,
+        "customer_sk": k * 977 % _n_customer(sf) + 1,
+        "cdemo_sk": k * 31 % n_cd + 1,
+        "promo_sk": k * 13 % n_promo + 1,
+        "ticket_number": k // 4 + 1,
+        "qty": qty,
+        "list_cents": list_cents,
+        "sales_cents": sales_cents,
+        "coupon_cents": coupon_cents,
+        "ext_cents": ext_cents,
+        "profit_cents": profit_cents,
+    }
+
+
+def gen_store_sales(spark: SparkSession, sf: float, partitions: int | None = None) -> DataFrame:
+    """Fact table; every money column an exact DECIMAL(7,2)."""
+    n = max(1000, int(sf * 2_880_000))
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             k = pdf["id"].to_numpy()
-            list_cents = k * 7919 % 19_900 + 100  # 1.00 .. 199.99
-            sales_cents = list_cents * (50 + k * 31 % 50) // 100  # 50-99% of list
-            qty = (k * 2654435761 % 100 + 1).astype("int64")
-            coupon_cents = np.where(k % 7 == 0, sales_cents // 10, 0)
-            cost_cents = list_cents * (30 + k * 13 % 40) // 100
-            ext_cents = sales_cents * qty
-            profit_cents = ext_cents - cost_cents * qty - coupon_cents
+            f = _ss_fields(k, sf)
             yield pd.DataFrame(
                 {
-                    "ss_sold_date_sk": k * 6364136223846793005 % _N_DATES
-                    + _DATE_BASE_SK,
-                    "ss_item_sk": k * 48271 % n_item + 1,
-                    "ss_store_sk": k * 69621 % n_store + 1,
-                    "ss_customer_sk": k * 977 % max(1, int(sf * 100_000) or 1000) + 1,
-                    "ss_cdemo_sk": k * 31 % n_cd + 1,
-                    "ss_promo_sk": k * 13 % n_promo + 1,
-                    "ss_ticket_number": k // 4 + 1,
-                    "ss_quantity": qty.astype("int32"),
-                    "ss_list_price": list_cents / 100.0,
-                    "ss_sales_price": sales_cents / 100.0,
-                    "ss_ext_sales_price": ext_cents / 100.0,
-                    "ss_coupon_amt": coupon_cents / 100.0,
-                    "ss_net_profit": profit_cents / 100.0,
+                    "ss_sold_date_sk": f["sold_date_sk"],
+                    "ss_item_sk": f["item_sk"],
+                    "ss_store_sk": f["store_sk"],
+                    "ss_customer_sk": f["customer_sk"],
+                    "ss_cdemo_sk": f["cdemo_sk"],
+                    "ss_promo_sk": f["promo_sk"],
+                    "ss_ticket_number": f["ticket_number"],
+                    "ss_quantity": f["qty"].astype("int32"),
+                    "ss_list_price": f["list_cents"] / 100.0,
+                    "ss_sales_price": f["sales_cents"] / 100.0,
+                    "ss_ext_sales_price": f["ext_cents"] / 100.0,
+                    "ss_coupon_amt": f["coupon_cents"] / 100.0,
+                    "ss_net_profit": f["profit_cents"] / 100.0,
                 }
             )
 
@@ -229,18 +273,437 @@ def gen_store_sales(spark: SparkSession, sf: float, partitions: int | None = Non
         "ss_sales_price double, ss_ext_sales_price double, "
         "ss_coupon_amt double, ss_net_profit double",
     )
-    from pyspark.sql import functions as F
-
-    money = [
+    return _money(df, [
         "ss_list_price",
         "ss_sales_price",
         "ss_ext_sales_price",
         "ss_coupon_amt",
         "ss_net_profit",
-    ]
-    for c in money:
-        df = df.withColumn(c, F.col(c).cast("decimal(7,2)"))
+    ])
+
+
+def _money(df: DataFrame, cols: list[str]) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    for c in cols:
+        df = df.withColumn(c, F.col(c).cast("decimal(9,2)"))
     return df
+
+
+def gen_store_returns(spark: SparkSession, sf: float, partitions: int | None = None) -> DataFrame:
+    """~22% of store sales return: keys k % 9 < 2 of the sales key space.
+
+    The parent sale's fields are recomputed from the key (same formulas as
+    gen_store_sales), so (sr_item_sk, sr_ticket_number, sr_customer_sk)
+    always resolve against store_sales — referential integrity without a
+    generation-time join."""
+    n = max(1000, int(sf * 2_880_000))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            k = pdf["id"].to_numpy()
+            k = k[k % 9 < 2]
+            if len(k) == 0:
+                continue
+            f = _ss_fields(k, sf)
+            ret_qty = np.maximum(1, f["qty"] * (k % 50 + 25) // 100)
+            amt_cents = f["sales_cents"] * ret_qty
+            loss_cents = amt_cents // 10 + 500  # restock fee + handling
+            yield pd.DataFrame(
+                {
+                    "sr_returned_date_sk": np.minimum(
+                        f["sold_date_sk"] + k % 40 + 3,
+                        _DATE_BASE_SK + _N_DATES - 1,
+                    ),
+                    "sr_item_sk": f["item_sk"],
+                    "sr_customer_sk": f["customer_sk"],
+                    "sr_store_sk": f["store_sk"],
+                    "sr_ticket_number": f["ticket_number"],
+                    "sr_return_quantity": ret_qty.astype("int32"),
+                    "sr_return_amt": amt_cents / 100.0,
+                    "sr_net_loss": loss_cents / 100.0,
+                }
+            )
+
+    df = _keyed(spark, n, partitions).mapInPandas(
+        gen,
+        schema="sr_returned_date_sk long, sr_item_sk long, sr_customer_sk long, "
+        "sr_store_sk long, sr_ticket_number long, sr_return_quantity int, "
+        "sr_return_amt double, sr_net_loss double",
+    )
+    return _money(df, ["sr_return_amt", "sr_net_loss"])
+
+
+def _cs_fields(k: np.ndarray, sf: float) -> dict:
+    """catalog_sales row derivation (own hash streams; shared with
+    catalog_returns)."""
+    n_item = max(10, int(sf * 18_000))
+    n_promo = max(3, int(sf * 300))
+    list_cents = k * 104729 % 19_900 + 100
+    sales_cents = list_cents * (55 + k * 17 % 45) // 100
+    qty = (k * 2862933555777941757 % 100 + 1).astype("int64")
+    cost_cents = list_cents * (30 + k * 19 % 40) // 100
+    ext_cents = sales_cents * qty
+    ext_list_cents = list_cents * qty
+    disc_cents = ext_list_cents - ext_cents
+    profit_cents = ext_cents - cost_cents * qty
+    sold = k * 2654435761 % _N_DATES
+    n_cd = len(_GENDERS) * len(_MARITAL) * len(_EDUCATION)
+    return {
+        "sold_date_sk": sold + _DATE_BASE_SK,
+        "ship_date_sk": np.minimum(sold + k % 30 + 2, _N_DATES - 1)
+        + _DATE_BASE_SK,
+        "item_sk": k * 16807 % n_item + 1,
+        "customer_sk": k * 48271 % _n_customer(sf) + 1,
+        "cdemo_sk": k * 37 % n_cd + 1,
+        "ship_addr_sk": k * 11 % _n_address(sf) + 1,
+        "warehouse_sk": k % _N_WAREHOUSE + 1,
+        "promo_sk": k * 7 % n_promo + 1,
+        "order_number": k // 3 + 1,
+        "qty": qty,
+        "list_cents": list_cents,
+        "sales_cents": sales_cents,
+        "ext_cents": ext_cents,
+        "ext_list_cents": ext_list_cents,
+        "disc_cents": disc_cents,
+        "ship_cents": ext_cents // 20 + 99,
+        "profit_cents": profit_cents,
+    }
+
+
+def gen_catalog_sales(spark: SparkSession, sf: float, partitions: int | None = None) -> DataFrame:
+    n = max(500, int(sf * 1_440_000))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            k = pdf["id"].to_numpy()
+            f = _cs_fields(k, sf)
+            yield pd.DataFrame(
+                {
+                    "cs_sold_date_sk": f["sold_date_sk"],
+                    "cs_ship_date_sk": f["ship_date_sk"],
+                    "cs_item_sk": f["item_sk"],
+                    "cs_bill_customer_sk": f["customer_sk"],
+                    "cs_bill_cdemo_sk": f["cdemo_sk"],
+                    "cs_ship_addr_sk": f["ship_addr_sk"],
+                    "cs_warehouse_sk": f["warehouse_sk"],
+                    "cs_promo_sk": f["promo_sk"],
+                    "cs_order_number": f["order_number"],
+                    "cs_quantity": f["qty"].astype("int32"),
+                    "cs_list_price": f["list_cents"] / 100.0,
+                    "cs_sales_price": f["sales_cents"] / 100.0,
+                    "cs_ext_sales_price": f["ext_cents"] / 100.0,
+                    "cs_ext_list_price": f["ext_list_cents"] / 100.0,
+                    "cs_ext_discount_amt": f["disc_cents"] / 100.0,
+                    "cs_ext_ship_cost": f["ship_cents"] / 100.0,
+                    "cs_net_profit": f["profit_cents"] / 100.0,
+                }
+            )
+
+    df = _keyed(spark, n, partitions).mapInPandas(
+        gen,
+        schema="cs_sold_date_sk long, cs_ship_date_sk long, cs_item_sk long, "
+        "cs_bill_customer_sk long, cs_bill_cdemo_sk long, "
+        "cs_ship_addr_sk long, cs_warehouse_sk long, cs_promo_sk long, "
+        "cs_order_number long, cs_quantity int, cs_list_price double, "
+        "cs_sales_price double, cs_ext_sales_price double, "
+        "cs_ext_list_price double, cs_ext_discount_amt double, "
+        "cs_ext_ship_cost double, cs_net_profit double",
+    )
+    return _money(df, [
+        "cs_list_price",
+        "cs_sales_price",
+        "cs_ext_sales_price",
+        "cs_ext_list_price",
+        "cs_ext_discount_amt",
+        "cs_ext_ship_cost",
+        "cs_net_profit",
+    ])
+
+
+def gen_catalog_returns(spark: SparkSession, sf: float, partitions: int | None = None) -> DataFrame:
+    """~28% of catalog sales return (keys k % 7 < 2); refunded cash /
+    reversed charge / store credit split the return amount exactly."""
+    n = max(500, int(sf * 1_440_000))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            k = pdf["id"].to_numpy()
+            k = k[k % 7 < 2]
+            if len(k) == 0:
+                continue
+            f = _cs_fields(k, sf)
+            ret_qty = np.maximum(1, f["qty"] * (k % 60 + 20) // 100)
+            amt_cents = f["sales_cents"] * ret_qty
+            cash_cents = amt_cents * (k % 60 + 20) // 100
+            charge_cents = (amt_cents - cash_cents) * (k % 50) // 100
+            credit_cents = amt_cents - cash_cents - charge_cents
+            loss_cents = amt_cents // 10 + 700
+            yield pd.DataFrame(
+                {
+                    "cr_returned_date_sk": np.minimum(
+                        f["sold_date_sk"] + k % 40 + 3,
+                        _DATE_BASE_SK + _N_DATES - 1,
+                    ),
+                    "cr_item_sk": f["item_sk"],
+                    "cr_returning_customer_sk": f["customer_sk"],
+                    "cr_warehouse_sk": f["warehouse_sk"],
+                    "cr_order_number": f["order_number"],
+                    "cr_return_quantity": ret_qty.astype("int32"),
+                    "cr_return_amount": amt_cents / 100.0,
+                    "cr_refunded_cash": cash_cents / 100.0,
+                    "cr_reversed_charge": charge_cents / 100.0,
+                    "cr_store_credit": credit_cents / 100.0,
+                    "cr_net_loss": loss_cents / 100.0,
+                }
+            )
+
+    df = _keyed(spark, n, partitions).mapInPandas(
+        gen,
+        schema="cr_returned_date_sk long, cr_item_sk long, "
+        "cr_returning_customer_sk long, cr_warehouse_sk long, "
+        "cr_order_number long, cr_return_quantity int, "
+        "cr_return_amount double, cr_refunded_cash double, "
+        "cr_reversed_charge double, cr_store_credit double, "
+        "cr_net_loss double",
+    )
+    return _money(df, [
+        "cr_return_amount",
+        "cr_refunded_cash",
+        "cr_reversed_charge",
+        "cr_store_credit",
+        "cr_net_loss",
+    ])
+
+
+def _ws_fields(k: np.ndarray, sf: float) -> dict:
+    """web_sales row derivation (own hash streams; shared with
+    web_returns).  Orders span 2 consecutive keys so most orders ship
+    from more than one warehouse (q94/q95's EXISTS shape needs that)."""
+    n_item = max(10, int(sf * 18_000))
+    list_cents = k * 75193 % 19_900 + 100
+    sales_cents = list_cents * (60 + k * 23 % 40) // 100
+    qty = (k * 6364136223846793005 % 100 + 1).astype("int64")
+    cost_cents = list_cents * (35 + k * 29 % 35) // 100
+    ext_cents = sales_cents * qty
+    ext_list_cents = list_cents * qty
+    disc_cents = ext_list_cents - ext_cents
+    profit_cents = ext_cents - cost_cents * qty
+    sold = k * 48271 % _N_DATES
+    return {
+        "sold_date_sk": sold + _DATE_BASE_SK,
+        "ship_date_sk": np.minimum(sold + k % 90 + 1, _N_DATES - 1)
+        + _DATE_BASE_SK,
+        "item_sk": k * 69621 % n_item + 1,
+        "customer_sk": k * 104729 % _n_customer(sf) + 1,
+        "warehouse_sk": k % _N_WAREHOUSE + 1,
+        "ship_addr_sk": k * 31 % _n_address(sf) + 1,
+        "order_number": k // 2 + 1,
+        "qty": qty,
+        "list_cents": list_cents,
+        "sales_cents": sales_cents,
+        "ext_cents": ext_cents,
+        "ext_list_cents": ext_list_cents,
+        "disc_cents": disc_cents,
+        "ship_cents": ext_cents // 25 + 149,
+        "profit_cents": profit_cents,
+    }
+
+
+def gen_web_sales(spark: SparkSession, sf: float, partitions: int | None = None) -> DataFrame:
+    n = max(500, int(sf * 720_000))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            k = pdf["id"].to_numpy()
+            f = _ws_fields(k, sf)
+            yield pd.DataFrame(
+                {
+                    "ws_sold_date_sk": f["sold_date_sk"],
+                    "ws_ship_date_sk": f["ship_date_sk"],
+                    "ws_item_sk": f["item_sk"],
+                    "ws_bill_customer_sk": f["customer_sk"],
+                    "ws_warehouse_sk": f["warehouse_sk"],
+                    "ws_ship_addr_sk": f["ship_addr_sk"],
+                    "ws_order_number": f["order_number"],
+                    "ws_quantity": f["qty"].astype("int32"),
+                    "ws_list_price": f["list_cents"] / 100.0,
+                    "ws_sales_price": f["sales_cents"] / 100.0,
+                    "ws_ext_sales_price": f["ext_cents"] / 100.0,
+                    "ws_ext_list_price": f["ext_list_cents"] / 100.0,
+                    "ws_ext_discount_amt": f["disc_cents"] / 100.0,
+                    "ws_ext_ship_cost": f["ship_cents"] / 100.0,
+                    "ws_net_paid": f["ext_cents"] / 100.0,
+                    "ws_net_profit": f["profit_cents"] / 100.0,
+                }
+            )
+
+    df = _keyed(spark, n, partitions).mapInPandas(
+        gen,
+        schema="ws_sold_date_sk long, ws_ship_date_sk long, ws_item_sk long, "
+        "ws_bill_customer_sk long, ws_warehouse_sk long, ws_ship_addr_sk long, "
+        "ws_order_number long, ws_quantity int, ws_list_price double, "
+        "ws_sales_price double, ws_ext_sales_price double, "
+        "ws_ext_list_price double, ws_ext_discount_amt double, "
+        "ws_ext_ship_cost double, ws_net_paid double, ws_net_profit double",
+    )
+    return _money(df, [
+        "ws_list_price",
+        "ws_sales_price",
+        "ws_ext_sales_price",
+        "ws_ext_list_price",
+        "ws_ext_discount_amt",
+        "ws_ext_ship_cost",
+        "ws_net_paid",
+        "ws_net_profit",
+    ])
+
+
+def gen_web_returns(spark: SparkSession, sf: float, partitions: int | None = None) -> DataFrame:
+    """~18% of web sales return (keys k % 11 < 2)."""
+    n = max(500, int(sf * 720_000))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            k = pdf["id"].to_numpy()
+            k = k[k % 11 < 2]
+            if len(k) == 0:
+                continue
+            f = _ws_fields(k, sf)
+            ret_qty = np.maximum(1, f["qty"] * (k % 70 + 15) // 100)
+            amt_cents = f["sales_cents"] * ret_qty
+            loss_cents = amt_cents // 8 + 300
+            yield pd.DataFrame(
+                {
+                    "wr_returned_date_sk": np.minimum(
+                        f["sold_date_sk"] + k % 60 + 3,
+                        _DATE_BASE_SK + _N_DATES - 1,
+                    ),
+                    "wr_item_sk": f["item_sk"],
+                    "wr_returning_customer_sk": f["customer_sk"],
+                    "wr_warehouse_sk": f["warehouse_sk"],
+                    "wr_order_number": f["order_number"],
+                    "wr_return_quantity": ret_qty.astype("int32"),
+                    "wr_return_amt": amt_cents / 100.0,
+                    "wr_net_loss": loss_cents / 100.0,
+                }
+            )
+
+    df = _keyed(spark, n, partitions).mapInPandas(
+        gen,
+        schema="wr_returned_date_sk long, wr_item_sk long, "
+        "wr_returning_customer_sk long, wr_warehouse_sk long, "
+        "wr_order_number long, wr_return_quantity int, "
+        "wr_return_amt double, wr_net_loss double",
+    )
+    return _money(df, ["wr_return_amt", "wr_net_loss"])
+
+
+_FIRST_NAMES = ["James", "Mary", "John", "Linda", "Robert", "Susan", "Luis",
+                "Aisha", "Wei", "Priya"]
+_LAST_NAMES = ["Smith", "Garcia", "Chen", "Johnson", "Patel", "Brown",
+               "Nguyen", "Lopez", "Kim", "Mueller"]
+_CITIES = ["Fairview", "Midway", "Riverside", "Centerville", "Oakland",
+           "Springdale", "Georgetown", "Greenville"]
+_COUNTIES = ["Williamson County", "Walker County", "Ziebach County",
+             "Daviess County", "Barrow County"]
+_CA_STATES = ["TN", "CA", "NY", "TX", "WA", "GA", "SD", "IN", "OH", "IL"]
+
+
+def gen_customer(spark: SparkSession, sf: float, partitions: int | None = None) -> DataFrame:
+    """Customer dimension covering the fact generators' customer key
+    domain; first-sale/first-ship dates land inside date_dim."""
+    n = _n_customer(sf)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            k = pdf["id"].to_numpy()
+            first = k * 31 % len(_FIRST_NAMES)
+            last = k * 17 % len(_LAST_NAMES)
+            yield pd.DataFrame(
+                {
+                    "c_customer_sk": k + 1,
+                    "c_customer_id": [f"AAAAAAAA{int(x):08d}" for x in k],
+                    "c_first_name": [_FIRST_NAMES[int(i)] for i in first],
+                    "c_last_name": [_LAST_NAMES[int(i)] for i in last],
+                    "c_preferred_cust_flag": np.where(k % 3 == 0, "Y", "N"),
+                    "c_birth_year": (1920 + k * 13 % 73).astype("int32"),
+                    "c_current_addr_sk": k * 7 % _n_address(sf) + 1,
+                    "c_first_sales_date_sk": k * 977 % _N_DATES
+                    + _DATE_BASE_SK,
+                    "c_first_shipto_date_sk": np.minimum(
+                        k * 977 % _N_DATES + k % 30, _N_DATES - 1
+                    )
+                    + _DATE_BASE_SK,
+                }
+            )
+
+    return _keyed(spark, n, partitions).mapInPandas(
+        gen,
+        schema="c_customer_sk long, c_customer_id string, c_first_name string, "
+        "c_last_name string, c_preferred_cust_flag string, c_birth_year int, "
+        "c_current_addr_sk long, c_first_sales_date_sk long, "
+        "c_first_shipto_date_sk long",
+    )
+
+
+def gen_customer_address(spark: SparkSession, sf: float, partitions: int | None = None) -> DataFrame:
+    n = _n_address(sf)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            k = pdf["id"].to_numpy()
+            yield pd.DataFrame(
+                {
+                    "ca_address_sk": k + 1,
+                    "ca_address_id": [f"AAAAAAAA{int(x):08d}" for x in k],
+                    "ca_street_number": (k * 7 % 999 + 1).astype("int64")
+                    .astype(str),
+                    "ca_street_name": [
+                        f"{_CITIES[int(i)]} Way" for i in k % len(_CITIES)
+                    ],
+                    "ca_city": [_CITIES[int(i)] for i in k * 3 % len(_CITIES)],
+                    "ca_county": [
+                        _COUNTIES[int(i)] for i in k * 11 % len(_COUNTIES)
+                    ],
+                    "ca_state": [
+                        _CA_STATES[int(i)] for i in k * 13 % len(_CA_STATES)
+                    ],
+                    "ca_zip": [f"{int(x) * 89 % 99999 + 1:05d}" for x in k],
+                    "ca_country": "United States",
+                    "ca_gmt_offset": (-(5 + k % 4)).astype("int32"),
+                }
+            )
+
+    return _keyed(spark, n, partitions).mapInPandas(
+        gen,
+        schema="ca_address_sk long, ca_address_id string, "
+        "ca_street_number string, ca_street_name string, ca_city string, "
+        "ca_county string, ca_state string, ca_zip string, ca_country string, "
+        "ca_gmt_offset int",
+    )
+
+
+def gen_warehouse(spark: SparkSession, sf: float = 1.0, partitions: int | None = None) -> DataFrame:
+    states = ["TN", "CA", "NY", "TX", "WA"]
+    rows = [
+        (
+            i + 1,
+            f"AAAAAAAA{i:08d}",
+            f"warehouse {i}",
+            100_000 + i * 37_500,
+            _CITIES[i % len(_CITIES)],
+            _COUNTIES[i % len(_COUNTIES)],
+            states[i % len(states)],
+        )
+        for i in range(_N_WAREHOUSE)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "w_warehouse_sk long, w_warehouse_id string, w_warehouse_name string, "
+        "w_warehouse_sq_ft long, w_city string, w_county string, "
+        "w_state string",
+    )
 
 
 def gen_inventory(spark: SparkSession, sf: float, partitions: int | None = None) -> DataFrame:
@@ -280,6 +743,14 @@ TPCDS_GENERATORS = {
     "customer_demographics": gen_customer_demographics,
     "promotion": gen_promotion,
     "store_sales": gen_store_sales,
+    "store_returns": gen_store_returns,
+    "catalog_sales": gen_catalog_sales,
+    "catalog_returns": gen_catalog_returns,
+    "web_sales": gen_web_sales,
+    "web_returns": gen_web_returns,
+    "customer": gen_customer,
+    "customer_address": gen_customer_address,
+    "warehouse": gen_warehouse,
     "inventory": gen_inventory,
 }
 

@@ -39,3 +39,30 @@ def duck():
 @pytest.fixture(scope="session")
 def sf_dir():
     return SF_DIR
+
+
+@pytest.fixture(scope="session")
+def tpcds_star(spark, tmp_path_factory):
+    """Generated TPC-DS store star (sources/tpcds_datagen.py) landed as
+    parquet once per session; yields (spark, duckdb_con) with every table
+    registered as a temp view / DuckDB view over the SAME files.  Shared
+    by test_tpcds_real.py and test_tpcds_real2.py."""
+    from kyuubi_spark.sources.tpcds_datagen import TPCDS_GENERATORS
+
+    sf = 0.002  # ~5.8k store sales rows — non-trivial groups, fast
+    root = tmp_path_factory.mktemp("tpcds_star")
+    paths = {}
+    for name, gen in TPCDS_GENERATORS.items():
+        p = str(root / name)
+        gen(spark, sf).write.mode("overwrite").parquet(p)
+        spark.read.parquet(p).createOrReplaceTempView(name)
+        paths[name] = p
+    con = duckdb.connect()
+    for name, p in paths.items():
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}/*.parquet')"
+        )
+    yield spark, con
+    con.close()
+    for name in paths:
+        spark.catalog.dropTempView(name)

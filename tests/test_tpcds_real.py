@@ -13,34 +13,15 @@ so sums are exact in both engines.
 import os
 import sys
 
-import duckdb
 import pytest
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from kyuubi_spark.sources.tpcds_datagen import TPCDS_GENERATORS  # noqa: E402
-
-SF = 0.002  # ~5.8k sales rows — enough for non-trivial groups, fast
-
-
 @pytest.fixture(scope="module")
-def star(spark, tmp_path_factory):
-    root = tmp_path_factory.mktemp("tpcds_star")
-    paths = {}
-    for name, gen in TPCDS_GENERATORS.items():
-        p = str(root / name)
-        gen(spark, SF).write.mode("overwrite").parquet(p)
-        spark.read.parquet(p).createOrReplaceTempView(name)
-        paths[name] = p
-    con = duckdb.connect()
-    for name, p in paths.items():
-        con.execute(
-            f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}/*.parquet')"
-        )
-    yield spark, con
-    con.close()
-    for name in paths:
-        spark.catalog.dropTempView(name)
+def star(tpcds_star):
+    # session-scoped generation lives in conftest.tpcds_star (shared with
+    # test_tpcds_real2.py); this alias keeps the local test signatures
+    return tpcds_star
 
 
 def _canon(rows):

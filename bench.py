@@ -246,6 +246,8 @@ def main() -> None:
     # Warm the JVM + parquet footer caches with one cheap action.
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
 
+    from kyuubi_spark.caching import release_caches
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         spec = specs.get(name)
@@ -259,6 +261,11 @@ def main() -> None:
         except Exception as e:  # record failures as negative sentinel
             print(f"# bench error {name}: {e}", file=sys.stderr)
             timings[name] = -1.0
+        finally:
+            # operator-internal persists (dedup signature relations etc.)
+            # are scoped to the query that built them — release so 218
+            # sequential queries don't accumulate cached partitions
+            release_caches()
 
     ok = {k: v for k, v in timings.items() if v >= 0}
     total = round(sum(ok.values()), 3)

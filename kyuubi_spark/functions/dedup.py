@@ -19,6 +19,7 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from kyuubi_spark.caching import persisted
 from kyuubi_spark.functions.compat import dround
 
 HEX_DIGITS = "0123456789abcdef"
@@ -249,7 +250,6 @@ def lsh_candidate_pairs(
     Shuffle profile: one explode (bands× rows) + one self-join keyed on the
     uniform band values + one distinct — near-linear in matches at any SF.
     """
-    from pyspark import StorageLevel
 
     rows_per_band = num_hashes // bands
     # join directly on the band's raw signature slice (rows_per_band longs)
@@ -281,8 +281,10 @@ def lsh_candidate_pairs(
         # expensive part) from the scan. The banded relation is bands rows
         # of a few longs per doc — O(corpus row count), not corpus bytes —
         # so caching it is safe at any scale and halves signature work.
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        # (registered with caching.persisted — a long-lived session
+        # releases it via kyuubi_spark.caching.release_caches())
     )
+    banded = persisted(banded)
     kcols = [f"k{r}" for r in range(rows_per_band)]
     left = banded.select(F.col("id").alias("a_id"), "band", *kcols)
     right = banded.select(
@@ -356,10 +358,9 @@ def jaccard_pairs(
         # ranking, both verify sides); persist so shingling runs once —
         # standard for a multi-pass set-similarity join (spills to disk if
         # the relation outgrows executor memory).
-        from pyspark import StorageLevel
         from pyspark.sql import Window
 
-        arrays = arrays.persist(StorageLevel.MEMORY_AND_DISK)
+        arrays = persisted(arrays)
         sh = arrays.select("id", F.explode("shs").alias("sh"))
         df_freq = sh.groupBy("sh").agg(F.count("*").alias("df_sh"))
         # integer-exact prefix length: n_sh - ceil(tau_num*n_sh/tau_den) + 1.
@@ -380,8 +381,8 @@ def jaccard_pairs(
             .select("id", "sh", "rk", "n_sh")
             # prefix index feeds both self-join sides; persist so the
             # freq-join + ranking window runs once, not once per side
-            .persist(StorageLevel.MEMORY_AND_DISK)
         )
+        ranked = persisted(ranked)
         pa = ranked.select(
             F.col("id").alias("a_id"),
             F.col("sh").alias("sh_a"),
@@ -555,7 +556,6 @@ def simhash_near_dup_pairs(
     for max_hamming <= 3; approximate above (documented recall trade-off —
     the standard Manku et al. WWW'07 scheme).
     """
-    from pyspark import StorageLevel
 
     chunk_len = num_bits // chunks
     sig = simhash_signatures_df(df, id_col, text_col, num_bits)
@@ -575,7 +575,8 @@ def simhash_near_dup_pairs(
         # One row of `chunks` longs per doc; persisted so the banding
         # self-join below evaluates the token-explode/md5/64-sum signature
         # pipeline once instead of once per join side.
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    packed = persisted(packed)
     keyed = packed.select(
         "id",
         *ccols,

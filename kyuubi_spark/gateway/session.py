@@ -218,6 +218,13 @@ class Session:
             for op in list(self.operations.values()):
                 op.close()
             self.operations.clear()
+        # release operator-internal persisted relations (dedup signature
+        # caches etc.) so a long-lived gateway process doesn't accumulate
+        # cached partitions across sessions — mirrors the reference's
+        # engine-TTL-bounded resource lifecycle (EngineRef.scala)
+        from kyuubi_spark.caching import release_caches
+
+        release_caches()
 
 
 class SessionManager:

@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from kyuubi_spark.caching import persisted
 from kyuubi_spark.functions.compat import dround
 from kyuubi_spark.queries import query
 from kyuubi_spark.session import load_table
@@ -348,7 +349,6 @@ _WIN_STOP_DF = 50  # drop fingerprints appearing in more docs than this
     .format(k=_WIN_K, w=_WIN_W, span=_WIN_K + _WIN_W - 1, df=_WIN_STOP_DF),
 )
 def winnowing_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark import StorageLevel
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
@@ -387,9 +387,10 @@ def winnowing_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         # both the hot-fingerprint aggregate and the two self-join sides
         # read this relation; persist so the gram explode + md5 + window
         # pipeline runs once (one row per selected fingerprint — a small
-        # fraction of the gram stream)
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        # fraction of the gram stream); registered with caching.persisted
+        # so a long-lived session can release_caches() afterwards
     )
+    fp = persisted(fp)
     hot = fp.groupBy("fp").agg(F.count("*").alias("df")).filter(
         F.col("df") > _WIN_STOP_DF
     )

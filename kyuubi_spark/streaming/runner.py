@@ -99,6 +99,11 @@ def run_to_memory(
             .trigger(availableNow=True)
             .start()
         )
+    except BaseException:
+        # start() itself failed: _finish never runs, so the checkpoint dir
+        # would leak (one per failed start in a long-lived gateway session)
+        shutil.rmtree(ckpt, ignore_errors=True)
+        raise
     finally:
         if state_partitions:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
@@ -112,10 +117,14 @@ def run_foreach_batch(
     """foreachBatch sink (arbitrary per-microbatch logic, e.g. writes with
     rebalance/z-order through operators.write)."""
     ckpt = tempfile.mkdtemp(prefix="kyuubi_spark_ckpt_")
-    q = (
-        streaming_df.writeStream.foreachBatch(batch_fn)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
+    try:
+        q = (
+            streaming_df.writeStream.foreachBatch(batch_fn)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+    except BaseException:
+        shutil.rmtree(ckpt, ignore_errors=True)
+        raise
     _finish(q, timeout_sec, ckpt)

@@ -291,3 +291,30 @@ def test_kmv_exact_below_k_and_estimator_above(spark):
     assert out["big"]["n_exact"] == 2000
     est = out["big"]["kmv_estimate"]
     assert abs(est - 2000) / 2000 < 0.25  # k=128 → ~9% stddev
+
+
+def test_release_caches_returns_storage_pool_to_baseline(spark, sf_dir):
+    """Operator-internal persists must be releasable: every RDD that enters
+    the storage pool while a dedup-family query runs is gone again after
+    release_caches() — a long-lived gateway session cannot accumulate
+    cached partitions across queries (VERDICT r03 'unpersist discipline').
+    Set-based comparison: unrelated checkpoint blocks from other tests may
+    be GC'd concurrently by the ContextCleaner, so counts are flaky but
+    "no new survivors" is exact."""
+    from kyuubi_spark.caching import release_caches
+    from kyuubi_spark.queries import all_queries
+
+    def persistent_ids():
+        m = spark.sparkContext._jsc.getPersistentRDDs()
+        return {int(k) for k in m.keySet().toArray()}
+
+    release_caches()  # clear anything a prior test left behind
+    before = persistent_ids()
+    # winnowing_overlap persists its fingerprint relation via
+    # caching.persisted and has no localCheckpoint (checkpoint blocks are
+    # freed by the ContextCleaner on GC, not by unpersist)
+    all_queries()["winnowing_overlap"].builder(spark, sf_dir).count()
+    assert persistent_ids() - before  # the persist is real (plan reuse)
+    released = release_caches()
+    assert released >= 1
+    assert not (persistent_ids() - before), "query left cached RDDs behind"

@@ -115,6 +115,7 @@ def compare(spark, con, spec, sf_dir):
 
 
 def run(sf_dir: str, only: list[str]) -> int:
+    from kyuubi_spark.caching import release_caches
     from kyuubi_spark.queries import all_queries
     from kyuubi_spark.session import build_session
 
@@ -144,12 +145,15 @@ def run(sf_dir: str, only: list[str]) -> int:
             print(f"FAIL  {name}: error: {e}")
             failures += 1
             continue
-        if ok:
-            tag = "ok~  " if spec.oracle is None else "OK   "
-            print(f"{tag} {name}: {detail}")
         else:
-            print(f"FAIL  {name}: {detail}")
-            failures += 1
+            if ok:
+                tag = "ok~  " if spec.oracle is None else "OK   "
+                print(f"{tag} {name}: {detail}")
+            else:
+                print(f"FAIL  {name}: {detail}")
+                failures += 1
+        finally:
+            release_caches()
     print(f"\n{len(names) - failures}/{len(names)} passed")
     return 1 if failures else 0
 

@@ -30,12 +30,13 @@ def read_jdbc(
     fetchsize: int = 10_000,
     **properties: str,
 ) -> DataFrame:
-    reader = (
-        spark.read.format("jdbc")
-        .option("url", url)
-        .option("dbtable", table)
-        .option("fetchsize", str(fetchsize))
-    )
+    from kyuubi_spark.sources.jdbc_dialect import get_dialect
+
+    reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    # dialect-specific fetch/stream quirks (MySQL cursor fetch, PostgreSQL
+    # prepare threshold, ...); explicit **properties override them below
+    for k, v in get_dialect(url).reader_options(fetchsize).items():
+        reader = reader.option(k, v)
     if partition_column is not None:
         if lower_bound is None or upper_bound is None or num_partitions is None:
             raise ValueError(
@@ -60,13 +61,11 @@ def write_jdbc(
     batchsize: int = 10_000,
     **properties: str,
 ) -> None:
-    writer = (
-        df.write.format("jdbc")
-        .option("url", url)
-        .option("dbtable", table)
-        .option("batchsize", str(batchsize))
-        .mode(mode)
-    )
+    from kyuubi_spark.sources.jdbc_dialect import get_dialect
+
+    writer = df.write.format("jdbc").option("url", url).option("dbtable", table).mode(mode)
+    for k, v in get_dialect(url).writer_options(batchsize).items():
+        writer = writer.option(k, v)
     for k, v in properties.items():
         writer = writer.option(k, v)
     writer.save()

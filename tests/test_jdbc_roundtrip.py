@@ -61,3 +61,55 @@ def test_jdbc_filter_pushdown(seeded):
     # the grp predicate must reach the JDBC scan, not run as a Spark filter
     assert "PushedFilters" in plan and "GRP" in plan.upper()
     assert back.count() == len([i for i in range(1000) if i % 7 == 3])
+
+
+def test_dialect_registry_resolves_by_url():
+    from kyuubi_spark.sources.jdbc_dialect import get_dialect
+
+    assert get_dialect(URL).name == "derby"
+    assert get_dialect("jdbc:postgresql://h/db").name == "postgresql"
+    assert get_dialect("jdbc:mysql://h/db").name == "mysql"
+    assert get_dialect("jdbc:doris://h/db").name == "doris"
+    assert get_dialect("jdbc:clickhouse://h/db").name == "clickhouse"
+    assert get_dialect("jdbc:sqlite:x").name == "generic"
+    # MySQL family merges catalog/schema into one database term
+    # (MySQLDialect.scala setSchema/setCatalog); PostgreSQL keeps them apart
+    assert get_dialect("jdbc:mysql://h/db").database_term_merged
+    assert not get_dialect("jdbc:postgresql://h/db").database_term_merged
+
+
+def test_dialect_quoting():
+    from kyuubi_spark.sources.jdbc_dialect import get_dialect
+
+    assert get_dialect("jdbc:mysql://h/db").quote_identifier("a`b") == "`a``b`"
+    assert get_dialect(URL).quote_identifier('a"b') == '"a""b"'
+
+
+def test_derby_dialect_lists_tables_via_system_tables(seeded):
+    """GetTables shape from the backend's own metadata through a real
+    Spark JDBC scan (DerbyDialect -> SYS.SYSTABLES/SYSSCHEMAS), mirroring
+    the reference dialects' hand-written metadata SQL."""
+    from kyuubi_spark.sources.jdbc_dialect import list_tables
+
+    rows = list_tables(seeded, URL, driver=DRIVER).collect()
+    assert set(rows[0].asDict()) == {
+        "TABLE_CAT", "TABLE_SCHEM", "TABLE_NAME", "TABLE_TYPE",
+    }
+    by_name = {r["TABLE_NAME"]: r for r in rows}
+    assert "RT_TABLE" in by_name  # Derby upper-cases unquoted identifiers
+    assert by_name["RT_TABLE"]["TABLE_TYPE"] == "TABLE"
+    assert by_name["RT_TABLE"]["TABLE_SCHEM"] == "APP"
+
+
+def test_derby_dialect_lists_columns_in_order(seeded):
+    from kyuubi_spark.sources.jdbc_dialect import list_columns
+
+    rows = list_columns(seeded, URL, "RT_TABLE", driver=DRIVER).collect()
+    cols = [r["COLUMN_NAME"] for r in sorted(rows, key=lambda r: r["ORDINAL_POSITION"])]
+    # Spark's JDBC writer quotes identifiers at CREATE time, so the
+    # DataFrame's lowercase column names survive verbatim
+    assert cols == ["k", "grp", "v"]
+    types = {r["COLUMN_NAME"]: r["TYPE_NAME"] for r in rows}
+    assert "BIGINT" in types["k"]
+    assert "INTEGER" in types["grp"]
+    assert "DOUBLE" in types["v"]

@@ -42,6 +42,10 @@ _EDUCATION = [
 ]
 _CATEGORIES = ["Books", "Electronics", "Home", "Music", "Shoes", "Sports"]
 _CLASSES = ["classic", "modern", "value", "premium", "import"]
+_COLORS = ["orchid", "maroon", "steel", "navy", "ivory", "chocolate",
+           "salmon", "peach"]
+_UNITS = ["Each", "Dozen", "Case", "Pallet", "Ounce"]
+_SIZES = ["small", "medium", "large", "extra large", "petite"]
 _DAY_NAMES = [
     "Sunday", "Monday", "Tuesday", "Wednesday", "Thursday", "Friday", "Saturday",
 ]
@@ -74,6 +78,8 @@ def gen_date_dim(spark: SparkSession, sf: float = 1.0, partitions: int | None = 
                     "d_dom": dates.day.astype("int32"),
                     "d_qoy": dates.quarter.astype("int32"),
                     "d_day_name": [_DAY_NAMES[d] for d in dates.dayofweek],
+                    # TPC-DS convention: 0=Sunday .. 6=Saturday
+                    "d_dow": ((dates.dayofweek + 1) % 7).astype("int32"),
                     # continuous sequences from the epoch of the table
                     "d_week_seq": (keys // 7 + 1).astype("int32"),
                     "d_month_seq": (
@@ -86,8 +92,8 @@ def gen_date_dim(spark: SparkSession, sf: float = 1.0, partitions: int | None = 
     return _keyed(spark, _N_DATES, partitions).mapInPandas(
         gen,
         schema="d_date_sk long, d_date_id string, d_date date, d_year int, "
-        "d_moy int, d_dom int, d_qoy int, d_day_name string, d_week_seq int, "
-        "d_month_seq int",
+        "d_moy int, d_dom int, d_qoy int, d_day_name string, d_dow int, "
+        "d_week_seq int, d_month_seq int",
     )
 
 
@@ -115,6 +121,9 @@ def gen_item(spark: SparkSession, sf: float, partitions: int | None = None) -> D
                     "i_manufact_id": manu_id,
                     "i_manufact": [f"manufact#{int(m)}" for m in manu_id],
                     "i_manager_id": (keys * 977 % 100).astype("int64") + 1,
+                    "i_color": [_COLORS[int(i)] for i in keys * 13 % len(_COLORS)],
+                    "i_units": [_UNITS[int(i)] for i in keys * 11 % len(_UNITS)],
+                    "i_size": [_SIZES[int(i)] for i in keys * 19 % len(_SIZES)],
                     # large odd multiplier so the 1.00-99.99 price domain is
                     # covered even when the item count is tiny (a small
                     # stride never wraps the modulus at low SF, collapsing
@@ -130,7 +139,8 @@ def gen_item(spark: SparkSession, sf: float, partitions: int | None = None) -> D
         schema="i_item_sk long, i_item_id string, i_product_name string, "
         "i_brand_id long, i_brand string, i_class_id long, i_class string, "
         "i_category_id long, i_category string, i_manufact_id long, "
-        "i_manufact string, i_manager_id long, i_current_price double",
+        "i_manufact string, i_manager_id long, i_color string, "
+        "i_units string, i_size string, i_current_price double",
     )
     from pyspark.sql import functions as F
 
@@ -149,14 +159,26 @@ def gen_store(spark: SparkSession, sf: float, partitions: int | None = None) -> 
             f"store {i}",
             f"company {i % 3}",
             states[i % len(states)],
-            f"{37000 + i * 13 % 60000:05d}",
+            _ZIPS[i % len(_ZIPS)],
+            _CITIES[i % len(_CITIES)],
+            _COUNTIES[i % len(_COUNTIES)],
+            i % 10 + 1,
+            200 + i * 37 % 150,
+            5_000_000 + i * 250_000,
+            i % 3 + 1,
+            str(100 + i * 7),
+            f"{_CITIES[(i + 1) % len(_CITIES)]} Blvd",
+            "Suite " + str(i % 9 * 10),
         )
         for i in range(n)
     ]
     return spark.createDataFrame(
         rows,
         "s_store_sk long, s_store_id string, s_store_name string, "
-        "s_company_name string, s_state string, s_zip string",
+        "s_company_name string, s_state string, s_zip string, "
+        "s_city string, s_county string, s_market_id long, "
+        "s_number_employees int, s_floor_space long, s_company_id long, "
+        "s_street_number string, s_street_name string, s_suite_number string",
     )
 
 
@@ -205,6 +227,23 @@ def _n_address(sf: float) -> int:
 
 
 _N_WAREHOUSE = 5
+_N_HD = 60       # household_demographics rows (20 income bands x 3 profiles)
+_N_IB = 20       # income_band rows
+_N_REASON = 10   # reason rows
+_BUY_POTENTIAL = ["0-500", "501-1000", "1001-5000", "5001-10000",
+                  ">10000", "Unknown"]
+_REASONS = [
+    "Did not like the warranty",
+    "Package was damaged",
+    "Wrong size",
+    "Not the product that was ordered",
+    "Found a better price",
+    "Changed mind",
+    "Gift exchange",
+    "Did not fit",
+    "Stopped working",
+    "Duplicate purchase",
+]
 
 
 def _ss_fields(k: np.ndarray, sf: float) -> dict:
@@ -222,12 +261,17 @@ def _ss_fields(k: np.ndarray, sf: float) -> dict:
     cost_cents = list_cents * (30 + k * 13 % 40) // 100
     ext_cents = sales_cents * qty
     profit_cents = ext_cents - cost_cents * qty - coupon_cents
+    ext_list_cents = list_cents * qty
+    ext_wholesale_cents = cost_cents * qty
+    ext_tax_cents = ext_cents * (k % 9) // 100  # 0-8% tax
     return {
         "sold_date_sk": k * 6364136223846793005 % _N_DATES + _DATE_BASE_SK,
         "item_sk": k * 48271 % n_item + 1,
         "store_sk": k * 69621 % n_store + 1,
         "customer_sk": k * 977 % _n_customer(sf) + 1,
         "cdemo_sk": k * 31 % n_cd + 1,
+        "hdemo_sk": k * 17 % _N_HD + 1,
+        "addr_sk": k * 23 % _n_address(sf) + 1,
         "promo_sk": k * 13 % n_promo + 1,
         "ticket_number": k // 4 + 1,
         "qty": qty,
@@ -235,6 +279,9 @@ def _ss_fields(k: np.ndarray, sf: float) -> dict:
         "sales_cents": sales_cents,
         "coupon_cents": coupon_cents,
         "ext_cents": ext_cents,
+        "ext_list_cents": ext_list_cents,
+        "ext_wholesale_cents": ext_wholesale_cents,
+        "ext_tax_cents": ext_tax_cents,
         "profit_cents": profit_cents,
     }
 
@@ -254,12 +301,18 @@ def gen_store_sales(spark: SparkSession, sf: float, partitions: int | None = Non
                     "ss_store_sk": f["store_sk"],
                     "ss_customer_sk": f["customer_sk"],
                     "ss_cdemo_sk": f["cdemo_sk"],
+                    "ss_hdemo_sk": f["hdemo_sk"],
+                    "ss_addr_sk": f["addr_sk"],
                     "ss_promo_sk": f["promo_sk"],
                     "ss_ticket_number": f["ticket_number"],
                     "ss_quantity": f["qty"].astype("int32"),
                     "ss_list_price": f["list_cents"] / 100.0,
                     "ss_sales_price": f["sales_cents"] / 100.0,
                     "ss_ext_sales_price": f["ext_cents"] / 100.0,
+                    "ss_ext_list_price": f["ext_list_cents"] / 100.0,
+                    "ss_ext_wholesale_cost": f["ext_wholesale_cents"] / 100.0,
+                    "ss_ext_tax": f["ext_tax_cents"] / 100.0,
+                    "ss_net_paid": (f["ext_cents"] - f["coupon_cents"]) / 100.0,
                     "ss_coupon_amt": f["coupon_cents"] / 100.0,
                     "ss_net_profit": f["profit_cents"] / 100.0,
                 }
@@ -268,15 +321,22 @@ def gen_store_sales(spark: SparkSession, sf: float, partitions: int | None = Non
     df = _keyed(spark, n, partitions).mapInPandas(
         gen,
         schema="ss_sold_date_sk long, ss_item_sk long, ss_store_sk long, "
-        "ss_customer_sk long, ss_cdemo_sk long, ss_promo_sk long, "
+        "ss_customer_sk long, ss_cdemo_sk long, ss_hdemo_sk long, "
+        "ss_addr_sk long, ss_promo_sk long, "
         "ss_ticket_number long, ss_quantity int, ss_list_price double, "
         "ss_sales_price double, ss_ext_sales_price double, "
-        "ss_coupon_amt double, ss_net_profit double",
+        "ss_ext_list_price double, ss_ext_wholesale_cost double, "
+        "ss_ext_tax double, "
+        "ss_net_paid double, ss_coupon_amt double, ss_net_profit double",
     )
     return _money(df, [
         "ss_list_price",
         "ss_sales_price",
         "ss_ext_sales_price",
+        "ss_ext_list_price",
+        "ss_ext_wholesale_cost",
+        "ss_ext_tax",
+        "ss_net_paid",
         "ss_coupon_amt",
         "ss_net_profit",
     ])
@@ -317,6 +377,8 @@ def gen_store_returns(spark: SparkSession, sf: float, partitions: int | None = N
                     ),
                     "sr_item_sk": f["item_sk"],
                     "sr_customer_sk": f["customer_sk"],
+                    "sr_cdemo_sk": f["cdemo_sk"],
+                    "sr_reason_sk": k * 7 % _N_REASON + 1,
                     "sr_store_sk": f["store_sk"],
                     "sr_ticket_number": f["ticket_number"],
                     "sr_return_quantity": ret_qty.astype("int32"),
@@ -328,6 +390,7 @@ def gen_store_returns(spark: SparkSession, sf: float, partitions: int | None = N
     df = _keyed(spark, n, partitions).mapInPandas(
         gen,
         schema="sr_returned_date_sk long, sr_item_sk long, sr_customer_sk long, "
+        "sr_cdemo_sk long, sr_reason_sk long, "
         "sr_store_sk long, sr_ticket_number long, sr_return_quantity int, "
         "sr_return_amt double, sr_net_loss double",
     )
@@ -346,6 +409,7 @@ def _cs_fields(k: np.ndarray, sf: float) -> dict:
     ext_cents = sales_cents * qty
     ext_list_cents = list_cents * qty
     disc_cents = ext_list_cents - ext_cents
+    coupon_cents = np.where(k % 5 == 0, ext_cents // 8, 0)
     profit_cents = ext_cents - cost_cents * qty
     sold = k * 2654435761 % _N_DATES
     n_cd = len(_GENDERS) * len(_MARITAL) * len(_EDUCATION)
@@ -366,6 +430,7 @@ def _cs_fields(k: np.ndarray, sf: float) -> dict:
         "ext_cents": ext_cents,
         "ext_list_cents": ext_list_cents,
         "disc_cents": disc_cents,
+        "coupon_cents": coupon_cents,
         "ship_cents": ext_cents // 20 + 99,
         "profit_cents": profit_cents,
     }
@@ -395,6 +460,7 @@ def gen_catalog_sales(spark: SparkSession, sf: float, partitions: int | None = N
                     "cs_ext_sales_price": f["ext_cents"] / 100.0,
                     "cs_ext_list_price": f["ext_list_cents"] / 100.0,
                     "cs_ext_discount_amt": f["disc_cents"] / 100.0,
+                    "cs_coupon_amt": f["coupon_cents"] / 100.0,
                     "cs_ext_ship_cost": f["ship_cents"] / 100.0,
                     "cs_net_profit": f["profit_cents"] / 100.0,
                 }
@@ -408,7 +474,7 @@ def gen_catalog_sales(spark: SparkSession, sf: float, partitions: int | None = N
         "cs_order_number long, cs_quantity int, cs_list_price double, "
         "cs_sales_price double, cs_ext_sales_price double, "
         "cs_ext_list_price double, cs_ext_discount_amt double, "
-        "cs_ext_ship_cost double, cs_net_profit double",
+        "cs_coupon_amt double, cs_ext_ship_cost double, cs_net_profit double",
     )
     return _money(df, [
         "cs_list_price",
@@ -416,6 +482,7 @@ def gen_catalog_sales(spark: SparkSession, sf: float, partitions: int | None = N
         "cs_ext_sales_price",
         "cs_ext_list_price",
         "cs_ext_discount_amt",
+        "cs_coupon_amt",
         "cs_ext_ship_cost",
         "cs_net_profit",
     ])
@@ -599,6 +666,7 @@ def gen_web_returns(spark: SparkSession, sf: float, partitions: int | None = Non
     return _money(df, ["wr_return_amt", "wr_net_loss"])
 
 
+_SALUTATIONS = ["Mr.", "Mrs.", "Ms.", "Dr.", "Sir"]
 _FIRST_NAMES = ["James", "Mary", "John", "Linda", "Robert", "Susan", "Luis",
                 "Aisha", "Wei", "Priya"]
 _LAST_NAMES = ["Smith", "Garcia", "Chen", "Johnson", "Patel", "Brown",
@@ -608,6 +676,10 @@ _CITIES = ["Fairview", "Midway", "Riverside", "Centerville", "Oakland",
 _COUNTIES = ["Williamson County", "Walker County", "Ziebach County",
              "Daviess County", "Barrow County"]
 _CA_STATES = ["TN", "CA", "NY", "TX", "WA", "GA", "SD", "IN", "OH", "IL"]
+# one shared zip pool for stores AND addresses, so q24-style s_zip = ca_zip
+# equi-joins have matches by construction
+_ZIPS = [f"{37000 + i * 13 % 60000:05d}" for i in range(12)]
+_COUNTRIES = ["United States", "Canada", "Mexico", "Brazil"]
 
 
 def gen_customer(spark: SparkSession, sf: float, partitions: int | None = None) -> DataFrame:
@@ -620,14 +692,23 @@ def gen_customer(spark: SparkSession, sf: float, partitions: int | None = None) 
             k = pdf["id"].to_numpy()
             first = k * 31 % len(_FIRST_NAMES)
             last = k * 17 % len(_LAST_NAMES)
+            sal = k * 7 % len(_SALUTATIONS)
             yield pd.DataFrame(
                 {
                     "c_customer_sk": k + 1,
                     "c_customer_id": [f"AAAAAAAA{int(x):08d}" for x in k],
+                    "c_salutation": [_SALUTATIONS[int(i)] for i in sal],
                     "c_first_name": [_FIRST_NAMES[int(i)] for i in first],
                     "c_last_name": [_LAST_NAMES[int(i)] for i in last],
                     "c_preferred_cust_flag": np.where(k % 3 == 0, "Y", "N"),
                     "c_birth_year": (1920 + k * 13 % 73).astype("int32"),
+                    "c_birth_country": [
+                        _COUNTRIES[int(i)].upper() for i in k * 3 % len(_COUNTRIES)
+                    ],
+                    "c_current_cdemo_sk": k * 29 % (
+                        len(_GENDERS) * len(_MARITAL) * len(_EDUCATION)
+                    ) + 1,
+                    "c_current_hdemo_sk": k * 41 % _N_HD + 1,
                     "c_current_addr_sk": k * 7 % _n_address(sf) + 1,
                     "c_first_sales_date_sk": k * 977 % _N_DATES
                     + _DATE_BASE_SK,
@@ -640,10 +721,12 @@ def gen_customer(spark: SparkSession, sf: float, partitions: int | None = None) 
 
     return _keyed(spark, n, partitions).mapInPandas(
         gen,
-        schema="c_customer_sk long, c_customer_id string, c_first_name string, "
+        schema="c_customer_sk long, c_customer_id string, "
+        "c_salutation string, c_first_name string, "
         "c_last_name string, c_preferred_cust_flag string, c_birth_year int, "
-        "c_current_addr_sk long, c_first_sales_date_sk long, "
-        "c_first_shipto_date_sk long",
+        "c_birth_country string, c_current_cdemo_sk long, "
+        "c_current_hdemo_sk long, c_current_addr_sk long, "
+        "c_first_sales_date_sk long, c_first_shipto_date_sk long",
     )
 
 
@@ -669,7 +752,7 @@ def gen_customer_address(spark: SparkSession, sf: float, partitions: int | None 
                     "ca_state": [
                         _CA_STATES[int(i)] for i in k * 13 % len(_CA_STATES)
                     ],
-                    "ca_zip": [f"{int(x) * 89 % 99999 + 1:05d}" for x in k],
+                    "ca_zip": [_ZIPS[int(i)] for i in k * 89 % len(_ZIPS)],
                     "ca_country": "United States",
                     "ca_gmt_offset": (-(5 + k % 4)).astype("int32"),
                 }
@@ -736,6 +819,46 @@ def gen_inventory(spark: SparkSession, sf: float, partitions: int | None = None)
     )
 
 
+def gen_household_demographics(
+    spark: SparkSession, sf: float = 1.0, partitions: int | None = None
+) -> DataFrame:
+    """Income-band x buy-potential x dependents/vehicles profiles
+    (spec's 7200-row cross product reduced to 60 deterministic rows)."""
+    rows = [
+        (
+            i + 1,
+            (i % _N_IB) + 1,
+            _BUY_POTENTIAL[i % len(_BUY_POTENTIAL)],
+            i % 10,
+            i % 6,
+        )
+        for i in range(_N_HD)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "hd_demo_sk long, hd_income_band_sk long, hd_buy_potential string, "
+        "hd_dep_count int, hd_vehicle_count int",
+    )
+
+
+def gen_income_band(
+    spark: SparkSession, sf: float = 1.0, partitions: int | None = None
+) -> DataFrame:
+    rows = [(i + 1, i * 10_000, (i + 1) * 10_000 - 1) for i in range(_N_IB)]
+    return spark.createDataFrame(
+        rows, "ib_income_band_sk long, ib_lower_bound int, ib_upper_bound int"
+    )
+
+
+def gen_reason(
+    spark: SparkSession, sf: float = 1.0, partitions: int | None = None
+) -> DataFrame:
+    rows = [(i + 1, f"AAAAAAAA{i:08d}", _REASONS[i]) for i in range(_N_REASON)]
+    return spark.createDataFrame(
+        rows, "r_reason_sk long, r_reason_id string, r_reason_desc string"
+    )
+
+
 TPCDS_GENERATORS = {
     "date_dim": gen_date_dim,
     "item": gen_item,
@@ -751,6 +874,9 @@ TPCDS_GENERATORS = {
     "customer": gen_customer,
     "customer_address": gen_customer_address,
     "warehouse": gen_warehouse,
+    "household_demographics": gen_household_demographics,
+    "income_band": gen_income_band,
+    "reason": gen_reason,
     "inventory": gen_inventory,
 }
 

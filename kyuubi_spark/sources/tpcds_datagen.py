@@ -185,18 +185,30 @@ def gen_store(spark: SparkSession, sf: float, partitions: int | None = None) -> 
 def gen_customer_demographics(
     spark: SparkSession, sf: float = 1.0, partitions: int | None = None
 ) -> DataFrame:
-    """All gender × marital × education combinations (spec's cross product)."""
+    """All gender × marital × education combinations (spec's cross
+    product), plus deterministic purchase-estimate / credit-rating /
+    dependent-count attributes (q10's grouping set)."""
+    ratings = ["Low Risk", "Good", "High Risk", "Unknown"]
     rows = []
     sk = 1
     for g in _GENDERS:
         for m in _MARITAL:
             for e in _EDUCATION:
-                rows.append((sk, g, m, e))
+                rows.append((
+                    sk, g, m, e,
+                    (sk * 7 % 20) * 500 + 500,
+                    ratings[sk % len(ratings)],
+                    sk % 7,
+                    sk % 5,
+                    sk % 3,
+                ))
                 sk += 1
     return spark.createDataFrame(
         rows,
         "cd_demo_sk long, cd_gender string, cd_marital_status string, "
-        "cd_education_status string",
+        "cd_education_status string, cd_purchase_estimate int, "
+        "cd_credit_rating string, cd_dep_count int, "
+        "cd_dep_employed_count int, cd_dep_college_count int",
     )
 
 
@@ -311,6 +323,9 @@ def gen_store_sales(spark: SparkSession, sf: float, partitions: int | None = Non
                     "ss_ext_sales_price": f["ext_cents"] / 100.0,
                     "ss_ext_list_price": f["ext_list_cents"] / 100.0,
                     "ss_ext_wholesale_cost": f["ext_wholesale_cents"] / 100.0,
+                    "ss_ext_discount_amt": (
+                        f["ext_list_cents"] - f["ext_cents"]
+                    ) / 100.0,
                     "ss_ext_tax": f["ext_tax_cents"] / 100.0,
                     "ss_net_paid": (f["ext_cents"] - f["coupon_cents"]) / 100.0,
                     "ss_coupon_amt": f["coupon_cents"] / 100.0,
@@ -326,7 +341,7 @@ def gen_store_sales(spark: SparkSession, sf: float, partitions: int | None = Non
         "ss_ticket_number long, ss_quantity int, ss_list_price double, "
         "ss_sales_price double, ss_ext_sales_price double, "
         "ss_ext_list_price double, ss_ext_wholesale_cost double, "
-        "ss_ext_tax double, "
+        "ss_ext_discount_amt double, ss_ext_tax double, "
         "ss_net_paid double, ss_coupon_amt double, ss_net_profit double",
     )
     return _money(df, [
@@ -335,6 +350,7 @@ def gen_store_sales(spark: SparkSession, sf: float, partitions: int | None = Non
         "ss_ext_sales_price",
         "ss_ext_list_price",
         "ss_ext_wholesale_cost",
+        "ss_ext_discount_amt",
         "ss_ext_tax",
         "ss_net_paid",
         "ss_coupon_amt",
@@ -368,6 +384,7 @@ def gen_store_returns(spark: SparkSession, sf: float, partitions: int | None = N
             f = _ss_fields(k, sf)
             ret_qty = np.maximum(1, f["qty"] * (k % 50 + 25) // 100)
             amt_cents = f["sales_cents"] * ret_qty
+            fee_cents = amt_cents // 20 + 150
             loss_cents = amt_cents // 10 + 500  # restock fee + handling
             yield pd.DataFrame(
                 {
@@ -383,6 +400,7 @@ def gen_store_returns(spark: SparkSession, sf: float, partitions: int | None = N
                     "sr_ticket_number": f["ticket_number"],
                     "sr_return_quantity": ret_qty.astype("int32"),
                     "sr_return_amt": amt_cents / 100.0,
+                    "sr_fee": fee_cents / 100.0,
                     "sr_net_loss": loss_cents / 100.0,
                 }
             )
@@ -392,9 +410,9 @@ def gen_store_returns(spark: SparkSession, sf: float, partitions: int | None = N
         schema="sr_returned_date_sk long, sr_item_sk long, sr_customer_sk long, "
         "sr_cdemo_sk long, sr_reason_sk long, "
         "sr_store_sk long, sr_ticket_number long, sr_return_quantity int, "
-        "sr_return_amt double, sr_net_loss double",
+        "sr_return_amt double, sr_fee double, sr_net_loss double",
     )
-    return _money(df, ["sr_return_amt", "sr_net_loss"])
+    return _money(df, ["sr_return_amt", "sr_fee", "sr_net_loss"])
 
 
 def _cs_fields(k: np.ndarray, sf: float) -> dict:
@@ -419,7 +437,10 @@ def _cs_fields(k: np.ndarray, sf: float) -> dict:
         + _DATE_BASE_SK,
         "item_sk": k * 16807 % n_item + 1,
         "customer_sk": k * 48271 % _n_customer(sf) + 1,
+        "ship_customer_sk": (k * 48271 + 13 * (k % 3 == 0)) % _n_customer(sf)
+        + 1,
         "cdemo_sk": k * 37 % n_cd + 1,
+        "bill_addr_sk": k * 19 % _n_address(sf) + 1,
         "ship_addr_sk": k * 11 % _n_address(sf) + 1,
         "warehouse_sk": k % _N_WAREHOUSE + 1,
         "promo_sk": k * 7 % n_promo + 1,
@@ -449,7 +470,9 @@ def gen_catalog_sales(spark: SparkSession, sf: float, partitions: int | None = N
                     "cs_ship_date_sk": f["ship_date_sk"],
                     "cs_item_sk": f["item_sk"],
                     "cs_bill_customer_sk": f["customer_sk"],
+                    "cs_ship_customer_sk": f["ship_customer_sk"],
                     "cs_bill_cdemo_sk": f["cdemo_sk"],
+                    "cs_bill_addr_sk": f["bill_addr_sk"],
                     "cs_ship_addr_sk": f["ship_addr_sk"],
                     "cs_warehouse_sk": f["warehouse_sk"],
                     "cs_promo_sk": f["promo_sk"],
@@ -469,8 +492,10 @@ def gen_catalog_sales(spark: SparkSession, sf: float, partitions: int | None = N
     df = _keyed(spark, n, partitions).mapInPandas(
         gen,
         schema="cs_sold_date_sk long, cs_ship_date_sk long, cs_item_sk long, "
-        "cs_bill_customer_sk long, cs_bill_cdemo_sk long, "
-        "cs_ship_addr_sk long, cs_warehouse_sk long, cs_promo_sk long, "
+        "cs_bill_customer_sk long, cs_ship_customer_sk long, "
+        "cs_bill_cdemo_sk long, "
+        "cs_bill_addr_sk long, cs_ship_addr_sk long, cs_warehouse_sk long, "
+        "cs_promo_sk long, "
         "cs_order_number long, cs_quantity int, cs_list_price double, "
         "cs_sales_price double, cs_ext_sales_price double, "
         "cs_ext_list_price double, cs_ext_discount_amt double, "
@@ -564,6 +589,7 @@ def _ws_fields(k: np.ndarray, sf: float) -> dict:
         "item_sk": k * 69621 % n_item + 1,
         "customer_sk": k * 104729 % _n_customer(sf) + 1,
         "warehouse_sk": k % _N_WAREHOUSE + 1,
+        "bill_addr_sk": k * 37 % _n_address(sf) + 1,
         "ship_addr_sk": k * 31 % _n_address(sf) + 1,
         "order_number": k // 2 + 1,
         "qty": qty,
@@ -591,6 +617,7 @@ def gen_web_sales(spark: SparkSession, sf: float, partitions: int | None = None)
                     "ws_item_sk": f["item_sk"],
                     "ws_bill_customer_sk": f["customer_sk"],
                     "ws_warehouse_sk": f["warehouse_sk"],
+                    "ws_bill_addr_sk": f["bill_addr_sk"],
                     "ws_ship_addr_sk": f["ship_addr_sk"],
                     "ws_order_number": f["order_number"],
                     "ws_quantity": f["qty"].astype("int32"),
@@ -608,7 +635,8 @@ def gen_web_sales(spark: SparkSession, sf: float, partitions: int | None = None)
     df = _keyed(spark, n, partitions).mapInPandas(
         gen,
         schema="ws_sold_date_sk long, ws_ship_date_sk long, ws_item_sk long, "
-        "ws_bill_customer_sk long, ws_warehouse_sk long, ws_ship_addr_sk long, "
+        "ws_bill_customer_sk long, ws_warehouse_sk long, "
+        "ws_bill_addr_sk long, ws_ship_addr_sk long, "
         "ws_order_number long, ws_quantity int, ws_list_price double, "
         "ws_sales_price double, ws_ext_sales_price double, "
         "ws_ext_list_price double, ws_ext_discount_amt double, "
@@ -648,6 +676,7 @@ def gen_web_returns(spark: SparkSession, sf: float, partitions: int | None = Non
                     ),
                     "wr_item_sk": f["item_sk"],
                     "wr_returning_customer_sk": f["customer_sk"],
+                    "wr_returning_addr_sk": f["bill_addr_sk"],
                     "wr_warehouse_sk": f["warehouse_sk"],
                     "wr_order_number": f["order_number"],
                     "wr_return_quantity": ret_qty.astype("int32"),
@@ -659,7 +688,8 @@ def gen_web_returns(spark: SparkSession, sf: float, partitions: int | None = Non
     df = _keyed(spark, n, partitions).mapInPandas(
         gen,
         schema="wr_returned_date_sk long, wr_item_sk long, "
-        "wr_returning_customer_sk long, wr_warehouse_sk long, "
+        "wr_returning_customer_sk long, wr_returning_addr_sk long, "
+        "wr_warehouse_sk long, "
         "wr_order_number long, wr_return_quantity int, "
         "wr_return_amt double, wr_net_loss double",
     )
@@ -702,6 +732,14 @@ def gen_customer(spark: SparkSession, sf: float, partitions: int | None = None) 
                     "c_last_name": [_LAST_NAMES[int(i)] for i in last],
                     "c_preferred_cust_flag": np.where(k % 3 == 0, "Y", "N"),
                     "c_birth_year": (1920 + k * 13 % 73).astype("int32"),
+                    "c_birth_month": (k * 11 % 12 + 1).astype("int32"),
+                    "c_birth_day": (k * 5 % 28 + 1).astype("int32"),
+                    "c_login": [f"user{int(x):05d}" for x in k],
+                    "c_email_address": [
+                        f"user{int(x):05d}@example.com" for x in k
+                    ],
+                    "c_last_review_date_sk": k * 13 % _N_DATES
+                    + _DATE_BASE_SK,
                     "c_birth_country": [
                         _COUNTRIES[int(i)].upper() for i in k * 3 % len(_COUNTRIES)
                     ],
@@ -724,6 +762,8 @@ def gen_customer(spark: SparkSession, sf: float, partitions: int | None = None) 
         schema="c_customer_sk long, c_customer_id string, "
         "c_salutation string, c_first_name string, "
         "c_last_name string, c_preferred_cust_flag string, c_birth_year int, "
+        "c_birth_month int, c_birth_day int, c_login string, "
+        "c_email_address string, c_last_review_date_sk long, "
         "c_birth_country string, c_current_cdemo_sk long, "
         "c_current_hdemo_sk long, c_current_addr_sk long, "
         "c_first_sales_date_sk long, c_first_shipto_date_sk long",

@@ -169,6 +169,7 @@ def gen_store(spark: SparkSession, sf: float, partitions: int | None = None) -> 
             str(100 + i * 7),
             f"{_CITIES[(i + 1) % len(_CITIES)]} Blvd",
             "Suite " + str(i % 9 * 10),
+            -(5 + i % 4),
         )
         for i in range(n)
     ]
@@ -178,7 +179,8 @@ def gen_store(spark: SparkSession, sf: float, partitions: int | None = None) -> 
         "s_company_name string, s_state string, s_zip string, "
         "s_city string, s_county string, s_market_id long, "
         "s_number_employees int, s_floor_space long, s_company_id long, "
-        "s_street_number string, s_street_name string, s_suite_number string",
+        "s_street_number string, s_street_name string, "
+        "s_suite_number string, s_gmt_offset int",
     )
 
 
@@ -220,13 +222,16 @@ def gen_promotion(spark: SparkSession, sf: float, partitions: int | None = None)
             f"AAAAAAAA{i:08d}",
             "Y" if i % 3 == 0 else "N",
             "Y" if i % 5 == 0 else "N",
+            "Y" if i % 2 == 0 else "N",
+            "Y" if i % 4 == 0 else "N",
         )
         for i in range(n)
     ]
     return spark.createDataFrame(
         rows,
         "p_promo_sk long, p_promo_id string, p_channel_email string, "
-        "p_channel_event string",
+        "p_channel_event string, p_channel_dmail string, "
+        "p_channel_tv string",
     )
 
 
@@ -314,7 +319,12 @@ def gen_store_sales(spark: SparkSession, sf: float, partitions: int | None = Non
                     "ss_customer_sk": f["customer_sk"],
                     "ss_cdemo_sk": f["cdemo_sk"],
                     "ss_hdemo_sk": f["hdemo_sk"],
-                    "ss_addr_sk": f["addr_sk"],
+                    # deterministic NULL slice (q76's null-key report);
+                    # nullable Int64 so Arrow carries real NULLs
+                    "ss_addr_sk": pd.array(
+                        np.where(k % 13 == 0, None, f["addr_sk"]),
+                        dtype="Int64",
+                    ),
                     "ss_promo_sk": f["promo_sk"],
                     "ss_ticket_number": f["ticket_number"],
                     "ss_quantity": f["qty"].astype("int32"),
@@ -474,7 +484,11 @@ def gen_catalog_sales(spark: SparkSession, sf: float, partitions: int | None = N
                     "cs_bill_cdemo_sk": f["cdemo_sk"],
                     "cs_bill_addr_sk": f["bill_addr_sk"],
                     "cs_ship_addr_sk": f["ship_addr_sk"],
-                    "cs_warehouse_sk": f["warehouse_sk"],
+                    "cs_warehouse_sk": pd.array(
+                        np.where(k % 17 == 0, None, f["warehouse_sk"]),
+                        dtype="Int64",
+                    ),
+                    "cs_ship_mode_sk": k * 13 % len(_SHIP_MODES) + 1,
                     "cs_promo_sk": f["promo_sk"],
                     "cs_order_number": f["order_number"],
                     "cs_quantity": f["qty"].astype("int32"),
@@ -495,7 +509,7 @@ def gen_catalog_sales(spark: SparkSession, sf: float, partitions: int | None = N
         "cs_bill_customer_sk long, cs_ship_customer_sk long, "
         "cs_bill_cdemo_sk long, "
         "cs_bill_addr_sk long, cs_ship_addr_sk long, cs_warehouse_sk long, "
-        "cs_promo_sk long, "
+        "cs_ship_mode_sk long, cs_promo_sk long, "
         "cs_order_number long, cs_quantity int, cs_list_price double, "
         "cs_sales_price double, cs_ext_sales_price double, "
         "cs_ext_list_price double, cs_ext_discount_amt double, "
@@ -527,6 +541,7 @@ def gen_catalog_returns(spark: SparkSession, sf: float, partitions: int | None =
             f = _cs_fields(k, sf)
             ret_qty = np.maximum(1, f["qty"] * (k % 60 + 20) // 100)
             amt_cents = f["sales_cents"] * ret_qty
+            inc_tax_cents = amt_cents + amt_cents * (k % 9) // 100
             cash_cents = amt_cents * (k % 60 + 20) // 100
             charge_cents = (amt_cents - cash_cents) * (k % 50) // 100
             credit_cents = amt_cents - cash_cents - charge_cents
@@ -541,8 +556,10 @@ def gen_catalog_returns(spark: SparkSession, sf: float, partitions: int | None =
                     "cr_returning_customer_sk": f["customer_sk"],
                     "cr_warehouse_sk": f["warehouse_sk"],
                     "cr_order_number": f["order_number"],
+                    "cr_returning_addr_sk": f["bill_addr_sk"],
                     "cr_return_quantity": ret_qty.astype("int32"),
                     "cr_return_amount": amt_cents / 100.0,
+                    "cr_return_amt_inc_tax": inc_tax_cents / 100.0,
                     "cr_refunded_cash": cash_cents / 100.0,
                     "cr_reversed_charge": charge_cents / 100.0,
                     "cr_store_credit": credit_cents / 100.0,
@@ -554,13 +571,16 @@ def gen_catalog_returns(spark: SparkSession, sf: float, partitions: int | None =
         gen,
         schema="cr_returned_date_sk long, cr_item_sk long, "
         "cr_returning_customer_sk long, cr_warehouse_sk long, "
+        "cr_returning_addr_sk long, "
         "cr_order_number long, cr_return_quantity int, "
-        "cr_return_amount double, cr_refunded_cash double, "
+        "cr_return_amount double, cr_return_amt_inc_tax double, "
+        "cr_refunded_cash double, "
         "cr_reversed_charge double, cr_store_credit double, "
         "cr_net_loss double",
     )
     return _money(df, [
         "cr_return_amount",
+        "cr_return_amt_inc_tax",
         "cr_refunded_cash",
         "cr_reversed_charge",
         "cr_store_credit",
@@ -617,6 +637,11 @@ def gen_web_sales(spark: SparkSession, sf: float, partitions: int | None = None)
                     "ws_item_sk": f["item_sk"],
                     "ws_bill_customer_sk": f["customer_sk"],
                     "ws_warehouse_sk": f["warehouse_sk"],
+                    "ws_web_page_sk": pd.array(
+                        np.where(k % 11 < 3, None, k % 5 + 1), dtype="Int64"
+                    ),
+                    "ws_ship_mode_sk": k * 7 % len(_SHIP_MODES) + 1,
+                    "ws_promo_sk": k * 11 % max(3, int(sf * 300)) + 1,
                     "ws_bill_addr_sk": f["bill_addr_sk"],
                     "ws_ship_addr_sk": f["ship_addr_sk"],
                     "ws_order_number": f["order_number"],
@@ -636,6 +661,7 @@ def gen_web_sales(spark: SparkSession, sf: float, partitions: int | None = None)
         gen,
         schema="ws_sold_date_sk long, ws_ship_date_sk long, ws_item_sk long, "
         "ws_bill_customer_sk long, ws_warehouse_sk long, "
+        "ws_web_page_sk long, ws_ship_mode_sk long, ws_promo_sk long, "
         "ws_bill_addr_sk long, ws_ship_addr_sk long, "
         "ws_order_number long, ws_quantity int, ws_list_price double, "
         "ws_sales_price double, ws_ext_sales_price double, "
@@ -785,6 +811,16 @@ def gen_customer_address(spark: SparkSession, sf: float, partitions: int | None 
                     "ca_street_name": [
                         f"{_CITIES[int(i)]} Way" for i in k % len(_CITIES)
                     ],
+                    "ca_street_type": [
+                        ["Way", "Blvd", "Ave", "St"][int(i)] for i in k % 4
+                    ],
+                    "ca_suite_number": [
+                        f"Suite {int(i) * 10}" for i in k % 9
+                    ],
+                    "ca_location_type": [
+                        ["condo", "single family", "apartment"][int(i)]
+                        for i in k % 3
+                    ],
                     "ca_city": [_CITIES[int(i)] for i in k * 3 % len(_CITIES)],
                     "ca_county": [
                         _COUNTIES[int(i)] for i in k * 11 % len(_COUNTIES)
@@ -801,7 +837,9 @@ def gen_customer_address(spark: SparkSession, sf: float, partitions: int | None 
     return _keyed(spark, n, partitions).mapInPandas(
         gen,
         schema="ca_address_sk long, ca_address_id string, "
-        "ca_street_number string, ca_street_name string, ca_city string, "
+        "ca_street_number string, ca_street_name string, "
+        "ca_street_type string, ca_suite_number string, "
+        "ca_location_type string, ca_city string, "
         "ca_county string, ca_state string, ca_zip string, ca_country string, "
         "ca_gmt_offset int",
     )
@@ -856,6 +894,23 @@ def gen_inventory(spark: SparkSession, sf: float, partitions: int | None = None)
         gen,
         schema="inv_date_sk long, inv_item_sk long, inv_warehouse_sk long, "
         "inv_quantity_on_hand int",
+    )
+
+
+_SHIP_MODES = ["EXPRESS", "OVERNIGHT", "REGULAR", "TWO DAY", "LIBRARY"]
+
+
+def gen_ship_mode(
+    spark: SparkSession, sf: float = 1.0, partitions: int | None = None
+) -> DataFrame:
+    rows = [
+        (i + 1, f"AAAAAAAA{i:08d}", _SHIP_MODES[i], f"carrier {i % 3}")
+        for i in range(len(_SHIP_MODES))
+    ]
+    return spark.createDataFrame(
+        rows,
+        "sm_ship_mode_sk long, sm_ship_mode_id string, sm_type string, "
+        "sm_carrier string",
     )
 
 
@@ -915,6 +970,7 @@ TPCDS_GENERATORS = {
     "customer_address": gen_customer_address,
     "warehouse": gen_warehouse,
     "household_demographics": gen_household_demographics,
+    "ship_mode": gen_ship_mode,
     "income_band": gen_income_band,
     "reason": gen_reason,
     "inventory": gen_inventory,

@@ -293,6 +293,7 @@ def _ss_fields(k: np.ndarray, sf: float) -> dict:
         "ticket_number": k // 4 + 1,
         "qty": qty,
         "list_cents": list_cents,
+        "cost_cents": cost_cents,
         "sales_cents": sales_cents,
         "coupon_cents": coupon_cents,
         "ext_cents": ext_cents,
@@ -314,6 +315,7 @@ def gen_store_sales(spark: SparkSession, sf: float, partitions: int | None = Non
             yield pd.DataFrame(
                 {
                     "ss_sold_date_sk": f["sold_date_sk"],
+                    "ss_sold_time_sk": k * 40847 % _N_TIMES,
                     "ss_item_sk": f["item_sk"],
                     "ss_store_sk": f["store_sk"],
                     "ss_customer_sk": f["customer_sk"],
@@ -329,6 +331,7 @@ def gen_store_sales(spark: SparkSession, sf: float, partitions: int | None = Non
                     "ss_ticket_number": f["ticket_number"],
                     "ss_quantity": f["qty"].astype("int32"),
                     "ss_list_price": f["list_cents"] / 100.0,
+                    "ss_wholesale_cost": f["cost_cents"] / 100.0,
                     "ss_sales_price": f["sales_cents"] / 100.0,
                     "ss_ext_sales_price": f["ext_cents"] / 100.0,
                     "ss_ext_list_price": f["ext_list_cents"] / 100.0,
@@ -345,17 +348,19 @@ def gen_store_sales(spark: SparkSession, sf: float, partitions: int | None = Non
 
     df = _keyed(spark, n, partitions).mapInPandas(
         gen,
-        schema="ss_sold_date_sk long, ss_item_sk long, ss_store_sk long, "
+        schema="ss_sold_date_sk long, ss_sold_time_sk long, "
+        "ss_item_sk long, ss_store_sk long, "
         "ss_customer_sk long, ss_cdemo_sk long, ss_hdemo_sk long, "
         "ss_addr_sk long, ss_promo_sk long, "
         "ss_ticket_number long, ss_quantity int, ss_list_price double, "
-        "ss_sales_price double, ss_ext_sales_price double, "
+        "ss_wholesale_cost double, ss_sales_price double, ss_ext_sales_price double, "
         "ss_ext_list_price double, ss_ext_wholesale_cost double, "
         "ss_ext_discount_amt double, ss_ext_tax double, "
         "ss_net_paid double, ss_coupon_amt double, ss_net_profit double",
     )
     return _money(df, [
         "ss_list_price",
+        "ss_wholesale_cost",
         "ss_sales_price",
         "ss_ext_sales_price",
         "ss_ext_list_price",
@@ -436,6 +441,7 @@ def _cs_fields(k: np.ndarray, sf: float) -> dict:
     cost_cents = list_cents * (30 + k * 19 % 40) // 100
     ext_cents = sales_cents * qty
     ext_list_cents = list_cents * qty
+    wholesale_cents = cost_cents * qty
     disc_cents = ext_list_cents - ext_cents
     coupon_cents = np.where(k % 5 == 0, ext_cents // 8, 0)
     profit_cents = ext_cents - cost_cents * qty
@@ -457,9 +463,11 @@ def _cs_fields(k: np.ndarray, sf: float) -> dict:
         "order_number": k // 3 + 1,
         "qty": qty,
         "list_cents": list_cents,
+        "cost_cents": cost_cents,
         "sales_cents": sales_cents,
         "ext_cents": ext_cents,
         "ext_list_cents": ext_list_cents,
+        "wholesale_cents": wholesale_cents,
         "disc_cents": disc_cents,
         "coupon_cents": coupon_cents,
         "ship_cents": ext_cents // 20 + 99,
@@ -477,6 +485,7 @@ def gen_catalog_sales(spark: SparkSession, sf: float, partitions: int | None = N
             yield pd.DataFrame(
                 {
                     "cs_sold_date_sk": f["sold_date_sk"],
+                    "cs_sold_time_sk": k * 16807 % _N_TIMES,
                     "cs_ship_date_sk": f["ship_date_sk"],
                     "cs_item_sk": f["item_sk"],
                     "cs_bill_customer_sk": f["customer_sk"],
@@ -493,36 +502,48 @@ def gen_catalog_sales(spark: SparkSession, sf: float, partitions: int | None = N
                     "cs_order_number": f["order_number"],
                     "cs_quantity": f["qty"].astype("int32"),
                     "cs_list_price": f["list_cents"] / 100.0,
+                    "cs_wholesale_cost": f["cost_cents"] / 100.0,
                     "cs_sales_price": f["sales_cents"] / 100.0,
                     "cs_ext_sales_price": f["ext_cents"] / 100.0,
                     "cs_ext_list_price": f["ext_list_cents"] / 100.0,
                     "cs_ext_discount_amt": f["disc_cents"] / 100.0,
                     "cs_coupon_amt": f["coupon_cents"] / 100.0,
                     "cs_ext_ship_cost": f["ship_cents"] / 100.0,
+                    "cs_ext_wholesale_cost": f["wholesale_cents"] / 100.0,
+                    "cs_net_paid_inc_ship_tax": (
+                        f["ext_cents"] + f["ship_cents"]
+                        + f["ext_cents"] * (k % 9) // 100
+                    ) / 100.0,
                     "cs_net_profit": f["profit_cents"] / 100.0,
                 }
             )
 
     df = _keyed(spark, n, partitions).mapInPandas(
         gen,
-        schema="cs_sold_date_sk long, cs_ship_date_sk long, cs_item_sk long, "
+        schema="cs_sold_date_sk long, cs_sold_time_sk long, "
+        "cs_ship_date_sk long, cs_item_sk long, "
         "cs_bill_customer_sk long, cs_ship_customer_sk long, "
         "cs_bill_cdemo_sk long, "
         "cs_bill_addr_sk long, cs_ship_addr_sk long, cs_warehouse_sk long, "
         "cs_ship_mode_sk long, cs_promo_sk long, "
         "cs_order_number long, cs_quantity int, cs_list_price double, "
-        "cs_sales_price double, cs_ext_sales_price double, "
+        "cs_wholesale_cost double, cs_sales_price double, cs_ext_sales_price double, "
         "cs_ext_list_price double, cs_ext_discount_amt double, "
-        "cs_coupon_amt double, cs_ext_ship_cost double, cs_net_profit double",
+        "cs_coupon_amt double, cs_ext_ship_cost double, "
+        "cs_ext_wholesale_cost double, cs_net_paid_inc_ship_tax double, "
+        "cs_net_profit double",
     )
     return _money(df, [
         "cs_list_price",
+        "cs_wholesale_cost",
         "cs_sales_price",
         "cs_ext_sales_price",
         "cs_ext_list_price",
         "cs_ext_discount_amt",
         "cs_coupon_amt",
         "cs_ext_ship_cost",
+        "cs_ext_wholesale_cost",
+        "cs_net_paid_inc_ship_tax",
         "cs_net_profit",
     ])
 
@@ -599,6 +620,7 @@ def _ws_fields(k: np.ndarray, sf: float) -> dict:
     cost_cents = list_cents * (35 + k * 29 % 35) // 100
     ext_cents = sales_cents * qty
     ext_list_cents = list_cents * qty
+    wholesale_cents = cost_cents * qty
     disc_cents = ext_list_cents - ext_cents
     profit_cents = ext_cents - cost_cents * qty
     sold = k * 48271 % _N_DATES
@@ -614,9 +636,11 @@ def _ws_fields(k: np.ndarray, sf: float) -> dict:
         "order_number": k // 2 + 1,
         "qty": qty,
         "list_cents": list_cents,
+        "cost_cents": cost_cents,
         "sales_cents": sales_cents,
         "ext_cents": ext_cents,
         "ext_list_cents": ext_list_cents,
+        "wholesale_cents": wholesale_cents,
         "disc_cents": disc_cents,
         "ship_cents": ext_cents // 25 + 149,
         "profit_cents": profit_cents,
@@ -633,12 +657,19 @@ def gen_web_sales(spark: SparkSession, sf: float, partitions: int | None = None)
             yield pd.DataFrame(
                 {
                     "ws_sold_date_sk": f["sold_date_sk"],
+                    "ws_sold_time_sk": k * 75193 % _N_TIMES,
                     "ws_ship_date_sk": f["ship_date_sk"],
                     "ws_item_sk": f["item_sk"],
                     "ws_bill_customer_sk": f["customer_sk"],
                     "ws_warehouse_sk": f["warehouse_sk"],
+                    "ws_ship_hdemo_sk": k * 23 % _N_HD + 1,
+                    # NULL slice keyed off a stream independent of the
+                    # returns slice (k % 11 < 2) — a correlated modulus
+                    # would make every returned sale's page NULL and
+                    # empty q85's ws x wr x web_page join
                     "ws_web_page_sk": pd.array(
-                        np.where(k % 11 < 3, None, k % 5 + 1), dtype="Int64"
+                        np.where((k * 7 + 3) % 13 < 3, None, k % 5 + 1),
+                        dtype="Int64",
                     ),
                     "ws_ship_mode_sk": k * 7 % len(_SHIP_MODES) + 1,
                     "ws_promo_sk": k * 11 % max(3, int(sf * 300)) + 1,
@@ -647,35 +678,47 @@ def gen_web_sales(spark: SparkSession, sf: float, partitions: int | None = None)
                     "ws_order_number": f["order_number"],
                     "ws_quantity": f["qty"].astype("int32"),
                     "ws_list_price": f["list_cents"] / 100.0,
+                    "ws_wholesale_cost": f["cost_cents"] / 100.0,
                     "ws_sales_price": f["sales_cents"] / 100.0,
                     "ws_ext_sales_price": f["ext_cents"] / 100.0,
                     "ws_ext_list_price": f["ext_list_cents"] / 100.0,
                     "ws_ext_discount_amt": f["disc_cents"] / 100.0,
                     "ws_ext_ship_cost": f["ship_cents"] / 100.0,
+                    "ws_ext_wholesale_cost": f["wholesale_cents"] / 100.0,
                     "ws_net_paid": f["ext_cents"] / 100.0,
+                    "ws_net_paid_inc_tax": (
+                        f["ext_cents"] + f["ext_cents"] * (k % 9) // 100
+                    ) / 100.0,
                     "ws_net_profit": f["profit_cents"] / 100.0,
                 }
             )
 
     df = _keyed(spark, n, partitions).mapInPandas(
         gen,
-        schema="ws_sold_date_sk long, ws_ship_date_sk long, ws_item_sk long, "
+        schema="ws_sold_date_sk long, ws_sold_time_sk long, "
+        "ws_ship_date_sk long, ws_item_sk long, "
         "ws_bill_customer_sk long, ws_warehouse_sk long, "
+        "ws_ship_hdemo_sk long, "
         "ws_web_page_sk long, ws_ship_mode_sk long, ws_promo_sk long, "
         "ws_bill_addr_sk long, ws_ship_addr_sk long, "
         "ws_order_number long, ws_quantity int, ws_list_price double, "
-        "ws_sales_price double, ws_ext_sales_price double, "
+        "ws_wholesale_cost double, ws_sales_price double, ws_ext_sales_price double, "
         "ws_ext_list_price double, ws_ext_discount_amt double, "
-        "ws_ext_ship_cost double, ws_net_paid double, ws_net_profit double",
+        "ws_ext_ship_cost double, ws_ext_wholesale_cost double, "
+        "ws_net_paid double, ws_net_paid_inc_tax double, "
+        "ws_net_profit double",
     )
     return _money(df, [
         "ws_list_price",
+        "ws_wholesale_cost",
         "ws_sales_price",
         "ws_ext_sales_price",
         "ws_ext_list_price",
         "ws_ext_discount_amt",
         "ws_ext_ship_cost",
+        "ws_ext_wholesale_cost",
         "ws_net_paid",
+        "ws_net_paid_inc_tax",
         "ws_net_profit",
     ])
 
@@ -693,6 +736,8 @@ def gen_web_returns(spark: SparkSession, sf: float, partitions: int | None = Non
             f = _ws_fields(k, sf)
             ret_qty = np.maximum(1, f["qty"] * (k % 70 + 15) // 100)
             amt_cents = f["sales_cents"] * ret_qty
+            cash_cents = amt_cents * (k % 70 + 15) // 100
+            fee_cents = amt_cents // 15 + 120
             loss_cents = amt_cents // 8 + 300
             yield pd.DataFrame(
                 {
@@ -703,10 +748,20 @@ def gen_web_returns(spark: SparkSession, sf: float, partitions: int | None = Non
                     "wr_item_sk": f["item_sk"],
                     "wr_returning_customer_sk": f["customer_sk"],
                     "wr_returning_addr_sk": f["bill_addr_sk"],
+                    "wr_refunded_addr_sk": f["ship_addr_sk"],
+                    "wr_refunded_cdemo_sk": k * 31 % (
+                        len(_GENDERS) * len(_MARITAL) * len(_EDUCATION)
+                    ) + 1,
+                    "wr_returning_cdemo_sk": k * 31 % (
+                        len(_GENDERS) * len(_MARITAL) * len(_EDUCATION)
+                    ) + 1,
+                    "wr_reason_sk": k * 3 % _N_REASON + 1,
                     "wr_warehouse_sk": f["warehouse_sk"],
                     "wr_order_number": f["order_number"],
                     "wr_return_quantity": ret_qty.astype("int32"),
                     "wr_return_amt": amt_cents / 100.0,
+                    "wr_refunded_cash": cash_cents / 100.0,
+                    "wr_fee": fee_cents / 100.0,
                     "wr_net_loss": loss_cents / 100.0,
                 }
             )
@@ -715,11 +770,15 @@ def gen_web_returns(spark: SparkSession, sf: float, partitions: int | None = Non
         gen,
         schema="wr_returned_date_sk long, wr_item_sk long, "
         "wr_returning_customer_sk long, wr_returning_addr_sk long, "
+        "wr_refunded_addr_sk long, wr_refunded_cdemo_sk long, "
+        "wr_returning_cdemo_sk long, wr_reason_sk long, "
         "wr_warehouse_sk long, "
         "wr_order_number long, wr_return_quantity int, "
-        "wr_return_amt double, wr_net_loss double",
+        "wr_return_amt double, wr_refunded_cash double, wr_fee double, "
+        "wr_net_loss double",
     )
-    return _money(df, ["wr_return_amt", "wr_net_loss"])
+    return _money(df, ["wr_return_amt", "wr_refunded_cash", "wr_fee",
+                       "wr_net_loss"])
 
 
 _SALUTATIONS = ["Mr.", "Mrs.", "Ms.", "Dr.", "Sir"]
@@ -856,6 +915,7 @@ def gen_warehouse(spark: SparkSession, sf: float = 1.0, partitions: int | None =
             _CITIES[i % len(_CITIES)],
             _COUNTIES[i % len(_COUNTIES)],
             states[i % len(states)],
+            "United States",
         )
         for i in range(_N_WAREHOUSE)
     ]
@@ -863,7 +923,7 @@ def gen_warehouse(spark: SparkSession, sf: float = 1.0, partitions: int | None =
         rows,
         "w_warehouse_sk long, w_warehouse_id string, w_warehouse_name string, "
         "w_warehouse_sq_ft long, w_city string, w_county string, "
-        "w_state string",
+        "w_state string, w_country string",
     )
 
 
@@ -898,6 +958,58 @@ def gen_inventory(spark: SparkSession, sf: float, partitions: int | None = None)
 
 
 _SHIP_MODES = ["EXPRESS", "OVERNIGHT", "REGULAR", "TWO DAY", "LIBRARY"]
+_N_TIMES = 86_400  # one row per second of day, spec-style
+
+
+def gen_time_dim(
+    spark: SparkSession, sf: float = 1.0, partitions: int | None = None
+) -> DataFrame:
+    """Second-of-day dimension (spec's 86,400-row time_dim): hour/minute/
+    second decomposition + meal-time bands."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            k = pdf["id"].to_numpy()
+            hour = k // 3600
+            minute = k % 3600 // 60
+            meal = np.select(
+                [(hour >= 6) & (hour < 9), (hour >= 11) & (hour < 14),
+                 (hour >= 17) & (hour < 20)],
+                ["breakfast", "lunch", "dinner"],
+                default=None,
+            )
+            yield pd.DataFrame(
+                {
+                    "t_time_sk": k,
+                    "t_time_id": [f"AAAAAAAA{int(x):08d}" for x in k],
+                    "t_time": k.astype("int64"),
+                    "t_hour": hour.astype("int32"),
+                    "t_minute": minute.astype("int32"),
+                    "t_second": (k % 60).astype("int32"),
+                    "t_am_pm": np.where(hour < 12, "AM", "PM"),
+                    "t_meal_time": meal,
+                }
+            )
+
+    return _keyed(spark, _N_TIMES, partitions).mapInPandas(
+        gen,
+        schema="t_time_sk long, t_time_id string, t_time long, t_hour int, "
+        "t_minute int, t_second int, t_am_pm string, t_meal_time string",
+    )
+
+
+def gen_web_page(
+    spark: SparkSession, sf: float = 1.0, partitions: int | None = None
+) -> DataFrame:
+    rows = [
+        (i + 1, f"AAAAAAAA{i:08d}", 4900 + i * 100, "Y" if i % 2 else "N")
+        for i in range(5)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "wp_web_page_sk long, wp_web_page_id string, wp_char_count int, "
+        "wp_autogen_flag string",
+    )
 
 
 def gen_ship_mode(
@@ -971,6 +1083,8 @@ TPCDS_GENERATORS = {
     "warehouse": gen_warehouse,
     "household_demographics": gen_household_demographics,
     "ship_mode": gen_ship_mode,
+    "time_dim": gen_time_dim,
+    "web_page": gen_web_page,
     "income_band": gen_income_band,
     "reason": gen_reason,
     "inventory": gen_inventory,

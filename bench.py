@@ -88,6 +88,9 @@ HEADLINE = [
     "incremental_dedup",
     "context_window_chunks",
     "approx_topk_cms",
+    "corpus_shard_shuffle",
+    "repeated_ngram_coverage",
+    "packing_efficiency_report",
     # TPC-DS slice (93 plan-shape ports + 3 a/b second shapes; see
     # TPCDS_COVERAGE.md)
     *[f"tpcds_q{i}" for i in (

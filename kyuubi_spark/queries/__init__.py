@@ -95,6 +95,11 @@ _CHANGED_THIS_ROUND = {
     "tpcds_q14b",
     "tpcds_q23b",
     "tpcds_q39b",
+    # r04: new pipeline operators (shard shuffle, repeated-ngram signal,
+    # packing planner)
+    "corpus_shard_shuffle",
+    "repeated_ngram_coverage",
+    "packing_efficiency_report",
 }
 
 
@@ -107,6 +112,7 @@ def all_queries() -> dict[str, QuerySpec]:
         pipeline,
         pipeline2,
         pipeline3,
+        pipeline4,
         tpcds,
         tpcds2,
         tpcds3,

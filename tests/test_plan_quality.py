@@ -300,3 +300,16 @@ def test_winnowing_no_cartesian(spark, sf_dir):
     df = _build(spark, sf_dir, "winnowing_overlap")
     assert "CartesianProduct" not in plans.explain_formatted(df)
     assert "BroadcastNestedLoopJoin" not in plans.explain_formatted(df)
+
+
+def test_repeated_ngram_no_cartesian_and_pruned_scan(spark, sf_dir):
+    # the gram-frequency join must be an equi-join on the gram key (a
+    # cartesian/all-pairs plan goes quadratic at corpus scale), and the
+    # shard-shuffle scan must prune to its two referenced columns
+    df = _build(spark, sf_dir, "repeated_ngram_coverage")
+    text = plans.explain_formatted(df)
+    assert "CartesianProduct" not in text
+    assert "BroadcastNestedLoopJoin" not in text
+    shard = _build(spark, sf_dir, "corpus_shard_shuffle")
+    (cols,) = plans.scan_columns(shard)
+    assert cols == {"doc_id", "n_chars"}  # text column never read

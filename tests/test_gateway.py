@@ -553,3 +553,19 @@ def test_watchdog_scan_bytes_reflects_partition_pruning(session, tmp_path):
         conf_overlay={"spark.sql.watchdog.maxFileSize": str(int(b_full))},
     )
     assert op.state is OperationState.FINISHED
+
+
+def test_session_close_releases_operator_caches(spark, sf_dir):
+    """Gateway Session.close() must release operator-internal persisted
+    relations (kyuubi_spark.caching) so a long-lived gateway process does
+    not accumulate cached partitions across sessions."""
+    from kyuubi_spark.caching import _TRACKED, persisted
+    from kyuubi_spark.gateway.engine import Engine
+
+    engine = Engine(spark)
+    sess = engine.open_session(user="cache-test")
+    df = persisted(spark.range(10).toDF("n"))
+    df.count()
+    assert df in _TRACKED
+    engine.sessions.close_session(sess.handle)
+    assert df not in _TRACKED  # close released the tracked persist

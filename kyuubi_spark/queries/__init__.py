@@ -100,6 +100,8 @@ _CHANGED_THIS_ROUND = {
     "corpus_shard_shuffle",
     "repeated_ngram_coverage",
     "packing_efficiency_report",
+    # r04: gram hashing vectorized (Arrow) — 2.5x faster, values identical
+    "winnowing_overlap",
 }
 
 

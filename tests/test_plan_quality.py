@@ -313,3 +313,13 @@ def test_repeated_ngram_no_cartesian_and_pruned_scan(spark, sf_dir):
     shard = _build(spark, sf_dir, "corpus_shard_shuffle")
     (cols,) = plans.scan_columns(shard)
     assert cols == {"doc_id", "n_chars"}  # text column never read
+
+
+def test_tpcds_b_variants_broadcast_dims(spark, sf_dir):
+    # the a/b second shapes keep the a-variants' physical discipline:
+    # qualifier sets and dimensions broadcast, no cartesian anywhere
+    for name in ["tpcds_q14b", "tpcds_q39b"]:
+        df = _build(spark, sf_dir, name)
+        text = plans.explain_formatted(df)
+        assert "CartesianProduct" not in text, name
+        assert plans.broadcast_join_count(df) >= 2, name

@@ -1,4 +1,4 @@
-"""Session-scoped cache tracking for persisted intermediate relations.
+"""Scoped cache tracking for persisted intermediate relations.
 
 The dedup/fingerprint operators persist self-joined intermediate relations
 (shingle arrays, LSH signatures, winnowing fingerprints) so one expensive
@@ -9,41 +9,82 @@ executor exits); in a long-lived gateway session the cached relations
 accumulate (kyuubi's engines face the same issue and bound it with engine
 TTLs, ``EngineRef.scala``).
 
-Policy here: every operator-internal persist registers through
-``persisted()``; whoever drives many queries through one session (bench
-harness, gateway session close, registry verify loop) calls
-``release_caches()`` after materializing results.  Releasing is safe at
-any point — an unpersisted relation recomputes on next use, it never
-breaks correctness.
+Registration is SCOPED: ``persisted()`` appends to the registry installed
+by the innermost ``cache_scope(...)`` (a plain list), falling back to a
+process-global registry when no scope is active.  A gateway ``Session``
+owns its own registry and installs it around statement execution, so
+``Session.close()`` releases only that session's relations — closing one
+session can no longer unpersist relations that are load-bearing for
+another still-open session's in-flight dedup plans.  Single-session
+drivers (bench harness, registry verify loop, tests) keep calling
+``release_caches()`` with no arguments and drain the global registry as
+before.
+
+Releasing is safe at any point — an unpersisted relation recomputes on
+next use, it never breaks correctness.
 """
 
 from __future__ import annotations
 
+import contextlib
+from contextvars import ContextVar
+
 from pyspark.sql import DataFrame
 from pyspark.storagelevel import StorageLevel
 
+# Process-global fallback registry (no active scope).
 _TRACKED: list[DataFrame] = []
+
+# Innermost active scope; None → fall back to _TRACKED.
+_SCOPE: ContextVar[list[DataFrame] | None] = ContextVar(
+    "kyuubi_spark_cache_scope", default=None
+)
+
+
+def _current_registry() -> list[DataFrame]:
+    scope = _SCOPE.get()
+    return scope if scope is not None else _TRACKED
+
+
+@contextlib.contextmanager
+def cache_scope(registry: list[DataFrame] | None = None):
+    """Route ``persisted()`` registrations into ``registry`` for the block.
+
+    Pass a session-owned list to give that session exclusive release
+    rights over the persists its queries create (the gateway ``Session``
+    does exactly this); omit it for an anonymous scope released when
+    the caller sees fit.
+    """
+    reg: list[DataFrame] = registry if registry is not None else []
+    token = _SCOPE.set(reg)
+    try:
+        yield reg
+    finally:
+        _SCOPE.reset(token)
 
 
 def persisted(
     df: DataFrame,
     level: StorageLevel = StorageLevel.MEMORY_AND_DISK,
 ) -> DataFrame:
-    """persist() + register for later release via release_caches()."""
+    """persist() + register in the current scope for later release."""
     out = df.persist(level)
-    _TRACKED.append(out)
+    _current_registry().append(out)
     return out
 
 
-def release_caches() -> int:
-    """Unpersist every tracked relation; returns how many were released.
+def release_caches(registry: list[DataFrame] | None = None) -> int:
+    """Unpersist every relation tracked in ``registry`` (default: the
+    current scope, else the process-global registry); returns how many
+    were released.
 
     blocking=False: release is a bookkeeping operation, the block manager
     drops the partitions asynchronously.
     """
+    reg = registry if registry is not None else _current_registry()
     n = 0
-    while _TRACKED:
-        df = _TRACKED.pop()
+    while reg:
+        df = reg.pop()
         try:
             df.unpersist()
             n += 1

@@ -48,6 +48,11 @@ class Session:
         self.last_access = time.time()
         self._lock = threading.RLock()
         self.python_namespace: dict[str, Any] = {"spark": self.spark}
+        # Session-owned registry for operator-internal persists (dedup
+        # signature caches etc.): statements executed through this session
+        # register here (kyuubi_spark.caching.cache_scope), and close()
+        # releases ONLY these — never another session's in-flight caches.
+        self._cached: list[Any] = []
 
         # Apply client conf: spark.* keys become session SQLConf overrides
         # (SparkSessionImpl.scala:56-105).
@@ -138,9 +143,12 @@ class Session:
                 op = OPS.ExecuteStatement(
                     self, statement, conf=conf, should_run_async=run_async
                 )
-        op.run()
-        if not run_async:
-            op.wait()
+        from kyuubi_spark.caching import cache_scope
+
+        with cache_scope(self._cached):
+            op.run()
+            if not run_async:
+                op.wait()
         return self._register(op)
 
     def write_table(self, df, path: str, fmt: str = "parquet",
@@ -218,13 +226,16 @@ class Session:
             for op in list(self.operations.values()):
                 op.close()
             self.operations.clear()
-        # release operator-internal persisted relations (dedup signature
-        # caches etc.) so a long-lived gateway process doesn't accumulate
-        # cached partitions across sessions — mirrors the reference's
-        # engine-TTL-bounded resource lifecycle (EngineRef.scala)
+        # release THIS session's operator-internal persisted relations
+        # (dedup signature caches etc.) so a long-lived gateway process
+        # doesn't accumulate cached partitions across sessions — mirrors
+        # the reference's engine-TTL-bounded resource lifecycle
+        # (EngineRef.scala).  Scoped to self._cached: closing one session
+        # must not unpersist relations load-bearing for other still-open
+        # sessions' in-flight queries.
         from kyuubi_spark.caching import release_caches
 
-        release_caches()
+        release_caches(self._cached)
 
 
 class SessionManager:

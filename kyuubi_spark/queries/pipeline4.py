@@ -122,9 +122,16 @@ _GRAM_N = 5
 def repeated_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     w = F.split(F.trim(F.col("text")), " ")
+    # Guard short docs: sequence(1, 0) in Spark steps DOWNWARD ([1, 0]),
+    # so an unguarded transform would call slice(w, 0, 5) and throw
+    # INVALID_PARAMETER_VALUE.START on any doc with < _GRAM_N words.
+    # DuckDB's generate_series(1, 0) is already empty, so the guarded
+    # empty-array branch keeps both engines consistent.
     grams_expr = F.expr(
-        f"transform(sequence(1, greatest(size(w) - {_GRAM_N - 1}, 0)),"
+        f"CASE WHEN size(w) >= {_GRAM_N} THEN"
+        f" transform(sequence(1, size(w) - {_GRAM_N - 1}),"
         f" i -> concat_ws(' ', slice(w, i, {_GRAM_N})))"
+        f" ELSE array() END"
     )
     grams = (
         docs.select("doc_id", w.alias("w"))

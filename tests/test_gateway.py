@@ -559,13 +559,34 @@ def test_session_close_releases_operator_caches(spark, sf_dir):
     """Gateway Session.close() must release operator-internal persisted
     relations (kyuubi_spark.caching) so a long-lived gateway process does
     not accumulate cached partitions across sessions."""
-    from kyuubi_spark.caching import _TRACKED, persisted
+    from kyuubi_spark.caching import cache_scope, persisted
     from kyuubi_spark.gateway.engine import Engine
 
     engine = Engine(spark)
     sess = engine.open_session(user="cache-test")
-    df = persisted(spark.range(10).toDF("n"))
+    with cache_scope(sess._cached):
+        df = persisted(spark.range(10).toDF("n"))
     df.count()
-    assert df in _TRACKED
+    assert df in sess._cached
     engine.sessions.close_session(sess.handle)
-    assert df not in _TRACKED  # close released the tracked persist
+    assert df not in sess._cached  # close released the tracked persist
+
+
+def test_session_close_spares_other_sessions_caches(spark, sf_dir):
+    """Closing one session must NOT unpersist relations registered by a
+    different still-open session (the persist is load-bearing for that
+    session's in-flight dedup plans)."""
+    from kyuubi_spark.caching import cache_scope, persisted
+    from kyuubi_spark.gateway.engine import Engine
+
+    engine = Engine(spark)
+    s1 = engine.open_session(user="cache-a")
+    s2 = engine.open_session(user="cache-b")
+    with cache_scope(s2._cached):
+        df = persisted(spark.range(10).toDF("n"))
+    df.count()
+    engine.sessions.close_session(s1.handle)  # must not touch s2's cache
+    assert df in s2._cached
+    assert df.storageLevel.useMemory or df.storageLevel.useDisk
+    engine.sessions.close_session(s2.handle)
+    assert df not in s2._cached

@@ -74,14 +74,19 @@ def persisted(
 
 
 def release_caches(registry: list[DataFrame] | None = None) -> int:
-    """Unpersist every relation tracked in ``registry`` (default: the
-    current scope, else the process-global registry); returns how many
+    """Unpersist every relation tracked in ``registry``; returns how many
     were released.
+
+    With no argument this drains the PROCESS-GLOBAL registry explicitly —
+    not the innermost scope — so the single-session drivers (bench,
+    tools/verify.py, tests) keep their drain-everything semantics even if
+    a future caller ends up nested inside a ``cache_scope`` block.  Scope
+    owners hold their own list and pass it (``Session.close()`` does).
 
     blocking=False: release is a bookkeeping operation, the block manager
     drops the partitions asynchronously.
     """
-    reg = registry if registry is not None else _current_registry()
+    reg = registry if registry is not None else _TRACKED
     n = 0
     while reg:
         df = reg.pop()

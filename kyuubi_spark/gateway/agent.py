@@ -154,7 +154,14 @@ def execute_agent(session, task: str, require_approval: bool = False,
     """Session entry point (the data-agent engine's ExecuteStatement)."""
     op = AgentOperation(session, task, require_approval=require_approval,
                         should_run_async=run_async, **kw)
-    op.run()
+    # Route the agent's persisted relations into the owning session's cache
+    # registry (same scope Session.execute_statement installs) so
+    # Session.close() releases them; Operation.run() copies the context
+    # into the async worker thread.
+    from kyuubi_spark.caching import cache_scope
+
+    with cache_scope(session._cached):
+        op.run()
     if not run_async:
         op.wait()
     return session._register(op)

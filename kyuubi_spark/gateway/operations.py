@@ -17,6 +17,7 @@ Python re-creation of the reference's operation classes:
 from __future__ import annotations
 
 import contextlib
+import contextvars
 import io
 import re
 import shutil
@@ -114,8 +115,16 @@ class Operation:
     def run(self) -> "Operation":
         if self._async:
             self.set_state(OperationState.PENDING)
+            # Propagate ContextVars (notably kyuubi_spark.caching's cache
+            # scope, installed by Session.execute_statement) into the worker
+            # thread: threading.Thread starts with a FRESH context, so
+            # without the copy an async statement's persisted() relations
+            # would register in the process-global registry and never be
+            # released by Session.close() — an unbounded cache leak.
+            ctx = contextvars.copy_context()
             self._thread = threading.Thread(
-                target=self._guarded_execute, name=f"op-{self.handle.id[:8]}", daemon=True
+                target=lambda: ctx.run(self._guarded_execute),
+                name=f"op-{self.handle.id[:8]}", daemon=True,
             )
             self._thread.start()
         else:

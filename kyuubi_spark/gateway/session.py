@@ -235,7 +235,14 @@ class Session:
         # sessions' in-flight queries.
         from kyuubi_spark.caching import release_caches
 
-        release_caches(self._cached)
+        # Swap the registry atomically under the lock: statement threads
+        # append to self._cached concurrently, and popping while they append
+        # could strand a persist untracked.  After the swap, late appends
+        # land in the fresh list and are released by a later close() (close
+        # is idempotent) or the engine shutdown drain.
+        with self._lock:
+            reg, self._cached = self._cached, []
+        release_caches(reg)
 
 
 class SessionManager:

@@ -33,6 +33,22 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 
 
+def sql_literal(value: str) -> str:
+    """Escape a string for embedding in a single-quoted SQL literal.
+
+    The reference binds metadata patterns via PreparedStatement parameters
+    (JdbcDialect.scala forwards to DatabaseMetaData, which parameterizes);
+    our Spark-first path ships the metadata SQL through the JDBC ``query``
+    reader option, so the operands the gateway's GetTables/GetColumns
+    receive from CLIENTS must be escaped before interpolation — both to
+    stop SQL injection through a crafted schema/table pattern and to keep
+    benign quote-bearing identifiers (O'Brien) from breaking the query.
+    Doubling the quote is the portable ANSI escape (works on every dialect
+    here, incl. MySQL-family which also accepts it).
+    """
+    return value.replace("'", "''")
+
+
 @dataclass(frozen=True)
 class JdbcDialect:
     """Base dialect: ANSI double-quote identifiers, information_schema
@@ -62,7 +78,7 @@ class JdbcDialect:
             "SELECT table_catalog AS TABLE_CAT, table_schema AS TABLE_SCHEM, "
             "table_name AS TABLE_NAME, table_type AS TABLE_TYPE "
             "FROM information_schema.tables "
-            f"WHERE table_schema LIKE '{schema_pattern}'"
+            f"WHERE table_schema LIKE '{sql_literal(schema_pattern)}'"
         )
 
     def columns_query(self, table: str, schema_pattern: str = "%") -> str:
@@ -71,8 +87,8 @@ class JdbcDialect:
             "column_name AS COLUMN_NAME, data_type AS TYPE_NAME, "
             "ordinal_position AS ORDINAL_POSITION "
             "FROM information_schema.columns "
-            f"WHERE table_name = '{table}' "
-            f"AND table_schema LIKE '{schema_pattern}'"
+            f"WHERE table_name = '{sql_literal(table)}' "
+            f"AND table_schema LIKE '{sql_literal(schema_pattern)}'"
         )
 
 
@@ -114,7 +130,7 @@ class MySQLDialect(JdbcDialect):
             "SELECT table_schema AS TABLE_CAT, NULL AS TABLE_SCHEM, "
             "table_name AS TABLE_NAME, table_type AS TABLE_TYPE "
             "FROM information_schema.tables "
-            f"WHERE table_schema LIKE '{schema_pattern}'"
+            f"WHERE table_schema LIKE '{sql_literal(schema_pattern)}'"
         )
 
 
@@ -141,7 +157,7 @@ class ClickHouseDialect(JdbcDialect):
             "SELECT database AS TABLE_CAT, NULL AS TABLE_SCHEM, "
             "name AS TABLE_NAME, "
             "if(engine LIKE '%View', 'VIEW', 'TABLE') AS TABLE_TYPE "
-            f"FROM system.tables WHERE database LIKE '{schema_pattern}'"
+            f"FROM system.tables WHERE database LIKE '{sql_literal(schema_pattern)}'"
         )
 
     def columns_query(self, table: str, schema_pattern: str = "%") -> str:
@@ -149,8 +165,8 @@ class ClickHouseDialect(JdbcDialect):
             "SELECT database AS TABLE_SCHEM, table AS TABLE_NAME, "
             "name AS COLUMN_NAME, type AS TYPE_NAME, "
             "position AS ORDINAL_POSITION "
-            f"FROM system.columns WHERE table = '{table}' "
-            f"AND database LIKE '{schema_pattern}'"
+            f"FROM system.columns WHERE table = '{sql_literal(table)}' "
+            f"AND database LIKE '{sql_literal(schema_pattern)}'"
         )
 
 
@@ -173,7 +189,7 @@ class DerbyDialect(JdbcDialect):
             "WHEN 'V' THEN 'VIEW' ELSE 'SYSTEM TABLE' END) AS TABLE_TYPE "
             "FROM SYS.SYSTABLES t JOIN SYS.SYSSCHEMAS s "
             "ON t.SCHEMAID = s.SCHEMAID "
-            f"WHERE s.SCHEMANAME LIKE '{schema_pattern}'"
+            f"WHERE s.SCHEMANAME LIKE '{sql_literal(schema_pattern)}'"
         )
 
     def columns_query(self, table: str, schema_pattern: str = "%") -> str:
@@ -185,8 +201,125 @@ class DerbyDialect(JdbcDialect):
             "FROM SYS.SYSCOLUMNS c "
             "JOIN SYS.SYSTABLES t ON c.REFERENCEID = t.TABLEID "
             "JOIN SYS.SYSSCHEMAS s ON t.SCHEMAID = s.SCHEMAID "
-            f"WHERE t.TABLENAME = '{table}' "
-            f"AND s.SCHEMANAME LIKE '{schema_pattern}'"
+            f"WHERE t.TABLENAME = '{sql_literal(table)}' "
+            f"AND s.SCHEMANAME LIKE '{sql_literal(schema_pattern)}'"
+        )
+
+
+@dataclass(frozen=True)
+class StarRocksDialect(MySQLDialect):
+    """StarRocksDialect.scala extends the MySQL wire dialect (same
+    backtick quoting, merged database term, information_schema)."""
+
+    name: str = "starrocks"
+    url_prefixes: tuple = ("jdbc:starrocks:",)
+
+
+@dataclass(frozen=True)
+class OracleSQLDialect(JdbcDialect):
+    """OracleSQLDialect.scala: fetchSize set only under autocommit (the
+    driver otherwise buffers); no catalogs — TABLE_CAT is NULL and the
+    OWNER is the schema.  Metadata via ALL_TABLES/ALL_TAB_COLUMNS (the
+    SELECT-able mirror of what DatabaseMetaData reads)."""
+
+    name: str = "oracle"
+    url_prefixes: tuple = ("jdbc:oracle:",)
+
+    def tables_query(self, schema_pattern: str = "%") -> str:
+        return (
+            "SELECT NULL AS TABLE_CAT, t.OWNER AS TABLE_SCHEM, "
+            "t.TABLE_NAME AS TABLE_NAME, 'TABLE' AS TABLE_TYPE "
+            "FROM ALL_TABLES t "
+            f"WHERE t.OWNER LIKE '{sql_literal(schema_pattern)}' "
+            "UNION ALL "
+            "SELECT NULL, v.OWNER, v.VIEW_NAME, 'VIEW' FROM ALL_VIEWS v "
+            f"WHERE v.OWNER LIKE '{sql_literal(schema_pattern)}'"
+        )
+
+    def columns_query(self, table: str, schema_pattern: str = "%") -> str:
+        return (
+            "SELECT c.OWNER AS TABLE_SCHEM, c.TABLE_NAME AS TABLE_NAME, "
+            "c.COLUMN_NAME AS COLUMN_NAME, c.DATA_TYPE AS TYPE_NAME, "
+            "c.COLUMN_ID AS ORDINAL_POSITION "
+            "FROM ALL_TAB_COLUMNS c "
+            f"WHERE c.TABLE_NAME = '{sql_literal(table)}' "
+            f"AND c.OWNER LIKE '{sql_literal(schema_pattern)}'"
+        )
+
+
+@dataclass(frozen=True)
+class PhoenixDialect(JdbcDialect):
+    """PhoenixDialect.scala: HBase-backed; metadata lives in the
+    SYSTEM.CATALOG Phoenix system table (TABLE_TYPE codes: u=user table,
+    v=view, s=system).  Phoenix upper-cases unquoted identifiers, ANSI
+    double-quote to preserve case."""
+
+    name: str = "phoenix"
+    url_prefixes: tuple = ("jdbc:phoenix:",)
+
+    def tables_query(self, schema_pattern: str = "%") -> str:
+        return (
+            "SELECT NULL AS TABLE_CAT, TABLE_SCHEM, TABLE_NAME, "
+            "CASE TABLE_TYPE WHEN 'u' THEN 'TABLE' WHEN 'v' THEN 'VIEW' "
+            "ELSE 'SYSTEM TABLE' END AS TABLE_TYPE "
+            "FROM SYSTEM.\"CATALOG\" "
+            "WHERE COLUMN_NAME IS NULL AND COLUMN_FAMILY IS NULL "
+            f"AND TABLE_SCHEM LIKE '{sql_literal(schema_pattern)}'"
+        )
+
+    def columns_query(self, table: str, schema_pattern: str = "%") -> str:
+        return (
+            "SELECT TABLE_SCHEM, TABLE_NAME, COLUMN_NAME, "
+            "DATA_TYPE AS TYPE_NAME, ORDINAL_POSITION "
+            "FROM SYSTEM.\"CATALOG\" "
+            "WHERE COLUMN_NAME IS NOT NULL "
+            f"AND TABLE_NAME = '{sql_literal(table)}' "
+            f"AND TABLE_SCHEM LIKE '{sql_literal(schema_pattern)}'"
+        )
+
+
+@dataclass(frozen=True)
+class ImpalaDialect(JdbcDialect):
+    """ImpalaDialect.scala: Impalad rejects the Hive driver's private
+    set/get-current-database session confs, so the reference issues plain
+    ``USE `db``` / ``SELECT current_database()`` SQL (ImpalaDialect.scala:
+    setSchema/getCurrentSchema, backtick-escaped exactly as here).  Impala
+    has no SELECT-able information_schema, so table/column metadata goes
+    through SHOW/DESCRIBE statements rather than the JDBC ``query``
+    option — exposed as statement builders the gateway can run through a
+    plain statement path."""
+
+    name: str = "impala"
+    url_prefixes: tuple = ("jdbc:impala:",)
+    quote_char: str = "`"
+    database_term_merged: bool = True
+    metadata_via_show: bool = True
+
+    def use_statement(self, schema: str) -> str:
+        return f"USE {self.quote_identifier(schema)}"
+
+    def current_schema_query(self) -> str:
+        return "SELECT current_database()"
+
+    def show_tables_statement(self, schema: str | None = None) -> str:
+        if schema is None:
+            return "SHOW TABLES"
+        return f"SHOW TABLES IN {self.quote_identifier(schema)}"
+
+    def describe_statement(self, table: str, schema: str | None = None) -> str:
+        qualified = self.quote_identifier(table)
+        if schema is not None:
+            qualified = f"{self.quote_identifier(schema)}.{qualified}"
+        return f"DESCRIBE {qualified}"
+
+    def tables_query(self, schema_pattern: str = "%") -> str:
+        raise NotImplementedError(
+            "Impala metadata is not SELECT-able; use show_tables_statement()"
+        )
+
+    def columns_query(self, table: str, schema_pattern: str = "%") -> str:
+        raise NotImplementedError(
+            "Impala metadata is not SELECT-able; use describe_statement()"
         )
 
 
@@ -194,7 +327,11 @@ DIALECTS: tuple[JdbcDialect, ...] = (
     PostgreSQLDialect(),
     MySQLDialect(),
     DorisDialect(),
+    StarRocksDialect(),
     ClickHouseDialect(),
+    OracleSQLDialect(),
+    PhoenixDialect(),
+    ImpalaDialect(),
     DerbyDialect(),
 )
 

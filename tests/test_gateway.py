@@ -590,3 +590,53 @@ def test_session_close_spares_other_sessions_caches(spark, sf_dir):
     assert df.storageLevel.useMemory or df.storageLevel.useDisk
     engine.sessions.close_session(s2.handle)
     assert df not in s2._cached
+
+
+def test_async_operation_persists_land_in_session_scope(spark, sf_dir):
+    """An ASYNC operation executes on a fresh thread; Operation.run() must
+    copy the ContextVar context so persisted() calls made inside the worker
+    register in the owning session's cache registry (not the process-global
+    fallback) and are released by Session.close().  Regression for the
+    round-5 scoped-caching change, which leaked async-statement persists
+    for the life of the gateway process."""
+    from kyuubi_spark.caching import _TRACKED, persisted
+    from kyuubi_spark.gateway.engine import Engine
+    from kyuubi_spark.gateway.operations import ExecuteStatement
+
+    class PersistingStatement(ExecuteStatement):
+        def _execute(self):
+            self.captured = persisted(
+                self.session.engine.root_spark.range(10).toDF("n")
+            )
+            self.captured.count()
+            self.result = self.captured
+
+    engine = Engine(spark)
+    sess = engine.open_session(user="cache-async")
+    global_before = len(_TRACKED)
+    from kyuubi_spark.caching import cache_scope
+
+    with cache_scope(sess._cached):
+        op = PersistingStatement(sess, "SELECT 1", should_run_async=True)
+        op.run()
+    op.wait()
+    assert len(_TRACKED) == global_before  # did NOT leak to the global registry
+    assert op.captured in sess._cached     # landed in the session scope
+    engine.sessions.close_session(sess.handle)
+    assert op.captured not in sess._cached
+
+
+def test_agent_operation_persists_scoped_to_session(spark, sf_dir):
+    """execute_agent() routes its (async) operation through the session
+    cache scope so agent-run persists are released on Session.close()."""
+    from kyuubi_spark.caching import _TRACKED
+    from kyuubi_spark.gateway.agent import execute_agent
+    from kyuubi_spark.gateway.engine import Engine
+
+    engine = Engine(spark)
+    sess = engine.open_session(user="cache-agent")
+    global_before = len(_TRACKED)
+    op = execute_agent(sess, "count the orders table rows", run_async=True)
+    op.wait()
+    assert len(_TRACKED) == global_before
+    engine.sessions.close_session(sess.handle)

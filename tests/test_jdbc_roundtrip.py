@@ -113,3 +113,101 @@ def test_derby_dialect_lists_columns_in_order(seeded):
     assert "BIGINT" in types["k"]
     assert "INTEGER" in types["grp"]
     assert "DOUBLE" in types["v"]
+
+
+def test_metadata_sql_escapes_quote_bearing_patterns():
+    """A quote-bearing pattern (benign O'Brien or a crafted injection
+    payload) must be escaped into the SQL literal, never break out of it —
+    the reference parameterizes these via PreparedStatement
+    (JdbcDialect.scala getTables/getColumns); our query-option path must
+    escape (sql_literal)."""
+    from kyuubi_spark.sources.jdbc_dialect import (
+        DIALECTS,
+        ImpalaDialect,
+        sql_literal,
+    )
+
+    assert sql_literal("O'Brien") == "O''Brien"
+    payload = "x' UNION SELECT password FROM users --"
+    for d in DIALECTS:
+        if isinstance(d, ImpalaDialect):
+            continue  # metadata via SHOW statements, no literal interpolation
+        tq = d.tables_query(payload)
+        cq = d.columns_query("O'Brien", payload)
+        # every interior quote doubled → the literal never terminates early
+        assert "x'' UNION SELECT" in tq, d.name
+        assert "O''Brien" in cq, d.name
+        assert "x'' UNION SELECT" in cq, d.name
+        # and the raw (unescaped) payload must not appear anywhere
+        assert "x' UNION" not in tq.replace("x'' UNION", ""), d.name
+
+
+def test_new_dialects_resolve_by_url():
+    from kyuubi_spark.sources.jdbc_dialect import get_dialect
+
+    assert get_dialect("jdbc:oracle:thin:@//h:1521/svc").name == "oracle"
+    assert get_dialect("jdbc:phoenix:zk1,zk2:2181").name == "phoenix"
+    assert get_dialect("jdbc:impala://h:21050/default").name == "impala"
+    assert get_dialect("jdbc:starrocks://h:9030/db").name == "starrocks"
+
+
+def test_starrocks_inherits_mysql_semantics():
+    from kyuubi_spark.sources.jdbc_dialect import StarRocksDialect
+
+    d = StarRocksDialect()
+    assert d.quote_char == "`"
+    assert d.database_term_merged
+    # MySQL-shaped tables query: database term in TABLE_CAT, no schema
+    assert "NULL AS TABLE_SCHEM" in d.tables_query("db%")
+    assert d.reader_options()["useCursorFetch"] == "true"
+
+
+def test_oracle_dialect_metadata_shapes():
+    from kyuubi_spark.sources.jdbc_dialect import OracleSQLDialect
+
+    d = OracleSQLDialect()
+    tq = d.tables_query("SCOTT")
+    assert "ALL_TABLES" in tq and "ALL_VIEWS" in tq
+    assert "'TABLE' AS TABLE_TYPE" in tq
+    cq = d.columns_query("EMP", "SCOTT")
+    assert "ALL_TAB_COLUMNS" in cq
+    assert "COLUMN_ID AS ORDINAL_POSITION" in cq
+
+
+def test_phoenix_dialect_metadata_shapes():
+    from kyuubi_spark.sources.jdbc_dialect import PhoenixDialect
+
+    d = PhoenixDialect()
+    tq = d.tables_query()
+    # Phoenix catalog rows for the table itself carry NULL column fields
+    assert 'SYSTEM."CATALOG"' in tq
+    assert "COLUMN_NAME IS NULL" in tq
+    assert "WHEN 'u' THEN 'TABLE'" in tq
+    cq = d.columns_query("T1")
+    assert "COLUMN_NAME IS NOT NULL" in cq
+
+
+def test_impala_dialect_show_statements():
+    """ImpalaDialect.scala setSchema: Impalad rejects the driver's private
+    session confs, so USE/`SELECT current_database()` go as plain SQL with
+    backtick escaping."""
+    import pytest
+
+    from kyuubi_spark.sources.jdbc_dialect import ImpalaDialect
+
+    d = ImpalaDialect()
+    assert d.use_statement("web`logs") == "USE `web``logs`"
+    assert d.current_schema_query() == "SELECT current_database()"
+    assert d.show_tables_statement("db1") == "SHOW TABLES IN `db1`"
+    assert d.describe_statement("t", "db1") == "DESCRIBE `db1`.`t`"
+    with pytest.raises(NotImplementedError):
+        d.tables_query()
+
+
+def test_derby_metadata_survives_quote_in_pattern(seeded):
+    """End-to-end over a real backend: a quote-bearing schema pattern must
+    not raise a SQL syntax error (it matches nothing, returns 0 rows)."""
+    from kyuubi_spark.sources.jdbc_dialect import list_tables
+
+    rows = list_tables(seeded, URL, schema_pattern="O'Brien", driver=DRIVER).collect()
+    assert rows == []

@@ -118,6 +118,7 @@ def all_queries() -> dict[str, QuerySpec]:
         tpcds,
         tpcds2,
         tpcds3,
+        tpcds4,
         tpch,
     )
 

@@ -1067,30 +1067,43 @@ def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY total DESC, user_id
     """,
     doc="Window distribution functions (ntile/percent_rank/cume_dist/"
-    "first_value/nth_value — TPC-DS q49/q51-family): spender quartiles "
-    "with explicit full-frame for the value functions (default frames "
-    "differ subtly across engines; the explicit frame pins them). "
-    "percent_rank/cume_dist are exact rationals, identical as doubles. "
-    "Post-aggregation input: bounded cardinality before the global sort.",
+    "first_value/nth_value — TPC-DS q49/q51-family): spender quartiles. "
+    "The per-user spend relation is DATA-SCALED, so no bare "
+    "Window.orderBy: exact global row numbers come from the two-phase "
+    "distributed ranker (operators/ranking.py — range-bucketed local "
+    "row_number + broadcast prefix offsets), and ntile/percent_rank/"
+    "cume_dist derive from (rn, N) in closed form map-side; the sort key "
+    "(total desc, user_id) is total, so rank()==row_number and "
+    "cume_dist==rn/N exactly. first/nth_value over the full frame reduce "
+    "to the rn=1/rn=2 rows, cross-joined back as a broadcast scalar.",
 )
 def win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kyuubi_spark.operators.ranking import global_row_number, ntile_expr
+
     events = load_table(spark, sf_dir, "events")
     spend = (
         events.filter(F.col("event_type") == "purchase")
         .groupBy("user_id")
         .agg(dround(F.sum(F.col("value").cast("decimal(18,6)")), 2).alias("total"))
     )
-    w = Window.orderBy(F.col("total").desc(), "user_id")
-    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    ranked, n = global_row_number(
+        spend, [("total", "desc"), ("user_id", "asc")], rn_col="rn"
+    )
+    rn = F.col("rn")
+    tops = ranked.filter(rn <= 2).agg(
+        F.max(F.when(rn == 1, F.col("user_id"))).alias("top_u"),
+        F.max(F.when(rn == 2, F.col("user_id"))).alias("runner_u"),
+    )
     return (
-        spend.select(
+        ranked.crossJoin(F.broadcast(tops))
+        .select(
             "user_id",
             F.col("total").cast("double").alias("total"),
-            F.ntile(4).over(w).cast("int").alias("quartile"),
-            dround(F.percent_rank().over(w), 6).alias("pct_rank"),
-            dround(F.cume_dist().over(w), 6).alias("cume"),
-            F.first("user_id").over(wf).cast("bigint").alias("top_spender"),
-            F.nth_value("user_id", 2).over(wf).cast("bigint").alias("runner_up"),
+            ntile_expr(rn, n, 4).alias("quartile"),
+            dround((rn - 1) / F.lit(max(n - 1, 1)), 6).alias("pct_rank"),
+            dround(rn / F.lit(n), 6).alias("cume"),
+            F.col("top_u").cast("bigint").alias("top_spender"),
+            F.col("runner_u").cast("bigint").alias("runner_up"),
         )
         .orderBy(F.col("total").desc(), "user_id")
     )
@@ -1273,13 +1286,15 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="RFM customer segmentation: per-customer recency/frequency/monetary "
     "aggregates quartiled with NTILE (unique o_custkey tiebreak makes the "
-    "tiling deterministic across engines), rolled up to segment sizes. The "
-    "global NTILE is one ordered pass over the per-customer aggregate — "
-    "CUSTOMER-cardinality, not fact-cardinality, so the single-partition "
-    "sort stays small at any fact scale.",
+    "tiling deterministic across engines), rolled up to segment sizes. "
+    "Customer cardinality is DATA-SCALED, so the three NTILEs never run "
+    "as bare Window.orderBy single-partition sorts: each axis gets an "
+    "exact global row number from the two-phase distributed ranker "
+    "(operators/ranking.py) chained on the same relation, and the "
+    "quartile derives from (rn, N) in closed form map-side.",
 )
 def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    from kyuubi_spark.operators.ranking import global_row_number, ntile_expr
 
     orders = load_table(spark, sf_dir, "orders")
     per_cust = orders.groupBy("o_custkey").agg(
@@ -1287,11 +1302,22 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("frequency"),
         dround(F.sum("o_totalprice"), 2).alias("monetary"),
     )
-    scored = per_cust.select(
+    # three independent total orders -> three chained exact rankings (each
+    # appends one column; no join needed, no global window anywhere)
+    ranked, n = global_row_number(
+        per_cust, [("last_order", "asc"), ("o_custkey", "asc")], rn_col="rn_r"
+    )
+    ranked, _ = global_row_number(
+        ranked, [("frequency", "asc"), ("o_custkey", "asc")], rn_col="rn_f"
+    )
+    ranked, _ = global_row_number(
+        ranked, [("monetary", "asc"), ("o_custkey", "asc")], rn_col="rn_m"
+    )
+    scored = ranked.select(
         "o_custkey",
-        F.ntile(4).over(Window.orderBy("last_order", "o_custkey")).alias("r_quartile"),
-        F.ntile(4).over(Window.orderBy("frequency", "o_custkey")).alias("f_quartile"),
-        F.ntile(4).over(Window.orderBy("monetary", "o_custkey")).alias("m_quartile"),
+        ntile_expr(F.col("rn_r"), n, 4).alias("r_quartile"),
+        ntile_expr(F.col("rn_f"), n, 4).alias("f_quartile"),
+        ntile_expr(F.col("rn_m"), n, 4).alias("m_quartile"),
     )
     return (
         scored.groupBy("r_quartile", "f_quartile", "m_quartile")

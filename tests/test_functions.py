@@ -318,3 +318,54 @@ def test_release_caches_returns_storage_pool_to_baseline(spark, sf_dir):
     released = release_caches()
     assert released >= 1
     assert not (persistent_ids() - before), "query left cached RDDs behind"
+
+
+def test_global_row_number_matches_window(spark, sf_dir):
+    """operators/ranking.py must produce EXACTLY the row numbers a global
+    window would, including with heavy key ties (ties cross bucket cut
+    points) and for asc/desc directions."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from kyuubi_spark.operators.ranking import global_row_number
+
+    df = spark.range(997).select(
+        F.col("id"),
+        (F.col("id") % 7).alias("k"),          # heavy ties on the bucket key
+        (F.col("id") * 37 % 991).alias("v"),
+    )
+    for direction in ("asc", "desc"):
+        ranked, n = global_row_number(
+            df, [("k", direction), ("v", "asc"), ("id", "asc")], buckets=16
+        )
+        assert n == 997
+        order = [
+            F.col("k").desc() if direction == "desc" else F.col("k").asc(),
+            F.col("v").asc(),
+            F.col("id").asc(),
+        ]
+        expected = df.withColumn("ern", F.row_number().over(Window.orderBy(*order)))
+        joined = ranked.join(expected, ["id", "k", "v"])
+        assert joined.filter(F.col("rn") != F.col("ern")).count() == 0
+
+
+def test_ntile_expr_matches_sql_ntile(spark, sf_dir):
+    """Closed-form NTILE from (rn, N) == SQL NTILE for awkward N/k combos
+    (N not divisible by k, N < k, N == k)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from kyuubi_spark.operators.ranking import ntile_expr
+
+    for n_rows, k in [(10, 4), (11, 4), (3, 4), (4, 4), (1, 4), (100, 7)]:
+        df = spark.range(n_rows).withColumn(
+            "rn", F.row_number().over(Window.orderBy("id"))
+        )
+        got = df.select(
+            "id", ntile_expr(F.col("rn"), n_rows, k).alias("t")
+        )
+        want = df.select(
+            "id", F.ntile(k).over(Window.orderBy("id")).alias("t2")
+        )
+        bad = got.join(want, "id").filter(F.col("t") != F.col("t2")).count()
+        assert bad == 0, (n_rows, k)

@@ -323,3 +323,31 @@ def test_tpcds_b_variants_broadcast_dims(spark, sf_dir):
         text = plans.explain_formatted(df)
         assert "CartesianProduct" not in text, name
         assert plans.broadcast_join_count(df) >= 2, name
+
+
+def _assert_all_windows_partitioned(text, name):
+    """Every Window node must carry a non-empty partition spec — a bare
+    Window.orderBy ships the whole (data-scaled) relation to ONE task."""
+    import re
+
+    for m in re.finditer(r"\(\d+\) Window\b[\s\S]*?Arguments: (.+)", text):
+        args = m.group(1)
+        part = re.search(r"\], \[(.*?)\], \[", args)
+        assert part and part.group(1).strip(), (
+            f"{name}: unpartitioned (single-partition) Window: {args[:160]}"
+        )
+
+
+def test_win_distribution_no_global_window(spark, sf_dir):
+    # ntile/percent_rank/cume_dist over the per-user spend relation must
+    # come from the two-phase distributed ranker (operators/ranking.py),
+    # never a bare Window.orderBy over user cardinality
+    df = _build(spark, sf_dir, "win_distribution")
+    _assert_all_windows_partitioned(plans.explain_formatted(df), "win_distribution")
+
+
+def test_rfm_segments_no_global_window(spark, sf_dir):
+    # the three NTILE axes are chained distributed rankings — all Window
+    # nodes partitioned by the range bucket
+    df = _build(spark, sf_dir, "rfm_segments")
+    _assert_all_windows_partitioned(plans.explain_formatted(df), "rfm_segments")

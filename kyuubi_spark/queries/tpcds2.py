@@ -608,11 +608,11 @@ _Q49_CHAN_SQL = """
     doc="TPC-DS q49 shape (tpcds_3.2/q49.sql: per-channel worst return "
     "ratios, double-ranked by quantity ratio and currency ratio, "
     "union-all of web/catalog/store blocks, rank<=10 either way): "
-    "channels are the o_orderstatus slices computed in ONE fact pass "
-    "(the union-all of three per-channel scans collapses to a "
-    "partitioned window over one aggregate), ratios are single double "
-    "divisions of integer sums rounded to 6dp, ranks are deterministic "
-    "ROW_NUMBER with item tiebreaks.",
+    "channels are the o_orderstatus slices computed in ONE fact pass; "
+    "ratios are single double divisions of integer sums rounded to 6dp; "
+    "per-status ROW_NUMBER comes from the distributed ranker over the "
+    "composite (status, ratio, item) order minus broadcast per-status "
+    "start offsets — never a 3-task Window.partitionBy(status).",
 )
 def tpcds_q49(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem, orders = _t(spark, sf_dir, "lineitem", "orders")
@@ -631,17 +631,45 @@ def tpcds_q49(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter((F.col("qty") > 0) & (F.col("amt") > 0))
     )
-    by_status = Window.partitionBy("status")
-    ranked = base.select(
-        "status",
-        "item",
-        dround(F.col("ret_qty") / F.col("qty"), 6).alias("return_ratio"),
-        F.row_number()
-        .over(by_status.orderBy(dround(F.col("ret_qty") / F.col("qty"), 6), F.col("item")))
-        .alias("return_rank"),
-        F.row_number()
-        .over(by_status.orderBy(dround(F.col("ret_amt") / F.col("amt"), 6), F.col("item")))
-        .alias("currency_rank"),
+    # Window.partitionBy(status) would put ITEM-cardinality rows on only 3
+    # tasks (one per status) at scale.  Instead: per-status ROW_NUMBER ==
+    # global row number over the composite total order (status, ratio,
+    # item) minus the status's start offset.  The composite key folds into
+    # one monotone numeric (status_num*10 + ratio, ratio in [0,1] so the
+    # bands never overlap and the 1e-6-grained ratio survives the +10
+    # exactly), ranked by the two-phase distributed ranker
+    # (operators/ranking.py — every Window bucket-partitioned); offsets
+    # come from a 3-row per-status MIN broadcast back.
+    from kyuubi_spark.operators.ranking import global_row_number
+
+    s_num = (
+        F.when(F.col("status") == "F", 0)
+        .when(F.col("status") == "O", 1)
+        .otherwise(2)
+    )
+    keyed = base.withColumn(
+        "skey_r", s_num * 10 + dround(F.col("ret_qty") / F.col("qty"), 6)
+    ).withColumn(
+        "skey_c", s_num * 10 + dround(F.col("ret_amt") / F.col("amt"), 6)
+    )
+    with_r, _ = global_row_number(
+        keyed, [("skey_r", "asc"), ("item", "asc")], rn_col="grn_r"
+    )
+    with_c, _ = global_row_number(
+        with_r, [("skey_c", "asc"), ("item", "asc")], rn_col="grn_c"
+    )
+    starts = with_c.groupBy("status").agg(
+        F.min("grn_r").alias("start_r"), F.min("grn_c").alias("start_c")
+    )
+    ranked = (
+        with_c.join(F.broadcast(starts), "status")
+        .select(
+            "status",
+            "item",
+            dround(F.col("ret_qty") / F.col("qty"), 6).alias("return_ratio"),
+            (F.col("grn_r") - F.col("start_r") + 1).cast("int").alias("return_rank"),
+            (F.col("grn_c") - F.col("start_c") + 1).cast("int").alias("currency_rank"),
+        )
     )
     return (
         ranked.filter((F.col("return_rank") <= 10) | (F.col("currency_rank") <= 10))

@@ -305,7 +305,8 @@ def _ss_fields(k: np.ndarray, sf: float) -> dict:
 
 
 def gen_store_sales(spark: SparkSession, sf: float, partitions: int | None = None) -> DataFrame:
-    """Fact table; every money column an exact DECIMAL(7,2)."""
+    """Fact table; every money column an exact DECIMAL(9,2) (the
+    shared _money helper's cast)."""
     n = max(1000, int(sf * 2_880_000))
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -351,3 +351,19 @@ def test_rfm_segments_no_global_window(spark, sf_dir):
     # nodes partitioned by the range bucket
     df = _build(spark, sf_dir, "rfm_segments")
     _assert_all_windows_partitioned(plans.explain_formatted(df), "rfm_segments")
+
+
+def test_tpcds_q49_no_status_partitioned_window(spark, sf_dir):
+    # per-status ranks come from the distributed ranker over the composite
+    # (status, ratio, item) order — a Window.partitionBy(status) would put
+    # item-cardinality rows on just 3 tasks at scale
+    df = _build(spark, sf_dir, "tpcds_q49")
+    text = plans.explain_formatted(df)
+    _assert_all_windows_partitioned(text, "tpcds_q49")
+    import re
+
+    for m in re.finditer(r"\(\d+\) Window\b[\s\S]*?Arguments: (.+)", text):
+        part = re.search(r"\], \[(.*?)\], \[", m.group(1))
+        assert "status" not in (part.group(1) if part else ""), (
+            "q49 window partitioned by the 3-value status column again"
+        )

@@ -91,16 +91,18 @@ HEADLINE = [
     "corpus_shard_shuffle",
     "repeated_ngram_coverage",
     "packing_efficiency_report",
-    # TPC-DS slice (93 plan-shape ports + 3 a/b second shapes; see
+    # TPC-DS slice (99/99 base shapes + 4 a/b second variants; see
     # TPCDS_COVERAGE.md)
     *[f"tpcds_q{i}" for i in (
         1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15,
         16, 17, 18, 19, 20, 21, 22, 23, 25, 26, 27, 28, 29, 30, 31,
-        32, 33, 34, 35, 36, 37, 38, 39, 40, 41, 42, 43, 44, 45, 47,
-        48, 49, 50, 51, 52, 53, 54, 55, 56, 57, 58, 59, 60, 61, 62,
-        63, 64, 65, 66, 67, 68, 69, 70, 71, 73, 74, 75, 76, 77, 78,
-        80, 81, 82, 83, 86, 87, 88, 89, 90, 91, 92, 93, 94, 95, 96,
-        97, 98, 99)],
+        32, 33, 34, 35, 36, 37, 38, 39, 40, 41, 42, 43, 44, 45, 46,
+        47, 48, 49, 50, 51, 52, 53, 54, 55, 56, 57, 58, 59, 60, 61,
+        62, 63, 64, 65, 66, 67, 68, 69, 70, 71, 72, 73, 74, 75, 76,
+        77, 78, 79, 80, 81, 82, 83, 84, 85, 86, 87, 88, 89, 90, 91,
+        92, 93, 94, 95, 96, 97, 98, 99)],
+    "tpcds_q24a",
+    "tpcds_q24b",
     "tpcds_q14b",
     "tpcds_q23b",
     "tpcds_q39b",
@@ -208,7 +210,9 @@ DROP_ORDER = [
 MAX_LINE = 1900
 
 
-def _stdout_payload(timings: dict[str, float], total: float, sf) -> str:
+def _stdout_payload(
+    timings: dict[str, float], total: float, sf, realtext: dict | None = None
+) -> str:
     """Compact JSON line ≤ MAX_LINE chars; drops cheap entries if needed
     (failures, marked -1.0, are never dropped)."""
     queries = {k: round(v, 2) for k, v in timings.items()}
@@ -219,6 +223,11 @@ def _stdout_payload(timings: dict[str, float], total: float, sf) -> str:
         "queries": queries,
         "sf": sf,
     }
+    if realtext is not None:
+        # summary only on stdout; per-query timings live in BENCH_DETAIL
+        payload["realtext_sec"] = realtext["value"]
+        payload["realtext_n"] = realtext["n_queries"]
+        payload["realtext_failed"] = realtext["n_failed"]
     # Drop order: the curated cheap list first, then (if the registry has
     # outgrown it) remaining successful entries cheapest-first. Failures
     # (-1.0) are never dropped.
@@ -236,6 +245,68 @@ def _stdout_payload(timings: dict[str, float], total: float, sf) -> str:
             payload["omitted"] = payload.get("omitted", 0) + 1
         line = json.dumps(payload, separators=(",", ":"))
     return line
+
+
+def _realtext_lane(spark) -> dict | None:
+    """Real-text TPC-DS lane: generate the 20-table star
+    (sources/tpcds_datagen.py) at SPARK_GRAFT_TPCDS_SF (default 0.1),
+    run every spec text harvested from tests/test_tpcds_real*.py through
+    spark.sql, and time each — so SQL-path perf regressions (the parser/
+    Catalyst path the gateway serves) are caught per-round, not only by
+    pytest at tiny scale.  Set SPARK_GRAFT_SKIP_REALTEXT=1 to skip."""
+    if os.environ.get("SPARK_GRAFT_SKIP_REALTEXT") == "1":
+        return None
+    import glob
+    import re
+    import shutil
+    import tempfile
+
+    from kyuubi_spark.sources.tpcds_datagen import TPCDS_GENERATORS
+
+    sf = float(os.environ.get("SPARK_GRAFT_TPCDS_SF", "0.1"))
+    texts: dict[str, str] = {}
+    here = os.path.dirname(os.path.abspath(__file__))
+    for f in sorted(glob.glob(os.path.join(here, "tests", "test_tpcds_real*.py"))):
+        with open(f) as fh:
+            src = fh.read()
+        for m in re.finditer(r'^(Q\w+) = """(.*?)"""', src, re.M | re.S):
+            texts[m.group(1).lower()] = m.group(2)
+    if not texts:
+        return None
+    root = tempfile.mkdtemp(prefix="bench_tpcds_star_")
+    timings: dict[str, float] = {}
+    gen_sec = 0.0
+    try:
+        t0 = time.perf_counter()
+        for name, gen in TPCDS_GENERATORS.items():
+            p = os.path.join(root, name)
+            gen(spark, sf).write.mode("overwrite").parquet(p)
+            spark.read.parquet(p).createOrReplaceTempView(name)
+        gen_sec = round(time.perf_counter() - t0, 3)
+        for name in sorted(texts):
+            t0 = time.perf_counter()
+            try:
+                spark.sql(texts[name]).count()
+                timings[name] = round(time.perf_counter() - t0, 3)
+            except Exception as e:
+                print(f"# bench realtext error {name}: {e}", file=sys.stderr)
+                timings[name] = -1.0
+    finally:
+        for name in TPCDS_GENERATORS:
+            try:
+                spark.catalog.dropTempView(name)
+            except Exception:
+                pass
+        shutil.rmtree(root, ignore_errors=True)
+    ok = {k: v for k, v in timings.items() if v >= 0}
+    return {
+        "sf": sf,
+        "gen_sec": gen_sec,
+        "value": round(sum(ok.values()), 3),
+        "n_queries": len(timings),
+        "n_failed": len(timings) - len(ok),
+        "queries": timings,
+    }
 
 
 def main() -> None:
@@ -275,6 +346,8 @@ def main() -> None:
     sf_name = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     sf = float(sf_name) if sf_name.replace(".", "").isdigit() else sf_name
 
+    realtext = _realtext_lane(spark)
+
     # Full-resolution per-query timings for the judge / local diffing.
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
     try:
@@ -288,6 +361,7 @@ def main() -> None:
                     "sf": sf,
                     "n_queries": len(timings),
                     "n_failed": len(timings) - len(ok),
+                    "realtext": realtext,
                 },
                 f,
                 indent=1,
@@ -295,7 +369,7 @@ def main() -> None:
     except OSError as e:
         print(f"# bench detail write failed: {e}", file=sys.stderr)
 
-    print(_stdout_payload(timings, total, sf))
+    print(_stdout_payload(timings, total, sf, realtext))
 
 
 if __name__ == "__main__":

@@ -79,29 +79,20 @@ def _last_verified_round() -> dict[str, int]:
 # driver window, so they sort ahead of everything (new code has never had
 # an independent check; changed code has the highest regression risk).
 _CHANGED_THIS_ROUND = {
-    # r04: the 8 r03 hash-red ports — oracles re-typed (CAST(SUM …) AS
-    # BIGINT), must re-enter the driver window to turn green
-    *[f"tpcds_q{i}" for i in (12, 21, 23, 30, 57, 75, 78, 89)],
-    # r04: 9 more latent offenders the new HUGEINT-oracle lint caught
-    # before they ever reached a driver window — same re-typing fix
-    *[f"tpcds_q{i}" for i in (20, 53, 58, 63, 81, 83)],
-    "unpivot_daily_metrics",
-    "approx_quantile_hist",
-    "text_hash_embed",
-    # r04: global-window top-k rewritten to TakeOrderedAndProject
-    "tpcds_q44",
-    # r04: new ports (q64 + a/b second shapes)
-    "tpcds_q64",
-    "tpcds_q14b",
-    "tpcds_q23b",
-    "tpcds_q39b",
-    # r04: new pipeline operators (shard shuffle, repeated-ngram signal,
-    # packing planner)
-    "corpus_shard_shuffle",
-    "repeated_ngram_coverage",
-    "packing_efficiency_report",
-    # r04: gram hashing vectorized (Arrow) — 2.5x faster, values identical
-    "winnowing_overlap",
+    # r06: the final 6 TPC-DS shapes, newly ported (q24 as both variants)
+    "tpcds_q24a",
+    "tpcds_q24b",
+    "tpcds_q46",
+    "tpcds_q72",
+    "tpcds_q79",
+    "tpcds_q84",
+    "tpcds_q85",
+    # r06: global-NTILE windows rewritten onto the two-phase distributed
+    # ranker (operators/ranking.py) — values must stay identical
+    "win_distribution",
+    "rfm_segments",
+    # r06: per-status ranking rewritten onto the same ranker
+    "tpcds_q49",
 }
 
 

@@ -48,74 +48,117 @@ def _bucket_expr(key: Column, cuts: list) -> Column:
     return F.coalesce(F.size(F.filter(arr, lambda c: c <= key)), F.lit(0))
 
 
+def _numeric_key(df: DataFrame, col: str) -> Column:
+    """Monotone numeric cast of the bucket-driving key (timestamps ->
+    epoch micros)."""
+    dtype = dict(df.dtypes)[col]
+    if dtype in ("timestamp", "timestamp_ntz", "date"):
+        return F.unix_micros(F.col(col).cast("timestamp")).cast("double")
+    return F.col(col).cast("double")
+
+
+def _offset_expr(offsets: dict[int, int], bkt_col: str) -> Column:
+    if not offsets:
+        return F.lit(0)
+    return F.element_at(
+        F.create_map(*[F.lit(x) for kv in sorted(offsets.items()) for x in kv]),
+        F.col(bkt_col),
+    )
+
+
+def global_row_numbers(
+    df: DataFrame,
+    axes: dict[str, list[tuple[str, str]]],
+    buckets: int = 64,
+) -> tuple[DataFrame, int]:
+    """Append one exact global ROW_NUMBER column PER AXIS —
+    ``{rn_col: [(col, "asc"|"desc"), ...], ...}``; each axis's order must
+    be total (unique key combination) for cross-engine determinism.
+    Returns ``(df_with_rn_cols, total_row_count)``.
+
+    All axes share the driver-side passes, so a 3-axis ranking (RFM) costs
+    the same TWO bounded actions as a single axis: one aggregate computing
+    every axis's percentile cut array, and one GROUPING SETS pass over the
+    persisted bucketed relation yielding every axis's per-bucket counts.
+    The final plan evaluates the per-axis bucket-partitioned row_number
+    windows back to back over the same persisted input."""
+    names = list(axes)
+    # Persist the INPUT: the cut-point pass, the counts pass, and the
+    # final windowed plan all read it, and it usually sits on top of an
+    # expensive upstream aggregation (registered in the session cache
+    # scope for release).  Bucket assignment is a map-only expression, so
+    # re-deriving it from the cached input is free.
+    src = persisted(df)
+    # --- pass 1: every axis's cut points in ONE aggregate ---
+    knums = {rn: _numeric_key(src, axes[rn][0][0]) for rn in names}
+    fracs = F.array(*[F.lit(i / buckets) for i in range(1, buckets)])
+    cuts_row = src.select(
+        *[
+            F.percentile_approx(knums[rn], fracs, 10_000).alias(rn)
+            for rn in names
+        ]
+    ).first()
+    bkt_cols = {rn: f"_bkt_{rn}" for rn in names}
+    with_bkt = src
+    for rn in names:
+        cuts = sorted(set(cuts_row[rn] or []))
+        if axes[rn][0][1] == "desc":
+            # count(cuts <= key) grows with the key -> flip so larger keys
+            # get SMALLER bucket ids, matching the descending order
+            bucket = F.lit(len(cuts)) - _bucket_expr(knums[rn], cuts)
+        else:
+            bucket = _bucket_expr(knums[rn], cuts)
+        with_bkt = with_bkt.withColumn(bkt_cols[rn], bucket)
+
+    # --- pass 2: per-bucket counts for EVERY axis in one GROUPING SETS ---
+    gcols = [bkt_cols[rn] for rn in names]
+    rows = (
+        with_bkt.groupingSets([[c] for c in gcols], *[F.col(c) for c in gcols])
+        .agg(
+            F.count(F.lit(1)).alias("_bn"),
+            *[F.grouping(c).alias(f"_g_{c}") for c in gcols],
+        )
+        .collect()
+    )
+    counts: dict[str, dict[int, int]] = {rn: {} for rn in names}
+    for r in rows:
+        for rn in names:
+            c = bkt_cols[rn]
+            if r[f"_g_{c}"] == 0:  # this grouping-set row belongs to axis rn
+                counts[rn][r[c]] = r["_bn"]
+    total = sum(counts[names[0]].values()) if names else 0
+
+    ranked = with_bkt
+    for rn in names:
+        offsets: dict[int, int] = {}
+        acc = 0
+        for b in sorted(counts[rn]):
+            offsets[b] = acc
+            acc += counts[rn][b]
+        order_exprs = [
+            F.col(c).desc() if d == "desc" else F.col(c).asc()
+            for c, d in axes[rn]
+        ]
+        ranked = ranked.withColumn(
+            rn,
+            (
+                _offset_expr(offsets, bkt_cols[rn])
+                + F.row_number().over(
+                    Window.partitionBy(bkt_cols[rn]).orderBy(*order_exprs)
+                )
+            ).cast("long"),
+        )
+    return ranked.drop(*gcols), total
+
+
 def global_row_number(
     df: DataFrame,
     order_by: list[tuple[str, str]],
     rn_col: str = "rn",
     buckets: int = 64,
 ) -> tuple[DataFrame, int]:
-    """Append an exact global ROW_NUMBER column over ``order_by`` —
-    ``[(col, "asc"|"desc"), ...]``, which must be a total order (unique
-    key combination) for cross-engine determinism.  Returns
-    ``(df_with_rn, total_row_count)`` — callers usually need N anyway
-    (ntile/percent_rank denominators) and the count is free here.
-
-    The first order column drives the range bucketing; the rest only
-    order within buckets.  Timestamp/date first keys are bucketed on a
-    monotone epoch cast."""
-    key0, dir0 = order_by[0]
-    dtype = dict(df.dtypes)[key0]
-    knum = (
-        F.unix_micros(F.col(key0).cast("timestamp")).cast("double")
-        if dtype in ("timestamp", "timestamp_ntz", "date")
-        else F.col(key0).cast("double")
-    )
-    fracs = [i / buckets for i in range(1, buckets)]
-    cuts_row = df.select(
-        F.percentile_approx(
-            knum, F.array(*[F.lit(f) for f in fracs]), 10_000
-        ).alias("cuts")
-    ).first()
-    cuts = sorted(set(cuts_row["cuts"] or []))
-    if dir0 == "desc":
-        # count(cuts <= key) grows with the key -> flip so larger keys get
-        # SMALLER bucket ids, matching the descending order
-        bucket = F.lit(len(cuts)) - _bucket_expr(knum, cuts)
-    else:
-        bucket = _bucket_expr(knum, cuts)
-
-    # shared by the counts action and the final plan — persist so the
-    # upstream aggregation isn't computed twice (registered in the
-    # session cache scope for release)
-    with_bkt = persisted(df.withColumn("_bkt", bucket))
-    counts = {
-        r["_bkt"]: r["_bn"]
-        for r in with_bkt.groupBy("_bkt").agg(F.count(F.lit(1)).alias("_bn")).collect()
-    }
-    total = sum(counts.values())
-    offsets: dict[int, int] = {}
-    acc = 0
-    for b in sorted(counts):
-        offsets[b] = acc
-        acc += counts[b]
-    off_expr = (
-        F.element_at(
-            F.create_map(
-                *[F.lit(x) for kv in sorted(offsets.items()) for x in kv]
-            ),
-            F.col("_bkt"),
-        )
-        if offsets
-        else F.lit(0)
-    )
-    order_exprs = [
-        F.col(c).desc() if d == "desc" else F.col(c).asc() for c, d in order_by
-    ]
-    ranked = with_bkt.withColumn(
-        "_brn",
-        F.row_number().over(Window.partitionBy("_bkt").orderBy(*order_exprs)),
-    ).withColumn(rn_col, (off_expr + F.col("_brn")).cast("long"))
-    return ranked.drop("_bkt", "_brn"), total
+    """Single-axis convenience wrapper over ``global_row_numbers``."""
+    return global_row_numbers(df, {rn_col: order_by}, buckets=buckets)
 
 
 def ntile_expr(rn: Column, n_rows: int, n_tiles: int) -> Column:

@@ -1294,7 +1294,7 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     "quartile derives from (rn, N) in closed form map-side.",
 )
 def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from kyuubi_spark.operators.ranking import global_row_number, ntile_expr
+    from kyuubi_spark.operators.ranking import global_row_numbers, ntile_expr
 
     orders = load_table(spark, sf_dir, "orders")
     per_cust = orders.groupBy("o_custkey").agg(
@@ -1302,16 +1302,15 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("frequency"),
         dround(F.sum("o_totalprice"), 2).alias("monetary"),
     )
-    # three independent total orders -> three chained exact rankings (each
-    # appends one column; no join needed, no global window anywhere)
-    ranked, n = global_row_number(
-        per_cust, [("last_order", "asc"), ("o_custkey", "asc")], rn_col="rn_r"
-    )
-    ranked, _ = global_row_number(
-        ranked, [("frequency", "asc"), ("o_custkey", "asc")], rn_col="rn_f"
-    )
-    ranked, _ = global_row_number(
-        ranked, [("monetary", "asc"), ("o_custkey", "asc")], rn_col="rn_m"
+    # three independent total orders -> one multi-axis exact ranking (all
+    # three axes share the two bounded driver passes; no global window)
+    ranked, n = global_row_numbers(
+        per_cust,
+        {
+            "rn_r": [("last_order", "asc"), ("o_custkey", "asc")],
+            "rn_f": [("frequency", "asc"), ("o_custkey", "asc")],
+            "rn_m": [("monetary", "asc"), ("o_custkey", "asc")],
+        },
     )
     scored = ranked.select(
         "o_custkey",

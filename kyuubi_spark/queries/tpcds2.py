@@ -640,7 +640,7 @@ def tpcds_q49(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exactly), ranked by the two-phase distributed ranker
     # (operators/ranking.py — every Window bucket-partitioned); offsets
     # come from a 3-row per-status MIN broadcast back.
-    from kyuubi_spark.operators.ranking import global_row_number
+    from kyuubi_spark.operators.ranking import global_row_numbers
 
     s_num = (
         F.when(F.col("status") == "F", 0)
@@ -652,11 +652,12 @@ def tpcds_q49(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn(
         "skey_c", s_num * 10 + dround(F.col("ret_amt") / F.col("amt"), 6)
     )
-    with_r, _ = global_row_number(
-        keyed, [("skey_r", "asc"), ("item", "asc")], rn_col="grn_r"
-    )
-    with_c, _ = global_row_number(
-        with_r, [("skey_c", "asc"), ("item", "asc")], rn_col="grn_c"
+    with_c, _ = global_row_numbers(
+        keyed,
+        {
+            "grn_r": [("skey_r", "asc"), ("item", "asc")],
+            "grn_c": [("skey_c", "asc"), ("item", "asc")],
+        },
     )
     starts = with_c.groupBy("status").agg(
         F.min("grn_r").alias("start_r"), F.min("grn_c").alias("start_c")

@@ -1,0 +1,386 @@
+"""Service discovery / HA registry — single-node analog of the reference's
+ZooKeeper/etcd discovery layer.
+
+The reference abstracts engine/server discovery behind ``DiscoveryClient``
+(kyuubi-ha/src/main/scala/org/apache/kyuubi/ha/client/DiscoveryClient.scala:
+create/getData/setData/getChildren/pathExists/delete/tryWithLock/
+getServerHost/getEngineByRefId/getServiceNodesInfo/registerService/
+deregisterService/createAndGetServiceNode/getAndIncrement) with ZooKeeper
+(ZookeeperDiscoveryClient.scala) and etcd implementations.  In this
+single-node deployment the registry is a sqlite store (same choice as the
+gateway's batch metadata store) with the SAME semantics:
+
+- node modes PERSISTENT / EPHEMERAL / *_SEQUENTIAL — sequential nodes get
+  a zero-padded 10-digit suffix per prefix (ZK CreateMode semantics);
+  ephemeral nodes die with their owning client (``close_client``), the
+  stand-in for ZK session expiry;
+- service node names follow the reference's path prefix format
+  ``serverUri=<instance>;version=<v>[;refId=<r>];sequence=<n>``
+  (ZookeeperDiscoveryClient.scala:363-366), node data = the raw instance
+  string;
+- ``get_server_host`` picks the LAST child (the reference's
+  ``takeRight(1)`` on the children list, ZookeeperDiscoveryClient.scala:
+  178-185) — newest server wins;
+- instance strings parse in both published forms: the HIVE-11581
+  key=value form (``hive.server2.thrift.bind.host=h;...port=p``) and
+  plain ``host:port`` (DiscoveryClient.scala parseInstanceHostPort);
+- ``try_with_lock`` provides the distributed-lock shape engine launch
+  uses to serialize engine creation per user (ZookeeperDiscoveryClient
+  .scala:136-150): here a polling lease in the same store;
+- ``get_and_increment`` is the DistributedAtomicInteger used for
+  round-robin engine pool selection.
+
+At scale the store behind this interface is ZooKeeper/etcd; everything
+above the interface (engine pools, share-level namespaces, ref-id lookup)
+is store-agnostic, which is the property the reference's trait encodes.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import os
+import sqlite3
+import threading
+import time
+import uuid
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class ServiceNodeInfo:
+    """ServiceNodeInfo.scala:20-29."""
+
+    namespace: str
+    node_name: str
+    host: str
+    port: int
+    version: str | None = None
+    engine_ref_id: str | None = None
+    attributes: dict = field(default_factory=dict)
+
+    @property
+    def instance(self) -> str:
+        return f"{self.host}:{self.port}"
+
+
+def parse_instance_host_port(instance: str) -> tuple[str, int]:
+    """DiscoveryClient.scala parseInstanceHostPort: key=value form
+    (HIVE-11581 published configs) or plain host:port."""
+    infos = dict(
+        kv.split("=", 1) for kv in instance.split(";") if "=" in kv
+    )
+    if infos:
+        return (
+            infos["hive.server2.thrift.bind.host"],
+            int(infos["hive.server2.thrift.port"]),
+        )
+    host, port = instance.rsplit(":", 1)
+    return host, int(port)
+
+
+class DiscoveryStoreError(Exception):
+    pass
+
+
+class SqliteDiscoveryClient:
+    """DiscoveryClient over sqlite — one table of znodes + counters.
+
+    Thread-safe (one connection guarded by a lock; sqlite serializes
+    writers anyway).  ``path`` defaults to a shared in-memory database so
+    tests and a single gateway process see one registry; point it at a
+    file to share across processes on one host.
+    """
+
+    def __init__(self, path: str | None = None):
+        self._client_id = uuid.uuid4().hex
+        self._path = path or ":memory:"
+        self._lock = threading.RLock()
+        self._conn: sqlite3.Connection | None = None
+
+    # --- lifecycle (createClient/closeClient) ---
+
+    def create_client(self) -> None:
+        with self._lock:
+            if self._conn is not None:
+                return
+            if self._path != ":memory:":
+                os.makedirs(os.path.dirname(self._path) or ".", exist_ok=True)
+            self._conn = sqlite3.connect(self._path, check_same_thread=False)
+            self._conn.execute(
+                "CREATE TABLE IF NOT EXISTS znodes ("
+                " path TEXT PRIMARY KEY, data BLOB, mode TEXT,"
+                " owner TEXT, created REAL)"
+            )
+            self._conn.execute(
+                "CREATE TABLE IF NOT EXISTS seqs (prefix TEXT PRIMARY KEY, n INTEGER)"
+            )
+            self._conn.execute(
+                "CREATE TABLE IF NOT EXISTS counters (path TEXT PRIMARY KEY, n INTEGER)"
+            )
+            self._conn.execute(
+                "CREATE TABLE IF NOT EXISTS locks ("
+                " path TEXT PRIMARY KEY, owner TEXT, acquired REAL)"
+            )
+            self._conn.commit()
+
+    def close_client(self) -> None:
+        """Drop this client's EPHEMERAL nodes (ZK session-expiry analog)
+        and its held locks, then close."""
+        with self._lock:
+            if self._conn is None:
+                return
+            self._conn.execute(
+                "DELETE FROM znodes WHERE owner = ? AND mode LIKE 'EPHEMERAL%'",
+                (self._client_id,),
+            )
+            self._conn.execute(
+                "DELETE FROM locks WHERE owner = ?", (self._client_id,)
+            )
+            self._conn.commit()
+            self._conn.close()
+            self._conn = None
+
+    def _db(self) -> sqlite3.Connection:
+        if self._conn is None:
+            raise DiscoveryStoreError("client not created (create_client())")
+        return self._conn
+
+    # --- znode primitives ---
+
+    def create(
+        self,
+        path: str,
+        mode: str = "PERSISTENT",
+        data: bytes = b"",
+        create_parent: bool = True,
+    ) -> str:
+        mode = mode.upper()
+        with self._lock:
+            db = self._db()
+            if create_parent:
+                parts = [p for p in path.split("/") if p]
+                for i in range(1, len(parts)):
+                    parent = "/" + "/".join(parts[:i])
+                    db.execute(
+                        "INSERT OR IGNORE INTO znodes VALUES (?,?,?,?,?)",
+                        (parent, b"", "PERSISTENT", self._client_id, time.time()),
+                    )
+            actual = path
+            if mode.endswith("_SEQUENTIAL"):
+                cur = db.execute(
+                    "SELECT n FROM seqs WHERE prefix = ?", (path,)
+                ).fetchone()
+                n = (cur[0] if cur else -1) + 1
+                db.execute(
+                    "INSERT OR REPLACE INTO seqs VALUES (?, ?)", (path, n)
+                )
+                actual = f"{path}{n:010d}"
+            db.execute(
+                "INSERT OR REPLACE INTO znodes VALUES (?,?,?,?,?)",
+                (actual, data, mode, self._client_id, time.time()),
+            )
+            db.commit()
+            return actual
+
+    def get_data(self, path: str) -> bytes:
+        with self._lock:
+            row = self._db().execute(
+                "SELECT data FROM znodes WHERE path = ?", (path,)
+            ).fetchone()
+        if row is None:
+            raise DiscoveryStoreError(f"no node at {path}")
+        return row[0]
+
+    def set_data(self, path: str, data: bytes) -> bool:
+        with self._lock:
+            cur = self._db().execute(
+                "UPDATE znodes SET data = ? WHERE path = ?", (data, path)
+            )
+            self._db().commit()
+            return cur.rowcount > 0
+
+    def get_children(self, path: str) -> list[str]:
+        prefix = path.rstrip("/") + "/"
+        with self._lock:
+            rows = self._db().execute(
+                "SELECT path FROM znodes WHERE path LIKE ?", (prefix + "%",)
+            ).fetchall()
+        out = []
+        for (p,) in rows:
+            rest = p[len(prefix):]
+            if rest and "/" not in rest:
+                out.append(rest)
+        return sorted(out)
+
+    def path_exists(self, path: str) -> bool:
+        with self._lock:
+            return (
+                self._db().execute(
+                    "SELECT 1 FROM znodes WHERE path = ?", (path,)
+                ).fetchone()
+                is not None
+            )
+
+    def path_non_exists(self, path: str, is_prefix: bool = False) -> bool:
+        if not is_prefix:
+            return not self.path_exists(path)
+        with self._lock:
+            return (
+                self._db().execute(
+                    "SELECT 1 FROM znodes WHERE path LIKE ?", (path + "%",)
+                ).fetchone()
+                is None
+            )
+
+    def delete(self, path: str, delete_children: bool = False) -> None:
+        with self._lock:
+            db = self._db()
+            db.execute("DELETE FROM znodes WHERE path = ?", (path,))
+            if delete_children:
+                db.execute(
+                    "DELETE FROM znodes WHERE path LIKE ?",
+                    (path.rstrip("/") + "/%",),
+                )
+            db.commit()
+
+    # --- locking (tryWithLock) ---
+
+    @contextlib.contextmanager
+    def try_with_lock(self, lock_path: str, timeout_ms: int = 10_000):
+        """Serialize engine creation across sessions (the reference's
+        curator lease, ZookeeperDiscoveryClient.scala:136-150); raises on
+        timeout like the reference ('throw exception if timeout')."""
+        deadline = time.time() + timeout_ms / 1000.0
+        acquired = False
+        while time.time() < deadline:
+            with self._lock:
+                db = self._db()
+                row = db.execute(
+                    "SELECT owner FROM locks WHERE path = ?", (lock_path,)
+                ).fetchone()
+                if row is None:
+                    db.execute(
+                        "INSERT INTO locks VALUES (?,?,?)",
+                        (lock_path, self._client_id, time.time()),
+                    )
+                    db.commit()
+                    acquired = True
+            if acquired:
+                break
+            time.sleep(0.01)
+        if not acquired:
+            raise TimeoutError(
+                f"Timeout acquiring lock {lock_path} after {timeout_ms}ms"
+            )
+        try:
+            yield
+        finally:
+            with self._lock:
+                self._db().execute(
+                    "DELETE FROM locks WHERE path = ? AND owner = ?",
+                    (lock_path, self._client_id),
+                )
+                self._db().commit()
+
+    # --- service registry ---
+
+    def create_and_get_service_node(
+        self,
+        namespace: str,
+        instance: str,
+        version: str | None = None,
+        engine_ref_id: str | None = None,
+        external: bool = False,
+        attributes: dict | None = None,
+    ) -> str:
+        """ZookeeperDiscoveryClient.createPersistentNode:339-380 —
+        node name serverUri=..;version=..[;<attrs>][;refId=..];sequence=N,
+        EPHEMERAL_SEQUENTIAL unless external."""
+        ver = version or "1.10.0"
+        extra = "".join(
+            f";{k}={v}" for k, v in (attributes or {}).items()
+        )
+        ref = f"refId={engine_ref_id};" if engine_ref_id else ""
+        prefix = (
+            f"{namespace.rstrip('/')}/serverUri={instance};version={ver}"
+            f"{extra};{ref}sequence="
+        )
+        mode = "PERSISTENT_SEQUENTIAL" if external else "EPHEMERAL_SEQUENTIAL"
+        return self.create(prefix, mode, data=instance.encode("utf-8"))
+
+    def register_service(
+        self,
+        namespace: str,
+        instance: str,
+        version: str | None = None,
+        engine_ref_id: str | None = None,
+    ) -> str:
+        node = self.create_and_get_service_node(
+            namespace, instance, version, engine_ref_id
+        )
+        self._registered = node
+        return node
+
+    def deregister_service(self) -> None:
+        node = getattr(self, "_registered", None)
+        if node:
+            self.delete(node)
+            self._registered = None
+
+    def get_service_nodes_info(
+        self, namespace: str, size: int | None = None
+    ) -> list[ServiceNodeInfo]:
+        children = self.get_children(namespace)
+        take = children[-(size or len(children)):] if children else []
+        out = []
+        for name in take:
+            data = self.get_data(f"{namespace.rstrip('/')}/{name}").decode()
+            host, port = parse_instance_host_port(data)
+            attrs = dict(
+                kv.split("=", 1) for kv in name.split(";") if "=" in kv
+            )
+            out.append(
+                ServiceNodeInfo(
+                    namespace=namespace,
+                    node_name=name,
+                    host=host,
+                    port=port,
+                    version=attrs.get("version"),
+                    engine_ref_id=attrs.get("refId"),
+                    attributes=attrs,
+                )
+            )
+        return out
+
+    def get_server_host(self, namespace: str) -> tuple[str, int] | None:
+        """Newest node wins (the reference's takeRight(1))."""
+        nodes = self.get_service_nodes_info(namespace, size=1)
+        if len(nodes) == 1:
+            return (nodes[0].host, nodes[0].port)
+        return None
+
+    def get_engine_by_ref_id(
+        self, namespace: str, engine_ref_id: str
+    ) -> tuple[str, int] | None:
+        for n in self.get_service_nodes_info(namespace):
+            if n.engine_ref_id == engine_ref_id:
+                return (n.host, n.port)
+        return None
+
+    # --- atomic counter (getAndIncrement) ---
+
+    def get_and_increment(self, path: str, delta: int = 1) -> int:
+        """Returns the PREVIOUS value (DistributedAtomicInteger.add
+        semantics, ZookeeperDiscoveryClient.scala:300-307)."""
+        with self._lock:
+            db = self._db()
+            row = db.execute(
+                "SELECT n FROM counters WHERE path = ?", (path,)
+            ).fetchone()
+            prev = row[0] if row else 0
+            db.execute(
+                "INSERT OR REPLACE INTO counters VALUES (?, ?)",
+                (path, prev + delta),
+            )
+            db.commit()
+            return prev

@@ -34,9 +34,10 @@ SHARE_LEVELS = ("CONNECTION", "USER", "GROUP", "SERVER")
 
 
 class PooledEngine:
-    def __init__(self, engine: Engine, key: str):
+    def __init__(self, engine: Engine, key: str, node_path: str | None = None):
         self.engine = engine
         self.key = key
+        self.node_path = node_path  # discovery znode, when registered
         self.last_used = time.time()
 
     def touch(self) -> "PooledEngine":
@@ -51,7 +52,14 @@ class EnginePool:
         share_level: str = "USER",
         pool_size: int = 1,
         idle_timeout: float = 3600.0,
+        discovery=None,
     ):
+        """``discovery``: optional SqliteDiscoveryClient (gateway/
+        discovery.py). When given, every pooled engine registers an
+        EPHEMERAL_SEQUENTIAL service node under /kyuubi/<engine space>
+        (EngineRef.scala's create-on-launch + DiscoveryClient
+        registerService), is discoverable via get_server_host /
+        get_engine_by_ref_id, and is deregistered on idle eviction."""
         level = share_level.upper()
         if level not in SHARE_LEVELS:
             raise ValueError(f"unknown share level {share_level}; one of {SHARE_LEVELS}")
@@ -59,6 +67,9 @@ class EnginePool:
         self.share_level = level
         self.pool_size = max(1, pool_size)
         self.idle_timeout = idle_timeout
+        self.discovery = discovery
+        if discovery is not None:
+            discovery.create_client()
         self._engines: dict[str, list[PooledEngine]] = {}
         self._rr: dict[str, int] = {}
         self._lock = threading.RLock()
@@ -77,6 +88,25 @@ class EnginePool:
     def _make_engine(self) -> Engine:
         return Engine(spark=self.root_spark)
 
+    def _pooled(self, key: str) -> PooledEngine:
+        """Create an engine; when discovery is wired, publish its service
+        node (instance = in-process pseudo host:port derived from the
+        engine id; with spark-submit engines this is the real thrift
+        host:port the engine binds)."""
+        engine = self._make_engine()
+        node = None
+        if self.discovery is not None:
+            import uuid as _uuid
+
+            ref_id = _uuid.uuid4().hex
+            seq = self.discovery.get_and_increment("/kyuubi/ports")
+            node = self.discovery.create_and_get_service_node(
+                f"/kyuubi/{key}",
+                f"localhost:{20000 + seq}",
+                engine_ref_id=ref_id,
+            )
+        return PooledEngine(engine, key, node_path=node)
+
     def get_engine(
         self, user: str = "anonymous", group: str | None = None, connection_id: str | None = None
     ) -> Engine:
@@ -90,10 +120,10 @@ class EnginePool:
             pool = self._engines.setdefault(key, [])
             if self.share_level == "CONNECTION":
                 if not pool:
-                    pool.append(PooledEngine(self._make_engine(), key))
+                    pool.append(self._pooled(key))
                 return pool[0].touch().engine
             if len(pool) < self.pool_size:
-                pe = PooledEngine(self._make_engine(), key)
+                pe = self._pooled(key)
                 pool.append(pe)
                 return pe.touch().engine
             idx = self._rr.get(key, 0) % len(pool)
@@ -111,6 +141,8 @@ class EnginePool:
                     if now - pe.last_used > self.idle_timeout:
                         for s in list(pe.engine.sessions._sessions.values()):
                             pe.engine.close_session(s.handle)
+                        if self.discovery is not None and pe.node_path:
+                            self.discovery.delete(pe.node_path)
                         evicted += 1
                     else:
                         keep.append(pe)

@@ -292,6 +292,11 @@ class ThriftFrontendService:
         self._sessions: dict[bytes, Any] = {}
         self._operations: dict[bytes, Any] = {}
         self._lock = threading.Lock()
+        # delegation-token plane (KyuubiTBinaryFrontendService.scala:
+        # 546-566) — HMAC-signed single-node analog, gateway/credentials.py
+        from kyuubi_spark.gateway.credentials import DelegationTokenManager
+
+        self.tokens = DelegationTokenManager()
 
         service = self
 
@@ -479,6 +484,43 @@ class ThriftFrontendService:
             (2, TType.STRING, op.handle.id),
         ]
 
+    # -- delegation tokens (KyuubiTBinaryFrontendService.scala:546-566) ---
+
+    def _do_GetDelegationToken(self, req: dict) -> list:
+        self._session_for(req)  # validates the session handle
+        owner = self._opt_str(req, 2) or "anonymous"
+        renewer = self._opt_str(req, 3) or ""
+        token = self.tokens.issue(owner, renewer)
+        return [
+            (1, TType.STRUCT, _status_ok()),
+            (2, TType.STRING, token),
+        ]
+
+    def _do_CancelDelegationToken(self, req: dict) -> list:
+        self._session_for(req)
+        from kyuubi_spark.gateway.credentials import TokenError
+
+        try:
+            self.tokens.cancel(self._opt_str(req, 2) or "")
+        except TokenError as e:
+            return [(1, TType.STRUCT, _status_error(str(e)))]
+        return [(1, TType.STRUCT, _status_ok())]
+
+    def _do_RenewDelegationToken(self, req: dict) -> list:
+        sess = self._session_for(req)
+        from kyuubi_spark.gateway.credentials import TokenError
+
+        try:
+            # the renewer identity is the calling session's user (Hadoop
+            # renewer-check semantics)
+            self.tokens.renew(
+                self._opt_str(req, 2) or "",
+                renewer=getattr(sess, "user", "") or "",
+            )
+        except TokenError as e:
+            return [(1, TType.STRUCT, _status_error(str(e)))]
+        return [(1, TType.STRUCT, _status_ok())]
+
     def _do_GetOperationStatus(self, req: dict) -> list:
         op = self._operation_for(req)
         out = [
@@ -622,6 +664,39 @@ class ThriftClient:
             [(1, TType.STRUCT, _handle(self.session_guid)), (2, TType.STRING, sql)],
         )
         return _guid_of(resp[2][1])
+
+    def get_delegation_token(self, owner: str, renewer: str = "") -> str:
+        assert self.session_guid is not None
+        resp = self._call(
+            "GetDelegationToken",
+            [
+                (1, TType.STRUCT, _handle(self.session_guid)),
+                (2, TType.STRING, owner),
+                (3, TType.STRING, renewer),
+            ],
+        )
+        tok = resp[2][1]
+        return tok.decode("utf-8") if isinstance(tok, bytes) else tok
+
+    def cancel_delegation_token(self, token: str) -> None:
+        assert self.session_guid is not None
+        self._call(
+            "CancelDelegationToken",
+            [
+                (1, TType.STRUCT, _handle(self.session_guid)),
+                (2, TType.STRING, token),
+            ],
+        )
+
+    def renew_delegation_token(self, token: str) -> None:
+        assert self.session_guid is not None
+        self._call(
+            "RenewDelegationToken",
+            [
+                (1, TType.STRUCT, _handle(self.session_guid)),
+                (2, TType.STRING, token),
+            ],
+        )
 
     def operation_state(self, op_guid: bytes) -> int:
         resp = self._call(

@@ -171,7 +171,7 @@ def _q24_build(spark: SparkSession, sf_dir: str, brand: str) -> DataFrame:
     oracle=_q24_oracle("Brand#12"),
     doc="TPC-DS q24a shape (tpcds_3.2/q24a.sql): ssales CTE (sales paired "
     "with returns across store/item/customer dims), filter one item "
-    "attribute value, HAVING against a scalar 5%%-of-average subquery "
+    "attribute value, HAVING against a scalar 5%-of-average subquery "
     "over the SAME CTE. i_color='orchid' -> p_brand='Brand#12'.",
 )
 def tpcds_q24a(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -235,3 +235,18 @@ def test_protocol_negotiation(thrift_server):
         c.close_session()
     finally:
         c.close()
+
+
+def test_delegation_tokens_over_the_wire(client):
+    """Get/Renew/CancelDelegationToken (KyuubiTBinaryFrontendService.scala:
+    546-566): issue an HMAC-signed token for an owner, renew it through a
+    session whose user matches the renewer, cancel it, and see the renewal
+    of a canceled token fail."""
+    import pytest as _pytest
+
+    tok = client.get_delegation_token("alice", renewer="thrift_tester")
+    assert tok.startswith("alice;thrift_tester;")
+    client.renew_delegation_token(tok)  # session user == named renewer
+    client.cancel_delegation_token(tok)
+    with _pytest.raises(RuntimeError, match="canceled|unknown"):
+        client.renew_delegation_token(tok)

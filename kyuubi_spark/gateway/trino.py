@@ -22,6 +22,7 @@ from __future__ import annotations
 import datetime
 import decimal
 import json
+import re
 import threading
 import uuid
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -78,6 +79,25 @@ class _Query:
         self.done = False
 
 
+def _split_params(raw: str) -> list[str]:
+    """Split a USING parameter list on commas outside quoted literals."""
+    out: list[str] = []
+    cur: list[str] = []
+    in_quote = False
+    for ch in raw:
+        if ch == "'":
+            in_quote = not in_quote
+            cur.append(ch)
+        elif ch == "," and not in_quote:
+            out.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        out.append("".join(cur).strip())
+    return out
+
+
 class TrinoGateway:
     """Minimal Trino-protocol server over a gateway Engine."""
 
@@ -87,6 +107,8 @@ class TrinoGateway:
         self.page_size = page_size
         self._queries: dict[str, _Query] = {}
         self._sessions: dict[str, object] = {}
+        # (user, statement_name) -> sql, for PREPARE/EXECUTE/DEALLOCATE
+        self._prepared: dict[tuple[str, str], str] = {}
         self._lock = threading.Lock()
         service = self
 
@@ -154,9 +176,120 @@ class TrinoGateway:
                 self._sessions[user] = s
             return s
 
+    # -- trino-jdbc metadata/prepared-statement surface --------------------
+    #
+    # trino-jdbc's DatabaseMetaData issues fixed-shape SQL over the wire
+    # (SELECT ... FROM system.jdbc.{schemas,catalogs,table_types,types,
+    # tables,columns}, and a literal WHERE FALSE projection for primary
+    # keys) plus PREPARE/EXECUTE/DEALLOCATE for parameterized statements.
+    # The reference parses these with a dedicated ANTLR grammar into
+    # GetSchemas/GetTables/... nodes and routes them to the backend's
+    # metadata operations (KyuubiTrinoFeBaseParser.g4:26-62,
+    # TrinoFeOperations.scala:26-73, KyuubiTrinoOperationTranslator.scala:
+    # 39-60).  Same translation here, regex-matched (the client emits a
+    # fixed shape, same contract the grammar encodes).
+
+    @staticmethod
+    def _like_operand(low: str, field: str) -> str | None:
+        m = re.search(rf"{field}\s+like\s+'([^']*)'", low)
+        return m.group(1) if m else None
+
+    @staticmethod
+    def _eq_operand(low: str, field: str) -> str | None:
+        m = re.search(rf"{field}\s*=\s*'([^']*)'", low)
+        return m.group(1) if m else None
+
+    def _translate_jdbc_metadata(self, sql: str, session):
+        """Returns a metadata Operation for a system.jdbc query, else
+        None (fall through to ExecuteStatement)."""
+        low = " ".join(sql.split()).strip().rstrip(";").lower()
+        if "from system.jdbc.schemas" in low:
+            return session.get_schemas(
+                self._eq_operand(low, "table_catalog"),
+                self._like_operand(low, "table_schem") or "%",
+            )
+        if "from system.jdbc.catalogs" in low:
+            return session.get_catalogs()
+        if "from system.jdbc.table_types" in low:
+            return session.get_table_types()
+        if "from system.jdbc.types" in low:
+            return session.get_type_info()
+        if "from system.jdbc.tables" in low:
+            types = None
+            m = re.search(r"table_type\s+in\s*\(([^)]*)\)", low)
+            if m:
+                types = [t.strip().strip("'").upper() for t in m.group(1).split(",")]
+            return session.get_tables(
+                self._eq_operand(low, "table_cat"),
+                self._like_operand(low, "table_schem") or "%",
+                self._like_operand(low, "table_name") or "%",
+                types,
+            )
+        if "from system.jdbc.columns" in low:
+            return session.get_columns(
+                self._eq_operand(low, "table_cat"),
+                self._like_operand(low, "table_schem") or "%",
+                self._like_operand(low, "table_name") or "%",
+                self._like_operand(low, "column_name") or "%",
+            )
+        if "key_seq" in low and "where false" in low:
+            return session.get_primary_keys()
+        return None
+
+    def _handle_prepared(self, sql: str, user: str, base: str) -> dict | None:
+        """PREPARE name FROM sql / EXECUTE name [USING p1, ...] /
+        DEALLOCATE PREPARE name.  PREPARE/DEALLOCATE answer with a
+        FINISHED updateType page (the Trino wire shape); EXECUTE
+        substitutes positional ?-parameters and runs the stored text."""
+        s = sql.strip().rstrip(";")
+        m = re.match(r"(?is)^\s*prepare\s+(\w+)\s+from\s+(.+)$", s)
+        if m:
+            with self._lock:
+                self._prepared[(user, m.group(1))] = m.group(2).strip()
+            return {
+                "id": uuid.uuid4().hex,
+                "stats": {"state": "FINISHED"},
+                "updateType": "PREPARE",
+            }
+        m = re.match(r"(?is)^\s*deallocate\s+prepare\s+(\w+)\s*$", s)
+        if m:
+            with self._lock:
+                self._prepared.pop((user, m.group(1)), None)
+            return {
+                "id": uuid.uuid4().hex,
+                "stats": {"state": "FINISHED"},
+                "updateType": "DEALLOCATE",
+            }
+        m = re.match(r"(?is)^\s*execute\s+(\w+)(?:\s+using\s+(.+))?$", s)
+        if m:
+            with self._lock:
+                text = self._prepared.get((user, m.group(1)))
+            if text is None:
+                return {
+                    "id": uuid.uuid4().hex,
+                    "stats": {"state": "FAILED"},
+                    "error": {
+                        "message": f"prepared statement not found: {m.group(1)}",
+                        "errorCode": 1,
+                        "errorName": "NOT_FOUND",
+                    },
+                }
+            if m.group(2):
+                # positional ?-substitution; parameters arrive as Trino
+                # literals (already quoted/typed by the client)
+                for param in _split_params(m.group(2)):
+                    text = text.replace("?", param, 1)
+            return self.post_statement(text, user, base)
+        return None
+
     def post_statement(self, sql: str, user: str, base: str) -> dict:
         session = self._session_for(user)
-        op = session.execute_statement(sql)
+        prepared = self._handle_prepared(sql, user, base)
+        if prepared is not None:
+            return prepared
+        op = self._translate_jdbc_metadata(sql, session)
+        if op is None:
+            op = session.execute_statement(sql)
         qid = uuid.uuid4().hex
         q = _Query(op, session)
         with self._lock:

@@ -74,3 +74,93 @@ def test_sessions_are_per_user(trino_server):
     _post(trino_server, "SET trino.test.flag=alice_only", user="alice")
     out = _post(trino_server, "SET trino.test.flag", user="bob")
     assert out["data"][0][1] != "alice_only"
+
+
+def test_jdbc_metadata_schemas_catalogs(trino_server):
+    """trino-jdbc DatabaseMetaData SQL (system.jdbc.*) is translated to
+    the gateway's metadata operations (KyuubiTrinoFeBaseParser.g4:26-62,
+    KyuubiTrinoOperationTranslator.scala:39-60)."""
+    out = _post(
+        trino_server,
+        "SELECT TABLE_SCHEM, TABLE_CATALOG FROM system.jdbc.schemas "
+        "ORDER BY TABLE_CATALOG, TABLE_SCHEM",
+    )
+    schemas = [r[0] for r in out["data"]]
+    assert "default" in schemas
+    out = _post(
+        trino_server, "SELECT TABLE_CAT FROM system.jdbc.catalogs ORDER BY TABLE_CAT"
+    )
+    assert ["spark_catalog"] in out["data"]
+
+
+def test_jdbc_metadata_tables_and_columns(trino_server, spark):
+    spark.sql("CREATE TABLE IF NOT EXISTS trino_meta_t (k INT, v STRING) USING parquet")
+    try:
+        out = _post(
+            trino_server,
+            "SELECT TABLE_CAT, TABLE_SCHEM, TABLE_NAME, TABLE_TYPE, REMARKS, "
+            "TYPE_CAT, TYPE_SCHEM, TYPE_NAME, SELF_REFERENCING_COL_NAME, "
+            "REF_GENERATION FROM system.jdbc.tables WHERE "
+            "TABLE_SCHEM LIKE 'default' AND TABLE_NAME LIKE 'trino_meta%' "
+            "ORDER BY TABLE_TYPE, TABLE_CAT, TABLE_SCHEM, TABLE_NAME",
+        )
+        names = [r[2] for r in out["data"]]
+        assert "trino_meta_t" in names
+        out = _post(
+            trino_server,
+            "SELECT TABLE_CAT, TABLE_SCHEM, TABLE_NAME, COLUMN_NAME FROM "
+            "system.jdbc.columns WHERE TABLE_NAME LIKE 'trino_meta_t' "
+            "ORDER BY TABLE_CAT, TABLE_SCHEM, TABLE_NAME, ORDINAL_POSITION",
+        )
+        col_idx = [c["name"].upper() for c in out["columns"]].index("COLUMN_NAME")
+        cols = [r[col_idx] for r in out["data"]]
+        assert "k" in cols and "v" in cols
+    finally:
+        spark.sql("DROP TABLE IF EXISTS trino_meta_t")
+
+
+def test_jdbc_metadata_table_types_types_pk(trino_server):
+    out = _post(
+        trino_server,
+        "SELECT TABLE_TYPE FROM system.jdbc.table_types ORDER BY TABLE_TYPE",
+    )
+    assert [r[0] for r in out["data"]]  # at least TABLE/VIEW rows
+    out = _post(
+        trino_server,
+        "SELECT TYPE_NAME, DATA_TYPE, PRECISION, LITERAL_PREFIX, LITERAL_SUFFIX, "
+        "CREATE_PARAMS, NULLABLE, CASE_SENSITIVE, SEARCHABLE, UNSIGNED_ATTRIBUTE, "
+        "FIXED_PREC_SCALE, AUTO_INCREMENT, LOCAL_TYPE_NAME, MINIMUM_SCALE, "
+        "MAXIMUM_SCALE, SQL_DATA_TYPE, SQL_DATETIME_SUB, NUM_PREC_RADIX "
+        "FROM system.jdbc.types ORDER BY DATA_TYPE",
+    )
+    assert out["data"]
+    # primary keys: the literal WHERE FALSE projection -> empty, 6 columns
+    out = _post(
+        trino_server,
+        "SELECT CAST(NULL AS varchar) TABLE_CAT, CAST(NULL AS varchar) "
+        "TABLE_SCHEM, CAST(NULL AS varchar) TABLE_NAME, CAST(NULL AS varchar) "
+        "COLUMN_NAME, CAST(NULL AS smallint) KEY_SEQ, CAST(NULL AS varchar) "
+        "PK_NAME WHERE FALSE",
+    )
+    assert out["data"] == []
+    assert len(out["columns"]) == 6
+
+
+def test_prepare_execute_deallocate(trino_server):
+    out = _post(trino_server, "PREPARE q1 FROM SELECT ? + 1 AS n")
+    assert out["updateType"] == "PREPARE"
+    assert out["stats"]["state"] == "FINISHED"
+    out = _post(trino_server, "EXECUTE q1 USING 41")
+    assert out["data"] == [[42]]
+    out = _post(trino_server, "DEALLOCATE PREPARE q1")
+    assert out["updateType"] == "DEALLOCATE"
+    out = _post(trino_server, "EXECUTE q1 USING 1")
+    assert out["stats"]["state"] == "FAILED"
+    assert "not found" in out["error"]["message"]
+
+
+def test_prepare_execute_multiple_params_and_quotes(trino_server):
+    _post(trino_server, "PREPARE q2 FROM SELECT ? AS a, ? AS b")
+    out = _post(trino_server, "EXECUTE q2 USING 'x,y', 7")
+    assert out["data"] == [["x,y", 7]]
+    _post(trino_server, "DEALLOCATE PREPARE q2")

@@ -367,3 +367,40 @@ def test_tpcds_q49_no_status_partitioned_window(spark, sf_dir):
         assert "status" not in (part.group(1) if part else ""), (
             "q49 window partitioned by the 3-value status column again"
         )
+
+
+@pytest.mark.parametrize(
+    "name,min_bcast",
+    [
+        ("tpcds_q46", 2),
+        ("tpcds_q72", 3),
+        ("tpcds_q79", 2),
+        ("tpcds_q84", 2),
+        ("tpcds_q85", 2),
+    ],
+)
+def test_new_tpcds_ports_star_join_shape(spark, sf_dir, name, min_bcast):
+    # the round-6 ports: every dimension side broadcast, returns pairing /
+    # inventory pairing are equi-joins — no cartesian or nested-loop scan
+    df = _build(spark, sf_dir, name)
+    text = plans.explain_formatted(df)
+    assert "CartesianProduct" not in text, name
+    assert plans.broadcast_join_count(df) >= min_bcast, name
+    assert "BroadcastNestedLoopJoin" not in text, name
+
+
+def test_tpcds_q24_ssales_star_and_scalar_threshold(spark, sf_dir):
+    # the final q24 plan truncates at the shared localCheckpoint, so the
+    # star shape is asserted on the ssales CTE relation itself; the only
+    # nested-loop in the full query is the sanctioned 1-row threshold
+    # cross join
+    from kyuubi_spark.queries.tpcds4 import _ssales
+
+    ss = _ssales(spark, sf_dir)
+    text = plans.explain_formatted(ss)
+    assert "CartesianProduct" not in text
+    assert plans.broadcast_join_count(ss) >= 4
+    assert "BroadcastNestedLoopJoin" not in text
+    full = plans.explain_formatted(_build(spark, sf_dir, "tpcds_q24a"))
+    assert "CartesianProduct" not in full
+    assert full.count("BroadcastNestedLoopJoin") <= 2  # node + detail entry

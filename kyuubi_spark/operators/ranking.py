@@ -66,10 +66,14 @@ def _offset_expr(offsets: dict[int, int], bkt_col: str) -> Column:
     )
 
 
+_CUT_GRANULARITY = 1024  # finest cut resolution computed in pass 1
+
+
 def global_row_numbers(
     df: DataFrame,
     axes: dict[str, list[tuple[str, str]]],
-    buckets: int = 64,
+    buckets: int | None = None,
+    rows_per_bucket: int = 2_000_000,
 ) -> tuple[DataFrame, int]:
     """Append one exact global ROW_NUMBER column PER AXIS —
     ``{rn_col: [(col, "asc"|"desc"), ...], ...}``; each axis's order must
@@ -78,10 +82,18 @@ def global_row_numbers(
 
     All axes share the driver-side passes, so a 3-axis ranking (RFM) costs
     the same TWO bounded actions as a single axis: one aggregate computing
-    every axis's percentile cut array, and one GROUPING SETS pass over the
-    persisted bucketed relation yielding every axis's per-bucket counts.
-    The final plan evaluates the per-axis bucket-partitioned row_number
-    windows back to back over the same persisted input."""
+    the row count and every axis's percentile cut array, and one GROUPING
+    SETS pass over the persisted bucketed relation yielding every axis's
+    per-bucket counts.  The final plan evaluates the per-axis
+    bucket-partitioned row_number windows back to back over the same
+    persisted input.
+
+    The bucket count ADAPTS to the input: cut points are computed once at
+    ``_CUT_GRANULARITY`` resolution and subsampled to
+    ``clamp(total / rows_per_bucket, 32, granularity)`` buckets — a fixed
+    bucket count would mean ever-larger per-bucket sorts as the relation
+    grows (10^9 users / 64 buckets = 15M-row sort tasks).  Pass
+    ``buckets`` to pin it explicitly (tests do)."""
     names = list(axes)
     # Persist the INPUT: the cut-point pass, the counts pass, and the
     # final windowed plan all read it, and it usually sits on top of an
@@ -89,19 +101,28 @@ def global_row_numbers(
     # scope for release).  Bucket assignment is a map-only expression, so
     # re-deriving it from the cached input is free.
     src = persisted(df)
-    # --- pass 1: every axis's cut points in ONE aggregate ---
+    # --- pass 1: row count + every axis's cut points in ONE aggregate ---
+    gran = max(buckets or 0, _CUT_GRANULARITY)
     knums = {rn: _numeric_key(src, axes[rn][0][0]) for rn in names}
-    fracs = F.array(*[F.lit(i / buckets) for i in range(1, buckets)])
-    cuts_row = src.select(
+    fracs = F.array(*[F.lit(i / gran) for i in range(1, gran)])
+    stats_row = src.select(
+        F.count(F.lit(1)).alias("_n"),
         *[
             F.percentile_approx(knums[rn], fracs, 10_000).alias(rn)
             for rn in names
-        ]
+        ],
     ).first()
+    total_rows = stats_row["_n"]
+    if buckets is None:
+        buckets = min(gran, max(32, -(-total_rows // rows_per_bucket)))
     bkt_cols = {rn: f"_bkt_{rn}" for rn in names}
     with_bkt = src
     for rn in names:
-        cuts = sorted(set(cuts_row[rn] or []))
+        fine = stats_row[rn] or []
+        # subsample the fine-grained cut array down to the chosen bucket
+        # count (cut i sits at quantile i/buckets)
+        idx = {round(i * gran / buckets) - 1 for i in range(1, buckets)}
+        cuts = sorted({fine[j] for j in idx if 0 <= j < len(fine)})
         if axes[rn][0][1] == "desc":
             # count(cuts <= key) grows with the key -> flip so larger keys
             # get SMALLER bucket ids, matching the descending order
@@ -126,7 +147,7 @@ def global_row_numbers(
             c = bkt_cols[rn]
             if r[f"_g_{c}"] == 0:  # this grouping-set row belongs to axis rn
                 counts[rn][r[c]] = r["_bn"]
-    total = sum(counts[names[0]].values()) if names else 0
+    total = total_rows
 
     ranked = with_bkt
     for rn in names:
@@ -155,7 +176,7 @@ def global_row_number(
     df: DataFrame,
     order_by: list[tuple[str, str]],
     rn_col: str = "rn",
-    buckets: int = 64,
+    buckets: int | None = None,
 ) -> tuple[DataFrame, int]:
     """Single-axis convenience wrapper over ``global_row_numbers``."""
     return global_row_numbers(df, {rn_col: order_by}, buckets=buckets)

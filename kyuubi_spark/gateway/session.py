@@ -254,7 +254,15 @@ class SessionManager:
         self._lock = threading.RLock()
 
     def open_session(self, user: str = "anonymous", conf: dict | None = None) -> Session:
-        s = Session(self.engine, user, conf)
+        # per-session engine-type routing (KyuubiConf ENGINE_TYPE — the
+        # reference launches a kyuubi-jdbc-engine for these sessions and
+        # every frontend keeps working against the shared surface)
+        if (conf or {}).get("kyuubi.engine.type", "").upper() == "JDBC":
+            from kyuubi_spark.gateway.jdbc_backed import JdbcBackedSession
+
+            s = JdbcBackedSession(self.engine, user, conf)
+        else:
+            s = Session(self.engine, user, conf)
         with self._lock:
             self._sessions[s.handle.id] = s
         return s

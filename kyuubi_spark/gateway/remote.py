@@ -1,0 +1,194 @@
+"""Remote engine sessions — the gateway→engine hop over the thrift wire,
+resolved through service discovery.
+
+In the reference, EVERY interactive session takes this shape: the server's
+``KyuubiSessionImpl`` asks ``EngineRef`` for the engine's (host, port) —
+found via the discovery client under the share-level namespace, launching
+the engine on miss — then opens a REAL thrift connection with
+``KyuubiSyncThriftClient`` and forwards each operation over the wire
+(kyuubi-server/.../session/KyuubiSessionImpl.scala, engine/EngineRef
+.scala:164-191, client/KyuubiSyncThriftClient.scala).  Our default
+in-process engine collapses that hop; this module restores it for
+sessions that ask (``kyuubi.engine.type=THRIFT``), completing the
+architecture: frontends → gateway session → discovery lookup → thrift
+client → a remote engine's thrift frontend.
+
+Resolution order (EngineRef.getOrCreate semantics, minus the launch):
+1. explicit ``kyuubi.engine.thrift.host``/``kyuubi.engine.thrift.port``;
+2. else a discovery lookup of ``kyuubi.engine.namespace`` via the
+   engine's discovery client (``get_server_host`` — newest node wins).
+
+The remote operation surface mirrors the gateway's (StructType from the
+wire's TTypeId entries, FetchIterator-style windows via FETCH_NEXT /
+FETCH_PRIOR / FETCH_FIRST pass-through), so the unchanged frontends can
+serve a forwarded session — self-hosting included (tests point a remote
+session at this repo's OWN ThriftFrontendService).
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import types as T
+
+from kyuubi_spark.gateway import conf as C
+from kyuubi_spark.gateway.state import (
+    FetchOrientation,
+    OperationHandle,
+    OperationState,
+    SessionHandle,
+)
+
+ENGINE_HOST_KEY = "kyuubi.engine.thrift.host"
+ENGINE_PORT_KEY = "kyuubi.engine.thrift.port"
+ENGINE_NAMESPACE_KEY = "kyuubi.engine.namespace"
+
+# TTypeId ordinal -> Spark type (reverse of thrift._TYPE_ID)
+_SPARK_TYPE = {
+    0: T.BooleanType(),
+    1: T.ByteType(),
+    2: T.ShortType(),
+    3: T.IntegerType(),
+    4: T.LongType(),
+    5: T.FloatType(),
+    6: T.DoubleType(),
+    7: T.StringType(),
+    8: T.TimestampType(),
+    9: T.BinaryType(),
+    15: T.DecimalType(38, 18),
+    16: T.NullType(),
+    17: T.DateType(),
+}
+
+_ORIENT_ORDINAL = {
+    FetchOrientation.FETCH_NEXT: 0,
+    FetchOrientation.FETCH_PRIOR: 1,
+    FetchOrientation.FETCH_FIRST: 4,
+}
+
+
+class RemoteOperation:
+    """Gateway-operation adapter over a remote op guid on the wire."""
+
+    def __init__(self, session: "RemoteEngineSession", guid: bytes,
+                 failed: BaseException | None = None):
+        self.session = session
+        self.guid = guid
+        self.handle = OperationHandle()
+        self.exception = failed
+        self._struct: T.StructType | None = None
+
+    @property
+    def state(self) -> OperationState:
+        if self.exception is not None:
+            return OperationState.ERROR
+        # poll the remote state (GetOperationStatus pass-through)
+        ordinal = self.session.client.operation_state(self.guid)
+        return {
+            0: OperationState.INITIALIZED, 1: OperationState.RUNNING,
+            2: OperationState.FINISHED, 3: OperationState.CANCELED,
+            4: OperationState.CLOSED, 5: OperationState.ERROR,
+            7: OperationState.PENDING, 8: OperationState.TIMEOUT,
+        }.get(ordinal, OperationState.RUNNING)
+
+    def get_result_set_schema(self) -> T.StructType:
+        if self._struct is None:
+            cols = self.session.client.result_schema(self.guid)
+            self._struct = T.StructType(
+                [
+                    T.StructField(
+                        name, _SPARK_TYPE.get(tid, T.StringType()), True
+                    )
+                    for name, tid in cols
+                ]
+            )
+        return self._struct
+
+    def get_next_row_set(
+        self,
+        orientation: FetchOrientation = FetchOrientation.FETCH_NEXT,
+        size: int = 100,
+    ) -> list:
+        return self.session.client.fetch(
+            self.guid, size, orientation=_ORIENT_ORDINAL[orientation]
+        )
+
+    def get_operation_log(self) -> list[str]:
+        try:
+            return self.session.client.fetch_log(self.guid)
+        except Exception:
+            return []
+
+    def get_status(self, with_progress: bool = False) -> dict:
+        return {
+            "operation_id": self.handle.id,
+            "state": self.state.value,
+            "error": str(self.exception) if self.exception else None,
+        }
+
+    def cancel(self) -> None:
+        try:
+            self.session.client.cancel_operation(self.guid)
+        except Exception:
+            pass
+
+    def close(self) -> None:
+        pass  # remote op closed with the remote session
+
+
+class RemoteEngineSession:
+    """Gateway session forwarding to a remote engine over thrift
+    (KyuubiSessionImpl + KyuubiSyncThriftClient shape)."""
+
+    def __init__(self, engine, user: str, conf: dict | None = None):
+        from kyuubi_spark.gateway.thrift import ThriftClient
+
+        self.engine = engine
+        self.user = user
+        self.conf = C.GatewayConf(conf)
+        raw = dict(conf or {})
+        host, port = self._resolve(engine, raw)
+        self.client = ThriftClient(host, port)
+        self.client.open_session(user=user)
+        self.handle = SessionHandle()
+        self.last_access = time.time()
+        self.operations: dict[str, RemoteOperation] = {}
+
+    @staticmethod
+    def _resolve(engine, raw: dict) -> tuple[str, int]:
+        host = raw.get(ENGINE_HOST_KEY)
+        port = raw.get(ENGINE_PORT_KEY)
+        if host and port:
+            return host, int(port)
+        ns = raw.get(ENGINE_NAMESPACE_KEY)
+        disco = getattr(engine, "discovery", None)
+        if ns and disco is not None:
+            resolved = disco.get_server_host(ns)
+            if resolved is None:
+                raise LookupError(f"no engine registered under {ns}")
+            return resolved
+        raise ValueError(
+            "remote engine needs kyuubi.engine.thrift.host/port or "
+            "kyuubi.engine.namespace + a discovery client on the engine"
+        )
+
+    def execute_statement(
+        self,
+        statement: str,
+        conf_overlay: dict | None = None,
+        run_async: bool = False,
+    ) -> RemoteOperation:
+        self.last_access = time.time()
+        try:
+            guid = self.client.execute(statement)
+            op = RemoteOperation(self, guid)
+        except RuntimeError as e:
+            op = RemoteOperation(self, b"", failed=e)
+        self.operations[op.handle.id] = op
+        return op
+
+    def close(self) -> None:
+        try:
+            self.client.close_session()
+        finally:
+            self.client.close()

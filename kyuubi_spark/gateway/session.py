@@ -257,10 +257,15 @@ class SessionManager:
         # per-session engine-type routing (KyuubiConf ENGINE_TYPE — the
         # reference launches a kyuubi-jdbc-engine for these sessions and
         # every frontend keeps working against the shared surface)
-        if (conf or {}).get("kyuubi.engine.type", "").upper() == "JDBC":
+        engine_type = (conf or {}).get("kyuubi.engine.type", "").upper()
+        if engine_type == "JDBC":
             from kyuubi_spark.gateway.jdbc_backed import JdbcBackedSession
 
             s = JdbcBackedSession(self.engine, user, conf)
+        elif engine_type == "THRIFT":
+            from kyuubi_spark.gateway.remote import RemoteEngineSession
+
+            s = RemoteEngineSession(self.engine, user, conf)
         else:
             s = Session(self.engine, user, conf)
         with self._lock:

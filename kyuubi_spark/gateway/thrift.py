@@ -720,12 +720,18 @@ class ThriftClient:
         rows = self.fetch(op_guid, max_rows, fetch_type=1)
         return [r[0] for r in rows]
 
-    def fetch(self, op_guid: bytes, max_rows: int = 100, fetch_type: int = 0) -> list[list]:
+    def fetch(
+        self,
+        op_guid: bytes,
+        max_rows: int = 100,
+        fetch_type: int = 0,
+        orientation: int = 0,
+    ) -> list[list]:
         resp = self._call(
             "FetchResults",
             [
                 (1, TType.STRUCT, _op_handle(op_guid, True)),
-                (2, TType.I32, 0),
+                (2, TType.I32, orientation),
                 (3, TType.I64, max_rows),
                 (5, TType.I16, fetch_type),
             ],
@@ -751,6 +757,9 @@ class ThriftClient:
 
     def close_operation(self, op_guid: bytes) -> None:
         self._call("CloseOperation", [(1, TType.STRUCT, _op_handle(op_guid, True))])
+
+    def cancel_operation(self, op_guid: bytes) -> None:
+        self._call("CancelOperation", [(1, TType.STRUCT, _op_handle(op_guid, True))])
 
     def metadata_op(self, method: str, extra_fields: list | None = None) -> bytes:
         """Issue a JDBC metadata call (GetTables, GetSchemas, ...); returns

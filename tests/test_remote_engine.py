@@ -1,0 +1,114 @@
+"""Remote engine sessions: the gateway->engine hop over the real thrift
+wire, resolved via discovery (KyuubiSessionImpl + EngineRef +
+KyuubiSyncThriftClient shape). Tests self-host: the 'remote engine' is
+this repo's own ThriftFrontendService."""
+
+import pytest
+
+from kyuubi_spark.gateway.state import FetchOrientation, OperationState
+
+
+@pytest.fixture(scope="module")
+def remote_engine(spark):
+    from kyuubi_spark.gateway import Engine
+    from kyuubi_spark.gateway.thrift import ThriftFrontendService
+
+    svc = ThriftFrontendService(Engine(spark=spark)).start()
+    yield svc
+    svc.stop()
+
+
+def test_session_forwards_over_the_wire(spark, sf_dir, remote_engine):
+    from kyuubi_spark.gateway.engine import Engine
+
+    gw = Engine(spark)
+    s = gw.open_session(
+        user="fwd",
+        conf={
+            "kyuubi.engine.type": "THRIFT",
+            "kyuubi.engine.thrift.host": remote_engine.host,
+            "kyuubi.engine.thrift.port": str(remote_engine.port),
+        },
+    )
+    op = s.execute_statement("SELECT 41 + 1 AS answer, 'ok' AS s")
+    assert op.state is OperationState.FINISHED
+    schema = op.get_result_set_schema()
+    assert [f.name for f in schema.fields] == ["answer", "s"]
+    assert schema.fields[0].dataType.simpleString() == "int"
+    rows = op.get_next_row_set(FetchOrientation.FETCH_NEXT, 10)
+    assert [tuple(r) for r in rows] == [(42, "ok")]
+    gw.close_session(s.handle)
+
+
+def test_remote_fetch_windows_and_rewind(spark, sf_dir, remote_engine):
+    from kyuubi_spark.gateway.engine import Engine
+
+    gw = Engine(spark)
+    s = gw.open_session(
+        user="fwd2",
+        conf={
+            "kyuubi.engine.type": "THRIFT",
+            "kyuubi.engine.thrift.host": remote_engine.host,
+            "kyuubi.engine.thrift.port": str(remote_engine.port),
+        },
+    )
+    op = s.execute_statement("SELECT id FROM range(9) ORDER BY id")
+    first = [r[0] for r in op.get_next_row_set(FetchOrientation.FETCH_NEXT, 4)]
+    second = [r[0] for r in op.get_next_row_set(FetchOrientation.FETCH_NEXT, 4)]
+    assert first == [0, 1, 2, 3] and second == [4, 5, 6, 7]
+    rewound = [r[0] for r in op.get_next_row_set(FetchOrientation.FETCH_FIRST, 3)]
+    assert rewound == [0, 1, 2]
+    gw.close_session(s.handle)
+
+
+def test_remote_resolution_via_discovery(spark, sf_dir, remote_engine):
+    """EngineRef semantics: no explicit host/port -> look the engine up in
+    the discovery namespace (newest service node wins)."""
+    from kyuubi_spark.gateway.discovery import SqliteDiscoveryClient
+    from kyuubi_spark.gateway.engine import Engine
+
+    disco = SqliteDiscoveryClient()
+    disco.create_client()
+    ns = "/kyuubi/user/fwd3"
+    disco.create_and_get_service_node(
+        ns, f"{remote_engine.host}:{remote_engine.port}"
+    )
+    gw = Engine(spark)
+    gw.discovery = disco
+    s = gw.open_session(
+        user="fwd3",
+        conf={
+            "kyuubi.engine.type": "THRIFT",
+            "kyuubi.engine.namespace": ns,
+        },
+    )
+    op = s.execute_statement("SELECT 7 AS n")
+    assert [r[0] for r in op.get_next_row_set(FetchOrientation.FETCH_NEXT, 5)] == [7]
+    gw.close_session(s.handle)
+    with pytest.raises(LookupError):
+        gw.open_session(
+            user="fwd4",
+            conf={
+                "kyuubi.engine.type": "THRIFT",
+                "kyuubi.engine.namespace": "/kyuubi/user/nobody",
+            },
+        )
+    disco.close_client()
+
+
+def test_remote_error_surfaces(spark, sf_dir, remote_engine):
+    from kyuubi_spark.gateway.engine import Engine
+
+    gw = Engine(spark)
+    s = gw.open_session(
+        user="fwd5",
+        conf={
+            "kyuubi.engine.type": "THRIFT",
+            "kyuubi.engine.thrift.host": remote_engine.host,
+            "kyuubi.engine.thrift.port": str(remote_engine.port),
+        },
+    )
+    op = s.execute_statement("SELECT * FROM definitely_missing")
+    assert op.state is OperationState.ERROR
+    assert "definitely_missing" in str(op.exception).lower() or op.exception
+    gw.close_session(s.handle)

@@ -187,6 +187,65 @@ class RemoteEngineSession:
         self.operations[op.handle.id] = op
         return op
 
+    # -- metadata pass-through (KyuubiSyncThriftClient forwards the JDBC
+    #    metadata calls verbatim; the remote engine answers) --------------
+
+    def _meta(self, method: str, extra: list | None = None) -> RemoteOperation:
+        self.last_access = time.time()
+        guid = self.client.metadata_op(method, extra)
+        op = RemoteOperation(self, guid)
+        self.operations[op.handle.id] = op
+        return op
+
+    def get_catalogs(self) -> RemoteOperation:
+        return self._meta("GetCatalogs")
+
+    def get_schemas(self, catalog=None, schema_pattern=None) -> RemoteOperation:
+        from kyuubi_spark.gateway.thrift import TType
+
+        extra = []
+        if catalog:
+            extra.append((2, TType.STRING, catalog))
+        if schema_pattern:
+            extra.append((3, TType.STRING, schema_pattern))
+        return self._meta("GetSchemas", extra)
+
+    def get_tables(
+        self, catalog=None, schema_pattern=None, table_pattern=None, table_types=None
+    ) -> RemoteOperation:
+        from kyuubi_spark.gateway.thrift import TType
+
+        extra = []
+        if catalog:
+            extra.append((2, TType.STRING, catalog))
+        if schema_pattern:
+            extra.append((3, TType.STRING, schema_pattern))
+        if table_pattern:
+            extra.append((4, TType.STRING, table_pattern))
+        return self._meta("GetTables", extra)
+
+    def get_columns(
+        self, catalog=None, schema_pattern=None, table_pattern=None, column_pattern=None
+    ) -> RemoteOperation:
+        from kyuubi_spark.gateway.thrift import TType
+
+        extra = []
+        if catalog:
+            extra.append((2, TType.STRING, catalog))
+        if schema_pattern:
+            extra.append((3, TType.STRING, schema_pattern))
+        if table_pattern:
+            extra.append((4, TType.STRING, table_pattern))
+        if column_pattern:
+            extra.append((5, TType.STRING, column_pattern))
+        return self._meta("GetColumns", extra)
+
+    def get_table_types(self) -> RemoteOperation:
+        return self._meta("GetTableTypes")
+
+    def get_type_info(self) -> RemoteOperation:
+        return self._meta("GetTypeInfo")
+
     def close(self) -> None:
         try:
             self.client.close_session()

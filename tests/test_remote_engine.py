@@ -112,3 +112,24 @@ def test_remote_error_surfaces(spark, sf_dir, remote_engine):
     assert op.state is OperationState.ERROR
     assert "definitely_missing" in str(op.exception).lower() or op.exception
     gw.close_session(s.handle)
+
+
+def test_remote_metadata_pass_through(spark, sf_dir, remote_engine):
+    from kyuubi_spark.gateway.engine import Engine
+
+    gw = Engine(spark)
+    s = gw.open_session(
+        user="fwd6",
+        conf={
+            "kyuubi.engine.type": "THRIFT",
+            "kyuubi.engine.thrift.host": remote_engine.host,
+            "kyuubi.engine.thrift.port": str(remote_engine.port),
+        },
+    )
+    op = s.get_table_types()
+    types = [r[0] for r in op.get_next_row_set(FetchOrientation.FETCH_NEXT, 20)]
+    assert "TABLE" in types or "VIEW" in types or "MANAGED" in " ".join(map(str, types))
+    op = s.get_schemas(schema_pattern="default")
+    schemas = [r[0] for r in op.get_next_row_set(FetchOrientation.FETCH_NEXT, 50)]
+    assert "default" in schemas
+    gw.close_session(s.handle)

@@ -131,7 +131,19 @@ class TrinoGateway:
                 n = int(self.headers.get("Content-Length", 0))
                 sql = self.rfile.read(n).decode("utf-8")
                 user = self.headers.get("X-Trino-User", "anonymous")
-                self._reply(200, service.post_statement(sql, user, self._base()))
+                # Trino session properties header: comma-separated k=v —
+                # lets a Trino client pick the backing engine
+                # (kyuubi.engine.type=JDBC etc.); applied when this user's
+                # gateway session is first created
+                conf = None
+                props = self.headers.get("X-Trino-Session")
+                if props:
+                    conf = dict(
+                        kv.split("=", 1) for kv in props.split(",") if "=" in kv
+                    )
+                self._reply(
+                    200, service.post_statement(sql, user, self._base(), conf)
+                )
 
             def do_GET(self):  # noqa: N802
                 parts = self.path.strip("/").split("/")
@@ -168,11 +180,11 @@ class TrinoGateway:
         self.server.server_close()
 
     # -- protocol ---------------------------------------------------------
-    def _session_for(self, user: str):
+    def _session_for(self, user: str, conf: dict | None = None):
         with self._lock:
             s = self._sessions.get(user)
             if s is None:
-                s = self.engine.open_session(user=user)
+                s = self.engine.open_session(user=user, conf=conf)
                 self._sessions[user] = s
             return s
 
@@ -282,8 +294,10 @@ class TrinoGateway:
             return self.post_statement(text, user, base)
         return None
 
-    def post_statement(self, sql: str, user: str, base: str) -> dict:
-        session = self._session_for(user)
+    def post_statement(
+        self, sql: str, user: str, base: str, conf: dict | None = None
+    ) -> dict:
+        session = self._session_for(user, conf)
         prepared = self._handle_prepared(sql, user, base)
         if prepared is not None:
             return prepared

@@ -164,3 +164,24 @@ def test_prepare_execute_multiple_params_and_quotes(trino_server):
     out = _post(trino_server, "EXECUTE q2 USING 'x,y', 7")
     assert out["data"] == [["x,y", 7]]
     _post(trino_server, "DEALLOCATE PREPARE q2")
+
+
+def test_session_properties_pick_jdbc_engine(trino_server):
+    """X-Trino-Session properties route the backing engine: a Trino client
+    can run SQL on the embedded DuckDB backend through the Trino wire."""
+    req = urllib.request.Request(
+        f"http://{trino_server.host}:{trino_server.port}/v1/statement",
+        data=b"SELECT 40 + 2 AS a",
+        headers={
+            "X-Trino-User": "duck_user",
+            "X-Trino-Session": "kyuubi.engine.type=JDBC,"
+            "kyuubi.engine.jdbc.connection.url=jdbc:duckdb::memory:",
+        },
+        method="POST",
+    )
+    with urllib.request.urlopen(req) as r:
+        out = json.loads(r.read())
+    assert out["data"] == [[42]]
+    # duckdb-only syntax proves which engine served it
+    out2 = _post(trino_server, "SELECT 21 * 2 AS v FROM range(1)", user="duck_user")
+    assert out2["data"] == [[42]]

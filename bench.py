@@ -50,6 +50,7 @@ HEADLINE = [
     "dedup_survivors",
     "dedup_simhash",
     "dedup_ngram_jaccard",
+    "dedup_lsh_recall_report",
     "text_stats",
     "text_quality",
     "text_bpe_token_count",

@@ -93,6 +93,8 @@ _CHANGED_THIS_ROUND = {
     "rfm_segments",
     # r06: per-status ranking rewritten onto the same ranker
     "tpcds_q49",
+    # r06: new LSH-quality evaluation operator
+    "dedup_lsh_recall_report",
 }
 
 

@@ -1226,3 +1226,73 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+@query(
+    "dedup_lsh_recall_report",
+    oracle=f"""
+    WITH {_MINHASH_PAIRS_CTE},
+    exact AS (
+      SELECT i.a_id, i.b_id
+      FROM (SELECT sa.id AS a_id, sb.id AS b_id, COUNT(*) AS inter
+            FROM shx sa JOIN shx sb ON sa.s = sb.s AND sa.id < sb.id
+            GROUP BY 1, 2) i
+      JOIN counts ca ON ca.id = i.a_id
+      JOIN counts cb ON cb.id = i.b_id
+      WHERE 4 * i.inter >= 1 * (ca.n_sh + cb.n_sh - i.inter)),
+    m AS (SELECT
+      (SELECT COUNT(*) FROM exact) AS n_exact,
+      (SELECT COUNT(*) FROM cand) AS n_candidates,
+      (SELECT COUNT(*) FROM dup_pairs) AS n_verified)
+    SELECT CAST(n_exact AS BIGINT) AS n_exact,
+           CAST(n_candidates AS BIGINT) AS n_candidates,
+           CAST(n_verified AS BIGINT) AS n_verified,
+           ROUND(CAST(n_verified AS DOUBLE) / NULLIF(n_exact, 0), 6)
+             AS recall,
+           ROUND(CAST(n_verified AS DOUBLE) / NULLIF(n_candidates, 0), 6)
+             AS candidate_precision
+    FROM m
+    """,
+    doc="LSH quality evaluation: MinHash(16)/8-band candidate generation "
+    "measured against the exact all-pairs Jaccard>=1/4 ground truth — "
+    "recall = verified/exact (verification is exact, so verified == "
+    "candidates INTERSECT exact), candidate_precision = verified/"
+    "candidates (how much of the candidate stream survives). The "
+    "evaluation loop every production dedup pipeline needs before "
+    "trusting banding parameters at corpus scale; the exact all-pairs "
+    "side is the EVALUATION-time cost only (sampled in production), "
+    "never part of the dedup path itself.",
+)
+def dedup_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = (
+        docs.select(
+            F.col("doc_id").alias("id"),
+            F.explode(D.shingles_arrow(3)(F.col("text"))).alias("g"),
+        )
+        .localCheckpoint()
+    )
+    cand = D.lsh_candidate_pairs(docs, n=3, num_hashes=16, bands=8, shingle_df=sh)
+    verified = D.jaccard_pairs(docs, cand, n=3, tau_num=1, tau_den=4, shingle_df=sh)
+    exact = D.jaccard_pairs(docs, None, n=3, tau_num=1, tau_den=4, shingle_df=sh)
+    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    n_cand = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+    n_ver = verified.agg(F.count(F.lit(1)).alias("n_verified"))
+    return (
+        n_exact.crossJoin(F.broadcast(n_cand))
+        .crossJoin(F.broadcast(n_ver))
+        .select(
+            F.col("n_exact").cast("bigint").alias("n_exact"),
+            F.col("n_candidates").cast("bigint").alias("n_candidates"),
+            F.col("n_verified").cast("bigint").alias("n_verified"),
+            dround(
+                F.col("n_verified").cast("double")
+                / F.nullif(F.col("n_exact"), F.lit(0)),
+                6,
+            ).alias("recall"),
+            dround(
+                F.col("n_verified").cast("double")
+                / F.nullif(F.col("n_candidates"), F.lit(0)),
+                6,
+            ).alias("candidate_precision"),
+        )
+    )

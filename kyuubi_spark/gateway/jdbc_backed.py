@@ -140,6 +140,9 @@ class JdbcBackedOperation:
             return rows
         return buffered + rows
 
+    def fetch_log(self, max_rows: int = 100) -> list[str]:
+        return self.inner.log[:max_rows]
+
     def cancel(self) -> None:
         self.inner.cancel()
 
@@ -217,6 +220,12 @@ class JdbcBackedSession:
 
     def get_type_info(self) -> JdbcBackedOperation:
         return self._wrap(self._session.get_type_info())
+
+    def close_operation(self, handle) -> None:
+        hid = getattr(handle, "id", handle)
+        op = self.operations.pop(hid, None)
+        if op is not None:
+            op.close()
 
     def close(self) -> None:
         self._session.close()

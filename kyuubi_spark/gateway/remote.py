@@ -119,6 +119,9 @@ class RemoteOperation:
         except Exception:
             return []
 
+    def fetch_log(self, max_rows: int = 100) -> list[str]:
+        return self.get_operation_log()[:max_rows]
+
     def get_status(self, with_progress: bool = False) -> dict:
         return {
             "operation_id": self.handle.id,
@@ -245,6 +248,15 @@ class RemoteEngineSession:
 
     def get_type_info(self) -> RemoteOperation:
         return self._meta("GetTypeInfo")
+
+    def close_operation(self, handle) -> None:
+        hid = getattr(handle, "id", handle)
+        op = self.operations.pop(hid, None)
+        if op is not None:
+            try:
+                self.client.close_operation(op.guid)
+            except Exception:
+                pass
 
     def close(self) -> None:
         try:

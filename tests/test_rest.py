@@ -128,3 +128,33 @@ def test_batch_failure_state(rest):
             break
         time.sleep(0.1)
     assert st["state"] == "ERROR"
+
+
+def test_rest_session_backed_by_jdbc_engine(rest, sf_dir):
+    """REST clients pass conf on session open, so a REST session can route
+    to the JDBC engine and run SQL on the embedded DuckDB backend."""
+    s = _call(
+        rest,
+        "POST",
+        "/api/v1/sessions",
+        {
+            "user": "rest_duck",
+            "conf": {
+                "kyuubi.engine.type": "JDBC",
+                "kyuubi.engine.jdbc.connection.url": "jdbc:duckdb::memory:",
+            },
+        },
+    )
+    sid = s["identifier"]
+    op = _call(
+        rest,
+        "POST",
+        f"/api/v1/sessions/{sid}/operations",
+        {"statement": "SELECT 6 * 7 AS a, 'duck' AS b"},
+    )
+    oid = op["identifier"]
+    page = _call(rest, "GET", f"/api/v1/operations/{oid}/rowset?maxrows=10")
+    assert page["columns"] == ["a", "b"]
+    assert page["rows"] == [[42, "duck"]]
+    _call(rest, "DELETE", f"/api/v1/operations/{oid}")
+    _call(rest, "DELETE", f"/api/v1/sessions/{sid}")

@@ -21,6 +21,11 @@ def spark():
         app_name="kyuubi-spark-tests",
         extra_conf={"spark.sql.shuffle.partitions": "8"},
     )
+    # keep embedded Derby's error log out of the repo root (the Derby
+    # JDBC tests otherwise drop derby.log wherever the JVM's cwd is)
+    spark._jvm.java.lang.System.setProperty(
+        "derby.stream.error.file", "/tmp/derby.log"
+    )
     yield spark
     spark.stop()
 

@@ -158,3 +158,24 @@ def test_rest_session_backed_by_jdbc_engine(rest, sf_dir):
     assert page["rows"] == [[42, "duck"]]
     _call(rest, "DELETE", f"/api/v1/operations/{oid}")
     _call(rest, "DELETE", f"/api/v1/sessions/{sid}")
+
+
+def test_ctl_cli_over_rest(rest, sf_dir, capsys):
+    """tools/ctl.py (kyuubi-ctl analog): list/sql/delete verbs against the
+    live REST frontend."""
+    import json as _json
+    import sys
+
+    sys.path.insert(0, __file__.rsplit("/tests/", 1)[0])
+    from tools import ctl
+
+    base = f"http://127.0.0.1:{rest.port}"
+    ctl.main(["--url", base, "sql", "SELECT 2 + 2 AS four", "--user", "ctl-test"])
+    out = capsys.readouterr().out.strip().splitlines()
+    page = _json.loads(out[-1])
+    assert page["columns"] == ["four"]
+    assert page["rows"] == [[4]]
+    # list sessions (the sql session is already closed by the CLI)
+    ctl.main(["--url", base, "list", "sessions"])
+    out = capsys.readouterr().out
+    assert "ctl-test" not in out

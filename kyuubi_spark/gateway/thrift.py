@@ -287,8 +287,20 @@ class ThriftFrontendService:
     endpoint bodies delegate to gateway.{Engine,Session,Operation}.
     """
 
-    def __init__(self, engine, host: str = "127.0.0.1", port: int = 0):
+    def __init__(
+        self,
+        engine,
+        host: str = "127.0.0.1",
+        port: int = 0,
+        transport: str = "binary",
+    ):
+        """``transport``: "binary" (NOSASL TCP, the default HS2 mode) or
+        "http" (HS2 HTTP transport mode — each thrift message POSTed to
+        /cliservice, reply is the thrift response bytes;
+        KyuubiTHttpFrontendService.scala / hive.server2.transport.mode=
+        http). Both serve the identical dispatch table."""
         self.engine = engine
+        self.transport = transport
         self._sessions: dict[bytes, Any] = {}
         self._operations: dict[bytes, Any] = {}
         self._lock = threading.Lock()
@@ -300,31 +312,60 @@ class ThriftFrontendService:
 
         service = self
 
-        class Handler(socketserver.StreamRequestHandler):
-            def handle(self) -> None:
-                reader = ProtocolReader(self.rfile)
-                while True:
-                    try:
-                        name, mtype, seqid = reader.message_begin()
-                    except (EOFError, ConnectionError):
+        def serve_one(reader: "ProtocolReader") -> bytes:
+            name, _mtype, seqid = reader.message_begin()
+            args = reader.read_value(TType.STRUCT)
+            try:
+                result = service.dispatch(name, args)
+            except Exception as e:  # wire-level fault → TStatus error
+                result = [(1, TType.STRUCT, _status_error(str(e)))]
+            w = ProtocolWriter()
+            w.message_begin(name, REPLY, seqid)
+            # result struct: field 0 = success
+            w.write_value(TType.STRUCT, [(0, TType.STRUCT, result)])
+            return bytes(w.buf)
+
+        if transport == "http":
+            import io
+            from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+            class HttpHandler(BaseHTTPRequestHandler):
+                def log_message(self, *a):
+                    pass
+
+                def do_POST(self):  # noqa: N802
+                    if self.path.rstrip("/") != "/cliservice":
+                        self.send_response(404)
+                        self.end_headers()
                         return
-                    args = reader.read_value(TType.STRUCT)
-                    try:
-                        result = service.dispatch(name, args)
-                    except Exception as e:  # wire-level fault → TStatus error
-                        result = [(1, TType.STRUCT, _status_error(str(e)))]
-                    w = ProtocolWriter()
-                    w.message_begin(name, REPLY, seqid)
-                    # result struct: field 0 = success
-                    w.write_value(TType.STRUCT, [(0, TType.STRUCT, result)])
-                    self.wfile.write(bytes(w.buf))
-                    self.wfile.flush()
+                    n = int(self.headers.get("Content-Length", 0))
+                    body = self.rfile.read(n)
+                    out = serve_one(ProtocolReader(io.BytesIO(body)))
+                    self.send_response(200)
+                    self.send_header("Content-Type", "application/x-thrift")
+                    self.send_header("Content-Length", str(len(out)))
+                    self.end_headers()
+                    self.wfile.write(out)
 
-        class Server(socketserver.ThreadingTCPServer):
-            allow_reuse_address = True
-            daemon_threads = True
+            self.server = ThreadingHTTPServer((host, port), HttpHandler)
+        else:
 
-        self.server = Server((host, port), Handler)
+            class Handler(socketserver.StreamRequestHandler):
+                def handle(self) -> None:
+                    reader = ProtocolReader(self.rfile)
+                    while True:
+                        try:
+                            out = serve_one(reader)
+                        except (EOFError, ConnectionError):
+                            return
+                        self.wfile.write(out)
+                        self.wfile.flush()
+
+            class Server(socketserver.ThreadingTCPServer):
+                allow_reuse_address = True
+                daemon_threads = True
+
+            self.server = Server((host, port), Handler)
         self.host, self.port = self.server.server_address
         self._thread: threading.Thread | None = None
 
@@ -623,13 +664,16 @@ class ThriftClient:
         except OSError:
             pass
 
+    def _roundtrip(self, payload: bytes) -> "ProtocolReader":
+        self.sock.sendall(payload)
+        return ProtocolReader(self.rfile)
+
     def _call(self, name: str, req_struct: list) -> dict:
         self._seq += 1
         w = ProtocolWriter()
         w.message_begin(name, CALL, self._seq)
         w.write_value(TType.STRUCT, [(1, TType.STRUCT, req_struct)])
-        self.sock.sendall(bytes(w.buf))
-        reader = ProtocolReader(self.rfile)
+        reader = self._roundtrip(bytes(w.buf))
         rname, mtype, _ = reader.message_begin()
         if mtype == EXCEPTION:
             raise RuntimeError(f"thrift exception from {rname}")
@@ -769,3 +813,29 @@ class ThriftClient:
         req.extend(extra_fields or [])
         resp = self._call(method, req)
         return _guid_of(resp[2][1])
+
+
+class ThriftHttpClient(ThriftClient):
+    """TCLIService over the HTTP transport mode: the same binary-protocol
+    payload POSTed to /cliservice per call (hive.server2.transport.mode=
+    http client side)."""
+
+    def __init__(self, host: str, port: int, path: str = "/cliservice"):
+        # no socket: every call is one HTTP roundtrip
+        self.url = f"http://{host}:{port}{path}"
+        self._seq = 0
+        self.session_guid: bytes | None = None
+
+    def close(self) -> None:
+        pass
+
+    def _roundtrip(self, payload: bytes) -> "ProtocolReader":
+        import io
+        import urllib.request
+
+        req = urllib.request.Request(
+            self.url, data=payload, method="POST",
+            headers={"Content-Type": "application/x-thrift"},
+        )
+        with urllib.request.urlopen(req) as resp:
+            return ProtocolReader(io.BytesIO(resp.read()))

@@ -250,3 +250,25 @@ def test_delegation_tokens_over_the_wire(client):
     client.cancel_delegation_token(tok)
     with _pytest.raises(RuntimeError, match="canceled|unknown"):
         client.renew_delegation_token(tok)
+
+
+def test_http_transport_mode(spark):
+    """HS2 HTTP transport (KyuubiTHttpFrontendService): the same thrift
+    payloads over POST /cliservice — full open/execute/fetch/metadata/
+    close lifecycle against the http-mode frontend."""
+    from kyuubi_spark.gateway import Engine
+    from kyuubi_spark.gateway.thrift import ThriftFrontendService, ThriftHttpClient
+
+    svc = ThriftFrontendService(Engine(spark=spark), transport="http").start()
+    try:
+        c = ThriftHttpClient(svc.host, svc.port)
+        c.open_session(user="http_tester")
+        op = c.execute("SELECT 10 * 9 AS v, 'http' AS t")
+        assert [r for r in c.fetch(op, 10)] == [[90, "http"]]
+        schema = c.result_schema(op)
+        assert [s[0] for s in schema] == ["v", "t"]
+        tok = c.get_delegation_token("alice", renewer="http_tester")
+        c.renew_delegation_token(tok)
+        c.close_session()
+    finally:
+        svc.stop()

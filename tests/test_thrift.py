@@ -272,3 +272,34 @@ def test_http_transport_mode(spark):
         c.close_session()
     finally:
         svc.stop()
+
+
+def test_beeline_cli_one_shot(thrift_server, capsys):
+    """tools/beeline.py (kyuubi-hive-beeline analog): one-shot -e mode,
+    table and csv rendering over the live thrift frontend."""
+    import sys as _sys
+
+    _sys.path.insert(0, __file__.rsplit("/tests/", 1)[0])
+    from tools import beeline
+
+    rc = beeline.main([
+        "-u", f"{thrift_server.host}:{thrift_server.port}",
+        "-e", "SELECT 1 AS a, 'x' AS b; SELECT 2 AS only",
+        "--outputformat", "csv",
+    ])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "a,b\n1,x" in out
+    assert "only\n2" in out
+    rc = beeline.main([
+        "-u", f"{thrift_server.host}:{thrift_server.port}",
+        "-e", "SELECT 42 AS answer",
+    ])
+    out = capsys.readouterr().out
+    assert "| answer |" in out and "| 42" in out and "1 row(s) selected" in out
+    # error statements exit non-zero but don't crash
+    rc = beeline.main([
+        "-u", f"{thrift_server.host}:{thrift_server.port}",
+        "-e", "SELECT * FROM no_such_table",
+    ])
+    assert rc == 1

@@ -1,0 +1,115 @@
+"""KyuubiServer assembly — one process wiring every frontend over one
+engine, with discovery registration and graceful shutdown.
+
+Counterpart of the reference's KyuubiServer.scala: ``start()`` brings up,
+in order, the metrics/event services (already attached to the Engine),
+the thrift BINARY frontend, the thrift HTTP frontend, the REST v1
+frontend, and the Trino frontend — all sharing the SAME Engine (sessions
+opened through any frontend live in one SessionManager, so `KYUUBI DESC
+SESSION`, metrics, and the limiter see every connection); then registers
+the server's instance in the discovery namespace (ServiceDiscovery
+.scala: the server publishes itself exactly like an engine does).
+``stop()`` tears down in reverse and deregisters.
+
+Usage (also the ``python -m kyuubi_spark.gateway.server_main`` entry):
+
+    server = KyuubiServer(spark)           # or KyuubiServer() to build one
+    server.start()
+    print(server.endpoints())              # {"thrift_binary": (h, p), ...}
+    ...
+    server.stop()
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+from kyuubi_spark.gateway.engine import Engine
+
+SERVER_NAMESPACE = "/kyuubi/servers"
+
+
+class KyuubiServer:
+    def __init__(
+        self,
+        spark: SparkSession | None = None,
+        conf: dict | None = None,
+        host: str = "127.0.0.1",
+        discovery=None,
+    ):
+        self.engine = Engine(spark=spark, conf=conf)
+        self.host = host
+        self.discovery = discovery
+        if discovery is not None:
+            # engine-side lookup (remote sessions resolve namespaces here)
+            self.engine.discovery = discovery
+        self.thrift = None
+        self.thrift_http = None
+        self.rest = None
+        self.trino = None
+        self._node_path: str | None = None
+
+    def start(self) -> "KyuubiServer":
+        from kyuubi_spark.gateway.rest import RestGateway
+        from kyuubi_spark.gateway.thrift import ThriftFrontendService
+        from kyuubi_spark.gateway.trino import TrinoGateway
+
+        self.thrift = ThriftFrontendService(self.engine, host=self.host).start()
+        self.thrift_http = ThriftFrontendService(
+            self.engine, host=self.host, transport="http"
+        ).start()
+        self.rest = RestGateway(self.engine, host=self.host).start()
+        self.trino = TrinoGateway(self.engine, host=self.host).start()
+        if self.discovery is not None:
+            self.discovery.create_client()
+            self._node_path = self.discovery.create_and_get_service_node(
+                SERVER_NAMESPACE, f"{self.thrift.host}:{self.thrift.port}"
+            )
+        return self
+
+    def endpoints(self) -> dict[str, tuple[str, int]]:
+        return {
+            "thrift_binary": (self.thrift.host, self.thrift.port),
+            "thrift_http": (self.thrift_http.host, self.thrift_http.port),
+            "rest": (self.host, self.rest.port),
+            "trino": (self.trino.host, self.trino.port),
+        }
+
+    def stop(self) -> None:
+        if self.discovery is not None and self._node_path:
+            try:
+                self.discovery.delete(self._node_path)
+            finally:
+                self._node_path = None
+        for svc in (self.trino, self.rest, self.thrift_http, self.thrift):
+            if svc is not None:
+                try:
+                    svc.stop()
+                except Exception:
+                    pass
+        # close every remaining session (any frontend) through the engine
+        for s in list(self.engine.sessions._sessions.values()):
+            try:
+                self.engine.close_session(s.handle)
+            except Exception:
+                pass
+
+
+def main() -> None:  # pragma: no cover - manual entry point
+    import signal
+    import sys
+    import threading
+
+    server = KyuubiServer().start()
+    for name, (h, p) in server.endpoints().items():
+        print(f"{name}: {h}:{p}")
+    stop = threading.Event()
+    signal.signal(signal.SIGINT, lambda *a: stop.set())
+    signal.signal(signal.SIGTERM, lambda *a: stop.set())
+    stop.wait()
+    server.stop()
+    sys.exit(0)
+
+
+if __name__ == "__main__":  # pragma: no cover
+    main()

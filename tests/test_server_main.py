@@ -1,0 +1,70 @@
+"""KyuubiServer assembly: all four frontends over ONE engine, shared
+session manager, discovery registration (KyuubiServer.scala shape)."""
+
+import json
+import urllib.request
+
+from kyuubi_spark.gateway.server_main import SERVER_NAMESPACE, KyuubiServer
+
+
+def test_all_frontends_share_one_engine(spark, sf_dir):
+    from kyuubi_spark.gateway.discovery import SqliteDiscoveryClient
+    from kyuubi_spark.gateway.thrift import ThriftClient, ThriftHttpClient
+
+    disco = SqliteDiscoveryClient()
+    server = KyuubiServer(spark, discovery=disco).start()
+    try:
+        eps = server.endpoints()
+        # the server registered itself like an engine would
+        assert disco.get_server_host(SERVER_NAMESPACE) == eps["thrift_binary"]
+
+        # thrift binary
+        c = ThriftClient(*eps["thrift_binary"])
+        c.open_session(user="bin_user")
+        op = c.execute("SELECT 1 AS one")
+        assert c.fetch(op, 5) == [[1]]
+
+        # thrift http
+        h = ThriftHttpClient(*eps["thrift_http"])
+        h.open_session(user="http_user")
+        op2 = h.execute("SELECT 2 AS two")
+        assert h.fetch(op2, 5) == [[2]]
+
+        # REST
+        req = urllib.request.Request(
+            f"http://{server.host}:{eps['rest'][1]}/api/v1/sessions",
+            data=json.dumps({"user": "rest_user"}).encode(),
+            headers={"Content-Type": "application/json"},
+            method="POST",
+        )
+        with urllib.request.urlopen(req) as r:
+            sid = json.loads(r.read())["identifier"]
+
+        # trino
+        treq = urllib.request.Request(
+            f"http://{eps['trino'][0]}:{eps['trino'][1]}/v1/statement",
+            data=b"SELECT 3 AS three",
+            headers={"X-Trino-User": "trino_user"},
+            method="POST",
+        )
+        with urllib.request.urlopen(treq) as r:
+            assert json.loads(r.read())["data"] == [[3]]
+
+        # ONE engine saw every connection: all four users share the
+        # session manager / limiter / metrics
+        users = {s.user for s in server.engine.sessions._sessions.values()}
+        assert {"bin_user", "http_user", "rest_user", "trino_user"} <= users
+
+        c.close_session(); c.close()
+        h.close_session(); h.close()
+        urllib.request.urlopen(
+            urllib.request.Request(
+                f"http://{server.host}:{eps['rest'][1]}/api/v1/sessions/{sid}",
+                method="DELETE",
+            )
+        )
+    finally:
+        server.stop()
+        # deregistered on stop
+        assert disco.get_server_host(SERVER_NAMESPACE) is None
+        disco.close_client()

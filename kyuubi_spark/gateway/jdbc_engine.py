@@ -69,7 +69,7 @@ class JdbcOperation:
 
     def __init__(self, session: "JdbcSession", statement: str,
                  should_run_async: bool = False, incremental: bool = False,
-                 fetch_size: int = 1000):
+                 fetch_size: int = 1000, query_timeout: float = 0.0):
         self.session = session
         self.statement = statement
         self.handle = OperationHandle()
@@ -80,13 +80,37 @@ class JdbcOperation:
         self._async = should_run_async
         self._incremental = incremental
         self._fetch_size = fetch_size
+        self._query_timeout = query_timeout
+        self._timer: threading.Timer | None = None
         self._thread: threading.Thread | None = None
         self._lock = threading.Lock()
         self._log: list[str] = []
 
     # -- lifecycle --------------------------------------------------------
 
+    def _on_timeout(self) -> None:
+        """addTimeoutMonitor (JdbcOperation.scala via AbstractOperation):
+        past the query timeout, flip to TIMEOUT and interrupt the
+        backend."""
+        with self._lock:
+            if self.state.is_terminal:
+                return
+            self.state = OperationState.TIMEOUT
+            self._log.append(
+                f"query timed out after {self._query_timeout}s"
+            )
+        interrupt = getattr(self.session.connection, "interrupt", None)
+        if callable(interrupt):
+            try:
+                interrupt()
+            except Exception:
+                pass
+
     def run(self) -> "JdbcOperation":
+        if self._query_timeout > 0:
+            self._timer = threading.Timer(self._query_timeout, self._on_timeout)
+            self._timer.daemon = True
+            self._timer.start()
         if self._async:
             self.state = OperationState.PENDING
             ctx = contextvars.copy_context()
@@ -120,6 +144,9 @@ class JdbcOperation:
                         ).strip()
                     )
                     self.state = OperationState.ERROR
+        finally:
+            if self._timer is not None:
+                self._timer.cancel()
 
     def _execute(self) -> None:
         cur = self.session.connection.cursor()
@@ -208,10 +235,12 @@ class JdbcSession:
     def execute_statement(
         self, statement: str, run_async: bool = False,
         incremental: bool = False, fetch_size: int = 1000,
+        query_timeout: float = 0.0,
     ) -> JdbcOperation:
         op = JdbcOperation(
             self, statement, should_run_async=run_async,
             incremental=incremental, fetch_size=fetch_size,
+            query_timeout=query_timeout,
         )
         op.run()
         if not run_async:

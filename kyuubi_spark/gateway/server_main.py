@@ -29,6 +29,49 @@ from kyuubi_spark.gateway.engine import Engine
 SERVER_NAMESPACE = "/kyuubi/servers"
 
 
+class PeriodicGCService:
+    """KyuubiServer's background janitor (PeriodicGCService.scala):
+    periodically sweeps idle sessions, releases idle pooled engines, and
+    expires unused credentials — one daemon timer, explicit ``tick()``
+    for deterministic tests."""
+
+    def __init__(self, engine: Engine, interval_s: float = 60.0,
+                 pool=None, credentials=None):
+        import threading
+
+        self.engine = engine
+        self.pool = pool
+        self.credentials = credentials
+        self.interval_s = interval_s
+        self._stop = threading.Event()
+        self._thread: "threading.Thread | None" = None
+
+    def tick(self) -> dict[str, int]:
+        out = {"sessions": self.engine.sessions.sweep_idle()}
+        if self.pool is not None:
+            out["engines"] = self.pool.sweep_idle()
+        if self.credentials is not None:
+            out["credentials"] = self.credentials.sweep_expired()
+        return out
+
+    def start(self) -> "PeriodicGCService":
+        import threading
+
+        def loop():
+            while not self._stop.wait(self.interval_s):
+                try:
+                    self.tick()
+                except Exception:
+                    pass
+
+        self._thread = threading.Thread(target=loop, name="periodic-gc", daemon=True)
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self._stop.set()
+
+
 class KyuubiServer:
     def __init__(
         self,
@@ -47,6 +90,7 @@ class KyuubiServer:
         self.thrift_http = None
         self.rest = None
         self.trino = None
+        self.gc = PeriodicGCService(self.engine)
         self._node_path: str | None = None
 
     def start(self) -> "KyuubiServer":
@@ -60,6 +104,7 @@ class KyuubiServer:
         ).start()
         self.rest = RestGateway(self.engine, host=self.host).start()
         self.trino = TrinoGateway(self.engine, host=self.host).start()
+        self.gc.start()
         if self.discovery is not None:
             self.discovery.create_client()
             self._node_path = self.discovery.create_and_get_service_node(
@@ -81,6 +126,7 @@ class KyuubiServer:
                 self.discovery.delete(self._node_path)
             finally:
                 self._node_path = None
+        self.gc.stop()
         for svc in (self.trino, self.rest, self.thrift_http, self.thrift):
             if svc is not None:
                 try:

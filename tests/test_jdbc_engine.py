@@ -135,3 +135,34 @@ def test_cancel_terminal_and_safe(duck):
     op.wait(10)
     op.cancel()  # cancel after finish: no-op (terminal state preserved)
     assert op.state is OperationState.FINISHED
+
+
+def test_query_timeout_marks_timeout_state():
+    """addTimeoutMonitor semantics: a statement past its queryTimeout
+    flips to TIMEOUT (not ERROR) and interrupts the backend."""
+    import time
+
+    eng = JdbcEngine.duckdb()
+    s = eng.open_session()
+    # a deliberately slow cross-product aggregation
+    op = s.execute_statement(
+        "SELECT count(*) FROM range(100000) a, range(100000) b",
+        run_async=True,
+        query_timeout=0.2,
+    )
+    op.wait(20)
+    assert op.state is OperationState.TIMEOUT
+    assert any("timed out" in line for line in op.log)
+    # the session connection stays usable afterwards
+    ok = s.execute_statement("SELECT 1")
+    assert ok.fetch() == [(1,)]
+    eng.close_session(s.handle)
+
+
+def test_fast_query_unaffected_by_timeout():
+    eng = JdbcEngine.duckdb()
+    s = eng.open_session()
+    op = s.execute_statement("SELECT 5", query_timeout=30.0)
+    assert op.state is OperationState.FINISHED
+    assert op.fetch() == [(5,)]
+    eng.close_session(s.handle)

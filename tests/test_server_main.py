@@ -68,3 +68,30 @@ def test_all_frontends_share_one_engine(spark, sf_dir):
         # deregistered on stop
         assert disco.get_server_host(SERVER_NAMESPACE) is None
         disco.close_client()
+
+
+def test_periodic_gc_tick(spark, sf_dir):
+    """PeriodicGCService.scala shape: one tick sweeps idle sessions,
+    pooled engines, and expired credentials."""
+    from kyuubi_spark.gateway.credentials import CredentialsManager
+    from kyuubi_spark.gateway.engine import Engine
+    from kyuubi_spark.gateway.pool import EnginePool
+    from kyuubi_spark.gateway.server_main import PeriodicGCService
+
+    engine = Engine(spark)
+    sess = engine.open_session(
+        user="gc-user", conf={"kyuubi.session.idle.timeout": "1"}
+    )
+    sess.last_access = 0  # force idle
+    pool = EnginePool(spark, idle_timeout=0.0)
+    pool.get_engine(user="gc-pooled")
+    creds = CredentialsManager(credentials_timeout_s=0.0)
+    creds.renew_if_due("gc-cred-user")
+    import time
+
+    time.sleep(0.01)
+    gc = PeriodicGCService(engine, pool=pool, credentials=creds)
+    swept = gc.tick()
+    assert swept["sessions"] >= 1
+    assert swept["engines"] >= 1
+    assert swept["credentials"] >= 1

@@ -177,6 +177,9 @@ class RestGateway:
         url = urlparse(h.path)
         parts = [p for p in url.path.split("/") if p]
         q = parse_qs(url.query)
+        if parts[:1] == ["ui"] and method == "GET":
+            self._serve_ui(h)
+            return
         if parts[:2] != ["api", "v1"]:
             h._reply(404, {"error": "unknown path"})
             return
@@ -242,6 +245,53 @@ class RestGateway:
                 h._reply(200, job.info())
         else:
             h._reply(404, {"error": f"unknown route {method} {h.path}"})
+
+    def _serve_ui(self, h) -> None:
+        """Read-only status page (the reference ships a web UI at the
+        server root, kyuubi-server/.../server/ui): sessions, operations,
+        batches, and the metrics snapshot rendered as plain HTML tables —
+        no assets, no javascript, served from the live engine state."""
+        import html as _html
+
+        def table(title: str, headers: list[str], rows: list[list]) -> str:
+            head = "".join(f"<th>{_html.escape(str(c))}</th>" for c in headers)
+            body = "".join(
+                "<tr>" + "".join(
+                    f"<td>{_html.escape(str(c))}</td>" for c in row
+                ) + "</tr>"
+                for row in rows
+            )
+            return (
+                f"<h2>{_html.escape(title)}</h2>"
+                f"<table border=1 cellpadding=4><tr>{head}</tr>{body}</table>"
+            )
+
+        sessions = [
+            [s.handle.id[:8], s.user, type(s).__name__]
+            for s in self.engine.sessions._sessions.values()
+        ]
+        ops = [
+            [oid[:8], type(op).__name__, getattr(op, "state", "?")]
+            for oid, (sess, op) in self.operations.items()
+        ]
+        batches = [
+            [bid[:8], b.state] for bid, b in self.batches.items()
+        ]
+        metrics = sorted(self.engine.metrics.snapshot().items())
+        page = (
+            "<html><head><title>pyspark-sql-gateway</title></head><body>"
+            "<h1>pyspark-sql-gateway</h1>"
+            + table("Sessions", ["id", "user", "kind"], sessions)
+            + table("Operations", ["id", "type", "state"], ops)
+            + table("Batches", ["id", "state"], batches)
+            + table("Metrics", ["metric", "value"], [[k, v] for k, v in metrics])
+            + "</body></html>"
+        ).encode()
+        h.send_response(200)
+        h.send_header("Content-Type", "text/html; charset=utf-8")
+        h.send_header("Content-Length", str(len(page)))
+        h.end_headers()
+        h.wfile.write(page)
 
     def _route_operation(self, h, method: str, parts: list[str], q) -> None:
         ent = self.operations.get(parts[1])

@@ -179,3 +179,15 @@ def test_ctl_cli_over_rest(rest, sf_dir, capsys):
     ctl.main(["--url", base, "list", "sessions"])
     out = capsys.readouterr().out
     assert "ctl-test" not in out
+
+
+def test_ui_status_page(rest, sf_dir):
+    s = _call(rest, "POST", "/api/v1/sessions", {"user": "ui_user"})
+    req = urllib.request.Request(f"http://127.0.0.1:{rest.port}/ui")
+    with urllib.request.urlopen(req) as resp:
+        assert resp.status == 200
+        assert "text/html" in resp.headers["Content-Type"]
+        page = resp.read().decode()
+    assert "ui_user" in page
+    assert "<h2>Metrics</h2>" in page
+    _call(rest, "DELETE", f"/api/v1/sessions/{s['identifier']}")

@@ -266,6 +266,10 @@ class SessionManager:
             from kyuubi_spark.gateway.remote import RemoteEngineSession
 
             s = RemoteEngineSession(self.engine, user, conf)
+        elif engine_type == "TRINO":
+            from kyuubi_spark.gateway.trino_engine import TrinoBackedSession
+
+            s = TrinoBackedSession(self.engine, user, conf)
         else:
             s = Session(self.engine, user, conf)
         with self._lock:

@@ -1,0 +1,61 @@
+"""Trino-backed gateway sessions (kyuubi.engine.type=TRINO): statements
+executed over the Trino client protocol (kyuubi-trino-engine shape),
+self-hosted against this repo's own TrinoGateway."""
+
+import pytest
+
+from kyuubi_spark.gateway.state import FetchOrientation, OperationState
+
+
+@pytest.fixture(scope="module")
+def trino_backend(spark):
+    from kyuubi_spark.gateway import Engine
+    from kyuubi_spark.gateway.trino import TrinoGateway
+
+    svc = TrinoGateway(Engine(spark=spark), page_size=4).start()
+    yield svc
+    svc.stop()
+
+
+def _open(spark, trino_backend, user):
+    from kyuubi_spark.gateway.engine import Engine
+
+    gw = Engine(spark)
+    s = gw.open_session(
+        user=user,
+        conf={
+            "kyuubi.engine.type": "TRINO",
+            "kyuubi.engine.trino.connection.url":
+                f"http://{trino_backend.host}:{trino_backend.port}",
+        },
+    )
+    return gw, s
+
+
+def test_trino_backed_query(spark, sf_dir, trino_backend):
+    gw, s = _open(spark, trino_backend, "trino_fwd")
+    op = s.execute_statement("SELECT 6 * 7 AS answer, 'trino' AS via")
+    assert op.state is OperationState.FINISHED
+    schema = op.get_result_set_schema()
+    assert [f.name for f in schema.fields] == ["answer", "via"]
+    assert schema.fields[0].dataType.simpleString() == "int"
+    rows = op.get_next_row_set(FetchOrientation.FETCH_NEXT, 10)
+    assert [tuple(r) for r in rows] == [(42, "trino")]
+    gw.close_session(s.handle)
+
+
+def test_trino_backed_multi_page_drain(spark, sf_dir, trino_backend):
+    # the backend pages at 4 rows; the engine must follow nextUri to drain
+    gw, s = _open(spark, trino_backend, "trino_fwd2")
+    op = s.execute_statement("SELECT id FROM range(11) ORDER BY id")
+    rows = op.get_next_row_set(FetchOrientation.FETCH_NEXT, 100)
+    assert [r[0] for r in rows] == list(range(11))
+    gw.close_session(s.handle)
+
+
+def test_trino_backed_error(spark, sf_dir, trino_backend):
+    gw, s = _open(spark, trino_backend, "trino_fwd3")
+    op = s.execute_statement("SELECT * FROM nope_missing")
+    assert op.state is OperationState.ERROR
+    assert op.exception is not None
+    gw.close_session(s.handle)

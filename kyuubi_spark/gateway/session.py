@@ -262,7 +262,11 @@ class SessionManager:
             from kyuubi_spark.gateway.jdbc_backed import JdbcBackedSession
 
             s = JdbcBackedSession(self.engine, user, conf)
-        elif engine_type == "THRIFT":
+        elif engine_type in ("THRIFT", "HIVE"):
+            # HIVE sessions speak the HS2 thrift wire to the configured
+            # endpoint — a HiveServer2-compatible server or another
+            # gateway/engine (the reference's kyuubi-hive-engine is the
+            # same HS2-protocol client against a Hive backend)
             from kyuubi_spark.gateway.remote import RemoteEngineSession
 
             s = RemoteEngineSession(self.engine, user, conf)

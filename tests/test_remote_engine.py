@@ -133,3 +133,22 @@ def test_remote_metadata_pass_through(spark, sf_dir, remote_engine):
     schemas = [r[0] for r in op.get_next_row_set(FetchOrientation.FETCH_NEXT, 50)]
     assert "default" in schemas
     gw.close_session(s.handle)
+
+
+def test_hive_engine_type_aliases_hs2_wire(spark, sf_dir, remote_engine):
+    """kyuubi.engine.type=HIVE speaks the HS2 thrift wire (the reference's
+    kyuubi-hive-engine is the same protocol client against Hive)."""
+    from kyuubi_spark.gateway.engine import Engine
+
+    gw = Engine(spark)
+    s = gw.open_session(
+        user="hive_fwd",
+        conf={
+            "kyuubi.engine.type": "HIVE",
+            "kyuubi.engine.thrift.host": remote_engine.host,
+            "kyuubi.engine.thrift.port": str(remote_engine.port),
+        },
+    )
+    op = s.execute_statement("SELECT 'hs2' AS wire")
+    assert [r[0] for r in op.get_next_row_set(FetchOrientation.FETCH_NEXT, 5)] == ["hs2"]
+    gw.close_session(s.handle)

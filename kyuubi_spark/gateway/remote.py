@@ -167,9 +167,27 @@ class RemoteEngineSession:
         disco = getattr(engine, "discovery", None)
         if ns and disco is not None:
             resolved = disco.get_server_host(ns)
-            if resolved is None:
-                raise LookupError(f"no engine registered under {ns}")
-            return resolved
+            if resolved is not None:
+                return resolved
+            # create-on-miss under the discovery lock (EngineRef
+            # .getOrCreate: concurrent sessions for the same namespace
+            # serialize on tryWithLock; the winner launches + registers,
+            # the rest re-resolve inside the lock and reuse it —
+            # ZookeeperDiscoveryClient.scala:136-150)
+            launcher = getattr(engine, "engine_launcher", None)
+            if launcher is not None:
+                with disco.try_with_lock(f"{ns}.launch-lock", timeout_ms=60_000):
+                    resolved = disco.get_server_host(ns)  # double-check
+                    if resolved is None:
+                        instance = launcher(ns)  # "host:port" of the new engine
+                        disco.create_and_get_service_node(ns, instance)
+                        from kyuubi_spark.gateway.discovery import (
+                            parse_instance_host_port,
+                        )
+
+                        resolved = parse_instance_host_port(instance)
+                return resolved
+            raise LookupError(f"no engine registered under {ns}")
         raise ValueError(
             "remote engine needs kyuubi.engine.thrift.host/port or "
             "kyuubi.engine.namespace + a discovery client on the engine"

@@ -152,3 +152,51 @@ def test_hive_engine_type_aliases_hs2_wire(spark, sf_dir, remote_engine):
     op = s.execute_statement("SELECT 'hs2' AS wire")
     assert [r[0] for r in op.get_next_row_set(FetchOrientation.FETCH_NEXT, 5)] == ["hs2"]
     gw.close_session(s.handle)
+
+
+def test_engine_launch_on_discovery_miss(spark, sf_dir):
+    """EngineRef.getOrCreate: a namespace miss launches the engine under
+    the discovery lock; concurrent opens reuse the one launched engine."""
+    import threading
+
+    from kyuubi_spark.gateway import Engine as GwEngine
+    from kyuubi_spark.gateway.discovery import SqliteDiscoveryClient
+    from kyuubi_spark.gateway.engine import Engine
+    from kyuubi_spark.gateway.thrift import ThriftFrontendService
+
+    disco = SqliteDiscoveryClient()
+    disco.create_client()
+    launched = []
+    launch_lock = threading.Lock()
+
+    def launcher(ns):
+        with launch_lock:
+            svc = ThriftFrontendService(GwEngine(spark=spark)).start()
+            launched.append(svc)
+            return f"{svc.host}:{svc.port}"
+
+    gw = Engine(spark)
+    gw.discovery = disco
+    gw.engine_launcher = launcher
+    ns = "/kyuubi/user/launchme"
+
+    conf = {"kyuubi.engine.type": "THRIFT", "kyuubi.engine.namespace": ns}
+    results = []
+
+    def open_and_query(i):
+        s = gw.open_session(user=f"launch{i}", conf=conf)
+        op = s.execute_statement(f"SELECT {i} AS n")
+        results.append(op.get_next_row_set(FetchOrientation.FETCH_NEXT, 5)[0][0])
+        gw.close_session(s.handle)
+
+    threads = [threading.Thread(target=open_and_query, args=(i,)) for i in range(3)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert sorted(results) == [0, 1, 2]
+    assert len(launched) == 1  # exactly ONE launch despite 3 concurrent opens
+    assert disco.get_server_host(ns) is not None
+    for svc in launched:
+        svc.stop()
+    disco.close_client()

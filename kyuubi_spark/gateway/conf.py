@@ -162,3 +162,33 @@ class GatewayConf:
 
     def items(self):
         return self._values.items()
+
+
+# Per-session engine routing (reference KyuubiConf ENGINE_TYPE +
+# per-engine connection confs; SessionManager.open_session routes on
+# these — gateway/{jdbc_backed,remote,trino_engine}.py).
+ENGINE_TYPE = _entry(
+    "kyuubi.engine.type", "SPARK_SQL", str,
+    "SPARK_SQL (in-process, default) | JDBC (DBAPI backend) | "
+    "THRIFT/HIVE (forwarded over the HS2 wire) | TRINO (Trino client "
+    "protocol).")
+ENGINE_JDBC_CONNECTION_URL = _entry(
+    "kyuubi.engine.jdbc.connection.url", "jdbc:duckdb::memory:", str,
+    "Backend for JDBC-type sessions: jdbc:duckdb:<path> | jdbc:sqlite:<path> "
+    "(KyuubiConf ENGINE_JDBC_CONNECTION_URL).")
+ENGINE_TRINO_CONNECTION_URL = _entry(
+    "kyuubi.engine.trino.connection.url", "", str,
+    "Trino coordinator base URL for TRINO-type sessions "
+    "(KyuubiConf ENGINE_TRINO_CONNECTION_URL).")
+ENGINE_THRIFT_HOST = _entry(
+    "kyuubi.engine.thrift.host", "", str,
+    "Explicit engine host for THRIFT/HIVE-type sessions (else the "
+    "kyuubi.engine.namespace discovery lookup resolves it).")
+ENGINE_THRIFT_PORT = _entry(
+    "kyuubi.engine.thrift.port", 0, int,
+    "Explicit engine port for THRIFT/HIVE-type sessions.")
+ENGINE_NAMESPACE = _entry(
+    "kyuubi.engine.namespace", "", str,
+    "Discovery namespace for engine resolution (EngineRef.engineSpace); "
+    "on miss the gateway's engine_launcher creates-and-registers under "
+    "the discovery launch lock.")

@@ -19,7 +19,6 @@ from __future__ import annotations
 
 import json
 import time
-import urllib.error
 import urllib.request
 
 from pyspark.sql import types as T

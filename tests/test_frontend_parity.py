@@ -85,3 +85,30 @@ def test_thrift_and_trino_agree(engine):
         assert out["data"] == EXPECT
     finally:
         trino.stop()
+
+
+def test_binary_and_http_thrift_transports_agree(engine):
+    """The two HS2 transport modes serve the identical dispatch table:
+    same query, same schema ids, same rows."""
+    from kyuubi_spark.gateway.thrift import (
+        ThriftClient,
+        ThriftFrontendService,
+        ThriftHttpClient,
+    )
+
+    sql = "SELECT id, id * 2 AS dbl, CAST(id AS STRING) AS s FROM range(5) ORDER BY id"
+    binary = ThriftFrontendService(engine).start()
+    http = ThriftFrontendService(engine, transport="http").start()
+    try:
+        c1 = ThriftClient(binary.host, binary.port)
+        c1.open_session(user="parity_bin")
+        c2 = ThriftHttpClient(http.host, http.port)
+        c2.open_session(user="parity_http")
+        op1, op2 = c1.execute(sql), c2.execute(sql)
+        assert c1.result_schema(op1) == c2.result_schema(op2)
+        assert c1.fetch(op1, 100) == c2.fetch(op2, 100)
+        c1.close_session(); c1.close()
+        c2.close_session(); c2.close()
+    finally:
+        binary.stop()
+        http.stop()

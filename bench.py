@@ -92,6 +92,7 @@ HEADLINE = [
     "corpus_shard_shuffle",
     "repeated_ngram_coverage",
     "packing_efficiency_report",
+    "mixture_budget_plan",
     # TPC-DS slice (99/99 base shapes + 4 a/b second variants; see
     # TPCDS_COVERAGE.md)
     *[f"tpcds_q{i}" for i in (

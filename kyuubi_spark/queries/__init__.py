@@ -95,6 +95,8 @@ _CHANGED_THIS_ROUND = {
     "tpcds_q49",
     # r06: new LSH-quality evaluation operator
     "dedup_lsh_recall_report",
+    # r06: new mix planning operator
+    "mixture_budget_plan",
 }
 
 

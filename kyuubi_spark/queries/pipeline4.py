@@ -218,3 +218,74 @@ def packing_efficiency_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+_MIX_BUDGET = 1_000_000  # target training tokens for the plan
+
+
+@query(
+    "mixture_budget_plan",
+    oracle=f"""
+    WITH per AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(len(string_split(trim(text), ' '))) AS BIGINT)
+               AS tokens_available
+      FROM documents GROUP BY lang),
+    w AS (SELECT *, CAST(floor(sqrt(tokens_available)) AS BIGINT) AS wt
+          FROM per),
+    s AS (SELECT CAST(SUM(wt) AS BIGINT) AS s_w FROM w)
+    SELECT w.lang, w.n_docs, w.tokens_available,
+           CAST(floor({_MIX_BUDGET} * w.wt / s.s_w) AS BIGINT)
+             AS tokens_allocated,
+           ROUND(least(CAST(floor({_MIX_BUDGET} * w.wt / s.s_w) AS DOUBLE)
+                       / w.tokens_available, 1.0), 6) AS sample_rate,
+           ROUND(CAST(floor({_MIX_BUDGET} * w.wt / s.s_w) AS DOUBLE)
+                 / w.tokens_available, 4) AS epochs
+    FROM w CROSS JOIN s
+    ORDER BY lang
+    """,
+    doc="Training-mix budget planning: given a target token budget, "
+    "allocate per-language token shares under a temperature-0.5 weight "
+    "(sqrt of available tokens — the same multilingual reweighting "
+    "mixture_sample_temperature executes), and surface the review table "
+    "a pipeline team signs off before launching a mix: available vs "
+    "allocated tokens, the sampling rate (capped at 1), and epochs "
+    "(allocated/available > 1 means the source repeats). Integer-exact "
+    "allocation (floor of BUDGET*w/S on bigints); at 100 TB this is one "
+    "per-language aggregate + a broadcast scalar — map-only planning, "
+    "no corpus shuffle.",
+)
+def mixture_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kyuubi_spark.functions import text as T
+
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(T.token_count("text")).cast("bigint").alias("tokens_available"),
+    )
+    w = per.withColumn(
+        "wt", F.floor(F.sqrt(F.col("tokens_available"))).cast("long")
+    )
+    s = w.agg(F.sum("wt").cast("bigint").alias("s_w"))
+    alloc = F.floor(F.lit(_MIX_BUDGET) * F.col("wt") / F.col("s_w"))
+    from kyuubi_spark.functions.compat import dround
+
+    return (
+        w.crossJoin(F.broadcast(s))
+        .select(
+            "lang",
+            "n_docs",
+            "tokens_available",
+            alloc.cast("bigint").alias("tokens_allocated"),
+            dround(
+                F.least(
+                    alloc.cast("double") / F.col("tokens_available"), F.lit(1.0)
+                ),
+                6,
+            ).alias("sample_rate"),
+            dround(alloc.cast("double") / F.col("tokens_available"), 4).alias(
+                "epochs"
+            ),
+        )
+        .orderBy("lang")
+    )

@@ -144,3 +144,17 @@ def test_datagen_q2_shape_over_partsupp(spark):
         .agg(F.min("ps_supplycost").alias("min_cost"))
     )
     assert out.count() > 0
+
+
+def test_bench_headline_covers_registry():
+    """Every registry entry is benchmarked and nothing phantom is listed —
+    guards against a new operator silently missing from the perf lane."""
+    import sys as _s
+
+    _s.path.insert(0, __file__.rsplit("/tests/", 1)[0])
+    import bench
+    from kyuubi_spark.queries import all_queries
+
+    reg, head = set(all_queries()), set(bench.HEADLINE)
+    assert reg - head == set(), f"registry entries missing from bench: {reg - head}"
+    assert head - reg == set(), f"bench lists unknown queries: {head - reg}"

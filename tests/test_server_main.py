@@ -95,3 +95,38 @@ def test_periodic_gc_tick(spark, sf_dir):
     assert swept["sessions"] >= 1
     assert swept["engines"] >= 1
     assert swept["credentials"] >= 1
+
+
+def test_gateway_federation_via_discovery(spark, sf_dir):
+    """Gateway-to-gateway federation: server A registers in discovery;
+    gateway B serves a THRIFT-type session that resolves A's namespace
+    and forwards over the wire — the reference's server->engine hop,
+    composed end-to-end."""
+    from kyuubi_spark.gateway.discovery import SqliteDiscoveryClient
+    from kyuubi_spark.gateway.engine import Engine
+    from kyuubi_spark.gateway.state import FetchOrientation
+
+    disco = SqliteDiscoveryClient()
+    server_a = KyuubiServer(spark, discovery=disco).start()
+    try:
+        gw_b = Engine(spark)
+        gw_b.discovery = disco
+        s = gw_b.open_session(
+            user="federated",
+            conf={
+                "kyuubi.engine.type": "THRIFT",
+                "kyuubi.engine.namespace": SERVER_NAMESPACE,
+            },
+        )
+        op = s.execute_statement("SELECT 'hello-from-A' AS msg")
+        rows = op.get_next_row_set(FetchOrientation.FETCH_NEXT, 5)
+        assert rows == [["hello-from-A"]]
+        # the statement really ran on server A's engine
+        assert any(
+            sess.user == "federated"
+            for sess in server_a.engine.sessions._sessions.values()
+        )
+        gw_b.close_session(s.handle)
+    finally:
+        server_a.stop()
+        disco.close_client()

@@ -327,13 +327,17 @@ def test_tpcds_b_variants_broadcast_dims(spark, sf_dir):
 
 def _assert_all_windows_partitioned(text, name):
     """Every Window node must carry a non-empty partition spec — a bare
-    Window.orderBy ships the whole (data-scaled) relation to ONE task."""
+    Window.orderBy ships the whole (data-scaled) relation to ONE task.
+
+    Formatted-explain Window arguments are [funcs], [partition] or
+    [funcs], [partition], [order]; the partition spec is ALWAYS the
+    second bracket group (window functions never contain brackets)."""
     import re
 
     for m in re.finditer(r"\(\d+\) Window\b[\s\S]*?Arguments: (.+)", text):
         args = m.group(1)
-        part = re.search(r"\], \[(.*?)\], \[", args)
-        assert part and part.group(1).strip(), (
+        groups = re.findall(r"\[(.*?)\]", args)
+        assert len(groups) >= 2 and groups[1].strip(), (
             f"{name}: unpartitioned (single-partition) Window: {args[:160]}"
         )
 
@@ -363,8 +367,9 @@ def test_tpcds_q49_no_status_partitioned_window(spark, sf_dir):
     import re
 
     for m in re.finditer(r"\(\d+\) Window\b[\s\S]*?Arguments: (.+)", text):
-        part = re.search(r"\], \[(.*?)\], \[", m.group(1))
-        assert "status" not in (part.group(1) if part else ""), (
+        groups = re.findall(r"\[(.*?)\]", m.group(1))
+        part = groups[1] if len(groups) >= 2 else ""
+        assert "status" not in part, (
             "q49 window partitioned by the 3-value status column again"
         )
 

@@ -325,19 +325,29 @@ def test_tpcds_b_variants_broadcast_dims(spark, sf_dir):
         assert plans.broadcast_join_count(df) >= 2, name
 
 
+def _window_is_partitioned(spec: str) -> bool:
+    """A windowspecdefinition's arguments are partition columns (bare),
+    then sort orders (with ASC/DESC), then the frame: the window is
+    partitioned iff the FIRST argument is a bare column."""
+    inner = spec.split("windowspecdefinition(", 1)[1]
+    first = inner.split(",", 1)[0].strip()
+    return (
+        "specifiedwindowframe" not in first
+        and " ASC" not in first
+        and " DESC" not in first
+    )
+
+
 def _assert_all_windows_partitioned(text, name):
     """Every Window node must carry a non-empty partition spec — a bare
-    Window.orderBy ships the whole (data-scaled) relation to ONE task.
-
-    Formatted-explain Window arguments are [funcs], [partition] or
-    [funcs], [partition], [order]; the partition spec is ALWAYS the
-    second bracket group (window functions never contain brackets)."""
+    Window.orderBy ships the whole (data-scaled) relation to ONE task."""
     import re
 
     for m in re.finditer(r"\(\d+\) Window\b[\s\S]*?Arguments: (.+)", text):
         args = m.group(1)
-        groups = re.findall(r"\[(.*?)\]", args)
-        assert len(groups) >= 2 and groups[1].strip(), (
+        if "windowspecdefinition(" not in args:
+            continue
+        assert _window_is_partitioned(args), (
             f"{name}: unpartitioned (single-partition) Window: {args[:160]}"
         )
 
@@ -367,9 +377,11 @@ def test_tpcds_q49_no_status_partitioned_window(spark, sf_dir):
     import re
 
     for m in re.finditer(r"\(\d+\) Window\b[\s\S]*?Arguments: (.+)", text):
-        groups = re.findall(r"\[(.*?)\]", m.group(1))
-        part = groups[1] if len(groups) >= 2 else ""
-        assert "status" not in part, (
+        args = m.group(1)
+        if "windowspecdefinition(" not in args:
+            continue
+        first = args.split("windowspecdefinition(", 1)[1].split(",", 1)[0]
+        assert "status" not in first, (
             "q49 window partitioned by the 3-value status column again"
         )
 

@@ -38,6 +38,7 @@ def main() -> None:
     ok &= run("pytest", [sys.executable, "-m", "pytest", "tests/", "-q"])
     sf = "/root/testdata/sf0.001" if fast else "/root/testdata/sf0.01"
     ok &= run(f"verify {sf}", [sys.executable, "tools/verify.py", sf])
+    ok &= run("window audit", [sys.executable, "tools/window_audit.py"])
     if not fast:
         ok &= run("bench", [sys.executable, "bench.py"])
     status = subprocess.run(

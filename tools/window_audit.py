@@ -1,0 +1,80 @@
+"""Registry-wide single-partition-window audit.
+
+Builds every registry query's physical plan and lists the queries whose
+plan contains an UNPARTITIONED Window node (the whole relation moves to
+one task).  The allowlist below is the reviewed inventory of sites whose
+window INPUT is bounded by construction — every other occurrence is a
+scale bug and fails the audit (exit 1).
+
+    python tools/window_audit.py [sf_dir]
+
+Partition detection parses windowspecdefinition: partition columns are
+its bare leading arguments; sort orders carry ASC/DESC.
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+
+sys.path.insert(0, __file__.rsplit("/tools/", 1)[0])
+
+# Reviewed bounded-input windows (see VERDICT r05 plan audit + round-6
+# re-audit): every entry names WHY the input is bounded.
+ALLOWLIST = {
+    "approx_topk_cms": "<=20-row CMS heavy-hitter rerank",
+    "tpcds_q44": "row_number over TakeOrderedAndProject'd <=10-row inputs",
+    "tpcds_q70": "state ranking over ~25 rows",
+    "tpcds_shape_cumulative_share": "per-day cumulative (time-bounded)",
+    "tpcds_shape_rank_bestworst": "rank over limit(10) inputs",
+}
+
+
+def window_is_partitioned(args: str) -> bool:
+    inner = args.split("windowspecdefinition(", 1)[1]
+    first = inner.split(",", 1)[0].strip()
+    return (
+        "specifiedwindowframe" not in first
+        and " ASC" not in first
+        and " DESC" not in first
+    )
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    from kyuubi_spark import plans
+    from kyuubi_spark.caching import release_caches
+    from kyuubi_spark.queries import all_queries
+    from kyuubi_spark.session import build_session
+
+    spark = build_session(app_name="window-audit")
+    offenders: dict[str, str] = {}
+    errors = 0
+    for name, spec in all_queries().items():
+        try:
+            text = plans.explain_formatted(spec.builder(spark, sf_dir))
+            for m in re.finditer(r"\(\d+\) Window\b[\s\S]*?Arguments: (.+)", text):
+                if "windowspecdefinition(" in m.group(1) and not window_is_partitioned(
+                    m.group(1)
+                ):
+                    offenders.setdefault(name, m.group(1)[:100])
+        except Exception as e:  # noqa: BLE001 - report and keep auditing
+            errors += 1
+            print(f"ERR  {name}: {e}", file=sys.stderr)
+        finally:
+            release_caches()
+
+    bad = {k: v for k, v in offenders.items() if k not in ALLOWLIST}
+    for name in sorted(offenders):
+        tag = "allow" if name in ALLOWLIST else "FAIL"
+        why = ALLOWLIST.get(name, "NOT ALLOWLISTED — single-partition at scale")
+        print(f"[{tag}] {name}: {why}")
+    print(
+        f"window audit: {len(offenders)} unpartitioned-window queries, "
+        f"{len(bad)} outside the allowlist, {errors} build errors"
+    )
+    sys.exit(1 if bad or errors else 0)
+
+
+if __name__ == "__main__":
+    main()

@@ -221,6 +221,25 @@ class JdbcBackedSession:
     def get_type_info(self) -> JdbcBackedOperation:
         return self._wrap(self._session.get_type_info())
 
+    def get_functions(self, function_pattern=None) -> JdbcBackedOperation:
+        # empty-shaped, like the reference's JDBC engine (no UDF registry
+        # on a plain backend connection)
+        return self._wrap(
+            self._session.execute_statement(
+                "SELECT NULL AS FUNCTION_SCHEM, NULL AS FUNCTION_NAME "
+                "WHERE 1 = 0"
+            )
+        )
+
+    def get_primary_keys(self) -> JdbcBackedOperation:
+        return self._wrap(
+            self._session.execute_statement(
+                "SELECT NULL AS TABLE_SCHEM, NULL AS TABLE_NAME, "
+                "NULL AS COLUMN_NAME, NULL AS KEY_SEQ, NULL AS PK_NAME "
+                "WHERE 1 = 0"
+            )
+        )
+
     def close_operation(self, handle) -> None:
         hid = getattr(handle, "id", handle)
         op = self.operations.pop(hid, None)

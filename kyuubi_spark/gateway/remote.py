@@ -267,6 +267,17 @@ class RemoteEngineSession:
     def get_type_info(self) -> RemoteOperation:
         return self._meta("GetTypeInfo")
 
+    def get_functions(self, function_pattern=None) -> RemoteOperation:
+        from kyuubi_spark.gateway.thrift import TType
+
+        extra = []
+        if function_pattern:
+            extra.append((4, TType.STRING, function_pattern))
+        return self._meta("GetFunctions", extra)
+
+    def get_primary_keys(self) -> RemoteOperation:
+        return self._meta("GetPrimaryKeys")
+
     def close_operation(self, handle) -> None:
         hid = getattr(handle, "id", handle)
         op = self.operations.pop(hid, None)

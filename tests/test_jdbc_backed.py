@@ -92,3 +92,17 @@ def test_error_shape_through_router(spark, sf_dir):
     assert "nope" in str(op.exception)
     assert any("nope" in line for line in op.get_operation_log())
     engine.close_session(s.handle)
+
+
+def test_routed_metadata_completeness(spark, sf_dir):
+    """The full JDBC-metadata surface works on routed sessions (empty
+    shapes where the backend has no concept, like the reference)."""
+    from kyuubi_spark.gateway.engine import Engine
+
+    engine = Engine(spark)
+    s = engine.open_session(user="meta", conf={"kyuubi.engine.type": "JDBC"})
+    assert s.get_functions().get_next_row_set(FetchOrientation.FETCH_NEXT, 5) == []
+    assert s.get_primary_keys().get_next_row_set(FetchOrientation.FETCH_NEXT, 5) == []
+    tt = s.get_table_types().get_next_row_set(FetchOrientation.FETCH_NEXT, 5)
+    assert ("TABLE",) in [tuple(r) for r in tt]
+    engine.close_session(s.handle)

@@ -656,6 +656,11 @@ class ThriftClient:
         self.sock = socket.create_connection((host, port))
         self.rfile = self.sock.makefile("rb")
         self._seq = 0
+        # one socket, strictly request/response: serialize RPCs so
+        # concurrent operations (remote-session status polls vs fetches)
+        # can't interleave frames — KyuubiSyncThriftClient wraps every
+        # RPC in a lock for the same reason
+        self._rpc_lock = threading.Lock()
         self.session_guid: bytes | None = None
 
     def close(self) -> None:
@@ -669,6 +674,10 @@ class ThriftClient:
         return ProtocolReader(self.rfile)
 
     def _call(self, name: str, req_struct: list) -> dict:
+        with self._rpc_lock:
+            return self._call_locked(name, req_struct)
+
+    def _call_locked(self, name: str, req_struct: list) -> dict:
         self._seq += 1
         w = ProtocolWriter()
         w.message_begin(name, CALL, self._seq)
@@ -821,9 +830,11 @@ class ThriftHttpClient(ThriftClient):
     http client side)."""
 
     def __init__(self, host: str, port: int, path: str = "/cliservice"):
-        # no socket: every call is one HTTP roundtrip
+        # no socket: every call is one HTTP roundtrip (still serialized —
+        # _seq and response ordering stay coherent)
         self.url = f"http://{host}:{port}{path}"
         self._seq = 0
+        self._rpc_lock = threading.Lock()
         self.session_guid: bytes | None = None
 
     def close(self) -> None:

@@ -200,3 +200,41 @@ def test_engine_launch_on_discovery_miss(spark, sf_dir):
     for svc in launched:
         svc.stop()
     disco.close_client()
+
+
+def test_concurrent_remote_operations_serialize(spark, sf_dir, remote_engine):
+    """The remote session's single thrift socket serializes RPCs — 8
+    threads polling state + fetching concurrently must not corrupt the
+    stream (KyuubiSyncThriftClient's per-RPC lock)."""
+    import threading
+
+    from kyuubi_spark.gateway.engine import Engine
+
+    gw = Engine(spark)
+    s = gw.open_session(
+        user="concurrent",
+        conf={
+            "kyuubi.engine.type": "THRIFT",
+            "kyuubi.engine.thrift.host": remote_engine.host,
+            "kyuubi.engine.thrift.port": str(remote_engine.port),
+        },
+    )
+    results, errors = [], []
+
+    def worker(i):
+        try:
+            op = s.execute_statement(f"SELECT {i} AS n")
+            _ = op.state
+            rows = op.get_next_row_set(FetchOrientation.FETCH_NEXT, 5)
+            results.append(rows[0][0])
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert errors == []
+    assert sorted(results) == list(range(8))
+    gw.close_session(s.handle)

@@ -245,6 +245,11 @@ class SqliteDiscoveryClient:
 
     # --- locking (tryWithLock) ---
 
+    # A crashed holder cannot release a file-backed lock (ZK ephemeral
+    # locks die with the session; sqlite rows do not) — locks older than
+    # the TTL are stealable.
+    LOCK_TTL_S = 600.0
+
     @contextlib.contextmanager
     def try_with_lock(self, lock_path: str, timeout_ms: int = 10_000):
         """Serialize engine creation across sessions (the reference's
@@ -255,16 +260,23 @@ class SqliteDiscoveryClient:
         while time.time() < deadline:
             with self._lock:
                 db = self._db()
+                now = time.time()
+                db.execute(
+                    "DELETE FROM locks WHERE path = ? AND acquired < ?",
+                    (lock_path, now - self.LOCK_TTL_S),
+                )
                 row = db.execute(
                     "SELECT owner FROM locks WHERE path = ?", (lock_path,)
                 ).fetchone()
                 if row is None:
                     db.execute(
                         "INSERT INTO locks VALUES (?,?,?)",
-                        (lock_path, self._client_id, time.time()),
+                        (lock_path, self._client_id, now),
                     )
                     db.commit()
                     acquired = True
+                else:
+                    db.commit()
             if acquired:
                 break
             time.sleep(0.01)

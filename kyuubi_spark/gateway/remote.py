@@ -152,7 +152,11 @@ class RemoteEngineSession:
         raw = dict(conf or {})
         host, port = self._resolve(engine, raw)
         self.client = ThriftClient(host, port)
-        self.client.open_session(user=user)
+        try:
+            self.client.open_session(user=user)
+        except BaseException:
+            self.client.close()  # don't leak the socket on a failed open
+            raise
         self.handle = SessionHandle()
         self.last_access = time.time()
         self.operations: dict[str, RemoteOperation] = {}

@@ -192,3 +192,25 @@ def test_credentials_sweep_expired():
     mgr.renew_if_due("alice")
     time.sleep(0.01)
     assert mgr.sweep_expired() == 1
+
+
+def test_stale_lock_is_stealable(disco):
+    """A crashed holder's lock (old acquired timestamp) is stolen after
+    the TTL — the ephemeral-lock-dies-with-session analog."""
+    # simulate a crashed holder: insert a lock row with an ancient stamp
+    with disco._lock:
+        disco._db().execute(
+            "INSERT INTO locks VALUES (?,?,?)", ("/stale", "dead-client", 0.0)
+        )
+        disco._db().commit()
+    with disco.try_with_lock("/stale", timeout_ms=2000):
+        pass  # acquired despite the leftover row
+
+
+def test_fresh_lock_not_stolen(disco):
+    import pytest as _pytest
+
+    with disco.try_with_lock("/fresh", timeout_ms=2000):
+        with _pytest.raises(TimeoutError):
+            with disco.try_with_lock("/fresh", timeout_ms=200):
+                pass

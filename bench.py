@@ -93,6 +93,7 @@ HEADLINE = [
     "repeated_ngram_coverage",
     "packing_efficiency_report",
     "mixture_budget_plan",
+    "dedup_cluster_stats",
     # TPC-DS slice (99/99 base shapes + 4 a/b second variants; see
     # TPCDS_COVERAGE.md)
     *[f"tpcds_q{i}" for i in (

@@ -97,6 +97,8 @@ _CHANGED_THIS_ROUND = {
     "dedup_lsh_recall_report",
     # r06: new mix planning operator
     "mixture_budget_plan",
+    # r06: new dedup-impact report
+    "dedup_cluster_stats",
 }
 
 

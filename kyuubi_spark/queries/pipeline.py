@@ -1296,3 +1296,57 @@ def dedup_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("candidate_precision"),
         )
     )
+
+
+@query(
+    "dedup_cluster_stats",
+    oracle=f"""
+    WITH RECURSIVE {_MINHASH_PAIRS_CTE},
+    edges AS (
+      SELECT a_id AS u, b_id AS v FROM dup_pairs
+      UNION ALL
+      SELECT b_id, a_id FROM dup_pairs),
+    reach(u, v) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+      UNION
+      SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u),
+    comp AS (
+      SELECT u AS doc_id, MIN(v) AS component_id FROM reach GROUP BY u),
+    sizes AS (
+      SELECT component_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+      FROM comp GROUP BY component_id)
+    SELECT cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs,
+           CAST((cluster_size - 1) * COUNT(*) AS BIGINT) AS removable_docs
+    FROM sizes GROUP BY cluster_size ORDER BY cluster_size
+    """,
+    doc="Dup-cluster size distribution over the connected components of "
+    "the MinHash-LSH + Jaccard>=1/4 pair graph: per cluster size, how "
+    "many clusters, how many docs they hold, and how many docs a "
+    "keep-one-per-cluster policy removes — the dedup-impact report a "
+    "pipeline reviews before applying survivors. Reuses the exact "
+    "component pipeline dedup_components runs (iterative min-label "
+    "propagation), then two tiny aggregations — the report adds no "
+    "corpus-scaled work beyond the dedup itself.",
+)
+def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    comp = dedup_components(spark, sf_dir)
+    sizes = comp.groupBy("component_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cluster_size")
+    )
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_clusters"))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters"))
+            .cast("bigint")
+            .alias("n_docs"),
+            ((F.col("cluster_size") - 1) * F.col("n_clusters"))
+            .cast("bigint")
+            .alias("removable_docs"),
+        )
+        .orderBy("cluster_size")
+    )

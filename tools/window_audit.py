@@ -1,10 +1,11 @@
-"""Registry-wide single-partition-window audit.
+"""Registry-wide plan audit: single-partition windows + cartesians.
 
-Builds every registry query's physical plan and lists the queries whose
-plan contains an UNPARTITIONED Window node (the whole relation moves to
-one task).  The allowlist below is the reviewed inventory of sites whose
-window INPUT is bounded by construction — every other occurrence is a
-scale bug and fails the audit (exit 1).
+Builds every registry query's physical plan and fails (exit 1) on:
+- an UNPARTITIONED Window node (whole relation to ONE task) outside the
+  reviewed bounded-input allowlist below;
+- any CartesianProduct node (no allowlist — a cartesian over driver
+  tables is always a scale bug; intentional tiny cross joins plan as
+  1-row BroadcastNestedLoopJoin, which is not flagged).
 
     python tools/window_audit.py [sf_dir]
 
@@ -49,6 +50,7 @@ def main() -> None:
 
     spark = build_session(app_name="window-audit")
     offenders: dict[str, str] = {}
+    cartesians: list[str] = []
     errors = 0
     for name, spec in all_queries().items():
         try:
@@ -58,6 +60,8 @@ def main() -> None:
                     m.group(1)
                 ):
                     offenders.setdefault(name, m.group(1)[:100])
+            if "CartesianProduct" in text:
+                cartesians.append(name)
         except Exception as e:  # noqa: BLE001 - report and keep auditing
             errors += 1
             print(f"ERR  {name}: {e}", file=sys.stderr)
@@ -65,15 +69,18 @@ def main() -> None:
             release_caches()
 
     bad = {k: v for k, v in offenders.items() if k not in ALLOWLIST}
+    for name in cartesians:
+        print(f"[FAIL] {name}: CartesianProduct in the plan")
     for name in sorted(offenders):
         tag = "allow" if name in ALLOWLIST else "FAIL"
         why = ALLOWLIST.get(name, "NOT ALLOWLISTED — single-partition at scale")
         print(f"[{tag}] {name}: {why}")
     print(
-        f"window audit: {len(offenders)} unpartitioned-window queries, "
-        f"{len(bad)} outside the allowlist, {errors} build errors"
+        f"plan audit: {len(offenders)} unpartitioned-window queries "
+        f"({len(bad)} outside the allowlist), {len(cartesians)} cartesians, "
+        f"{errors} build errors"
     )
-    sys.exit(1 if bad or errors else 0)
+    sys.exit(1 if bad or cartesians or errors else 0)
 
 
 if __name__ == "__main__":

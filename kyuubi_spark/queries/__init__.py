@@ -99,6 +99,8 @@ _CHANGED_THIS_ROUND = {
     "mixture_budget_plan",
     # r06: new dedup-impact report
     "dedup_cluster_stats",
+    # r06: exact-decimal profit summation (half-cent flip seen at sf0.1)
+    "tpch_q9",
 }
 
 

@@ -424,12 +424,14 @@ def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "tpch_q9",
     oracle="""
-    SELECT nation, o_year, ROUND(SUM(amount), 2) AS sum_profit
+    SELECT nation, o_year,
+           ROUND(CAST(SUM(amount) AS DOUBLE), 2) AS sum_profit
     FROM (
       SELECT n.n_name AS nation,
              CAST(YEAR(o.o_orderdate) AS INT) AS o_year,
-             l.l_extendedprice * (1 - l.l_discount)
-               - 0.6 * p.p_retailprice * l.l_quantity AS amount
+             CAST(l.l_extendedprice * (1 - l.l_discount)
+                  - 0.6 * p.p_retailprice * l.l_quantity
+                  AS DECIMAL(25,6)) AS amount
       FROM part p
       JOIN lineitem l ON p.p_partkey = l.l_partkey
       JOIN supplier s ON s.s_suppkey = l.l_suppkey
@@ -440,13 +442,19 @@ def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY nation, o_year
     ORDER BY nation, o_year DESC
     """,
-    doc="Star join + derived measure, group by (nation, year).",
+    doc="Star join + derived measure, group by (nation, year). The per-row "
+    "amount is one deterministic double expression cast to DECIMAL(25,6) "
+    "BEFORE summation, so the group sum is exact and association-"
+    "independent — a raw double SUM flips the final half-cent between "
+    "engines once groups get large enough (first seen at sf0.1).",
 )
 def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     part, lineitem, supplier, orders, nation = _t(
         spark, sf_dir, "part", "lineitem", "supplier", "orders", "nation"
     )
-    amount = _revenue() - 0.6 * F.col("p_retailprice") * F.col("l_quantity")
+    amount = (
+        _revenue() - 0.6 * F.col("p_retailprice") * F.col("l_quantity")
+    ).cast("decimal(25,6)")
     return (
         part.filter(F.col("p_type") == "PROMO")
         .join(lineitem, F.col("p_partkey") == F.col("l_partkey"))
@@ -459,7 +467,7 @@ def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
             amount.alias("amount"),
         )
         .groupBy("nation", "o_year")
-        .agg(dround(F.sum("amount"), 2).alias("sum_profit"))
+        .agg(dround(F.sum("amount").cast("double"), 2).alias("sum_profit"))
         .orderBy("nation", F.col("o_year").desc())
     )
 

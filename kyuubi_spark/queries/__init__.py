@@ -101,6 +101,8 @@ _CHANGED_THIS_ROUND = {
     "dedup_cluster_stats",
     # r06: exact-decimal profit summation (half-cent flip seen at sf0.1)
     "tpch_q9",
+    # r06: total order at the LIMIT cut (p_name ties seen at sf0.1)
+    "tpcds_q65",
 }
 
 

@@ -1009,7 +1009,7 @@ def tpcds_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN supplier s ON s.s_suppkey = sa.l_suppkey
     JOIN part p ON p.p_partkey = sa.l_partkey
     WHERE sa.revenue <= 0.1 * sb.ave
-    ORDER BY s_name, p_name
+    ORDER BY s_name, p_name, revenue
     LIMIT 100
     """,
     doc="TPC-DS q65 shape: aggregate-of-aggregate — per-(store, item) "
@@ -1034,7 +1034,10 @@ def tpcds_q65(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(supplier, F.col("s_suppkey") == F.col("l_suppkey"))
         .join(part, F.col("p_partkey") == F.col("l_partkey"))
         .select("s_name", "p_name", "revenue", "ave")
-        .orderBy("s_name", "p_name")
+        # p_name is NOT unique (two parts can share a name), so the spec's
+        # (s_name, p_name) order ties at the LIMIT boundary; revenue makes
+        # any remaining tie an identical full row (multiset-deterministic)
+        .orderBy("s_name", "p_name", "revenue")
         .limit(100)
     )
 

@@ -103,6 +103,7 @@ _CHANGED_THIS_ROUND = {
     "tpch_q9",
     # r06: total order at the LIMIT cut (p_name ties seen at sf0.1)
     "tpcds_q65",
+    "tpcds_q98",
 }
 
 

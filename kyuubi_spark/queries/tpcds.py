@@ -1834,7 +1834,8 @@ def tpcds_q68(spark: SparkSession, sf_dir: str) -> DataFrame:
                  / SUM(rev_cents) OVER (PARTITION BY p_brand), 6)
              AS revenueratio
     FROM g
-    ORDER BY p_type, p_brand, p_name, revenueratio
+    ORDER BY p_type, p_brand, p_name, revenueratio, itemrevenue,
+             current_price
     LIMIT 200
     """,
     doc="TPC-DS q98 shape (tpcds_3.2/q98.sql): item revenue with "
@@ -1886,7 +1887,12 @@ def tpcds_q98(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("revenueratio"),
         )
-        .orderBy("p_type", "p_brand", "p_name", "revenueratio")
+        # p_name is not unique: itemrevenue + current_price totalize the
+        # LIMIT cut (same q65 tie class)
+        .orderBy(
+            "p_type", "p_brand", "p_name", "revenueratio",
+            "itemrevenue", "current_price",
+        )
         .limit(200)
     )
 

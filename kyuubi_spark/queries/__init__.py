@@ -99,6 +99,11 @@ _CHANGED_THIS_ROUND = {
     "mixture_budget_plan",
     # r06: new dedup-impact report
     "dedup_cluster_stats",
+    # r06: new pipeline batch 5 (span extraction, Gopher rules, vocab
+    # coverage)
+    "exact_substring_spans",
+    "gopher_quality_report",
+    "vocab_coverage_report",
     # r06: exact-decimal profit summation (half-cent flip seen at sf0.1)
     "tpch_q9",
     # r06: total order at the LIMIT cut (p_name ties seen at sf0.1)
@@ -117,6 +122,7 @@ def all_queries() -> dict[str, QuerySpec]:
         pipeline2,
         pipeline3,
         pipeline4,
+        pipeline5,
         tpcds,
         tpcds2,
         tpcds3,

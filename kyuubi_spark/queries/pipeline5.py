@@ -1,0 +1,344 @@
+"""Training-data pipeline operators, batch 5 — duplicated-span extraction,
+rule-based quality filtering, and vocabulary coverage planning.
+
+Continues pipeline.py..pipeline4.py (BASELINE.json north star: the
+operations a 100 TB pretraining pipeline needs beyond the reference's SQL
+surface; reference hook is the data-agent engine's pipeline charter,
+externals/kyuubi-data-agent-engine).  House rules as before: every
+surfaced aggregate is value-exact cross-engine (integer sums / integer
+cross-multiplied threshold predicates, explicitly rounded doubles), and
+every operator documents its 100 TB shuffle profile.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kyuubi_spark.functions.compat import dround
+from kyuubi_spark.queries import query
+from kyuubi_spark.session import load_table
+
+_SPAN_N = 5
+
+
+@query(
+    "exact_substring_spans",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id, string_split(trim(text), ' ') AS w
+      FROM documents),
+    grams AS (
+      SELECT doc_id, u.pos AS pos, u.g AS g FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                 generate_series(1, greatest(len(w) - {_SPAN_N - 1}, 0)),
+                 i -> struct_pack(
+                   pos := i,
+                   g := array_to_string(w[i:i + {_SPAN_N - 1}], ' ')))) AS u
+        FROM words) x),
+    df AS (
+      SELECT g, COUNT(DISTINCT doc_id) AS docs_with FROM grams GROUP BY g),
+    hits AS (
+      SELECT grams.doc_id, grams.pos
+      FROM grams JOIN df USING (g) WHERE df.docs_with >= 2),
+    isl AS (
+      SELECT doc_id, pos,
+             pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos)
+               AS island
+      FROM hits)
+    SELECT doc_id,
+           CAST(MIN(pos) AS BIGINT) AS span_start,
+           CAST(MAX(pos) - MIN(pos) + {_SPAN_N} AS BIGINT) AS span_words,
+           CAST(COUNT(*) AS BIGINT) AS n_grams
+    FROM isl GROUP BY doc_id, island
+    ORDER BY doc_id, span_start
+    """,
+    doc="Exact duplicated-SPAN extraction (the removal half of Lee et al. "
+    "2022's exact-substring dedup, which repeated_ngram_coverage only "
+    "scores): for every document, the maximal runs of consecutive word "
+    "positions whose 5-gram also appears in another document — i.e. the "
+    "(start, length) spans a surgical dedup pass would cut, instead of "
+    "dropping the whole doc. A run of k consecutive duplicated gram "
+    "positions is one maximal shared substring of k+4 words. Shuffle "
+    "profile at 100 TB: one posexplode to the positioned gram stream "
+    "(map-only), one gram-keyed doc-frequency aggregate (gram-space "
+    "bounded, map-side combined), one equi-join back, then a window "
+    "PARTITIONED BY doc_id (per-doc gram count is bounded by doc length, "
+    "never corpus-scaled) for the gaps-and-islands merge. No pairwise "
+    "doc comparison, no suffix array materialization.",
+)
+def exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.split(F.trim(F.col("text")), " ")
+    # Same short-doc guard as repeated_ngram_coverage: Spark's
+    # sequence(1, 0) steps DOWNWARD, so gate on size(w) >= _SPAN_N.
+    grams_expr = F.expr(
+        f"CASE WHEN size(w) >= {_SPAN_N} THEN"
+        f" transform(sequence(1, size(w) - {_SPAN_N - 1}),"
+        f" i -> concat_ws(' ', slice(w, i, {_SPAN_N})))"
+        f" ELSE array() END"
+    )
+    grams = (
+        docs.select("doc_id", w.alias("w"))
+        .select("doc_id", F.posexplode(grams_expr).alias("pos0", "g"))
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "g")
+    )
+    dup_grams = (
+        grams.select("doc_id", "g")
+        .distinct()
+        .groupBy("g")
+        .agg(F.count("*").alias("docs_with"))
+        .filter(F.col("docs_with") >= 2)
+        .select("g")
+    )
+    hits = grams.join(dup_grams, "g").select("doc_id", "pos")
+    island = F.col("pos") - F.row_number().over(
+        Window.partitionBy("doc_id").orderBy("pos")
+    )
+    return (
+        hits.withColumn("island", island)
+        .groupBy("doc_id", "island")
+        .agg(
+            F.min("pos").cast("bigint").alias("span_start"),
+            (F.max("pos") - F.min("pos") + _SPAN_N)
+            .cast("bigint")
+            .alias("span_words"),
+            F.count("*").alias("n_grams"),
+        )
+        .select("doc_id", "span_start", "span_words", "n_grams")
+        .orderBy("doc_id", "span_start")
+    )
+
+
+# Gopher-rule thresholds (Rae et al. 2021, appendix A1.1), adapted to the
+# whitespace corpus: word-count bounds, mean-word-length bounds, a
+# minimum-distinct-stopword floor, and a repeated-3-gram ceiling (the
+# "repetitious text" family).  The repetition predicate is evaluated as an
+# integer cross-multiplication so both engines compare exact integers.
+_G_MIN_WORDS = 50
+_G_MAX_WORDS = 100_000
+_G_MIN_MWL = 3.0
+_G_MAX_MWL = 10.0
+_G_MIN_STOP = 2
+_G_STOPSET = ("the", "a", "an", "and", "of", "to", "in", "that", "with", "be")
+_G_REP_N = 3  # n-gram order for the repetition rule
+_G_REP_PCT = 5  # fail when repeated-3-gram fraction > 5%
+
+
+@query(
+    "gopher_quality_report",
+    oracle=f"""
+    WITH per_doc AS (
+      SELECT source,
+             len(w) AS n_words,
+             CAST(list_aggregate(list_transform(w, t -> len(t)), 'sum')
+                  AS DOUBLE) / len(w) AS mwl,
+             len(list_distinct(list_filter(w,
+               t -> list_contains({list(_G_STOPSET)!r}, t)))) AS n_stop,
+             greatest(len(w) - {_G_REP_N - 1}, 0) AS n_grams,
+             len(list_distinct(list_transform(
+               generate_series(1, greatest(len(w) - {_G_REP_N - 1}, 0)),
+               i -> array_to_string(w[i:i + {_G_REP_N - 1}], ' '))))
+               AS n_distinct_grams
+      FROM (SELECT source, string_split(trim(text), ' ') AS w
+            FROM documents) t),
+    flags AS (
+      SELECT source,
+             CASE WHEN n_words < {_G_MIN_WORDS}
+                    OR n_words > {_G_MAX_WORDS} THEN 1 ELSE 0 END AS f_wc,
+             CASE WHEN mwl < {_G_MIN_MWL}
+                    OR mwl > {_G_MAX_MWL} THEN 1 ELSE 0 END AS f_mwl,
+             CASE WHEN n_stop < {_G_MIN_STOP} THEN 1 ELSE 0 END AS f_stop,
+             CASE WHEN (n_grams - n_distinct_grams) * 100
+                    > n_grams * {_G_REP_PCT} THEN 1 ELSE 0 END AS f_rep
+      FROM per_doc)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(f_wc) AS BIGINT) AS fail_word_count,
+           CAST(SUM(f_mwl) AS BIGINT) AS fail_mean_word_len,
+           CAST(SUM(f_stop) AS BIGINT) AS fail_stopwords,
+           CAST(SUM(f_rep) AS BIGINT) AS fail_repetition,
+           CAST(SUM(CASE WHEN f_wc + f_mwl + f_stop + f_rep = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+           ROUND(CAST(SUM(CASE WHEN f_wc + f_mwl + f_stop + f_rep = 0
+                              THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS pass_rate
+    FROM flags GROUP BY source ORDER BY source
+    """,
+    doc="Rule-based quality filtering report (the Gopher rules, Rae et "
+    "al. 2021 A1.1 — the standard pre-filter every modern pretraining "
+    "pipeline runs before model-based scoring): per source, how many "
+    "documents fail each of four rules — word-count bounds [50, 100k], "
+    "mean-word-length bounds [3, 10], fewer than 2 distinct stopwords, "
+    "repeated-3-gram fraction above 5% — plus the count and rate passing "
+    "ALL rules. Unlike text_quality's single composite score, the "
+    "per-rule breakdown tells a curation team WHICH rule to retune. "
+    "Shuffle profile at 100 TB: every rule is a pure column expression "
+    "(higher-order array lambdas, JVM-side), so this is map-only plus "
+    "one bounded per-source aggregate; nothing wider than |sources| "
+    "shuffles. The repetition threshold compares integer cross-products "
+    "(no float ratio), keeping both engines bit-identical.",
+)
+def gopher_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.split(F.trim(F.col("text")), " ")
+    stop_arr = F.array(*[F.lit(s) for s in _G_STOPSET])
+    n_words = F.size(F.col("w"))
+    mwl = (
+        F.aggregate(
+            F.col("w"),
+            F.lit(0).cast("bigint"),
+            lambda acc, t: acc + F.length(t).cast("bigint"),
+        ).cast("double")
+        / n_words
+    )
+    n_stop = F.size(
+        F.array_distinct(
+            F.filter(F.col("w"), lambda t: F.array_contains(stop_arr, t))
+        )
+    )
+    grams = F.expr(
+        f"CASE WHEN size(w) >= {_G_REP_N} THEN"
+        f" transform(sequence(1, size(w) - {_G_REP_N - 1}),"
+        f" i -> concat_ws(' ', slice(w, i, {_G_REP_N})))"
+        f" ELSE array() END"
+    )
+    n_grams = F.greatest(n_words - (_G_REP_N - 1), F.lit(0))
+    n_distinct_grams = F.size(F.array_distinct(grams))
+    docs_w = docs.select("source", w.alias("w"))
+    fails = F.col("f_wc") + F.col("f_mwl") + F.col("f_stop") + F.col("f_rep")
+    flags = docs_w.select(
+        "source",
+        F.when(
+            (n_words < _G_MIN_WORDS) | (n_words > _G_MAX_WORDS), 1
+        )
+        .otherwise(0)
+        .alias("f_wc"),
+        F.when((mwl < _G_MIN_MWL) | (mwl > _G_MAX_MWL), 1)
+        .otherwise(0)
+        .alias("f_mwl"),
+        F.when(n_stop < _G_MIN_STOP, 1).otherwise(0).alias("f_stop"),
+        F.when(
+            (n_grams - n_distinct_grams) * 100 > n_grams * _G_REP_PCT, 1
+        )
+        .otherwise(0)
+        .alias("f_rep"),
+    )
+    n_pass = F.sum(F.when(fails == 0, 1).otherwise(0))
+    return (
+        flags.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("f_wc").cast("bigint").alias("fail_word_count"),
+            F.sum("f_mwl").cast("bigint").alias("fail_mean_word_len"),
+            F.sum("f_stop").cast("bigint").alias("fail_stopwords"),
+            F.sum("f_rep").cast("bigint").alias("fail_repetition"),
+            n_pass.cast("bigint").alias("n_pass"),
+            dround(n_pass.cast("double") / F.count("*"), 6).alias(
+                "pass_rate"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "vocab_coverage_report",
+    oracle="""
+    WITH tok AS (
+      SELECT unnest(string_split(trim(text), ' ')) AS token
+      FROM documents),
+    freq AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS freq
+      FROM tok GROUP BY token),
+    tot AS (SELECT CAST(SUM(freq) AS BIGINT) AS total_tokens FROM freq),
+    ranked AS (
+      SELECT token, freq,
+             ROW_NUMBER() OVER (ORDER BY freq DESC, token) AS rank
+      FROM freq),
+    bucketed AS (
+      SELECT (1::BIGINT << (length(bin(rank)) - 1)) AS bucket_start,
+             token, freq
+      FROM ranked),
+    per_bucket AS (
+      SELECT bucket_start,
+             CAST(COUNT(*) AS BIGINT) AS vocab_in_bucket,
+             CAST(SUM(freq) AS BIGINT) AS tokens_in_bucket
+      FROM bucketed GROUP BY bucket_start)
+    SELECT bucket_start, vocab_in_bucket, tokens_in_bucket,
+           CAST(SUM(vocab_in_bucket) OVER w AS BIGINT) AS cum_vocab,
+           CAST(SUM(tokens_in_bucket) OVER w AS BIGINT) AS cum_tokens,
+           ROUND(CAST(SUM(tokens_in_bucket) OVER w AS DOUBLE)
+                 / (SELECT total_tokens FROM tot), 6) AS coverage
+    FROM per_bucket
+    WINDOW w AS (ORDER BY bucket_start
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ORDER BY bucket_start
+    """,
+    doc="Vocabulary coverage / Zipf report (the tokenizer-budget planning "
+    "step before training a BPE vocab): rank every corpus token by "
+    "frequency, group ranks into power-of-two buckets (rank bucket = "
+    "2^floor(log2 rank), computed via binary-string length so both "
+    "engines bucket identically — no float log), and report per-bucket "
+    "and cumulative vocabulary size and token coverage. 'How many vocab "
+    "entries cover 90% of the stream' falls straight out of the "
+    "cumulative column. Shuffle profile at 100 TB: one token-keyed "
+    "aggregate (vocab-bounded, map-side combined); the GLOBAL rank runs "
+    "on the two-phase distributed ranker (operators/ranking.py — "
+    "bucket-partitioned local row_number + broadcast prefix offsets, no "
+    "single-partition window over the vocab relation, which grows with "
+    "the corpus); the final cumulative window sees only ~log2(vocab) "
+    "bucket rows (<= ~40 at any conceivable vocab), a reviewed "
+    "bounded-input window.",
+)
+def vocab_coverage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kyuubi_spark.operators.ranking import global_row_number
+
+    docs = load_table(spark, sf_dir, "documents")
+    freq = (
+        docs.select(
+            F.explode(F.split(F.trim(F.col("text")), " ")).alias("token")
+        )
+        .groupBy("token")
+        .agg(F.count("*").alias("freq"))
+    )
+    ranked, _total_vocab = global_row_number(
+        freq, [("freq", "desc"), ("token", "asc")], rn_col="rank"
+    )
+    tot = freq.agg(F.sum("freq").cast("bigint").alias("total_tokens"))
+    # PySpark's F.shiftleft only takes a literal bit count; the SQL
+    # function accepts a column, so express the power-of-two bucket there.
+    bucket_start = F.expr("shiftleft(cast(1 as bigint), length(bin(rank)) - 1)")
+    per_bucket = (
+        ranked.select(bucket_start.alias("bucket_start"), "freq")
+        .groupBy("bucket_start")
+        .agg(
+            F.count("*").alias("vocab_in_bucket"),
+            F.sum("freq").cast("bigint").alias("tokens_in_bucket"),
+        )
+    )
+    # Cumulative over <= ~40 log2-bucket rows — bounded input, reviewed in
+    # tools/window_audit.py's allowlist.
+    cum = Window.orderBy("bucket_start").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        per_bucket.crossJoin(F.broadcast(tot))
+        .select(
+            "bucket_start",
+            "vocab_in_bucket",
+            "tokens_in_bucket",
+            F.sum("vocab_in_bucket").over(cum).cast("bigint").alias("cum_vocab"),
+            F.sum("tokens_in_bucket")
+            .over(cum)
+            .cast("bigint")
+            .alias("cum_tokens"),
+            dround(
+                F.sum("tokens_in_bucket").over(cum).cast("double")
+                / F.col("total_tokens"),
+                6,
+            ).alias("coverage"),
+        )
+        .orderBy("bucket_start")
+    )

@@ -421,3 +421,41 @@ def test_tpcds_q24_ssales_star_and_scalar_threshold(spark, sf_dir):
     full = plans.explain_formatted(_build(spark, sf_dir, "tpcds_q24a"))
     assert "CartesianProduct" not in full
     assert full.count("BroadcastNestedLoopJoin") <= 2  # node + detail entry
+
+
+def test_exact_substring_spans_doc_partitioned_window(spark, sf_dir):
+    # the gaps-and-islands merge windows PARTITION BY doc_id (per-doc
+    # gram count is doc-length-bounded, never corpus-scaled) and the
+    # gram join is an equi-join — no cartesian anywhere
+    df = _build(spark, sf_dir, "exact_substring_spans")
+    text = plans.explain_formatted(df)
+    assert "CartesianProduct" not in text
+    assert "BroadcastNestedLoopJoin" not in text
+    _assert_all_windows_partitioned(text, "exact_substring_spans")
+
+
+def test_gopher_quality_report_map_only_rules(spark, sf_dir):
+    # all four Gopher rules are column expressions: the only shuffles are
+    # the bounded per-source aggregate and the final |sources|-row sort
+    df = _build(spark, sf_dir, "gopher_quality_report")
+    text = plans.explain_formatted(df)
+    assert "CartesianProduct" not in text
+    assert "BatchEvalPython" not in text and "ArrowEvalPython" not in text
+    assert plans.exchange_count(df) <= 3
+
+
+def test_vocab_coverage_rank_is_distributed(spark, sf_dir):
+    # the vocab-scaled global rank runs on the two-phase ranker (windows
+    # partitioned by range bucket); the ONLY unpartitioned window is the
+    # cumulative over <= ~40 log2-rank bucket rows (window_audit
+    # allowlist), and the corpus total joins in as a broadcast scalar
+    df = _build(spark, sf_dir, "vocab_coverage_report")
+    text = plans.explain_formatted(df)
+    assert "CartesianProduct" not in text
+    unpart = [
+        ln
+        for ln in text.splitlines()
+        if "windowspecdefinition(" in ln and not _window_is_partitioned(ln)
+    ]
+    for ln in unpart:
+        assert "bucket_start" in ln, f"unexpected global window: {ln[:160]}"

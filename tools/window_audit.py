@@ -28,6 +28,9 @@ ALLOWLIST = {
     "tpcds_q70": "state ranking over ~25 rows",
     "tpcds_shape_cumulative_share": "per-day cumulative (time-bounded)",
     "tpcds_shape_rank_bestworst": "rank over limit(10) inputs",
+    "vocab_coverage_report": "cumulative over <= ~40 log2-rank bucket rows"
+    " (bounded by log2 of vocab size; the vocab-scaled rank itself runs"
+    " on the distributed ranker)",
 }
 
 

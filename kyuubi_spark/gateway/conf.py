@@ -192,3 +192,23 @@ ENGINE_NAMESPACE = _entry(
     "Discovery namespace for engine resolution (EngineRef.engineSpace); "
     "on miss the gateway's engine_launcher creates-and-registers under "
     "the discovery launch lock.")
+
+# Authentication (reference KyuubiConf AUTHENTICATION_METHOD +
+# kyuubi.authentication.jdbc.* / custom.class; gateway/auth.py providers,
+# enforced by both thrift transports in server_main.KyuubiServer).
+AUTHENTICATION_METHOD = _entry(
+    "kyuubi.authentication", "NONE", str,
+    "NONE (anonymous) | JDBC (credential query with ${user}/${password} "
+    "binds) | CUSTOM (module:ClassName provider); LDAP unavailable in "
+    "this build.")
+AUTHENTICATION_JDBC_URL = _entry(
+    "kyuubi.authentication.jdbc.url", "", str,
+    "Credential database for JDBC auth (jdbc:sqlite:<path>).")
+AUTHENTICATION_JDBC_QUERY = _entry(
+    "kyuubi.authentication.jdbc.query", "", str,
+    "Auth query; every ${user}/${password} occurrence becomes a bound "
+    "parameter (JdbcAuthenticationProviderImpl.scala:36-46).")
+AUTHENTICATION_CUSTOM_CLASS = _entry(
+    "kyuubi.authentication.custom.class", "", str,
+    "module:ClassName implementing authenticate(user, password) for "
+    "CUSTOM auth.")

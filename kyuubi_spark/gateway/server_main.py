@@ -83,6 +83,17 @@ class KyuubiServer:
         self.engine = Engine(spark=spark, conf=conf)
         self.host = host
         self.discovery = discovery
+        # kyuubi.authentication: NONE (default) | JDBC | CUSTOM — builds
+        # the PasswdAuthenticationProvider both thrift transports enforce
+        # (SASL/PLAIN on binary, Basic on http); REST/Trino stay token/
+        # header-governed as before
+        method = (conf or {}).get("kyuubi.authentication", "NONE")
+        if str(method).upper() == "NONE":
+            self.auth = None
+        else:
+            from kyuubi_spark.gateway.auth import get_authentication_provider
+
+            self.auth = get_authentication_provider(str(method), conf)
         if discovery is not None:
             # engine-side lookup (remote sessions resolve namespaces here)
             self.engine.discovery = discovery
@@ -98,9 +109,11 @@ class KyuubiServer:
         from kyuubi_spark.gateway.thrift import ThriftFrontendService
         from kyuubi_spark.gateway.trino import TrinoGateway
 
-        self.thrift = ThriftFrontendService(self.engine, host=self.host).start()
+        self.thrift = ThriftFrontendService(
+            self.engine, host=self.host, auth=self.auth
+        ).start()
         self.thrift_http = ThriftFrontendService(
-            self.engine, host=self.host, transport="http"
+            self.engine, host=self.host, transport="http", auth=self.auth
         ).start()
         self.rest = RestGateway(self.engine, host=self.host).start()
         self.trino = TrinoGateway(self.engine, host=self.host).start()

@@ -293,14 +293,26 @@ class ThriftFrontendService:
         host: str = "127.0.0.1",
         port: int = 0,
         transport: str = "binary",
+        auth=None,
     ):
         """``transport``: "binary" (NOSASL TCP, the default HS2 mode) or
         "http" (HS2 HTTP transport mode — each thrift message POSTed to
         /cliservice, reply is the thrift response bytes;
         KyuubiTHttpFrontendService.scala / hive.server2.transport.mode=
-        http). Both serve the identical dispatch table."""
+        http). Both serve the identical dispatch table.
+
+        ``auth``: an optional ``PasswdAuthenticationProvider``
+        (gateway/auth.py). On the binary transport it switches the socket
+        to SASL/PLAIN mode (TSaslTransport handshake + length-framed
+        data, KyuubiTBinaryFrontendService with an AuthMethod); on HTTP
+        it requires a Basic Authorization header
+        (BasicAuthenticationHandler.scala). The authenticated principal
+        OVERRIDES the username inside OpenSession — the same precedence
+        the reference applies via its SASL-derived thread-local user
+        (TSetIpAddressProcessor.scala)."""
         self.engine = engine
         self.transport = transport
+        self.auth = auth
         self._sessions: dict[bytes, Any] = {}
         self._operations: dict[bytes, Any] = {}
         self._lock = threading.Lock()
@@ -312,11 +324,11 @@ class ThriftFrontendService:
 
         service = self
 
-        def serve_one(reader: "ProtocolReader") -> bytes:
+        def serve_one(reader: "ProtocolReader", auth_user: str | None = None) -> bytes:
             name, _mtype, seqid = reader.message_begin()
             args = reader.read_value(TType.STRUCT)
             try:
-                result = service.dispatch(name, args)
+                result = service.dispatch(name, args, auth_user=auth_user)
             except Exception as e:  # wire-level fault → TStatus error
                 result = [(1, TType.STRUCT, _status_error(str(e)))]
             w = ProtocolWriter()
@@ -338,9 +350,40 @@ class ThriftFrontendService:
                         self.send_response(404)
                         self.end_headers()
                         return
+                    auth_user = None
+                    if service.auth is not None:
+                        # BasicAuthenticationHandler.scala: Basic scheme,
+                        # base64(user:password), 401 + WWW-Authenticate on
+                        # any failure
+                        import base64 as _b64
+
+                        from kyuubi_spark.gateway.auth import (
+                            AuthenticationError,
+                        )
+
+                        hdr = self.headers.get("Authorization", "")
+                        try:
+                            scheme, _, blob = hdr.partition(" ")
+                            if scheme.lower() != "basic" or not blob:
+                                raise AuthenticationError(
+                                    "missing Basic credentials"
+                                )
+                            raw = _b64.b64decode(blob.strip()).decode("utf-8")
+                            user, _, passwd = raw.partition(":")
+                            service.auth.authenticate(user, passwd)
+                            auth_user = user
+                        except (AuthenticationError, ValueError):
+                            self.send_response(401)
+                            self.send_header(
+                                "WWW-Authenticate", 'Basic realm="kyuubi"'
+                            )
+                            self.end_headers()
+                            return
                     n = int(self.headers.get("Content-Length", 0))
                     body = self.rfile.read(n)
-                    out = serve_one(ProtocolReader(io.BytesIO(body)))
+                    out = serve_one(
+                        ProtocolReader(io.BytesIO(body)), auth_user=auth_user
+                    )
                     self.send_response(200)
                     self.send_header("Content-Type", "application/x-thrift")
                     self.send_header("Content-Length", str(len(out)))
@@ -352,12 +395,30 @@ class ThriftFrontendService:
 
             class Handler(socketserver.StreamRequestHandler):
                 def handle(self) -> None:
-                    reader = ProtocolReader(self.rfile)
+                    auth_user = None
+                    rfile = self.rfile
+                    framed = False
+                    if service.auth is not None:
+                        from kyuubi_spark.gateway import auth as sasl
+
+                        try:
+                            auth_user = sasl.server_negotiate(
+                                self.rfile, self.wfile, service.auth
+                            )
+                        except Exception:
+                            return  # ERROR/BAD already sent
+                        rfile = sasl.SaslFramedFile(self.rfile)
+                        framed = True
+                    reader = ProtocolReader(rfile)
                     while True:
                         try:
-                            out = serve_one(reader)
+                            out = serve_one(reader, auth_user=auth_user)
                         except (EOFError, ConnectionError):
                             return
+                        if framed:
+                            from kyuubi_spark.gateway.auth import frame
+
+                            out = frame(out)
                         self.wfile.write(out)
                         self.wfile.flush()
 
@@ -382,15 +443,19 @@ class ThriftFrontendService:
         self.server.server_close()
 
     # -- dispatch ---------------------------------------------------------
-    def dispatch(self, name: str, args: dict) -> list:
+    def dispatch(self, name: str, args: dict, auth_user: str | None = None) -> list:
         req = args.get(1, (None, {}))[1]  # every TCLIService call has one arg
         fn = getattr(self, f"_do_{name}", None)
         if fn is None:
             return [(1, TType.STRUCT, _status_error(f"unimplemented: {name}"))]
+        if name == "OpenSession" and auth_user:
+            return self._do_OpenSession(req, auth_user=auth_user)
         return fn(req)
 
-    def _do_OpenSession(self, req: dict) -> list:
-        user = req.get(2, (None, b"anonymous"))[1].decode("utf-8")
+    def _do_OpenSession(self, req: dict, auth_user: str | None = None) -> list:
+        # the SASL/Basic-authenticated principal outranks the request's
+        # claimed username (reference: SASL-derived user threadlocal)
+        user = auth_user or req.get(2, (None, b"anonymous"))[1].decode("utf-8")
         conf = {}
         if 4 in req:
             _, _, raw = req[4][1]
@@ -650,11 +715,25 @@ class ThriftFrontendService:
 
 
 class ThriftClient:
-    """Minimal TCLIService client (same codec, NOSASL socket)."""
+    """Minimal TCLIService client (same codec; NOSASL socket by default,
+    SASL/PLAIN when ``user`` is given)."""
 
-    def __init__(self, host: str, port: int):
+    def __init__(
+        self,
+        host: str,
+        port: int,
+        user: str | None = None,
+        password: str = "anonymous",
+    ):
         self.sock = socket.create_connection((host, port))
         self.rfile = self.sock.makefile("rb")
+        self._sasl = user is not None
+        if self._sasl:
+            from kyuubi_spark.gateway import auth as sasl
+
+            wfile = self.sock.makefile("wb")
+            sasl.client_negotiate(self.rfile, wfile, user, password)
+            self.rfile = sasl.SaslFramedFile(self.rfile)
         self._seq = 0
         # one socket, strictly request/response: serialize RPCs so
         # concurrent operations (remote-session status polls vs fetches)
@@ -670,6 +749,10 @@ class ThriftClient:
             pass
 
     def _roundtrip(self, payload: bytes) -> "ProtocolReader":
+        if self._sasl:
+            from kyuubi_spark.gateway.auth import frame
+
+            payload = frame(payload)
         self.sock.sendall(payload)
         return ProtocolReader(self.rfile)
 
@@ -829,13 +912,26 @@ class ThriftHttpClient(ThriftClient):
     payload POSTed to /cliservice per call (hive.server2.transport.mode=
     http client side)."""
 
-    def __init__(self, host: str, port: int, path: str = "/cliservice"):
+    def __init__(
+        self,
+        host: str,
+        port: int,
+        path: str = "/cliservice",
+        user: str | None = None,
+        password: str = "anonymous",
+    ):
         # no socket: every call is one HTTP roundtrip (still serialized —
         # _seq and response ordering stay coherent)
         self.url = f"http://{host}:{port}{path}"
         self._seq = 0
         self._rpc_lock = threading.Lock()
         self.session_guid: bytes | None = None
+        self._basic: str | None = None
+        if user is not None:
+            import base64
+
+            blob = base64.b64encode(f"{user}:{password}".encode()).decode()
+            self._basic = f"Basic {blob}"
 
     def close(self) -> None:
         pass
@@ -844,9 +940,11 @@ class ThriftHttpClient(ThriftClient):
         import io
         import urllib.request
 
+        headers = {"Content-Type": "application/x-thrift"}
+        if self._basic:
+            headers["Authorization"] = self._basic
         req = urllib.request.Request(
-            self.url, data=payload, method="POST",
-            headers={"Content-Type": "application/x-thrift"},
+            self.url, data=payload, method="POST", headers=headers,
         )
         with urllib.request.urlopen(req) as resp:
             return ProtocolReader(io.BytesIO(resp.read()))

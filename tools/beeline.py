@@ -69,6 +69,8 @@ def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="beeline", description=__doc__.splitlines()[0])
     p.add_argument("-u", "--url", required=True, help="host:port of the thrift frontend")
     p.add_argument("-n", "--user", default="beeline")
+    p.add_argument("-p", "--password", default=None,
+                   help="enable SASL/PLAIN (binary) or Basic (http) auth")
     p.add_argument("-e", "--execute", action="append", default=[],
                    help="statement(s) to run (repeatable; ';'-separated)")
     p.add_argument("-f", "--file", help="run statements from a file")
@@ -82,7 +84,10 @@ def main(argv: list[str] | None = None) -> int:
 
     host, port = a.url.rsplit(":", 1)
     cls = ThriftHttpClient if a.http else ThriftClient
-    client = cls(host, int(port))
+    if a.password is not None:
+        client = cls(host, int(port), user=a.user, password=a.password)
+    else:
+        client = cls(host, int(port))
     conf = dict(kv.split("=", 1) for kv in a.hiveconf if "=" in kv)
     client.open_session(user=a.user, conf=conf or None)
 

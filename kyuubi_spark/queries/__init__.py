@@ -104,6 +104,8 @@ _CHANGED_THIS_ROUND = {
     "exact_substring_spans",
     "gopher_quality_report",
     "vocab_coverage_report",
+    "bpe_merge_pair_counts",
+    "source_unigram_kl",
     # r06: exact-decimal profit summation (half-cent flip seen at sf0.1)
     "tpch_q9",
     # r06: total order at the LIMIT cut (p_name ties seen at sf0.1)

@@ -1,5 +1,6 @@
 """Training-data pipeline operators, batch 5 — duplicated-span extraction,
-rule-based quality filtering, and vocabulary coverage planning.
+rule-based quality filtering, vocabulary coverage planning, BPE merge-pair
+counting, and per-source distribution-drift detection.
 
 Continues pipeline.py..pipeline4.py (BASELINE.json north star: the
 operations a 100 TB pretraining pipeline needs beyond the reference's SQL
@@ -341,4 +342,122 @@ def vocab_coverage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("coverage"),
         )
         .orderBy("bucket_start")
+    )
+
+
+_BPE_TOP_K = 20
+
+
+@query(
+    "bpe_merge_pair_counts",
+    oracle=f"""
+    WITH words AS (
+      SELECT unnest(string_split(trim(text), ' ')) AS word
+      FROM documents),
+    pairs AS (
+      SELECT unnest(list_transform(
+               generate_series(1, len(word) - 1),
+               i -> substring(word, i, 2))) AS pair
+      FROM words)
+    SELECT pair, CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM pairs GROUP BY pair
+    ORDER BY n_pairs DESC, pair
+    LIMIT {_BPE_TOP_K}
+    """,
+    doc="BPE merge-pair counting (iteration 1 of byte-pair-encoding "
+    "tokenizer training, Sennrich et al. 2016): count every adjacent "
+    "character pair inside every word occurrence and surface the top "
+    "merge candidates. A full BPE trainer repeats this after each merge; "
+    "the per-iteration corpus scan is exactly this shape, so its scale "
+    "behavior is what matters: map-only pair extraction, one pair-keyed "
+    "aggregate whose key space is alphabet-squared (bounded, never "
+    "corpus-scaled, map-side combined), then a distributed top-k "
+    "(TakeOrdered, no global sort). LIMIT is total-ordered "
+    "(count desc, pair asc) per the house determinism rule.",
+)
+def bpe_merge_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(F.split(F.trim(F.col("text")), " ")).alias("word")
+    )
+    # Spark's sequence(1, 0) steps downward — guard 1-char words.
+    pairs_expr = F.expr(
+        "CASE WHEN length(word) >= 2 THEN"
+        " transform(sequence(1, length(word) - 1),"
+        " i -> substring(word, i, 2))"
+        " ELSE array() END"
+    )
+    return (
+        words.select(F.explode(pairs_expr).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count("*").alias("n_pairs"))
+        .orderBy(F.col("n_pairs").desc(), "pair")
+        .limit(_BPE_TOP_K)
+    )
+
+
+@query(
+    "source_unigram_kl",
+    oracle="""
+    WITH tok AS (
+      SELECT source, unnest(string_split(trim(text), ' ')) AS token
+      FROM documents),
+    st AS (
+      SELECT source, token, CAST(COUNT(*) AS BIGINT) AS c_st
+      FROM tok GROUP BY source, token),
+    s_tot AS (
+      SELECT source, CAST(SUM(c_st) AS BIGINT) AS n_s
+      FROM st GROUP BY source),
+    g AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS c_t FROM tok GROUP BY token),
+    n AS (SELECT CAST(SUM(c_t) AS BIGINT) AS n_g FROM g)
+    SELECT st.source,
+           CAST(MIN(s_tot.n_s) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS vocab_used,
+           ROUND(SUM((CAST(st.c_st AS DOUBLE) / s_tot.n_s)
+                     * ln((CAST(st.c_st AS DOUBLE) / s_tot.n_s)
+                          / (CAST(g.c_t AS DOUBLE) / n.n_g))), 4) AS kl
+    FROM st
+    JOIN s_tot ON s_tot.source = st.source
+    JOIN g ON g.token = st.token
+    CROSS JOIN n
+    GROUP BY st.source
+    ORDER BY st.source
+    """,
+    doc="Per-source unigram KL divergence against the corpus distribution "
+    "(source-mix drift detection: a source whose token distribution "
+    "diverges from the pool is boilerplate, spam, or off-domain — the "
+    "screening signal curation teams run before weighting a mix). "
+    "KL(source || corpus) = sum_t p_s(t) ln(p_s(t)/p_g(t)); every "
+    "source's support is a subset of the corpus support, so no zero "
+    "terms. Both engines average the same IEEE ln() terms and round to 4 "
+    "(the perplexity_filter precedent). Shuffle profile at 100 TB: "
+    "token-keyed aggregates bound by |vocab| x |sources| (map-side "
+    "combined), one vocab-bounded equi-join, the corpus total broadcast "
+    "as a 1-row scalar, and a |sources|-row final aggregate.",
+)
+def source_unigram_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source", F.explode(F.split(F.trim(F.col("text")), " ")).alias("token")
+    )
+    st = tok.groupBy("source", "token").agg(F.count("*").alias("c_st"))
+    s_tot = st.groupBy("source").agg(
+        F.sum("c_st").cast("bigint").alias("n_s")
+    )
+    g = tok.groupBy("token").agg(F.count("*").alias("c_t"))
+    n = g.agg(F.sum("c_t").cast("bigint").alias("n_g"))
+    p_s = F.col("c_st").cast("double") / F.col("n_s")
+    p_g = F.col("c_t").cast("double") / F.col("n_g")
+    return (
+        st.join(s_tot, "source")
+        .join(g, "token")
+        .crossJoin(F.broadcast(n))
+        .groupBy("source")
+        .agg(
+            F.min("n_s").cast("bigint").alias("n_tokens"),
+            F.count("*").alias("vocab_used"),
+            dround(F.sum(p_s * F.log(p_s / p_g)), 4).alias("kl"),
+        )
+        .orderBy("source")
     )

@@ -459,3 +459,22 @@ def test_vocab_coverage_rank_is_distributed(spark, sf_dir):
     ]
     for ln in unpart:
         assert "bucket_start" in ln, f"unexpected global window: {ln[:160]}"
+
+
+def test_bpe_merge_pairs_distributed_topk(spark, sf_dir):
+    # the top-k cut must be TakeOrdered (per-partition heads + bounded
+    # merge), never a global Sort feeding a CollectLimit
+    df = _build(spark, sf_dir, "bpe_merge_pair_counts")
+    text = plans.explain_formatted(df)
+    assert "TakeOrderedAndProject" in text
+    assert "CartesianProduct" not in text
+
+
+def test_source_unigram_kl_broadcast_total(spark, sf_dir):
+    # the 1-row corpus total joins in as a broadcast; the token join is
+    # an equi-join; no window anywhere
+    df = _build(spark, sf_dir, "source_unigram_kl")
+    text = plans.explain_formatted(df)
+    assert "CartesianProduct" not in text
+    assert "windowspecdefinition" not in text
+    assert plans.broadcast_join_count(df) >= 1 or "BroadcastNestedLoop" in text

@@ -106,6 +106,7 @@ _CHANGED_THIS_ROUND = {
     "vocab_coverage_report",
     "bpe_merge_pair_counts",
     "source_unigram_kl",
+    "semdedup_threshold_sweep",
     # r06: exact-decimal profit summation (half-cent flip seen at sf0.1)
     "tpch_q9",
     # r06: total order at the LIMIT cut (p_name ties seen at sf0.1)

@@ -461,3 +461,100 @@ def source_unigram_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+_SWEEP_THRESHOLDS = (0.15, 0.2, 0.25, 0.3, 0.35, 0.4, 0.45, 0.5)
+_SWEEP_FLOOR = 0.15
+
+
+@query(
+    "semdedup_threshold_sweep",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, embedding,
+             sqrt(list_sum(list_transform(embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      FROM embeddings),
+    pairs AS (
+      SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+             ROUND(list_sum(list_transform(
+                     generate_series(1, len(a.embedding)),
+                     i -> CAST(a.embedding[i] AS DOUBLE)
+                          * CAST(b.embedding[i] AS DOUBLE)))
+                   / (a.nrm * b.nrm), 6) AS score
+      FROM e a JOIN e b ON a.vec_id < b.vec_id),
+    floor_pairs AS (
+      SELECT * FROM pairs WHERE score >= {_SWEEP_FLOOR}),
+    t AS (SELECT CAST(unnest({list(_SWEEP_THRESHOLDS)!r}) AS DOUBLE)
+            AS threshold),
+    hits AS (
+      SELECT t.threshold, p.a_id, p.b_id
+      FROM floor_pairs p JOIN t ON p.score >= t.threshold)
+    SELECT t.threshold,
+           CAST(COALESCE(h.n_pairs, 0) AS BIGINT) AS n_pairs,
+           CAST(COALESCE(h.n_docs, 0) AS BIGINT) AS n_docs_in_pairs,
+           CAST(COALESCE(h.n_removable, 0) AS BIGINT) AS removable_docs
+    FROM t LEFT JOIN (
+      SELECT threshold,
+             COUNT(*) AS n_pairs,
+             (SELECT COUNT(DISTINCT id) FROM (
+                SELECT a_id AS id FROM hits h2 WHERE h2.threshold = h.threshold
+                UNION ALL
+                SELECT b_id FROM hits h3 WHERE h3.threshold = h.threshold))
+               AS n_docs,
+             COUNT(DISTINCT b_id) AS n_removable
+      FROM hits h GROUP BY threshold) h ON h.threshold = t.threshold
+    ORDER BY t.threshold
+    """,
+    doc="Semantic-dedup threshold tuning sweep: for each candidate cosine "
+    "threshold, how many near-dup pairs fire, how many documents are "
+    "touched, and how many the greedy remove-higher-id policy would drop "
+    "— the dial-setting table reviewed before running semantic_dedup / "
+    "embedding_near_dup for real (SemDeDup, Abbas et al. 2023, tunes "
+    "exactly this way). One pass of the distributed block-pair scorer at "
+    "the FLOOR threshold (each unordered pair scored in exactly one "
+    "task, nothing collected), then a broadcast 8-row threshold join "
+    "and bounded aggregates — the sweep adds no second scoring pass. "
+    "Scores round to 6 before comparing, so both engines count "
+    "identical pair sets.",
+)
+def semdedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kyuubi_spark.functions import similarity as S
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = S.cosine_near_dup_pairs(emb, threshold_rounded=_SWEEP_FLOOR)
+    thr = spark.createDataFrame(
+        [(t,) for t in _SWEEP_THRESHOLDS], "threshold double"
+    )
+    hits = pairs.join(
+        F.broadcast(thr), F.col("score") >= F.col("threshold")
+    )
+    # distinct-doc count via explode + countDistinct (never a per-group
+    # collect_list — that would buffer every pair id of a threshold in
+    # one aggregation state, the exact blowup this sweep is sizing)
+    agg = hits.groupBy("threshold").agg(
+        F.count("*").alias("n_pairs"),
+        F.countDistinct("b_id").alias("removable_docs"),
+    )
+    docs_touched = (
+        hits.select(
+            "threshold", F.explode(F.array("a_id", "b_id")).alias("id")
+        )
+        .groupBy("threshold")
+        .agg(F.countDistinct("id").alias("n_docs_in_pairs"))
+    )
+    return (
+        thr.join(agg, "threshold", "left")
+        .join(docs_touched, "threshold", "left")
+        .select(
+            "threshold",
+            F.coalesce("n_pairs", F.lit(0)).cast("bigint").alias("n_pairs"),
+            F.coalesce("n_docs_in_pairs", F.lit(0))
+            .cast("bigint")
+            .alias("n_docs_in_pairs"),
+            F.coalesce("removable_docs", F.lit(0))
+            .cast("bigint")
+            .alias("removable_docs"),
+        )
+        .orderBy("threshold")
+    )

@@ -478,3 +478,14 @@ def test_source_unigram_kl_broadcast_total(spark, sf_dir):
     assert "CartesianProduct" not in text
     assert "windowspecdefinition" not in text
     assert plans.broadcast_join_count(df) >= 1 or "BroadcastNestedLoop" in text
+
+
+def test_semdedup_sweep_single_scoring_pass_no_collect(spark, sf_dir):
+    # one block-pair scoring pass at the floor threshold; the 8-row
+    # threshold relation joins as a broadcast; distinct-doc counts come
+    # from explode+countDistinct, never a per-group collect_list buffer
+    df = _build(spark, sf_dir, "semdedup_threshold_sweep")
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "collect_list" not in plan
+    text = plans.explain_formatted(df)
+    assert "CartesianProduct" not in text

@@ -91,6 +91,12 @@ HEADLINE = [
     "approx_topk_cms",
     "corpus_shard_shuffle",
     "repeated_ngram_coverage",
+    "exact_substring_spans",
+    "gopher_quality_report",
+    "vocab_coverage_report",
+    "bpe_merge_pair_counts",
+    "source_unigram_kl",
+    "semdedup_threshold_sweep",
     "packing_efficiency_report",
     "mixture_budget_plan",
     "dedup_cluster_stats",

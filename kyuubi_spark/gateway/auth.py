@@ -189,12 +189,19 @@ def plain_response(user: str, password: str, authzid: str = "") -> bytes:
     )
 
 
+_MAX_NEGOTIATION_PAYLOAD = 1 << 20  # negotiation messages are tiny;
+# cap pre-auth allocations so an unauthenticated client can't claim a
+# 4 GB frame and balloon the handler
+
+
 def read_sasl_message(rfile) -> tuple[int, bytes]:
     hdr = rfile.read(5)
     if len(hdr) < 5:
         raise EOFError("sasl negotiation: connection closed")
     status = hdr[0]
     (n,) = struct.unpack(">I", hdr[1:5])
+    if n > _MAX_NEGOTIATION_PAYLOAD:
+        raise AuthenticationError(f"negotiation payload too large ({n})")
     payload = rfile.read(n) if n else b""
     if len(payload) < n:
         raise EOFError("sasl negotiation: short payload")

@@ -251,3 +251,13 @@ def test_beeline_sasl_one_shot(sasl_server, capsys):
     ])
     out = capsys.readouterr().out
     assert rc == 0 and "u\nalice" in out
+
+
+def test_negotiation_rejects_oversized_payload():
+    import io
+
+    import kyuubi_spark.gateway.auth as a
+
+    big = bytes([a.START]) + (2**30).to_bytes(4, "big")
+    with pytest.raises(AuthenticationError):
+        a.read_sasl_message(io.BytesIO(big + b"x"))

@@ -279,3 +279,22 @@ class SaslFramedFile:
 
 def frame(payload: bytes) -> bytes:
     return struct.pack(">I", len(payload)) + payload
+
+
+def check_basic(authorization: str | None, provider) -> str:
+    """Validate an HTTP ``Authorization: Basic`` header against a
+    provider; returns the authenticated user (the one shared filter the
+    reference applies across its HTTP frontends,
+    BasicAuthenticationHandler.scala / AuthenticationFilter.scala)."""
+    import base64
+
+    scheme, _, blob = (authorization or "").partition(" ")
+    if scheme.lower() != "basic" or not blob:
+        raise AuthenticationError("missing Basic credentials")
+    try:
+        raw = base64.b64decode(blob.strip()).decode("utf-8")
+    except Exception as e:  # malformed base64 → auth failure, not a 500
+        raise AuthenticationError("malformed Basic credentials") from e
+    user, _, passwd = raw.partition(":")
+    provider.authenticate(user, passwd)
+    return user

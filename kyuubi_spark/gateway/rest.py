@@ -115,13 +115,26 @@ class BatchJob:
 class RestGateway:
     """HTTP frontend bound to an Engine; start()/shutdown() lifecycle."""
 
-    def __init__(self, engine: Engine, host: str = "127.0.0.1", port: int = 0):
+    def __init__(
+        self,
+        engine: Engine,
+        host: str = "127.0.0.1",
+        port: int = 0,
+        auth=None,
+    ):
         self.engine = engine
         self.operations: dict[str, tuple] = {}  # oid → (session, operation)
         self.batches: dict[str, BatchJob] = {}
+        # optional PasswdAuthenticationProvider — when set every request
+        # must carry Basic credentials (the reference applies one
+        # AuthenticationFilter across its HTTP frontends) and the
+        # authenticated principal overrides any user in the request body
+        self.auth = auth
         gateway = self
 
         class Handler(BaseHTTPRequestHandler):
+            auth_user: str | None = None
+
             def log_message(self, *a):  # quiet test output
                 pass
 
@@ -137,19 +150,46 @@ class RestGateway:
                 n = int(self.headers.get("Content-Length") or 0)
                 return json.loads(self.rfile.read(n) or b"{}")
 
+            def _authenticate(self) -> bool:
+                if gateway.auth is None:
+                    return True
+                from kyuubi_spark.gateway.auth import (
+                    AuthenticationError,
+                    check_basic,
+                )
+
+                try:
+                    self.auth_user = check_basic(
+                        self.headers.get("Authorization"), gateway.auth
+                    )
+                    return True
+                except AuthenticationError:
+                    self.send_response(401)
+                    self.send_header(
+                        "WWW-Authenticate", 'Basic realm="kyuubi"'
+                    )
+                    self.end_headers()
+                    return False
+
             def do_POST(self):  # noqa: N802
+                if not self._authenticate():
+                    return
                 try:
                     gateway._route(self, "POST")
                 except Exception as e:  # noqa: BLE001
                     self._reply(500, {"error": str(e)})
 
             def do_GET(self):  # noqa: N802
+                if not self._authenticate():
+                    return
                 try:
                     gateway._route(self, "GET")
                 except Exception as e:  # noqa: BLE001
                     self._reply(500, {"error": str(e)})
 
             def do_DELETE(self):  # noqa: N802
+                if not self._authenticate():
+                    return
                 try:
                     gateway._route(self, "DELETE")
                 except Exception as e:  # noqa: BLE001
@@ -194,7 +234,9 @@ class RestGateway:
         elif parts == ["sessions"] and method == "POST":
             body = h._body()
             s = self.engine.open_session(
-                user=body.get("user", "anonymous"), conf=body.get("conf")
+                user=getattr(h, "auth_user", None)
+                or body.get("user", "anonymous"),
+                conf=body.get("conf"),
             )
             h._reply(200, {"identifier": s.handle.id, "user": s.user})
         elif parts == ["sessions"] and method == "GET":

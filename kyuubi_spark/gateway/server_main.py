@@ -115,8 +115,12 @@ class KyuubiServer:
         self.thrift_http = ThriftFrontendService(
             self.engine, host=self.host, transport="http", auth=self.auth
         ).start()
-        self.rest = RestGateway(self.engine, host=self.host).start()
-        self.trino = TrinoGateway(self.engine, host=self.host).start()
+        self.rest = RestGateway(
+            self.engine, host=self.host, auth=self.auth
+        ).start()
+        self.trino = TrinoGateway(
+            self.engine, host=self.host, auth=self.auth
+        ).start()
         self.gc.start()
         if self.discovery is not None:
             self.discovery.create_client()

@@ -355,24 +355,17 @@ class ThriftFrontendService:
                         # BasicAuthenticationHandler.scala: Basic scheme,
                         # base64(user:password), 401 + WWW-Authenticate on
                         # any failure
-                        import base64 as _b64
-
                         from kyuubi_spark.gateway.auth import (
                             AuthenticationError,
+                            check_basic,
                         )
 
-                        hdr = self.headers.get("Authorization", "")
                         try:
-                            scheme, _, blob = hdr.partition(" ")
-                            if scheme.lower() != "basic" or not blob:
-                                raise AuthenticationError(
-                                    "missing Basic credentials"
-                                )
-                            raw = _b64.b64decode(blob.strip()).decode("utf-8")
-                            user, _, passwd = raw.partition(":")
-                            service.auth.authenticate(user, passwd)
-                            auth_user = user
-                        except (AuthenticationError, ValueError):
+                            auth_user = check_basic(
+                                self.headers.get("Authorization"),
+                                service.auth,
+                            )
+                        except AuthenticationError:
                             self.send_response(401)
                             self.send_header(
                                 "WWW-Authenticate", 'Basic realm="kyuubi"'

@@ -102,9 +102,14 @@ class TrinoGateway:
     """Minimal Trino-protocol server over a gateway Engine."""
 
     def __init__(self, engine: Engine, host: str = "127.0.0.1", port: int = 0,
-                 page_size: int = 1000):
+                 page_size: int = 1000, auth=None):
         self.engine = engine
         self.page_size = page_size
+        # optional PasswdAuthenticationProvider: Basic credentials on every
+        # request; the authenticated principal outranks X-Trino-User (real
+        # Trino behaves the same way — the header is only trusted when the
+        # server runs without an authenticator)
+        self.auth = auth
         self._queries: dict[str, _Query] = {}
         self._sessions: dict[str, object] = {}
         # (user, statement_name) -> sql, for PREPARE/EXECUTE/DEALLOCATE
@@ -124,13 +129,38 @@ class TrinoGateway:
                 self.end_headers()
                 self.wfile.write(raw)
 
+            def _authenticate(self) -> tuple[bool, str | None]:
+                if service.auth is None:
+                    return True, None
+                from kyuubi_spark.gateway.auth import (
+                    AuthenticationError,
+                    check_basic,
+                )
+
+                try:
+                    return True, check_basic(
+                        self.headers.get("Authorization"), service.auth
+                    )
+                except AuthenticationError:
+                    self.send_response(401)
+                    self.send_header(
+                        "WWW-Authenticate", 'Basic realm="kyuubi"'
+                    )
+                    self.end_headers()
+                    return False, None
+
             def do_POST(self):  # noqa: N802
+                ok, auth_user = self._authenticate()
+                if not ok:
+                    return
                 if self.path.rstrip("/") != "/v1/statement":
                     self._reply(404, {"error": "not found"})
                     return
                 n = int(self.headers.get("Content-Length", 0))
                 sql = self.rfile.read(n).decode("utf-8")
-                user = self.headers.get("X-Trino-User", "anonymous")
+                user = auth_user or self.headers.get(
+                    "X-Trino-User", "anonymous"
+                )
                 # Trino session properties header: comma-separated k=v —
                 # lets a Trino client pick the backing engine
                 # (kyuubi.engine.type=JDBC etc.); applied when this user's
@@ -146,6 +176,8 @@ class TrinoGateway:
                 )
 
             def do_GET(self):  # noqa: N802
+                if not self._authenticate()[0]:
+                    return
                 parts = self.path.strip("/").split("/")
                 # /v1/statement/{id}/{slug}/{token}
                 if len(parts) >= 4 and parts[:2] == ["v1", "statement"]:
@@ -154,6 +186,8 @@ class TrinoGateway:
                     self._reply(404, {"error": "not found"})
 
             def do_DELETE(self):  # noqa: N802
+                if not self._authenticate()[0]:
+                    return
                 parts = self.path.strip("/").split("/")
                 if len(parts) >= 4 and parts[:2] == ["v1", "statement"]:
                     self._reply(204, service.cancel(parts[2]))

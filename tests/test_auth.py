@@ -261,3 +261,79 @@ def test_negotiation_rejects_oversized_payload():
     big = bytes([a.START]) + (2**30).to_bytes(4, "big")
     with pytest.raises(AuthenticationError):
         a.read_sasl_message(io.BytesIO(big + b"x"))
+
+
+def test_rest_and_trino_basic_auth(spark):
+    """All four frontends enforce one provider: REST and Trino return 401
+    without Basic credentials and honor the authenticated principal."""
+    import base64
+    import json
+    import urllib.error
+    import urllib.request
+
+    from kyuubi_spark.gateway.server_main import KyuubiServer
+
+    srv = KyuubiServer(
+        spark=spark,
+        conf={
+            "kyuubi.authentication": "CUSTOM",
+            "kyuubi.authentication.custom.class": (
+                f"{__name__}:StaticProvider"
+            ),
+        },
+    ).start()
+    try:
+        rh, rp = srv.endpoints()["rest"]
+        url = f"http://{rh}:{rp}/api/v1/sessions"
+        body = json.dumps({"user": "mallory"}).encode()
+        req = urllib.request.Request(
+            url, data=body, method="POST",
+            headers={"Content-Type": "application/json"},
+        )
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req)
+        assert ei.value.code == 401
+        blob = base64.b64encode(b"alice:wonder").decode()
+        req = urllib.request.Request(
+            url, data=body, method="POST",
+            headers={
+                "Content-Type": "application/json",
+                "Authorization": f"Basic {blob}",
+            },
+        )
+        with urllib.request.urlopen(req) as resp:
+            out = json.loads(resp.read())
+        assert out["user"] == "alice"  # principal overrides the body user
+
+        th, tp = srv.endpoints()["trino"]
+        turl = f"http://{th}:{tp}/v1/statement"
+        treq = urllib.request.Request(
+            turl, data=b"SELECT 1 AS one", method="POST",
+            headers={"X-Trino-User": "mallory"},
+        )
+        with pytest.raises(urllib.error.HTTPError) as ei2:
+            urllib.request.urlopen(treq)
+        assert ei2.value.code == 401
+        treq = urllib.request.Request(
+            turl, data=b"SELECT session_user() AS u", method="POST",
+            headers={
+                "X-Trino-User": "mallory",
+                "Authorization": f"Basic {blob}",
+            },
+        )
+        with urllib.request.urlopen(treq) as resp:
+            page = json.loads(resp.read())
+        # drain nextUri pages until data arrives
+        data = page.get("data") or []
+        while "nextUri" in page and not data:
+            with urllib.request.urlopen(
+                urllib.request.Request(
+                    page["nextUri"],
+                    headers={"Authorization": f"Basic {blob}"},
+                )
+            ) as resp:
+                page = json.loads(resp.read())
+                data = data or page.get("data") or []
+        assert data == [["alice"]]
+    finally:
+        srv.stop()

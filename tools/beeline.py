@@ -44,7 +44,11 @@ def _render(schema: list[tuple[str, int]], rows: list[list], fmt: str) -> str:
     return "\n".join(lines)
 
 
-def run_statement(client, sql: str, maxrows: int, fmt: str, out=sys.stdout) -> bool:
+def run_statement(client, sql: str, maxrows: int, fmt: str, out=None) -> bool:
+    # resolve stdout at CALL time: a default bound at import would pin
+    # whatever sys.stdout was during the first import (test captures,
+    # redirections) for the life of the process
+    out = out if out is not None else sys.stdout
     sql = sql.strip().rstrip(";")
     if not sql:
         return True

@@ -337,3 +337,39 @@ def test_rest_and_trino_basic_auth(spark):
         assert data == [["alice"]]
     finally:
         srv.stop()
+
+
+def test_ctl_cli_with_basic_auth(spark, capsys):
+    """tools/ctl.py --user/--password drives an authenticated REST server."""
+    import sys as _sys
+
+    _sys.path.insert(0, __file__.rsplit("/tests/", 1)[0])
+    from kyuubi_spark.gateway.server_main import KyuubiServer
+    from tools import ctl
+
+    srv = KyuubiServer(
+        spark=spark,
+        conf={
+            "kyuubi.authentication": "CUSTOM",
+            "kyuubi.authentication.custom.class": (
+                f"{__name__}:StaticProvider"
+            ),
+        },
+    ).start()
+    try:
+        rh, rp = srv.endpoints()["rest"]
+        ctl.main([
+            "--url", f"http://{rh}:{rp}",
+            "--user", "bob", "--password", "builder",
+            "list", "sessions",
+        ])
+        capsys.readouterr()  # drains; no exit means 200
+        with pytest.raises(SystemExit):
+            ctl.main([
+                "--url", f"http://{rh}:{rp}",
+                "--user", "bob", "--password", "wrong",
+                "list", "sessions",
+            ])
+    finally:
+        ctl._BASIC = None
+        srv.stop()

@@ -26,11 +26,16 @@ import urllib.error
 import urllib.request
 
 
+_BASIC: str | None = None  # set from --user/--password in main()
+
+
 def _call(url: str, method: str = "GET", body: dict | None = None):
     data = json.dumps(body).encode() if body is not None else None
     req = urllib.request.Request(url, data=data, method=method)
     if data:
         req.add_header("Content-Type", "application/json")
+    if _BASIC:
+        req.add_header("Authorization", _BASIC)
     try:
         with urllib.request.urlopen(req) as resp:
             raw = resp.read()
@@ -51,6 +56,9 @@ def _emit(obj) -> None:
 def main(argv: list[str] | None = None) -> None:
     p = argparse.ArgumentParser(prog="ctl", description=__doc__.splitlines()[0])
     p.add_argument("--url", required=True, help="gateway REST base, e.g. http://127.0.0.1:8080")
+    p.add_argument("--user", default=None,
+                   help="Basic-auth user (servers running kyuubi.authentication)")
+    p.add_argument("--password", default="anonymous")
     sub = p.add_subparsers(dest="verb", required=True)
 
     lst = sub.add_parser("list")
@@ -80,6 +88,13 @@ def main(argv: list[str] | None = None) -> None:
     sql.add_argument("--maxrows", type=int, default=100)
 
     a = p.parse_args(argv)
+    if a.user is not None:
+        import base64
+
+        global _BASIC
+        _BASIC = "Basic " + base64.b64encode(
+            f"{a.user}:{a.password}".encode()
+        ).decode()
     base = a.url.rstrip("/") + "/api/v1"
 
     if a.verb == "list":

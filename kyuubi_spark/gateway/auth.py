@@ -4,9 +4,9 @@ Reference semantics (public Apache Kyuubi / Hive / Thrift protocols):
 
 - ``AuthenticationProviderFactory.scala``: selects a
   ``PasswdAuthenticationProvider`` per ``AuthMethods`` value — NONE →
-  anonymous, JDBC → query a credential table, CUSTOM → user-supplied
-  class; LDAP needs a directory server and client lib this container
-  doesn't ship, so requesting it raises with a clear message.
+  anonymous, JDBC → query a credential table, LDAP → wire-level simple
+  bind (gateway/ldap.py, no client library needed), CUSTOM →
+  user-supplied class.
 - ``JdbcAuthenticationProviderImpl.scala:36-46``: the auth query carries
   ``${user}`` / ``${password}`` placeholders and is executed as a bound
   PreparedStatement; authentication succeeds iff it returns at least one
@@ -152,10 +152,9 @@ def get_authentication_provider(
             )
         return CustomAuthenticationProvider(cls)
     if m == "LDAP":
-        raise ValueError(
-            "LDAP authentication needs a directory server and client "
-            "library not present in this build; use JDBC or CUSTOM"
-        )
+        from kyuubi_spark.gateway.ldap import LdapAuthenticationProvider
+
+        return LdapAuthenticationProvider(conf)
     raise ValueError(f"not a valid authentication method: {method}")
 
 

@@ -199,8 +199,8 @@ ENGINE_NAMESPACE = _entry(
 AUTHENTICATION_METHOD = _entry(
     "kyuubi.authentication", "NONE", str,
     "NONE (anonymous) | JDBC (credential query with ${user}/${password} "
-    "binds) | CUSTOM (module:ClassName provider); LDAP unavailable in "
-    "this build.")
+    "binds) | LDAP (wire-level simple bind, gateway/ldap.py) | CUSTOM "
+    "(module:ClassName provider).")
 AUTHENTICATION_JDBC_URL = _entry(
     "kyuubi.authentication.jdbc.url", "", str,
     "Credential database for JDBC auth (jdbc:sqlite:<path>).")
@@ -212,3 +212,16 @@ AUTHENTICATION_CUSTOM_CLASS = _entry(
     "kyuubi.authentication.custom.class", "", str,
     "module:ClassName implementing authenticate(user, password) for "
     "CUSTOM auth.")
+AUTHENTICATION_LDAP_URL = _entry(
+    "kyuubi.authentication.ldap.url", "", str,
+    "Space-separated ldap://host:port URL(s); first is used "
+    "(KyuubiConf AUTHENTICATION_LDAP_URL).")
+AUTHENTICATION_LDAP_BASE_DN = _entry(
+    "kyuubi.authentication.ldap.baseDN", "", str,
+    "Bind DN becomes {guidKey}={user},{baseDN} when set.")
+AUTHENTICATION_LDAP_DOMAIN = _entry(
+    "kyuubi.authentication.ldap.domain", "", str,
+    "Fallback user@domain principal when no baseDN is set.")
+AUTHENTICATION_LDAP_GUID_KEY = _entry(
+    "kyuubi.authentication.ldap.guidKey", "uid", str,
+    "Unique LDAP attribute for the DN pattern (uid, CN).")

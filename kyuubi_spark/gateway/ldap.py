@@ -1,0 +1,166 @@
+"""LDAP simple-bind authentication — dependency-free RFC 4511 subset.
+
+The reference's ``LdapAuthenticationProviderImpl.scala`` authenticates by
+performing an LDAP *simple bind* as the user and treating a successful
+bind as a valid credential. The container ships no LDAP client library,
+so this module speaks the wire protocol directly: a BindRequest is a
+small, fixed BER structure (RFC 4511 §4.2) and the BindResponse's
+resultCode is all we need back. Conf keys mirror the reference
+(KyuubiConf.scala:1080-1158): ``kyuubi.authentication.ldap.url``,
+``.baseDN``, ``.domain``, ``.guidKey`` (default ``uid``); the bind DN is
+``{guidKey}={user},{baseDN}`` when a baseDN is set (the classic
+Hive/Kyuubi pattern), else ``user@domain`` when a domain is set, else
+the bare user.
+
+Only the simple-bind half is implemented — search-based user/group
+filters (``ldap/*.scala``) need a directory schema this sandbox doesn't
+have and stay out of scope.
+"""
+
+from __future__ import annotations
+
+import socket
+
+from kyuubi_spark.gateway.auth import (
+    AuthenticationError,
+    PasswdAuthenticationProvider,
+)
+
+# BER/LDAP tags (RFC 4511 / X.690)
+_SEQUENCE = 0x30
+_INTEGER = 0x02
+_OCTET_STRING = 0x04
+_ENUMERATED = 0x0A
+_APP_BIND_REQUEST = 0x60  # [APPLICATION 0] constructed
+_APP_BIND_RESPONSE = 0x61  # [APPLICATION 1] constructed
+_CTX_SIMPLE_AUTH = 0x80  # [0] primitive: simple password
+
+RESULT_SUCCESS = 0
+RESULT_INVALID_CREDENTIALS = 49
+
+
+def _ber_len(n: int) -> bytes:
+    if n < 0x80:
+        return bytes([n])
+    body = n.to_bytes((n.bit_length() + 7) // 8, "big")
+    return bytes([0x80 | len(body)]) + body
+
+
+def _tlv(tag: int, payload: bytes) -> bytes:
+    return bytes([tag]) + _ber_len(len(payload)) + payload
+
+
+def bind_request(msg_id: int, dn: str, password: str) -> bytes:
+    """LDAPMessage{messageID, BindRequest{version=3, name, simple}}."""
+    inner = (
+        _tlv(_INTEGER, bytes([3]))
+        + _tlv(_OCTET_STRING, dn.encode("utf-8"))
+        + _tlv(_CTX_SIMPLE_AUTH, password.encode("utf-8"))
+    )
+    body = _tlv(_INTEGER, bytes([msg_id])) + _tlv(_APP_BIND_REQUEST, inner)
+    return _tlv(_SEQUENCE, body)
+
+
+def _read_tlv(buf: bytes, off: int) -> tuple[int, bytes, int]:
+    """-> (tag, payload, next_offset); raises on truncation."""
+    if off + 2 > len(buf):
+        raise ValueError("truncated BER element")
+    tag = buf[off]
+    first = buf[off + 1]
+    off += 2
+    if first < 0x80:
+        ln = first
+    else:
+        nlen = first & 0x7F
+        if off + nlen > len(buf):
+            raise ValueError("truncated BER length")
+        ln = int.from_bytes(buf[off : off + nlen], "big")
+        off += nlen
+    if off + ln > len(buf):
+        raise ValueError("truncated BER payload")
+    return tag, buf[off : off + ln], off + ln
+
+
+def parse_bind_response(data: bytes) -> int:
+    """Extract the BindResponse resultCode from an LDAPMessage."""
+    tag, body, _ = _read_tlv(data, 0)
+    if tag != _SEQUENCE:
+        raise ValueError(f"not an LDAPMessage (tag 0x{tag:02x})")
+    tag, _msgid, off = _read_tlv(body, 0)
+    if tag != _INTEGER:
+        raise ValueError("LDAPMessage without messageID")
+    tag, op, _ = _read_tlv(body, off)
+    if tag != _APP_BIND_RESPONSE:
+        raise ValueError(f"not a BindResponse (tag 0x{tag:02x})")
+    tag, code, _ = _read_tlv(op, 0)
+    if tag != _ENUMERATED:
+        raise ValueError("BindResponse without resultCode")
+    return int.from_bytes(code, "big")
+
+
+def simple_bind(host: str, port: int, dn: str, password: str,
+                timeout: float = 10.0) -> int:
+    """One TCP round-trip: send BindRequest, return the resultCode."""
+    with socket.create_connection((host, port), timeout=timeout) as sock:
+        sock.sendall(bind_request(1, dn, password))
+        buf = b""
+        while True:
+            chunk = sock.recv(4096)
+            if not chunk:
+                raise AuthenticationError("LDAP server closed connection")
+            buf += chunk
+            try:
+                return parse_bind_response(buf)
+            except ValueError:
+                continue  # need more bytes
+
+
+class LdapAuthenticationProvider(PasswdAuthenticationProvider):
+    """Simple-bind provider (LdapAuthenticationProviderImpl semantics)."""
+
+    def __init__(self, conf: dict):
+        url = conf.get("kyuubi.authentication.ldap.url", "")
+        if not url:
+            raise ValueError(
+                "kyuubi.authentication.ldap.url must be set for LDAP "
+                "authentication"
+            )
+        # "SPACE character separated LDAP connection URL(s)" — use the
+        # first; multi-server failover is a deployment concern
+        first = url.split()[0].removeprefix("ldap://")
+        host, _, port = first.partition(":")
+        self.host, self.port = host, int(port or 389)
+        self.base_dn = conf.get(
+            "kyuubi.authentication.ldap.baseDN",
+            conf.get("kyuubi.authentication.ldap.base.dn", ""),
+        )
+        self.domain = conf.get("kyuubi.authentication.ldap.domain", "")
+        self.guid_key = conf.get("kyuubi.authentication.ldap.guidKey", "uid")
+
+    def _bind_dn(self, user: str) -> str:
+        if "=" in user or "," in user:
+            return user  # already a DN
+        if self.base_dn:
+            return f"{self.guid_key}={user},{self.base_dn}"
+        if self.domain and "@" not in user:
+            return f"{user}@{self.domain}"
+        return user
+
+    def authenticate(self, user: str, password: str) -> None:
+        if not user:
+            raise AuthenticationError("no user name provided")
+        if not password:
+            # RFC 4513 §5.1.2: an empty password is an UNAUTHENTICATED
+            # bind, which most servers report as success — never treat it
+            # as a valid credential (Hive/Kyuubi reject it the same way)
+            raise AuthenticationError("empty passwords are not allowed")
+        try:
+            code = simple_bind(
+                self.host, self.port, self._bind_dn(user), password
+            )
+        except (OSError, ValueError) as e:
+            raise AuthenticationError(f"LDAP bind failed: {e}") from e
+        if code != RESULT_SUCCESS:
+            raise AuthenticationError(
+                f"LDAP bind rejected for {user} (resultCode {code})"
+            )

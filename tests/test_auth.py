@@ -100,7 +100,7 @@ def test_provider_factory_methods(tmp_path):
     with pytest.raises(AuthenticationError):
         custom.authenticate("alice", "nope")
     with pytest.raises(ValueError):
-        get_authentication_provider("LDAP")
+        get_authentication_provider("LDAP")  # needs .url conf
     with pytest.raises(ValueError):
         get_authentication_provider("KERBEROS")
 

@@ -1,0 +1,163 @@
+"""LDAP simple-bind provider against an in-process toy directory server.
+
+The server speaks just enough RFC 4511: parse the BindRequest's DN and
+password with the same BER reader the client uses, answer resultCode 0
+(success) or 49 (invalidCredentials). Mirrors the reference's
+LdapAuthenticationProviderImplSuite shape (an embedded directory with
+one known user).
+"""
+
+from __future__ import annotations
+
+import socketserver
+import threading
+
+import pytest
+
+from kyuubi_spark.gateway.auth import (
+    AuthenticationError,
+    get_authentication_provider,
+)
+from kyuubi_spark.gateway import ldap as L
+
+
+CREDS = {"uid=alice,ou=users,dc=example,dc=com": "wonder"}
+
+
+def _bind_response(msg_id: int, code: int) -> bytes:
+    inner = (
+        L._tlv(L._ENUMERATED, bytes([code]))
+        + L._tlv(L._OCTET_STRING, b"")  # matchedDN
+        + L._tlv(L._OCTET_STRING, b"")  # diagnosticMessage
+    )
+    body = L._tlv(L._INTEGER, bytes([msg_id])) + L._tlv(
+        L._APP_BIND_RESPONSE, inner
+    )
+    return L._tlv(L._SEQUENCE, body)
+
+
+class _ToyLdapHandler(socketserver.BaseRequestHandler):
+    def handle(self) -> None:
+        buf = b""
+        while True:
+            chunk = self.request.recv(4096)
+            if not chunk:
+                return
+            buf += chunk
+            try:
+                _tag, body, _ = L._read_tlv(buf, 0)
+            except ValueError:
+                continue  # incomplete message
+            _t, msgid, off = L._read_tlv(body, 0)
+            _t, op, _ = L._read_tlv(body, off)
+            _t, _ver, o = L._read_tlv(op, 0)
+            _t, dn, o = L._read_tlv(op, o)
+            _t, pw, _ = L._read_tlv(op, o)
+            ok = CREDS.get(dn.decode()) == pw.decode() and pw != b""
+            code = L.RESULT_SUCCESS if ok else L.RESULT_INVALID_CREDENTIALS
+            self.request.sendall(_bind_response(msgid[0], code))
+            return
+
+
+@pytest.fixture(scope="module")
+def ldap_server():
+    srv = socketserver.ThreadingTCPServer(("127.0.0.1", 0), _ToyLdapHandler)
+    srv.daemon_threads = True
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    yield srv.server_address
+    srv.shutdown()
+    srv.server_close()
+
+
+def _provider(host, port):
+    return get_authentication_provider(
+        "LDAP",
+        {
+            "kyuubi.authentication.ldap.url": f"ldap://{host}:{port}",
+            "kyuubi.authentication.ldap.baseDN": "ou=users,dc=example,dc=com",
+        },
+    )
+
+
+def test_ldap_bind_accepts_good_credentials(ldap_server):
+    _provider(*ldap_server).authenticate("alice", "wonder")
+
+
+def test_ldap_bind_rejects_bad_password(ldap_server):
+    with pytest.raises(AuthenticationError) as ei:
+        _provider(*ldap_server).authenticate("alice", "nope")
+    assert "49" in str(ei.value)
+
+
+def test_ldap_bind_rejects_unknown_user(ldap_server):
+    with pytest.raises(AuthenticationError):
+        _provider(*ldap_server).authenticate("mallory", "wonder")
+
+
+def test_ldap_empty_password_is_never_an_anonymous_bind(ldap_server):
+    # RFC 4513 §5.1.2: empty password = unauthenticated bind, which many
+    # servers accept — the provider must reject it before any wire call
+    with pytest.raises(AuthenticationError):
+        _provider(*ldap_server).authenticate("alice", "")
+
+
+def test_ldap_dn_construction():
+    p = _provider("127.0.0.1", 1)
+    assert p._bind_dn("bob") == "uid=bob,ou=users,dc=example,dc=com"
+    # a full DN passes through untouched
+    dn = "cn=svc,dc=example,dc=com"
+    assert p._bind_dn(dn) == dn
+    q = get_authentication_provider(
+        "LDAP",
+        {
+            "kyuubi.authentication.ldap.url": "ldap://h:389",
+            "kyuubi.authentication.ldap.domain": "example.com",
+        },
+    )
+    assert q._bind_dn("bob") == "bob@example.com"
+
+
+def test_ber_codec_round_trip():
+    req = L.bind_request(7, "uid=x,dc=y", "s3cret")
+    _tag, body, _ = L._read_tlv(req, 0)
+    _t, msgid, off = L._read_tlv(body, 0)
+    assert msgid == bytes([7])
+    _t, op, _ = L._read_tlv(body, off)
+    _t, ver, o = L._read_tlv(op, 0)
+    assert ver == bytes([3])
+    _t, dn, o = L._read_tlv(op, o)
+    assert dn == b"uid=x,dc=y"
+    tag, pw, _ = L._read_tlv(op, o)
+    assert tag == L._CTX_SIMPLE_AUTH and pw == b"s3cret"
+    # long-form lengths survive the round trip
+    long_pw = "p" * 300
+    req2 = L.bind_request(1, "uid=x", long_pw)
+    _tag, body2, _ = L._read_tlv(req2, 0)
+    _t, _m, off2 = L._read_tlv(body2, 0)
+    _t, op2, _ = L._read_tlv(body2, off2)
+    _t, _v, o2 = L._read_tlv(op2, 0)
+    _t, _d, o2 = L._read_tlv(op2, o2)
+    _t, pw2, _ = L._read_tlv(op2, o2)
+    assert pw2 == long_pw.encode()
+
+
+def test_sasl_plain_with_ldap_provider_end_to_end(spark, ldap_server):
+    """The full stack: thrift SASL/PLAIN wire -> LDAP simple bind."""
+    from kyuubi_spark.gateway import Engine
+    from kyuubi_spark.gateway.thrift import ThriftClient, ThriftFrontendService
+
+    host, port = ldap_server
+    svc = ThriftFrontendService(
+        Engine(spark=spark), auth=_provider(host, port)
+    ).start()
+    try:
+        c = ThriftClient(svc.host, svc.port, user="alice", password="wonder")
+        c.open_session(user="ignored")
+        op = c.execute("SELECT session_user() AS u")
+        assert [r for r in c.fetch(op, 10)] == [["alice"]]
+        c.close_session()
+        c.close()
+        with pytest.raises(AuthenticationError):
+            ThriftClient(svc.host, svc.port, user="alice", password="bad")
+    finally:
+        svc.stop()

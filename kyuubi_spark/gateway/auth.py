@@ -92,7 +92,13 @@ class JdbcAuthenticationProvider(PasswdAuthenticationProvider):
         conn = self._connect()
         try:
             cur = conn.cursor() if hasattr(conn, "cursor") else conn
-            rows = cur.execute(self._sql, params).fetchall()
+            # DBAPI leaves execute()'s return value undefined (sqlite3
+            # returns the cursor, psycopg2/pymysql return None) — always
+            # fetch from the cursor itself
+            cur.execute(self._sql, params)
+            rows = cur.fetchall()
+            if cur is not conn:
+                cur.close()
         finally:
             close = getattr(conn, "close", None)
             if close:
@@ -222,7 +228,11 @@ def server_negotiate(
         wfile.flush()
         raise AuthenticationError(f"unsupported mechanism {mech!r}")
     status, payload = read_sasl_message(rfile)
-    if status != OK:
+    # Java Thrift's TSaslClientTransport sends the PLAIN initial response
+    # with status COMPLETE (saslClient.isComplete() is already true for
+    # PLAIN); this repo's own client sends OK. Accept both — rejecting
+    # COMPLETE would lock out every reference hive-jdbc/beeline client.
+    if status not in (OK, COMPLETE):
         wfile.write(sasl_message(BAD, b"expected initial response"))
         wfile.flush()
         raise AuthenticationError("protocol error in negotiation")
@@ -280,20 +290,47 @@ def frame(payload: bytes) -> bytes:
     return struct.pack(">I", len(payload)) + payload
 
 
+# Short-TTL cache of SUCCESSFUL Basic validations, keyed by a salted
+# digest of the header (never the credential itself). HTTP frontends
+# authenticate every request — without this, paging a large result over
+# thrift-http/Trino nextUri costs one LDAP bind (or credential query)
+# per page. Failures are never cached, so a revoked password stops
+# working within the TTL. The reference solves the same cost with its
+# auth cookie (AuthenticationFilter); a server-side TTL cache is the
+# client-transparent form.
+_BASIC_TTL_S = 60.0
+_BASIC_CACHE_MAX = 1024
+_BASIC_CACHE: dict[tuple[int, str], tuple[str, float]] = {}
+_BASIC_SALT = __import__("os").urandom(16)
+
+
 def check_basic(authorization: str | None, provider) -> str:
     """Validate an HTTP ``Authorization: Basic`` header against a
     provider; returns the authenticated user (the one shared filter the
     reference applies across its HTTP frontends,
     BasicAuthenticationHandler.scala / AuthenticationFilter.scala)."""
     import base64
+    import hashlib
+    import time
 
     scheme, _, blob = (authorization or "").partition(" ")
     if scheme.lower() != "basic" or not blob:
         raise AuthenticationError("missing Basic credentials")
+    key = (
+        id(provider),
+        hashlib.sha256(_BASIC_SALT + blob.strip().encode()).hexdigest(),
+    )
+    now = time.monotonic()
+    hit = _BASIC_CACHE.get(key)
+    if hit is not None and hit[1] > now:
+        return hit[0]
     try:
         raw = base64.b64decode(blob.strip()).decode("utf-8")
     except Exception as e:  # malformed base64 → auth failure, not a 500
         raise AuthenticationError("malformed Basic credentials") from e
     user, _, passwd = raw.partition(":")
     provider.authenticate(user, passwd)
+    if len(_BASIC_CACHE) >= _BASIC_CACHE_MAX:
+        _BASIC_CACHE.clear()  # tiny entries; wholesale reset is fine
+    _BASIC_CACHE[key] = (user, now + _BASIC_TTL_S)
     return user

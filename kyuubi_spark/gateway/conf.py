@@ -225,3 +225,10 @@ AUTHENTICATION_LDAP_DOMAIN = _entry(
 AUTHENTICATION_LDAP_GUID_KEY = _entry(
     "kyuubi.authentication.ldap.guidKey", "uid", str,
     "Unique LDAP attribute for the DN pattern (uid, CN).")
+ENGINE_THRIFT_USER = _entry(
+    "kyuubi.engine.thrift.user", "", str,
+    "SASL/PLAIN user for wire-forwarded THRIFT sessions whose engine "
+    "frontend runs kyuubi.authentication.")
+ENGINE_THRIFT_PASSWORD = _entry(
+    "kyuubi.engine.thrift.password", "anonymous", str,
+    "SASL/PLAIN password paired with kyuubi.engine.thrift.user.")

@@ -50,21 +50,37 @@ def _tlv(tag: int, payload: bytes) -> bytes:
     return bytes([tag]) + _ber_len(len(payload)) + payload
 
 
+def _ber_int(n: int) -> bytes:
+    """X.690 two's-complement INTEGER content octets (n >= 0): pad with a
+    leading 0x00 when the high bit is set so 128..255 don't decode as
+    negative, and grow beyond one octet as needed."""
+    if n == 0:
+        return b"\x00"
+    body = n.to_bytes((n.bit_length() + 7) // 8, "big")
+    return b"\x00" + body if body[0] & 0x80 else body
+
+
 def bind_request(msg_id: int, dn: str, password: str) -> bytes:
     """LDAPMessage{messageID, BindRequest{version=3, name, simple}}."""
     inner = (
-        _tlv(_INTEGER, bytes([3]))
+        _tlv(_INTEGER, _ber_int(3))
         + _tlv(_OCTET_STRING, dn.encode("utf-8"))
         + _tlv(_CTX_SIMPLE_AUTH, password.encode("utf-8"))
     )
-    body = _tlv(_INTEGER, bytes([msg_id])) + _tlv(_APP_BIND_REQUEST, inner)
+    body = _tlv(_INTEGER, _ber_int(msg_id)) + _tlv(_APP_BIND_REQUEST, inner)
     return _tlv(_SEQUENCE, body)
 
 
+class Truncated(ValueError):
+    """The buffer ends mid-element — more bytes may still arrive.
+    Distinct from other ValueErrors (complete-but-wrong messages), which
+    must fail FAST instead of waiting out the socket timeout."""
+
+
 def _read_tlv(buf: bytes, off: int) -> tuple[int, bytes, int]:
-    """-> (tag, payload, next_offset); raises on truncation."""
+    """-> (tag, payload, next_offset); raises Truncated on short input."""
     if off + 2 > len(buf):
-        raise ValueError("truncated BER element")
+        raise Truncated("truncated BER element")
     tag = buf[off]
     first = buf[off + 1]
     off += 2
@@ -73,11 +89,11 @@ def _read_tlv(buf: bytes, off: int) -> tuple[int, bytes, int]:
     else:
         nlen = first & 0x7F
         if off + nlen > len(buf):
-            raise ValueError("truncated BER length")
+            raise Truncated("truncated BER length")
         ln = int.from_bytes(buf[off : off + nlen], "big")
         off += nlen
     if off + ln > len(buf):
-        raise ValueError("truncated BER payload")
+        raise Truncated("truncated BER payload")
     return tag, buf[off : off + ln], off + ln
 
 
@@ -111,8 +127,11 @@ def simple_bind(host: str, port: int, dn: str, password: str,
             buf += chunk
             try:
                 return parse_bind_response(buf)
-            except ValueError:
+            except Truncated:
                 continue  # need more bytes
+            # any other ValueError (complete but not a BindResponse —
+            # e.g. a Notice of Disconnection) propagates and fails fast
+            # instead of spinning until the socket timeout
 
 
 class LdapAuthenticationProvider(PasswdAuthenticationProvider):
@@ -127,9 +146,27 @@ class LdapAuthenticationProvider(PasswdAuthenticationProvider):
             )
         # "SPACE character separated LDAP connection URL(s)" — use the
         # first; multi-server failover is a deployment concern
-        first = url.split()[0].removeprefix("ldap://")
+        first = url.split()[0]
+        if first.startswith("ldaps://"):
+            raise ValueError(
+                "ldaps:// needs TLS, which this dependency-free client "
+                "does not implement — terminate TLS in front or use "
+                "ldap:// (kyuubi.authentication.ldap.url)"
+            )
+        if first.startswith("ldap://"):
+            first = first[len("ldap://") :]
+        elif "://" in first:
+            scheme = first.split("://", 1)[0]
+            raise ValueError(f"unsupported LDAP URL scheme: {scheme}://")
+        # RFC 4516 URLs may carry a /dn path — host:port is all we need
+        first = first.split("/", 1)[0]
         host, _, port = first.partition(":")
-        self.host, self.port = host, int(port or 389)
+        try:
+            self.host, self.port = host, int(port or 389)
+        except ValueError as e:
+            raise ValueError(
+                f"cannot parse LDAP URL host:port from {url!r}"
+            ) from e
         self.base_dn = conf.get(
             "kyuubi.authentication.ldap.baseDN",
             conf.get("kyuubi.authentication.ldap.base.dn", ""),

@@ -151,7 +151,18 @@ class RemoteEngineSession:
         self.conf = C.GatewayConf(conf)
         raw = dict(conf or {})
         host, port = self._resolve(engine, raw)
-        self.client = ThriftClient(host, port)
+        # engine-side SASL/PLAIN credentials: set kyuubi.engine.thrift.user
+        # (+ .password) when the target frontend runs kyuubi.authentication
+        # — without them a NOSASL connect against an auth-enabled engine
+        # dies in the handshake
+        eng_user = raw.get("kyuubi.engine.thrift.user")
+        if eng_user:
+            self.client = ThriftClient(
+                host, port, user=eng_user,
+                password=raw.get("kyuubi.engine.thrift.password", "anonymous"),
+            )
+        else:
+            self.client = ThriftClient(host, port)
         try:
             self.client.open_session(user=user)
         except BaseException:

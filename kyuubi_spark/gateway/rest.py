@@ -60,13 +60,20 @@ class BatchJob:
     metadata manager so a restarted gateway can list/recover batches).
     """
 
-    def __init__(self, script: str, args: list[str] | None = None, store=None):
+    def __init__(
+        self,
+        script: str,
+        args: list[str] | None = None,
+        store=None,
+        user: str = "anonymous",
+    ):
         self.id = str(uuid.uuid4())
         self.state = "PENDING"
+        self.user = user
         self._store = store
         if store is not None:
             store.insert(
-                self.id, "BATCH", "anonymous", state="PENDING",
+                self.id, "BATCH", user, state="PENDING",
                 request_name="rest-batch", request_args=list(args or []),
             )
         self._log_file = tempfile.NamedTemporaryFile(
@@ -269,8 +276,13 @@ class RestGateway:
             self._route_operation(h, method, parts, q)
         elif parts == ["batches"] and method == "POST":
             body = h._body()
+            # same precedence as sessions: the authenticated principal
+            # outranks anything the request claims
             job = BatchJob(
-                body["script"], body.get("args"), store=self.engine.metadata_store
+                body["script"], body.get("args"),
+                store=self.engine.metadata_store,
+                user=getattr(h, "auth_user", None)
+                or body.get("user", "anonymous"),
             )
             self.batches[job.id] = job
             h._reply(200, job.info())

@@ -83,10 +83,11 @@ class KyuubiServer:
         self.engine = Engine(spark=spark, conf=conf)
         self.host = host
         self.discovery = discovery
-        # kyuubi.authentication: NONE (default) | JDBC | CUSTOM — builds
-        # the PasswdAuthenticationProvider both thrift transports enforce
-        # (SASL/PLAIN on binary, Basic on http); REST/Trino stay token/
-        # header-governed as before
+        # kyuubi.authentication: NONE (default) | JDBC | LDAP | CUSTOM —
+        # builds the PasswdAuthenticationProvider ALL FOUR frontends
+        # enforce: SASL/PLAIN on the binary thrift wire, Basic on the
+        # HTTP thrift transport, REST, and Trino (one filter, principal
+        # outranks any request-claimed identity)
         method = (conf or {}).get("kyuubi.authentication", "NONE")
         if str(method).upper() == "NONE":
             self.auth = None

@@ -3,7 +3,7 @@
 Mirrors the reference's AuthenticationProviderFactorySuite /
 PlainSASLHelperSuite semantics: NONE accepts any non-empty user, JDBC
 authenticates against a bound-parameter credential query, CUSTOM loads a
-user class, LDAP is unavailable in this build; on the wire the binary
+user class, LDAP simple-binds over the wire (tests/test_ldap.py); on the binary
 transport runs the TSaslTransport PLAIN handshake + length-framed data,
 and the HTTP transport enforces Basic credentials. The SASL/Basic
 principal overrides the username claimed inside OpenSession.
@@ -373,3 +373,122 @@ def test_ctl_cli_with_basic_auth(spark, capsys):
     finally:
         ctl._BASIC = None
         srv.stop()
+
+
+def test_server_accepts_java_style_complete_initial_response():
+    """Java Thrift's TSaslClientTransport sends the PLAIN initial
+    response with status COMPLETE, not OK — the server must accept both."""
+    import io
+
+    import kyuubi_spark.gateway.auth as a
+
+    for status in (a.OK, a.COMPLETE):
+        rfile = io.BytesIO(
+            a.sasl_message(a.START, a.PLAIN)
+            + a.sasl_message(status, a.plain_response("alice", "wonder"))
+        )
+        wfile = io.BytesIO()
+        user = a.server_negotiate(rfile, wfile, StaticProvider())
+        assert user == "alice"
+        st, _ = a.read_sasl_message(io.BytesIO(wfile.getvalue()))
+        assert st == a.COMPLETE
+
+
+def test_jdbc_provider_works_with_none_returning_execute(tmp_path):
+    """DBAPI leaves execute()'s return undefined — a driver whose cursor
+    returns None (psycopg2/pymysql style) must still authenticate."""
+    import sqlite3 as s3
+
+    db = tmp_path / "auth.db"
+    conn = s3.connect(db)
+    conn.execute("CREATE TABLE u(n TEXT, p TEXT)")
+    conn.execute("INSERT INTO u VALUES ('erin', 'pw')")
+    conn.commit()
+    conn.close()
+
+    class NoneCursor:
+        def __init__(self, cur):
+            self._cur = cur
+
+        def execute(self, sql, params):
+            self._cur.execute(sql, params)
+            return None  # the DBAPI-legal behavior sqlite3 doesn't show
+
+        def fetchall(self):
+            return self._cur.fetchall()
+
+        def close(self):
+            self._cur.close()
+
+    class Conn:
+        def __init__(self, path):
+            self._c = s3.connect(path)
+
+        def cursor(self):
+            return NoneCursor(self._c.cursor())
+
+        def close(self):
+            self._c.close()
+
+    p = JdbcAuthenticationProvider(
+        lambda: Conn(db), "SELECT 1 FROM u WHERE n=${user} AND p=${password}"
+    )
+    p.authenticate("erin", "pw")
+    with pytest.raises(AuthenticationError):
+        p.authenticate("erin", "bad")
+
+
+def test_basic_success_cache_skips_reauth_but_never_caches_failures():
+    import kyuubi_spark.gateway.auth as a
+
+    calls = []
+
+    class Counting:
+        def authenticate(self, user, password):
+            calls.append(user)
+            if password != "ok":
+                raise AuthenticationError("no")
+
+    import base64
+
+    prov = Counting()
+    good = "Basic " + base64.b64encode(b"u:ok").decode()
+    bad = "Basic " + base64.b64encode(b"u:bad").decode()
+    assert a.check_basic(good, prov) == "u"
+    assert a.check_basic(good, prov) == "u"  # cached — no second call
+    assert calls == ["u"]
+    with pytest.raises(AuthenticationError):
+        a.check_basic(bad, prov)
+    with pytest.raises(AuthenticationError):
+        a.check_basic(bad, prov)  # failures re-validate every time
+    assert calls == ["u", "u", "u"]
+
+
+def test_rest_batch_records_authenticated_principal(spark):
+    import base64
+    import json as _json
+    import urllib.request
+
+    from kyuubi_spark.gateway import Engine
+    from kyuubi_spark.gateway.rest import RestGateway
+
+    gw = RestGateway(Engine(spark=spark), auth=StaticProvider()).start()
+    try:
+        blob = base64.b64encode(b"alice:wonder").decode()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{gw.port}/api/v1/batches",
+            data=_json.dumps(
+                {"script": "print('hi')", "user": "mallory"}
+            ).encode(),
+            method="POST",
+            headers={
+                "Content-Type": "application/json",
+                "Authorization": f"Basic {blob}",
+            },
+        )
+        with urllib.request.urlopen(req) as resp:
+            out = _json.loads(resp.read())
+        job = gw.batches[out["id"]]
+        assert job.user == "alice"  # principal outranks the body's user
+    finally:
+        gw.shutdown()

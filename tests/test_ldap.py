@@ -161,3 +161,53 @@ def test_sasl_plain_with_ldap_provider_end_to_end(spark, ldap_server):
             ThriftClient(svc.host, svc.port, user="alice", password="bad")
     finally:
         svc.stop()
+
+
+def test_ldap_url_parsing_errors_and_paths():
+    with pytest.raises(ValueError) as ei:
+        get_authentication_provider(
+            "LDAP",
+            {"kyuubi.authentication.ldap.url": "ldaps://ds.example.com:636"},
+        )
+    assert "TLS" in str(ei.value)
+    with pytest.raises(ValueError):
+        get_authentication_provider(
+            "LDAP", {"kyuubi.authentication.ldap.url": "http://x:1"}
+        )
+    # RFC 4516 URL with a /dn path parses down to host:port
+    p = get_authentication_provider(
+        "LDAP",
+        {"kyuubi.authentication.ldap.url": "ldap://h.example.com:389/dc=x"},
+    )
+    assert (p.host, p.port) == ("h.example.com", 389)
+    # default port
+    q = get_authentication_provider(
+        "LDAP", {"kyuubi.authentication.ldap.url": "ldap://h2"}
+    )
+    assert (q.host, q.port) == ("h2", 389)
+
+
+def test_ber_int_encoding():
+    assert L._ber_int(0) == b"\x00"
+    assert L._ber_int(3) == b"\x03"
+    # high-bit values need a 0x00 pad so they don't decode negative
+    assert L._ber_int(128) == b"\x00\x80"
+    assert L._ber_int(255) == b"\x00\xff"
+    assert L._ber_int(256) == b"\x01\x00"
+    # bind_request no longer crashes for msg_id > 255
+    L.bind_request(300, "uid=x", "pw")
+
+
+def test_parse_fails_fast_on_complete_wrong_message():
+    # a COMPLETE message that isn't a BindResponse must raise plain
+    # ValueError (fail fast), while a truncated one raises Truncated
+    # (wait for more bytes)
+    notice = L._tlv(
+        L._SEQUENCE,
+        L._tlv(L._INTEGER, b"\x00") + L._tlv(0x78, b""),  # ExtendedResponse
+    )
+    with pytest.raises(ValueError) as ei:
+        L.parse_bind_response(notice)
+    assert not isinstance(ei.value, L.Truncated)
+    with pytest.raises(L.Truncated):
+        L.parse_bind_response(notice[:3])

@@ -105,7 +105,14 @@ class SqliteDiscoveryClient:
                 return
             if self._path != ":memory:":
                 os.makedirs(os.path.dirname(self._path) or ".", exist_ok=True)
-            self._conn = sqlite3.connect(self._path, check_same_thread=False)
+            # isolation_level=None → autocommit; multi-statement writes go
+            # through _immediate() (BEGIN IMMEDIATE), which takes the sqlite
+            # write lock up front so two PROCESSES sharing a file-backed
+            # store serialize instead of racing check-then-insert sequences.
+            self._conn = sqlite3.connect(
+                self._path, check_same_thread=False, isolation_level=None
+            )
+            self._conn.execute("PRAGMA busy_timeout=5000")
             self._conn.execute(
                 "CREATE TABLE IF NOT EXISTS znodes ("
                 " path TEXT PRIMARY KEY, data BLOB, mode TEXT,"
@@ -145,6 +152,22 @@ class SqliteDiscoveryClient:
             raise DiscoveryStoreError("client not created (create_client())")
         return self._conn
 
+    @contextlib.contextmanager
+    def _immediate(self):
+        """Cross-process atomic write transaction: BEGIN IMMEDIATE takes
+        the sqlite write lock before the first read, so check-then-insert
+        sequences can't interleave between processes; busy_timeout makes
+        contenders wait instead of erroring."""
+        db = self._db()
+        db.execute("BEGIN IMMEDIATE")
+        try:
+            yield db
+        except BaseException:
+            db.execute("ROLLBACK")
+            raise
+        else:
+            db.execute("COMMIT")
+
     # --- znode primitives ---
 
     def create(
@@ -155,8 +178,7 @@ class SqliteDiscoveryClient:
         create_parent: bool = True,
     ) -> str:
         mode = mode.upper()
-        with self._lock:
-            db = self._db()
+        with self._lock, self._immediate() as db:
             if create_parent:
                 parts = [p for p in path.split("/") if p]
                 for i in range(1, len(parts)):
@@ -167,19 +189,21 @@ class SqliteDiscoveryClient:
                     )
             actual = path
             if mode.endswith("_SEQUENTIAL"):
-                cur = db.execute(
-                    "SELECT n FROM seqs WHERE prefix = ?", (path,)
-                ).fetchone()
-                n = (cur[0] if cur else -1) + 1
+                # atomic per-prefix counter — two processes can't mint the
+                # same suffix (the upsert runs under the write lock)
                 db.execute(
-                    "INSERT OR REPLACE INTO seqs VALUES (?, ?)", (path, n)
+                    "INSERT INTO seqs VALUES (?, 0)"
+                    " ON CONFLICT(prefix) DO UPDATE SET n = n + 1",
+                    (path,),
                 )
+                n = db.execute(
+                    "SELECT n FROM seqs WHERE prefix = ?", (path,)
+                ).fetchone()[0]
                 actual = f"{path}{n:010d}"
             db.execute(
                 "INSERT OR REPLACE INTO znodes VALUES (?,?,?,?,?)",
                 (actual, data, mode, self._client_id, time.time()),
             )
-            db.commit()
             return actual
 
     def get_data(self, path: str) -> bytes:
@@ -259,24 +283,28 @@ class SqliteDiscoveryClient:
         acquired = False
         while time.time() < deadline:
             with self._lock:
-                db = self._db()
-                now = time.time()
-                db.execute(
-                    "DELETE FROM locks WHERE path = ? AND acquired < ?",
-                    (lock_path, now - self.LOCK_TTL_S),
-                )
-                row = db.execute(
-                    "SELECT owner FROM locks WHERE path = ?", (lock_path,)
-                ).fetchone()
-                if row is None:
-                    db.execute(
-                        "INSERT INTO locks VALUES (?,?,?)",
-                        (lock_path, self._client_id, now),
-                    )
-                    db.commit()
-                    acquired = True
-                else:
-                    db.commit()
+                try:
+                    with self._immediate() as db:
+                        now = time.time()
+                        db.execute(
+                            "DELETE FROM locks WHERE path = ? AND acquired < ?",
+                            (lock_path, now - self.LOCK_TTL_S),
+                        )
+                        row = db.execute(
+                            "SELECT owner FROM locks WHERE path = ?",
+                            (lock_path,),
+                        ).fetchone()
+                        if row is None:
+                            db.execute(
+                                "INSERT INTO locks VALUES (?,?,?)",
+                                (lock_path, self._client_id, now),
+                            )
+                            acquired = True
+                except (sqlite3.IntegrityError, sqlite3.OperationalError):
+                    # lost a cross-process race (or the file is busy) —
+                    # keep polling until the deadline, like the curator
+                    # lease the reference waits on
+                    pass
             if acquired:
                 break
             time.sleep(0.01)
@@ -384,8 +412,7 @@ class SqliteDiscoveryClient:
     def get_and_increment(self, path: str, delta: int = 1) -> int:
         """Returns the PREVIOUS value (DistributedAtomicInteger.add
         semantics, ZookeeperDiscoveryClient.scala:300-307)."""
-        with self._lock:
-            db = self._db()
+        with self._lock, self._immediate() as db:
             row = db.execute(
                 "SELECT n FROM counters WHERE path = ?", (path,)
             ).fetchone()
@@ -394,5 +421,4 @@ class SqliteDiscoveryClient:
                 "INSERT OR REPLACE INTO counters VALUES (?, ?)",
                 (path, prev + delta),
             )
-            db.commit()
             return prev

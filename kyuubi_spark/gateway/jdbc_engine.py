@@ -129,7 +129,12 @@ class JdbcOperation:
 
     def _guarded(self) -> None:
         try:
-            self.state = OperationState.RUNNING
+            with self._lock:
+                # a cancel()/timeout may land before the worker starts;
+                # honor the terminal state instead of overwriting it
+                if self.state.is_terminal:
+                    return
+                self.state = OperationState.RUNNING
             self._execute()
             with self._lock:
                 if not self.state.is_terminal:

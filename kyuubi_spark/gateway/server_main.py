@@ -110,11 +110,18 @@ class KyuubiServer:
         from kyuubi_spark.gateway.thrift import ThriftFrontendService
         from kyuubi_spark.gateway.trino import TrinoGateway
 
+        # one server-wide delegation-token plane shared by both thrift
+        # transports (the reference issues/verifies tokens per server, not
+        # per frontend — a token from the binary port renews over HTTP)
+        from kyuubi_spark.gateway.credentials import DelegationTokenManager
+
+        self.tokens = DelegationTokenManager()
         self.thrift = ThriftFrontendService(
-            self.engine, host=self.host, auth=self.auth
+            self.engine, host=self.host, auth=self.auth, tokens=self.tokens
         ).start()
         self.thrift_http = ThriftFrontendService(
-            self.engine, host=self.host, transport="http", auth=self.auth
+            self.engine, host=self.host, transport="http", auth=self.auth,
+            tokens=self.tokens,
         ).start()
         self.rest = RestGateway(
             self.engine, host=self.host, auth=self.auth

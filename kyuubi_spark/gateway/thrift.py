@@ -294,6 +294,7 @@ class ThriftFrontendService:
         port: int = 0,
         transport: str = "binary",
         auth=None,
+        tokens=None,
     ):
         """``transport``: "binary" (NOSASL TCP, the default HS2 mode) or
         "http" (HS2 HTTP transport mode — each thrift message POSTed to
@@ -317,10 +318,13 @@ class ThriftFrontendService:
         self._operations: dict[bytes, Any] = {}
         self._lock = threading.Lock()
         # delegation-token plane (KyuubiTBinaryFrontendService.scala:
-        # 546-566) — HMAC-signed single-node analog, gateway/credentials.py
+        # 546-566) — HMAC-signed single-node analog, gateway/credentials.py.
+        # ``tokens`` may be a shared server-wide manager: the reference has
+        # ONE token plane per server, so a token issued over the binary
+        # transport must verify/renew/cancel on the HTTP transport too.
         from kyuubi_spark.gateway.credentials import DelegationTokenManager
 
-        self.tokens = DelegationTokenManager()
+        self.tokens = tokens if tokens is not None else DelegationTokenManager()
 
         service = self
 

@@ -98,6 +98,41 @@ def _split_params(raw: str) -> list[str]:
     return out
 
 
+def _bind_placeholders(text: str, params: list[str]) -> str:
+    """Substitute positional ?-placeholders in prepared SQL.
+
+    Placeholders are located syntactically — '?' inside single-quoted
+    string literals (with '' escapes) is literal text, not a parameter —
+    and positions come from the ORIGINAL text, so a substituted value
+    containing '?' is never re-scanned (Trino parses placeholders the
+    same way; naive text.replace('?', p, 1) corrupts quote boundaries)."""
+    out: list[str] = []
+    it = iter(params)
+    i, n = 0, len(text)
+    while i < n:
+        ch = text[i]
+        if ch == "'":
+            # copy the quoted literal verbatim, honoring '' escapes
+            j = i + 1
+            while j < n:
+                if text[j] == "'":
+                    if j + 1 < n and text[j + 1] == "'":
+                        j += 2
+                        continue
+                    j += 1
+                    break
+                j += 1
+            out.append(text[i:j])
+            i = j
+        elif ch == "?":
+            out.append(next(it, "?"))
+            i += 1
+        else:
+            out.append(ch)
+            i += 1
+    return "".join(out)
+
+
 class TrinoGateway:
     """Minimal Trino-protocol server over a gateway Engine."""
 
@@ -323,8 +358,7 @@ class TrinoGateway:
             if m.group(2):
                 # positional ?-substitution; parameters arrive as Trino
                 # literals (already quoted/typed by the client)
-                for param in _split_params(m.group(2)):
-                    text = text.replace("?", param, 1)
+                text = _bind_placeholders(text, _split_params(m.group(2)))
             return self.post_statement(text, user, base)
         return None
 

@@ -138,22 +138,43 @@ class TrinoBackedSession:
         self.base = raw.get(TRINO_URL_KEY, "").rstrip("/")
         if not self.base:
             raise ValueError(f"{TRINO_URL_KEY} is required for TRINO sessions")
+        # optional Basic credentials for a Trino endpoint running
+        # authentication (mirrors kyuubi.engine.thrift.user/.password on
+        # THRIFT sessions; without these a secured endpoint 401s every
+        # request).  The authenticated user outranks X-Trino-User there.
+        self._basic: str | None = None
+        cred_user = raw.get("kyuubi.engine.trino.connection.user")
+        if cred_user:
+            import base64
+
+            cred = f"{cred_user}:" \
+                f"{raw.get('kyuubi.engine.trino.connection.password', '')}"
+            self._basic = "Basic " + base64.b64encode(
+                cred.encode("utf-8")
+            ).decode("ascii")
         self.handle = SessionHandle()
         self.last_access = time.time()
         self.operations: dict[str, TrinoBackedOperation] = {}
+
+    def _headers(self) -> dict:
+        headers = {"X-Trino-User": self.user}
+        if self._basic is not None:
+            headers["Authorization"] = self._basic
+        return headers
 
     def _post(self, sql: str) -> dict:
         req = urllib.request.Request(
             f"{self.base}/v1/statement",
             data=sql.encode("utf-8"),
-            headers={"X-Trino-User": self.user},
+            headers=self._headers(),
             method="POST",
         )
         with urllib.request.urlopen(req) as resp:
             return json.loads(resp.read())
 
     def _get(self, uri: str) -> dict:
-        with urllib.request.urlopen(uri) as resp:
+        req = urllib.request.Request(uri, headers=self._headers())
+        with urllib.request.urlopen(req) as resp:
             return json.loads(resp.read())
 
     def execute_statement(

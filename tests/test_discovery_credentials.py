@@ -214,3 +214,61 @@ def test_fresh_lock_not_stolen(disco):
         with _pytest.raises(TimeoutError):
             with disco.try_with_lock("/fresh", timeout_ms=200):
                 pass
+
+
+def test_cross_process_sequential_nodes_unique(tmp_path):
+    """Two CLIENTS (separate sqlite connections, the two-process shape the
+    file-backed store documents) minting sequential nodes under the same
+    prefix must get distinct suffixes — the per-prefix counter upsert runs
+    under BEGIN IMMEDIATE, not a per-process threading lock."""
+    path = str(tmp_path / "reg.db")
+    a = SqliteDiscoveryClient(path)
+    b = SqliteDiscoveryClient(path)
+    a.create_client()
+    b.create_client()
+    try:
+        names = []
+        for i in range(10):
+            c = a if i % 2 == 0 else b
+            names.append(c.create("/x/n-", "PERSISTENT_SEQUENTIAL"))
+        assert len(set(names)) == 10
+        assert sorted(names) == names  # monotone zero-padded suffixes
+    finally:
+        a.close_client()
+        b.close_client()
+
+
+def test_cross_process_lock_exclusion(tmp_path):
+    """A lock held through connection A blocks connection B (polls to
+    timeout instead of raising IntegrityError), and B acquires once A
+    releases."""
+    path = str(tmp_path / "reg2.db")
+    a = SqliteDiscoveryClient(path)
+    b = SqliteDiscoveryClient(path)
+    a.create_client()
+    b.create_client()
+    try:
+        with a.try_with_lock("/launch", timeout_ms=2000):
+            with pytest.raises(TimeoutError):
+                with b.try_with_lock("/launch", timeout_ms=200):
+                    pass
+        with b.try_with_lock("/launch", timeout_ms=2000):
+            pass
+    finally:
+        a.close_client()
+        b.close_client()
+
+
+def test_cross_process_get_and_increment(tmp_path):
+    path = str(tmp_path / "reg3.db")
+    a = SqliteDiscoveryClient(path)
+    b = SqliteDiscoveryClient(path)
+    a.create_client()
+    b.create_client()
+    try:
+        seen = [a.get_and_increment("/ctr"), b.get_and_increment("/ctr"),
+                a.get_and_increment("/ctr")]
+        assert seen == [0, 1, 2]
+    finally:
+        a.close_client()
+        b.close_client()

@@ -137,6 +137,22 @@ def test_cancel_terminal_and_safe(duck):
     assert op.state is OperationState.FINISHED
 
 
+def test_cancel_before_worker_start_wins(duck):
+    """A cancel that lands before the async worker thread begins must not
+    be overwritten by the worker's RUNNING transition — the operation
+    stays CANCELED and the statement is never executed."""
+    from kyuubi_spark.gateway.jdbc_engine import JdbcOperation
+
+    _, s = duck
+    op = JdbcOperation(s, "INSERT INTO t VALUES (99, 'z')",
+                       should_run_async=True)
+    op.cancel()  # terminal state set before run()
+    op._guarded()  # worker body runs after — must early-return
+    assert op.state is OperationState.CANCELED
+    check = s.execute_statement("SELECT count(*) AS c FROM t WHERE k = 99")
+    assert check.fetch() == [(0,)]
+
+
 def test_query_timeout_marks_timeout_state():
     """addTimeoutMonitor semantics: a statement past its queryTimeout
     flips to TIMEOUT (not ERROR) and interrupts the backend."""

@@ -130,3 +130,32 @@ def test_gateway_federation_via_discovery(spark, sf_dir):
     finally:
         server_a.stop()
         disco.close_client()
+
+
+def test_delegation_token_shared_across_thrift_transports(spark, sf_dir):
+    """One server-wide token plane (the reference's per-server manager):
+    a token issued over the binary transport renews and cancels over the
+    HTTP transport — previously each frontend minted its own secret and
+    the cross-transport renew failed signature verification."""
+    from kyuubi_spark.gateway.thrift import ThriftClient, ThriftHttpClient
+
+    server = KyuubiServer(spark).start()
+    try:
+        eps = server.endpoints()
+        assert server.thrift.tokens is server.thrift_http.tokens
+        c = ThriftClient(*eps["thrift_binary"])
+        c.open_session(user="tok_user")
+        tok = c.get_delegation_token("alice", renewer="tok_user")
+
+        h = ThriftHttpClient(*eps["thrift_http"])
+        h.open_session(user="tok_user")
+        h.renew_delegation_token(tok)
+        h.cancel_delegation_token(tok)
+        import pytest as _pytest
+
+        with _pytest.raises(RuntimeError, match="canceled|unknown"):
+            c.renew_delegation_token(tok)
+        c.close_session(); c.close()
+        h.close_session()
+    finally:
+        server.stop()

@@ -166,6 +166,35 @@ def test_prepare_execute_multiple_params_and_quotes(trino_server):
     _post(trino_server, "DEALLOCATE PREPARE q2")
 
 
+def test_prepare_execute_question_mark_in_param(trino_server):
+    """A parameter value containing '?' must not be re-scanned as a
+    placeholder, and '?' inside a string literal of the prepared SQL is
+    literal text — real Trino locates placeholders syntactically."""
+    _post(trino_server, "PREPARE q3 FROM SELECT ? AS a, ? AS b")
+    out = _post(trino_server, "EXECUTE q3 USING 'x?y', 1")
+    assert out["data"] == [["x?y", 1]]
+    _post(trino_server, "DEALLOCATE PREPARE q3")
+    # '?' inside a literal is not a parameter slot
+    _post(trino_server, "PREPARE q4 FROM SELECT 'lit?' AS a, ? AS b")
+    out = _post(trino_server, "EXECUTE q4 USING 9")
+    assert out["data"] == [["lit?", 9]]
+    _post(trino_server, "DEALLOCATE PREPARE q4")
+
+
+def test_bind_placeholders_unit():
+    from kyuubi_spark.gateway.trino import _bind_placeholders
+
+    assert _bind_placeholders("a = ? AND b = ?", ["'x?y'", "'1'"]) == (
+        "a = 'x?y' AND b = '1'"
+    )
+    # '' escape inside a literal, placeholder after it still found
+    assert _bind_placeholders("x = 'it''s?' AND y = ?", ["2"]) == (
+        "x = 'it''s?' AND y = 2"
+    )
+    # more placeholders than params: extras stay as '?'
+    assert _bind_placeholders("? + ?", ["1"]) == "1 + ?"
+
+
 def test_session_properties_pick_jdbc_engine(trino_server):
     """X-Trino-Session properties route the backing engine: a Trino client
     can run SQL on the embedded DuckDB backend through the Trino wire."""

@@ -59,3 +59,52 @@ def test_trino_backed_error(spark, sf_dir, trino_backend):
     assert op.state is OperationState.ERROR
     assert op.exception is not None
     gw.close_session(s.handle)
+
+
+def test_trino_backed_basic_credentials(spark, sf_dir):
+    """kyuubi.engine.trino.connection.user/.password attach Basic auth so
+    TRINO sessions can reach an endpoint running authentication — here
+    this repo's own TrinoGateway with an authenticator (which 401s
+    credential-less requests)."""
+    from kyuubi_spark.gateway import Engine
+    from kyuubi_spark.gateway.engine import Engine as GwEngine
+    from kyuubi_spark.gateway.trino import TrinoGateway
+
+    class OneUser:
+        def authenticate(self, user, password):
+            from kyuubi_spark.gateway.auth import AuthenticationError
+
+            if (user, password) != ("svc", "pw"):
+                raise AuthenticationError("bad credentials")
+
+    svc = TrinoGateway(Engine(spark=spark), auth=OneUser()).start()
+    try:
+        url = f"http://{svc.host}:{svc.port}"
+        gw = GwEngine(spark)
+        # without credentials: the secured endpoint rejects the session
+        s_anon = gw.open_session(
+            user="x",
+            conf={"kyuubi.engine.type": "TRINO",
+                  "kyuubi.engine.trino.connection.url": url},
+        )
+        op = s_anon.execute_statement("SELECT 1 AS a")
+        assert op.exception is not None
+        gw.close_session(s_anon.handle)
+        # with credentials: full roundtrip
+        s = gw.open_session(
+            user="x",
+            conf={
+                "kyuubi.engine.type": "TRINO",
+                "kyuubi.engine.trino.connection.url": url,
+                "kyuubi.engine.trino.connection.user": "svc",
+                "kyuubi.engine.trino.connection.password": "pw",
+            },
+        )
+        from kyuubi_spark.gateway.state import FetchOrientation
+
+        op = s.execute_statement("SELECT 2 + 2 AS a")
+        rows = op.get_next_row_set(FetchOrientation.FETCH_NEXT, 10)
+        assert [r[0] for r in rows] == [4]
+        gw.close_session(s.handle)
+    finally:
+        svc.stop()

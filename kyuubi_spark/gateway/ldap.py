@@ -12,9 +12,9 @@ resultCode is all we need back. Conf keys mirror the reference
 Hive/Kyuubi pattern), else ``user@domain`` when a domain is set, else
 the bare user.
 
-Only the simple-bind half is implemented — search-based user/group
-filters (``ldap/*.scala``) need a directory schema this sandbox doesn't
-have and stay out of scope.
+``ldaps://`` URLs run the bind over TLS (stdlib ``ssl``; see
+``kyuubi.authentication.ldap.ssl.cafile`` below, the PEM analog of the
+JVM truststore the Java reference relies on).
 """
 
 from __future__ import annotations
@@ -115,9 +115,16 @@ def parse_bind_response(data: bytes) -> int:
 
 
 def simple_bind(host: str, port: int, dn: str, password: str,
-                timeout: float = 10.0) -> int:
-    """One TCP round-trip: send BindRequest, return the resultCode."""
-    with socket.create_connection((host, port), timeout=timeout) as sock:
+                timeout: float = 10.0, ssl_context=None) -> int:
+    """One TCP round-trip: send BindRequest, return the resultCode.
+
+    ``ssl_context`` switches the connection to LDAP-over-TLS (ldaps://,
+    RFC 4513 §3) — the handshake completes before the BindRequest is
+    sent, so the credential never crosses the wire in clear."""
+    with socket.create_connection((host, port), timeout=timeout) as raw:
+        sock = raw
+        if ssl_context is not None:
+            sock = ssl_context.wrap_socket(raw, server_hostname=host)
         sock.sendall(bind_request(1, dn, password))
         buf = b""
         while True:
@@ -147,13 +154,16 @@ class LdapAuthenticationProvider(PasswdAuthenticationProvider):
         # "SPACE character separated LDAP connection URL(s)" — use the
         # first; multi-server failover is a deployment concern
         first = url.split()[0]
+        self.use_tls = False
         if first.startswith("ldaps://"):
-            raise ValueError(
-                "ldaps:// needs TLS, which this dependency-free client "
-                "does not implement — terminate TLS in front or use "
-                "ldap:// (kyuubi.authentication.ldap.url)"
-            )
-        if first.startswith("ldap://"):
+            # LDAP over TLS (stdlib ssl): handshake before the bind, so
+            # the credential never crosses the wire in clear.  The Java
+            # reference trusts the JVM truststore; the PEM analog is
+            # kyuubi.authentication.ldap.ssl.cafile (self-signed servers
+            # pass their own cert), .ssl.insecure=true skips verification.
+            self.use_tls = True
+            first = first[len("ldaps://") :]
+        elif first.startswith("ldap://"):
             first = first[len("ldap://") :]
         elif "://" in first:
             scheme = first.split("://", 1)[0]
@@ -161,8 +171,13 @@ class LdapAuthenticationProvider(PasswdAuthenticationProvider):
         # RFC 4516 URLs may carry a /dn path — host:port is all we need
         first = first.split("/", 1)[0]
         host, _, port = first.partition(":")
+        self.cafile = conf.get("kyuubi.authentication.ldap.ssl.cafile")
+        self.insecure = str(
+            conf.get("kyuubi.authentication.ldap.ssl.insecure", "false")
+        ).strip().lower() in ("true", "1", "yes")
         try:
-            self.host, self.port = host, int(port or 389)
+            self.host = host
+            self.port = int(port or (636 if self.use_tls else 389))
         except ValueError as e:
             raise ValueError(
                 f"cannot parse LDAP URL host:port from {url!r}"
@@ -192,8 +207,16 @@ class LdapAuthenticationProvider(PasswdAuthenticationProvider):
             # as a valid credential (Hive/Kyuubi reject it the same way)
             raise AuthenticationError("empty passwords are not allowed")
         try:
+            ctx = None
+            if self.use_tls:
+                from kyuubi_spark.gateway.tls import client_ssl_context
+
+                ctx = client_ssl_context(
+                    cafile=self.cafile, insecure=self.insecure
+                )
             code = simple_bind(
-                self.host, self.port, self._bind_dn(user), password
+                self.host, self.port, self._bind_dn(user), password,
+                ssl_context=ctx,
             )
         except (OSError, ValueError) as e:
             raise AuthenticationError(f"LDAP bind failed: {e}") from e

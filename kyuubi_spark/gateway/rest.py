@@ -128,6 +128,7 @@ class RestGateway:
         host: str = "127.0.0.1",
         port: int = 0,
         auth=None,
+        ssl_context=None,
     ):
         self.engine = engine
         self.operations: dict[str, tuple] = {}  # oid → (session, operation)
@@ -203,6 +204,12 @@ class RestGateway:
                     self._reply(500, {"error": str(e)})
 
         self.httpd = ThreadingHTTPServer((host, port), Handler)
+        if ssl_context is not None:
+            # HTTPS termination (the reference's AuthenticationFilter +
+            # jetty SSL connector layering) — gateway/tls.py
+            from kyuubi_spark.gateway.tls import wrap_http_server
+
+            wrap_http_server(self.httpd, ssl_context)
         self._thread: threading.Thread | None = None
 
     @property

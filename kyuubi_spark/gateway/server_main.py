@@ -88,6 +88,12 @@ class KyuubiServer:
         # enforce: SASL/PLAIN on the binary thrift wire, Basic on the
         # HTTP thrift transport, REST, and Trino (one filter, principal
         # outranks any request-claimed identity)
+        # TLS: one server context shared by all four frontends when
+        # kyuubi.frontend.thrift.binary.ssl.enabled or .http.use.SSL is on
+        # (reference KyuubiConf.scala:553-612,945-990; gateway/tls.py)
+        from kyuubi_spark.gateway.tls import server_ssl_context
+
+        self.ssl_context = server_ssl_context(conf)
         method = (conf or {}).get("kyuubi.authentication", "NONE")
         if str(method).upper() == "NONE":
             self.auth = None
@@ -117,17 +123,20 @@ class KyuubiServer:
 
         self.tokens = DelegationTokenManager()
         self.thrift = ThriftFrontendService(
-            self.engine, host=self.host, auth=self.auth, tokens=self.tokens
+            self.engine, host=self.host, auth=self.auth, tokens=self.tokens,
+            ssl_context=self.ssl_context,
         ).start()
         self.thrift_http = ThriftFrontendService(
             self.engine, host=self.host, transport="http", auth=self.auth,
-            tokens=self.tokens,
+            tokens=self.tokens, ssl_context=self.ssl_context,
         ).start()
         self.rest = RestGateway(
-            self.engine, host=self.host, auth=self.auth
+            self.engine, host=self.host, auth=self.auth,
+            ssl_context=self.ssl_context,
         ).start()
         self.trino = TrinoGateway(
-            self.engine, host=self.host, auth=self.auth
+            self.engine, host=self.host, auth=self.auth,
+            ssl_context=self.ssl_context,
         ).start()
         self.gc.start()
         if self.discovery is not None:

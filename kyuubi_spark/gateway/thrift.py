@@ -295,6 +295,7 @@ class ThriftFrontendService:
         transport: str = "binary",
         auth=None,
         tokens=None,
+        ssl_context=None,
     ):
         """``transport``: "binary" (NOSASL TCP, the default HS2 mode) or
         "http" (HS2 HTTP transport mode — each thrift message POSTed to
@@ -314,6 +315,12 @@ class ThriftFrontendService:
         self.engine = engine
         self.transport = transport
         self.auth = auth
+        # server-side TLS (kyuubi.frontend.thrift.binary.ssl.enabled /
+        # kyuubi.frontend.thrift.http.use.SSL + the kyuubi.frontend.ssl.*
+        # keystore keys, KyuubiConf.scala:553-612,945-990 — built via
+        # gateway/tls.py server_ssl_context).  SASL/Basic credentials ride
+        # inside the TLS channel, exactly the reference layering.
+        self.ssl_context = ssl_context
         self._sessions: dict[bytes, Any] = {}
         self._operations: dict[bytes, Any] = {}
         self._lock = threading.Lock()
@@ -388,9 +395,24 @@ class ThriftFrontendService:
                     self.wfile.write(out)
 
             self.server = ThreadingHTTPServer((host, port), HttpHandler)
+            if self.ssl_context is not None:
+                from kyuubi_spark.gateway.tls import wrap_http_server
+
+                wrap_http_server(self.server, self.ssl_context)
         else:
 
             class Handler(socketserver.StreamRequestHandler):
+                def setup(self) -> None:
+                    # TLS handshake in the per-connection worker thread
+                    # (wrapping the listener would stall the accept loop
+                    # on a slow handshaker)
+                    if service.ssl_context is not None:
+                        self.request = service.ssl_context.wrap_socket(
+                            self.request, server_side=True
+                        )
+                        self.connection = self.request
+                    super().setup()
+
                 def handle(self) -> None:
                     auth_user = None
                     rfile = self.rfile
@@ -721,8 +743,18 @@ class ThriftClient:
         port: int,
         user: str | None = None,
         password: str = "anonymous",
+        ssl_context=None,
+        cafile: str | None = None,
     ):
         self.sock = socket.create_connection((host, port))
+        if ssl_context is None and cafile is not None:
+            from kyuubi_spark.gateway.tls import client_ssl_context
+
+            ssl_context = client_ssl_context(cafile=cafile)
+        if ssl_context is not None:
+            self.sock = ssl_context.wrap_socket(
+                self.sock, server_hostname=host
+            )
         self.rfile = self.sock.makefile("rb")
         self._sasl = user is not None
         if self._sasl:
@@ -916,10 +948,18 @@ class ThriftHttpClient(ThriftClient):
         path: str = "/cliservice",
         user: str | None = None,
         password: str = "anonymous",
+        ssl_context=None,
+        cafile: str | None = None,
     ):
         # no socket: every call is one HTTP roundtrip (still serialized —
         # _seq and response ordering stay coherent)
-        self.url = f"http://{host}:{port}{path}"
+        if ssl_context is None and cafile is not None:
+            from kyuubi_spark.gateway.tls import client_ssl_context
+
+            ssl_context = client_ssl_context(cafile=cafile)
+        self._ssl_context = ssl_context
+        scheme = "https" if ssl_context is not None else "http"
+        self.url = f"{scheme}://{host}:{port}{path}"
         self._seq = 0
         self._rpc_lock = threading.Lock()
         self.session_guid: bytes | None = None
@@ -943,5 +983,5 @@ class ThriftHttpClient(ThriftClient):
         req = urllib.request.Request(
             self.url, data=payload, method="POST", headers=headers,
         )
-        with urllib.request.urlopen(req) as resp:
+        with urllib.request.urlopen(req, context=self._ssl_context) as resp:
             return ProtocolReader(io.BytesIO(resp.read()))

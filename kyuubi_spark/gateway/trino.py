@@ -137,7 +137,7 @@ class TrinoGateway:
     """Minimal Trino-protocol server over a gateway Engine."""
 
     def __init__(self, engine: Engine, host: str = "127.0.0.1", port: int = 0,
-                 page_size: int = 1000, auth=None):
+                 page_size: int = 1000, auth=None, ssl_context=None):
         self.engine = engine
         self.page_size = page_size
         # optional PasswdAuthenticationProvider: Basic credentials on every
@@ -230,9 +230,16 @@ class TrinoGateway:
                     self._reply(404, {"error": "not found"})
 
             def _base(self) -> str:
-                return f"http://{service.host}:{service.port}"
+                return f"{service.scheme}://{service.host}:{service.port}"
 
         self.server = ThreadingHTTPServer((host, port), Handler)
+        self.scheme = "http"
+        if ssl_context is not None:
+            # nextUri pages must come back over the same TLS listener
+            from kyuubi_spark.gateway.tls import wrap_http_server
+
+            wrap_http_server(self.server, ssl_context)
+            self.scheme = "https"
         self.host, self.port = self.server.server_address
         self._thread: threading.Thread | None = None
 

@@ -164,12 +164,12 @@ def test_sasl_plain_with_ldap_provider_end_to_end(spark, ldap_server):
 
 
 def test_ldap_url_parsing_errors_and_paths():
-    with pytest.raises(ValueError) as ei:
-        get_authentication_provider(
-            "LDAP",
-            {"kyuubi.authentication.ldap.url": "ldaps://ds.example.com:636"},
-        )
-    assert "TLS" in str(ei.value)
+    # ldaps:// parses to a TLS bind, default port 636
+    p_tls = get_authentication_provider(
+        "LDAP",
+        {"kyuubi.authentication.ldap.url": "ldaps://ds.example.com"},
+    )
+    assert p_tls.use_tls and (p_tls.host, p_tls.port) == ("ds.example.com", 636)
     with pytest.raises(ValueError):
         get_authentication_provider(
             "LDAP", {"kyuubi.authentication.ldap.url": "http://x:1"}

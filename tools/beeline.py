@@ -82,16 +82,31 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--hiveconf", action="append", default=[], metavar="K=V")
     p.add_argument("--maxrows", type=int, default=1000)
     p.add_argument("--outputformat", choices=["table", "csv", "tsv"], default="table")
+    p.add_argument("--ssl", action="store_true",
+                   help="connect over TLS (hive ;ssl=true analog)")
+    p.add_argument("--ssl-ca", metavar="PEM",
+                   help="CA / server cert PEM to verify against "
+                        "(sslTrustStore analog); implies --ssl")
+    p.add_argument("--ssl-insecure", action="store_true",
+                   help="TLS without certificate verification (dev only)")
     a = p.parse_args(argv)
 
     from kyuubi_spark.gateway.thrift import ThriftClient, ThriftHttpClient
 
     host, port = a.url.rsplit(":", 1)
     cls = ThriftHttpClient if a.http else ThriftClient
+    kwargs = {}
+    if a.ssl or a.ssl_ca or a.ssl_insecure:
+        from kyuubi_spark.gateway.tls import client_ssl_context
+
+        kwargs["ssl_context"] = client_ssl_context(
+            cafile=a.ssl_ca, insecure=a.ssl_insecure
+        )
     if a.password is not None:
-        client = cls(host, int(port), user=a.user, password=a.password)
+        client = cls(host, int(port), user=a.user, password=a.password,
+                     **kwargs)
     else:
-        client = cls(host, int(port))
+        client = cls(host, int(port), **kwargs)
     conf = dict(kv.split("=", 1) for kv in a.hiveconf if "=" in kv)
     client.open_session(user=a.user, conf=conf or None)
 

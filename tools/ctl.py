@@ -27,6 +27,7 @@ import urllib.request
 
 
 _BASIC: str | None = None  # set from --user/--password in main()
+_SSL_CTX = None  # set from --ssl-ca/--ssl-insecure in main()
 
 
 def _call(url: str, method: str = "GET", body: dict | None = None):
@@ -37,7 +38,7 @@ def _call(url: str, method: str = "GET", body: dict | None = None):
     if _BASIC:
         req.add_header("Authorization", _BASIC)
     try:
-        with urllib.request.urlopen(req) as resp:
+        with urllib.request.urlopen(req, context=_SSL_CTX) as resp:
             raw = resp.read()
             return json.loads(raw) if raw else {}
     except urllib.error.HTTPError as e:
@@ -58,6 +59,10 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--url", required=True, help="gateway REST base, e.g. http://127.0.0.1:8080")
     p.add_argument("--user", default=None,
                    help="Basic-auth user (servers running kyuubi.authentication)")
+    p.add_argument("--ssl-ca", metavar="PEM",
+                   help="CA / server cert PEM for an https:// gateway")
+    p.add_argument("--ssl-insecure", action="store_true",
+                   help="https without certificate verification (dev only)")
     p.add_argument("--password", default="anonymous")
     sub = p.add_subparsers(dest="verb", required=True)
 
@@ -88,6 +93,11 @@ def main(argv: list[str] | None = None) -> None:
     sql.add_argument("--maxrows", type=int, default=100)
 
     a = p.parse_args(argv)
+    if a.ssl_ca or a.ssl_insecure:
+        from kyuubi_spark.gateway.tls import client_ssl_context
+
+        global _SSL_CTX
+        _SSL_CTX = client_ssl_context(cafile=a.ssl_ca, insecure=a.ssl_insecure)
     if a.user is not None:
         import base64
 

@@ -79,39 +79,10 @@ def _last_verified_round() -> dict[str, int]:
 # driver window, so they sort ahead of everything (new code has never had
 # an independent check; changed code has the highest regression risk).
 _CHANGED_THIS_ROUND = {
-    # r06: the final 6 TPC-DS shapes, newly ported (q24 as both variants)
-    "tpcds_q24a",
-    "tpcds_q24b",
-    "tpcds_q46",
-    "tpcds_q72",
-    "tpcds_q79",
-    "tpcds_q84",
-    "tpcds_q85",
-    # r06: global-NTILE windows rewritten onto the two-phase distributed
-    # ranker (operators/ranking.py) — values must stay identical
-    "win_distribution",
-    "rfm_segments",
-    # r06: per-status ranking rewritten onto the same ranker
-    "tpcds_q49",
-    # r06: new LSH-quality evaluation operator
-    "dedup_lsh_recall_report",
-    # r06: new mix planning operator
-    "mixture_budget_plan",
-    # r06: new dedup-impact report
-    "dedup_cluster_stats",
-    # r06: new pipeline batch 5 (span extraction, Gopher rules, vocab
-    # coverage)
-    "exact_substring_spans",
-    "gopher_quality_report",
-    "vocab_coverage_report",
-    "bpe_merge_pair_counts",
-    "source_unigram_kl",
+    # r07: threshold sweep rebuilt on the cluster-scoped SemDeDup scorer
+    # (O(n^2/k), no full-corpus all-pairs pass; oracle mirrors the
+    # deterministic centroid assignment)
     "semdedup_threshold_sweep",
-    # r06: exact-decimal profit summation (half-cent flip seen at sf0.1)
-    "tpch_q9",
-    # r06: total order at the LIMIT cut (p_name ties seen at sf0.1)
-    "tpcds_q65",
-    "tpcds_q98",
 }
 
 

@@ -475,16 +475,36 @@ _SWEEP_FLOOR = 0.15
              sqrt(list_sum(list_transform(embedding,
                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
       FROM embeddings),
-    pairs AS (
+    c AS (SELECT vec_id AS c_id, embedding AS c_vec, nrm AS c_nrm
+          FROM e WHERE vec_id < 8),
+    sc AS (
+      SELECT e.vec_id, c.c_id,
+             ROUND(list_sum(list_transform(generate_series(1, len(e.embedding)),
+                     i -> CAST(e.embedding[i] AS DOUBLE)
+                          * CAST(c.c_vec[i] AS DOUBLE)))
+                   / (e.nrm * c.c_nrm), 6) AS s
+      FROM e, c),
+    asg AS (
+      SELECT vec_id, CAST(c_id AS INTEGER) AS cluster FROM (
+        SELECT vec_id, c_id,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY s DESC, c_id) AS r
+        FROM sc) t WHERE r = 1),
+    floor_pairs AS (
       SELECT a.vec_id AS a_id, b.vec_id AS b_id,
              ROUND(list_sum(list_transform(
                      generate_series(1, len(a.embedding)),
                      i -> CAST(a.embedding[i] AS DOUBLE)
                           * CAST(b.embedding[i] AS DOUBLE)))
                    / (a.nrm * b.nrm), 6) AS score
-      FROM e a JOIN e b ON a.vec_id < b.vec_id),
-    floor_pairs AS (
-      SELECT * FROM pairs WHERE score >= {_SWEEP_FLOOR}),
+      FROM e a JOIN asg aa ON a.vec_id = aa.vec_id
+      JOIN asg ab ON ab.cluster = aa.cluster
+      JOIN e b ON b.vec_id = ab.vec_id AND a.vec_id < b.vec_id
+      WHERE ROUND(list_sum(list_transform(
+                    generate_series(1, len(a.embedding)),
+                    i -> CAST(a.embedding[i] AS DOUBLE)
+                         * CAST(b.embedding[i] AS DOUBLE)))
+                  / (a.nrm * b.nrm), 6) >= {_SWEEP_FLOOR}),
     t AS (SELECT CAST(unnest({list(_SWEEP_THRESHOLDS)!r}) AS DOUBLE)
             AS threshold),
     hits AS (
@@ -509,43 +529,47 @@ _SWEEP_FLOOR = 0.15
     doc="Semantic-dedup threshold tuning sweep: for each candidate cosine "
     "threshold, how many near-dup pairs fire, how many documents are "
     "touched, and how many the greedy remove-higher-id policy would drop "
-    "— the dial-setting table reviewed before running semantic_dedup / "
-    "embedding_near_dup for real (SemDeDup, Abbas et al. 2023, tunes "
-    "exactly this way). One pass of the distributed block-pair scorer at "
-    "the FLOOR threshold (each unordered pair scored in exactly one "
-    "task, nothing collected), then a broadcast 8-row threshold join "
-    "and bounded aggregates — the sweep adds no second scoring pass. "
-    "Scores round to 6 before comparing, so both engines count "
-    "identical pair sets.",
+    "— the dial-setting table reviewed before running semantic_dedup for "
+    "real. SemDeDup (Abbas et al. 2023) tunes WITHIN k-means clusters, "
+    "and so does this sweep: one pass of the CLUSTER-SCOPED pair scorer "
+    "(semantic_dedup's own O(n^2/k) kernel — nearest-of-8 deterministic "
+    "centroids, pairs scored only inside a cluster, nothing collected "
+    "beyond the k centroids) at the FLOOR threshold, then a broadcast "
+    "8-row threshold join and bounded aggregates — no full-corpus "
+    "all-pairs pass anywhere, so the tuning step runs at the same scale "
+    "as the dedup it tunes. Scores round to 6 before comparing, so both "
+    "engines count identical pair sets.",
 )
 def semdedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kyuubi_spark.functions import similarity as S
 
     emb = load_table(spark, sf_dir, "embeddings")
-    pairs = S.cosine_near_dup_pairs(emb, threshold_rounded=_SWEEP_FLOOR)
+    pairs = S.semantic_dedup_pairs(
+        emb, k_clusters=8, threshold_rounded=_SWEEP_FLOOR
+    )
     thr = spark.createDataFrame(
         [(t,) for t in _SWEEP_THRESHOLDS], "threshold double"
     )
     hits = pairs.join(
         F.broadcast(thr), F.col("score") >= F.col("threshold")
     )
-    # distinct-doc count via explode + countDistinct (never a per-group
-    # collect_list — that would buffer every pair id of a threshold in
-    # one aggregation state, the exact blowup this sweep is sizing)
-    agg = hits.groupBy("threshold").agg(
-        F.count("*").alias("n_pairs"),
-        F.countDistinct("b_id").alias("removable_docs"),
+    # ALL three counts from one exploded relation so the scorer runs in
+    # exactly one plan branch (two separate aggregations over `hits`
+    # would re-score every cluster once per branch); distinct-doc counts
+    # via explode + countDistinct, never a per-group collect_list buffer
+    exploded = hits.select(
+        "threshold",
+        F.posexplode(F.array("a_id", "b_id")).alias("pos", "id"),
     )
-    docs_touched = (
-        hits.select(
-            "threshold", F.explode(F.array("a_id", "b_id")).alias("id")
-        )
-        .groupBy("threshold")
-        .agg(F.countDistinct("id").alias("n_docs_in_pairs"))
+    agg = exploded.groupBy("threshold").agg(
+        (F.count("*") / 2).cast("bigint").alias("n_pairs"),
+        F.countDistinct("id").alias("n_docs_in_pairs"),
+        F.countDistinct(
+            F.when(F.col("pos") == 1, F.col("id"))
+        ).alias("removable_docs"),
     )
     return (
         thr.join(agg, "threshold", "left")
-        .join(docs_touched, "threshold", "left")
         .select(
             "threshold",
             F.coalesce("n_pairs", F.lit(0)).cast("bigint").alias("n_pairs"),

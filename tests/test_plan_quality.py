@@ -480,12 +480,21 @@ def test_source_unigram_kl_broadcast_total(spark, sf_dir):
     assert plans.broadcast_join_count(df) >= 1 or "BroadcastNestedLoop" in text
 
 
-def test_semdedup_sweep_single_scoring_pass_no_collect(spark, sf_dir):
-    # one block-pair scoring pass at the floor threshold; the 8-row
-    # threshold relation joins as a broadcast; distinct-doc counts come
-    # from explode+countDistinct, never a per-group collect_list buffer
+def test_semdedup_sweep_cluster_scoped_no_all_pairs(spark, sf_dir):
+    # the sweep drives semantic_dedup's CLUSTER-SCOPED scorer (O(n^2/k)),
+    # not a full-corpus all-pairs pass: the only pair generation is the
+    # FlatMapGroupsInPandas keyed on cluster id, the embeddings parquet is
+    # scanned once in the final plan (centroids were collected eagerly at
+    # build), the 8-row threshold relation joins as a broadcast, and
+    # distinct-doc counts come from explode+countDistinct, never a
+    # per-group collect_list buffer
     df = _build(spark, sf_dir, "semdedup_threshold_sweep")
     plan = df._jdf.queryExecution().optimizedPlan().toString()
     assert "collect_list" not in plan
     text = plans.explain_formatted(df)
     assert "CartesianProduct" not in text
+    # exactly one scorer invocation, one embeddings scan: no all-pairs
+    # self-join and no per-branch re-scoring (count on the optimized
+    # logical plan — explain_formatted prints each node twice)
+    assert plan.count("FlatMapGroupsInPandas") == 1
+    assert plan.count("parquet") <= 1

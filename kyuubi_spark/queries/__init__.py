@@ -83,6 +83,9 @@ _CHANGED_THIS_ROUND = {
     # (O(n^2/k), no full-corpus all-pairs pass; oracle mirrors the
     # deterministic centroid assignment)
     "semdedup_threshold_sweep",
+    # r07: re-registered with a value-exact oracle (exact count + pinned
+    # hll_within_5pct boolean) after six rounds of rows-only no_oracle
+    "approx_distinct_users",
 }
 
 

@@ -408,3 +408,25 @@ def test_global_row_number_exact_at_scale(spark, sf_dir):
     ).groupBy("s.k", "s.rn").agg(F.count(F.lit(1)).alias("before"))
     bad = joined.filter(F.col("rn") != F.col("before") + 1).count()
     assert bad == 0
+
+
+def test_approx_count_distinct_within_5pct(spark, sf_dir):
+    """The ±5% tolerance on the HLL++ estimates behind
+    approx_distinct_users' hll_within_5pct column, asserted on the raw
+    estimate values (rsd=0.01 should land far inside 5%)."""
+    from kyuubi_spark.session import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    rows = (
+        events.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
+            F.countDistinct("user_id").alias("exact_users"),
+        )
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        assert abs(r.approx_users - r.exact_users) <= 0.05 * r.exact_users, (
+            r.event_type, r.approx_users, r.exact_users,
+        )

@@ -188,10 +188,24 @@ class LdapAuthenticationProvider(PasswdAuthenticationProvider):
         )
         self.domain = conf.get("kyuubi.authentication.ldap.domain", "")
         self.guid_key = conf.get("kyuubi.authentication.ldap.guidKey", "uid")
+        self.conf = dict(conf)
+        # search-based authorization filters (userFilter / groupFilter /
+        # customLDAPQuery — gateway/ldap_search.py); None when none set
+        from kyuubi_spark.gateway.ldap_search import resolve_filter
+
+        self.filter = resolve_filter(conf)
 
     def _bind_dn(self, user: str) -> str:
         if "=" in user or "," in user:
             return user  # already a DN
+        # userDNPattern outranks the baseDN-derived principal, like the
+        # reference's candidate-principal derivation (LdapUtils
+        # .getCandidatePrincipals: patterns first, then guidKey+baseDN)
+        pattern = self.conf.get(
+            "kyuubi.authentication.ldap.userDNPattern", ""
+        ).split(":")[0]
+        if pattern and "%s" in pattern:
+            return pattern.replace("%s", user)
         if self.base_dn:
             return f"{self.guid_key}={user},{self.base_dn}"
         if self.domain and "@" not in user:
@@ -206,21 +220,51 @@ class LdapAuthenticationProvider(PasswdAuthenticationProvider):
             # bind, which most servers report as success — never treat it
             # as a valid credential (Hive/Kyuubi reject it the same way)
             raise AuthenticationError("empty passwords are not allowed")
-        try:
-            ctx = None
-            if self.use_tls:
-                from kyuubi_spark.gateway.tls import client_ssl_context
+        ctx = None
+        if self.use_tls:
+            from kyuubi_spark.gateway.tls import client_ssl_context
 
-                ctx = client_ssl_context(
-                    cafile=self.cafile, insecure=self.insecure
+            ctx = client_ssl_context(
+                cafile=self.cafile, insecure=self.insecure
+            )
+        if self.filter is None:
+            try:
+                code = simple_bind(
+                    self.host, self.port, self._bind_dn(user), password,
+                    ssl_context=ctx,
                 )
-            code = simple_bind(
-                self.host, self.port, self._bind_dn(user), password,
-                ssl_context=ctx,
-            )
+            except (OSError, ValueError) as e:
+                raise AuthenticationError(f"LDAP bind failed: {e}") from e
+            if code != RESULT_SUCCESS:
+                raise AuthenticationError(
+                    f"LDAP bind rejected for {user} (resultCode {code})"
+                )
+            return
+        # filters configured: bind and search on ONE connection held as
+        # the authenticating user (the reference creates its DirSearch
+        # with the just-bound credentials, LdapAuthenticationProviderImpl
+        # .scala:54-71) — a bindable user still fails unless the filter
+        # chain authorizes them
+        from kyuubi_spark.gateway.ldap_search import LdapConnection, LdapSearch
+
+        try:
+            conn = LdapConnection(self.host, self.port, ssl_context=ctx)
         except (OSError, ValueError) as e:
-            raise AuthenticationError(f"LDAP bind failed: {e}") from e
-        if code != RESULT_SUCCESS:
-            raise AuthenticationError(
-                f"LDAP bind rejected for {user} (resultCode {code})"
-            )
+            raise AuthenticationError(f"LDAP connect failed: {e}") from e
+        with conn:
+            try:
+                code = conn.bind(self._bind_dn(user), password)
+            except (OSError, ValueError) as e:
+                raise AuthenticationError(f"LDAP bind failed: {e}") from e
+            if code != RESULT_SUCCESS:
+                raise AuthenticationError(
+                    f"LDAP bind rejected for {user} (resultCode {code})"
+                )
+            try:
+                self.filter.apply(LdapSearch(conn, self.conf), user)
+            except AuthenticationError:
+                raise
+            except (OSError, ValueError) as e:
+                raise AuthenticationError(
+                    f"LDAP filter evaluation failed: {e}"
+                ) from e

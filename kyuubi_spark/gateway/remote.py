@@ -151,15 +151,28 @@ class RemoteEngineSession:
         self.conf = C.GatewayConf(conf)
         raw = dict(conf or {})
         host, port = self._resolve(engine, raw)
-        # engine-side SASL/PLAIN credentials: set kyuubi.engine.thrift.user
-        # (+ .password) when the target frontend runs kyuubi.authentication
-        # — without them a NOSASL connect against an auth-enabled engine
-        # dies in the handshake
+        # engine-side SASL/PLAIN credentials, in precedence order:
+        # 1. explicit kyuubi.engine.thrift.user/.password conf (manual
+        #    per-deployment credential)
+        # 2. engine-secure internal auth (kyuubi.engine.security.enabled):
+        #    mint a token from the cluster-shared secret and present it as
+        #    the SASL password under the internal principal — no static
+        #    credential anywhere (EngineSecureAuthenticationProviderImpl
+        #    + InternalSecurityAccessor.issueToken)
+        # 3. NOSASL (the target frontend runs without authentication)
         eng_user = raw.get("kyuubi.engine.thrift.user")
+        accessor = getattr(engine, "internal_accessor", None)
         if eng_user:
             self.client = ThriftClient(
                 host, port, user=eng_user,
                 password=raw.get("kyuubi.engine.thrift.password", "anonymous"),
+            )
+        elif accessor is not None:
+            from kyuubi_spark.gateway.internal_auth import INTERNAL_USER
+
+            self.client = ThriftClient(
+                host, port, user=INTERNAL_USER,
+                password=accessor.issue_token(),
             )
         else:
             self.client = ThriftClient(host, port)

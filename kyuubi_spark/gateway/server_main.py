@@ -104,6 +104,25 @@ class KyuubiServer:
         if discovery is not None:
             # engine-side lookup (remote sessions resolve namespaces here)
             self.engine.discovery = discovery
+        # engine-secure internal auth (kyuubi.engine.security.enabled):
+        # an auto-issued cluster secret replaces static engine credentials
+        # — internal connections authenticate with a minted token, and
+        # this server's own frontends accept them alongside user auth
+        from kyuubi_spark.gateway.internal_auth import (
+            CompositeAuthenticationProvider,
+            EngineSecureAuthenticationProvider,
+            build_accessor,
+        )
+
+        self.internal_accessor = build_accessor(conf, discovery)
+        if self.internal_accessor is not None:
+            # outbound: remote sessions opened through this engine mint
+            # tokens instead of reading kyuubi.engine.thrift.user/password
+            self.engine.internal_accessor = self.internal_accessor
+            self.auth = CompositeAuthenticationProvider(
+                EngineSecureAuthenticationProvider(self.internal_accessor),
+                self.auth,
+            )
         self.thrift = None
         self.thrift_http = None
         self.rest = None

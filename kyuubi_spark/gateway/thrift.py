@@ -473,7 +473,15 @@ class ThriftFrontendService:
 
     def _do_OpenSession(self, req: dict, auth_user: str | None = None) -> list:
         # the SASL/Basic-authenticated principal outranks the request's
-        # claimed username (reference: SASL-derived user threadlocal)
+        # claimed username (reference: SASL-derived user threadlocal) —
+        # EXCEPT for engine-secure internal connections, which proved
+        # possession of the cluster token and carry the REAL end user in
+        # OpenSession (the reference's proxy-user semantics on internal
+        # gateway->engine links)
+        from kyuubi_spark.gateway.internal_auth import INTERNAL_USER
+
+        if auth_user == INTERNAL_USER:
+            auth_user = None
         user = auth_user or req.get(2, (None, b"anonymous"))[1].decode("utf-8")
         conf = {}
         if 4 in req:

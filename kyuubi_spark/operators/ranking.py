@@ -88,33 +88,55 @@ def global_row_numbers(
     bucket-partitioned row_number windows back to back over the same
     persisted input.
 
-    The bucket count ADAPTS to the input: cut points are computed once at
-    ``_CUT_GRANULARITY`` resolution and subsampled to
-    ``clamp(total / rows_per_bucket, 32, granularity)`` buckets — a fixed
-    bucket count would mean ever-larger per-bucket sorts as the relation
-    grows (10^9 users / 64 buckets = 15M-row sort tasks).  Pass
-    ``buckets`` to pin it explicitly (tests do)."""
+    The bucket count ADAPTS to the input: a cheap coarse probe (64 cuts)
+    sizes ``clamp(total / rows_per_bucket, 32, _CUT_GRANULARITY)``
+    buckets, and only when that exceeds the probe resolution does a
+    second, finer percentile pass run — a fixed bucket count would mean
+    ever-larger per-bucket sorts as the relation grows (10^9 users / 64
+    buckets = 15M-row sort tasks), while a fixed fine-grained sketch
+    taxed every small input for the big ones.  Cut precision only
+    affects bucket balance, never values.  Pass ``buckets`` to pin it
+    explicitly (tests do)."""
     names = list(axes)
     # Persist the INPUT: the cut-point pass, the counts pass, and the
     # final windowed plan all read it, and it usually sits on top of an
     # expensive upstream aggregation (registered in the session cache
     # scope for release).  Bucket assignment is a map-only expression, so
-    # re-deriving it from the cached input is free.
-    src = persisted(df)
+    # re-deriving it from the cached input is free.  Skip when the caller
+    # already cached it — a second persist() only buys a CacheManager
+    # warning.
+    lvl = df.storageLevel
+    src = df if (lvl.useMemory or lvl.useDisk) else persisted(df)
     # --- pass 1: row count + every axis's cut points in ONE aggregate ---
-    gran = max(buckets or 0, _CUT_GRANULARITY)
+    # Cut precision only affects bucket BALANCE, never the exact result,
+    # so the probe is cheap-first: coarse granularity + matching sketch
+    # accuracy, refined in a second percentile pass ONLY when the row
+    # count demands more buckets than the probe resolved (small inputs —
+    # every test SF — never pay the fine-grained sketch; the refinement
+    # kicks in exactly when the data is big enough to amortize it).
     knums = {rn: _numeric_key(src, axes[rn][0][0]) for rn in names}
-    fracs = F.array(*[F.lit(i / gran) for i in range(1, gran)])
-    stats_row = src.select(
-        F.count(F.lit(1)).alias("_n"),
-        *[
-            F.percentile_approx(knums[rn], fracs, 10_000).alias(rn)
+
+    def _cut_pass(gran: int, with_count: bool):
+        fracs = F.array(*[F.lit(i / gran) for i in range(1, gran)])
+        acc = max(1_000, 4 * gran)
+        cols = [
+            F.percentile_approx(knums[rn], fracs, acc).alias(rn)
             for rn in names
-        ],
-    ).first()
+        ]
+        if with_count:
+            cols.insert(0, F.count(F.lit(1)).alias("_n"))
+        return src.select(*cols).first()
+
+    gran = max(buckets or 0, 64)
+    stats_row = _cut_pass(gran, with_count=True)
     total_rows = stats_row["_n"]
     if buckets is None:
-        buckets = min(gran, max(32, -(-total_rows // rows_per_bucket)))
+        buckets = min(
+            _CUT_GRANULARITY, max(32, -(-total_rows // rows_per_bucket))
+        )
+        if buckets > gran:
+            gran = buckets
+            stats_row = _cut_pass(gran, with_count=False)
     bkt_cols = {rn: f"_bkt_{rn}" for rn in names}
     with_bkt = src
     for rn in names:

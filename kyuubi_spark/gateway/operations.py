@@ -18,7 +18,9 @@ from __future__ import annotations
 
 import contextlib
 import contextvars
+import glob
 import io
+import os
 import re
 import shutil
 import tempfile
@@ -341,6 +343,14 @@ class ExecuteStatement(Operation):
         trip, written as zstd parquet, re-read, re-aliased, and iterated.
         At 100 TB this bounds driver memory: executors write in parallel,
         the driver streams one partition at a time.
+
+        The re-read streams the part files ONE AT A TIME in part-number
+        order — a whole-directory ``read.parquet`` bin-packs files into
+        read partitions by SIZE, which reorders rows and silently breaks
+        a query's ORDER BY on the wire.  Part numbers follow the writing
+        partition index, which for a sorted result is the sort order; the
+        per-file read adds no shuffle, and laziness means a client that
+        stops fetching never pays for the tail files.
         """
         names = df.schema.names
         self._spill_dir = tempfile.mkdtemp(prefix="kyuubi_spark_result_")
@@ -349,8 +359,18 @@ class ExecuteStatement(Operation):
         renamed.write.mode("overwrite").option("compression", "zstd").parquet(
             self._spill_dir
         )
-        back = self.session.spark.read.parquet(self._spill_dir).toDF(*names)
-        return IterableFetchIterator(back.toLocalIterator())
+        files = sorted(
+            glob.glob(os.path.join(self._spill_dir, "part-*.parquet"))
+        )
+        spark = self.session.spark
+        schema = renamed.schema
+
+        def stream():
+            for path in files:
+                back = spark.read.schema(schema).parquet(path).toDF(*names)
+                yield from back.toLocalIterator()
+
+        return IterableFetchIterator(stream())
 
     def _collect_arrow(self, df: DataFrame) -> list[Any]:
         """Arrow result format: list of pyarrow RecordBatches

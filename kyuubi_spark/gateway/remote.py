@@ -160,22 +160,35 @@ class RemoteEngineSession:
         #    credential anywhere (EngineSecureAuthenticationProviderImpl
         #    + InternalSecurityAccessor.issueToken)
         # 3. NOSASL (the target frontend runs without authentication)
+        # TLS: kyuubi.engine.thrift.ssl.enabled wraps the hop (cafile =
+        # the engine's PEM cert for self-signed deployments) — SASL or
+        # the internal token then rides inside the channel
+        kwargs = {}
+        if str(raw.get("kyuubi.engine.thrift.ssl.enabled", "false")).lower() in (
+            "true", "1", "yes",
+        ):
+            from kyuubi_spark.gateway.tls import client_ssl_context
+
+            kwargs["ssl_context"] = client_ssl_context(
+                cafile=raw.get("kyuubi.engine.thrift.ssl.cafile")
+            )
         eng_user = raw.get("kyuubi.engine.thrift.user")
         accessor = getattr(engine, "internal_accessor", None)
         if eng_user:
             self.client = ThriftClient(
                 host, port, user=eng_user,
                 password=raw.get("kyuubi.engine.thrift.password", "anonymous"),
+                **kwargs,
             )
         elif accessor is not None:
             from kyuubi_spark.gateway.internal_auth import INTERNAL_USER
 
             self.client = ThriftClient(
                 host, port, user=INTERNAL_USER,
-                password=accessor.issue_token(),
+                password=accessor.issue_token(), **kwargs,
             )
         else:
-            self.client = ThriftClient(host, port)
+            self.client = ThriftClient(host, port, **kwargs)
         try:
             self.client.open_session(user=user)
         except BaseException:

@@ -152,6 +152,15 @@ class TrinoBackedSession:
             self._basic = "Basic " + base64.b64encode(
                 cred.encode("utf-8")
             ).decode("ascii")
+        # TLS for https:// endpoints: cafile = the server's PEM cert for
+        # self-signed deployments (else the system trust store applies)
+        self._ssl_ctx = None
+        if self.base.startswith("https://"):
+            from kyuubi_spark.gateway.tls import client_ssl_context
+
+            self._ssl_ctx = client_ssl_context(
+                cafile=raw.get("kyuubi.engine.trino.connection.ssl.cafile")
+            )
         self.handle = SessionHandle()
         self.last_access = time.time()
         self.operations: dict[str, TrinoBackedOperation] = {}
@@ -169,12 +178,12 @@ class TrinoBackedSession:
             headers=self._headers(),
             method="POST",
         )
-        with urllib.request.urlopen(req) as resp:
+        with urllib.request.urlopen(req, context=self._ssl_ctx) as resp:
             return json.loads(resp.read())
 
     def _get(self, uri: str) -> dict:
         req = urllib.request.Request(uri, headers=self._headers())
-        with urllib.request.urlopen(req) as resp:
+        with urllib.request.urlopen(req, context=self._ssl_ctx) as resp:
             return json.loads(resp.read())
 
     def execute_statement(

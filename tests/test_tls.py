@@ -370,3 +370,68 @@ def test_beeline_ssl_flag(spark, certs, server_ctx, capsys):
         assert "7" in capsys.readouterr().out
     finally:
         svc.stop()
+
+
+# -- engine-side clients over TLS ---------------------------------------------
+
+
+def test_remote_thrift_session_over_tls(spark, certs, server_ctx):
+    """A THRIFT-type session reaches a TLS engine frontend via
+    kyuubi.engine.thrift.ssl.enabled/.cafile — the gateway→engine hop is
+    encrypted end-to-end, matching the server-side conf plane."""
+    from kyuubi_spark.gateway import Engine
+    from kyuubi_spark.gateway.engine import Engine as GwEngine
+    from kyuubi_spark.gateway.state import FetchOrientation
+    from kyuubi_spark.gateway.thrift import ThriftFrontendService
+
+    svc = ThriftFrontendService(
+        Engine(spark=spark), ssl_context=server_ctx
+    ).start()
+    try:
+        gw = GwEngine(spark)
+        s = gw.open_session(
+            user="tls_remote",
+            conf={
+                "kyuubi.engine.type": "THRIFT",
+                "kyuubi.engine.thrift.host": svc.host,
+                "kyuubi.engine.thrift.port": str(svc.port),
+                "kyuubi.engine.thrift.ssl.enabled": "true",
+                "kyuubi.engine.thrift.ssl.cafile": certs[0],
+            },
+        )
+        op = s.execute_statement("SELECT 'tls-hop' AS msg")
+        rows = op.get_next_row_set(FetchOrientation.FETCH_NEXT, 5)
+        assert rows == [["tls-hop"]]
+        gw.close_session(s.handle)
+    finally:
+        svc.stop()
+
+
+def test_trino_engine_session_over_https(spark, certs, server_ctx):
+    """A TRINO-type session drains pages from an https endpoint via
+    kyuubi.engine.trino.connection.ssl.cafile."""
+    from kyuubi_spark.gateway import Engine
+    from kyuubi_spark.gateway.engine import Engine as GwEngine
+    from kyuubi_spark.gateway.state import FetchOrientation
+    from kyuubi_spark.gateway.trino import TrinoGateway
+
+    svc = TrinoGateway(
+        Engine(spark=spark), page_size=3, ssl_context=server_ctx
+    ).start()
+    try:
+        gw = GwEngine(spark)
+        s = gw.open_session(
+            user="tls_trino_engine",
+            conf={
+                "kyuubi.engine.type": "TRINO",
+                "kyuubi.engine.trino.connection.url":
+                    f"https://{svc.host}:{svc.port}",
+                "kyuubi.engine.trino.connection.ssl.cafile": certs[0],
+            },
+        )
+        op = s.execute_statement("SELECT id FROM range(7) ORDER BY id")
+        rows = op.get_next_row_set(FetchOrientation.FETCH_NEXT, 100)
+        assert [r[0] for r in rows] == list(range(7))
+        gw.close_session(s.handle)
+    finally:
+        svc.stop()

@@ -97,6 +97,9 @@ HEADLINE = [
     "bpe_merge_pair_counts",
     "source_unigram_kl",
     "semdedup_threshold_sweep",
+    "dsir_importance_weights",
+    "ngram_novelty_curve",
+    "lsh_band_s_curve",
     "packing_efficiency_report",
     "mixture_budget_plan",
     "dedup_cluster_stats",

@@ -86,6 +86,10 @@ _CHANGED_THIS_ROUND = {
     # r07: re-registered with a value-exact oracle (exact count + pinned
     # hll_within_5pct boolean) after six rounds of rows-only no_oracle
     "approx_distinct_users",
+    # r07: new pipeline batch 6 (DSIR weights, novelty curve, LSH S-curve)
+    "dsir_importance_weights",
+    "ngram_novelty_curve",
+    "lsh_band_s_curve",
 }
 
 
@@ -100,6 +104,7 @@ def all_queries() -> dict[str, QuerySpec]:
         pipeline3,
         pipeline4,
         pipeline5,
+        pipeline6,
         tpcds,
         tpcds2,
         tpcds3,

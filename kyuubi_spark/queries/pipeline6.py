@@ -1,0 +1,291 @@
+"""Pipeline batch 6: data-selection and dedup-planning operators.
+
+- ``dsir_importance_weights`` — hashed-n-gram importance resampling
+  (DSIR, Xie et al. 2023): per-document log importance weight of a raw
+  pool against a target slice, the scoring pass behind data-selection
+  for LM pretraining.
+- ``ngram_novelty_curve`` — marginal-novelty curve: what fraction of
+  each corpus slice's n-grams are first seen in that slice — the
+  diminishing-returns diagnostic behind "how much more of this source is
+  worth ingesting".
+- ``lsh_band_s_curve`` — MinHash-LSH (bands, rows) tuning table: the
+  analytic detection-probability S-curve per banding config, the dial
+  sheet read before choosing dedup_minhash_lsh parameters.
+
+All three are value-exact against DuckDB oracles; the corpus-scaled ones
+keep the shuffle profile bucket-/gram-keyed (map-side combinable) with
+only scalar totals broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kyuubi_spark.functions.compat import dround
+from kyuubi_spark.queries import query
+from kyuubi_spark.session import load_table
+
+# --------------------------------------------------------------------------
+# DSIR hashed-ngram importance weights
+# --------------------------------------------------------------------------
+
+_DSIR_BUCKETS = 4096
+_DSIR_TARGET = ("src0", "src1", "src2", "src3", "src4")
+
+_FEATS_CTE = f"""
+  toks AS (SELECT doc_id, source, string_split(trim(text), ' ') AS t
+           FROM documents),
+  feats AS (
+    SELECT doc_id, source,
+           ('0x' || substring(md5(f), 1, 8))::BIGINT % {_DSIR_BUCKETS} AS b
+    FROM (
+      SELECT doc_id, source, unnest(
+        list_concat(
+          t,
+          CASE WHEN len(t) >= 2
+               THEN list_transform(generate_series(1, len(t) - 1),
+                                   i -> t[i] || ' ' || t[i + 1])
+               ELSE [] END)) AS f
+      FROM toks) u)
+"""
+
+
+@query(
+    "dsir_importance_weights",
+    oracle=f"""
+    WITH {_FEATS_CTE},
+    raw AS (SELECT b, COUNT(*) AS c_r FROM feats GROUP BY b),
+    tgt AS (SELECT b, COUNT(*) AS c_t FROM feats
+            WHERE source IN {_DSIR_TARGET!r} GROUP BY b),
+    tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_r,
+                   CAST(SUM(CASE WHEN source IN {_DSIR_TARGET!r}
+                            THEN 1 ELSE 0 END) AS DOUBLE) AS n_t
+            FROM feats)
+    SELECT f.doc_id,
+           ANY_VALUE(f.source) AS source,
+           CAST(COUNT(*) AS BIGINT) AS n_feats,
+           ROUND(AVG(
+             ln((COALESCE(t.c_t, 0) + 1) / (tot.n_t + {_DSIR_BUCKETS}))
+             - ln((r.c_r + 1) / (tot.n_r + {_DSIR_BUCKETS}))), 3) + 0
+             AS avg_logw,
+           CASE WHEN ROUND(AVG(
+             ln((COALESCE(t.c_t, 0) + 1) / (tot.n_t + {_DSIR_BUCKETS}))
+             - ln((r.c_r + 1) / (tot.n_r + {_DSIR_BUCKETS}))), 3) > 0
+             THEN 1 ELSE 0 END AS keep
+    FROM feats f
+    JOIN raw r ON r.b = f.b
+    LEFT JOIN tgt t ON t.b = f.b
+    CROSS JOIN tot
+    GROUP BY f.doc_id
+    ORDER BY f.doc_id
+    """,
+    doc="DSIR importance resampling weights (Xie et al. 2023): documents "
+    "are featurized as hashed unigrams+bigrams (md5 -> 4096 buckets, the "
+    "text_hash_embed trick), the TARGET distribution is a designated "
+    "high-quality slice (sources src0-4), and each pool document scores "
+    "avg ln(p_target(b)/p_raw(b)) with add-one smoothing — positive "
+    "weight = looks more like the target than the pool, the keep bit a "
+    "resampler would threshold on. Shuffle profile at 100 TB: two "
+    "bucket-keyed aggregates bounded by 4096 rows (map-side combined, "
+    "BROADCAST back to the feature stream), scalar totals broadcast, one "
+    "doc-keyed regroup — the same profile as perplexity_filter, and both "
+    "engines average identical IEEE ln() terms rounded to 3.",
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "source", F.split(F.trim(F.col("text")), " ").alias("t")
+    )
+    # unigrams + bigrams; CASE-guard short docs (Spark sequence(1, 0)
+    # steps DOWNWARD, so the bigram lambda must never see len < 2)
+    bigrams = F.when(
+        F.size("t") >= 2,
+        F.expr(
+            "transform(sequence(1, size(t) - 1),"
+            " i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    feats = toks.select(
+        "doc_id",
+        "source",
+        F.explode(F.concat(F.col("t"), bigrams)).alias("f"),
+    ).select(
+        "doc_id",
+        "source",
+        (
+            F.conv(F.substring(F.md5(F.col("f").cast("binary")), 1, 8), 16, 10)
+            .cast("long")
+            % _DSIR_BUCKETS
+        ).alias("b"),
+    )
+    raw = feats.groupBy("b").agg(F.count("*").alias("c_r"))
+    tgt = feats.filter(F.col("source").isin(*_DSIR_TARGET)).groupBy("b").agg(
+        F.count("*").alias("c_t")
+    )
+    tot = feats.agg(
+        F.count("*").cast("double").alias("n_r"),
+        F.sum(
+            F.when(F.col("source").isin(*_DSIR_TARGET), 1).otherwise(0)
+        ).cast("double").alias("n_t"),
+    )
+    logw = F.avg(
+        F.log((F.coalesce(F.col("c_t"), F.lit(0)) + 1)
+              / (F.col("n_t") + _DSIR_BUCKETS))
+        - F.log((F.col("c_r") + 1) / (F.col("n_r") + _DSIR_BUCKETS))
+    )
+    return (
+        feats.join(F.broadcast(raw), "b")
+        .join(F.broadcast(tgt), "b", "left")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.first("source").alias("source"),
+            F.count("*").alias("n_feats"),
+            dround(logw, 3).alias("avg_logw"),
+            F.when(dround(logw, 3) > 0, 1).otherwise(0).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Marginal n-gram novelty curve
+# --------------------------------------------------------------------------
+
+_NOVELTY_SLICES = 20
+
+
+@query(
+    "ngram_novelty_curve",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t
+                  FROM documents),
+    grams AS (
+      SELECT DISTINCT doc_id, g FROM (
+        SELECT doc_id, unnest(
+          CASE WHEN len(t) >= 3
+               THEN list_transform(generate_series(1, len(t) - 2),
+                                   i -> array_to_string(t[i:i+2], ' '))
+               ELSE [array_to_string(t, ' ')] END) AS g
+        FROM toks) u),
+    first_seen AS (SELECT g, MIN(doc_id) AS first_doc FROM grams GROUP BY g),
+    mx AS (SELECT MAX(doc_id) AS m FROM documents)
+    SELECT CAST(LEAST({_NOVELTY_SLICES - 1},
+                      FLOOR(doc_id * {_NOVELTY_SLICES} / (mx.m + 1))) AS INT)
+             AS slice,
+           CAST(COUNT(DISTINCT g.doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS novel_grams,
+           ROUND(SUM(CASE WHEN f.first_doc = g.doc_id THEN 1.0 ELSE 0 END)
+                 / COUNT(*), 6) AS novelty_frac
+    FROM grams g JOIN first_seen f ON f.g = g.g CROSS JOIN mx
+    GROUP BY slice
+    ORDER BY slice
+    """,
+    doc="Marginal n-gram novelty curve: corpus slices in ingestion order "
+    "(doc_id split into 20 equal ranges), each reporting the fraction of "
+    "its distinct word-3-grams not seen in ANY earlier document — the "
+    "diminishing-returns curve data teams read to decide how much more "
+    "of a source is worth ingesting (novelty decays toward the "
+    "boilerplate floor as the corpus saturates). First-seen attribution "
+    "is a gram-keyed MIN aggregate joined back to the per-doc distinct "
+    "grams — the exact_substring_spans shuffle profile: two gram-keyed "
+    "map-side-combined passes, no pairwise doc work, scalar max-doc-id "
+    "broadcast; the final relation is 20 rows.",
+)
+def ngram_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.split(F.trim(F.col("text")), " ").alias("t")
+    )
+    gram_list = F.when(
+        F.size("t") >= 3,
+        F.expr(
+            "transform(sequence(1, size(t) - 2),"
+            " i -> concat_ws(' ', slice(t, i, 3)))"
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", F.col("t"))))
+    grams = (
+        toks.select("doc_id", F.explode(gram_list).alias("g")).distinct()
+    )
+    first_seen = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    mx = docs.agg(F.max("doc_id").alias("m"))
+    novel = F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    slice_col = F.least(
+        F.lit(_NOVELTY_SLICES - 1),
+        (F.col("doc_id") * _NOVELTY_SLICES / (F.col("m") + 1)).cast("long"),
+    ).cast("int")
+    return (
+        grams.join(first_seen, "g")
+        .crossJoin(F.broadcast(mx))
+        .groupBy(slice_col.alias("slice"))
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_grams"),
+            F.sum(novel).cast("bigint").alias("novel_grams"),
+            dround(F.sum(novel.cast("double")) / F.count("*"), 6).alias(
+                "novelty_frac"
+            ),
+        )
+        .orderBy("slice")
+    )
+
+
+# --------------------------------------------------------------------------
+# MinHash-LSH banding S-curve tuning table
+# --------------------------------------------------------------------------
+
+_LSH_CONFIGS = ((16, 1), (8, 2), (4, 4), (2, 8))  # 16-hash signatures
+_S_STEPS = 19  # s = 0.05 .. 0.95
+
+
+@query(
+    "lsh_band_s_curve",
+    oracle=f"""
+    WITH cfg AS (
+      SELECT unnest([{", ".join(f"{{'bands': {b}, 'rows': {r}}}"
+                                for b, r in _LSH_CONFIGS)}],
+                    recursive := true)),
+    s AS (SELECT CAST(i AS DOUBLE) / 20 AS s
+          FROM generate_series(1, {_S_STEPS}) t(i))
+    SELECT CAST(cfg.bands AS INT) AS bands,
+           CAST(cfg.rows AS INT) AS rows_per_band,
+           s.s AS jaccard,
+           ROUND(1 - pow(1 - pow(s.s, cfg.rows), cfg.bands), 6)
+             AS p_candidate,
+           ROUND(pow(1.0 / cfg.bands, 1.0 / cfg.rows), 6) AS threshold
+    FROM cfg CROSS JOIN s
+    ORDER BY bands, rows_per_band, jaccard
+    """,
+    doc="MinHash-LSH banding S-curve (Leskovec/Rajaraman/Ullman ch.3): "
+    "for every (bands, rows) split of the repo's 16-hash signatures, the "
+    "analytic candidate probability 1-(1-s^r)^b over a Jaccard grid plus "
+    "the curve's threshold (1/b)^(1/r) — the dial sheet read before "
+    "picking dedup_minhash_lsh parameters (more bands catch lower "
+    "similarity at more candidate cost). Constant-size relation, no "
+    "table scan; both engines evaluate identical IEEE pow() rounded 6.",
+)
+def lsh_band_s_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cfg = spark.createDataFrame(
+        list(_LSH_CONFIGS), "bands int, rows_per_band int"
+    )
+    s = spark.range(1, _S_STEPS + 1).select(
+        (F.col("id").cast("double") / 20).alias("jaccard")
+    )
+    p = 1 - F.pow(
+        1 - F.pow(F.col("jaccard"), F.col("rows_per_band")), F.col("bands")
+    )
+    thr = F.pow(1.0 / F.col("bands"), 1.0 / F.col("rows_per_band"))
+    return (
+        cfg.crossJoin(s)
+        .select(
+            "bands",
+            "rows_per_band",
+            "jaccard",
+            dround(p, 6).alias("p_candidate"),
+            dround(thr, 6).alias("threshold"),
+        )
+        .orderBy("bands", "rows_per_band", "jaccard")
+    )

@@ -498,3 +498,25 @@ def test_semdedup_sweep_cluster_scoped_no_all_pairs(spark, sf_dir):
     # logical plan — explain_formatted prints each node twice)
     assert plan.count("FlatMapGroupsInPandas") == 1
     assert plan.count("parquet") <= 1
+
+
+def test_dsir_weights_broadcast_bucket_joins(spark, sf_dir):
+    # both bucket tables are <=4096 rows and must BROADCAST back to the
+    # doc-scaled feature stream (a shuffle join keyed on 4096 hot bucket
+    # ids would be the classic skew trap); totals are a broadcast scalar;
+    # no windows, no cartesian row explosion beyond the 1-row total
+    df = _build(spark, sf_dir, "dsir_importance_weights")
+    text = plans.explain_formatted(df)
+    assert "windowspecdefinition" not in text
+    assert plans.broadcast_join_count(df) >= 2
+    assert "SortMergeJoin" not in text
+
+
+def test_ngram_novelty_curve_gram_keyed(spark, sf_dir):
+    # first-seen attribution is a gram-keyed MIN aggregate joined back to
+    # the distinct per-doc grams — no pairwise doc work, no windows; the
+    # max-doc-id scalar joins as a broadcast
+    df = _build(spark, sf_dir, "ngram_novelty_curve")
+    text = plans.explain_formatted(df)
+    assert "windowspecdefinition" not in text
+    assert "CartesianProduct" not in text

@@ -239,7 +239,9 @@ class RestGateway:
             return
         parts = parts[2:]
 
-        if parts == ["metrics"] and method == "GET":
+        if parts[:1] == ["admin"]:
+            self._route_admin(h, method, parts[1:], q)
+        elif parts == ["metrics"] and method == "GET":
             h._reply(200, self.engine.metrics.snapshot())
         elif parts == ["events"] and method == "GET":
             n = int(q.get("n", ["100"])[0])
@@ -306,6 +308,61 @@ class RestGateway:
                 h._reply(200, job.info())
         else:
             h._reply(404, {"error": f"unknown route {method} {h.path}"})
+
+    def _route_admin(self, h, method: str, parts: list[str], q) -> None:
+        """Admin resource (reference AdminResource.scala:282-408):
+        list/delete engine nodes and list server nodes straight from the
+        discovery registry — what `kyuubi-ctl list engine` / `delete
+        engine` speak to."""
+        disco = getattr(self.engine, "discovery", None)
+        if disco is None:
+            h._reply(503, {"error": "no discovery client configured"})
+            return
+
+        def node_dict(n):
+            return {
+                "namespace": n.namespace,
+                "nodeName": n.node_name,
+                "instance": f"{n.host}:{n.port}",
+                "version": n.version,
+                "engineRefId": n.engine_ref_id,
+                "attributes": n.attributes,
+            }
+
+        if parts == ["engine"] and method == "GET":
+            # every engine-space under /kyuubi except server/infra nodes
+            out = []
+            for ns in disco.get_children("/kyuubi"):
+                if ns in ("servers",) or ns.endswith(("-lock", "-secret")):
+                    continue
+                space = f"/kyuubi/{ns}"
+                try:
+                    out.extend(
+                        node_dict(n)
+                        for n in disco.get_service_nodes_info(space)
+                    )
+                except Exception:
+                    continue  # bare intermediate node, not an engine space
+            h._reply(200, out)
+        elif parts == ["engine"] and method == "DELETE":
+            node = q.get("node", [None])[0]
+            if not node:
+                h._reply(400, {"error": "node query parameter required"})
+                return
+            disco.delete("/" + node.lstrip("/"))
+            h._reply(200, {"deleted": node})
+        elif parts == ["server"] and method == "GET":
+            from kyuubi_spark.gateway.server_main import SERVER_NAMESPACE
+
+            h._reply(
+                200,
+                [
+                    node_dict(n)
+                    for n in disco.get_service_nodes_info(SERVER_NAMESPACE)
+                ],
+            )
+        else:
+            h._reply(404, {"error": f"unknown admin route {method} {parts}"})
 
     def _serve_ui(self, h) -> None:
         """Read-only status page (the reference ships a web UI at the

@@ -191,3 +191,56 @@ def test_ui_status_page(rest, sf_dir):
     assert "ui_user" in page
     assert "<h2>Metrics</h2>" in page
     _call(rest, "DELETE", f"/api/v1/sessions/{s['identifier']}")
+
+
+def test_admin_engine_and_server_listing(spark, sf_dir):
+    """Admin resource (AdminResource.scala:282-408 analog): engine and
+    server nodes listed from the discovery registry, engine nodes
+    deletable — what `ctl list engines` / `delete engine` speak to."""
+    import json as _json
+    import urllib.parse
+    import urllib.request
+
+    from kyuubi_spark.gateway.discovery import SqliteDiscoveryClient
+    from kyuubi_spark.gateway.server_main import KyuubiServer
+
+    disco = SqliteDiscoveryClient()
+    disco.create_client()
+    server = KyuubiServer(spark, discovery=disco).start()
+    try:
+        # publish an engine node like a pooled engine would
+        disco.create_and_get_service_node(
+            "/kyuubi/USER_alice", "127.0.0.1:12345", version="1.9.0"
+        )
+        base = f"http://{server.host}:{server.endpoints()['rest'][1]}/api/v1"
+        with urllib.request.urlopen(f"{base}/admin/engine") as r:
+            engines = _json.loads(r.read())
+        assert any(e["instance"] == "127.0.0.1:12345" for e in engines)
+        with urllib.request.urlopen(f"{base}/admin/server") as r:
+            servers = _json.loads(r.read())
+        assert len(servers) == 1  # the KyuubiServer registered itself
+
+        node = next(
+            e for e in engines if e["instance"] == "127.0.0.1:12345"
+        )
+        full = f"{node['namespace'].lstrip('/')}/{node['nodeName']}"
+        req = urllib.request.Request(
+            f"{base}/admin/engine?node={urllib.parse.quote(full)}",
+            method="DELETE",
+        )
+        with urllib.request.urlopen(req) as r:
+            assert _json.loads(r.read())["deleted"] == full
+        with urllib.request.urlopen(f"{base}/admin/engine") as r:
+            left = _json.loads(r.read())
+        assert not any(e["instance"] == "127.0.0.1:12345" for e in left)
+
+        # ctl verbs over the same routes
+        import sys as _sys
+
+        _sys.path.insert(0, __file__.rsplit("/tests/", 1)[0])
+        from tools import ctl
+
+        ctl.main(["--url", base.rsplit("/api", 1)[0], "list", "servers"])
+    finally:
+        server.stop()
+        disco.close_client()

@@ -67,14 +67,16 @@ def main(argv: list[str] | None = None) -> None:
     sub = p.add_subparsers(dest="verb", required=True)
 
     lst = sub.add_parser("list")
-    lst.add_argument("what", choices=["sessions", "batches"])
+    lst.add_argument("what", choices=["sessions", "batches", "engines",
+                                      "servers"])
 
     get = sub.add_parser("get")
     get.add_argument("what", choices=["session", "batch", "operation"])
     get.add_argument("id")
 
     dele = sub.add_parser("delete")
-    dele.add_argument("what", choices=["session", "batch", "operation"])
+    dele.add_argument("what", choices=["session", "batch", "operation",
+                                       "engine"])
     dele.add_argument("id")
 
     log = sub.add_parser("log")
@@ -108,13 +110,25 @@ def main(argv: list[str] | None = None) -> None:
     base = a.url.rstrip("/") + "/api/v1"
 
     if a.verb == "list":
-        _emit(_call(f"{base}/{a.what}"))
+        # engines/servers read the discovery registry via the admin
+        # resource (reference kyuubi-ctl list engine / AdminListEngine)
+        path = {"engines": "admin/engine", "servers": "admin/server"}.get(
+            a.what, a.what)
+        _emit(_call(f"{base}/{path}"))
     elif a.verb == "get":
         path = {"session": "sessions", "batch": "batches", "operation": "operations"}[a.what]
         _emit(_call(f"{base}/{path}/{a.id}"))
     elif a.verb == "delete":
-        path = {"session": "sessions", "batch": "batches", "operation": "operations"}[a.what]
-        _emit(_call(f"{base}/{path}/{a.id}", method="DELETE"))
+        if a.what == "engine":
+            import urllib.parse as _up
+
+            _emit(_call(
+                f"{base}/admin/engine?node={_up.quote(a.id)}",
+                method="DELETE",
+            ))
+        else:
+            path = {"session": "sessions", "batch": "batches", "operation": "operations"}[a.what]
+            _emit(_call(f"{base}/{path}/{a.id}", method="DELETE"))
     elif a.verb == "log":
         if a.what == "batch":
             _emit(_call(f"{base}/batches/{a.id}/localLog"))

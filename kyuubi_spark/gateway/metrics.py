@@ -54,6 +54,35 @@ class MetricsRegistry:
             t["max"] = max(t["max"], seconds)
 
     # -- reporting ---------------------------------------------------------
+    def prometheus(self) -> str:
+        """Prometheus text exposition format (the reference's
+        PrometheusReporter, MetricsConf.scala:82-94 — served at the
+        /metrics path).  Counter names sanitize dots to underscores;
+        timers export _count/_sum/_max series in seconds."""
+
+        def san(name: str) -> str:
+            return "".join(
+                c if c.isalnum() or c == "_" else "_" for c in name
+            )
+
+        lines: list[str] = []
+        with self._lock:
+            lines.append("# TYPE kyuubi_uptime_seconds gauge")
+            lines.append(
+                f"kyuubi_uptime_seconds {time.time() - self._start:.3f}"
+            )
+            for name, v in sorted(self._counters.items()):
+                m = san(name)
+                lines.append(f"# TYPE {m} gauge")
+                lines.append(f"{m} {v}")
+            for name, t in sorted(self._timers.items()):
+                m = san(name) + "_seconds"
+                lines.append(f"# TYPE {m} summary")
+                lines.append(f"{m}_count {int(t['count'])}")
+                lines.append(f"{m}_sum {t['sum']:.6f}")
+                lines.append(f"{m}_max {t['max']:.6f}")
+        return "\n".join(lines) + "\n"
+
     def snapshot(self) -> dict[str, Any]:
         with self._lock:
             return {

@@ -234,6 +234,17 @@ class RestGateway:
         if parts[:1] == ["ui"] and method == "GET":
             self._serve_ui(h)
             return
+        if parts == ["metrics"] and method == "GET":
+            # top-level /metrics = Prometheus text format (the reference's
+            # PrometheusReporter path, kyuubi.metrics.prometheus.path);
+            # the JSON snapshot stays at /api/v1/metrics
+            body = self.engine.metrics.prometheus().encode()
+            h.send_response(200)
+            h.send_header("Content-Type", "text/plain; version=0.0.4")
+            h.send_header("Content-Length", str(len(body)))
+            h.end_headers()
+            h.wfile.write(body)
+            return
         if parts[:2] != ["api", "v1"]:
             h._reply(404, {"error": "unknown path"})
             return

@@ -151,3 +151,39 @@ def test_rest_metrics_and_events_endpoints(spark):
         assert any(e["sessionId"] == sid for e in events)
     finally:
         gw.shutdown()
+
+
+def test_prometheus_text_format():
+    from kyuubi_spark.gateway.metrics import MetricsRegistry
+
+    m = MetricsRegistry()
+    m.inc("kyuubi.connection.total", 3)
+    m.update_timer("kyuubi.operation.exec_time", 0.5)
+    m.update_timer("kyuubi.operation.exec_time", 1.5)
+    text = m.prometheus()
+    assert "# TYPE kyuubi_connection_total gauge" in text
+    assert "kyuubi_connection_total 3" in text
+    assert "kyuubi_operation_exec_time_seconds_count 2" in text
+    assert "kyuubi_operation_exec_time_seconds_sum 2.000000" in text
+    assert "kyuubi_operation_exec_time_seconds_max 1.500000" in text
+    assert "kyuubi_uptime_seconds" in text
+
+
+def test_rest_prometheus_endpoint(spark):
+    """Top-level /metrics serves the Prometheus exposition format (the
+    reference's PrometheusReporter path); JSON stays at /api/v1/metrics."""
+    import urllib.request
+
+    from kyuubi_spark.gateway import Engine
+    from kyuubi_spark.gateway.rest import RestGateway
+
+    svc = RestGateway(Engine(spark=spark)).start()
+    try:
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{svc.port}/metrics"
+        ) as r:
+            assert r.headers["Content-Type"].startswith("text/plain")
+            text = r.read().decode()
+        assert "kyuubi_uptime_seconds" in text
+    finally:
+        svc.shutdown()

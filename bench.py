@@ -100,6 +100,7 @@ HEADLINE = [
     "dsir_importance_weights",
     "ngram_novelty_curve",
     "lsh_band_s_curve",
+    "stream_dsir_filter",
     "packing_efficiency_report",
     "mixture_budget_plan",
     "dedup_cluster_stats",

@@ -90,6 +90,7 @@ _CHANGED_THIS_ROUND = {
     "dsir_importance_weights",
     "ngram_novelty_curve",
     "lsh_band_s_curve",
+    "stream_dsir_filter",
 }
 
 

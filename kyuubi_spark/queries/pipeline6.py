@@ -51,6 +51,93 @@ _FEATS_CTE = f"""
 """
 
 
+DSIR_ORACLE = f"""
+    WITH {_FEATS_CTE},
+    raw AS (SELECT b, COUNT(*) AS c_r FROM feats GROUP BY b),
+    tgt AS (SELECT b, COUNT(*) AS c_t FROM feats
+            WHERE source IN {_DSIR_TARGET!r} GROUP BY b),
+    tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_r,
+                   CAST(SUM(CASE WHEN source IN {_DSIR_TARGET!r}
+                            THEN 1 ELSE 0 END) AS DOUBLE) AS n_t
+            FROM feats)
+    SELECT f.doc_id,
+           ANY_VALUE(f.source) AS source,
+           CAST(COUNT(*) AS BIGINT) AS n_feats,
+           ROUND(AVG(
+             ln((COALESCE(t.c_t, 0) + 1) / (tot.n_t + {_DSIR_BUCKETS}))
+             - ln((r.c_r + 1) / (tot.n_r + {_DSIR_BUCKETS}))), 3) + 0
+             AS avg_logw,
+           CASE WHEN ROUND(AVG(
+             ln((COALESCE(t.c_t, 0) + 1) / (tot.n_t + {_DSIR_BUCKETS}))
+             - ln((r.c_r + 1) / (tot.n_r + {_DSIR_BUCKETS}))), 3) > 0
+             THEN 1 ELSE 0 END AS keep
+    FROM feats f
+    JOIN raw r ON r.b = f.b
+    LEFT JOIN tgt t ON t.b = f.b
+    CROSS JOIN tot
+    GROUP BY f.doc_id
+    ORDER BY f.doc_id
+    """
+
+
+def dsir_bucket_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fitted per-bucket log ratio table (<=4096 rows): the static
+    artifact a deployed DSIR gate broadcasts — shared by the batch query
+    below and the streaming stream_dsir_filter replay."""
+    docs = load_table(spark, sf_dir, "documents")
+    feats = _dsir_features(docs)
+    raw = feats.groupBy("b").agg(F.count("*").alias("c_r"))
+    tgt = feats.filter(F.col("source").isin(*_DSIR_TARGET)).groupBy("b").agg(
+        F.count("*").alias("c_t")
+    )
+    tot = feats.agg(
+        F.count("*").cast("double").alias("n_r"),
+        F.sum(
+            F.when(F.col("source").isin(*_DSIR_TARGET), 1).otherwise(0)
+        ).cast("double").alias("n_t"),
+    )
+    return (
+        raw.join(tgt, "b", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "b",
+            (
+                F.log((F.coalesce(F.col("c_t"), F.lit(0)) + 1)
+                      / (F.col("n_t") + _DSIR_BUCKETS))
+                - F.log((F.col("c_r") + 1) / (F.col("n_r") + _DSIR_BUCKETS))
+            ).alias("log_ratio"),
+        )
+    )
+
+
+def _dsir_features(docs: DataFrame) -> DataFrame:
+    """(doc_id, source, b) hashed unigram+bigram feature stream — works
+    on batch AND streaming inputs (pure map-side expressions)."""
+    toks = docs.select(
+        "doc_id", "source", F.split(F.trim(F.col("text")), " ").alias("t")
+    )
+    bigrams = F.when(
+        F.size("t") >= 2,
+        F.expr(
+            "transform(sequence(1, size(t) - 1),"
+            " i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return toks.select(
+        "doc_id",
+        "source",
+        F.explode(F.concat(F.col("t"), bigrams)).alias("f"),
+    ).select(
+        "doc_id",
+        "source",
+        (
+            F.conv(F.substring(F.md5(F.col("f").cast("binary")), 1, 8), 16, 10)
+            .cast("long")
+            % _DSIR_BUCKETS
+        ).alias("b"),
+    )
+
+
 @query(
     "dsir_importance_weights",
     oracle=f"""
@@ -94,31 +181,9 @@ _FEATS_CTE = f"""
 )
 def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", "source", F.split(F.trim(F.col("text")), " ").alias("t")
-    )
     # unigrams + bigrams; CASE-guard short docs (Spark sequence(1, 0)
     # steps DOWNWARD, so the bigram lambda must never see len < 2)
-    bigrams = F.when(
-        F.size("t") >= 2,
-        F.expr(
-            "transform(sequence(1, size(t) - 1),"
-            " i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    feats = toks.select(
-        "doc_id",
-        "source",
-        F.explode(F.concat(F.col("t"), bigrams)).alias("f"),
-    ).select(
-        "doc_id",
-        "source",
-        (
-            F.conv(F.substring(F.md5(F.col("f").cast("binary")), 1, 8), 16, 10)
-            .cast("long")
-            % _DSIR_BUCKETS
-        ).alias("b"),
-    )
+    feats = _dsir_features(docs)
     raw = feats.groupBy("b").agg(F.count("*").alias("c_r"))
     tgt = feats.filter(F.col("source").isin(*_DSIR_TARGET)).groupBy("b").agg(
         F.count("*").alias("c_t")

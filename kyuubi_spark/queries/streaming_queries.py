@@ -446,3 +446,59 @@ def stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     result = run_to_memory(agged, output_mode="complete")
     return result.orderBy("source")
+
+
+@query(
+    "stream_dsir_filter",
+    # the stream replays the full corpus, so the per-doc scores equal the
+    # batch DSIR query's — same oracle
+    oracle=None,  # assigned below from pipeline6.DSIR_ORACLE
+    doc="Online DSIR quality gate: the document stream's hashed "
+    "unigram+bigram features join per microbatch against the STATIC "
+    "fitted per-bucket log-ratio table (<=4096 rows, re-broadcast each "
+    "batch, so a refreshed fit takes effect without restarting the "
+    "stream), and one streaming aggregation keyed on doc re-assembles "
+    "the per-document average log weight and keep bit — the ingestion-"
+    "time form of dsir_importance_weights, scored as data lands instead "
+    "of in a later batch sweep. Replay-verified value-exact against the "
+    "batch DSIR oracle. At scale the complete-mode per-doc state becomes "
+    "update mode + watermark (each doc's features arrive in one file "
+    "split, so state per doc is short-lived).",
+)
+def stream_dsir_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kyuubi_spark.queries.pipeline6 import (
+        _DSIR_BUCKETS,
+        _dsir_features,
+        dsir_bucket_ratios,
+    )
+    from kyuubi_spark.streaming.runner import file_stream, run_to_memory
+
+    ensure_runtime_confs(spark)
+    ratios = dsir_bucket_ratios(spark, sf_dir)  # static fitted artifact
+    stream = file_stream(spark, os.path.join(sf_dir, "documents.parquet"))
+    feats = _dsir_features(stream)
+    scored = feats.join(F.broadcast(ratios), "b")
+    logw = dround(F.avg("log_ratio"), 3)
+    agged = scored.groupBy("doc_id").agg(
+        F.first("source").alias("source"),
+        F.count("*").alias("n_feats"),
+        logw.alias("avg_logw"),
+        F.when(logw > 0, 1).otherwise(0).alias("keep"),
+    )
+    result = run_to_memory(agged, output_mode="complete")
+    return result.orderBy("doc_id")
+
+
+# the streaming replay covers the whole corpus, so the batch DSIR oracle
+# applies verbatim
+def _attach_dsir_oracle() -> None:
+    from kyuubi_spark.queries import REGISTRY, QuerySpec
+    from kyuubi_spark.queries.pipeline6 import DSIR_ORACLE
+
+    spec = REGISTRY["stream_dsir_filter"]
+    REGISTRY["stream_dsir_filter"] = QuerySpec(
+        name=spec.name, builder=spec.builder, oracle=DSIR_ORACLE, doc=spec.doc
+    )
+
+
+_attach_dsir_oracle()

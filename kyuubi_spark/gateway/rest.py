@@ -40,6 +40,23 @@ from kyuubi_spark.gateway.engine import Engine
 from kyuubi_spark.gateway.state import FetchOrientation
 
 
+def _parse_multipart(h, ctype: str) -> dict[str, bytes]:
+    """Parse a multipart/form-data request body into {field name: bytes}
+    (stdlib email parser; enough for the batch resource-upload form)."""
+    import email.parser
+
+    n = int(h.headers.get("Content-Length") or 0)
+    raw = b"Content-Type: " + ctype.encode("latin-1") + b"\r\n\r\n"
+    raw += h.rfile.read(n)
+    msg = email.parser.BytesParser().parsebytes(raw)
+    fields: dict[str, bytes] = {}
+    for part in msg.get_payload():
+        name = part.get_param("name", header="content-disposition")
+        if name:
+            fields[str(name)] = part.get_payload(decode=True) or b""
+    return fields
+
+
 def _json_cell(v):
     if isinstance(v, (datetime.datetime, datetime.date)):
         return v.isoformat()
@@ -295,11 +312,26 @@ class RestGateway:
         elif len(parts) >= 2 and parts[0] == "operations":
             self._route_operation(h, method, parts, q)
         elif parts == ["batches"] and method == "POST":
-            body = h._body()
+            ctype = h.headers.get("Content-Type", "")
+            if ctype.startswith("multipart/form-data"):
+                # resource-upload form (BatchesResource.scala:196-218):
+                # field 'batchRequest' = JSON, 'resourceFile' = the script
+                fields = _parse_multipart(h, ctype)
+                if "batchRequest" not in fields or "resourceFile" not in fields:
+                    h._reply(400, {
+                        "error": "batchRequest and resourceFile are not "
+                        "uploaded in the multipart form data"
+                    })
+                    return
+                body = json.loads(fields["batchRequest"])
+                script = fields["resourceFile"].decode("utf-8")
+            else:
+                body = h._body()
+                script = body["script"]
             # same precedence as sessions: the authenticated principal
             # outranks anything the request claims
             job = BatchJob(
-                body["script"], body.get("args"),
+                script, body.get("args"),
                 store=self.engine.metadata_store,
                 user=getattr(h, "auth_user", None)
                 or body.get("user", "anonymous"),

@@ -244,3 +244,75 @@ def test_admin_engine_and_server_listing(spark, sf_dir):
     finally:
         server.stop()
         disco.close_client()
+
+
+def test_batch_multipart_resource_upload(spark):
+    """POST /api/v1/batches with multipart/form-data (BatchesResource
+    .scala:196-218): 'batchRequest' JSON + uploaded 'resourceFile' script;
+    missing parts get the reference's 400 message."""
+    import json as _json
+    import time
+    import urllib.error
+    import urllib.request
+
+    from kyuubi_spark.gateway import Engine
+    from kyuubi_spark.gateway.rest import RestGateway
+
+    svc = RestGateway(Engine(spark=spark)).start()
+    try:
+        base = f"http://127.0.0.1:{svc.port}/api/v1"
+        boundary = "xyzBOUNDARYxyz"
+        req_json = _json.dumps({"args": ["7"], "user": "uploader"})
+        script = "import sys\nprint('upload-ran', sys.argv[1])\n"
+        body = (
+            f"--{boundary}\r\n"
+            'Content-Disposition: form-data; name="batchRequest"\r\n\r\n'
+            f"{req_json}\r\n"
+            f"--{boundary}\r\n"
+            'Content-Disposition: form-data; name="resourceFile"; '
+            'filename="job.py"\r\n'
+            "Content-Type: application/octet-stream\r\n\r\n"
+            f"{script}\r\n"
+            f"--{boundary}--\r\n"
+        ).encode()
+        req = urllib.request.Request(
+            f"{base}/batches",
+            data=body,
+            headers={
+                "Content-Type": f"multipart/form-data; boundary={boundary}"
+            },
+            method="POST",
+        )
+        with urllib.request.urlopen(req) as r:
+            info = _json.loads(r.read())
+        bid = info["id"]
+        for _ in range(100):
+            with urllib.request.urlopen(f"{base}/batches/{bid}") as r:
+                st = _json.loads(r.read())["state"]
+            if st in ("FINISHED", "ERROR"):
+                break
+            time.sleep(0.1)
+        assert st == "FINISHED"
+        with urllib.request.urlopen(f"{base}/batches/{bid}/localLog") as r:
+            assert "upload-ran 7" in _json.loads(r.read())["log"]
+
+        # missing resourceFile -> 400 with the reference's message
+        bad = (
+            f"--{boundary}\r\n"
+            'Content-Disposition: form-data; name="batchRequest"\r\n\r\n'
+            f"{req_json}\r\n"
+            f"--{boundary}--\r\n"
+        ).encode()
+        req = urllib.request.Request(
+            f"{base}/batches",
+            data=bad,
+            headers={
+                "Content-Type": f"multipart/form-data; boundary={boundary}"
+            },
+            method="POST",
+        )
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req)
+        assert ei.value.code == 400
+    finally:
+        svc.shutdown()

@@ -101,6 +101,7 @@ HEADLINE = [
     "ngram_novelty_curve",
     "lsh_band_s_curve",
     "stream_dsir_filter",
+    "source_overlap_matrix",
     "packing_efficiency_report",
     "mixture_budget_plan",
     "dedup_cluster_stats",

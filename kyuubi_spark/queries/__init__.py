@@ -91,6 +91,7 @@ _CHANGED_THIS_ROUND = {
     "ngram_novelty_curve",
     "lsh_band_s_curve",
     "stream_dsir_filter",
+    "source_overlap_matrix",
 }
 
 

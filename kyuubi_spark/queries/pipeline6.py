@@ -354,3 +354,121 @@ def lsh_band_s_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bands", "rows_per_band", "jaccard")
     )
+
+
+# --------------------------------------------------------------------------
+# Cross-source n-gram overlap matrix
+# --------------------------------------------------------------------------
+
+
+@query(
+    "source_overlap_matrix",
+    oracle="""
+    WITH toks AS (SELECT doc_id, source, string_split(trim(text), ' ') AS t
+                  FROM documents),
+    grams AS (
+      SELECT DISTINCT source, g FROM (
+        SELECT source, unnest(
+          CASE WHEN len(t) >= 3
+               THEN list_transform(generate_series(1, len(t) - 2),
+                                   i -> array_to_string(t[i:i+2], ' '))
+               ELSE [array_to_string(t, ' ')] END) AS g
+        FROM toks) u),
+    sizes AS (SELECT source, COUNT(*) AS n FROM grams GROUP BY source),
+    inter AS (
+      SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_common
+      FROM grams a JOIN grams b ON a.g = b.g AND a.source < b.source
+      GROUP BY 1, 2)
+    SELECT i.src_a, i.src_b,
+           CAST(sa.n AS BIGINT) AS n_a,
+           CAST(sb.n AS BIGINT) AS n_b,
+           CAST(i.n_common AS BIGINT) AS n_common,
+           ROUND(CAST(i.n_common AS DOUBLE)
+                 / (sa.n + sb.n - i.n_common), 6) AS jaccard,
+           ROUND(CAST(i.n_common AS DOUBLE) / LEAST(sa.n, sb.n), 6)
+             AS containment
+    FROM inter i
+    JOIN sizes sa ON sa.source = i.src_a
+    JOIN sizes sb ON sb.source = i.src_b
+    WHERE i.n_common > 0
+    ORDER BY src_a, src_b
+    """,
+    doc="Cross-source n-gram overlap matrix: for every source pair, the "
+    "distinct word-3-gram intersection, Jaccard, and containment "
+    "(overlap over the smaller source) — the redundancy sheet mix "
+    "planners read next to mixture_budget_plan (a source 90%-contained "
+    "in another adds little new signal at full weight). The Spark plan "
+    "NEVER self-joins the gram relation: each gram aggregates its "
+    "bounded source set (<= |sources|, collect_set map-side combined), "
+    "pairs explode from that tiny array per gram, and a second "
+    "map-side-combined count yields the |sources|^2-bounded matrix — "
+    "two gram-keyed passes total at 100 TB, no quadratic join. The "
+    "oracle keeps the literal pairwise self-join for value parity.",
+)
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.split(F.trim(F.col("text")), " ").alias("t")
+    )
+    gram_list = F.when(
+        F.size("t") >= 3,
+        F.expr(
+            "transform(sequence(1, size(t) - 2),"
+            " i -> concat_ws(' ', slice(t, i, 3)))"
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", F.col("t"))))
+    grams = toks.select(
+        "source", F.explode(gram_list).alias("g")
+    ).distinct()
+    # gram -> its (bounded, sorted) source set; ALL ordered pairs
+    # INCLUDING self-pairs explode map-side, so one aggregation yields
+    # the whole matrix AND the per-source sizes on its diagonal — a
+    # single corpus pass (three branches re-reading `grams` would
+    # re-scan the parquet and redo the shingle pass each)
+    per_gram = grams.groupBy("g").agg(
+        F.array_sort(F.collect_set("source")).alias("srcs")
+    )
+    pairs = per_gram.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(srcs, (a, i) ->"
+                " transform(slice(srcs, i + 1, size(srcs)),"
+                " b -> struct(a as src_a, b as src_b))))"
+            )
+        ).alias("p")
+    ).select("p.src_a", "p.src_b")
+    from kyuubi_spark.caching import persisted
+
+    # <= |sources|^2 rows: persisting it means the corpus aggregation
+    # runs ONCE and the diagonal/off-diagonal branches read the cache
+    matrix = persisted(
+        pairs.groupBy("src_a", "src_b").agg(F.count("*").alias("n_common"))
+    )
+    diag = matrix.filter(F.col("src_a") == F.col("src_b"))
+    inter = matrix.filter(F.col("src_a") < F.col("src_b"))
+    sa = diag.select(
+        F.col("src_a"), F.col("n_common").alias("n_a")
+    )
+    sb = diag.select(
+        F.col("src_a").alias("src_b"), F.col("n_common").alias("n_b")
+    )
+    return (
+        inter.join(F.broadcast(sa), "src_a")
+        .join(F.broadcast(sb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_a",
+            "n_b",
+            "n_common",
+            dround(
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+            dround(
+                F.col("n_common") / F.least("n_a", "n_b"), 6
+            ).alias("containment"),
+        )
+        .orderBy("src_a", "src_b")
+    )

@@ -520,3 +520,18 @@ def test_ngram_novelty_curve_gram_keyed(spark, sf_dir):
     text = plans.explain_formatted(df)
     assert "windowspecdefinition" not in text
     assert "CartesianProduct" not in text
+
+
+def test_source_overlap_matrix_no_gram_self_join(spark, sf_dir):
+    # pairs explode from each gram's bounded source set — the quadratic
+    # gram-relation self-join (the oracle's literal form) must NOT appear:
+    # exactly one documents scan, no join of two gram-scaled relations
+    # (the only joins are the |sources|-row size tables, broadcast)
+    df = _build(spark, sf_dir, "source_overlap_matrix")
+    text = plans.explain_formatted(df)
+    assert "CartesianProduct" not in text
+    assert "SortMergeJoin" not in text  # only bounded joins, all broadcast
+    # the corpus aggregation materializes ONCE into the persisted matrix;
+    # diagonal + off-diagonal branches read the cache, never re-scan
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert executed.count("InMemoryTableScan") >= 3

@@ -191,3 +191,65 @@ def test_stream_dedup_emits_each_key_once(spark, events_stream, events_batch):
     got = runner.run_to_memory(deduped, query_name="sdd")
     expected = events_batch.select("user_id", "event_type").distinct().count()
     assert got.count() == expected
+
+
+def test_checkpoint_recovery_exactly_once(spark, sf_dir, tmp_path):
+    """Restart-from-checkpoint: a parquet-sink stream that stops midway
+    resumes from its checkpoint and the sink ends up with EXACTLY the
+    batch-equivalent rows — no duplicates, no gaps (the file-sink commit
+    log makes re-run batches idempotent). The durable-pipeline guarantee
+    the reference gets from Flink checkpointing; here Structured
+    Streaming's offset + commit logs."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from kyuubi_spark.session import ensure_runtime_confs, load_table
+    from kyuubi_spark.streaming.runner import file_stream
+
+    ensure_runtime_confs(spark)
+    src_dir = str(tmp_path / "src")
+    _os.makedirs(src_dir)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    schema = docs.schema
+
+    def add_split(i):
+        docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{src_dir}/part{i}")
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(f"{src_dir}/part*")
+        q = (
+            stream.withColumn("flagged", F.col("n_chars") > 100)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # phase 1: only split 0 exists; the run commits its offsets and stops
+    add_split(0)
+    run_once()
+    n_first = spark.read.parquet(out).count()
+    assert 0 < n_first < docs.count()
+
+    # phase 2: two more splits land; a RESTART from the same checkpoint
+    # resumes at the first unprocessed file, never re-emitting batch 0
+    add_split(1)
+    add_split(2)
+    run_once()
+
+    got = spark.read.parquet(out)
+    assert got.count() == docs.count()  # no gaps, no duplicates
+    assert got.select("doc_id").distinct().count() == docs.count()
+    # values survive the restart boundary too
+    expect = docs.withColumn("flagged", F.col("n_chars") > 100)
+    assert got.exceptAll(expect).count() == 0
+    assert expect.exceptAll(got).count() == 0

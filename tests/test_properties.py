@@ -75,3 +75,104 @@ def test_parse_instance_roundtrip(host, port):
         f"hive.server2.thrift.port={port};hive.server2.authentication=NONE"
     )
     assert parse_instance_host_port(kv) == (host, port)
+
+
+# -- DBAPI literal binding ----------------------------------------------------
+
+
+@given(st.text(max_size=200))
+@settings(max_examples=200, deadline=None)
+def test_dbapi_literal_string_stays_quoted(value):
+    """Any string renders as ONE quoted literal: unescaped quotes can
+    never terminate it early (the injection shape)."""
+    from kyuubi_spark.client.dbapi import _literal
+
+    lit = _literal(value)
+    assert lit.startswith("'") and lit.endswith("'")
+    body = lit[1:-1]
+    # every quote inside the body is escaped by a preceding backslash
+    i = 0
+    while i < len(body):
+        if body[i] == "\\":
+            i += 2
+            continue
+        assert body[i] != "'", f"unescaped quote in {lit!r}"
+        i += 1
+
+
+@given(st.one_of(st.integers(), st.floats(allow_nan=False),
+                 st.booleans(), st.none(), st.binary(max_size=50)))
+@settings(max_examples=100, deadline=None)
+def test_dbapi_literal_scalars_never_raise(value):
+    from kyuubi_spark.client.dbapi import _literal
+
+    assert isinstance(_literal(value), str)
+
+
+# -- LDAP filter codec --------------------------------------------------------
+
+
+_attr = st.from_regex(r"[A-Za-z][A-Za-z0-9-]{0,10}", fullmatch=True)
+_val = st.text(
+    alphabet=st.characters(blacklist_characters="\x00", max_codepoint=0x2FF),
+    min_size=1, max_size=20,
+)
+
+
+@given(_attr, _val)
+@settings(max_examples=200, deadline=None)
+def test_ldap_filter_escape_roundtrip(attr, value):
+    """escape_filter_value -> parse_filter recovers the exact value for
+    any attr/value pair — no character can alter the filter structure."""
+    from kyuubi_spark.gateway import ldap_search as LS
+
+    flt = f"({attr}={LS.escape_filter_value(value)})"
+    node = LS.parse_filter(flt)
+    assert node == ("eq", attr, value)
+    # and the BER encoding is parseable structure (round length prefix)
+    blob = LS.encode_filter(node)
+    assert blob[0] == 0xA3  # equalityMatch tag
+
+
+@given(st.lists(st.tuples(_attr, _val), min_size=1, max_size=5))
+@settings(max_examples=100, deadline=None)
+def test_ldap_filter_and_of_many(pairs):
+    from kyuubi_spark.gateway import ldap_search as LS
+
+    inner = "".join(
+        f"({a}={LS.escape_filter_value(v)})" for a, v in pairs
+    )
+    node = LS.parse_filter(f"(&{inner})")
+    assert node[0] == "and" and len(node[1]) == len(pairs)
+    for (a, v), kid in zip(pairs, node[1]):
+        assert kid == ("eq", a, v)
+
+
+# -- internal-auth tokens -----------------------------------------------------
+
+
+@given(st.binary(min_size=1, max_size=64), st.integers(0, 10**9))
+@settings(max_examples=100, deadline=None)
+def test_internal_token_roundtrip_any_secret(secret, lifetime):
+    from kyuubi_spark.gateway.internal_auth import InternalSecurityAccessor
+
+    acc = InternalSecurityAccessor(secret, max_lifetime_ms=lifetime + 60_000)
+    acc.auth_token(acc.issue_token())
+
+
+@given(st.binary(min_size=1, max_size=64), st.integers(0, 200))
+@settings(max_examples=100, deadline=None)
+def test_internal_token_tamper_rejected(secret, pos):
+    import pytest as _pytest
+
+    from kyuubi_spark.gateway.auth import AuthenticationError
+    from kyuubi_spark.gateway.internal_auth import InternalSecurityAccessor
+
+    acc = InternalSecurityAccessor(secret, max_lifetime_ms=60_000)
+    tok = acc.issue_token()
+    p = pos % len(tok)
+    flipped = tok[:p] + chr((ord(tok[p]) % 26) + 97) + tok[p + 1:]
+    if flipped == tok:
+        return
+    with _pytest.raises(AuthenticationError):
+        acc.auth_token(flipped)

@@ -6,10 +6,14 @@ Python counterpart of the reference's lineage extension
 columnLineage)`), exposed both as the PLAN_ONLY `lineage` mode and a
 library call. We walk the analyzed plan through py4j's TreeNode API.
 
-Scope note (documented difference): the reference resolves column lineage
-transitively through arbitrary plan depth; we resolve input TABLES fully
-(all relation leaves) and column lineage one projection hop from the
-top-level Project/Aggregate — enough for SELECT-list provenance.
+Column lineage resolves TRANSITIVELY through arbitrary plan depth (the
+reference behavior): a bottom-up pass maps every attribute exprId to its
+set of physical source columns (`table.column`), composing through
+Project/Aggregate/Window/Generate/Union and passing through
+joins/filters/aliases untouched, so the top-level output names resolve
+to base-relation columns however many projection hops sit in between.
+Computed outputs with no base references (e.g. ``count(*)``) resolve to
+an empty set, like the reference.
 """
 
 from __future__ import annotations
@@ -56,6 +60,90 @@ def _relation_name(jnode) -> str | None:
     return None
 
 
+_LEAF_RELATIONS = {
+    "LogicalRelation",
+    "HiveTableRelation",
+    "DataSourceV2Relation",
+    "LocalRelation",
+}
+
+
+def _walk_refs(jattr_set):
+    it = jattr_set.iterator()
+    while it.hasNext():
+        yield it.next()
+
+
+def _expr_refs(mapping: dict[int, set[str]], jexpr) -> set[str]:
+    refs: set[str] = set()
+    for a in _walk_refs(jexpr.references()):
+        try:
+            refs |= mapping.get(a.exprId().id(), {a.name()})
+        except Exception:
+            pass
+    return refs
+
+
+def _column_sources(jnode, mapping: dict[int, set[str]]) -> None:
+    """Bottom-up exprId -> {source columns} (SparkSQLLineageParseHelper's
+    transitive resolution). Mutates ``mapping``."""
+    for child in _jseq(jnode.children()):
+        _column_sources(child, mapping)
+    cls = jnode.getClass().getSimpleName()
+    try:
+        if cls in _LEAF_RELATIONS:
+            tbl = _relation_name(jnode)
+            for attr in _jseq(jnode.output()):
+                src = f"{tbl}.{attr.name()}" if tbl else attr.name()
+                mapping[attr.exprId().id()] = {src}
+            return
+        named = None
+        if cls == "Project":
+            named = jnode.projectList()
+        elif cls == "Aggregate":
+            named = jnode.aggregateExpressions()
+        elif cls == "Window":
+            named = jnode.windowExpressions()
+        elif cls == "Generate":
+            gen_refs = _expr_refs(mapping, jnode.generator())
+            for attr in _jseq(jnode.generatorOutput()):
+                mapping[attr.exprId().id()] = set(gen_refs)
+            return
+        elif cls == "Union":
+            outs = list(_jseq(jnode.output()))
+            for child in _jseq(jnode.children()):
+                couts = list(_jseq(child.output()))
+                for o, c in zip(outs, couts):
+                    oid = o.exprId().id()
+                    mapping.setdefault(oid, set()).update(
+                        mapping.get(c.exprId().id(), {c.name()})
+                    )
+            return
+        if cls == "SubqueryAlias":
+            # temp views over bare files have no catalogTable on the leaf;
+            # the innermost alias IS the table identity — qualify any
+            # still-unqualified sources with it (already-qualified entries
+            # from real catalog tables pass through untouched)
+            alias = jnode.identifier().name()
+            for attr in _jseq(jnode.output()):
+                aid = attr.exprId().id()
+                vals = mapping.get(aid)
+                if vals:
+                    mapping[aid] = {
+                        v if "." in v else f"{alias}.{v}" for v in vals
+                    }
+            return
+        if named is not None:
+            for e in _jseq(named):
+                try:
+                    eid = e.exprId().id()
+                except Exception:
+                    continue
+                mapping[eid] = _expr_refs(mapping, e)
+    except Exception:
+        pass  # unknown node shape: attributes pass through untouched
+
+
 def extract_lineage(spark: SparkSession, statement: str) -> dict:
     """Lineage dict {inputTables, outputColumns, columnLineage} for a SQL
     statement, without executing it."""
@@ -79,27 +167,14 @@ def extract_lineage(spark: SparkSession, statement: str) -> dict:
 
     out_cols = [f.name for f in spark.sql(statement).schema.fields]
 
+    mapping: dict[int, set[str]] = {}
     column_lineage: dict[str, list[str]] = {}
-    cls = analyzed.getClass().getSimpleName()
     try:
-        exprs = None
-        if cls == "Project":
-            exprs = analyzed.projectList()
-        elif cls == "Aggregate":
-            exprs = analyzed.aggregateExpressions()
-        elif cls in ("Sort", "GlobalLimit", "LocalLimit"):
-            child = analyzed.children().apply(0)
-            ccls = child.getClass().getSimpleName()
-            if ccls == "Project":
-                exprs = child.projectList()
-            elif ccls == "Aggregate":
-                exprs = child.aggregateExpressions()
-        if exprs is not None:
-            for e in _jseq(exprs):
-                refs = sorted(
-                    {a.name() for a in _walk_refs(e.references())}
-                )
-                column_lineage[e.name()] = refs
+        _column_sources(analyzed, mapping)
+        for attr in _jseq(analyzed.output()):
+            column_lineage[attr.name()] = sorted(
+                mapping.get(attr.exprId().id(), set())
+            )
     except Exception:
         pass
 
@@ -108,12 +183,6 @@ def extract_lineage(spark: SparkSession, statement: str) -> dict:
         "outputColumns": out_cols,
         "columnLineage": column_lineage,
     }
-
-
-def _walk_refs(jattr_set):
-    it = jattr_set.iterator()
-    while it.hasNext():
-        yield it.next()
 
 
 def lineage_json(spark: SparkSession, statement: str) -> str:

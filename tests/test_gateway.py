@@ -191,7 +191,55 @@ def test_plan_only_lineage(session):
     assert lineage["inputTables"] == ["region"]
     assert lineage["outputColumns"] == ["r_name", "n"]
     assert lineage["columnLineage"]["n"] == []
-    assert lineage["columnLineage"]["r_name"] == ["r_name"]
+    assert lineage["columnLineage"]["r_name"] == ["region.r_name"]
+
+
+def test_lineage_transitive_through_nested_projections(session):
+    """Column lineage resolves through arbitrary plan depth to physical
+    source columns (SparkSQLLineageParseHelper's transitive behavior):
+    a derived column built in a nested subquery, re-projected and
+    aggregated, still maps back to its base table columns."""
+    import json
+
+    op = session.execute_statement(
+        """
+        SELECT nation, total_rev
+        FROM (
+          SELECT n.n_name AS nation,
+                 SUM(o.o_totalprice) AS total_rev
+          FROM (SELECT o_custkey, o_totalprice FROM orders) o
+          JOIN customer c ON c.c_custkey = o.o_custkey
+          JOIN nation n ON n.n_nationkey = c.c_nationkey
+          GROUP BY n.n_name
+        ) t
+        WHERE total_rev > 0
+        """,
+        conf_overlay={"kyuubi.operation.plan.only.mode": "lineage"},
+    )
+    lineage = json.loads(op.get_next_row_set()[0][0])
+    assert set(lineage["inputTables"]) >= {"orders", "customer", "nation"}
+    cl = lineage["columnLineage"]
+    assert cl["nation"] == ["nation.n_name"]
+    assert cl["total_rev"] == ["orders.o_totalprice"]
+
+
+def test_lineage_union_and_expression_columns(session):
+    import json
+
+    op = session.execute_statement(
+        """
+        SELECT k FROM (
+          SELECT r_regionkey AS k FROM region
+          UNION ALL
+          SELECT n_nationkey AS k FROM nation
+        ) u
+        """,
+        conf_overlay={"kyuubi.operation.plan.only.mode": "lineage"},
+    )
+    lineage = json.loads(op.get_next_row_set()[0][0])
+    assert lineage["columnLineage"]["k"] == [
+        "nation.n_nationkey", "region.r_regionkey",
+    ]
 
 
 # -- python operation ------------------------------------------------------

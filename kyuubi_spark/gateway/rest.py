@@ -357,6 +357,9 @@ class RestGateway:
         list/delete engine nodes and list server nodes straight from the
         discovery registry — what `kyuubi-ctl list engine` / `delete
         engine` speak to."""
+        if parts[:1] == ["refresh"] and method == "POST":
+            self._route_refresh(h, parts)
+            return
         disco = getattr(self.engine, "discovery", None)
         if disco is None:
             h._reply(503, {"error": "no discovery client configured"})
@@ -406,6 +409,47 @@ class RestGateway:
             )
         else:
             h._reply(404, {"error": f"unknown admin route {method} {parts}"})
+
+
+    def _route_refresh(self, h, parts: list[str]) -> None:
+        """refreshDenyUser/refreshUnlimitedUser/refreshDenyIp
+        (AdminResource.scala:113-168): administrators swap the limiter
+        lists at runtime; body {"values": [...]} pushes the new list,
+        empty body re-reads the server conf."""
+        from kyuubi_spark.gateway import conf as C
+        from kyuubi_spark.gateway.engine import _csv_set
+
+        user = getattr(h, "auth_user", None)
+        admins = {
+            a.strip()
+            for a in str(
+                self.engine.conf._values.get("kyuubi.server.administrators", "")
+            ).split(",")
+            if a.strip()
+        }
+        if self.auth is not None and user not in admins:
+            h._reply(403, {
+                "error": f"{user} is not allowed to refresh "
+                f"{parts[1] if len(parts) > 1 else ''}"
+            })
+            return
+        what = parts[1] if len(parts) > 1 else ""
+        body = h._body()
+        values = set(body.get("values", [])) if body.get("values") else None
+        lim = self.engine.limiter
+        attr = {"denyUsers": "deny_users",
+                "unlimitedUsers": "unlimited_users",
+                "denyIps": "deny_ips"}.get(what)
+        if attr is None:
+            h._reply(404, {"error": f"unknown refresh target {what!r}"})
+            return
+        if values is None:
+            entry = {"denyUsers": C.LIMIT_CONNECTIONS_DENY_USERS,
+                     "unlimitedUsers": C.LIMIT_CONNECTIONS_UNLIMITED_USERS,
+                     "denyIps": None}[what]
+            values = _csv_set(self.engine.conf.get(entry)) if entry else set()
+        setattr(lim, attr, values)
+        h._reply(200, {"refreshed": what, "size": len(values)})
 
     def _serve_ui(self, h) -> None:
         """Read-only status page (the reference ships a web UI at the

@@ -316,3 +316,69 @@ def test_batch_multipart_resource_upload(spark):
         assert ei.value.code == 400
     finally:
         svc.shutdown()
+
+
+def test_admin_refresh_limiter_lists(spark):
+    """POST /api/v1/admin/refresh/{denyUsers,unlimitedUsers}
+    (AdminResource.scala:113-168): swaps the limiter lists at runtime —
+    a freshly denied user is rejected on the next connection; only
+    administrators may refresh when auth is on."""
+    import base64
+    import json as _json
+    import urllib.error
+    import urllib.request
+
+    from kyuubi_spark.gateway import Engine
+    from kyuubi_spark.gateway.auth import AuthenticationError
+    from kyuubi_spark.gateway.rest import RestGateway
+
+    class TwoUsers:
+        def authenticate(self, user, password):
+            if password != "pw":
+                raise AuthenticationError("bad")
+
+    eng = Engine(
+        spark=spark,
+        conf={"kyuubi.server.administrators": "admin"},
+    )
+    svc = RestGateway(eng, auth=TwoUsers()).start()
+    try:
+        base = f"http://127.0.0.1:{svc.port}/api/v1"
+
+        def call(path, user, body=None):
+            req = urllib.request.Request(
+                f"{base}/{path}",
+                data=_json.dumps(body or {}).encode(),
+                headers={
+                    "Content-Type": "application/json",
+                    "Authorization": "Basic "
+                    + base64.b64encode(f"{user}:pw".encode()).decode(),
+                },
+                method="POST",
+            )
+            with urllib.request.urlopen(req) as r:
+                return _json.loads(r.read())
+
+        # non-admin refused
+        try:
+            call("admin/refresh/denyUsers", "mallory", {"values": ["x"]})
+            raise AssertionError("expected 403")
+        except urllib.error.HTTPError as e:
+            assert e.code == 403
+
+        out = call("admin/refresh/denyUsers", "admin",
+                   {"values": ["blocked_user"]})
+        assert out == {"refreshed": "denyUsers", "size": 1}
+        # the denied user bounces at session open now
+        try:
+            call("sessions", "blocked_user")
+            raise AssertionError("expected 500 deny")
+        except urllib.error.HTTPError as e:
+            assert "deny" in e.read().decode()
+        # and can be un-denied (empty body -> re-read conf, which has none)
+        out = call("admin/refresh/denyUsers", "admin")
+        assert out["size"] == 0
+        s = call("sessions", "blocked_user")
+        assert s["user"] == "blocked_user"
+    finally:
+        svc.shutdown()

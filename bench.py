@@ -102,6 +102,7 @@ HEADLINE = [
     "lsh_band_s_curve",
     "stream_dsir_filter",
     "source_overlap_matrix",
+    "shuffle_skew_report",
     "packing_efficiency_report",
     "mixture_budget_plan",
     "dedup_cluster_stats",

@@ -92,6 +92,7 @@ _CHANGED_THIS_ROUND = {
     "lsh_band_s_curve",
     "stream_dsir_filter",
     "source_overlap_matrix",
+    "shuffle_skew_report",
 }
 
 

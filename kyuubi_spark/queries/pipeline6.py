@@ -472,3 +472,98 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("src_a", "src_b")
     )
+
+
+# --------------------------------------------------------------------------
+# Shuffle-key skew report
+# --------------------------------------------------------------------------
+
+
+@query(
+    "shuffle_skew_report",
+    oracle="""
+    WITH k AS (
+      SELECT user_id, COUNT(*) AS c FROM events GROUP BY user_id),
+    t AS (SELECT CAST(SUM(c) AS DOUBLE) AS n_rows,
+                 CAST(COUNT(*) AS BIGINT) AS n_keys,
+                 CAST(MAX(c) AS BIGINT) AS max_key_rows
+          FROM k),
+    top10 AS (SELECT CAST(SUM(c) AS BIGINT) AS top10_rows
+              FROM (SELECT c FROM k ORDER BY c DESC, user_id LIMIT 10)),
+    h AS (SELECT ROUND(-SUM((c / t.n_rows) * ln(c / t.n_rows)), 4)
+                   AS entropy
+          FROM k CROSS JOIN t GROUP BY t.n_rows)
+    SELECT CAST(t.n_rows AS BIGINT) AS n_rows,
+           t.n_keys,
+           t.max_key_rows,
+           ROUND(t.n_rows / t.n_keys, 2) AS avg_rows_per_key,
+           ROUND(t.max_key_rows / t.n_rows, 6) AS top1_share,
+           ROUND(top10.top10_rows / t.n_rows, 6) AS top10_share,
+           h.entropy,
+           CAST(CEIL(t.max_key_rows / (t.n_rows / t.n_keys)) AS BIGINT)
+             AS salt_factor
+    FROM t CROSS JOIN top10 CROSS JOIN h
+    """,
+    doc="Shuffle-key skew report over events.user_id: key cardinality, "
+    "hottest-key row counts, top-1/top-10 load shares, key-distribution "
+    "entropy, and the recommended salt factor (hottest key's multiple of "
+    "the average — the split count that levels a salted repartition) — "
+    "the diagnostic run BEFORE choosing salting/AQE-skew settings for a "
+    "join or aggregation on this key. One key-keyed count (map-side "
+    "combined), a 1-row moment aggregate, a bounded top-10 TakeOrdered, "
+    "and one more bounded pass for entropy — no windows, nothing "
+    "corpus-scaled on the driver.",
+)
+def shuffle_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kyuubi_spark.caching import persisted
+
+    events = load_table(spark, sf_dir, "events")
+    # per-key counts persist: the moments, top-10, and entropy passes all
+    # read them (a |keys|-sized relation, far smaller than the input)
+    k = persisted(
+        events.groupBy("user_id").agg(F.count("*").alias("c"))
+    )
+    t = k.agg(
+        F.sum("c").cast("double").alias("n_rows"),
+        F.count("*").alias("n_keys"),
+        F.max("c").alias("max_key_rows"),
+    )
+    top10 = (
+        k.orderBy(F.col("c").desc(), "user_id")
+        .limit(10)
+        .agg(F.sum("c").alias("top10_rows"))
+    )
+    h = (
+        k.crossJoin(F.broadcast(t.select("n_rows")))
+        .agg(
+            dround(
+                -F.sum(
+                    (F.col("c") / F.col("n_rows"))
+                    * F.log(F.col("c") / F.col("n_rows"))
+                ),
+                4,
+            ).alias("entropy")
+        )
+    )
+    return (
+        t.crossJoin(F.broadcast(top10))
+        .crossJoin(F.broadcast(h))
+        .select(
+            F.col("n_rows").cast("bigint").alias("n_rows"),
+            "n_keys",
+            F.col("max_key_rows").cast("bigint").alias("max_key_rows"),
+            dround(F.col("n_rows") / F.col("n_keys"), 2).alias(
+                "avg_rows_per_key"
+            ),
+            dround(F.col("max_key_rows") / F.col("n_rows"), 6).alias(
+                "top1_share"
+            ),
+            dround(F.col("top10_rows") / F.col("n_rows"), 6).alias(
+                "top10_share"
+            ),
+            "entropy",
+            F.ceil(
+                F.col("max_key_rows") / (F.col("n_rows") / F.col("n_keys"))
+            ).cast("bigint").alias("salt_factor"),
+        )
+    )

@@ -103,6 +103,7 @@ HEADLINE = [
     "stream_dsir_filter",
     "source_overlap_matrix",
     "shuffle_skew_report",
+    "recursive_cte_hierarchy",
     "packing_efficiency_report",
     "mixture_budget_plan",
     "dedup_cluster_stats",

@@ -93,6 +93,7 @@ _CHANGED_THIS_ROUND = {
     "stream_dsir_filter",
     "source_overlap_matrix",
     "shuffle_skew_report",
+    "recursive_cte_hierarchy",
 }
 
 

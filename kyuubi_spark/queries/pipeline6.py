@@ -567,3 +567,48 @@ def shuffle_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint").alias("salt_factor"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Recursive CTE (Spark 4 WITH RECURSIVE — new §2.D surface)
+# --------------------------------------------------------------------------
+
+_RECURSIVE_SQL = """
+WITH RECURSIVE tree AS (
+  SELECT c_custkey AS node, CAST(c_custkey AS BIGINT) AS root, 0 AS depth
+  FROM customer WHERE c_custkey < 10
+  UNION ALL
+  SELECT c.c_custkey, t.root, t.depth + 1
+  FROM customer c JOIN tree t
+    ON CAST(FLOOR(c.c_custkey / 10) AS BIGINT) = t.node
+  WHERE c.c_custkey >= 10
+)
+SELECT depth,
+       CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       CAST(COUNT(DISTINCT root) AS BIGINT) AS n_roots,
+       CAST(MIN(node) AS BIGINT) AS min_node,
+       CAST(MAX(node) AS BIGINT) AS max_node
+FROM tree
+GROUP BY depth
+ORDER BY depth
+"""
+
+
+@query(
+    "recursive_cte_hierarchy",
+    oracle=_RECURSIVE_SQL,
+    doc="Recursive CTE (WITH RECURSIVE, new in Spark 4 — SPARK-24497): "
+    "iterative hierarchy walk over the decimal-digit parent tree "
+    "floor(custkey/10), per-depth node and root counts. Spark executes "
+    "the recursion as iterated UNION steps (each step a join of the "
+    "frontier against the base relation — the same loop dedup_components "
+    "hand-rolls with localCheckpoint); depth is bounded by "
+    "log10(|customer|), so the frontier shrinks geometrically and no "
+    "step holds more than the previous frontier joined to its children. "
+    "Identical SQL text runs on both engines.",
+)
+def recursive_cte_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kyuubi_spark.session import load_tables
+
+    load_tables(spark, sf_dir)
+    return spark.sql(_RECURSIVE_SQL)

@@ -57,6 +57,19 @@ def _parse_multipart(h, ctype: str) -> dict[str, bytes]:
     return fields
 
 
+def _principal(h) -> str | None:
+    """Authenticated principal for precedence over request-claimed users;
+    engine-secure internal principals proved cluster-token possession and
+    defer to the claimed identity (the thrift OpenSession carve-out)."""
+    user = getattr(h, "auth_user", None)
+    if user is not None:
+        from kyuubi_spark.gateway.internal_auth import INTERNAL_USER
+
+        if user == INTERNAL_USER:
+            return None
+    return user
+
+
 def _json_cell(v):
     if isinstance(v, (datetime.datetime, datetime.date)):
         return v.isoformat()
@@ -278,8 +291,7 @@ class RestGateway:
         elif parts == ["sessions"] and method == "POST":
             body = h._body()
             s = self.engine.open_session(
-                user=getattr(h, "auth_user", None)
-                or body.get("user", "anonymous"),
+                user=_principal(h) or body.get("user", "anonymous"),
                 conf=body.get("conf"),
             )
             h._reply(200, {"identifier": s.handle.id, "user": s.user})
@@ -333,8 +345,7 @@ class RestGateway:
             job = BatchJob(
                 script, body.get("args"),
                 store=self.engine.metadata_store,
-                user=getattr(h, "auth_user", None)
-                or body.get("user", "anonymous"),
+                user=_principal(h) or body.get("user", "anonymous"),
             )
             self.batches[job.id] = job
             h._reply(200, job.info())

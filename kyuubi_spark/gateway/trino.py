@@ -193,6 +193,13 @@ class TrinoGateway:
                     return
                 n = int(self.headers.get("Content-Length", 0))
                 sql = self.rfile.read(n).decode("utf-8")
+                # engine-secure internal principals proved cluster-token
+                # possession and carry the REAL end user in the header
+                # (same proxy carve-out as the thrift OpenSession path)
+                from kyuubi_spark.gateway.internal_auth import INTERNAL_USER
+
+                if auth_user == INTERNAL_USER:
+                    auth_user = None
                 user = auth_user or self.headers.get(
                     "X-Trino-User", "anonymous"
                 )

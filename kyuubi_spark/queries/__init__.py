@@ -94,6 +94,9 @@ _CHANGED_THIS_ROUND = {
     "source_overlap_matrix",
     "shuffle_skew_report",
     "recursive_cte_hierarchy",
+    # r07: pipeline batch 7 (split leakage, embedding outliers)
+    "split_leakage_report",
+    "embedding_outliers",
 }
 
 
@@ -109,6 +112,7 @@ def all_queries() -> dict[str, QuerySpec]:
         pipeline4,
         pipeline5,
         pipeline6,
+        pipeline7,
         tpcds,
         tpcds2,
         tpcds3,

@@ -1,0 +1,201 @@
+"""Pipeline batch 7: split-hygiene and embedding-quality operators.
+
+- ``split_leakage_report`` — near-duplicate pairs that straddle the
+  deterministic train/val/test split: the contamination mode exact-match
+  decontamination misses (a paraphrase of a test doc sitting in train).
+  Composes the MinHash-LSH pair machinery (functions/dedup.py) with the
+  md5 hash split (functions/text.py hash_split) — the split of a pair
+  member is a pure map-side expression on the pair's own id columns, so
+  the report costs nothing beyond the LSH pass itself.
+- ``embedding_outliers`` — per-label centroid cosine audit: every
+  vector's cosine to its class centroid, aggregated to per-label count /
+  mean / minimum plus the worst offender id. The mislabeled-or-junk
+  detector run before training an embedding-space classifier (and the
+  quality gate behind SemDeDup-style cluster pruning).
+
+Both are value-exact against DuckDB oracles. Reference analog: none —
+these extend the reference's surface per the LLM-pipeline mandate
+(BASELINE.json north star); the dedup kernel they ride is the one
+verified by dedup_minhash_lsh.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kyuubi_spark.functions import dedup as D
+from kyuubi_spark.functions import text as T
+from kyuubi_spark.functions.compat import dround
+from kyuubi_spark.queries import query
+from kyuubi_spark.queries.pipeline import _MINHASH_PAIRS_CTE
+from kyuubi_spark.session import load_table
+
+# md5-hex thresholds for the 75/12.5/12.5 split — keep in lockstep with
+# functions/text.py hash_split (0.75 * 65536 = 0xc000, 0.875 * 65536 = 0xe000).
+_SPLIT_CASE = """
+      CASE WHEN substr(md5(CAST({col} AS VARCHAR)), 1, 4) < 'c000' THEN 'train'
+           WHEN substr(md5(CAST({col} AS VARCHAR)), 1, 4) < 'e000' THEN 'val'
+           ELSE 'test' END"""
+
+
+@query(
+    "split_leakage_report",
+    oracle=f"""
+    WITH {_MINHASH_PAIRS_CTE},
+    sp AS (
+      SELECT ROUND(CAST(inter AS DOUBLE) / union_sz, 6) AS j,
+             {_SPLIT_CASE.format(col='a_id')} AS sa,
+             {_SPLIT_CASE.format(col='b_id')} AS sb
+      FROM dup_pairs)
+    SELECT least(sa, sb) AS split_lo,
+           greatest(sa, sb) AS split_hi,
+           CASE WHEN least(sa, sb) <> greatest(sa, sb) THEN 1 ELSE 0 END
+             AS leaked,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           ROUND(SUM(CAST(ROUND(j * 1000000, 0) AS BIGINT)) / 1000000.0
+                 / COUNT(*), 6) AS avg_jaccard
+    FROM sp GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    doc="Near-duplicate pairs (MinHash-LSH, Jaccard>=1/4) bucketed by the "
+    "train/val/test assignment of each member: any off-diagonal cell is "
+    "train/test leakage that exact-hash decontamination cannot see. The "
+    "split of each pair member is a map-side md5 expression on the pair's "
+    "id columns — zero joins beyond the LSH pass itself, and the final "
+    "aggregate is at most 6 cells regardless of corpus size. Per-pair "
+    "jaccard is averaged via integer micro-units so the group sum is "
+    "order-exact across engines.",
+)
+def split_leakage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    # one materialized shingle relation feeds signature/banding + verify,
+    # exactly as dedup_minhash_lsh (kept identical so the pair set is the
+    # one the dedup query already value-verifies)
+    sh = (
+        docs.select(
+            F.col("doc_id").alias("id"),
+            F.explode(D.shingles_arrow(3)(F.col("text"))).alias("g"),
+        )
+        .localCheckpoint()
+    )
+    cand = D.lsh_candidate_pairs(docs, n=3, num_hashes=16, bands=8, shingle_df=sh)
+    pairs = D.jaccard_pairs(docs, cand, n=3, tau_num=1, tau_den=4, shingle_df=sh)
+    sa = T.hash_split("a_id")
+    sb = T.hash_split("b_id")
+    lo = F.least(sa, sb)
+    hi = F.greatest(sa, sb)
+    micro = F.round(F.col("jaccard") * 1000000, 0).cast("bigint")
+    return (
+        pairs.select(
+            lo.alias("split_lo"),
+            hi.alias("split_hi"),
+            F.when(lo != hi, F.lit(1)).otherwise(F.lit(0)).alias("leaked"),
+            micro.alias("j_micro"),
+        )
+        .groupBy("split_lo", "split_hi", "leaked")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            dround(
+                F.sum("j_micro") / F.lit(1000000.0) / F.count("*"), 6
+            ).alias("avg_jaccard"),
+        )
+        .orderBy("split_lo", "split_hi")
+    )
+
+
+@query(
+    "embedding_outliers",
+    oracle="""
+    WITH ex AS (
+      SELECT vec_id, label, t.i - 1 AS dim,
+             CAST(embedding[t.i] AS DOUBLE) AS x
+      FROM embeddings,
+           unnest(generate_series(1, len(embedding))) AS t(i)),
+    cent AS (
+      SELECT label, dim,
+             ROUND(CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*),
+                   6) AS c
+      FROM ex GROUP BY 1, 2),
+    pv AS (
+      SELECT e.vec_id, e.label,
+             CAST(SUM(CAST(e.x * c.c AS DECIMAL(38,12))) AS DOUBLE) AS dot,
+             CAST(SUM(CAST(e.x * e.x AS DECIMAL(38,12))) AS DOUBLE) AS nx,
+             CAST(SUM(CAST(c.c * c.c AS DECIMAL(38,12))) AS DOUBLE) AS nc
+      FROM ex e JOIN cent c ON c.label = e.label AND c.dim = e.dim
+      GROUP BY 1, 2),
+    scored AS (
+      SELECT vec_id, label,
+             ROUND(dot / sqrt(nx * nc), 6) AS cosc
+      FROM pv),
+    st AS (
+      SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+             ROUND(SUM(CAST(ROUND(cosc * 1000000, 0) AS BIGINT)) / 1000000.0
+                   / COUNT(*), 6) AS avg_cos,
+             MIN(cosc) AS min_cos
+      FROM scored GROUP BY 1)
+    SELECT st.label, st.n_vecs, st.avg_cos, st.min_cos,
+           MIN(s.vec_id) AS worst_vec_id
+    FROM st JOIN scored s ON s.label = st.label AND s.cosc = st.min_cos
+    GROUP BY 1, 2, 3, 4 ORDER BY 1
+    """,
+    doc="Per-label embedding-quality audit: cosine of every vector to its "
+    "label centroid, reduced to count / order-exact mean / minimum and the "
+    "arg-min vector id (ties broken by MIN(vec_id), deterministic on both "
+    "engines). Centroids are DECIMAL-summed then rounded so both engines "
+    "score against bit-identical centroid values; per-vector dot products "
+    "DECIMAL-sum 64 cells so task order can't flip a bit. Shuffle profile "
+    "at 100 TB: posexplode is map-side, the centroid table is labels x "
+    "dims rows (broadcast), per-vector sums are one vec_id-keyed shuffle "
+    "with map-side partial aggregation, and everything after is "
+    "label-cardinality-bounded.",
+)
+def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("dim", "xf")
+    ).select("vec_id", "label", "dim", F.col("xf").cast("double").alias("x"))
+    cent = (
+        ex.groupBy("label", "dim")
+        .agg(
+            F.sum(F.col("x").cast("decimal(28,12)")).alias("s"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            "label", "dim",
+            dround(F.col("s").cast("double") / F.col("n"), 6).alias("c"),
+        )
+    )
+    pv = (
+        ex.join(F.broadcast(cent), ["label", "dim"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum((F.col("x") * F.col("c")).cast("decimal(38,12)")).alias("dot"),
+            F.sum((F.col("x") * F.col("x")).cast("decimal(38,12)")).alias("nx"),
+            F.sum((F.col("c") * F.col("c")).cast("decimal(38,12)")).alias("nc"),
+        )
+    )
+    scored = pv.select(
+        "vec_id", "label",
+        dround(
+            F.col("dot").cast("double")
+            / F.sqrt(F.col("nx").cast("double") * F.col("nc").cast("double")),
+            6,
+        ).alias("cosc"),
+    )
+    st = scored.groupBy("label").agg(
+        F.count("*").alias("n_vecs"),
+        dround(
+            F.sum(F.round(F.col("cosc") * 1000000, 0).cast("bigint"))
+            / F.lit(1000000.0) / F.count("*"),
+            6,
+        ).alias("avg_cos"),
+        F.min("cosc").alias("min_cos"),
+    )
+    return (
+        scored.join(F.broadcast(st), "label")
+        .filter(F.col("cosc") == F.col("min_cos"))
+        .groupBy("label", "n_vecs", "avg_cos", "min_cos")
+        .agg(F.min("vec_id").alias("worst_vec_id"))
+        .select("label", "n_vecs", "avg_cos", "min_cos", "worst_vec_id")
+        .orderBy("label")
+    )

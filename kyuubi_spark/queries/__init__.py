@@ -97,6 +97,9 @@ _CHANGED_THIS_ROUND = {
     # r07: pipeline batch 7 (split leakage, embedding outliers)
     "split_leakage_report",
     "embedding_outliers",
+    # r07: Spark 4 SQL UDFs (scalar + correlated lateral TVF)
+    "sql_udf_scalar",
+    "sql_udf_table",
 }
 
 
@@ -113,6 +116,7 @@ def all_queries() -> dict[str, QuerySpec]:
         pipeline5,
         pipeline6,
         pipeline7,
+        sqludf,
         tpcds,
         tpcds2,
         tpcds3,

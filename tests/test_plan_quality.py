@@ -535,3 +535,28 @@ def test_source_overlap_matrix_no_gram_self_join(spark, sf_dir):
     # diagonal + off-diagonal branches read the cache, never re-scan
     executed = df._jdf.queryExecution().executedPlan().toString()
     assert executed.count("InMemoryTableScan") >= 3
+
+
+def test_sql_udf_scalar_inlines_to_codegen(spark, sf_dir):
+    # Spark 4 SQL UDFs are analysis-time macros: both function bodies
+    # (one calling the other) must inline into the hash aggregate — no
+    # Python evaluation boundary and no opaque function call survives
+    # optimization, so the plan is tpch_q1's shape
+    df = _build(spark, sf_dir, "sql_udf_scalar")
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in executed
+    assert "ks_disc_price" not in executed and "ks_charge" not in executed
+    text = plans.explain_formatted(df)
+    assert "HashAggregate" in text  # inlined straight into the aggregate
+
+
+def test_sql_udf_table_is_generate_node(spark, sf_dir):
+    # the correlated LATERAL table function compiles to a generator
+    # (explode) under the scan — map-side fan-out, no join and no
+    # Python boundary introduced by the function machinery
+    df = _build(spark, sf_dir, "sql_udf_table")
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in executed
+    assert "Generate" in executed
+    text = plans.explain_formatted(df)
+    assert "CartesianProduct" not in text

@@ -100,6 +100,11 @@ _CHANGED_THIS_ROUND = {
     # r07: Spark 4 SQL UDFs (scalar + correlated lateral TVF)
     "sql_udf_scalar",
     "sql_udf_table",
+    # r07: Spark 4 language surface (variables, scripting, defaults, params)
+    "session_variables",
+    "sql_scripting_loop",
+    "ddl_column_defaults",
+    "parameterized_sql",
 }
 
 
@@ -116,6 +121,7 @@ def all_queries() -> dict[str, QuerySpec]:
         pipeline5,
         pipeline6,
         pipeline7,
+        sql4,
         sqludf,
         tpcds,
         tpcds2,

@@ -1,0 +1,178 @@
+"""Spark 4 SQL language surface served through the gateway (SURVEY §2.D).
+
+The reference's relational surface IS whatever its Spark engine accepts
+over the wire (`spark.sql(statement)` — reference ExecuteStatement.scala:90),
+and its tests pin the session-state statements a JDBC user can issue
+(SparkQueryTests.scala:51 exercises variable substitution). Spark 4 grew
+that statement surface substantially; these entries verify each piece
+end-to-end with value-exact oracles:
+
+- ``session_variables`` — DECLARE VARIABLE + EXECUTE IMMEDIATE ... INTO:
+  a scalar computed from data lands in a session variable and
+  parameterizes the next statement (the session-state flow a BI tool
+  does with `SET hivevar:` against the reference).
+- ``sql_scripting_loop`` — SQL scripting (BEGIN/DECLARE/FOR cursor
+  loop): procedural control flow entirely server-side; the loop body
+  runs a correlated scalar query per cursor row.
+- ``ddl_column_defaults`` — CREATE TABLE ... DEFAULT + INSERT ...
+  DEFAULT: column defaults materialize into the stored data.
+- ``parameterized_sql`` — named parameter markers (`:name`) plus the
+  IDENTIFIER() clause: injection-safe dynamic SQL — the table name and
+  the predicate value arrive as BINDINGS, never string-spliced (the same
+  discipline gateway/trino.py PREPARE/EXECUTE and the JDBC dialects'
+  sql_literal enforce).
+
+Session-state hygiene: variables/tables use a ``ks4_`` prefix and
+DECLARE OR REPLACE / DROP-first so repeated runs on a shared session are
+idempotent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F  # noqa: F401
+
+from kyuubi_spark.queries import query
+from kyuubi_spark.session import load_table
+
+
+@query(
+    "session_variables",
+    oracle="""
+    WITH thr AS (
+      SELECT ROUND(MAX(o_totalprice) * 0.5, 2) AS t FROM orders)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_above,
+           CAST(MAX(thr.t) AS DOUBLE) AS threshold
+    FROM orders, thr WHERE o_totalprice > thr.t
+    """,
+    doc="Session variables: EXECUTE IMMEDIATE computes a data-derived "
+    "scalar (half the max order total — MAX is bit-exact on both engines, "
+    "unlike a float AVG) INTO a declared variable, which then "
+    "parameterizes the next statement. The variable is a literal by the "
+    "time Catalyst plans the query, so the filter constant-folds and "
+    "pushes to the scan exactly like hand-written SQL.",
+)
+def session_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    spark.sql("DECLARE OR REPLACE VARIABLE ks4_thr DOUBLE")
+    spark.sql(
+        "EXECUTE IMMEDIATE "
+        "'SELECT ROUND(MAX(o_totalprice) * 0.5, 2) FROM orders' INTO ks4_thr"
+    )
+    return spark.sql(
+        """
+        SELECT COUNT(*) AS n_above, CAST(ks4_thr AS DOUBLE) AS threshold
+        FROM orders WHERE o_totalprice > ks4_thr
+        """
+    )
+
+
+@query(
+    "sql_scripting_loop",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_nations,
+           CAST((SELECT COUNT(*) FROM region) AS BIGINT) AS n_iterations
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    """,
+    doc="SQL scripting (Spark 4 BEGIN ... END): a FOR cursor loop over "
+    "region accumulates a correlated per-region nation count into a "
+    "script-local variable — procedural control flow running entirely "
+    "server-side, no client round-trips (what the reference needs "
+    "ExecuteScala/ExecutePython sessions for). The cursor relation is "
+    "region (bounded); each body iteration is an independent Catalyst "
+    "plan, so this is for small control relations — corpus-scaled "
+    "aggregation stays in plain declarative SQL.",
+)
+def sql_scripting_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "region").createOrReplaceTempView("region")
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    return spark.sql(
+        """
+        BEGIN
+          DECLARE total BIGINT DEFAULT 0;
+          DECLARE iters BIGINT DEFAULT 0;
+          FOR r AS SELECT r_regionkey AS k FROM region ORDER BY r_regionkey DO
+            SET total = total + (
+              SELECT COUNT(*) FROM nation WHERE n_regionkey = r.k);
+            SET iters = iters + 1;
+          END FOR;
+          SELECT total AS n_nations, iters AS n_iterations;
+        END
+        """
+    )
+
+
+@query(
+    "ddl_column_defaults",
+    oracle="""
+    SELECT * FROM (VALUES
+      (1, 'explicit', CAST(3.5 AS DOUBLE), 100),
+      (2, 'pending',  CAST(3.5 AS DOUBLE), 7),
+      (3, 'pending',  CAST(1.25 AS DOUBLE), 100))
+      AS t(id, status, weight, prio)
+    ORDER BY id
+    """,
+    doc="Column DEFAULT DDL (Spark 3.4+/4): CREATE TABLE declares "
+    "per-column defaults, INSERT supplies DEFAULT positionally or omits "
+    "trailing columns, and the stored parquet materializes the resolved "
+    "values (defaults are write-time constants, not read-time patches — "
+    "files stay self-describing for any downstream reader at any scale).",
+)
+def ddl_column_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix="kyuubi_defaults_")
+    spark.sql("DROP TABLE IF EXISTS ks4_defaults")
+    try:
+        spark.sql(
+            f"""
+            CREATE TABLE ks4_defaults (
+              id INT,
+              status STRING DEFAULT 'pending',
+              weight DOUBLE DEFAULT 3.5,
+              prio INT DEFAULT 100
+            ) USING parquet LOCATION '{path}/t'
+            """
+        )
+        spark.sql(
+            "INSERT INTO ks4_defaults VALUES "
+            "(1, 'explicit', DEFAULT, DEFAULT), "
+            "(2, DEFAULT, DEFAULT, 7)"
+        )
+        # omitted trailing columns also fill from defaults
+        spark.sql(
+            "INSERT INTO ks4_defaults (id, weight) VALUES (3, 1.25)"
+        )
+        out = spark.sql("SELECT * FROM ks4_defaults ORDER BY id")
+        out = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS ks4_defaults")
+        shutil.rmtree(path, ignore_errors=True)
+    return out
+
+
+@query(
+    "parameterized_sql",
+    oracle="""
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders WHERE o_totalprice > 100000.0
+    GROUP BY 1 ORDER BY 1
+    """,
+    doc="Named parameter markers + IDENTIFIER(): the table name and the "
+    "predicate value arrive as bindings (spark.sql args=...), never "
+    "spliced into the statement text — the engine-side analog of the "
+    "gateway's Trino PREPARE/EXECUTE placeholder binding and the JDBC "
+    "dialects' sql_literal escaping. The bound value plans as a literal, "
+    "so pushdown/pruning are identical to inline SQL.",
+)
+def parameterized_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, COUNT(*) AS n_orders
+        FROM IDENTIFIER(:tab) WHERE o_totalprice > :thr
+        GROUP BY 1 ORDER BY 1
+        """,
+        args={"tab": "orders", "thr": 100000.0},
+    )

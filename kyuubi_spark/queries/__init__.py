@@ -97,6 +97,7 @@ _CHANGED_THIS_ROUND = {
     # r07: pipeline batch 7 (split leakage, embedding outliers)
     "split_leakage_report",
     "embedding_outliers",
+    "dedup_quality_survivors",
     # r07: Spark 4 SQL UDFs (scalar + correlated lateral TVF)
     "sql_udf_scalar",
     "sql_udf_table",

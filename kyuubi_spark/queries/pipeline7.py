@@ -104,6 +104,90 @@ def split_leakage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_quality_survivors",
+    oracle=f"""
+    WITH RECURSIVE {{pairs_cte}},
+    edges AS (
+      SELECT a_id AS u, b_id AS v FROM dup_pairs
+      UNION ALL
+      SELECT b_id, a_id FROM dup_pairs),
+    reach(u, v) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+      UNION
+      SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u),
+    comp AS (SELECT u AS doc_id, MIN(v) AS component_id FROM reach GROUP BY u),
+    m AS (
+      SELECT c.component_id, c.doc_id, d.n_chars
+      FROM comp c JOIN documents d ON d.doc_id = c.doc_id),
+    st AS (
+      SELECT component_id, CAST(COUNT(*) AS BIGINT) AS n_members,
+             MAX(n_chars) AS max_chars, MIN(doc_id) AS naive_keeper_id,
+             MIN_BY(n_chars, doc_id) AS naive_chars
+      FROM m GROUP BY 1)
+    SELECT st.component_id, st.n_members,
+           MIN(k.doc_id) AS keeper_id,
+           st.naive_keeper_id,
+           CAST(st.max_chars - st.naive_chars AS BIGINT) AS quality_gain
+    FROM st
+    JOIN m k ON k.component_id = st.component_id AND k.n_chars = st.max_chars
+    GROUP BY 1, 2, 4, st.max_chars, st.naive_chars
+    ORDER BY 1
+    """.format(pairs_cte=_MINHASH_PAIRS_CTE),
+    doc="Quality-aware survivor selection: within each near-dup cluster "
+    "(MinHash-LSH pairs -> connected components) keep the HIGHEST-QUALITY "
+    "member (longest text, ties broken by MIN doc_id — deterministic on "
+    "both engines) instead of the naive min-id canonical, and report the "
+    "per-cluster quality gain. This is the policy production dedup "
+    "actually wants: the duplicate that survives should be the best copy, "
+    "not the first-seen one. Every relation after the verified LSH/"
+    "component stages is dup-cluster-bounded; the per-cluster argmax is "
+    "aggregate + equality-join-back, no window over the corpus.",
+)
+def dedup_quality_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        F.col("doc_id").alias("id"),
+        F.explode(D.shingles_arrow(3)(F.col("text"))).alias("g"),
+    ).localCheckpoint()
+    cand = D.lsh_candidate_pairs(docs, n=3, num_hashes=16, bands=8, shingle_df=sh)
+    pairs = D.jaccard_pairs(
+        docs, cand, n=3, tau_num=1, tau_den=4, shingle_df=sh
+    ).select("a_id", "b_id")
+    comps = D.connected_components(pairs)
+    m = comps.join(docs.select("doc_id", "n_chars"), "doc_id")
+    # n_members / max / naive keeper id AND the naive keeper's quality in
+    # ONE aggregate (min_by ties are impossible: doc_id is unique per
+    # component) — no join back for the naive side
+    st = m.groupBy("component_id").agg(
+        F.count("*").alias("n_members"),
+        F.max("n_chars").alias("max_chars"),
+        F.min("doc_id").alias("naive_keeper_id"),
+        F.min_by("n_chars", "doc_id").alias("naive_chars"),
+    )
+    keeper = (
+        m.join(F.broadcast(st), "component_id")
+        .filter(F.col("n_chars") == F.col("max_chars"))
+        .groupBy(
+            "component_id", "n_members", "max_chars",
+            "naive_keeper_id", "naive_chars",
+        )
+        .agg(F.min("doc_id").alias("keeper_id"))
+    )
+    return (
+        keeper.select(
+            "component_id",
+            "n_members",
+            "keeper_id",
+            "naive_keeper_id",
+            (F.col("max_chars") - F.col("naive_chars"))
+            .cast("bigint")
+            .alias("quality_gain"),
+        )
+        .orderBy("component_id")
+    )
+
+
+@query(
     "embedding_outliers",
     oracle="""
     WITH ex AS (

@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import datetime
 import threading
+from collections import deque
 from typing import Any, Iterable, Sequence
 
 apilevel = "2.0"
@@ -245,7 +246,9 @@ class Cursor:
         self._op: bytes | None = None
         self.description: list[tuple] | None = None
         self.rowcount = -1
-        self._buffer: list[tuple] = []
+        # deque: fetchone drains from the FRONT — popleft keeps
+        # row-at-a-time iteration O(n) over large results
+        self._buffer: deque[tuple] = deque()
         self._exhausted = True
         self._closed = False
 
@@ -272,7 +275,7 @@ class Cursor:
             ]
             or None
         )
-        self._buffer = []
+        self._buffer = deque()
         self._exhausted = False if schema else True
         self.rowcount = -1
         return self
@@ -296,19 +299,19 @@ class Cursor:
     def fetchone(self) -> tuple | None:
         self._check_result()
         self._fill(1)
-        return self._buffer.pop(0) if self._buffer else None
+        return self._buffer.popleft() if self._buffer else None
 
     def fetchmany(self, size: int | None = None) -> list[tuple]:
         self._check_result()
         n = size if size is not None else self.arraysize
         self._fill(n)
-        out, self._buffer = self._buffer[:n], self._buffer[n:]
+        out = [self._buffer.popleft() for _ in range(min(n, len(self._buffer)))]
         return out
 
     def fetchall(self) -> list[tuple]:
         self._check_result()
         self._fill(1 << 62)
-        out, self._buffer = self._buffer, []
+        out, self._buffer = list(self._buffer), deque()
         return out
 
     def __iter__(self):

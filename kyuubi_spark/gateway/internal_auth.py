@@ -124,13 +124,19 @@ def get_or_create_secret(discovery, node: str = SECRET_NODE) -> bytes:
     """Read the cluster secret from the discovery store, minting and
     publishing it if absent (first-server-wins under the store's write
     lock — the ZooKeeper secret-provider shape)."""
+    from kyuubi_spark.gateway.discovery import DiscoveryStoreError
+
     with discovery.try_with_lock(f"{node}.init-lock", timeout_ms=10_000):
         try:
             data = discovery.get_data(node)
             if data:
                 return bytes.fromhex(data.decode("ascii"))
-        except Exception:
-            pass
+        except DiscoveryStoreError:
+            pass  # no node yet — mint below
+        # Only the MISSING-NODE case may mint: a transient store error
+        # (sqlite OperationalError, corrupted file) must propagate, or a
+        # rebooting server would overwrite the published cluster secret
+        # and split internal auth across the fleet.
         secret = _secrets.token_bytes(32)
         discovery.create(node, "PERSISTENT", secret.hex().encode("ascii"))
         return secret

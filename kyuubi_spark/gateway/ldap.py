@@ -195,22 +195,30 @@ class LdapAuthenticationProvider(PasswdAuthenticationProvider):
 
         self.filter = resolve_filter(conf)
 
-    def _bind_dn(self, user: str) -> str:
+    def _candidate_dns(self, user: str) -> list[str]:
+        """Every principal the user may bind as, tried in order — the
+        reference derives the same candidate list (LdapUtils
+        .getCandidatePrincipals: every colon-separated userDNPattern
+        first, then the guidKey+baseDN / domain fallbacks)."""
         if "=" in user or "," in user:
-            return user  # already a DN
-        # userDNPattern outranks the baseDN-derived principal, like the
-        # reference's candidate-principal derivation (LdapUtils
-        # .getCandidatePrincipals: patterns first, then guidKey+baseDN)
-        pattern = self.conf.get(
-            "kyuubi.authentication.ldap.userDNPattern", ""
-        ).split(":")[0]
-        if pattern and "%s" in pattern:
-            return pattern.replace("%s", user)
+            return [user]  # already a DN
+        patterns = [
+            p
+            for p in self.conf.get(
+                "kyuubi.authentication.ldap.userDNPattern", ""
+            ).split(":")
+            if p and "%s" in p
+        ]
+        if patterns:
+            return [p.replace("%s", user) for p in patterns]
         if self.base_dn:
-            return f"{self.guid_key}={user},{self.base_dn}"
+            return [f"{self.guid_key}={user},{self.base_dn}"]
         if self.domain and "@" not in user:
-            return f"{user}@{self.domain}"
-        return user
+            return [f"{user}@{self.domain}"]
+        return [user]
+
+    def _bind_dn(self, user: str) -> str:
+        return self._candidate_dns(user)[0]
 
     def authenticate(self, user: str, password: str) -> None:
         if not user:
@@ -227,19 +235,21 @@ class LdapAuthenticationProvider(PasswdAuthenticationProvider):
             ctx = client_ssl_context(
                 cafile=self.cafile, insecure=self.insecure
             )
+        candidates = self._candidate_dns(user)
         if self.filter is None:
-            try:
-                code = simple_bind(
-                    self.host, self.port, self._bind_dn(user), password,
-                    ssl_context=ctx,
-                )
-            except (OSError, ValueError) as e:
-                raise AuthenticationError(f"LDAP bind failed: {e}") from e
-            if code != RESULT_SUCCESS:
-                raise AuthenticationError(
-                    f"LDAP bind rejected for {user} (resultCode {code})"
-                )
-            return
+            code = None
+            for dn in candidates:
+                try:
+                    code = simple_bind(
+                        self.host, self.port, dn, password, ssl_context=ctx
+                    )
+                except (OSError, ValueError) as e:
+                    raise AuthenticationError(f"LDAP bind failed: {e}") from e
+                if code == RESULT_SUCCESS:
+                    return
+            raise AuthenticationError(
+                f"LDAP bind rejected for {user} (resultCode {code})"
+            )
         # filters configured: bind and search on ONE connection held as
         # the authenticating user (the reference creates its DirSearch
         # with the just-bound credentials, LdapAuthenticationProviderImpl
@@ -252,10 +262,14 @@ class LdapAuthenticationProvider(PasswdAuthenticationProvider):
         except (OSError, ValueError) as e:
             raise AuthenticationError(f"LDAP connect failed: {e}") from e
         with conn:
-            try:
-                code = conn.bind(self._bind_dn(user), password)
-            except (OSError, ValueError) as e:
-                raise AuthenticationError(f"LDAP bind failed: {e}") from e
+            code = None
+            for dn in candidates:
+                try:
+                    code = conn.bind(dn, password)
+                except (OSError, ValueError) as e:
+                    raise AuthenticationError(f"LDAP bind failed: {e}") from e
+                if code == RESULT_SUCCESS:
+                    break
             if code != RESULT_SUCCESS:
                 raise AuthenticationError(
                     f"LDAP bind rejected for {user} (resultCode {code})"

@@ -146,6 +146,16 @@ def _parse_one(s: str, i: int):
     if j >= len(s) or s[j] != "=":
         raise FilterSyntaxError(f"expected '=' in item at {i}")
     attr = s[i:j]
+    # RFC 4515 also defines >=, <= and ~= match operators; this codec
+    # implements equality/presence only. An authorization filter that
+    # silently degraded ('age>' as a literal attribute name) would match
+    # nothing — or worse, widen under a NOT — so unsupported operators
+    # FAIL CLOSED at parse time instead.
+    if attr.endswith((">", "<", "~")):
+        raise FilterSyntaxError(
+            f"unsupported match operator {attr[-1]}= at {i} "
+            "(only = and =* are implemented)"
+        )
     j += 1
     val = []
     while j < len(s) and s[j] != ")":
@@ -160,6 +170,16 @@ def _parse_one(s: str, i: int):
     value = "".join(val)
     if value == "*":
         return ("present", attr), j + 1
+    # substring filters ('ab*', '*ab', 'a*b') would need the RFC 4511
+    # SubstringFilter encoding; matching them as a literal equality on a
+    # string containing '*' silently changes authorization semantics —
+    # reject instead (an UNESCAPED '*' anywhere in the value; the \2a
+    # escape for a literal asterisk still passes through _unescape).
+    if "*" in value:
+        raise FilterSyntaxError(
+            f"substring filter {attr}={value!r} not supported "
+            "(escape a literal '*' as \\2a)"
+        )
     return ("eq", attr, _unescape(value)), j + 1
 
 

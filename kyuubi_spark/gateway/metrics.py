@@ -58,7 +58,11 @@ class MetricsRegistry:
         """Prometheus text exposition format (the reference's
         PrometheusReporter, MetricsConf.scala:82-94 — served at the
         /metrics path).  Counter names sanitize dots to underscores;
-        timers export _count/_sum/_max series in seconds."""
+        timers export a summary (_count/_sum) plus a separate _max gauge
+        family — a bare <name>_max series under a summary TYPE is not
+        legal exposition format and strict scrapers (promtool check
+        metrics) reject the whole page.  Counters here may decrement
+        (open-connection style), so they export as gauges."""
 
         def san(name: str) -> str:
             return "".join(
@@ -80,6 +84,7 @@ class MetricsRegistry:
                 lines.append(f"# TYPE {m} summary")
                 lines.append(f"{m}_count {int(t['count'])}")
                 lines.append(f"{m}_sum {t['sum']:.6f}")
+                lines.append(f"# TYPE {m}_max gauge")
                 lines.append(f"{m}_max {t['max']:.6f}")
         return "\n".join(lines) + "\n"
 

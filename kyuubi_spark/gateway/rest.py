@@ -363,6 +363,25 @@ class RestGateway:
         else:
             h._reply(404, {"error": f"unknown route {method} {h.path}"})
 
+    def _admin_gate(self, h, action: str) -> bool:
+        """Administrator check shared by every mutating admin route
+        (reference AdminResource requires isAdministrator for engine
+        delete and the refresh endpoints alike). Returns False after
+        replying 403."""
+        user = getattr(h, "auth_user", None)
+        admins = {
+            a.strip()
+            for a in str(
+                self.engine.conf.get_raw("kyuubi.server.administrators", "")
+                or ""
+            ).split(",")
+            if a.strip()
+        }
+        if self.auth is not None and user not in admins:
+            h._reply(403, {"error": f"{user} is not allowed to {action}"})
+            return False
+        return True
+
     def _route_admin(self, h, method: str, parts: list[str], q) -> None:
         """Admin resource (reference AdminResource.scala:282-408):
         list/delete engine nodes and list server nodes straight from the
@@ -406,6 +425,11 @@ class RestGateway:
             if not node:
                 h._reply(400, {"error": "node query parameter required"})
                 return
+            # destructive: deregisters a live engine (or, pointed at an
+            # infra node, the cluster secret) — administrators only, like
+            # the reference's AdminResource delete-engine
+            if not self._admin_gate(h, f"delete engine node {node}"):
+                return
             disco.delete("/" + node.lstrip("/"))
             h._reply(200, {"deleted": node})
         elif parts == ["server"] and method == "GET":
@@ -430,23 +454,16 @@ class RestGateway:
         from kyuubi_spark.gateway import conf as C
         from kyuubi_spark.gateway.engine import _csv_set
 
-        user = getattr(h, "auth_user", None)
-        admins = {
-            a.strip()
-            for a in str(
-                self.engine.conf._values.get("kyuubi.server.administrators", "")
-            ).split(",")
-            if a.strip()
-        }
-        if self.auth is not None and user not in admins:
-            h._reply(403, {
-                "error": f"{user} is not allowed to refresh "
-                f"{parts[1] if len(parts) > 1 else ''}"
-            })
+        if not self._admin_gate(
+            h, f"refresh {parts[1] if len(parts) > 1 else ''}"
+        ):
             return
         what = parts[1] if len(parts) > 1 else ""
         body = h._body()
-        values = set(body.get("values", [])) if body.get("values") else None
+        # an explicit empty list CLEARS the limiter list; only a missing
+        # key falls back to re-reading server conf
+        raw_values = body.get("values")
+        values = set(raw_values) if raw_values is not None else None
         lim = self.engine.limiter
         attr = {"denyUsers": "deny_users",
                 "unlimitedUsers": "unlimited_users",

@@ -102,21 +102,23 @@ def _bind_placeholders(text: str, params: list[str]) -> str:
     """Substitute positional ?-placeholders in prepared SQL.
 
     Placeholders are located syntactically — '?' inside single-quoted
-    string literals (with '' escapes) is literal text, not a parameter —
-    and positions come from the ORIGINAL text, so a substituted value
-    containing '?' is never re-scanned (Trino parses placeholders the
-    same way; naive text.replace('?', p, 1) corrupts quote boundaries)."""
+    string literals (with '' escapes) or double-quoted identifiers (with
+    "" escapes) is literal text, not a parameter — and positions come
+    from the ORIGINAL text, so a substituted value containing '?' is
+    never re-scanned (Trino parses placeholders the same way; naive
+    text.replace('?', p, 1) corrupts quote boundaries)."""
     out: list[str] = []
     it = iter(params)
     i, n = 0, len(text)
     while i < n:
         ch = text[i]
-        if ch == "'":
-            # copy the quoted literal verbatim, honoring '' escapes
+        if ch in "'\"":
+            # copy the quoted region verbatim, honoring doubled-quote
+            # escapes ('' in literals, "" in identifiers)
             j = i + 1
             while j < n:
-                if text[j] == "'":
-                    if j + 1 < n and text[j + 1] == "'":
+                if text[j] == ch:
+                    if j + 1 < n and text[j + 1] == ch:
                         j += 2
                         continue
                     j += 1

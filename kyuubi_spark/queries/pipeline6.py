@@ -140,33 +140,7 @@ def _dsir_features(docs: DataFrame) -> DataFrame:
 
 @query(
     "dsir_importance_weights",
-    oracle=f"""
-    WITH {_FEATS_CTE},
-    raw AS (SELECT b, COUNT(*) AS c_r FROM feats GROUP BY b),
-    tgt AS (SELECT b, COUNT(*) AS c_t FROM feats
-            WHERE source IN {_DSIR_TARGET!r} GROUP BY b),
-    tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_r,
-                   CAST(SUM(CASE WHEN source IN {_DSIR_TARGET!r}
-                            THEN 1 ELSE 0 END) AS DOUBLE) AS n_t
-            FROM feats)
-    SELECT f.doc_id,
-           ANY_VALUE(f.source) AS source,
-           CAST(COUNT(*) AS BIGINT) AS n_feats,
-           ROUND(AVG(
-             ln((COALESCE(t.c_t, 0) + 1) / (tot.n_t + {_DSIR_BUCKETS}))
-             - ln((r.c_r + 1) / (tot.n_r + {_DSIR_BUCKETS}))), 3) + 0
-             AS avg_logw,
-           CASE WHEN ROUND(AVG(
-             ln((COALESCE(t.c_t, 0) + 1) / (tot.n_t + {_DSIR_BUCKETS}))
-             - ln((r.c_r + 1) / (tot.n_r + {_DSIR_BUCKETS}))), 3) > 0
-             THEN 1 ELSE 0 END AS keep
-    FROM feats f
-    JOIN raw r ON r.b = f.b
-    LEFT JOIN tgt t ON t.b = f.b
-    CROSS JOIN tot
-    GROUP BY f.doc_id
-    ORDER BY f.doc_id
-    """,
+    oracle=DSIR_ORACLE,
     doc="DSIR importance resampling weights (Xie et al. 2023): documents "
     "are featurized as hashed unigrams+bigrams (md5 -> 4096 buckets, the "
     "text_hash_embed trick), the TARGET distribution is a designated "

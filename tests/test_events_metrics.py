@@ -166,6 +166,10 @@ def test_prometheus_text_format():
     assert "kyuubi_operation_exec_time_seconds_count 2" in text
     assert "kyuubi_operation_exec_time_seconds_sum 2.000000" in text
     assert "kyuubi_operation_exec_time_seconds_max 1.500000" in text
+    # _max is NOT a legal series of a summary family — it must carry its
+    # own TYPE line as a gauge, or strict scrapers reject the whole page
+    assert "# TYPE kyuubi_operation_exec_time_seconds summary" in text
+    assert "# TYPE kyuubi_operation_exec_time_seconds_max gauge" in text
     assert "kyuubi_uptime_seconds" in text
 
 

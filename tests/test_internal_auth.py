@@ -145,3 +145,30 @@ def test_federation_with_engine_security_no_static_credential(spark, sf_dir):
     finally:
         server_a.stop()
         disco.close_client()
+
+
+def test_store_error_does_not_rotate_cluster_secret():
+    """Only a MISSING secret node may mint: a transient store error must
+    propagate instead of silently overwriting the published cluster
+    secret (which would split internal auth across the fleet)."""
+    import pytest
+
+    from kyuubi_spark.gateway.discovery import SqliteDiscoveryClient
+    from kyuubi_spark.gateway.internal_auth import get_or_create_secret
+
+    disco = SqliteDiscoveryClient()
+    disco.create_client()
+    first = get_or_create_secret(disco)
+    assert get_or_create_secret(disco) == first  # idempotent
+
+    class Flaky:
+        def __getattr__(self, name):
+            return getattr(disco, name)
+
+        def get_data(self, path):
+            raise RuntimeError("disk I/O error")
+
+    with pytest.raises(RuntimeError):
+        get_or_create_secret(Flaky())
+    # the published secret survived the failed boot
+    assert get_or_create_secret(disco) == first

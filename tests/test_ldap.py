@@ -211,3 +211,40 @@ def test_parse_fails_fast_on_complete_wrong_message():
     assert not isinstance(ei.value, L.Truncated)
     with pytest.raises(L.Truncated):
         L.parse_bind_response(notice[:3])
+
+
+def test_ldap_multi_pattern_candidates():
+    """Every colon-separated userDNPattern yields a candidate principal
+    (reference LdapUtils.getCandidatePrincipals) — a user under the
+    SECOND pattern's subtree must still be able to bind."""
+    p = get_authentication_provider(
+        "LDAP",
+        {
+            "kyuubi.authentication.ldap.url": "ldap://h:389",
+            "kyuubi.authentication.ldap.userDNPattern":
+                "uid=%s,ou=staff,dc=x:uid=%s,ou=svc,dc=x",
+        },
+    )
+    assert p._candidate_dns("bot") == [
+        "uid=bot,ou=staff,dc=x", "uid=bot,ou=svc,dc=x",
+    ]
+    # first pattern stays the primary (back-compat accessor)
+    assert p._bind_dn("bot") == "uid=bot,ou=staff,dc=x"
+
+
+def test_ldap_second_pattern_user_binds(ldap_server):
+    """End-to-end: the toy directory only knows the ou=svc DN, so the
+    bind succeeds via the second candidate."""
+    host, port = ldap_server
+    p = get_authentication_provider(
+        "LDAP",
+        {
+            "kyuubi.authentication.ldap.url": f"ldap://{host}:{port}",
+            "kyuubi.authentication.ldap.userDNPattern":
+                "uid=%s,ou=staff,dc=example,dc=com:"
+                "uid=%s,ou=users,dc=example,dc=com",
+        },
+    )
+    p.authenticate("alice", "wonder")  # only uid=alice,ou=users,... exists
+    with pytest.raises(AuthenticationError):
+        p.authenticate("alice", "wrong")

@@ -396,3 +396,26 @@ def test_short_name_helpers():
     assert LS.extract_user_name("uid=bob,ou=u,dc=x") == "bob"
     assert LS.extract_user_name("carol@example.com") == "carol"
     assert LS.extract_user_name("dave") == "dave"
+
+
+def test_unsupported_filter_operators_fail_closed():
+    """RFC 4515 constructs this codec doesn't implement (substring 'a*',
+    >=, <=, ~=) must raise, never degrade into a literal equality — a
+    silently-widened filter under a NOT would authorize excluded users."""
+    import pytest
+
+    for flt in (
+        "(dept=contractor*)",          # substring
+        "(cn=*smith)",                 # substring (leading)
+        "(cn=a*b)",                    # substring (medial)
+        "(age>=5)",                    # greater-or-equal
+        "(age<=5)",                    # less-or-equal
+        "(name~=smith)",               # approx match
+        "(&(objectClass=person)(!(dept=contractor*)))",  # nested
+    ):
+        with pytest.raises(LS.FilterSyntaxError):
+            LS.parse_filter(flt)
+    # escaped literal '*' still parses as equality on the literal char
+    assert LS.parse_filter("(cn=a\\2ab)") == ("eq", "cn", "a*b")
+    # presence stays supported
+    assert LS.parse_filter("(cn=*)") == ("present", "cn")

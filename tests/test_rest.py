@@ -382,3 +382,109 @@ def test_admin_refresh_limiter_lists(spark):
         assert s["user"] == "blocked_user"
     finally:
         svc.shutdown()
+
+
+def test_admin_engine_delete_requires_administrator(spark):
+    """DELETE /api/v1/admin/engine is destructive (deregisters a live
+    engine — or, pointed at an infra node, the cluster secret) and must
+    be administrator-gated exactly like the refresh endpoints
+    (AdminResource requires isAdministrator for both)."""
+    import base64
+    import json as _json
+    import urllib.error
+    import urllib.parse
+    import urllib.request
+
+    from kyuubi_spark.gateway import Engine
+    from kyuubi_spark.gateway.auth import AuthenticationError
+    from kyuubi_spark.gateway.discovery import SqliteDiscoveryClient
+    from kyuubi_spark.gateway.rest import RestGateway
+
+    class AnyPw:
+        def authenticate(self, user, password):
+            if password != "pw":
+                raise AuthenticationError("bad")
+
+    disco = SqliteDiscoveryClient()
+    disco.create_client()
+    disco.create_and_get_service_node(
+        "/kyuubi/USER_alice", "127.0.0.1:23456", version="1.9.0"
+    )
+    eng = Engine(
+        spark=spark, conf={"kyuubi.server.administrators": "admin"}
+    )
+    eng.discovery = disco
+    svc = RestGateway(eng, auth=AnyPw()).start()
+    try:
+        base = f"http://127.0.0.1:{svc.port}/api/v1"
+        info = disco.get_service_nodes_info("/kyuubi/USER_alice")[0]
+        node = urllib.parse.quote(
+            f"kyuubi/USER_alice/{info.node_name}"
+        )
+
+        def delete(user):
+            req = urllib.request.Request(
+                f"{base}/admin/engine?node={node}",
+                headers={
+                    "Authorization": "Basic "
+                    + base64.b64encode(f"{user}:pw".encode()).decode()
+                },
+                method="DELETE",
+            )
+            with urllib.request.urlopen(req) as r:
+                return _json.loads(r.read())
+
+        try:
+            delete("mallory")
+            raise AssertionError("expected 403")
+        except urllib.error.HTTPError as e:
+            assert e.code == 403
+        # the node survived the refused attempt
+        assert disco.get_children("/kyuubi/USER_alice")
+        assert delete("admin")["deleted"]
+        assert not disco.get_children("/kyuubi/USER_alice")
+    finally:
+        svc.shutdown()
+
+
+def test_admin_refresh_explicit_empty_list_clears(spark):
+    """{"values": []} CLEARS a limiter list at runtime — distinct from a
+    missing key, which re-reads server conf. A conf-seeded deny list must
+    be clearable without a restart."""
+    import base64
+    import json as _json
+    import urllib.request
+
+    from kyuubi_spark.gateway import Engine
+    from kyuubi_spark.gateway.rest import RestGateway
+
+    eng = Engine(
+        spark=spark,
+        conf={
+            "kyuubi.server.administrators": "admin",
+            "kyuubi.server.limit.connections.user.deny.list": "alice",
+        },
+    )
+    svc = RestGateway(eng).start()  # auth off: gate passes everyone
+    try:
+        base = f"http://127.0.0.1:{svc.port}/api/v1"
+
+        def refresh(body):
+            req = urllib.request.Request(
+                f"{base}/admin/refresh/denyUsers",
+                data=_json.dumps(body).encode(),
+                headers={"Content-Type": "application/json"},
+                method="POST",
+            )
+            with urllib.request.urlopen(req) as r:
+                return _json.loads(r.read())
+
+        assert eng.limiter.deny_users == {"alice"}
+        out = refresh({"values": []})
+        assert out == {"refreshed": "denyUsers", "size": 0}
+        assert eng.limiter.deny_users == set()
+        # missing key still re-reads conf (re-seeds alice)
+        out = refresh({})
+        assert out["size"] == 1 and eng.limiter.deny_users == {"alice"}
+    finally:
+        svc.shutdown()

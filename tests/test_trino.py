@@ -193,6 +193,14 @@ def test_bind_placeholders_unit():
     )
     # more placeholders than params: extras stay as '?'
     assert _bind_placeholders("? + ?", ["1"]) == "1 + ?"
+    # '?' inside a double-quoted identifier is part of the name, not a
+    # placeholder (Trino lexes it the same way) — incl. "" escapes
+    assert _bind_placeholders('SELECT "is_valid?" FROM t WHERE id = ?', ["42"]) == (
+        'SELECT "is_valid?" FROM t WHERE id = 42'
+    )
+    assert _bind_placeholders('SELECT "a""?b", ? FROM t', ["7"]) == (
+        'SELECT "a""?b", 7 FROM t'
+    )
 
 
 def test_session_properties_pick_jdbc_engine(trino_server):

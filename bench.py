@@ -168,6 +168,16 @@ HEADLINE = [
     "events_anomaly_zscore",
     "rfm_segments",
     "unpivot_daily_metrics",
+    # r07 batch 7 + Spark 4 language surface
+    "split_leakage_report",
+    "embedding_outliers",
+    "dedup_quality_survivors",
+    "sql_udf_scalar",
+    "sql_udf_table",
+    "session_variables",
+    "sql_scripting_loop",
+    "ddl_column_defaults",
+    "parameterized_sql",
 ]
 
 

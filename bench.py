@@ -178,6 +178,7 @@ HEADLINE = [
     "sql_scripting_loop",
     "ddl_column_defaults",
     "parameterized_sql",
+    "ansi_try_semantics",
 ]
 
 

@@ -106,6 +106,7 @@ _CHANGED_THIS_ROUND = {
     "sql_scripting_loop",
     "ddl_column_defaults",
     "parameterized_sql",
+    "ansi_try_semantics",
 }
 
 

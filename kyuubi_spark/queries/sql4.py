@@ -176,3 +176,46 @@ def parameterized_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"tab": "orders", "thr": 100000.0},
     )
+
+
+@query(
+    "ansi_try_semantics",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN o_custkey % 10 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_div_null,
+           ROUND(SUM(CASE WHEN o_custkey % 10 = 0 THEN 0
+                          ELSE o_totalprice / (o_custkey % 10) END), 2)
+             AS sum_safe_div,
+           CAST(SUM(CASE WHEN TRY_CAST(o_orderstatus AS INT) IS NULL
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_cast_null,
+           CAST(SUM(TRY_CAST(substr(o_orderpriority, 1, 1) AS INT))
+                AS BIGINT) AS sum_prio
+    FROM orders
+    """,
+    doc="ANSI-mode error handling (Spark 4 runs spark.sql.ansi.enabled="
+    "true by default — plain x/0 now THROWS at any row, a behavior "
+    "change every reference user migrating to a Spark 4 engine hits): "
+    "the try_ family (try_divide, try_cast) returns NULL instead of "
+    "failing the job, per-row and vectorized. The oracle spells the NULL "
+    "semantics explicitly (CASE on the zero divisor, TRY_CAST), so the "
+    "value contract — not just 'does not crash' — is pinned. Map-only "
+    "single aggregate; one scan, no shuffle beyond the final combine.",
+)
+def ansi_try_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT COUNT(*) AS n_rows,
+               SUM(CASE WHEN try_divide(o_totalprice, o_custkey % 10)
+                        IS NULL THEN 1 ELSE 0 END) AS n_div_null,
+               ROUND(SUM(COALESCE(
+                 try_divide(o_totalprice, o_custkey % 10), 0)), 2)
+                 AS sum_safe_div,
+               SUM(CASE WHEN try_cast(o_orderstatus AS INT) IS NULL
+                        THEN 1 ELSE 0 END) AS n_cast_null,
+               SUM(try_cast(substr(o_orderpriority, 1, 1) AS INT))
+                 AS sum_prio
+        FROM orders
+        """
+    )

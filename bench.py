@@ -179,6 +179,7 @@ HEADLINE = [
     "ddl_column_defaults",
     "parameterized_sql",
     "ansi_try_semantics",
+    "script_transform",
 ]
 
 

@@ -107,6 +107,7 @@ _CHANGED_THIS_ROUND = {
     "ddl_column_defaults",
     "parameterized_sql",
     "ansi_try_semantics",
+    "script_transform",
 }
 
 

@@ -219,3 +219,38 @@ def ansi_try_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM orders
         """
     )
+
+
+@query(
+    "script_transform",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    """,
+    doc="Hive-style script transformation (SELECT TRANSFORM ... USING): "
+    "rows stream through an external process ('cat' here) as "
+    "tab-separated text and come back as strings — the legacy ETL "
+    "surface HS2 clients still send (reference Spark engine runs it via "
+    "spark.sql like any statement). The identity pipe is aggregated "
+    "downstream so the oracle pins lossless round-tripping of every row "
+    "and value. Scale note: TRANSFORM forks one process per task and "
+    "serializes rows as text — it works distributed at any SF, but "
+    "Arrow-batched Pandas UDFs are the modern path; this entry exists "
+    "for wire-surface parity, not as a recommended kernel.",
+)
+def script_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "documents"
+    )
+    return spark.sql(
+        """
+        SELECT COUNT(*) AS n_docs,
+               SUM(CAST(n_chars_s AS BIGINT)) AS total_chars
+        FROM (
+          SELECT TRANSFORM (doc_id, n_chars) USING 'cat'
+                 AS (doc_id_s STRING, n_chars_s STRING)
+          FROM documents
+        )
+        """
+    )

@@ -180,6 +180,7 @@ HEADLINE = [
     "parameterized_sql",
     "ansi_try_semantics",
     "script_transform",
+    "pyds_tpch_scan",
 ]
 
 

@@ -108,6 +108,7 @@ _CHANGED_THIS_ROUND = {
     "parameterized_sql",
     "ansi_try_semantics",
     "script_transform",
+    "pyds_tpch_scan",
 }
 
 

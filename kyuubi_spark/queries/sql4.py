@@ -254,3 +254,55 @@ def script_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         """
     )
+
+
+@query(
+    "pyds_tpch_scan",
+    oracle="""
+    WITH k AS (SELECT unnest(generate_series(0, 1499)) AS k),
+    c AS (SELECT k, k % 5 AS seg,
+                 ROUND((k * 977 % 1099999) / 100.0 - 999.99, 2) AS bal
+          FROM k WHERE k % 5 IN (1, 4))
+    SELECT CASE seg WHEN 1 THEN 'BUILDING' ELSE 'MACHINERY' END
+             AS c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_cust,
+           CAST(SUM(CAST(bal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal,
+           CAST(MIN(k) + 1 AS BIGINT) AS min_key,
+           CAST(MAX(k) + 1 AS BIGINT) AS max_key
+    FROM c GROUP BY 1 ORDER BY 1
+    """,
+    doc="TPC-H generator as a REAL connector (Spark 4 Python DataSource "
+    "API; sources/pyds.py) — the reference's DSv2 TPCHBatchScan shape "
+    "(TPCHBatchScan.scala:39-91): spark.read.format('kyuubi_tpch') "
+    "splits the key space into InputPartition ranges and generates "
+    "Arrow RecordBatches per range, and the isin() predicate PUSHES "
+    "INTO the generator (pushFilters accepts EqualTo/In on "
+    "c_mktsegment and skips non-matching keys before any row is "
+    "built). The oracle reproduces the modular row formulas over "
+    "generate_series, so connector output is value-exact, not just "
+    "shape-correct. Balances sum in DECIMAL for order-exactness.",
+)
+def pyds_tpch_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kyuubi_spark.sources import pyds
+
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    pyds.register(spark)
+    df = (
+        spark.read.format("kyuubi_tpch")
+        .option("table", "customer")
+        .option("sf", "0.01")  # 1500 rows — connector shape, not volume
+        .load()
+    )
+    return (
+        df.filter(F.col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_cust"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_bal"),
+            F.min("c_custkey").alias("min_key"),
+            F.max("c_custkey").alias("max_key"),
+        )
+        .orderBy("c_mktsegment")
+    )

@@ -1,0 +1,190 @@
+"""TPC-H generator as a REAL Spark connector (Python DataSource API).
+
+Capability parity with the reference's DSv2 TPC-H connector
+(extensions/spark/kyuubi-spark-connector-tpch/.../TPCHBatchScan.scala:39-91:
+table split into InputPartition key-range chunks, each chunk running an
+independent row generator; `TPCHTable` implements SupportsPushDownFilters
+semantics via Spark's scan pipeline). sources/datagen.py covers the
+row-generation capability with mapInPandas; THIS module covers the
+*connector* shape — `spark.read.format("kyuubi_tpch")` — using Spark 4's
+Python DataSource API, so the generator participates in the scan pipeline
+like any catalog source:
+
+- ``partitions()`` splits the key space into ``numPartitions`` ranges —
+  the InputPartition chunking of TPCHBatchScan.scala:56-74 — so a
+  1000-executor cluster generates 1000 ranges concurrently with zero
+  driver materialization.
+- ``pushFilters()`` accepts EqualTo/In on the low-cardinality derived
+  columns (c_mktsegment, c_nationkey) and prunes INSIDE the generator:
+  only keys whose modular image matches are emitted, so a pushed filter
+  skips row construction entirely, not just post-filters (the DSv2
+  "filter reaches the scan" contract — visible as fewer rows leaving
+  every partition).
+- ``read()`` yields Arrow RecordBatches (numpy-vectorized), never
+  per-row Python tuples — the Arrow-batch wire the API provides for
+  exactly this.
+
+Row formulas are shared with sources/datagen.py (pure modular functions
+of the row key), so the connector, the mapInPandas generator, and the
+DuckDB oracles all agree value-exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    In,
+    InputPartition,
+)
+
+from kyuubi_spark.sources.datagen import SEGMENTS
+
+FORMAT_NAME = "kyuubi_tpch"
+
+# modular-arithmetic column images a pushed filter can invert:
+# column -> (modulus, key -> value)
+_CUSTOMER_MOD_COLS = {
+    "c_mktsegment": (5, lambda r: SEGMENTS[r]),
+    "c_nationkey": (25, None),  # value IS the residue of key*2654435761 % 25
+}
+
+
+class _RangePartition(InputPartition):
+    """Key range plus the segment residues to KEEP (None = all).
+
+    The pruning set travels IN the partition: Spark plans the read in a
+    fresh worker process (a new reader instance per planning — pyspark
+    data_source_pushdown_filters.py), so the partition list is the only
+    state that reaches executors. NOTE an upstream caching quirk: a
+    FILTERLESS replan of the same loaded DataFrame can reuse the
+    previously planned (pushed-down) scan — observed as count() after a
+    filtered count() returning the pruned total. Derive a fresh
+    .load() per query (as the registry entry and tests do); plans that
+    DO carry filters always re-plan correctly."""
+
+    def __init__(self, start: int, end: int, keep: tuple | None):
+        self.start = start
+        self.end = end
+        self.keep = keep
+
+
+class _CustomerReader(DataSourceReader):
+    """customer generator: keys [0, n) -> rows, chunked like
+    TPCHBatchScan.scala:56-74 splits its key space."""
+
+    def __init__(self, options):
+        self.n = max(1, int(float(options.get("sf", "0.001")) * 150_000))
+        self.num_partitions = int(options.get("numpartitions", "8"))
+        # segment residues to keep, or None = no pruning
+        self._keep_segments: set[int] | None = None
+
+    def pushFilters(self, filters: list[Filter]):
+        """Accept EqualTo/In on c_mktsegment: the filter prunes key
+        generation itself (k % 5 must hit the wanted segment), so the
+        scan emits ~1/5 of the rows instead of filtering after the
+        fact. Everything else is returned for Spark to evaluate."""
+        # fresh round: never accumulate across replans of this relation
+        self._keep_segments = None
+        remaining = []
+        for f in filters:
+            if (
+                isinstance(f, EqualTo)
+                and f.attribute == ("c_mktsegment",)
+                and isinstance(f.value, str)
+                and f.value in SEGMENTS
+            ):
+                keep = {SEGMENTS.index(f.value)}
+                self._keep_segments = (
+                    keep
+                    if self._keep_segments is None
+                    else self._keep_segments & keep
+                )
+            elif (
+                isinstance(f, In)
+                and f.attribute == ("c_mktsegment",)
+                and all(isinstance(v, str) and v in SEGMENTS for v in f.value)
+            ):
+                keep = {SEGMENTS.index(v) for v in f.value}
+                self._keep_segments = (
+                    keep
+                    if self._keep_segments is None
+                    else self._keep_segments & keep
+                )
+            else:
+                remaining.append(f)
+        return remaining
+
+    def partitions(self):
+        keep = (
+            tuple(sorted(self._keep_segments))
+            if self._keep_segments is not None
+            else None
+        )
+        # consume this round's filters (see _RangePartition docstring)
+        self._keep_segments = None
+        per = max(1, -(-self.n // self.num_partitions))  # ceil division
+        return [
+            _RangePartition(lo, min(lo + per, self.n), keep)
+            for lo in range(0, self.n, per)
+        ]
+
+    def read(self, partition: _RangePartition):
+        import numpy as np
+        import pyarrow as pa
+
+        keys = np.arange(partition.start, partition.end, dtype=np.int64)
+        if partition.keep is not None:
+            keys = keys[np.isin(keys % 5, partition.keep)]
+        if len(keys) == 0:
+            return
+        # identical formulas to datagen.gen_customer — one source of truth
+        # for the value contract
+        batch = pa.record_batch(
+            {
+                "c_custkey": pa.array(keys + 1, type=pa.int64()),
+                "c_name": pa.array(
+                    [f"Customer#{k + 1:09d}" for k in keys]
+                ),
+                "c_nationkey": pa.array(
+                    (keys * 2654435761 % 25).astype("int32"), type=pa.int32()
+                ),
+                "c_acctbal": pa.array(
+                    np.round((keys * 977 % 1_099_999) / 100.0 - 999.99, 2)
+                ),
+                "c_mktsegment": pa.array([SEGMENTS[int(k) % 5] for k in keys]),
+            }
+        )
+        yield batch
+
+
+class KyuubiTPCHDataSource(DataSource):
+    """spark.read.format("kyuubi_tpch").option("table", "customer")
+    .option("sf", "0.01").load()"""
+
+    @classmethod
+    def name(cls) -> str:
+        return FORMAT_NAME
+
+    def schema(self) -> str:
+        table = self.options.get("table", "customer")
+        if table != "customer":
+            raise ValueError(
+                f"kyuubi_tpch: unsupported table {table!r} (the connector "
+                "shape is demonstrated on customer; sources/datagen.py "
+                "generates every table as DataFrames)"
+            )
+        return (
+            "c_custkey long, c_name string, c_nationkey int, "
+            "c_acctbal double, c_mktsegment string"
+        )
+
+    def reader(self, schema) -> DataSourceReader:
+        return _CustomerReader(self.options)
+
+
+def register(spark) -> None:
+    """Idempotent registration of the format with a session."""
+    spark.dataSource.register(KyuubiTPCHDataSource)

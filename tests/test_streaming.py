@@ -253,3 +253,33 @@ def test_checkpoint_recovery_exactly_once(spark, sf_dir, tmp_path):
     expect = docs.withColumn("flagged", F.col("n_chars") > 100)
     assert got.exceptAll(expect).count() == 0
     assert expect.exceptAll(got).count() == 0
+
+
+def test_transform_with_state_totals(spark, sf_dir):
+    """Spark 4 transformWithStateInPandas running totals — value-identical
+    to the applyInPandasWithState form. The TWS worker protocol needs
+    google.protobuf (absent in this container), so this skips when the
+    streaming runner can't initialize; on a protobuf-equipped cluster it
+    runs as written."""
+    import pytest
+
+    try:
+        import google.protobuf.descriptor  # noqa: F401
+    except ImportError:
+        pytest.skip("google.protobuf unavailable: TWS state server needs it")
+
+    from kyuubi_spark.queries.streaming_queries import _events_stream
+    from kyuubi_spark.streaming.runner import run_to_memory
+    from kyuubi_spark.streaming.stateful import (
+        running_user_totals,
+        running_user_totals_tws,
+    )
+
+    stream = _events_stream(spark, sf_dir)
+    tws = run_to_memory(running_user_totals_tws(stream), output_mode="update")
+    ref = run_to_memory(
+        running_user_totals(_events_stream(spark, sf_dir)),
+        output_mode="update",
+    )
+    assert tws.exceptAll(ref).count() == 0
+    assert ref.exceptAll(tws).count() == 0

@@ -181,6 +181,7 @@ HEADLINE = [
     "ansi_try_semantics",
     "script_transform",
     "pyds_tpch_scan",
+    "python_udtf_tokens",
 ]
 
 

@@ -109,6 +109,7 @@ _CHANGED_THIS_ROUND = {
     "ansi_try_semantics",
     "script_transform",
     "pyds_tpch_scan",
+    "python_udtf_tokens",
 }
 
 

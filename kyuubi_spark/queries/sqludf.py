@@ -102,3 +102,45 @@ def sql_udf_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY 1 ORDER BY 1
         """
     )
+
+
+@query(
+    "python_udtf_tokens",
+    oracle="""
+    WITH w AS (
+      SELECT unnest(string_split(trim(text), ' ')) AS word FROM documents)
+    SELECT CAST(len(word) AS INT) AS n,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(COUNT(DISTINCT word) AS BIGINT) AS n_distinct
+    FROM w WHERE word <> '' GROUP BY 1 ORDER BY 1
+    """,
+    doc="Python user-defined TABLE function (SURVEY §2.J: the UDTF leg "
+    "of the UDF surface; Spark 3.5+/4 @udtf): a tokenizer class "
+    "registered as a SQL table function and applied LATERALLY per "
+    "document row, aggregated into a token-length profile. Arrow-"
+    "optimized (useArrow) so rows batch across the Python boundary. "
+    "Scale note: a Python UDTF is still the interpreted path — "
+    "lateral_explode_tokens does this same job JVM-side and is the "
+    "production kernel; this entry pins the API surface a gateway "
+    "client can register and call from plain SQL.",
+)
+def python_udtf_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="word string, n int", useArrow=True)
+    class Tokens:
+        def eval(self, text: str):
+            for w in (text or "").split():
+                yield (w, len(w))
+
+    spark.udtf.register("ks_tokens", Tokens)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "documents"
+    )
+    return spark.sql(
+        """
+        SELECT s.n, COUNT(*) AS n_tokens, COUNT(DISTINCT s.word) AS n_distinct
+        FROM documents d, LATERAL ks_tokens(d.text) s
+        GROUP BY s.n ORDER BY s.n
+        """
+    )

@@ -182,6 +182,7 @@ HEADLINE = [
     "script_transform",
     "pyds_tpch_scan",
     "python_udtf_tokens",
+    "arrow_sink_roundtrip",
 ]
 
 

@@ -110,6 +110,7 @@ _CHANGED_THIS_ROUND = {
     "script_transform",
     "pyds_tpch_scan",
     "python_udtf_tokens",
+    "arrow_sink_roundtrip",
 }
 
 

@@ -306,3 +306,52 @@ def pyds_tpch_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@query(
+    "arrow_sink_roundtrip",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders WHERE o_orderstatus = 'O'
+    GROUP BY 1 ORDER BY 1
+    """,
+    doc="Write path of the Python DataSource connector (sources/"
+    "arrowdir.py — the DSv2 HiveBatchWrite two-phase commit shape): a "
+    "filtered orders projection streams Arrow RecordBatches to one IPC "
+    "file per task, the driver commit atomically publishes a manifest, "
+    "and the read side lists only manifested files (orphans from failed "
+    "tasks are invisible). Read back and aggregated; the oracle "
+    "aggregates the source directly, so commit-protocol visibility and "
+    "the Arrow round trip must both be lossless.",
+)
+def arrow_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from kyuubi_spark.sources import arrowdir
+
+    arrowdir.register(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    proj = orders.filter(F.col("o_orderstatus") == "O").select(
+        "o_orderpriority", "o_totalprice"
+    )
+    path = tempfile.mkdtemp(prefix="kyuubi_arrowsink_")
+    try:
+        proj.write.format(arrowdir.FORMAT_NAME).mode("overwrite").save(path)
+        back = spark.read.format(arrowdir.FORMAT_NAME).load(path)
+        from kyuubi_spark.functions.compat import dround
+
+        out = (
+            back.groupBy("o_orderpriority")
+            .agg(
+                F.count("*").alias("n_orders"),
+                dround(F.sum("o_totalprice"), 2).alias("total"),
+            )
+            .orderBy("o_orderpriority")
+        )
+        out = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    return out

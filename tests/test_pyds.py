@@ -80,3 +80,64 @@ def test_registry_entry_exercises_connector(spark, sf_dir):
     rows = df.collect()
     assert [r["c_mktsegment"] for r in rows] == ["BUILDING", "MACHINERY"]
     assert all(r["n_cust"] == 300 for r in rows)
+
+
+# -- arrowdir write path (sources/arrowdir.py) -------------------------------
+
+
+@pytest.fixture(scope="module")
+def arrow_registered(spark):
+    from kyuubi_spark.sources import arrowdir
+
+    arrowdir.register(spark)
+    return spark
+
+
+def test_arrowdir_roundtrip_and_manifest(arrow_registered, tmp_path):
+    import json
+    import os
+
+    from kyuubi_spark.sources.arrowdir import MANIFEST
+
+    d = str(tmp_path / "sink")
+    src = arrow_registered.range(100).selectExpr(
+        "id", "id * 2 AS v", "CAST(id % 3 AS STRING) AS s"
+    )
+    src.repartition(4).write.format("kyuubi_arrowdir").mode("append").save(d)
+    with open(os.path.join(d, MANIFEST)) as f:
+        man = json.load(f)
+    assert man["rows"] == 100 and len(man["files"]) == 4
+    back = arrow_registered.read.format("kyuubi_arrowdir").load(d)
+    assert back.schema == src.schema
+    assert back.exceptAll(src).count() == 0
+    assert src.exceptAll(back).count() == 0
+    # one read partition per manifested file
+    assert back.rdd.getNumPartitions() == 4
+
+
+def test_arrowdir_orphans_are_invisible(arrow_registered, tmp_path):
+    """Files NOT in the manifest (a failed/speculative task's leftovers)
+    must never be read — the commit-protocol visibility contract."""
+    import os
+
+    d = str(tmp_path / "sink2")
+    arrow_registered.range(10).write.format("kyuubi_arrowdir").mode("append").save(d)
+    # plant an orphan .arrow file (valid IPC, not manifested)
+    import pyarrow as pa
+
+    orphan = os.path.join(d, "part-orphan.arrow")
+    with pa.ipc.new_file(
+        orphan, pa.schema([("id", pa.int64())])
+    ) as w:
+        w.write_batch(pa.record_batch({"id": pa.array([999], pa.int64())}))
+    back = arrow_registered.read.format("kyuubi_arrowdir").load(d)
+    assert back.count() == 10
+    assert back.filter("id = 999").count() == 0
+
+
+def test_arrowdir_empty_partitions_commit_cleanly(arrow_registered, tmp_path):
+    d = str(tmp_path / "sink3")
+    df = arrow_registered.range(2).repartition(8)  # 6 empty partitions
+    df.write.format("kyuubi_arrowdir").mode("append").save(d)
+    back = arrow_registered.read.format("kyuubi_arrowdir").load(d)
+    assert back.count() == 2

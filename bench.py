@@ -183,6 +183,7 @@ HEADLINE = [
     "pyds_tpch_scan",
     "python_udtf_tokens",
     "arrow_sink_roundtrip",
+    "cost_based_stats",
 ]
 
 

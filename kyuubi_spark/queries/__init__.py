@@ -111,6 +111,7 @@ _CHANGED_THIS_ROUND = {
     "pyds_tpch_scan",
     "python_udtf_tokens",
     "arrow_sink_roundtrip",
+    "cost_based_stats",
 }
 
 

@@ -355,3 +355,61 @@ def arrow_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(path, ignore_errors=True)
     return out
+
+
+@query(
+    "cost_based_stats",
+    oracle="""
+    WITH f AS (
+      SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F')
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows_stats,
+           CAST(COUNT(*) AS BIGINT) AS n_rows_exact,
+           CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS n_priorities
+    FROM f
+    """,
+    doc="ANALYZE TABLE ... COMPUTE STATISTICS: the statement that feeds "
+    "Catalyst's cost-based optimizer (join reordering, broadcast "
+    "decisions, and the OPTIMIZE_WITH_STATS plan-only mode this gateway "
+    "already serves). A CTAS table is analyzed, and the catalog's stored "
+    "rowCount — parsed back out of DESCRIBE EXTENDED — must equal the "
+    "exact live count (ANALYZE's row count is a real count, not an "
+    "estimate; only column NDVs are sketched). At 100 TB the ANALYZE "
+    "scan is the one-time price for every subsequent stats-informed "
+    "plan.",
+)
+def cost_based_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    path = tempfile.mkdtemp(prefix="kyuubi_stats_")
+    spark.sql("DROP TABLE IF EXISTS ks4_stats_t")
+    try:
+        spark.sql(
+            f"""
+            CREATE TABLE ks4_stats_t USING parquet LOCATION '{path}/t' AS
+            SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F'
+            """
+        )
+        spark.sql(
+            "ANALYZE TABLE ks4_stats_t COMPUTE STATISTICS FOR ALL COLUMNS"
+        )
+        stats = (
+            spark.sql("DESCRIBE EXTENDED ks4_stats_t")
+            .filter(F.col("col_name") == "Statistics")
+            .select(
+                F.regexp_extract("data_type", r"(\d+) rows", 1)
+                .cast("bigint")
+                .alias("n_rows_stats")
+            )
+        )
+        exact = spark.table("ks4_stats_t").agg(
+            F.count("*").alias("n_rows_exact"),
+            F.countDistinct("o_orderpriority").alias("n_priorities"),
+        )
+        out = stats.crossJoin(exact)
+        out = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS ks4_stats_t")
+        shutil.rmtree(path, ignore_errors=True)
+    return out

@@ -44,16 +44,14 @@ from kyuubi_spark.sources.datagen import SEGMENTS
 
 FORMAT_NAME = "kyuubi_tpch"
 
-# modular-arithmetic column images a pushed filter can invert:
-# column -> (modulus, key -> value)
-_CUSTOMER_MOD_COLS = {
-    "c_mktsegment": (5, lambda r: SEGMENTS[r]),
-    "c_nationkey": (25, None),  # value IS the residue of key*2654435761 % 25
-}
+# modular-arithmetic column images a pushed filter can invert (keys are
+# kept iff image(key) lands in the wanted set):
+#   c_mktsegment = SEGMENTS[key % 5]
+#   c_nationkey  = key * 2654435761 % 25
 
 
 class _RangePartition(InputPartition):
-    """Key range plus the segment residues to KEEP (None = all).
+    """Key range plus (segment, nation) keep-sets (None = all).
 
     The pruning set travels IN the partition: Spark plans the read in a
     fresh worker process (a new reader instance per planning — pyspark
@@ -65,10 +63,17 @@ class _RangePartition(InputPartition):
     .load() per query (as the registry entry and tests do); plans that
     DO carry filters always re-plan correctly."""
 
-    def __init__(self, start: int, end: int, keep: tuple | None):
+    def __init__(
+        self,
+        start: int,
+        end: int,
+        keep_segments: tuple | None,
+        keep_nations: tuple | None,
+    ):
         self.start = start
         self.end = end
-        self.keep = keep
+        self.keep_segments = keep_segments
+        self.keep_nations = keep_nations
 
 
 class _CustomerReader(DataSourceReader):
@@ -78,56 +83,80 @@ class _CustomerReader(DataSourceReader):
     def __init__(self, options):
         self.n = max(1, int(float(options.get("sf", "0.001")) * 150_000))
         self.num_partitions = int(options.get("numpartitions", "8"))
-        # segment residues to keep, or None = no pruning
+        # residues to keep per pushed column, or None = no pruning
         self._keep_segments: set[int] | None = None
+        self._keep_nations: set[int] | None = None
+
+    @staticmethod
+    def _wanted(f: Filter, decode) -> set[int] | None:
+        """Decode an EqualTo/In filter's value(s) into residues, or None
+        when any value is outside the column's domain (not pushable)."""
+        values = [f.value] if isinstance(f, EqualTo) else list(f.value)
+        out = set()
+        for v in values:
+            r = decode(v)
+            if r is None:
+                return None
+            out.add(r)
+        return out
 
     def pushFilters(self, filters: list[Filter]):
-        """Accept EqualTo/In on c_mktsegment: the filter prunes key
-        generation itself (k % 5 must hit the wanted segment), so the
-        scan emits ~1/5 of the rows instead of filtering after the
-        fact. Everything else is returned for Spark to evaluate."""
+        """Accept EqualTo/In on c_mktsegment and c_nationkey: both are
+        modular images of the key, so the filter prunes key GENERATION
+        itself (only keys whose image lands in the wanted set are
+        emitted) — the scan produces ~|wanted|/modulus of the rows
+        instead of post-filtering. Everything else is returned for
+        Spark to evaluate."""
         # fresh round: never accumulate across replans of this relation
         self._keep_segments = None
+        self._keep_nations = None
+
+        def seg(v):
+            return SEGMENTS.index(v) if isinstance(v, str) and v in SEGMENTS else None
+
+        def nat(v):
+            return int(v) if isinstance(v, int) and 0 <= v < 25 else None
+
         remaining = []
         for f in filters:
-            if (
-                isinstance(f, EqualTo)
-                and f.attribute == ("c_mktsegment",)
-                and isinstance(f.value, str)
-                and f.value in SEGMENTS
-            ):
-                keep = {SEGMENTS.index(f.value)}
-                self._keep_segments = (
-                    keep
-                    if self._keep_segments is None
-                    else self._keep_segments & keep
-                )
-            elif (
-                isinstance(f, In)
-                and f.attribute == ("c_mktsegment",)
-                and all(isinstance(v, str) and v in SEGMENTS for v in f.value)
-            ):
-                keep = {SEGMENTS.index(v) for v in f.value}
-                self._keep_segments = (
-                    keep
-                    if self._keep_segments is None
-                    else self._keep_segments & keep
-                )
-            else:
+            keep = None
+            if isinstance(f, (EqualTo, In)) and f.attribute == ("c_mktsegment",):
+                keep = self._wanted(f, seg)
+                if keep is not None:
+                    self._keep_segments = (
+                        keep
+                        if self._keep_segments is None
+                        else self._keep_segments & keep
+                    )
+            elif isinstance(f, (EqualTo, In)) and f.attribute == ("c_nationkey",):
+                keep = self._wanted(f, nat)
+                if keep is not None:
+                    self._keep_nations = (
+                        keep
+                        if self._keep_nations is None
+                        else self._keep_nations & keep
+                    )
+            if keep is None:
                 remaining.append(f)
         return remaining
 
     def partitions(self):
-        keep = (
+        segs = (
             tuple(sorted(self._keep_segments))
             if self._keep_segments is not None
             else None
         )
+        nats = (
+            tuple(sorted(self._keep_nations))
+            if self._keep_nations is not None
+            else None
+        )
         # consume this round's filters (see _RangePartition docstring)
         self._keep_segments = None
+        self._keep_nations = None
         per = max(1, -(-self.n // self.num_partitions))  # ceil division
         return [
-            _RangePartition(lo, min(lo + per, self.n), keep)
+            _RangePartition(lo, min(lo + per, self.n), segs, nats)
             for lo in range(0, self.n, per)
         ]
 
@@ -136,8 +165,10 @@ class _CustomerReader(DataSourceReader):
         import pyarrow as pa
 
         keys = np.arange(partition.start, partition.end, dtype=np.int64)
-        if partition.keep is not None:
-            keys = keys[np.isin(keys % 5, partition.keep)]
+        if partition.keep_segments is not None:
+            keys = keys[np.isin(keys % 5, partition.keep_segments)]
+        if partition.keep_nations is not None:
+            keys = keys[np.isin(keys * 2654435761 % 25, partition.keep_nations)]
         if len(keys) == 0:
             return
         # identical formulas to datagen.gen_customer — one source of truth

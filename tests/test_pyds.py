@@ -141,3 +141,26 @@ def test_arrowdir_empty_partitions_commit_cleanly(arrow_registered, tmp_path):
     df.write.format("kyuubi_arrowdir").mode("append").save(d)
     back = arrow_registered.read.format("kyuubi_arrowdir").load(d)
     assert back.count() == 2
+
+
+def test_nationkey_pushdown_prunes_generation(registered):
+    """c_nationkey is a modular image of the key too — EqualTo/In on it
+    prune key generation; results match post-filtering the full scan."""
+    full = _load(registered)
+    want = full.filter(F.col("c_nationkey") == 7).collect()
+    pushed = _load(registered).filter(F.col("c_nationkey") == 7).collect()
+    assert sorted(want) == sorted(pushed) and len(want) > 0
+    combo = (
+        _load(registered)
+        .filter(
+            (F.col("c_nationkey").isin(3, 7))
+            & (F.col("c_mktsegment") == "BUILDING")
+        )
+        .collect()
+    )
+    ref = [
+        r
+        for r in full.collect()
+        if r.c_nationkey in (3, 7) and r.c_mktsegment == "BUILDING"
+    ]
+    assert sorted(combo) == sorted(ref)

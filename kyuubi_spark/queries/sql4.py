@@ -22,9 +22,10 @@ end-to-end with value-exact oracles:
   discipline gateway/trino.py PREPARE/EXECUTE and the JDBC dialects'
   sql_literal enforce).
 
-Session-state hygiene: variables/tables use a ``ks4_`` prefix and
-DECLARE OR REPLACE / DROP-first so repeated runs on a shared session are
-idempotent.
+Session-state hygiene: variables use a ``ks4_`` prefix with DECLARE OR
+REPLACE so repeated runs on a shared session are idempotent; catalog
+TABLES additionally get a per-run uuid suffix so concurrent sessions
+sharing one catalog can never DROP each other's in-flight table.
 """
 
 from __future__ import annotations
@@ -121,13 +122,17 @@ def sql_scripting_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ddl_column_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
+    import uuid
 
     path = tempfile.mkdtemp(prefix="kyuubi_defaults_")
-    spark.sql("DROP TABLE IF EXISTS ks4_defaults")
+    # session-unique name: a fixed name + DROP-first would race a
+    # concurrent session sharing the catalog (its DROP could delete OUR
+    # just-created table mid-query)
+    tab = f"ks4_defaults_{uuid.uuid4().hex[:12]}"
     try:
         spark.sql(
             f"""
-            CREATE TABLE ks4_defaults (
+            CREATE TABLE {tab} (
               id INT,
               status STRING DEFAULT 'pending',
               weight DOUBLE DEFAULT 3.5,
@@ -136,18 +141,16 @@ def ddl_column_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
             """
         )
         spark.sql(
-            "INSERT INTO ks4_defaults VALUES "
+            f"INSERT INTO {tab} VALUES "
             "(1, 'explicit', DEFAULT, DEFAULT), "
             "(2, DEFAULT, DEFAULT, 7)"
         )
         # omitted trailing columns also fill from defaults
-        spark.sql(
-            "INSERT INTO ks4_defaults (id, weight) VALUES (3, 1.25)"
-        )
-        out = spark.sql("SELECT * FROM ks4_defaults ORDER BY id")
+        spark.sql(f"INSERT INTO {tab} (id, weight) VALUES (3, 1.25)")
+        out = spark.sql(f"SELECT * FROM {tab} ORDER BY id")
         out = spark.createDataFrame(out.collect(), out.schema)
     finally:
-        spark.sql("DROP TABLE IF EXISTS ks4_defaults")
+        spark.sql(f"DROP TABLE IF EXISTS {tab}")
         shutil.rmtree(path, ignore_errors=True)
     return out
 
@@ -291,6 +294,7 @@ def pyds_tpch_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.format("kyuubi_tpch")
         .option("table", "customer")
         .option("sf", "0.01")  # 1500 rows — connector shape, not volume
+        .option("pushdown", "true")  # opt-in; see sources/pyds.py
         .load()
     )
     return (
@@ -380,22 +384,25 @@ def arrow_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 def cost_based_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
+    import uuid
 
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     path = tempfile.mkdtemp(prefix="kyuubi_stats_")
-    spark.sql("DROP TABLE IF EXISTS ks4_stats_t")
+    # session-unique (see ddl_column_defaults): never race a concurrent
+    # session's DROP on a shared catalog
+    tab = f"ks4_stats_{uuid.uuid4().hex[:12]}"
     try:
         spark.sql(
             f"""
-            CREATE TABLE ks4_stats_t USING parquet LOCATION '{path}/t' AS
+            CREATE TABLE {tab} USING parquet LOCATION '{path}/t' AS
             SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F'
             """
         )
         spark.sql(
-            "ANALYZE TABLE ks4_stats_t COMPUTE STATISTICS FOR ALL COLUMNS"
+            f"ANALYZE TABLE {tab} COMPUTE STATISTICS FOR ALL COLUMNS"
         )
         stats = (
-            spark.sql("DESCRIBE EXTENDED ks4_stats_t")
+            spark.sql(f"DESCRIBE EXTENDED {tab}")
             .filter(F.col("col_name") == "Statistics")
             .select(
                 F.regexp_extract("data_type", r"(\d+) rows", 1)
@@ -403,13 +410,13 @@ def cost_based_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("n_rows_stats")
             )
         )
-        exact = spark.table("ks4_stats_t").agg(
+        exact = spark.table(tab).agg(
             F.count("*").alias("n_rows_exact"),
             F.countDistinct("o_orderpriority").alias("n_priorities"),
         )
         out = stats.crossJoin(exact)
         out = spark.createDataFrame(out.collect(), out.schema)
     finally:
-        spark.sql("DROP TABLE IF EXISTS ks4_stats_t")
+        spark.sql(f"DROP TABLE IF EXISTS {tab}")
         shutil.rmtree(path, ignore_errors=True)
     return out

@@ -7,15 +7,21 @@ collected task messages; extensions/spark/kyuubi-spark-connector-hive/
 .../write/HiveBatchWrite.scala). Spark 4's Python DataSource writer API
 has the same two-phase shape, implemented here end to end:
 
-- each task streams its Arrow RecordBatches into one ``part-*.arrow``
-  IPC file (DataSourceArrowWriter — zero row-by-row Python work) and
-  returns a commit message (file name, row count);
+- each task streams its Arrow RecordBatches into one
+  ``part-*.arrow.inprogress`` file and RENAMES it to ``part-*.arrow``
+  only on success (DataSourceArrowWriter — zero row-by-row Python
+  work), returning a commit message (file name, row count); a crashed
+  task therefore never leaves a final-named file, only an
+  ``.inprogress`` one that commit-time cleanup sweeps;
 - ``commit()`` runs ONCE on the driver with every task's message and
   atomically publishes ``_manifest.json`` (file list + schema + row
-  total). Readers only trust manifested files, so a failed/speculative
-  task's orphan file is invisible — the same visibility protocol as a
-  _SUCCESS-marker committer;
-- ``abort()`` deletes the orphaned part files.
+  total). mode("append") MERGES the prior manifest's files into the new
+  one; mode("overwrite") replaces it and deletes every stale
+  ``part-*.arrow``/``.inprogress`` the new manifest doesn't reference.
+  Readers only trust manifested files, so a failed/speculative task's
+  leftovers are invisible either way;
+- ``abort()`` deletes the part files of every task that got far enough
+  to report one.
 
 The read side lists the manifest: one InputPartition per part file,
 ``read()`` yields the file's RecordBatches as-is. Round trip is
@@ -64,12 +70,13 @@ class _ArrowDirWriter(DataSourceArrowWriter):
         os.makedirs(self.path, exist_ok=True)
         name = f"part-{uuid.uuid4().hex}.arrow"
         full = os.path.join(self.path, name)
+        staging = full + ".inprogress"
         rows = 0
         writer = None
         try:
             for batch in iterator:
                 if writer is None:
-                    writer = pa.ipc.new_file(full, batch.schema)
+                    writer = pa.ipc.new_file(staging, batch.schema)
                 writer.write_batch(batch)
                 rows += batch.num_rows
             if writer is None:
@@ -77,6 +84,9 @@ class _ArrowDirWriter(DataSourceArrowWriter):
         finally:
             if writer is not None:
                 writer.close()
+        # publish the task file only on success — a crash above leaves
+        # .inprogress, never a final-named file a manifest could race
+        os.replace(staging, full)
         return _FileCommit(filename=name, rows=rows)
 
     def commit(self, messages):
@@ -84,15 +94,35 @@ class _ArrowDirWriter(DataSourceArrowWriter):
             m.filename for m in messages if m is not None and m.filename
         )
         total = sum(m.rows for m in messages if m is not None)
+        manifest_path = os.path.join(self.path, MANIFEST)
+        if not self.overwrite and os.path.exists(manifest_path):
+            # append: the new manifest EXTENDS the committed set — prior
+            # data stays visible (losing it would be silent data loss)
+            with open(manifest_path) as f:
+                prior = json.load(f)
+            files = sorted(set(files) | set(prior.get("files", [])))
+            total += prior.get("rows", 0)
         manifest = {
             "files": files,
             "rows": total,
             "schema": json.loads(self.schema_json),
         }
-        tmp = os.path.join(self.path, MANIFEST + ".tmp")
+        tmp = manifest_path + ".tmp"
         with open(tmp, "w") as f:
             json.dump(manifest, f)
-        os.replace(tmp, os.path.join(self.path, MANIFEST))  # atomic publish
+        os.replace(tmp, manifest_path)  # atomic publish
+        if self.overwrite:
+            # stale parts from prior commits and crashed tasks are now
+            # unreachable — reclaim the space
+            live = set(files)
+            for entry in os.listdir(self.path):
+                if entry in live or entry == MANIFEST:
+                    continue
+                if entry.endswith((".arrow", ".arrow.inprogress")):
+                    try:
+                        os.remove(os.path.join(self.path, entry))
+                    except OSError:
+                        pass
 
     def abort(self, messages):
         for m in messages:

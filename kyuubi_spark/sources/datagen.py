@@ -51,23 +51,27 @@ def gen_nation(spark: SparkSession) -> DataFrame:
     )
 
 
+def customer_columns(keys: "np.ndarray") -> dict:
+    """key array -> customer column arrays — the ONE place the customer
+    row formulas live. Shared by gen_customer (mapInPandas) and the
+    Python DataSource connector (sources/pyds.py), and mirrored by the
+    DuckDB oracle of pyds_tpch_scan; change it in lockstep or the
+    cross-path parity tests fail."""
+    return {
+        "c_custkey": keys + 1,
+        "c_name": [f"Customer#{k + 1:09d}" for k in keys],
+        "c_nationkey": (keys * 2654435761 % 25).astype("int32"),
+        "c_acctbal": np.round((keys * 977 % 1_099_999) / 100.0 - 999.99, 2),
+        "c_mktsegment": [SEGMENTS[int(k) % 5] for k in keys],
+    }
+
+
 def gen_customer(spark: SparkSession, sf: float, partitions: int | None = None) -> DataFrame:
     n = max(1, int(sf * 150_000))
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            keys = pdf["id"].to_numpy()
-            yield pd.DataFrame(
-                {
-                    "c_custkey": keys + 1,
-                    "c_name": [f"Customer#{k + 1:09d}" for k in keys],
-                    "c_nationkey": (keys * 2654435761 % 25).astype("int32"),
-                    "c_acctbal": np.round(
-                        (keys * 977 % 1_099_999) / 100.0 - 999.99, 2
-                    ),
-                    "c_mktsegment": [SEGMENTS[int(k) % 5] for k in keys],
-                }
-            )
+            yield pd.DataFrame(customer_columns(pdf["id"].to_numpy()))
 
     return _keyed(spark, n, partitions).mapInPandas(
         gen,

@@ -14,12 +14,18 @@ like any catalog source:
   the InputPartition chunking of TPCHBatchScan.scala:56-74 — so a
   1000-executor cluster generates 1000 ranges concurrently with zero
   driver materialization.
-- ``pushFilters()`` accepts EqualTo/In on the low-cardinality derived
-  columns (c_mktsegment, c_nationkey) and prunes INSIDE the generator:
-  only keys whose modular image matches are emitted, so a pushed filter
+- with ``.option("pushdown", "true")`` (plus the session conf
+  ``spark.sql.python.filterPushdown.enabled``), ``pushFilters()``
+  accepts EqualTo/In on the low-cardinality derived columns
+  (c_mktsegment, c_nationkey) and prunes INSIDE the generator: only
+  keys whose modular image matches are emitted, so a pushed filter
   skips row construction entirely, not just post-filters (the DSv2
-  "filter reaches the scan" contract — visible as fewer rows leaving
-  every partition).
+  "filter reaches the scan" contract). Pushdown is OPT-IN because of an
+  upstream plan-cache quirk: a FILTERLESS replan of one loaded
+  DataFrame can reuse the previously pushed-down scan (count() after a
+  filtered count() returns the pruned total) — opting in binds you to
+  the fresh-``.load()``-per-query pattern the registry entry and tests
+  follow; the default reader has no pushFilters and is immune.
 - ``read()`` yields Arrow RecordBatches (numpy-vectorized), never
   per-row Python tuples — the Arrow-batch wire the API provides for
   exactly this.
@@ -56,12 +62,8 @@ class _RangePartition(InputPartition):
     The pruning set travels IN the partition: Spark plans the read in a
     fresh worker process (a new reader instance per planning — pyspark
     data_source_pushdown_filters.py), so the partition list is the only
-    state that reaches executors. NOTE an upstream caching quirk: a
-    FILTERLESS replan of the same loaded DataFrame can reuse the
-    previously planned (pushed-down) scan — observed as count() after a
-    filtered count() returning the pruned total. Derive a fresh
-    .load() per query (as the registry entry and tests do); plans that
-    DO carry filters always re-plan correctly."""
+    state that reaches executors. See the module docstring for why
+    pushdown (and with it non-None keep sets) is opt-in."""
 
     def __init__(
         self,
@@ -78,7 +80,10 @@ class _RangePartition(InputPartition):
 
 class _CustomerReader(DataSourceReader):
     """customer generator: keys [0, n) -> rows, chunked like
-    TPCHBatchScan.scala:56-74 splits its key space."""
+    TPCHBatchScan.scala:56-74 splits its key space. No pushFilters here:
+    the mere presence of the method opts into Spark's Python-DS pushdown
+    machinery (and its plan-cache caveat), so the always-correct default
+    reader stays pushdown-free and _PushdownCustomerReader adds it."""
 
     def __init__(self, options):
         self.n = max(1, int(float(options.get("sf", "0.001")) * 150_000))
@@ -86,6 +91,47 @@ class _CustomerReader(DataSourceReader):
         # residues to keep per pushed column, or None = no pruning
         self._keep_segments: set[int] | None = None
         self._keep_nations: set[int] | None = None
+
+    def partitions(self):
+        segs = (
+            tuple(sorted(self._keep_segments))
+            if self._keep_segments is not None
+            else None
+        )
+        nats = (
+            tuple(sorted(self._keep_nations))
+            if self._keep_nations is not None
+            else None
+        )
+        # consume this round's filters (see _RangePartition docstring)
+        self._keep_segments = None
+        self._keep_nations = None
+        per = max(1, -(-self.n // self.num_partitions))  # ceil division
+        return [
+            _RangePartition(lo, min(lo + per, self.n), segs, nats)
+            for lo in range(0, self.n, per)
+        ]
+
+    def read(self, partition: _RangePartition):
+        import numpy as np
+        import pyarrow as pa
+
+        keys = np.arange(partition.start, partition.end, dtype=np.int64)
+        if partition.keep_segments is not None:
+            keys = keys[np.isin(keys % 5, partition.keep_segments)]
+        if partition.keep_nations is not None:
+            keys = keys[np.isin(keys * 2654435761 % 25, partition.keep_nations)]
+        if len(keys) == 0:
+            return
+        # the shared formula helper is the single source of truth for
+        # the value contract (datagen.customer_columns)
+        from kyuubi_spark.sources.datagen import customer_columns
+
+        yield pa.record_batch(customer_columns(keys))
+
+
+class _PushdownCustomerReader(_CustomerReader):
+    """The opt-in pushdown variant (see module docstring)."""
 
     @staticmethod
     def _wanted(f: Filter, decode) -> set[int] | None:
@@ -140,56 +186,6 @@ class _CustomerReader(DataSourceReader):
                 remaining.append(f)
         return remaining
 
-    def partitions(self):
-        segs = (
-            tuple(sorted(self._keep_segments))
-            if self._keep_segments is not None
-            else None
-        )
-        nats = (
-            tuple(sorted(self._keep_nations))
-            if self._keep_nations is not None
-            else None
-        )
-        # consume this round's filters (see _RangePartition docstring)
-        self._keep_segments = None
-        self._keep_nations = None
-        per = max(1, -(-self.n // self.num_partitions))  # ceil division
-        return [
-            _RangePartition(lo, min(lo + per, self.n), segs, nats)
-            for lo in range(0, self.n, per)
-        ]
-
-    def read(self, partition: _RangePartition):
-        import numpy as np
-        import pyarrow as pa
-
-        keys = np.arange(partition.start, partition.end, dtype=np.int64)
-        if partition.keep_segments is not None:
-            keys = keys[np.isin(keys % 5, partition.keep_segments)]
-        if partition.keep_nations is not None:
-            keys = keys[np.isin(keys * 2654435761 % 25, partition.keep_nations)]
-        if len(keys) == 0:
-            return
-        # identical formulas to datagen.gen_customer — one source of truth
-        # for the value contract
-        batch = pa.record_batch(
-            {
-                "c_custkey": pa.array(keys + 1, type=pa.int64()),
-                "c_name": pa.array(
-                    [f"Customer#{k + 1:09d}" for k in keys]
-                ),
-                "c_nationkey": pa.array(
-                    (keys * 2654435761 % 25).astype("int32"), type=pa.int32()
-                ),
-                "c_acctbal": pa.array(
-                    np.round((keys * 977 % 1_099_999) / 100.0 - 999.99, 2)
-                ),
-                "c_mktsegment": pa.array([SEGMENTS[int(k) % 5] for k in keys]),
-            }
-        )
-        yield batch
-
 
 class KyuubiTPCHDataSource(DataSource):
     """spark.read.format("kyuubi_tpch").option("table", "customer")
@@ -213,6 +209,8 @@ class KyuubiTPCHDataSource(DataSource):
         )
 
     def reader(self, schema) -> DataSourceReader:
+        if str(self.options.get("pushdown", "false")).lower() == "true":
+            return _PushdownCustomerReader(self.options)
         return _CustomerReader(self.options)
 
 

@@ -21,12 +21,14 @@ def registered(spark):
     return spark
 
 
-def _load(spark, sf="0.002", parts=None):
+def _load(spark, sf="0.002", parts=None, pushdown=False):
     r = spark.read.format(pyds.FORMAT_NAME).option("table", "customer").option(
         "sf", sf
     )
     if parts:
         r = r.option("numPartitions", str(parts))
+    if pushdown:
+        r = r.option("pushdown", "true")
     return r.load()
 
 
@@ -54,15 +56,17 @@ def test_filter_pushdown_prunes_generation(registered):
     """EqualTo and In on c_mktsegment push into the generator — row
     counts prove pruning semantics; every derived frame loads fresh
     (one relation per query is the connector's documented usage)."""
-    one = _load(registered).filter(F.col("c_mktsegment") == "BUILDING")
+    one = _load(registered, pushdown=True).filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
     assert one.count() == 300 // len(SEGMENTS)
     assert one.select("c_mktsegment").distinct().collect()[0][0] == "BUILDING"
-    two = _load(registered).filter(
+    two = _load(registered, pushdown=True).filter(
         F.col("c_mktsegment").isin("BUILDING", "MACHINERY")
     )
     assert two.count() == 2 * (300 // len(SEGMENTS))
     # a non-pushable predicate still evaluates correctly (Spark-side)
-    rich = _load(registered).filter(F.col("c_acctbal") > 0)
+    rich = _load(registered, pushdown=True).filter(F.col("c_acctbal") > 0)
     assert 0 < rich.count() < 300
 
 
@@ -148,10 +152,14 @@ def test_nationkey_pushdown_prunes_generation(registered):
     prune key generation; results match post-filtering the full scan."""
     full = _load(registered)
     want = full.filter(F.col("c_nationkey") == 7).collect()
-    pushed = _load(registered).filter(F.col("c_nationkey") == 7).collect()
+    pushed = (
+        _load(registered, pushdown=True)
+        .filter(F.col("c_nationkey") == 7)
+        .collect()
+    )
     assert sorted(want) == sorted(pushed) and len(want) > 0
     combo = (
-        _load(registered)
+        _load(registered, pushdown=True)
         .filter(
             (F.col("c_nationkey").isin(3, 7))
             & (F.col("c_mktsegment") == "BUILDING")
@@ -164,3 +172,44 @@ def test_nationkey_pushdown_prunes_generation(registered):
         if r.c_nationkey in (3, 7) and r.c_mktsegment == "BUILDING"
     ]
     assert sorted(combo) == sorted(ref)
+
+
+def test_default_reader_is_reuse_safe(registered):
+    """WITHOUT option("pushdown"), the reader has no pushFilters, so the
+    plan-cache quirk cannot bite: a filterless action after a filtered
+    action on the SAME loaded DataFrame stays full-cardinality."""
+    df = _load(registered)
+    assert df.filter(F.col("c_mktsegment") == "BUILDING").count() == 60
+    assert df.count() == 300
+
+
+def test_arrowdir_append_extends_committed_set(arrow_registered, tmp_path):
+    """mode('append') must EXTEND the manifest — the second write may not
+    orphan the first write's committed rows."""
+    d = str(tmp_path / "sink4")
+    arrow_registered.range(0, 5).write.format("kyuubi_arrowdir").mode(
+        "append"
+    ).save(d)
+    arrow_registered.range(5, 10).write.format("kyuubi_arrowdir").mode(
+        "append"
+    ).save(d)
+    back = arrow_registered.read.format("kyuubi_arrowdir").load(d)
+    assert sorted(r.id for r in back.collect()) == list(range(10))
+
+
+def test_arrowdir_overwrite_reclaims_stale_files(arrow_registered, tmp_path):
+    import os
+
+    d = str(tmp_path / "sink5")
+    arrow_registered.range(5).write.format("kyuubi_arrowdir").mode(
+        "overwrite"
+    ).save(d)
+    # plant a crashed task's staging file too
+    open(os.path.join(d, "part-dead.arrow.inprogress"), "w").close()
+    arrow_registered.range(3).repartition(1).write.format(
+        "kyuubi_arrowdir"
+    ).mode("overwrite").save(d)
+    files = [f for f in os.listdir(d) if f.endswith((".arrow", ".inprogress"))]
+    assert len(files) == 1  # only the live part survives
+    back = arrow_registered.read.format("kyuubi_arrowdir").load(d)
+    assert back.count() == 3

@@ -184,6 +184,7 @@ HEADLINE = [
     "python_udtf_tokens",
     "arrow_sink_roundtrip",
     "cost_based_stats",
+    "quality_threshold_sweep",
 ]
 
 

@@ -112,6 +112,7 @@ _CHANGED_THIS_ROUND = {
     "python_udtf_tokens",
     "arrow_sink_roundtrip",
     "cost_based_stats",
+    "quality_threshold_sweep",
 }
 
 

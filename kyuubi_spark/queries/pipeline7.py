@@ -283,3 +283,79 @@ def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("label", "n_vecs", "avg_cos", "min_cos", "worst_vec_id")
         .orderBy("label")
     )
+
+
+_SWEEP_GRID = [(5, 0.6), (5, 0.8), (10, 0.6), (10, 0.8), (20, 0.6), (20, 0.8)]
+
+
+@query(
+    "quality_threshold_sweep",
+    oracle=f"""
+    WITH grid(min_tokens, max_rep) AS (
+      VALUES {", ".join(f"({t}, {r})" for t, r in _SWEEP_GRID)}),
+    m AS (
+      SELECT len(string_split(trim(text), ' ')) AS ntok,
+             ROUND(1.0 - CASE WHEN len(string_split(trim(text), ' ')) >= 3
+               THEN CAST(len(list_distinct(list_transform(
+                      generate_series(1, len(string_split(trim(text), ' ')) - 2),
+                      i -> array_to_string(string_split(trim(text), ' ')[i:i+2], ' '))))
+                    AS DOUBLE)
+                    / (len(string_split(trim(text), ' ')) - 2)
+               ELSE 1.0 END, 4) AS rep
+      FROM documents)
+    SELECT g.min_tokens, CAST(g.max_rep AS DOUBLE) AS max_rep,
+           CAST(SUM(CASE WHEN m.ntok >= g.min_tokens AND m.rep <= g.max_rep
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_survivors,
+           ROUND(CAST(SUM(CASE WHEN m.ntok >= g.min_tokens
+                          AND m.rep <= g.max_rep THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS survival_rate,
+           ROUND(CAST(SUM(CASE WHEN m.ntok >= g.min_tokens
+                          AND m.rep <= g.max_rep THEN m.ntok ELSE 0 END)
+                      AS DOUBLE) / SUM(m.ntok), 6) AS kept_token_share
+    FROM m CROSS JOIN grid g
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    doc="Quality-filter threshold tuning table: for a grid of "
+    "(min_tokens, max 3-gram repetition) thresholds, the doc survival "
+    "rate and the share of corpus TOKENS kept — the sheet a pipeline "
+    "team reads before pinning pipeline_corpus_clean's thresholds "
+    "(docs kept and tokens kept diverge when the filters bite long "
+    "boilerplate). One map-side pass computes the per-doc signals, the "
+    "6-row grid joins as a broadcast multiplying each doc into its "
+    "grid cells, and the aggregate is grid-bounded — no corpus "
+    "shuffle, same sweep discipline as semdedup_threshold_sweep. The "
+    "rep ratio is rounded to 4 on BOTH engines before thresholding so "
+    "the comparison is cross-engine exact.",
+)
+def quality_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kyuubi_spark.functions.compat import dround as _dr
+
+    docs = load_table(spark, sf_dir, "documents")
+    m = docs.select(
+        T.token_count("text").alias("ntok"),
+        _dr(T.repetition_ratio("text"), 4).alias("rep"),
+    )
+    grid = spark.createDataFrame(
+        _SWEEP_GRID, "min_tokens int, max_rep double"
+    )
+    cond = (F.col("ntok") >= F.col("min_tokens")) & (
+        F.col("rep") <= F.col("max_rep")
+    )
+    return (
+        m.crossJoin(F.broadcast(grid))
+        .groupBy("min_tokens", "max_rep")
+        .agg(
+            F.sum(F.when(cond, 1).otherwise(0)).alias("n_survivors"),
+            _dr(
+                F.sum(F.when(cond, 1).otherwise(0)).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("survival_rate"),
+            _dr(
+                F.sum(F.when(cond, F.col("ntok")).otherwise(0)).cast("double")
+                / F.sum("ntok"),
+                6,
+            ).alias("kept_token_share"),
+        )
+        .orderBy("min_tokens", "max_rep")
+    )

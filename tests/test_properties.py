@@ -176,3 +176,64 @@ def test_internal_token_tamper_rejected(secret, pos):
         return
     with _pytest.raises(AuthenticationError):
         acc.auth_token(flipped)
+
+
+# -- arrowdir commit protocol (pure-Python: no Spark session) -----------------
+
+_write_op = st.tuples(
+    st.booleans(),  # overwrite?
+    st.lists(  # per-task value batches (empty task allowed)
+        st.lists(st.integers(min_value=-(2**62), max_value=2**62), max_size=8),
+        min_size=1,
+        max_size=4,
+    ),
+)
+
+
+@given(st.lists(_write_op, min_size=1, max_size=5), st.booleans())
+@settings(max_examples=60, deadline=None)
+def test_arrowdir_commit_protocol_roundtrip(ops, plant_orphan):
+    """Any sequence of append/overwrite writes yields exactly the
+    committed multiset: append extends, overwrite replaces, crashed-task
+    leftovers stay invisible, and overwrite reclaims them."""
+    import tempfile
+    import shutil
+    import os
+
+    import pyarrow as pa
+
+    from kyuubi_spark.sources.arrowdir import (
+        MANIFEST,
+        _ArrowDirReader,
+        _ArrowDirWriter,
+    )
+
+    schema_json = (
+        '{"type":"struct","fields":[{"name":"v","type":"long",'
+        '"nullable":true,"metadata":{}}]}'
+    )
+    d = tempfile.mkdtemp(prefix="arrowprop_")
+    try:
+        expected: list[int] = []
+        for overwrite, tasks in ops:
+            w = _ArrowDirWriter(d, schema_json, overwrite)
+            msgs = []
+            for values in tasks:
+                batch = pa.record_batch({"v": pa.array(values, pa.int64())})
+                msgs.append(w.write(iter([batch])))
+            if plant_orphan:  # a crashed task's staging leftover
+                open(os.path.join(d, "part-crash.arrow.inprogress"), "w").close()
+            w.commit(msgs)
+            flat = [v for values in tasks for v in values]
+            expected = flat if overwrite else expected + flat
+        r = _ArrowDirReader(d)
+        got = [
+            v
+            for p in r.partitions()
+            for b in r.read(p)
+            for v in b.column("v").to_pylist()
+        ]
+        assert sorted(got) == sorted(expected)
+        assert r.manifest["rows"] == len(expected)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

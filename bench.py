@@ -185,6 +185,7 @@ HEADLINE = [
     "arrow_sink_roundtrip",
     "cost_based_stats",
     "quality_threshold_sweep",
+    "stream_python_source",
 ]
 
 

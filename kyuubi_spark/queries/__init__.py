@@ -113,6 +113,7 @@ _CHANGED_THIS_ROUND = {
     "arrow_sink_roundtrip",
     "cost_based_stats",
     "quality_threshold_sweep",
+    "stream_python_source",
 }
 
 

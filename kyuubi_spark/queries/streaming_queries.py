@@ -502,3 +502,44 @@ def _attach_dsir_oracle() -> None:
 
 
 _attach_dsir_oracle()
+
+
+@query(
+    "stream_python_source",
+    oracle="""
+    WITH t AS (
+      SELECT k, k * 7 % 5 AS grp, k * 31 % 1000 AS v
+      FROM (SELECT unnest(generate_series(0, 1199)) AS k))
+    SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_ticks,
+           CAST(SUM(v) AS BIGINT) AS sum_value,
+           CAST(MAX(k) AS BIGINT) AS max_k
+    FROM t GROUP BY 1 ORDER BY 1
+    """,
+    doc="Streaming Python DataSource (streaming/pysource.py): a "
+    "deterministic offset-pure tick source read through readStream and "
+    "aggregated in complete mode — the streaming leg of the Python "
+    "connector surface (batch scan: pyds_tpch_scan; sink: "
+    "arrow_sink_roundtrip). Offset purity makes readBetweenOffsets an "
+    "exact replay (the exactly-once recovery hook, unit-tested "
+    "directly); the oracle regenerates the same rows from "
+    "generate_series. Bounded replay drains in one AvailableNow "
+    "microbatch (the prefetch-reader contract, documented in the "
+    "module).",
+)
+def stream_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kyuubi_spark.streaming.pysource import FORMAT_NAME, register
+    from kyuubi_spark.streaming.runner import run_to_memory
+
+    register(spark)
+    stream = (
+        spark.readStream.format(FORMAT_NAME)
+        .option("rows", "1200")
+        .option("batch", "1200")
+        .load()
+    )
+    agg = stream.groupBy("grp").agg(
+        F.count("*").alias("n_ticks"),
+        F.sum("value").alias("sum_value"),
+        F.max("k").alias("max_k"),
+    )
+    return run_to_memory(agg, output_mode="complete").orderBy("grp")

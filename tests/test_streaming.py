@@ -283,3 +283,49 @@ def test_transform_with_state_totals(spark, sf_dir):
     )
     assert tws.exceptAll(ref).count() == 0
     assert ref.exceptAll(tws).count() == 0
+
+
+def test_python_stream_source_offset_replay(spark):
+    """readBetweenOffsets must regenerate EXACTLY the rows of any
+    committed range (the exactly-once restart hook), and multi-batch
+    read() advancement must tile the key space without dupes or gaps."""
+    from kyuubi_spark.streaming.pysource import _TickStreamReader, tick_row
+
+    r = _TickStreamReader({"rows": "100", "batch": "7"})
+    # walk the offsets like the microbatch engine does
+    seen = []
+    off = r.initialOffset()
+    offsets = [off]
+    while True:
+        rows, nxt = r.read(off)
+        rows = list(rows)
+        if not rows:
+            break
+        seen.extend(rows)
+        offsets.append(nxt)
+        off = nxt
+    assert seen == [tick_row(k) for k in range(100)]
+    # any committed range replays bit-identically
+    for a, b in [(0, 1), (2, 5), (0, len(offsets) - 1)]:
+        replay = list(r.readBetweenOffsets(offsets[a], offsets[b]))
+        assert replay == seen[offsets[a]["i"]: offsets[b]["i"]]
+
+
+def test_python_stream_source_availablenow_drain(spark):
+    """Pinned behavior: the prefetch-based simple reader drains ONE
+    batch under AvailableNow — bounded replays must size batch >= rows
+    (the module docstring's contract)."""
+    from kyuubi_spark.streaming.pysource import FORMAT_NAME, register
+    from kyuubi_spark.streaming.runner import run_to_memory
+    from pyspark.sql import functions as F
+
+    register(spark)
+    stream = (
+        spark.readStream.format(FORMAT_NAME)
+        .option("rows", "60").option("batch", "60").load()
+    )
+    out = run_to_memory(
+        stream.groupBy("grp").agg(F.count("*").alias("n")),
+        output_mode="complete",
+    )
+    assert sum(r["n"] for r in out.collect()) == 60

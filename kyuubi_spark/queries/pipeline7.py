@@ -328,12 +328,10 @@ _SWEEP_GRID = [(5, 0.6), (5, 0.8), (10, 0.6), (10, 0.8), (20, 0.6), (20, 0.8)]
     "the comparison is cross-engine exact.",
 )
 def quality_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from kyuubi_spark.functions.compat import dround as _dr
-
     docs = load_table(spark, sf_dir, "documents")
     m = docs.select(
         T.token_count("text").alias("ntok"),
-        _dr(T.repetition_ratio("text"), 4).alias("rep"),
+        dround(T.repetition_ratio("text"), 4).alias("rep"),
     )
     grid = spark.createDataFrame(
         _SWEEP_GRID, "min_tokens int, max_rep double"
@@ -346,12 +344,12 @@ def quality_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("min_tokens", "max_rep")
         .agg(
             F.sum(F.when(cond, 1).otherwise(0)).alias("n_survivors"),
-            _dr(
+            dround(
                 F.sum(F.when(cond, 1).otherwise(0)).cast("double")
                 / F.count("*"),
                 6,
             ).alias("survival_rate"),
-            _dr(
+            dround(
                 F.sum(F.when(cond, F.col("ntok")).otherwise(0)).cast("double")
                 / F.sum("ntok"),
                 6,

@@ -202,11 +202,7 @@ def test_arrowdir_commit_protocol_roundtrip(ops, plant_orphan):
 
     import pyarrow as pa
 
-    from kyuubi_spark.sources.arrowdir import (
-        MANIFEST,
-        _ArrowDirReader,
-        _ArrowDirWriter,
-    )
+    from kyuubi_spark.sources.arrowdir import _ArrowDirReader, _ArrowDirWriter
 
     schema_json = (
         '{"type":"struct","fields":[{"name":"v","type":"long",'

@@ -285,7 +285,7 @@ def test_transform_with_state_totals(spark, sf_dir):
     assert ref.exceptAll(tws).count() == 0
 
 
-def test_python_stream_source_offset_replay(spark):
+def test_python_stream_source_offset_replay():
     """readBetweenOffsets must regenerate EXACTLY the rows of any
     committed range (the exactly-once restart hook), and multi-batch
     read() advancement must tile the key space without dupes or gaps."""
@@ -313,19 +313,25 @@ def test_python_stream_source_offset_replay(spark):
 
 def test_python_stream_source_availablenow_drain(spark):
     """Pinned behavior: the prefetch-based simple reader drains ONE
-    batch under AvailableNow — bounded replays must size batch >= rows
-    (the module docstring's contract)."""
+    batch under AvailableNow (batch < rows -> exactly one batch's rows
+    arrive) — which is WHY bounded replays must size batch >= rows (the
+    module docstring's contract, exercised by the second run)."""
     from kyuubi_spark.streaming.pysource import FORMAT_NAME, register
     from kyuubi_spark.streaming.runner import run_to_memory
     from pyspark.sql import functions as F
 
     register(spark)
-    stream = (
-        spark.readStream.format(FORMAT_NAME)
-        .option("rows", "60").option("batch", "60").load()
-    )
-    out = run_to_memory(
-        stream.groupBy("grp").agg(F.count("*").alias("n")),
-        output_mode="complete",
-    )
-    assert sum(r["n"] for r in out.collect()) == 60
+
+    def drained(rows, batch):
+        stream = (
+            spark.readStream.format(FORMAT_NAME)
+            .option("rows", str(rows)).option("batch", str(batch)).load()
+        )
+        out = run_to_memory(
+            stream.groupBy("grp").agg(F.count("*").alias("n")),
+            output_mode="complete",
+        )
+        return sum(r["n"] for r in out.collect())
+
+    assert drained(60, 20) == 20  # one prefetched batch, not all three
+    assert drained(60, 60) == 60  # batch >= rows consumes everything

@@ -186,6 +186,7 @@ HEADLINE = [
     "cost_based_stats",
     "quality_threshold_sweep",
     "stream_python_source",
+    "near_dup_source_matrix",
 ]
 
 

@@ -114,6 +114,7 @@ _CHANGED_THIS_ROUND = {
     "cost_based_stats",
     "quality_threshold_sweep",
     "stream_python_source",
+    "near_dup_source_matrix",
 }
 
 

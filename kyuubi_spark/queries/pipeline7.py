@@ -357,3 +357,71 @@ def quality_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("min_tokens", "max_rep")
     )
+
+
+@query(
+    "near_dup_source_matrix",
+    oracle=f"""
+    WITH {_MINHASH_PAIRS_CTE},
+    sp AS (
+      SELECT least(da.source, db.source) AS source_lo,
+             greatest(da.source, db.source) AS source_hi,
+             ROUND(CAST(p.inter AS DOUBLE) / p.union_sz, 6) AS j
+      FROM dup_pairs p
+      JOIN documents da ON da.doc_id = p.a_id
+      JOIN documents db ON db.doc_id = p.b_id)
+    SELECT source_lo, source_hi,
+           CASE WHEN source_lo <> source_hi THEN 1 ELSE 0 END AS cross_source,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           ROUND(SUM(CAST(ROUND(j * 1000000, 0) AS BIGINT)) / 1000000.0
+                 / COUNT(*), 6) AS avg_jaccard
+    FROM sp GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    doc="Near-duplicate pairs (MinHash-LSH, Jaccard>=1/4) bucketed by the "
+    "source pair of their members: the doc-level 'who copies from whom' "
+    "matrix (source_overlap_matrix is the n-gram-level complement — "
+    "shared VOCABULARY; this is shared DOCUMENTS). Off-diagonal cells "
+    "are cross-source syndication — the mixture-weights distortion "
+    "dedup must resolve before mixture_budget_plan allocates tokens. "
+    "The pair relation is near-dup-bounded, so the two source lookups "
+    "join a small relation against the corpus projected to (doc_id, "
+    "source); the final aggregate is |sources|^2-bounded. Per-pair "
+    "jaccard averages via integer micro-units, order-exact on both "
+    "engines.",
+)
+def near_dup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        F.col("doc_id").alias("id"),
+        F.explode(D.shingles_arrow(3)(F.col("text"))).alias("g"),
+    ).localCheckpoint()
+    cand = D.lsh_candidate_pairs(docs, n=3, num_hashes=16, bands=8, shingle_df=sh)
+    pairs = D.jaccard_pairs(docs, cand, n=3, tau_num=1, tau_den=4, shingle_df=sh)
+    src = docs.select("doc_id", "source")
+    sa = src.select(
+        F.col("doc_id").alias("a_id"), F.col("source").alias("source_a")
+    )
+    sb = src.select(
+        F.col("doc_id").alias("b_id"), F.col("source").alias("source_b")
+    )
+    lo = F.least("source_a", "source_b")
+    hi = F.greatest("source_a", "source_b")
+    micro = F.round(F.col("jaccard") * 1000000, 0).cast("bigint")
+    return (
+        pairs.join(sa, "a_id")
+        .join(sb, "b_id")
+        .select(
+            lo.alias("source_lo"),
+            hi.alias("source_hi"),
+            F.when(lo != hi, F.lit(1)).otherwise(F.lit(0)).alias("cross_source"),
+            micro.alias("j_micro"),
+        )
+        .groupBy("source_lo", "source_hi", "cross_source")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            dround(
+                F.sum("j_micro") / F.lit(1000000.0) / F.count("*"), 6
+            ).alias("avg_jaccard"),
+        )
+        .orderBy("source_lo", "source_hi")
+    )

@@ -187,6 +187,8 @@ HEADLINE = [
     "quality_threshold_sweep",
     "stream_python_source",
     "near_dup_source_matrix",
+    "named_window_reuse",
+    "limit_offset_page",
 ]
 
 

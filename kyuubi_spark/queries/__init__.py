@@ -115,6 +115,8 @@ _CHANGED_THIS_ROUND = {
     "quality_threshold_sweep",
     "stream_python_source",
     "near_dup_source_matrix",
+    "named_window_reuse",
+    "limit_offset_page",
 }
 
 

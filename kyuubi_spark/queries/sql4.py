@@ -420,3 +420,61 @@ def cost_based_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.sql(f"DROP TABLE IF EXISTS {tab}")
         shutil.rmtree(path, ignore_errors=True)
     return out
+
+
+@query(
+    "named_window_reuse",
+    oracle="""
+    SELECT o_orderpriority, o_orderkey,
+           CAST(RANK() OVER w AS BIGINT) AS rk,
+           ROUND(SUM(o_totalprice) OVER w, 2) AS running_total
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderkey)
+    ORDER BY o_orderpriority, o_orderkey LIMIT 200
+    """,
+    doc="Named WINDOW clause: one window specification declared once and "
+    "shared by multiple window functions — Catalyst plans a SINGLE "
+    "Window node (one partition-shuffle + sort) instead of one per "
+    "OVER, exactly what a reviewer wants in a plan with many window "
+    "aggregates over the same spec. Partitioned by priority, so the "
+    "window is shard-parallel at any scale; LIMIT on a total order "
+    "keeps the cut deterministic.",
+)
+def named_window_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, o_orderkey,
+               RANK() OVER w AS rk,
+               ROUND(SUM(o_totalprice) OVER w, 2) AS running_total
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderkey)
+        ORDER BY o_orderpriority, o_orderkey LIMIT 200
+        """
+    )
+
+
+@query(
+    "limit_offset_page",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority, o_totalprice
+    FROM orders ORDER BY o_orderkey
+    LIMIT 25 OFFSET 50
+    """,
+    doc="LIMIT ... OFFSET pagination (Spark 3.4+) over a total order — "
+    "the page-2+ fetch JDBC tools issue. Spark plans a global "
+    "TakeOrdered of offset+limit rows then drops the prefix, so the "
+    "driver never materializes more than one page beyond the skip; at "
+    "deep offsets this degrades by design (offset+limit rows move) — "
+    "keyset pagination (WHERE key > last_seen, already the pattern in "
+    "the gateway's incremental fetch) is the scale path.",
+)
+def limit_offset_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_orderpriority, o_totalprice
+        FROM orders ORDER BY o_orderkey
+        LIMIT 25 OFFSET 50
+        """
+    )

@@ -560,3 +560,11 @@ def test_sql_udf_table_is_generate_node(spark, sf_dir):
     assert "Generate" in executed
     text = plans.explain_formatted(df)
     assert "CartesianProduct" not in text
+
+
+def test_named_window_single_window_node(spark, sf_dir):
+    # both OVER w functions must share ONE Window node (one shuffle+sort),
+    # which is the point of the named-window spec
+    df = _build(spark, sf_dir, "named_window_reuse")
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Window [") == 1

@@ -257,23 +257,36 @@ class LdapAuthenticationProvider(PasswdAuthenticationProvider):
         # chain authorizes them
         from kyuubi_spark.gateway.ldap_search import LdapConnection, LdapSearch
 
-        try:
-            conn = LdapConnection(self.host, self.port, ssl_context=ctx)
-        except (OSError, ValueError) as e:
-            raise AuthenticationError(f"LDAP connect failed: {e}") from e
-        with conn:
-            code = None
-            for dn in candidates:
-                try:
-                    code = conn.bind(dn, password)
-                except (OSError, ValueError) as e:
-                    raise AuthenticationError(f"LDAP bind failed: {e}") from e
-                if code == RESULT_SUCCESS:
-                    break
-            if code != RESULT_SUCCESS:
+        # one fresh connection per candidate: RFC 4511 allows rebinding on
+        # a connection, but servers MAY close after a failed bind — reusing
+        # the socket would mask a later candidate's valid credentials
+        conn = None
+        code = None
+        last_err: Exception | None = None
+        for dn in candidates:
+            try:
+                c = LdapConnection(self.host, self.port, ssl_context=ctx)
+            except (OSError, ValueError) as e:
+                raise AuthenticationError(f"LDAP connect failed: {e}") from e
+            try:
+                code = c.bind(dn, password)
+            except (OSError, ValueError) as e:
+                last_err = e
+                c.close()
+                continue
+            if code == RESULT_SUCCESS:
+                conn = c
+                break
+            c.close()
+        if conn is None:
+            if code is None:
                 raise AuthenticationError(
-                    f"LDAP bind rejected for {user} (resultCode {code})"
-                )
+                    f"LDAP bind failed: {last_err}"
+                ) from last_err
+            raise AuthenticationError(
+                f"LDAP bind rejected for {user} (resultCode {code})"
+            )
+        with conn:
             try:
                 self.filter.apply(LdapSearch(conn, self.conf), user)
             except AuthenticationError:

@@ -419,3 +419,24 @@ def test_unsupported_filter_operators_fail_closed():
     assert LS.parse_filter("(cn=a\\2ab)") == ("eq", "cn", "a*b")
     # presence stays supported
     assert LS.parse_filter("(cn=*)") == ("present", "cn")
+
+
+def test_multi_pattern_bind_with_filters(directory_server):
+    """With authorization filters on, a user under the SECOND
+    userDNPattern must still authenticate: each candidate gets a fresh
+    connection (a server may close the socket after a failed bind, which
+    must not mask a later candidate's valid credentials), and the filter
+    search runs on the surviving bound connection."""
+    host, port = directory_server
+    p = _provider(
+        host,
+        port,
+        **{
+            "kyuubi.authentication.ldap.userDNPattern":
+                f"uid=%s,ou=svc,dc=example,dc=com:uid=%s,{_USERS_BASE}",
+            "kyuubi.authentication.ldap.userFilter": "alice,bob",
+        },
+    )
+    p.authenticate("alice", "wonder")  # exists only under the 2nd pattern
+    with pytest.raises(Exception):
+        p.authenticate("alice", "wrong")

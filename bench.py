@@ -189,6 +189,8 @@ HEADLINE = [
     "near_dup_source_matrix",
     "named_window_reuse",
     "limit_offset_page",
+    "xml_extract",
+    "hll_sketch_union",
 ]
 
 

@@ -117,6 +117,8 @@ _CHANGED_THIS_ROUND = {
     "near_dup_source_matrix",
     "named_window_reuse",
     "limit_offset_page",
+    "xml_extract",
+    "hll_sketch_union",
 }
 
 

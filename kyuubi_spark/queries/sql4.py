@@ -478,3 +478,98 @@ def limit_offset_page(spark: SparkSession, sf_dir: str) -> DataFrame:
         LIMIT 25 OFFSET 50
         """
     )
+
+
+@query(
+    "xml_extract",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys,
+           ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders WHERE o_orderstatus = 'F'
+    GROUP BY 1 ORDER BY 1
+    """,
+    doc="Native XML functions (Spark 4 first-class XML): each order row "
+    "is serialized to an XML doc, parsed back with from_xml against a "
+    "schema, and the priority re-extracted with an XPath expression — "
+    "the aggregate over the round-tripped values must equal a direct "
+    "scan (numbers survive double->string->double exactly in Spark's "
+    "shortest-repr formatting). Map-only expressions; the XML codec "
+    "runs inside the JVM row pipeline, no Python boundary.",
+)
+def xml_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        WITH doc AS (
+          SELECT concat('<o><k>', o_orderkey, '</k><p>', o_totalprice,
+                        '</p><pri>', o_orderpriority, '</pri><st>',
+                        o_orderstatus, '</st></o>') AS xml
+          FROM orders),
+        parsed AS (
+          SELECT from_xml(xml, 'k BIGINT, p DOUBLE, pri STRING, st STRING')
+                   AS v,
+                 xpath_string(xml, '/o/pri') AS pri_xpath
+          FROM doc)
+        SELECT pri_xpath AS o_orderpriority,
+               COUNT(*) AS n_orders,
+               SUM(v.k) AS sum_keys,
+               ROUND(SUM(v.p), 2) AS total
+        FROM parsed WHERE v.st = 'F'
+        GROUP BY 1 ORDER BY 1
+        """
+    )
+
+
+@query(
+    "hll_sketch_union",
+    oracle="""
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS exact_users,
+           TRUE AS sketch_within_5pct,
+           TRUE AS union_within_5pct
+    FROM events
+    GROUP BY 1 ORDER BY 1
+    """,
+    doc="Mergeable HLL sketches (Spark 4 Apache DataSketches functions): "
+    "per-day hll_sketch_agg sketches union via hll_union_agg into a "
+    "per-event-type estimate — the pre-aggregation pattern a 100 TB "
+    "rollup needs (daily sketch partials persist; any window re-unions "
+    "in O(sketch bytes), never rescanning raw events). Like "
+    "approx_distinct_users, the raw estimate has no cross-engine "
+    "oracle; the result pins the EXACT count plus two booleans: the "
+    "whole-data sketch AND the union-of-daily-sketches estimate each "
+    "land within 5% of exact. (The union is NOT register-identical to "
+    "sketching the whole — DataSketches unions re-estimate through a "
+    "union buffer, observed 1488 vs 1494 on 1500 at sf0.1 — which is "
+    "exactly why the tolerance contract, not equality, is the sound "
+    "claim for mergeable-sketch rollups.)",
+)
+def hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    events.createOrReplaceTempView("events_hll")
+    return spark.sql(
+        """
+        WITH daily AS (
+          SELECT event_type, CAST(ts AS DATE) AS day,
+                 hll_sketch_agg(user_id) AS sk
+          FROM events_hll GROUP BY 1, 2),
+        merged AS (
+          SELECT event_type,
+                 hll_sketch_estimate(hll_union_agg(sk)) AS est
+          FROM daily GROUP BY 1),
+        whole AS (
+          SELECT event_type,
+                 hll_sketch_estimate(hll_sketch_agg(user_id)) AS est_whole,
+                 COUNT(DISTINCT user_id) AS exact_users
+          FROM events_hll GROUP BY 1)
+        SELECT w.event_type, w.exact_users,
+               abs(w.est_whole - w.exact_users) <= 0.05 * w.exact_users
+                 AS sketch_within_5pct,
+               abs(m.est - w.exact_users) <= 0.05 * w.exact_users
+                 AS union_within_5pct
+        FROM whole w JOIN merged m ON m.event_type = w.event_type
+        ORDER BY w.event_type
+        """
+    )

@@ -213,3 +213,45 @@ def test_arrowdir_overwrite_reclaims_stale_files(arrow_registered, tmp_path):
     assert len(files) == 1  # only the live part survives
     back = arrow_registered.read.format("kyuubi_arrowdir").load(d)
     assert back.count() == 3
+
+
+def test_pushdown_rejects_out_of_domain_values(registered):
+    """EqualTo/In with values outside the column domain must NOT be
+    claimed (claiming one would mis-prune); Spark evaluates them
+    post-scan and results stay correct."""
+    none = _load(registered, pushdown=True).filter(
+        F.col("c_mktsegment") == "NOT_A_SEGMENT"
+    )
+    assert none.count() == 0
+    bad_nation = _load(registered, pushdown=True).filter(
+        F.col("c_nationkey") == 999
+    )
+    assert bad_nation.count() == 0
+    mixed = _load(registered, pushdown=True).filter(
+        F.col("c_mktsegment").isin("BUILDING", "NOT_A_SEGMENT")
+    )
+    assert mixed.count() == 60  # only the valid member matches
+
+
+def test_arrowdir_abort_removes_reported_files(arrow_registered, tmp_path):
+    """abort() deletes every part file whose task reported a commit
+    message — driver-side cleanup of a failed job's visible leftovers."""
+    import os
+
+    import pyarrow as pa
+
+    from kyuubi_spark.sources.arrowdir import _ArrowDirWriter
+
+    d = str(tmp_path / "sink_abort")
+    schema_json = (
+        '{"type":"struct","fields":[{"name":"v","type":"long",'
+        '"nullable":true,"metadata":{}}]}'
+    )
+    w = _ArrowDirWriter(d, schema_json, overwrite=False)
+    msgs = [
+        w.write(iter([pa.record_batch({"v": pa.array([i], pa.int64())})]))
+        for i in range(3)
+    ]
+    assert len([f for f in os.listdir(d) if f.endswith(".arrow")]) == 3
+    w.abort(msgs)
+    assert [f for f in os.listdir(d) if f.endswith(".arrow")] == []

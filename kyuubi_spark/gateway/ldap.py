@@ -237,16 +237,26 @@ class LdapAuthenticationProvider(PasswdAuthenticationProvider):
             )
         candidates = self._candidate_dns(user)
         if self.filter is None:
+            # mirror the filter path (and the reference's createDirSearch
+            # candidate loop): a socket/protocol error on one candidate DN
+            # must not mask a later candidate's valid credentials — record
+            # it and keep going, raise only after exhausting the list
             code = None
+            last_err: Exception | None = None
             for dn in candidates:
                 try:
                     code = simple_bind(
                         self.host, self.port, dn, password, ssl_context=ctx
                     )
                 except (OSError, ValueError) as e:
-                    raise AuthenticationError(f"LDAP bind failed: {e}") from e
+                    last_err = e
+                    continue
                 if code == RESULT_SUCCESS:
                     return
+            if code is None:
+                raise AuthenticationError(
+                    f"LDAP bind failed: {last_err}"
+                ) from last_err
             raise AuthenticationError(
                 f"LDAP bind rejected for {user} (resultCode {code})"
             )

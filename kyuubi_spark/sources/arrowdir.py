@@ -100,6 +100,14 @@ class _ArrowDirWriter(DataSourceArrowWriter):
             # data stays visible (losing it would be silent data loss)
             with open(manifest_path) as f:
                 prior = json.load(f)
+            prior_schema = prior.get("schema")
+            if prior_schema is not None and prior_schema != json.loads(
+                self.schema_json
+            ):
+                raise ValueError(
+                    "kyuubi_arrowdir append: schema mismatch with committed "
+                    f"dataset at {self.path} — overwrite or align the schema"
+                )
             files = sorted(set(files) | set(prior.get("files", [])))
             total += prior.get("rows", 0)
         manifest = {
@@ -111,18 +119,22 @@ class _ArrowDirWriter(DataSourceArrowWriter):
         with open(tmp, "w") as f:
             json.dump(manifest, f)
         os.replace(tmp, manifest_path)  # atomic publish
-        if self.overwrite:
-            # stale parts from prior commits and crashed tasks are now
-            # unreachable — reclaim the space
-            live = set(files)
-            for entry in os.listdir(self.path):
-                if entry in live or entry == MANIFEST:
-                    continue
-                if entry.endswith((".arrow", ".arrow.inprogress")):
-                    try:
-                        os.remove(os.path.join(self.path, entry))
-                    except OSError:
-                        pass
+        # stale parts from prior commits and crashed tasks are now
+        # unreachable — reclaim the space. Finalized .arrow files are only
+        # deleted on overwrite (append keeps every manifested file live by
+        # construction, but a concurrent writer's final file must survive);
+        # .inprogress staging orphans are swept on EVERY commit so
+        # append-only datasets don't accumulate them indefinitely.
+        live = set(files)
+        for entry in os.listdir(self.path):
+            if entry in live or entry == MANIFEST:
+                continue
+            stale_final = self.overwrite and entry.endswith(".arrow")
+            if stale_final or entry.endswith(".arrow.inprogress"):
+                try:
+                    os.remove(os.path.join(self.path, entry))
+                except OSError:
+                    pass
 
     def abort(self, messages):
         for m in messages:
@@ -150,6 +162,10 @@ class _ArrowDirReader(DataSourceReader):
     def read(self, partition: _FilePartition):
         import pyarrow as pa
 
+        if partition is None or not getattr(partition, "filename", None):
+            # zero-file manifest: pyspark substitutes a single None
+            # partition when partitions() returns [] — yield nothing
+            return
         with pa.ipc.open_file(
             os.path.join(self.path, partition.filename)
         ) as reader:

@@ -210,6 +210,18 @@ class KyuubiTPCHDataSource(DataSource):
 
     def reader(self, schema) -> DataSourceReader:
         if str(self.options.get("pushdown", "false")).lower() == "true":
+            # loud, user-facing statement of the opt-in contract (the
+            # module docstring documents the upstream plan-cache quirk;
+            # this reaches users who never read it)
+            import warnings
+
+            warnings.warn(
+                "kyuubi_tpch pushdown=true: reuse of ONE loaded DataFrame "
+                "across differently-filtered queries can replay a pruned "
+                "scan (upstream Python-DataSource plan cache). Call "
+                ".load() freshly per query, or drop the pushdown option.",
+                stacklevel=2,
+            )
             return _PushdownCustomerReader(self.options)
         return _CustomerReader(self.options)
 

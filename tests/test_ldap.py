@@ -248,3 +248,39 @@ def test_ldap_second_pattern_user_binds(ldap_server):
     p.authenticate("alice", "wonder")  # only uid=alice,ou=users,... exists
     with pytest.raises(AuthenticationError):
         p.authenticate("alice", "wrong")
+
+
+def test_ldap_socket_error_on_first_candidate_does_not_mask_second(
+    monkeypatch,
+):
+    """No-filter path: a server that abruptly closes the socket on a
+    bad-DN bind (OSError) must not abort authentication — a later
+    candidate's valid credentials still win (reference createDirSearch
+    candidate loop semantics)."""
+    calls = []
+
+    def fake_bind(host, port, dn, password, ssl_context=None):
+        calls.append(dn)
+        if "ou=staff" in dn:
+            raise OSError("connection reset by peer")
+        return L.RESULT_SUCCESS
+
+    monkeypatch.setattr(L, "simple_bind", fake_bind)
+    p = get_authentication_provider(
+        "LDAP",
+        {
+            "kyuubi.authentication.ldap.url": "ldap://h:389",
+            "kyuubi.authentication.ldap.userDNPattern":
+                "uid=%s,ou=staff,dc=x:uid=%s,ou=svc,dc=x",
+        },
+    )
+    p.authenticate("bot", "secret")  # no raise: second candidate succeeds
+    assert calls == ["uid=bot,ou=staff,dc=x", "uid=bot,ou=svc,dc=x"]
+
+    # and when EVERY candidate errors, the last error surfaces
+    def always_err(host, port, dn, password, ssl_context=None):
+        raise OSError("down")
+
+    monkeypatch.setattr(L, "simple_bind", always_err)
+    with pytest.raises(AuthenticationError, match="bind failed"):
+        p.authenticate("bot", "secret")

@@ -147,6 +147,58 @@ def test_arrowdir_empty_partitions_commit_cleanly(arrow_registered, tmp_path):
     assert back.count() == 2
 
 
+def test_arrowdir_write_empty_then_read_back(arrow_registered, tmp_path):
+    """A committed zero-file manifest (every task partition empty) must
+    read back as zero rows, not crash on pyspark's None partition."""
+    d = str(tmp_path / "sink_empty")
+    arrow_registered.range(5).filter("id < 0").write.format(
+        "kyuubi_arrowdir"
+    ).mode("append").save(d)
+    back = arrow_registered.read.format("kyuubi_arrowdir").load(d)
+    assert back.count() == 0
+    assert [f.name for f in back.schema.fields] == ["id"]
+
+
+def test_arrowdir_append_schema_mismatch_fails_at_commit(
+    arrow_registered, tmp_path
+):
+    """Appending a differently-shaped DataFrame must fail the COMMIT, not
+    commit silently and explode at read time."""
+    import pytest
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    d = str(tmp_path / "sink_mismatch")
+    arrow_registered.range(3).write.format("kyuubi_arrowdir").mode(
+        "append"
+    ).save(d)
+    bad = arrow_registered.range(3).selectExpr("id", "id * 2 AS extra")
+    with pytest.raises(AnalysisException, match="schema mismatch"):
+        bad.write.format("kyuubi_arrowdir").mode("append").save(d)
+    # the prior committed data is intact and readable
+    back = arrow_registered.read.format("kyuubi_arrowdir").load(d)
+    assert back.count() == 3
+
+
+def test_arrowdir_append_sweeps_inprogress_orphans(arrow_registered, tmp_path):
+    """Crashed-task .inprogress staging files are reclaimed on EVERY
+    commit, not only on overwrite — append-only datasets stay clean."""
+    import os
+
+    d = str(tmp_path / "sink_sweep")
+    arrow_registered.range(4).write.format("kyuubi_arrowdir").mode(
+        "append"
+    ).save(d)
+    orphan = os.path.join(d, "part-crashed.arrow.inprogress")
+    with open(orphan, "wb") as f:
+        f.write(b"partial")
+    arrow_registered.range(4, 8).write.format("kyuubi_arrowdir").mode(
+        "append"
+    ).save(d)
+    assert not os.path.exists(orphan)
+    back = arrow_registered.read.format("kyuubi_arrowdir").load(d)
+    assert back.count() == 8
+
+
 def test_nationkey_pushdown_prunes_generation(registered):
     """c_nationkey is a modular image of the key too — EqualTo/In on it
     prune key generation; results match post-filtering the full scan."""

@@ -1,0 +1,356 @@
+"""Gateway-spawned engine OS processes — EngineRef.getOrCreate for real.
+
+The reference's core multi-tenancy mechanism: on session open, the server
+resolves the share-level engine space in discovery and, on miss, LAUNCHES
+a separate engine process under the discovery launch lock, polling the
+registry until the child registers (or fast-failing when the child dies),
+then forwards the session to it over thrift
+(kyuubi-server/.../engine/EngineRef.scala:74,108-118,164-191,224-330;
+SparkProcessBuilder.scala:69,141,466).  gateway/pool.py keeps the
+in-process analog (one JVM can hold one SparkContext); THIS module is the
+process-level lifecycle:
+
+- ``EngineProcessBuilder`` assembles the child command — a
+  ``python -m kyuubi_spark.gateway.engine_main`` run carrying namespace /
+  ref-id / the shared discovery path / ``--conf`` pairs, the
+  spark-submit analog of SparkProcessBuilder;
+- ``EngineProcessManager.get_or_create`` is EngineRef.getOrCreate:
+  resolve → (on miss, under ``tryWithLock``) re-resolve → launch → poll
+  ``get_engine_by_ref_id`` with the init timeout, surfacing the child's
+  stderr tail when it exits non-zero.  A discovered node whose endpoint
+  no longer accepts connections (engine crashed) is treated as stale:
+  its nodes are deleted and the engine relaunched — the reference gets
+  the same effect from ZK ephemerals dying with the engine's session;
+- sessions opened with ``kyuubi.engine.launch.enabled=true`` route
+  through ``open_process_session`` → a ``ProcessEngineSession`` (the
+  existing remote.py thrift hop, with internal auth and TLS when
+  configured) whose close() lets a CONNECTION-level engine die (the
+  engine self-terminates at zero sessions; the manager reaps the PID).
+  USER-level engines are shared by every session of that user and
+  outlive any one of them, expiring on the ENGINE-side idle TTL.
+
+Isolation this buys over the pool: an engine crash kills one user's
+queries only; per-user memory/CPU come from the engine's own JVM.
+"""
+
+from __future__ import annotations
+
+import os
+import socket
+import subprocess
+import sys
+import threading
+import time
+import uuid
+
+from kyuubi_spark.gateway.remote import RemoteEngineSession
+
+LAUNCH_ENABLED_KEY = "kyuubi.engine.launch.enabled"
+SHARE_LEVEL_KEY = "kyuubi.engine.share.level"
+INIT_TIMEOUT_KEY = "kyuubi.session.engine.initialize.timeout"
+
+# conf keys forwarded from the gateway into every launched engine
+_FORWARD_PREFIXES = (
+    "kyuubi.engine.",
+    "kyuubi.session.engine.",
+    "kyuubi.frontend.ssl.",
+    "kyuubi.frontend.thrift.binary.ssl.",
+    "spark.",
+)
+
+
+def _truthy(v) -> bool:
+    return str(v).lower() in ("true", "1", "yes")
+
+
+class EngineProcessBuilder:
+    """Child-command assembly (SparkProcessBuilder.scala:69-141 shape:
+    executable + mainClass + --conf k=v pairs, env carrying the code
+    path)."""
+
+    def __init__(self, conf: dict | None = None):
+        self.conf = dict(conf or {})
+
+    def command(
+        self, namespace: str, ref_id: str, discovery_path: str,
+        extra_conf: dict | None = None,
+    ) -> list[str]:
+        cmd = [
+            sys.executable, "-m", "kyuubi_spark.gateway.engine_main",
+            "--namespace", namespace,
+            "--ref-id", ref_id,
+            "--discovery", discovery_path,
+        ]
+        merged = {
+            k: v
+            for k, v in self.conf.items()
+            if any(k.startswith(p) for p in _FORWARD_PREFIXES)
+        }
+        merged.update(extra_conf or {})
+        for k, v in sorted(merged.items()):
+            cmd += ["--conf", f"{k}={v}"]
+        return cmd
+
+    def env(self) -> dict:
+        env = dict(os.environ)
+        pkg_root = os.path.dirname(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        )
+        env["PYTHONPATH"] = (
+            pkg_root + os.pathsep + env.get("PYTHONPATH", "")
+        ).rstrip(os.pathsep)
+        return env
+
+
+class ManagedEngine:
+    """One launched child: PID + captured stderr for fast-fail
+    diagnostics (ProcBuilder keeps the engine log the same way)."""
+
+    def __init__(self, proc: subprocess.Popen, namespace: str, ref_id: str,
+                 stderr_path: str):
+        self.proc = proc
+        self.namespace = namespace
+        self.ref_id = ref_id
+        self.stderr_path = stderr_path
+
+    @property
+    def pid(self) -> int:
+        return self.proc.pid
+
+    def alive(self) -> bool:
+        return self.proc.poll() is None
+
+    def stderr_tail(self, n: int = 30) -> str:
+        try:
+            with open(self.stderr_path, errors="replace") as f:
+                return "".join(f.readlines()[-n:])
+        except OSError:
+            return ""
+
+    def terminate(self, timeout: float = 10.0) -> None:
+        if self.alive():
+            # closing stdin is the parent-death signal; SIGTERM follows
+            try:
+                if self.proc.stdin:
+                    self.proc.stdin.close()
+            except OSError:
+                pass
+            self.proc.terminate()
+        try:
+            self.proc.wait(timeout=timeout)
+        except subprocess.TimeoutExpired:
+            self.proc.kill()
+            self.proc.wait(timeout=5.0)
+
+
+class EngineProcessManager:
+    """EngineRef.getOrCreate + KyuubiApplicationManager teardown over OS
+    processes.  ``discovery`` must be a FILE-backed SqliteDiscoveryClient
+    — the child process opens the same path."""
+
+    def __init__(self, discovery, conf: dict | None = None,
+                 work_dir: str | None = None):
+        if getattr(discovery, "_path", ":memory:") == ":memory:":
+            raise ValueError(
+                "engine processes need a file-backed discovery store "
+                "(in-memory registries are invisible across processes)"
+            )
+        discovery.create_client()
+        self.discovery = discovery
+        self.conf = dict(conf or {})
+        self.builder = EngineProcessBuilder(self.conf)
+        import tempfile
+
+        self.work_dir = work_dir or tempfile.mkdtemp(prefix="kyuubi-engines-")
+        self._engines: dict[str, ManagedEngine] = {}  # namespace -> child
+        self._lock = threading.RLock()
+
+    # -- engine space (EngineRef.engineSpace, :175-196) -------------------
+
+    @staticmethod
+    def engine_space(share_level: str, user: str, group: str | None = None,
+                     connection_id: str | None = None) -> str:
+        level = share_level.upper()
+        if level == "CONNECTION":
+            return f"/kyuubi/connection/{connection_id}"
+        if level == "USER":
+            return f"/kyuubi/user/{user}"
+        if level == "GROUP":
+            return f"/kyuubi/group/{group or user}"
+        return "/kyuubi/server/shared"
+
+    # -- liveness ----------------------------------------------------------
+
+    @staticmethod
+    def _endpoint_alive(host: str, port: int, timeout: float = 1.0) -> bool:
+        try:
+            with socket.create_connection((host, port), timeout=timeout):
+                return True
+        except OSError:
+            return False
+
+    def _drop_stale_nodes(self, namespace: str) -> None:
+        for info in self.discovery.get_service_nodes_info(namespace):
+            try:
+                self.discovery.delete(f"{namespace}/{info.node_name}")
+            except Exception:
+                pass
+
+    # -- getOrCreate (EngineRef.scala:372-400 + create :224-330) ----------
+
+    def get_or_create(self, namespace: str,
+                      session_conf: dict | None = None) -> tuple[str, int]:
+        resolved = self._resolve_live(namespace)
+        if resolved is not None:
+            return resolved
+        with self.discovery.try_with_lock(
+            f"{namespace}.launch-lock", timeout_ms=120_000
+        ):
+            resolved = self._resolve_live(namespace)  # loser re-resolves
+            if resolved is not None:
+                return resolved
+            return self._launch(namespace, session_conf)
+
+    def _resolve_live(self, namespace: str) -> tuple[str, int] | None:
+        resolved = self.discovery.get_server_host(namespace)
+        if resolved is None:
+            return None
+        host, port = resolved
+        if self._endpoint_alive(host, port):
+            return host, port
+        # registered but unreachable: the engine crashed without
+        # deregistering — clear the corpse and let the caller relaunch
+        self._drop_stale_nodes(namespace)
+        with self._lock:
+            dead = self._engines.pop(namespace, None)
+        if dead is not None:
+            dead.terminate(timeout=2.0)
+        return None
+
+    def _launch(self, namespace: str,
+                session_conf: dict | None) -> tuple[str, int]:
+        ref_id = uuid.uuid4().hex
+        extra = {
+            k: v
+            for k, v in (session_conf or {}).items()
+            if any(k.startswith(p) for p in _FORWARD_PREFIXES)
+        }
+        cmd = self.builder.command(
+            namespace, ref_id, self.discovery._path, extra
+        )
+        stderr_path = os.path.join(self.work_dir, f"engine-{ref_id}.log")
+        proc = subprocess.Popen(
+            cmd,
+            stdin=subprocess.PIPE,  # held open; EOF = gateway died
+            stdout=open(stderr_path, "ab"),
+            stderr=subprocess.STDOUT,
+            cwd=self.work_dir,
+            env=self.builder.env(),
+        )
+        child = ManagedEngine(proc, namespace, ref_id, stderr_path)
+        timeout = float(self.conf.get(INIT_TIMEOUT_KEY, 120.0))
+        deadline = time.time() + timeout
+        # EngineRef.create's poll loop: registry hit wins; child exit
+        # fast-fails with its log; the deadline kills a hung launch
+        while time.time() < deadline:
+            found = self.discovery.get_engine_by_ref_id(namespace, ref_id)
+            if found is not None:
+                with self._lock:
+                    self._engines[namespace] = child
+                return found
+            if not child.alive():
+                raise RuntimeError(
+                    f"engine process for {namespace} exited with "
+                    f"{proc.returncode} before registering:\n"
+                    f"{child.stderr_tail()}"
+                )
+            time.sleep(0.2)
+        child.terminate()
+        raise TimeoutError(
+            f"engine for {namespace} did not register within {timeout}s "
+            f"({INIT_TIMEOUT_KEY}):\n{child.stderr_tail()}"
+        )
+
+    # -- lifecycle ---------------------------------------------------------
+
+    def reap(self) -> int:
+        """Collect children that self-terminated (CONNECTION close / idle
+        TTL) — the PeriodicGC hook."""
+        reaped = 0
+        with self._lock:
+            for ns, child in list(self._engines.items()):
+                if not child.alive():
+                    self._engines.pop(ns)
+                    reaped += 1
+        return reaped
+
+    def stop_all(self) -> None:
+        with self._lock:
+            engines, self._engines = list(self._engines.values()), {}
+        for child in engines:
+            child.terminate()
+            self._drop_stale_nodes(child.namespace)
+
+    @property
+    def engine_count(self) -> int:
+        with self._lock:
+            return sum(1 for e in self._engines.values() if e.alive())
+
+
+class ProcessEngineSession(RemoteEngineSession):
+    """A forwarded session whose engine is a gateway-launched process.
+
+    close() closes the remote session first (the engine sees its count
+    drop and, at CONNECTION level, exits), then gives the manager a
+    chance to reap."""
+
+    def __init__(self, engine, user: str, conf: dict,
+                 manager: EngineProcessManager, namespace: str):
+        self.manager = manager
+        self.namespace = namespace
+        super().__init__(engine, user, conf)
+
+    def close(self) -> None:
+        try:
+            super().close()
+        finally:
+            # CONNECTION-level children exit ~0.5s after the close; a
+            # bounded wait keeps `close then assert dead` deterministic
+            # without penalizing shared engines (their count stays >0 or
+            # they ride the idle TTL)
+            with self.manager._lock:
+                child = self.manager._engines.get(self.namespace)
+            if child is not None and self.namespace.startswith(
+                "/kyuubi/connection/"
+            ):
+                try:
+                    child.proc.wait(timeout=15.0)
+                except subprocess.TimeoutExpired:
+                    pass
+            self.manager.reap()
+
+
+def open_process_session(engine, user: str, conf: dict):
+    """SessionManager hook: route an opening session to a launched
+    engine (KyuubiSessionImpl.openEngineSession).  Requires
+    ``engine.process_manager`` (wired by KyuubiServer when
+    kyuubi.engine.launch.enabled is on)."""
+    manager = getattr(engine, "process_manager", None)
+    if manager is None:
+        raise ValueError(
+            f"{LAUNCH_ENABLED_KEY} needs a process manager on the gateway "
+            "(KyuubiServer wires one when launch mode is enabled)"
+        )
+    conf = dict(conf or {})
+    share_level = conf.get(
+        SHARE_LEVEL_KEY, manager.conf.get(SHARE_LEVEL_KEY, "USER")
+    )
+    connection_id = uuid.uuid4().hex
+    namespace = manager.engine_space(
+        share_level, user, conf.get("kyuubi.session.group"), connection_id
+    )
+    conf.setdefault(SHARE_LEVEL_KEY, share_level)
+    host, port = manager.get_or_create(namespace, conf)
+    conf["kyuubi.engine.thrift.host"] = host
+    conf["kyuubi.engine.thrift.port"] = str(port)
+    return ProcessEngineSession(engine, user, conf, manager, namespace)

@@ -52,6 +52,9 @@ class PeriodicGCService:
             out["engines"] = self.pool.sweep_idle()
         if self.credentials is not None:
             out["credentials"] = self.credentials.sweep_expired()
+        mgr = getattr(self.engine, "process_manager", None)
+        if mgr is not None:
+            out["engine_processes"] = mgr.reap()
         return out
 
     def start(self) -> "PeriodicGCService":
@@ -115,6 +118,26 @@ class KyuubiServer:
         )
 
         self.internal_accessor = build_accessor(conf, discovery)
+        # kyuubi.engine.launch.enabled: spawn real engine OS processes per
+        # share level (EngineRef.getOrCreate lifecycle) instead of the
+        # in-process pool — needs a file-backed discovery store the
+        # children can open (gateway/engine_process.py)
+        self.process_manager = None
+        if str((conf or {}).get(
+            "kyuubi.engine.launch.enabled", "false"
+        )).lower() in ("true", "1", "yes"):
+            from kyuubi_spark.gateway.engine_process import (
+                EngineProcessManager,
+            )
+
+            if discovery is None:
+                raise ValueError(
+                    "kyuubi.engine.launch.enabled needs a file-backed "
+                    "discovery client"
+                )
+            self.process_manager = EngineProcessManager(discovery, conf)
+            self.engine.process_manager = self.process_manager
+            self.engine.launch_engines = True
         if self.internal_accessor is not None:
             # outbound: remote sessions opened through this engine mint
             # tokens instead of reading kyuubi.engine.thrift.user/password
@@ -192,6 +215,8 @@ class KyuubiServer:
                 self.engine.close_session(s.handle)
             except Exception:
                 pass
+        if self.process_manager is not None:
+            self.process_manager.stop_all()
 
 
 def main() -> None:  # pragma: no cover - manual entry point

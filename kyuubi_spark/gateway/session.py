@@ -274,6 +274,21 @@ class SessionManager:
             from kyuubi_spark.gateway.trino_engine import TrinoBackedSession
 
             s = TrinoBackedSession(self.engine, user, conf)
+        elif engine_type in ("", "SPARK_SQL") and (
+            str((conf or {}).get("kyuubi.engine.launch.enabled", "")).lower()
+            in ("true", "1", "yes")
+            or getattr(self.engine, "launch_engines", False)
+        ):
+            # the reference's DEFAULT lifecycle: EngineRef.getOrCreate
+            # spawns/discovers a separate engine process per share level
+            # and forwards the session over thrift (KyuubiSessionImpl
+            # .openEngineSession); in-process remains this repo's default,
+            # opted out of via kyuubi.engine.launch.enabled
+            from kyuubi_spark.gateway.engine_process import (
+                open_process_session,
+            )
+
+            s = open_process_session(self.engine, user, conf)
         else:
             s = Session(self.engine, user, conf)
         with self._lock:

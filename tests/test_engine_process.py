@@ -1,0 +1,204 @@
+"""Gateway-spawned engine OS processes — the EngineRef.getOrCreate
+lifecycle over real subprocesses (EngineRef.scala:74,108-118,164-191,
+224-330; SparkProcessBuilder.scala:69,141).
+
+Proves, per the architecture's contract: session open spawns a SEPARATE
+PID; queries flow end-to-end through it with internal auth and TLS;
+a CONNECTION-level engine dies with its session; a USER-level engine is
+shared by two sessions and survives the first close; crash recovery
+relaunches after a SIGKILL."""
+
+import os
+import signal
+import time
+
+import pytest
+
+from kyuubi_spark.gateway.state import FetchOrientation
+
+
+@pytest.fixture(scope="module")
+def certs(tmp_path_factory):
+    from kyuubi_spark.gateway.tls import generate_self_signed_cert
+
+    d = tmp_path_factory.mktemp("engine-tls")
+    return generate_self_signed_cert(str(d))
+
+
+@pytest.fixture(scope="module")
+def launching_gateway(spark, tmp_path_factory, certs):
+    """A gateway Engine with a process manager: engine security ON
+    (simple shared secret) and TLS ON for every launched engine's
+    frontend."""
+    from kyuubi_spark.gateway.discovery import SqliteDiscoveryClient
+    from kyuubi_spark.gateway.engine import Engine
+    from kyuubi_spark.gateway.engine_process import EngineProcessManager
+    from kyuubi_spark.gateway.internal_auth import build_accessor
+
+    cert, key = certs
+    d = tmp_path_factory.mktemp("engine-proc")
+    conf = {
+        "kyuubi.engine.security.enabled": "true",
+        "kyuubi.engine.security.secret.provider.simple.secret": "s3cret",
+        "kyuubi.session.engine.initialize.timeout": "90",
+        "kyuubi.session.engine.idle.timeout": "600",
+        "kyuubi.frontend.thrift.binary.ssl.enabled": "true",
+        "kyuubi.frontend.ssl.keystore.path": cert,
+        "kyuubi.frontend.ssl.key.path": key,
+    }
+    disco = SqliteDiscoveryClient(str(d / "registry.db"))
+    disco.create_client()
+    gw = Engine(spark)
+    gw.discovery = disco
+    gw.internal_accessor = build_accessor(conf, disco)
+    gw.process_manager = EngineProcessManager(disco, conf)
+    gw.launch_engines = False  # per-session opt-in via conf in these tests
+    yield gw, disco, cert
+    gw.process_manager.stop_all()
+    disco.close_client()
+
+
+def _open(gw, user, cert, extra=None):
+    conf = {
+        "kyuubi.engine.launch.enabled": "true",
+        "kyuubi.engine.thrift.ssl.enabled": "true",
+        "kyuubi.engine.thrift.ssl.cafile": cert,
+    }
+    conf.update(extra or {})
+    return gw.open_session(user=user, conf=conf)
+
+
+def _engine_pid(disco, namespace) -> int:
+    nodes = disco.get_service_nodes_info(namespace)
+    assert nodes, f"no engine registered under {namespace}"
+    return int(nodes[-1].attributes["pid"])
+
+
+def test_user_level_engine_lifecycle(launching_gateway):
+    """One launch covers: separate PID, TLS+internal-auth query flow,
+    two-session sharing, survival of the first close, and SIGKILL crash
+    recovery."""
+    gw, disco, cert = launching_gateway
+    ns = "/kyuubi/user/alice"
+
+    s1 = _open(gw, "alice", cert)
+    pid1 = _engine_pid(disco, ns)
+    assert pid1 != os.getpid()  # a real separate OS process
+    op = s1.execute_statement("SELECT 40 + 2 AS answer")
+    rows = op.get_next_row_set(FetchOrientation.FETCH_NEXT, 10)
+    assert [tuple(r) for r in rows] == [(42,)]
+
+    # second session, same user: SHARED engine — no second process
+    s2 = _open(gw, "alice", cert)
+    assert _engine_pid(disco, ns) == pid1
+    assert gw.process_manager.engine_count == 1
+
+    # first close must NOT kill the shared engine
+    gw.close_session(s1.handle)
+    time.sleep(1.0)
+    assert gw.process_manager.engine_count == 1
+    op = s2.execute_statement("SELECT 'still up' AS s")
+    assert [
+        r[0] for r in op.get_next_row_set(FetchOrientation.FETCH_NEXT, 5)
+    ] == ["still up"]
+    gw.close_session(s2.handle)
+
+    # crash recovery: SIGKILL leaves a stale discovery node (no clean
+    # deregistration); the next open detects the dead endpoint,
+    # clears it, and relaunches
+    os.kill(pid1, signal.SIGKILL)
+    deadline = time.time() + 10
+    while time.time() < deadline:
+        try:
+            os.kill(pid1, 0)
+            time.sleep(0.1)
+        except ProcessLookupError:
+            break
+    s3 = _open(gw, "alice", cert)
+    pid2 = _engine_pid(disco, ns)
+    assert pid2 != pid1
+    op = s3.execute_statement("SELECT 'reborn' AS s")
+    assert [
+        r[0] for r in op.get_next_row_set(FetchOrientation.FETCH_NEXT, 5)
+    ] == ["reborn"]
+    gw.close_session(s3.handle)
+
+
+def test_connection_level_engine_dies_with_session(launching_gateway):
+    gw, disco, cert = launching_gateway
+    s = _open(
+        gw, "bob", cert, extra={"kyuubi.engine.share.level": "CONNECTION"}
+    )
+    ns = s.namespace
+    assert ns.startswith("/kyuubi/connection/")
+    pid = _engine_pid(disco, ns)
+    op = s.execute_statement("SELECT 1 AS one")
+    assert [
+        r[0] for r in op.get_next_row_set(FetchOrientation.FETCH_NEXT, 5)
+    ] == [1]
+    gw.close_session(s.handle)  # ProcessEngineSession waits for the exit
+    with pytest.raises(ProcessLookupError):
+        os.kill(pid, 0)
+    # self-termination deregistered the namespace
+    assert disco.get_server_host(ns) is None
+
+
+def test_unauthenticated_connection_is_rejected(launching_gateway):
+    """The launched engine runs ONLY the engine-secure provider: a client
+    without a valid internal token cannot open a session."""
+    from kyuubi_spark.gateway.thrift import ThriftClient
+
+    gw, disco, cert = launching_gateway
+    host, port = disco.get_server_host("/kyuubi/user/alice")
+    with pytest.raises(Exception, match="(?i)token|auth|sasl"):
+        # SASL/PLAIN negotiation happens at connect: a forged token is
+        # rejected before any session can open
+        c = ThriftClient(
+            host, port, user="intruder", password="wrong", cafile=cert
+        )
+        try:
+            c.open_session(user="intruder")
+        finally:
+            c.close()
+
+
+def test_launch_enabled_requires_manager(spark):
+    from kyuubi_spark.gateway.engine import Engine
+
+    gw = Engine(spark)
+    with pytest.raises(ValueError, match="process manager"):
+        gw.open_session(
+            user="nomgr", conf={"kyuubi.engine.launch.enabled": "true"}
+        )
+
+
+def test_manager_rejects_memory_discovery():
+    from kyuubi_spark.gateway.discovery import SqliteDiscoveryClient
+    from kyuubi_spark.gateway.engine_process import EngineProcessManager
+
+    with pytest.raises(ValueError, match="file-backed"):
+        EngineProcessManager(SqliteDiscoveryClient())
+
+
+def test_server_assembly_wires_manager(spark, tmp_path, certs):
+    """KyuubiServer with kyuubi.engine.launch.enabled builds the manager,
+    PeriodicGC reaps exited children, stop() tears processes down."""
+    from kyuubi_spark.gateway.discovery import SqliteDiscoveryClient
+    from kyuubi_spark.gateway.server_main import KyuubiServer
+
+    disco = SqliteDiscoveryClient(str(tmp_path / "srv.db"))
+    disco.create_client()
+    server = KyuubiServer(
+        spark,
+        conf={
+            "kyuubi.engine.launch.enabled": "true",
+            "kyuubi.engine.security.enabled": "true",
+            "kyuubi.engine.security.secret.provider.simple.secret": "s2",
+        },
+        discovery=disco,
+    )
+    assert server.process_manager is not None
+    assert server.engine.process_manager is server.process_manager
+    assert "engine_processes" in server.gc.tick()
+    server.stop()
+    disco.close_client()

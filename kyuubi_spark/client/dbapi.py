@@ -233,8 +233,8 @@ class Connection:
 _TYPE_NAMES = {
     0: "boolean", 1: "tinyint", 2: "smallint", 3: "int", 4: "bigint",
     5: "float", 6: "double", 7: "string", 8: "timestamp", 9: "binary",
-    10: "array", 11: "map", 12: "struct", 15: "decimal", 16: "date",
-    17: "varchar",
+    10: "array", 11: "map", 12: "struct", 15: "decimal", 16: "null",
+    17: "date", 18: "varchar",
 }
 
 

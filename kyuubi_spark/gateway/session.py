@@ -62,6 +62,12 @@ class Session:
                     self.spark.conf.set(k, str(v))
                 except Exception:
                     pass  # static conf — builder-level only
+        # HS2 "use:database" client conf selects the session's initial
+        # database (reference SparkSQLSessionManager.openSession applies
+        # use:<db> on open; the JDBC URL's /db path arrives this way)
+        use_db = self.conf.get_raw("use:database")
+        if use_db:
+            self.spark.catalog.setCurrentDatabase(str(use_db))
         register_kdfs(self.spark, session_user=user)
 
     # -- statement execution ----------------------------------------------

@@ -296,6 +296,13 @@ class ExecuteStatement(Operation):
             WD.check_unsupported_operations(
                 df, conf.get(C.WATCHDOG_FORBID_CROSS_JOIN)
             )
+            # year-month/calendar intervals and variants must be rendered
+            # JVM-side before the driver boundary (wire.wire_safe_df);
+            # _schema above keeps the ORIGINAL types for metadata, so
+            # clients still see INTERVAL_YEAR_MONTH etc. (SchemaHelper)
+            from kyuubi_spark.gateway.wire import wire_safe_df
+
+            df, _ = wire_safe_df(df)
             if conf.get(C.OPERATION_RESULT_FORMAT).lower() == "arrow":
                 self._iter = ArrayFetchIterator(self._collect_arrow(df))
                 return

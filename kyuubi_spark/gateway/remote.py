@@ -58,6 +58,10 @@ _SPARK_TYPE = {
     15: T.DecimalType(38, 18),
     16: T.NullType(),
     17: T.DateType(),
+    18: T.StringType(),  # VARCHAR
+    19: T.StringType(),  # CHAR
+    20: T.StringType(),  # INTERVAL_YEAR_MONTH (hive-string on the wire)
+    21: T.StringType(),  # INTERVAL_DAY_TIME (hive-string on the wire)
 }
 
 _ORIENT_ORDINAL = {

@@ -173,12 +173,15 @@ class ProtocolReader:
 
 PROTOCOL_V10 = 9  # HIVE_CLI_SERVICE_PROTOCOL_V10 enum ordinal
 
-# TTypeId enum ordinals (public TCLIService.thrift)
+# TTypeId enum ordinals (public TCLIService.thrift) keyed by the HS2
+# type name from schema.hs2_type_name (SchemaHelper.toTTypeId) — NTZ
+# rides the TIMESTAMP id, CalendarInterval/Variant/UDT ride STRING
 _TYPE_ID = {
     "boolean": 0, "tinyint": 1, "smallint": 2, "int": 3, "bigint": 4,
     "float": 5, "double": 6, "string": 7, "timestamp": 8, "binary": 9,
     "array": 10, "map": 11, "struct": 12, "decimal": 15, "null": 16,
-    "date": 17, "timestamp_ntz": 8,
+    "date": 17, "varchar": 18, "char": 19,
+    "interval_year_month": 20, "interval_day_time": 21,
 }
 
 # TColumn union slot per carried representation
@@ -234,8 +237,9 @@ def _guid_of(handle_struct: dict) -> bytes:
 
 
 def _simple(dt: T.DataType) -> str:
-    s = dt.simpleString()
-    return s.split("(")[0]
+    from kyuubi_spark.gateway.schema import hs2_type_name
+
+    return hs2_type_name(dt).lower()
 
 
 def _type_desc(dt: T.DataType) -> list:

@@ -17,13 +17,36 @@ Counterparts in the reference:
 from __future__ import annotations
 
 import math
-from datetime import date, datetime
+from datetime import date, datetime, timedelta
 from decimal import Decimal
 from typing import Any, Sequence
 
 from pyspark.sql import types as T
 
-__all__ = ["to_hive_string", "to_row_based_set", "to_column_based_set"]
+__all__ = [
+    "to_hive_string",
+    "to_row_based_set",
+    "to_column_based_set",
+    "wire_safe_df",
+]
+
+
+def _fmt_daytime_interval(td: timedelta) -> str:
+    """HIVE-style day-time interval: ``[-]d hh:mm:ss.fffffffff`` with a
+    9-digit fraction and the sign on the day field even for -0 — the
+    exact strings the reference's RowSet ships (RowSet.scala
+    toDayTimeIntervalString HIVE_STYLE; SparkDataTypeTests.scala:251-277
+    pins e.g. ``-0 00:59:30.000000000``)."""
+    micros = (
+        td.days * 86_400_000_000 + td.seconds * 1_000_000 + td.microseconds
+    )
+    sign = "-" if micros < 0 else ""
+    a = abs(micros)
+    days, rest = divmod(a, 86_400_000_000)
+    hh, rest = divmod(rest, 3_600_000_000)
+    mm, rest = divmod(rest, 60_000_000)
+    ss, us = divmod(rest, 1_000_000)
+    return f"{sign}{days} {hh:02d}:{mm:02d}:{ss:02d}.{us * 1000:09d}"
 
 
 def _fmt_float(v: float) -> str:
@@ -74,6 +97,8 @@ def to_hive_string(value: Any, dt: T.DataType, nested: bool = False) -> str:
         return str(Decimal(value))
     if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
         return _fmt_ts(value)
+    if isinstance(dt, T.DayTimeIntervalType):
+        return _fmt_daytime_interval(value)
     if isinstance(dt, T.DateType):
         return value.isoformat() if isinstance(value, date) else str(value)
     if isinstance(dt, T.BinaryType):
@@ -154,3 +179,50 @@ def to_column_based_set(rows: Sequence[Sequence[Any]], schema: T.StructType) -> 
             }
         )
     return {"startRowOffset": 0, "columns": columns}
+
+
+def wire_safe_df(df):
+    """Replace columns whose values cannot cross the Python driver
+    boundary with their JVM-rendered wire strings, keeping every other
+    column intact.  Returns (df, changed).
+
+    The reference stringifies these JVM-side before the wire too
+    (ExecuteStatement.scala:245-247 + SchemaHelper: VARIANT and
+    CalendarInterval map to STRING; RowSet renders year-month intervals
+    HIVE-style, SparkDataTypeTests.scala:290-310 pins e.g. ``0-3``).
+    PySpark additionally CANNOT collect YearMonthIntervalType /
+    CalendarIntervalType / VariantType rows at all (fromInternal
+    unimplemented), so the rendering must happen before collection:
+
+    - year-month interval → normalize to INTERVAL YEAR TO MONTH, cast to
+      the ANSI string, extract the quoted body: ``0-3`` / ``-3-1`` —
+      exactly the HIVE_STYLE form;
+    - calendar interval / variant → plain CAST(x AS STRING) (the Hive
+      wording ``1 hours 2 minutes``, JSON text respectively).
+
+    Day-time intervals are untouched: they collect as timedelta and
+    to_hive_string renders them; Arrow ships them as duration[us].
+    Metadata is unaffected — callers keep the ORIGINAL schema for
+    GetResultSetMetadata, so clients still see INTERVAL_YEAR_MONTH etc.
+    """
+    from pyspark.sql import functions as F
+
+    exprs = []
+    changed = False
+    for i, f in enumerate(df.schema.fields):
+        col = df[i]  # positional: immune to duplicate/odd names
+        if isinstance(f.dataType, T.YearMonthIntervalType):
+            changed = True
+            exprs.append(
+                F.regexp_extract(
+                    col.cast("interval year to month").cast("string"),
+                    r"'(.*)'",
+                    1,
+                ).alias(f.name)
+            )
+        elif f.dataType.simpleString() in ("interval", "variant"):
+            changed = True
+            exprs.append(col.cast("string").alias(f.name))
+        else:
+            exprs.append(col)
+    return (df.select(*exprs), True) if changed else (df, False)

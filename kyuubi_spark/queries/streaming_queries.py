@@ -274,6 +274,40 @@ def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_stateful_totals_watermark",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+    doc="The PRODUCTION form of stream_stateful_totals: update output + "
+    "event-time watermark + EventTimeTimeout state eviction "
+    "(applyInPandasWithState sets a timeout 1h past the watermark and "
+    "removes timed-out keys), so an always-on job's state store holds "
+    "only keys active inside the watermark horizon instead of every key "
+    "ever seen. Update rows are collapsed to per-key finals (n_events is "
+    "monotone, max_by picks the last emission) and value-verified against "
+    "the same batch oracle as the NoTimeout replay.",
+)
+def stream_stateful_totals_watermark(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from kyuubi_spark.streaming.runner import run_to_memory
+    from kyuubi_spark.streaming.stateful import running_user_totals_evicting
+
+    stream = _events_stream(spark, sf_dir)
+    result = run_to_memory(
+        running_user_totals_evicting(stream), output_mode="update"
+    )
+    finals = result.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.max_by("total_value", "n_events").alias("total_value"),
+    )
+    return finals.select(
+        "user_id", "n_events", dround("total_value", 2).alias("total_value")
+    ).orderBy("user_id")
+
+
+@query(
     "stream_sink_parquet",
     oracle="""
     SELECT user_id, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
@@ -489,16 +523,70 @@ def stream_dsir_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result.orderBy("doc_id")
 
 
-# the streaming replay covers the whole corpus, so the batch DSIR oracle
-# applies verbatim
+@query(
+    "stream_dsir_filter_update",
+    oracle=None,  # assigned below from pipeline6.DSIR_ORACLE
+    doc="The documented SCALE PATH of stream_dsir_filter, exercised: "
+    "update output mode + event-time watermark + a windowed per-doc "
+    "aggregation, so completed windows' state is EVICTED as the "
+    "watermark advances instead of accumulating one state row per "
+    "document forever (complete mode keeps all). Event time is a "
+    "deterministic per-doc timestamp (all of a doc's features share it, "
+    "so no doc straddles windows and finals are exact); update rows "
+    "collapse to per-doc finals via max_by on the monotone feature "
+    "count. Value-verified against the same batch DSIR oracle.",
+)
+def stream_dsir_filter_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kyuubi_spark.queries.pipeline6 import (
+        _dsir_features,
+        dsir_bucket_ratios,
+    )
+    from kyuubi_spark.streaming.runner import file_stream, run_to_memory
+
+    ensure_runtime_confs(spark)
+    ratios = dsir_bucket_ratios(spark, sf_dir)
+    stream = file_stream(spark, os.path.join(sf_dir, "documents.parquet"))
+    feats = _dsir_features(stream)
+    # synthetic-but-deterministic event time: a pure function of doc_id,
+    # spread over one day, identical for every feature of a doc — the
+    # production analog is the doc's ingestion timestamp
+    with_ts = feats.withColumn(
+        "ingest_ts",
+        F.timestamp_micros(F.pmod(F.xxhash64("doc_id"), F.lit(86_400_000_000))),
+    ).withWatermark("ingest_ts", "10 minutes")
+    scored = with_ts.join(F.broadcast(ratios), "b")
+    logw = dround(F.avg("log_ratio"), 3)
+    agged = (
+        scored.groupBy(F.window("ingest_ts", "1 hour"), F.col("doc_id"))
+        .agg(
+            F.first("source").alias("source"),
+            F.count("*").alias("n_feats"),
+            logw.alias("avg_logw"),
+            F.when(logw > 0, 1).otherwise(0).alias("keep"),
+        )
+        .drop("window")
+    )
+    result = run_to_memory(agged, output_mode="update")
+    finals = result.groupBy("doc_id").agg(
+        F.max_by(
+            F.struct("source", "n_feats", "avg_logw", "keep"), "n_feats"
+        ).alias("s")
+    )
+    return finals.select("doc_id", "s.*").orderBy("doc_id")
+
+
+# the streaming replays cover the whole corpus, so the batch DSIR oracle
+# applies verbatim to both the complete-mode and update-mode forms
 def _attach_dsir_oracle() -> None:
     from kyuubi_spark.queries import REGISTRY, QuerySpec
     from kyuubi_spark.queries.pipeline6 import DSIR_ORACLE
 
-    spec = REGISTRY["stream_dsir_filter"]
-    REGISTRY["stream_dsir_filter"] = QuerySpec(
-        name=spec.name, builder=spec.builder, oracle=DSIR_ORACLE, doc=spec.doc
-    )
+    for name in ("stream_dsir_filter", "stream_dsir_filter_update"):
+        spec = REGISTRY[name]
+        REGISTRY[name] = QuerySpec(
+            name=spec.name, builder=spec.builder, oracle=DSIR_ORACLE,
+            doc=spec.doc,
+        )
 
 
 _attach_dsir_oracle()

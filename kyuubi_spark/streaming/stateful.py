@@ -63,6 +63,49 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def _update_totals_evicting(
+    key, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    if state.hasTimedOut:
+        # watermark passed the key's horizon: every update for it was
+        # already emitted, so just reclaim the state-store slot
+        state.remove()
+        return
+    n, total = state.get if state.exists else (0, 0.0)
+    for pdf in pdfs:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+    state.update((n, total))
+    # evict once the event-time watermark moves 1h past this batch —
+    # bounds state to ACTIVE keys instead of every key ever seen
+    state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 3_600_000)
+    yield pd.DataFrame(
+        {"user_id": [user_id], "n_events": [n], "total_value": [total]}
+    )
+
+
+def running_user_totals_evicting(events: DataFrame) -> DataFrame:
+    """The PRODUCTION form of running_user_totals: update output + an
+    event-time watermark + EventTimeTimeout eviction, so an always-on
+    job's state store holds only keys active within the watermark
+    horizon (unbounded key cardinality at 100 TB makes NoTimeout state
+    grow forever).  Emitted update rows are value-identical — the
+    replay asserts final per-key equality with the NoTimeout oracle."""
+    return (
+        events.withWatermark("ts", "2 hours")
+        .select("user_id", "value", "ts")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update_totals_evicting,
+            outputStructType=_OUT_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Spark 4 transformWithStateInPandas — the successor API: named state
 # variables (value/list/map) + timers on a StatefulProcessor object,

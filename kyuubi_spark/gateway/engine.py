@@ -61,11 +61,17 @@ class Engine:
         self.metadata_store = SRV.MetadataStore(store_path) if store_path else None
         # Lifecycle events + metrics (kyuubi-events EventBus / kyuubi-metrics
         # MetricsSystem). Optional JSON-lines event log via conf.
-        from kyuubi_spark.gateway.events import EventBus, JsonFileEventLogger
+        from kyuubi_spark.gateway.events import (
+            EventBus,
+            JsonFileEventLogger,
+            OperationEventsStore,
+        )
         from kyuubi_spark.gateway.metrics import MetricsRegistry
 
         self.events = EventBus()
         self.metrics = MetricsRegistry()
+        # per-operation accounting, queryable after close (EngineEventsStore)
+        self.op_store = OperationEventsStore()
         log_path = self.conf.get(C.EVENT_LOG_PATH)
         if log_path:
             self.events.subscribe(JsonFileEventLogger(log_path))

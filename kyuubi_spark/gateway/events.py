@@ -77,3 +77,57 @@ class JsonFileEventLogger:
     def __call__(self, event: Event) -> None:
         with self._lock, open(self.path, "a") as f:
             f.write(json.dumps(event, default=str) + "\n")
+
+
+class OperationEventsStore:
+    """Bounded per-operation accounting store — the EngineEventsStore
+    shape (externals/kyuubi-spark-sql-engine/.../events/EngineEventsStore
+    .scala:33-72 over SparkOperationEvent): one summary record per
+    operation id, upserted on every state transition and fetch, queryable
+    after the operation closes.  Cleanup over the threshold removes
+    FINISHED (terminal) records first, then active ones — the reference's
+    two-step eviction."""
+
+    _TERMINAL = {"FINISHED", "ERROR", "CANCELED", "CLOSED", "TIMEOUT"}
+
+    def __init__(self, max_records: int = 200):
+        self.max_records = max_records
+        self._lock = threading.RLock()
+        self._records: dict[str, dict] = {}  # insertion-ordered
+
+    def put(self, summary: dict) -> None:
+        op_id = summary["operationId"]
+        with self._lock:
+            self._records[op_id] = summary
+            if len(self._records) > self.max_records:
+                self._cleanup()
+
+    def _cleanup(self) -> None:
+        overflow = len(self._records) - self.max_records
+        # pass 1: oldest terminal records
+        for op_id in [
+            k for k, r in self._records.items()
+            if r.get("state") in self._TERMINAL
+        ][:overflow]:
+            del self._records[op_id]
+            overflow -= 1
+        # pass 2: oldest records outright (still over: all-active store)
+        for op_id in list(self._records)[:max(0, overflow)]:
+            del self._records[op_id]
+
+    def get(self, operation_id: str) -> dict | None:
+        with self._lock:
+            return self._records.get(operation_id)
+
+    def list(self) -> list[dict]:
+        """All records ordered by createTime (getStatementList)."""
+        with self._lock:
+            return sorted(
+                self._records.values(),
+                key=lambda r: r.get("createTime", 0),
+            )
+
+    @property
+    def count(self) -> int:
+        with self._lock:
+            return len(self._records)

@@ -24,6 +24,9 @@ OP_TOTAL = "kyuubi.operation.total"
 OP_FAIL = "kyuubi.operation.failed"
 OP_STATE_PREFIX = "kyuubi.operation.state."
 OP_EXEC_TIME = "kyuubi.operation.exec_time"
+# backend-service fetch accounting (MetricsConstants.scala:78-79)
+BS_FETCH_RESULT_ROWS = "kyuubi.backend_service.fetch_result_rows_rate"
+BS_FETCH_LOG_ROWS = "kyuubi.backend_service.fetch_log_rows_rate"
 
 
 class MetricsRegistry:

@@ -72,6 +72,15 @@ class Operation:
         self._thread: threading.Thread | None = None
         self.start_time = time.time()
         self.complete_time: float | None = None
+        # per-operation accounting (SQLOperationListener run accounting +
+        # SparkOperationEvent fields): transitions with timestamps, rows
+        # shipped to the client, and the chosen collect mode — snapshotted
+        # into engine.op_store so the record outlives close()
+        self.transitions: list[tuple[str, float]] = [
+            (self.state.value, self.start_time)
+        ]
+        self.rows_fetched = 0
+        self.collect_mode: str | None = None
 
     # -- lifecycle ---------------------------------------------------------
     def set_state(self, new: OperationState) -> None:
@@ -113,6 +122,32 @@ class Operation:
                 toState=new.value,
             )
         )
+        self.transitions.append((new.value, time.time()))
+        self._store_summary(engine)
+
+    def summary(self) -> dict:
+        """SparkOperationEvent-shaped accounting record."""
+        return {
+            "operationId": self.handle.id,
+            "sessionId": self.session.handle.id,
+            "operation": type(self).__name__,
+            "statement": getattr(self, "statement", None),
+            "user": getattr(self.session, "user", None),
+            "state": self.state.value,
+            "createTime": self.start_time,
+            "completeTime": self.complete_time,
+            "duration": (self.complete_time or time.time()) - self.start_time,
+            "transitions": list(self.transitions),
+            "rowsFetched": self.rows_fetched,
+            "collectMode": self.collect_mode,
+            "error": str(self.exception) if self.exception else None,
+        }
+
+    def _store_summary(self, engine=None) -> None:
+        engine = engine or getattr(self.session, "engine", None)
+        store = getattr(engine, "op_store", None)
+        if store is not None:
+            store.put(self.summary())
 
     def run(self) -> "Operation":
         if self._async:
@@ -197,7 +232,18 @@ class Operation:
                 self._iter.fetch_absolute(0)
             elif orientation is FetchOrientation.FETCH_PRIOR:
                 self._iter.fetch_prior(size)
-            return self._iter.take(size)
+            out = self._iter.take(size)
+        # arrow mode pages RecordBatches (num_rows each); thrift pages Rows
+        n = sum(getattr(x, "num_rows", 1) for x in out)
+        if n:
+            self.rows_fetched += n
+            engine = getattr(self.session, "engine", None)
+            if engine is not None and hasattr(engine, "metrics"):
+                from kyuubi_spark.gateway import metrics as M
+
+                engine.metrics.inc(M.BS_FETCH_RESULT_ROWS, n)
+            self._store_summary(engine)
+        return out
 
     # -- status (GetOperationStatus, TFrontendService.scala:454;
     #    progress rows as SparkProgressMonitor, SparkOperation.scala:98-110;
@@ -241,6 +287,12 @@ class Operation:
     def fetch_log(self, size: int = 100) -> list[str]:
         out = self._log[self._log_pos : self._log_pos + size]
         self._log_pos += len(out)
+        if out:
+            engine = getattr(self.session, "engine", None)
+            if engine is not None and hasattr(engine, "metrics"):
+                from kyuubi_spark.gateway import metrics as M
+
+                engine.metrics.inc(M.BS_FETCH_LOG_ROWS, len(out))
         return out
 
 
@@ -304,6 +356,7 @@ class ExecuteStatement(Operation):
 
             df, _ = wire_safe_df(df)
             if conf.get(C.OPERATION_RESULT_FORMAT).lower() == "arrow":
+                self.collect_mode = "arrow"
                 self._iter = ArrayFetchIterator(self._collect_arrow(df))
                 return
             self._iter = self._collect(df, conf)
@@ -323,14 +376,18 @@ class ExecuteStatement(Operation):
         max_rows = conf.get(C.OPERATION_RESULT_MAX_ROWS)
         if conf.get(C.OPERATION_INCREMENTAL_COLLECT):
             self.log("incremental collect mode: toLocalIterator")
+            self.collect_mode = "incremental"
             return IterableFetchIterator(df.toLocalIterator())
         if conf.get(C.OPERATION_RESULT_SAVE_TO_FILE) and self._result_size_over(
             df, conf.get(C.OPERATION_RESULT_SAVE_TO_FILE_MINSIZE)
         ):
+            self.collect_mode = "spill"
             return self._spill_and_stream(df)
         if max_rows and max_rows > 0:
             self.log(f"take({max_rows}) mode")
+            self.collect_mode = "take"
             return ArrayFetchIterator(df.take(max_rows))
+        self.collect_mode = "collect"
         return ArrayFetchIterator(df.collect())
 
     def _result_size_over(self, df: DataFrame, min_size: int) -> bool:

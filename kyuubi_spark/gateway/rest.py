@@ -321,6 +321,11 @@ class RestGateway:
             )
             self.operations[op.handle.id] = (s, op)
             h._reply(200, {"identifier": op.handle.id, "state": op.state.value})
+        elif parts == ["operations"] and method == "GET":
+            # per-operation accounting records (EngineEventsStore
+            # getStatementList shape): state transitions, wall time, rows
+            # fetched, collect mode — survive operation close
+            h._reply(200, self.engine.op_store.list())
         elif len(parts) >= 2 and parts[0] == "operations":
             self._route_operation(h, method, parts, q)
         elif parts == ["batches"] and method == "POST":
@@ -529,6 +534,12 @@ class RestGateway:
     def _route_operation(self, h, method: str, parts: list[str], q) -> None:
         ent = self.operations.get(parts[1])
         if ent is None:
+            # not a REST-created live op: serve the accounting record (ops
+            # from any frontend land in op_store and outlive close)
+            record = self.engine.op_store.get(parts[1])
+            if record is not None and len(parts) == 2 and method == "GET":
+                h._reply(200, record)
+                return
             h._reply(404, {"error": "no such operation"})
             return
         session, op = ent

@@ -111,13 +111,11 @@ class AgentOperation(Operation):
         p.approved = approved
         p.event.set()
 
-    def _execute(self) -> None:
-        reasoning, sql = _plan(self.task)
-        self._emit("reasoning_delta", text=reasoning)
+    def _run_sql_tool(self, sql: str) -> tuple:
+        """One approval-gated run_sql tool call → (df, rows)."""
         call_id = uuid.uuid4().hex[:12]
         self._emit("tool_call", call_id=call_id, tool="run_sql",
                    arguments={"sql": sql})
-
         if self.require_approval:
             pending = _PendingApproval(call_id)
             self._pending = pending
@@ -127,10 +125,44 @@ class AgentOperation(Operation):
             if not pending.approved:
                 self._emit("tool_result", call_id=call_id, status="denied")
                 raise AgentDenied(f"tool call {call_id} denied by user")
-
         df = self.session.spark.sql(sql)
         rows = df.collect()
-        self._emit("tool_result", call_id=call_id, status="ok", rows=len(rows))
+        self._emit("tool_result", call_id=call_id, status="ok",
+                   rows=len(rows))
+        return df, rows
+
+    def _execute(self) -> None:
+        from kyuubi_spark.gateway import agent_planner as P
+
+        intent = P.parse_nl(self.task)
+        if intent is not None:
+            # multi-turn conversation: schema lookup → grounded SQL draft
+            # → execute → summarize (the reference agent's turn shape;
+            # the planner is deterministic, agent_planner.py)
+            self._emit(
+                "reasoning_delta",
+                text=f"To answer {self.task!r} I first need the schema "
+                f"of {intent.table}.",
+            )
+            call_id = uuid.uuid4().hex[:12]
+            self._emit("tool_call", call_id=call_id, tool="describe_table",
+                       arguments={"table": intent.table})
+            columns = [
+                (f.name, f.dataType.simpleString())
+                for f in self.session.spark.table(intent.table).schema.fields
+            ]
+            self._emit("tool_result", call_id=call_id, status="ok",
+                       columns=[{"name": n, "type": t} for n, t in columns])
+            reasoning, sql = P.draft_sql(intent, columns)
+            self._emit("reasoning_delta", text=reasoning)
+            df, rows = self._run_sql_tool(sql)
+            self._emit("reasoning_delta", text=P.summarize(intent, rows))
+        else:
+            # direct command forms (count <t> / schema of <t> / sql: ...)
+            # stay single-shot: the task already names the exact action
+            reasoning, sql = _plan(self.task)
+            self._emit("reasoning_delta", text=reasoning)
+            df, rows = self._run_sql_tool(sql)
         self._emit("final_result")
         self.result_df = df
         self._schema = df.schema

@@ -191,6 +191,11 @@ HEADLINE = [
     "limit_offset_page",
     "xml_extract",
     "hll_sketch_union",
+    # r08: streaming update-mode + watermark scale-path variants +
+    # contrastive pair mining
+    "stream_stateful_totals_watermark",
+    "stream_dsir_filter_update",
+    "contrastive_pair_mining",
 ]
 
 
@@ -361,24 +366,51 @@ def main() -> None:
 
     from kyuubi_spark.caching import release_caches
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        spec = specs.get(name)
-        if spec is None:
-            continue
+    def run_one(name) -> float:
+        spec = specs[name]
         t0 = time.perf_counter()
         try:
             df = spec.builder(spark, sf_dir)
             df.count()
-            timings[name] = round(time.perf_counter() - t0, 3)
+            return round(time.perf_counter() - t0, 3)
         except Exception as e:  # record failures as negative sentinel
             print(f"# bench error {name}: {e}", file=sys.stderr)
-            timings[name] = -1.0
+            return -1.0
         finally:
             # operator-internal persists (dedup signature relations etc.)
-            # are scoped to the query that built them — release so 218
+            # are scoped to the query that built them — release so 268
             # sequential queries don't accumulate cached partitions
             release_caches()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        if name in specs:
+            timings[name] = run_one(name)
+
+    # Noise-floor lane: re-run the slowest TOP_K queries twice more and
+    # report their MEDIAN (machine-load spikes during a 260+-query sweep
+    # otherwise masquerade as plan regressions — the r07 lesson, where the
+    # unchanged real-text TPC-DS lane drifted +23% round-over-round).
+    # All samples land in BENCH_DETAIL["repeats"]. First sample is the
+    # cold (codegen-compiling) run; medians therefore sit at warm cost,
+    # which is also the production-relevant number.
+    repeats_n = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
+    top_k = int(os.environ.get("SPARK_GRAFT_BENCH_TOPK", "25"))
+    repeats: dict[str, list[float]] = {}
+    if repeats_n > 1 and top_k > 0:
+        slowest = sorted(
+            (n for n, v in timings.items() if v >= 0),
+            key=lambda n: timings[n],
+            reverse=True,
+        )[:top_k]
+        for name in slowest:
+            samples = [timings[name]]
+            for _ in range(repeats_n - 1):
+                s = run_one(name)
+                if s >= 0:
+                    samples.append(s)
+            repeats[name] = samples
+            timings[name] = round(sorted(samples)[len(samples) // 2], 3)
 
     ok = {k: v for k, v in timings.items() if v >= 0}
     total = round(sum(ok.values()), 3)
@@ -400,6 +432,7 @@ def main() -> None:
                     "sf": sf,
                     "n_queries": len(timings),
                     "n_failed": len(timings) - len(ok),
+                    "repeats": repeats,
                     "realtext": realtext,
                 },
                 f,

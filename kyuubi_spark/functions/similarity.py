@@ -434,6 +434,74 @@ def cosine_topk_lsh(
     )
 
 
+def contrastive_pairs(
+    embeddings: DataFrame,
+    anchors: DataFrame,
+    pos_min: float = 0.15,
+    neg_min: float = 0.0,
+    n_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Training-pair mining for contrastive embedding fine-tuning.
+
+    For each anchor vector: positives = same-SRP-bucket candidates with
+    rounded cosine >= ``pos_min``; HARD negatives = same-bucket
+    candidates with cosine in [``neg_min``, ``pos_min``) — vectors that
+    collide in the ANN index (plausible) yet are not near-duplicates,
+    exactly the negatives that sharpen a contrastive loss (easy negatives
+    from random sampling carry no gradient).  Below ``neg_min`` the
+    candidate is dropped as an easy negative.
+
+    100 TB shape: identical to cosine_topk_lsh's — SRP bucketing is one
+    map-side-combined aggregate, candidates come from the bucket
+    EQUI-join (never all-pairs), anchors broadcast.  Output is directed
+    (anchor → pair).
+    """
+    buckets = srp_buckets_df(embeddings, n_planes, dim, id_col, vec_col)
+    emb_b = (
+        _with_vec_norm(embeddings, id_col, vec_col, "e")
+        .join(buckets, F.col("e_id") == F.col("id"))
+        .drop("id")
+        .localCheckpoint(eager=False)
+    )
+    a = emb_b.select(
+        F.col("e_id").alias("anchor_id"),
+        F.col("e_vec").alias("anchor_vec"),
+        F.col("e_nrm").alias("anchor_nrm"),
+        F.col("bucket").alias("a_bucket"),
+    ).join(anchors.select(F.col(id_col).alias("anchor_id")).distinct(), "anchor_id")
+    c = emb_b.select(
+        F.col("e_id").alias("pair_id"),
+        F.col("e_vec").alias("pair_vec"),
+        F.col("e_nrm").alias("pair_nrm"),
+        F.col("bucket").alias("c_bucket"),
+    )
+    scored = c.join(
+        F.broadcast(a),
+        (F.col("a_bucket") == F.col("c_bucket"))
+        & (F.col("anchor_id") != F.col("pair_id")),
+    ).withColumn(
+        "score",
+        dround(
+            _dot_pre(F.col("anchor_vec"), F.col("pair_vec"))
+            / (F.col("anchor_nrm") * F.col("pair_nrm")),
+            6,
+        ),
+    )
+    return (
+        scored.withColumn(
+            "pair_type",
+            F.when(F.col("score") >= pos_min, F.lit("pos")).when(
+                F.col("score") >= neg_min, F.lit("hardneg")
+            ),
+        )
+        .filter(F.col("pair_type").isNotNull())
+        .select("anchor_id", "pair_id", "pair_type", "score")
+    )
+
+
 # ---------------------------------------------------------------------------
 # IVF (inverted-file) approximate nearest neighbor
 # ---------------------------------------------------------------------------

@@ -236,6 +236,23 @@ class SqliteDiscoveryClient:
                 out.append(rest)
         return sorted(out)
 
+    def engine_spaces(self, root: str = "/kyuubi") -> list[str]:
+        """Every namespace under ``root`` that holds at least one service
+        node, at ANY depth — share-level engine spaces are two levels
+        deep (/kyuubi/user/alice, EngineRef.engineSpace), so a
+        single-level children walk misses them."""
+        prefix = root.rstrip("/") + "/"
+        with self._lock:
+            rows = self._db().execute(
+                "SELECT path FROM znodes WHERE path LIKE ?", (prefix + "%",)
+            ).fetchall()
+        spaces = {
+            p.rsplit("/", 1)[0]
+            for (p,) in rows
+            if p.rsplit("/", 1)[-1].startswith("serverUri=")
+        }
+        return sorted(spaces)
+
     def path_exists(self, path: str) -> bool:
         with self._lock:
             return (

@@ -342,13 +342,29 @@ def open_process_session(engine, user: str, conf: dict):
             "(KyuubiServer wires one when launch mode is enabled)"
         )
     conf = dict(conf or {})
-    share_level = conf.get(
-        SHARE_LEVEL_KEY, manager.conf.get(SHARE_LEVEL_KEY, "USER")
-    )
+
+    def _conf(key, default=None):
+        return conf.get(key, manager.conf.get(key, default))
+
+    share_level = _conf(SHARE_LEVEL_KEY, "USER")
     connection_id = uuid.uuid4().hex
     namespace = manager.engine_space(
         share_level, user, conf.get("kyuubi.session.group"), connection_id
     )
+    # subdomain / engine pool (EngineRef.subdomain, EngineRef.scala
+    # :118-140): an explicit subdomain nests the engine space one level;
+    # a pool size > 0 round-robins a POLLING counter over
+    # engine-pool-0..N-1 subdomains — N engine processes per user
+    subdomain = _conf("kyuubi.engine.share.level.subdomain")
+    pool_size = int(_conf("kyuubi.engine.pool.size", 0) or 0)
+    if share_level != "CONNECTION":
+        if pool_size > 0 and not subdomain:
+            seq = manager.discovery.get_and_increment(
+                f"{namespace}.pool-seq"
+            )
+            subdomain = f"engine-pool-{seq % pool_size}"
+        if subdomain:
+            namespace = f"{namespace}/{subdomain}"
     conf.setdefault(SHARE_LEVEL_KEY, share_level)
     host, port = manager.get_or_create(namespace, conf)
     conf["kyuubi.engine.thrift.host"] = host

@@ -17,8 +17,11 @@ Spark APPLICATION per engine (process isolation); a single JVM can hold one
 SparkContext, so each pooled "engine" here shares the root SparkSession and
 isolation is per-session `newSession()` SQLConf/temp-view isolation. The
 routing, pooling, and TTL semantics — what the gateway layer owns — are
-faithfully exercised; swap `_make_engine` for a spark-submit launcher to get
-process-level engines.
+faithfully exercised.  For REAL process-level engines (crash isolation,
+per-user resource boundaries), `kyuubi.engine.launch.enabled` routes
+session opens through gateway/engine_process.py instead: a separate OS
+process per share-level engine space, discovered and torn down with the
+EngineRef.getOrCreate lifecycle.
 """
 
 from __future__ import annotations

@@ -411,19 +411,22 @@ class RestGateway:
             }
 
         if parts == ["engine"] and method == "GET":
-            # every engine-space under /kyuubi except server/infra nodes
+            # every engine space under /kyuubi at ANY depth (share-level
+            # spaces are two levels: /kyuubi/user/alice — EngineRef
+            # .engineSpace) except server/infra nodes
+            from kyuubi_spark.gateway.server_main import SERVER_NAMESPACE
+
             out = []
-            for ns in disco.get_children("/kyuubi"):
-                if ns in ("servers",) or ns.endswith(("-lock", "-secret")):
+            for space in disco.engine_spaces("/kyuubi"):
+                if space == SERVER_NAMESPACE:
                     continue
-                space = f"/kyuubi/{ns}"
                 try:
                     out.extend(
                         node_dict(n)
                         for n in disco.get_service_nodes_info(space)
                     )
                 except Exception:
-                    continue  # bare intermediate node, not an engine space
+                    continue
             h._reply(200, out)
         elif parts == ["engine"] and method == "DELETE":
             node = q.get("node", [None])[0]

@@ -135,6 +135,7 @@ def all_queries() -> dict[str, QuerySpec]:
         pipeline5,
         pipeline6,
         pipeline7,
+        pipeline8,
         sql4,
         sqludf,
         tpcds,

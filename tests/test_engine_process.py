@@ -202,3 +202,30 @@ def test_server_assembly_wires_manager(spark, tmp_path, certs):
     assert "engine_processes" in server.gc.tick()
     server.stop()
     disco.close_client()
+
+
+def test_engine_pool_round_robin(launching_gateway):
+    """kyuubi.engine.pool.size=2: four opens round-robin over TWO engine
+    processes in engine-pool-0/1 subdomains (EngineRef.subdomain POLLING
+    policy) — never a third."""
+    gw, disco, cert = launching_gateway
+    extra = {"kyuubi.engine.pool.size": "2"}
+    sessions = [_open(gw, "poolu", cert, extra=extra) for _ in range(4)]
+    try:
+        spaces = {s.namespace for s in sessions}
+        assert spaces == {
+            "/kyuubi/user/poolu/engine-pool-0",
+            "/kyuubi/user/poolu/engine-pool-1",
+        }
+        pids = {_engine_pid(disco, ns) for ns in spaces}
+        assert len(pids) == 2
+        # both engines answer
+        for s in sessions[:2]:
+            op = s.execute_statement("SELECT 11 AS n")
+            assert [
+                r[0]
+                for r in op.get_next_row_set(FetchOrientation.FETCH_NEXT, 5)
+            ] == [11]
+    finally:
+        for s in sessions:
+            gw.close_session(s.handle)

@@ -488,3 +488,41 @@ def test_admin_refresh_explicit_empty_list_clears(spark):
         assert out["size"] == 1 and eng.limiter.deny_users == {"alice"}
     finally:
         svc.shutdown()
+
+
+def test_admin_engine_listing_walks_share_level_spaces(spark):
+    """Share-level engine spaces are TWO levels deep (/kyuubi/user/alice,
+    EngineRef.engineSpace) — gateway-launched engine processes register
+    there and must show up in the admin listing."""
+    import json as _json
+    import urllib.request
+
+    from kyuubi_spark.gateway.discovery import SqliteDiscoveryClient
+    from kyuubi_spark.gateway.server_main import KyuubiServer
+
+    disco = SqliteDiscoveryClient()
+    disco.create_client()
+    server = KyuubiServer(spark, discovery=disco).start()
+    try:
+        disco.create_and_get_service_node(
+            "/kyuubi/user/bob", "127.0.0.1:23456",
+            engine_ref_id="ref42", attributes={"pid": "999"},
+        )
+        disco.create_and_get_service_node(
+            "/kyuubi/connection/c1", "127.0.0.1:23457"
+        )
+        base = f"http://{server.host}:{server.endpoints()['rest'][1]}/api/v1"
+        with urllib.request.urlopen(f"{base}/admin/engine") as r:
+            engines = _json.loads(r.read())
+        by_instance = {e["instance"]: e for e in engines}
+        assert "127.0.0.1:23456" in by_instance
+        assert by_instance["127.0.0.1:23456"]["engineRefId"] == "ref42"
+        assert by_instance["127.0.0.1:23456"]["attributes"]["pid"] == "999"
+        assert "127.0.0.1:23457" in by_instance
+        # the server's own registration is NOT an engine
+        assert not any(
+            e["namespace"] == "/kyuubi/servers" for e in engines
+        )
+    finally:
+        server.stop()
+        disco.close_client()

@@ -129,11 +129,14 @@ def main(argv=None) -> int:
     def watch_parent() -> None:
         # the gateway holds our stdin pipe open for our whole life; EOF
         # means it died — never outlive it (ProcBuilder ties engine logs
-        # to the server process the same way)
+        # to the server process the same way).  RAW os.read on fd 0, NOT
+        # sys.stdin.buffer: a daemon thread blocked inside the buffered
+        # reader holds its lock through interpreter finalization and
+        # turns every clean exit into a _enter_buffered_busy fatal abort
         try:
-            while sys.stdin.buffer.read(4096):
+            while os.read(0, 4096):
                 pass
-        except Exception:
+        except OSError:
             pass
         stop.set()
 
@@ -143,9 +146,13 @@ def main(argv=None) -> int:
     idle_timeout = float(conf.get(IDLE_TIMEOUT_KEY, 1800.0))
     seen_session = False
     idle_since = time.time()
+    last_n: int | None = None
     while not stop.is_set():
         stop.wait(0.2)
         n = engine.sessions.count
+        if n != last_n:
+            print(f"engine sessions: {n}", flush=True)
+            last_n = n
         if n > 0:
             seen_session = True
             idle_since = None
@@ -160,14 +167,24 @@ def main(argv=None) -> int:
         elif time.time() - idle_since > idle_timeout:
             break
 
+    print("engine stopping: deregister", flush=True)
     try:
         discovery.delete(node)
     except Exception:
         pass
     discovery.close_client()
+    print("engine stopping: frontend", flush=True)
     svc.stop()
+    print("engine stopping: spark", flush=True)
     spark.stop()
-    return 0
+    print("engine stopped", flush=True)
+    # hard exit: after a clean shutdown, straggler non-daemon threads
+    # (py4j/JVM bridge remnants) must not keep a deregistered engine
+    # process alive — the reference engine JVM System.exit()s the same
+    # way after its own stop sequence
+    sys.stdout.flush()
+    sys.stderr.flush()
+    os._exit(0)
 
 
 if __name__ == "__main__":  # pragma: no cover - subprocess entry

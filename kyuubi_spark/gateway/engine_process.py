@@ -239,6 +239,12 @@ class EngineProcessManager:
             namespace, ref_id, self.discovery._path, extra
         )
         stderr_path = os.path.join(self.work_dir, f"engine-{ref_id}.log")
+        with open(stderr_path, "ab") as logf:
+            # "Launching engine:\n<cmd>" (EngineRef.scala:283) — the first
+            # line of every engine log is the exact command
+            logf.write(
+                ("Launching engine:\n" + " ".join(cmd) + "\n").encode()
+            )
         proc = subprocess.Popen(
             cmd,
             stdin=subprocess.PIPE,  # held open; EOF = gateway died

@@ -573,3 +573,38 @@ def hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY w.event_type
         """
     )
+
+
+@query(
+    "collated_group_by",
+    oracle="""
+    SELECT upper(CASE WHEN c_custkey % 2 = 0 THEN lower(c_mktsegment)
+                      ELSE c_mktsegment END) AS segment,
+           COUNT(*) AS n,
+           ROUND(SUM(c_acctbal), 2) AS total_bal
+    FROM customer
+    GROUP BY 1 ORDER BY segment
+    """,
+    doc="Spark 4 string collations: mixed-case segment values grouped "
+    "under COLLATE UTF8_LCASE merge case-insensitively in ONE hash "
+    "aggregate — the engine-native form of the lower()-wrapping "
+    "workaround (which the oracle uses, so the result is value-exact "
+    "across engines). Collation-aware grouping keeps the original "
+    "bytes (no normalize-then-group rewrite materializes a second "
+    "column) and the comparison stays JVM-side in codegen.",
+)
+def collated_group_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    customer.createOrReplaceTempView("customer_coll")
+    return spark.sql(
+        """
+        SELECT upper(seg) AS segment, COUNT(*) AS n,
+               ROUND(SUM(c_acctbal), 2) AS total_bal
+        FROM (
+          SELECT CASE WHEN c_custkey % 2 = 0 THEN lower(c_mktsegment)
+                      ELSE c_mktsegment END COLLATE UTF8_LCASE AS seg,
+                 c_acctbal
+          FROM customer_coll)
+        GROUP BY seg ORDER BY segment
+        """
+    )

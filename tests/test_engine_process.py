@@ -229,3 +229,35 @@ def test_engine_pool_round_robin(launching_gateway):
     finally:
         for s in sessions:
             gw.close_session(s.handle)
+
+
+def test_user_level_engine_idle_ttl_self_terminates(launching_gateway):
+    """USER-level engines self-terminate after kyuubi.session.engine
+    .idle.timeout with no sessions (SparkSQLEngine's engine-side TTL) —
+    the state the always-on gateway relies on to reclaim idle tenants."""
+    gw, disco, cert = launching_gateway
+    s = _open(
+        gw, "ttl_user", cert,
+        extra={"kyuubi.session.engine.idle.timeout": "2"},
+    )
+    ns = s.namespace
+    pid = _engine_pid(disco, ns)
+    child = gw.process_manager._engines.get(ns)
+    assert child is not None and child.pid == pid
+    gw.close_session(s.handle)
+    deadline = time.time() + 20
+    # poll the Popen (os.kill(pid, 0) still succeeds on the zombie until
+    # the manager reaps it)
+    while time.time() < deadline:
+        if child.proc.poll() is not None:
+            break
+        time.sleep(0.3)
+    else:
+        raise AssertionError(
+            f"engine {pid} did not self-terminate on TTL; child log:\n"
+            f"{child.stderr_tail(40)}"
+        )
+    assert child.proc.returncode == 0  # clean self-termination, not a crash
+    # clean exit deregistered the namespace too
+    assert disco.get_server_host(ns) is None
+    assert gw.process_manager.reap() >= 1

@@ -196,6 +196,8 @@ HEADLINE = [
     "stream_stateful_totals_watermark",
     "stream_dsir_filter_update",
     "contrastive_pair_mining",
+    "collated_group_by",
+    "forget_closure",
 ]
 
 

@@ -61,3 +61,84 @@ def contrastive_pair_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.contrastive_pairs(
         emb, anchors, pos_min=_POS_MIN, neg_min=_NEG_MIN
     ).orderBy("anchor_id", "pair_id")
+
+
+@query(
+    "forget_closure",
+    oracle=None,  # assigned below (needs pipeline's pair CTE f-string)
+    doc="Deletion-request propagation (right-to-be-forgotten over a "
+    "training corpus): a removal request for a document must also remove "
+    "its NEAR-DUPLICATES, or paraphrases of the forgotten text stay in "
+    "the training set. The closure = every doc sharing a MinHash-LSH + "
+    "Jaccard>=1/4 dup component with a requested doc, plus the requests "
+    "themselves; reasons distinguish direct requests from propagation. "
+    "Rides the verified LSH pair set and min-label components — the "
+    "request list and its component ids are tiny and broadcast, so the "
+    "only corpus-scaled work is the dedup pass a pipeline already runs.",
+)
+def forget_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kyuubi_spark.functions import dedup as D
+
+    docs = load_table(spark, sf_dir, "documents")
+    requests = docs.filter(F.col("doc_id") % 97 == 0).select("doc_id")
+    sh = docs.select(
+        F.col("doc_id").alias("id"),
+        F.explode(D.shingles_arrow(3)(F.col("text"))).alias("g"),
+    ).localCheckpoint()
+    cand = D.lsh_candidate_pairs(docs, n=3, num_hashes=16, bands=8, shingle_df=sh)
+    pairs = D.jaccard_pairs(
+        docs, cand, n=3, tau_num=1, tau_den=4, shingle_df=sh
+    ).select("a_id", "b_id")
+    comp = D.connected_components(pairs)
+    req_comps = (
+        comp.join(requests, "doc_id").select("component_id").distinct()
+    )
+    propagated = comp.join(F.broadcast(req_comps), "component_id").select(
+        "doc_id"
+    )
+    closure = propagated.unionByName(requests).distinct()
+    return closure.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 97 == 0, F.lit("requested"))
+        .otherwise(F.lit("near_dup_of_requested"))
+        .alias("reason"),
+    ).orderBy("doc_id")
+
+
+def _attach_forget_oracle() -> None:
+    from kyuubi_spark.queries import REGISTRY, QuerySpec
+    from kyuubi_spark.queries.pipeline import _MINHASH_PAIRS_CTE
+
+    oracle = f"""
+    WITH RECURSIVE {_MINHASH_PAIRS_CTE},
+    edges AS (
+      SELECT a_id AS u, b_id AS v FROM dup_pairs
+      UNION ALL
+      SELECT b_id, a_id FROM dup_pairs),
+    reach(u, v) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+      UNION
+      SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u),
+    comp AS (SELECT u AS doc_id, MIN(v) AS component_id
+             FROM reach GROUP BY u),
+    req AS (SELECT doc_id FROM documents WHERE doc_id % 97 = 0),
+    req_comp AS (SELECT DISTINCT component_id
+                 FROM comp JOIN req USING (doc_id)),
+    closure AS (
+      SELECT DISTINCT doc_id FROM (
+        SELECT doc_id FROM comp
+        WHERE component_id IN (SELECT component_id FROM req_comp)
+        UNION ALL
+        SELECT doc_id FROM req) u)
+    SELECT doc_id,
+           CASE WHEN doc_id % 97 = 0 THEN 'requested'
+                ELSE 'near_dup_of_requested' END AS reason
+    FROM closure ORDER BY doc_id
+    """
+    spec = REGISTRY["forget_closure"]
+    REGISTRY["forget_closure"] = QuerySpec(
+        name=spec.name, builder=spec.builder, oracle=oracle, doc=spec.doc
+    )
+
+
+_attach_forget_oracle()

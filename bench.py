@@ -198,6 +198,7 @@ HEADLINE = [
     "contrastive_pair_mining",
     "collated_group_by",
     "forget_closure",
+    "ann_index_report",
 ]
 
 

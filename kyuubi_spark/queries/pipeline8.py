@@ -142,3 +142,61 @@ def _attach_forget_oracle() -> None:
 
 
 _attach_forget_oracle()
+
+
+@query(
+    "ann_index_report",
+    oracle=f"""
+    WITH {_COSINE_CTE},
+    cent0 AS (
+      SELECT vec_id, embedding, nrm FROM e
+      WHERE vec_id % 16 = 0 ORDER BY vec_id LIMIT 16),
+    cent AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
+             embedding, greatest(nrm, 1e-12) AS cnrm
+      FROM cent0),
+    sim AS (
+      SELECT v.vec_id, c.cell,
+             list_sum(list_transform(generate_series(1, 64),
+               i -> CAST(v.embedding[i] AS DOUBLE)
+                    * CAST(c.embedding[i] AS DOUBLE)))
+               / (greatest(v.nrm, 1e-12) * c.cnrm) AS d
+      FROM e v, cent c),
+    assign AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY d DESC, cell) AS r
+        FROM sim) t WHERE r = 1),
+    cells AS (SELECT cell, COUNT(*) AS n FROM assign GROUP BY cell)
+    SELECT 16 AS n_cells,
+           CAST(COUNT(*) AS BIGINT) AS cells_used,
+           CAST(16 - COUNT(*) AS BIGINT) AS cells_empty,
+           CAST(MIN(n) AS BIGINT) AS min_cell,
+           CAST(MAX(n) AS BIGINT) AS max_cell,
+           ROUND(MAX(n) * 16.0 / SUM(n), 4) AS imbalance
+    FROM cells
+    """,
+    doc="ANN index health report: per-cell population of the IVF coarse "
+    "quantizer aggregated to used/empty cell counts and the imbalance "
+    "factor (max cell / mean cell) — the continuous monitoring signal "
+    "for a production vector index (a hot cell caps probe-time "
+    "parallelism and recall; re-train centroids when imbalance drifts). "
+    "One vectorized assignment pass + a 16-row aggregate; the "
+    "deterministic centroid sample makes the whole report SQL-replayable "
+    "(same assignment CTE the knn_cosine_ivf oracle verifies).",
+)
+def ann_index_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned, _ = S.ivf_assign(emb, n_cells=16)
+    cells = assigned.groupBy("cell").agg(F.count("*").alias("n"))
+    from kyuubi_spark.functions.compat import dround
+
+    return cells.agg(
+        F.lit(16).alias("n_cells"),
+        F.count("*").alias("cells_used"),
+        (F.lit(16) - F.count("*")).cast("bigint").alias("cells_empty"),
+        F.min("n").alias("min_cell"),
+        F.max("n").alias("max_cell"),
+        dround(F.max("n") * 16.0 / F.sum("n"), 4).alias("imbalance"),
+    )

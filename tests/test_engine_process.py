@@ -261,3 +261,58 @@ def test_user_level_engine_idle_ttl_self_terminates(launching_gateway):
     # clean exit deregistered the namespace too
     assert disco.get_server_host(ns) is None
     assert gw.process_manager.reap() >= 1
+
+
+def test_client_to_gateway_to_engine_process_over_wires(
+    spark, tmp_path, certs
+):
+    """Full assembly, every hop a real wire: authenticated ThriftClient
+    -> KyuubiServer thrift frontend (SASL/PLAIN user auth) -> gateway
+    session -> LAUNCHED engine process (TLS + internal-token auth on the
+    gateway->engine hop). The reference's three-process topology (client
+    JVM / kyuubi server / engine app)."""
+    from kyuubi_spark.gateway.discovery import SqliteDiscoveryClient
+    from kyuubi_spark.gateway.server_main import KyuubiServer
+    from kyuubi_spark.gateway.thrift import ThriftClient
+
+    cert, key = certs
+    disco = SqliteDiscoveryClient(str(tmp_path / "e2e.db"))
+    disco.create_client()
+    server = KyuubiServer(
+        spark,
+        conf={
+            "kyuubi.engine.launch.enabled": "true",
+            "kyuubi.engine.security.enabled": "true",
+            "kyuubi.engine.security.secret.provider.simple.secret": "e2e",
+            "kyuubi.session.engine.initialize.timeout": "90",
+            # engine security locks the frontends to SASL; real users
+            # authenticate through the composed CUSTOM provider
+            "kyuubi.authentication": "CUSTOM",
+            "kyuubi.authentication.custom.class":
+                "tests.test_auth:StaticProvider",
+        },
+        discovery=disco,
+    ).start()
+    try:
+        host, port = server.endpoints()["thrift_binary"]
+        c = ThriftClient(host, port, user="alice", password="wonder")
+        c.open_session(
+            user="alice",
+            conf={
+                "kyuubi.engine.launch.enabled": "true",
+                "kyuubi.engine.thrift.ssl.enabled": "true",
+                "kyuubi.engine.thrift.ssl.cafile": cert,
+                "kyuubi.frontend.thrift.binary.ssl.enabled": "true",
+                "kyuubi.frontend.ssl.keystore.path": cert,
+                "kyuubi.frontend.ssl.key.path": key,
+            },
+        )
+        assert server.process_manager.engine_count == 1
+        guid = c.execute("SELECT 'through three processes' AS s, 2 + 2 AS n")
+        rows = c.fetch(guid, 10)
+        assert [tuple(r) for r in rows] == [("through three processes", 4)]
+        c.close_session()
+        c.close()
+    finally:
+        server.stop()
+        disco.close_client()

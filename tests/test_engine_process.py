@@ -316,3 +316,32 @@ def test_client_to_gateway_to_engine_process_over_wires(
     finally:
         server.stop()
         disco.close_client()
+
+
+def test_launch_fast_fails_with_child_log(tmp_path):
+    """A child that dies before registering fast-fails get_or_create with
+    its exit code and captured log (EngineRef.create's process-exit
+    check), instead of burning the whole init timeout."""
+    import sys
+
+    from kyuubi_spark.gateway.discovery import SqliteDiscoveryClient
+    from kyuubi_spark.gateway.engine_process import EngineProcessManager
+
+    disco = SqliteDiscoveryClient(str(tmp_path / "ff.db"))
+    disco.create_client()
+    mgr = EngineProcessManager(
+        disco, conf={"kyuubi.session.engine.initialize.timeout": "30"}
+    )
+    mgr.builder.command = lambda *a, **k: [
+        sys.executable, "-c",
+        "import sys; print('boom diagnostics', file=sys.stderr); sys.exit(3)",
+    ]
+    import pytest as _pytest
+    import time as _time
+
+    t0 = _time.time()
+    with _pytest.raises(RuntimeError, match="exited with 3") as ei:
+        mgr.get_or_create("/kyuubi/user/fastfail", {})
+    assert "boom diagnostics" in str(ei.value)
+    assert _time.time() - t0 < 10  # fast fail, not the 30s timeout
+    disco.close_client()

@@ -183,3 +183,31 @@ def test_nested_collections_render(wire):
     ]:
         _, got = thrift_one(client, sql)
         assert got == want, sql
+
+
+@pytest.fixture(scope="module")
+def http_wire(spark):
+    svc = ThriftFrontendService(Engine(spark=spark), transport="http").start()
+    from kyuubi_spark.gateway.thrift import ThriftHttpClient
+
+    client = ThriftHttpClient(svc.host, svc.port)
+    client.open_session(user="types_http")
+    yield client
+    client.close_session()
+    client.close()
+    svc.stop()
+
+
+@pytest.mark.parametrize(
+    "label,sql,tid,wire_val",
+    [(c[0], c[1], c[2], c[3]) for c in CASES
+     if c[0] in ("daytime_interval", "yearmonth_interval", "variant",
+                 "struct", "map", "decimal", "timestamp_ntz", "binary")],
+    ids=lambda v: str(v)[:28],
+)
+def test_http_transport_types(http_wire, label, sql, tid, wire_val):
+    """The HS2 HTTP transport serves the identical TTypeId + rendering
+    for the tricky types (intervals, variant, nested, NTZ)."""
+    got_tid, got = thrift_one(http_wire, sql)
+    assert got_tid == tid
+    assert got == wire_val

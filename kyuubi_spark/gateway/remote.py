@@ -75,12 +75,48 @@ class RemoteOperation:
     """Gateway-operation adapter over a remote op guid on the wire."""
 
     def __init__(self, session: "RemoteEngineSession", guid: bytes,
-                 failed: BaseException | None = None):
+                 failed: BaseException | None = None,
+                 statement: str | None = None):
         self.session = session
         self.guid = guid
         self.handle = OperationHandle()
         self.exception = failed
         self._struct: T.StructType | None = None
+        self.statement = statement
+        self.start_time = time.time()
+        self.rows_fetched = 0
+        self._store_summary()
+
+    def _store_summary(self) -> None:
+        """Gateway-side accounting for FORWARDED operations: the op store
+        is where a multi-tenant operator looks first, and forwarded
+        sessions are the production path — record them alongside local
+        ops (state is the remote's, polled lazily at record time)."""
+        engine = getattr(self.session, "engine", None)
+        store = getattr(engine, "op_store", None)
+        if store is None:
+            return
+        try:
+            state = self.state.value
+        except Exception:
+            state = "RUNNING"
+        store.put(
+            {
+                "operationId": self.handle.id,
+                "sessionId": self.session.handle.id,
+                "operation": "RemoteOperation",
+                "statement": self.statement,
+                "user": self.session.user,
+                "state": state,
+                "createTime": self.start_time,
+                "completeTime": None,
+                "duration": time.time() - self.start_time,
+                "transitions": [],
+                "rowsFetched": self.rows_fetched,
+                "collectMode": "forwarded",
+                "error": str(self.exception) if self.exception else None,
+            }
+        )
 
     @property
     def state(self) -> OperationState:
@@ -113,9 +149,18 @@ class RemoteOperation:
         orientation: FetchOrientation = FetchOrientation.FETCH_NEXT,
         size: int = 100,
     ) -> list:
-        return self.session.client.fetch(
+        rows = self.session.client.fetch(
             self.guid, size, orientation=_ORIENT_ORDINAL[orientation]
         )
+        if rows:
+            self.rows_fetched += len(rows)
+            engine = getattr(self.session, "engine", None)
+            if engine is not None and hasattr(engine, "metrics"):
+                from kyuubi_spark.gateway import metrics as M
+
+                engine.metrics.inc(M.BS_FETCH_RESULT_ROWS, len(rows))
+            self._store_summary()
+        return rows
 
     def get_operation_log(self) -> list[str]:
         try:
@@ -247,9 +292,9 @@ class RemoteEngineSession:
         self.last_access = time.time()
         try:
             guid = self.client.execute(statement)
-            op = RemoteOperation(self, guid)
+            op = RemoteOperation(self, guid, statement=statement)
         except RuntimeError as e:
-            op = RemoteOperation(self, b"", failed=e)
+            op = RemoteOperation(self, b"", failed=e, statement=statement)
         self.operations[op.handle.id] = op
         return op
 

@@ -238,3 +238,30 @@ def test_concurrent_remote_operations_serialize(spark, sf_dir, remote_engine):
     assert errors == []
     assert sorted(results) == list(range(8))
     gw.close_session(s.handle)
+
+
+def test_forwarded_operations_land_in_op_store(spark, sf_dir, remote_engine):
+    """Gateway-side accounting covers FORWARDED sessions too: a remote
+    operation's statement, user, and fetched-row count appear in the
+    gateway's op store (the production multi-tenant path)."""
+    from kyuubi_spark.gateway.engine import Engine
+
+    gw = Engine(spark)
+    s = gw.open_session(
+        user="acct_fwd",
+        conf={
+            "kyuubi.engine.type": "THRIFT",
+            "kyuubi.engine.thrift.host": remote_engine.host,
+            "kyuubi.engine.thrift.port": str(remote_engine.port),
+        },
+    )
+    op = s.execute_statement("SELECT id FROM range(6)")
+    rows = op.get_next_row_set(FetchOrientation.FETCH_NEXT, 100)
+    assert len(rows) == 6
+    rec = gw.op_store.get(op.handle.id)
+    assert rec is not None
+    assert rec["collectMode"] == "forwarded"
+    assert rec["user"] == "acct_fwd"
+    assert rec["rowsFetched"] == 6
+    assert rec["statement"].startswith("SELECT id")
+    gw.close_session(s.handle)

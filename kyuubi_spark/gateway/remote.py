@@ -291,7 +291,10 @@ class RemoteEngineSession:
     ) -> RemoteOperation:
         self.last_access = time.time()
         try:
-            guid = self.client.execute(statement)
+            # per-statement conf crosses the wire in TExecuteStatementReq's
+            # confOverlay field — a forwarded session keeps the full
+            # statement surface (incremental collect, plan-only, ...)
+            guid = self.client.execute(statement, conf_overlay=conf_overlay)
             op = RemoteOperation(self, guid, statement=statement)
         except RuntimeError as e:
             op = RemoteOperation(self, b"", failed=e, statement=statement)

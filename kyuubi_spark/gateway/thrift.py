@@ -834,12 +834,22 @@ class ThriftClient:
         self._call("CloseSession", [(1, TType.STRUCT, _handle(self.session_guid))])
         self.session_guid = None
 
-    def execute(self, sql: str) -> bytes:
+    def execute(self, sql: str, conf_overlay: dict | None = None) -> bytes:
+        """TExecuteStatementReq: 1 handle, 2 statement, 3 confOverlay —
+        per-statement conf (result format, incremental collect, ...) rides
+        the wire so forwarded sessions keep the full statement surface."""
         assert self.session_guid is not None
-        resp = self._call(
-            "ExecuteStatement",
-            [(1, TType.STRUCT, _handle(self.session_guid)), (2, TType.STRING, sql)],
-        )
+        req = [
+            (1, TType.STRUCT, _handle(self.session_guid)),
+            (2, TType.STRING, sql),
+        ]
+        if conf_overlay:
+            req.append(
+                (3, TType.MAP, (TType.STRING, TType.STRING,
+                                {str(k): str(v)
+                                 for k, v in conf_overlay.items()}))
+            )
+        resp = self._call("ExecuteStatement", req)
         return _guid_of(resp[2][1])
 
     def get_delegation_token(self, owner: str, renewer: str = "") -> str:

@@ -265,3 +265,34 @@ def test_forwarded_operations_land_in_op_store(spark, sf_dir, remote_engine):
     assert rec["rowsFetched"] == 6
     assert rec["statement"].startswith("SELECT id")
     gw.close_session(s.handle)
+
+
+def test_conf_overlay_crosses_the_wire(spark, sf_dir, remote_engine):
+    """Per-statement conf rides TExecuteStatementReq.confOverlay: a
+    forwarded session can flip collect modes per statement (the remote
+    engine's op store records the mode it actually used)."""
+    from kyuubi_spark.gateway.engine import Engine
+
+    gw = Engine(spark)
+    s = gw.open_session(
+        user="overlay_fwd",
+        conf={
+            "kyuubi.engine.type": "THRIFT",
+            "kyuubi.engine.thrift.host": remote_engine.host,
+            "kyuubi.engine.thrift.port": str(remote_engine.port),
+        },
+    )
+    op = s.execute_statement(
+        "SELECT id FROM range(8) ORDER BY id",
+        conf_overlay={"kyuubi.operation.incremental.collect": "true"},
+    )
+    rows = op.get_next_row_set(FetchOrientation.FETCH_NEXT, 100)
+    assert [r[0] for r in rows] == list(range(8))
+    # the REMOTE engine's accounting shows the overlay took effect
+    modes = {
+        r["collectMode"]
+        for r in remote_engine.engine.op_store.list()
+        if (r.get("statement") or "").startswith("SELECT id FROM range(8)")
+    }
+    assert "incremental" in modes
+    gw.close_session(s.handle)

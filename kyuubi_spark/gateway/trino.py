@@ -300,18 +300,30 @@ class TrinoGateway:
         """Returns a metadata Operation for a system.jdbc query, else
         None (fall through to ExecuteStatement)."""
         low = " ".join(sql.split()).strip().rstrip(";").lower()
-        if "from system.jdbc.schemas" in low:
+        # dispatch on the FROM target with string literals STRIPPED — a
+        # user query whose literal merely CONTAINS "from system.jdbc.x"
+        # (SELECT 'from system.jdbc.catalogs') must not be hijacked into
+        # a metadata listing; operand extraction still reads `low` (it
+        # needs the literal values)
+        no_lit = re.sub(r"'(?:[^']|'')*'", "''", low)
+        m_tbl = re.search(r"\bfrom\s+system\.jdbc\.(\w+)", no_lit)
+        if m_tbl is None:
+            if "key_seq" in no_lit and "where false" in no_lit:
+                return session.get_primary_keys()
+            return None
+        target = m_tbl.group(1)
+        if target == "schemas":
             return session.get_schemas(
                 self._eq_operand(low, "table_catalog"),
                 self._like_operand(low, "table_schem") or "%",
             )
-        if "from system.jdbc.catalogs" in low:
+        if target == "catalogs":
             return session.get_catalogs()
-        if "from system.jdbc.table_types" in low:
+        if target == "table_types":
             return session.get_table_types()
-        if "from system.jdbc.types" in low:
+        if target == "types":
             return session.get_type_info()
-        if "from system.jdbc.tables" in low:
+        if target == "tables":
             types = None
             m = re.search(r"table_type\s+in\s*\(([^)]*)\)", low)
             if m:
@@ -322,14 +334,14 @@ class TrinoGateway:
                 self._like_operand(low, "table_name") or "%",
                 types,
             )
-        if "from system.jdbc.columns" in low:
+        if target == "columns":
             return session.get_columns(
                 self._eq_operand(low, "table_cat"),
                 self._like_operand(low, "table_schem") or "%",
                 self._like_operand(low, "table_name") or "%",
                 self._like_operand(low, "column_name") or "%",
             )
-        if "key_seq" in low and "where false" in low:
+        if "key_seq" in no_lit and "where false" in no_lit:
             return session.get_primary_keys()
         return None
 

@@ -222,3 +222,19 @@ def test_session_properties_pick_jdbc_engine(trino_server):
     # duckdb-only syntax proves which engine served it
     out2 = _post(trino_server, "SELECT 21 * 2 AS v FROM range(1)", user="duck_user")
     assert out2["data"] == [[42]]
+
+
+def test_literal_mentioning_system_jdbc_is_not_hijacked(trino_server):
+    """A plain query whose STRING LITERAL contains 'from system.jdbc.x'
+    must execute as a query, not be rerouted to a metadata listing —
+    dispatch matches the FROM target on literal-stripped text."""
+    out = _post(
+        trino_server, "SELECT 'from system.jdbc.catalogs' AS s, 1 + 1 AS n"
+    )
+    assert out["stats"]["state"] == "FINISHED"
+    assert out["data"] == [["from system.jdbc.catalogs", 2]]
+    # and the REAL metadata form still routes
+    out = _post(
+        trino_server, "SELECT TABLE_CAT FROM system.jdbc.catalogs"
+    )
+    assert ["spark_catalog"] in out["data"]

@@ -199,6 +199,7 @@ HEADLINE = [
     "collated_group_by",
     "forget_closure",
     "ann_index_report",
+    "snapshot_psi_drift",
 ]
 
 

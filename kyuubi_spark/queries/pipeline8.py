@@ -200,3 +200,75 @@ def ann_index_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n").alias("max_cell"),
         dround(F.max("n") * 16.0 / F.sum("n"), 4).alias("imbalance"),
     )
+
+
+@query(
+    "snapshot_psi_drift",
+    oracle="""
+    WITH src AS (SELECT DISTINCT source FROM documents),
+    grid AS (SELECT source, b
+             FROM src, (SELECT unnest(generate_series(0, 7)) AS b)),
+    c AS (SELECT source, LEAST(7, n_chars // 200) AS b,
+            SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS ca,
+            SUM(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS cb
+          FROM documents GROUP BY 1, 2),
+    f AS (SELECT g.source, g.b,
+                 COALESCE(ca, 0) AS ca, COALESCE(cb, 0) AS cb
+          FROM grid g LEFT JOIN c ON c.source = g.source AND c.b = g.b),
+    t AS (SELECT source, SUM(ca) AS na, SUM(cb) AS nb FROM f GROUP BY source)
+    SELECT f.source,
+           CAST(MIN(t.na) AS BIGINT) AS n_a,
+           CAST(MIN(t.nb) AS BIGINT) AS n_b,
+           ROUND(SUM(((ca + 1.0) / (na + 8.0) - (cb + 1.0) / (nb + 8.0))
+                     * ln(((ca + 1.0) / (na + 8.0))
+                          / ((cb + 1.0) / (nb + 8.0)))), 4) AS psi
+    FROM f JOIN t USING (source)
+    GROUP BY f.source ORDER BY f.source
+    """,
+    doc="Population-stability-index drift between two corpus snapshots "
+    "(halves split by doc_id parity here; time-window snapshots in "
+    "production), per source, over 8 fixed document-length buckets with "
+    "add-one smoothing: PSI = sum_b (p_a - p_b) ln(p_a / p_b). The "
+    "standard ingestion-monitoring gate — PSI > 0.2 on a source means "
+    "its length distribution shifted enough to re-examine before "
+    "training. Scale shape: one map-side-combined (source, bucket) "
+    "aggregate, a broadcast 8-row-per-source grid for empty buckets, "
+    "and a |sources|-row final aggregate; both engines sum the same "
+    "IEEE ln terms and round to 4 (the source_unigram_kl precedent).",
+)
+def snapshot_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kyuubi_spark.functions.compat import dround
+
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.least(F.lit(7), F.floor(F.col("n_chars") / 200)).cast(
+        "bigint"
+    )
+    c = docs.groupBy(
+        "source", bucket.alias("b")
+    ).agg(
+        F.sum(F.when(F.col("doc_id") % 2 == 0, 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(F.col("doc_id") % 2 == 1, 1).otherwise(0)).alias("cb"),
+    )
+    srcs = docs.select("source").distinct()
+    grid = srcs.crossJoin(
+        F.broadcast(spark.range(8).select(F.col("id").alias("b")))
+    )
+    f = (
+        grid.join(c, ["source", "b"], "left")
+        .na.fill({"ca": 0, "cb": 0})
+    )
+    t = f.groupBy("source").agg(
+        F.sum("ca").alias("na"), F.sum("cb").alias("nb")
+    )
+    pa = (F.col("ca") + 1.0) / (F.col("na") + 8.0)
+    pb = (F.col("cb") + 1.0) / (F.col("nb") + 8.0)
+    return (
+        f.join(t, "source")
+        .groupBy("source")
+        .agg(
+            F.min("na").cast("bigint").alias("n_a"),
+            F.min("nb").cast("bigint").alias("n_b"),
+            dround(F.sum((pa - pb) * F.log(pa / pb)), 4).alias("psi"),
+        )
+        .orderBy("source")
+    )

@@ -345,3 +345,31 @@ def test_launch_fast_fails_with_child_log(tmp_path):
     assert "boom diagnostics" in str(ei.value)
     assert _time.time() - t0 < 10  # fast fail, not the 30s timeout
     disco.close_client()
+
+
+def test_group_share_level_spans_users(launching_gateway):
+    """GROUP share level: sessions from DIFFERENT users carrying the same
+    group route to ONE engine process (EngineRef routingUser = primary
+    group for GROUP level)."""
+    gw, disco, cert = launching_gateway
+    extra = {
+        "kyuubi.engine.share.level": "GROUP",
+        "kyuubi.session.group": "analysts",
+    }
+    before = gw.process_manager.engine_count
+    s1 = _open(gw, "carol", cert, extra=extra)
+    s2 = _open(gw, "dave", cert, extra=extra)
+    try:
+        assert s1.namespace == "/kyuubi/group/analysts"
+        assert s2.namespace == s1.namespace
+        assert gw.process_manager.engine_count == before + 1
+        for s, want in ((s1, "carol"), (s2, "dave")):
+            op = s.execute_statement("SELECT session_user() AS u")
+            # proxy semantics: each session is owned by ITS end user
+            assert [
+                r[0]
+                for r in op.get_next_row_set(FetchOrientation.FETCH_NEXT, 5)
+            ] == [want]
+    finally:
+        gw.close_session(s1.handle)
+        gw.close_session(s2.handle)

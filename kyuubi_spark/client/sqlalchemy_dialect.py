@@ -131,6 +131,14 @@ def sqla_type(type_name: str):
 # -- reflection core (pure DBAPI, no sqlalchemy) ------------------------------
 
 
+def quote_identifier(name: str) -> str:
+    """Backtick-quote an identifier, escaping embedded backticks (the
+    HiveQL/Spark rule pyhive's dialect applies) — reflection must not
+    break on names needing quoting nor allow statement injection from
+    schema/table arguments (ADVICE r08)."""
+    return "`" + name.replace("`", "``") + "`"
+
+
 def reflect_schema_names(conn) -> list[str]:
     with conn.cursor() as cur:
         cur.execute("SHOW SCHEMAS")
@@ -138,7 +146,11 @@ def reflect_schema_names(conn) -> list[str]:
 
 
 def reflect_table_names(conn, schema: str | None = None) -> list[str]:
-    sql = f"SHOW TABLES IN {schema}" if schema else "SHOW TABLES"
+    sql = (
+        f"SHOW TABLES IN {quote_identifier(schema)}"
+        if schema
+        else "SHOW TABLES"
+    )
     with conn.cursor() as cur:
         cur.execute(sql)
         rows = cur.fetchall()
@@ -156,7 +168,9 @@ def reflect_columns(
 ) -> list[dict]:
     """DESCRIBE -> [{name, type_name, nullable, comment}] — stops at the
     partition-information separator like pyhive's _get_table_columns."""
-    qualified = f"{schema}.{table}" if schema else table
+    qualified = quote_identifier(table)
+    if schema:
+        qualified = f"{quote_identifier(schema)}.{qualified}"
     with conn.cursor() as cur:
         cur.execute(f"DESCRIBE {qualified}")
         rows = cur.fetchall()

@@ -212,20 +212,34 @@ class EngineProcessManager:
             return self._launch(namespace, session_conf)
 
     def _resolve_live(self, namespace: str) -> tuple[str, int] | None:
-        resolved = self.discovery.get_server_host(namespace)
-        if resolved is None:
-            return None
-        host, port = resolved
-        if self._endpoint_alive(host, port):
-            return host, port
-        # registered but unreachable: the engine crashed without
-        # deregistering — clear the corpse and let the caller relaunch
-        self._drop_stale_nodes(namespace)
-        with self._lock:
-            dead = self._engines.pop(namespace, None)
-        if dead is not None:
-            dead.terminate(timeout=2.0)
-        return None
+        """Resolve a live endpoint, probing PER NODE: only nodes whose own
+        host:port fails the liveness check are deregistered (ADVICE r08 —
+        a blanket namespace sweep would deregister a live engine that
+        merely coexists with a stale node, orphaning it until idle TTL
+        and launching a duplicate)."""
+        nodes = self.discovery.get_service_nodes_info(namespace)
+        live: tuple[str, int] | None = None
+        any_dead = False
+        for info in nodes:
+            if self._endpoint_alive(info.host, info.port):
+                if live is None:
+                    live = (info.host, info.port)
+            else:
+                # this node's engine crashed without deregistering —
+                # clear just this corpse
+                any_dead = True
+                try:
+                    self.discovery.delete(f"{namespace}/{info.node_name}")
+                except Exception:
+                    pass
+        if live is None and any_dead:
+            # every registered node was a corpse: reap our child record
+            # so the caller's relaunch starts clean
+            with self._lock:
+                dead = self._engines.pop(namespace, None)
+            if dead is not None:
+                dead.terminate(timeout=2.0)
+        return live
 
     def _launch(self, namespace: str,
                 session_conf: dict | None) -> tuple[str, int]:

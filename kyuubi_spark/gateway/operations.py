@@ -95,9 +95,14 @@ class Operation:
 
     def _post_state_event(self, prev: OperationState, new: OperationState) -> None:
         """Post the state transition to the engine bus + metrics
-        (SparkOperation.setState event posts, SparkOperation.scala:134-153)."""
+        (SparkOperation.setState event posts, SparkOperation.scala:134-153).
+        Transition history + op-store accounting are independent of
+        event-bus wiring (ADVICE r08): they record even when the engine
+        has no .events."""
+        self.transitions.append((new.value, time.time()))
         engine = getattr(self.session, "engine", None)
         if engine is None or not hasattr(engine, "events"):
+            self._store_summary(engine)
             return
         from kyuubi_spark.gateway import metrics as M
         from kyuubi_spark.gateway.events import make_event
@@ -122,7 +127,6 @@ class Operation:
                 toState=new.value,
             )
         )
-        self.transitions.append((new.value, time.time()))
         self._store_summary(engine)
 
     def summary(self) -> dict:

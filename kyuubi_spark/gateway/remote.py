@@ -85,21 +85,25 @@ class RemoteOperation:
         self.statement = statement
         self.start_time = time.time()
         self.rows_fetched = 0
+        # last-known remote state, refreshed only when something else
+        # already paid for a wire poll (the .state property) — accounting
+        # must NOT add GetOperationStatus RPCs on the hot fetch path
+        # (ADVICE r08), and failed ops (guid=b'') must record terminally
+        self._last_state = "ERROR" if failed is not None else "RUNNING"
         self._store_summary()
 
     def _store_summary(self) -> None:
         """Gateway-side accounting for FORWARDED operations: the op store
         is where a multi-tenant operator looks first, and forwarded
         sessions are the production path — record them alongside local
-        ops (state is the remote's, polled lazily at record time)."""
+        ops. State is the cached last-known remote state (no wire call
+        here): ERROR when the forward failed, else whatever the latest
+        .state poll observed."""
         engine = getattr(self.session, "engine", None)
         store = getattr(engine, "op_store", None)
         if store is None:
             return
-        try:
-            state = self.state.value
-        except Exception:
-            state = "RUNNING"
+        state = "ERROR" if self.exception is not None else self._last_state
         store.put(
             {
                 "operationId": self.handle.id,
@@ -109,7 +113,11 @@ class RemoteOperation:
                 "user": self.session.user,
                 "state": state,
                 "createTime": self.start_time,
-                "completeTime": None,
+                "completeTime": (
+                    time.time()
+                    if state in ("ERROR", "FINISHED", "CANCELED", "CLOSED")
+                    else None
+                ),
                 "duration": time.time() - self.start_time,
                 "transitions": [],
                 "rowsFetched": self.rows_fetched,
@@ -124,12 +132,14 @@ class RemoteOperation:
             return OperationState.ERROR
         # poll the remote state (GetOperationStatus pass-through)
         ordinal = self.session.client.operation_state(self.guid)
-        return {
+        st = {
             0: OperationState.INITIALIZED, 1: OperationState.RUNNING,
             2: OperationState.FINISHED, 3: OperationState.CANCELED,
             4: OperationState.CLOSED, 5: OperationState.ERROR,
             7: OperationState.PENDING, 8: OperationState.TIMEOUT,
         }.get(ordinal, OperationState.RUNNING)
+        self._last_state = st.value  # accounting reuses this paid-for poll
+        return st
 
     def get_result_set_schema(self) -> T.StructType:
         if self._struct is None:

@@ -36,6 +36,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 from dataclasses import dataclass
 
 from pyspark.sql.datasource import (
@@ -48,6 +49,9 @@ from pyspark.sql.datasource import (
 
 FORMAT_NAME = "kyuubi_arrowdir"
 MANIFEST = "_manifest.json"
+# append commits only reclaim .inprogress staging files older than this —
+# younger ones may belong to a concurrently-running writer (ADVICE r08)
+ORPHAN_SWEEP_AGE_SEC = 600.0
 
 
 @dataclass
@@ -122,17 +126,34 @@ class _ArrowDirWriter(DataSourceArrowWriter):
         # stale parts from prior commits and crashed tasks are now
         # unreachable — reclaim the space. Finalized .arrow files are only
         # deleted on overwrite (append keeps every manifested file live by
-        # construction, but a concurrent writer's final file must survive);
-        # .inprogress staging orphans are swept on EVERY commit so
-        # append-only datasets don't accumulate them indefinitely.
+        # construction, but a concurrent writer's final file must survive).
+        # .inprogress staging orphans: an append commit must NOT delete a
+        # concurrently-running writer's live staging files (its os.replace
+        # would fail), so on append only orphans older than
+        # ORPHAN_SWEEP_AGE_SEC are reclaimed; overwrite sweeps them all —
+        # concurrent writes during an overwrite are undefined anyway.
         live = set(files)
+        now = time.time()
         for entry in os.listdir(self.path):
             if entry in live or entry == MANIFEST:
                 continue
+            full = os.path.join(self.path, entry)
             stale_final = self.overwrite and entry.endswith(".arrow")
-            if stale_final or entry.endswith(".arrow.inprogress"):
+            stale_staging = False
+            if entry.endswith(".arrow.inprogress"):
+                if self.overwrite:
+                    stale_staging = True
+                else:
+                    try:
+                        stale_staging = (
+                            now - os.path.getmtime(full)
+                            > ORPHAN_SWEEP_AGE_SEC
+                        )
+                    except OSError:
+                        stale_staging = False  # vanished: writer finished
+            if stale_final or stale_staging:
                 try:
-                    os.remove(os.path.join(self.path, entry))
+                    os.remove(full)
                 except OSError:
                     pass
 

@@ -180,21 +180,31 @@ def test_arrowdir_append_schema_mismatch_fails_at_commit(
 
 
 def test_arrowdir_append_sweeps_inprogress_orphans(arrow_registered, tmp_path):
-    """Crashed-task .inprogress staging files are reclaimed on EVERY
-    commit, not only on overwrite — append-only datasets stay clean."""
+    """Crashed-task .inprogress staging files are reclaimed on append
+    commits once OLDER than the sweep age; a FRESH one (possibly a
+    concurrently-running writer's live staging file) must survive."""
     import os
+    import time
+
+    from kyuubi_spark.sources.arrowdir import ORPHAN_SWEEP_AGE_SEC
 
     d = str(tmp_path / "sink_sweep")
     arrow_registered.range(4).write.format("kyuubi_arrowdir").mode(
         "append"
     ).save(d)
-    orphan = os.path.join(d, "part-crashed.arrow.inprogress")
-    with open(orphan, "wb") as f:
-        f.write(b"partial")
+    old = os.path.join(d, "part-crashed.arrow.inprogress")
+    fresh = os.path.join(d, "part-live-writer.arrow.inprogress")
+    for p in (old, fresh):
+        with open(p, "wb") as f:
+            f.write(b"partial")
+    past = time.time() - ORPHAN_SWEEP_AGE_SEC - 60
+    os.utime(old, (past, past))
     arrow_registered.range(4, 8).write.format("kyuubi_arrowdir").mode(
         "append"
     ).save(d)
-    assert not os.path.exists(orphan)
+    assert not os.path.exists(old)  # aged orphan reclaimed
+    assert os.path.exists(fresh)  # concurrent writer's file untouched
+    os.remove(fresh)
     back = arrow_registered.read.format("kyuubi_arrowdir").load(d)
     assert back.count() == 8
 

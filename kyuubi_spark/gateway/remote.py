@@ -43,7 +43,38 @@ ENGINE_HOST_KEY = "kyuubi.engine.thrift.host"
 ENGINE_PORT_KEY = "kyuubi.engine.thrift.port"
 ENGINE_NAMESPACE_KEY = "kyuubi.engine.namespace"
 
+# session-conf keys the GATEWAY consumes for routing/transport/launch —
+# everything else is the engine's business and crosses the wire on open
+_NO_FORWARD_PREFIXES = (
+    "kyuubi.engine.thrift.",
+    "kyuubi.engine.share.level",
+    "kyuubi.engine.pool.",
+    "kyuubi.session.engine.",
+)
+_NO_FORWARD_KEYS = frozenset(
+    {
+        "kyuubi.engine.launch.enabled",
+        ENGINE_NAMESPACE_KEY,
+        "kyuubi.engine.type",
+        "kyuubi.session.group",
+    }
+)
+
+
+def _forwardable_session_conf(raw: dict) -> dict:
+    return {
+        k: v
+        for k, v in (raw or {}).items()
+        if k not in _NO_FORWARD_KEYS
+        and not any(k.startswith(p) for p in _NO_FORWARD_PREFIXES)
+    }
+
 # TTypeId ordinal -> Spark type (reverse of thrift._TYPE_ID)
+# Python-side types of FETCHED values.  String-carried wire types
+# (timestamp/date/decimal/nested/interval) arrive as their FINAL rendered
+# strings — mapping them to StringType keeps the outer re-serialization an
+# identity (re-rendering an already-rendered string crashes); the ORIGINAL
+# TTypeIds still reach clients via the wire_type_ids metadata pass-through.
 _SPARK_TYPE = {
     0: T.BooleanType(),
     1: T.ByteType(),
@@ -53,11 +84,14 @@ _SPARK_TYPE = {
     5: T.FloatType(),
     6: T.DoubleType(),
     7: T.StringType(),
-    8: T.TimestampType(),
+    8: T.StringType(),  # TIMESTAMP (hive-string on the wire)
     9: T.BinaryType(),
-    15: T.DecimalType(38, 18),
+    10: T.StringType(),  # ARRAY (hive-string on the wire)
+    11: T.StringType(),  # MAP (hive-string on the wire)
+    12: T.StringType(),  # STRUCT (hive-string on the wire)
+    15: T.StringType(),  # DECIMAL (hive-string on the wire)
     16: T.NullType(),
-    17: T.DateType(),
+    17: T.StringType(),  # DATE (hive-string on the wire)
     18: T.StringType(),  # VARCHAR
     19: T.StringType(),  # CHAR
     20: T.StringType(),  # INTERVAL_YEAR_MONTH (hive-string on the wire)
@@ -76,12 +110,15 @@ class RemoteOperation:
 
     def __init__(self, session: "RemoteEngineSession", guid: bytes,
                  failed: BaseException | None = None,
-                 statement: str | None = None):
+                 statement: str | None = None,
+                 arrow: bool = False):
         self.session = session
         self.guid = guid
+        self._arrow = arrow
         self.handle = OperationHandle()
         self.exception = failed
         self._struct: T.StructType | None = None
+        self.wire_type_ids: list | None = None  # engine (name, TTypeId)s
         self.statement = statement
         self.start_time = time.time()
         self.rows_fetched = 0
@@ -144,6 +181,11 @@ class RemoteOperation:
     def get_result_set_schema(self) -> T.StructType:
         if self._struct is None:
             cols = self.session.client.result_schema(self.guid)
+            # keep the ENGINE's TTypeIds for metadata pass-through: the
+            # Spark-type round-trip below collapses intervals/nested to
+            # string, but the outer wire must re-serve the original ids
+            # (KyuubiOperation relays the engine's TTableSchema verbatim)
+            self.wire_type_ids = list(cols)
             self._struct = T.StructType(
                 [
                     T.StructField(
@@ -162,6 +204,21 @@ class RemoteOperation:
         rows = self.session.client.fetch(
             self.guid, size, orientation=_ORIENT_ORDINAL[orientation]
         )
+        if self._arrow and rows:
+            # arrow result mode crosses the hop as one IPC-stream payload
+            # per batch in the arrowBatch binary column; decode back to
+            # RecordBatches so a forwarded session serves the same
+            # get_next_row_set contract as a local one (and the outer
+            # thrift frontend re-ships them arrow-form to the client)
+            import io
+
+            import pyarrow as pa
+
+            batches = []
+            for (payload,) in rows:
+                with pa.ipc.open_stream(io.BytesIO(payload)) as rd:
+                    batches.extend(rd)
+            rows = batches
         if rows:
             self.rows_fetched += len(rows)
             engine = getattr(self.session, "engine", None)
@@ -249,7 +306,14 @@ class RemoteEngineSession:
         else:
             self.client = ThriftClient(host, port, **kwargs)
         try:
-            self.client.open_session(user=user)
+            # forward the session conf to the remote open, minus the keys
+            # the GATEWAY consumes for routing/transport — the reference's
+            # KyuubiSessionImpl.openEngineSession sends normalizedConf so
+            # e.g. kyuubi.operation.incremental.collect governs the ENGINE
+            # side of a forwarded session (KyuubiSessionImpl.scala)
+            self.client.open_session(
+                user=user, conf=_forwardable_session_conf(raw) or None
+            )
         except BaseException:
             self.client.close()  # don't leak the socket on a failed open
             raise
@@ -303,9 +367,20 @@ class RemoteEngineSession:
         try:
             # per-statement conf crosses the wire in TExecuteStatementReq's
             # confOverlay field — a forwarded session keeps the full
-            # statement surface (incremental collect, plan-only, ...)
-            guid = self.client.execute(statement, conf_overlay=conf_overlay)
-            op = RemoteOperation(self, guid, statement=statement)
+            # statement surface (incremental collect, plan-only, ...);
+            # run_async rides field 4 so a forwarded cancel can land
+            # mid-query on the engine side
+            guid = self.client.execute(
+                statement, conf_overlay=conf_overlay, run_async=run_async
+            )
+            fmt = (conf_overlay or {}).get(
+                "kyuubi.operation.result.format",
+                self.conf.get_raw("kyuubi.operation.result.format", ""),
+            )
+            op = RemoteOperation(
+                self, guid, statement=statement,
+                arrow=str(fmt).lower() == "arrow",
+            )
         except RuntimeError as e:
             op = RemoteOperation(self, b"", failed=e, statement=statement)
         self.operations[op.handle.id] = op

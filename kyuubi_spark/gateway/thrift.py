@@ -242,21 +242,34 @@ def _simple(dt: T.DataType) -> str:
     return hs2_type_name(dt).lower()
 
 
-def _type_desc(dt: T.DataType) -> list:
+def _type_desc(dt: T.DataType, type_id: int | None = None) -> list:
     # TTypeDesc{1: [TTypeEntry{1: TPrimitiveTypeEntry{1: typeId}}]}
-    type_id = _TYPE_ID.get(_simple(dt), 7)
+    if type_id is None:
+        type_id = _TYPE_ID.get(_simple(dt), 7)
     prim = [(1, TType.I32, type_id)]
     entry = [(1, TType.STRUCT, prim)]
     return [(1, TType.LIST, (TType.STRUCT, [entry]))]
 
 
-def _table_schema(schema: T.StructType) -> list:
+def _table_schema(
+    schema: T.StructType, wire_tids: list | None = None
+) -> list:
+    """wire_tids: per-column (name, TTypeId) pairs from a FORWARDED
+    operation — the reference's KyuubiOperation relays the engine's
+    TTableSchema verbatim, so interval/nested TTypeIds survive the
+    second hop instead of collapsing to STRING via a Spark-type
+    round-trip (KyuubiOperation.getResultSetMetadata pass-through)."""
     cols = []
     for pos, f in enumerate(schema.fields):
+        tid = (
+            wire_tids[pos][1]
+            if wire_tids is not None and pos < len(wire_tids)
+            else None
+        )
         cols.append(
             [
                 (1, TType.STRING, f.name),
-                (2, TType.STRUCT, _type_desc(f.dataType)),
+                (2, TType.STRUCT, _type_desc(f.dataType, tid)),
                 (3, TType.I32, pos + 1),
             ]
         )
@@ -670,9 +683,11 @@ class ThriftFrontendService:
 
     def _do_GetResultSetMetadata(self, req: dict) -> list:
         op = self._operation_for(req)
+        schema = op.get_result_set_schema()  # populates wire_type_ids
         return [
             (1, TType.STRUCT, _status_ok()),
-            (2, TType.STRUCT, _table_schema(op.get_result_set_schema())),
+            (2, TType.STRUCT, _table_schema(
+                schema, getattr(op, "wire_type_ids", None))),
         ]
 
     def _do_FetchResults(self, req: dict) -> list:
@@ -834,10 +849,16 @@ class ThriftClient:
         self._call("CloseSession", [(1, TType.STRUCT, _handle(self.session_guid))])
         self.session_guid = None
 
-    def execute(self, sql: str, conf_overlay: dict | None = None) -> bytes:
-        """TExecuteStatementReq: 1 handle, 2 statement, 3 confOverlay —
-        per-statement conf (result format, incremental collect, ...) rides
-        the wire so forwarded sessions keep the full statement surface."""
+    def execute(
+        self,
+        sql: str,
+        conf_overlay: dict | None = None,
+        run_async: bool = False,
+    ) -> bytes:
+        """TExecuteStatementReq: 1 handle, 2 statement, 3 confOverlay,
+        4 runAsync — per-statement conf (result format, incremental
+        collect, ...) and async submission ride the wire so forwarded
+        sessions keep the full statement surface."""
         assert self.session_guid is not None
         req = [
             (1, TType.STRUCT, _handle(self.session_guid)),
@@ -849,6 +870,8 @@ class ThriftClient:
                                 {str(k): str(v)
                                  for k, v in conf_overlay.items()}))
             )
+        if run_async:
+            req.append((4, TType.BOOL, True))
         resp = self._call("ExecuteStatement", req)
         return _guid_of(resp[2][1])
 

@@ -47,6 +47,52 @@ def sf_dir():
 
 
 @pytest.fixture(scope="session")
+def launched_wire(spark, tmp_path_factory):
+    """A gateway with engine-process launching enabled, fronted by a
+    thrift frontend: the reference runs its shared JDBC behavior suites
+    against the SERVER and against every ENGINE over a real connection
+    (SURVEY §5 / WithKyuubiServer + the engine operation suites).  This
+    fixture is the engine half — sessions opened with
+    ``launch_conf`` forward through a gateway-spawned engine OS process
+    (one shared USER-level child for the whole test session, internal
+    auth on).  Suites parametrize over in-proc vs this to prove wire
+    behavior is identical through the child process."""
+    from kyuubi_spark.gateway.discovery import SqliteDiscoveryClient
+    from kyuubi_spark.gateway.engine import Engine
+    from kyuubi_spark.gateway.engine_process import EngineProcessManager
+    from kyuubi_spark.gateway.internal_auth import build_accessor
+    from kyuubi_spark.gateway.thrift import ThriftFrontendService
+
+    d = tmp_path_factory.mktemp("launched-wire")
+    conf = {
+        "kyuubi.engine.security.enabled": "true",
+        "kyuubi.engine.security.secret.provider.simple.secret": "wire-s3c",
+        "kyuubi.session.engine.initialize.timeout": "120",
+        "kyuubi.session.engine.idle.timeout": "600",
+    }
+    disco = SqliteDiscoveryClient(str(d / "registry.db"))
+    disco.create_client()
+    gw = Engine(spark)
+    gw.discovery = disco
+    gw.internal_accessor = build_accessor(conf, disco)
+    gw.process_manager = EngineProcessManager(disco, conf)
+    gw.launch_engines = False  # per-session opt-in via launch_conf
+
+    class _Env:
+        gateway = gw
+        discovery = disco
+        launch_conf = {"kyuubi.engine.launch.enabled": "true"}
+        frontend = ThriftFrontendService(gw).start()
+        host, port = None, None
+
+    _Env.host, _Env.port = _Env.frontend.host, _Env.frontend.port
+    yield _Env
+    _Env.frontend.stop()
+    gw.process_manager.stop_all()
+    disco.close_client()
+
+
+@pytest.fixture(scope="session")
 def tpcds_star(spark, tmp_path_factory):
     """Generated TPC-DS store star (sources/tpcds_datagen.py) landed as
     parquet once per session; yields (spark, duckdb_con) with every table

@@ -373,3 +373,49 @@ def test_group_share_level_spans_users(launching_gateway):
     finally:
         gw.close_session(s1.handle)
         gw.close_session(s2.handle)
+
+
+def test_cancel_mid_query_through_process(launching_gateway):
+    """CancelOperation lands MID-QUERY across both hops: a heavy async
+    statement is canceled over the wire, the engine-side Spark jobs stop
+    (job-group cancel in the child), the engine PROCESS survives, and a
+    concurrent session on the same engine is unaffected (the reference's
+    KyuubiOperationPerUserSuite cancel semantics through EngineRef)."""
+    from kyuubi_spark.gateway.state import OperationState
+
+    gw, disco, cert = launching_gateway
+    ns = "/kyuubi/user/cancel_user"
+    s1 = _open(gw, "cancel_user", cert)
+    s2 = _open(gw, "cancel_user", cert)
+    try:
+        pid = _engine_pid(disco, ns)
+        op = s1.execute_statement(
+            "SELECT count(*) AS c FROM range(100000000) a "
+            "CROSS JOIN range(100000) b",
+            run_async=True,
+        )
+        # wait for the child to actually be running the statement
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            st = op.state
+            if st is OperationState.RUNNING:
+                break
+            assert not st.is_terminal, f"query finished too fast: {st}"
+            time.sleep(0.1)
+        op.cancel()
+        deadline = time.time() + 30
+        while time.time() < deadline and not op.state.is_terminal:
+            time.sleep(0.2)
+        assert op.state in (OperationState.CANCELED, OperationState.ERROR)
+
+        # the engine process survived the cancel...
+        assert _engine_pid(disco, ns) == pid
+        os.kill(pid, 0)  # raises if the process died
+        # ...and the OTHER session on the same engine still serves queries
+        op2 = s2.execute_statement("SELECT 7 AS x")
+        assert [
+            r[0] for r in op2.get_next_row_set(FetchOrientation.FETCH_NEXT, 5)
+        ] == [7]
+    finally:
+        gw.close_session(s1.handle)
+        gw.close_session(s2.handle)

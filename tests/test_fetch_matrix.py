@@ -36,10 +36,18 @@ REWINDABLE = {"collect": True, "take": True,
               "incremental": False, "spill": False}
 
 
-@pytest.fixture(scope="module")
-def thrift_matrix_server(spark):
+@pytest.fixture(scope="module", params=["inproc", "process"])
+def thrift_matrix_server(request, spark, launched_wire):
+    """Both halves of the reference's shared-suite pattern: the matrix
+    runs against the in-proc engine AND through a gateway-LAUNCHED engine
+    OS process (three processes: client -> gateway -> child engine; the
+    session conf that selects the collect mode must forward to the child
+    on open — KyuubiSessionImpl.openEngineSession's normalizedConf)."""
+    if request.param == "process":
+        yield launched_wire.host, launched_wire.port, launched_wire.launch_conf
+        return
     svc = ThriftFrontendService(Engine(spark=spark)).start()
-    yield svc
+    yield svc.host, svc.port, {}
     svc.stop()
 
 
@@ -49,9 +57,9 @@ def _rows(batch):
 
 @pytest.mark.parametrize("mode", list(MODE_CONF))
 def test_fetch_orientation_matrix(thrift_matrix_server, mode):
-    svc = thrift_matrix_server
-    c = ThriftClient(svc.host, svc.port)
-    c.open_session(user=f"matrix_{mode}", conf=MODE_CONF[mode])
+    host, port, extra = thrift_matrix_server
+    c = ThriftClient(host, port)
+    c.open_session(user="wire", conf={**MODE_CONF[mode], **extra})
     try:
         op = c.execute(SQL)
         # page forward twice

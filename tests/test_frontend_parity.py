@@ -87,6 +87,53 @@ def test_thrift_and_trino_agree(engine):
         trino.stop()
 
 
+def test_launched_engine_agrees(launched_wire):
+    """The parity statement through the LAUNCHED-ENGINE path (client ->
+    gateway thrift frontend -> child engine OS process) returns the same
+    typed rows as every in-proc frontend — the reference's shared
+    behavior suites run against server AND engines (SURVEY §5)."""
+    from kyuubi_spark.gateway.thrift import ThriftClient
+
+    c = ThriftClient(launched_wire.host, launched_wire.port)
+    c.open_session(user="wire", conf=launched_wire.launch_conf)
+    try:
+        rows = c.fetch(c.execute(SQL), max_rows=100)
+        assert rows == EXPECT
+    finally:
+        c.close_session()
+        c.close()
+
+
+def test_launched_engine_log_and_conf_overlay(launched_wire):
+    """Through the child process: (a) the operation LOG channel
+    (fetchType=1) pipes the engine-side execution log back across both
+    hops; (b) a per-statement confOverlay (plan-only mode) is honored by
+    the ENGINE, proving TExecuteStatementReq.confOverlay forwarding."""
+    from kyuubi_spark.gateway.thrift import ThriftClient
+
+    c = ThriftClient(launched_wire.host, launched_wire.port)
+    c.open_session(user="wire", conf=launched_wire.launch_conf)
+    try:
+        guid = c.execute("SELECT 1 AS one")
+        log = c.fetch_log(guid)
+        assert log and all(isinstance(ln, str) for ln in log)
+        assert any("FINISHED" in ln or "state" in ln for ln in log)
+        c.close_operation(guid)
+
+        # plan-only overlay: the engine must return a plan STRING, not run
+        guid = c.execute(
+            "SELECT 1 AS one",
+            conf_overlay={"kyuubi.operation.plan.only.mode": "optimize"},
+        )
+        rows = c.fetch(guid, 10)
+        c.close_operation(guid)
+        assert len(rows) == 1
+        assert "one" in rows[0][0] or "Project" in rows[0][0]
+    finally:
+        c.close_session()
+        c.close()
+
+
 def test_binary_and_http_thrift_transports_agree(engine):
     """The two HS2 transport modes serve the identical dispatch table:
     same query, same schema ids, same rows."""

@@ -21,17 +21,36 @@ T_ARR, T_MAP, T_STRUCT, T_DEC, T_NULL, T_DATE = 10, 11, 12, 15, 16, 17
 T_IYM, T_IDT = 20, 21
 
 
-@pytest.fixture(scope="module")
-def wire(spark):
+@pytest.fixture(scope="module", params=["inproc", "process"])
+def wire(request, spark, launched_wire):
+    """The thrift-columnar lane runs against the in-proc engine AND
+    through a gateway-launched engine OS process (the reference runs
+    SparkDataTypeTests against server and engines alike, SURVEY §5);
+    the per-type TTypeIds must survive the second hop via the
+    forwarded-schema pass-through.  The arrow-session half is in-proc
+    only (process-mode Arrow is covered by test_process_arrow_ipc)."""
+    if request.param == "process":
+        client = ThriftClient(launched_wire.host, launched_wire.port)
+        client.open_session(user="wire", conf=launched_wire.launch_conf)
+        yield client, None
+        client.close_session()
+        client.close()
+        return
     svc = ThriftFrontendService(Engine(spark=spark)).start()
     client = ThriftClient(svc.host, svc.port)
     client.open_session(user="types")
-    arrow_session = svc.engine.open_session(user="types_arrow")
-    yield client, arrow_session
-    svc.engine.close_session(arrow_session.handle)
+    yield client, None
     client.close_session()
     client.close()
     svc.stop()
+
+
+@pytest.fixture(scope="module")
+def arrow_session(spark):
+    eng = Engine(spark=spark)
+    session = eng.open_session(user="types_arrow")
+    yield session
+    eng.close_session(session.handle)
 
 
 def thrift_one(client: ThriftClient, sql: str):
@@ -122,9 +141,8 @@ def test_thrift_columnar(wire, label, sql, tid, wire_val, _arrow_val):
     CASES,
     ids=[c[0] for c in CASES],
 )
-def test_arrow_format(wire, label, sql, tid, _wire_val, arrow_val):
-    _, session = wire
-    got_tid, got = arrow_one(session, sql)
+def test_arrow_format(arrow_session, label, sql, tid, _wire_val, arrow_val):
+    got_tid, got = arrow_one(arrow_session, sql)
     assert got_tid == tid
     if isinstance(got, datetime.datetime) and got.tzinfo is not None:
         # TIMESTAMP (with local tz) arrives tz-aware in the session zone;
@@ -183,6 +201,39 @@ def test_nested_collections_render(wire):
     ]:
         _, got = thrift_one(client, sql)
         assert got == want, sql
+
+
+def test_process_arrow_ipc(launched_wire):
+    """Arrow results THROUGH a launched engine process: the confOverlay
+    selecting arrow format forwards across both hops, the gateway
+    re-serves the engine's RecordBatches as arrowBatch IPC payloads,
+    and GetResultSetMetadata still reports the ORIGINAL logical schema
+    (not the transport column)."""
+    import io
+
+    import pyarrow as pa
+
+    client = ThriftClient(launched_wire.host, launched_wire.port)
+    client.open_session(user="wire", conf=launched_wire.launch_conf)
+    try:
+        guid = client.execute(
+            "SELECT id AS i, CONCAT('r', id) AS s FROM range(5) ORDER BY id",
+            conf_overlay={"kyuubi.operation.result.format": "arrow"},
+        )
+        schema = client.result_schema(guid)
+        assert schema == [("i", T_I64), ("s", T_STR)]
+        rows = client.fetch(guid, 100)
+        client.close_operation(guid)
+        batches = []
+        for (payload,) in rows:
+            with pa.ipc.open_stream(io.BytesIO(payload)) as rd:
+                batches.extend(rd)
+        tbl = pa.Table.from_batches(batches)
+        assert tbl.column("i").to_pylist() == list(range(5))
+        assert tbl.column("s").to_pylist() == [f"r{i}" for i in range(5)]
+    finally:
+        client.close_session()
+        client.close()
 
 
 @pytest.fixture(scope="module")

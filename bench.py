@@ -357,6 +357,144 @@ def _realtext_lane(spark) -> dict | None:
     }
 
 
+def _zorder_lane(spark) -> dict | None:
+    """Measured z-order skip ratio + point-lookup speedup — the ONLY
+    quantitative numbers BASELINE.md carries from the reference
+    (docs/extensions/engines/spark/z-order.md:310-331: skip >=99.4% of
+    rows, 11-19x point-range lookups at 200-10000 files).  Reproduces
+    the experiment at sandbox scale with a MATCHED file count (200):
+    write the same 2-key table z-ordered vs hash-random into 200 files
+    each, then (a) count files/rows a min/max-stats scan excludes for a
+    point-range box (parquet footers, the same pruning Spark's parquet
+    row-group skipping and Delta/Iceberg data skipping perform), and
+    (b) time the actual filter query on both layouts (median of 3).
+    Set SPARK_GRAFT_SKIP_ZORDER=1 to skip."""
+    if os.environ.get("SPARK_GRAFT_SKIP_ZORDER") == "1":
+        return None
+    import glob
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from kyuubi_spark.operators.zorder import optimize_zorder
+
+    n_files = int(os.environ.get("SPARK_GRAFT_ZORDER_FILES", "1000"))
+    n_rows = int(os.environ.get("SPARK_GRAFT_ZORDER_ROWS", "200000000"))
+    # four 0.1% x 0.1% point-range boxes spread over the key space (the
+    # baseline's ip-range lookup shape) — averaging over boxes removes
+    # the Morton-alignment luck of any single box position
+    boxes = [
+        (8_100, 77_000), (41_000, 33_000), (63_500, 90_100),
+        (87_700, 12_300),
+    ]
+    width = 100  # 0.1% of the 100k key space
+    base = tempfile.mkdtemp(prefix="bench_zorder_")
+    z_path, r_path = os.path.join(base, "zorder"), os.path.join(base, "rand")
+    try:
+        df = spark.range(n_rows).select(
+            ((F.col("id") * 2654435761) % 100_000).alias("x"),
+            ((F.col("id") * 40503) % 100_000).alias("y"),
+            F.col("id").alias("payload"),
+        )
+        t0 = time.perf_counter()
+        optimize_zorder(df, ["x", "y"], num_partitions=n_files).drop(
+            "zvalue"
+        ).write.mode("overwrite").parquet(z_path)
+        optimize_sec = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        df.repartition(n_files).write.mode("overwrite").parquet(r_path)
+        random_write_sec = round(time.perf_counter() - t0, 3)
+
+        def file_ranges(path):
+            """[(rows, lo{x,y}, hi{x,y})] from the parquet footers."""
+            out = []
+            for fpath in glob.glob(os.path.join(path, "*.parquet")):
+                meta = pq.ParquetFile(fpath).metadata
+                lo = {"x": float("inf"), "y": float("inf")}
+                hi = {"x": float("-inf"), "y": float("-inf")}
+                frows = 0
+                for rg in range(meta.num_row_groups):
+                    g = meta.row_group(rg)
+                    frows += g.num_rows
+                    for ci in range(g.num_columns):
+                        col = g.column(ci)
+                        st, name = col.statistics, col.path_in_schema
+                        if st is not None and name in lo:
+                            lo[name] = min(lo[name], st.min)
+                            hi[name] = max(hi[name], st.max)
+                out.append((frows, lo, hi))
+            return out
+
+        def skip_pcts(ranges, box):
+            """(files%, rows%) a min/max-stats scan skips for one box."""
+            x_lo, y_lo = box
+            x_hi, y_hi = x_lo + width - 1, y_lo + width - 1
+            fs = rs = rows = 0
+            for frows, lo, hi in ranges:
+                rows += frows
+                if (hi["x"] < x_lo or lo["x"] > x_hi
+                        or hi["y"] < y_lo or lo["y"] > y_hi):
+                    fs += 1
+                    rs += frows
+            return 100.0 * fs / len(ranges), 100.0 * rs / rows
+
+        def scan_once(path, box):
+            x_lo, y_lo = box
+            t0 = time.perf_counter()
+            got = (
+                spark.read.parquet(path)
+                .where(F.col("x").between(x_lo, x_lo + width - 1)
+                       & F.col("y").between(y_lo, y_lo + width - 1))
+                .agg(F.count("*").alias("n"), F.sum("payload").alias("s"))
+                .collect()[0]
+            )
+            return time.perf_counter() - t0, (got["n"], got["s"])
+
+        z_ranges, r_ranges = file_ranges(z_path), file_ranges(r_path)
+        per_box, z_total, r_total = [], 0.0, 0.0
+        scan_once(z_path, boxes[0])  # warm the reader/codegen path once
+        scan_once(r_path, boxes[0])
+        for box in boxes:
+            zf_pct, zr_pct = skip_pcts(z_ranges, box)
+            rf_pct, rr_pct = skip_pcts(r_ranges, box)
+            z_sec, z_ans = scan_once(z_path, box)
+            r_sec, r_ans = scan_once(r_path, box)
+            assert z_ans == r_ans, f"layouts disagree on {box}"
+            z_total += z_sec
+            r_total += r_sec
+            per_box.append({
+                "box": list(box),
+                "zorder_files_skipped_pct": round(zf_pct, 3),
+                "zorder_rows_skipped_pct": round(zr_pct, 3),
+                "random_rows_skipped_pct": round(rr_pct, 3),
+                "zorder_scan_sec": round(z_sec, 3),
+                "random_scan_sec": round(r_sec, 3),
+            })
+        n = len(boxes)
+        return {
+            "n_rows": n_rows,
+            "n_files": len(z_ranges),
+            "optimize_sec": optimize_sec,
+            "random_write_sec": random_write_sec,
+            "zorder_files_skipped_pct": round(
+                sum(b["zorder_files_skipped_pct"] for b in per_box) / n, 3),
+            "zorder_rows_skipped_pct": round(
+                sum(b["zorder_rows_skipped_pct"] for b in per_box) / n, 3),
+            "random_rows_skipped_pct": round(
+                sum(b["random_rows_skipped_pct"] for b in per_box) / n, 3),
+            "zorder_scan_sec": round(z_total, 3),
+            "random_scan_sec": round(r_total, 3),
+            "speedup": round(r_total / z_total, 2) if z_total > 0 else None,
+            "per_box": per_box,
+            "baseline_ref": "z-order.md:317-323 — skip >=99.465% of rows "
+                            "at 1000 files, 8.7x point-range lookups",
+        }
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from kyuubi_spark.queries import all_queries
@@ -422,6 +560,7 @@ def main() -> None:
     sf = float(sf_name) if sf_name.replace(".", "").isdigit() else sf_name
 
     realtext = _realtext_lane(spark)
+    zorder = _zorder_lane(spark)
 
     # Full-resolution per-query timings for the judge / local diffing.
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
@@ -438,6 +577,7 @@ def main() -> None:
                     "n_failed": len(timings) - len(ok),
                     "repeats": repeats,
                     "realtext": realtext,
+                    "zorder": zorder,
                 },
                 f,
                 indent=1,

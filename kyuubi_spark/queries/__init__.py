@@ -147,6 +147,19 @@ def all_queries() -> dict[str, QuerySpec]:
 
     last = _last_verified_round()
     names = list(REGISTRY)
+    # Blast radius is AUTOMATIC since r09: the hand-maintained set is
+    # unioned with every query whose builder module (or any kyuubi_spark
+    # module it transitively imports) changed since the last round
+    # boundary — a change to a shared helper promotes its dependents
+    # into the next driver window without anyone remembering to list
+    # them (queries/blast.py; tools/roundcheck.py verifies per round).
+    changed = set(_CHANGED_THIS_ROUND)
+    try:
+        from kyuubi_spark.queries.blast import git_blast_radius
+
+        changed |= git_blast_radius(REGISTRY)
+    except Exception:
+        pass  # no git / no boundary: the hand set still applies
     # added/changed-this-round first (new code + regression risk), then
     # never-verified (no driver row ever), then least-recently-verified.
     # Never-verified entries beyond the window rise automatically next
@@ -154,7 +167,7 @@ def all_queries() -> dict[str, QuerySpec]:
     ordered = sorted(
         range(len(names)),
         key=lambda i: (
-            0 if names[i] in _CHANGED_THIS_ROUND else 1,
+            0 if names[i] in changed else 1,
             0 if last.get(names[i], -1) == -1 else 1,
             last.get(names[i], -1),
             i,

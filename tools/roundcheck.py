@@ -39,6 +39,10 @@ def main() -> None:
     sf = "/root/testdata/sf0.001" if fast else "/root/testdata/sf0.01"
     ok &= run(f"verify {sf}", [sys.executable, "tools/verify.py", sf])
     ok &= run("window audit", [sys.executable, "tools/window_audit.py"])
+    ok &= run(
+        "blast radius",
+        [sys.executable, "-m", "kyuubi_spark.queries.blast", "--check"],
+    )
     if not fast:
         ok &= run("bench", [sys.executable, "bench.py"])
     status = subprocess.run(

@@ -308,6 +308,58 @@ def stream_stateful_totals_watermark(
 
 
 @query(
+    "stream_stateful_totals_filesink",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+    doc="stream_stateful_totals_watermark with a DURABLE sink: the same "
+    "update-mode + watermark + EventTimeTimeout-evicting stateful "
+    "operator, but every microbatch's update emissions land in parquet "
+    "via foreachBatch (no memory sink, no driver-side row collection in "
+    "the data path) and the finals-collapse runs over the landed files — "
+    "the production shape of an always-on stateful job feeding a lake "
+    "table. Value-verified against the identical batch oracle.",
+)
+def stream_stateful_totals_filesink(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from kyuubi_spark.streaming.runner import run_foreach_batch
+    from kyuubi_spark.streaming.stateful import running_user_totals_evicting
+
+    stream = _events_stream(spark, sf_dir)
+    out_dir = tempfile.mkdtemp(prefix="kyuubi_stream_state_sink_")
+    try:
+        run_foreach_batch(
+            running_user_totals_evicting(stream),
+            lambda batch_df, batch_id: batch_df.write.mode("append").parquet(
+                out_dir
+            ),
+            output_mode="update",
+            state_partitions=8,
+        )
+        landed = spark.read.parquet(out_dir)
+        # update rows are per-key monotone in n_events: the final per key
+        # is its last emission (same collapse the memory-sink variant
+        # verifies, now over the durable sink)
+        finals = landed.groupBy("user_id").agg(
+            F.max("n_events").alias("n_events"),
+            F.max_by("total_value", "n_events").alias("total_value"),
+        )
+        out = finals.select(
+            "user_id", "n_events",
+            dround("total_value", 2).alias("total_value"),
+        ).orderBy("user_id")
+        out = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+    return out
+
+
+@query(
     "stream_sink_parquet",
     oracle="""
     SELECT user_id, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value

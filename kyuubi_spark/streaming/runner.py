@@ -112,19 +112,35 @@ def run_to_memory(
 
 
 def run_foreach_batch(
-    streaming_df: DataFrame, batch_fn, timeout_sec: int = 300
+    streaming_df: DataFrame,
+    batch_fn,
+    timeout_sec: int = 300,
+    output_mode: str | None = None,
+    state_partitions: int | None = None,
 ) -> None:
     """foreachBatch sink (arbitrary per-microbatch logic, e.g. writes with
-    rebalance/z-order through operators.write)."""
+    rebalance/z-order through operators.write).  ``output_mode`` matters
+    for stateful upstreams (update-mode emissions land per microbatch);
+    ``state_partitions`` pins the per-query state-store count exactly as
+    in run_to_memory."""
     ckpt = tempfile.mkdtemp(prefix="kyuubi_spark_ckpt_")
+    spark = streaming_df.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
     try:
+        writer = streaming_df.writeStream.foreachBatch(batch_fn)
+        if output_mode:
+            writer = writer.outputMode(output_mode)
         q = (
-            streaming_df.writeStream.foreachBatch(batch_fn)
-            .option("checkpointLocation", ckpt)
+            writer.option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
             .start()
         )
     except BaseException:
         shutil.rmtree(ckpt, ignore_errors=True)
         raise
+    finally:
+        if state_partitions:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
     _finish(q, timeout_sec, ckpt)

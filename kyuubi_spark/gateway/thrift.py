@@ -355,6 +355,19 @@ class ThriftFrontendService:
         def serve_one(reader: "ProtocolReader", auth_user: str | None = None) -> bytes:
             name, _mtype, seqid = reader.message_begin()
             args = reader.read_value(TType.STRUCT)
+            if not hasattr(service, f"_do_{name}"):
+                # unknown RPC → thrift-level TApplicationException with
+                # UNKNOWN_METHOD (1), the TProcessor contract real HS2
+                # servers follow — clients key fallbacks off it (e.g.
+                # pyhive retries logs via FetchResults fetchType=1 when
+                # the legacy GetLog answers UNKNOWN_METHOD)
+                w = ProtocolWriter()
+                w.message_begin(name, EXCEPTION, seqid)
+                w.write_value(TType.STRUCT, [
+                    (1, TType.STRING, f"Invalid method name: '{name}'"),
+                    (2, TType.I32, 1),  # UNKNOWN_METHOD
+                ])
+                return bytes(w.buf)
             try:
                 result = service.dispatch(name, args, auth_user=auth_user)
             except Exception as e:  # wire-level fault → TStatus error
@@ -694,7 +707,12 @@ class ThriftFrontendService:
         op = self._operation_for(req)
         orientation = _ORIENTATION.get(req.get(2, (None, 0))[1], FetchOrientation.FETCH_NEXT)
         max_rows = req.get(3, (None, 100))[1]
-        fetch_type = req.get(5, (None, 0))[1]
+        # fetchType is FIELD 4 in the public TCLIService IDL
+        # (TFetchResultsReq: 1 handle, 2 orientation, 3 maxRows,
+        # 4 fetchType) — pinned by the PyHive interop lane, which fetches
+        # logs with the Apache-generated client; field 5 is read as a
+        # fallback for wire peers of this repo's pre-r09 client
+        fetch_type = req.get(4, req.get(5, (None, 0)))[1]
         if fetch_type == 1:
             # fetchType=1 = the operation LOG channel (TFrontendService:522
             # fetchLog) — one string column; agent event streams ride here
@@ -943,7 +961,7 @@ class ThriftClient:
                 (1, TType.STRUCT, _op_handle(op_guid, True)),
                 (2, TType.I32, orientation),
                 (3, TType.I64, max_rows),
-                (5, TType.I16, fetch_type),
+                (4, TType.I16, fetch_type),  # public IDL field id
             ],
         )
         rowset = resp[3][1]

@@ -112,6 +112,7 @@ class ManagedEngine:
         self.namespace = namespace
         self.ref_id = ref_id
         self.stderr_path = stderr_path
+        self.launch_time = time.time()
 
     @property
     def pid(self) -> int:
@@ -119,6 +120,21 @@ class ManagedEngine:
 
     def alive(self) -> bool:
         return self.proc.poll() is None
+
+    def describe(self) -> dict:
+        """Admin-facing snapshot (AdminResource.scala engine listing +
+        the ProcBuilder log the reference keeps per engine)."""
+        alive = self.alive()
+        return {
+            "namespace": self.namespace,
+            "engineRefId": self.ref_id,
+            "pid": self.pid,
+            "alive": alive,
+            "uptimeSec": round(time.time() - self.launch_time, 1),
+            "exitCode": None if alive else self.proc.poll(),
+            "logTail": "" if alive else self.stderr_tail(5),
+            "logPath": self.stderr_path,
+        }
 
     def stderr_tail(self, n: int = 30) -> str:
         try:
@@ -316,6 +332,28 @@ class EngineProcessManager:
         with self._lock:
             return sum(1 for e in self._engines.values() if e.alive())
 
+    def describe_engines(self) -> list[dict]:
+        """Launched-engine snapshots enriched with the discovery node
+        (instance + registered attributes) — the data KYUUBI DESC ENGINE
+        and REST /admin/engine serve for process engines."""
+        with self._lock:
+            children = list(self._engines.values())
+        out = []
+        for child in children:
+            d = child.describe()
+            try:
+                for n in self.discovery.get_service_nodes_info(
+                    child.namespace
+                ):
+                    if n.engine_ref_id == child.ref_id:
+                        d["instance"] = f"{n.host}:{n.port}"
+                        d["attributes"] = n.attributes
+                        break
+            except Exception:
+                pass
+            out.append(d)
+        return out
+
 
 class ProcessEngineSession(RemoteEngineSession):
     """A forwarded session whose engine is a gateway-launched process.
@@ -329,6 +367,62 @@ class ProcessEngineSession(RemoteEngineSession):
         self.manager = manager
         self.namespace = namespace
         super().__init__(engine, user, conf)
+
+    def execute_statement(self, statement: str,
+                          conf_overlay: dict | None = None,
+                          run_async: bool = False):
+        # KYUUBI DESC ENGINE is the GATEWAY's answer (DescribeEngine
+        # .scala runs on the server against the session's EngineRef):
+        # for a launched engine it must describe the OS process — PID,
+        # uptime, namespace, discovery instance — not forward into the
+        # child, which would describe itself with no process context.
+        from kyuubi_spark.gateway import server as SRV
+
+        if SRV.parse_server_dsl(statement) == "engine":
+            return self._describe_engine_op()
+        return super().execute_statement(
+            statement, conf_overlay=conf_overlay, run_async=run_async
+        )
+
+    def _describe_engine_op(self):
+        import json
+
+        from kyuubi_spark.gateway import operations as OPS
+
+        info = next(
+            (
+                d
+                for d in self.manager.describe_engines()
+                if d["namespace"] == self.namespace
+            ),
+            {},
+        )
+        attrs = {
+            **(info.get("attributes") or {}),  # discovery node strings
+            "pid": info.get("pid"),  # live process fields take precedence
+            "namespace": self.namespace,
+            "alive": info.get("alive"),
+            "uptimeSec": info.get("uptimeSec"),
+            "logPath": info.get("logPath"),
+        }
+        fields = [
+            ("ENGINE_ID", OPS._S), ("ENGINE_NAME", OPS._S),
+            ("ENGINE_URL", OPS._S), ("ENGINE_INSTANCE", OPS._S),
+            ("ENGINE_VERSION", OPS._S), ("ENGINE_ATTRIBUTES", OPS._S),
+        ]
+        rows = [(
+            info.get("engineRefId", ""),
+            "kyuubi-engine-process",
+            info.get("instance", ""),
+            info.get("instance", ""),
+            self.engine.get_info()["ENGINE_VERSION"],
+            json.dumps(attrs, sort_keys=True),
+        )]
+        op = OPS.MetadataOperation(self)
+        op._execute = lambda: op._finish(fields, rows)  # type: ignore[method-assign]
+        op.run()
+        self.operations[op.handle.id] = op
+        return op
 
     def close(self) -> None:
         try:

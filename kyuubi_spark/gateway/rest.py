@@ -416,15 +416,35 @@ class RestGateway:
             # .engineSpace) except server/infra nodes
             from kyuubi_spark.gateway.server_main import SERVER_NAMESPACE
 
+            # gateway-LAUNCHED engines carry live process fields (PID,
+            # uptime, aliveness, log path) alongside their discovery
+            # node — the reference's admin engine listing shape plus the
+            # ProcBuilder process context a multi-tenant operator needs
+            manager = getattr(self.engine, "process_manager", None)
+            by_ns: dict[str, dict] = {}
+            if manager is not None:
+                by_ns = {
+                    d["namespace"]: d for d in manager.describe_engines()
+                }
             out = []
             for space in disco.engine_spaces("/kyuubi"):
                 if space == SERVER_NAMESPACE:
                     continue
                 try:
-                    out.extend(
-                        node_dict(n)
-                        for n in disco.get_service_nodes_info(space)
-                    )
+                    for n in disco.get_service_nodes_info(space):
+                        d = node_dict(n)
+                        proc = by_ns.get(n.namespace)
+                        if proc is not None and proc.get(
+                            "engineRefId"
+                        ) == n.engine_ref_id:
+                            d["process"] = {
+                                k: proc[k]
+                                for k in (
+                                    "pid", "alive", "uptimeSec",
+                                    "exitCode", "logPath",
+                                )
+                            }
+                        out.append(d)
                 except Exception:
                     continue
             h._reply(200, out)

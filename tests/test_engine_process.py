@@ -419,3 +419,69 @@ def test_cancel_mid_query_through_process(launching_gateway):
     finally:
         gw.close_session(s1.handle)
         gw.close_session(s2.handle)
+
+
+def test_engine_process_observability(launching_gateway):
+    """Launched-engine observability (reference AdminResource engine
+    listing + DescribeEngine): KYUUBI DESC ENGINE through a launched
+    session reports the live OS process (pid/namespace/uptime/instance);
+    REST /admin/engine lists the node WITH process fields; after the
+    process dies and is reaped, the process entry is gone."""
+    import json as J
+    import urllib.request
+
+    from kyuubi_spark.gateway.rest import RestGateway
+
+    gw, disco, cert = launching_gateway
+    ns = "/kyuubi/user/obs_user"
+    s = _open(gw, "obs_user", cert)
+    try:
+        pid = _engine_pid(disco, ns)
+        op = s.execute_statement("KYUUBI DESC ENGINE")
+        row = op.get_next_row_set(FetchOrientation.FETCH_NEXT, 10)[0]
+        names = [f.name for f in op.get_result_set_schema().fields]
+        assert names == ["ENGINE_ID", "ENGINE_NAME", "ENGINE_URL",
+                         "ENGINE_INSTANCE", "ENGINE_VERSION",
+                         "ENGINE_ATTRIBUTES"]
+        attrs = J.loads(row[5])
+        assert attrs["pid"] == pid
+        assert attrs["namespace"] == ns
+        assert attrs["alive"] is True
+        assert attrs["uptimeSec"] >= 0
+        assert ":" in row[3]  # live host:port instance
+
+        rg = RestGateway(gw).start()
+        try:
+            base = f"http://127.0.0.1:{rg.port}/api/v1"
+            with urllib.request.urlopen(f"{base}/admin/engine") as r:
+                listing = J.loads(r.read())
+            mine = [e for e in listing if e["namespace"] == ns]
+            assert mine, listing
+            proc = mine[0]["process"]
+            assert proc["pid"] == pid and proc["alive"] is True
+            assert proc["uptimeSec"] >= 0 and proc["exitCode"] is None
+
+            # kill + reap (the idle-TTL death path without the wait):
+            # the node is swept on the next resolve and the process
+            # entry disappears from the listing
+            gw.close_session(s.handle)
+            os.kill(pid, signal.SIGKILL)
+            deadline = time.time() + 10
+            while time.time() < deadline:
+                try:
+                    os.kill(pid, 0)
+                    time.sleep(0.1)
+                except ProcessLookupError:
+                    break
+            gw.process_manager._resolve_live(ns)  # sweeps the dead node
+            gw.process_manager.reap()
+            with urllib.request.urlopen(f"{base}/admin/engine") as r:
+                listing = J.loads(r.read())
+            assert not [e for e in listing if e["namespace"] == ns]
+        finally:
+            rg.shutdown()
+    finally:
+        try:
+            gw.close_session(s.handle)
+        except Exception:
+            pass

@@ -136,6 +136,7 @@ def all_queries() -> dict[str, QuerySpec]:
         pipeline6,
         pipeline7,
         pipeline8,
+        pipeline9,
         sql4,
         sqludf,
         tpcds,

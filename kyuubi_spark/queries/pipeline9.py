@@ -1,0 +1,292 @@
+"""Pipeline batch 9 — training-data ops round 9.
+
+Four first-class LLM-pipeline operators with value-exact DuckDB oracles:
+
+- ``length_outlier_mad``: robust per-source length anomaly screen
+  (median absolute deviation), the outlier gate quality pipelines run
+  before length-based truncation decisions.
+- ``tokenizer_fertility_report``: per-language tokenizer-fertility
+  proxies (whitespace tokens, bytes/token, alnum density) — the
+  pre-tokenizer audit that decides vocab allocation across languages.
+- ``hamming_ann_topk``: sign-bit binary embeddings packed into ONE
+  int64 per vector + Hamming top-k via XOR+POPCNT — the classic
+  64x-memory-reduction binary ANN path.
+- ``matryoshka_recall_report``: truncated-prefix (MRL-style) embedding
+  retrieval quality — recall@5 of 16-dim-prefix cosine top-k against
+  the full 64-dim ground truth.
+
+Reference scope: these extend the engine the same way the reference's
+extensions surface (SURVEY.md §2's beyond-operator pipeline set);
+oracle-parity conventions follow queries/pipeline.py (dround rounding,
+sequential-order dot products, id tiebreaks).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kyuubi_spark.functions import similarity as S
+from kyuubi_spark.functions.compat import dround
+from kyuubi_spark.queries import query
+from kyuubi_spark.session import load_table
+
+
+@query(
+    "length_outlier_mad",
+    oracle="""
+    WITH med AS (
+      SELECT source, COUNT(*) AS n_docs, median(n_chars) AS med
+      FROM documents GROUP BY source),
+    dev AS (
+      SELECT d.source, d.n_chars, m.n_docs, m.med,
+             abs(d.n_chars - m.med) AS adev
+      FROM documents d JOIN med m ON d.source = m.source),
+    mad AS (
+      SELECT source, any_value(n_docs) AS n_docs, any_value(med) AS med,
+             median(adev) AS mad
+      FROM dev GROUP BY source)
+    SELECT d.source AS source,
+           any_value(m.n_docs) AS n_docs,
+           ROUND(any_value(m.med), 1) AS median_chars,
+           ROUND(any_value(m.mad), 1) AS mad_chars,
+           CAST(SUM(CASE WHEN abs(d.n_chars - m.med) > 3.0 * 1.4826 * m.mad
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM documents d JOIN mad m ON d.source = m.source
+    GROUP BY d.source ORDER BY source
+    """,
+    doc="Robust per-source document-length outliers: median + median "
+    "absolute deviation (the 1.4826 normal-consistency constant), "
+    "flagging docs beyond 3 robust sigmas — the length-anomaly screen "
+    "a quality pipeline runs per source before truncation decisions. "
+    "Plan: two per-source aggregates + one broadcast join of the tiny "
+    "per-source stats back onto the corpus (sources are low-cardinality, "
+    "so the stats side always broadcasts; the corpus shuffles only for "
+    "the two keyed aggregates). The exact median is the oracle-parity "
+    "choice; a 100 TB production run swaps in percentile_approx with "
+    "identical plan shape.",
+)
+def length_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("source", "n_chars")
+    med = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"), F.median("n_chars").alias("med")
+    )
+    dev = docs.join(F.broadcast(med), "source").withColumn(
+        "adev", F.abs(F.col("n_chars") - F.col("med"))
+    )
+    mad = dev.groupBy("source").agg(
+        F.first("n_docs").alias("n_docs"),
+        F.first("med").alias("med"),
+        F.median("adev").alias("mad"),
+    )
+    return (
+        docs.join(F.broadcast(mad), "source")
+        .groupBy("source")
+        .agg(
+            F.first("n_docs").alias("n_docs"),
+            dround(F.first("med"), 1).alias("median_chars"),
+            dround(F.first("mad"), 1).alias("mad_chars"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("n_chars") - F.col("med"))
+                    > 3.0 * 1.4826 * F.col("mad"),
+                    1,
+                ).otherwise(0)
+            ).alias("n_outliers"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "tokenizer_fertility_report",
+    oracle=r"""
+    WITH t AS (
+      SELECT lang,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE length(regexp_replace(trim(text), '\s+', ' ', 'g'))
+                     - length(replace(
+                         regexp_replace(trim(text), '\s+', ' ', 'g'), ' ', ''))
+                     + 1 END AS ws_tokens,
+             length(text) AS n_chars,
+             strlen(text) AS n_bytes,
+             length(text) - length(regexp_replace(text, '[A-Za-z0-9]', '', 'g'))
+               AS alnum_chars
+      FROM documents)
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(ws_tokens) AS BIGINT) AS n_tokens,
+           ROUND(SUM(n_chars) * 1.0 / SUM(ws_tokens), 4) AS chars_per_token,
+           ROUND(SUM(n_bytes) * 1.0 / SUM(ws_tokens), 4) AS bytes_per_token,
+           ROUND(SUM(alnum_chars) * 1.0 / SUM(n_chars), 4) AS alnum_ratio
+    FROM t GROUP BY lang ORDER BY lang
+    """,
+    doc="Per-language tokenizer-fertility proxies: whitespace-token "
+    "counts via pure length arithmetic (collapse runs, count "
+    "separators), bytes per token, and alphanumeric density — the "
+    "audit that decides per-language vocab allocation before training "
+    "a tokenizer. One map-side projection + one hash aggregate on the "
+    "low-cardinality lang key; every expression is whole-stage-codegen "
+    "string arithmetic, no UDFs, so the scan dominates at 100 TB.",
+)
+def tokenizer_fertility_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t1 = F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")
+    ws_tokens = F.when(F.trim("text") == "", F.lit(0)).otherwise(
+        F.length(t1) - F.length(F.regexp_replace(t1, " ", "")) + 1
+    )
+    alnum = F.length("text") - F.length(
+        F.regexp_replace("text", "[A-Za-z0-9]", "")
+    )
+    return (
+        docs.select(
+            "lang",
+            ws_tokens.alias("ws_tokens"),
+            F.length("text").alias("n_chars"),
+            F.octet_length("text").alias("n_bytes"),
+            alnum.alias("alnum_chars"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("ws_tokens").alias("n_tokens"),
+            dround(F.sum("n_chars") * 1.0 / F.sum("ws_tokens"), 4).alias(
+                "chars_per_token"
+            ),
+            dround(F.sum("n_bytes") * 1.0 / F.sum("ws_tokens"), 4).alias(
+                "bytes_per_token"
+            ),
+            dround(F.sum("alnum_chars") * 1.0 / F.sum("n_chars"), 4).alias(
+                "alnum_ratio"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "hamming_ann_topk",
+    oracle="""
+    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             CAST(list_sum(list_transform(generate_series(1, 64),
+               i -> CASE WHEN (q.embedding[i] >= 0) != (c.embedding[i] >= 0)
+                         THEN 1 ELSE 0 END)) AS BIGINT) AS hamming
+      FROM q JOIN embeddings c ON c.vec_id != q.vec_id)
+    SELECT query_id, neighbor_id, hamming, rnk FROM (
+      SELECT query_id, neighbor_id, hamming,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY hamming, neighbor_id) AS BIGINT) AS rnk
+      FROM scored) t
+    WHERE rnk <= 5 ORDER BY query_id, rnk
+    """,
+    doc="Binary-embedding ANN: each 64-dim float vector collapses to ONE "
+    "int64 of sign bits (64x memory reduction — the standard binary "
+    "embedding deployment), and Hamming top-5 for the 10 query vectors "
+    "runs as XOR + POPCNT on packed longs (bit_count(sig ^ qsig), "
+    "whole-stage codegen, one CPU instruction per comparison). Plan: "
+    "one signature projection pass, broadcast of the 10 query "
+    "signatures, per-query top-k window. At 100 TB the signature table "
+    "is ~1/256th the corpus bytes and the scan is embarrassingly "
+    "parallel; the oracle recomputes the same Hamming distances naively "
+    "from the sign pattern.",
+)
+def hamming_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    sig = emb.select(
+        "vec_id",
+        F.expr(
+            "aggregate(transform(sequence(0, 63),"
+            " i -> IF(embedding[i] >= 0.0F, shiftleft(1L, i), 0L)),"
+            " 0L, (acc, x) -> acc | x)"
+        ).alias("sig"),
+    )
+    q = sig.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("sig").alias("qsig")
+    )
+    scored = (
+        sig.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.expr("bit_count(sig ^ qsig)").cast("bigint").alias("hamming"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy("hamming", "neighbor_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= 5)
+        .orderBy("query_id", "rnk")
+    )
+
+
+def _top5_cte(dim: int, pfx: str) -> str:
+    """Brute-force rounded-cosine top-5 CTE over the first ``dim``
+    embedding dims (sequential list_sum order matches the Spark side's
+    _dot_pre fold)."""
+    return f"""{pfx}_e AS (
+      SELECT vec_id, embedding[1:{dim}] AS v,
+             sqrt(list_sum(list_transform(embedding[1:{dim}],
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      FROM embeddings),
+    {pfx}_s AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             ROUND(list_sum(list_transform(generate_series(1, {dim}),
+                     i -> CAST(c.v[i] AS DOUBLE) * CAST(q.v[i] AS DOUBLE)))
+                   / (c.nrm * q.nrm), 6) AS score
+      FROM {pfx}_e q JOIN {pfx}_e c ON q.vec_id < 10
+        AND c.vec_id != q.vec_id),
+    {pfx}_t AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                  ORDER BY score DESC, neighbor_id) AS r
+        FROM {pfx}_s) z WHERE r <= 5)"""
+
+
+@query(
+    "matryoshka_recall_report",
+    oracle=f"""
+    WITH {_top5_cte(64, "full")},
+    {_top5_cte(16, "tr")}
+    SELECT f.query_id AS query_id,
+           COUNT(t.neighbor_id) AS n_hits,
+           ROUND(COUNT(t.neighbor_id) / 5.0, 2) AS recall_at_5
+    FROM full_t f LEFT JOIN tr_t t
+      ON f.query_id = t.query_id AND f.neighbor_id = t.neighbor_id
+    GROUP BY f.query_id ORDER BY query_id
+    """,
+    doc="Matryoshka (prefix-truncated) embedding retrieval quality: "
+    "recall@5 of 16-dim-prefix cosine top-5 against the full 64-dim "
+    "ground truth, per query — the measurement that justifies serving "
+    "truncated MRL embeddings at a fraction of the index size. Both "
+    "lanes reuse the brute-force cosine_topk kernel (broadcast queries, "
+    "rounded-score id-tiebreak ranking) on the bounded 10-query eval "
+    "slice; at 100 TB the truncated lane is the IVF/LSH candidate "
+    "generator and this report is its acceptance gate.",
+)
+def matryoshka_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    full = S.cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+    tr_emb = emb.select(
+        "vec_id", F.slice("embedding", 1, 16).alias("embedding")
+    )
+    trunc = S.cosine_topk(tr_emb, tr_emb.filter(F.col("vec_id") < 10), k=5)
+    hits = full.alias("f").join(
+        trunc.alias("t"),
+        (F.col("f.query_id") == F.col("t.query_id"))
+        & (F.col("f.neighbor_id") == F.col("t.neighbor_id")),
+        "left",
+    )
+    return (
+        hits.groupBy(F.col("f.query_id").alias("query_id"))
+        .agg(
+            F.count(F.col("t.neighbor_id")).alias("n_hits"),
+            dround(F.count(F.col("t.neighbor_id")) / 5.0, 2).alias(
+                "recall_at_5"
+            ),
+        )
+        .orderBy("query_id")
+    )

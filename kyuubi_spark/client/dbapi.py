@@ -168,11 +168,31 @@ def connect(
     conf: dict | None = None,
     cafile: str | None = None,
     ssl_context=None,
+    discovery: str | None = None,
+    discovery_namespace: str | None = None,
 ) -> "Connection":
     """Open a DBAPI connection to a thrift-binary gateway frontend.
 
     ``password`` switches the socket to SASL/PLAIN; ``cafile``/
-    ``ssl_context`` wrap it in TLS first (gateway/tls.py)."""
+    ``ssl_context`` wrap it in TLS first (gateway/tls.py).
+
+    ``discovery`` (a registry file path) switches to HA service
+    discovery: host/port are ignored, the live server list is resolved
+    from the registry's server namespace, and connect fails over across
+    candidates (the reference's serviceDiscoveryMode=zooKeeper JDBC
+    behavior — client/ha.py)."""
+    if discovery is not None:
+        from kyuubi_spark.client import ha
+
+        kwargs = dict(
+            user=user, password=password, conf=conf, cafile=cafile,
+            ssl_context=ssl_context,
+        )
+        if discovery_namespace:
+            return ha.connect_ha(
+                discovery, namespace=discovery_namespace, **kwargs
+            )
+        return ha.connect_ha(discovery, **kwargs)
     return Connection(host, port, user, password, conf, cafile, ssl_context)
 
 

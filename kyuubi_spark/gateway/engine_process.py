@@ -75,18 +75,46 @@ class EngineProcessBuilder:
         self, namespace: str, ref_id: str, discovery_path: str,
         extra_conf: dict | None = None,
     ) -> list[str]:
-        cmd = [
-            sys.executable, "-m", "kyuubi_spark.gateway.engine_main",
-            "--namespace", namespace,
-            "--ref-id", ref_id,
-            "--discovery", discovery_path,
-        ]
         merged = {
             k: v
             for k, v in self.conf.items()
             if any(k.startswith(p) for p in _FORWARD_PREFIXES)
         }
         merged.update(extra_conf or {})
+        # cluster-manager submission (kyuubi.engine.spark.submit.enabled):
+        # assemble the real spark-submit invocation — YARN/K8s tagging,
+        # pod naming, proxy-user/keytab rules (gateway/spark_submit.py,
+        # SparkProcessBuilder parity). The sandbox keeps the local
+        # python engine default; a cluster deployment flips the flag.
+        if _truthy(merged.get("kyuubi.engine.spark.submit.enabled", "")):
+            from kyuubi_spark.gateway.spark_submit import (
+                build_spark_submit_command,
+            )
+
+            spark_conf = {
+                k: v
+                for k, v in merged.items()
+                if k != "kyuubi.engine.spark.submit.enabled"
+            }
+            spark_conf.setdefault("kyuubi.engine.namespace", namespace)
+            spark_conf.setdefault("kyuubi.ha.addresses", discovery_path)
+            proxy = (extra_conf or {}).get(
+                "kyuubi.session.proxy.user"
+            ) or self.conf.get("kyuubi.session.proxy.user")
+            return build_spark_submit_command(
+                spark_conf,
+                ref_id,
+                proxy_user=proxy,
+                spark_submit=merged.get(
+                    "kyuubi.engine.spark.submit.path", "spark-submit"
+                ),
+            )
+        cmd = [
+            sys.executable, "-m", "kyuubi_spark.gateway.engine_main",
+            "--namespace", namespace,
+            "--ref-id", ref_id,
+            "--discovery", discovery_path,
+        ]
         for k, v in sorted(merged.items()):
             cmd += ["--conf", f"{k}={v}"]
         return cmd

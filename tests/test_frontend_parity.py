@@ -159,3 +159,31 @@ def test_binary_and_http_thrift_transports_agree(engine):
     finally:
         binary.stop()
         http.stop()
+
+
+def test_launched_engine_metadata_ops(launched_wire):
+    """JDBC metadata operations forwarded THROUGH the launched engine
+    process: GetSchemas/GetTables/GetTypeInfo answer from the child and
+    page back across both hops (KyuubiSyncThriftClient's verbatim
+    metadata forwarding)."""
+    from kyuubi_spark.gateway.thrift import ThriftClient
+
+    c = ThriftClient(launched_wire.host, launched_wire.port)
+    c.open_session(user="wire", conf=launched_wire.launch_conf)
+    try:
+        guid = c.metadata_op("GetSchemas")
+        schemas = [r[0] for r in c.fetch(guid, 100)]
+        assert "default" in schemas
+        c.close_operation(guid)
+
+        guid = c.metadata_op("GetTypeInfo")
+        types = [r[0] for r in c.fetch(guid, 200)]
+        assert "INT" in types and "STRING" in types
+        c.close_operation(guid)
+
+        guid = c.metadata_op("GetTables")
+        c.fetch(guid, 10)  # shape only — the child has no tables yet
+        c.close_operation(guid)
+    finally:
+        c.close_session()
+        c.close()

@@ -99,3 +99,18 @@ def test_no_live_server_raises(tmp_path):
     disco.close_client()
     with pytest.raises(dbapi.OperationalError, match="no live gateway"):
         dbapi.connect(discovery=path, user="ha_user")
+
+
+def test_beeline_discovery_mode(two_servers, capsys):
+    """beeline --discovery resolves a live server from the registry
+    (the JDBC URL's serviceDiscoveryMode=zooKeeper analog)."""
+    from tools import beeline
+
+    path, s1, s2 = two_servers
+    rc = beeline.main([
+        "--discovery", path, "-e", "SELECT 6 * 7 AS answer",
+        "--outputformat", "csv",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "answer" in out and "42" in out

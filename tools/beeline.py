@@ -71,7 +71,12 @@ def run_statement(client, sql: str, maxrows: int, fmt: str, out=None) -> bool:
 
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="beeline", description=__doc__.splitlines()[0])
-    p.add_argument("-u", "--url", required=True, help="host:port of the thrift frontend")
+    p.add_argument("-u", "--url", help="host:port of the thrift frontend")
+    p.add_argument("--discovery", metavar="REGISTRY",
+                   help="resolve a live server from this discovery "
+                        "registry file and fail over across candidates "
+                        "(the JDBC URL's serviceDiscoveryMode=zooKeeper "
+                        "analog); overrides -u")
     p.add_argument("-n", "--user", default="beeline")
     p.add_argument("-p", "--password", default=None,
                    help="enable SASL/PLAIN (binary) or Basic (http) auth")
@@ -93,7 +98,8 @@ def main(argv: list[str] | None = None) -> int:
 
     from kyuubi_spark.gateway.thrift import ThriftClient, ThriftHttpClient
 
-    host, port = a.url.rsplit(":", 1)
+    if not a.url and not a.discovery:
+        p.error("one of -u/--url or --discovery is required")
     cls = ThriftHttpClient if a.http else ThriftClient
     kwargs = {}
     if a.ssl or a.ssl_ca or a.ssl_insecure:
@@ -103,9 +109,30 @@ def main(argv: list[str] | None = None) -> int:
             cafile=a.ssl_ca, insecure=a.ssl_insecure
         )
     if a.password is not None:
-        client = cls(host, int(port), user=a.user, password=a.password,
-                     **kwargs)
+        kwargs.update(user=a.user, password=a.password)
+    if a.discovery:
+        from kyuubi_spark.client.ha import discover_servers
+
+        candidates = discover_servers(a.discovery)
+        if not candidates:
+            print(f"no live gateway registered in {a.discovery}",
+                  file=sys.stderr)
+            return 1
+        client = None
+        last = None
+        for host, port in candidates:
+            try:
+                client = cls(host, int(port), **kwargs)
+                a.url = f"{host}:{port}"
+                break
+            except OSError as e:
+                last = e
+        if client is None:
+            print(f"all discovered gateways failed: {last}",
+                  file=sys.stderr)
+            return 1
     else:
+        host, port = a.url.rsplit(":", 1)
         client = cls(host, int(port), **kwargs)
     conf = dict(kv.split("=", 1) for kv in a.hiveconf if "=" in kv)
     client.open_session(user=a.user, conf=conf or None)

@@ -308,6 +308,99 @@ def stream_stateful_totals_watermark(
 
 
 @query(
+    "stream_late_data_drop",
+    oracle="""
+    WITH q AS (
+      SELECT ts, value,
+             NTILE(4) OVER (ORDER BY ts, event_id) AS qt
+      FROM events),
+    kept AS (SELECT ts, value FROM q WHERE qt != 1),
+    wm AS (SELECT MAX(ts) - INTERVAL 30 MINUTE AS w FROM kept),
+    g AS (
+      SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+             COUNT(*) AS n_events,
+             ROUND(SUM(value), 2) AS sum_value
+      FROM kept GROUP BY 1)
+    SELECT g.window_start, g.n_events, g.sum_value
+    FROM g, wm
+    WHERE g.window_start + INTERVAL 1 HOUR <= wm.w
+    ORDER BY g.window_start
+    """,
+    doc="Late-data DROP accounting — the watermark semantics an "
+    "always-on pipeline lives by, pinned value-exactly. The event log "
+    "is split into its four time quartiles and replayed out of order "
+    "(Q2, Q3, then the week-old Q1, then Q4; one file per microbatch "
+    "with controlled mtimes). Under Spark's two-watermark policy "
+    "(SPARK-40925: late-row filtering uses the PREVIOUS microbatch's "
+    "watermark, eviction the current one), Q1 arrives two batches after "
+    "newer data, so every Q1 row's window end is below the late-events "
+    "watermark and the whole quartile is dropped; append mode then "
+    "withholds the trailing windows the final watermark never passes. "
+    "The oracle recomputes exactly that: drop quartile 1, finalize only "
+    "windows whose end <= max(kept ts) - 30min. At scale this is the "
+    "standard file-source replay; state holds only watermark-horizon "
+    "windows.",
+)
+def stream_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+    import time as _time
+
+    from pyspark.sql import Window
+
+    from kyuubi_spark.session import load_table
+    from kyuubi_spark.streaming.runner import run_to_memory
+
+    ensure_runtime_confs(spark)
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", F.col("ts").cast("timestamp").alias("ts"), "value"
+    )
+    qt = events.withColumn(
+        "qt", F.ntile(4).over(Window.orderBy("ts", "event_id"))
+    )
+    work = tempfile.mkdtemp(prefix="kyuubi_stream_late_")
+    src = os.path.join(work, "src")
+    os.makedirs(src)
+    try:
+        t0 = _time.time() - 1000
+        # arrival order: Q2, Q3, Q1 (a week LATE, two batches after
+        # newer data), Q4 — one parquet file per microbatch, mtimes
+        # pinned so the file source's (mtime, path) order is this order
+        for pos, quartile in enumerate([2, 3, 1, 4]):
+            d = os.path.join(work, f"b{quartile}")
+            qt.filter(F.col("qt") == quartile).drop("qt").coalesce(
+                1
+            ).write.parquet(d)
+            part = [p for p in os.listdir(d) if p.endswith(".parquet")][0]
+            dst = os.path.join(src, f"batch-{pos}.parquet")
+            shutil.copy(os.path.join(d, part), dst)
+            os.utime(dst, (t0 + pos * 60, t0 + pos * 60))
+        stream = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        agged = (
+            stream.withWatermark("ts", "30 minutes")
+            .groupBy(F.window("ts", "1 hour").alias("win"))
+            .agg(
+                F.count("*").alias("n_events"),
+                dround(F.sum("value"), 2).alias("sum_value"),
+            )
+        )
+        result = run_to_memory(agged, output_mode="append")
+        out = result.select(
+            F.col("win.start").cast("timestamp_ntz").alias("window_start"),
+            "n_events",
+            "sum_value",
+        ).orderBy("window_start")
+        out = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
+@query(
     "stream_stateful_totals_filesink",
     oracle="""
     SELECT user_id, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value

@@ -200,6 +200,13 @@ HEADLINE = [
     "forget_closure",
     "ann_index_report",
     "snapshot_psi_drift",
+    # r09: pipeline batch 9 + the durable/late-data streaming variants
+    "length_outlier_mad",
+    "tokenizer_fertility_report",
+    "hamming_ann_topk",
+    "matryoshka_recall_report",
+    "stream_stateful_totals_filesink",
+    "stream_late_data_drop",
 ]
 
 

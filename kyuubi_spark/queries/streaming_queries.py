@@ -310,10 +310,13 @@ def stream_stateful_totals_watermark(
 @query(
     "stream_late_data_drop",
     oracle="""
-    WITH q AS (
+    WITH b AS (SELECT MIN(epoch_us(ts)) AS mn, MAX(epoch_us(ts)) AS mx
+               FROM events),
+    q AS (
       SELECT ts, value,
-             NTILE(4) OVER (ORDER BY ts, event_id) AS qt
-      FROM events),
+             1 + least(3, CAST(floor(4.0 * (epoch_us(ts) - b.mn)
+                                     / (b.mx - b.mn + 1)) AS BIGINT)) AS qt
+      FROM events, b),
     kept AS (SELECT ts, value FROM q WHERE qt != 1),
     wm AS (SELECT MAX(ts) - INTERVAL 30 MINUTE AS w FROM kept),
     g AS (
@@ -328,7 +331,9 @@ def stream_stateful_totals_watermark(
     """,
     doc="Late-data DROP accounting — the watermark semantics an "
     "always-on pipeline lives by, pinned value-exactly. The event log "
-    "is split into its four time quartiles and replayed out of order "
+    "is split into four TIME-RANGE quarters (one min/max aggregate + "
+    "map-side integer arithmetic — no corpus-wide window) and replayed "
+    "out of order "
     "(Q2, Q3, then the week-old Q1, then Q4; one file per microbatch "
     "with controlled mtimes). Under Spark's two-watermark policy "
     "(SPARK-40925: late-row filtering uses the PREVIOUS microbatch's "
@@ -346,8 +351,6 @@ def stream_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
     import time as _time
 
-    from pyspark.sql import Window
-
     from kyuubi_spark.session import load_table
     from kyuubi_spark.streaming.runner import run_to_memory
 
@@ -355,9 +358,22 @@ def stream_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events").select(
         "event_id", F.col("ts").cast("timestamp").alias("ts"), "value"
     )
-    qt = events.withColumn(
-        "qt", F.ntile(4).over(Window.orderBy("ts", "event_id"))
+    bounds = events.agg(
+        F.min(F.unix_micros("ts")).alias("mn"),
+        F.max(F.unix_micros("ts")).alias("mx"),
     )
+    qt = events.join(F.broadcast(bounds)).withColumn(
+        "qt",
+        1
+        + F.least(
+            F.lit(3),
+            F.floor(
+                4.0
+                * (F.unix_micros("ts") - F.col("mn"))
+                / (F.col("mx") - F.col("mn") + 1)
+            ).cast("long"),
+        ),
+    ).drop("mn", "mx")
     work = tempfile.mkdtemp(prefix="kyuubi_stream_late_")
     src = os.path.join(work, "src")
     os.makedirs(src)

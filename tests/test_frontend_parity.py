@@ -187,3 +187,64 @@ def test_launched_engine_metadata_ops(launched_wire):
     finally:
         c.close_session()
         c.close()
+
+
+def test_trino_frontend_through_launched_engine(launched_wire):
+    """The Trino wire protocol in front of a LAUNCHED engine process:
+    X-Trino-Session carries kyuubi.engine.launch.enabled, so the Trino
+    client's query executes in the child and pages back through both
+    hops — four frontends, one engine lifecycle."""
+    from kyuubi_spark.gateway.trino import TrinoGateway
+
+    trino = TrinoGateway(launched_wire.gateway).start()
+    try:
+        props = ",".join(
+            f"{k}={v}" for k, v in launched_wire.launch_conf.items()
+        )
+        req = urllib.request.Request(
+            f"http://{trino.host}:{trino.port}/v1/statement",
+            data=SQL.encode(),
+            headers={"X-Trino-User": "wire", "X-Trino-Session": props},
+            method="POST",
+        )
+        with urllib.request.urlopen(req) as r:
+            out = json.loads(r.read())
+        while "data" not in out and out.get("nextUri"):
+            with urllib.request.urlopen(out["nextUri"]) as r:
+                out = json.loads(r.read())
+        assert out["data"] == EXPECT
+    finally:
+        trino.stop()
+
+
+def test_rest_frontend_through_launched_engine(launched_wire):
+    """REST v1 in front of a LAUNCHED engine process: the session body's
+    conf carries kyuubi.engine.launch.enabled, rows page back across
+    both hops."""
+    from kyuubi_spark.gateway.rest import RestGateway
+
+    gw = RestGateway(launched_wire.gateway).start()
+    try:
+        url = f"http://127.0.0.1:{gw.port}"
+
+        def call(method, path, body=None):
+            data = json.dumps(body).encode() if body is not None else None
+            req = urllib.request.Request(url + path, data=data, method=method)
+            if data:
+                req.add_header("Content-Type", "application/json")
+            with urllib.request.urlopen(req) as resp:
+                return json.loads(resp.read())
+
+        sid = call("POST", "/api/v1/sessions", {
+            "user": "wire", "conf": launched_wire.launch_conf,
+        })["identifier"]
+        op = call("POST", f"/api/v1/sessions/{sid}/operations",
+                  {"statement": SQL})
+        rows = call(
+            "GET",
+            f"/api/v1/operations/{op['identifier']}/rowset?maxrows=100",
+        )["rows"]
+        assert rows == EXPECT
+        call("DELETE", f"/api/v1/sessions/{sid}")
+    finally:
+        gw.shutdown()

@@ -207,6 +207,7 @@ HEADLINE = [
     "matryoshka_recall_report",
     "stream_stateful_totals_filesink",
     "stream_late_data_drop",
+    "blocklist_filter_report",
 ]
 
 

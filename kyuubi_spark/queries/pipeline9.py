@@ -290,3 +290,64 @@ def matryoshka_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+_BLOCKLIST = ("slow", "dup", "fail")
+
+
+@query(
+    "blocklist_filter_report",
+    oracle=r"""
+    WITH f AS (
+      SELECT source,
+             CASE WHEN regexp_matches(text, '\b(slow|dup|fail)\b')
+                  THEN 1 ELSE 0 END AS flagged,
+             CASE WHEN regexp_matches(text, '\bslow\b') THEN 1 ELSE 0 END
+               AS hit_slow,
+             CASE WHEN regexp_matches(text, '\bdup\b') THEN 1 ELSE 0 END
+               AS hit_dup,
+             CASE WHEN regexp_matches(text, '\bfail\b') THEN 1 ELSE 0 END
+               AS hit_fail
+      FROM documents)
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(flagged) AS BIGINT) AS n_flagged,
+           ROUND(SUM(flagged) * 1.0 / COUNT(*), 4) AS flag_rate,
+           CAST(SUM(hit_slow) AS BIGINT) AS n_slow,
+           CAST(SUM(hit_dup) AS BIGINT) AS n_dup,
+           CAST(SUM(hit_fail) AS BIGINT) AS n_fail
+    FROM f GROUP BY source ORDER BY source
+    """,
+    doc="Blocklist (badword) filter report — the C4-style wordlist gate "
+    "every corpus-cleaning pipeline runs: per source, the fraction of "
+    "documents containing any blocklisted term as a WHOLE word "
+    "(word-boundary regex, identical \\b semantics in Java regex and "
+    "RE2), with per-term hit counts for blocklist tuning. One map-side "
+    "projection (codegen rlike, no UDF) + one hash aggregate on the "
+    "low-cardinality source key — scan-bound at 100 TB.",
+)
+def blocklist_filter_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    any_hit = "|".join(_BLOCKLIST)
+    sel = docs.select(
+        "source",
+        F.col("text").rlike(rf"\b({any_hit})\b").cast("int").alias("flagged"),
+        *[
+            F.col("text").rlike(rf"\b{w}\b").cast("int").alias(f"hit_{w}")
+            for w in _BLOCKLIST
+        ],
+    )
+    return (
+        sel.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("flagged").cast("bigint").alias("n_flagged"),
+            dround(F.sum("flagged") * 1.0 / F.count("*"), 4).alias(
+                "flag_rate"
+            ),
+            *[
+                F.sum(f"hit_{w}").cast("bigint").alias(f"n_{w}")
+                for w in _BLOCKLIST
+            ],
+        )
+        .orderBy("source")
+    )

@@ -78,48 +78,12 @@ def _last_verified_round() -> dict[str, int]:
 # Queries ADDED or CHANGED this round: highest info value for the next
 # driver window, so they sort ahead of everything (new code has never had
 # an independent check; changed code has the highest regression risk).
-_CHANGED_THIS_ROUND = {
-    # r07: threshold sweep rebuilt on the cluster-scoped SemDeDup scorer
-    # (O(n^2/k), no full-corpus all-pairs pass; oracle mirrors the
-    # deterministic centroid assignment)
-    "semdedup_threshold_sweep",
-    # r07: re-registered with a value-exact oracle (exact count + pinned
-    # hll_within_5pct boolean) after six rounds of rows-only no_oracle
-    "approx_distinct_users",
-    # r07: new pipeline batch 6 (DSIR weights, novelty curve, LSH S-curve)
-    "dsir_importance_weights",
-    "ngram_novelty_curve",
-    "lsh_band_s_curve",
-    "stream_dsir_filter",
-    "source_overlap_matrix",
-    "shuffle_skew_report",
-    "recursive_cte_hierarchy",
-    # r07: pipeline batch 7 (split leakage, embedding outliers)
-    "split_leakage_report",
-    "embedding_outliers",
-    "dedup_quality_survivors",
-    # r07: Spark 4 SQL UDFs (scalar + correlated lateral TVF)
-    "sql_udf_scalar",
-    "sql_udf_table",
-    # r07: Spark 4 language surface (variables, scripting, defaults, params)
-    "session_variables",
-    "sql_scripting_loop",
-    "ddl_column_defaults",
-    "parameterized_sql",
-    "ansi_try_semantics",
-    "script_transform",
-    "pyds_tpch_scan",
-    "python_udtf_tokens",
-    "arrow_sink_roundtrip",
-    "cost_based_stats",
-    "quality_threshold_sweep",
-    "stream_python_source",
-    "near_dup_source_matrix",
-    "named_window_reuse",
-    "limit_offset_page",
-    "xml_extract",
-    "hll_sketch_union",
-}
+_CHANGED_THIS_ROUND: set[str] = set()
+# Since r09 this hand set is AUTO-DERIVED from git (queries/blast.py:
+# changed kyuubi_spark modules since the last round boundary -> reverse
+# import closure -> dependent registry names), unioned below.  Add names
+# here only for semantic changes git can't see (e.g. a data contract
+# shift with no module edit).
 
 
 def all_queries() -> dict[str, QuerySpec]:

@@ -208,6 +208,7 @@ HEADLINE = [
     "stream_stateful_totals_filesink",
     "stream_late_data_drop",
     "blocklist_filter_report",
+    "stream_stream_left_join",
 ]
 
 

@@ -203,6 +203,75 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_stream_left_join",
+    oracle="""
+    WITH c AS (SELECT event_id AS click_id, user_id, ts AS cts
+               FROM events WHERE event_type = 'click'),
+    p AS (SELECT event_id AS purchase_id, user_id AS pu, ts AS pts
+          FROM events WHERE event_type = 'purchase'),
+    wm AS (SELECT least((SELECT MAX(cts) FROM c),
+                        (SELECT MAX(pts) FROM p))
+                  - INTERVAL 2 HOUR AS w),
+    j AS (
+      SELECT c.click_id, p.purchase_id, c.user_id, c.cts
+      FROM c LEFT JOIN p
+        ON c.user_id = p.pu
+       AND p.pts >= c.cts AND p.pts <= c.cts + INTERVAL 1 HOUR)
+    SELECT j.click_id, j.purchase_id, j.user_id
+    FROM j, wm
+    WHERE j.purchase_id IS NOT NULL
+       OR j.cts + INTERVAL 1 HOUR <= wm.w
+    ORDER BY click_id, purchase_id
+    """,
+    doc="Watermarked stream-stream LEFT OUTER interval join: matched "
+    "pairs emit as they join; an UNMATCHED click emits its null-padded "
+    "row only when the watermark proves no purchase can still arrive "
+    "for it (outer-null emission on state eviction — the semantics that "
+    "distinguish streaming outer joins from batch). The global "
+    "watermark is the MIN over both streams' (max event time - 2h), so "
+    "unmatched clicks whose 1h match window is not yet past that "
+    "horizon are correctly WITHHELD even after the final no-data batch "
+    "— the oracle replicates exactly that eviction rule rather than a "
+    "naive batch LEFT JOIN. State on both sides stays "
+    "watermark-bounded exactly like the inner variant.",
+)
+def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kyuubi_spark.streaming.runner import run_to_memory
+
+    stream = _events_stream(spark, sf_dir)
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "2 hours")
+    )
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            "user_id = p_user_id AND purchase_ts >= click_ts "
+            "AND purchase_ts <= click_ts + INTERVAL 1 HOUR"
+        ),
+        "leftOuter",
+    )
+    result = run_to_memory(joined, output_mode="append")
+    return result.select("click_id", "purchase_id", "user_id").orderBy(
+        "click_id", "purchase_id"
+    )
+
+
+@query(
     "stream_dedup",
     oracle="SELECT DISTINCT user_id, event_type FROM events "
     "ORDER BY user_id, event_type",

@@ -119,8 +119,11 @@ def main(argv=None) -> int:
         engine_ref_id=args.ref_id,
         attributes={"pid": str(os.getpid())},
     )
-    # stdout line for the launcher's log; discovery is the real channel
-    print(f"ENGINE READY {svc.host}:{svc.port} pid={os.getpid()}", flush=True)
+    # log line for the launcher (stderr: stdout is process-global and
+    # ExecutePython statement capture must never see engine logs);
+    # discovery is the real readiness channel
+    print(f"ENGINE READY {svc.host}:{svc.port} pid={os.getpid()}",
+          file=sys.stderr, flush=True)
 
     stop = threading.Event()
     signal.signal(signal.SIGTERM, lambda *a: stop.set())
@@ -151,7 +154,7 @@ def main(argv=None) -> int:
         stop.wait(0.2)
         n = engine.sessions.count
         if n != last_n:
-            print(f"engine sessions: {n}", flush=True)
+            print(f"engine sessions: {n}", file=sys.stderr, flush=True)
             last_n = n
         if n > 0:
             seen_session = True
@@ -167,17 +170,17 @@ def main(argv=None) -> int:
         elif time.time() - idle_since > idle_timeout:
             break
 
-    print("engine stopping: deregister", flush=True)
+    print("engine stopping: deregister", file=sys.stderr, flush=True)
     try:
         discovery.delete(node)
     except Exception:
         pass
     discovery.close_client()
-    print("engine stopping: frontend", flush=True)
+    print("engine stopping: frontend", file=sys.stderr, flush=True)
     svc.stop()
-    print("engine stopping: spark", flush=True)
+    print("engine stopping: spark", file=sys.stderr, flush=True)
     spark.stop()
-    print("engine stopped", flush=True)
+    print("engine stopped", file=sys.stderr, flush=True)
     # hard exit: after a clean shutdown, straggler non-daemon threads
     # (py4j/JVM bridge remnants) must not keep a deregistered engine
     # process alive — the reference engine JVM System.exit()s the same

@@ -248,3 +248,25 @@ def test_rest_frontend_through_launched_engine(launched_wire):
         call("DELETE", f"/api/v1/sessions/{sid}")
     finally:
         gw.shutdown()
+
+
+def test_launched_engine_python_exec(launched_wire):
+    """ExecutePython THROUGH the child: the language confOverlay rides
+    TExecuteStatementReq across both hops and the child's Python
+    interpreter output pages back."""
+    from kyuubi_spark.gateway.thrift import ThriftClient
+
+    c = ThriftClient(launched_wire.host, launched_wire.port)
+    c.open_session(user="wire", conf=launched_wire.launch_conf)
+    try:
+        guid = c.execute(
+            "print(spark.sql('SELECT 40 + 2').collect()[0][0])",
+            conf_overlay={"kyuubi.operation.language": "PYTHON"},
+        )
+        rows = c.fetch(guid, 10)
+        c.close_operation(guid)
+        out, status = rows[0]
+        assert status == "ok" and out.strip() == "42"
+    finally:
+        c.close_session()
+        c.close()

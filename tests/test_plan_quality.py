@@ -568,3 +568,37 @@ def test_named_window_single_window_node(spark, sf_dir):
     df = _build(spark, sf_dir, "named_window_reuse")
     plan = df._jdf.queryExecution().optimizedPlan().toString()
     assert plan.count("Window [") == 1
+
+
+def test_hamming_ann_broadcasts_query_signatures(spark, sf_dir):
+    """Binary ANN: one signature projection + broadcast of the 10 query
+    signatures — no shuffle of the corpus beyond the final per-query
+    top-k window; the scan reads only (vec_id, embedding)."""
+    df = _build(spark, sf_dir, "hamming_ann_topk")
+    s = plans.plan_summary(df)
+    assert s["broadcast_joins"] >= 1
+    assert s["sortmerge_joins"] == 0
+    for cols in s["scan_columns"]:
+        assert set(cols) == {"vec_id", "embedding"}
+
+
+def test_length_outlier_mad_broadcasts_stats(spark, sf_dir):
+    """Per-source robust stats join back by BROADCAST (the stats side is
+    bounded by source cardinality); scans prune to (source, n_chars) —
+    the text column never leaves the footer."""
+    df = _build(spark, sf_dir, "length_outlier_mad")
+    s = plans.plan_summary(df)
+    assert s["broadcast_joins"] >= 2
+    assert s["sortmerge_joins"] == 0
+    for cols in s["scan_columns"]:
+        assert set(cols) == {"source", "n_chars"}
+
+
+def test_fertility_and_blocklist_are_single_aggregate(spark, sf_dir):
+    """Both text audits are one map-side projection + one hash aggregate
+    (2 exchanges = partial/final + the presentation sort), no joins."""
+    for name in ("tokenizer_fertility_report", "blocklist_filter_report"):
+        df = _build(spark, sf_dir, name)
+        s = plans.plan_summary(df)
+        assert s["broadcast_joins"] == 0 and s["sortmerge_joins"] == 0
+        assert s["exchanges"] <= 2, (name, s["exchanges"])

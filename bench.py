@@ -209,6 +209,7 @@ HEADLINE = [
     "stream_late_data_drop",
     "blocklist_filter_report",
     "stream_stream_left_join",
+    "bm25_topk",
 ]
 
 

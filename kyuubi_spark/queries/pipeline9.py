@@ -351,3 +351,113 @@ def blocklist_filter_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+_BM25_TERMS = ("spark", "join", "stream")
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+@query(
+    "bm25_topk",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(trim(text), ' ')) AS term
+      FROM documents),
+    tf AS (SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf
+           FROM tok WHERE term IN ('spark', 'join', 'stream')
+           GROUP BY 1, 2),
+    dl AS (SELECT doc_id, CAST(len(string_split(trim(text), ' ')) AS DOUBLE)
+                    AS doclen
+           FROM documents),
+    stats AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+             AVG(doclen) AS avgdl
+      FROM dl),
+    df AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+    idf AS (SELECT term,
+                   ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                     AS idf
+            FROM df, stats),
+    parts AS (
+      SELECT dl.doc_id,
+             idf.idf * tf.tf * (1.2 + 1.0)
+               / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.doclen / stats.avgdl))
+               AS part,
+             idf.term AS term
+      FROM dl
+      JOIN tf ON tf.doc_id = dl.doc_id
+      JOIN idf ON idf.term = tf.term
+      CROSS JOIN stats)
+    SELECT doc_id, ROUND(SUM(part), 4) AS bm25, CAST(COUNT(*) AS BIGINT)
+             AS n_terms_hit
+    FROM parts
+    GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id
+    LIMIT 20
+    """,
+    doc="BM25 retrieval (Okapi, k1=1.2 b=0.75) for a fixed 3-term query "
+    "over the corpus: whole-word term frequencies, document length "
+    "normalization against the corpus average, ln-smoothed IDF, top-20 "
+    "by score with doc-id tiebreak. The summation per doc runs over the "
+    "(doc, term) hit relation (<= |terms| rows per doc), so the "
+    "rounded-at-4 score is addition-order-safe cross-engine. Plan: one "
+    "tokenize+filter pass, a broadcast of the 2-row stats + "
+    "|terms|-row IDF table, one aggregate + global top-k "
+    "(TakeOrderedAndProject) — the bag-of-words retrieval baseline at "
+    "corpus scale with zero UDFs.",
+)
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.col("text")), " ")).alias("term"),
+    )
+    tf = (
+        tok.filter(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("double").alias("tf"))
+    )
+    dl = docs.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), " ")).cast("double").alias(
+            "doclen"
+        ),
+    )
+    stats = dl.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.avg("doclen").alias("avgdl"),
+    )
+    df_t = tf.groupBy("term").agg(F.count("*").cast("double").alias("df"))
+    idf = df_t.crossJoin(F.broadcast(stats)).select(
+        "term",
+        F.log(
+            (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+        ).alias("idf"),
+        "avgdl",
+    )
+    k1, b = _BM25_K1, _BM25_B
+    parts = (
+        dl.join(tf, "doc_id")
+        .join(F.broadcast(idf), "term")
+        .select(
+            "doc_id",
+            (
+                F.col("idf")
+                * F.col("tf")
+                * (k1 + 1.0)
+                / (
+                    F.col("tf")
+                    + k1 * (1.0 - b + b * F.col("doclen") / F.col("avgdl"))
+                )
+            ).alias("part"),
+        )
+    )
+    return (
+        parts.groupBy("doc_id")
+        .agg(
+            dround(F.sum("part"), 4).alias("bm25"),
+            F.count("*").cast("bigint").alias("n_terms_hit"),
+        )
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(20)
+    )

@@ -210,6 +210,7 @@ HEADLINE = [
     "blocklist_filter_report",
     "stream_stream_left_join",
     "bm25_topk",
+    "group_order_by_all",
 ]
 
 

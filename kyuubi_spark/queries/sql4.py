@@ -608,3 +608,32 @@ def collated_group_by(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY seg ORDER BY segment
         """
     )
+
+
+@query(
+    "group_order_by_all",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(l_quantity), 2) AS qty
+    FROM lineitem
+    GROUP BY ALL ORDER BY ALL
+    """,
+    doc="GROUP BY ALL / ORDER BY ALL (Spark 3.4+/4 analyst-SQL "
+    "surface): every non-aggregate select item groups implicitly and "
+    "the whole projection orders positionally — the exact same syntax "
+    "runs on the DuckDB oracle, so the resolution rules (which columns "
+    "count as grouping keys) are pinned cross-engine, not just the "
+    "values. Plan is the ordinary partial+final hash aggregate.",
+)
+def group_order_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               ROUND(SUM(l_quantity), 2) AS qty
+        FROM lineitem
+        GROUP BY ALL ORDER BY ALL
+        """
+    )

@@ -211,6 +211,8 @@ HEADLINE = [
     "stream_stream_left_join",
     "bm25_topk",
     "group_order_by_all",
+    "listagg_within_group",
+    "lateral_column_alias",
 ]
 
 

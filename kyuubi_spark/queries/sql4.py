@@ -637,3 +637,59 @@ def group_order_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY ALL ORDER BY ALL
         """
     )
+
+
+@query(
+    "listagg_within_group",
+    oracle="""
+    SELECT o_orderpriority,
+           string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus)
+             AS statuses,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders GROUP BY 1 ORDER BY 1
+    """,
+    doc="Spark 4 LISTAGG ... WITHIN GROUP (ORDER BY ...) (SPARK-42746), "
+    "the SQL-standard ordered string aggregation JDBC reporting tools "
+    "emit — DISTINCT + explicit order make the concatenation "
+    "deterministic, pinned against DuckDB's ordered string_agg. "
+    "Aggregation state is the distinct-status set per group (bounded "
+    "by the status domain), partial+final as usual.",
+)
+def listagg_within_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               listagg(DISTINCT o_orderstatus, ',')
+                 WITHIN GROUP (ORDER BY o_orderstatus) AS statuses,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM orders GROUP BY 1 ORDER BY 1
+        """
+    )
+
+
+@query(
+    "lateral_column_alias",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderkey * 3 + 1 AS tripled,
+           (o_orderkey * 3 + 1) * 2 + o_custkey AS chained
+    FROM orders ORDER BY o_orderkey LIMIT 30
+    """,
+    doc="Lateral column aliases (Spark 3.4+): a SELECT item referencing "
+    "an alias defined earlier in the same projection (tripled -> "
+    "chained), resolved in one SELECT without a subquery. The Spark "
+    "side uses the ACTUAL lateral-alias syntax through spark.sql; the "
+    "oracle spells out the expansion, proving the alias binds to the "
+    "aliased expression. Integer arithmetic keeps the pin exact.",
+)
+def lateral_column_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey,
+               o_orderkey * 3 + 1 AS tripled,
+               tripled * 2 + o_custkey AS chained
+        FROM orders ORDER BY o_orderkey LIMIT 30
+        """
+    )

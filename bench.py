@@ -213,6 +213,7 @@ HEADLINE = [
     "group_order_by_all",
     "listagg_within_group",
     "lateral_column_alias",
+    "array_hof_pipeline",
 ]
 
 

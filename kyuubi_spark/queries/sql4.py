@@ -693,3 +693,44 @@ def lateral_column_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM orders ORDER BY o_orderkey LIMIT 30
         """
     )
+
+
+@query(
+    "array_hof_pipeline",
+    oracle="""
+    SELECT lang,
+           CAST(SUM(len(list_filter(string_split(trim(text), ' '),
+                                    x -> length(x) > 4))) AS BIGINT)
+             AS long_tokens,
+           CAST(SUM(list_sum(list_transform(
+                  string_split(trim(text), ' '),
+                  x -> length(x)))) AS BIGINT) AS total_chars
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+    doc="Higher-order array functions as a cross-engine pin: split -> "
+    "lambda filter (length > 4) -> size, and split -> lambda transform "
+    "(per-token length) -> aggregate fold, summed per language. HOF "
+    "lambdas evaluate inside the JVM expression interpreter (no Python), "
+    "one projection + one hash aggregate; DuckDB's list_filter/"
+    "list_transform replay the identical lambdas.",
+)
+def array_hof_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), " ")
+    return (
+        docs.select(
+            "lang",
+            F.size(F.filter(toks, lambda x: F.length(x) > 4)).alias("lt"),
+            F.aggregate(
+                F.transform(toks, lambda x: F.length(x)),
+                F.lit(0),
+                lambda acc, v: acc + v,
+            ).alias("tc"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.sum("lt").cast("bigint").alias("long_tokens"),
+            F.sum("tc").cast("bigint").alias("total_chars"),
+        )
+        .orderBy("lang")
+    )

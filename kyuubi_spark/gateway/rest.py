@@ -328,6 +328,43 @@ class RestGateway:
             h._reply(200, self.engine.op_store.list())
         elif len(parts) >= 2 and parts[0] == "operations":
             self._route_operation(h, method, parts, q)
+        elif parts == ["batches"] and method == "GET":
+            # CLUSTER-WIDE batch listing from the shared metadata store
+            # (BatchesResource.getBatchInfoList reads the metadata
+            # manager, so batches submitted on ANY server in the fleet
+            # are visible here); ?user= / ?state= filters as the
+            # reference's query params. Local in-memory jobs overlay the
+            # stored record (fresher state between persists).
+            store = self.engine.metadata_store
+            user_f = q.get("user", [None])[0]
+            state_f = q.get("state", [None])[0]
+            out = []
+            seen = set()
+            if store is not None:
+                for rec in store.list(session_type="BATCH", state=state_f):
+                    if user_f and rec.get("real_user") != user_f:
+                        continue
+                    local = self.batches.get(rec["identifier"])
+                    out.append({
+                        "id": rec["identifier"],
+                        "user": rec.get("real_user"),
+                        "state": local.state if local else rec.get("state"),
+                        "local": local is not None,
+                        "createTime": rec.get("create_time"),
+                        "endTime": rec.get("end_time"),
+                    })
+                    seen.add(rec["identifier"])
+            for bid, job in self.batches.items():  # storeless gateways
+                if bid in seen:
+                    continue
+                if user_f and job.user != user_f:
+                    continue
+                if state_f and job.state != state_f:
+                    continue
+                out.append({"id": bid, "user": job.user,
+                            "state": job.state, "local": True,
+                            "createTime": None, "endTime": None})
+            h._reply(200, out)
         elif parts == ["batches"] and method == "POST":
             ctype = h.headers.get("Content-Type", "")
             if ctype.startswith("multipart/form-data"):
@@ -357,6 +394,29 @@ class RestGateway:
         elif len(parts) >= 2 and parts[0] == "batches":
             job = self.batches.get(parts[1])
             if job is None:
+                # not OURS: answer from the shared metadata store so a
+                # fleet peer (or a restarted gateway) still reports the
+                # batch's persisted state; the OWNING server keeps the
+                # process handle, so log/cancel stay there (the
+                # reference redirects those via its internal client)
+                store = self.engine.metadata_store
+                rec = store.get(parts[1]) if store is not None else None
+                if rec is not None and rec.get("session_type") == "BATCH":
+                    if len(parts) == 3 or method == "DELETE":
+                        h._reply(409, {
+                            "error": "batch is owned by another server; "
+                            "log/cancel must go to the submitting gateway",
+                            "id": rec["identifier"],
+                            "state": rec.get("state"),
+                        })
+                    else:
+                        h._reply(200, {
+                            "id": rec["identifier"],
+                            "state": rec.get("state"),
+                            "user": rec.get("real_user"),
+                            "local": False,
+                        })
+                    return
                 h._reply(404, {"error": "no such batch"})
             elif len(parts) == 3 and parts[2] == "localLog":
                 h._reply(200, {"log": job.log()})

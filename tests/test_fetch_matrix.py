@@ -119,3 +119,34 @@ def test_take_mode_truncates_at_max_rows(spark):
     rows = op.get_next_row_set(FetchOrientation.FETCH_FIRST, 2)
     assert [r[0] for r in rows] == [0, 1]
     eng.close_session(s.handle)
+
+
+def test_large_result_pages_through_launched_engine(launched_wire):
+    """10k rows in spill+stream mode paged 1000-at-a-time through THREE
+    processes (client -> gateway -> child engine): every page arrives in
+    order and complete, and no hop ever materializes the full result
+    (the child spills, the gateway relays page-by-page)."""
+    c = ThriftClient(launched_wire.host, launched_wire.port)
+    c.open_session(
+        user="wire",
+        conf={
+            "kyuubi.operation.result.saveToFile.enabled": "true",
+            "kyuubi.operation.result.saveToFile.minSize": "0",
+            **launched_wire.launch_conf,
+        },
+    )
+    try:
+        op = c.execute("SELECT id FROM range(10000) ORDER BY id")
+        got, pages = [], 0
+        while True:
+            page = [r[0] for r in c.fetch(op, 1000)]
+            if not page:
+                break
+            pages += 1
+            got.extend(page)
+        assert pages >= 10
+        assert got == list(range(10000))
+        c.close_operation(op)
+    finally:
+        c.close_session()
+        c.close()

@@ -274,8 +274,10 @@ def matryoshka_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.slice("embedding", 1, 16).alias("embedding")
     )
     trunc = S.cosine_topk(tr_emb, tr_emb.filter(F.col("vec_id") < 10), k=5)
+    # both top-5 relations are <= 50 rows by construction: broadcast the
+    # truncated side so the recall join never plans a sort-merge
     hits = full.alias("f").join(
-        trunc.alias("t"),
+        F.broadcast(trunc.alias("t")),
         (F.col("f.query_id") == F.col("t.query_id"))
         & (F.col("f.neighbor_id") == F.col("t.neighbor_id")),
         "left",

@@ -546,6 +546,13 @@ class ThriftFrontendService:
             _, _, raw = req[3][1]
             overlay = {k.decode(): v.decode() for k, v in raw.items()}
         run_async = bool(req.get(4, (None, False))[1])
+        # TExecuteStatementReq.5 queryTimeout (i64 seconds, the
+        # java.sql.Statement.setQueryTimeout plumbing) maps onto the
+        # per-statement timeout conf the operation already enforces
+        timeout = int(req.get(5, (None, 0))[1] or 0)
+        if timeout > 0:
+            overlay = dict(overlay or {})
+            overlay.setdefault("kyuubi.operation.query.timeout", str(timeout))
         op = session.execute_statement(stmt, conf_overlay=overlay, run_async=run_async)
         guid = uuid.UUID(op.handle.id).bytes
         with self._lock:
@@ -872,11 +879,13 @@ class ThriftClient:
         sql: str,
         conf_overlay: dict | None = None,
         run_async: bool = False,
+        query_timeout: int = 0,
     ) -> bytes:
         """TExecuteStatementReq: 1 handle, 2 statement, 3 confOverlay,
-        4 runAsync — per-statement conf (result format, incremental
-        collect, ...) and async submission ride the wire so forwarded
-        sessions keep the full statement surface."""
+        4 runAsync, 5 queryTimeout — per-statement conf (result format,
+        incremental collect, ...), async submission, and the JDBC
+        setQueryTimeout seconds ride the wire so forwarded sessions keep
+        the full statement surface."""
         assert self.session_guid is not None
         req = [
             (1, TType.STRUCT, _handle(self.session_guid)),
@@ -890,6 +899,8 @@ class ThriftClient:
             )
         if run_async:
             req.append((4, TType.BOOL, True))
+        if query_timeout > 0:
+            req.append((5, TType.I64, int(query_timeout)))
         resp = self._call("ExecuteStatement", req)
         return _guid_of(resp[2][1])
 

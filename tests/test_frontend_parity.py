@@ -270,3 +270,39 @@ def test_launched_engine_python_exec(launched_wire):
     finally:
         c.close_session()
         c.close()
+
+
+def test_query_timeout_over_the_wire(spark):
+    """TExecuteStatementReq.queryTimeout (field 5, the JDBC
+    setQueryTimeout plumbing): a 1s timeout on a heavy statement lands
+    the operation in TIMEOUT/ERROR instead of running forever; the
+    session stays usable."""
+    import time
+
+    from kyuubi_spark.gateway import Engine
+    from kyuubi_spark.gateway.thrift import ThriftClient, ThriftFrontendService
+
+    svc = ThriftFrontendService(Engine(spark=spark)).start()
+    c = ThriftClient(svc.host, svc.port)
+    c.open_session(user="timeouter")
+    try:
+        guid = c.execute(
+            "SELECT COUNT(*) FROM range(100000000) a CROSS JOIN range(100000) b",
+            run_async=True,
+            query_timeout=1,
+        )
+        deadline = time.time() + 60
+        state = None
+        while time.time() < deadline:
+            state = c.operation_state(guid)
+            if state in (3, 5, 8):  # CANCELED / ERROR / TIMEOUT
+                break
+            time.sleep(0.2)
+        assert state == 8, f"expected TIMEOUT(8), got {state}"
+        c.close_operation(guid)
+        guid = c.execute("SELECT 1 AS one")
+        assert c.fetch(guid, 5) == [[1]]
+    finally:
+        c.close_session()
+        c.close()
+        svc.stop()

@@ -214,6 +214,7 @@ HEADLINE = [
     "listagg_within_group",
     "lateral_column_alias",
     "array_hof_pipeline",
+    "kmeans_silhouette_report",
 ]
 
 

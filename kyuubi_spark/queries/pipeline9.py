@@ -463,3 +463,136 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("bm25").desc(), "doc_id")
         .limit(20)
     )
+
+
+_KMEANS_CTE = """e AS (SELECT vec_id, embedding FROM embeddings),
+    c0 AS (SELECT vec_id AS cl, embedding AS c FROM e WHERE vec_id < 8),
+    d1 AS (
+      SELECT e.vec_id, c0.cl,
+             list_sum(list_transform(generate_series(1, 64),
+               i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(c0.c[i] AS DOUBLE))
+                  * (CAST(e.embedding[i] AS DOUBLE) - CAST(c0.c[i] AS DOUBLE))))
+               AS d
+      FROM e, c0),
+    a1 AS (
+      SELECT vec_id, cl FROM (
+        SELECT vec_id, cl,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cl) AS r
+        FROM d1) t WHERE r = 1),
+    upd AS (
+      SELECT a1.cl, u.i AS dim,
+             SUM(CAST(CAST(e.embedding[u.i] AS DOUBLE) AS DECIMAL(28,12)))
+               AS s,
+             COUNT(*) AS n
+      FROM a1 JOIN e USING (vec_id),
+           unnest(generate_series(1, 64)) AS u(i)
+      GROUP BY 1, 2),
+    c1 AS (
+      SELECT cl, list(ROUND(CAST(s AS DOUBLE) / n, 9) ORDER BY dim) AS c
+      FROM upd GROUP BY cl),
+    d2 AS (
+      SELECT e.vec_id, c1.cl,
+             list_sum(list_transform(generate_series(1, 64),
+               i -> (CAST(e.embedding[i] AS DOUBLE) - c1.c[i])
+                  * (CAST(e.embedding[i] AS DOUBLE) - c1.c[i]))) AS d
+      FROM e, c1),
+    a2 AS (
+      SELECT vec_id, cl FROM (
+        SELECT vec_id, cl,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cl) AS r
+        FROM d2) t WHERE r = 1)"""
+
+
+@query(
+    "kmeans_silhouette_report",
+    oracle=f"""
+    WITH {_KMEANS_CTE},
+    sil AS (
+      SELECT a2.vec_id, a2.cl,
+             sqrt(down.d) AS a_d, sqrt(dmin.d) AS b_d
+      FROM a2
+      JOIN d2 down ON down.vec_id = a2.vec_id AND down.cl = a2.cl
+      JOIN (SELECT d2.vec_id, MIN(d2.d) AS d
+            FROM d2 JOIN a2 USING (vec_id)
+            WHERE d2.cl != a2.cl GROUP BY d2.vec_id) dmin
+        ON dmin.vec_id = a2.vec_id),
+    vals AS (
+      SELECT cl,
+             CAST(ROUND((b_d - a_d) / greatest(a_d, b_d), 12)
+                  AS DECIMAL(20,12)) AS s
+      FROM sil)
+    SELECT cl AS cluster, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(CAST(SUM(s) AS DOUBLE) / COUNT(*), 6) AS mean_silhouette
+    FROM vals GROUP BY cl ORDER BY cluster
+    """,
+    doc="Cluster-quality report: SIMPLIFIED silhouette (centroid-based "
+    "a/b distances — the O(n*k) scale-safe form of the O(n^2) classic) "
+    "over the SAME two deterministic Lloyd iterations kmeans_lloyd "
+    "verifies. Per point: a = distance to its centroid, b = distance "
+    "to the nearest other centroid, s = (b-a)/max(a,b); per-cluster "
+    "means aggregate through DECIMAL sums of rounded-12 scores so the "
+    "float summation order cannot flip the hash. The entire iterative "
+    "algorithm + quality metric is value-exact SQL-replayable. At "
+    "100 TB: one vectorized assignment pass + k broadcast centroid "
+    "distance expressions per row, no pairwise anything.",
+)
+def kmeans_silhouette_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kyuubi_spark.queries.pipeline2 import (
+        _kmeans_assign_udf,
+        _kmeans_centroids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    init = emb.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()
+    cents0 = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in init
+    ]
+    a1 = emb.withColumn(
+        "cl", _kmeans_assign_udf(spark, cents0)(F.col("embedding"))
+    )
+    c1_rows = _kmeans_centroids(a1).orderBy("cl", "dim").collect()
+    by_cl: dict[int, list[float]] = {}
+    for r in c1_rows:
+        by_cl.setdefault(int(r["cl"]), []).append(float(r["c"]))
+    cents1 = sorted(by_cl.items())
+
+    a2 = emb.withColumn(
+        "cl", _kmeans_assign_udf(spark, cents1)(F.col("embedding"))
+    )
+    vec = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    # one sequential-fold squared-distance expression per (broadcast)
+    # final centroid — zip_with + left-fold matches DuckDB's list_sum
+    dists = [
+        F.aggregate(
+            F.zip_with(
+                vec,
+                F.array(*[F.lit(float(v)) for v in c]),
+                lambda x, y: (x - y) * (x - y),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        for _cl, c in cents1
+    ]
+    arr = F.array(*dists)
+    own = F.sqrt(F.element_at(arr, F.col("cl") + 1))
+    other = F.sqrt(
+        F.array_min(F.filter(arr, lambda _x, i: i != F.col("cl")))
+    )
+    sil = a2.select(
+        "cl",
+        dround((other - own) / F.greatest(own, other), 12)
+        .cast("decimal(20,12)")
+        .alias("s"),
+    )
+    return (
+        sil.groupBy("cl")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            dround(F.sum("s").cast("double") / F.count("*"), 6).alias(
+                "mean_silhouette"
+            ),
+        )
+        .select(F.col("cl").alias("cluster"), "n", "mean_silhouette")
+        .orderBy("cluster")
+    )

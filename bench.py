@@ -215,6 +215,7 @@ HEADLINE = [
     "lateral_column_alias",
     "array_hof_pipeline",
     "kmeans_silhouette_report",
+    "pq_distortion_report",
 ]
 
 

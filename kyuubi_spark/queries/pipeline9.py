@@ -23,6 +23,8 @@ sequential-order dot products, id tiebreaks).
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -595,4 +597,85 @@ def kmeans_silhouette_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("cl").alias("cluster"), "n", "mean_silhouette")
         .orderBy("cluster")
+    )
+
+
+@query(
+    "pq_distortion_report",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding FROM embeddings),
+    cw AS (SELECT vec_id AS k, embedding FROM e WHERE vec_id < 16),
+    subs AS (SELECT unnest(generate_series(0, 7)) AS s),
+    enc_d AS (
+      SELECT v.vec_id, s.s, c.k,
+             list_sum(list_transform(generate_series(1, 8),
+               j -> (CAST(v.embedding[s.s*8+j] AS DOUBLE)
+                     - CAST(c.embedding[s.s*8+j] AS DOUBLE))
+                  * (CAST(v.embedding[s.s*8+j] AS DOUBLE)
+                     - CAST(c.embedding[s.s*8+j] AS DOUBLE)))) AS d
+      FROM e v, subs s, cw c),
+    qe AS (SELECT vec_id, s, MIN(d) AS d FROM enc_d GROUP BY 1, 2)
+    SELECT s AS subspace,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           ROUND(CAST(SUM(CAST(ROUND(d, 12) AS DECIMAL(26,12))) AS DOUBLE)
+                 / COUNT(*), 9) AS mse,
+           ROUND(MAX(d), 9) AS max_se
+    FROM qe GROUP BY s ORDER BY subspace
+    """,
+    doc="Product-quantization DISTORTION report — the codebook-quality "
+    "gate that decides whether a PQ index (pq_adc_topk's 8x8 codebook) "
+    "is fit to serve: per subspace, the mean and max squared "
+    "quantization error between each subvector and its nearest "
+    "codeword. Per-point errors round to 12 decimals and aggregate "
+    "through DECIMAL sums, so the cross-engine mean is "
+    "summation-order-proof. One vectorized Arrow-batched encode pass "
+    "over a broadcast codebook (the same kernel the index build runs); "
+    "errors never leave the executor unaggregated.",
+)
+def pq_distortion_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import pandas_udf
+
+    from kyuubi_spark.functions.similarity import _round_half_away
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    n_sub, sub_dim, n_codes = 8, 8, 16
+    cb_rows = emb.filter(F.col("vec_id") < n_codes).orderBy("vec_id").collect()
+    codebook = np.array(
+        [[float(x) for x in r["embedding"]] for r in cb_rows], dtype="float64"
+    ).reshape(n_codes, n_sub, sub_dim)
+    bc = spark.sparkContext.broadcast(codebook)
+
+    @pandas_udf("array<double>")
+    def qerr(vecs: pd.Series) -> pd.Series:
+        cb = bc.value
+        m = np.array(vecs.tolist(), dtype="float64").reshape(
+            -1, n_sub, sub_dim
+        )
+        out = []
+        for row in m:
+            errs = []
+            for s in range(n_sub):
+                # sequential (cumsum) sums match list_sum's left fold
+                d = ((row[s][None, :] - cb[:, s, :]) ** 2).cumsum(axis=1)[
+                    :, -1
+                ]
+                # round half-away at 12 like the oracle's ROUND(d, 12)
+                errs.append(float(_round_half_away(d.min() * 1e12) / 1e12))
+            out.append(errs)
+        return pd.Series(out)
+
+    per = emb.select(
+        F.posexplode(qerr(F.col("embedding"))).alias("s", "err")
+    ).select("s", F.col("err").cast("decimal(26,12)").alias("err"))
+    return (
+        per.groupBy("s")
+        .agg(
+            F.count("*").cast("bigint").alias("n_vectors"),
+            dround(
+                F.sum("err").cast("double") / F.count("*"), 9
+            ).alias("mse"),
+            dround(F.max("err").cast("double"), 9).alias("max_se"),
+        )
+        .select(F.col("s").alias("subspace"), "n_vectors", "mse", "max_se")
+        .orderBy("subspace")
     )

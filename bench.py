@@ -216,6 +216,7 @@ HEADLINE = [
     "array_hof_pipeline",
     "kmeans_silhouette_report",
     "pq_distortion_report",
+    "ivf_nprobe_sweep",
 ]
 
 

@@ -267,3 +267,41 @@ def test_message_header_roundtrips_both_ways(name, mtype, seqid):
     proto.writeMessageBegin(name, mtype, seqid)
     r = ProtocolReader(io.BytesIO(trans.value()))
     assert r.message_begin() == (name, mtype, seqid)
+
+
+# -- DBAPI parameter-binding injection safety --------------------------------
+
+
+@pytest.fixture(scope="module")
+def dbapi_conn(spark):
+    from kyuubi_spark.gateway import Engine
+    from kyuubi_spark.gateway.thrift import ThriftFrontendService
+
+    svc = ThriftFrontendService(Engine(spark=spark)).start()
+    from kyuubi_spark.client import dbapi
+
+    conn = dbapi.connect(host=svc.host, port=svc.port, user="fuzz")
+    yield conn
+    conn.close()
+    svc.stop()
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.text(
+        alphabet=st.characters(
+            blacklist_categories=("Cs",),  # no lone surrogates
+        ),
+        max_size=40,
+    )
+)
+def test_dbapi_string_binding_roundtrips_any_text(dbapi_conn, s):
+    """Client-side pyformat literal substitution must return the EXACT
+    input string for arbitrary text — quotes, backslashes, newlines,
+    unicode — i.e. a bound value can never break out of its literal
+    (the SQL-injection safety property of dbapi._literal)."""
+    cur = dbapi_conn.cursor()
+    cur.execute("SELECT %(x)s AS v", {"x": s})
+    (got,) = cur.fetchone()
+    cur.close()
+    assert got == s

@@ -19,6 +19,8 @@ import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
+from pyspark.sql import functions as F
+
 from kyuubi_spark.gateway.thrift import ProtocolReader, ProtocolWriter, TType
 
 sys.path.insert(
@@ -305,3 +307,30 @@ def test_dbapi_string_binding_roundtrips_any_text(dbapi_conn, s):
     (got,) = cur.fetchone()
     cur.close()
     assert got == s
+
+
+# -- z-order Morton code bijectivity ------------------------------------------
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.integers(0, 2**16 - 1), st.integers(0, 2**16 - 1))
+def test_morton_interleave_is_bijective(spark, x, y):
+    """interleave_bits must place bit b of column j at position
+    b*n_cols+j exactly (ZorderBytesUtils parity): de-interleaving the
+    z-value recovers both inputs, so no two (x, y) pairs ever collide —
+    the property file skipping correctness rests on."""
+    from kyuubi_spark.operators.zorder import interleave_bits
+
+    row = (
+        spark.range(1)
+        .select(
+            interleave_bits(
+                [F.lit(x).cast("long"), F.lit(y).cast("long")], bits=16
+            ).alias("z")
+        )
+        .collect()[0]
+    )
+    z = int(row["z"])
+    rx = sum(((z >> (2 * b)) & 1) << b for b in range(16))
+    ry = sum(((z >> (2 * b + 1)) & 1) << b for b in range(16))
+    assert (rx, ry) == (x, y)

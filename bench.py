@@ -217,6 +217,7 @@ HEADLINE = [
     "kmeans_silhouette_report",
     "pq_distortion_report",
     "ivf_nprobe_sweep",
+    "dedup_token_savings",
 ]
 
 

@@ -218,6 +218,7 @@ HEADLINE = [
     "pq_distortion_report",
     "ivf_nprobe_sweep",
     "dedup_token_savings",
+    "curriculum_rarity_buckets",
 ]
 
 

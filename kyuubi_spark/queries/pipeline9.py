@@ -924,3 +924,96 @@ def dedup_token_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "curriculum_rarity_buckets",
+    oracle="""
+    WITH tok AS (
+      SELECT DISTINCT doc_id,
+             unnest(string_split(trim(text), ' ')) AS term
+      FROM documents),
+    n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+    idf AS (
+      SELECT term,
+             CAST(ROUND(ln(n.n_docs / COUNT(DISTINCT tok.doc_id)), 12)
+                  AS DECIMAL(26,12)) AS idf
+      FROM tok, n GROUP BY term, n.n_docs),
+    r AS (
+      SELECT tok.doc_id,
+             ROUND(CAST(SUM(idf.idf) AS DOUBLE) / COUNT(*), 12) AS rarity
+      FROM tok JOIN idf USING (term) GROUP BY tok.doc_id),
+    b AS (SELECT MIN(rarity) AS mn, MAX(rarity) AS mx FROM r),
+    bucketed AS (
+      SELECT r.doc_id, r.rarity,
+             CASE WHEN b.mx = b.mn THEN 0
+                  ELSE least(3, CAST(floor(
+                    4.0 * (r.rarity - b.mn) / (b.mx - b.mn)) AS INT))
+             END AS bucket
+      FROM r, b)
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(CAST(SUM(CAST(rarity AS DECIMAL(26,12))) AS DOUBLE)
+                 / COUNT(*), 6) AS avg_rarity
+    FROM bucketed GROUP BY bucket ORDER BY bucket
+    """,
+    doc="Rarity-bucketed curriculum report — the ordering table a "
+    "curriculum-training pipeline builds before scheduling data: each "
+    "doc scored by the mean IDF of its DISTINCT tokens (rare-vocabulary "
+    "docs score high), then bucketed into four corpus-range bins "
+    "(min/max aggregate + map-side arithmetic, no corpus-wide window). "
+    "IDF and per-doc means aggregate through rounded DECIMAL sums so "
+    "the cross-engine bucket boundaries are bit-stable. Plan: one "
+    "gram-keyed df aggregate, a broadcast N + idf join back on the "
+    "term key, one per-doc aggregate, broadcast bounds, final 4-row "
+    "group — every relation keyed and shuffle-balanced at 100 TB.",
+)
+def curriculum_rarity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.col("text")), " ")).alias("term"),
+    ).distinct()
+    n_docs = docs.count()  # broadcast scalar (bounded)
+    idf = tok.groupBy("term").agg(
+        dround(
+            F.log(F.lit(float(n_docs)) / F.countDistinct("doc_id")), 12
+        )
+        .cast("decimal(26,12)")
+        .alias("idf")
+    )
+    r = (
+        tok.join(idf, "term")
+        .groupBy("doc_id")
+        .agg(
+            dround(
+                F.sum("idf").cast("double") / F.count("*"), 12
+            ).alias("rarity")
+        )
+    )
+    b = r.agg(F.min("rarity").alias("mn"), F.max("rarity").alias("mx"))
+    bucketed = r.join(F.broadcast(b)).withColumn(
+        "bucket",
+        F.when(F.col("mx") == F.col("mn"), F.lit(0)).otherwise(
+            F.least(
+                F.lit(3),
+                F.floor(
+                    4.0
+                    * (F.col("rarity") - F.col("mn"))
+                    / (F.col("mx") - F.col("mn"))
+                ).cast("int"),
+            )
+        ),
+    )
+    return (
+        bucketed.groupBy("bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            dround(
+                F.sum(F.col("rarity").cast("decimal(26,12)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("avg_rarity"),
+        )
+        .orderBy("bucket")
+    )

@@ -117,7 +117,15 @@ def main(argv=None) -> int:
         args.namespace,
         f"{svc.host}:{svc.port}",
         engine_ref_id=args.ref_id,
-        attributes={"pid": str(os.getpid())},
+        attributes={
+            "pid": str(os.getpid()),
+            # app-level fields the reference's AdminResource lists per
+            # engine (app id/name/master) — under spark-submit the app
+            # id is the cluster-manager handle used to find/kill the app
+            "appId": spark.sparkContext.applicationId,
+            "appName": spark.sparkContext.appName,
+            "master": spark.sparkContext.master,
+        },
     )
     # log line for the launcher (stderr: stdout is process-global and
     # ExecutePython statement capture must never see engine logs);
@@ -177,9 +185,18 @@ def main(argv=None) -> int:
         pass
     discovery.close_client()
     print("engine stopping: frontend", file=sys.stderr, flush=True)
-    svc.stop()
+    try:
+        svc.stop()
+    except Exception:
+        pass
     print("engine stopping: spark", file=sys.stderr, flush=True)
-    spark.stop()
+    try:
+        # under spark-submit the py4j JVM may already be tearing down
+        # when the stop was triggered by parent death — deregistration
+        # above is the part that must not be skipped
+        spark.stop()
+    except Exception:
+        pass
     print("engine stopped", file=sys.stderr, flush=True)
     # hard exit: after a clean shutdown, straggler non-daemon threads
     # (py4j/JVM bridge remnants) must not keep a deregistered engine

@@ -84,8 +84,14 @@ class EngineProcessBuilder:
         # cluster-manager submission (kyuubi.engine.spark.submit.enabled):
         # assemble the real spark-submit invocation — YARN/K8s tagging,
         # pod naming, proxy-user/keytab rules (gateway/spark_submit.py,
-        # SparkProcessBuilder parity). The sandbox keeps the local
-        # python engine default; a cluster deployment flips the flag.
+        # SparkProcessBuilder parity).  A local master EXECUTES: the
+        # engine is a PySpark application, so the primary resource is
+        # engine_main.py (spark-submit's PythonRunner path) carrying the
+        # namespace/ref-id/discovery wiring as app args — the
+        # SparkProcessBuilder → SparkSQLEngine lifecycle end-to-end.
+        # YARN/K8s masters keep the reference's JVM engine shape
+        # (--class SparkSQLEngine, spark-internal): assembly-only here,
+        # there is no cluster manager in the sandbox.
         if _truthy(merged.get("kyuubi.engine.spark.submit.enabled", "")):
             from kyuubi_spark.gateway.spark_submit import (
                 build_spark_submit_command,
@@ -101,13 +107,44 @@ class EngineProcessBuilder:
             proxy = (extra_conf or {}).get(
                 "kyuubi.session.proxy.user"
             ) or self.conf.get("kyuubi.session.proxy.user")
+            spark_submit_bin = merged.get(
+                "kyuubi.engine.spark.submit.path", "spark-submit"
+            )
+            master = spark_conf.get("spark.master") or spark_conf.get(
+                "kyuubi.engine.spark.master"
+            )
+            if master is None or master.startswith("local"):
+                master = master or "local[2]"
+                spark_conf["spark.master"] = master
+                spark_conf.setdefault("spark.ui.enabled", "false")
+                engine_file = os.path.join(
+                    os.path.dirname(os.path.abspath(__file__)),
+                    "engine_main.py",
+                )
+                app_args = [
+                    "--namespace", namespace,
+                    "--ref-id", ref_id,
+                    "--discovery", discovery_path,
+                ]
+                for k, v in sorted(merged.items()):
+                    if k != "kyuubi.engine.spark.submit.enabled":
+                        app_args += ["--conf", f"{k}={v}"]
+                # no --proxy-user on a local master: impersonation needs
+                # the cluster's Hadoop proxy-user grants; a local engine
+                # runs as the gateway user by definition
+                return build_spark_submit_command(
+                    spark_conf,
+                    ref_id,
+                    proxy_user=None,
+                    spark_submit=spark_submit_bin,
+                    main_resource=engine_file,
+                    app_args=app_args,
+                )
             return build_spark_submit_command(
                 spark_conf,
                 ref_id,
                 proxy_user=proxy,
-                spark_submit=merged.get(
-                    "kyuubi.engine.spark.submit.path", "spark-submit"
-                ),
+                spark_submit=spark_submit_bin,
             )
         cmd = [
             sys.executable, "-m", "kyuubi_spark.gateway.engine_main",
@@ -127,6 +164,11 @@ class EngineProcessBuilder:
         env["PYTHONPATH"] = (
             pkg_root + os.pathsep + env.get("PYTHONPATH", "")
         ).rstrip(os.pathsep)
+        # spark-submit launches: pin the driver python to the gateway's
+        # interpreter so engine_main runs with the same environment
+        # (PythonRunner honors these; harmless for direct python children)
+        env.setdefault("PYSPARK_PYTHON", sys.executable)
+        env.setdefault("PYSPARK_DRIVER_PYTHON", sys.executable)
         return env
 
 
@@ -135,12 +177,28 @@ class ManagedEngine:
     diagnostics (ProcBuilder keeps the engine log the same way)."""
 
     def __init__(self, proc: subprocess.Popen, namespace: str, ref_id: str,
-                 stderr_path: str):
+                 stderr_path: str, command: list[str] | None = None):
         self.proc = proc
         self.namespace = namespace
         self.ref_id = ref_id
         self.stderr_path = stderr_path
         self.launch_time = time.time()
+        self.command = list(command or [])
+        # app-level launch fields (AdminResource engine listing shape):
+        # how was this engine submitted, to which master, in which mode
+        exe = os.path.basename(self.command[0]) if self.command else ""
+        self.launch_kind = (
+            "spark-submit" if exe.startswith("spark-submit") else "python"
+        )
+        confs = {}
+        for i, tok in enumerate(self.command):
+            if tok == "--conf" and i + 1 < len(self.command):
+                k, _, v = self.command[i + 1].partition("=")
+                confs.setdefault(k, v)
+        self.master = confs.get("spark.master") or confs.get(
+            "kyuubi.engine.spark.master"
+        )
+        self.deploy_mode = confs.get("spark.submit.deployMode", "client")
 
     @property
     def pid(self) -> int:
@@ -162,6 +220,9 @@ class ManagedEngine:
             "exitCode": None if alive else self.proc.poll(),
             "logTail": "" if alive else self.stderr_tail(5),
             "logPath": self.stderr_path,
+            "launchKind": self.launch_kind,
+            "master": self.master,
+            "deployMode": self.deploy_mode,
         }
 
     def stderr_tail(self, n: int = 30) -> str:
@@ -311,7 +372,7 @@ class EngineProcessManager:
             cwd=self.work_dir,
             env=self.builder.env(),
         )
-        child = ManagedEngine(proc, namespace, ref_id, stderr_path)
+        child = ManagedEngine(proc, namespace, ref_id, stderr_path, cmd)
         timeout = float(self.conf.get(INIT_TIMEOUT_KEY, 120.0))
         deadline = time.time() + timeout
         # EngineRef.create's poll loop: registry hit wins; child exit
@@ -425,9 +486,15 @@ class ProcessEngineSession(RemoteEngineSession):
             ),
             {},
         )
+        node_attrs = dict(info.get("attributes") or {})
+        if "pid" in node_attrs:
+            # under spark-submit the engine registers ITS python pid; the
+            # managed pid below is the submit JVM — keep both visible
+            node_attrs["enginePid"] = node_attrs.pop("pid")
         attrs = {
-            **(info.get("attributes") or {}),  # discovery node strings
+            **node_attrs,  # discovery node strings (appId/appName/master)
             "pid": info.get("pid"),  # live process fields take precedence
+            "launchKind": info.get("launchKind"),
             "namespace": self.namespace,
             "alive": info.get("alive"),
             "uptimeSec": info.get("uptimeSec"),

@@ -204,9 +204,17 @@ def build_spark_submit_command(
     main_resource: str = INTERNAL_RESOURCE,
     env: dict | None = None,
     do_as_enabled: bool = True,
+    app_args: list[str] | None = None,
 ) -> list[str]:
     """Assemble the full engine spark-submit invocation
-    (SparkProcessBuilder.commands, :134-163)."""
+    (SparkProcessBuilder.commands, :134-163).
+
+    A ``.py`` main resource submits the engine as a PySpark application
+    (spark-submit's PythonRunner path): no ``--class``, and ``app_args``
+    follow the resource — this is the executable shape this repo's
+    Python engine uses.  The default ``spark-internal`` + ``--class``
+    shape mirrors the reference's JVM engine submission.
+    """
     env = env or {}
     conf = complete_master_url(conf, env)
     conf = tag_application(ref_id, conf)
@@ -214,7 +222,9 @@ def build_spark_submit_command(
     merged.update(extra_yarn_conf(merged))
     merged.update(append_pod_name_conf(merged, ref_id))
 
-    cmd = [spark_submit, "--class", MAIN_CLASS]
+    cmd = [spark_submit]
+    if not main_resource.endswith(".py"):
+        cmd += ["--class", MAIN_CLASS]
     for k, v in sorted(merged.items()):
         cmd += ["--conf", f"{convert_config_key(k)}={v}"]
 
@@ -233,4 +243,5 @@ def build_spark_submit_command(
     if user_for_pods:
         cmd += ["--proxy-user", user_for_pods]
     cmd.append(main_resource)
+    cmd.extend(app_args or [])
     return cmd

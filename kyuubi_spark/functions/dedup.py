@@ -725,3 +725,80 @@ def connected_components(
     return labels.select(
         F.col("u").alias("doc_id"), F.col("label").alias("component_id")
     )
+
+
+def packed_hamming_near_dup_pairs(
+    sig_df: DataFrame,
+    id_col: str = "id",
+    sig_col: str = "sig",
+    max_hamming: int = 3,
+    chunks: int = 4,
+    num_bits: int = 64,
+) -> DataFrame:
+    """Near-dup pairs over PACKED-LONG signatures (one int64 per item —
+    SimHash, image dHash/pHash, sign-bit embeddings) via Manku-style
+    chunk banding.
+
+    Pigeonhole guarantee: a pair within ``max_hamming <= chunks - 1``
+    must agree on at least one chunk, so the band join is COMPLETE at
+    the default (4 chunks, distance 3); larger distances trade recall
+    (same documented trade-off as ``simhash_near_dup_pairs``).
+
+    Shuffle profile at 100 TB: the only wide op is the equi-self-join on
+    (chunk index, 16-bit chunk value) — never all-pairs; the exact
+    distance check is ``bit_count(a ^ b)`` (XOR+POPCNT in whole-stage
+    codegen, the hamming_ann_topk kernel) on the already-joined rows.
+    Signatures are 8 bytes/item, so the banded relation is ~32
+    bytes/item regardless of source payload size.
+    """
+    chunk_len = num_bits // chunks
+    mask = (1 << chunk_len) - 1
+    packed = sig_df.select(
+        F.col(id_col).alias("id"), F.col(sig_col).cast("long").alias("sig")
+    )
+    # evaluate the signature pipeline ONCE: both sides of the band
+    # self-join read the persisted 8-bytes-per-item relation instead of
+    # re-running the upstream decode/hash (same rationale as
+    # simhash_near_dup_pairs — at 100 TB the upstream pass dominates)
+    packed = persisted(packed)
+    keyed = packed.select(
+        "id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("cidx"),
+                        F.shiftrightunsigned("sig", c * chunk_len)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("ckey"),
+                    )
+                    for c in range(chunks)
+                ]
+            )
+        ).alias("ch"),
+    ).select("id", "sig", F.col("ch.cidx").alias("cidx"), F.col("ch.ckey").alias("ckey"))
+    a = keyed.select(
+        F.col("id").alias("a_id"), F.col("sig").alias("a_sig"), "cidx", "ckey"
+    )
+    b = keyed.select(
+        F.col("id").alias("b_id"),
+        F.col("sig").alias("b_sig"),
+        F.col("cidx").alias("cidx_b"),
+        F.col("ckey").alias("ckey_b"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("cidx") == F.col("cidx_b"))
+            & (F.col("ckey") == F.col("ckey_b"))
+            & (F.col("a_id") < F.col("b_id")),
+        )
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("a_sig").bitwiseXOR(F.col("b_sig"))).cast("bigint"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["a_id", "b_id"])
+        .select("a_id", "b_id", "hamming")
+    )

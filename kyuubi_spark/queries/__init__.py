@@ -101,6 +101,7 @@ def all_queries() -> dict[str, QuerySpec]:
         pipeline7,
         pipeline8,
         pipeline9,
+        pipeline10,
         sql4,
         sqludf,
         tpcds,

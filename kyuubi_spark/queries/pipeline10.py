@@ -1,0 +1,83 @@
+"""Pipeline batch 10 — training-data ops round 10.
+
+Multimodal near-duplication joins the dedup family: image perceptual
+hashing (dHash over the decoded luma grid, packed to ONE int64) feeds
+the same banded-Hamming kernel the text/embedding paths use, so image
+dedup at 100 TB is an 8-byte-per-image signature join, never an
+all-pairs byte comparison.
+
+Reference scope: extends the engine the way SURVEY.md §2's
+beyond-operator pipeline set sanctions; oracle-parity conventions
+follow queries/pipeline.py (deterministic synthetic corpora replayed
+arithmetically by DuckDB).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kyuubi_spark.queries import query
+
+_HEX = "0123456789abcdef"
+
+
+@query(
+    "image_phash_near_dup",
+    oracle=f"""
+    WITH b AS (SELECT unnest(generate_series(0, 47)) AS bid),
+    m AS (
+      SELECT 2 * bid + v AS media_id, sha256('media:' || bid) AS sha,
+             v = 1 AS isv
+      FROM b, (SELECT unnest([0, 1]) AS v)),
+    g AS (SELECT unnest(generate_series(0, 71)) AS i),
+    luma AS (
+      SELECT media_id, i,
+        CASE WHEN isv AND i = 37 THEN
+          ((strpos('{_HEX}', substr(sha, (i % 32) * 2 + 1, 1)) - 1) * 16
+           + strpos('{_HEX}', substr(sha, (i % 32) * 2 + 2, 1)) - 1 + 101)
+          % 256
+        ELSE
+          (strpos('{_HEX}', substr(sha, (i % 32) * 2 + 1, 1)) - 1) * 16
+           + strpos('{_HEX}', substr(sha, (i % 32) * 2 + 2, 1)) - 1
+        END AS v
+      FROM m, g),
+    bits AS (
+      SELECT l1.media_id, (l1.i // 9) * 8 + (l1.i % 9) AS bidx,
+             CASE WHEN l2.v > l1.v THEN 1 ELSE 0 END AS bit
+      FROM luma l1 JOIN luma l2
+        ON l2.media_id = l1.media_id AND l2.i = l1.i + 1
+      WHERE l1.i % 9 < 8),
+    pairs AS (
+      SELECT a.media_id AS a_id, b.media_id AS b_id,
+             SUM(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS hamming
+      FROM bits a JOIN bits b
+        ON a.bidx = b.bidx AND a.media_id < b.media_id
+      GROUP BY 1, 2)
+    SELECT CAST(a_id AS BIGINT) AS a_id, CAST(b_id AS BIGINT) AS b_id,
+           CAST(hamming AS BIGINT) AS hamming
+    FROM pairs WHERE hamming <= 3 ORDER BY a_id, b_id
+    """,
+    doc="Image near-duplicate detection — the multimodal counterpart of "
+    "MinHash: each image collapses to a 64-bit perceptual dHash (gradient "
+    "bits over the decoded 8x9 luma grid, Arrow-batched mapInPandas with "
+    "the decode step stubbed to the synthetic payload bytes), then the "
+    "banded-Hamming kernel (4x16-bit chunks, pigeonhole-COMPLETE for "
+    "distance <= 3, XOR+POPCNT exact filter — the hamming_ann_topk/"
+    "simhash machinery) surfaces retouched copies. The corpus plants one "
+    "one-byte-retouched variant per base image; the oracle replays the "
+    "sha256 body arithmetic and checks pairs by brute force, proving the "
+    "bucketed path loses nothing. At 100 TB: signatures are 8 bytes/"
+    "image, the join keys are uniform 16-bit chunk values, and payload "
+    "bytes are touched exactly once.",
+)
+def image_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kyuubi_spark.functions import multimodal as M
+    from kyuubi_spark.functions.dedup import packed_hamming_near_dup_pairs
+
+    media = M.synthesize_image_pairs(spark, n_base=48, partitions=8)
+    sig = M.dhash64(media)
+    pairs = packed_hamming_near_dup_pairs(
+        sig, id_col="media_id", sig_col="phash", max_hamming=3, chunks=4
+    )
+    return pairs.orderBy("a_id", "b_id")

@@ -89,3 +89,39 @@ def test_resize_passthrough_and_error_capture(spark):
     )
     errs = M.resize_images(bad).collect()
     assert errs[0]["resize_error"] is not None
+
+
+def test_dhash64_and_banded_near_dup_completeness(spark):
+    """The banded-Hamming image near-dup (r09 Next #4) finds EXACTLY the
+    brute-force pairs at distance <= 3 (pigeonhole completeness of the
+    4x16-bit chunk join), and every planted one-byte-retouch variant
+    pairs with its base."""
+    from kyuubi_spark.functions import multimodal as M
+    from kyuubi_spark.functions.dedup import packed_hamming_near_dup_pairs
+
+    media = M.synthesize_image_pairs(spark, n_base=32, partitions=4)
+    sig = M.dhash64(media)
+    hashes = {r["media_id"]: r["phash"] for r in sig.collect()}
+    assert len(hashes) == 64
+
+    # brute force ground truth on the collected signatures
+    ids = sorted(hashes)
+    expected = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            d = bin((hashes[a] ^ hashes[b]) & (2**64 - 1)).count("1")
+            if d <= 3:
+                expected.add((a, b, d))
+
+    got = {
+        (r["a_id"], r["b_id"], r["hamming"])
+        for r in packed_hamming_near_dup_pairs(
+            sig, id_col="media_id", sig_col="phash", max_hamming=3
+        ).collect()
+    }
+    assert got == expected
+    # every planted variant (one-byte retouch flips <= 2 gradient bits)
+    # is recovered
+    pair_keys = {(a, b) for a, b, _ in got}
+    for base in range(32):
+        assert (2 * base, 2 * base + 1) in pair_keys

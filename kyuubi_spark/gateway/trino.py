@@ -269,7 +269,17 @@ class TrinoGateway:
         with self._lock:
             s = self._sessions.get(user)
             if s is None:
-                s = self.engine.open_session(user=user, conf=conf)
+                # The Trino wire protocol is strictly paged (bounded
+                # response sizes, nextUri continuation) — so the backing
+                # operation must not buffer O(result) rows in the gateway
+                # either.  Default Trino sessions to incremental collect
+                # (toLocalIterator: at most one partition resident), the
+                # paging discipline the reference's Trino frontend gets
+                # from Trino's own spooling; session properties can still
+                # override per-user.
+                base = {"kyuubi.operation.incremental.collect": "true"}
+                base.update(conf or {})
+                s = self.engine.open_session(user=user, conf=base)
                 self._sessions[user] = s
             return s
 

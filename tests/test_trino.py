@@ -238,3 +238,52 @@ def test_literal_mentioning_system_jdbc_is_not_hijacked(trino_server):
         trino_server, "SELECT TABLE_CAT FROM system.jdbc.catalogs"
     )
     assert ["spark_catalog"] in out["data"]
+
+
+def test_multi_mb_result_pages_bounded(spark):
+    """r09 Next #6: a multi-MB result streams through the Trino protocol
+    in BOUNDED chunks — every response body is O(page), the gateway-side
+    buffer is capped (incremental collect: toLocalIterator, never a full
+    collect()), and the concatenated pages are value-complete."""
+    from kyuubi_spark.gateway import Engine
+
+    svc = TrinoGateway(Engine(spark=spark), page_size=200).start()
+    try:
+        # ~5 MB: 5000 rows x ~1 KB payload
+        sql = (
+            "SELECT id, repeat(concat('x', CAST(id AS STRING)), 200) AS pad "
+            "FROM range(5000) ORDER BY id"
+        )
+        req = urllib.request.Request(
+            f"http://{svc.host}:{svc.port}/v1/statement",
+            data=sql.encode(),
+            headers={"X-Trino-User": "pager"},
+            method="POST",
+        )
+        with urllib.request.urlopen(req) as r:
+            body = r.read()
+        out = json.loads(body)
+
+        # whitebox: the live operation streams, it did not collect()
+        (q,) = svc._queries.values()
+        assert q.op.collect_mode == "incremental"
+
+        page_cap = 350_000  # 200 rows x ~1 KB + JSON overhead, with slack
+        assert len(body) < page_cap
+        n_pages, got_rows, total_bytes = 1, len(out["data"]), len(body)
+        ids = [r[0] for r in out["data"]]
+        while "nextUri" in out:
+            with urllib.request.urlopen(out["nextUri"]) as r:
+                body = r.read()
+            out = json.loads(body)
+            assert len(body) < page_cap  # EVERY page bounded
+            n_pages += 1
+            got_rows += len(out["data"])
+            total_bytes += len(body)
+            ids.extend(r[0] for r in out["data"])
+        assert out["stats"]["state"] == "FINISHED"
+        assert got_rows == 5000 and ids == list(range(5000))
+        assert n_pages >= 25  # genuinely chunked
+        assert total_bytes > 4_000_000  # and genuinely multi-MB overall
+    finally:
+        svc.stop()

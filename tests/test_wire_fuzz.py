@@ -334,3 +334,58 @@ def test_morton_interleave_is_bijective(spark, x, y):
     rx = sum(((z >> (2 * b)) & 1) << b for b in range(16))
     ry = sum(((z >> (2 * b + 1)) & 1) << b for b in range(16))
     assert (rx, ry) == (x, y)
+
+
+# -- the same injection-safety fuzz THROUGH a launched engine process ---------
+
+
+@pytest.fixture(scope="module")
+def launched_dbapi_conn(spark, tmp_path_factory):
+    """DBAPI connection whose every statement crosses THREE processes:
+    client -> gateway thrift frontend -> remote.py thrift hop -> launched
+    engine (r09 Next #5: the forwarded path gets the same differential
+    treatment that caught the two PyHive wire bugs in-process)."""
+    from kyuubi_spark.gateway.discovery import SqliteDiscoveryClient
+    from kyuubi_spark.gateway.server_main import KyuubiServer
+
+    d = tmp_path_factory.mktemp("fuzz-engine")
+    disco = SqliteDiscoveryClient(str(d / "registry.db"))
+    disco.create_client()
+    server = KyuubiServer(
+        spark,
+        conf={
+            "kyuubi.engine.launch.enabled": "true",
+            "kyuubi.session.engine.initialize.timeout": "90",
+        },
+        discovery=disco,
+    ).start()
+    host, port = server.endpoints()["thrift_binary"]
+    from kyuubi_spark.client import dbapi
+
+    conn = dbapi.connect(host=host, port=port, user="fuzz_proc")
+    assert server.process_manager.engine_count == 1  # really forwarded
+    yield conn
+    conn.close()
+    server.stop()
+    disco.close_client()
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.text(
+        alphabet=st.characters(blacklist_categories=("Cs",)),
+        max_size=40,
+    )
+)
+def test_launched_engine_string_binding_roundtrips_any_text(
+    launched_dbapi_conn, s
+):
+    """Arbitrary text must survive the full forwarded wire path exactly:
+    literal-bound at the client, executed on the launched engine, fetched
+    back through remote.py's FetchResults framing."""
+    cur = launched_dbapi_conn.cursor()
+    cur.execute("SELECT %(x)s AS v, length(%(x)s) AS n", {"x": s})
+    got, n = cur.fetchone()
+    cur.close()
+    assert got == s
+    assert n == len(s)

@@ -334,3 +334,57 @@ def dhash64(media: DataFrame, rows: int = 8, cols: int = 8) -> DataFrame:
     return media.select("media_id", "payload").mapInPandas(
         run, schema=DHASH_SCHEMA
     )
+
+
+def synthesize_video_frames(
+    spark, n_base: int = 24, frames: int = 8, partitions: int = 8
+) -> DataFrame:
+    """Deterministic video corpus, one row per (video, frame): every base
+    video (video_id = 2*b) has a re-encoded variant (video_id = 2*b + 1)
+    whose frames are one-byte retouches of the base frames EXCEPT every
+    4th frame, which is replaced outright (the inserted-ad / keyframe-
+    swap case a frame-level matcher must tolerate).
+
+    media_id packs (video, frame) as video_id*1000 + frame_idx so the
+    frame table plugs straight into ``dhash64`` and the packed-Hamming
+    kernel unchanged.
+    """
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for base in pdf["id"]:
+                base = int(base)
+                for f in range(frames):
+                    body = bytearray(
+                        hashlib.sha256(f"video:{base}:{f}".encode()).digest() * 4
+                    )
+                    header = struct.pack("<iii", 64, 64, 0)
+                    rows.append(
+                        {"media_id": (2 * base) * 1000 + f, "kind": "video",
+                         "payload": header + bytes(body),
+                         "meta": {"width": 64, "height": 64,
+                                  "duration_ms": 0, "codec": "stub"}}
+                    )
+                    if f % 4 == 3:  # variant: replaced frame
+                        vbody = bytearray(
+                            hashlib.sha256(
+                                f"replaced:{base}:{f}".encode()
+                            ).digest() * 4
+                        )
+                    else:  # variant: one-byte retouch (re-encode noise)
+                        vbody = bytearray(body)
+                        vbody[37] = (vbody[37] + 101) % 256
+                    rows.append(
+                        {"media_id": (2 * base + 1) * 1000 + f,
+                         "kind": "video", "payload": header + bytes(vbody),
+                         "meta": {"width": 64, "height": 64,
+                                  "duration_ms": 0, "codec": "stub"}}
+                    )
+            yield pd.DataFrame(rows)
+
+    return (
+        spark.range(n_base)
+        .repartition(partitions)
+        .mapInPandas(gen, schema=MEDIA_SCHEMA)
+    )

@@ -81,3 +81,87 @@ def image_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         sig, id_col="media_id", sig_col="phash", max_hamming=3, chunks=4
     )
     return pairs.orderBy("a_id", "b_id")
+
+
+@query(
+    "video_frame_near_dup",
+    oracle=f"""
+    WITH b AS (SELECT unnest(generate_series(0, 23)) AS bid),
+    fr AS (SELECT unnest(generate_series(0, 7)) AS f),
+    m AS (
+      SELECT 2*bid + v AS vid, f,
+             CASE WHEN v = 1 AND f % 4 = 3
+                  THEN sha256('replaced:' || bid || ':' || f)
+                  ELSE sha256('video:' || bid || ':' || f) END AS sha,
+             (v = 1 AND f % 4 <> 3) AS retouch
+      FROM b, (SELECT unnest([0,1]) AS v), fr),
+    g AS (SELECT unnest(generate_series(0, 71)) AS i),
+    luma AS (
+      SELECT vid, f, i,
+        CASE WHEN retouch AND i = 37 THEN
+          ((strpos('{_HEX}', substr(sha,(i%32)*2+1,1))-1)*16
+           + strpos('{_HEX}', substr(sha,(i%32)*2+2,1)) - 1 + 101) % 256
+        ELSE
+          (strpos('{_HEX}', substr(sha,(i%32)*2+1,1))-1)*16
+           + strpos('{_HEX}', substr(sha,(i%32)*2+2,1)) - 1
+        END AS val
+      FROM m, g),
+    bits AS (
+      SELECT l1.vid, l1.f, (l1.i // 9)*8 + (l1.i % 9) AS bidx,
+             CASE WHEN l2.val > l1.val THEN 1 ELSE 0 END AS bit
+      FROM luma l1 JOIN luma l2
+        ON l2.vid = l1.vid AND l2.f = l1.f AND l2.i = l1.i + 1
+      WHERE l1.i % 9 < 8),
+    fham AS (
+      SELECT a.vid AS a_video, b.vid AS b_video, a.f,
+             SUM(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS ham
+      FROM bits a JOIN bits b
+        ON a.bidx = b.bidx AND a.f = b.f AND a.vid < b.vid
+      GROUP BY 1, 2, 3),
+    vm AS (
+      SELECT a_video, b_video,
+             SUM(CASE WHEN ham <= 3 THEN 1 ELSE 0 END) AS matched_frames
+      FROM fham GROUP BY 1, 2)
+    SELECT CAST(a_video AS BIGINT) AS a_video,
+           CAST(b_video AS BIGINT) AS b_video,
+           CAST(matched_frames AS BIGINT) AS matched_frames
+    FROM vm WHERE matched_frames >= 5 ORDER BY a_video, b_video
+    """,
+    doc="Video near-duplicate detection by ALIGNED frame matching: every "
+    "sampled frame gets the 64-bit perceptual dHash, the banded-Hamming "
+    "kernel (frame ids packed as video*1000+frame) surfaces frame-level "
+    "matches, and videos pair when >= 5 of their 8 aligned frames match "
+    "at distance <= 3 — tolerating the planted every-4th-frame "
+    "replacement (keyframe swap / inserted ad) while the per-frame "
+    "one-byte retouch (re-encode noise) still matches. The oracle "
+    "replays the sha256 frame bytes and brute-forces aligned Hamming. "
+    "At 100 TB: frame signatures are 8 bytes each, candidate generation "
+    "is the same uniform 16-bit chunk join, and the video-pair rollup "
+    "is one keyed aggregate — video bytes are read exactly once.",
+)
+def video_frame_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kyuubi_spark.functions import multimodal as M
+    from kyuubi_spark.functions.dedup import packed_hamming_near_dup_pairs
+
+    nframes = 8
+    media = M.synthesize_video_frames(spark, n_base=24, frames=nframes)
+    sig = M.dhash64(media)  # media_id = video_id*1000 + frame_idx
+    fpairs = packed_hamming_near_dup_pairs(
+        sig, id_col="media_id", sig_col="phash", max_hamming=3, chunks=4
+    )
+    # keep ALIGNED frame matches (same frame position, different videos),
+    # then roll up to video pairs; a_id < b_id with equal frame offsets
+    # implies a_video < b_video
+    aligned = fpairs.filter(
+        (F.col("a_id") % 1000 == F.col("b_id") % 1000)
+        & (F.expr("a_id div 1000") != F.expr("b_id div 1000"))
+    )
+    return (
+        aligned.groupBy(
+            F.expr("a_id div 1000").cast("bigint").alias("a_video"),
+            F.expr("b_id div 1000").cast("bigint").alias("b_video"),
+        )
+        .agg(F.count("*").alias("matched_frames"))
+        .filter(F.col("matched_frames") >= 5)
+        .orderBy("a_video", "b_video")
+    )

@@ -165,3 +165,93 @@ def video_frame_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("matched_frames") >= 5)
         .orderBy("a_video", "b_video")
     )
+
+
+@query(
+    "scd2_dimension_build",
+    oracle="""
+    WITH chg AS (
+      SELECT o_custkey, o_orderdate, o_orderkey, o_orderpriority,
+             CASE WHEN LAG(o_orderpriority) OVER w IS DISTINCT FROM
+                       o_orderpriority THEN 1 ELSE 0 END AS is_new
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey)),
+    grp AS (
+      SELECT *, SUM(is_new) OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey
+                 ROWS UNBOUNDED PRECEDING) AS gid
+      FROM chg),
+    island AS (
+      SELECT o_custkey AS custkey, gid,
+             MIN(o_orderpriority) AS priority,
+             MIN(o_orderdate) AS valid_from,
+             COUNT(*) AS n_orders
+      FROM grp GROUP BY 1, 2),
+    scd AS (
+      SELECT custkey, priority, valid_from, n_orders,
+             LEAD(valid_from) OVER (PARTITION BY custkey
+               ORDER BY valid_from, gid) AS valid_to,
+             ROW_NUMBER() OVER (PARTITION BY custkey
+               ORDER BY valid_from, gid) AS version
+      FROM island)
+    SELECT CAST(custkey AS BIGINT) AS custkey,
+           CAST(version AS BIGINT) AS version,
+           priority,
+           valid_from, valid_to,
+           CAST(n_orders AS BIGINT) AS n_orders,
+           valid_to IS NULL AS is_current
+    FROM scd
+    ORDER BY custkey, version
+    """,
+    doc="Slowly-changing-dimension type-2 build from a change stream: "
+    "each customer's order history collapses into priority 'islands' "
+    "(gaps-and-islands via lag-change flag + running-sum group id), "
+    "emitted as versioned validity intervals [valid_from, valid_to) "
+    "with an open-ended current row — the lakehouse MERGE-into-SCD2 "
+    "pattern without engine-specific MERGE syntax. Scale: every window "
+    "and the island aggregate partition on custkey (uniform key, no "
+    "corpus-wide window — three keyed passes that AQE coalesces), so "
+    "the plan is one shuffle by custkey reused across stages.",
+)
+def scd2_dimension_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from kyuubi_spark.session import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    chg = orders.select(
+        "o_custkey", "o_orderdate", "o_orderkey", "o_orderpriority"
+    ).withColumn(
+        "is_new",
+        F.when(
+            ~F.lag("o_orderpriority").over(w).eqNullSafe(
+                F.col("o_orderpriority")
+            ),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    grp = chg.withColumn(
+        "gid", F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    island = grp.groupBy(
+        F.col("o_custkey").alias("custkey"), "gid"
+    ).agg(
+        F.min("o_orderpriority").alias("priority"),
+        F.min("o_orderdate").alias("valid_from"),
+        F.count("*").alias("n_orders"),
+    )
+    w2 = Window.partitionBy("custkey").orderBy("valid_from", "gid")
+    return (
+        island.select(
+            "custkey",
+            F.row_number().over(w2).cast("bigint").alias("version"),
+            "priority",
+            "valid_from",
+            F.lead("valid_from").over(w2).alias("valid_to"),
+            F.col("n_orders").cast("bigint").alias("n_orders"),
+        )
+        .withColumn("is_current", F.col("valid_to").isNull())
+        .orderBy("custkey", "version")
+    )

@@ -502,6 +502,10 @@ class RestGateway:
                                 for k in (
                                     "pid", "alive", "uptimeSec",
                                     "exitCode", "logPath",
+                                    # app-level launch fields (reference
+                                    # AdminResource engine listing):
+                                    # submission kind, master, deploy mode
+                                    "launchKind", "master", "deployMode",
                                 )
                             }
                         out.append(d)

@@ -625,3 +625,65 @@ def test_spark_submit_launch_fast_fails_with_log(tmp_path):
     finally:
         mgr.stop_all()
         disco.close_client()
+
+
+def test_server_assembly_spark_submit_engine(spark, tmp_path):
+    """The full KyuubiServer assembly honors
+    kyuubi.engine.spark.submit.enabled: a session opened through the
+    server's thrift frontend is served by a spark-submit-launched
+    engine, and REST /admin/engine lists it with the app-level fields
+    (launchKind/master + the engine-registered Spark appId)."""
+    import json as J
+    import urllib.request
+
+    submit = "/opt/spark/bin/spark-submit"
+    if not os.path.exists(submit):
+        pytest.skip("no spark-submit binary in this environment")
+
+    from kyuubi_spark.gateway.discovery import SqliteDiscoveryClient
+    from kyuubi_spark.gateway.rest import RestGateway
+    from kyuubi_spark.gateway.server_main import KyuubiServer
+    from kyuubi_spark.gateway.thrift import ThriftClient
+
+    disco = SqliteDiscoveryClient(str(tmp_path / "srv-submit.db"))
+    disco.create_client()
+    server = KyuubiServer(
+        spark,
+        conf={
+            "kyuubi.engine.launch.enabled": "true",
+            "kyuubi.engine.spark.submit.enabled": "true",
+            "kyuubi.engine.spark.submit.path": submit,
+            "kyuubi.session.engine.initialize.timeout": "240",
+        },
+        discovery=disco,
+    ).start()
+    try:
+        host, port = server.endpoints()["thrift_binary"]
+        c = ThriftClient(host, port)
+        c.open_session(user="asm_submit")
+        child = next(iter(server.process_manager._engines.values()))
+        assert child.launch_kind == "spark-submit"
+        guid = c.execute("SELECT 'assembled' AS s")
+        assert [tuple(r) for r in c.fetch(guid, 5)] == [("assembled",)]
+
+        rg = RestGateway(server.engine).start()
+        try:
+            base = f"http://127.0.0.1:{rg.port}/api/v1"
+            with urllib.request.urlopen(f"{base}/admin/engine") as r:
+                listing = J.loads(r.read())
+            mine = [
+                e for e in listing
+                if e["namespace"] == "/kyuubi/user/asm_submit"
+            ]
+            assert mine, listing
+            proc = mine[0]["process"]
+            assert proc["launchKind"] == "spark-submit"
+            assert proc["master"] == "local[2]"
+            assert mine[0]["attributes"]["appId"].startswith("local-")
+        finally:
+            rg.shutdown()
+        c.close_session()
+        c.close()
+    finally:
+        server.stop()
+        disco.close_client()

@@ -96,15 +96,22 @@ class BatchJob:
         args: list[str] | None = None,
         store=None,
         user: str = "anonymous",
+        batch_type: str = "PYSPARK",
+        name: str | None = None,
+        submit_conf: dict | None = None,
+        gateway_conf=None,
     ):
         self.id = str(uuid.uuid4())
         self.state = "PENDING"
         self.user = user
+        self.batch_type = batch_type.upper()
+        self.name = name
         self._store = store
         if store is not None:
             store.insert(
                 self.id, "BATCH", user, state="PENDING",
-                request_name="rest-batch", request_args=list(args or []),
+                request_name=name or "rest-batch",
+                request_args=list(args or []),
             )
         self._log_file = tempfile.NamedTemporaryFile(
             mode="w+", prefix="kyuubi_spark_batch_", suffix=".log", delete=False
@@ -114,10 +121,53 @@ class BatchJob:
         )
         self._script_file.write(script)
         self._script_file.close()
+        env = None
+        if self.batch_type == "SPARK":
+            # the reference batch IS a spark-submit
+            # (BatchJobSubmission.scala:293-333): assemble the real
+            # invocation — the batch id becomes the application tag
+            # (spark.yarn.tags KYUUBI,<id> / K8s label) so the app can be
+            # found and killed by id, KyuubiApplicationManager-style
+            from kyuubi_spark.gateway.engine_process import (
+                EngineProcessBuilder,
+            )
+            from kyuubi_spark.gateway.spark_submit import (
+                build_spark_submit_command,
+            )
+
+            def _gconf(key, default=None):
+                try:
+                    return gateway_conf.get_raw(key, default)
+                except AttributeError:
+                    return (gateway_conf or {}).get(key, default)
+
+            conf = dict(submit_conf or {})
+            conf.setdefault(
+                "spark.master",
+                _gconf("kyuubi.engine.spark.master", "local[2]"),
+            )
+            conf.setdefault("spark.ui.enabled", "false")
+            if name:
+                conf.setdefault("spark.app.name", name)
+            submit_bin = conf.pop(
+                "kyuubi.engine.spark.submit.path", None
+            ) or _gconf("kyuubi.engine.spark.submit.path", "spark-submit")
+            cmd = build_spark_submit_command(
+                conf,
+                self.id,
+                spark_submit=submit_bin,
+                main_resource=self._script_file.name,
+                app_args=list(args or []),
+            )
+            env = EngineProcessBuilder().env()  # PYSPARK_PYTHON/PYTHONPATH
+        else:
+            cmd = [sys.executable, self._script_file.name, *(args or [])]
+        self.command = cmd
         self.proc = subprocess.Popen(
-            [sys.executable, self._script_file.name, *(args or [])],
+            cmd,
             stdout=self._log_file,
             stderr=subprocess.STDOUT,
+            env=env,
         )
         self.state = "RUNNING"
         self._record()
@@ -146,7 +196,16 @@ class BatchJob:
             self._record(ended=True)
 
     def info(self) -> dict:
-        return {"id": self.id, "state": self.state, "pid": self.proc.pid}
+        return {
+            "id": self.id,
+            "state": self.state,
+            "pid": self.proc.pid,
+            "batchType": self.batch_type,
+            "name": self.name,
+            # the reference's application tag: how KyuubiApplicationManager
+            # finds/kills the submitted app (KYUUBI,<id> in spark.yarn.tags)
+            "appTag": self.id if self.batch_type == "SPARK" else None,
+        }
 
 
 class RestGateway:
@@ -388,6 +447,10 @@ class RestGateway:
                 script, body.get("args"),
                 store=self.engine.metadata_store,
                 user=_principal(h) or body.get("user", "anonymous"),
+                batch_type=str(body.get("batchType", "PYSPARK")),
+                name=body.get("name"),
+                submit_conf=body.get("conf"),
+                gateway_conf=getattr(self.engine, "conf", None),
             )
             self.batches[job.id] = job
             h._reply(200, job.info())

@@ -526,3 +526,46 @@ def test_admin_engine_listing_walks_share_level_spaces(spark):
     finally:
         server.stop()
         disco.close_client()
+
+
+def test_spark_batch_submission_real_spark_submit(rest):
+    """batchType=SPARK submits the resource through the REAL spark-submit
+    binary (BatchJobSubmission.scala:293-333): the batch id becomes the
+    application tag (KYUUBI,<id> in spark.yarn.tags), the driver python
+    runs the script as a PySpark app, and state/log/kill flow through the
+    same batch lifecycle."""
+    if not os.path.exists("/opt/spark/bin/spark-submit"):
+        pytest.skip("no spark-submit binary in this environment")
+    script = (
+        "from pyspark.sql import SparkSession\n"
+        "import sys\n"
+        "spark = SparkSession.builder.getOrCreate()\n"
+        "n = spark.range(100).count()\n"
+        "print('SPARK BATCH OK', n, sys.argv[1])\n"
+        "spark.stop()\n"
+    )
+    job = _call(
+        rest, "POST", "/api/v1/batches",
+        {
+            "batchType": "SPARK",
+            "name": "rest-spark-batch",
+            "script": script,
+            "args": ["tagcheck"],
+            "conf": {
+                "kyuubi.engine.spark.submit.path":
+                    "/opt/spark/bin/spark-submit",
+                "spark.master": "local[2]",
+            },
+        },
+    )
+    assert job["batchType"] == "SPARK"
+    assert job["appTag"] == job["id"]
+    bid = job["id"]
+    for _ in range(600):
+        st = _call(rest, "GET", f"/api/v1/batches/{bid}")
+        if st["state"] in ("FINISHED", "ERROR"):
+            break
+        time.sleep(0.2)
+    log = _call(rest, "GET", f"/api/v1/batches/{bid}/localLog")["log"]
+    assert st["state"] == "FINISHED", log
+    assert "SPARK BATCH OK 100 tagcheck" in log

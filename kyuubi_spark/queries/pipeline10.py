@@ -255,3 +255,65 @@ def scd2_dimension_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("is_current", F.col("valid_to").isNull())
         .orderBy("custkey", "version")
     )
+
+
+@query(
+    "export_manifest_integrity",
+    oracle="""
+    SELECT CAST(doc_id % 8 AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(SUM(CAST(concat('0x',
+                  substr(md5(doc_id || ':' || text), 1, 15)) AS BIGINT)
+                % 1000000007) AS BIGINT) AS fingerprint
+    FROM documents
+    GROUP BY 1 ORDER BY bucket
+    """,
+    doc="Sharded training-data export with an integrity manifest: the "
+    "corpus is written to hash-bucketed parquet shards through the "
+    "gateway write path (partitionBy + rebalance — the small-files "
+    "guard), READ BACK, and summarized as a per-shard manifest (doc "
+    "count, char volume, order-independent content fingerprint: sum of "
+    "md5(doc_id:text) 60-bit prefixes mod 1e9+7). The oracle computes "
+    "the manifest from the SOURCE table, so any row lost, duplicated, "
+    "or corrupted in the write/read round-trip changes a fingerprint "
+    "and fails the check — the export-validation step a 100 TB corpus "
+    "ships with. Scale: one keyed aggregate per side; the fingerprint "
+    "is commutative so shard-local partial aggregation works and no "
+    "ordering constraint is imposed on writers.",
+)
+def export_manifest_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from kyuubi_spark.operators.write import write_table
+    from kyuubi_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "n_chars", (F.col("doc_id") % 8).alias("bucket")
+    )
+    path = tempfile.mkdtemp(prefix="kyuubi_export_")
+    try:
+        write_table(docs, path, partition_by=["bucket"])
+        back = spark.read.parquet(path)
+        key = F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"),
+                               F.lit(":"), F.col("text"))),
+                1, 15,
+            ),
+            16, 10,
+        ).cast("long")
+        out = (
+            back.groupBy(F.col("bucket").cast("bigint").alias("bucket"))
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.sum("n_chars").cast("bigint").alias("sum_chars"),
+                F.sum(key % 1000000007).cast("bigint").alias("fingerprint"),
+            )
+            .orderBy("bucket")
+        )
+        out = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    return out

@@ -514,6 +514,133 @@ def _zorder_lane(spark) -> dict | None:
         shutil.rmtree(base, ignore_errors=True)
 
 
+def _baseline_kernels_lane(spark) -> dict | None:
+    """Measured counterparts of BASELINE.md's remaining quantitative
+    rows — the reference's checked-in microbenchmarks:
+
+    - z-order interleave kernel (ZorderCoreBenchmark-results.txt: 1M
+      rows, 2 long cols 185 ms = 5.4 M rows/s; 4 cols 291 ms = 3.4 M);
+    - TPC-DS on-the-fly datagen (TPCDSTableGenerateBenchmark-results
+      .txt: store_sales 1M rows in 7694 ms = 0.13 M rows/s);
+    - authz access-request evaluation (RuleAuthorizationBenchmark-jdk17:
+      50,000 requests in 1281 ms).
+
+    Each entry records our measured rows/sec next to the reference's so
+    BENCH_r{N} carries the comparison. Skip with
+    SPARK_GRAFT_BENCH_KERNELS=0.
+    """
+    if os.environ.get("SPARK_GRAFT_BENCH_KERNELS", "1") == "0":
+        return None
+    from pyspark.sql import functions as F
+
+    from kyuubi_spark.operators.zorder import interleave_bits
+
+    out: dict = {}
+    # 10x the reference's 1M rows: local job-launch overhead (~0.2 s)
+    # would otherwise dominate and understate the per-row kernel rate
+    n = 10_000_000
+    base = spark.range(n).select(
+        (F.col("id") % 65536).alias("c0"),
+        ((F.col("id") * 7) % 65536).alias("c1"),
+        ((F.col("id") * 13) % 32768).alias("c2"),
+        ((F.col("id") * 29) % 32768).alias("c3"),
+    ).persist()
+    base.count()  # like the reference bench, time the kernel, not datagen
+    # 4x16 bits would overflow a signed long, so the 4-col variant packs
+    # 15 bits/col (60-bit z-values) — same per-row work shape
+    for cols, bits, ref_rps in (
+        (["c0", "c1"], 16, 5_405_000),
+        (["c0", "c1", "c2", "c3"], 15, 3_436_000),
+    ):
+        best = None
+        for _ in range(3):
+            t0 = time.perf_counter()
+            base.select(
+                F.max(
+                    interleave_bits([F.col(c) for c in cols], bits=bits)
+                ).alias("m")
+            ).collect()
+            dt = time.perf_counter() - t0
+            best = dt if best is None or dt < best else best
+        out[f"zorder_interleave_{len(cols)}col"] = {
+            "rows": n,
+            "sec": round(best, 3),
+            "rows_per_sec": round(n / best),
+            "reference_rows_per_sec": ref_rps,
+        }
+    base.unpersist()
+
+    from kyuubi_spark.sources.tpcds_datagen import gen_store_sales
+
+    sf_1m = 1_000_000 / 2_880_000  # reference bench generates 1M rows
+    best = rows = None
+    for _ in range(2):
+        t0 = time.perf_counter()
+        rows = gen_store_sales(spark, sf_1m).count()
+        dt = time.perf_counter() - t0
+        best = dt if best is None or dt < best else best
+    out["tpcds_datagen_store_sales"] = {
+        "rows": rows,
+        "sec": round(best, 3),
+        "rows_per_sec": round(rows / best),
+        "reference_rows_per_sec": 129_971,  # 1M rows / 7.694 s
+    }
+
+    from kyuubi_spark.operators.ranger import load_service_policies
+
+    doc = {
+        "serviceName": "bench",
+        "policies": [
+            {
+                "name": f"t{i}_policy", "policyType": 0, "isEnabled": True,
+                "resources": {
+                    "database": {"values": ["default"]},
+                    "table": {"values": [f"t{i}"]},
+                    "column": {"values": ["*"]},
+                },
+                "policyItems": [{
+                    "users": [], "groups": ["analysts"],
+                    "accesses": [{"type": "select", "isAllowed": True}],
+                }],
+                "denyPolicyItems": [{
+                    "users": ["mallory"],
+                    "accesses": [{"type": "select", "isAllowed": True}],
+                }],
+            }
+            for i in range(8)
+        ] + [{
+            "name": "wildcard", "policyType": 0, "isEnabled": True,
+            "resources": {
+                "database": {"values": ["default"]},
+                "table": {"values": ["*"]},
+                "column": {"values": ["*"]},
+            },
+            "policyItems": [{
+                "users": ["alice"],
+                "accesses": [{"type": "select", "isAllowed": True}],
+            }],
+        }],
+    }
+    svc = load_service_policies(doc)
+    n_req = 50_000
+    t0 = time.perf_counter()
+    granted = 0
+    for i in range(n_req):
+        if svc.allowed(
+            "alice", "default", f"t{i % 16}", "c0", "select", {"analysts"}
+        ):
+            granted += 1
+    dt = time.perf_counter() - t0
+    out["authz_access_requests"] = {
+        "requests": n_req,
+        "granted": granted,
+        "sec": round(dt, 3),
+        "requests_per_sec": round(n_req / dt),
+        "reference_requests_per_sec": 39_032,  # 50k / 1.281 s
+    }
+    return out
+
+
 def _prior_round_queries(sf_dir: str) -> dict[str, float]:
     """Per-query timings from the newest BENCH_r*.json next to this file
     (the driver's prior-round artifact), used as the round-over-round
@@ -637,6 +764,7 @@ def main() -> None:
 
     realtext = _realtext_lane(spark)
     zorder = _zorder_lane(spark)
+    kernels = _baseline_kernels_lane(spark)
 
     # Full-resolution per-query timings for the judge / local diffing.
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
@@ -655,6 +783,7 @@ def main() -> None:
                     "movers": movers,
                     "realtext": realtext,
                     "zorder": zorder,
+                    "baseline_kernels": kernels,
                 },
                 f,
                 indent=1,

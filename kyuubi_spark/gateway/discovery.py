@@ -82,7 +82,113 @@ class DiscoveryStoreError(Exception):
     pass
 
 
-class SqliteDiscoveryClient:
+class DiscoveryClientOps:
+    """Store-agnostic half of the reference's DiscoveryClient trait:
+    everything here derives from the znode primitives (create/get_data/
+    get_children/delete), so any backend that implements those — the
+    sqlite store below, the TCP ephemeral server (discovery_tcp.py), a
+    real ZooKeeper — inherits the service-registry semantics unchanged.
+    """
+
+    # --- service registry ---
+
+    def create_and_get_service_node(
+        self,
+        namespace: str,
+        instance: str,
+        version: str | None = None,
+        engine_ref_id: str | None = None,
+        external: bool = False,
+        attributes: dict | None = None,
+    ) -> str:
+        """ZookeeperDiscoveryClient.createPersistentNode:339-380 —
+        node name serverUri=..;version=..[;<attrs>][;refId=..];sequence=N,
+        EPHEMERAL_SEQUENTIAL unless external."""
+        ver = version or "1.10.0"
+        extra = "".join(
+            f";{k}={v}" for k, v in (attributes or {}).items()
+        )
+        ref = f"refId={engine_ref_id};" if engine_ref_id else ""
+        prefix = (
+            f"{namespace.rstrip('/')}/serverUri={instance};version={ver}"
+            f"{extra};{ref}sequence="
+        )
+        mode = "PERSISTENT_SEQUENTIAL" if external else "EPHEMERAL_SEQUENTIAL"
+        return self.create(prefix, mode, data=instance.encode("utf-8"))
+
+    def register_service(
+        self,
+        namespace: str,
+        instance: str,
+        version: str | None = None,
+        engine_ref_id: str | None = None,
+    ) -> str:
+        node = self.create_and_get_service_node(
+            namespace, instance, version, engine_ref_id
+        )
+        self._registered = node
+        return node
+
+    def deregister_service(self) -> None:
+        node = getattr(self, "_registered", None)
+        if node:
+            self.delete(node)
+            self._registered = None
+
+    def get_service_nodes_info(
+        self, namespace: str, size: int | None = None
+    ) -> list[ServiceNodeInfo]:
+        children = self.get_children(namespace)
+        take = children[-(size or len(children)):] if children else []
+        out = []
+        for name in take:
+            data = self.get_data(f"{namespace.rstrip('/')}/{name}").decode()
+            host, port = parse_instance_host_port(data)
+            attrs = dict(
+                kv.split("=", 1) for kv in name.split(";") if "=" in kv
+            )
+            out.append(
+                ServiceNodeInfo(
+                    namespace=namespace,
+                    node_name=name,
+                    host=host,
+                    port=port,
+                    version=attrs.get("version"),
+                    engine_ref_id=attrs.get("refId"),
+                    attributes=attrs,
+                )
+            )
+        return out
+
+    def get_server_host(self, namespace: str) -> tuple[str, int] | None:
+        """Newest node wins (the reference's takeRight(1))."""
+        nodes = self.get_service_nodes_info(namespace, size=1)
+        if len(nodes) == 1:
+            return (nodes[0].host, nodes[0].port)
+        return None
+
+    def get_engine_by_ref_id(
+        self, namespace: str, engine_ref_id: str
+    ) -> tuple[str, int] | None:
+        for n in self.get_service_nodes_info(namespace):
+            if n.engine_ref_id == engine_ref_id:
+                return (n.host, n.port)
+        return None
+
+
+def connect_discovery(addr: str | None):
+    """Backend factory: ``tcp://host:port`` → the ephemeral TCP client
+    (discovery_tcp.py); anything else → the sqlite store at that path.
+    The launched-engine plumbing forwards a client's ``_path`` verbatim,
+    so engines join whichever backend the gateway runs."""
+    if addr and str(addr).startswith("tcp://"):
+        from kyuubi_spark.gateway.discovery_tcp import TcpDiscoveryClient
+
+        return TcpDiscoveryClient(addr)
+    return SqliteDiscoveryClient(addr)
+
+
+class SqliteDiscoveryClient(DiscoveryClientOps):
     """DiscoveryClient over sqlite — one table of znodes + counters.
 
     Thread-safe (one connection guarded by a lock; sqlite serializes
@@ -338,91 +444,6 @@ class SqliteDiscoveryClient:
                     (lock_path, self._client_id),
                 )
                 self._db().commit()
-
-    # --- service registry ---
-
-    def create_and_get_service_node(
-        self,
-        namespace: str,
-        instance: str,
-        version: str | None = None,
-        engine_ref_id: str | None = None,
-        external: bool = False,
-        attributes: dict | None = None,
-    ) -> str:
-        """ZookeeperDiscoveryClient.createPersistentNode:339-380 —
-        node name serverUri=..;version=..[;<attrs>][;refId=..];sequence=N,
-        EPHEMERAL_SEQUENTIAL unless external."""
-        ver = version or "1.10.0"
-        extra = "".join(
-            f";{k}={v}" for k, v in (attributes or {}).items()
-        )
-        ref = f"refId={engine_ref_id};" if engine_ref_id else ""
-        prefix = (
-            f"{namespace.rstrip('/')}/serverUri={instance};version={ver}"
-            f"{extra};{ref}sequence="
-        )
-        mode = "PERSISTENT_SEQUENTIAL" if external else "EPHEMERAL_SEQUENTIAL"
-        return self.create(prefix, mode, data=instance.encode("utf-8"))
-
-    def register_service(
-        self,
-        namespace: str,
-        instance: str,
-        version: str | None = None,
-        engine_ref_id: str | None = None,
-    ) -> str:
-        node = self.create_and_get_service_node(
-            namespace, instance, version, engine_ref_id
-        )
-        self._registered = node
-        return node
-
-    def deregister_service(self) -> None:
-        node = getattr(self, "_registered", None)
-        if node:
-            self.delete(node)
-            self._registered = None
-
-    def get_service_nodes_info(
-        self, namespace: str, size: int | None = None
-    ) -> list[ServiceNodeInfo]:
-        children = self.get_children(namespace)
-        take = children[-(size or len(children)):] if children else []
-        out = []
-        for name in take:
-            data = self.get_data(f"{namespace.rstrip('/')}/{name}").decode()
-            host, port = parse_instance_host_port(data)
-            attrs = dict(
-                kv.split("=", 1) for kv in name.split(";") if "=" in kv
-            )
-            out.append(
-                ServiceNodeInfo(
-                    namespace=namespace,
-                    node_name=name,
-                    host=host,
-                    port=port,
-                    version=attrs.get("version"),
-                    engine_ref_id=attrs.get("refId"),
-                    attributes=attrs,
-                )
-            )
-        return out
-
-    def get_server_host(self, namespace: str) -> tuple[str, int] | None:
-        """Newest node wins (the reference's takeRight(1))."""
-        nodes = self.get_service_nodes_info(namespace, size=1)
-        if len(nodes) == 1:
-            return (nodes[0].host, nodes[0].port)
-        return None
-
-    def get_engine_by_ref_id(
-        self, namespace: str, engine_ref_id: str
-    ) -> tuple[str, int] | None:
-        for n in self.get_service_nodes_info(namespace):
-            if n.engine_ref_id == engine_ref_id:
-                return (n.host, n.port)
-        return None
 
     # --- atomic counter (getAndIncrement) ---
 

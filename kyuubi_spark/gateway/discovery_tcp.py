@@ -1,0 +1,378 @@
+"""TCP discovery service — ZooKeeper-grade ephemeral semantics for
+multi-node deployments.
+
+The sqlite registry (discovery.py) implements the reference's
+DiscoveryClient semantics on one shared FILE, which bounds it to one
+host and approximates two ZooKeeper properties:
+
+- EPHEMERAL liveness: a SIGKILLed engine cannot delete its sqlite rows,
+  so the sqlite backend relies on endpoint probing at resolve time;
+- lock liveness: a crashed lock holder leaves a row that is only
+  reclaimed by a TTL steal (discovery.py LOCK_TTL_S).
+
+This module provides both properties for real, the way ZooKeeper does
+(kyuubi-ha/.../client/ZookeeperDiscoveryClient.scala: ephemerals and
+curator leases die with the client SESSION):
+
+- ``DiscoveryServer``: a tiny in-memory znode tree served over TCP.
+  Every client connection IS a session; EPHEMERAL* nodes and held locks
+  are owned by the session and are deleted the moment the connection
+  drops — process crash, SIGKILL, or clean close all look the same
+  (the OS closes the socket), so a dead engine's registration vanishes
+  without anyone probing its endpoint.
+- ``TcpDiscoveryClient``: same duck-typed API as SqliteDiscoveryClient
+  (create/get_data/set_data/get_children/engine_spaces/path_exists/
+  delete/try_with_lock/get_and_increment + the DiscoveryClientOps
+  service-registry derivations), over a length-prefixed JSON protocol.
+  Its ``_path`` is ``tcp://host:port``, so the launched-engine plumbing
+  (EngineProcessManager forwards ``discovery._path`` to children;
+  engine_main connects via discovery.connect_discovery) carries engines
+  onto the same server with zero changes.
+
+Wire format: 4-byte big-endian length + UTF-8 JSON, request
+``{"op": ..., ...}`` → response ``{"ok": true, "value": ...}`` or
+``{"ok": false, "error": ...}``; binary node data travels base64.
+Locks are granted first-come (non-blocking try per request); clients
+poll inside try_with_lock exactly like the sqlite backend, but a grant
+dies with its session instead of waiting out a TTL.
+"""
+
+from __future__ import annotations
+
+import base64
+import contextlib
+import json
+import socket
+import struct
+import threading
+import time
+import uuid
+
+from kyuubi_spark.gateway.discovery import (
+    DiscoveryClientOps,
+    DiscoveryStoreError,
+)
+
+
+def _send_frame(sock: socket.socket, obj: dict) -> None:
+    payload = json.dumps(obj, separators=(",", ":")).encode("utf-8")
+    sock.sendall(struct.pack(">I", len(payload)) + payload)
+
+
+def _recv_frame(sock: socket.socket) -> dict | None:
+    head = b""
+    while len(head) < 4:
+        chunk = sock.recv(4 - len(head))
+        if not chunk:
+            return None
+        head += chunk
+    (n,) = struct.unpack(">I", head)
+    if n > 16 * 1024 * 1024:
+        raise DiscoveryStoreError(f"oversized discovery frame: {n} bytes")
+    body = b""
+    while len(body) < n:
+        chunk = sock.recv(n - len(body))
+        if not chunk:
+            return None
+        body += chunk
+    return json.loads(body.decode("utf-8"))
+
+
+class DiscoveryServer:
+    """In-memory znode tree with session-scoped ephemerals and locks."""
+
+    def __init__(self, host: str = "127.0.0.1", port: int = 0):
+        self._srv = socket.create_server((host, port))
+        self.host, self.port = self._srv.getsockname()[:2]
+        self._lock = threading.RLock()
+        self._znodes: dict[str, dict] = {}  # path -> {data, mode, owner}
+        self._seqs: dict[str, int] = {}
+        self._counters: dict[str, int] = {}
+        self._locks: dict[str, str] = {}  # lock path -> session id
+        self._stop = threading.Event()
+        self._threads: list[threading.Thread] = []
+
+    @property
+    def address(self) -> str:
+        return f"tcp://{self.host}:{self.port}"
+
+    def start(self) -> "DiscoveryServer":
+        t = threading.Thread(target=self._accept_loop, daemon=True)
+        t.start()
+        self._threads.append(t)
+        return self
+
+    def stop(self) -> None:
+        self._stop.set()
+        try:
+            self._srv.close()
+        except OSError:
+            pass
+
+    def _accept_loop(self) -> None:
+        while not self._stop.is_set():
+            try:
+                conn, _ = self._srv.accept()
+            except OSError:
+                return
+            t = threading.Thread(
+                target=self._serve_session, args=(conn,), daemon=True
+            )
+            t.start()
+            self._threads.append(t)
+
+    # -- session ---------------------------------------------------------
+
+    def _serve_session(self, conn: socket.socket) -> None:
+        session = uuid.uuid4().hex
+        try:
+            while True:
+                req = _recv_frame(conn)
+                if req is None:
+                    break  # EOF/reset: the session is DEAD
+                try:
+                    value = self._dispatch(session, req)
+                    _send_frame(conn, {"ok": True, "value": value})
+                except KeyError as e:
+                    _send_frame(
+                        conn, {"ok": False, "error": f"no node at {e}"}
+                    )
+                except Exception as e:  # protocol-visible failure
+                    _send_frame(conn, {"ok": False, "error": str(e)})
+        except OSError:
+            pass
+        finally:
+            self._expire_session(session)
+            try:
+                conn.close()
+            except OSError:
+                pass
+
+    def _expire_session(self, session: str) -> None:
+        """ZK session expiry: the session's ephemerals and lock grants
+        vanish atomically when its connection dies."""
+        with self._lock:
+            for path in [
+                p
+                for p, z in self._znodes.items()
+                if z["owner"] == session
+                and z["mode"].startswith("EPHEMERAL")
+            ]:
+                del self._znodes[path]
+            for lp in [p for p, o in self._locks.items() if o == session]:
+                del self._locks[lp]
+
+    # -- ops ---------------------------------------------------------------
+
+    def _dispatch(self, session: str, req: dict):
+        op = req.get("op")
+        with self._lock:
+            if op == "ping":
+                return "pong"
+            if op == "create":
+                return self._create(
+                    session,
+                    req["path"],
+                    req.get("mode", "PERSISTENT"),
+                    base64.b64decode(req.get("data", "")),
+                    req.get("create_parent", True),
+                )
+            if op == "get_data":
+                z = self._znodes.get(req["path"])
+                if z is None:
+                    raise KeyError(req["path"])
+                return base64.b64encode(z["data"]).decode("ascii")
+            if op == "set_data":
+                z = self._znodes.get(req["path"])
+                if z is None:
+                    return False
+                z["data"] = base64.b64decode(req.get("data", ""))
+                return True
+            if op == "get_children":
+                prefix = req["path"].rstrip("/") + "/"
+                out = []
+                for p in self._znodes:
+                    rest = p[len(prefix):] if p.startswith(prefix) else ""
+                    if rest and "/" not in rest:
+                        out.append(rest)
+                return sorted(out)
+            if op == "engine_spaces":
+                prefix = req.get("root", "/kyuubi").rstrip("/") + "/"
+                spaces = {
+                    p.rsplit("/", 1)[0]
+                    for p in self._znodes
+                    if p.startswith(prefix)
+                    and p.rsplit("/", 1)[-1].startswith("serverUri=")
+                }
+                return sorted(spaces)
+            if op == "path_exists":
+                return req["path"] in self._znodes
+            if op == "path_non_exists":
+                if req.get("is_prefix"):
+                    pre = req["path"]
+                    return not any(p.startswith(pre) for p in self._znodes)
+                return req["path"] not in self._znodes
+            if op == "delete":
+                self._znodes.pop(req["path"], None)
+                if req.get("delete_children"):
+                    pre = req["path"].rstrip("/") + "/"
+                    for p in [p for p in self._znodes if p.startswith(pre)]:
+                        del self._znodes[p]
+                return True
+            if op == "lock_acquire":
+                holder = self._locks.get(req["path"])
+                if holder is None or holder == session:
+                    self._locks[req["path"]] = session
+                    return True
+                return False
+            if op == "lock_release":
+                if self._locks.get(req["path"]) == session:
+                    del self._locks[req["path"]]
+                return True
+            if op == "get_and_increment":
+                prev = self._counters.get(req["path"], 0)
+                self._counters[req["path"]] = prev + req.get("delta", 1)
+                return prev
+            raise ValueError(f"unknown discovery op {op!r}")
+
+    def _create(
+        self, session: str, path: str, mode: str, data: bytes,
+        create_parent: bool,
+    ) -> str:
+        mode = mode.upper()
+        if create_parent:
+            parts = [p for p in path.split("/") if p]
+            for i in range(1, len(parts)):
+                parent = "/" + "/".join(parts[:i])
+                self._znodes.setdefault(
+                    parent,
+                    {"data": b"", "mode": "PERSISTENT", "owner": session},
+                )
+        actual = path
+        if mode.endswith("_SEQUENTIAL"):
+            n = self._seqs.get(path, -1) + 1
+            self._seqs[path] = n
+            actual = f"{path}{n:010d}"
+        self._znodes[actual] = {"data": data, "mode": mode, "owner": session}
+        return actual
+
+
+class TcpDiscoveryClient(DiscoveryClientOps):
+    """DiscoveryClient over one TCP session to a DiscoveryServer.
+
+    The connection IS the liveness signal: everything EPHEMERAL this
+    client creates (service nodes, lock grants) is deleted server-side
+    the instant the socket dies — which is exactly when the owning
+    process dies, however it dies.
+    """
+
+    def __init__(self, address: str):
+        if not address.startswith("tcp://"):
+            raise ValueError(f"not a tcp discovery address: {address}")
+        self._path = address  # forwarded to launched engines verbatim
+        host, port = address[len("tcp://"):].rsplit(":", 1)
+        self._addr = (host, int(port))
+        self._sock: socket.socket | None = None
+        self._lock = threading.RLock()
+
+    # --- lifecycle ---
+
+    def create_client(self) -> None:
+        with self._lock:
+            if self._sock is not None:
+                return
+            self._sock = socket.create_connection(self._addr, timeout=30)
+
+    def close_client(self) -> None:
+        with self._lock:
+            if self._sock is None:
+                return
+            try:
+                self._sock.close()  # server expires the session on EOF
+            except OSError:
+                pass
+            self._sock = None
+
+    def _call(self, op: str, **kwargs):
+        with self._lock:
+            if self._sock is None:
+                raise DiscoveryStoreError(
+                    "client not created (create_client())"
+                )
+            _send_frame(self._sock, {"op": op, **kwargs})
+            resp = _recv_frame(self._sock)
+        if resp is None:
+            raise DiscoveryStoreError("discovery server connection lost")
+        if not resp.get("ok"):
+            raise DiscoveryStoreError(resp.get("error", "discovery error"))
+        return resp.get("value")
+
+    # --- znode primitives (same signatures as SqliteDiscoveryClient) ---
+
+    def create(
+        self,
+        path: str,
+        mode: str = "PERSISTENT",
+        data: bytes = b"",
+        create_parent: bool = True,
+    ) -> str:
+        return self._call(
+            "create",
+            path=path,
+            mode=mode,
+            data=base64.b64encode(data).decode("ascii"),
+            create_parent=create_parent,
+        )
+
+    def get_data(self, path: str) -> bytes:
+        return base64.b64decode(self._call("get_data", path=path))
+
+    def set_data(self, path: str, data: bytes) -> bool:
+        return self._call(
+            "set_data",
+            path=path,
+            data=base64.b64encode(data).decode("ascii"),
+        )
+
+    def get_children(self, path: str) -> list[str]:
+        return self._call("get_children", path=path)
+
+    def engine_spaces(self, root: str = "/kyuubi") -> list[str]:
+        return self._call("engine_spaces", root=root)
+
+    def path_exists(self, path: str) -> bool:
+        return self._call("path_exists", path=path)
+
+    def path_non_exists(self, path: str, is_prefix: bool = False) -> bool:
+        return self._call("path_non_exists", path=path, is_prefix=is_prefix)
+
+    def delete(self, path: str, delete_children: bool = False) -> None:
+        self._call("delete", path=path, delete_children=delete_children)
+
+    # --- locking: a grant dies with this session, no TTL steal needed ---
+
+    @contextlib.contextmanager
+    def try_with_lock(self, lock_path: str, timeout_ms: int = 10_000):
+        deadline = time.time() + timeout_ms / 1000.0
+        acquired = False
+        while time.time() < deadline:
+            if self._call("lock_acquire", path=lock_path):
+                acquired = True
+                break
+            time.sleep(0.01)
+        if not acquired:
+            raise TimeoutError(
+                f"Timeout acquiring lock {lock_path} after {timeout_ms}ms"
+            )
+        try:
+            yield
+        finally:
+            try:
+                self._call("lock_release", path=lock_path)
+            except DiscoveryStoreError:
+                pass  # connection died: the server already released it
+
+    # --- atomic counter ---
+
+    def get_and_increment(self, path: str, delta: int = 1) -> int:
+        return self._call("get_and_increment", path=path, delta=delta)

@@ -85,7 +85,7 @@ def main(argv=None) -> int:
         k, _, v = kv.partition("=")
         conf[k] = v
 
-    from kyuubi_spark.gateway.discovery import SqliteDiscoveryClient
+    from kyuubi_spark.gateway.discovery import connect_discovery
     from kyuubi_spark.gateway.engine import Engine
     from kyuubi_spark.gateway.internal_auth import (
         EngineSecureAuthenticationProvider,
@@ -94,7 +94,9 @@ def main(argv=None) -> int:
     from kyuubi_spark.gateway.thrift import ThriftFrontendService
     from kyuubi_spark.gateway.tls import server_ssl_context
 
-    discovery = SqliteDiscoveryClient(args.discovery)
+    # sqlite file path OR tcp://host:port (the gateway's DiscoveryServer,
+    # whose ephemerals die with this process's connection)
+    discovery = connect_discovery(args.discovery)
     discovery.create_client()
 
     spark = _build_spark(conf)

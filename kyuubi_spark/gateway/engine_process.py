@@ -250,15 +250,17 @@ class ManagedEngine:
 
 class EngineProcessManager:
     """EngineRef.getOrCreate + KyuubiApplicationManager teardown over OS
-    processes.  ``discovery`` must be a FILE-backed SqliteDiscoveryClient
-    — the child process opens the same path."""
+    processes.  ``discovery`` must be shareable across processes — a
+    FILE-backed SqliteDiscoveryClient or a TcpDiscoveryClient — because
+    the child connects to the same ``_path``."""
 
     def __init__(self, discovery, conf: dict | None = None,
                  work_dir: str | None = None):
         if getattr(discovery, "_path", ":memory:") == ":memory:":
             raise ValueError(
-                "engine processes need a file-backed discovery store "
-                "(in-memory registries are invisible across processes)"
+                "engine processes need a file-backed or tcp:// discovery "
+                "store (in-memory registries are invisible across "
+                "processes)"
             )
         discovery.create_client()
         self.discovery = discovery

@@ -1,0 +1,216 @@
+"""TCP discovery service (discovery_tcp.py): ZooKeeper-grade ephemeral
+semantics over a real network boundary.
+
+What the sqlite backend approximates, this proves for real: EPHEMERAL
+nodes and lock grants are owned by a client SESSION (one TCP
+connection) and vanish the moment the session dies — clean close,
+crash, or SIGKILL — with no endpoint probing and no lock-TTL steal
+(ZookeeperDiscoveryClient.scala ephemerals / curator leases)."""
+
+from __future__ import annotations
+
+import os
+import signal
+import time
+
+import pytest
+
+from kyuubi_spark.gateway.discovery import (
+    DiscoveryStoreError,
+    connect_discovery,
+)
+from kyuubi_spark.gateway.discovery_tcp import (
+    DiscoveryServer,
+    TcpDiscoveryClient,
+)
+from kyuubi_spark.gateway.state import FetchOrientation
+
+
+@pytest.fixture()
+def server():
+    srv = DiscoveryServer().start()
+    yield srv
+    srv.stop()
+
+
+def _client(srv) -> TcpDiscoveryClient:
+    c = TcpDiscoveryClient(srv.address)
+    c.create_client()
+    return c
+
+
+def test_znode_semantics_parity(server):
+    """The TCP backend honors the same DiscoveryClient contract the
+    sqlite store implements (and the reference's ZK client defines)."""
+    c = _client(server)
+    try:
+        assert connect_discovery(server.address)._path == server.address
+
+        # persistent + parents
+        c.create("/kyuubi/a/b", "PERSISTENT", data=b"v1")
+        assert c.path_exists("/kyuubi/a/b")
+        assert c.get_data("/kyuubi/a/b") == b"v1"
+        assert c.set_data("/kyuubi/a/b", b"v2")
+        assert c.get_data("/kyuubi/a/b") == b"v2"
+        assert c.get_children("/kyuubi/a") == ["b"]
+        with pytest.raises(DiscoveryStoreError):
+            c.get_data("/kyuubi/missing")
+
+        # sequential suffixes are dense and zero-padded
+        n0 = c.create("/kyuubi/seq/node-", "PERSISTENT_SEQUENTIAL")
+        n1 = c.create("/kyuubi/seq/node-", "PERSISTENT_SEQUENTIAL")
+        assert n0.endswith("0000000000") and n1.endswith("0000000001")
+
+        # service registry derivations (shared DiscoveryClientOps)
+        node = c.create_and_get_service_node(
+            "/kyuubi/user/alice", "127.0.0.1:1234",
+            engine_ref_id="r1", attributes={"pid": "42"},
+        )
+        assert node.startswith("/kyuubi/user/alice/serverUri=")
+        assert c.get_server_host("/kyuubi/user/alice") == ("127.0.0.1", 1234)
+        assert c.get_engine_by_ref_id("/kyuubi/user/alice", "r1") == (
+            "127.0.0.1", 1234,
+        )
+        infos = c.get_service_nodes_info("/kyuubi/user/alice")
+        assert infos[0].attributes["pid"] == "42"
+        assert c.engine_spaces("/kyuubi") == ["/kyuubi/user/alice"]
+
+        # counter: returns PREVIOUS value
+        assert c.get_and_increment("/kyuubi/pool-seq") == 0
+        assert c.get_and_increment("/kyuubi/pool-seq") == 1
+
+        c.delete("/kyuubi/a", delete_children=True)
+        assert not c.path_exists("/kyuubi/a/b")
+    finally:
+        c.close_client()
+
+
+def test_ephemerals_die_with_session(server):
+    """Clean close AND abrupt socket death both expire the session's
+    ephemerals; persistent nodes survive."""
+    c1 = _client(server)
+    c2 = _client(server)
+    try:
+        c1.create("/kyuubi/perm", "PERSISTENT", data=b"stay")
+        c1.create_and_get_service_node("/kyuubi/user/u1", "h1:1111")
+        c2.create_and_get_service_node("/kyuubi/user/u1", "h2:2222")
+        assert len(c2.get_service_nodes_info("/kyuubi/user/u1")) == 2
+
+        c1.close_client()  # clean close
+        deadline = time.time() + 5
+        while time.time() < deadline:
+            nodes = c2.get_service_nodes_info("/kyuubi/user/u1")
+            if len(nodes) == 1:
+                break
+            time.sleep(0.02)
+        assert [n.instance for n in nodes] == ["h2:2222"]
+        assert c2.get_data("/kyuubi/perm") == b"stay"
+
+        # abrupt death: kill the raw socket without any protocol goodbye
+        c3 = _client(server)
+        c3.create_and_get_service_node("/kyuubi/user/u1", "h3:3333")
+        c3._sock.close()  # simulated crash (no deregistration)
+        deadline = time.time() + 5
+        while time.time() < deadline:
+            nodes = c2.get_service_nodes_info("/kyuubi/user/u1")
+            if len(nodes) == 1:
+                break
+            time.sleep(0.02)
+        assert [n.instance for n in nodes] == ["h2:2222"]
+    finally:
+        c2.close_client()
+
+
+def test_lock_mutual_exclusion_and_holder_death(server):
+    """Locks exclude concurrent holders and — unlike the sqlite TTL
+    steal — are released the instant the holding session dies."""
+    c1 = _client(server)
+    c2 = _client(server)
+    try:
+        with c1.try_with_lock("/kyuubi/ns.launch-lock", timeout_ms=2000):
+            with pytest.raises(TimeoutError):
+                with c2.try_with_lock(
+                    "/kyuubi/ns.launch-lock", timeout_ms=300
+                ):
+                    pass
+        # released on exit: c2 gets it immediately
+        with c2.try_with_lock("/kyuubi/ns.launch-lock", timeout_ms=500):
+            pass
+
+        # holder dies while holding: grant evaporates with the session
+        c3 = _client(server)
+        c3._call("lock_acquire", path="/kyuubi/ns.launch-lock")
+        with pytest.raises(TimeoutError):
+            with c2.try_with_lock("/kyuubi/ns.launch-lock", timeout_ms=300):
+                pass
+        c3._sock.close()  # crash, lock never released by the holder
+        t0 = time.time()
+        with c2.try_with_lock("/kyuubi/ns.launch-lock", timeout_ms=5000):
+            pass
+        assert time.time() - t0 < 5  # no 600s TTL wait
+    finally:
+        c1.close_client()
+        c2.close_client()
+
+
+def test_engine_process_lifecycle_over_tcp_discovery(spark, server):
+    """The full launched-engine lifecycle rides the TCP backend: the
+    child process CONNECTS to the gateway's DiscoveryServer (its _path
+    travels through the spawn plumbing), registers an ephemeral, serves
+    a forwarded query — and after SIGKILL its registration vanishes via
+    session expiry, NOT endpoint probing, so the next open relaunches
+    cleanly."""
+    from kyuubi_spark.gateway.engine import Engine
+    from kyuubi_spark.gateway.engine_process import EngineProcessManager
+
+    disco = _client(server)
+    gw = Engine(spark)
+    gw.discovery = disco
+    gw.process_manager = EngineProcessManager(
+        disco,
+        {
+            "kyuubi.session.engine.initialize.timeout": "90",
+            "kyuubi.session.engine.idle.timeout": "600",
+        },
+    )
+    try:
+        s = gw.open_session(
+            user="tcp_user", conf={"kyuubi.engine.launch.enabled": "true"}
+        )
+        ns = s.namespace
+        nodes = disco.get_service_nodes_info(ns)
+        assert len(nodes) == 1
+        engine_pid = int(nodes[0].attributes["pid"])
+        assert engine_pid != os.getpid()
+
+        op = s.execute_statement("SELECT 'over tcp discovery' AS s")
+        assert [
+            r[0] for r in op.get_next_row_set(FetchOrientation.FETCH_NEXT, 5)
+        ] == ["over tcp discovery"]
+        gw.close_session(s.handle)
+
+        # SIGKILL: no deregistration runs in the engine — the TCP session
+        # expiry removes the node by itself
+        os.kill(engine_pid, signal.SIGKILL)
+        deadline = time.time() + 10
+        while time.time() < deadline:
+            if not disco.get_service_nodes_info(ns):
+                break
+            time.sleep(0.05)
+        assert disco.get_service_nodes_info(ns) == []
+
+        # relaunch works against the same namespace
+        s2 = gw.open_session(
+            user="tcp_user", conf={"kyuubi.engine.launch.enabled": "true"}
+        )
+        nodes = disco.get_service_nodes_info(ns)
+        assert len(nodes) == 1
+        assert int(nodes[0].attributes["pid"]) != engine_pid
+        op = s2.execute_statement("SELECT 1 + 1 AS two")
+        assert [
+            r[0] for r in op.get_next_row_set(FetchOrientation.FETCH_NEXT, 5)
+        ] == [2]
+        gw.close_session(s2.handle)
+    finally:
+        gw.process_manager.stop_all()
+        disco.close_client()

@@ -30,9 +30,10 @@ def discover_servers(
     are dropped (a crashed server's ephemeral node may outlive it until
     the registry sweeps — the reference's driver hits the same window
     and handles it by trying the next candidate)."""
-    from kyuubi_spark.gateway.discovery import SqliteDiscoveryClient
+    from kyuubi_spark.gateway.discovery import connect_discovery
 
-    disco = SqliteDiscoveryClient(discovery_path)
+    # sqlite registry file OR tcp://host:port (gateway DiscoveryServer)
+    disco = connect_discovery(discovery_path)
     disco.create_client()
     try:
         nodes = disco.get_service_nodes_info(namespace)

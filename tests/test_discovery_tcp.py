@@ -214,3 +214,60 @@ def test_engine_process_lifecycle_over_tcp_discovery(spark, server):
     finally:
         gw.process_manager.stop_all()
         disco.close_client()
+
+
+def test_ha_failover_over_tcp_discovery(spark):
+    """The full HA story on the TCP backend: two gateways register on
+    one DiscoveryServer, clients resolve and connect via tcp://
+    discovery, and when a server dies its registration expires with its
+    SESSION — the client needs no liveness probe to skip it."""
+    from kyuubi_spark.client import dbapi, ha
+    from kyuubi_spark.gateway.server_main import KyuubiServer
+
+    srv = DiscoveryServer().start()
+    d1 = _client(srv)
+    d2 = _client(srv)
+    s1 = KyuubiServer(spark, discovery=d1).start()
+    s2 = KyuubiServer(spark, discovery=d2).start()
+    try:
+        addr = srv.address
+        got = set(ha.discover_servers(addr))
+        assert got == {
+            s1.endpoints()["thrift_binary"],
+            s2.endpoints()["thrift_binary"],
+        }
+
+        conn = dbapi.connect(discovery=addr, user="tcp_ha")
+        cur = conn.cursor()
+        cur.execute("SELECT 6 * 7 AS answer")
+        assert cur.fetchall() == [(42,)]
+        conn.close()
+
+        # crash s1's discovery SESSION without any deregistration: its
+        # node vanishes server-side (no probing needed, probe=False)
+        d1._sock.close()
+        deadline = time.time() + 5
+        while time.time() < deadline:
+            live = ha.discover_servers(addr, probe=False)
+            if live == [s2.endpoints()["thrift_binary"]]:
+                break
+            time.sleep(0.05)
+        assert live == [s2.endpoints()["thrift_binary"]]
+
+        conn = dbapi.connect(discovery=addr, user="tcp_ha")
+        cur = conn.cursor()
+        cur.execute("SELECT 'survivor' AS s")
+        assert cur.fetchall() == [("survivor",)]
+        conn.close()
+    finally:
+        for s in (s2, s1):
+            try:
+                s.stop()
+            except Exception:
+                pass
+        for d in (d1, d2):
+            try:
+                d.close_client()
+            except Exception:
+                pass
+        srv.stop()

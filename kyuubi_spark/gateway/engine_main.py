@@ -43,6 +43,7 @@ import threading
 import time
 
 IDLE_TIMEOUT_KEY = "kyuubi.session.engine.idle.timeout"
+MAX_LIFETIME_KEY = "kyuubi.session.engine.spark.max.lifetime"
 SHARE_LEVEL_KEY = "kyuubi.engine.share.level"
 SPARK_MASTER_KEY = "kyuubi.engine.spark.master"
 
@@ -157,6 +158,13 @@ def main(argv=None) -> int:
 
     share_level = conf.get(SHARE_LEVEL_KEY, "USER").upper()
     idle_timeout = float(conf.get(IDLE_TIMEOUT_KEY, 1800.0))
+    # max lifetime (KyuubiConf ENGINE_SPARK_MAX_LIFETIME): after this
+    # many seconds the engine RETIRES — it stops as soon as it has no
+    # active sessions, even if the idle TTL hasn't elapsed, so
+    # long-lived shared engines rotate (credential/memory hygiene).
+    # 0 = unlimited, like the reference default.
+    max_lifetime = float(conf.get(MAX_LIFETIME_KEY, 0.0))
+    start_time = time.time()
     seen_session = False
     idle_since = time.time()
     last_n: int | None = None
@@ -170,6 +178,13 @@ def main(argv=None) -> int:
             seen_session = True
             idle_since = None
             continue
+        if (
+            max_lifetime > 0
+            and time.time() - start_time > max_lifetime
+        ):
+            print("engine stopping: max lifetime reached",
+                  file=sys.stderr, flush=True)
+            break
         if idle_since is None:
             idle_since = time.time()
         # CONNECTION level: one session, die with it (SparkSQLEngine

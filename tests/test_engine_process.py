@@ -687,3 +687,36 @@ def test_server_assembly_spark_submit_engine(spark, tmp_path):
     finally:
         server.stop()
         disco.close_client()
+
+
+def test_engine_max_lifetime_retires_engine(launching_gateway):
+    """kyuubi.session.engine.spark.max.lifetime (ENGINE_SPARK_MAX_
+    LIFETIME): past its lifetime an engine RETIRES — it exits as soon
+    as it has no active sessions, even though the idle TTL (600s here)
+    has not elapsed; long-lived shared engines rotate instead of
+    living forever."""
+    gw, disco, cert = launching_gateway
+    s = _open(
+        gw, "maxlife_user", cert,
+        extra={"kyuubi.session.engine.spark.max.lifetime": "2"},
+    )
+    ns = s.namespace
+    child = gw.process_manager._engines.get(ns)
+    assert child is not None
+    op = s.execute_statement("SELECT 'short life' AS s")
+    assert [
+        r[0] for r in op.get_next_row_set(FetchOrientation.FETCH_NEXT, 5)
+    ] == ["short life"]
+    gw.close_session(s.handle)
+    deadline = time.time() + 30
+    while time.time() < deadline:
+        if child.proc.poll() is not None:
+            break
+        time.sleep(0.3)
+    else:
+        raise AssertionError(
+            "engine outlived max lifetime; log:\n" + child.stderr_tail(40)
+        )
+    assert child.proc.returncode == 0
+    assert "max lifetime reached" in child.stderr_tail(40)
+    assert disco.get_server_host(ns) is None

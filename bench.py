@@ -219,6 +219,11 @@ HEADLINE = [
     "ivf_nprobe_sweep",
     "dedup_token_savings",
     "curriculum_rarity_buckets",
+    # r10: multimodal near-dup + lakehouse/export ops
+    "image_phash_near_dup",
+    "video_frame_near_dup",
+    "scd2_dimension_build",
+    "export_manifest_integrity",
 ]
 
 

@@ -196,7 +196,7 @@ class BatchJob:
             self._record(ended=True)
 
     def info(self) -> dict:
-        return {
+        out = {
             "id": self.id,
             "state": self.state,
             "pid": self.proc.pid,
@@ -206,6 +206,17 @@ class BatchJob:
             # finds/kills the submitted app (KYUUBI,<id> in spark.yarn.tags)
             "appTag": self.id if self.batch_type == "SPARK" else None,
         }
+        if self.batch_type == "SPARK":
+            from kyuubi_spark.gateway.applications import (
+                LocalApplicationOperation,
+            )
+
+            out["application"] = (
+                LocalApplicationOperation()
+                .get_application_info_by_tag(self.id)
+                .to_dict()
+            )
+        return out
 
 
 class RestGateway:
@@ -465,10 +476,36 @@ class RestGateway:
                 store = self.engine.metadata_store
                 rec = store.get(parts[1]) if store is not None else None
                 if rec is not None and rec.get("session_type") == "BATCH":
-                    if len(parts) == 3 or method == "DELETE":
+                    if method == "DELETE":
+                        # not our subprocess — kill by APPLICATION TAG,
+                        # the reference's closeBatchSession →
+                        # killApplicationByTag path (works after a
+                        # gateway restart loses its process handles;
+                        # spark-submit batches carry KYUUBI,<id> in
+                        # their cmdline via spark.yarn.tags)
+                        from kyuubi_spark.gateway.applications import (
+                            LocalApplicationOperation,
+                        )
+
+                        killed, msg = (
+                            LocalApplicationOperation()
+                            .kill_application_by_tag(rec["identifier"])
+                        )
+                        if killed:
+                            store.update_state(
+                                rec["identifier"], "CANCELED", ended=True
+                            )
+                        h._reply(200, {
+                            "id": rec["identifier"],
+                            "killed": killed,
+                            "message": msg,
+                            "state": "CANCELED" if killed
+                            else rec.get("state"),
+                        })
+                    elif len(parts) == 3:
                         h._reply(409, {
                             "error": "batch is owned by another server; "
-                            "log/cancel must go to the submitting gateway",
+                            "logs must go to the submitting gateway",
                             "id": rec["identifier"],
                             "state": rec.get("state"),
                         })

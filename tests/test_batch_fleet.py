@@ -75,3 +75,56 @@ def test_batch_visible_fleet_wide(fleet):
     except urllib.error.HTTPError as e:
         assert e.code == 409
         assert "owned by another server" in json.loads(e.read())["error"]
+
+
+def test_spark_batch_killed_by_tag_from_nonowner(fleet):
+    """ApplicationOperation parity (JpsApplicationOperation /
+    KyuubiApplicationManager): a SPARK batch's submit command carries
+    KYUUBI,<id> in spark.yarn.tags, so a server that does NOT own the
+    subprocess (fleet peer, or a restarted gateway with no process
+    handle) can still kill it by scanning for the tag — the reference's
+    closeBatchSession -> killApplicationByTag path."""
+    import os
+
+    if not os.path.exists("/opt/spark/bin/spark-submit"):
+        pytest.skip("no spark-submit binary in this environment")
+    ga, gb = fleet
+    job = _call(ga, "POST", "/api/v1/batches", {
+        "batchType": "SPARK",
+        "name": "long-runner",
+        "script": "import time\ntime.sleep(300)\n",
+        "conf": {
+            "kyuubi.engine.spark.submit.path": "/opt/spark/bin/spark-submit",
+            "spark.master": "local[1]",
+        },
+        "user": "erin",
+    })
+    bid = job["id"]
+    assert job["appTag"] == bid
+
+    # the tag is discoverable fleet-wide while the app runs
+    from kyuubi_spark.gateway.applications import LocalApplicationOperation
+
+    op = LocalApplicationOperation()
+    deadline = time.time() + 30
+    while time.time() < deadline:
+        if op.get_application_info_by_tag(bid).state == "RUNNING":
+            break
+        time.sleep(0.2)
+    assert op.get_application_info_by_tag(bid).state == "RUNNING"
+
+    # server B owns no process handle for this batch — DELETE kills by tag
+    out = _call(gb, "DELETE", f"/api/v1/batches/{bid}")
+    assert out["killed"] is True
+    assert out["state"] == "CANCELED"
+
+    deadline = time.time() + 15
+    while time.time() < deadline:
+        if op.get_application_info_by_tag(bid).state == "NOT_FOUND":
+            break
+        time.sleep(0.2)
+    assert op.get_application_info_by_tag(bid).state == "NOT_FOUND"
+
+    # a second kill attempt finds nothing (idempotent-ish contract)
+    out = _call(gb, "DELETE", f"/api/v1/batches/{bid}")
+    assert out["killed"] is False

@@ -271,3 +271,57 @@ def test_ha_failover_over_tcp_discovery(spark):
             except Exception:
                 pass
         srv.stop()
+
+
+def test_spark_submit_engine_over_tcp_discovery(spark, server):
+    """Composability: the two r10 launch-path features stack — a
+    spark-submit-launched engine (PythonRunner child) joins the TCP
+    DiscoveryServer, serves a session, and its registration still dies
+    with its discovery session."""
+    if not os.path.exists("/opt/spark/bin/spark-submit"):
+        pytest.skip("no spark-submit binary in this environment")
+
+    from kyuubi_spark.gateway.engine import Engine
+    from kyuubi_spark.gateway.engine_process import EngineProcessManager
+
+    disco = _client(server)
+    gw = Engine(spark)
+    gw.discovery = disco
+    gw.process_manager = EngineProcessManager(
+        disco,
+        {
+            "kyuubi.engine.spark.submit.enabled": "true",
+            "kyuubi.engine.spark.submit.path": "/opt/spark/bin/spark-submit",
+            "kyuubi.session.engine.initialize.timeout": "240",
+            "kyuubi.session.engine.idle.timeout": "600",
+        },
+    )
+    try:
+        s = gw.open_session(
+            user="stacked", conf={"kyuubi.engine.launch.enabled": "true"}
+        )
+        ns = s.namespace
+        child = gw.process_manager._engines[ns]
+        assert child.launch_kind == "spark-submit"
+        nodes = disco.get_service_nodes_info(ns)
+        assert len(nodes) == 1
+        assert nodes[0].attributes["appId"].startswith("local-")
+
+        op = s.execute_statement("SELECT 'stacked launch paths' AS s")
+        assert [
+            r[0] for r in op.get_next_row_set(FetchOrientation.FETCH_NEXT, 5)
+        ] == ["stacked launch paths"]
+        gw.close_session(s.handle)
+
+        # kill the whole submit chain; the node expires with the engine's
+        # TCP session, no probing
+        child.terminate()
+        deadline = time.time() + 15
+        while time.time() < deadline:
+            if not disco.get_service_nodes_info(ns):
+                break
+            time.sleep(0.1)
+        assert disco.get_service_nodes_info(ns) == []
+    finally:
+        gw.process_manager.stop_all()
+        disco.close_client()

@@ -224,6 +224,7 @@ HEADLINE = [
     "video_frame_near_dup",
     "scd2_dimension_build",
     "export_manifest_integrity",
+    "entity_resolution_qgram",
 ]
 
 

@@ -225,6 +225,7 @@ HEADLINE = [
     "scd2_dimension_build",
     "export_manifest_integrity",
     "entity_resolution_qgram",
+    "k_anonymity_report",
 ]
 
 

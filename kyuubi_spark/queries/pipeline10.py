@@ -450,3 +450,78 @@ def entity_resolution_qgram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jacc") >= 0.5)
         .orderBy("entity_id", "record_id")
     )
+
+
+@query(
+    "k_anonymity_report",
+    oracle="""
+    WITH q AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+             COUNT(*) AS grp
+      FROM customer
+      GROUP BY 1, 2, 3),
+    banded AS (
+      SELECT CASE WHEN grp = 1 THEN '1'
+                  WHEN grp < 5 THEN '2-4'
+                  WHEN grp < 10 THEN '5-9'
+                  ELSE '10+' END AS k_band,
+             grp
+      FROM q)
+    SELECT k_band,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(grp) AS BIGINT) AS n_rows,
+           ROUND(100.0 * SUM(CASE WHEN grp < 5 THEN grp ELSE 0 END)
+                 / SUM(SUM(grp)) OVER (), 4) AS pct_rows_below_k5
+    FROM banded GROUP BY 1 ORDER BY k_band
+    """,
+    doc="k-anonymity audit over quasi-identifiers — the privacy "
+    "re-identification screen a training corpus with person-linked "
+    "records needs before release: group customers by the "
+    "(nation, market segment, account-balance band) quasi-identifier, "
+    "band the group sizes, and report each band's contribution to the "
+    "rows below k=5 (each such row is re-identifiable by the "
+    "combination). "
+    "Complements the regex-level pii_detect_redact with a "
+    "STRUCTURAL privacy measure. Plan: one keyed aggregate over the "
+    "quasi-identifier (partial map-side combine), a tiny second "
+    "rollup, and a single-row total broadcast back — no corpus-scaled "
+    "window (the OVER () runs on the <=4-row banded rollup).",
+)
+def k_anonymity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from kyuubi_spark.functions.compat import dround
+    from kyuubi_spark.session import load_table
+
+    cust = load_table(spark, sf_dir, "customer")
+    q = cust.groupBy(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000.0).cast("bigint").alias("bal_band"),
+    ).agg(F.count("*").alias("grp"))
+    banded = q.select(
+        F.when(F.col("grp") == 1, "1")
+        .when(F.col("grp") < 5, "2-4")
+        .when(F.col("grp") < 10, "5-9")
+        .otherwise("10+")
+        .alias("k_band"),
+        "grp",
+    )
+    rolled = banded.groupBy("k_band").agg(
+        F.count("*").alias("n_groups"),
+        F.sum("grp").alias("band_rows"),
+        F.sum(F.when(F.col("grp") < 5, F.col("grp")).otherwise(0)).alias(
+            "below_k"
+        ),
+    )
+    total = Window.partitionBy()  # <=4-row rollup: safe unpartitioned
+    return rolled.select(
+        "k_band",
+        F.col("n_groups").cast("bigint").alias("n_groups"),
+        F.col("band_rows").cast("bigint").alias("n_rows"),
+        dround(
+            100.0 * F.col("below_k") / F.sum("band_rows").over(total),
+            4,
+        ).alias("pct_rows_below_k5"),
+    ).orderBy("k_band")

@@ -31,6 +31,9 @@ ALLOWLIST = {
     "vocab_coverage_report": "cumulative over <= ~40 log2-rank bucket rows"
     " (bounded by log2 of vocab size; the vocab-scaled rank itself runs"
     " on the distributed ranker)",
+    "k_anonymity_report": "grand-total share over the <=4-row k-band"
+    " rollup (the corpus-scaled quasi-identifier aggregate is keyed and"
+    " map-side combined)",
 }
 
 

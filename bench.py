@@ -226,6 +226,7 @@ HEADLINE = [
     "export_manifest_integrity",
     "entity_resolution_qgram",
     "k_anonymity_report",
+    "triangle_count_oriented",
 ]
 
 

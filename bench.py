@@ -227,6 +227,7 @@ HEADLINE = [
     "entity_resolution_qgram",
     "k_anonymity_report",
     "triangle_count_oriented",
+    "label_noise_knn_report",
 ]
 
 

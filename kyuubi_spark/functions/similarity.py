@@ -703,3 +703,93 @@ def semantic_dedup_pairs(
         )
 
     return assigned.groupBy("cluster").applyInPandas(score_cluster, out_schema)
+
+
+def label_noise_knn(
+    embeddings: DataFrame,
+    k_clusters: int = 8,
+    k_neighbors: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Confident-learning-style label-noise screen: each point's label is
+    compared to the MAJORITY label of its k nearest neighbors (rounded
+    cosine), with neighbor search scoped to the point's nearest-centroid
+    cluster — the same O(n²/k) bound SemDeDup uses, so the audit scales
+    the same way the dedup pass does.
+
+    Returns (id, label, maj_label) per point.  Deterministic everywhere:
+    centroids are the first ``k_clusters`` vectors (ivf_assign
+    convention), scores round half-away at 6dp before ranking, neighbor
+    ties break on ascending id, majority ties on ascending label.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    cents = (
+        embeddings.filter(F.col(id_col) < k_clusters)
+        .orderBy(id_col)
+        .select(vec_col)
+        .collect()
+    )
+    cmat = np.array([list(r[0]) for r in cents], dtype="float64")
+    cnrm = np.sqrt(_seq_dot(cmat * cmat))
+    bc = embeddings.sparkSession.sparkContext.broadcast((cmat, cnrm))
+
+    @pandas_udf("int")
+    def nearest_centroid(vecs: pd.Series) -> pd.Series:
+        c, cn = bc.value
+        m = np.array(vecs.tolist(), dtype="float64")
+        nrm = np.sqrt(_seq_dot(m * m))
+        dots = (m[:, None, :] * c[None, :, :]).cumsum(axis=2)[:, :, -1]
+        scores = dots / (nrm[:, None] * cn[None, :])
+        scores = _round_half_away(scores * 1e6) / 1e6
+        return pd.Series(np.argmax(scores, axis=1).astype("int32"))
+
+    assigned = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.col(label_col).cast("int").alias("label"),
+        _as_double(F.col(vec_col)).alias("vec"),
+        nearest_centroid(F.col(vec_col)).alias("cluster"),
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("label", T.IntegerType()),
+            T.StructField("maj_label", T.IntegerType()),
+        ]
+    )
+
+    def vote_cluster(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("id").reset_index(drop=True)
+        ids = pdf["id"].to_numpy()
+        labels = pdf["label"].to_numpy()
+        m = np.array(pdf["vec"].tolist(), dtype="float64")
+        n = len(ids)
+        if n < 2:
+            return pd.DataFrame(
+                {"id": ids, "label": labels, "maj_label": labels}
+            )
+        nrm = np.sqrt(_seq_dot(m * m))
+        mask = ~np.eye(n, dtype=bool)
+        ai, bi = np.where(mask)
+        dots = _seq_dot(m[ai] * m[bi])
+        scores = _round_half_away(dots / (nrm[ai] * nrm[bi]) * 1e6) / 1e6
+        smat = np.zeros((n, n))
+        smat[ai, bi] = scores
+        maj = np.empty(n, dtype="int32")
+        k = min(k_neighbors, n - 1)
+        for i in range(n):
+            others = np.arange(n) != i
+            cand = np.arange(n)[others]
+            # (-score, id): highest score first, ascending id on ties
+            order = np.lexsort((ids[cand], -smat[i, cand]))
+            top = cand[order[:k]]
+            counts = np.bincount(labels[top])
+            maj[i] = int(np.argmax(counts))  # first max = smallest label
+        return pd.DataFrame({"id": ids, "label": labels, "maj_label": maj})
+
+    return assigned.groupBy("cluster").applyInPandas(
+        vote_cluster, schema=out_schema
+    )

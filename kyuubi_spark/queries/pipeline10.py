@@ -636,3 +636,98 @@ def triangle_count_oriented(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_edges").cast("bigint").alias("n_edges"),
         F.col("n_triangles").cast("bigint").alias("n_triangles"),
     )
+
+
+@query(
+    "label_noise_knn_report",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, label, embedding,
+             sqrt(list_sum(list_transform(embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      FROM embeddings),
+    c AS (SELECT vec_id AS c_id, embedding AS c_vec, nrm AS c_nrm
+          FROM e WHERE vec_id < 8),
+    sc AS (
+      SELECT e.vec_id, c.c_id,
+             ROUND(list_sum(list_transform(generate_series(1, len(e.embedding)),
+                     i -> CAST(e.embedding[i] AS DOUBLE)
+                          * CAST(c.c_vec[i] AS DOUBLE)))
+                   / (e.nrm * c.c_nrm), 6) AS s
+      FROM e, c),
+    asg AS (
+      SELECT vec_id, CAST(c_id AS INTEGER) AS cluster FROM (
+        SELECT vec_id, c_id,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY s DESC, c_id) AS r
+        FROM sc) t WHERE r = 1),
+    pairs AS (
+      SELECT a.vec_id AS p, b.vec_id AS q, b.label AS q_label,
+             ROUND(list_sum(list_transform(generate_series(1, len(a.embedding)),
+                     i -> CAST(a.embedding[i] AS DOUBLE)
+                          * CAST(b.embedding[i] AS DOUBLE)))
+                   / (a.nrm * b.nrm), 6) AS s
+      FROM e a
+      JOIN asg aa ON aa.vec_id = a.vec_id
+      JOIN asg ab ON ab.cluster = aa.cluster AND ab.vec_id <> a.vec_id
+      JOIN e b ON b.vec_id = ab.vec_id),
+    top5 AS (
+      SELECT p, q_label FROM (
+        SELECT p, q_label,
+               ROW_NUMBER() OVER (PARTITION BY p ORDER BY s DESC, q) AS r
+        FROM pairs) t WHERE r <= 5),
+    vote AS (
+      SELECT p, q_label, COUNT(*) AS cnt FROM top5 GROUP BY 1, 2),
+    maj AS (
+      SELECT p, q_label AS maj_label FROM (
+        SELECT p, q_label,
+               ROW_NUMBER() OVER (PARTITION BY p
+                                  ORDER BY cnt DESC, q_label) AS r
+        FROM vote) t WHERE r = 1)
+    SELECT CAST(e.label AS INTEGER) AS label,
+           CAST(COUNT(*) AS BIGINT) AS n_points,
+           CAST(SUM(CASE WHEN m.maj_label <> e.label THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_flagged,
+           ROUND(SUM(CASE WHEN m.maj_label <> e.label
+                          THEN 1.0 ELSE 0.0 END) / COUNT(*), 4)
+             AS flag_rate
+    FROM e JOIN maj m ON m.p = e.vec_id
+    GROUP BY 1 ORDER BY label
+    """,
+    doc="Label-noise audit (confident-learning style) over the labeled "
+    "embeddings: each point's label is compared to the MAJORITY label "
+    "of its 5 nearest in-cluster neighbors (rounded cosine, nearest-of-8 "
+    "deterministic centroids — the SemDeDup O(n^2/k) scoping), and the "
+    "report shows per-label flag rates — the screen that finds "
+    "mislabeled slices before they poison a classifier head or a "
+    "quality-filter fit. Ties are fully pinned (score ties by neighbor "
+    "id, vote ties by smallest label), so the Arrow-vectorized Spark "
+    "vote matches the SQL replay bit-for-bit. One broadcast (8 "
+    "centroids) + one shuffle (cluster id); per-cluster votes are a "
+    "vectorized pandas pass.",
+)
+def label_noise_knn_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kyuubi_spark.functions import similarity as S
+    from kyuubi_spark.functions.compat import dround
+    from kyuubi_spark.session import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    votes = S.label_noise_knn(emb, k_clusters=8, k_neighbors=5)
+    return (
+        votes.groupBy(F.col("label").cast("int").alias("label"))
+        .agg(
+            F.count("*").alias("n_points"),
+            F.sum(
+                F.when(F.col("maj_label") != F.col("label"), 1).otherwise(0)
+            ).alias("n_flagged"),
+        )
+        .select(
+            "label",
+            F.col("n_points").cast("bigint").alias("n_points"),
+            F.col("n_flagged").cast("bigint").alias("n_flagged"),
+            dround(F.col("n_flagged") / F.col("n_points"), 4).alias(
+                "flag_rate"
+            ),
+        )
+        .orderBy("label")
+    )

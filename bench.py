@@ -228,6 +228,7 @@ HEADLINE = [
     "k_anonymity_report",
     "triangle_count_oriented",
     "label_noise_knn_report",
+    "dp_noisy_counts",
 ]
 
 

@@ -731,3 +731,54 @@ def label_noise_knn_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@query(
+    "dp_noisy_counts",
+    oracle="""
+    WITH c AS (
+      SELECT event_type, COUNT(*) AS n FROM events GROUP BY 1),
+    u AS (
+      SELECT event_type, n,
+             CAST(CAST(concat('0x', substr(md5('dp:' || event_type), 1, 13))
+                  AS BIGINT) AS DOUBLE) / 4503599627370496.0 AS uu
+      FROM c)
+    SELECT event_type,
+           ROUND(n + (CASE WHEN uu >= 0.5 THEN -1.0 ELSE 1.0 END)
+                     * ln(1.0 - 2.0 * abs(uu - 0.5)), 3) AS noisy_count
+    FROM u ORDER BY event_type
+    """,
+    doc="Differentially-private count release (Laplace mechanism, "
+    "epsilon=1, sensitivity 1 for per-event-type counts): noise is "
+    "drawn by inverse-CDF from a uniform DERIVED from md5 of the "
+    "release key, so the mechanism is the real DP shape while the test "
+    "harness stays deterministic — swap the hash-uniform for a CSPRNG "
+    "in production and nothing else changes. Together with "
+    "k_anonymity_report this forms the privacy-release pair: audit "
+    "re-identifiability, then publish aggregates with calibrated "
+    "noise. Plan: one keyed count (map-side combined) + per-group "
+    "scalar math; nothing corpus-scaled after the aggregate.",
+)
+def dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kyuubi_spark.functions.compat import dround
+    from kyuubi_spark.session import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy("event_type").agg(F.count("*").alias("n"))
+    uu = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("dp:"), F.col("event_type"))), 1, 13
+            ),
+            16, 10,
+        ).cast("double")
+        / F.lit(4503599627370496.0)  # 16^13
+    )
+    noise = (
+        F.when(uu >= 0.5, F.lit(-1.0)).otherwise(F.lit(1.0))
+        * F.log(F.lit(1.0) - 2.0 * F.abs(uu - F.lit(0.5)))
+    )
+    return c.select(
+        "event_type",
+        dround(F.col("n") + noise, 3).alias("noisy_count"),
+    ).orderBy("event_type")

@@ -229,6 +229,8 @@ HEADLINE = [
     "triangle_count_oriented",
     "label_noise_knn_report",
     "dp_noisy_counts",
+    "kaplan_meier_retention",
+    "spend_gini_lorenz",
 ]
 
 

@@ -782,3 +782,167 @@ def dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         dround(F.col("n") + noise, 3).alias("noisy_count"),
     ).orderBy("event_type")
+
+
+@query(
+    "kaplan_meier_retention",
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             epoch_us(MIN(CAST(ts AS TIMESTAMP))) AS f,
+             epoch_us(MAX(CAST(ts AS TIMESTAMP))) AS l
+      FROM events GROUP BY 1),
+    mx AS (SELECT MAX(l) AS m FROM u),
+    lt AS (
+      SELECT user_id, (l - f) // 86400000000 AS t,
+             CASE WHEN l > m - 3 * 86400000000 THEN 0 ELSE 1 END AS death
+      FROM u, mx),
+    d AS (
+      SELECT t, SUM(death) AS d_t, COUNT(*) AS ends_t FROM lt GROUP BY 1),
+    r AS (
+      SELECT t, d_t,
+             SUM(ends_t) OVER (ORDER BY t DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_t
+      FROM d),
+    km AS (
+      SELECT t, n_t, d_t,
+             ROUND(exp(SUM(ln(1.0 - CAST(d_t AS DOUBLE) / n_t))
+                   OVER (ORDER BY t
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6)
+               AS survival
+      FROM r WHERE d_t > 0)
+    SELECT CAST(t AS BIGINT) AS t_days,
+           CAST(n_t AS BIGINT) AS n_risk,
+           CAST(d_t AS BIGINT) AS n_deaths,
+           survival
+    FROM km ORDER BY t_days
+    """,
+    doc="Kaplan-Meier survival estimator over user lifetimes (first-to-"
+    "last event span in days; users still active in the corpus's final "
+    "3 days are right-CENSORED — they leave the risk set without "
+    "counting as churn, the correction naive retention curves get "
+    "wrong). S(t) = product over death times of (1 - d_t/n_t), computed "
+    "as exp-of-summed-logs so both engines fold identical IEEE terms. "
+    "Plan: one keyed per-user aggregate, a 1-row max broadcast, a "
+    "day-keyed rollup, then windows over the <=31 day-step rows "
+    "(audit-allowlisted; the corpus-scaled work is all keyed).",
+)
+def kaplan_meier_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from kyuubi_spark.functions.compat import dround
+    from kyuubi_spark.session import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    u = ev.select("user_id", us.alias("us")).groupBy("user_id").agg(
+        F.min("us").alias("f"), F.max("us").alias("l")
+    )
+    mx = u.agg(F.max("l").alias("m"))
+    day_us = 86_400_000_000
+    lt = u.crossJoin(F.broadcast(mx)).select(
+        F.expr(f"(l - f) div {day_us}").alias("t"),
+        F.when(
+            F.col("l") > F.col("m") - 3 * day_us, F.lit(0)
+        ).otherwise(F.lit(1)).alias("death"),
+    )
+    d = lt.groupBy("t").agg(
+        F.sum("death").alias("d_t"), F.count("*").alias("ends_t")
+    )
+    w_desc = Window.orderBy(F.desc("t")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    r = d.select(
+        "t", "d_t", F.sum("ends_t").over(w_desc).alias("n_t")
+    ).filter(F.col("d_t") > 0)
+    w_asc = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    return r.select(
+        F.col("t").cast("bigint").alias("t_days"),
+        F.col("n_t").cast("bigint").alias("n_risk"),
+        F.col("d_t").cast("bigint").alias("n_deaths"),
+        dround(
+            F.exp(
+                F.sum(
+                    F.log(F.lit(1.0) - F.col("d_t").cast("double") / F.col("n_t"))
+                ).over(w_asc)
+            ),
+            6,
+        ).alias("survival"),
+    ).orderBy("t_days")
+
+
+@query(
+    "spend_gini_lorenz",
+    oracle="""
+    WITH x AS (
+      SELECT o_custkey, SUM(o_totalprice) AS total
+      FROM orders GROUP BY 1),
+    ranked AS (
+      SELECT o_custkey, total,
+             ROW_NUMBER() OVER (ORDER BY total, o_custkey) AS rn,
+             NTILE(10) OVER (ORDER BY total, o_custkey) AS decile
+      FROM x),
+    g AS (
+      SELECT COUNT(*) AS n, SUM(total) AS st,
+             SUM(CAST(rn AS DOUBLE) * total) AS srx
+      FROM ranked),
+    dec AS (
+      SELECT decile, COUNT(*) AS n_cust, SUM(total) AS dt
+      FROM ranked GROUP BY 1)
+    SELECT CAST(dec.decile AS INTEGER) AS decile,
+           CAST(dec.n_cust AS BIGINT) AS n_cust,
+           ROUND(dec.dt / g.st, 6) AS spend_share,
+           ROUND(SUM(dec.dt) OVER (ORDER BY dec.decile
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 / g.st, 6) AS cum_share,
+           ROUND(2.0 * g.srx / (g.n * g.st) - (g.n + 1.0) / g.n, 6)
+             AS gini
+    FROM dec, g ORDER BY decile
+    """,
+    doc="Spend-concentration report: Lorenz deciles + Gini coefficient "
+    "over per-customer order totals — the inequality audit that tells a "
+    "curator (or a revenue team) how top-heavy a distribution is; the "
+    "same machinery audits per-source token concentration in a corpus. "
+    "The global rank comes from the DISTRIBUTED exact ranker "
+    "(operators/ranking.py: percentile-cut buckets + per-bucket windows "
+    "+ offset add — no corpus-wide window), deciles from the closed-form "
+    "NTILE over (rn, n), Gini from the rank-weighted sum identity "
+    "G = 2*sum(i*x_i)/(n*sum(x)) - (n+1)/n. The only unpartitioned "
+    "window runs over the 10 decile rows (audit-allowlisted).",
+)
+def spend_gini_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from kyuubi_spark.functions.compat import dround
+    from kyuubi_spark.operators.ranking import global_row_number, ntile_expr
+    from kyuubi_spark.session import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    x = orders.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("total"))
+    ranked, n = global_row_number(
+        x, [("total", "asc"), ("o_custkey", "asc")], rn_col="rn"
+    )
+    ranked = ranked.withColumn("decile", ntile_expr(F.col("rn"), n, 10))
+    g = ranked.agg(
+        F.sum("total").alias("st"),
+        F.sum(F.col("rn").cast("double") * F.col("total")).alias("srx"),
+    )
+    dec = ranked.groupBy("decile").agg(
+        F.count("*").alias("n_cust"), F.sum("total").alias("dt")
+    )
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        dec.crossJoin(F.broadcast(g))
+        .select(
+            F.col("decile").cast("int").alias("decile"),
+            F.col("n_cust").cast("bigint").alias("n_cust"),
+            dround(F.col("dt") / F.col("st"), 6).alias("spend_share"),
+            dround(F.sum("dt").over(w) / F.col("st"), 6).alias("cum_share"),
+            dround(
+                2.0 * F.col("srx") / (F.lit(float(n)) * F.col("st"))
+                - (F.lit(float(n)) + 1.0) / F.lit(float(n)),
+                6,
+            ).alias("gini"),
+        )
+        .orderBy("decile")
+    )

@@ -34,6 +34,12 @@ ALLOWLIST = {
     "k_anonymity_report": "grand-total share over the <=4-row k-band"
     " rollup (the corpus-scaled quasi-identifier aggregate is keyed and"
     " map-side combined)",
+    "kaplan_meier_retention": "risk-set and survival cumulative windows"
+    " over the <=31 day-step rollup rows (per-user lifetimes come from a"
+    " keyed aggregate)",
+    "spend_gini_lorenz": "cumulative share over the 10 decile rollup"
+    " rows (the global rank itself runs on the distributed exact"
+    " ranker)",
 }
 
 

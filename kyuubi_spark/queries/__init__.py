@@ -102,6 +102,7 @@ def all_queries() -> dict[str, QuerySpec]:
         pipeline8,
         pipeline9,
         pipeline10,
+        pipeline11,
         sql4,
         sqludf,
         tpcds,

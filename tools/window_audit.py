@@ -40,6 +40,9 @@ ALLOWLIST = {
     "spend_gini_lorenz": "cumulative share over the 10 decile rollup"
     " rows (the global rank itself runs on the distributed exact"
     " ranker)",
+    "cusum_changepoint": "cumulative drift + rank over the calendar-"
+    "bounded daily rollup (<=2557 rows for the 7-year order range;"
+    " the corpus-scaled stage is the day-keyed map-side aggregate)",
 }
 
 

@@ -229,3 +229,278 @@ def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(F.col("cents") / 100.0, 2).alias("revenue"),
         dround(F.col("ckey") / (100.0 * F.col("n")), 4).alias("cusum"),
     ).orderBy("rn")
+
+
+@query(
+    "market_basket_lift",
+    oracle="""
+    WITH op AS (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+    n AS (SELECT COUNT(DISTINCT ok) AS n_orders FROM op),
+    pc AS (SELECT pk, COUNT(*) AS n_p FROM op GROUP BY 1),
+    pairs AS (
+      SELECT a.pk AS pa, b.pk AS pb, COUNT(*) AS n_pair
+      FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= 2)
+    SELECT CAST(pairs.pa AS BIGINT) AS pa, CAST(pairs.pb AS BIGINT) AS pb,
+           CAST(pairs.n_pair AS BIGINT) AS n_pair,
+           CAST(ca.n_p AS BIGINT) AS n_a, CAST(cb.n_p AS BIGINT) AS n_b,
+           ROUND(CAST(pairs.n_pair AS DOUBLE) / n.n_orders, 6) AS support,
+           ROUND(CAST(pairs.n_pair AS DOUBLE) / ca.n_p, 6) AS confidence,
+           ROUND(CAST(pairs.n_pair AS DOUBLE) * n.n_orders
+                 / (ca.n_p * cb.n_p), 4) AS lift
+    FROM pairs JOIN pc ca ON ca.pk = pairs.pa
+               JOIN pc cb ON cb.pk = pairs.pb, n
+    ORDER BY (CAST(pairs.n_pair AS DOUBLE) * n.n_orders
+              / (ca.n_p * cb.n_p)) DESC, pa, pb
+    LIMIT 20
+    """,
+    doc="Market-basket association mining: co-purchased part pairs with "
+    "support / confidence / lift, top-20 by lift among pairs seen at "
+    "least twice. Plan: the pair space is generated by an ORDER-KEYED "
+    "self-join of the distinct (order, part) projection — per-order "
+    "line counts are spec-bounded (<=7 parts/order in TPC-H), so the "
+    "join emits O(orders * 21) rows and never goes all-pairs over the "
+    "part catalog; per-part priors ride a broadcast join (parts << "
+    "facts), the final top-20 is TakeOrderedAndProject (no global "
+    "window). Lift is ordered on the exact double expression "
+    "(n_pair * n_orders)/(n_a * n_b) with (pa, pb) as total tiebreak "
+    "so the LIMIT is deterministic cross-engine.",
+)
+def market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kyuubi_spark.functions.compat import dround
+    from kyuubi_spark.session import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    n = op.agg(F.countDistinct("ok").alias("n_orders"))
+    pc = op.groupBy("pk").agg(F.count("*").alias("n_p"))
+    a = op.alias("a")
+    b = op.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.ok") == F.col("b.ok"))
+            & (F.col("a.pk") < F.col("b.pk")),
+        )
+        .groupBy(
+            F.col("a.pk").alias("pa"), F.col("b.pk").alias("pb")
+        )
+        .agg(F.count("*").alias("n_pair"))
+        .filter(F.col("n_pair") >= 2)
+    )
+    ca = pc.select(F.col("pk").alias("pa"), F.col("n_p").alias("ca_n"))
+    cb = pc.select(F.col("pk").alias("pb"), F.col("n_p").alias("cb_n"))
+    lift = (
+        F.col("n_pair").cast("double") * F.col("n_orders")
+        / (F.col("ca_n") * F.col("cb_n"))
+    )
+    return (
+        pairs.join(F.broadcast(ca), "pa")
+        .join(F.broadcast(cb), "pb")
+        .crossJoin(F.broadcast(n))
+        .orderBy(lift.desc(), "pa", "pb")
+        .limit(20)
+        .select(
+            F.col("pa").cast("bigint").alias("pa"),
+            F.col("pb").cast("bigint").alias("pb"),
+            F.col("n_pair").cast("bigint").alias("n_pair"),
+            F.col("ca_n").cast("bigint").alias("n_a"),
+            F.col("cb_n").cast("bigint").alias("n_b"),
+            dround(
+                F.col("n_pair").cast("double") / F.col("n_orders"), 6
+            ).alias("support"),
+            dround(
+                F.col("n_pair").cast("double") / F.col("ca_n"), 6
+            ).alias("confidence"),
+            dround(lift, 4).alias("lift"),
+        )
+    )
+
+
+@query(
+    "ab_test_zscore",
+    oracle="""
+    WITH assign AS (
+      SELECT c_custkey, (c_custkey * 2654435761) % 2 AS variant
+      FROM customer),
+    conv AS (
+      SELECT DISTINCT o_custkey FROM orders
+      WHERE o_orderpriority = '1-URGENT'),
+    agg AS (
+      SELECT
+        SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS n_a,
+        SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS n_b,
+        SUM(CASE WHEN variant = 0 AND conv.o_custkey IS NOT NULL
+                 THEN 1 ELSE 0 END) AS conv_a,
+        SUM(CASE WHEN variant = 1 AND conv.o_custkey IS NOT NULL
+                 THEN 1 ELSE 0 END) AS conv_b
+      FROM assign LEFT JOIN conv ON conv.o_custkey = assign.c_custkey)
+    SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           CAST(conv_a AS BIGINT) AS conv_a,
+           CAST(conv_b AS BIGINT) AS conv_b,
+           ROUND(CAST(conv_a AS DOUBLE) / n_a, 6) AS rate_a,
+           ROUND(CAST(conv_b AS DOUBLE) / n_b, 6) AS rate_b,
+           ROUND((CAST(conv_a AS DOUBLE) / n_a
+                  - CAST(conv_b AS DOUBLE) / n_b)
+                 / sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                        * (1.0 - CAST(conv_a + conv_b AS DOUBLE)
+                               / (n_a + n_b))
+                        * (1.0 / n_a + 1.0 / n_b)), 4) AS z_score
+    FROM agg
+    """,
+    doc="Two-proportion A/B test: customers are hash-assigned to "
+    "variants (Knuth multiplicative hash on the key — deterministic, "
+    "balanced, and reproducible across engines, the same trick "
+    "train_test_split uses), conversion is 'placed an URGENT-priority "
+    "order', and the pooled two-proportion z-score tests the rate gap. "
+    "Plan: one distinct-converter projection left-joined (key-equi) to "
+    "the assignment, collapsed by ONE map-side conditional aggregate "
+    "to a single row — no window anywhere. At 100 TB the join is the "
+    "only shuffle and AQE can broadcast the converter side when the "
+    "conversion event is rare.",
+)
+def ab_test_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kyuubi_spark.functions.compat import dround
+    from kyuubi_spark.session import load_table
+
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    assign = cust.select(
+        "c_custkey",
+        ((F.col("c_custkey") * F.lit(2654435761)) % 2).alias("variant"),
+    )
+    conv = (
+        orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+        .distinct()
+    )
+    joined = assign.join(
+        conv, assign.c_custkey == conv.o_custkey, "left"
+    )
+    agg = joined.agg(
+        F.sum(F.when(F.col("variant") == 0, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("variant") == 1, 1).otherwise(0)).alias("n_b"),
+        F.sum(
+            F.when(
+                (F.col("variant") == 0) & F.col("o_custkey").isNotNull(), 1
+            ).otherwise(0)
+        ).alias("conv_a"),
+        F.sum(
+            F.when(
+                (F.col("variant") == 1) & F.col("o_custkey").isNotNull(), 1
+            ).otherwise(0)
+        ).alias("conv_b"),
+    )
+    ra = F.col("conv_a").cast("double") / F.col("n_a")
+    rb = F.col("conv_b").cast("double") / F.col("n_b")
+    pooled = (F.col("conv_a") + F.col("conv_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    )
+    return agg.select(
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        F.col("conv_a").cast("bigint").alias("conv_a"),
+        F.col("conv_b").cast("bigint").alias("conv_b"),
+        dround(ra, 6).alias("rate_a"),
+        dround(rb, 6).alias("rate_b"),
+        dround(
+            (ra - rb)
+            / F.sqrt(
+                pooled
+                * (F.lit(1.0) - pooled)
+                * (F.lit(1.0) / F.col("n_a") + F.lit(1.0) / F.col("n_b"))
+            ),
+            4,
+        ).alias("z_score"),
+    )
+
+
+@query(
+    "ks_two_sample",
+    oracle="""
+    WITH c AS (
+      SELECT n_chars AS v,
+             SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS ca,
+             SUM(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS cb
+      FROM documents WHERE source IN ('src0', 'src1')
+      GROUP BY 1),
+    cum AS (
+      SELECT v,
+             SUM(ca) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_a,
+             SUM(cb) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_b
+      FROM c),
+    g AS (SELECT SUM(ca) AS n_a, SUM(cb) AS n_b FROM c),
+    d AS (
+      SELECT cum.v, g.n_a, g.n_b,
+             abs(cum.cum_a * g.n_b - cum.cum_b * g.n_a) AS dkey
+      FROM cum, g)
+    SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           CAST(v AS BIGINT) AS ks_at,
+           ROUND(CAST(dkey AS DOUBLE) / (n_a * n_b), 6) AS ks_stat
+    FROM d ORDER BY dkey DESC, v LIMIT 1
+    """,
+    doc="Two-sample Kolmogorov-Smirnov test between the doc-length "
+    "distributions of two corpus sources — the distribution-shift "
+    "screen a curator runs before mixing a new source into the "
+    "training blend. The ECDF gap is kept INTEGER-EXACT as "
+    "|cum_a*n_b - cum_b*n_a| (the cross-multiplied rational), so the "
+    "argmax is never decided by float rounding; the statistic divides "
+    "once at the end. Plan: the corpus collapses to a value-keyed "
+    "rollup (one row per distinct length — bounded by the length cap, "
+    "not the corpus), the cumulative window runs over that rollup "
+    "(audit-allowlisted, vocab_coverage class), and the final argmax "
+    "is TakeOrderedAndProject over the same bounded set.",
+)
+def ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from kyuubi_spark.functions.compat import dround
+    from kyuubi_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    c = (
+        docs.filter(F.col("source").isin("src0", "src1"))
+        .groupBy(F.col("n_chars").alias("v"))
+        .agg(
+            F.sum(F.when(F.col("source") == "src0", 1).otherwise(0)).alias(
+                "ca"
+            ),
+            F.sum(F.when(F.col("source") == "src1", 1).otherwise(0)).alias(
+                "cb"
+            ),
+        )
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = c.select(
+        "v",
+        F.sum("ca").over(w).alias("cum_a"),
+        F.sum("cb").over(w).alias("cum_b"),
+    )
+    g = c.agg(F.sum("ca").alias("n_a"), F.sum("cb").alias("n_b"))
+    d = cum.crossJoin(F.broadcast(g)).select(
+        "v",
+        "n_a",
+        "n_b",
+        F.abs(
+            F.col("cum_a") * F.col("n_b") - F.col("cum_b") * F.col("n_a")
+        ).alias("dkey"),
+    )
+    return (
+        d.orderBy(F.col("dkey").desc(), "v")
+        .limit(1)
+        .select(
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+            F.col("v").cast("bigint").alias("ks_at"),
+            dround(
+                F.col("dkey").cast("double") / (F.col("n_a") * F.col("n_b")),
+                6,
+            ).alias("ks_stat"),
+        )
+    )

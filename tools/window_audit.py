@@ -43,6 +43,9 @@ ALLOWLIST = {
     "cusum_changepoint": "cumulative drift + rank over the calendar-"
     "bounded daily rollup (<=2557 rows for the 7-year order range;"
     " the corpus-scaled stage is the day-keyed map-side aggregate)",
+    "ks_two_sample": "ECDF cumulative over the value-keyed length"
+    " rollup (one row per distinct doc length — bounded by the length"
+    " cap, not corpus rows; vocab_coverage class)",
 }
 
 

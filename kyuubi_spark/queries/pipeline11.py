@@ -504,3 +504,214 @@ def ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ks_stat"),
         )
     )
+
+
+@query(
+    "degree_assortativity",
+    oracle="""
+    WITH e0 AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+    deg AS (
+      SELECT n, COUNT(*) AS d FROM (
+        SELECT u AS n FROM e0 UNION ALL SELECT v AS n FROM e0)
+      GROUP BY 1),
+    ed AS (
+      SELECT du.d AS du, dv.d AS dv
+      FROM e0 JOIN deg du ON du.n = e0.u JOIN deg dv ON dv.n = e0.v),
+    s AS (
+      SELECT 2 * COUNT(*) AS n,
+             SUM(du + dv) AS sx,
+             SUM(2 * du * dv) AS sxy,
+             SUM(du * du + dv * dv) AS sxx
+      FROM ed),
+    g AS (SELECT COUNT(*) AS n_nodes FROM deg)
+    SELECT CAST(g.n_nodes AS BIGINT) AS n_nodes,
+           CAST(s.n / 2 AS BIGINT) AS n_edges,
+           ROUND(CAST(s.sx AS DOUBLE) / s.n, 4) AS mean_degree,
+           ROUND((CAST(s.n AS DOUBLE) * s.sxy
+                  - CAST(s.sx AS DOUBLE) * s.sx)
+                 / (CAST(s.n AS DOUBLE) * s.sxx
+                    - CAST(s.sx AS DOUBLE) * s.sx), 6) AS assortativity
+    FROM s, g
+    """,
+    doc="Degree assortativity of the co-purchase graph (same edge "
+    "semantics as triangle_count_oriented: parts are nodes, distinct "
+    "within-order pairs are edges): the Pearson correlation of "
+    "endpoint degrees over the symmetrized edge list — do hub parts "
+    "attach to hubs or to the periphery? All moments are accumulated "
+    "as exact BIGINTs (degrees are integers), and the Pearson ratio "
+    "divides ONCE in doubles at the end, so no cross-engine float "
+    "summation can move the result. Plan: the order-keyed pair "
+    "self-join (spec-bounded lines/order), a node-keyed degree count "
+    "joined back onto edges, one map-side moment aggregate — no "
+    "window, no all-pairs stage.",
+)
+def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kyuubi_spark.caching import persisted
+    from kyuubi_spark.functions.compat import dround
+    from kyuubi_spark.session import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("v"))
+    e0 = persisted(
+        a.join(b, "k").filter(F.col("u") < F.col("v")).select("u", "v")
+        .distinct()
+    )
+    deg = (
+        e0.select(F.col("u").alias("n"))
+        .unionAll(e0.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").alias("d"))
+    )
+    du = deg.select(F.col("n").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("n").alias("v"), F.col("d").alias("dv"))
+    ed = e0.join(du, "u").join(dv, "v")
+    s = ed.agg(
+        (F.lit(2) * F.count("*")).alias("n"),
+        F.sum(F.col("du") + F.col("dv")).alias("sx"),
+        F.sum(F.lit(2) * F.col("du") * F.col("dv")).alias("sxy"),
+        F.sum(
+            F.col("du") * F.col("du") + F.col("dv") * F.col("dv")
+        ).alias("sxx"),
+    )
+    g = deg.agg(F.count("*").alias("n_nodes"))
+    nd = F.col("n").cast("double")
+    sxd = F.col("sx").cast("double")
+    return s.crossJoin(F.broadcast(g)).select(
+        F.col("n_nodes").cast("bigint").alias("n_nodes"),
+        (F.col("n") / 2).cast("bigint").alias("n_edges"),
+        dround(sxd / F.col("n"), 4).alias("mean_degree"),
+        dround(
+            (nd * F.col("sxy") - sxd * F.col("sx"))
+            / (nd * F.col("sxx") - sxd * F.col("sx")),
+            6,
+        ).alias("assortativity"),
+    )
+
+
+@query(
+    "seasonality_dow_index",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+      FROM orders GROUP BY 1),
+    g AS (SELECT SUM(cents) AS total, COUNT(*) AS n_days FROM daily),
+    dw AS (
+      SELECT isodow(day) AS dow, COUNT(*) AS n_days_dow,
+             SUM(cents) AS cents_dow
+      FROM daily GROUP BY 1)
+    SELECT CAST(dw.dow AS INTEGER) AS dow,
+           CAST(dw.n_days_dow AS BIGINT) AS n_days,
+           ROUND(dw.cents_dow / (100.0 * dw.n_days_dow), 2)
+             AS avg_daily_revenue,
+           ROUND(CAST(dw.cents_dow AS DOUBLE) * g.n_days
+                 / (CAST(dw.n_days_dow AS DOUBLE) * g.total), 6)
+             AS seasonal_index
+    FROM dw, g ORDER BY dow
+    """,
+    doc="Day-of-week seasonality index over the revenue series: mean "
+    "daily revenue per ISO weekday divided by the overall daily mean "
+    "— the ratio-to-overall-average decomposition a forecaster "
+    "detrends with. Revenue is summed in exact cents (BIGINT) and the "
+    "index is the exact-rational ratio cents_dow*n_days / "
+    "(n_days_dow*total) evaluated in one double step, so both engines "
+    "agree bit-for-bit. Plan: a day-keyed rollup (map-side combined), "
+    "then a 7-row weekday aggregate against a broadcast grand total — "
+    "single corpus scan, no window.",
+)
+def seasonality_dow_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kyuubi_spark.functions.compat import dround
+    from kyuubi_spark.session import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(
+        F.sum(
+            F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+        ).alias("cents")
+    )
+    g = daily.agg(F.sum("cents").alias("total"), F.count("*").alias("n_days"))
+    dw = daily.groupBy(
+        (F.weekday("day") + 1).alias("dow")
+    ).agg(
+        F.count("*").alias("n_days_dow"), F.sum("cents").alias("cents_dow")
+    )
+    return (
+        dw.crossJoin(F.broadcast(g))
+        .select(
+            F.col("dow").cast("int").alias("dow"),
+            F.col("n_days_dow").cast("bigint").alias("n_days"),
+            dround(
+                F.col("cents_dow") / (100.0 * F.col("n_days_dow")), 2
+            ).alias("avg_daily_revenue"),
+            dround(
+                F.col("cents_dow").cast("double") * F.col("n_days")
+                / (F.col("n_days_dow").cast("double") * F.col("total")),
+                6,
+            ).alias("seasonal_index"),
+        )
+        .orderBy("dow")
+    )
+
+
+@query(
+    "score_calibration_bins",
+    oracle="""
+    WITH scored AS (
+      SELECT (o_orderkey * 2654435761) % 1000000 AS micro,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS label
+      FROM orders),
+    b AS (
+      SELECT micro // 100000 AS bin, COUNT(*) AS n,
+             SUM(micro) AS sum_micro, SUM(label) AS n_pos
+      FROM scored GROUP BY 1)
+    SELECT CAST(bin AS INTEGER) AS bin, CAST(n AS BIGINT) AS n,
+           ROUND(sum_micro / (1000000.0 * n), 6) AS avg_score,
+           ROUND(CAST(n_pos AS DOUBLE) / n, 6) AS obs_rate,
+           ROUND(CAST(n_pos AS DOUBLE) / n
+                 - sum_micro / (1000000.0 * n), 6) AS gap
+    FROM b ORDER BY bin
+    """,
+    doc="Model-calibration reliability bins — the audit a scored "
+    "dataset gets before its scores gate anything: decile-bin the "
+    "score, compare mean predicted score to observed positive rate "
+    "per bin. The 'model' is a deterministic Knuth-hash pseudo-score "
+    "(this engine ships no trained weights; the BINNING/CALIBRATION "
+    "machinery is the operator under test), the label is a real "
+    "column, and both bin id and mean score come from exact integer "
+    "micro-units so the bins and averages are engine-independent. "
+    "Plan: one map-side projection + a 10-row keyed aggregate — a "
+    "single scan with map-side combine at any scale.",
+)
+def score_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kyuubi_spark.functions.compat import dround
+    from kyuubi_spark.session import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    scored = orders.select(
+        ((F.col("o_orderkey") * F.lit(2654435761)) % 1000000).alias("micro"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("label"),
+    )
+    b = scored.groupBy(
+        F.floor(F.col("micro") / 100000).alias("bin")
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum("micro").alias("sum_micro"),
+        F.sum("label").alias("n_pos"),
+    )
+    obs = F.col("n_pos").cast("double") / F.col("n")
+    avg = F.col("sum_micro") / (1000000.0 * F.col("n"))
+    return b.select(
+        F.col("bin").cast("int").alias("bin"),
+        F.col("n").cast("bigint").alias("n"),
+        dround(avg, 6).alias("avg_score"),
+        dround(obs, 6).alias("obs_rate"),
+        dround(obs - avg, 6).alias("gap"),
+    ).orderBy("bin")

@@ -715,3 +715,254 @@ def score_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(obs, 6).alias("obs_rate"),
         dround(obs - avg, 6).alias("gap"),
     ).orderBy("bin")
+
+
+def _containment_oracle() -> str:
+    from kyuubi_spark.queries.pipeline import _SHINGLE_CTE
+
+    return f"""
+    WITH {_SHINGLE_CTE},
+    shx AS (SELECT DISTINCT id, ('0x' || substring(md5(s), 1, 15))::BIGINT AS s
+            FROM (SELECT id, unnest(shs) AS s FROM sh) u),
+    counts AS (SELECT id, COUNT(*) AS n_sh FROM shx GROUP BY id),
+    inter AS (
+      SELECT sa.id AS a_id, sb.id AS b_id, COUNT(*) AS inter
+      FROM shx sa JOIN shx sb ON sa.s = sb.s AND sa.id < sb.id
+      GROUP BY 1, 2)
+    SELECT i.a_id, i.b_id, CAST(i.inter AS BIGINT) AS inter,
+           CAST(ca.n_sh AS BIGINT) AS n_a, CAST(cb.n_sh AS BIGINT) AS n_b,
+           ROUND(CAST(i.inter AS DOUBLE) / least(ca.n_sh, cb.n_sh), 6)
+             AS containment
+    FROM inter i
+    JOIN counts ca ON ca.id = i.a_id
+    JOIN counts cb ON cb.id = i.b_id
+    WHERE 2 * i.inter >= least(ca.n_sh, cb.n_sh)
+    ORDER BY a_id, b_id
+    """
+
+
+@query(
+    "containment_near_dup",
+    oracle=_containment_oracle(),
+    doc="Containment near-dup detection — the ASYMMETRIC dedup MinHash "
+    "misses: containment = |A∩B| / min(|A|,|B|) >= 1/2 catches "
+    "quote-inclusion (a short doc embedded inside a long one), where "
+    "Jaccard stays tiny because the union is dominated by the long "
+    "doc. Exact, via the overlap-join construction: under the global "
+    "rarest-first shingle order, a pair meeting overlap t = "
+    "ceil(min/2) must match inside the SMALLER doc's first "
+    "n - t + 1 shingles, so only the smaller side's prefix probes "
+    "the index (lossless; proof: >= t matches can't all hide in a "
+    "suffix shorter than t). Prefixes keep each doc's RAREST "
+    "shingles, so corpus-hot shingles never appear on the probe side "
+    "— the quadratic hot-key blowup is cut at the source. "
+    "Verification is one codegen array_intersect per candidate in "
+    "md5-long space (the oracle replays the same hash) — the "
+    "integer-exact test 2*inter >= min(n_a, n_b).",
+)
+def containment_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from kyuubi_spark.caching import persisted
+    from kyuubi_spark.functions import dedup as D
+    from kyuubi_spark.functions.compat import dround
+    from kyuubi_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    arrays = persisted(
+        docs.select(
+            F.col("doc_id").alias("id"),
+            D.hashed_shingles_arrow(3)(F.col("text")).alias("shs"),
+        ).withColumn("n_sh", F.size("shs"))
+    )
+    sh = arrays.select("id", "n_sh", F.explode("shs").alias("sh"))
+    df_freq = sh.groupBy("sh").agg(F.count("*").alias("df_sh"))
+    by_id = Window.partitionBy("id")
+    # smaller-side prefix: required overlap t = ceil(n/2) once this doc is
+    # the smaller endpoint, so its first n - t + 1 rarest shingles must
+    # contain a match — rank by (df, sh) and keep the prefix only
+    ranked = sh.join(df_freq, "sh").withColumn(
+        "rk", F.row_number().over(by_id.orderBy("df_sh", "sh"))
+    )
+    probe = ranked.filter(
+        F.col("rk") <= F.col("n_sh") - ((F.col("n_sh") + 1) / 2).cast("long") + 1
+    ).select(
+        F.col("id").alias("a_id"),
+        F.col("n_sh").alias("n_a"),
+        F.col("sh"),
+    )
+    index = sh.select(
+        F.col("id").alias("b_id"), F.col("n_sh").alias("n_b"), F.col("sh")
+    )
+    smaller_first = (F.col("n_a") < F.col("n_b")) | (
+        (F.col("n_a") == F.col("n_b")) & (F.col("a_id") < F.col("b_id"))
+    )
+    cand = (
+        probe.join(index, "sh")
+        .filter((F.col("a_id") != F.col("b_id")) & smaller_first)
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    va = arrays.select(
+        F.col("id").alias("a_id"), F.col("shs").alias("shs_a")
+    )
+    vb = arrays.select(
+        F.col("id").alias("b_id"), F.col("shs").alias("shs_b")
+    )
+    verified = (
+        cand.join(va, "a_id")
+        .join(vb, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            F.size(F.array_intersect("shs_a", "shs_b")).alias("inter"),
+            F.size("shs_a").alias("n_a"),
+            F.size("shs_b").alias("n_b"),
+        )
+        .filter(
+            F.lit(2) * F.col("inter") >= F.least(F.col("n_a"), F.col("n_b"))
+        )
+    )
+    return verified.select(
+        F.least("a_id", "b_id").alias("a_id"),
+        F.greatest("a_id", "b_id").alias("b_id"),
+        F.col("inter").cast("bigint").alias("inter"),
+        F.when(F.col("a_id") < F.col("b_id"), F.col("n_a"))
+        .otherwise(F.col("n_b"))
+        .cast("bigint")
+        .alias("n_a"),
+        F.when(F.col("a_id") < F.col("b_id"), F.col("n_b"))
+        .otherwise(F.col("n_a"))
+        .cast("bigint")
+        .alias("n_b"),
+        dround(
+            F.col("inter").cast("double")
+            / F.least(F.col("n_a"), F.col("n_b")),
+            6,
+        ).alias("containment"),
+    ).orderBy("a_id", "b_id")
+
+
+@query(
+    "token_source_pmi",
+    oracle="""
+    WITH tok AS (
+      SELECT DISTINCT doc_id, source,
+             unnest(string_split(trim(text), ' ')) AS term
+      FROM documents),
+    nts AS (SELECT term, source, COUNT(*) AS n_ts FROM tok GROUP BY 1, 2),
+    nt AS (SELECT term, SUM(n_ts) AS n_t FROM nts GROUP BY 1),
+    ns AS (SELECT source, SUM(n_ts) AS n_s FROM nts GROUP BY 1),
+    n AS (SELECT SUM(n_ts) AS total FROM nts),
+    scored AS (
+      SELECT nts.term, nts.source, nts.n_ts,
+             ln(CAST(nts.n_ts AS DOUBLE) * n.total / (nt.n_t * ns.n_s))
+               AS pmi_raw
+      FROM nts JOIN nt USING (term) JOIN ns USING (source), n)
+    SELECT term, source, CAST(n_ts AS BIGINT) AS n_ts,
+           ROUND(pmi_raw, 6) AS pmi
+    FROM scored
+    ORDER BY pmi_raw DESC, term, source
+    LIMIT 20
+    """,
+    doc="Token-source pointwise mutual information: which tokens are "
+    "over-represented in which corpus source — the signature screen "
+    "that surfaces boilerplate, source-specific artifacts, and "
+    "domain markers before they bias a training blend. PMI is "
+    "ln(p(t,s)/(p(t)p(s))) over doc-presence counts, computed as ONE "
+    "log of an exact integer rational (n_ts*N)/(n_t*n_s) — no float "
+    "sum anywhere, so ordering and values are engine-exact. Plan: "
+    "one tokenize+distinct (doc,source,term) projection, three keyed "
+    "counts, two broadcast joins (vocab and source marginals are "
+    "tiny), TakeOrderedAndProject top-20.",
+)
+def token_source_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kyuubi_spark.functions.compat import dround
+    from kyuubi_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        "source",
+        F.explode(F.split(F.trim(F.col("text")), " ")).alias("term"),
+    ).distinct()
+    nts = tok.groupBy("term", "source").agg(F.count("*").alias("n_ts"))
+    nt = nts.groupBy("term").agg(F.sum("n_ts").alias("n_t"))
+    ns = nts.groupBy("source").agg(F.sum("n_ts").alias("n_s"))
+    n = nts.agg(F.sum("n_ts").alias("total"))
+    pmi_raw = F.log(
+        F.col("n_ts").cast("double") * F.col("total")
+        / (F.col("n_t") * F.col("n_s"))
+    )
+    return (
+        nts.join(F.broadcast(nt), "term")
+        .join(F.broadcast(ns), "source")
+        .crossJoin(F.broadcast(n))
+        .withColumn("pmi_raw", pmi_raw)
+        .orderBy(F.col("pmi_raw").desc(), "term", "source")
+        .limit(20)
+        .select(
+            "term",
+            "source",
+            F.col("n_ts").cast("bigint").alias("n_ts"),
+            dround(F.col("pmi_raw"), 6).alias("pmi"),
+        )
+    )
+
+
+@query(
+    "dataset_card_report",
+    oracle="""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 2) AS avg_chars,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+           ROUND(SUM(CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END)
+                 / COUNT(*), 6) AS en_share,
+           ROUND(SUM(CASE WHEN n_chars < 100 THEN 1.0 ELSE 0.0 END)
+                 / COUNT(*), 6) AS short_share,
+           ROUND(1.0 - CAST(COUNT(DISTINCT text) AS DOUBLE) / COUNT(*), 6)
+             AS exact_dup_rate
+    FROM documents
+    GROUP BY source ORDER BY source
+    """,
+    doc="Per-source dataset card — the 'nutrition label' a corpus "
+    "release ships: volume, length profile, language mix, short-doc "
+    "share, and exact-duplicate rate, one row per source. Everything "
+    "is a single source-keyed aggregate pass (COUNT DISTINCT text "
+    "rides Spark's partial-aggregate path — at 100 TB swap to a "
+    "per-source HLL sketch if 2% error is acceptable; the exact form "
+    "is the oracle-checkable contract). No window, no join.",
+)
+def dataset_card_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kyuubi_spark.functions.compat import dround
+    from kyuubi_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    cnt = F.count("*")
+    return (
+        docs.groupBy("source")
+        .agg(
+            cnt.cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            dround(F.sum("n_chars").cast("double") / cnt, 2).alias(
+                "avg_chars"
+            ),
+            F.countDistinct("lang").cast("bigint").alias("n_langs"),
+            dround(
+                F.sum(F.when(F.col("lang") == "en", 1.0).otherwise(0.0))
+                / cnt,
+                6,
+            ).alias("en_share"),
+            dround(
+                F.sum(F.when(F.col("n_chars") < 100, 1.0).otherwise(0.0))
+                / cnt,
+                6,
+            ).alias("short_share"),
+            dround(
+                F.lit(1.0) - F.countDistinct("text").cast("double") / cnt, 6
+            ).alias("exact_dup_rate"),
+        )
+        .orderBy("source")
+    )

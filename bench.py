@@ -231,6 +231,19 @@ HEADLINE = [
     "dp_noisy_counts",
     "kaplan_meier_retention",
     "spend_gini_lorenz",
+    # r10 batch 11: sequence/audit/experimentation + LLM-curation stats
+    "markov_transition_matrix",
+    "benford_digit_audit",
+    "cusum_changepoint",
+    "market_basket_lift",
+    "ab_test_zscore",
+    "ks_two_sample",
+    "degree_assortativity",
+    "seasonality_dow_index",
+    "score_calibration_bins",
+    "containment_near_dup",
+    "token_source_pmi",
+    "dataset_card_report",
 ]
 
 

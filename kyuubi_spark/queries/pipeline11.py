@@ -570,7 +570,9 @@ def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     du = deg.select(F.col("n").alias("u"), F.col("d").alias("du"))
     dv = deg.select(F.col("n").alias("v"), F.col("d").alias("dv"))
-    ed = e0.join(du, "u").join(dv, "v")
+    # the degree relation is |parts|-sized (<< edges); broadcast both
+    # copies so attaching endpoint degrees never shuffles the edge list
+    ed = e0.join(F.broadcast(du), "u").join(F.broadcast(dv), "v")
     s = ed.agg(
         (F.lit(2) * F.count("*")).alias("n"),
         F.sum(F.col("du") + F.col("dv")).alias("sx"),

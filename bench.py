@@ -244,6 +244,9 @@ HEADLINE = [
     "containment_near_dup",
     "token_source_pmi",
     "dataset_card_report",
+    "attribution_touchpoints",
+    "kneser_ney_counts",
+    "rrf_fusion_topk",
 ]
 
 

@@ -968,3 +968,385 @@ def dataset_card_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "attribution_touchpoints",
+    oracle="""
+    WITH p AS (
+      SELECT user_id, event_id AS pid, ts AS pts
+      FROM events WHERE event_type = 'purchase'),
+    t AS (
+      SELECT p.pid, e.event_type, e.ts, e.event_id
+      FROM p JOIN events e
+        ON e.user_id = p.user_id
+       AND e.event_type <> 'purchase'
+       AND e.ts < p.pts
+       AND e.ts >= p.pts - INTERVAL 7 DAY),
+    r AS (
+      SELECT pid, event_type,
+             ROW_NUMBER() OVER (PARTITION BY pid
+                                ORDER BY ts, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY pid) AS cnt
+      FROM t),
+    credits AS (
+      SELECT 'linear' AS model, event_type,
+             CAST(round(1000000.0 / cnt) AS BIGINT) AS micro FROM r
+      UNION ALL
+      SELECT 'first_touch', event_type, 1000000 FROM r WHERE rn = 1
+      UNION ALL
+      SELECT 'last_touch', event_type, 1000000 FROM r WHERE rn = cnt)
+    SELECT model, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_touches,
+           ROUND(SUM(micro) / 1000000.0, 4) AS credit
+    FROM credits
+    GROUP BY model, event_type
+    ORDER BY model, event_type
+    """,
+    doc="Multi-touch marketing attribution over the event stream: every "
+    "purchase's preceding 7-day journey is credited to its touchpoints "
+    "under three standard models (first-touch, last-touch, linear), "
+    "aggregated by event type — which channel actually drives "
+    "conversions under each lens. Linear credit 1/n is accumulated in "
+    "round()-ed integer MICRO-credits so the cross-path sum is exact "
+    "(a float 1/n summed over thousands of paths would drift by "
+    "addition order across engines). Plan: a user-keyed join "
+    "purchases->events bounded by the 7-day predicate, per-purchase "
+    "(keyed) rank/count windows, one (model,type)-keyed aggregate. "
+    "At 100 TB both the join and windows key on user/purchase — no "
+    "global ordering anywhere.",
+)
+def attribution_touchpoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from kyuubi_spark.functions.compat import dround
+    from kyuubi_spark.session import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"),
+        F.col("event_id").alias("pid"),
+        F.col("ts").alias("pts"),
+    )
+    t = ev.filter(F.col("event_type") != "purchase").join(
+        p,
+        (F.col("user_id") == F.col("pu"))
+        & (F.col("ts") < F.col("pts"))
+        & (F.col("ts") >= F.col("pts") - F.expr("INTERVAL 7 DAY")),
+    )
+    w = Window.partitionBy("pid")
+    r = t.select(
+        "pid",
+        "event_type",
+        F.row_number().over(w.orderBy("ts", "event_id")).alias("rn"),
+        F.count("*").over(w).alias("cnt"),
+    )
+    micro_linear = F.round(F.lit(1000000.0) / F.col("cnt"), 0).cast("bigint")
+    credits = (
+        r.select(
+            F.lit("linear").alias("model"),
+            "event_type",
+            micro_linear.alias("micro"),
+        )
+        .unionAll(
+            r.filter(F.col("rn") == 1).select(
+                F.lit("first_touch").alias("model"),
+                "event_type",
+                F.lit(1000000).cast("bigint").alias("micro"),
+            )
+        )
+        .unionAll(
+            r.filter(F.col("rn") == F.col("cnt")).select(
+                F.lit("last_touch").alias("model"),
+                "event_type",
+                F.lit(1000000).cast("bigint").alias("micro"),
+            )
+        )
+    )
+    return (
+        credits.groupBy("model", "event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_touches"),
+            dround(F.sum("micro") / 1000000.0, 4).alias("credit"),
+        )
+        .orderBy("model", "event_type")
+    )
+
+
+@query(
+    "kneser_ney_counts",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, i, toks[i] AS w1, toks[i + 1] AS w2
+      FROM (SELECT doc_id, string_split(trim(text), ' ') AS toks
+            FROM documents),
+           unnest(generate_series(1, len(toks) - 1)) AS u(i)),
+    bg AS (SELECT w1, w2, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+    left_tot AS (
+      SELECT w1, SUM(c) AS c_w1, COUNT(*) AS n1p_right FROM bg GROUP BY 1),
+    right_ctx AS (SELECT w2, COUNT(*) AS n1p_left FROM bg GROUP BY 1),
+    t AS (SELECT COUNT(*) AS n_types FROM bg)
+    SELECT bg.w1, bg.w2, CAST(bg.c AS BIGINT) AS c,
+           ROUND(CAST(right_ctx.n1p_left AS DOUBLE) / t.n_types, 6)
+             AS p_continuation,
+           ROUND((bg.c - 0.75) / left_tot.c_w1
+                 + (0.75 * left_tot.n1p_right / left_tot.c_w1)
+                   * (CAST(right_ctx.n1p_left AS DOUBLE) / t.n_types), 6)
+             AS p_kn
+    FROM bg
+    JOIN left_tot USING (w1)
+    JOIN right_ctx USING (w2), t
+    ORDER BY c DESC, w1, w2
+    LIMIT 20
+    """,
+    doc="Kneser-Ney smoothed bigram model counts — the classic LM "
+    "estimator's sufficient statistics straight from the corpus: "
+    "bigram counts, left-context totals, continuation counts "
+    "N1+(.w) (in how many DISTINCT contexts does w complete a "
+    "bigram — the insight that makes KN beat raw MLE), and the "
+    "interpolated probability p_KN = (c - D)/c(w1.) + "
+    "lambda(w1) * p_continuation with discount D = 0.75. Every input "
+    "is an integer count (observed bigrams have c >= 1 > D, so the "
+    "max(c - D, 0) clamp is vacuous) and the probability is one fixed "
+    "double expression — engine-exact. Plan: a positional bigram "
+    "explode, three keyed counts, two broadcast marginal joins "
+    "(vocab-sized), TakeOrderedAndProject top-20.",
+)
+def kneser_ney_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kyuubi_spark.functions.compat import dround
+    from kyuubi_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.split(F.trim(F.col("text")), " ").alias("toks")
+    )
+    tok = toks.select(
+        F.posexplode("toks").alias("i0", "w1"),
+        F.col("toks"),
+    ).select(
+        # F.get is 0-based and null-safe past the end (ANSI-mode element_at
+        # would throw on the final position)
+        "w1",
+        F.get("toks", F.col("i0") + 1).alias("w2"),
+    ).filter(F.col("w2").isNotNull())
+    bg = tok.groupBy("w1", "w2").agg(F.count("*").alias("c"))
+    left_tot = bg.groupBy("w1").agg(
+        F.sum("c").alias("c_w1"), F.count("*").alias("n1p_right")
+    )
+    right_ctx = bg.groupBy("w2").agg(F.count("*").alias("n1p_left"))
+    t = bg.agg(F.count("*").alias("n_types"))
+    p_cont = F.col("n1p_left").cast("double") / F.col("n_types")
+    return (
+        bg.join(F.broadcast(left_tot), "w1")
+        .join(F.broadcast(right_ctx), "w2")
+        .crossJoin(F.broadcast(t))
+        .orderBy(F.col("c").desc(), "w1", "w2")
+        .limit(20)
+        .select(
+            "w1",
+            "w2",
+            F.col("c").cast("bigint").alias("c"),
+            dround(p_cont, 6).alias("p_continuation"),
+            dround(
+                (F.col("c") - 0.75) / F.col("c_w1")
+                + (0.75 * F.col("n1p_right") / F.col("c_w1")) * p_cont,
+                6,
+            ).alias("p_kn"),
+        )
+    )
+
+
+_RRF_QUERY = "spark join stream"
+_RRF_K = 60
+
+
+@query(
+    "rrf_fusion_topk",
+    oracle=f"""
+    WITH dl AS (
+      SELECT doc_id, CAST(len(string_split(trim(text), ' ')) AS DOUBLE)
+               AS doclen
+      FROM documents),
+    stats AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(doclen) AS avgdl
+      FROM dl),
+    tf AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf
+      FROM (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS term
+            FROM documents)
+      WHERE term IN ('spark', 'join', 'stream')
+      GROUP BY 1, 2),
+    df AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+    idf AS (SELECT term,
+                   ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                     AS idf
+            FROM df, stats),
+    bm AS (
+      SELECT dl.doc_id, ROUND(SUM(
+               idf.idf * tf.tf * (1.2 + 1.0)
+               / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.doclen
+                                 / stats.avgdl))), 4) AS bm25
+      FROM dl JOIN tf ON tf.doc_id = dl.doc_id
+              JOIN idf ON idf.term = tf.term
+      CROSS JOIN stats
+      GROUP BY dl.doc_id),
+    lex AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS lex_rank
+      FROM (SELECT * FROM bm ORDER BY bm25 DESC, doc_id LIMIT 50)),
+    qg AS (
+      SELECT list_distinct(list_transform(
+               generate_series(1, len('{_RRF_QUERY}') - 2),
+               i -> substr('{_RRF_QUERY}', i, 3))) AS qgrams),
+    dg AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(text) - 2, 1)),
+               i -> substr(text, i, 3))) AS dgrams
+      FROM documents),
+    jac AS (
+      SELECT doc_id,
+             CAST(len(list_intersect(dgrams, qgrams)) AS DOUBLE)
+             / (len(dgrams) + len(qgrams)
+                - len(list_intersect(dgrams, qgrams))) AS j
+      FROM dg, qg),
+    sem AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY j DESC, doc_id) AS sem_rank
+      FROM (SELECT * FROM jac ORDER BY j DESC, doc_id LIMIT 50)),
+    fused AS (
+      SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id,
+             lex.lex_rank, sem.sem_rank,
+             COALESCE(1.0 / ({_RRF_K} + lex.lex_rank), 0.0)
+             + COALESCE(1.0 / ({_RRF_K} + sem.sem_rank), 0.0) AS rrf_raw
+      FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id)
+    SELECT doc_id, CAST(lex_rank AS BIGINT) AS lex_rank,
+           CAST(sem_rank AS BIGINT) AS sem_rank,
+           ROUND(rrf_raw, 6) AS rrf
+    FROM fused
+    ORDER BY rrf_raw DESC, doc_id
+    LIMIT 20
+    """,
+    doc="Hybrid retrieval via Reciprocal Rank Fusion — the standard "
+    "way production search combines heterogeneous rankers without "
+    "score calibration: RRF(d) = sum over lanes of 1/(60 + rank). "
+    "Lane 1 is whole-word Okapi BM25 (bm25_topk's scorer); lane 2 is "
+    "character-3-gram Jaccard against the query string, which "
+    "catches substring/typo/compound matches whole-word BM25 is "
+    "blind to — genuinely complementary evidence. Ranks come from "
+    "each lane's top-50 (TakeOrderedAndProject on a total order: "
+    "rounded score desc, doc_id), so the only unpartitioned windows "
+    "number <=50 rows each (audit-allowlisted, tpcds_q44 class); the "
+    "fusion itself is a 50x50 full outer join. Gram sets intersect "
+    "via codegen array_intersect against ONE broadcast query-gram "
+    "array — the gram relation is never exploded or shuffled.",
+)
+def rrf_fusion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from kyuubi_spark.functions.compat import dround
+    from kyuubi_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    # --- lane 1: BM25 (same scorer as bm25_topk) ---
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), " ")).alias("term")
+    )
+    tf = (
+        tok.filter(F.col("term").isin(*_RRF_QUERY.split()))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("double").alias("tf"))
+    )
+    dl = docs.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), " "))
+        .cast("double")
+        .alias("doclen"),
+    )
+    stats = dl.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.avg("doclen").alias("avgdl"),
+    )
+    idf = (
+        tf.groupBy("term")
+        .agg(F.count("*").cast("double").alias("df"))
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "term",
+            F.log(
+                (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                + 1.0
+            ).alias("idf"),
+            "avgdl",
+        )
+    )
+    bm = (
+        dl.join(tf, "doc_id")
+        .join(F.broadcast(idf), "term")
+        .select(
+            "doc_id",
+            (
+                F.col("idf")
+                * F.col("tf")
+                * (1.2 + 1.0)
+                / (
+                    F.col("tf")
+                    + 1.2 * (1.0 - 0.75 + 0.75 * F.col("doclen") / F.col("avgdl"))
+                )
+            ).alias("part"),
+        )
+        .groupBy("doc_id")
+        .agg(dround(F.sum("part"), 4).alias("bm25"))
+    )
+    lex50 = bm.orderBy(F.col("bm25").desc(), "doc_id").limit(50)
+    lex = lex50.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("bm25").desc(), "doc_id"))
+        .alias("lex_rank"),
+    )
+    # --- lane 2: char-3-gram Jaccard vs the query string ---
+    grams = "array_distinct(transform(sequence(1, greatest(length({0}) - 2, 1)), i -> substring({0}, i, 3)))"
+    qg = spark.range(1).select(
+        F.expr(grams.format(f"'{_RRF_QUERY}'")).alias("qgrams")
+    )
+    dg = docs.select("doc_id", F.expr(grams.format("text")).alias("dgrams"))
+    inter = F.size(F.array_intersect("dgrams", "qgrams"))
+    jac = dg.crossJoin(F.broadcast(qg)).select(
+        "doc_id",
+        (
+            inter.cast("double")
+            / (F.size("dgrams") + F.size("qgrams") - inter)
+        ).alias("j"),
+    )
+    sem50 = jac.orderBy(F.col("j").desc(), "doc_id").limit(50)
+    sem = sem50.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("j").desc(), "doc_id"))
+        .alias("sem_rank"),
+    )
+    # --- fusion ---
+    fused = lex.join(sem, "doc_id", "full_outer").select(
+        "doc_id",
+        "lex_rank",
+        "sem_rank",
+        (
+            F.coalesce(
+                F.lit(1.0) / (F.lit(_RRF_K) + F.col("lex_rank")), F.lit(0.0)
+            )
+            + F.coalesce(
+                F.lit(1.0) / (F.lit(_RRF_K) + F.col("sem_rank")), F.lit(0.0)
+            )
+        ).alias("rrf_raw"),
+    )
+    return (
+        fused.orderBy(F.col("rrf_raw").desc(), "doc_id")
+        .limit(20)
+        .select(
+            "doc_id",
+            F.col("lex_rank").cast("bigint").alias("lex_rank"),
+            F.col("sem_rank").cast("bigint").alias("sem_rank"),
+            dround(F.col("rrf_raw"), 6).alias("rrf"),
+        )
+    )

@@ -46,6 +46,9 @@ ALLOWLIST = {
     "ks_two_sample": "ECDF cumulative over the value-keyed length"
     " rollup (one row per distinct doc length — bounded by the length"
     " cap, not corpus rows; vocab_coverage class)",
+    "rrf_fusion_topk": "per-lane rank over TakeOrderedAndProject'd"
+    " <=50-row inputs (tpcds_q44 class); both retrieval lanes reach"
+    " their top-50 without a global window",
 }
 
 

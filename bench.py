@@ -247,6 +247,7 @@ HEADLINE = [
     "attribution_touchpoints",
     "kneser_ney_counts",
     "rrf_fusion_topk",
+    "pareto_abc_classification",
 ]
 
 

@@ -218,3 +218,66 @@ def ntile_expr(rn: Column, n_rows: int, n_tiles: int) -> Column:
         .otherwise(r + ((rn - big - 1) / max(q, 1)).cast("long") + 1)
         .cast("int")
     )
+
+
+def global_running_sum(
+    df: DataFrame,
+    order_by: list[tuple[str, str]],
+    val_col: str,
+    sum_col: str = "running",
+    buckets: int | None = None,
+) -> tuple[DataFrame, int]:
+    """Exact global prefix sum of ``val_col`` over a total order WITHOUT a
+    single-partition window — the scan primitive behind Pareto/ABC
+    classes, Lorenz curves and cumulative-share cutoffs.
+
+    Same two-phase structure as ``global_row_numbers``: range-bucket on
+    the first order key via percentile cuts (map-side literal array),
+    cumsum locally inside each bucket, then add each bucket's prefix
+    offset (the BOUNDED per-bucket sums collected once).  Exactness does
+    not depend on cut quality — cuts only balance the buckets.  The
+    value must be integral (BIGINT) so the prefix offsets are exact;
+    callers scale doubles to cents/micros first, the same convention the
+    integer-exact oracles use.  Returns ``(df + sum_col, grand_total)``.
+    """
+    lvl = df.storageLevel
+    src = df if (lvl.useMemory or lvl.useDisk) else persisted(df)
+    key_col, key_dir = order_by[0]
+    knum = _numeric_key(src, key_col)
+    n_buckets = buckets or 64
+    fracs = F.array(*[F.lit(i / n_buckets) for i in range(1, n_buckets)])
+    cuts_row = src.select(
+        F.percentile_approx(knum, fracs, max(1_000, 4 * n_buckets)).alias("c")
+    ).first()
+    cuts = sorted(set(cuts_row["c"] or []))
+    if key_dir == "desc":
+        bucket = F.lit(len(cuts)) - _bucket_expr(knum, cuts)
+    else:
+        bucket = _bucket_expr(knum, cuts)
+    with_bkt = src.withColumn("_bkt", bucket)
+    rows = (
+        with_bkt.groupBy("_bkt")
+        .agg(F.sum(F.col(val_col)).alias("_bs"))
+        .collect()
+    )
+    offsets: dict[int, int] = {}
+    acc = 0
+    for r in sorted(rows, key=lambda r: r["_bkt"]):
+        offsets[r["_bkt"]] = acc
+        acc += r["_bs"]
+    order_exprs = [
+        F.col(c).desc() if d == "desc" else F.col(c).asc()
+        for c, d in order_by
+    ]
+    w = (
+        Window.partitionBy("_bkt")
+        .orderBy(*order_exprs)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = with_bkt.withColumn(
+        sum_col,
+        (_offset_expr(offsets, "_bkt") + F.sum(F.col(val_col)).over(w)).cast(
+            "long"
+        ),
+    ).drop("_bkt")
+    return out, acc

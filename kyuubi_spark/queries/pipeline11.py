@@ -1350,3 +1350,73 @@ def rrf_fusion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             dround(F.col("rrf_raw"), 6).alias("rrf"),
         )
     )
+
+
+@query(
+    "pareto_abc_classification",
+    oracle="""
+    WITH pr AS (
+      SELECT l_partkey,
+             SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS cents
+      FROM lineitem GROUP BY 1),
+    g AS (SELECT SUM(cents) AS total FROM pr),
+    cum AS (
+      SELECT l_partkey, cents,
+             SUM(cents) OVER (ORDER BY cents DESC, l_partkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
+      FROM pr),
+    cls AS (
+      SELECT CASE WHEN 5 * cum.running <= 4 * g.total THEN 'A'
+                  WHEN 20 * cum.running <= 19 * g.total THEN 'B'
+                  ELSE 'C' END AS abc_class,
+             cum.cents, g.total
+      FROM cum, g)
+    SELECT abc_class,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           ROUND(SUM(cents) / 100.0, 2) AS revenue,
+           ROUND(CAST(SUM(cents) AS DOUBLE) / any_value(total), 6)
+             AS rev_share
+    FROM cls GROUP BY abc_class ORDER BY abc_class
+    """,
+    doc="Pareto / ABC inventory classification: parts ranked by revenue, "
+    "class A = the head covering 80% of cumulative revenue, B = the "
+    "next 15%, C = the tail — the classic 80/20 working-capital split. "
+    "The global prefix sum comes from the DISTRIBUTED exact scan "
+    "primitive (operators/ranking.py global_running_sum: percentile-"
+    "cut range buckets + per-bucket local cumsum + bounded prefix "
+    "offsets — no corpus-wide single-partition window; the oracle "
+    "replays it as a plain window cumsum). Class membership tests are "
+    "INTEGER-EXACT (5*running <= 4*total in cents), so the boundary "
+    "part never flips class on float rounding.",
+)
+def pareto_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kyuubi_spark.functions.compat import dround
+    from kyuubi_spark.operators.ranking import global_running_sum
+    from kyuubi_spark.session import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    pr = li.groupBy("l_partkey").agg(
+        F.sum(
+            F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")
+        ).alias("cents")
+    )
+    cum, total = global_running_sum(
+        pr, [("cents", "desc"), ("l_partkey", "asc")], "cents"
+    )
+    cls = cum.withColumn(
+        "abc_class",
+        F.when(5 * F.col("running") <= 4 * F.lit(total), "A")
+        .when(20 * F.col("running") <= 19 * F.lit(total), "B")
+        .otherwise("C"),
+    )
+    return (
+        cls.groupBy("abc_class")
+        .agg(
+            F.count("*").cast("bigint").alias("n_parts"),
+            dround(F.sum("cents") / 100.0, 2).alias("revenue"),
+            dround(
+                F.sum("cents").cast("double") / F.lit(float(total)), 6
+            ).alias("rev_share"),
+        )
+        .orderBy("abc_class")
+    )

@@ -430,3 +430,34 @@ def test_approx_count_distinct_within_5pct(spark, sf_dir):
         assert abs(r.approx_users - r.exact_users) <= 0.05 * r.exact_users, (
             r.event_type, r.approx_users, r.exact_users,
         )
+
+
+def test_global_running_sum_matches_window(spark, sf_dir):
+    """operators/ranking.py global_running_sum must equal a global-window
+    cumsum exactly — including ties crossing bucket cut points and both
+    key directions — and return the exact grand total."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from kyuubi_spark.operators.ranking import global_running_sum
+
+    df = spark.range(997).select(
+        F.col("id"),
+        (F.col("id") % 7).alias("k"),          # heavy ties on the bucket key
+        (F.col("id") * 37 % 991 + 1).alias("v"),
+    )
+    for direction in ("asc", "desc"):
+        got, total = global_running_sum(
+            df, [("k", direction), ("id", "asc")], "v", buckets=16
+        )
+        assert total == df.agg(F.sum("v")).first()[0]
+        order = [
+            F.col("k").desc() if direction == "desc" else F.col("k").asc(),
+            F.col("id").asc(),
+        ]
+        w = Window.orderBy(*order).rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        expected = df.withColumn("erun", F.sum("v").over(w))
+        joined = got.join(expected, ["id", "k", "v"])
+        assert joined.filter(F.col("running") != F.col("erun")).count() == 0

@@ -248,6 +248,8 @@ HEADLINE = [
     "kneser_ney_counts",
     "rrf_fusion_topk",
     "pareto_abc_classification",
+    "l_diversity_report",
+    "weighted_sample_ares",
 ]
 
 

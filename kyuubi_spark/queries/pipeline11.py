@@ -1420,3 +1420,130 @@ def pareto_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("abc_class")
     )
+
+
+@query(
+    "l_diversity_report",
+    oracle="""
+    WITH rec AS (
+      SELECT c.c_nationkey, c.c_mktsegment,
+             CAST(floor(c.c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+             o.o_orderpriority AS sensitive
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey),
+    grp AS (
+      SELECT c_nationkey, c_mktsegment, bal_band,
+             COUNT(*) AS n_rows, COUNT(DISTINCT sensitive) AS l
+      FROM rec GROUP BY 1, 2, 3),
+    g AS (SELECT SUM(n_rows) AS total FROM grp)
+    SELECT CAST(grp.l AS INTEGER) AS l,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(grp.n_rows) AS BIGINT) AS n_rows,
+           ROUND(100.0 * SUM(grp.n_rows) / any_value(g.total), 4)
+             AS pct_rows
+    FROM grp, g GROUP BY grp.l ORDER BY l
+    """,
+    doc="l-diversity audit — k-anonymity's sharper sibling "
+    "(k_anonymity_report shares the same quasi-identifier): a "
+    "QI group whose members all share one sensitive value leaks that "
+    "value even when the group is large, so the screen is the number "
+    "of DISTINCT sensitive values (order priority) per "
+    "(nation, segment, balance-band) group. Reports how many groups "
+    "and rows sit at each diversity level l — rows at l=1 are subject "
+    "to homogeneity attack. Plan: one key-equi join orders->customer, "
+    "one QI-keyed aggregate with partial distinct, a <=5-row rollup "
+    "with a broadcast total. At 100 TB the join broadcasts the "
+    "dimension side and the QI aggregate map-side combines.",
+)
+def l_diversity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kyuubi_spark.functions.compat import dround
+    from kyuubi_spark.session import load_table
+
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    rec = orders.join(
+        F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey")
+    ).select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000.0).cast("bigint").alias("bal_band"),
+        F.col("o_orderpriority").alias("sensitive"),
+    )
+    grp = rec.groupBy("c_nationkey", "c_mktsegment", "bal_band").agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("sensitive").alias("l"),
+    )
+    g = grp.agg(F.sum("n_rows").alias("total"))
+    return (
+        grp.groupBy("l")
+        .agg(
+            F.count("*").cast("bigint").alias("n_groups"),
+            F.sum("n_rows").alias("rows_l"),
+        )
+        .crossJoin(F.broadcast(g))
+        .select(
+            F.col("l").cast("int").alias("l"),
+            "n_groups",
+            F.col("rows_l").cast("bigint").alias("n_rows"),
+            dround(100.0 * F.col("rows_l") / F.col("total"), 4).alias(
+                "pct_rows"
+            ),
+        )
+        .orderBy("l")
+    )
+
+
+@query(
+    "weighted_sample_ares",
+    oracle="""
+    WITH u AS (
+      SELECT o_orderkey, o_totalprice,
+             ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))
+               ::BIGINT / 1152921504606846976.0 AS frac
+      FROM orders),
+    keyed AS (
+      SELECT o_orderkey, o_totalprice,
+             1000000.0 * (-ln(frac)) / o_totalprice AS skey
+      FROM u)
+    SELECT o_orderkey,
+           ROUND(o_totalprice, 2) AS weight,
+           ROUND(skey, 6) AS sample_key
+    FROM keyed
+    ORDER BY skey, o_orderkey
+    LIMIT 20
+    """,
+    doc="Weighted sampling without replacement (Efraimidis-Spirtsis "
+    "A-ES / exponential-jumps form): each row draws u from a "
+    "DETERMINISTIC md5 hash of its key (reproducible across engines "
+    "and reruns — the property a sampling audit needs) and the k "
+    "smallest -ln(u)/weight keys are the sample, which provably draws "
+    "each row with probability proportional to its weight. The 60-bit "
+    "md5 prefix gives u in (0,1); ln and one division are single "
+    "IEEE ops, so ordering is engine-exact. Plan: map-side key "
+    "computation + TakeOrderedAndProject top-k — one scan, no "
+    "shuffle beyond the k-row merge, embarrassingly parallel at "
+    "any scale.",
+)
+def weighted_sample_ares(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kyuubi_spark.functions.compat import dround
+    from kyuubi_spark.session import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    frac = F.conv(
+        F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 15), 16, 10
+    ).cast("bigint") / F.lit(1152921504606846976.0)
+    keyed = orders.select(
+        "o_orderkey",
+        "o_totalprice",
+        (F.lit(1000000.0) * -F.log(frac) / F.col("o_totalprice")).alias(
+            "skey"
+        ),
+    )
+    return (
+        keyed.orderBy("skey", "o_orderkey")
+        .limit(20)
+        .select(
+            "o_orderkey",
+            dround(F.col("o_totalprice"), 2).alias("weight"),
+            dround(F.col("skey"), 6).alias("sample_key"),
+        )
+    )

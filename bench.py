@@ -250,6 +250,7 @@ HEADLINE = [
     "pareto_abc_classification",
     "l_diversity_report",
     "weighted_sample_ares",
+    "stream_transition_counts",
 ]
 
 

@@ -861,3 +861,114 @@ def stream_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("k").alias("max_k"),
     )
     return run_to_memory(agg, output_mode="complete").orderBy("grp")
+
+
+@query(
+    "stream_transition_counts",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type AS from_type,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS to_type
+      FROM events),
+    trans AS (
+      SELECT from_type, to_type, COUNT(*) AS n_trans
+      FROM seq WHERE to_type IS NOT NULL
+      GROUP BY 1, 2),
+    tot AS (
+      SELECT from_type, SUM(n_trans) AS n_from
+      FROM trans GROUP BY 1)
+    SELECT trans.from_type, trans.to_type,
+           CAST(trans.n_trans AS BIGINT) AS n_trans,
+           ROUND(CAST(trans.n_trans AS DOUBLE) / tot.n_from, 6) AS prob
+    FROM trans JOIN tot USING (from_type)
+    ORDER BY from_type, to_type
+    """,
+    doc="STREAMING form of markov_transition_matrix: per-user event-type "
+    "transition counts maintained across microbatch boundaries. The "
+    "event log replays as four TIME-RANGE quarters in order (one file "
+    "per microbatch, mtimes pinned), and the state store carries each "
+    "user's last event (time, id, type) so a transition spanning a "
+    "batch boundary is counted exactly once — something no stateless "
+    "per-batch LEAD can do. Within a batch the Arrow-batched hook "
+    "sorts the user's rows by (event time, id), the same total order "
+    "the batch oracle's LEAD window uses, so the summed per-batch "
+    "increments are value-exact vs the batch transition matrix. State "
+    "is one fixed-width row per active user (eviction swap documented "
+    "in streaming/stateful.py).",
+)
+def stream_transition_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+    import time as _time
+
+    from kyuubi_spark.session import load_table
+    from kyuubi_spark.streaming.runner import run_to_memory
+    from kyuubi_spark.streaming.stateful import running_transition_counts
+
+    ensure_runtime_confs(spark)
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    bounds = events.agg(F.min("us").alias("mn"), F.max("us").alias("mx"))
+    qt = events.join(F.broadcast(bounds)).withColumn(
+        "qt",
+        1
+        + F.least(
+            F.lit(3),
+            F.floor(
+                4.0 * (F.col("us") - F.col("mn")) / (F.col("mx") - F.col("mn") + 1)
+            ).cast("long"),
+        ),
+    ).drop("mn", "mx")
+    work = tempfile.mkdtemp(prefix="kyuubi_stream_trans_")
+    src = os.path.join(work, "src")
+    os.makedirs(src)
+    try:
+        t0 = _time.time() - 1000
+        # in-order time-range quarters: the file source's (mtime, path)
+        # order IS event-time order, the contract the carried state needs
+        for pos, quartile in enumerate([1, 2, 3, 4]):
+            d = os.path.join(work, f"b{quartile}")
+            qt.filter(F.col("qt") == quartile).drop("qt").coalesce(
+                1
+            ).write.parquet(d)
+            part = [p for p in os.listdir(d) if p.endswith(".parquet")][0]
+            dst = os.path.join(src, f"batch-{pos}.parquet")
+            shutil.copy(os.path.join(d, part), dst)
+            os.utime(dst, (t0 + pos * 60, t0 + pos * 60))
+        stream = (
+            spark.readStream.schema(qt.drop("qt").schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        increments = run_to_memory(
+            running_transition_counts(stream), output_mode="update"
+        )
+        # pin the bounded memory-sink result before deriving two branches
+        # from it: a trans/tot self-join over the MemoryPlan view trips
+        # attribute dedup (Conflicting attributes), and the temp source
+        # dir is deleted on return anyway
+        increments = increments.localCheckpoint()
+        trans = increments.groupBy("from_type", "to_type").agg(
+            F.sum("n").alias("n_trans")
+        )
+        tot = trans.groupBy("from_type").agg(F.sum("n_trans").alias("n_from"))
+        out = (
+            trans.join(F.broadcast(tot), "from_type")
+            .select(
+                "from_type",
+                "to_type",
+                F.col("n_trans").cast("bigint").alias("n_trans"),
+                dround(
+                    F.col("n_trans").cast("double") / F.col("n_from"), 6
+                ).alias("prob"),
+            )
+            .orderBy("from_type", "to_type")
+        )
+        return out
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

@@ -17,6 +17,7 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     DoubleType,
     LongType,
+    StringType,
     StructField,
     StructType,
 )
@@ -161,5 +162,74 @@ def running_user_totals_tws(events: DataFrame) -> DataFrame:
             outputStructType=_OUT_SCHEMA,
             outputMode="update",
             timeMode="None",
+        )
+    )
+
+
+_TRANS_OUT_SCHEMA = StructType(
+    [
+        StructField("from_type", StringType()),
+        StructField("to_type", StringType()),
+        StructField("n", LongType()),
+    ]
+)
+_TRANS_STATE_SCHEMA = StructType(
+    [
+        StructField("last_us", LongType()),
+        StructField("last_eid", LongType()),
+        StructField("last_type", StringType()),
+    ]
+)
+
+
+def _update_transitions(
+    key, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    rows = pd.concat(list(pdfs), ignore_index=True)
+    # total (event-time, id) order INSIDE the batch; cross-batch order is
+    # the source's contract (time-partitioned arrival), carried via state
+    rows = rows.sort_values(["us", "event_id"], kind="mergesort")
+    types = rows["event_type"].tolist()
+    if state.exists:
+        _, _, last_type = state.get
+        types = [last_type] + types
+    if len(rows):
+        state.update(
+            (
+                int(rows["us"].iloc[-1]),
+                int(rows["event_id"].iloc[-1]),
+                str(rows["event_type"].iloc[-1]),
+            )
+        )
+    pairs: dict[tuple[str, str], int] = {}
+    for a, b in zip(types, types[1:]):
+        pairs[(a, b)] = pairs.get((a, b), 0) + 1
+    if pairs:
+        yield pd.DataFrame(
+            [
+                {"from_type": a, "to_type": b, "n": n}
+                for (a, b), n in pairs.items()
+            ]
+        )
+
+
+def running_transition_counts(events: DataFrame) -> DataFrame:
+    """Per-user event-type transition counts maintained across
+    microbatches: the state store carries each user's LAST event (time,
+    id, type), so a transition spanning a batch boundary is counted
+    exactly once — the stateful form of the batch LEAD window.  Emits
+    per-batch (from, to, n) increments; the caller sums them (update
+    mode).  State is one fixed-width row per active user; swap
+    NoTimeout for EventTimeTimeout eviction in an always-on job exactly
+    as running_user_totals_evicting does."""
+    return (
+        events.select("user_id", "event_id", "event_type", "us")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update_transitions,
+            outputStructType=_TRANS_OUT_SCHEMA,
+            stateStructType=_TRANS_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )

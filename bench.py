@@ -251,6 +251,8 @@ HEADLINE = [
     "l_diversity_report",
     "weighted_sample_ares",
     "stream_transition_counts",
+    "simpson_reversal_audit",
+    "quantile_shift_report",
 ]
 
 

@@ -1547,3 +1547,210 @@ def weighted_sample_ares(spark: SparkSession, sf_dir: str) -> DataFrame:
             dround(F.col("skey"), 6).alias("sample_key"),
         )
     )
+
+
+@query(
+    "simpson_reversal_audit",
+    oracle="""
+    WITH assign AS (
+      SELECT c_custkey, c_mktsegment,
+             (c_custkey * 2654435761) % 2 AS variant
+      FROM customer),
+    conv AS (
+      SELECT DISTINCT o_custkey FROM orders
+      WHERE o_orderpriority = '1-URGENT'),
+    rec AS (
+      SELECT a.c_mktsegment AS segment, a.variant,
+             CASE WHEN conv.o_custkey IS NULL THEN 0 ELSE 1 END AS converted
+      FROM assign a LEFT JOIN conv ON conv.o_custkey = a.c_custkey),
+    seg AS (
+      SELECT segment,
+             SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS n_a,
+             SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS n_b,
+             SUM(CASE WHEN variant = 0 THEN converted ELSE 0 END) AS conv_a,
+             SUM(CASE WHEN variant = 1 THEN converted ELSE 0 END) AS conv_b
+      FROM rec GROUP BY 1),
+    pooled AS (
+      SELECT SUM(conv_a) * SUM(n_b) - SUM(conv_b) * SUM(n_a) AS pooled_num
+      FROM seg)
+    SELECT seg.segment,
+           CAST(seg.n_a AS BIGINT) AS n_a,
+           CAST(seg.n_b AS BIGINT) AS n_b,
+           ROUND(CAST(seg.conv_a AS DOUBLE) / seg.n_a, 6) AS rate_a,
+           ROUND(CAST(seg.conv_b AS DOUBLE) / seg.n_b, 6) AS rate_b,
+           CAST(CASE WHEN sign(seg.conv_a * seg.n_b - seg.conv_b * seg.n_a)
+                          * sign(pooled.pooled_num) < 0
+                     THEN 1 ELSE 0 END AS INTEGER) AS reversed
+    FROM seg, pooled ORDER BY segment
+    """,
+    doc="Simpson's-paradox audit for the A/B experiment: does any "
+    "segment's treatment effect point the OPPOSITE way from the pooled "
+    "effect? (The classic aggregation trap — a pooled win hiding a "
+    "per-segment loss.) The sign comparison is INTEGER-EXACT: "
+    "rate_a > rate_b iff conv_a*n_b > conv_b*n_a (cross-multiplied), "
+    "so no float subtraction decides a reversal. Same hash assignment "
+    "and conversion definition as ab_test_zscore. Plan: one "
+    "distinct-converter left join, a segment-keyed conditional "
+    "aggregate, and a 1-row pooled broadcast — a 5-row result at "
+    "any corpus size.",
+)
+def simpson_reversal_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kyuubi_spark.functions.compat import dround
+    from kyuubi_spark.session import load_table
+
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    assign = cust.select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        ((F.col("c_custkey") * F.lit(2654435761)) % 2).alias("variant"),
+    )
+    conv = (
+        orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+        .distinct()
+    )
+    rec = assign.join(
+        conv, assign.c_custkey == conv.o_custkey, "left"
+    ).select(
+        "segment",
+        "variant",
+        F.when(F.col("o_custkey").isNull(), 0).otherwise(1).alias("converted"),
+    )
+    seg = rec.groupBy("segment").agg(
+        F.sum(F.when(F.col("variant") == 0, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("variant") == 1, 1).otherwise(0)).alias("n_b"),
+        F.sum(
+            F.when(F.col("variant") == 0, F.col("converted")).otherwise(0)
+        ).alias("conv_a"),
+        F.sum(
+            F.when(F.col("variant") == 1, F.col("converted")).otherwise(0)
+        ).alias("conv_b"),
+    )
+    pooled = seg.agg(
+        (
+            F.sum("conv_a") * F.sum("n_b") - F.sum("conv_b") * F.sum("n_a")
+        ).alias("pooled_num")
+    )
+    seg_num = F.col("conv_a") * F.col("n_b") - F.col("conv_b") * F.col("n_a")
+    return (
+        seg.crossJoin(F.broadcast(pooled))
+        .select(
+            "segment",
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+            dround(F.col("conv_a").cast("double") / F.col("n_a"), 6).alias(
+                "rate_a"
+            ),
+            dround(F.col("conv_b").cast("double") / F.col("n_b"), 6).alias(
+                "rate_b"
+            ),
+            F.when(
+                F.signum(seg_num.cast("double"))
+                * F.signum(F.col("pooled_num").cast("double"))
+                < 0,
+                1,
+            )
+            .otherwise(0)
+            .cast("int")
+            .alias("reversed"),
+        )
+        .orderBy("segment")
+    )
+
+
+@query(
+    "quantile_shift_report",
+    oracle="""
+    WITH ranked AS (
+      SELECT source, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY n_chars, doc_id) AS r_s,
+             COUNT(*) OVER (PARTITION BY source) AS n_s
+      FROM documents),
+    pooled_ranked AS (
+      SELECT n_chars,
+             ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS r_p
+      FROM documents),
+    n AS (SELECT COUNT(*) AS total FROM documents),
+    d AS (SELECT unnest([1, 5, 9]) AS decile),
+    src_q AS (
+      SELECT ranked.source, d.decile, ranked.n_chars AS src_len
+      FROM ranked, d
+      WHERE ranked.r_s = CAST(ceil(d.decile * ranked.n_s / 10.0) AS BIGINT)),
+    pool_q AS (
+      SELECT d.decile, pooled_ranked.n_chars AS pooled_len
+      FROM pooled_ranked, d, n
+      WHERE pooled_ranked.r_p
+            = CAST(ceil(d.decile * n.total / 10.0) AS BIGINT))
+    SELECT src_q.source, CAST(src_q.decile AS INTEGER) AS decile,
+           CAST(src_q.src_len AS BIGINT) AS src_len,
+           CAST(pool_q.pooled_len AS BIGINT) AS pooled_len,
+           CAST(src_q.src_len - pool_q.pooled_len AS BIGINT) AS shift
+    FROM src_q JOIN pool_q USING (decile)
+    ORDER BY source, decile
+    """,
+    doc="Per-source quantile-shift report: each source's exact P10/P50/"
+    "P90 document length against the pooled corpus quantiles — the "
+    "distribution-alignment check quantile normalization starts from, "
+    "INTEGER-EXACT throughout (quantiles are selected by rank, never "
+    "interpolated, so no float percentile semantics can diverge "
+    "between engines). Per-source ranks are keyed windows; the POOLED "
+    "rank comes from the distributed exact ranker "
+    "(operators/ranking.py — no corpus-wide window; the oracle "
+    "replays it as a plain global ROW_NUMBER). Quantile positions "
+    "ceil(d*n/10) are computed map-side from broadcast per-source "
+    "counts.",
+)
+def quantile_shift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from kyuubi_spark.operators.ranking import global_row_number
+    from kyuubi_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    w = Window.partitionBy("source")
+    ranked = docs.select(
+        "source",
+        "n_chars",
+        F.row_number().over(w.orderBy("n_chars", "doc_id")).alias("r_s"),
+        F.count("*").over(w).alias("n_s"),
+    )
+    deciles = F.array(*[F.lit(d) for d in (1, 5, 9)])
+    src_q = (
+        ranked.select(
+            "source", "n_chars", "r_s", "n_s",
+            F.explode(deciles).alias("decile"),
+        )
+        .filter(
+            F.col("r_s")
+            == F.ceil(F.col("decile") * F.col("n_s") / 10.0).cast("bigint")
+        )
+        .select("source", "decile", F.col("n_chars").alias("src_len"))
+    )
+    pooled, total = global_row_number(
+        docs, [("n_chars", "asc"), ("doc_id", "asc")], rn_col="r_p"
+    )
+    pool_q = (
+        pooled.select("n_chars", "r_p", F.explode(deciles).alias("decile"))
+        .filter(
+            F.col("r_p")
+            == F.ceil(F.col("decile") * F.lit(total) / 10.0).cast("bigint")
+        )
+        .select("decile", F.col("n_chars").alias("pooled_len"))
+    )
+    return (
+        src_q.join(F.broadcast(pool_q), "decile")
+        .select(
+            "source",
+            F.col("decile").cast("int").alias("decile"),
+            F.col("src_len").cast("bigint").alias("src_len"),
+            F.col("pooled_len").cast("bigint").alias("pooled_len"),
+            (F.col("src_len") - F.col("pooled_len"))
+            .cast("bigint")
+            .alias("shift"),
+        )
+        .orderBy("source", "decile")
+    )

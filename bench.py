@@ -253,6 +253,8 @@ HEADLINE = [
     "stream_transition_counts",
     "simpson_reversal_audit",
     "quantile_shift_report",
+    "revenue_autocorrelation",
+    "event_burstiness_fano",
 ]
 
 

@@ -1754,3 +1754,140 @@ def quantile_shift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "decile")
     )
+
+
+@query(
+    "revenue_autocorrelation",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             SUM(CAST(round(o_totalprice) AS BIGINT)) AS dollars
+      FROM orders GROUP BY 1),
+    lags AS (SELECT unnest([1, 7, 30, 365]) AS lag),
+    pairs AS (
+      SELECT lags.lag, a.dollars AS x, b.dollars AS y
+      FROM daily a
+      JOIN lags ON TRUE
+      JOIN daily b ON b.day = a.day + lags.lag * INTERVAL 1 DAY),
+    m AS (
+      SELECT lag, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+      FROM pairs GROUP BY lag)
+    SELECT CAST(lag AS INTEGER) AS lag, CAST(n AS BIGINT) AS n_pairs,
+           ROUND((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                    * sqrt(CAST(n AS DOUBLE) * syy
+                           - CAST(sy AS DOUBLE) * sy)), 6) AS acf
+    FROM m ORDER BY lag
+    """,
+    doc="Revenue autocorrelation at business-relevant lags (1d, 1w, "
+    "1m, 1y) — the seasonality/persistence fingerprint a forecaster "
+    "reads first. The series is the day-keyed rollup in WHOLE DOLLARS "
+    "(BIGINT, so the lag-join moment sums are exact integers that fit "
+    "— cents would overflow sum(x*y) at the 7-year series length) and "
+    "Pearson r divides once in doubles. The lag alignment is a "
+    "self-EQUI-join on day+lag over the calendar-bounded rollup (no "
+    "window at all, so nothing to allowlist); at 100 TB only the "
+    "day-keyed aggregate sees the corpus.",
+)
+def revenue_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kyuubi_spark.functions.compat import dround
+    from kyuubi_spark.session import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice"), 0).cast("bigint")).alias(
+            "dollars"
+        )
+    )
+    lags = spark.range(1).select(
+        F.explode(F.array(*[F.lit(x) for x in (1, 7, 30, 365)])).alias("lag")
+    )
+    a = daily.select(F.col("day").alias("da"), F.col("dollars").alias("x"))
+    b = daily.select(F.col("day").alias("db"), F.col("dollars").alias("y"))
+    pairs = (
+        a.join(F.broadcast(lags))
+        .join(
+            b,
+            F.col("db") == F.expr("date_add(da, CAST(lag AS INT))"),
+        )
+    )
+    m = pairs.groupBy("lag").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    sxd = F.col("sx").cast("double")
+    syd = F.col("sy").cast("double")
+    return m.select(
+        F.col("lag").cast("int").alias("lag"),
+        F.col("n").cast("bigint").alias("n_pairs"),
+        dround(
+            (nd * F.col("sxy") - sxd * F.col("sy"))
+            / (
+                F.sqrt(nd * F.col("sxx") - sxd * F.col("sx"))
+                * F.sqrt(nd * F.col("syy") - syd * F.col("sy"))
+            ),
+            6,
+        ).alias("acf"),
+    ).orderBy("lag")
+
+
+@query(
+    "event_burstiness_fano",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS c
+      FROM events GROUP BY 1, 2),
+    m AS (
+      SELECT event_type, COUNT(*) AS n_days, SUM(c) AS sc,
+             SUM(c * c) AS scc
+      FROM daily GROUP BY 1)
+    SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
+           CAST(sc AS BIGINT) AS n_events,
+           ROUND(CAST(sc AS DOUBLE) / n_days, 4) AS mean_daily,
+           ROUND((CAST(scc AS DOUBLE) * n_days - CAST(sc AS DOUBLE) * sc)
+                 / (CAST(n_days AS DOUBLE) * n_days), 4) AS var_daily,
+           ROUND((CAST(scc AS DOUBLE) * n_days - CAST(sc AS DOUBLE) * sc)
+                 / (CAST(n_days AS DOUBLE) * sc), 4) AS fano
+    FROM m ORDER BY event_type
+    """,
+    doc="Event burstiness via the Fano factor (variance/mean of daily "
+    "counts per event type): ~1 for a Poisson arrival process, >1 for "
+    "bursty traffic — the dispersion screen that separates organic "
+    "activity from batchy/bot-like load before rate-based features "
+    "are trusted. Population variance is computed from exact integer "
+    "moments (sum c, sum c^2 over the calendar-bounded daily rollup) "
+    "in one double expression. Plan: two keyed aggregates, both "
+    "map-side combined; result is |event types| rows.",
+)
+def event_burstiness_fano(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kyuubi_spark.functions.compat import dround
+    from kyuubi_spark.session import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count("*").alias("c"))
+    m = daily.groupBy("event_type").agg(
+        F.count("*").alias("n_days"),
+        F.sum("c").alias("sc"),
+        F.sum(F.col("c") * F.col("c")).alias("scc"),
+    )
+    nd = F.col("n_days").cast("double")
+    scd = F.col("sc").cast("double")
+    var_num = F.col("scc").cast("double") * F.col("n_days") - scd * F.col("sc")
+    return m.select(
+        "event_type",
+        F.col("n_days").cast("bigint").alias("n_days"),
+        F.col("sc").cast("bigint").alias("n_events"),
+        dround(scd / F.col("n_days"), 4).alias("mean_daily"),
+        dround(var_num / (nd * F.col("n_days")), 4).alias("var_daily"),
+        dround(var_num / (nd * F.col("sc")), 4).alias("fano"),
+    ).orderBy("event_type")

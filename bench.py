@@ -255,6 +255,8 @@ HEADLINE = [
     "quantile_shift_report",
     "revenue_autocorrelation",
     "event_burstiness_fano",
+    "referential_integrity_audit",
+    "covisitation_topk",
 ]
 
 

@@ -1891,3 +1891,214 @@ def event_burstiness_fano(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(var_num / (nd * F.col("n_days")), 4).alias("var_daily"),
         dround(var_num / (nd * F.col("sc")), 4).alias("fano"),
     ).orderBy("event_type")
+
+
+@query(
+    "referential_integrity_audit",
+    oracle="""
+    WITH checks AS (
+      SELECT 'lineitem.l_orderkey->orders' AS fk,
+             (SELECT COUNT(*) FROM lineitem) AS n_child,
+             (SELECT COUNT(*) FROM lineitem l
+              WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                WHERE o.o_orderkey = l.l_orderkey))
+               AS n_orphans
+      UNION ALL
+      SELECT 'lineitem.l_partkey->part',
+             (SELECT COUNT(*) FROM lineitem),
+             (SELECT COUNT(*) FROM lineitem l
+              WHERE NOT EXISTS (SELECT 1 FROM part p
+                                WHERE p.p_partkey = l.l_partkey))
+      UNION ALL
+      SELECT 'lineitem.l_suppkey->supplier',
+             (SELECT COUNT(*) FROM lineitem),
+             (SELECT COUNT(*) FROM lineitem l
+              WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                                WHERE s.s_suppkey = l.l_suppkey))
+      UNION ALL
+      SELECT 'orders.o_custkey->customer',
+             (SELECT COUNT(*) FROM orders),
+             (SELECT COUNT(*) FROM orders o
+              WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                WHERE c.c_custkey = o.o_custkey))
+      UNION ALL
+      SELECT 'customer.c_nationkey->nation',
+             (SELECT COUNT(*) FROM customer),
+             (SELECT COUNT(*) FROM customer c
+              WHERE NOT EXISTS (SELECT 1 FROM nation n
+                                WHERE n.n_nationkey = c.c_nationkey))
+      UNION ALL
+      SELECT 'supplier.s_nationkey->nation',
+             (SELECT COUNT(*) FROM supplier),
+             (SELECT COUNT(*) FROM supplier s
+              WHERE NOT EXISTS (SELECT 1 FROM nation n
+                                WHERE n.n_nationkey = s.s_nationkey))
+      UNION ALL
+      SELECT 'nation.n_regionkey->region',
+             (SELECT COUNT(*) FROM nation),
+             (SELECT COUNT(*) FROM nation n
+              WHERE NOT EXISTS (SELECT 1 FROM region r
+                                WHERE r.r_regionkey = n.n_regionkey))
+      UNION ALL
+      SELECT 'events.user_id->customer',
+             (SELECT COUNT(*) FROM events),
+             (SELECT COUNT(*) FROM events e
+              WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                WHERE c.c_custkey = e.user_id)))
+    SELECT fk, CAST(n_child AS BIGINT) AS n_child,
+           CAST(n_orphans AS BIGINT) AS n_orphans,
+           ROUND(100.0 * n_orphans / n_child, 4) AS pct_orphans
+    FROM checks ORDER BY fk
+    """,
+    doc="Referential-integrity audit across the whole star schema: for "
+    "every declared FK edge (lineitem->orders/part/supplier, "
+    "orders->customer, customer/supplier->nation, nation->region, plus "
+    "the behavioral events.user_id->customer link), count child rows "
+    "whose key has no parent — the first report a warehouse migration "
+    "or a training-data join plan needs, since every silent orphan "
+    "becomes a dropped row in an inner join. Each check is one "
+    "LEFT ANTI join (broadcast for dimension parents, shuffled-keyed "
+    "for the fact-fact edge) + a count; the 8-row union is constant "
+    "size at any corpus scale.",
+)
+def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from functools import reduce
+
+    from kyuubi_spark.functions.compat import dround
+    from kyuubi_spark.session import load_table
+
+    t = {
+        n: load_table(spark, sf_dir, n)
+        for n in (
+            "lineitem",
+            "orders",
+            "part",
+            "supplier",
+            "customer",
+            "nation",
+            "region",
+            "events",
+        )
+    }
+    checks = [
+        ("lineitem.l_orderkey->orders", t["lineitem"], "l_orderkey",
+         t["orders"], "o_orderkey", False),
+        ("lineitem.l_partkey->part", t["lineitem"], "l_partkey",
+         t["part"], "p_partkey", True),
+        ("lineitem.l_suppkey->supplier", t["lineitem"], "l_suppkey",
+         t["supplier"], "s_suppkey", True),
+        ("orders.o_custkey->customer", t["orders"], "o_custkey",
+         t["customer"], "c_custkey", True),
+        ("customer.c_nationkey->nation", t["customer"], "c_nationkey",
+         t["nation"], "n_nationkey", True),
+        ("supplier.s_nationkey->nation", t["supplier"], "s_nationkey",
+         t["nation"], "n_nationkey", True),
+        ("nation.n_regionkey->region", t["nation"], "n_regionkey",
+         t["region"], "r_regionkey", True),
+        ("events.user_id->customer", t["events"], "user_id",
+         t["customer"], "c_custkey", True),
+    ]
+    rows = []
+    for fk, child, ck, parent, pk, bcast in checks:
+        pkeys = parent.select(pk)
+        if bcast:
+            pkeys = F.broadcast(pkeys)
+        orphans = child.join(
+            pkeys, child[ck] == pkeys[pk], "left_anti"
+        ).agg(F.count("*").alias("n_orphans"))
+        total = child.agg(F.count("*").alias("n_child"))
+        rows.append(
+            total.crossJoin(orphans).select(
+                F.lit(fk).alias("fk"), "n_child", "n_orphans"
+            )
+        )
+    u = reduce(lambda a, b: a.unionAll(b), rows)
+    return u.select(
+        "fk",
+        F.col("n_child").cast("bigint").alias("n_child"),
+        F.col("n_orphans").cast("bigint").alias("n_orphans"),
+        dround(100.0 * F.col("n_orphans") / F.col("n_child"), 4).alias(
+            "pct_orphans"
+        ),
+    ).orderBy("fk")
+
+
+@query(
+    "covisitation_topk",
+    oracle="""
+    WITH op AS (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+    pairs AS (
+      SELECT a.pk AS pa, b.pk AS pb, COUNT(*) AS n_co
+      FROM op a JOIN op b ON a.ok = b.ok AND a.pk <> b.pk
+      GROUP BY 1, 2),
+    seed_tot AS (
+      SELECT pa AS seed, SUM(n_co) AS total_co FROM pairs GROUP BY 1),
+    seeds AS (
+      SELECT seed, total_co FROM seed_tot
+      ORDER BY total_co DESC, seed LIMIT 10),
+    ranked AS (
+      SELECT pairs.pa AS seed, pairs.pb AS neighbor, pairs.n_co,
+             ROW_NUMBER() OVER (PARTITION BY pairs.pa
+                                ORDER BY pairs.n_co DESC, pairs.pb) AS rnk
+      FROM pairs JOIN seeds ON seeds.seed = pairs.pa)
+    SELECT CAST(seed AS BIGINT) AS seed,
+           CAST(neighbor AS BIGINT) AS neighbor,
+           CAST(n_co AS BIGINT) AS n_co,
+           CAST(rnk AS INTEGER) AS rnk
+    FROM ranked WHERE rnk <= 3
+    ORDER BY seed, rnk
+    """,
+    doc="Co-visitation top-k — the classical 'bought X, also bought Y' "
+    "recommender primitive (the item-item heart of e-commerce recsys "
+    "and of co-occurrence candidate generation): directed co-purchase "
+    "counts, top-3 neighbors for the 10 most-connected seed items. "
+    "Plan: the order-keyed pair self-join (spec-bounded lines/order), "
+    "a (pa,pb)-keyed count, seed selection via TakeOrderedAndProject, "
+    "then a PER-SEED (keyed) top-k window over the broadcast-filtered "
+    "10-seed slice — no global window, no all-pairs over the catalog. "
+    "Deterministic: neighbor ranks break count ties by id.",
+)
+def covisitation_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from kyuubi_spark.caching import persisted
+    from kyuubi_spark.session import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    a = op.select(F.col("ok"), F.col("pk").alias("pa"))
+    b = op.select(F.col("ok"), F.col("pk").alias("pb"))
+    pairs = persisted(
+        a.join(b, "ok")
+        .filter(F.col("pa") != F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count("*").alias("n_co"))
+    )
+    seeds = (
+        pairs.groupBy(F.col("pa").alias("seed"))
+        .agg(F.sum("n_co").alias("total_co"))
+        .orderBy(F.col("total_co").desc(), "seed")
+        .limit(10)
+        .select("seed")
+    )
+    w = Window.partitionBy("seed").orderBy(F.col("n_co").desc(), "neighbor")
+    return (
+        pairs.join(
+            F.broadcast(seeds), pairs.pa == seeds.seed
+        )
+        .select(
+            "seed", F.col("pb").alias("neighbor"), "n_co"
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            F.col("seed").cast("bigint").alias("seed"),
+            F.col("neighbor").cast("bigint").alias("neighbor"),
+            F.col("n_co").cast("bigint").alias("n_co"),
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+        .orderBy("seed", "rnk")
+    )

@@ -257,6 +257,8 @@ HEADLINE = [
     "event_burstiness_fano",
     "referential_integrity_audit",
     "covisitation_topk",
+    "t_closeness_report",
+    "ips_policy_value",
 ]
 
 

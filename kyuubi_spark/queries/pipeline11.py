@@ -2102,3 +2102,184 @@ def covisitation_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("seed", "rnk")
     )
+
+
+_PRIORITIES = [
+    "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW",
+]
+
+
+@query(
+    "t_closeness_report",
+    oracle="""
+    WITH rec AS (
+      SELECT c.c_nationkey, c.c_mktsegment,
+             CAST(floor(c.c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+             o.o_orderpriority AS sensitive
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey),
+    grp AS (
+      SELECT c_nationkey, c_mktsegment, bal_band,
+             COUNT(*) AS n_g,
+             SUM(CASE WHEN sensitive = '1-URGENT' THEN 1 ELSE 0 END) AS p1,
+             SUM(CASE WHEN sensitive = '2-HIGH' THEN 1 ELSE 0 END) AS p2,
+             SUM(CASE WHEN sensitive = '3-MEDIUM' THEN 1 ELSE 0 END) AS p3,
+             SUM(CASE WHEN sensitive = '4-NOT SPECIFIED' THEN 1 ELSE 0 END)
+               AS p4
+      FROM rec GROUP BY 1, 2, 3),
+    gl AS (
+      SELECT SUM(n_g) AS nn, SUM(p1) AS g1, SUM(p1 + p2) AS g2,
+             SUM(p1 + p2 + p3) AS g3, SUM(p1 + p2 + p3 + p4) AS g4
+      FROM grp),
+    emd AS (
+      SELECT grp.n_g,
+             abs(grp.p1 * gl.nn - gl.g1 * grp.n_g)
+             + abs((grp.p1 + grp.p2) * gl.nn - gl.g2 * grp.n_g)
+             + abs((grp.p1 + grp.p2 + grp.p3) * gl.nn
+                   - gl.g3 * grp.n_g)
+             + abs((grp.p1 + grp.p2 + grp.p3 + grp.p4) * gl.nn
+                   - gl.g4 * grp.n_g) AS num,
+             4 * grp.n_g * gl.nn AS den
+      FROM grp, gl),
+    banded AS (
+      SELECT CASE WHEN 10 * num <= den THEN 'a_t<=0.1'
+                  WHEN 5 * num <= den THEN 'b_t<=0.2'
+                  ELSE 'c_t>0.2' END AS t_band,
+             n_g, CAST(num AS DOUBLE) / den AS emd
+      FROM emd)
+    SELECT t_band, CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(n_g) AS BIGINT) AS n_rows,
+           ROUND(MAX(emd), 6) AS max_emd
+    FROM banded GROUP BY 1 ORDER BY t_band
+    """,
+    doc="t-closeness audit — the third leg of the privacy triad "
+    "(k_anonymity_report, l_diversity_report share the same "
+    "quasi-identifier): even a diverse group leaks if its sensitive-"
+    "value DISTRIBUTION diverges from the corpus-wide one, so the "
+    "screen is the Earth Mover's Distance between each QI group's "
+    "order-priority distribution and the global distribution over the "
+    "ordered categories (EMD = mean |cumulative-share gap|). Every "
+    "comparison is INTEGER-EXACT: cum shares are cross-multiplied "
+    "rationals |c_k*N - C_k*n_g| with one division at report time, "
+    "and the t<=0.1/0.2 band tests are scaled-integer inequalities. "
+    "Plan: one broadcast dim join, one QI-keyed conditional aggregate "
+    "(the 5 category columns pivot map-side), a 1-row global "
+    "broadcast, a 3-row band rollup.",
+)
+def t_closeness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kyuubi_spark.functions.compat import dround
+    from kyuubi_spark.session import load_table
+
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    rec = orders.join(
+        F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey")
+    ).select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000.0).cast("bigint").alias("bal_band"),
+        F.col("o_orderpriority").alias("sensitive"),
+    )
+    pcols = [
+        F.sum(F.when(F.col("sensitive") == p, 1).otherwise(0)).alias(
+            f"p{i + 1}"
+        )
+        for i, p in enumerate(_PRIORITIES[:4])
+    ]
+    grp = rec.groupBy("c_nationkey", "c_mktsegment", "bal_band").agg(
+        F.count("*").alias("n_g"), *pcols
+    )
+    c1 = F.col("p1")
+    c2 = F.col("p1") + F.col("p2")
+    c3 = c2 + F.col("p3")
+    c4 = c3 + F.col("p4")
+    glob = grp.agg(
+        F.sum("n_g").alias("nn"),
+        F.sum(c1).alias("g1"),
+        F.sum(c2).alias("g2"),
+        F.sum(c3).alias("g3"),
+        F.sum(c4).alias("g4"),
+    )
+    emd = grp.crossJoin(F.broadcast(glob)).select(
+        "n_g",
+        (
+            F.abs(c1 * F.col("nn") - F.col("g1") * F.col("n_g"))
+            + F.abs(c2 * F.col("nn") - F.col("g2") * F.col("n_g"))
+            + F.abs(c3 * F.col("nn") - F.col("g3") * F.col("n_g"))
+            + F.abs(c4 * F.col("nn") - F.col("g4") * F.col("n_g"))
+        ).alias("num"),
+        (4 * F.col("n_g") * F.col("nn")).alias("den"),
+    )
+    banded = emd.select(
+        F.when(10 * F.col("num") <= F.col("den"), "a_t<=0.1")
+        .when(5 * F.col("num") <= F.col("den"), "b_t<=0.2")
+        .otherwise("c_t>0.2")
+        .alias("t_band"),
+        "n_g",
+        (F.col("num").cast("double") / F.col("den")).alias("emd"),
+    )
+    return (
+        banded.groupBy("t_band")
+        .agg(
+            F.count("*").cast("bigint").alias("n_groups"),
+            F.sum("n_g").cast("bigint").alias("n_rows"),
+            dround(F.max("emd"), 6).alias("max_emd"),
+        )
+        .orderBy("t_band")
+    )
+
+
+@query(
+    "ips_policy_value",
+    oracle="""
+    WITH logged AS (
+      SELECT event_type AS action, value AS reward FROM events),
+    a AS (
+      SELECT action, COUNT(*) AS n, ROUND(SUM(reward), 2) AS sum_reward
+      FROM logged GROUP BY 1),
+    g AS (SELECT SUM(n) AS nn, COUNT(*) AS k FROM a)
+    SELECT a.action, CAST(a.n AS BIGINT) AS n,
+           ROUND(CAST(a.n AS DOUBLE) / g.nn, 6) AS logging_p,
+           ROUND(1.0 / g.k, 6) AS target_p,
+           a.sum_reward,
+           ROUND(a.sum_reward / (g.k * a.n), 6) AS ips_contrib
+    FROM a, g ORDER BY a.action
+    """,
+    doc="Off-policy evaluation via Inverse Propensity Scoring — the "
+    "counterfactual question every logged-interaction dataset gets "
+    "asked before a policy change ships: what value WOULD the uniform "
+    "target policy have earned on this log? Each action's IPS "
+    "contribution is (1/N) * sum(reward * target_p / logging_p) with "
+    "the empirical logging propensity n_a/N, which collapses "
+    "algebraically to sum_reward_a / (k * n_a) — so the estimate "
+    "needs only per-action keyed aggregates (count + reward sum, "
+    "rounded before the ratio per the repo's float-sum convention). "
+    "Per-action rows keep the output deterministic (no cross-action "
+    "float total). Plan: one map-side keyed aggregate + a 1-row "
+    "broadcast — a |actions|-row result at any log size.",
+)
+def ips_policy_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kyuubi_spark.functions.compat import dround
+    from kyuubi_spark.session import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.groupBy(F.col("event_type").alias("action")).agg(
+        F.count("*").alias("n"),
+        dround(F.sum("value"), 2).alias("sum_reward"),
+    )
+    g = a.agg(F.sum("n").alias("nn"), F.count("*").alias("k"))
+    return (
+        a.crossJoin(F.broadcast(g))
+        .select(
+            "action",
+            F.col("n").cast("bigint").alias("n"),
+            dround(F.col("n").cast("double") / F.col("nn"), 6).alias(
+                "logging_p"
+            ),
+            dround(F.lit(1.0) / F.col("k"), 6).alias("target_p"),
+            "sum_reward",
+            dround(
+                F.col("sum_reward") / (F.col("k") * F.col("n")), 6
+            ).alias("ips_contrib"),
+        )
+        .orderBy("action")
+    )

@@ -259,6 +259,8 @@ HEADLINE = [
     "covisitation_topk",
     "t_closeness_report",
     "ips_policy_value",
+    "growth_accounting_weekly",
+    "dau_wau_stickiness",
 ]
 
 

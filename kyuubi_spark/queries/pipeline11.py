@@ -2283,3 +2283,181 @@ def ips_policy_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("action")
     )
+
+
+@query(
+    "growth_accounting_weekly",
+    oracle="""
+    WITH um AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS m FROM events),
+    seq AS (
+      SELECT user_id, m,
+             LAG(m) OVER (PARTITION BY user_id ORDER BY m) AS prev_m
+      FROM um),
+    tagged AS (
+      SELECT m,
+             CASE WHEN prev_m IS NULL THEN 'new'
+                  WHEN prev_m = m - INTERVAL 1 WEEK THEN 'retained'
+                  ELSE 'resurrected' END AS status
+      FROM seq),
+    act AS (SELECT m, COUNT(*) AS n_active FROM um GROUP BY 1),
+    churn AS (
+      SELECT m + INTERVAL 1 WEEK AS m, COUNT(*) AS n_churned
+      FROM (
+        SELECT user_id, m,
+               LEAD(m) OVER (PARTITION BY user_id ORDER BY m) AS next_m
+        FROM um)
+      WHERE next_m IS NULL OR next_m > m + INTERVAL 1 WEEK
+      GROUP BY 1)
+    SELECT CAST(act.m AS DATE) AS week,
+           CAST(act.n_active AS BIGINT) AS n_active,
+           CAST(SUM(CASE WHEN tagged.status = 'new' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_new,
+           CAST(SUM(CASE WHEN tagged.status = 'retained' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_retained,
+           CAST(SUM(CASE WHEN tagged.status = 'resurrected' THEN 1 ELSE 0
+                END) AS BIGINT) AS n_resurrected,
+           CAST(COALESCE(any_value(churn.n_churned), 0) AS BIGINT)
+             AS n_churned_in
+    FROM tagged
+    JOIN act ON act.m = tagged.m
+    LEFT JOIN churn ON churn.m = tagged.m
+    GROUP BY act.m, act.n_active
+    ORDER BY week
+    """,
+    doc="Growth accounting — the canonical active-base decomposition every "
+    "growth team reads weekly: each month's active users split into "
+    "new (first month ever), retained (active last month too) and "
+    "resurrected (returning after a gap), plus the users who churned "
+    "INTO the month (active previous month, absent now). Identity "
+    "n_active = new + retained + resurrected holds by construction. "
+    "Plan: one distinct (user, week) projection, LAG/LEAD windows "
+    "PARTITIONED BY user (keyed — the corpus-scaled stage shuffles "
+    "once on the user key), then calendar-bounded month rollups "
+    "joined month-to-month. All counts are integers; no floats "
+    "anywhere.",
+)
+def growth_accounting_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from kyuubi_spark.session import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    um = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("m")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("m")
+    seq = um.select(
+        "user_id", "m", F.lag("m").over(w).alias("prev_m"),
+        F.lead("m").over(w).alias("next_m"),
+    )
+    tagged = seq.select(
+        "m",
+        F.when(F.col("prev_m").isNull(), "new")
+        .when(
+            F.col("prev_m") == F.col("m") - F.expr("INTERVAL 1 WEEK"),
+            "retained",
+        )
+        .otherwise("resurrected")
+        .alias("status"),
+    )
+    act = um.groupBy("m").agg(F.count("*").alias("n_active"))
+    churn = (
+        seq.filter(
+            F.col("next_m").isNull()
+            | (F.col("next_m") > F.col("m") + F.expr("INTERVAL 1 WEEK"))
+        )
+        .select((F.col("m") + F.expr("INTERVAL 1 WEEK")).alias("cm"))
+        .groupBy("cm")
+        .agg(F.count("*").alias("n_churned"))
+    )
+    per_status = tagged.groupBy("m").agg(
+        F.sum(F.when(F.col("status") == "new", 1).otherwise(0)).alias(
+            "n_new"
+        ),
+        F.sum(F.when(F.col("status") == "retained", 1).otherwise(0)).alias(
+            "n_retained"
+        ),
+        F.sum(
+            F.when(F.col("status") == "resurrected", 1).otherwise(0)
+        ).alias("n_resurrected"),
+    )
+    return (
+        per_status.join(F.broadcast(act), "m")
+        .join(F.broadcast(churn), per_status.m == churn.cm, "left")
+        .select(
+            F.col("m").cast("date").alias("week"),
+            F.col("n_active").cast("bigint").alias("n_active"),
+            F.col("n_new").cast("bigint").alias("n_new"),
+            F.col("n_retained").cast("bigint").alias("n_retained"),
+            F.col("n_resurrected").cast("bigint").alias("n_resurrected"),
+            F.coalesce(F.col("n_churned"), F.lit(0))
+            .cast("bigint")
+            .alias("n_churned_in"),
+        )
+        .orderBy("week")
+    )
+
+
+@query(
+    "dau_wau_stickiness",
+    oracle="""
+    WITH d AS (
+      SELECT date_trunc('week', ts) AS m, CAST(ts AS DATE) AS day,
+             COUNT(DISTINCT user_id) AS dau
+      FROM events GROUP BY 1, 2),
+    wau AS (
+      SELECT date_trunc('week', ts) AS m, COUNT(DISTINCT user_id) AS wau
+      FROM events GROUP BY 1),
+    davg AS (
+      SELECT m, COUNT(*) AS n_days, SUM(dau) AS sum_dau FROM d GROUP BY 1)
+    SELECT CAST(davg.m AS DATE) AS week,
+           CAST(davg.n_days AS BIGINT) AS n_days,
+           CAST(wau.wau AS BIGINT) AS wau,
+           ROUND(CAST(davg.sum_dau AS DOUBLE) / davg.n_days, 4) AS avg_dau,
+           ROUND(CAST(davg.sum_dau AS DOUBLE)
+                 / (davg.n_days * wau.wau), 6) AS stickiness
+    FROM davg JOIN wau ON wau.m = davg.m
+    ORDER BY week
+    """,
+    doc="DAU/WAU stickiness — the engagement-frequency ratio (what "
+    "fraction of the week's users show up on an average day). Exact "
+    "distinct counts keyed by (week, day) and week; the ratio is "
+    "one double division over integer sums. Plan: two keyed "
+    "distinct aggregates (partial-distinct map side), a calendar-"
+    "bounded week join. At 100 TB swap the exact distincts for HLL "
+    "sketches if 2% error is acceptable — the exact form is the "
+    "oracle-checkable contract.",
+)
+def dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kyuubi_spark.functions.compat import dround
+    from kyuubi_spark.session import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        F.date_trunc("week", F.col("ts")).alias("m"),
+        F.col("ts").cast("date").alias("day"),
+    ).agg(F.countDistinct("user_id").alias("dau"))
+    wau = ev.groupBy(
+        F.date_trunc("week", F.col("ts")).alias("m")
+    ).agg(F.countDistinct("user_id").alias("wau"))
+    davg = d.groupBy("m").agg(
+        F.count("*").alias("n_days"), F.sum("dau").alias("sum_dau")
+    )
+    return (
+        davg.join(F.broadcast(wau), "m")
+        .select(
+            F.col("m").cast("date").alias("week"),
+            F.col("n_days").cast("bigint").alias("n_days"),
+            F.col("wau").cast("bigint").alias("wau"),
+            dround(
+                F.col("sum_dau").cast("double") / F.col("n_days"), 4
+            ).alias("avg_dau"),
+            dround(
+                F.col("sum_dau").cast("double")
+                / (F.col("n_days") * F.col("wau")),
+                6,
+            ).alias("stickiness"),
+        )
+        .orderBy("week")
+    )

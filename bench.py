@@ -261,6 +261,8 @@ HEADLINE = [
     "ips_policy_value",
     "growth_accounting_weekly",
     "dau_wau_stickiness",
+    "bfs_reachability_hops",
+    "naive_bayes_langid_eval",
 ]
 
 

@@ -2461,3 +2461,218 @@ def dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("week")
     )
+
+
+@query(
+    "bfs_reachability_hops",
+    oracle="""
+    WITH RECURSIVE e0 AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+    edges AS (
+      SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+    deg AS (
+      SELECT u AS n, COUNT(*) AS d FROM edges GROUP BY 1),
+    seed AS (SELECT n FROM deg ORDER BY d DESC, n LIMIT 1),
+    reach(n, hop) AS (
+      SELECT n, 0 FROM seed
+      UNION
+      SELECT edges.v, reach.hop + 1
+      FROM reach JOIN edges ON edges.u = reach.n
+      WHERE reach.hop < 3),
+    first_hop AS (SELECT n, MIN(hop) AS hop FROM reach GROUP BY 1)
+    SELECT CAST(hop AS INTEGER) AS hop,
+           CAST(COUNT(*) AS BIGINT) AS n_reached
+    FROM first_hop GROUP BY hop ORDER BY hop
+    """,
+    doc="Breadth-first reachability from the co-purchase graph's "
+    "highest-degree part: how many parts are first reached at hop "
+    "1/2/3 — the frontier-expansion profile that sizes any "
+    "graph-traversal workload (and the small-world check: a dense "
+    "catalog saturates by hop 2). Spark side is the canonical "
+    "distributed BFS: per round, frontier JOIN edges (keyed on node "
+    "id) -> distinct -> LEFT ANTI against the visited set, with "
+    "localCheckpoint truncating the iterative lineage "
+    "(connected_components' convention); the driver holds only the "
+    "4 per-hop counts. The oracle replays reachability with a "
+    "recursive CTE. Seed selection (max degree, id tiebreak) is a "
+    "bounded TakeOrdered.",
+)
+def bfs_reachability_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kyuubi_spark.caching import persisted
+    from kyuubi_spark.session import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("v"))
+    e0 = (
+        a.join(b, "k").filter(F.col("u") < F.col("v")).select("u", "v")
+        .distinct()
+    )
+    edges = persisted(
+        e0.unionByName(
+            e0.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+    )
+    seed_row = (
+        edges.groupBy("u")
+        .agg(F.count("*").alias("d"))
+        .orderBy(F.col("d").desc(), "u")
+        .limit(1)
+        .first()
+    )
+    seed = int(seed_row["u"])
+    frontier = spark.createDataFrame([(seed,)], "n bigint").localCheckpoint()
+    visited = frontier
+    counts = [(0, 1)]
+    for hop in (1, 2, 3):
+        nxt = (
+            frontier.join(
+                edges.select(F.col("u").alias("n"), "v"), "n"
+            )
+            .select(F.col("v").alias("n"))
+            .distinct()
+            .join(visited, "n", "left_anti")
+            .localCheckpoint()
+        )
+        counts.append((hop, nxt.count()))
+        visited = visited.unionByName(nxt).localCheckpoint()
+        frontier = nxt
+    out = spark.createDataFrame(counts, "hop int, n_reached long")
+    return out.filter(F.col("n_reached") > 0).select(
+        F.col("hop").cast("int").alias("hop"),
+        F.col("n_reached").cast("bigint").alias("n_reached"),
+    ).orderBy("hop")
+
+
+@query(
+    "naive_bayes_langid_eval",
+    oracle="""
+    WITH train AS (
+      SELECT doc_id, lang, text FROM documents WHERE doc_id % 10 <> 0),
+    eval AS (
+      SELECT doc_id, lang, text FROM documents WHERE doc_id % 10 = 0),
+    tok_train AS (
+      SELECT lang, unnest(string_split(trim(text), ' ')) AS term
+      FROM train),
+    ntl AS (SELECT term, lang, COUNT(*) AS n FROM tok_train GROUP BY 1, 2),
+    nl AS (SELECT lang, COUNT(*) AS n_l FROM tok_train GROUP BY 1),
+    vocab AS (SELECT DISTINCT term FROM tok_train),
+    vsz AS (SELECT COUNT(*) AS v FROM vocab),
+    prior AS (
+      SELECT lang, CAST(round(1000000.0 * ln(
+               CAST(COUNT(*) AS DOUBLE)
+               / (SELECT COUNT(*) FROM train))) AS BIGINT) AS prior_micro
+      FROM train GROUP BY lang),
+    grid AS (
+      SELECT vocab.term, nl.lang,
+             CAST(round(1000000.0 * ln(
+               (COALESCE(ntl.n, 0) + 1.0) / (nl.n_l + vsz.v)))
+               AS BIGINT) AS micro
+      FROM vocab CROSS JOIN nl CROSS JOIN vsz
+      LEFT JOIN ntl ON ntl.term = vocab.term AND ntl.lang = nl.lang),
+    tok_eval AS (
+      SELECT doc_id, lang AS true_lang,
+             unnest(string_split(trim(text), ' ')) AS term
+      FROM eval),
+    scores AS (
+      SELECT t.doc_id, t.true_lang, g.lang AS cand,
+             any_value(p.prior_micro) + SUM(g.micro) AS score
+      FROM tok_eval t
+      JOIN grid g ON g.term = t.term
+      JOIN prior p ON p.lang = g.lang
+      GROUP BY t.doc_id, t.true_lang, g.lang),
+    pred AS (
+      SELECT doc_id, true_lang, cand AS pred_lang,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, cand) AS rn
+      FROM scores)
+    SELECT true_lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n
+    FROM pred WHERE rn = 1
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    doc="Multinomial Naive Bayes language-ID, trained and evaluated "
+    "inside the engine: token-given-language probabilities with "
+    "Laplace smoothing from the 90% training split (deterministic "
+    "doc_id%10 holdout, the train_test_split convention), scored on "
+    "the held-out 10% and reported as a confusion matrix. Scoring is "
+    "FIXED-POINT: every log-prob quantizes to an integer micro-logit "
+    "(round(1e6*ln p)) so per-doc score sums are exact integer "
+    "arithmetic — the argmax can never flip on cross-engine float "
+    "summation order, the failure mode a naive SUM(ln p) would have. "
+    "Plan: token-keyed training counts, a |vocab|x|langs| smoothed "
+    "grid (155 rows) BROADCAST to the eval tokens, one (doc, lang) "
+    "keyed integer aggregate, per-doc argmax via min(struct) — keyed, "
+    "no global window. OOV eval tokens drop (inner join), the "
+    "standard NB treatment.",
+)
+def naive_bayes_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kyuubi_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 10 != 0)
+    ev = docs.filter(F.col("doc_id") % 10 == 0)
+    tok_train = train.select(
+        "lang", F.explode(F.split(F.trim(F.col("text")), " ")).alias("term")
+    )
+    ntl = tok_train.groupBy("term", "lang").agg(F.count("*").alias("n"))
+    nl = tok_train.groupBy("lang").agg(F.count("*").alias("n_l"))
+    vocab = tok_train.select("term").distinct()
+    vsz = vocab.agg(F.count("*").alias("v"))
+    n_train = train.count()
+    prior = train.groupBy("lang").agg(
+        F.round(
+            1000000.0
+            * F.log(F.count("*").cast("double") / F.lit(float(n_train))),
+            0,
+        )
+        .cast("bigint")
+        .alias("prior_micro")
+    )
+    grid = (
+        vocab.crossJoin(F.broadcast(nl))
+        .crossJoin(F.broadcast(vsz))
+        .join(F.broadcast(ntl), ["term", "lang"], "left")
+        .select(
+            "term",
+            "lang",
+            F.round(
+                1000000.0
+                * F.log(
+                    (F.coalesce(F.col("n"), F.lit(0)) + 1.0)
+                    / (F.col("n_l") + F.col("v"))
+                ),
+                0,
+            )
+            .cast("bigint")
+            .alias("micro"),
+        )
+    )
+    tok_eval = ev.select(
+        "doc_id",
+        F.col("lang").alias("true_lang"),
+        F.explode(F.split(F.trim(F.col("text")), " ")).alias("term"),
+    )
+    scores = (
+        tok_eval.join(F.broadcast(grid), "term")
+        .join(F.broadcast(prior), "lang")
+        .groupBy("doc_id", "true_lang", F.col("lang").alias("cand"))
+        .agg(
+            (F.any_value("prior_micro") + F.sum("micro")).alias("score")
+        )
+    )
+    pred = scores.groupBy("doc_id", "true_lang").agg(
+        F.min(F.struct((-F.col("score")).alias("ns"), F.col("cand"))).alias(
+            "best"
+        )
+    )
+    return (
+        pred.groupBy(
+            "true_lang", F.col("best.cand").alias("pred_lang")
+        )
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .orderBy("true_lang", "pred_lang")
+    )

@@ -263,6 +263,9 @@ HEADLINE = [
     "dau_wau_stickiness",
     "bfs_reachability_hops",
     "naive_bayes_langid_eval",
+    "ndcg_retrieval_eval",
+    "interevent_gap_histogram",
+    "column_profile_report",
 ]
 
 

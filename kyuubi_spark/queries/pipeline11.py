@@ -2676,3 +2676,362 @@ def naive_bayes_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("n"))
         .orderBy("true_lang", "pred_lang")
     )
+
+
+@query(
+    "ndcg_retrieval_eval",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(trim(text), ' ')) AS term
+      FROM documents),
+    rel AS (
+      SELECT doc_id, COUNT(DISTINCT term) AS relevance
+      FROM tok WHERE term IN ('spark', 'join', 'stream')
+      GROUP BY 1),
+    dl AS (SELECT doc_id, CAST(len(string_split(trim(text), ' ')) AS DOUBLE)
+                    AS doclen FROM documents),
+    stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(doclen) AS avgdl
+              FROM dl),
+    tf AS (SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf
+           FROM tok WHERE term IN ('spark', 'join', 'stream') GROUP BY 1, 2),
+    df AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+    idf AS (SELECT term, ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5)
+                            + 1.0) AS idf
+            FROM df, stats),
+    bm AS (
+      SELECT dl.doc_id, ROUND(SUM(
+               idf.idf * tf.tf * 2.2
+               / (tf.tf + 1.2 * (0.25 + 0.75 * dl.doclen / stats.avgdl))),
+             4) AS bm25
+      FROM dl JOIN tf ON tf.doc_id = dl.doc_id
+              JOIN idf ON idf.term = tf.term, stats
+      GROUP BY dl.doc_id),
+    ranked AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS r
+      FROM (SELECT * FROM bm ORDER BY bm25 DESC, doc_id LIMIT 20)),
+    gains AS (
+      SELECT ranked.r,
+             CAST(round(1000000.0 * COALESCE(rel.relevance, 0)
+                        / log2(ranked.r + 1)) AS BIGINT) AS dcg_micro
+      FROM ranked LEFT JOIN rel ON rel.doc_id = ranked.doc_id),
+    ideal AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY relevance DESC, doc_id) AS r,
+             relevance
+      FROM (SELECT doc_id, relevance FROM rel
+            ORDER BY relevance DESC, doc_id LIMIT 20)),
+    igains AS (
+      SELECT r, CAST(round(1000000.0 * relevance / log2(r + 1)) AS BIGINT)
+               AS idcg_micro
+      FROM ideal),
+    ks AS (SELECT unnest([5, 10, 20]) AS k)
+    SELECT CAST(ks.k AS INTEGER) AS k,
+           CAST((SELECT SUM(dcg_micro) FROM gains WHERE r <= ks.k)
+                AS BIGINT) AS dcg_micro,
+           CAST((SELECT SUM(idcg_micro) FROM igains WHERE r <= ks.k)
+                AS BIGINT) AS idcg_micro,
+           ROUND(CAST((SELECT SUM(dcg_micro) FROM gains WHERE r <= ks.k)
+                      AS DOUBLE)
+                 / (SELECT SUM(idcg_micro) FROM igains WHERE r <= ks.k), 6)
+             AS ndcg
+    FROM ks ORDER BY k
+    """,
+    doc="NDCG@k evaluation of the BM25 ranker — the IR quality metric "
+    "that closes the retrieval loop (bm25_topk/rrf_fusion produce "
+    "rankings; this scores one): graded relevance = number of "
+    "distinct query terms a doc contains (an exact, label-free "
+    "integer), DCG discounts each rank by log2(r+1), normalized by "
+    "the ideal ordering. Per-rank gains quantize to integer "
+    "micro-units (round(1e6*rel/log2(r+1))) so the k-prefix sums are "
+    "exact integer arithmetic — no float accumulation order can move "
+    "NDCG. Plan: the BM25 top-20 and the ideal top-20 are "
+    "TakeOrderedAndProject slices; ranks are <=20-row windows "
+    "(audit-allowlisted, tpcds_q44 class); the k-sweep is a 3-row "
+    "broadcast.",
+)
+def ndcg_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from kyuubi_spark.functions.compat import dround
+    from kyuubi_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), " ")).alias("term")
+    )
+    qterms = ["spark", "join", "stream"]
+    rel = (
+        tok.filter(F.col("term").isin(*qterms))
+        .groupBy("doc_id")
+        .agg(F.countDistinct("term").alias("relevance"))
+    )
+    tf = (
+        tok.filter(F.col("term").isin(*qterms))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("double").alias("tf"))
+    )
+    dl = docs.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), " "))
+        .cast("double")
+        .alias("doclen"),
+    )
+    stats = dl.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.avg("doclen").alias("avgdl"),
+    )
+    idf = (
+        tf.groupBy("term")
+        .agg(F.count("*").cast("double").alias("df"))
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "term",
+            F.log(
+                (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                + 1.0
+            ).alias("idf"),
+            "avgdl",
+        )
+    )
+    bm = (
+        dl.join(tf, "doc_id")
+        .join(F.broadcast(idf), "term")
+        .select(
+            "doc_id",
+            (
+                F.col("idf") * F.col("tf") * 2.2
+                / (F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("doclen") / F.col("avgdl")))
+            ).alias("part"),
+        )
+        .groupBy("doc_id")
+        .agg(dround(F.sum("part"), 4).alias("bm25"))
+    )
+    ranked = (
+        bm.orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(20)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.col("bm25").desc(), "doc_id"))
+            .alias("r"),
+        )
+    )
+    gains = ranked.join(rel, "doc_id", "left").select(
+        "r",
+        F.round(
+            1000000.0
+            * F.coalesce(F.col("relevance"), F.lit(0))
+            / F.log2(F.col("r") + 1),
+            0,
+        )
+        .cast("bigint")
+        .alias("dcg_micro"),
+    )
+    ideal = (
+        rel.orderBy(F.col("relevance").desc(), "doc_id")
+        .limit(20)
+        .select(
+            "relevance",
+            F.row_number()
+            .over(Window.orderBy(F.col("relevance").desc(), "doc_id"))
+            .alias("r"),
+        )
+        .select(
+            "r",
+            F.round(
+                1000000.0 * F.col("relevance") / F.log2(F.col("r") + 1), 0
+            )
+            .cast("bigint")
+            .alias("idcg_micro"),
+        )
+    )
+    ks = spark.range(1).select(
+        F.explode(F.array(*[F.lit(k) for k in (5, 10, 20)])).alias("k")
+    )
+    dcg = (
+        ks.join(F.broadcast(gains), F.col("r") <= F.col("k"))
+        .groupBy("k")
+        .agg(F.sum("dcg_micro").alias("dcg_micro"))
+    )
+    idcg = (
+        ks.join(F.broadcast(ideal), F.col("r") <= F.col("k"))
+        .groupBy("k")
+        .agg(F.sum("idcg_micro").alias("idcg_micro"))
+    )
+    return (
+        dcg.join(idcg, "k")
+        .select(
+            F.col("k").cast("int").alias("k"),
+            F.col("dcg_micro").cast("bigint").alias("dcg_micro"),
+            F.col("idcg_micro").cast("bigint").alias("idcg_micro"),
+            dround(
+                F.col("dcg_micro").cast("double") / F.col("idcg_micro"), 6
+            ).alias("ndcg"),
+        )
+        .orderBy("k")
+    )
+
+
+@query(
+    "interevent_gap_histogram",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, epoch_us(ts) AS us,
+             LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_us
+      FROM events),
+    gaps AS (
+      SELECT CAST(floor(log2((us - prev_us) / 1000000.0 + 1.0)) AS BIGINT)
+               AS bucket
+      FROM seq WHERE prev_us IS NOT NULL AND us > prev_us),
+    g AS (SELECT COUNT(*) AS total FROM gaps)
+    SELECT bucket,
+           CAST(pow(2, bucket) - 1 AS BIGINT) AS gap_from_sec,
+           CAST(pow(2, bucket + 1) - 1 AS BIGINT) AS gap_to_sec,
+           CAST(COUNT(*) AS BIGINT) AS n_gaps,
+           ROUND(CAST(COUNT(*) AS DOUBLE) / any_value(g.total), 6) AS share
+    FROM gaps, g GROUP BY bucket ORDER BY bucket
+    """,
+    doc="Inter-event gap histogram in log2 seconds buckets — the "
+    "arrival-process fingerprint (heartbeats pile into low buckets, "
+    "organic sessions spread, day-scale gaps mark returns) that "
+    "complements event_burstiness_fano's dispersion scalar with the "
+    "full distribution. Gaps come from a LAG window PARTITIONED BY "
+    "user (keyed); the log2 bucket is floor(log2(sec+1)) on an exact "
+    "integer microsecond difference, so bucket edges can't drift "
+    "(zero-gaps from same-timestamp events are excluded as "
+    "non-arrivals). Plan: one keyed window + one ~20-row bucket "
+    "rollup + broadcast total.",
+)
+def interevent_gap_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from kyuubi_spark.functions.compat import dround
+    from kyuubi_spark.session import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    seq = ev.select(us.alias("us"), F.lag(us).over(w).alias("prev_us"))
+    gaps = seq.filter(
+        F.col("prev_us").isNotNull() & (F.col("us") > F.col("prev_us"))
+    ).select(
+        F.floor(
+            F.log2((F.col("us") - F.col("prev_us")) / 1000000.0 + 1.0)
+        )
+        .cast("bigint")
+        .alias("bucket")
+    )
+    g = gaps.agg(F.count("*").alias("total"))
+    return (
+        gaps.groupBy("bucket")
+        .agg(F.count("*").alias("n_gaps"))
+        .crossJoin(F.broadcast(g))
+        .select(
+            "bucket",
+            (F.pow(F.lit(2.0), F.col("bucket")) - 1)
+            .cast("bigint")
+            .alias("gap_from_sec"),
+            (F.pow(F.lit(2.0), F.col("bucket") + 1) - 1)
+            .cast("bigint")
+            .alias("gap_to_sec"),
+            F.col("n_gaps").cast("bigint").alias("n_gaps"),
+            dround(
+                F.col("n_gaps").cast("double") / F.col("total"), 6
+            ).alias("share"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@query(
+    "column_profile_report",
+    oracle="""
+    WITH p AS (
+      SELECT 'documents' AS tbl, 'lang' AS col, COUNT(*) AS n,
+             COUNT(*) - COUNT(lang) AS n_null,
+             COUNT(DISTINCT lang) AS n_distinct
+      FROM documents
+      UNION ALL
+      SELECT 'documents', 'source', COUNT(*), COUNT(*) - COUNT(source),
+             COUNT(DISTINCT source) FROM documents
+      UNION ALL
+      SELECT 'documents', 'n_chars', COUNT(*), COUNT(*) - COUNT(n_chars),
+             COUNT(DISTINCT n_chars) FROM documents
+      UNION ALL
+      SELECT 'events', 'event_type', COUNT(*), COUNT(*) - COUNT(event_type),
+             COUNT(DISTINCT event_type) FROM events
+      UNION ALL
+      SELECT 'events', 'user_id', COUNT(*), COUNT(*) - COUNT(user_id),
+             COUNT(DISTINCT user_id) FROM events
+      UNION ALL
+      SELECT 'orders', 'o_orderstatus', COUNT(*),
+             COUNT(*) - COUNT(o_orderstatus),
+             COUNT(DISTINCT o_orderstatus) FROM orders
+      UNION ALL
+      SELECT 'orders', 'o_orderpriority', COUNT(*),
+             COUNT(*) - COUNT(o_orderpriority),
+             COUNT(DISTINCT o_orderpriority) FROM orders
+      UNION ALL
+      SELECT 'customer', 'c_mktsegment', COUNT(*),
+             COUNT(*) - COUNT(c_mktsegment),
+             COUNT(DISTINCT c_mktsegment) FROM customer
+      UNION ALL
+      SELECT 'customer', 'c_acctbal', COUNT(*),
+             COUNT(*) - COUNT(c_acctbal),
+             COUNT(DISTINCT c_acctbal) FROM customer)
+    SELECT tbl, col, CAST(n AS BIGINT) AS n,
+           CAST(n_null AS BIGINT) AS n_null,
+           CAST(n_distinct AS BIGINT) AS n_distinct,
+           ROUND(100.0 * n_null / n, 4) AS pct_null
+    FROM p ORDER BY tbl, col
+    """,
+    doc="Column profiling report (the Deequ/Great-Expectations "
+    "baseline every warehouse onboarding runs): row count, null "
+    "count, exact distinct cardinality and null share for the "
+    "categorical/key columns of four tables in one pass per table. "
+    "Each table contributes ONE aggregate (all its columns' COUNT/"
+    "COUNT(col)/COUNT(DISTINCT col) fold into a single grouped "
+    "aggregate with partial distinct) — no per-column rescans; the "
+    "9-row union is constant size. At 100 TB swap exact distincts "
+    "for HLL per the dataset_card convention.",
+)
+def column_profile_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from functools import reduce
+
+    from kyuubi_spark.functions.compat import dround
+    from kyuubi_spark.session import load_table
+
+    spec = {
+        "documents": ["lang", "source", "n_chars"],
+        "events": ["event_type", "user_id"],
+        "orders": ["o_orderstatus", "o_orderpriority"],
+        "customer": ["c_mktsegment", "c_acctbal"],
+    }
+    parts = []
+    for tbl, cols in spec.items():
+        df = load_table(spark, sf_dir, tbl)
+        aggs = [F.count("*").alias("_n")]
+        for c in cols:
+            aggs.append(F.count(c).alias(f"_nn_{c}"))
+            aggs.append(F.countDistinct(c).alias(f"_nd_{c}"))
+        one = df.agg(*aggs)
+        for c in cols:
+            parts.append(
+                one.select(
+                    F.lit(tbl).alias("tbl"),
+                    F.lit(c).alias("col"),
+                    F.col("_n").alias("n"),
+                    (F.col("_n") - F.col(f"_nn_{c}")).alias("n_null"),
+                    F.col(f"_nd_{c}").alias("n_distinct"),
+                )
+            )
+    u = reduce(lambda a, b: a.unionAll(b), parts)
+    return u.select(
+        "tbl",
+        "col",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("n_null").cast("bigint").alias("n_null"),
+        F.col("n_distinct").cast("bigint").alias("n_distinct"),
+        dround(100.0 * F.col("n_null") / F.col("n"), 4).alias("pct_null"),
+    ).orderBy("tbl", "col")

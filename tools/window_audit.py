@@ -49,6 +49,8 @@ ALLOWLIST = {
     "rrf_fusion_topk": "per-lane rank over TakeOrderedAndProject'd"
     " <=50-row inputs (tpcds_q44 class); both retrieval lanes reach"
     " their top-50 without a global window",
+    "ndcg_retrieval_eval": "rank over TakeOrderedAndProject'd <=20-row"
+    " ranking/ideal slices (tpcds_q44 class)",
 }
 
 

@@ -266,6 +266,8 @@ HEADLINE = [
     "ndcg_retrieval_eval",
     "interevent_gap_histogram",
     "column_profile_report",
+    "popularity_powerlaw_hill",
+    "outlier_iqr_fences",
 ]
 
 

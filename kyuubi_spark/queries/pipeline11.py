@@ -3035,3 +3035,183 @@ def column_profile_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_distinct").cast("bigint").alias("n_distinct"),
         dround(100.0 * F.col("n_null") / F.col("n"), 4).alias("pct_null"),
     ).orderBy("tbl", "col")
+
+
+@query(
+    "popularity_powerlaw_hill",
+    oracle="""
+    WITH pop AS (
+      SELECT l_partkey, COUNT(DISTINCT l_orderkey) AS d
+      FROM lineitem GROUP BY 1),
+    topk AS (
+      SELECT l_partkey, d,
+             ROW_NUMBER() OVER (ORDER BY d DESC, l_partkey) AS r
+      FROM (SELECT * FROM pop ORDER BY d DESC, l_partkey LIMIT 101)),
+    kth AS (SELECT d AS d_ref FROM topk WHERE r = 101),
+    hill AS (
+      SELECT COUNT(*) AS k,
+             SUM(CAST(round(1000000.0 * ln(CAST(topk.d AS DOUBLE)
+                                           / kth.d_ref)) AS BIGINT))
+               AS sum_micro
+      FROM topk, kth WHERE topk.r <= 100)
+    SELECT CAST(hill.k AS BIGINT) AS k,
+           CAST(kth.d_ref AS BIGINT) AS d_ref,
+           CAST(hill.sum_micro AS BIGINT) AS sum_log_micro,
+           ROUND(1000000.0 * hill.k / hill.sum_micro, 4) AS hill_alpha
+    FROM hill, kth
+    """,
+    doc="Hill tail-index estimate of the item-popularity distribution "
+    "(how heavy is the head of 'orders per part'?): alpha = "
+    "k / sum(ln(d_i / d_(k+1))) over the top-k=100 items — the "
+    "standard power-law exponent estimator, and the number that "
+    "decides whether hot-key mitigation (salting, skew joins) is "
+    "needed at scale (alpha < 2 means unbounded variance: expect "
+    "monster keys). Per-item log terms quantize to integer "
+    "micro-units so the k-sum is exact; popularity itself is one "
+    "keyed distinct count and the top-(k+1) slice is "
+    "TakeOrderedAndProject with an id tiebreak (the <=101-row rank "
+    "window is audit-allowlisted, tpcds_q44 class).",
+)
+def popularity_powerlaw_hill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from kyuubi_spark.functions.compat import dround
+    from kyuubi_spark.session import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    pop = li.groupBy("l_partkey").agg(
+        F.countDistinct("l_orderkey").alias("d")
+    )
+    topk = (
+        pop.orderBy(F.col("d").desc(), "l_partkey")
+        .limit(101)
+        .select(
+            "d",
+            F.row_number()
+            .over(Window.orderBy(F.col("d").desc(), "l_partkey"))
+            .alias("r"),
+        )
+    )
+    kth = topk.filter(F.col("r") == 101).select(
+        F.col("d").alias("d_ref")
+    )
+    hill = (
+        topk.filter(F.col("r") <= 100)
+        .crossJoin(F.broadcast(kth))
+        .agg(
+            F.count("*").alias("k"),
+            F.sum(
+                F.round(
+                    1000000.0
+                    * F.log(F.col("d").cast("double") / F.col("d_ref")),
+                    0,
+                ).cast("bigint")
+            ).alias("sum_micro"),
+            F.any_value("d_ref").alias("d_ref"),
+        )
+    )
+    return hill.select(
+        F.col("k").cast("bigint").alias("k"),
+        F.col("d_ref").cast("bigint").alias("d_ref"),
+        F.col("sum_micro").cast("bigint").alias("sum_log_micro"),
+        dround(1000000.0 * F.col("k") / F.col("sum_micro"), 4).alias(
+            "hill_alpha"
+        ),
+    )
+
+
+@query(
+    "outlier_iqr_fences",
+    oracle="""
+    WITH ranked AS (
+      SELECT event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY value, event_id) AS r,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM events),
+    q AS (
+      SELECT event_type,
+             any_value(n) AS n,
+             MAX(CASE WHEN r = CAST(ceil(0.25 * n) AS BIGINT)
+                      THEN value END) AS q1,
+             MAX(CASE WHEN r = CAST(ceil(0.75 * n) AS BIGINT)
+                      THEN value END) AS q3
+      FROM ranked GROUP BY event_type),
+    f AS (
+      SELECT event_type, n, q1, q3,
+             q1 - 1.5 * (q3 - q1) AS lo, q3 + 1.5 * (q3 - q1) AS hi
+      FROM q)
+    SELECT f.event_type, CAST(f.n AS BIGINT) AS n,
+           ROUND(f.q1, 4) AS q1, ROUND(f.q3, 4) AS q3,
+           CAST(SUM(CASE WHEN e.value < f.lo THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_low,
+           CAST(SUM(CASE WHEN e.value > f.hi THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_high
+    FROM events e JOIN f ON f.event_type = e.event_type
+    GROUP BY f.event_type, f.n, f.q1, f.q3
+    ORDER BY f.event_type
+    """,
+    doc="Tukey IQR-fence outlier screen per event type — the "
+    "distribution-free anomaly count (events_anomaly_zscore assumes "
+    "normality; fences don't): Q1/Q3 are EXACT rank-selected order "
+    "statistics (ceil(p*n), id tiebreak — never an interpolated "
+    "percentile whose semantics differ between engines), fences at "
+    "1.5 IQR, then one counting pass. The quartile rank windows are "
+    "PARTITIONED BY event type (keyed); the recount joins against "
+    "the |types|-row broadcast fence table. No float aggregation "
+    "anywhere — the only arithmetic is two IEEE ops on two selected "
+    "doubles.",
+)
+def outlier_iqr_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from kyuubi_spark.functions.compat import dround
+    from kyuubi_spark.session import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type")
+    ranked = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(w.orderBy("value", "event_id")).alias("r"),
+        F.count("*").over(w).alias("n"),
+    )
+    q = ranked.groupBy("event_type").agg(
+        F.any_value("n").alias("n"),
+        F.max(
+            F.when(
+                F.col("r") == F.ceil(0.25 * F.col("n")).cast("bigint"),
+                F.col("value"),
+            )
+        ).alias("q1"),
+        F.max(
+            F.when(
+                F.col("r") == F.ceil(0.75 * F.col("n")).cast("bigint"),
+                F.col("value"),
+            )
+        ).alias("q3"),
+    )
+    f = q.select(
+        "event_type",
+        "n",
+        "q1",
+        "q3",
+        (F.col("q1") - 1.5 * (F.col("q3") - F.col("q1"))).alias("lo"),
+        (F.col("q3") + 1.5 * (F.col("q3") - F.col("q1"))).alias("hi"),
+    )
+    return (
+        ev.join(F.broadcast(f), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.any_value("n").cast("bigint").alias("n"),
+            dround(F.any_value("q1"), 4).alias("q1"),
+            dround(F.any_value("q3"), 4).alias("q3"),
+            F.sum(F.when(F.col("value") < F.col("lo"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_low"),
+            F.sum(F.when(F.col("value") > F.col("hi"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_high"),
+        )
+        .orderBy("event_type")
+    )

@@ -51,6 +51,8 @@ ALLOWLIST = {
     " their top-50 without a global window",
     "ndcg_retrieval_eval": "rank over TakeOrderedAndProject'd <=20-row"
     " ranking/ideal slices (tpcds_q44 class)",
+    "popularity_powerlaw_hill": "rank over a TakeOrderedAndProject'd"
+    " <=101-row top-k slice (tpcds_q44 class)",
 }
 
 

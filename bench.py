@@ -268,6 +268,7 @@ HEADLINE = [
     "column_profile_report",
     "popularity_powerlaw_hill",
     "outlier_iqr_fences",
+    "mann_whitney_auc",
 ]
 
 

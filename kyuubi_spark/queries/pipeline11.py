@@ -3215,3 +3215,84 @@ def outlier_iqr_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "mann_whitney_auc",
+    oracle="""
+    WITH c AS (
+      SELECT n_chars AS v,
+             SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS ca,
+             SUM(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS cb
+      FROM documents WHERE source IN ('src0', 'src1')
+      GROUP BY 1),
+    cum AS (
+      SELECT v, ca, cb,
+             SUM(cb) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cb
+               AS cb_less
+      FROM c),
+    g AS (SELECT SUM(ca) AS n_a, SUM(cb) AS n_b FROM c),
+    u AS (SELECT SUM(ca * (2 * cb_less + cb)) AS u2 FROM cum)
+    SELECT CAST(g.n_a AS BIGINT) AS n_a, CAST(g.n_b AS BIGINT) AS n_b,
+           CAST(u.u2 AS BIGINT) AS u2,
+           ROUND(CAST(u.u2 AS DOUBLE) / (2.0 * g.n_a * g.n_b), 6) AS auc,
+           ROUND(CAST(u.u2 AS DOUBLE) / (g.n_a * g.n_b) - 1.0, 6)
+             AS cliffs_delta
+    FROM u, g
+    """,
+    doc="Mann-Whitney U between two sources' doc-length distributions, "
+    "reported as AUC (P(random src0 doc longer than random src1 doc), "
+    "ties half-credited) and Cliff's delta — the nonparametric effect "
+    "size that pairs with ks_two_sample's max-gap statistic. The U "
+    "statistic is kept as the exact integer 2U = sum(ca*(2*cb_less + "
+    "cb_ties)) over the value-keyed rollup, so ordering and ties "
+    "never touch floats; AUC divides once at the end. Plan: the "
+    "corpus collapses to one row per distinct length (bounded by the "
+    "length cap), the cb_less cumulative runs over that rollup "
+    "(audit-allowlisted, ks_two_sample class), one 1-row aggregate.",
+)
+def mann_whitney_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from kyuubi_spark.functions.compat import dround
+    from kyuubi_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    c = (
+        docs.filter(F.col("source").isin("src0", "src1"))
+        .groupBy(F.col("n_chars").alias("v"))
+        .agg(
+            F.sum(F.when(F.col("source") == "src0", 1).otherwise(0)).alias(
+                "ca"
+            ),
+            F.sum(F.when(F.col("source") == "src1", 1).otherwise(0)).alias(
+                "cb"
+            ),
+        )
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = c.select(
+        "ca",
+        "cb",
+        (F.sum("cb").over(w) - F.col("cb")).alias("cb_less"),
+    )
+    g = c.agg(F.sum("ca").alias("n_a"), F.sum("cb").alias("n_b"))
+    u = cum.agg(
+        F.sum(
+            F.col("ca") * (2 * F.col("cb_less") + F.col("cb"))
+        ).alias("u2")
+    )
+    return u.crossJoin(F.broadcast(g)).select(
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        F.col("u2").cast("bigint").alias("u2"),
+        dround(
+            F.col("u2").cast("double") / (2.0 * F.col("n_a") * F.col("n_b")),
+            6,
+        ).alias("auc"),
+        dround(
+            F.col("u2").cast("double") / (F.col("n_a") * F.col("n_b")) - 1.0,
+            6,
+        ).alias("cliffs_delta"),
+    )

@@ -53,6 +53,8 @@ ALLOWLIST = {
     " ranking/ideal slices (tpcds_q44 class)",
     "popularity_powerlaw_hill": "rank over a TakeOrderedAndProject'd"
     " <=101-row top-k slice (tpcds_q44 class)",
+    "mann_whitney_auc": "cumulative over the value-keyed length rollup"
+    " (bounded by the length cap; ks_two_sample class)",
 }
 
 

@@ -335,3 +335,56 @@ def test_python_stream_source_availablenow_drain(spark):
 
     assert drained(60, 20) == 20  # one prefetched batch, not all three
     assert drained(60, 60) == 60  # batch >= rows consumes everything
+
+
+def test_transition_kernel_exact_across_batch_splits():
+    """The stateful transition kernel must count EXACTLY the transitions a
+    batch LEAD would, for every way of splitting a user's time-ordered
+    stream into microbatches — the state carry is what makes boundary
+    transitions count once, and in-batch sorting is what makes arrival
+    order inside a batch irrelevant."""
+    import pandas as pd
+
+    from kyuubi_spark.streaming.stateful import _update_transitions
+
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+            self._v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+            self.exists = True
+
+    types = ["a", "b", "a", "c", "b", "b", "a", "c", "c", "a"]
+    rows = pd.DataFrame(
+        {
+            "us": [i * 10 for i in range(len(types))],
+            "event_id": list(range(len(types))),
+            "event_type": types,
+        }
+    )
+    expected: dict[tuple[str, str], int] = {}
+    for x, y in zip(types, types[1:]):
+        expected[(x, y)] = expected.get((x, y), 0) + 1
+
+    for split in [(10,), (3, 7), (1, 2, 3, 4), (5, 5), (2, 2, 2, 2, 2)]:
+        state = FakeState()
+        got: dict[tuple[str, str], int] = {}
+        start = 0
+        for size in split:
+            batch = rows.iloc[start : start + size]
+            # shuffle within the batch: the kernel must re-sort
+            batch = batch.sample(frac=1.0, random_state=7)
+            start += size
+            for out in _update_transitions(
+                ("u1",), iter([batch]), state
+            ):
+                for r in out.itertuples():
+                    k = (r.from_type, r.to_type)
+                    got[k] = got.get(k, 0) + int(r.n)
+        assert got == expected, split

@@ -269,6 +269,9 @@ HEADLINE = [
     "popularity_powerlaw_hill",
     "outlier_iqr_fences",
     "mann_whitney_auc",
+    "session_path_motifs",
+    "price_quantity_regression",
+    "order_to_ship_latency",
 ]
 
 

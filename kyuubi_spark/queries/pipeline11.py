@@ -3296,3 +3296,235 @@ def mann_whitney_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("cliffs_delta"),
     )
+
+
+@query(
+    "session_path_motifs",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type AS e1,
+             LEAD(event_type, 1) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS e2,
+             LEAD(event_type, 2) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS e3
+      FROM events),
+    motifs AS (
+      SELECT e1 || '>' || e2 || '>' || e3 AS path, COUNT(*) AS n
+      FROM seq WHERE e3 IS NOT NULL
+      GROUP BY 1),
+    g AS (SELECT SUM(n) AS total FROM motifs)
+    SELECT motifs.path, CAST(motifs.n AS BIGINT) AS n,
+           ROUND(CAST(motifs.n AS DOUBLE) / g.total, 6) AS share
+    FROM motifs, g
+    ORDER BY motifs.n DESC, motifs.path
+    LIMIT 10
+    """,
+    doc="Behavioral path motifs: the top-10 three-step event-type "
+    "sequences across user journeys — the order-3 extension of "
+    "markov_transition_matrix that surfaces WHOLE flows "
+    "(view>click>purchase vs view>error>view) instead of single "
+    "hops. Plan: two LEAD windows over ONE user-keyed sort (same "
+    "partition+order, so Spark plans a single Window node and one "
+    "shuffle), a path-keyed count (bounded by |types|^3), broadcast "
+    "total, TakeOrderedAndProject top-10 with a path tiebreak.",
+)
+def session_path_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from kyuubi_spark.functions.compat import dround
+    from kyuubi_spark.session import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    )
+    motifs = (
+        seq.filter(F.col("e3").isNotNull())
+        .groupBy(
+            F.concat_ws(">", "e1", "e2", "e3").alias("path")
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    g = motifs.agg(F.sum("n").alias("total"))
+    return (
+        motifs.crossJoin(F.broadcast(g))
+        .orderBy(F.col("n").desc(), "path")
+        .limit(10)
+        .select(
+            "path",
+            F.col("n").cast("bigint").alias("n"),
+            dround(F.col("n").cast("double") / F.col("total"), 6).alias(
+                "share"
+            ),
+        )
+    )
+
+
+@query(
+    "price_quantity_regression",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(round(l_extendedprice) AS BIGINT) AS price_dollars,
+             CAST(round(l_quantity) AS BIGINT) AS qty
+      FROM lineitem),
+    b AS (
+      SELECT CAST(price_dollars // 10000 AS BIGINT) AS price_band, qty
+      FROM d),
+    m AS (
+      SELECT COUNT(*) AS n, SUM(price_band) AS sx, SUM(qty) AS sy,
+             SUM(price_band * qty) AS sxy,
+             SUM(price_band * price_band) AS sxx,
+             SUM(qty * qty) AS syy
+      FROM b)
+    SELECT CAST(n AS BIGINT) AS n,
+           ROUND((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx), 6)
+             AS slope_qty_per_band,
+           ROUND((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                    * sqrt(CAST(n AS DOUBLE) * syy
+                           - CAST(sy AS DOUBLE) * sy)), 6) AS pearson_r
+    FROM m
+    """,
+    doc="Demand-curve regression: OLS slope and Pearson correlation of "
+    "order-line quantity against the line's $10k price band — the "
+    "price/volume screen behind elasticity analysis, computed as ONE "
+    "exact-integer moment aggregate (prices round to whole dollars, "
+    "quantities are integral in TPC-H; all five moment sums are "
+    "BIGINT-exact) with the two ratios evaluated once in doubles. "
+    "Plan: a single map-side aggregate over one scan — no shuffle "
+    "beyond the 1-row combine, embarrassingly parallel at any scale.",
+)
+def price_quantity_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kyuubi_spark.functions.compat import dround
+    from kyuubi_spark.session import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    b = li.select(
+        F.floor(
+            F.round(F.col("l_extendedprice"), 0).cast("bigint") / 10000
+        )
+        .cast("bigint")
+        .alias("x"),
+        F.round(F.col("l_quantity"), 0).cast("bigint").alias("y"),
+    )
+    m = b.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    sxd = F.col("sx").cast("double")
+    syd = F.col("sy").cast("double")
+    num = nd * F.col("sxy") - sxd * F.col("sy")
+    return m.select(
+        F.col("n").cast("bigint").alias("n"),
+        dround(num / (nd * F.col("sxx") - sxd * F.col("sx")), 6).alias(
+            "slope_qty_per_band"
+        ),
+        dround(
+            num
+            / (
+                F.sqrt(nd * F.col("sxx") - sxd * F.col("sx"))
+                * F.sqrt(nd * F.col("syy") - syd * F.col("sy"))
+            ),
+            6,
+        ).alias("pearson_r"),
+    )
+
+
+@query(
+    "order_to_ship_latency",
+    oracle="""
+    WITH lat AS (
+      SELECT o.o_orderpriority AS priority,
+             CAST(date_diff('day', CAST(o.o_orderdate AS DATE),
+                            CAST(l.l_shipdate AS DATE)) AS BIGINT) AS days,
+             l.l_orderkey, l.l_linenumber
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey),
+    ranked AS (
+      SELECT priority, days,
+             ROW_NUMBER() OVER (PARTITION BY priority
+                                ORDER BY days, l_orderkey, l_linenumber)
+               AS r,
+             COUNT(*) OVER (PARTITION BY priority) AS n
+      FROM lat)
+    SELECT priority, CAST(any_value(n) AS BIGINT) AS n,
+           CAST(MAX(CASE WHEN r = CAST(ceil(0.5 * n) AS BIGINT)
+                         THEN days END) AS BIGINT) AS p50_days,
+           CAST(MAX(CASE WHEN r = CAST(ceil(0.9 * n) AS BIGINT)
+                         THEN days END) AS BIGINT) AS p90_days,
+           ROUND(CAST(SUM(days) AS DOUBLE) / any_value(n), 4)
+             AS mean_days
+    FROM ranked GROUP BY priority ORDER BY priority
+    """,
+    doc="Order-to-ship latency SLA report per order priority: exact "
+    "rank-selected P50/P90 (order statistics with a total tiebreak — "
+    "never interpolated percentiles) and the mean, from integer day "
+    "differences. The operational question is whether URGENT orders "
+    "actually ship faster — a latency-percentile report shaped "
+    "exactly like a service SLO dashboard. Plan: one fact-fact keyed "
+    "join (order key), per-priority rank windows (keyed, 5 "
+    "partitions), one rollup. Day arithmetic is calendar-exact in "
+    "both engines (datediff on DATE).",
+)
+def order_to_ship_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from kyuubi_spark.functions.compat import dround
+    from kyuubi_spark.session import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    lat = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        F.col("o_orderpriority").alias("priority"),
+        F.datediff(
+            F.col("l_shipdate").cast("date"),
+            F.col("o_orderdate").cast("date"),
+        )
+        .cast("bigint")
+        .alias("days"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    w = Window.partitionBy("priority")
+    ranked = lat.select(
+        "priority",
+        "days",
+        F.row_number()
+        .over(w.orderBy("days", "l_orderkey", "l_linenumber"))
+        .alias("r"),
+        F.count("*").over(w).alias("n"),
+    )
+    return (
+        ranked.groupBy("priority")
+        .agg(
+            F.any_value("n").cast("bigint").alias("n"),
+            F.max(
+                F.when(
+                    F.col("r") == F.ceil(0.5 * F.col("n")).cast("bigint"),
+                    F.col("days"),
+                )
+            )
+            .cast("bigint")
+            .alias("p50_days"),
+            F.max(
+                F.when(
+                    F.col("r") == F.ceil(0.9 * F.col("n")).cast("bigint"),
+                    F.col("days"),
+                )
+            )
+            .cast("bigint")
+            .alias("p90_days"),
+            dround(
+                F.sum("days").cast("double") / F.any_value("n"), 4
+            ).alias("mean_days"),
+        )
+        .orderBy("priority")
+    )

@@ -272,6 +272,9 @@ HEADLINE = [
     "session_path_motifs",
     "price_quantity_regression",
     "order_to_ship_latency",
+    "audience_overlap_matrix",
+    "revenue_by_user_tenure",
+    "groupwise_kfold_split",
 ]
 
 

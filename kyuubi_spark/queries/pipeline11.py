@@ -3528,3 +3528,241 @@ def order_to_ship_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority")
     )
+
+
+@query(
+    "audience_overlap_matrix",
+    oracle="""
+    WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+    c AS (SELECT event_type, COUNT(*) AS n FROM ut GROUP BY 1),
+    inter AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             COUNT(*) AS n_inter
+      FROM ut a JOIN ut b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2)
+    SELECT inter.type_a, inter.type_b,
+           CAST(ca.n AS BIGINT) AS n_a, CAST(cb.n AS BIGINT) AS n_b,
+           CAST(inter.n_inter AS BIGINT) AS n_inter,
+           ROUND(CAST(inter.n_inter AS DOUBLE)
+                 / (ca.n + cb.n - inter.n_inter), 6) AS jaccard
+    FROM inter JOIN c ca ON ca.event_type = inter.type_a
+               JOIN c cb ON cb.event_type = inter.type_b
+    ORDER BY type_a, type_b
+    """,
+    doc="Audience overlap matrix: pairwise Jaccard between the USER "
+    "SETS of each event type (do purchasers also click? are error "
+    "users a separate population?) — the segment-overlap primitive "
+    "behind ads-audience planning and feature-interaction checks. "
+    "Plan: one distinct (user, type) projection, a USER-KEYED "
+    "self-join (per-user fan-out bounded by |types| = 5, so the pair "
+    "stream is O(users * 10), never all-pairs over users), per-type "
+    "broadcast marginals, |types|^2/2 output rows. Jaccard is an "
+    "exact integer rational divided once.",
+)
+def audience_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kyuubi_spark.functions.compat import dround
+    from kyuubi_spark.session import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    ut = ev.select("user_id", "event_type").distinct()
+    c = ut.groupBy("event_type").agg(F.count("*").alias("n"))
+    a = ut.select("user_id", F.col("event_type").alias("type_a"))
+    b = ut.select("user_id", F.col("event_type").alias("type_b"))
+    inter = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    ca = c.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a"))
+    cb = c.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(F.broadcast(ca), "type_a")
+        .join(F.broadcast(cb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+            F.col("n_inter").cast("bigint").alias("n_inter"),
+            dround(
+                F.col("n_inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+@query(
+    "revenue_by_user_tenure",
+    oracle="""
+    WITH um AS (
+      SELECT user_id, MIN(date_trunc('week', ts)) AS first_week
+      FROM events GROUP BY 1),
+    rec AS (
+      SELECT date_trunc('week', e.ts) AS w,
+             CASE WHEN date_trunc('week', e.ts) = um.first_week
+                  THEN 'new' ELSE 'returning' END AS tenure,
+             e.value
+      FROM events e JOIN um ON um.user_id = e.user_id)
+    SELECT CAST(w AS DATE) AS week, tenure,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 2) AS revenue
+    FROM rec GROUP BY w, tenure ORDER BY week, tenure
+    """,
+    doc="Weekly revenue split by user tenure (new-this-week vs "
+    "returning) — the growth-quality decomposition that says whether "
+    "the topline is acquisition or retention: pairs with "
+    "growth_accounting_weekly's count view by weighting each event "
+    "with its value. Plan: one user-keyed MIN aggregate (first "
+    "activity week) joined back on the user key, then a calendar-"
+    "bounded (week, tenure) rollup; the value sum rounds at 2 per "
+    "the repo's float-aggregate convention.",
+)
+def revenue_by_user_tenure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kyuubi_spark.functions.compat import dround
+    from kyuubi_spark.session import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    um = ev.groupBy("user_id").agg(
+        F.min(F.date_trunc("week", F.col("ts"))).alias("first_week")
+    )
+    rec = ev.join(um, "user_id").select(
+        F.date_trunc("week", F.col("ts")).alias("w"),
+        F.when(
+            F.date_trunc("week", F.col("ts")) == F.col("first_week"), "new"
+        )
+        .otherwise("returning")
+        .alias("tenure"),
+        "value",
+    )
+    return (
+        rec.groupBy("w", "tenure")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            dround(F.sum("value"), 2).alias("revenue"),
+        )
+        .select(
+            F.col("w").cast("date").alias("week"),
+            "tenure",
+            "n_events",
+            "revenue",
+        )
+        .orderBy("week", "tenure")
+    )
+
+
+def _kfold_oracle() -> str:
+    from kyuubi_spark.queries.pipeline import _MINHASH_PAIRS_CTE
+
+    return f"""
+    WITH RECURSIVE {_MINHASH_PAIRS_CTE},
+    edges AS (
+      SELECT a_id AS u, b_id AS v FROM dup_pairs
+      UNION ALL
+      SELECT b_id, a_id FROM dup_pairs),
+    reach(u, v) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+      UNION
+      SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u),
+    comp AS (
+      SELECT u AS doc_id, MIN(v) AS component_id FROM reach GROUP BY u),
+    assigned AS (
+      SELECT d.doc_id,
+             COALESCE(comp.component_id, d.doc_id) AS component_id,
+             (COALESCE(comp.component_id, d.doc_id) * 2654435761) % 5
+               AS fold
+      FROM documents d LEFT JOIN comp ON comp.doc_id = d.doc_id),
+    leaks AS (
+      SELECT COUNT(*) AS n FROM dup_pairs p
+      JOIN assigned fa ON fa.doc_id = p.a_id
+      JOIN assigned fb ON fb.doc_id = p.b_id
+      WHERE fa.fold <> fb.fold)
+    SELECT CAST(assigned.fold AS INTEGER) AS fold,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT assigned.component_id) AS BIGINT)
+             AS n_components,
+           CAST(any_value(leaks.n) AS BIGINT) AS cross_fold_dup_pairs
+    FROM assigned, leaks
+    GROUP BY assigned.fold ORDER BY fold
+    """
+
+
+@query(
+    "groupwise_kfold_split",
+    oracle=_kfold_oracle(),
+    doc="Group-aware k-fold assignment — the cross-validation split a "
+    "deduplicated corpus actually needs: folds are assigned by "
+    "hashing the NEAR-DUP COMPONENT id (MinHash-LSH pairs -> "
+    "connected components, the verified dedup chain), so two "
+    "near-duplicate documents can never land in different folds and "
+    "leak train data into eval — the failure train_test_split + "
+    "split_leakage_report can only DETECT, this split prevents by "
+    "construction (cross_fold_dup_pairs pins it at 0). Singleton "
+    "docs are their own component. Plan: the LSH/components chain "
+    "(bucketed, iterative keyed joins), one left join back to the "
+    "corpus, a Knuth-hash fold id map-side, a 5-row rollup plus a "
+    "pair-level leak recount.",
+)
+def groupwise_kfold_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kyuubi_spark.functions import dedup as D
+    from kyuubi_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        F.col("doc_id").alias("id"),
+        F.explode(D.shingles_arrow(3)(F.col("text"))).alias("g"),
+    ).localCheckpoint()
+    cand = D.lsh_candidate_pairs(
+        docs, n=3, num_hashes=16, bands=8, shingle_df=sh
+    )
+    pairs = D.jaccard_pairs(
+        docs, cand, n=3, tau_num=1, tau_den=4, shingle_df=sh
+    ).select("a_id", "b_id").localCheckpoint()
+    comp = D.connected_components(pairs)
+    assigned = (
+        docs.select("doc_id")
+        .join(F.broadcast(comp), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("component_id"), F.col("doc_id")).alias(
+                "component_id"
+            ),
+        )
+        .withColumn(
+            "fold", (F.col("component_id") * F.lit(2654435761)) % 5
+        )
+        .localCheckpoint()
+    )
+    fa = assigned.select(
+        F.col("doc_id").alias("a_id"), F.col("fold").alias("fold_a")
+    )
+    fb = assigned.select(
+        F.col("doc_id").alias("b_id"), F.col("fold").alias("fold_b")
+    )
+    leaks = (
+        pairs.join(F.broadcast(fa), "a_id")
+        .join(F.broadcast(fb), "b_id")
+        .filter(F.col("fold_a") != F.col("fold_b"))
+        .agg(F.count("*").alias("n"))
+    )
+    return (
+        assigned.groupBy("fold")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.countDistinct("component_id").cast("bigint").alias(
+                "n_components"
+            ),
+        )
+        .crossJoin(F.broadcast(leaks))
+        .select(
+            F.col("fold").cast("int").alias("fold"),
+            "n_docs",
+            "n_components",
+            F.col("n").cast("bigint").alias("cross_fold_dup_pairs"),
+        )
+        .orderBy("fold")
+    )

@@ -275,6 +275,8 @@ HEADLINE = [
     "audience_overlap_matrix",
     "revenue_by_user_tenure",
     "groupwise_kfold_split",
+    "revenue_weighted_quartiles",
+    "supplier_hhi_by_brand",
 ]
 
 

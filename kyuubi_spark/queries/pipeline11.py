@@ -3766,3 +3766,137 @@ def groupwise_kfold_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("fold")
     )
+
+
+@query(
+    "revenue_weighted_quartiles",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents,
+             l_orderkey, l_linenumber
+      FROM lineitem),
+    g AS (SELECT SUM(price_cents) AS total FROM d),
+    cum AS (
+      SELECT price_cents,
+             SUM(price_cents) OVER (ORDER BY price_cents, l_orderkey,
+                                             l_linenumber
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS running
+      FROM d),
+    qs AS (SELECT unnest([1, 2, 3]) AS q)
+    SELECT CAST(qs.q AS INTEGER) AS quartile,
+           ROUND(MIN(CASE WHEN 4 * cum.running >= qs.q * g.total
+                          THEN cum.price_cents END) / 100.0, 2)
+             AS price_at_quartile
+    FROM cum, g, qs
+    GROUP BY qs.q ORDER BY quartile
+    """,
+    doc="Revenue-weighted price quartiles: the price points below which "
+    "25/50/75% of total REVENUE (not row count) sits — the "
+    "value-concentration view a pricing or curation team needs when "
+    "cheap rows dominate counts but expensive ones dominate value "
+    "(for a corpus: token-weighted length quantiles, same machinery). "
+    "The cumulative comes from the DISTRIBUTED exact prefix scan "
+    "(operators/ranking.py global_running_sum — no corpus-wide "
+    "window; the oracle replays it as a window cumsum), thresholds "
+    "are integer-exact (4*running >= q*total in cents), and the "
+    "boundary row is a MIN over the qualifying set.",
+)
+def revenue_weighted_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kyuubi_spark.functions.compat import dround
+    from kyuubi_spark.operators.ranking import global_running_sum
+    from kyuubi_spark.session import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    d = li.select(
+        F.round(F.col("l_extendedprice") * 100, 0)
+        .cast("bigint")
+        .alias("price_cents"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    cum, total = global_running_sum(
+        d,
+        [("price_cents", "asc"), ("l_orderkey", "asc"), ("l_linenumber", "asc")],
+        "price_cents",
+    )
+    qs = spark.range(1).select(
+        F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("q")
+    )
+    return (
+        cum.crossJoin(F.broadcast(qs))
+        .groupBy("q")
+        .agg(
+            dround(
+                F.min(
+                    F.when(
+                        4 * F.col("running") >= F.col("q") * F.lit(total),
+                        F.col("price_cents"),
+                    )
+                )
+                / 100.0,
+                2,
+            ).alias("price_at_quartile")
+        )
+        .select(
+            F.col("q").cast("int").alias("quartile"), "price_at_quartile"
+        )
+        .orderBy("quartile")
+    )
+
+
+@query(
+    "supplier_hhi_by_brand",
+    oracle="""
+    WITH s AS (
+      SELECT p.p_brand AS brand, l.l_suppkey,
+             SUM(CAST(round(l.l_quantity) AS BIGINT)) AS q
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      GROUP BY 1, 2),
+    b AS (
+      SELECT brand, COUNT(*) AS n_suppliers, SUM(q) AS tq,
+             SUM(q * q) AS sqq
+      FROM s GROUP BY 1)
+    SELECT brand, CAST(n_suppliers AS BIGINT) AS n_suppliers,
+           CAST(tq AS BIGINT) AS total_qty,
+           ROUND(CAST(sqq AS DOUBLE) / (CAST(tq AS DOUBLE) * tq), 6)
+             AS hhi
+    FROM b ORDER BY brand
+    """,
+    doc="Supplier concentration per brand via the Herfindahl-Hirschman "
+    "index: HHI = sum of squared supplier quantity shares — the "
+    "supply-chain-risk scalar (1/HHI is the effective number of "
+    "suppliers; HHI -> 1 means single-sourced). Computed from exact "
+    "integer moments (sum q, sum q^2 per brand over the "
+    "(brand, supplier)-keyed rollup) with one double division, so "
+    "shares are never individually floated. Plan: a broadcast dim "
+    "join, two keyed aggregates, |brands| output rows.",
+)
+def supplier_hhi_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kyuubi_spark.functions.compat import dround
+    from kyuubi_spark.session import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    s = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(F.col("p_brand").alias("brand"), "l_suppkey")
+        .agg(
+            F.sum(F.round(F.col("l_quantity"), 0).cast("bigint")).alias("q")
+        )
+    )
+    b = s.groupBy("brand").agg(
+        F.count("*").alias("n_suppliers"),
+        F.sum("q").alias("tq"),
+        F.sum(F.col("q") * F.col("q")).alias("sqq"),
+    )
+    return b.select(
+        "brand",
+        F.col("n_suppliers").cast("bigint").alias("n_suppliers"),
+        F.col("tq").cast("bigint").alias("total_qty"),
+        dround(
+            F.col("sqq").cast("double")
+            / (F.col("tq").cast("double") * F.col("tq")),
+            6,
+        ).alias("hhi"),
+    ).orderBy("brand")

@@ -277,6 +277,7 @@ HEADLINE = [
     "groupwise_kfold_split",
     "revenue_weighted_quartiles",
     "supplier_hhi_by_brand",
+    "skyline_price_size",
 ]
 
 

@@ -281,3 +281,71 @@ def global_running_sum(
         ),
     ).drop("_bkt")
     return out, acc
+
+
+def global_running_max(
+    df: DataFrame,
+    order_by: list[tuple[str, str]],
+    val_col: str,
+    max_col: str = "running_max",
+    exclusive: bool = False,
+    buckets: int | None = None,
+) -> DataFrame:
+    """Exact global prefix MAX of ``val_col`` over a total order without a
+    single-partition window — the scan primitive behind skyline/Pareto-
+    frontier operators (``exclusive=True`` gives the strictly-preceding
+    max, NULL on the global first row).
+
+    Same bucket structure as ``global_running_sum``; the prefix offsets
+    are the running max of per-bucket maxima (a bounded driver fold).
+    """
+    lvl = df.storageLevel
+    src = df if (lvl.useMemory or lvl.useDisk) else persisted(df)
+    key_col, key_dir = order_by[0]
+    knum = _numeric_key(src, key_col)
+    n_buckets = buckets or 64
+    fracs = F.array(*[F.lit(i / n_buckets) for i in range(1, n_buckets)])
+    cuts_row = src.select(
+        F.percentile_approx(knum, fracs, max(1_000, 4 * n_buckets)).alias("c")
+    ).first()
+    cuts = sorted(set(cuts_row["c"] or []))
+    if key_dir == "desc":
+        bucket = F.lit(len(cuts)) - _bucket_expr(knum, cuts)
+    else:
+        bucket = _bucket_expr(knum, cuts)
+    with_bkt = src.withColumn("_bkt", bucket)
+    rows = (
+        with_bkt.groupBy("_bkt")
+        .agg(F.max(F.col(val_col)).alias("_bm"))
+        .collect()
+    )
+    offsets: dict[int, int] = {}
+    acc = None
+    for r in sorted(rows, key=lambda r: r["_bkt"]):
+        if acc is not None:
+            offsets[r["_bkt"]] = acc
+        acc = r["_bm"] if acc is None else max(acc, r["_bm"])
+    order_exprs = [
+        F.col(c).desc() if d == "desc" else F.col(c).asc()
+        for c, d in order_by
+    ]
+    end = -1 if exclusive else 0
+    w = (
+        Window.partitionBy("_bkt")
+        .orderBy(*order_exprs)
+        .rowsBetween(Window.unboundedPreceding, end)
+    )
+    local = F.max(F.col(val_col)).over(w)
+    # prior-bucket offset: literal lookup map; NULL for the first bucket
+    if offsets:
+        off = F.element_at(
+            F.create_map(
+                *[F.lit(x) for kv in sorted(offsets.items()) for x in kv]
+            ),
+            F.col("_bkt"),
+        )
+    else:
+        off = F.lit(None).cast("long")
+    return with_bkt.withColumn(
+        max_col, F.greatest(F.coalesce(local, off), F.coalesce(off, local))
+    ).drop("_bkt")

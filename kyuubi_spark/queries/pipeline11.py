@@ -3900,3 +3900,65 @@ def supplier_hhi_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("hhi"),
     ).orderBy("brand")
+
+
+@query(
+    "skyline_price_size",
+    oracle="""
+    WITH g AS (
+      SELECT p_retailprice AS price, MAX(p_size) AS gmax
+      FROM part GROUP BY 1),
+    m AS (
+      SELECT price, gmax,
+             MAX(gmax) OVER (ORDER BY price
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_max
+      FROM g),
+    fp AS (
+      SELECT price, gmax FROM m
+      WHERE prev_max IS NULL OR gmax > prev_max)
+    SELECT p.p_partkey, ROUND(p.p_retailprice, 2) AS price,
+           CAST(p.p_size AS INTEGER) AS size
+    FROM part p JOIN fp ON fp.price = p.p_retailprice
+                       AND fp.gmax = p.p_size
+    ORDER BY price, p_partkey
+    """,
+    doc="Skyline (Pareto frontier) over parts: the set not dominated on "
+    "(cheaper price, larger size) — the classic multi-criteria "
+    "operator behind 'best tradeoff' queries (cheapest-for-its-size "
+    "catalog slice). A part survives iff its size equals its price "
+    "group's max AND strictly exceeds the running max over all "
+    "cheaper prices (ties on both axes stay — neither dominates). "
+    "The strictly-preceding running max comes from the DISTRIBUTED "
+    "prefix-scan primitive (operators/ranking.py global_running_max, "
+    "exclusive form — no corpus-wide window; the oracle replays it "
+    "as a 1-PRECEDING window max). Expected frontier size is "
+    "O(log n) under independence, so output stays tiny at any scale.",
+)
+def skyline_price_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kyuubi_spark.functions.compat import dround
+    from kyuubi_spark.operators.ranking import global_running_max
+    from kyuubi_spark.session import load_table
+
+    part = load_table(spark, sf_dir, "part")
+    g = part.groupBy(F.col("p_retailprice").alias("price")).agg(
+        F.max("p_size").alias("gmax")
+    )
+    m = global_running_max(
+        g, [("price", "asc")], "gmax", max_col="prev_max", exclusive=True
+    )
+    fp = m.filter(
+        F.col("prev_max").isNull() | (F.col("gmax") > F.col("prev_max"))
+    ).select("price", "gmax")
+    return (
+        part.join(
+            F.broadcast(fp),
+            (part.p_retailprice == fp.price) & (part.p_size == fp.gmax),
+        )
+        .select(
+            "p_partkey",
+            dround(F.col("p_retailprice"), 2).alias("price"),
+            F.col("p_size").cast("int").alias("size"),
+        )
+        .orderBy("price", "p_partkey")
+    )

@@ -461,3 +461,36 @@ def test_global_running_sum_matches_window(spark, sf_dir):
         expected = df.withColumn("erun", F.sum("v").over(w))
         joined = got.join(expected, ["id", "k", "v"])
         assert joined.filter(F.col("running") != F.col("erun")).count() == 0
+
+
+def test_global_running_max_matches_window(spark, sf_dir):
+    """global_running_max (inclusive and exclusive) must equal the
+    corresponding global-window running max exactly, across bucket-
+    crossing ties and both directions."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from kyuubi_spark.operators.ranking import global_running_max
+
+    df = spark.range(499).select(
+        F.col("id"),
+        (F.col("id") % 5).alias("k"),
+        ((F.col("id") * 83) % 367).alias("v"),
+    )
+    for exclusive in (False, True):
+        got = global_running_max(
+            df, [("k", "asc"), ("id", "asc")], "v",
+            exclusive=exclusive, buckets=8,
+        )
+        end = -1 if exclusive else 0
+        w = Window.orderBy("k", "id").rowsBetween(
+            Window.unboundedPreceding, end
+        )
+        expected = df.withColumn("em", F.max("v").over(w))
+        joined = got.join(expected, ["id", "k", "v"])
+        bad = joined.filter(
+            ~(
+                F.col("running_max").eqNullSafe(F.col("em"))
+            )
+        ).count()
+        assert bad == 0, exclusive

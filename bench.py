@@ -278,6 +278,8 @@ HEADLINE = [
     "revenue_weighted_quartiles",
     "supplier_hhi_by_brand",
     "skyline_price_size",
+    "signup_to_purchase_lag",
+    "concentration_trend_yearly",
 ]
 
 

@@ -3962,3 +3962,201 @@ def skyline_price_size(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("price", "p_partkey")
     )
+
+
+@query(
+    "signup_to_purchase_lag",
+    oracle="""
+    WITH su AS (
+      SELECT user_id, MIN(ts) AS signup_ts FROM events
+      WHERE event_type = 'signup' GROUP BY 1),
+    fp AS (
+      SELECT su.user_id, su.signup_ts, MIN(e.ts) AS purchase_ts
+      FROM su JOIN events e
+        ON e.user_id = su.user_id
+       AND e.event_type = 'purchase' AND e.ts >= su.signup_ts
+      GROUP BY 1, 2),
+    cohort AS (
+      SELECT su.user_id,
+             CAST(date_trunc('week', su.signup_ts) AS DATE) AS week,
+             CAST((epoch_us(fp.purchase_ts) - epoch_us(su.signup_ts))
+                  // 3600000000 AS BIGINT) AS lag_hours
+      FROM su LEFT JOIN fp ON fp.user_id = su.user_id),
+    ranked AS (
+      SELECT week, lag_hours, user_id,
+             ROW_NUMBER() OVER (PARTITION BY week
+                                ORDER BY lag_hours, user_id) AS r,
+             COUNT(lag_hours) OVER (PARTITION BY week) AS n_conv
+      FROM cohort WHERE lag_hours IS NOT NULL),
+    wk AS (
+      SELECT week, any_value(n_conv) AS n_conv,
+             MAX(CASE WHEN r = CAST(ceil(0.5 * n_conv) AS BIGINT)
+                      THEN lag_hours END) AS p50
+      FROM ranked GROUP BY week),
+    base AS (
+      SELECT week, COUNT(*) AS n_signups FROM cohort GROUP BY week)
+    SELECT base.week,
+           CAST(base.n_signups AS BIGINT) AS n_signups,
+           CAST(wk.n_conv AS BIGINT) AS n_converted,
+           ROUND(CAST(wk.n_conv AS DOUBLE) / base.n_signups, 6)
+             AS conversion,
+           CAST(wk.p50 AS BIGINT) AS p50_lag_hours
+    FROM base LEFT JOIN wk ON wk.week = base.week
+    ORDER BY base.week
+    """,
+    doc="Signup-to-first-purchase lag by signup-week cohort: conversion "
+    "rate and the EXACT median activation lag in hours (rank-selected "
+    "order statistic, never an interpolated percentile) — the "
+    "activation funnel metric a growth team tracks cohort over "
+    "cohort. Lags are exact integer microsecond differences floored "
+    "to hours. Plan: two user-keyed MIN aggregates (signup, first "
+    "purchase after signup), per-cohort (keyed) rank windows for the "
+    "median, a calendar-bounded weekly rollup.",
+)
+def signup_to_purchase_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from kyuubi_spark.functions.compat import dround
+    from kyuubi_spark.session import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    su = ev.filter(F.col("event_type") == "signup").groupBy("user_id").agg(
+        F.min("ts").alias("signup_ts")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.col("ts").alias("pts")
+    )
+    fp = (
+        su.join(
+            p,
+            (F.col("user_id") == F.col("pu"))
+            & (F.col("pts") >= F.col("signup_ts")),
+        )
+        .groupBy("user_id", "signup_ts")
+        .agg(F.min("pts").alias("purchase_ts"))
+    )
+    cohort = su.join(
+        fp.select("user_id", "purchase_ts"), "user_id", "left"
+    ).select(
+        "user_id",
+        F.date_trunc("week", F.col("signup_ts"))
+        .cast("date")
+        .alias("week"),
+        (
+            (
+                F.unix_micros(F.col("purchase_ts").cast("timestamp"))
+                - F.unix_micros(F.col("signup_ts").cast("timestamp"))
+            )
+            / F.lit(3600000000)
+        )
+        .cast("bigint")
+        .alias("lag_hours"),
+    )
+    conv = cohort.filter(F.col("lag_hours").isNotNull())
+    w = Window.partitionBy("week")
+    ranked = conv.select(
+        "week",
+        "lag_hours",
+        F.row_number().over(w.orderBy("lag_hours", "user_id")).alias("r"),
+        F.count("*").over(w).alias("n_conv"),
+    )
+    p50 = ranked.groupBy("week").agg(
+        F.any_value("n_conv").alias("n_conv"),
+        F.max(
+            F.when(
+                F.col("r") == F.ceil(0.5 * F.col("n_conv")).cast("bigint"),
+                F.col("lag_hours"),
+            )
+        ).alias("p50"),
+    )
+    base = cohort.groupBy("week").agg(F.count("*").alias("n_signups"))
+    return (
+        base.join(F.broadcast(p50), "week", "left")
+        .select(
+            "week",
+            F.col("n_signups").cast("bigint").alias("n_signups"),
+            F.col("n_conv").cast("bigint").alias("n_converted"),
+            dround(
+                F.col("n_conv").cast("double") / F.col("n_signups"), 6
+            ).alias("conversion"),
+            F.col("p50").cast("bigint").alias("p50_lag_hours"),
+        )
+        .orderBy("week")
+    )
+
+
+@query(
+    "concentration_trend_yearly",
+    oracle="""
+    WITH cy AS (
+      SELECT EXTRACT(year FROM o_orderdate) AS yr, o_custkey,
+             SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+      FROM orders GROUP BY 1, 2),
+    ranked AS (
+      SELECT yr, cents,
+             ROW_NUMBER() OVER (PARTITION BY yr
+                                ORDER BY cents DESC, o_custkey) AS r,
+             COUNT(*) OVER (PARTITION BY yr) AS n
+      FROM cy)
+    SELECT CAST(yr AS INTEGER) AS yr,
+           CAST(any_value(n) AS BIGINT) AS n_cust,
+           ROUND(SUM(cents) / 100.0, 2) AS revenue,
+           ROUND(CAST(SUM(CASE WHEN 10 * r <= n THEN cents ELSE 0 END)
+                      AS DOUBLE) / SUM(cents), 6) AS top_decile_share
+    FROM ranked GROUP BY yr ORDER BY yr
+    """,
+    doc="Revenue-concentration trend: the share of each year's revenue "
+    "held by the top 10% of that year's customers — is the business "
+    "getting MORE dependent on whales over time? (The longitudinal "
+    "view of spend_gini_lorenz's single-snapshot Gini.) Top-decile "
+    "membership is the integer-exact test 10*rank <= n on per-year "
+    "rank windows PARTITIONED BY year (keyed — each year's ranking "
+    "is independent, so no global window; at extreme per-year "
+    "cardinality swap in the distributed ranker per year). Revenue "
+    "in exact cents.",
+)
+def concentration_trend_yearly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from kyuubi_spark.functions.compat import dround
+    from kyuubi_spark.session import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    cy = orders.groupBy(
+        F.year("o_orderdate").alias("yr"), "o_custkey"
+    ).agg(
+        F.sum(
+            F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+        ).alias("cents")
+    )
+    w = Window.partitionBy("yr")
+    ranked = cy.select(
+        "yr",
+        "cents",
+        F.row_number()
+        .over(w.orderBy(F.col("cents").desc(), "o_custkey"))
+        .alias("r"),
+        F.count("*").over(w).alias("n"),
+    )
+    return (
+        ranked.groupBy("yr")
+        .agg(
+            F.any_value("n").cast("bigint").alias("n_cust"),
+            dround(F.sum("cents") / 100.0, 2).alias("revenue"),
+            dround(
+                F.sum(
+                    F.when(10 * F.col("r") <= F.col("n"), F.col("cents"))
+                    .otherwise(0)
+                ).cast("double")
+                / F.sum("cents"),
+                6,
+            ).alias("top_decile_share"),
+        )
+        .select(
+            F.col("yr").cast("int").alias("yr"),
+            "n_cust",
+            "revenue",
+            "top_decile_share",
+        )
+        .orderBy("yr")
+    )

@@ -280,6 +280,8 @@ HEADLINE = [
     "skyline_price_size",
     "signup_to_purchase_lag",
     "concentration_trend_yearly",
+    "brand_mix_drift_yearly",
+    "interaction_matrix_stats",
 ]
 
 

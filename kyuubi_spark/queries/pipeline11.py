@@ -4160,3 +4160,148 @@ def concentration_trend_yearly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("yr")
     )
+
+
+@query(
+    "brand_mix_drift_yearly",
+    oracle="""
+    WITH r AS (
+      SELECT EXTRACT(year FROM o.o_orderdate) AS yr,
+             p.p_brand AS brand, COUNT(*) AS n
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN part p ON p.p_partkey = l.l_partkey
+      GROUP BY 1, 2),
+    yt AS (SELECT yr, SUM(n) AS n_yr FROM r GROUP BY 1),
+    bt AS (SELECT brand, SUM(n) AS n_brand FROM r GROUP BY 1),
+    g AS (SELECT SUM(n) AS total FROM r),
+    chi AS (
+      SELECT r.yr,
+             SUM(pow(r.n - CAST(yt.n_yr AS DOUBLE) * bt.n_brand / g.total, 2)
+                 / (CAST(yt.n_yr AS DOUBLE) * bt.n_brand / g.total))
+               AS chi2
+      FROM r JOIN yt USING (yr) JOIN bt USING (brand), g
+      GROUP BY r.yr)
+    SELECT CAST(chi.yr AS INTEGER) AS yr,
+           CAST(yt.n_yr AS BIGINT) AS n_lines,
+           ROUND(chi.chi2, 4) AS chi2_vs_pooled
+    FROM chi JOIN yt ON yt.yr = chi.yr
+    ORDER BY yr
+    """,
+    doc="Brand-mix drift by year: each year's brand distribution tested "
+    "against the pooled expectation with a per-year chi-square — the "
+    "composition-shift monitor (for a corpus: source-mix drift per "
+    "snapshot, same machinery as snapshot_psi_drift but with the "
+    "classical statistic). Expected counts are exact rationals "
+    "n_yr*n_brand/total from integer marginals; each year's statistic "
+    "sums ~25 brand terms of fixed expression shape and rounds at 4 "
+    "(repo float-aggregate convention; the ~25-term sum is over the "
+    "bounded brand vocabulary, not corpus rows). Plan: two broadcast "
+    "dim joins, one (year, brand)-keyed count, marginal broadcasts — "
+    "the corpus is touched once.",
+)
+def brand_mix_drift_yearly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kyuubi_spark.functions.compat import dround
+    from kyuubi_spark.session import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    part = load_table(spark, sf_dir, "part")
+    r = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(
+            F.year("o_orderdate").alias("yr"),
+            F.col("p_brand").alias("brand"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    yt = r.groupBy("yr").agg(F.sum("n").alias("n_yr"))
+    bt = r.groupBy("brand").agg(F.sum("n").alias("n_brand"))
+    g = r.agg(F.sum("n").alias("total"))
+    e = F.col("n_yr").cast("double") * F.col("n_brand") / F.col("total")
+    chi = (
+        r.join(F.broadcast(yt), "yr")
+        .join(F.broadcast(bt), "brand")
+        .crossJoin(F.broadcast(g))
+        .groupBy("yr")
+        .agg(
+            F.sum(F.pow(F.col("n") - e, F.lit(2.0)) / e).alias("chi2"),
+            F.any_value("n_yr").alias("n_yr"),
+        )
+    )
+    return chi.select(
+        F.col("yr").cast("int").alias("yr"),
+        F.col("n_yr").cast("bigint").alias("n_lines"),
+        dround(F.col("chi2"), 4).alias("chi2_vs_pooled"),
+    ).orderBy("yr")
+
+
+@query(
+    "interaction_matrix_stats",
+    oracle="""
+    WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+    dims AS (
+      SELECT COUNT(DISTINCT user_id) AS n_users,
+             COUNT(DISTINCT event_type) AS n_types,
+             COUNT(*) AS nnz
+      FROM ut),
+    tc AS (SELECT event_type, COUNT(*) AS c FROM ut GROUP BY 1),
+    ent AS (
+      SELECT SUM(CAST(round(1000000.0
+                 * (CAST(c AS DOUBLE) / dims.nnz)
+                 * ln(CAST(dims.nnz AS DOUBLE) / c)) AS BIGINT))
+               AS h_micro
+      FROM tc, dims)
+    SELECT CAST(dims.n_users AS BIGINT) AS n_users,
+           CAST(dims.n_types AS BIGINT) AS n_types,
+           CAST(dims.nnz AS BIGINT) AS nnz,
+           ROUND(CAST(dims.nnz AS DOUBLE)
+                 / (dims.n_users * dims.n_types), 6) AS fill_rate,
+           ROUND(ent.h_micro / 1000000.0, 6) AS type_entropy_nats
+    FROM dims, ent
+    """,
+    doc="Interaction-matrix profile — the shape report a recommender "
+    "or embedding-training job reads before touching the user x "
+    "event-type matrix: dimensions, nonzeros, fill rate, and the "
+    "column-marginal Shannon entropy (how evenly interaction mass "
+    "spreads across types; low entropy means one interaction type "
+    "dominates the gradient signal). Each entropy term quantizes to "
+    "an integer micro-nat before summing over the bounded type "
+    "vocabulary, so the sum is exact integer arithmetic. Plan: one "
+    "distinct projection, one 1-row dims aggregate, a |types|-row "
+    "marginal — single corpus scan.",
+)
+def interaction_matrix_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kyuubi_spark.functions.compat import dround
+    from kyuubi_spark.session import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    ut = ev.select("user_id", "event_type").distinct()
+    dims = ut.agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.countDistinct("event_type").alias("n_types"),
+        F.count("*").alias("nnz"),
+    )
+    tc = ut.groupBy("event_type").agg(F.count("*").alias("c"))
+    ent = tc.crossJoin(F.broadcast(dims)).agg(
+        F.sum(
+            F.round(
+                1000000.0
+                * (F.col("c").cast("double") / F.col("nnz"))
+                * F.log(F.col("nnz").cast("double") / F.col("c")),
+                0,
+            ).cast("bigint")
+        ).alias("h_micro")
+    )
+    return dims.crossJoin(F.broadcast(ent)).select(
+        F.col("n_users").cast("bigint").alias("n_users"),
+        F.col("n_types").cast("bigint").alias("n_types"),
+        F.col("nnz").cast("bigint").alias("nnz"),
+        dround(
+            F.col("nnz").cast("double")
+            / (F.col("n_users") * F.col("n_types")),
+            6,
+        ).alias("fill_rate"),
+        dround(F.col("h_micro") / 1000000.0, 6).alias("type_entropy_nats"),
+    )

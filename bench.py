@@ -282,6 +282,8 @@ HEADLINE = [
     "concentration_trend_yearly",
     "brand_mix_drift_yearly",
     "interaction_matrix_stats",
+    "cohort_ltv_curve",
+    "return_rate_wilson",
 ]
 
 

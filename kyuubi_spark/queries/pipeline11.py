@@ -4305,3 +4305,162 @@ def interaction_matrix_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("fill_rate"),
         dround(F.col("h_micro") / 1000000.0, 6).alias("type_entropy_nats"),
     )
+
+
+@query(
+    "cohort_ltv_curve",
+    oracle="""
+    WITH fw AS (
+      SELECT user_id, MIN(date_trunc('week', ts)) AS cohort FROM events
+      GROUP BY 1),
+    sizes AS (SELECT cohort, COUNT(*) AS n_users FROM fw GROUP BY 1),
+    rev AS (
+      SELECT fw.cohort,
+             CAST(date_diff('week', fw.cohort, date_trunc('week', e.ts))
+                  AS BIGINT) AS age_weeks,
+             ROUND(SUM(e.value), 2) AS revenue
+      FROM events e JOIN fw ON fw.user_id = e.user_id
+      GROUP BY 1, 2),
+    cum AS (
+      SELECT cohort, age_weeks, revenue,
+             ROUND(SUM(revenue) OVER (PARTITION BY cohort ORDER BY age_weeks
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+               AS cum_revenue
+      FROM rev)
+    SELECT CAST(cum.cohort AS DATE) AS cohort,
+           CAST(cum.age_weeks AS INTEGER) AS age_weeks,
+           CAST(sizes.n_users AS BIGINT) AS n_users,
+           cum.revenue,
+           ROUND(cum.cum_revenue / sizes.n_users, 4) AS cum_ltv_per_user
+    FROM cum JOIN sizes ON sizes.cohort = cum.cohort
+    ORDER BY cohort, age_weeks
+    """,
+    doc="Cohort LTV curve: cumulative revenue per user by signup-week "
+    "cohort and week age — THE payback chart every subscription/"
+    "commerce business plots (do newer cohorts monetize faster?). "
+    "Per-(cohort, age) revenue rounds at 2 before the cumulative "
+    "(repo float convention — the cumulative then adds already-"
+    "rounded values in deterministic frame order), and the cumulative "
+    "window is PARTITIONED BY cohort over <=|weeks| rows per "
+    "partition — keyed and calendar-bounded. Plan: one user-keyed "
+    "MIN (cohort assignment) joined back on the user key, a "
+    "(cohort, age) rollup, per-cohort cumulative.",
+)
+def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from kyuubi_spark.functions.compat import dround
+    from kyuubi_spark.session import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    fw = ev.groupBy("user_id").agg(
+        F.min(F.date_trunc("week", F.col("ts"))).alias("cohort")
+    )
+    sizes = fw.groupBy("cohort").agg(F.count("*").alias("n_users"))
+    rev = (
+        ev.join(fw, "user_id")
+        .groupBy(
+            "cohort",
+            (
+                F.datediff(
+                    F.date_trunc("week", F.col("ts")).cast("date"),
+                    F.col("cohort").cast("date"),
+                )
+                / 7
+            )
+            .cast("bigint")
+            .alias("age_weeks"),
+        )
+        .agg(dround(F.sum("value"), 2).alias("revenue"))
+    )
+    w = (
+        Window.partitionBy("cohort")
+        .orderBy("age_weeks")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = rev.withColumn("cum_revenue", dround(F.sum("revenue").over(w), 2))
+    return (
+        cum.join(F.broadcast(sizes), "cohort")
+        .select(
+            F.col("cohort").cast("date").alias("cohort"),
+            F.col("age_weeks").cast("int").alias("age_weeks"),
+            F.col("n_users").cast("bigint").alias("n_users"),
+            "revenue",
+            dround(F.col("cum_revenue") / F.col("n_users"), 4).alias(
+                "cum_ltv_per_user"
+            ),
+        )
+        .orderBy("cohort", "age_weeks")
+    )
+
+
+@query(
+    "return_rate_wilson",
+    oracle="""
+    WITH r AS (
+      SELECT p.p_brand AS brand,
+             COUNT(*) AS n,
+             SUM(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END) AS k
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      GROUP BY 1),
+    s AS (
+      SELECT brand, n, k, CAST(k AS DOUBLE) / n AS p,
+             1.959963984540054 AS z
+      FROM r)
+    SELECT brand, CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS n_returned,
+           ROUND(p, 6) AS return_rate,
+           ROUND((p + z * z / (2 * n)
+                  - z * sqrt((p * (1 - p) + z * z / (4 * n)) / n))
+                 / (1 + z * z / n), 6) AS wilson_lower
+    FROM s
+    ORDER BY (p + z * z / (2 * n)
+              - z * sqrt((p * (1 - p) + z * z / (4 * n)) / n))
+             / (1 + z * z / n) DESC, brand
+    LIMIT 10
+    """,
+    doc="Return-rate ranking by Wilson 95% lower bound — the correct "
+    "way to rank rates when sample sizes differ (a brand with 3/3 "
+    "returns must NOT outrank one with 90/100; the naive rate sort "
+    "gets this wrong, the Wilson interval's lower bound fixes it — "
+    "the canonical 'how not to sort by average rating' construction). "
+    "Inputs are exact integer (returns, totals) per brand; the bound "
+    "is one fixed double expression evaluated identically in both "
+    "engines, used for both the ordering and the reported value. "
+    "Plan: a broadcast dim join + one brand-keyed conditional "
+    "aggregate + TakeOrderedAndProject top-10.",
+)
+def return_rate_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kyuubi_spark.functions.compat import dround
+    from kyuubi_spark.session import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    r = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(
+                F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+            ).alias("k"),
+        )
+    )
+    p = F.col("k").cast("double") / F.col("n")
+    z = F.lit(1.959963984540054)
+    wilson = (
+        p
+        + z * z / (2 * F.col("n"))
+        - z * F.sqrt((p * (1 - p) + z * z / (4 * F.col("n"))) / F.col("n"))
+    ) / (1 + z * z / F.col("n"))
+    return (
+        r.withColumn("_w", wilson)
+        .orderBy(F.col("_w").desc(), "brand")
+        .limit(10)
+        .select(
+            "brand",
+            F.col("n").cast("bigint").alias("n"),
+            F.col("k").cast("bigint").alias("n_returned"),
+            dround(p, 6).alias("return_rate"),
+            dround(F.col("_w"), 6).alias("wilson_lower"),
+        )
+    )

@@ -759,7 +759,7 @@ def _baseline_kernels_lane(spark) -> dict | None:
     scan_base.unpersist()
     from kyuubi_spark.caching import release_caches
 
-    release_caches()  # global_running_sum persists its input internally
+    release_caches()  # drain any persists left over from earlier lanes
     out["prefix_scan_10m"] = entry
     return out
 

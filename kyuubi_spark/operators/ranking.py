@@ -264,7 +264,9 @@ def global_running_sum(
     acc = 0
     for r in sorted(rows, key=lambda r: r["_bkt"]):
         offsets[r["_bkt"]] = acc
-        acc += r["_bs"]
+        # F.sum skips NULLs, so an all-NULL bucket sums to None and
+        # contributes 0 to the prefix — same semantics as SUM OVER.
+        acc += r["_bs"] or 0
     order_exprs = [
         F.col(c).desc() if d == "desc" else F.col(c).asc()
         for c, d in order_by
@@ -324,7 +326,10 @@ def global_running_max(
     for r in sorted(rows, key=lambda r: r["_bkt"]):
         if acc is not None:
             offsets[r["_bkt"]] = acc
-        acc = r["_bm"] if acc is None else max(acc, r["_bm"])
+        # F.max skips NULLs: an all-NULL bucket has _bm None and leaves
+        # the running max unchanged — same semantics as MAX OVER.
+        if r["_bm"] is not None:
+            acc = r["_bm"] if acc is None else max(acc, r["_bm"])
     order_exprs = [
         F.col(c).desc() if d == "desc" else F.col(c).asc()
         for c, d in order_by

@@ -22,6 +22,30 @@ from kyuubi_spark.queries import query
 _HEX = "0123456789abcdef"
 
 
+def _broadcast_budget(spark: SparkSession) -> int:
+    """Session broadcast budget in bytes from
+    ``spark.sql.autoBroadcastJoinThreshold`` (suffix forms like ``10MB``
+    / ``10485760b`` included); ``-1`` (broadcast disabled) maps to -1 so
+    size gates comparing ``estimate <= budget`` never broadcast."""
+    try:
+        raw = str(spark.conf.get("spark.sql.autoBroadcastJoinThreshold"))
+    except Exception:
+        return 10 * 1024 * 1024
+    v = raw.strip().lower()
+    mult = 1
+    for suf, m in (
+        ("kb", 1024), ("mb", 1024 ** 2), ("gb", 1024 ** 3),
+        ("k", 1024), ("m", 1024 ** 2), ("g", 1024 ** 3), ("b", 1),
+    ):
+        if v.endswith(suf):
+            v, mult = v[: -len(suf)], m
+            break
+    try:
+        return int(float(v)) * mult
+    except ValueError:
+        return 10 * 1024 * 1024
+
+
 @query(
     "image_phash_near_dup",
     oracle=f"""
@@ -612,11 +636,21 @@ def triangle_count_oriented(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Close wedges against a BROADCAST of the packed edge set: the wedge
     # relation (sum of C(outdeg, 2), the orientation-bounded O(E^1.5)
     # quantity) then streams through broadcast hash joins + a partial
-    # count without ever being shuffled or materialized.  Edges pack to
-    # one long (8 bytes x |E|); when |E| outgrows the broadcast budget
-    # at extreme scale, drop the hints for plain shuffle joins.
+    # count without ever being shuffled or materialized.  The hints are
+    # SIZE-GATED: count |E| once off the persisted edge set (the count
+    # also primes the cache reused by all three join roles) and only
+    # hint broadcast while the packed edges (~24 B/row with join keys)
+    # fit the session broadcast budget; past it the hints disappear and
+    # the degree-oriented wedge bound survives on plain shuffle joins
+    # (AQE may still re-pick broadcast from runtime stats if they shrink).
+    n_edges_exact = e0.count()
+    hint = (
+        F.broadcast
+        if 0 <= n_edges_exact * 24 <= _broadcast_budget(spark)
+        else (lambda d: d)
+    )
     wedges = (
-        e1.join(F.broadcast(e2), "s")
+        e1.join(hint(e2), "s")
         .filter(pair_ordered)
         .select(
             (F.shiftleft(F.col("t1"), 32).bitwiseOR(F.col("t2"))).alias("pk")
@@ -625,7 +659,7 @@ def triangle_count_oriented(spark: SparkSession, sf_dir: str) -> DataFrame:
     closure = o.select(
         (F.shiftleft(F.col("s"), 32).bitwiseOR(F.col("t"))).alias("pk")
     )
-    tri = wedges.join(F.broadcast(closure), "pk").agg(
+    tri = wedges.join(hint(closure), "pk").agg(
         F.count("*").alias("n_triangles")
     )
     counts = e0.agg(F.count("*").alias("n_edges")).crossJoin(

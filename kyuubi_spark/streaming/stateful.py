@@ -185,7 +185,15 @@ _TRANS_STATE_SCHEMA = StructType(
 def _update_transitions(
     key, pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
-    rows = pd.concat(list(pdfs), ignore_index=True)
+    batches = list(pdfs)
+    if state.hasTimedOut or not batches:
+        # Timed-out keys arrive with an empty iterator (the documented
+        # EventTimeTimeout eviction swap) — drop the state, emit nothing.
+        # A bare empty call without timeout keeps the carry.
+        if state.hasTimedOut:
+            state.remove()
+        return
+    rows = pd.concat(batches, ignore_index=True)
     # total (event-time, id) order INSIDE the batch; cross-batch order is
     # the source's contract (time-partitioned arrival), carried via state
     rows = rows.sort_values(["us", "event_id"], kind="mergesort")

@@ -602,3 +602,28 @@ def test_fertility_and_blocklist_are_single_aggregate(spark, sf_dir):
         s = plans.plan_summary(df)
         assert s["broadcast_joins"] == 0 and s["sortmerge_joins"] == 0
         assert s["exchanges"] <= 2, (name, s["exchanges"])
+
+
+def test_triangle_broadcast_gate(spark, sf_dir):
+    """The two wedge/closure broadcast hints in triangle_count_oriented
+    are SIZE-GATED on |E|: present (BroadcastHashJoin) while the packed
+    edge set fits the session broadcast budget, absent past it — where
+    the plan degrades to shuffle joins with the same O(E^1.5) wedge
+    bound and an identical count."""
+    df = _build(spark, sf_dir, "triangle_count_oriented")
+    assert plans.broadcast_join_count(df) >= 2
+    row = df.collect()[0]
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    # drop the cached edge/orientation plans (they embed build-1's
+    # broadcasts) so the gated rebuild replans from scratch
+    from kyuubi_spark.caching import release_caches
+
+    release_caches()
+    spark.catalog.clearCache()
+    try:
+        df2 = _build(spark, sf_dir, "triangle_count_oriented")
+        assert plans.broadcast_join_count(df2) == 0
+        assert df2.collect()[0] == row
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)

@@ -348,8 +348,10 @@ def test_transition_kernel_exact_across_batch_splits():
     from kyuubi_spark.streaming.stateful import _update_transitions
 
     class FakeState:
-        def __init__(self):
+        def __init__(self, timed_out=False):
             self.exists = False
+            self.hasTimedOut = timed_out
+            self.removed = False
             self._v = None
 
         @property
@@ -359,6 +361,20 @@ def test_transition_kernel_exact_across_batch_splits():
         def update(self, v):
             self._v = v
             self.exists = True
+
+        def remove(self):
+            self.exists = False
+            self.removed = True
+
+    # timed-out invocation (EventTimeTimeout eviction): empty iterator
+    # must drop state and emit nothing, not crash in concat; an empty
+    # call WITHOUT timeout keeps the carry untouched
+    st = FakeState(timed_out=True)
+    assert list(_update_transitions(("u0",), iter([]), st)) == []
+    assert st.removed
+    st = FakeState()
+    assert list(_update_transitions(("u0",), iter([]), st)) == []
+    assert not st.removed
 
     types = ["a", "b", "a", "c", "b", "b", "a", "c", "c", "a"]
     rows = pd.DataFrame(

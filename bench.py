@@ -389,6 +389,7 @@ def _realtext_lane(spark) -> dict | None:
     if os.environ.get("SPARK_GRAFT_SKIP_REALTEXT") == "1":
         return None
     import glob
+    import importlib.util
     import re
     import shutil
     import tempfile
@@ -398,11 +399,22 @@ def _realtext_lane(spark) -> dict | None:
     sf = float(os.environ.get("SPARK_GRAFT_TPCDS_SF", "0.1"))
     texts: dict[str, str] = {}
     here = os.path.dirname(os.path.abspath(__file__))
+    # IMPORT each batch module (not regex-scrape) so programmatically
+    # assembled spec texts (q66/q88's pivot slots, q4's f-string CTEs)
+    # run in the lane too — module attribute Qnn[B] holds the final
+    # executed text in every batch
     for f in sorted(glob.glob(os.path.join(here, "tests", "test_tpcds_real*.py"))):
-        with open(f) as fh:
-            src = fh.read()
-        for m in re.finditer(r'^(Q\w+) = """(.*?)"""', src, re.M | re.S):
-            texts[m.group(1).lower()] = m.group(2)
+        name = "bench_" + os.path.basename(f)[:-3]
+        spec = importlib.util.spec_from_file_location(name, f)
+        mod = importlib.util.module_from_spec(spec)
+        try:
+            spec.loader.exec_module(mod)
+        except Exception as e:
+            print(f"# bench realtext import error {f}: {e}", file=sys.stderr)
+            continue
+        for attr, val in vars(mod).items():
+            if re.fullmatch(r"Q\w+", attr) and isinstance(val, str):
+                texts[attr.lower()] = val
     if not texts:
         return None
     root = tempfile.mkdtemp(prefix="bench_tpcds_star_")

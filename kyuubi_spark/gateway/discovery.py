@@ -184,7 +184,10 @@ def connect_discovery(addr: str | None):
     if addr and str(addr).startswith("tcp://"):
         from kyuubi_spark.gateway.discovery_tcp import TcpDiscoveryClient
 
-        return TcpDiscoveryClient(addr)
+        # keepalive gives long-lived owners (gateways, engines) prompt
+        # daemon-crash detection + automatic ephemeral re-registration
+        # once a restarted daemon answers on the same address
+        return TcpDiscoveryClient(addr, keepalive=2.0)
     return SqliteDiscoveryClient(addr)
 
 

@@ -266,7 +266,12 @@ class TcpDiscoveryClient(DiscoveryClientOps):
     process dies, however it dies.
     """
 
-    def __init__(self, address: str):
+    def __init__(
+        self,
+        address: str,
+        keepalive: float | None = None,
+        reconnect_timeout: float = 10.0,
+    ):
         if not address.startswith("tcp://"):
             raise ValueError(f"not a tcp discovery address: {address}")
         self._path = address  # forwarded to launched engines verbatim
@@ -274,6 +279,16 @@ class TcpDiscoveryClient(DiscoveryClientOps):
         self._addr = (host, int(port))
         self._sock: socket.socket | None = None
         self._lock = threading.RLock()
+        # crash recovery (the ZK-client reconnect + Curator PersistentNode
+        # re-create half of parity): every EPHEMERAL this client owns is
+        # recorded and REPLAYED onto a fresh session when the daemon dies
+        # and comes back — a restarted (empty) registry repopulates from
+        # its surviving owners, no operator intervention
+        self._ephemerals: dict[str, dict] = {}
+        self._reconnect_timeout = reconnect_timeout
+        self._keepalive = keepalive
+        self._keepalive_thread: threading.Thread | None = None
+        self._closed = threading.Event()
 
     # --- lifecycle ---
 
@@ -281,10 +296,18 @@ class TcpDiscoveryClient(DiscoveryClientOps):
         with self._lock:
             if self._sock is not None:
                 return
+            self._closed.clear()
             self._sock = socket.create_connection(self._addr, timeout=30)
+        if self._keepalive and self._keepalive_thread is None:
+            t = threading.Thread(target=self._keepalive_loop, daemon=True)
+            t.start()
+            self._keepalive_thread = t
 
     def close_client(self) -> None:
+        self._closed.set()
         with self._lock:
+            self._keepalive_thread = None
+            self._ephemerals.clear()
             if self._sock is None:
                 return
             try:
@@ -293,16 +316,82 @@ class TcpDiscoveryClient(DiscoveryClientOps):
                 pass
             self._sock = None
 
+    def _keepalive_loop(self) -> None:
+        """Periodic ping: detects a dead daemon promptly and (via _call's
+        reconnect path) re-registers this client's ephemerals as soon as
+        a daemon answers again — without waiting for the next real op."""
+        while not self._closed.wait(self._keepalive):
+            try:
+                self._call("ping")
+            except (DiscoveryStoreError, OSError):
+                pass  # daemon still down: retry next tick
+
+    def _rpc_once(self, payload: dict) -> dict:
+        _send_frame(self._sock, payload)
+        resp = _recv_frame(self._sock)
+        if resp is None:
+            raise OSError("EOF from discovery server")
+        return resp
+
+    def _reconnect_and_replay(self) -> None:
+        """Called under self._lock after a send/recv failure: dial the
+        SAME address until the daemon answers (it restarts on a fixed
+        port), then replay this session's ephemerals.  Sequential nodes
+        get fresh suffixes, exactly as a Curator PersistentNode would;
+        the registered-service pointer follows its node."""
+        if self._sock is not None:
+            try:
+                self._sock.close()
+            except OSError:
+                pass
+            self._sock = None
+        deadline = time.time() + self._reconnect_timeout
+        delay = 0.05
+        while True:
+            if self._closed.is_set():
+                raise DiscoveryStoreError("client closed during reconnect")
+            try:
+                self._sock = socket.create_connection(self._addr, timeout=30)
+                break
+            except OSError:
+                if time.time() >= deadline:
+                    raise DiscoveryStoreError(
+                        f"discovery server unreachable at {self._path} "
+                        f"after {self._reconnect_timeout:.0f}s"
+                    )
+                time.sleep(delay)
+                delay = min(delay * 2, 1.0)
+        replay, self._ephemerals = self._ephemerals, {}
+        for old_path, req in replay.items():
+            try:
+                resp = self._rpc_once({"op": "create", **req})
+            except OSError:
+                self._ephemerals.update(replay)
+                raise
+            if not resp.get("ok"):
+                continue  # e.g. parent namespace gone: node stays dropped
+            new_path = resp.get("value")
+            self._ephemerals[new_path] = req
+            if getattr(self, "_registered", None) == old_path:
+                self._registered = new_path
+
     def _call(self, op: str, **kwargs):
+        payload = {"op": op, **kwargs}
         with self._lock:
             if self._sock is None:
                 raise DiscoveryStoreError(
                     "client not created (create_client())"
                 )
-            _send_frame(self._sock, {"op": op, **kwargs})
-            resp = _recv_frame(self._sock)
-        if resp is None:
-            raise DiscoveryStoreError("discovery server connection lost")
+            try:
+                resp = self._rpc_once(payload)
+            except OSError:
+                self._reconnect_and_replay()
+                try:
+                    resp = self._rpc_once(payload)
+                except OSError as e:
+                    raise DiscoveryStoreError(
+                        f"discovery server connection lost: {e}"
+                    )
         if not resp.get("ok"):
             raise DiscoveryStoreError(resp.get("error", "discovery error"))
         return resp.get("value")
@@ -316,13 +405,17 @@ class TcpDiscoveryClient(DiscoveryClientOps):
         data: bytes = b"",
         create_parent: bool = True,
     ) -> str:
-        return self._call(
-            "create",
-            path=path,
-            mode=mode,
-            data=base64.b64encode(data).decode("ascii"),
-            create_parent=create_parent,
-        )
+        req = {
+            "path": path,
+            "mode": mode,
+            "data": base64.b64encode(data).decode("ascii"),
+            "create_parent": create_parent,
+        }
+        out = self._call("create", **req)
+        if mode.startswith("EPHEMERAL"):
+            with self._lock:
+                self._ephemerals[out] = req
+        return out
 
     def get_data(self, path: str) -> bytes:
         return base64.b64decode(self._call("get_data", path=path))
@@ -348,6 +441,8 @@ class TcpDiscoveryClient(DiscoveryClientOps):
 
     def delete(self, path: str, delete_children: bool = False) -> None:
         self._call("delete", path=path, delete_children=delete_children)
+        with self._lock:
+            self._ephemerals.pop(path, None)
 
     # --- locking: a grant dies with this session, no TTL steal needed ---
 
@@ -376,3 +471,33 @@ class TcpDiscoveryClient(DiscoveryClientOps):
 
     def get_and_increment(self, path: str, delta: int = 1) -> int:
         return self._call("get_and_increment", path=path, delta=delta)
+
+
+def main(argv: list[str] | None = None) -> None:
+    """Standalone daemon: ``python -m kyuubi_spark.gateway.discovery_tcp
+    --port N`` serves the registry until killed.  Prints its
+    ``tcp://host:port`` address on the first stdout line (flushed) so a
+    launcher can wait for readiness; a FIXED --port lets a restarted
+    daemon come back on the same address, which is what client-side
+    reconnect + ephemeral replay (TcpDiscoveryClient) dials back to."""
+    import argparse
+    import sys
+
+    ap = argparse.ArgumentParser(description="kyuubi_spark TCP discovery")
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=0)
+    args = ap.parse_args(argv)
+    srv = DiscoveryServer(host=args.host, port=args.port).start()
+    print(srv.address, flush=True)
+    try:
+        while True:
+            time.sleep(3600)
+    except KeyboardInterrupt:
+        pass
+    finally:
+        srv.stop()
+        sys.exit(0)
+
+
+if __name__ == "__main__":
+    main()

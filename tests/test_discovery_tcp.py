@@ -325,3 +325,91 @@ def test_spark_submit_engine_over_tcp_discovery(spark, server):
     finally:
         gw.process_manager.stop_all()
         disco.close_client()
+
+
+def _spawn_daemon(port: int):
+    """Start the discovery daemon as a REAL OS process on a fixed port;
+    returns the Popen after reading its ready line."""
+    import subprocess
+    import sys as _sys
+
+    proc = subprocess.Popen(
+        [
+            _sys.executable,
+            "-m",
+            "kyuubi_spark.gateway.discovery_tcp",
+            "--port",
+            str(port),
+        ],
+        stdout=subprocess.PIPE,
+        text=True,
+    )
+    addr = proc.stdout.readline().strip()
+    assert addr == f"tcp://127.0.0.1:{port}", addr
+    return proc
+
+
+def test_daemon_kill9_restart_reregisters_and_resolves(spark):
+    """The crash-recovery half of ZK parity: kill -9 the discovery
+    DAEMON mid-session, restart it on the same port (empty tree), and
+    the surviving owners REPOPULATE it — the gateway's keepalive'd
+    client replays its ephemeral registration automatically, and fresh
+    clients resolve + connect through the restarted daemon with no
+    operator intervention (what a ZK quorum gives via replicated state,
+    the single-daemon deployment gets via owner-side replay)."""
+    import socket as _socket
+
+    from kyuubi_spark.client import dbapi, ha
+    from kyuubi_spark.gateway.server_main import KyuubiServer
+
+    with _socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    proc = _spawn_daemon(port)
+    addr = f"tcp://127.0.0.1:{port}"
+    disco = connect_discovery(addr)
+    disco.create_client()
+    srv = KyuubiServer(spark, discovery=disco).start()
+    try:
+        endpoint = srv.endpoints()["thrift_binary"]
+        assert ha.discover_servers(addr) == [endpoint]
+
+        # daemon dies hard mid-session: resolution is down, the
+        # registration is gone with the daemon's memory
+        os.kill(proc.pid, signal.SIGKILL)
+        proc.wait(timeout=10)
+
+        # restart on the SAME port with an EMPTY tree
+        proc = _spawn_daemon(port)
+
+        # the gateway's client re-registers by itself (keepalive ping ->
+        # reconnect -> ephemeral replay); clients re-resolve
+        deadline = time.time() + 15
+        live = []
+        while time.time() < deadline:
+            try:
+                live = ha.discover_servers(addr)
+            except DiscoveryStoreError:
+                live = []
+            if live == [endpoint]:
+                break
+            time.sleep(0.2)
+        assert live == [endpoint]
+
+        conn = dbapi.connect(discovery=addr, user="quake_survivor")
+        cur = conn.cursor()
+        cur.execute("SELECT 'rejoined' AS s")
+        assert cur.fetchall() == [("rejoined",)]
+        conn.close()
+    finally:
+        try:
+            srv.stop()
+        except Exception:
+            pass
+        try:
+            disco.close_client()
+        except Exception:
+            pass
+        proc.kill()
+        proc.wait(timeout=10)

@@ -77,6 +77,11 @@ class _Query:
         self.session = session
         self.token = 0
         self.done = False
+        # last served page, kept for idempotent nextUri retry: the Trino
+        # client retries a GET whose response it lost (io.trino.client
+        # retry-on-IOException), and the server must re-serve the SAME
+        # page — one cached page per query, O(page) memory
+        self.last_page: dict | None = None
 
 
 def _split_params(raw: str) -> list[str]:
@@ -148,6 +153,7 @@ class TrinoGateway:
         # server runs without an authenticator)
         self.auth = auth
         self._queries: dict[str, _Query] = {}
+        self._done_order: list[str] = []  # FIFO purge of finished queries
         self._sessions: dict[str, object] = {}
         # (user, statement_name) -> sql, for PREPARE/EXECUTE/DEALLOCATE
         self._prepared: dict[tuple[str, str], str] = {}
@@ -225,7 +231,14 @@ class TrinoGateway:
                 parts = self.path.strip("/").split("/")
                 # /v1/statement/{id}/{slug}/{token}
                 if len(parts) >= 4 and parts[:2] == ["v1", "statement"]:
-                    self._reply(200, service.next_page(parts[2], self._base()))
+                    try:
+                        token = int(parts[4]) if len(parts) >= 5 else None
+                    except ValueError:
+                        token = None
+                    self._reply(
+                        200,
+                        service.next_page(parts[2], self._base(), token),
+                    )
                 else:
                     self._reply(404, {"error": "not found"})
 
@@ -419,7 +432,7 @@ class TrinoGateway:
             return self._error_results(qid, op)
         return self._page(qid, q, base)
 
-    def next_page(self, qid: str, base: str) -> dict:
+    def next_page(self, qid: str, base: str, token: int | None = None) -> dict:
         with self._lock:
             q = self._queries.get(qid)
         if q is None:
@@ -427,6 +440,26 @@ class TrinoGateway:
                     "error": {"message": "unknown query"}}
         if q.op.exception is not None:
             return self._error_results(qid, q.op)
+        if token is not None:
+            # Token discipline (the paged-cursor half of HS2's
+            # FETCH_PRIOR, in the form the Trino protocol allows):
+            # q.token is the only token a FORWARD fetch accepts; the
+            # immediately preceding token is an idempotent RETRY and
+            # re-serves the cached page verbatim; anything older is a
+            # rewind the forward-only wire cannot honor.
+            if token == q.token - 1 and q.last_page is not None:
+                return q.last_page
+            if token != q.token:
+                return {
+                    "id": qid,
+                    "stats": {"state": "FAILED"},
+                    "error": {
+                        "message": f"invalid page token {token} "
+                                   f"(expected {q.token})",
+                        "errorCode": 1,
+                        "errorName": "GENERIC_INTERNAL_ERROR",
+                    },
+                }
         return self._page(qid, q, base)
 
     def cancel(self, qid: str) -> dict:
@@ -483,6 +516,13 @@ class TrinoGateway:
         else:
             q.done = True
             if q.op.state is OperationState.FINISHED:
+                # keep the finished query (bounded FIFO) so a retry of
+                # the FINAL page can still be served; purge the oldest
+                # beyond the cap instead of dropping eagerly
                 with self._lock:
-                    self._queries.pop(qid, None)
+                    self._done_order.append(qid)
+                    while len(self._done_order) > 64:
+                        old = self._done_order.pop(0)
+                        self._queries.pop(old, None)
+        q.last_page = out
         return out

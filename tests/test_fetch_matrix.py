@@ -150,3 +150,118 @@ def test_large_result_pages_through_launched_engine(launched_wire):
     finally:
         c.close_session()
         c.close()
+
+
+@pytest.mark.parametrize("mode", list(MODE_CONF))
+def test_rest_fetch_orientation_matrix(spark, mode):
+    """The same orientation x collect-mode matrix through the REST
+    frontend: /operations/{oid}/rowset?orientation= maps straight onto
+    the operation cursor, so array-backed modes rewind exactly and
+    iterable-backed modes degrade to forward streaming — parity with the
+    thrift wire rows above."""
+    import json
+    import urllib.request
+
+    from kyuubi_spark.gateway import Engine
+    from kyuubi_spark.gateway.rest import RestGateway
+
+    gw = RestGateway(Engine(spark=spark)).start()
+
+    def call(method, path, body=None):
+        url = f"http://127.0.0.1:{gw.port}{path}"
+        data = json.dumps(body).encode() if body is not None else None
+        req = urllib.request.Request(url, data=data, method=method)
+        if data:
+            req.add_header("Content-Type", "application/json")
+        with urllib.request.urlopen(req) as resp:
+            return json.loads(resp.read())
+
+    def fetch(oid, n, orientation):
+        page = call(
+            "GET",
+            f"/api/v1/operations/{oid}/rowset?maxrows={n}"
+            f"&orientation={orientation}",
+        )
+        return [r[0] for r in page["rows"]]
+
+    try:
+        s = call(
+            "POST", "/api/v1/sessions",
+            {"user": "rest_matrix", "conf": MODE_CONF[mode]},
+        )
+        op = call(
+            "POST", f"/api/v1/sessions/{s['identifier']}/operations",
+            {"statement": SQL},
+        )
+        oid = op["identifier"]
+        assert fetch(oid, 3, "FETCH_NEXT") == [0, 1, 2]
+        assert fetch(oid, 3, "FETCH_NEXT") == [3, 4, 5]
+        if REWINDABLE[mode]:
+            assert fetch(oid, 3, "FETCH_PRIOR") == [0, 1, 2]
+            assert fetch(oid, 4, "FETCH_FIRST") == [0, 1, 2, 3]
+            assert fetch(oid, 3, "FETCH_NEXT") == [4, 5, 6]
+        else:
+            assert fetch(oid, 2, "FETCH_PRIOR") == [6, 7]
+            assert fetch(oid, 2, "FETCH_FIRST") == [8, 9]
+            assert fetch(oid, 2, "FETCH_NEXT") == []
+        call("DELETE", f"/api/v1/operations/{oid}")
+        call("DELETE", f"/api/v1/sessions/{s['identifier']}")
+    finally:
+        gw.shutdown()
+
+
+def test_trino_fetch_retry_matrix(spark):
+    """The Trino-frontend row of the matrix: the wire protocol is
+    forward-only (nextUri continuation), so HS2's FETCH_PRIOR surfaces
+    in the only form the protocol allows — an idempotent RETRY of the
+    last nextUri (io.trino.client retries a GET whose response it lost),
+    which must re-serve the SAME page, including the FINAL page; older
+    tokens (a true rewind) are rejected, matching the reference's
+    forward-only punt for iterable cursors."""
+    import json
+    import urllib.request
+    from urllib.error import HTTPError
+
+    from kyuubi_spark.gateway import Engine
+    from kyuubi_spark.gateway.trino import TrinoGateway
+
+    svc = TrinoGateway(Engine(spark=spark), page_size=4).start()
+
+    def get(url):
+        with urllib.request.urlopen(url) as r:
+            return json.loads(r.read())
+
+    try:
+        req = urllib.request.Request(
+            f"http://{svc.host}:{svc.port}/v1/statement",
+            data=SQL.encode(),
+            headers={"X-Trino-User": "retry_matrix"},
+            method="POST",
+        )
+        with urllib.request.urlopen(req) as r:
+            p1 = json.loads(r.read())
+        assert [r[0] for r in p1["data"]] == [0, 1, 2, 3]
+
+        uri2 = p1["nextUri"]
+        p2 = get(uri2)
+        assert [r[0] for r in p2["data"]] == [4, 5, 6, 7]
+
+        # idempotent retry: same URI again -> SAME page, cursor unmoved
+        assert get(uri2) == p2
+
+        # a token older than the retry window is a rewind the protocol
+        # cannot honor -> explicit error, not silent data
+        stale = uri2.rsplit("/", 1)[0] + "/0"
+        err = get(stale)
+        assert err["stats"]["state"] == "FAILED"
+        assert "invalid page token" in err["error"]["message"]
+
+        # after the retry, forward resumes exactly where it left off
+        p3 = get(p2["nextUri"])
+        assert [r[0] for r in p3["data"]] == [8, 9]
+        assert p3["stats"]["state"] == "FINISHED"
+
+        # FINAL page is retryable too (the finished query is retained)
+        assert get(p2["nextUri"]) == p3
+    finally:
+        svc.stop()

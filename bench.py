@@ -776,6 +776,91 @@ def _baseline_kernels_lane(spark) -> dict | None:
     return out
 
 
+def _sf1_scale_lane(spark, specs, timings: dict, sf_dir: str) -> dict | None:
+    """Scale-proof lane (r10 judge Next #5): one measured DECADE of
+    scaling per round.  Builds (once, cached in /tmp) a 10× dataset from
+    sf0.1 via key-shifted sharded replication (tools/scale_data.py: 10
+    disjoint key-universes, so relational results scale exactly
+    linearly), then runs the TOP-K slowest headline queries at that
+    scale and records per-query wall, the wall ratio vs the sf0.1
+    median, and PLAN STABILITY — no CartesianProduct and no
+    unpartitioned window outside the reviewed bounded-input allowlist
+    may APPEAR at 10× that wasn't there at 1×.  Set
+    SPARK_GRAFT_SKIP_SF1=1 to skip; SPARK_GRAFT_SF1_TOPK sizes the set."""
+    if os.environ.get("SPARK_GRAFT_SKIP_SF1") == "1":
+        return None
+    if not sf_dir.rstrip("/").endswith("sf0.1"):
+        return None  # ratios vs another SF would be meaningless
+    import re
+
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools")
+    )
+    import scale_data
+    import window_audit
+
+    from kyuubi_spark import plans
+    from kyuubi_spark.caching import release_caches
+
+    top_k = int(os.environ.get("SPARK_GRAFT_SF1_TOPK", "25"))
+    dst = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/kyuubi_spark_sf1")
+    t0 = time.perf_counter()
+    try:
+        scale_data.ensure_scaled(spark, sf_dir, dst, factor=10)
+    except Exception as e:
+        print(f"# bench sf1 datagen failed: {e}", file=sys.stderr)
+        return None
+    gen_sec = round(time.perf_counter() - t0, 3)
+
+    slowest = sorted(
+        (n for n, v in timings.items() if v > 0),
+        key=lambda n: timings[n],
+        reverse=True,
+    )[:top_k]
+    walls: dict[str, float] = {}
+    ratios: dict[str, float] = {}
+    plan_flags: dict[str, list] = {}
+    for name in slowest:
+        spec = specs[name]
+        t0 = time.perf_counter()
+        try:
+            df = spec.builder(spark, dst)
+            text = plans.explain_formatted(df)
+            flags = []
+            if "CartesianProduct" in text:
+                flags.append("cartesian")
+            for m in re.finditer(
+                r"\(\d+\) Window\b[\s\S]*?Arguments: (.+)", text
+            ):
+                if (
+                    "windowspecdefinition(" in m.group(1)
+                    and not window_audit.window_is_partitioned(m.group(1))
+                    and name not in window_audit.ALLOWLIST
+                ):
+                    flags.append("unpartitioned_window")
+            if flags:
+                plan_flags[name] = sorted(set(flags))
+            df.count()
+            walls[name] = round(time.perf_counter() - t0, 3)
+            ratios[name] = round(walls[name] / timings[name], 2)
+        except Exception as e:
+            print(f"# bench sf1 error {name}: {e}", file=sys.stderr)
+            walls[name] = -1.0
+        finally:
+            release_caches()
+    ok = [v for v in walls.values() if v >= 0]
+    return {
+        "factor": 10,
+        "gen_sec": gen_sec,
+        "n_queries": len(walls),
+        "n_failed": len(walls) - len(ok),
+        "total_sec": round(sum(ok), 3),
+        "queries": walls,
+        "ratio_vs_sf01": ratios,
+        "plan_flags": plan_flags,  # must stay empty
+    }
+
+
 def _prior_round_queries(sf_dir: str) -> dict[str, float]:
     """Per-query timings from the newest BENCH_r*.json next to this file
     (the driver's prior-round artifact), used as the round-over-round
@@ -900,6 +985,7 @@ def main() -> None:
     realtext = _realtext_lane(spark)
     zorder = _zorder_lane(spark)
     kernels = _baseline_kernels_lane(spark)
+    sf1 = _sf1_scale_lane(spark, specs, timings, sf_dir)
 
     # Full-resolution per-query timings for the judge / local diffing.
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
@@ -919,6 +1005,7 @@ def main() -> None:
                     "realtext": realtext,
                     "zorder": zorder,
                     "baseline_kernels": kernels,
+                    "sf1": sf1,
                 },
                 f,
                 indent=1,

@@ -284,6 +284,9 @@ HEADLINE = [
     "interaction_matrix_stats",
     "cohort_ltv_curve",
     "return_rate_wilson",
+    "cuped_adjusted_ab",
+    "snapshot_cdc_diff",
+    "scd2_point_in_time_join",
 ]
 
 

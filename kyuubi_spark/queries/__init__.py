@@ -103,6 +103,7 @@ def all_queries() -> dict[str, QuerySpec]:
         pipeline9,
         pipeline10,
         pipeline11,
+        pipeline12,
         sql4,
         sqludf,
         tpcds,

@@ -1,0 +1,345 @@
+"""Pipeline batch 12 — experimentation, lakehouse-maintenance and
+point-in-time analytics (round 11).
+
+CUPED variance-reduced A/B readout (the industry-standard pre-period
+covariate adjustment), snapshot CDC diffing (the append-only lakehouse
+audit between two as-of states), and the point-in-time join against an
+SCD2 dimension (the feature-store correctness primitive: every fact row
+joined to the dimension version valid AT ITS OWN timestamp, never a
+leaked future attribute).
+
+Determinism: monetary inputs collapse to exact INTEGER dollars
+(cents-roundtrip floor) and every covariance/variance comes from
+integer power sums; division happens once at the end under dround —
+the conventions that keep all cross-engine hashes exact (see
+queries/pipeline.py).
+
+Reference scope: extends the engine the way SURVEY.md §2's
+beyond-operator pipeline set sanctions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kyuubi_spark.functions.compat import dround
+from kyuubi_spark.queries import query
+
+# exact integer dollars from a double price: round to cents, floor the
+# cent-scaled value back to whole dollars — identical in both engines
+_DOLLARS = "CAST(floor(round(o_totalprice * 100, 0) / 100) AS BIGINT)"
+
+
+def _dollars(col: str):
+    return F.floor(F.round(F.col(col) * 100, 0) / 100).cast("bigint")
+
+
+@query(
+    "cuped_adjusted_ab",
+    oracle=f"""
+    WITH per AS (
+      SELECT o_custkey,
+             CAST(o_custkey % 2 AS INTEGER) AS arm,
+             SUM(CASE WHEN o_orderdate < TIMESTAMP '1998-01-01'
+                      THEN {_DOLLARS} ELSE 0 END) AS pre,
+             SUM(CASE WHEN o_orderdate >= TIMESTAMP '1998-01-01'
+                      THEN {_DOLLARS} ELSE 0 END) AS post
+      FROM orders GROUP BY 1, 2),
+    g AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(pre) AS BIGINT) AS sx,
+             CAST(SUM(post) AS BIGINT) AS sy,
+             CAST(SUM(pre * pre) AS BIGINT) AS sxx,
+             CAST(SUM(pre * post) AS BIGINT) AS sxy,
+             CAST(SUM(post * post) AS BIGINT) AS syy
+      FROM per),
+    th AS (
+      SELECT n, sx, sy,
+             (CAST(sxy AS DOUBLE) / n - CAST(sx AS DOUBLE) / n
+                * CAST(sy AS DOUBLE) / n)
+             / (CAST(sxx AS DOUBLE) / n
+                - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n))
+               AS theta,
+             POWER(CAST(sxy AS DOUBLE) / n - CAST(sx AS DOUBLE) / n
+                   * CAST(sy AS DOUBLE) / n, 2)
+             / ((CAST(sxx AS DOUBLE) / n
+                 - POWER(CAST(sx AS DOUBLE) / n, 2))
+                * (CAST(syy AS DOUBLE) / n
+                   - POWER(CAST(sy AS DOUBLE) / n, 2))) AS rho2
+      FROM g),
+    a AS (
+      SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_units,
+             CAST(SUM(pre) AS BIGINT) AS sxa,
+             CAST(SUM(post) AS BIGINT) AS sya
+      FROM per GROUP BY 1)
+    SELECT a.arm, a.n_units,
+           ROUND(CAST(a.sya AS DOUBLE) / a.n_units, 6) AS mean_post,
+           ROUND(CAST(a.sya AS DOUBLE) / a.n_units
+                 - th.theta * (CAST(a.sxa AS DOUBLE) / a.n_units
+                               - CAST(th.sx AS DOUBLE) / th.n), 6)
+             AS mean_cuped,
+           ROUND(th.theta, 6) AS theta,
+           ROUND(th.rho2, 6) AS var_reduction
+    FROM a, th
+    ORDER BY a.arm
+    """,
+    doc="CUPED variance-reduced A/B readout (Deng et al. 2013, the "
+    "pre-experiment covariate adjustment every large experimentation "
+    "platform runs): units are customers, the deterministic hash arm is "
+    "custkey % 2, the metric is post-1998 spend and the covariate "
+    "pre-1998 spend (exact integer dollars). theta = cov(X,Y)/var(X) "
+    "comes from INTEGER power sums (one keyed aggregate + one global "
+    "aggregate), and each arm's adjusted mean is computed from its own "
+    "exact sums — the only float division happens once per output cell. "
+    "var_reduction = rho-squared is the variance CUPED removes. Scale: "
+    "one shuffle by custkey, then two scalar aggregates broadcast back; "
+    "no window, no join against the fact table.",
+)
+def cuped_adjusted_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kyuubi_spark.session import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    cut = F.lit("1998-01-01").cast("timestamp")
+    per = orders.groupBy("o_custkey").agg(
+        F.sum(
+            F.when(F.col("o_orderdate") < cut, _dollars("o_totalprice"))
+            .otherwise(F.lit(0))
+        ).alias("pre"),
+        F.sum(
+            F.when(F.col("o_orderdate") >= cut, _dollars("o_totalprice"))
+            .otherwise(F.lit(0))
+        ).alias("post"),
+    ).withColumn("arm", (F.col("o_custkey") % 2).cast("int"))
+    g = per.agg(
+        F.count("*").alias("n"),
+        F.sum("pre").alias("sx"),
+        F.sum("post").alias("sy"),
+        F.sum(F.col("pre") * F.col("pre")).alias("sxx"),
+        F.sum(F.col("pre") * F.col("post")).alias("sxy"),
+        F.sum(F.col("post") * F.col("post")).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    cov = F.col("sxy") / nd - (F.col("sx") / nd) * (F.col("sy") / nd)
+    varx = F.col("sxx") / nd - F.pow(F.col("sx") / nd, F.lit(2.0))
+    vary = F.col("syy") / nd - F.pow(F.col("sy") / nd, F.lit(2.0))
+    th = g.select(
+        "n", "sx",
+        (cov / varx).alias("theta"),
+        (F.pow(cov, F.lit(2.0)) / (varx * vary)).alias("rho2"),
+    )
+    arms = per.groupBy("arm").agg(
+        F.count("*").cast("bigint").alias("n_units"),
+        F.sum("pre").alias("sxa"),
+        F.sum("post").alias("sya"),
+    )
+    out = arms.crossJoin(F.broadcast(th))
+    na = F.col("n_units").cast("double")
+    return out.select(
+        "arm",
+        "n_units",
+        dround(F.col("sya") / na, 6).alias("mean_post"),
+        dround(
+            F.col("sya") / na
+            - F.col("theta")
+            * (F.col("sxa") / na - F.col("sx") / F.col("n").cast("double")),
+            6,
+        ).alias("mean_cuped"),
+        dround(F.col("theta"), 6).alias("theta"),
+        dround(F.col("rho2"), 6).alias("var_reduction"),
+    ).orderBy("arm")
+
+
+@query(
+    "snapshot_cdc_diff",
+    oracle=f"""
+    WITH st AS (
+      SELECT o_custkey,
+             SUM(CASE WHEN o_orderdate < TIMESTAMP '2000-01-01'
+                      THEN 1 ELSE 0 END) AS n_a,
+             SUM(CASE WHEN o_orderdate < TIMESTAMP '2000-01-01'
+                      THEN {_DOLLARS} ELSE 0 END) AS sum_a,
+             SUM(CASE WHEN o_orderdate < TIMESTAMP '2001-01-01'
+                      THEN 1 ELSE 0 END) AS n_b,
+             SUM(CASE WHEN o_orderdate < TIMESTAMP '2001-01-01'
+                      THEN {_DOLLARS} ELSE 0 END) AS sum_b
+      FROM orders GROUP BY 1),
+    cls AS (
+      SELECT CASE WHEN n_a = 0 AND n_b > 0 THEN 'added'
+                  WHEN n_a > 0 AND n_b = n_a THEN 'unchanged'
+                  ELSE 'changed' END AS change_class,
+             n_b - n_a AS d_orders, sum_b - sum_a AS d_dollars
+      FROM st WHERE n_b > 0)
+    SELECT change_class,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(d_orders) AS BIGINT) AS delta_orders,
+           CAST(SUM(d_dollars) AS BIGINT) AS delta_dollars
+    FROM cls GROUP BY 1 ORDER BY change_class
+    """,
+    doc="Snapshot CDC diff: the change-data-capture audit between two "
+    "as-of states of a keyed aggregate (customer order book at "
+    "2000-01-01 vs 2001-01-01) — the report a lakehouse table-"
+    "maintenance job emits after every incremental merge (how many "
+    "keys appeared, how many mutated, how much volume moved). Computed "
+    "in ONE pass with conditional aggregation — NOT a self-join of two "
+    "snapshot scans, so at 100 TB it costs one shuffle of the fact "
+    "table instead of two scans plus a key-key join; both snapshot "
+    "states fall out of the same groupBy.",
+)
+def snapshot_cdc_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kyuubi_spark.session import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    c1 = F.lit("2000-01-01").cast("timestamp")
+    c2 = F.lit("2001-01-01").cast("timestamp")
+    d = _dollars("o_totalprice")
+    st = orders.groupBy("o_custkey").agg(
+        F.sum(F.when(F.col("o_orderdate") < c1, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("o_orderdate") < c1, d).otherwise(0)).alias(
+            "sum_a"
+        ),
+        F.sum(F.when(F.col("o_orderdate") < c2, 1).otherwise(0)).alias("n_b"),
+        F.sum(F.when(F.col("o_orderdate") < c2, d).otherwise(0)).alias(
+            "sum_b"
+        ),
+    )
+    cls = st.filter(F.col("n_b") > 0).select(
+        F.when((F.col("n_a") == 0) & (F.col("n_b") > 0), "added")
+        .when(
+            (F.col("n_a") > 0) & (F.col("n_b") == F.col("n_a")), "unchanged"
+        )
+        .otherwise("changed")
+        .alias("change_class"),
+        (F.col("n_b") - F.col("n_a")).alias("d_orders"),
+        (F.col("sum_b") - F.col("sum_a")).alias("d_dollars"),
+    )
+    return (
+        cls.groupBy("change_class")
+        .agg(
+            F.count("*").cast("bigint").alias("n_keys"),
+            F.sum("d_orders").cast("bigint").alias("delta_orders"),
+            F.sum("d_dollars").cast("bigint").alias("delta_dollars"),
+        )
+        .orderBy("change_class")
+    )
+
+
+@query(
+    "scd2_point_in_time_join",
+    oracle="""
+    WITH chg AS (
+      SELECT o_custkey, o_orderdate, o_orderkey, o_orderpriority,
+             CASE WHEN LAG(o_orderpriority) OVER w IS DISTINCT FROM
+                       o_orderpriority THEN 1 ELSE 0 END AS is_new
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey)),
+    grp AS (
+      SELECT *, SUM(is_new) OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey
+                 ROWS UNBOUNDED PRECEDING) AS gid
+      FROM chg),
+    dim AS (
+      SELECT o_custkey AS custkey, gid,
+             MIN(o_orderpriority) AS priority,
+             MIN(o_orderdate) AS valid_from
+      FROM grp GROUP BY 1, 2),
+    scd AS (
+      SELECT custkey, priority, valid_from,
+             LEAD(valid_from) OVER (PARTITION BY custkey
+               ORDER BY valid_from, gid) AS valid_to
+      FROM dim),
+    fact AS (
+      SELECT l.l_orderkey, l.l_quantity, l.l_shipdate,
+             o.o_custkey, o.o_orderpriority
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+    pit AS (
+      SELECT f.*, s.priority AS dim_priority
+      FROM fact f JOIN scd s
+        ON s.custkey = f.o_custkey
+       AND f.l_shipdate >= s.valid_from
+       AND (s.valid_to IS NULL OR f.l_shipdate < s.valid_to))
+    SELECT dim_priority,
+           CAST(COUNT(*) AS BIGINT) AS n_shipments,
+           CAST(SUM(CASE WHEN dim_priority = o_orderpriority
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_same_as_order,
+           CAST(SUM(CAST(round(l_quantity, 0) AS BIGINT)) AS BIGINT)
+             AS sum_qty
+    FROM pit GROUP BY 1 ORDER BY dim_priority
+    """,
+    doc="Point-in-time join against an SCD2 dimension (the feature-"
+    "store/backtest correctness primitive): each shipment joins to the "
+    "customer-priority VERSION valid at its OWN ship date — versions "
+    "built with the scd2_dimension_build recipe (priority islands -> "
+    "[valid_from, valid_to) intervals). Because ship dates trail order "
+    "dates, some shipments land in a LATER version than the one that "
+    "created their order; n_same_as_order measures exactly that leak "
+    "an as-of-now join would cause. Scale: dim windows and the PIT "
+    "join both key on custkey (one shuffle each side, per-key version "
+    "lists are tiny so the interval residual is a short per-key scan); "
+    "the fact->orders hookup is an orderkey equi-join.",
+)
+def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from kyuubi_spark.session import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    chg = orders.select(
+        "o_custkey", "o_orderdate", "o_orderkey", "o_orderpriority"
+    ).withColumn(
+        "is_new",
+        F.when(
+            ~F.lag("o_orderpriority").over(w).eqNullSafe(
+                F.col("o_orderpriority")
+            ),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    grp = chg.withColumn(
+        "gid",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    dim = grp.groupBy(F.col("o_custkey").alias("custkey"), "gid").agg(
+        F.min("o_orderpriority").alias("priority"),
+        F.min("o_orderdate").alias("valid_from"),
+    )
+    w2 = Window.partitionBy("custkey").orderBy("valid_from", "gid")
+    scd = dim.select(
+        "custkey",
+        "priority",
+        "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+    )
+    fact = li.select("l_orderkey", "l_quantity", "l_shipdate").join(
+        orders.select("o_orderkey", "o_custkey", "o_orderpriority"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    pit = fact.join(
+        scd,
+        (F.col("custkey") == F.col("o_custkey"))
+        & (F.col("l_shipdate") >= F.col("valid_from"))
+        & (
+            F.col("valid_to").isNull()
+            | (F.col("l_shipdate") < F.col("valid_to"))
+        ),
+    )
+    return (
+        pit.groupBy(F.col("priority").alias("dim_priority"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_shipments"),
+            F.sum(
+                F.when(
+                    F.col("priority") == F.col("o_orderpriority"), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_same_as_order"),
+            F.sum(F.round(F.col("l_quantity"), 0).cast("bigint"))
+            .cast("bigint")
+            .alias("sum_qty"),
+        )
+        .orderBy("dim_priority")
+    )

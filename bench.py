@@ -287,6 +287,8 @@ HEADLINE = [
     "cuped_adjusted_ab",
     "snapshot_cdc_diff",
     "scd2_point_in_time_join",
+    "kcore_peel_rounds",
+    "ohlc_daily_value",
 ]
 
 

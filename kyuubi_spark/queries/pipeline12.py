@@ -343,3 +343,145 @@ def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dim_priority")
     )
+
+
+@query(
+    "kcore_peel_rounds",
+    oracle="""
+    WITH pairs AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+      WHERE a.l_partkey < b.l_partkey),
+    e0 AS (SELECT DISTINCT u, v FROM pairs),
+    d1 AS (SELECT n, COUNT(*) AS d FROM (
+             SELECT u AS n FROM e0 UNION ALL SELECT v FROM e0)
+           GROUP BY 1),
+    k1 AS (SELECT n FROM d1 WHERE d >= 3),
+    e1 AS (SELECT e0.u, e0.v FROM e0
+           JOIN k1 a ON a.n = e0.u JOIN k1 b ON b.n = e0.v),
+    d2 AS (SELECT n, COUNT(*) AS d FROM (
+             SELECT u AS n FROM e1 UNION ALL SELECT v FROM e1)
+           GROUP BY 1),
+    k2 AS (SELECT n FROM d2 WHERE d >= 3),
+    e2 AS (SELECT e1.u, e1.v FROM e1
+           JOIN k2 a ON a.n = e1.u JOIN k2 b ON b.n = e1.v),
+    d3 AS (SELECT n, COUNT(*) AS d FROM (
+             SELECT u AS n FROM e2 UNION ALL SELECT v FROM e2)
+           GROUP BY 1),
+    k3 AS (SELECT n FROM d3 WHERE d >= 3),
+    e3 AS (SELECT e2.u, e2.v FROM e2
+           JOIN k3 a ON a.n = e2.u JOIN k3 b ON b.n = e2.v)
+    SELECT * FROM (
+      SELECT 1 AS round, CAST((SELECT COUNT(*) FROM k1) AS BIGINT) AS n_nodes,
+             CAST((SELECT COUNT(*) FROM e1) AS BIGINT) AS n_edges
+      UNION ALL
+      SELECT 2, CAST((SELECT COUNT(*) FROM k2) AS BIGINT),
+             CAST((SELECT COUNT(*) FROM e2) AS BIGINT)
+      UNION ALL
+      SELECT 3, CAST((SELECT COUNT(*) FROM k3) AS BIGINT),
+             CAST((SELECT COUNT(*) FROM e3) AS BIGINT)
+    ) ORDER BY round
+    """,
+    doc="k-core decomposition by iterative peeling (k=3, three fixed "
+    "rounds) over the co-purchase graph: each round drops nodes of "
+    "degree < k and the edges touching them, converging toward the "
+    "3-core — the graph-ML preprocessing step that strips low-degree "
+    "fringe before community/embedding work. Distributed shape per "
+    "round: one keyed degree aggregate + two semi-joins of the edge "
+    "list against the surviving node set (broadcast when the survivor "
+    "set shrinks below threshold, AQE's call), with localCheckpoint "
+    "between rounds to truncate lineage — the same iterate-without-"
+    "driver-state discipline as bfs_reachability_hops. The edge list "
+    "never gathers to the driver; round metrics are 1-row aggregates.",
+)
+def kcore_peel_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kyuubi_spark.caching import persisted
+    from kyuubi_spark.session import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("v"))
+    edges = persisted(
+        a.join(b, "k").filter(F.col("u") < F.col("v")).select("u", "v")
+        .distinct()
+    )
+    rounds = []
+    for rnd in (1, 2, 3):
+        deg = (
+            edges.select(F.col("u").alias("n"))
+            .unionAll(edges.select(F.col("v").alias("n")))
+            .groupBy("n")
+            .agg(F.count("*").alias("d"))
+        )
+        keep = deg.filter(F.col("d") >= 3).select("n")
+        edges = (
+            edges.join(keep.withColumnRenamed("n", "u"), "u", "left_semi")
+            .join(keep.withColumnRenamed("n", "v"), "v", "left_semi")
+            .select("u", "v")
+            .localCheckpoint()
+        )
+        stats = keep.agg(
+            F.count("*").cast("bigint").alias("n_nodes")
+        ).crossJoin(
+            edges.agg(F.count("*").cast("bigint").alias("n_edges"))
+        ).select(F.lit(rnd).alias("round"), "n_nodes", "n_edges")
+        rounds.append(stats)
+    out = rounds[0]
+    for r in rounds[1:]:
+        out = out.unionAll(r)
+    return out.orderBy("round")
+
+
+@query(
+    "ohlc_daily_value",
+    oracle="""
+    WITH k AS (
+      SELECT *, (epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01'))
+                * 1000000 + event_id AS ord
+      FROM events)
+    SELECT CAST(ts AS DATE) AS day,
+           ROUND(arg_min(value, ord), 6) AS open,
+           ROUND(MAX(value), 6) AS high,
+           ROUND(MIN(value), 6) AS low,
+           ROUND(arg_max(value, ord), 6) AS close,
+           CAST(COUNT(*) AS BIGINT) AS volume
+    FROM k
+    GROUP BY 1 ORDER BY day
+    """,
+    doc="OHLC candlestick rollup of the event value stream: per day, the "
+    "first (open) and last (close) value under the total (ts, event_id) "
+    "order plus high/low/volume — the time-series downsampling shape "
+    "every metrics store serves. Spark side uses min_by/max_by over a "
+    "packed (ts, event_id) ordering struct, so the whole query is ONE "
+    "map-side-combinable keyed aggregate: no window, no sort of the "
+    "raw stream, one shuffle of 30 daily partials per executor.",
+)
+def ohlc_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kyuubi_spark.functions.compat import dround
+    from kyuubi_spark.session import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    # packed total order (micros since 2024-01-01, event_id tiebreak):
+    # ONE bigint both engines order identically
+    base = F.lit("2024-01-01").cast("timestamp")
+    key = (
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.unix_micros(base)
+        )
+        * F.lit(1000000)
+        + F.col("event_id")
+    )
+    return (
+        ev.groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(
+            dround(F.min_by("value", key), 6).alias("open"),
+            dround(F.max("value"), 6).alias("high"),
+            dround(F.min("value"), 6).alias("low"),
+            dround(F.max_by("value", key), 6).alias("close"),
+            F.count("*").cast("bigint").alias("volume"),
+        )
+        .orderBy("day")
+    )

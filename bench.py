@@ -289,6 +289,8 @@ HEADLINE = [
     "scd2_point_in_time_join",
     "kcore_peel_rounds",
     "ohlc_daily_value",
+    "embedding_pca_power_iteration",
+    "fd_discovery_report",
 ]
 
 

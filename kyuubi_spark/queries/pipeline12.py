@@ -485,3 +485,219 @@ def ohlc_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@query(
+    "embedding_pca_power_iteration",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, dim, CAST(embedding[dim] AS DOUBLE) AS x
+      FROM embeddings, unnest(generate_series(1, 64)) AS t(dim)),
+    m AS (SELECT dim, ROUND(SUM(x) / COUNT(*), 9) AS mu
+          FROM e GROUP BY 1),
+    c AS (SELECT vec_id, e.dim, x - mu AS cx
+          FROM e JOIN m ON m.dim = e.dim),
+    nrows AS (SELECT COUNT(*) AS n FROM embeddings),
+    s1 AS (SELECT vec_id, SUM(cx * 0.125) AS s FROM c GROUP BY 1),
+    w1 AS (SELECT c.dim,
+                  ROUND(SUM(s1.s * c.cx) / (SELECT n FROM nrows), 7) AS w
+           FROM c JOIN s1 ON s1.vec_id = c.vec_id GROUP BY 1),
+    l1 AS (SELECT SQRT(SUM(w * w)) AS lam FROM w1),
+    v1 AS (SELECT dim, w / (SELECT lam FROM l1) AS v FROM w1),
+    s2 AS (SELECT c.vec_id, SUM(c.cx * v1.v) AS s
+           FROM c JOIN v1 ON v1.dim = c.dim GROUP BY 1),
+    w2 AS (SELECT c.dim,
+                  ROUND(SUM(s2.s * c.cx) / (SELECT n FROM nrows), 7) AS w
+           FROM c JOIN s2 ON s2.vec_id = c.vec_id GROUP BY 1),
+    l2 AS (SELECT SQRT(SUM(w * w)) AS lam FROM w2),
+    v2 AS (SELECT dim, w / (SELECT lam FROM l2) AS v FROM w2),
+    t1 AS (SELECT dim, v,
+                  ROW_NUMBER() OVER (ORDER BY ROUND(ABS(v), 6) DESC, dim)
+                    AS rk
+           FROM v1),
+    t2 AS (SELECT dim, v,
+                  ROW_NUMBER() OVER (ORDER BY ROUND(ABS(v), 6) DESC, dim)
+                    AS rk
+           FROM v2)
+    SELECT * FROM (
+      SELECT 1 AS iter,
+             ROUND((SELECT lam FROM l1), 6) AS eigval_est,
+             CAST((SELECT dim FROM t1 WHERE rk = 1) AS INTEGER) AS top_dim,
+             ROUND((SELECT v FROM t1 WHERE rk = 1), 6) AS top_loading
+      UNION ALL
+      SELECT 2,
+             ROUND((SELECT lam FROM l2), 6),
+             CAST((SELECT dim FROM t2 WHERE rk = 1) AS INTEGER),
+             ROUND((SELECT v FROM t2 WHERE rk = 1), 6)
+    ) ORDER BY iter
+    """,
+    doc="Distributed PCA top component by POWER ITERATION (2 fixed "
+    "rounds from the exact v0 = 1/sqrt(64) = 0.125): per round, the "
+    "matrix-free covariance product C*v is two keyed aggregates — "
+    "row-local dots s_i = (x_i - mu).v (in-order array fold, no "
+    "shuffle), then per-dimension sums of s_i*(x_i - mu) (64 keys, "
+    "map-side combined). Only 64-vectors ever reach the driver (mean, "
+    "w), the iterate-with-bounded-driver-state discipline of "
+    "kmeans_lloyd. eigval_est = ||C v|| converges to the top "
+    "eigenvalue; top_dim/top_loading expose the leading loading. "
+    "Cross-engine determinism: mu and w are ROUNDED (9/7 decimals) at "
+    "each aggregate so both engines iterate from identical vectors; "
+    "division and sqrt happen on those exact rounded values.",
+)
+def embedding_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    from kyuubi_spark.caching import persisted
+    from kyuubi_spark.session import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    d = 64
+    dbl = F.transform("embedding", lambda x: x.cast("double"))
+    ex = emb.select("vec_id", F.posexplode(dbl).alias("dim0", "x"))
+    mean_rows = (
+        ex.groupBy("dim0")
+        .agg(F.round(F.sum("x") / F.lit(n), 9).alias("mu"))
+        .collect()
+    )
+    mu = [0.0] * d
+    for r in mean_rows:
+        mu[r["dim0"]] = r["mu"]
+    cent = persisted(
+        emb.select(
+            "vec_id",
+            F.zip_with(
+                dbl,
+                F.array(*[F.lit(v) for v in mu]),
+                lambda x, m: x - m,
+            ).alias("cent"),
+        )
+    )
+    v = [0.125] * d
+    out_rows = []
+    for it in (1, 2):
+        varr = F.array(*[F.lit(x) for x in v])
+        s = cent.select(
+            "vec_id",
+            F.aggregate(
+                F.zip_with(F.col("cent"), varr, lambda c, vv: c * vv),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("s"),
+            "cent",
+        )
+        w_rows = (
+            s.select("s", F.posexplode("cent").alias("dim0", "cx"))
+            .groupBy("dim0")
+            .agg(F.round(F.sum(F.col("s") * F.col("cx")) / F.lit(n), 7)
+                 .alias("w"))
+            .collect()
+        )
+        w = [0.0] * d
+        for r in w_rows:
+            w[r["dim0"]] = r["w"]
+        lam = math.sqrt(sum(x * x for x in w))
+        v = [x / lam for x in w]
+        top_dim = min(
+            range(d), key=lambda j: (-round(abs(v[j]), 6), j)
+        )
+        out_rows.append(
+            (it, round(lam, 6), top_dim + 1, round(v[top_dim], 6))
+        )
+    return spark.createDataFrame(
+        out_rows, "iter int, eigval_est double, top_dim int, "
+        "top_loading double"
+    ).orderBy("iter")
+
+
+@query(
+    "fd_discovery_report",
+    oracle="""
+    WITH cand AS (
+      SELECT 'p_brand' AS lhs, 'p_type' AS rhs,
+             p_brand AS l, p_type AS r FROM part
+      UNION ALL
+      SELECT 'p_type', 'p_brand', p_type, p_brand FROM part
+      UNION ALL
+      SELECT 'p_name', 'p_brand', p_name, p_brand FROM part
+      UNION ALL
+      SELECT 'n_name', 'r_name', n_name, r_name
+      FROM nation JOIN region ON n_regionkey = r_regionkey
+      UNION ALL
+      SELECT 'o_custkey', 'o_orderpriority',
+             CAST(o_custkey AS VARCHAR), o_orderpriority FROM orders
+      UNION ALL
+      SELECT 'c_name', 'c_mktsegment', c_name, c_mktsegment FROM customer),
+    g AS (
+      SELECT lhs, rhs, l, COUNT(DISTINCT r) AS nd
+      FROM cand GROUP BY 1, 2, 3)
+    SELECT lhs, rhs,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_violating,
+           CAST(SUM(nd - 1) AS BIGINT) AS excess_pairs,
+           SUM(nd - 1) = 0 AS holds
+    FROM g GROUP BY 1, 2 ORDER BY lhs, rhs
+    """,
+    doc="Functional-dependency discovery audit: for a fixed candidate "
+    "set of X -> Y dependencies across part/nation/orders/customer, "
+    "measure exactly how far each holds (violating LHS groups, excess "
+    "distinct-RHS pairs) — the schema-inference pass a data catalog "
+    "runs to propose keys and denormalization targets. Plan: the "
+    "candidates union into ONE (lhs,rhs,l,r) relation, then a single "
+    "two-level keyed aggregate (distinct per group, rollup per "
+    "candidate) — no joins beyond the 25-row nation-region broadcast, "
+    "map-side combinable, scales as one shuffle of the unioned "
+    "column pairs.",
+)
+def fd_discovery_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kyuubi_spark.session import load_table
+
+    part = load_table(spark, sf_dir, "part")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+
+    def pair(df, lhs, rhs, lcol=None, rcol=None):
+        return df.select(
+            F.lit(lhs).alias("lhs"),
+            F.lit(rhs).alias("rhs"),
+            (lcol if lcol is not None else F.col(lhs)).cast("string")
+            .alias("l"),
+            (rcol if rcol is not None else F.col(rhs)).cast("string")
+            .alias("r"),
+        )
+
+    cand = (
+        pair(part, "p_brand", "p_type")
+        .unionAll(pair(part, "p_type", "p_brand"))
+        .unionAll(pair(part, "p_name", "p_brand"))
+        .unionAll(
+            pair(
+                nation.join(
+                    F.broadcast(region),
+                    F.col("n_regionkey") == F.col("r_regionkey"),
+                ),
+                "n_name",
+                "r_name",
+            )
+        )
+        .unionAll(pair(orders, "o_custkey", "o_orderpriority"))
+        .unionAll(pair(customer, "c_name", "c_mktsegment"))
+    )
+    g = cand.groupBy("lhs", "rhs", "l").agg(
+        F.countDistinct("r").alias("nd")
+    )
+    return (
+        g.groupBy("lhs", "rhs")
+        .agg(
+            F.count("*").cast("bigint").alias("n_groups"),
+            F.sum(F.when(F.col("nd") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_violating"),
+            F.sum(F.col("nd") - 1).cast("bigint").alias("excess_pairs"),
+            (F.sum(F.col("nd") - 1) == 0).alias("holds"),
+        )
+        .orderBy("lhs", "rhs")
+    )

@@ -291,6 +291,8 @@ HEADLINE = [
     "ohlc_daily_value",
     "embedding_pca_power_iteration",
     "fd_discovery_report",
+    "stream_windowed_topk",
+    "char_entropy_profile",
 ]
 
 

@@ -701,3 +701,71 @@ def fd_discovery_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lhs", "rhs")
     )
+
+
+@query(
+    "char_entropy_profile",
+    oracle="""
+    WITH bg AS (
+      SELECT doc_id, source, bg
+      FROM (SELECT doc_id, source, text FROM documents
+            WHERE length(text) >= 2) d,
+           unnest(list_transform(generate_series(1, length(d.text) - 1),
+                                 i -> substr(d.text, i, 2))) AS t(bg)),
+    c AS (SELECT doc_id, source, bg, COUNT(*) AS c
+          FROM bg GROUP BY 1, 2, 3),
+    h AS (
+      SELECT doc_id, source,
+             LN(SUM(c)) - SUM(c * LN(c)) / SUM(c) AS ent
+      FROM c GROUP BY 1, 2)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(SUM(ent) / COUNT(*), 6) AS mean_entropy,
+           ROUND(MIN(ent), 6) AS min_entropy,
+           ROUND(MAX(ent), 6) AS max_entropy
+    FROM h GROUP BY 1 ORDER BY source
+    """,
+    doc="Character-bigram Shannon entropy per document, profiled per "
+    "source — the cheap gibberish/boilerplate detector (low entropy = "
+    "repeated boilerplate, implausibly high = random noise) that "
+    "complements dictionary-based quality scores in a curation stack. "
+    "Entropy comes from exact integer bigram counts via "
+    "H = ln(n) - sum(c*ln c)/n, so the only float ops are ln of "
+    "integers and one division per doc. Plan: row-local bigram "
+    "explode -> one (doc,bigram) keyed aggregate -> one doc rollup -> "
+    "one source rollup; all map-side combinable, no windows, no joins.",
+)
+def char_entropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kyuubi_spark.functions.compat import dround
+    from kyuubi_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length("text") >= 2
+    )
+    bg = docs.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(text) - 1),"
+                " i -> substring(text, i, 2))"
+            )
+        ).alias("bg"),
+    )
+    c = bg.groupBy("doc_id", "source", "bg").agg(F.count("*").alias("c"))
+    h = c.groupBy("doc_id", "source").agg(
+        (
+            F.log(F.sum("c"))
+            - F.sum(F.col("c") * F.log(F.col("c"))) / F.sum("c")
+        ).alias("ent")
+    )
+    return (
+        h.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            dround(F.sum("ent") / F.count("*"), 6).alias("mean_entropy"),
+            dround(F.min("ent"), 6).alias("min_entropy"),
+            dround(F.max("ent"), 6).alias("max_entropy"),
+        )
+        .orderBy("source")
+    )

@@ -972,3 +972,58 @@ def stream_transition_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@query(
+    "stream_windowed_topk",
+    oracle="""
+    WITH c AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
+             event_type, COUNT(*) AS n
+      FROM events GROUP BY 1, 2),
+    r AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY window_start
+                                   ORDER BY n DESC, event_type) AS rk
+      FROM c)
+    SELECT window_start, event_type, CAST(n AS BIGINT) AS n,
+           CAST(rk AS INTEGER) AS rk
+    FROM r WHERE rk <= 3
+    ORDER BY window_start, rk
+    """,
+    doc="Streaming trending top-k: the stream maintains per-(day window, "
+    "event_type) counts in windowed state (complete mode), and the "
+    "top-3 per window is a RANK OVER THE STATE SNAPSHOT — the standard "
+    "two-layer design for 'trending now' dashboards, because a total "
+    "top-k order is not incrementally maintainable but the counts are; "
+    "the rank runs over O(windows x types) sink rows, never the raw "
+    "stream. Replay-verified against the batch groupBy + row_number "
+    "(ties broken by event_type).",
+)
+def stream_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from kyuubi_spark.streaming.runner import run_to_memory
+
+    stream = _events_stream(spark, sf_dir)
+    counts = (
+        stream.groupBy(
+            F.window("ts", "1 day").alias("win"), F.col("event_type")
+        )
+        .agg(F.count("*").alias("n"))
+        .select(F.col("win.start").alias("window_start"), "event_type", "n")
+    )
+    snap = run_to_memory(counts, output_mode="complete")
+    w = Window.partitionBy("window_start").orderBy(
+        F.col("n").desc(), F.col("event_type")
+    )
+    return (
+        snap.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(
+            F.col("window_start").cast("timestamp_ntz").alias("window_start"),
+            "event_type",
+            F.col("n").cast("bigint").alias("n"),
+            F.col("rk").cast("int").alias("rk"),
+        )
+        .orderBy("window_start", "rk")
+    )

@@ -293,6 +293,7 @@ HEADLINE = [
     "fd_discovery_report",
     "stream_windowed_topk",
     "char_entropy_profile",
+    "bpe_apply_merges",
 ]
 
 

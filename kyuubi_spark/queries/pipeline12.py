@@ -769,3 +769,142 @@ def char_entropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def _bpe_oracle() -> str:
+    """Unrolled 5-step greedy BPE oracle (each step: rank pairs, pick
+    the (count desc, pair asc) top, literal-replace it everywhere)."""
+    head = r"""
+    WITH w0 AS (
+      SELECT word, COUNT(*) AS w,
+             regexp_replace(word, '(.)', ' \1 ', 'g') AS s
+      FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      WHERE length(word) >= 1
+      GROUP BY 1)
+    """
+    steps = []
+    for i in range(1, 6):
+        prev = f"w{i - 1}"
+        steps.append(f"""
+    p{i} AS (
+      SELECT sym[i] || '+' || sym[i + 1] AS pair,
+             ' ' || sym[i] || '  ' || sym[i + 1] || ' ' AS pat,
+             ' ' || sym[i] || sym[i + 1] || ' ' AS rep,
+             SUM(w) AS cnt
+      FROM (SELECT w, string_split(trim(s), '  ') AS sym FROM {prev}),
+           unnest(generate_series(1, len(sym) - 1)) AS t(i)
+      GROUP BY 1, 2, 3),
+    t{i} AS (SELECT * FROM p{i} ORDER BY cnt DESC, pair ASC LIMIT 1),
+    w{i} AS (
+      SELECT word, w,
+             replace(s, (SELECT pat FROM t{i}), (SELECT rep FROM t{i}))
+               AS s
+      FROM {prev})""")
+        # noqa: the i-th stage reads stage i-1; replace() is literal and
+        # boundary-exact under the double-space symbol separator
+    finals = "\n      UNION ALL\n".join(
+        f"""
+      SELECT {i} AS step, (SELECT pair FROM t{i}) AS pair,
+             CAST((SELECT cnt FROM t{i}) AS BIGINT) AS pair_count,
+             CAST((SELECT SUM(w * len(string_split(trim(s), '  ')))
+                   FROM w{i}) AS BIGINT) AS corpus_symbols_after"""
+        for i in range(1, 6)
+    )
+    return (
+        head + "," + ",".join(steps)
+        + f"\n    SELECT * FROM (\n{finals}\n    ) ORDER BY step"
+    )
+
+
+@query(
+    "bpe_apply_merges",
+    oracle=_bpe_oracle(),
+    doc="TRUE greedy BPE learning, 5 sequential merges: each round "
+    "counts adjacent symbol pairs over the CURRENT segmentation "
+    "(occurrence-weighted), picks the (count desc, pair asc) top, and "
+    "applies it corpus-wide before recounting — the sequential-"
+    "dependency structure tokenizer training actually has, unlike the "
+    "one-shot pair count in bpe_merge_pair_counts. Distributed shape: "
+    "the working relation is the VOCABULARY (word type, occurrence "
+    "count, segmentation string), so each round is one vocab-keyed "
+    "pair-explode aggregate + a 1-row driver collect (the chosen "
+    "merge) + a map-side literal replace; corpus scale enters only "
+    "through the initial word count. Symbol boundaries are exact: "
+    "symbols join on double spaces, patterns pad one space each side, "
+    "so a merged multi-char symbol can never match a suffix of "
+    "another symbol. Reports each chosen pair, its weighted count, "
+    "and the corpus token length after the merge.",
+)
+def bpe_apply_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kyuubi_spark.caching import persisted
+    from kyuubi_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.length("word") >= 1)
+        .groupBy("word")
+        .agg(F.count("*").alias("w"))
+        .select(
+            "word",
+            "w",
+            F.regexp_replace(F.col("word"), "(.)", " $1 ").alias("s"),
+        )
+    )
+    cur = persisted(vocab)
+    out_rows = []
+    for step in range(1, 6):
+        # Spark sequence(0, -1) counts DOWN, so a 1-symbol word would
+        # index sym[1]: keep only words that still have a pair
+        syms = cur.select(
+            "w", F.split(F.trim(F.col("s")), "  ").alias("sym")
+        ).filter(F.size("sym") >= 2)
+        pairs = syms.select(
+            "w",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(sym) - 2),"
+                    " i -> struct(sym[i] AS a, sym[i + 1] AS b))"
+                )
+            ).alias("p"),
+        ).select(
+            F.concat_ws("+", F.col("p.a"), F.col("p.b")).alias("pair"),
+            F.concat(
+                F.lit(" "), F.col("p.a"), F.lit("  "), F.col("p.b"),
+                F.lit(" "),
+            ).alias("pat"),
+            F.concat(
+                F.lit(" "), F.col("p.a"), F.col("p.b"), F.lit(" ")
+            ).alias("rep"),
+            F.col("w"),
+        )
+        top = (
+            pairs.groupBy("pair", "pat", "rep")
+            .agg(F.sum("w").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), F.col("pair").asc())
+            .limit(1)
+            .collect()[0]
+        )
+        nxt = persisted(
+            cur.select(
+                "word",
+                "w",
+                F.replace(
+                    F.col("s"), F.lit(top["pat"]), F.lit(top["rep"])
+                ).alias("s"),
+            )
+        )
+        symbols_after = nxt.select(
+            F.sum(
+                F.col("w") * F.size(F.split(F.trim(F.col("s")), "  "))
+            ).alias("t")
+        ).collect()[0]["t"]
+        out_rows.append(
+            (step, top["pair"], int(top["cnt"]), int(symbols_after))
+        )
+        cur = nxt
+    return spark.createDataFrame(
+        out_rows,
+        "step int, pair string, pair_count bigint, "
+        "corpus_symbols_after bigint",
+    ).orderBy("step")

@@ -294,6 +294,8 @@ HEADLINE = [
     "stream_windowed_topk",
     "char_entropy_profile",
     "bpe_apply_merges",
+    "audio_fingerprint_near_dup",
+    "elasticity_by_brand",
 ]
 
 

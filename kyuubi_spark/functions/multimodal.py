@@ -388,3 +388,107 @@ def synthesize_video_frames(
         .repartition(partitions)
         .mapInPandas(gen, schema=MEDIA_SCHEMA)
     )
+
+
+def synthesize_audio_pairs(
+    spark, n_base: int = 40, partitions: int = 8
+) -> DataFrame:
+    """Deterministic audio corpus with planted near-duplicates: every
+    base clip (media_id = 2*b) has a re-encoded variant (2*b + 1) whose
+    sample stream differs in exactly ONE byte — the synthetic stand-in
+    for a transcoded copy of the same recording.
+
+    Payload layout matches ``synthesize_media`` (12-byte header + body);
+    the body is sha256("audio:b") repeated, so the stub decoder and a
+    SQL oracle can replay the exact samples from the media_id alone.
+    """
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for base in pdf["id"]:
+                base = int(base)
+                dur = 1000 + (base * 13) % 9000
+                body = bytearray(
+                    hashlib.sha256(f"audio:{base}".encode()).digest() * 11
+                )
+                header = struct.pack("<iii", 8000, len(body), dur)
+                meta = {"width": 8000, "height": 1, "duration_ms": dur,
+                        "codec": "stub"}
+                rows.append(
+                    {"media_id": 2 * base, "kind": "audio",
+                     "payload": header + bytes(body), "meta": meta}
+                )
+                variant = bytearray(body)
+                variant[137] = (variant[137] + 101) % 256  # transcode blip
+                rows.append(
+                    {"media_id": 2 * base + 1, "kind": "audio",
+                     "payload": header + bytes(variant), "meta": meta}
+                )
+            yield pd.DataFrame(rows)
+
+    return (
+        spark.range(n_base)
+        .repartition(partitions)
+        .mapInPandas(gen, schema=MEDIA_SCHEMA)
+    )
+
+
+AFP_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("afp", T.LongType()),
+    ]
+)
+
+
+def energy_sign_fingerprint(
+    media: DataFrame, windows: int = 64, stride: int = 5, width: int = 4
+) -> DataFrame:
+    """Acoustic fingerprint packed to ONE int64 — the Shazam-family
+    shape: frame the sample stream into overlapping energy windows and
+    keep the SIGN of each successive energy delta (robust to gain and
+    codec noise, brittle only to time shifts, like the published
+    energy-difference fingerprints).
+
+    The DECODE step is the stub (no codecs in the container): samples
+    are the payload body bytes — swap that line for a real PCM decode
+    in deployment.  The stride (5) is coprime to the synthetic body's
+    sha-repeat period so window energies do not degenerate; everything
+    else (Arrow-batched mapInPandas, vectorized numpy windowing, int64
+    signatures feeding the banded-Hamming join) is the production path:
+    8 bytes/clip at 100 TB, payload bytes touched exactly once.
+    """
+    n_bytes = stride * windows + width
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        idx = (
+            stride * np.arange(windows + 1)[:, None]
+            + np.arange(width)[None, :]
+        )
+        weights = np.left_shift(
+            np.ones(windows, dtype=np.uint64),
+            np.arange(windows, dtype=np.uint64),
+        )
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                payload = row["payload"]
+                # STUB decode: samples = body bytes
+                samples = np.frombuffer(
+                    bytes(payload[12:12 + n_bytes]), dtype=np.uint8
+                ).astype(np.int64)
+                e = samples[idx].sum(axis=1)
+                bits = e[1:] > e[:-1]
+                afp = np.uint64(np.sum(weights[bits], dtype=np.uint64))
+                out.append(
+                    {"media_id": int(row["media_id"]),
+                     "afp": int(afp.astype(np.int64))}
+                )
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "payload").mapInPandas(
+        run, schema=AFP_SCHEMA
+    )

@@ -908,3 +908,149 @@ def bpe_apply_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         "step int, pair string, pair_count bigint, "
         "corpus_symbols_after bigint",
     ).orderBy("step")
+
+
+_HEX = "0123456789abcdef"
+
+
+@query(
+    "audio_fingerprint_near_dup",
+    oracle=f"""
+    WITH b AS (SELECT unnest(generate_series(0, 39)) AS bid),
+    m AS (
+      SELECT 2 * bid + v AS media_id, sha256('audio:' || bid) AS sha,
+             v = 1 AS isv
+      FROM b, (SELECT unnest([0, 1]) AS v)),
+    g AS (SELECT unnest(generate_series(0, 64)) AS w),
+    j AS (SELECT unnest(generate_series(0, 3)) AS jj),
+    en AS (
+      SELECT media_id, w,
+             SUM(CASE WHEN isv AND (5 * w + jj) = 137 THEN
+                   ((strpos('{_HEX}',
+                            substr(sha, ((5*w+jj) % 32) * 2 + 1, 1)) - 1)
+                    * 16
+                    + strpos('{_HEX}',
+                             substr(sha, ((5*w+jj) % 32) * 2 + 2, 1)) - 1
+                    + 101) % 256
+                 ELSE
+                   (strpos('{_HEX}',
+                           substr(sha, ((5*w+jj) % 32) * 2 + 1, 1)) - 1)
+                   * 16
+                   + strpos('{_HEX}',
+                            substr(sha, ((5*w+jj) % 32) * 2 + 2, 1)) - 1
+                 END) AS e
+      FROM m, g, j
+      GROUP BY 1, 2),
+    bits AS (
+      SELECT e1.media_id, e1.w AS bidx,
+             CASE WHEN e2.e > e1.e THEN 1 ELSE 0 END AS bit
+      FROM en e1 JOIN en e2
+        ON e2.media_id = e1.media_id AND e2.w = e1.w + 1
+      WHERE e1.w < 64),
+    pairs AS (
+      SELECT a.media_id AS a_id, b.media_id AS b_id,
+             SUM(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS hamming
+      FROM bits a JOIN bits b
+        ON a.bidx = b.bidx AND a.media_id < b.media_id
+      GROUP BY 1, 2)
+    SELECT CAST(a_id AS BIGINT) AS a_id, CAST(b_id AS BIGINT) AS b_id,
+           CAST(hamming AS BIGINT) AS hamming
+    FROM pairs WHERE hamming <= 3 ORDER BY a_id, b_id
+    """,
+    doc="Audio near-duplicate detection, completing the multimodal dedup "
+    "set (text/embedding/image/video/AUDIO): each clip collapses to a "
+    "64-bit energy-delta-sign fingerprint (the Shazam-family shape — "
+    "overlapping sample-energy windows, keep the sign of each "
+    "successive delta; Arrow-batched mapInPandas with the PCM decode "
+    "stubbed to the synthetic payload bytes), then the SAME banded-"
+    "Hamming kernel as image/simhash (4x16-bit chunks, pigeonhole-"
+    "complete for distance <= 3) surfaces transcoded copies. The corpus "
+    "plants one one-byte-perturbed variant per base clip (flips at most "
+    "2 adjacent delta signs); the oracle replays the sha256 sample "
+    "arithmetic and brute-forces all pairs, proving the bucketed path "
+    "loses nothing. 8 bytes/clip at 100 TB; payload bytes touched once.",
+)
+def audio_fingerprint_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kyuubi_spark.functions import multimodal as M
+    from kyuubi_spark.functions.dedup import packed_hamming_near_dup_pairs
+
+    media = M.synthesize_audio_pairs(spark, n_base=40, partitions=8)
+    sig = M.energy_sign_fingerprint(media)
+    pairs = packed_hamming_near_dup_pairs(
+        sig, id_col="media_id", sig_col="afp", max_hamming=3, chunks=4
+    )
+    return pairs.orderBy("a_id", "b_id")
+
+
+@query(
+    "elasticity_by_brand",
+    oracle="""
+    WITH x AS (
+      SELECT p.p_brand,
+             LN(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)) AS lx,
+             LN(CAST(round(l.l_quantity, 0) AS BIGINT)) AS ly
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE l.l_quantity >= 1 AND l.l_extendedprice > 0),
+    s AS (
+      SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(lx) AS sx, SUM(ly) AS sy,
+             SUM(lx * lx) AS sxx, SUM(lx * ly) AS sxy
+      FROM x GROUP BY 1)
+    SELECT p_brand, n,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+             AS elasticity,
+           ROUND(sy / n - ((n * sxy - sx * sy) / (n * sxx - sx * sx))
+                 * sx / n, 6) AS intercept
+    FROM s ORDER BY p_brand
+    """,
+    doc="Grouped log-log OLS: per-brand price elasticity of demand "
+    "(slope of ln quantity on ln price) — the pricing-analytics shape "
+    "that generalizes price_quantity_regression from one global fit to "
+    "thousands of per-group fits in a single pass. Inputs are ln of "
+    "EXACT integers (cents, rounded quantity) so the per-group power "
+    "sums are reproducible to the final dround; the whole query is one "
+    "brand-keyed aggregate after a partkey equi-join (part side "
+    "broadcast-eligible), slope and intercept computed closed-form "
+    "from (n, Sx, Sy, Sxx, Sxy) — no per-group iteration, no window.",
+)
+def elasticity_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kyuubi_spark.functions.compat import dround
+    from kyuubi_spark.session import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    x = (
+        li.filter((F.col("l_quantity") >= 1) & (F.col("l_extendedprice") > 0))
+        .join(
+            part.select("p_partkey", "p_brand"),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .select(
+            "p_brand",
+            F.log(
+                F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")
+            ).alias("lx"),
+            F.log(F.round(F.col("l_quantity"), 0).cast("bigint")).alias(
+                "ly"
+            ),
+        )
+    )
+    s = x.groupBy("p_brand").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("lx").alias("sx"),
+        F.sum("ly").alias("sy"),
+        F.sum(F.col("lx") * F.col("lx")).alias("sxx"),
+        F.sum(F.col("lx") * F.col("ly")).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    slope = (nd * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        nd * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return s.select(
+        "p_brand",
+        "n",
+        dround(slope, 6).alias("elasticity"),
+        dround(F.col("sy") / nd - slope * F.col("sx") / nd, 6).alias(
+            "intercept"
+        ),
+    ).orderBy("p_brand")

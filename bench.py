@@ -296,6 +296,8 @@ HEADLINE = [
     "bpe_apply_merges",
     "audio_fingerprint_near_dup",
     "elasticity_by_brand",
+    "segment_migration_matrix",
+    "join_cardinality_audit",
 ]
 
 

@@ -1054,3 +1054,194 @@ def elasticity_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
             "intercept"
         ),
     ).orderBy("p_brand")
+
+
+@query(
+    "segment_migration_matrix",
+    oracle="""
+    WITH per AS (
+      SELECT o_custkey,
+             SUM(CASE WHEN o_orderdate >= TIMESTAMP '1999-01-01'
+                       AND o_orderdate < TIMESTAMP '2000-01-01'
+                      THEN 1 ELSE 0 END) AS n1,
+             SUM(CASE WHEN o_orderdate >= TIMESTAMP '2000-01-01'
+                       AND o_orderdate < TIMESTAMP '2001-01-01'
+                      THEN 1 ELSE 0 END) AS n2
+      FROM orders GROUP BY 1),
+    t AS (
+      SELECT CASE WHEN n1 = 0 THEN 'inactive' WHEN n1 = 1 THEN 'light'
+                  WHEN n1 <= 3 THEN 'regular' ELSE 'heavy' END AS tier_from,
+             CASE WHEN n2 = 0 THEN 'inactive' WHEN n2 = 1 THEN 'light'
+                  WHEN n2 <= 3 THEN 'regular' ELSE 'heavy' END AS tier_to
+      FROM per WHERE n1 > 0 OR n2 > 0),
+    m AS (SELECT tier_from, tier_to, COUNT(*) AS n
+          FROM t GROUP BY 1, 2),
+    tot AS (SELECT tier_from, SUM(n) AS nf FROM m GROUP BY 1)
+    SELECT m.tier_from, m.tier_to,
+           CAST(m.n AS BIGINT) AS n_customers,
+           ROUND(CAST(m.n AS DOUBLE) / tot.nf, 6) AS share_of_from
+    FROM m JOIN tot ON tot.tier_from = m.tier_from
+    ORDER BY m.tier_from, m.tier_to
+    """,
+    doc="Customer lifecycle migration matrix: activity tiers (inactive/"
+    "light/regular/heavy by order count) in 1999 vs 2000, cross-"
+    "tabulated with per-origin shares — the year-over-year engagement "
+    "movement report behind churn/upsell planning, and the segment-"
+    "level Markov matrix (markov_transition_matrix's event-level "
+    "sibling). ONE pass: both years' counts come from the same "
+    "custkey groupBy via conditional aggregation (never two scans "
+    "self-joined), tiers are map-side CASEs, the matrix is a 16-cell "
+    "aggregate and the share join is a broadcast of <= 4 row totals.",
+)
+def segment_migration_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kyuubi_spark.functions.compat import dround
+    from kyuubi_spark.session import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    y1, y2, y3 = (
+        F.lit("1999-01-01").cast("timestamp"),
+        F.lit("2000-01-01").cast("timestamp"),
+        F.lit("2001-01-01").cast("timestamp"),
+    )
+    per = orders.groupBy("o_custkey").agg(
+        F.sum(
+            F.when(
+                (F.col("o_orderdate") >= y1) & (F.col("o_orderdate") < y2), 1
+            ).otherwise(0)
+        ).alias("n1"),
+        F.sum(
+            F.when(
+                (F.col("o_orderdate") >= y2) & (F.col("o_orderdate") < y3), 1
+            ).otherwise(0)
+        ).alias("n2"),
+    )
+
+    def tier(c):
+        return (
+            F.when(F.col(c) == 0, "inactive")
+            .when(F.col(c) == 1, "light")
+            .when(F.col(c) <= 3, "regular")
+            .otherwise("heavy")
+        )
+
+    t = per.filter((F.col("n1") > 0) | (F.col("n2") > 0)).select(
+        tier("n1").alias("tier_from"), tier("n2").alias("tier_to")
+    )
+    m = t.groupBy("tier_from", "tier_to").agg(F.count("*").alias("n"))
+    tot = m.groupBy("tier_from").agg(F.sum("n").alias("nf"))
+    return (
+        m.join(F.broadcast(tot), "tier_from")
+        .select(
+            "tier_from",
+            "tier_to",
+            F.col("n").cast("bigint").alias("n_customers"),
+            dround(F.col("n").cast("double") / F.col("nf"), 6).alias(
+                "share_of_from"
+            ),
+        )
+        .orderBy("tier_from", "tier_to")
+    )
+
+
+@query(
+    "join_cardinality_audit",
+    oracle="""
+    WITH stats AS (
+      SELECT 'orders_x_lineitem' AS join_name,
+             (SELECT COUNT(*) FROM orders) AS n_left,
+             (SELECT COUNT(*) FROM lineitem) AS n_right,
+             (SELECT COUNT(DISTINCT o_orderkey) FROM orders) AS ndv_l,
+             (SELECT COUNT(DISTINCT l_orderkey) FROM lineitem) AS ndv_r,
+             (SELECT COUNT(*) FROM orders o JOIN lineitem l
+                ON o.o_orderkey = l.l_orderkey) AS actual
+      UNION ALL
+      SELECT 'part_x_lineitem',
+             (SELECT COUNT(*) FROM part),
+             (SELECT COUNT(*) FROM lineitem),
+             (SELECT COUNT(DISTINCT p_partkey) FROM part),
+             (SELECT COUNT(DISTINCT l_partkey) FROM lineitem),
+             (SELECT COUNT(*) FROM part p JOIN lineitem l
+                ON p.p_partkey = l.l_partkey)
+      UNION ALL
+      SELECT 'customer_x_orders',
+             (SELECT COUNT(*) FROM customer),
+             (SELECT COUNT(*) FROM orders),
+             (SELECT COUNT(DISTINCT c_custkey) FROM customer),
+             (SELECT COUNT(DISTINCT o_custkey) FROM orders),
+             (SELECT COUNT(*) FROM customer c JOIN orders o
+                ON c.c_custkey = o.o_custkey))
+    SELECT join_name,
+           CAST(n_left AS BIGINT) AS n_left,
+           CAST(n_right AS BIGINT) AS n_right,
+           CAST(n_left * n_right
+                / GREATEST(ndv_l, ndv_r) AS BIGINT) AS est_rows,
+           CAST(actual AS BIGINT) AS actual_rows,
+           ROUND(GREATEST(
+             CAST(n_left * n_right / GREATEST(ndv_l, ndv_r) AS DOUBLE)
+               / actual,
+             actual / CAST(n_left * n_right / GREATEST(ndv_l, ndv_r)
+                           AS DOUBLE)), 4) AS q_error
+    FROM stats ORDER BY join_name
+    """,
+    doc="Join-cardinality estimator audit: the textbook independence/"
+    "containment estimate |R||S|/max(ndv_R, ndv_S) vs the ACTUAL join "
+    "size for three FK joins, reported as q-error — the optimizer-"
+    "quality diagnostic behind cost_based_stats (a CBO whose q-errors "
+    "drift from 1.0 picks wrong join orders at scale; TPC-H FK joins "
+    "should sit near 1.0, so drift flags stats staleness or skew). All "
+    "inputs are exact counts/NDVs (integer floor-division estimate, "
+    "one dround on the ratio); each leg is a keyed aggregate or "
+    "equi-join count, unioned into one 3-row report.",
+)
+def join_cardinality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kyuubi_spark.functions.compat import dround
+    from kyuubi_spark.session import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    cust = load_table(spark, sf_dir, "customer")
+
+    def leg(name, left, lkey, right, rkey):
+        nl = left.agg(F.count("*").alias("n_left")).crossJoin(
+            left.agg(F.countDistinct(lkey).alias("ndv_l"))
+        )
+        nr = right.agg(F.count("*").alias("n_right")).crossJoin(
+            right.agg(F.countDistinct(rkey).alias("ndv_r"))
+        )
+        actual = (
+            left.select(F.col(lkey).alias("k"))
+            .join(right.select(F.col(rkey).alias("k")), "k")
+            .agg(F.count("*").alias("actual"))
+        )
+        return (
+            nl.crossJoin(nr)
+            .crossJoin(actual)
+            .select(F.lit(name).alias("join_name"), "n_left", "n_right",
+                    "ndv_l", "ndv_r", "actual")
+        )
+
+    stats = (
+        leg("orders_x_lineitem", orders, "o_orderkey", li, "l_orderkey")
+        .unionAll(leg("part_x_lineitem", part, "p_partkey", li, "l_partkey"))
+        .unionAll(leg("customer_x_orders", cust, "c_custkey", orders,
+                      "o_custkey"))
+    )
+    est = F.floor(
+        (F.col("n_left") * F.col("n_right"))
+        / F.greatest(F.col("ndv_l"), F.col("ndv_r"))
+    ).cast("bigint")
+    return stats.select(
+        "join_name",
+        F.col("n_left").cast("bigint").alias("n_left"),
+        F.col("n_right").cast("bigint").alias("n_right"),
+        est.alias("est_rows"),
+        F.col("actual").cast("bigint").alias("actual_rows"),
+        dround(
+            F.greatest(
+                est.cast("double") / F.col("actual"),
+                F.col("actual") / est.cast("double"),
+            ),
+            4,
+        ).alias("q_error"),
+    ).orderBy("join_name")

@@ -298,6 +298,9 @@ HEADLINE = [
     "elasticity_by_brand",
     "segment_migration_matrix",
     "join_cardinality_audit",
+    "holt_trend_forecast",
+    "median_ci_orderstat",
+    "selectivity_correlation_audit",
 ]
 
 

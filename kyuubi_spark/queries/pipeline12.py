@@ -1245,3 +1245,223 @@ def join_cardinality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("q_error"),
     ).orderBy("join_name")
+
+
+@query(
+    "holt_trend_forecast",
+    oracle="""
+    WITH RECURSIVE monthly AS (
+      SELECT date_trunc('month', o_orderdate) AS mon,
+             CAST(SUM(CAST(floor(round(o_totalprice * 100, 0) / 100)
+                           AS BIGINT)) AS DOUBLE) AS y
+      FROM orders GROUP BY 1),
+    m AS (SELECT ROW_NUMBER() OVER (ORDER BY mon) AS i, mon, y
+          FROM monthly),
+    hw(i, mon, y, l, b) AS (
+      SELECT i, mon, y, y,
+             (SELECT y FROM m WHERE i = 2) - y
+      FROM m WHERE i = 1
+      UNION ALL
+      SELECT m.i, m.mon, m.y,
+             0.5 * m.y + 0.5 * (hw.l + hw.b),
+             0.25 * (0.5 * m.y + 0.5 * (hw.l + hw.b) - hw.l)
+               + 0.75 * hw.b
+      FROM hw JOIN m ON m.i = hw.i + 1)
+    SELECT CAST(mon AS TIMESTAMP) AS month,
+           CAST(y AS BIGINT) AS actual,
+           ROUND(l, 6) AS level,
+           ROUND(b, 6) AS trend,
+           ROUND(l + b, 6) AS forecast_next
+    FROM hw
+    WHERE i > (SELECT MAX(i) FROM m) - 6
+    ORDER BY month
+    """,
+    doc="Holt double exponential smoothing over monthly revenue (alpha "
+    "= 0.5, beta = 0.25 — BINARY fractions, so with integer-dollar "
+    "inputs every level/trend value is an exact dyadic rational and "
+    "the recursion is bit-identical across engines with no rounding "
+    "tricks): level/trend recursion seeded l0 = y0, b0 = y1 - y0, "
+    "emitting the last 6 months with one-step-ahead forecasts. "
+    "Distributed shape: the fact scan collapses to a CALENDAR-BOUNDED "
+    "monthly rollup (one keyed aggregate), and only that ~80-row "
+    "series reaches the driver for the inherently-sequential fold — "
+    "the same bounded-driver-state discipline as the ranking offsets. "
+    "Oracle runs the identical recursion as a recursive CTE.",
+)
+def holt_trend_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kyuubi_spark.session import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = (
+        orders.groupBy(
+            F.date_trunc("month", F.col("o_orderdate")).alias("mon")
+        )
+        .agg(F.sum(_dollars("o_totalprice")).alias("y"))
+        .orderBy("mon")
+        .collect()
+    )
+    ys = [(r["mon"], float(r["y"])) for r in monthly]
+    out = []
+    lvl = ys[0][1]
+    b = ys[1][1] - ys[0][1]
+    out.append((ys[0][0], int(ys[0][1]), lvl, b))
+    for mon, y in ys[1:]:
+        new_l = 0.5 * y + 0.5 * (lvl + b)
+        b = 0.25 * (new_l - lvl) + 0.75 * b
+        lvl = new_l
+        out.append((mon, int(y), lvl, b))
+    rows = [
+        (mon, actual, round(lv, 6), round(tr, 6), round(lv + tr, 6))
+        for mon, actual, lv, tr in out[-6:]
+    ]
+    return spark.createDataFrame(
+        rows,
+        "month timestamp, actual bigint, level double, trend double, "
+        "forecast_next double",
+    ).orderBy("month")
+
+
+@query(
+    "median_ci_orderstat",
+    oracle="""
+    WITH v AS (
+      SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+      FROM orders),
+    n AS (SELECT COUNT(*) AS n FROM v),
+    ks AS (
+      SELECT n,
+             CAST(FLOOR((n + 1) / 2.0) AS BIGINT) AS k_med,
+             CAST(FLOOR((n - 1.959964 * SQRT(n)) / 2.0) AS BIGINT) AS k_lo,
+             CAST(CEIL(1 + (n + 1.959964 * SQRT(n)) / 2.0) AS BIGINT)
+               AS k_hi
+      FROM n),
+    r AS (SELECT cents, ROW_NUMBER() OVER (ORDER BY cents) AS rk FROM v)
+    SELECT CAST(ks.n AS BIGINT) AS n,
+           (SELECT cents FROM r WHERE rk = ks.k_med) AS median_cents,
+           (SELECT cents FROM r WHERE rk = ks.k_lo) AS ci_lo_cents,
+           (SELECT cents FROM r WHERE rk = ks.k_hi) AS ci_hi_cents
+    FROM ks
+    """,
+    doc="Distribution-free 95% confidence interval for the MEDIAN by "
+    "order statistics (the binomial/normal-approx rank bounds — no "
+    "distributional assumption, the textbook nonparametric CI): ranks "
+    "k_lo/k_med/k_hi are computed from n, then the three exact order "
+    "statistics of order price (integer cents) are fetched. Spark side "
+    "uses the DISTRIBUTED exact ranker (operators/ranking.py: range-"
+    "bucket + per-bucket window + bounded offsets) instead of the "
+    "oracle's single-partition ROW_NUMBER, then filters the three "
+    "ranks — order statistics at 100 TB without a global sort to one "
+    "task. Rank formulas use the same double sqrt in both engines.",
+)
+def median_ci_orderstat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    from kyuubi_spark.operators.ranking import global_row_numbers
+    from kyuubi_spark.session import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    v = orders.select(
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents")
+    )
+    ranked, n = global_row_numbers(v, {"rk": [("cents", "asc")]})
+    k_med = math.floor((n + 1) / 2.0)
+    k_lo = math.floor((n - 1.959964 * math.sqrt(n)) / 2.0)
+    k_hi = math.ceil(1 + (n + 1.959964 * math.sqrt(n)) / 2.0)
+    picks = ranked.filter(
+        F.col("rk").isin([k_med, k_lo, k_hi])
+    ).select("cents", "rk")
+    out = picks.agg(
+        F.lit(n).cast("bigint").alias("n"),
+        F.max(F.when(F.col("rk") == k_med, F.col("cents"))).alias(
+            "median_cents"
+        ),
+        F.max(F.when(F.col("rk") == k_lo, F.col("cents"))).alias(
+            "ci_lo_cents"
+        ),
+        F.max(F.when(F.col("rk") == k_hi, F.col("cents"))).alias(
+            "ci_hi_cents"
+        ),
+    )
+    return out
+
+
+@query(
+    "selectivity_correlation_audit",
+    oracle="""
+    WITH f AS (
+      SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS a,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS b,
+             CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END AS c
+      FROM orders),
+    s AS (SELECT COUNT(*) AS n, SUM(a) AS na, SUM(b) AS nb, SUM(c) AS nc,
+                 SUM(a * b) AS nab, SUM(a * c) AS nac, SUM(b * c) AS nbc
+          FROM f)
+    SELECT * FROM (
+      SELECT 'priority_x_status' AS pair,
+             CAST(nab AS BIGINT) AS actual_rows,
+             ROUND(CAST(na AS DOUBLE) * nb / n, 4) AS independent_est,
+             ROUND(nab * CAST(n AS DOUBLE) / (na * nb), 6)
+               AS correlation_factor
+      FROM s
+      UNION ALL
+      SELECT 'priority_x_price', CAST(nac AS BIGINT),
+             ROUND(CAST(na AS DOUBLE) * nc / n, 4),
+             ROUND(nac * CAST(n AS DOUBLE) / (na * nc), 6)
+      FROM s
+      UNION ALL
+      SELECT 'status_x_price', CAST(nbc AS BIGINT),
+             ROUND(CAST(nb AS DOUBLE) * nc / n, 4),
+             ROUND(nbc * CAST(n AS DOUBLE) / (nb * nc), 6)
+      FROM s)
+    ORDER BY pair
+    """,
+    doc="Predicate-correlation audit, the selectivity half of the CBO "
+    "diagnostic pair (join_cardinality_audit covers joins): for three "
+    "predicate pairs on orders, compare the optimizer's independence "
+    "assumption sel(A)sel(B) against the actual conjunctive count and "
+    "report the correlation factor (1.0 = independent; far from 1.0 = "
+    "the multi-column-stats case). ONE scan: all three indicator "
+    "columns and their pairwise products reduce in a single scalar "
+    "aggregate — no joins, no second pass.",
+)
+def selectivity_correlation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kyuubi_spark.functions.compat import dround
+    from kyuubi_spark.session import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    f = orders.select(
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
+        .alias("a"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("b"),
+        F.when(F.col("o_totalprice") > 150000, 1).otherwise(0).alias("c"),
+    )
+    s = f.agg(
+        F.count("*").alias("n"),
+        F.sum("a").alias("na"),
+        F.sum("b").alias("nb"),
+        F.sum("c").alias("nc"),
+        F.sum(F.col("a") * F.col("b")).alias("nab"),
+        F.sum(F.col("a") * F.col("c")).alias("nac"),
+        F.sum(F.col("b") * F.col("c")).alias("nbc"),
+    )
+
+    def row(name, nxy, nx, ny):
+        return s.select(
+            F.lit(name).alias("pair"),
+            F.col(nxy).cast("bigint").alias("actual_rows"),
+            dround(
+                F.col(nx).cast("double") * F.col(ny) / F.col("n"), 4
+            ).alias("independent_est"),
+            dround(
+                F.col(nxy) * F.col("n").cast("double")
+                / (F.col(nx) * F.col(ny)),
+                6,
+            ).alias("correlation_factor"),
+        )
+
+    return (
+        row("priority_x_status", "nab", "na", "nb")
+        .unionAll(row("priority_x_price", "nac", "na", "nc"))
+        .unionAll(row("status_x_price", "nbc", "nb", "nc"))
+        .orderBy("pair")
+    )

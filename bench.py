@@ -301,6 +301,8 @@ HEADLINE = [
     "holt_trend_forecast",
     "median_ci_orderstat",
     "selectivity_correlation_audit",
+    "feature_hash_collision_audit",
+    "interval_coverage_islands",
 ]
 
 

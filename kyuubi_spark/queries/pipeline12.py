@@ -1465,3 +1465,172 @@ def selectivity_correlation_audit(spark: SparkSession, sf_dir: str) -> DataFrame
         .unionAll(row("status_x_price", "nbc", "nb", "nc"))
         .orderBy("pair")
     )
+
+
+@query(
+    "feature_hash_collision_audit",
+    oracle="""
+    WITH tok AS (
+      SELECT DISTINCT word
+      FROM (SELECT unnest(string_split(text, ' ')) AS word
+            FROM documents)
+      WHERE length(word) >= 1),
+    h AS (
+      SELECT word,
+             CAST(('0x' || substr(md5(word), 1, 15)) AS BIGINT) AS hv
+      FROM tok),
+    per AS (
+      SELECT width, hv % width AS bucket, COUNT(*) AS c
+      FROM h, (SELECT unnest([256, 4096, 65536]) AS width)
+      GROUP BY 1, 2)
+    SELECT CAST(width AS BIGINT) AS width,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS buckets_used,
+           CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT)
+             AS tokens_in_collisions,
+           CAST(SUM(c - 1) AS BIGINT) AS excess_collisions
+    FROM per GROUP BY 1 ORDER BY width
+    """,
+    doc="Feature-hashing collision audit: the hashing-trick risk report "
+    "behind text_hash_embed — for bucket widths 2^8/2^12/2^16, how "
+    "many distinct vocabulary tokens share buckets (tokens_in_"
+    "collisions, excess = sum over buckets of occupancy-1). The hash "
+    "is the cross-engine md5-prefix bigint (the house convention), so "
+    "both engines bucket identically. Plan: vocab distinct (one "
+    "shuffle, vocab-sized), a 3x width explode, one bucket-keyed "
+    "aggregate, one width rollup — all map-side combinable.",
+)
+def feature_hash_collision_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kyuubi_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.length("word") >= 1)
+        .distinct()
+    )
+    h = tok.select(
+        F.conv(F.substring(F.md5("word"), 1, 15), 16, 10)
+        .cast("bigint")
+        .alias("hv")
+    )
+    widths = F.explode(F.array(F.lit(256), F.lit(4096), F.lit(65536)))
+    per = (
+        h.select("hv", widths.alias("width"))
+        .groupBy("width", (F.col("hv") % F.col("width")).alias("bucket"))
+        .agg(F.count("*").alias("c"))
+    )
+    return (
+        per.groupBy("width")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_tokens"),
+            F.count("*").cast("bigint").alias("buckets_used"),
+            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0))
+            .cast("bigint")
+            .alias("tokens_in_collisions"),
+            F.sum(F.col("c") - 1).cast("bigint").alias("excess_collisions"),
+        )
+        .select(
+            F.col("width").cast("bigint").alias("width"),
+            "n_tokens", "buckets_used", "tokens_in_collisions",
+            "excess_collisions",
+        )
+        .orderBy("width")
+    )
+
+
+@query(
+    "interval_coverage_islands",
+    oracle="""
+    WITH iv AS (
+      SELECT o_custkey, o_orderdate AS s,
+             o_orderdate + INTERVAL 7 DAY AS e
+      FROM orders),
+    g AS (
+      SELECT o_custkey, s, e,
+             CASE WHEN s > MAX(e) OVER (PARTITION BY o_custkey
+                    ORDER BY s, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    OR MAX(e) OVER (PARTITION BY o_custkey
+                    ORDER BY s, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    IS NULL
+                  THEN 1 ELSE 0 END AS new_island
+      FROM iv),
+    isl AS (
+      SELECT o_custkey, SUM(new_island) OVER (PARTITION BY o_custkey
+               ORDER BY s, e ROWS UNBOUNDED PRECEDING) AS iid, s, e
+      FROM g),
+    per_island AS (
+      SELECT o_custkey, iid,
+             date_diff('day', MIN(s), MAX(e)) AS len_days
+      FROM isl GROUP BY 1, 2),
+    per_cust AS (
+      SELECT o_custkey, COUNT(*) AS n_islands,
+             SUM(len_days) AS covered_days
+      FROM per_island GROUP BY 1)
+    SELECT CASE WHEN n_islands >= 5 THEN 5 ELSE n_islands END
+             AS islands_band,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           ROUND(SUM(covered_days) / CAST(COUNT(*) AS DOUBLE), 6)
+             AS avg_covered_days
+    FROM per_cust GROUP BY 1 ORDER BY islands_band
+    """,
+    doc="Interval UNION per key (the temporal coverage operator): each "
+    "order opens a 7-day activity window, per-customer windows merge "
+    "into maximal islands via the running-max-end gaps-and-islands "
+    "recipe (an interval starts a new island iff it begins after the "
+    "max end seen so far), then total covered days and island counts "
+    "roll up into a coverage distribution. This is the generic "
+    "machinery behind uptime/SLA coverage, ad-exposure windows and "
+    "sessionized availability. Scale: both windows partition on "
+    "custkey (uniform key), the rest is two keyed aggregates; no "
+    "self-join of intervals, no corpus-wide window.",
+)
+def interval_coverage_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from kyuubi_spark.functions.compat import dround
+    from kyuubi_spark.session import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    iv = orders.select(
+        "o_custkey",
+        F.col("o_orderdate").alias("s"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 7 DAY")).alias("e"),
+    )
+    w = Window.partitionBy("o_custkey").orderBy("s", "e")
+    prev_max_e = F.max("e").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    g = iv.withColumn(
+        "new_island",
+        F.when(
+            prev_max_e.isNull() | (F.col("s") > prev_max_e), 1
+        ).otherwise(0),
+    )
+    isl = g.withColumn(
+        "iid",
+        F.sum("new_island").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    per_island = isl.groupBy("o_custkey", "iid").agg(
+        F.datediff(F.max("e"), F.min("s")).alias("len_days")
+    )
+    per_cust = per_island.groupBy("o_custkey").agg(
+        F.count("*").alias("n_islands"),
+        F.sum("len_days").alias("covered_days"),
+    )
+    return (
+        per_cust.groupBy(
+            F.when(F.col("n_islands") >= 5, 5)
+            .otherwise(F.col("n_islands"))
+            .alias("islands_band")
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_customers"),
+            dround(
+                F.sum("covered_days") / F.count("*").cast("double"), 6
+            ).alias("avg_covered_days"),
+        )
+        .orderBy("islands_band")
+    )

@@ -303,6 +303,8 @@ HEADLINE = [
     "selectivity_correlation_audit",
     "feature_hash_collision_audit",
     "interval_coverage_islands",
+    "stream_ohlc_daily",
+    "rolling_distinct_users_7d",
 ]
 
 

@@ -1634,3 +1634,91 @@ def interval_coverage_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("islands_band")
     )
+
+
+@query(
+    "rolling_distinct_users_7d",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+      FROM events),
+    days AS (SELECT DISTINCT day FROM ud),
+    cov AS (
+      SELECT d.day,
+             COUNT(DISTINCT u.user_id) AS dau7
+      FROM days d JOIN ud u
+        ON u.day <= d.day AND u.day >= d.day - INTERVAL 6 DAY
+      GROUP BY 1)
+    SELECT CAST(day AS TIMESTAMP) AS day, CAST(dau7 AS BIGINT) AS dau7
+    FROM cov ORDER BY day
+    """,
+    doc="EXACT rolling 7-day distinct users — the metric sliding "
+    "windows cannot compute by summing daily distincts (users repeat "
+    "across days). Distributed recipe: distinct (user, day) pairs -> "
+    "per-user interval UNION of [day, day+6] coverage windows (gaps-"
+    "and-islands keyed on user, so a user active on overlapping days "
+    "contributes ONE interval, not seven) -> +1/-1 boundary deltas -> "
+    "one cumulative sum over the CALENDAR-BOUNDED day axis (<= 31+6 "
+    "rows; the only unpartitioned window, audit-allowlisted). The "
+    "oracle brute-forces each day's 7-day membership with COUNT "
+    "DISTINCT - a completely different evaluation strategy, so "
+    "agreement is strong evidence. At 100 TB: everything shuffles on "
+    "user_id or day; the stream is never exploded 7x.",
+)
+def rolling_distinct_users_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from kyuubi_spark.session import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id", F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    ).distinct()
+    # per-user coverage intervals [day, day+6], merged into islands
+    iv = ud.select(
+        "user_id",
+        F.col("day").alias("s"),
+        F.date_add(F.col("day"), 6).alias("e"),
+    )
+    w = Window.partitionBy("user_id").orderBy("s", "e")
+    prev_max_e = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    isl = iv.withColumn(
+        "new_island",
+        F.when(prev_max_e.isNull() | (F.col("s") > prev_max_e), 1)
+        .otherwise(0),
+    ).withColumn(
+        "iid",
+        F.sum("new_island").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    merged = isl.groupBy("user_id", "iid").agg(
+        F.min("s").alias("s"), F.max("e").alias("e")
+    )
+    # +1 at island start, -1 the day after island end; cumulative over days
+    deltas = (
+        merged.select(F.col("s").alias("day"), F.lit(1).alias("d"))
+        .unionAll(
+            merged.select(
+                F.date_add(F.col("e"), 1).alias("day"), F.lit(-1).alias("d")
+            )
+        )
+        .groupBy("day")
+        .agg(F.sum("d").alias("d"))
+    )
+    # reporting days join the delta axis with d=0 so the running value
+    # exists on every calendar day, not only boundary days
+    days = ud.select("day").distinct()
+    axis = (
+        deltas.unionAll(days.select("day", F.lit(0).alias("d")))
+        .groupBy("day")
+        .agg(F.sum("d").alias("d"))
+    )
+    wd = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    run = axis.withColumn("dau7", F.sum("d").over(wd))
+    return (
+        days.join(run, "day")
+        .select(
+            F.col("day").cast("timestamp").alias("day"),
+            F.col("dau7").cast("bigint").alias("dau7"),
+        )
+        .orderBy("day")
+    )

@@ -1027,3 +1027,65 @@ def stream_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("window_start", "rk")
     )
+
+
+@query(
+    "stream_ohlc_daily",
+    oracle="""
+    WITH k AS (
+      SELECT *, (epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01'))
+                * 1000000 + event_id AS ord
+      FROM events)
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
+           ROUND(arg_min(value, ord), 6) AS open,
+           ROUND(MAX(value), 6) AS high,
+           ROUND(MIN(value), 6) AS low,
+           ROUND(arg_max(value, ord), 6) AS close,
+           CAST(COUNT(*) AS BIGINT) AS volume
+    FROM k GROUP BY 1 ORDER BY window_start
+    """,
+    doc="Streaming OHLC candlestick maintenance: per day window the "
+    "state holds (argmin-key open, max, min, argmax-key close, count) "
+    "— min_by/max_by over the packed (micros, event_id) total order "
+    "are INCREMENTALLY MAINTAINABLE aggregates (each update keeps one "
+    "champion row per window), so the live candlestick costs O(windows)"
+    " state, never a sort or a replay of the stream. The batch sibling "
+    "(ohlc_daily_value) is the oracle shape; replay-verified exact.",
+)
+def stream_ohlc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kyuubi_spark.streaming.runner import run_to_memory
+
+    stream = _events_stream(spark, sf_dir)
+    base = F.lit("2024-01-01").cast("timestamp")
+    ordk = (
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.unix_micros(base)
+        )
+        * F.lit(1000000)
+        + F.col("event_id")
+    )
+    agged = (
+        stream.withColumn("ord", ordk)
+        .groupBy(F.window("ts", "1 day").alias("win"))
+        .agg(
+            F.min_by("value", F.col("ord")).alias("open_raw"),
+            F.max("value").alias("high_raw"),
+            F.min("value").alias("low_raw"),
+            F.max_by("value", F.col("ord")).alias("close_raw"),
+            F.count("*").alias("volume"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            "open_raw", "high_raw", "low_raw", "close_raw", "volume",
+        )
+    )
+    snap = run_to_memory(agged, output_mode="complete")
+    return snap.select(
+        F.col("window_start").cast("timestamp_ntz").alias("window_start"),
+        dround("open_raw", 6).alias("open"),
+        dround("high_raw", 6).alias("high"),
+        dround("low_raw", 6).alias("low"),
+        dround("close_raw", 6).alias("close"),
+        F.col("volume").cast("bigint").alias("volume"),
+    ).orderBy("window_start")

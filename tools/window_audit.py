@@ -55,6 +55,9 @@ ALLOWLIST = {
     " <=101-row top-k slice (tpcds_q44 class)",
     "mann_whitney_auc": "cumulative over the value-keyed length rollup"
     " (bounded by the length cap; ks_two_sample class)",
+    "rolling_distinct_users_7d": "cumulative over the CALENDAR-bounded"
+    " day axis (<= days+boundaries rows after the per-user interval"
+    " union; the user-scaled work is all keyed on user_id)",
 }
 
 

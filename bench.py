@@ -305,6 +305,8 @@ HEADLINE = [
     "interval_coverage_islands",
     "stream_ohlc_daily",
     "rolling_distinct_users_7d",
+    "random_projection_distortion",
+    "rec_coverage_diversity",
 ]
 
 

@@ -1722,3 +1722,234 @@ def rolling_distinct_users_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+def _rp_signs(out_dims: int = 8, in_dims: int = 64) -> list:
+    """Deterministic +-1 projection matrix from md5 parity (the SAME
+    derivation the oracle replays in SQL: sign = +1 iff the first hex
+    digit of md5('rp:j:k') is < 8)."""
+    import hashlib
+
+    return [
+        [
+            1.0
+            if int(
+                hashlib.md5(f"rp:{j}:{k}".encode()).hexdigest()[0], 16
+            ) < 8
+            else -1.0
+            for j in range(1, in_dims + 1)
+        ]
+        for k in range(1, out_dims + 1)
+    ]
+
+
+@query(
+    "random_projection_distortion",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings),
+    pr AS (
+      SELECT a.vec_id,
+             a.v AS va, b.v AS vb
+      FROM e a JOIN e b ON b.vec_id = a.vec_id + 1),
+    d AS (
+      SELECT vec_id,
+        SQRT(list_sum(list_transform(generate_series(1, 64),
+             j -> (va[j] - vb[j]) * (va[j] - vb[j])))) AS d_orig,
+        SQRT(list_sum(list_transform(generate_series(1, 8), k ->
+          POWER(list_sum(list_transform(generate_series(1, 64), j ->
+            (va[j] - vb[j])
+            * (CASE WHEN strpos('01234567',
+                       substr(md5('rp:' || j || ':' || k), 1, 1)) > 0
+                    THEN 1.0 ELSE -1.0 END))), 2)))) / SQRT(8)
+          AS d_proj
+      FROM pr),
+    r AS (SELECT vec_id, d_proj / d_orig AS ratio
+          FROM d WHERE d_orig > 0)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           ROUND(SUM(ratio) / COUNT(*), 6) AS mean_ratio,
+           ROUND(MIN(ratio), 6) AS min_ratio,
+           ROUND(MAX(ratio), 6) AS max_ratio,
+           CAST(SUM(CASE WHEN ratio BETWEEN 0.8 AND 1.2
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_within_20pct
+    FROM r
+    """,
+    doc="Johnson-Lindenstrauss distance-preservation report: project "
+    "the 64-d embeddings to 8-d with a deterministic +-1 matrix "
+    "(md5-parity signs, replayed identically in SQL) and measure the "
+    "pairwise-distance distortion ratio over consecutive-id pairs — "
+    "the acceptance test run before swapping an ANN index to a "
+    "random-projection sketch. Every distance is a row-local in-order "
+    "fold (identical IEEE sequence in both engines), so min/max pick "
+    "identical champions; the projection is a literal in the plan "
+    "(64x8 signs), applied map-side — at 100 TB this is one narrow "
+    "map + a self-join on adjacent ids, no shuffle of the matrix.",
+)
+def random_projection_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    from kyuubi_spark.functions.compat import dround
+    from kyuubi_spark.session import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dbl = F.transform("embedding", lambda x: x.cast("double"))
+    e = emb.select("vec_id", dbl.alias("v"))
+    b = e.select(
+        (F.col("vec_id") - 1).alias("vec_id"), F.col("v").alias("vb")
+    )
+    pr = e.join(b, "vec_id").select("vec_id", F.col("v").alias("va"), "vb")
+    diff = F.zip_with("va", "vb", lambda x, y: x - y)
+    pr = pr.select("vec_id", diff.alias("dv"))
+    d_orig = F.sqrt(
+        F.aggregate(
+            F.transform("dv", lambda x: x * x),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    signs = _rp_signs()
+    comps = []
+    for k in range(8):
+        sk = F.array(*[F.lit(s) for s in signs[k]])
+        comp = F.aggregate(
+            F.zip_with(F.col("dv"), sk, lambda x, s: x * s),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        comps.append(comp * comp)
+    d_proj = F.sqrt(sum(comps[1:], comps[0])) / F.lit(math.sqrt(8))
+    r = (
+        pr.select(d_orig.alias("d_orig"), d_proj.alias("d_proj"))
+        .filter(F.col("d_orig") > 0)
+        .select((F.col("d_proj") / F.col("d_orig")).alias("ratio"))
+    )
+    return r.agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        dround(F.sum("ratio") / F.count("*"), 6).alias("mean_ratio"),
+        dround(F.min("ratio"), 6).alias("min_ratio"),
+        dround(F.max("ratio"), 6).alias("max_ratio"),
+        F.sum(
+            F.when(F.col("ratio").between(0.8, 1.2), 1).otherwise(0)
+        ).cast("bigint").alias("n_within_20pct"),
+    )
+
+
+@query(
+    "rec_coverage_diversity",
+    oracle="""
+    WITH co AS (
+      SELECT a.l_partkey AS anchor, b.l_partkey AS rec, COUNT(*) AS c
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+      GROUP BY 1, 2),
+    topk AS (
+      SELECT anchor, rec, c,
+             ROW_NUMBER() OVER (PARTITION BY anchor
+                                ORDER BY c DESC, rec) AS rk
+      FROM co),
+    recs AS (SELECT anchor, rec, rk FROM topk WHERE rk <= 3),
+    cov AS (
+      SELECT COUNT(DISTINCT rec) AS n_rec_items,
+             (SELECT COUNT(*) FROM part) AS n_catalog
+      FROM recs),
+    pairs AS (
+      SELECT r1.anchor,
+             CASE WHEN pa.p_brand <> pb.p_brand THEN 1 ELSE 0 END AS diff
+      FROM recs r1 JOIN recs r2
+        ON r2.anchor = r1.anchor AND r1.rk < r2.rk
+      JOIN part pa ON pa.p_partkey = r1.rec
+      JOIN part pb ON pb.p_partkey = r2.rec),
+    ild AS (SELECT SUM(diff) AS n_diff, COUNT(*) AS n_pairs FROM pairs)
+    SELECT CAST((SELECT COUNT(*) FROM recs) AS BIGINT) AS n_recs,
+           CAST(cov.n_rec_items AS BIGINT) AS n_rec_items,
+           ROUND(CAST(cov.n_rec_items AS DOUBLE) / cov.n_catalog, 6)
+             AS catalog_coverage,
+           ROUND(CAST(ild.n_diff AS DOUBLE) / ild.n_pairs, 6)
+             AS intra_list_diversity
+    FROM cov, ild
+    """,
+    doc="Recommender coverage & diversity evaluation over co-purchase "
+    "top-3 recommendations: catalog coverage (share of the catalog "
+    "that ever gets recommended - the long-tail starvation metric) "
+    "and intra-list diversity (share of rec-pairs per anchor whose "
+    "brands differ - the filter-bubble metric). These are the offline "
+    "evals that complement accuracy (ndcg_retrieval_eval) in any "
+    "recommender review. Plan: co-occurrence keyed aggregate, top-3 "
+    "window PARTITIONED by anchor, rec-pair self-join bounded at "
+    "C(3,2)=3 rows per anchor, two broadcast brand lookups.",
+)
+def rec_coverage_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from kyuubi_spark.functions.compat import dround
+    from kyuubi_spark.session import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    part = load_table(spark, sf_dir, "part")
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("anchor"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("rec"))
+    co = (
+        a.join(b, "k")
+        .filter(F.col("anchor") != F.col("rec"))
+        .groupBy("anchor", "rec")
+        .agg(F.count("*").alias("c"))
+    )
+    w = Window.partitionBy("anchor").orderBy(F.col("c").desc(), F.col("rec"))
+    recs = (
+        co.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("anchor", "rec", "rk")
+    )
+    from kyuubi_spark.caching import persisted
+
+    recs = persisted(recs)
+    n_catalog = part.count()
+    cov = recs.agg(
+        F.count("*").cast("bigint").alias("n_recs"),
+        F.countDistinct("rec").cast("bigint").alias("n_rec_items"),
+    )
+    r2 = recs.select(
+        F.col("anchor"), F.col("rec").alias("rec2"), F.col("rk").alias("rk2")
+    )
+    brand = part.select("p_partkey", "p_brand")
+    pairs = (
+        recs.join(r2, "anchor")
+        .filter(F.col("rk") < F.col("rk2"))
+        .join(
+            brand.withColumnRenamed("p_partkey", "rec").withColumnRenamed(
+                "p_brand", "brand_a"
+            ),
+            "rec",
+        )
+        .join(
+            brand.withColumnRenamed("p_partkey", "rec2").withColumnRenamed(
+                "p_brand", "brand_b"
+            ),
+            "rec2",
+        )
+        .select(
+            F.when(F.col("brand_a") != F.col("brand_b"), 1)
+            .otherwise(0)
+            .alias("diff")
+        )
+    )
+    ild = pairs.agg(
+        F.sum("diff").alias("n_diff"), F.count("*").alias("n_pairs")
+    )
+    return (
+        cov.crossJoin(F.broadcast(ild))
+        .select(
+            "n_recs",
+            "n_rec_items",
+            dround(
+                F.col("n_rec_items").cast("double") / F.lit(n_catalog), 6
+            ).alias("catalog_coverage"),
+            dround(
+                F.col("n_diff").cast("double") / F.col("n_pairs"), 6
+            ).alias("intra_list_diversity"),
+        )
+    )

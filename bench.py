@@ -307,6 +307,8 @@ HEADLINE = [
     "rolling_distinct_users_7d",
     "random_projection_distortion",
     "rec_coverage_diversity",
+    "peak_concurrency_sessions",
+    "business_days_latency",
 ]
 
 

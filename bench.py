@@ -309,6 +309,8 @@ HEADLINE = [
     "rec_coverage_diversity",
     "peak_concurrency_sessions",
     "business_days_latency",
+    "ks_segment_matrix",
+    "gini_by_brand",
 ]
 
 

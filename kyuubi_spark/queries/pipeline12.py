@@ -2149,3 +2149,189 @@ def business_days_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "ks_segment_matrix",
+    oracle="""
+    WITH f AS (
+      SELECT c.c_mktsegment AS seg,
+             CAST(round(o.o_totalprice * 100, 0) AS BIGINT) // 100000
+               AS bin
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+    cnt AS (SELECT seg, bin, COUNT(*) AS c FROM f GROUP BY 1, 2),
+    tot AS (SELECT seg, SUM(c) AS t FROM cnt GROUP BY 1),
+    pairs AS (
+      SELECT a.seg AS s1, b.seg AS s2, a.t AS t1, b.t AS t2
+      FROM tot a JOIN tot b ON a.seg < b.seg),
+    axis AS (SELECT DISTINCT bin FROM cnt),
+    grid AS (
+      SELECT p.s1, p.s2, p.t1, p.t2, x.bin,
+             COALESCE(c1.c, 0) AS c1, COALESCE(c2.c, 0) AS c2
+      FROM pairs p CROSS JOIN axis x
+      LEFT JOIN cnt c1 ON c1.seg = p.s1 AND c1.bin = x.bin
+      LEFT JOIN cnt c2 ON c2.seg = p.s2 AND c2.bin = x.bin),
+    cum AS (
+      SELECT s1, s2, t1, t2, bin,
+             SUM(c1) OVER (PARTITION BY s1, s2 ORDER BY bin
+                           ROWS UNBOUNDED PRECEDING) AS k1,
+             SUM(c2) OVER (PARTITION BY s1, s2 ORDER BY bin
+                           ROWS UNBOUNDED PRECEDING) AS k2
+      FROM grid)
+    SELECT s1, s2,
+           CAST(MAX(t1) AS BIGINT) AS n1, CAST(MAX(t2) AS BIGINT) AS n2,
+           ROUND(CAST(MAX(ABS(k1 * t2 - k2 * t1)) AS DOUBLE)
+                 / (MAX(t1) * MAX(t2)), 6) AS ks_stat
+    FROM cum GROUP BY 1, 2 ORDER BY s1, s2
+    """,
+    doc="Pairwise two-sample KS matrix across market segments (order-"
+    "value distributions, 1000-dollar bins): the drift-triage view "
+    "that generalizes ks_two_sample from one comparison to all "
+    "C(5,2) = 10, sharing ONE binned count relation. The supremum "
+    "|F1 - F2| is found as an EXACT INTEGER argmax of "
+    "|k1*t2 - k2*t1| (cross-multiplied cumulative counts - no float "
+    "enters until the single final division), and every cumulative "
+    "window partitions on the segment PAIR, so nothing is "
+    "single-partition at scale; the grid is pairs x bins (bounded by "
+    "the bin range), built from broadcast-sized relations.",
+)
+def ks_segment_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from kyuubi_spark.functions.compat import dround
+    from kyuubi_spark.session import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    f = orders.join(
+        cust.select("c_custkey", "c_mktsegment"),
+        F.col("o_custkey") == F.col("c_custkey"),
+    ).select(
+        F.col("c_mktsegment").alias("seg"),
+        F.floor(
+            F.round(F.col("o_totalprice") * 100, 0).cast("bigint") / 100000
+        ).alias("bin"),
+    )
+    cnt = f.groupBy("seg", "bin").agg(F.count("*").alias("c"))
+    tot = cnt.groupBy("seg").agg(F.sum("c").alias("t"))
+    a = tot.select(F.col("seg").alias("s1"), F.col("t").alias("t1"))
+    b = tot.select(F.col("seg").alias("s2"), F.col("t").alias("t2"))
+    pairs = a.join(b, F.col("s1") < F.col("s2"))
+    axis = cnt.select("bin").distinct()
+    grid = (
+        F.broadcast(pairs)
+        .crossJoin(axis)
+        .join(
+            cnt.select(
+                F.col("seg").alias("s1"), F.col("bin").alias("bin"),
+                F.col("c").alias("c1"),
+            ),
+            ["s1", "bin"],
+            "left",
+        )
+        .join(
+            cnt.select(
+                F.col("seg").alias("s2"), F.col("bin").alias("bin"),
+                F.col("c").alias("c2"),
+            ),
+            ["s2", "bin"],
+            "left",
+        )
+        .fillna(0, subset=["c1", "c2"])
+    )
+    w = Window.partitionBy("s1", "s2").orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = grid.select(
+        "s1", "s2", "t1", "t2",
+        F.sum("c1").over(w).alias("k1"),
+        F.sum("c2").over(w).alias("k2"),
+    )
+    return (
+        cum.groupBy("s1", "s2")
+        .agg(
+            F.max("t1").cast("bigint").alias("n1"),
+            F.max("t2").cast("bigint").alias("n2"),
+            dround(
+                F.max(
+                    F.abs(F.col("k1") * F.col("t2") - F.col("k2") * F.col("t1"))
+                ).cast("double")
+                / (F.max("t1") * F.max("t2")),
+                6,
+            ).alias("ks_stat"),
+        )
+        .orderBy("s1", "s2")
+    )
+
+
+@query(
+    "gini_by_brand",
+    oracle="""
+    WITH rev AS (
+      SELECT p.p_brand, l.l_partkey,
+             SUM(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT))
+               AS cents
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY 1, 2),
+    rk AS (
+      SELECT p_brand, cents,
+             ROW_NUMBER() OVER (PARTITION BY p_brand
+                                ORDER BY cents, l_partkey) AS i,
+             COUNT(*) OVER (PARTITION BY p_brand) AS n,
+             SUM(cents) OVER (PARTITION BY p_brand) AS s
+      FROM rev)
+    SELECT p_brand, CAST(MAX(n) AS BIGINT) AS n_parts,
+           ROUND(2.0 * SUM(i * cents) / (MAX(n) * MAX(s))
+                 - (MAX(n) + 1.0) / MAX(n), 6) AS gini
+    FROM rk GROUP BY 1 ORDER BY p_brand
+    """,
+    doc="Per-brand Gini coefficient of part-level revenue concentration "
+    "— the grouped form of spend_gini_lorenz (one Gini per brand in a "
+    "single pass instead of one global curve): classic rank formula "
+    "G = 2*sum(i*x_i)/(n*sum_x) - (n+1)/n over cents-exact revenues, "
+    "ranks and totals from windows PARTITIONED by brand (uniform "
+    "group key — never a corpus-wide sort), ties broken by partkey "
+    "for a deterministic ranking in both engines.",
+)
+def gini_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from kyuubi_spark.functions.compat import dround
+    from kyuubi_spark.session import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    rev = (
+        li.join(
+            part.select("p_partkey", "p_brand"),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("p_brand", "l_partkey")
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")
+            ).alias("cents")
+        )
+    )
+    wo = Window.partitionBy("p_brand").orderBy("cents", "l_partkey")
+    wp = Window.partitionBy("p_brand")
+    rk = rev.select(
+        "p_brand",
+        "cents",
+        F.row_number().over(wo).alias("i"),
+        F.count("*").over(wp).alias("n"),
+        F.sum("cents").over(wp).alias("s"),
+    )
+    return (
+        rk.groupBy("p_brand")
+        .agg(
+            F.max("n").cast("bigint").alias("n_parts"),
+            dround(
+                F.lit(2.0) * F.sum(F.col("i") * F.col("cents"))
+                / (F.max("n") * F.max("s"))
+                - (F.max("n") + F.lit(1.0)) / F.max("n"),
+                6,
+            ).alias("gini"),
+        )
+        .orderBy("p_brand")
+    )

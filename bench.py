@@ -311,6 +311,9 @@ HEADLINE = [
     "business_days_latency",
     "ks_segment_matrix",
     "gini_by_brand",
+    "doremi_domain_reweight",
+    "annotator_agreement_kappa",
+    "pass_at_k_estimator",
 ]
 
 

@@ -2335,3 +2335,236 @@ def gini_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_brand")
     )
+
+
+@query(
+    "doremi_domain_reweight",
+    oracle="""
+    WITH tok AS (
+      SELECT source, word
+      FROM (SELECT source, unnest(string_split(text, ' ')) AS word
+            FROM documents)
+      WHERE length(word) >= 1),
+    sw AS (SELECT source, word, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+    gw AS (SELECT word, SUM(c) AS g FROM sw GROUP BY 1),
+    gt AS (SELECT SUM(g) AS gn FROM gw),
+    st AS (SELECT source, SUM(c) AS sn FROM sw GROUP BY 1),
+    hx AS (
+      SELECT sw.source,
+             -SUM((CAST(sw.c AS DOUBLE) / st.sn)
+                  * LN(CAST(gw.g AS DOUBLE) / gt.gn)) AS h
+      FROM sw JOIN gw ON gw.word = sw.word
+      JOIN st ON st.source = sw.source, gt
+      GROUP BY 1, st.sn, gt.gn),
+    ew AS (SELECT source, h, EXP(0.1 * h) AS raw FROM hx),
+    z AS (SELECT SUM(raw) AS z FROM ew)
+    SELECT source,
+           ROUND(h, 6) AS cross_entropy,
+           ROUND(raw / z.z, 6) AS domain_weight
+    FROM ew, z
+    ORDER BY source
+    """,
+    doc="DoReMi-style domain reweighting (one exponentiated-gradient "
+    "step): each source's proxy excess loss is its token-level cross-"
+    "entropy under the GLOBAL unigram LM, and the mixture weight is "
+    "w ~ exp(eta * H_s) normalized (eta = 0.1) — upweight the domains "
+    "the reference model finds hardest, the published recipe's "
+    "one-step deterministic core. Plan: one (source, word) keyed "
+    "count, the global word counts broadcast back, per-source "
+    "entropy sums (vocab-bounded), a scalar normalizer broadcast — "
+    "all keyed aggregates, corpus touched once.",
+)
+def doremi_domain_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kyuubi_spark.functions.compat import dround
+    from kyuubi_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source", F.explode(F.split("text", " ")).alias("word")
+    ).filter(F.length("word") >= 1)
+    sw = tok.groupBy("source", "word").agg(F.count("*").alias("c"))
+    gw = sw.groupBy("word").agg(F.sum("c").alias("g"))
+    gn = gw.agg(F.sum("g").alias("gn"))
+    st = sw.groupBy("source").agg(F.sum("c").alias("sn"))
+    hx = (
+        sw.join(F.broadcast(gw), "word")
+        .join(F.broadcast(st), "source")
+        .crossJoin(F.broadcast(gn))
+        .groupBy("source")
+        .agg(
+            (
+                -F.sum(
+                    (F.col("c").cast("double") / F.col("sn"))
+                    * F.log(F.col("g").cast("double") / F.col("gn"))
+                )
+            ).alias("h")
+        )
+    )
+    ew = hx.select(
+        "source", "h", F.exp(F.lit(0.1) * F.col("h")).alias("raw")
+    )
+    z = ew.agg(F.sum("raw").alias("z"))
+    return (
+        ew.crossJoin(F.broadcast(z))
+        .select(
+            "source",
+            dround(F.col("h"), 6).alias("cross_entropy"),
+            dround(F.col("raw") / F.col("z"), 6).alias("domain_weight"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "annotator_agreement_kappa",
+    oracle="""
+    WITH ann AS (
+      SELECT vec_id, label AS l1,
+             CASE WHEN strpos('0123',
+                    substr(md5('ann:' || vec_id), 1, 1)) > 0
+                  THEN (label + 1) % 10 ELSE label END AS l2
+      FROM embeddings),
+    conf AS (SELECT l1, l2, COUNT(*) AS c FROM ann GROUP BY 1, 2),
+    n AS (SELECT SUM(c) AS n FROM conf),
+    diag AS (SELECT COALESCE(SUM(c), 0) AS d FROM conf WHERE l1 = l2),
+    marg AS (
+      SELECT COALESCE(SUM(r.rc * co.cc), 0) AS rc_cc
+      FROM (SELECT l1, SUM(c) AS rc FROM conf GROUP BY 1) r
+      JOIN (SELECT l2, SUM(c) AS cc FROM conf GROUP BY 1) co
+        ON co.l2 = r.l1)
+    SELECT CAST(n.n AS BIGINT) AS n_items,
+           ROUND(CAST(diag.d AS DOUBLE) / n.n, 6) AS observed_agreement,
+           ROUND(CAST(marg.rc_cc AS DOUBLE) / (n.n * n.n), 6)
+             AS expected_agreement,
+           ROUND(CAST(n.n * diag.d - marg.rc_cc AS DOUBLE)
+                 / (n.n * n.n - marg.rc_cc), 6) AS cohens_kappa
+    FROM n, diag, marg
+    """,
+    doc="Cohen's kappa inter-annotator agreement: a second synthetic "
+    "annotator disagrees on a deterministic 25% of items (md5-parity "
+    "selection, +1 mod 10 label shift), and kappa is computed from "
+    "the exact integer confusion matrix via the cross-multiplied "
+    "form (n*diag - sum(row*col)) / (n^2 - sum(row*col)) — float "
+    "enters only in the final divisions. The label-quality gate "
+    "every human-annotation pipeline reports before training on the "
+    "labels. Plan: one keyed confusion aggregate (<=100 cells), "
+    "marginals joined cell-wise, three scalar reductions.",
+)
+def annotator_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kyuubi_spark.functions.compat import dround
+    from kyuubi_spark.session import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    flip = F.substring(F.md5(F.concat(F.lit("ann:"), F.col("vec_id"))), 1, 1)
+    ann = emb.select(
+        "vec_id",
+        F.col("label").alias("l1"),
+        F.when(
+            flip.isin("0", "1", "2", "3"), (F.col("label") + 1) % 10
+        ).otherwise(F.col("label")).alias("l2"),
+    )
+    conf = ann.groupBy("l1", "l2").agg(F.count("*").alias("c"))
+    n = conf.agg(F.sum("c").alias("n"))
+    diag = conf.filter(F.col("l1") == F.col("l2")).agg(
+        F.coalesce(F.sum("c"), F.lit(0)).alias("d")
+    )
+    r = conf.groupBy("l1").agg(F.sum("c").alias("rc"))
+    co = conf.groupBy("l2").agg(F.sum("c").alias("cc"))
+    marg = (
+        r.join(co, F.col("l2") == F.col("l1"))
+        .agg(F.coalesce(F.sum(F.col("rc") * F.col("cc")), F.lit(0))
+             .alias("rc_cc"))
+    )
+    return (
+        n.crossJoin(F.broadcast(diag))
+        .crossJoin(F.broadcast(marg))
+        .select(
+            F.col("n").cast("bigint").alias("n_items"),
+            dround(F.col("d").cast("double") / F.col("n"), 6).alias(
+                "observed_agreement"
+            ),
+            dround(
+                F.col("rc_cc").cast("double") / (F.col("n") * F.col("n")), 6
+            ).alias("expected_agreement"),
+            dround(
+                (F.col("n") * F.col("d") - F.col("rc_cc")).cast("double")
+                / (F.col("n") * F.col("n") - F.col("rc_cc")),
+                6,
+            ).alias("cohens_kappa"),
+        )
+    )
+
+
+@query(
+    "pass_at_k_estimator",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, 10 AS n,
+             CAST((doc_id * 7 + n_chars) % 11 AS BIGINT) AS c
+      FROM documents),
+    est AS (
+      SELECT doc_id, k,
+             1.0 - list_product(list_transform(generate_series(0, k - 1),
+                     j -> CAST(n - c - j AS DOUBLE)))
+                   / list_product(list_transform(generate_series(0, k - 1),
+                     j -> CAST(n - j AS DOUBLE))) AS p
+      FROM t, (SELECT unnest([1, 5, 10]) AS k)
+      WHERE n - c - (k - 1) >= 0
+      UNION ALL
+      SELECT doc_id, k, 1.0
+      FROM t, (SELECT unnest([1, 5, 10]) AS k)
+      WHERE n - c - (k - 1) < 0)
+    SELECT CAST(k AS INTEGER) AS k,
+           CAST(COUNT(*) AS BIGINT) AS n_tasks,
+           ROUND(SUM(p) / COUNT(*), 6) AS pass_at_k
+    FROM est GROUP BY 1 ORDER BY k
+    """,
+    doc="Unbiased pass@k estimator (Chen et al. 2021, the HumanEval "
+    "combinatorial formula 1 - C(n-c,k)/C(n,k)): per task, n = 10 "
+    "attempts with a deterministic correct-count, the binomial ratio "
+    "evaluated as an EXACT falling-factorial product (row-local "
+    "integer list fold — no factorial overflow, no log-gamma "
+    "approximation; the n-c < k branch short-circuits to 1), then "
+    "averaged per k in one keyed aggregate. The eval-pipeline "
+    "aggregation every code-model benchmark reports. Map-side "
+    "explode x3 + one aggregate; no joins.",
+)
+def pass_at_k_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kyuubi_spark.functions.compat import dround
+    from kyuubi_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        F.lit(10).alias("n"),
+        ((F.col("doc_id") * 7 + F.col("n_chars")) % 11).cast("bigint")
+        .alias("c"),
+    ).select(
+        "doc_id", "n", "c",
+        F.explode(F.array(F.lit(1), F.lit(5), F.lit(10))).alias("k"),
+    )
+    num = F.aggregate(
+        F.expr("transform(sequence(0, k - 1), j -> double(n - c - j))"),
+        F.lit(1.0),
+        lambda acc, x: acc * x,
+    )
+    den = F.aggregate(
+        F.expr("transform(sequence(0, k - 1), j -> double(n - j))"),
+        F.lit(1.0),
+        lambda acc, x: acc * x,
+    )
+    est = t.select(
+        "doc_id",
+        "k",
+        F.when(F.col("n") - F.col("c") - (F.col("k") - 1) < 0, F.lit(1.0))
+        .otherwise(F.lit(1.0) - num / den)
+        .alias("p"),
+    )
+    return (
+        est.groupBy(F.col("k").cast("int").alias("k"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_tasks"),
+            dround(F.sum("p") / F.count("*"), 6).alias("pass_at_k"),
+        )
+        .orderBy("k")
+    )

@@ -314,6 +314,8 @@ HEADLINE = [
     "doremi_domain_reweight",
     "annotator_agreement_kappa",
     "pass_at_k_estimator",
+    "attribution_time_decay",
+    "gains_lift_table",
 ]
 
 

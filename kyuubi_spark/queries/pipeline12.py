@@ -2568,3 +2568,168 @@ def pass_at_k_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("k")
     )
+
+
+@query(
+    "attribution_time_decay",
+    oracle="""
+    WITH p AS (
+      SELECT user_id, event_id AS pid, ts AS pts
+      FROM events WHERE event_type = 'purchase'),
+    t AS (
+      SELECT p.pid, e.event_type,
+             EXP(-((epoch_us(p.pts) - epoch_us(e.ts))
+                   / (3.0 * 86400000000.0))) AS w
+      FROM p JOIN events e
+        ON e.user_id = p.user_id
+       AND e.event_type <> 'purchase'
+       AND e.ts < p.pts
+       AND e.ts >= p.pts - INTERVAL 7 DAY),
+    z AS (SELECT pid, SUM(w) AS z FROM t GROUP BY 1)
+    SELECT t.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_touches,
+           ROUND(SUM(t.w / z.z), 4) AS credit
+    FROM t JOIN z ON z.pid = t.pid
+    GROUP BY 1 ORDER BY t.event_type
+    """,
+    doc="Time-decay multi-touch attribution: every non-purchase touch "
+    "in the 7 days before a conversion earns weight exp(-age/3d), "
+    "normalized per conversion, and credit rolls up by channel "
+    "(event type) — the exponential-decay sibling of the positional "
+    "models in attribution_touchpoints, the default in most marketing "
+    "stacks. Decay weights are row-local IEEE exp of exact integer "
+    "microsecond ages (identical both engines); normalizers are one "
+    "conversion-keyed aggregate joined back. Scale: the touch "
+    "relation shuffles on user then conversion id - no window, no "
+    "explode; credit is one final keyed aggregate (dround 4 absorbs "
+    "relational float-sum ordering).",
+)
+def attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kyuubi_spark.functions.compat import dround
+    from kyuubi_spark.session import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"),
+        F.col("event_id").alias("pid"),
+        F.col("ts").alias("pts"),
+    )
+    e = ev.filter(F.col("event_type") != "purchase")
+    t = p.join(
+        e,
+        (F.col("user_id") == F.col("pu"))
+        & (F.col("ts") < F.col("pts"))
+        & (F.col("ts") >= F.col("pts") - F.expr("INTERVAL 7 DAY")),
+    ).select(
+        "pid",
+        "event_type",
+        F.exp(
+            -(
+                (
+                    F.unix_micros(F.col("pts").cast("timestamp"))
+                    - F.unix_micros(F.col("ts").cast("timestamp"))
+                ).cast("double")
+                / F.lit(3.0 * 86400000000.0)
+            )
+        ).alias("w"),
+    )
+    z = t.groupBy("pid").agg(F.sum("w").alias("z"))
+    return (
+        t.join(z, "pid")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_touches"),
+            dround(F.sum(F.col("w") / F.col("z")), 4).alias("credit"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "gains_lift_table",
+    oracle="""
+    WITH scored AS (
+      SELECT o_orderkey,
+             (o_orderkey * 2654435761) % 1000000 AS score,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS label
+      FROM orders),
+    rk AS (
+      SELECT score, label,
+             NTILE(10) OVER (ORDER BY score DESC, o_orderkey) AS decile,
+             COUNT(*) OVER () AS n,
+             SUM(label) OVER () AS pos
+      FROM scored),
+    dec AS (SELECT decile, label, n, pos FROM rk),
+    per AS (
+      SELECT decile, MAX(n) AS n, MAX(pos) AS pos,
+             COUNT(*) AS n_rows, SUM(label) AS n_pos
+      FROM dec GROUP BY 1),
+    cum AS (
+      SELECT decile, n_rows, n_pos, n, pos,
+             SUM(n_pos) OVER (ORDER BY decile
+                              ROWS UNBOUNDED PRECEDING) AS cum_pos,
+             SUM(n_rows) OVER (ORDER BY decile
+                               ROWS UNBOUNDED PRECEDING) AS cum_rows
+      FROM per)
+    SELECT CAST(decile AS INTEGER) AS decile,
+           CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(n_pos AS BIGINT) AS n_pos,
+           ROUND(CAST(cum_pos AS DOUBLE) / pos, 6) AS cum_capture,
+           ROUND(CAST(cum_pos AS DOUBLE) * n
+                 / (CAST(cum_rows AS DOUBLE) * pos), 6) AS cum_lift
+    FROM cum ORDER BY decile
+    """,
+    doc="Gains / lift table by score decile — the model-evaluation "
+    "artifact behind 'top 20% of scores captures X% of positives' "
+    "targeting decisions (complements score_calibration_bins, which "
+    "checks probability honesty, not ranking power). Spark assigns "
+    "deciles with the DISTRIBUTED exact ranker + closed-form NTILE "
+    "from (rn, N) (operators/ranking.py - the oracle's single-"
+    "partition ROW_NUMBER replaced by range-bucketed ranking), then "
+    "one 10-row rollup; the only unpartitioned window runs over "
+    "those 10 decile rows (audit-allowlisted, tpcds_q44 class). "
+    "Capture and lift stay integer-exact until the final divisions.",
+)
+def gains_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from kyuubi_spark.functions.compat import dround
+    from kyuubi_spark.operators.ranking import global_row_numbers, ntile_expr
+    from kyuubi_spark.session import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    scored = orders.select(
+        "o_orderkey",
+        ((F.col("o_orderkey") * 2654435761) % 1000000).alias("score"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("label"),
+    )
+    ranked, n = global_row_numbers(
+        scored, {"rn": [("score", "desc"), ("o_orderkey", "asc")]}
+    )
+    pos_row = scored.agg(F.sum("label").alias("pos")).first()
+    pos = int(pos_row["pos"])
+    dec = ranked.withColumn("decile", ntile_expr(F.col("rn"), n, 10))
+    per = dec.groupBy("decile").agg(
+        F.count("*").alias("n_rows"), F.sum("label").alias("n_pos")
+    )
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per.select(
+        "decile",
+        "n_rows",
+        "n_pos",
+        F.sum("n_pos").over(w).alias("cum_pos"),
+        F.sum("n_rows").over(w).alias("cum_rows"),
+    )
+    return cum.select(
+        F.col("decile").cast("int").alias("decile"),
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        F.col("n_pos").cast("bigint").alias("n_pos"),
+        dround(F.col("cum_pos").cast("double") / F.lit(pos), 6).alias(
+            "cum_capture"
+        ),
+        dround(
+            F.col("cum_pos").cast("double") * F.lit(n)
+            / (F.col("cum_rows").cast("double") * F.lit(pos)),
+            6,
+        ).alias("cum_lift"),
+    ).orderBy("decile")

@@ -58,6 +58,9 @@ ALLOWLIST = {
     "rolling_distinct_users_7d": "cumulative over the CALENDAR-bounded"
     " day axis (<= days+boundaries rows after the per-user interval"
     " union; the user-scaled work is all keyed on user_id)",
+    "gains_lift_table": "cumulative over the 10 decile rollup rows"
+    " (tpcds_q44 class; the data-scaled ranking runs on the"
+    " distributed ranker)",
 }
 
 

@@ -316,6 +316,7 @@ HEADLINE = [
     "pass_at_k_estimator",
     "attribution_time_decay",
     "gains_lift_table",
+    "lttb_downsample",
 ]
 
 

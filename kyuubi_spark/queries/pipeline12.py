@@ -2733,3 +2733,112 @@ def gains_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("cum_lift"),
     ).orderBy("decile")
+
+
+@query(
+    "lttb_downsample",
+    oracle="""
+    WITH pt AS (
+      SELECT event_id, ts, value,
+             (epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01')) // 1000000
+               AS x,
+             CAST(round(value * 1000000, 0) AS BIGINT) AS y
+      FROM events),
+    b AS (SELECT *, x // 108000 AS bucket FROM pt),
+    rep AS (
+      SELECT bucket,
+             CAST(round(SUM(x) * 1.0 / COUNT(*), 0) AS BIGINT) AS bx,
+             CAST(round(SUM(y) * 1.0 / COUNT(*), 0) AS BIGINT) AS by
+      FROM b GROUP BY 1),
+    tri AS (
+      SELECT b.bucket, b.event_id, b.ts, b.value,
+             ABS((p.bx - nx.bx) * (b.y - p.by)
+                 - (p.bx - b.x) * (nx.by - p.by)) AS area
+      FROM b
+      JOIN rep p ON p.bucket = b.bucket - 1
+      JOIN rep nx ON nx.bucket = b.bucket + 1),
+    sel AS (
+      SELECT bucket, event_id, ts, value,
+             ROW_NUMBER() OVER (PARTITION BY bucket
+                                ORDER BY area DESC, event_id) AS rk
+      FROM tri)
+    SELECT CAST(bucket AS INTEGER) AS bucket,
+           CAST(ts AS TIMESTAMP) AS sel_ts,
+           ROUND(value, 6) AS sel_value
+    FROM sel WHERE rk = 1 ORDER BY bucket
+    """,
+    doc="Largest-Triangle-Three-Buckets downsampling (the standard "
+    "time-series visualization reducer): the month of events collapses "
+    "to 24 fixed 30-hour buckets; each interior bucket keeps the point "
+    "forming the LARGEST TRIANGLE with its neighbor buckets' mean "
+    "points — preserving spikes and inflections a per-bucket mean "
+    "would flatten. Parallel-friendly variant: anchors are bucket "
+    "MEANS (not the sequentially-chosen previous point), so every "
+    "bucket selects independently. Determinism: triangle areas are "
+    "EXACT integer cross products (seconds x micro-values), ties "
+    "break on event_id. Plan: one bucket rollup, two broadcast joins "
+    "of the 24-row rep relation, argmax via bucket-partitioned "
+    "window — no global sort, corpus touched once.",
+)
+def lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from kyuubi_spark.functions.compat import dround
+    from kyuubi_spark.session import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    base = F.unix_micros(F.lit("2024-01-01").cast("timestamp"))
+    pt = ev.select(
+        "event_id",
+        "ts",
+        "value",
+        F.floor(
+            (F.unix_micros(F.col("ts").cast("timestamp")) - base) / 1000000
+        ).alias("x"),
+        F.round(F.col("value") * 1000000, 0).cast("bigint").alias("y"),
+    )
+    b = pt.withColumn("bucket", F.floor(F.col("x") / 108000))
+    rep = b.groupBy("bucket").agg(
+        F.round(F.sum("x") * 1.0 / F.count("*"), 0).cast("bigint")
+        .alias("bx"),
+        F.round(F.sum("y") * 1.0 / F.count("*"), 0).cast("bigint")
+        .alias("by"),
+    )
+    prev = rep.select(
+        (F.col("bucket") + 1).alias("bucket"),
+        F.col("bx").alias("pbx"),
+        F.col("by").alias("pby"),
+    )
+    nxt = rep.select(
+        (F.col("bucket") - 1).alias("bucket"),
+        F.col("bx").alias("nbx"),
+        F.col("by").alias("nby"),
+    )
+    tri = (
+        b.join(F.broadcast(prev), "bucket")
+        .join(F.broadcast(nxt), "bucket")
+        .select(
+            "bucket",
+            "event_id",
+            "ts",
+            "value",
+            F.abs(
+                (F.col("pbx") - F.col("nbx")) * (F.col("y") - F.col("pby"))
+                - (F.col("pbx") - F.col("x"))
+                * (F.col("nby") - F.col("pby"))
+            ).alias("area"),
+        )
+    )
+    w = Window.partitionBy("bucket").orderBy(
+        F.col("area").desc(), F.col("event_id")
+    )
+    return (
+        tri.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            F.col("bucket").cast("int").alias("bucket"),
+            F.col("ts").cast("timestamp_ntz").alias("sel_ts"),
+            dround(F.col("value"), 6).alias("sel_value"),
+        )
+        .orderBy("bucket")
+    )

@@ -317,6 +317,8 @@ HEADLINE = [
     "attribution_time_decay",
     "gains_lift_table",
     "lttb_downsample",
+    "supplier_peak_open_lines",
+    "dq_rule_scorecard",
 ]
 
 

@@ -2842,3 +2842,197 @@ def lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@query(
+    "supplier_peak_open_lines",
+    oracle="""
+    WITH iv AS (
+      SELECT l.l_suppkey, o.o_orderdate AS s, l.l_shipdate AS e
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE l.l_shipdate > o.o_orderdate),
+    ev AS (
+      SELECT l_suppkey,
+             (epoch_us(s) - epoch_us(TIMESTAMP '1995-01-01')) * 2 + 1
+               AS ordk,
+             1 AS delta
+      FROM iv
+      UNION ALL
+      SELECT l_suppkey,
+             (epoch_us(e) - epoch_us(TIMESTAMP '1995-01-01')) * 2, -1
+      FROM iv),
+    r AS (
+      SELECT l_suppkey,
+             SUM(delta) OVER (PARTITION BY l_suppkey
+               ORDER BY ordk, delta ROWS UNBOUNDED PRECEDING) AS running
+      FROM ev),
+    pk AS (SELECT l_suppkey, MAX(running) AS peak FROM r GROUP BY 1)
+    SELECT CAST(peak AS BIGINT) AS peak_open_lines,
+           CAST(COUNT(*) AS BIGINT) AS n_suppliers
+    FROM pk GROUP BY 1 ORDER BY peak_open_lines
+    """,
+    doc="Per-supplier peak concurrent open order lines (order date -> "
+    "ship date intervals), reported as a peak-load distribution — the "
+    "keyed form of peak_concurrency_sessions and the capacity view a "
+    "fulfillment planner reads. Because the interval-stabbing "
+    "running sum PARTITIONS on suppkey (uniform key), the whole "
+    "operator is windows-on-keyed-shuffles — no global sequence, no "
+    "driver state, no allowlist needed; ends sort before starts at "
+    "equal instants via the packed (micros*2 + type) order.",
+)
+def supplier_peak_open_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from kyuubi_spark.session import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    iv = (
+        li.select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(
+            orders.select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .filter(F.col("l_shipdate") > F.col("o_orderdate"))
+        .select(
+            "l_suppkey",
+            F.col("o_orderdate").alias("s"),
+            F.col("l_shipdate").alias("e"),
+        )
+    )
+    base = F.unix_micros(F.lit("1995-01-01").cast("timestamp"))
+    starts = iv.select(
+        "l_suppkey",
+        (
+            (F.unix_micros(F.col("s").cast("timestamp")) - base) * 2 + 1
+        ).alias("ordk"),
+        F.lit(1).alias("delta"),
+    )
+    ends = iv.select(
+        "l_suppkey",
+        ((F.unix_micros(F.col("e").cast("timestamp")) - base) * 2).alias(
+            "ordk"
+        ),
+        F.lit(-1).alias("delta"),
+    )
+    w = Window.partitionBy("l_suppkey").orderBy("ordk", "delta").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    r = starts.unionAll(ends).withColumn(
+        "running", F.sum("delta").over(w)
+    )
+    pk = r.groupBy("l_suppkey").agg(F.max("running").alias("peak"))
+    return (
+        pk.groupBy(F.col("peak").cast("bigint").alias("peak_open_lines"))
+        .agg(F.count("*").cast("bigint").alias("n_suppliers"))
+        .orderBy("peak_open_lines")
+    )
+
+
+@query(
+    "dq_rule_scorecard",
+    oracle="""
+    SELECT * FROM (
+      SELECT 'lineitem.ship_after_order' AS rule,
+             CAST(COUNT(*) AS BIGINT) AS n_checked,
+             CAST(SUM(CASE WHEN l.l_shipdate >= o.o_orderdate
+                           THEN 0 ELSE 1 END) AS BIGINT) AS n_violations
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      UNION ALL
+      SELECT 'lineitem.qty_in_1_50', CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(CASE WHEN l_quantity BETWEEN 1 AND 50
+                           THEN 0 ELSE 1 END) AS BIGINT)
+      FROM lineitem
+      UNION ALL
+      SELECT 'lineitem.discount_in_0_1', CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(CASE WHEN l_discount BETWEEN 0 AND 1
+                           THEN 0 ELSE 1 END) AS BIGINT)
+      FROM lineitem
+      UNION ALL
+      SELECT 'orders.totalprice_positive', CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(CASE WHEN o_totalprice > 0 THEN 0 ELSE 1 END)
+                  AS BIGINT)
+      FROM orders
+      UNION ALL
+      SELECT 'orders.priority_in_domain', CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH',
+                        '3-MEDIUM', '4-NOT SPECIFIED', '5-LOW')
+                           THEN 0 ELSE 1 END) AS BIGINT)
+      FROM orders
+      UNION ALL
+      SELECT 'customer.acctbal_not_null', CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(CASE WHEN c_acctbal IS NOT NULL THEN 0 ELSE 1 END)
+                  AS BIGINT)
+      FROM customer)
+    ORDER BY rule
+    """,
+    doc="Data-quality rule scorecard: six declarative cross-field and "
+    "domain rules (temporal ordering, range, domain membership, "
+    "non-null) evaluated as conditional aggregates — the table-"
+    "contract check a pipeline gate runs before publishing a "
+    "snapshot, complementing referential_integrity_audit's FK rules. "
+    "Each rule costs a fraction of one scan (conditional sum, "
+    "map-side combined); the only join is the one temporal rule's "
+    "orderkey equi-join. Violations are exact counts, no sampling.",
+)
+def dq_rule_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kyuubi_spark.session import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+
+    def rule(name, df, ok):
+        return df.agg(
+            F.lit(name).alias("rule"),
+            F.count("*").cast("bigint").alias("n_checked"),
+            F.sum(F.when(ok, 0).otherwise(1)).cast("bigint").alias(
+                "n_violations"
+            ),
+        )
+
+    joined = li.select("l_orderkey", "l_shipdate").join(
+        orders.select("o_orderkey", "o_orderdate"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    return (
+        rule(
+            "lineitem.ship_after_order",
+            joined,
+            F.col("l_shipdate") >= F.col("o_orderdate"),
+        )
+        .unionAll(
+            rule(
+                "lineitem.qty_in_1_50", li,
+                F.col("l_quantity").between(1, 50),
+            )
+        )
+        .unionAll(
+            rule(
+                "lineitem.discount_in_0_1", li,
+                F.col("l_discount").between(0, 1),
+            )
+        )
+        .unionAll(
+            rule(
+                "orders.totalprice_positive", orders,
+                F.col("o_totalprice") > 0,
+            )
+        )
+        .unionAll(
+            rule(
+                "orders.priority_in_domain", orders,
+                F.col("o_orderpriority").isin(
+                    "1-URGENT", "2-HIGH", "3-MEDIUM",
+                    "4-NOT SPECIFIED", "5-LOW",
+                ),
+            )
+        )
+        .unionAll(
+            rule(
+                "customer.acctbal_not_null", cust,
+                F.col("c_acctbal").isNotNull(),
+            )
+        )
+        .orderBy("rule")
+    )

@@ -319,6 +319,8 @@ HEADLINE = [
     "lttb_downsample",
     "supplier_peak_open_lines",
     "dq_rule_scorecard",
+    "slo_burn_rate_windows",
+    "forecast_backtest_naive",
 ]
 
 

@@ -3036,3 +3036,160 @@ def dq_rule_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rule")
     )
+
+
+@query(
+    "slo_burn_rate_windows",
+    oracle="""
+    WITH h AS (
+      SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+             COUNT(*) AS n,
+             SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS err
+      FROM events GROUP BY 1),
+    w AS (
+      SELECT hour, n, err,
+             SUM(n) OVER (ORDER BY hour
+               ROWS BETWEEN 5 PRECEDING AND CURRENT ROW) AS n6,
+             SUM(err) OVER (ORDER BY hour
+               ROWS BETWEEN 5 PRECEDING AND CURRENT ROW) AS err6
+      FROM h),
+    br AS (
+      SELECT hour,
+             err * 50.0 / n AS burn_1h,
+             err6 * 50.0 / n6 AS burn_6h
+      FROM w)
+    SELECT hour,
+           ROUND(burn_1h, 6) AS burn_1h,
+           ROUND(burn_6h, 6) AS burn_6h,
+           burn_1h > 14.4 AND burn_6h > 6.0 AS page_alert
+    FROM br
+    WHERE burn_1h > 14.4 AND burn_6h > 6.0
+    ORDER BY hour
+    """,
+    doc="Multi-window SLO burn-rate alerting (the Google SRE workbook "
+    "recipe): with a 98%-success SLO (error budget 2%), burn rate = "
+    "error_rate / budget over 1h and 6h windows, and a page fires "
+    "only when BOTH exceed their thresholds (14.4x / 6x) — the "
+    "two-window AND that suppresses blips while catching sustained "
+    "burns. Integer counts to the end (burn = err*50/n); the 6h "
+    "window runs over the CALENDAR-BOUNDED hourly rollup (<= 720 "
+    "rows/month, audit-allowlisted), never the raw stream.",
+)
+def slo_burn_rate_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from kyuubi_spark.functions.compat import dround
+    from kyuubi_spark.session import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(
+            F.when(F.col("event_type") == "error", 1).otherwise(0)
+        ).alias("err"),
+    )
+    w6 = Window.orderBy("hour").rowsBetween(-5, 0)
+    w = h.select(
+        "hour", "n", "err",
+        F.sum("n").over(w6).alias("n6"),
+        F.sum("err").over(w6).alias("err6"),
+    )
+    br = w.select(
+        "hour",
+        (F.col("err") * 50.0 / F.col("n")).alias("b1"),
+        (F.col("err6") * 50.0 / F.col("n6")).alias("b6"),
+    )
+    return (
+        br.filter((F.col("b1") > 14.4) & (F.col("b6") > 6.0))
+        .select(
+            F.col("hour").cast("timestamp_ntz").alias("hour"),
+            dround(F.col("b1"), 6).alias("burn_1h"),
+            dround(F.col("b6"), 6).alias("burn_6h"),
+            ((F.col("b1") > 14.4) & (F.col("b6") > 6.0)).alias(
+                "page_alert"
+            ),
+        )
+        .orderBy("hour")
+    )
+
+
+@query(
+    "forecast_backtest_naive",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(SUM(CAST(round(value * 1000000, 0) AS BIGINT))
+                  AS BIGINT) AS y
+      FROM events GROUP BY 1),
+    lagged AS (
+      SELECT day, y,
+             LAG(y, 1) OVER (ORDER BY day) AS f_naive,
+             LAG(y, 7) OVER (ORDER BY day) AS f_snaive
+      FROM d),
+    e AS (SELECT * FROM lagged WHERE f_snaive IS NOT NULL)
+    SELECT * FROM (
+      SELECT 'naive_lag1' AS model,
+             CAST(COUNT(*) AS BIGINT) AS n_days,
+             CAST(SUM(ABS(y - f_naive)) AS BIGINT) AS mae_micro,
+             ROUND(SUM(ABS(y - f_naive) * 1.0 / y) / COUNT(*), 6)
+               AS mape
+      FROM e
+      UNION ALL
+      SELECT 'seasonal_lag7', CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(ABS(y - f_snaive)) AS BIGINT),
+             ROUND(SUM(ABS(y - f_snaive) * 1.0 / y) / COUNT(*), 6)
+      FROM e)
+    ORDER BY model
+    """,
+    doc="Forecast backtest on the daily value series: naive (lag-1) vs "
+    "seasonal-naive (lag-7) one-step forecasts scored by MAE (exact "
+    "integer micro-units) and MAPE over the common evaluable window — "
+    "the baseline pair every forecasting effort must beat, and the "
+    "skill ratio that justifies (or kills) a seasonal model. The lags "
+    "run over the CALENDAR-BOUNDED daily rollup (<= 31 rows, audit-"
+    "allowlisted); the corpus collapses in one keyed aggregate first.",
+)
+def forecast_backtest_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from kyuubi_spark.functions.compat import dround
+    from kyuubi_spark.session import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    ).agg(
+        F.sum(F.round(F.col("value") * 1000000, 0).cast("bigint"))
+        .cast("bigint")
+        .alias("y")
+    )
+    w = Window.orderBy("day")
+    lagged = d.select(
+        "day", "y",
+        F.lag("y", 1).over(w).alias("f_naive"),
+        F.lag("y", 7).over(w).alias("f_snaive"),
+    ).filter(F.col("f_snaive").isNotNull())
+
+    def model(name, fcol):
+        return lagged.agg(
+            F.lit(name).alias("model"),
+            F.count("*").cast("bigint").alias("n_days"),
+            F.sum(F.abs(F.col("y") - F.col(fcol)))
+            .cast("bigint")
+            .alias("mae_micro"),
+            dround(
+                F.sum(
+                    F.abs(F.col("y") - F.col(fcol)) * F.lit(1.0) / F.col("y")
+                )
+                / F.count("*"),
+                6,
+            ).alias("mape"),
+        )
+
+    return (
+        model("naive_lag1", "f_naive")
+        .unionAll(model("seasonal_lag7", "f_snaive"))
+        .orderBy("model")
+    )

@@ -61,6 +61,10 @@ ALLOWLIST = {
     "gains_lift_table": "cumulative over the 10 decile rollup rows"
     " (tpcds_q44 class; the data-scaled ranking runs on the"
     " distributed ranker)",
+    "slo_burn_rate_windows": "6h sliding sum over the CALENDAR-bounded"
+    " hourly rollup (<= 720 rows/month)",
+    "forecast_backtest_naive": "lag-1/lag-7 over the CALENDAR-bounded"
+    " daily rollup (<= 31 rows; ts_gap_fill class)",
 }
 
 

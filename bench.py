@@ -321,6 +321,8 @@ HEADLINE = [
     "dq_rule_scorecard",
     "slo_burn_rate_windows",
     "forecast_backtest_naive",
+    "neyman_allocation_plan",
+    "brier_decomposition",
 ]
 
 

@@ -3193,3 +3193,208 @@ def forecast_backtest_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(model("seasonal_lag7", "f_snaive"))
         .orderBy("model")
     )
+
+
+@query(
+    "neyman_allocation_plan",
+    oracle="""
+    WITH s AS (
+      SELECT c.c_mktsegment AS stratum,
+             COUNT(*) AS nh,
+             SUM(CAST(floor(round(o.o_totalprice * 100, 0) / 100)
+                      AS BIGINT)) AS sx,
+             SUM(CAST(floor(round(o.o_totalprice * 100, 0) / 100)
+                      AS BIGINT)
+                 * CAST(floor(round(o.o_totalprice * 100, 0) / 100)
+                        AS BIGINT)) AS sxx
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1),
+    sd AS (
+      SELECT stratum, nh,
+             SQRT(CAST(sxx AS DOUBLE) / nh
+                  - POWER(CAST(sx AS DOUBLE) / nh, 2)) AS sh
+      FROM s),
+    wsum AS (SELECT SUM(nh * sh) AS z FROM sd),
+    alloc AS (
+      SELECT stratum, nh, sh,
+             nh * sh / z * 1000 AS exact_alloc,
+             CAST(FLOOR(nh * sh / z * 1000) AS BIGINT) AS base
+      FROM sd, wsum),
+    seats AS (SELECT 1000 - SUM(base) AS extra FROM alloc),
+    rk AS (
+      SELECT stratum, nh, sh, exact_alloc, base,
+             ROW_NUMBER() OVER (ORDER BY exact_alloc - base DESC,
+                                stratum) AS r
+      FROM alloc)
+    SELECT stratum,
+           CAST(nh AS BIGINT) AS n_stratum,
+           ROUND(sh, 6) AS stddev,
+           CAST(base + CASE WHEN r <= (SELECT extra FROM seats)
+                            THEN 1 ELSE 0 END AS BIGINT)
+             AS neyman_n,
+           CAST(ROUND(1000.0 * nh / (SELECT SUM(nh) FROM sd), 0)
+                AS BIGINT) AS proportional_n
+    FROM rk ORDER BY stratum
+    """,
+    doc="Neyman-optimal stratified sampling allocation: a 1000-row "
+    "sample budget split across market segments proportional to "
+    "N_h * S_h (population-std weighting — the design that minimizes "
+    "estimator variance, vs the naive proportional split shown "
+    "alongside). Per-stratum stds come from exact integer-dollar "
+    "power sums in ONE keyed aggregate; seats round by largest "
+    "remainder (rank over the 5 stratum rows, allowlist-bounded). "
+    "The sampling-design planner behind stratified_sample.",
+)
+def neyman_allocation_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from kyuubi_spark.functions.compat import dround
+    from kyuubi_spark.session import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    d = _dollars("o_totalprice")
+    s = (
+        orders.join(
+            cust.select("c_custkey", "c_mktsegment"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy(F.col("c_mktsegment").alias("stratum"))
+        .agg(
+            F.count("*").alias("nh"),
+            F.sum(d).alias("sx"),
+            F.sum(d * d).alias("sxx"),
+        )
+    )
+    sd = s.select(
+        "stratum",
+        "nh",
+        F.sqrt(
+            F.col("sxx").cast("double") / F.col("nh")
+            - F.pow(F.col("sx").cast("double") / F.col("nh"), F.lit(2.0))
+        ).alias("sh"),
+    )
+    z = sd.agg(
+        F.sum(F.col("nh") * F.col("sh")).alias("z"),
+        F.sum("nh").alias("ntot"),
+    )
+    alloc = sd.crossJoin(F.broadcast(z)).select(
+        "stratum", "nh", "sh", "ntot",
+        (F.col("nh") * F.col("sh") / F.col("z") * 1000).alias("exact_alloc"),
+        F.floor(F.col("nh") * F.col("sh") / F.col("z") * 1000)
+        .cast("bigint")
+        .alias("base"),
+    )
+    seats = alloc.agg((F.lit(1000) - F.sum("base")).alias("extra"))
+    w = Window.orderBy(
+        (F.col("exact_alloc") - F.col("base")).desc(), F.col("stratum")
+    )
+    rk = alloc.withColumn("r", F.row_number().over(w)).crossJoin(
+        F.broadcast(seats)
+    )
+    return rk.select(
+        "stratum",
+        F.col("nh").cast("bigint").alias("n_stratum"),
+        dround(F.col("sh"), 6).alias("stddev"),
+        (
+            F.col("base")
+            + F.when(F.col("r") <= F.col("extra"), 1).otherwise(0)
+        ).cast("bigint").alias("neyman_n"),
+        F.round(F.lit(1000.0) * F.col("nh") / F.col("ntot"), 0)
+        .cast("bigint")
+        .alias("proportional_n"),
+    ).orderBy("stratum")
+
+
+@query(
+    "brier_decomposition",
+    oracle="""
+    WITH scored AS (
+      SELECT (o_orderkey * 2654435761) % 1000000 AS micro,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS label
+      FROM orders),
+    b AS (
+      SELECT micro // 100000 AS bin, COUNT(*) AS nk,
+             SUM(label) AS ok_, SUM(micro) AS sm
+      FROM scored GROUP BY 1),
+    tot AS (SELECT SUM(nk) AS n, SUM(ok_) AS o FROM b),
+    parts AS (
+      SELECT
+        SUM(nk * POWER(CAST(sm AS DOUBLE) / nk / 1000000.0
+                       - CAST(ok_ AS DOUBLE) / nk, 2)) / MAX(tot.n)
+          AS reliability,
+        SUM(nk * POWER(CAST(ok_ AS DOUBLE) / nk
+                       - CAST(tot.o AS DOUBLE) / tot.n, 2)) / MAX(tot.n)
+          AS resolution,
+        (CAST(MAX(tot.o) AS DOUBLE) / MAX(tot.n))
+          * (1 - CAST(MAX(tot.o) AS DOUBLE) / MAX(tot.n)) AS uncertainty
+      FROM b, tot
+      GROUP BY tot.n, tot.o)
+    SELECT ROUND(reliability, 6) AS reliability,
+           ROUND(resolution, 6) AS resolution,
+           ROUND(uncertainty, 6) AS uncertainty,
+           ROUND(reliability - resolution + uncertainty, 6)
+             AS brier_score
+    FROM parts
+    """,
+    doc="Murphy decomposition of the Brier score (reliability - "
+    "resolution + uncertainty) over 10 probability bins — the "
+    "diagnostic that splits a probabilistic model's error into "
+    "calibration badness vs discriminative power vs irreducible base-"
+    "rate noise (complements score_calibration_bins, which shows the "
+    "reliability curve but not the decomposition). Same deterministic "
+    "hash score and bins; every term is built from exact integer bin "
+    "counts with float entering only in the final per-bin means. One "
+    "keyed aggregate + one scalar rollup.",
+)
+def brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kyuubi_spark.functions.compat import dround
+    from kyuubi_spark.session import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    scored = orders.select(
+        ((F.col("o_orderkey") * 2654435761) % 1000000).alias("micro"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("label"),
+    )
+    b = scored.groupBy(
+        F.floor(F.col("micro") / 100000).alias("bin")
+    ).agg(
+        F.count("*").alias("nk"),
+        F.sum("label").alias("ok_"),
+        F.sum("micro").alias("sm"),
+    )
+    tot = b.agg(F.sum("nk").alias("n"), F.sum("ok_").alias("o"))
+    j = b.crossJoin(F.broadcast(tot))
+    rel = F.sum(
+        F.col("nk")
+        * F.pow(
+            F.col("sm").cast("double") / F.col("nk") / 1000000.0
+            - F.col("ok_").cast("double") / F.col("nk"),
+            F.lit(2.0),
+        )
+    ) / F.max("n")
+    res = F.sum(
+        F.col("nk")
+        * F.pow(
+            F.col("ok_").cast("double") / F.col("nk")
+            - F.col("o").cast("double") / F.col("n"),
+            F.lit(2.0),
+        )
+    ) / F.max("n")
+    unc = (F.max("o").cast("double") / F.max("n")) * (
+        1 - F.max("o").cast("double") / F.max("n")
+    )
+    parts = j.agg(
+        rel.alias("reliability"), res.alias("resolution"),
+        unc.alias("uncertainty"),
+    )
+    return parts.select(
+        dround(F.col("reliability"), 6).alias("reliability"),
+        dround(F.col("resolution"), 6).alias("resolution"),
+        dround(F.col("uncertainty"), 6).alias("uncertainty"),
+        dround(
+            F.col("reliability") - F.col("resolution")
+            + F.col("uncertainty"),
+            6,
+        ).alias("brier_score"),
+    )

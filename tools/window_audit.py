@@ -65,6 +65,8 @@ ALLOWLIST = {
     " hourly rollup (<= 720 rows/month)",
     "forecast_backtest_naive": "lag-1/lag-7 over the CALENDAR-bounded"
     " daily rollup (<= 31 rows; ts_gap_fill class)",
+    "neyman_allocation_plan": "largest-remainder seat rank over the"
+    " 5 stratum rows (segment-bounded)",
 }
 
 

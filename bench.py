@@ -323,6 +323,7 @@ HEADLINE = [
     "forecast_backtest_naive",
     "neyman_allocation_plan",
     "brier_decomposition",
+    "mmr_rerank_topk",
 ]
 
 

@@ -3398,3 +3398,149 @@ def brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("brier_score"),
     )
+
+
+@query(
+    "mmr_rerank_topk",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+             SQRT(list_sum(list_transform(embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      FROM embeddings),
+    q AS (SELECT v AS qv, nrm AS qn FROM e WHERE vec_id = 0),
+    rel AS (
+      SELECT e.vec_id,
+             ROUND(list_sum(list_transform(generate_series(1, 64),
+                     j -> e.v[j] * q.qv[j])) / (e.nrm * q.qn), 6) AS rel
+      FROM e, q WHERE e.vec_id <> 0),
+    cand AS (
+      SELECT vec_id, rel,
+             ROW_NUMBER() OVER (ORDER BY rel DESC, vec_id) AS rk
+      FROM rel QUALIFY rk <= 10),
+    sim AS (
+      SELECT a.vec_id AS ai, b.vec_id AS bi,
+             ROUND(list_sum(list_transform(generate_series(1, 64),
+                     j -> ea.v[j] * eb.v[j])) / (ea.nrm * eb.nrm), 6)
+               AS s
+      FROM cand a JOIN cand b ON a.vec_id <> b.vec_id
+      JOIN e ea ON ea.vec_id = a.vec_id
+      JOIN e eb ON eb.vec_id = b.vec_id),
+    s1 AS (
+      SELECT vec_id, rel FROM cand
+      ORDER BY rel DESC, vec_id LIMIT 1),
+    r2 AS (
+      SELECT c.vec_id, c.rel,
+             0.5 * c.rel - 0.5 * sim.s AS mmr
+      FROM cand c JOIN sim
+        ON sim.ai = c.vec_id AND sim.bi = (SELECT vec_id FROM s1)
+      WHERE c.vec_id <> (SELECT vec_id FROM s1)),
+    s2 AS (SELECT vec_id, rel, mmr FROM r2
+           ORDER BY mmr DESC, vec_id LIMIT 1),
+    r3 AS (
+      SELECT c.vec_id, c.rel,
+             0.5 * c.rel - 0.5 * GREATEST(sa.s, sb.s) AS mmr
+      FROM cand c
+      JOIN sim sa ON sa.ai = c.vec_id
+                 AND sa.bi = (SELECT vec_id FROM s1)
+      JOIN sim sb ON sb.ai = c.vec_id
+                 AND sb.bi = (SELECT vec_id FROM s2)
+      WHERE c.vec_id NOT IN ((SELECT vec_id FROM s1),
+                             (SELECT vec_id FROM s2))),
+    s3 AS (SELECT vec_id, rel, mmr FROM r3
+           ORDER BY mmr DESC, vec_id LIMIT 1)
+    SELECT * FROM (
+      SELECT 1 AS rank, vec_id, ROUND(rel, 6) AS relevance,
+             ROUND(rel, 6) AS mmr_score
+      FROM s1
+      UNION ALL
+      SELECT 2, vec_id, ROUND(rel, 6), ROUND(mmr, 6) FROM s2
+      UNION ALL
+      SELECT 3, vec_id, ROUND(rel, 6), ROUND(mmr, 6) FROM s3)
+    ORDER BY rank
+    """,
+    doc="Maximal Marginal Relevance re-ranking (Carbonell & Goldstein "
+    "1998 — the diversified-retrieval operator behind every 'varied "
+    "results' requirement): from the top-10 cosine candidates for a "
+    "query vector, greedily pick 3 maximizing 0.5*relevance - "
+    "0.5*max-similarity-to-already-picked. Distributed shape: "
+    "relevance scoring + top-k are corpus-scaled (row-local dots, "
+    "TakeOrderedAndProject), then the greedy loop runs on the BOUNDED "
+    "candidate set (a 10x10 rounded-cosine matrix — kmeans-centroid "
+    "class driver state); all similarities rounded to 6 before "
+    "selection so both engines pick identical champions, vec_id "
+    "tiebreaks throughout.",
+)
+def mmr_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kyuubi_spark.session import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dbl = F.transform("embedding", lambda x: x.cast("double"))
+    e = emb.select(
+        "vec_id",
+        dbl.alias("v"),
+        F.sqrt(
+            F.aggregate(
+                F.transform(dbl, lambda x: x * x),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+        ).alias("nrm"),
+    )
+    qrow = e.filter(F.col("vec_id") == 0).select("v", "nrm").first()
+    qv, qn = list(qrow["v"]), float(qrow["nrm"])
+    qarr = F.array(*[F.lit(x) for x in qv])
+    rel = (
+        e.filter(F.col("vec_id") != 0)
+        .select(
+            "vec_id",
+            "v",
+            "nrm",
+            F.round(
+                F.aggregate(
+                    F.zip_with(F.col("v"), qarr, lambda x, y: x * y),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                )
+                / (F.col("nrm") * F.lit(qn)),
+                6,
+            ).alias("rel"),
+        )
+    )
+    cand = rel.orderBy(F.col("rel").desc(), F.col("vec_id")).limit(10)
+    rows = cand.collect()  # BOUNDED: 10 candidates (centroid-class)
+    import itertools
+
+    vecs = {r["vec_id"]: (list(r["v"]), float(r["nrm"])) for r in rows}
+    rels = {r["vec_id"]: float(r["rel"]) for r in rows}
+    sims = {}
+    for a, b in itertools.permutations(vecs, 2):
+        va, na = vecs[a]
+        vb, nb = vecs[b]
+        dot = 0.0
+        for x, y in zip(va, vb):
+            dot += x * y
+        sims[(a, b)] = round(dot / (na * nb), 6)
+    picked = []
+    out = []
+    for rank in (1, 2, 3):
+        best = None
+        for c in sorted(vecs):
+            if c in picked:
+                continue
+            if not picked:
+                score = rels[c]
+            else:
+                score = 0.5 * rels[c] - 0.5 * max(
+                    sims[(c, p)] for p in picked
+                )
+            if best is None or score > best[1]:
+                best = (c, score)
+        picked.append(best[0])
+        out.append(
+            (rank, best[0], round(rels[best[0]], 6), round(best[1], 6))
+        )
+    return spark.createDataFrame(
+        out, "rank int, vec_id bigint, relevance double, mmr_score double"
+    ).orderBy("rank")

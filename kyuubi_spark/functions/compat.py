@@ -24,3 +24,24 @@ def dround(col: Column | str, scale: int = 0) -> Column:
         return F.round(col, 0)
     p = F.lit(float(10**scale))
     return F.round(col * p, 0) / p
+
+
+def pyround(x: float, scale: int = 0) -> float:
+    """Driver-side twin of ``dround``: DuckDB/Spark-style ROUND on
+    doubles (scale by 10^s, round HALF AWAY FROM ZERO, divide).  Python's
+    builtin ``round`` is banker's (half-to-even), which disagrees with
+    both engines exactly on the .5 boundaries that 6-decimal-rounded
+    inputs routinely produce (e.g. 0.5*(a - b) of two 6dp values)."""
+    import math
+
+    p = float(10 ** scale)
+    y = x * p
+    f = math.floor(y)
+    frac = y - f
+    if frac > 0.5:
+        r = f + 1.0
+    elif frac < 0.5:
+        r = f
+    else:  # exact half: away from zero
+        r = f + 1.0 if y > 0 else f
+    return r / p

@@ -548,6 +548,7 @@ def embedding_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame
     import math
 
     from kyuubi_spark.caching import persisted
+    from kyuubi_spark.functions.compat import pyround
     from kyuubi_spark.session import load_table
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -599,10 +600,10 @@ def embedding_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame
         lam = math.sqrt(sum(x * x for x in w))
         v = [x / lam for x in w]
         top_dim = min(
-            range(d), key=lambda j: (-round(abs(v[j]), 6), j)
+            range(d), key=lambda j: (-pyround(abs(v[j]), 6), j)
         )
         out_rows.append(
-            (it, round(lam, 6), top_dim + 1, round(v[top_dim], 6))
+            (it, pyround(lam, 6), top_dim + 1, pyround(v[top_dim], 6))
         )
     return spark.createDataFrame(
         out_rows, "iter int, eigval_est double, top_dim int, "
@@ -1289,6 +1290,7 @@ def join_cardinality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Oracle runs the identical recursion as a recursive CTE.",
 )
 def holt_trend_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kyuubi_spark.functions.compat import pyround
     from kyuubi_spark.session import load_table
 
     orders = load_table(spark, sf_dir, "orders")
@@ -1311,7 +1313,8 @@ def holt_trend_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         lvl = new_l
         out.append((mon, int(y), lvl, b))
     rows = [
-        (mon, actual, round(lv, 6), round(tr, 6), round(lv + tr, 6))
+        (mon, actual, pyround(lv, 6), pyround(tr, 6),
+         pyround(lv + tr, 6))
         for mon, actual, lv, tr in out[-6:]
     ]
     return spark.createDataFrame(
@@ -3473,6 +3476,7 @@ def brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tiebreaks throughout.",
 )
 def mmr_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kyuubi_spark.functions.compat import pyround
     from kyuubi_spark.session import load_table
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -3521,7 +3525,7 @@ def mmr_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         dot = 0.0
         for x, y in zip(va, vb):
             dot += x * y
-        sims[(a, b)] = round(dot / (na * nb), 6)
+        sims[(a, b)] = pyround(dot / (na * nb), 6)
     picked = []
     out = []
     for rank in (1, 2, 3):
@@ -3539,7 +3543,8 @@ def mmr_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 best = (c, score)
         picked.append(best[0])
         out.append(
-            (rank, best[0], round(rels[best[0]], 6), round(best[1], 6))
+            (rank, best[0], pyround(rels[best[0]], 6),
+             pyround(best[1], 6))
         )
     return spark.createDataFrame(
         out, "rank int, vec_id bigint, relevance double, mmr_score double"

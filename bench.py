@@ -324,6 +324,8 @@ HEADLINE = [
     "neyman_allocation_plan",
     "brier_decomposition",
     "mmr_rerank_topk",
+    "isotonic_calibration_pava",
+    "conformal_interval_naive",
 ]
 
 

@@ -3549,3 +3549,174 @@ def mmr_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         out, "rank int, vec_id bigint, relevance double, mmr_score double"
     ).orderBy("rank")
+
+
+@query(
+    "isotonic_calibration_pava",
+    oracle="""
+    WITH scored AS (
+      SELECT (o_orderkey * 2654435761) % 1000000 AS micro,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS label
+      FROM orders),
+    b AS (
+      SELECT micro // 100000 AS bin, COUNT(*) AS nk, SUM(label) AS pk
+      FROM scored GROUP BY 1),
+    seg AS (
+      SELECT j.bin AS j, k.bin AS k,
+             SUM(i.pk) AS sp, SUM(i.nk) AS sn
+      FROM b j JOIN b k ON k.bin >= j.bin
+      JOIN b i ON i.bin BETWEEN j.bin AND k.bin
+      GROUP BY 1, 2),
+    inner_min AS (
+      SELECT s.j, t.bin AS i,
+             MIN(CAST(s.sp AS DOUBLE) / s.sn) AS mn
+      FROM seg s JOIN b t ON s.j <= t.bin AND s.k >= t.bin
+      GROUP BY 1, 2),
+    iso AS (
+      SELECT i, MAX(mn) AS iso_rate
+      FROM inner_min WHERE j <= i
+      GROUP BY 1)
+    SELECT CAST(b.bin AS INTEGER) AS bin,
+           CAST(b.nk AS BIGINT) AS n,
+           ROUND(CAST(b.pk AS DOUBLE) / b.nk, 6) AS raw_rate,
+           ROUND(iso.iso_rate, 6) AS iso_rate
+    FROM b JOIN iso ON iso.i = b.bin
+    ORDER BY bin
+    """,
+    doc="Isotonic calibration (PAVA) of the reliability curve, computed "
+    "via the MINIMAX identity iso_i = max_{j<=i} min_{k>=i} "
+    "mean(bins j..k) — equivalent to pool-adjacent-violators but "
+    "expressible as pure relational algebra over the BOUNDED 10-bin "
+    "rollup (a 10x10x10 interval grid of exact integer sums; float "
+    "enters only in the interval-mean comparisons). The monotone "
+    "recalibration every production scorer applies when "
+    "score_calibration_bins shows non-monotone bins. Corpus-scaled "
+    "work is one keyed bin aggregate; everything after is "
+    "constant-size.",
+)
+def isotonic_calibration_pava(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kyuubi_spark.functions.compat import dround
+    from kyuubi_spark.session import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    scored = orders.select(
+        ((F.col("o_orderkey") * 2654435761) % 1000000).alias("micro"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("label"),
+    )
+    b = scored.groupBy(
+        F.floor(F.col("micro") / 100000).alias("bin")
+    ).agg(F.count("*").alias("nk"), F.sum("label").alias("pk"))
+    from kyuubi_spark.caching import persisted
+
+    b = persisted(b)
+    j = b.select(F.col("bin").alias("j"))
+    k = b.select(F.col("bin").alias("k"))
+    i = b.select(F.col("bin").alias("ib"), "nk", "pk")
+    seg = (
+        j.join(k, F.col("k") >= F.col("j"))
+        .join(i, (F.col("ib") >= F.col("j")) & (F.col("ib") <= F.col("k")))
+        .groupBy("j", "k")
+        .agg(F.sum("pk").alias("sp"), F.sum("nk").alias("sn"))
+    )
+    t = b.select(F.col("bin").alias("i"))
+    inner_min = (
+        seg.join(t, (F.col("j") <= F.col("i")) & (F.col("k") >= F.col("i")))
+        .groupBy("j", "i")
+        .agg(F.min(F.col("sp").cast("double") / F.col("sn")).alias("mn"))
+    )
+    iso = (
+        inner_min.filter(F.col("j") <= F.col("i"))
+        .groupBy("i")
+        .agg(F.max("mn").alias("iso_rate"))
+    )
+    return (
+        b.join(iso, F.col("bin") == F.col("i"))
+        .select(
+            F.col("bin").cast("int").alias("bin"),
+            F.col("nk").cast("bigint").alias("n"),
+            dround(F.col("pk").cast("double") / F.col("nk"), 6).alias(
+                "raw_rate"
+            ),
+            dround(F.col("iso_rate"), 6).alias("iso_rate"),
+        )
+        .orderBy("bin")
+    )
+
+
+@query(
+    "conformal_interval_naive",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(SUM(CAST(round(value * 1000000, 0) AS BIGINT))
+                  AS BIGINT) AS y
+      FROM events GROUP BY 1),
+    f AS (
+      SELECT day, y, LAG(y, 7) OVER (ORDER BY day) AS fc
+      FROM d),
+    resid AS (
+      SELECT day, y, fc, ABS(y - fc) AS r,
+             ROW_NUMBER() OVER (ORDER BY day) AS idx,
+             COUNT(*) OVER () AS m
+      FROM f WHERE fc IS NOT NULL),
+    calib AS (SELECT * FROM resid WHERE idx <= m / 2),
+    qr AS (
+      SELECT r AS qhat FROM (
+        SELECT r, ROW_NUMBER() OVER (ORDER BY r, day) AS rk,
+               COUNT(*) OVER () AS n
+        FROM calib)
+      WHERE rk = CAST(CEIL((n + 1) * 0.9) AS BIGINT)),
+    test AS (SELECT * FROM resid WHERE idx > m / 2)
+    SELECT CAST((SELECT COUNT(*) FROM calib) AS BIGINT) AS n_calib,
+           CAST((SELECT COUNT(*) FROM test) AS BIGINT) AS n_test,
+           CAST((SELECT qhat FROM qr) AS BIGINT) AS qhat_micro,
+           ROUND((SELECT SUM(CASE WHEN ABS(y - fc) <= (SELECT qhat
+                    FROM qr) THEN 1 ELSE 0 END) * 1.0 / COUNT(*)
+                  FROM test), 6) AS test_coverage
+    """,
+    doc="Split conformal prediction interval for the seasonal-naive "
+    "forecaster: the first half of evaluable days calibrates "
+    "(qhat = the ceil((n+1)*0.9)-th order statistic of absolute "
+    "residuals — the distribution-free 90% guarantee), the second "
+    "half measures empirical coverage of y in fc +- qhat. The "
+    "UQ wrapper modern forecast pipelines ship; residuals are exact "
+    "integer micro-units and the order statistic is an exact rank "
+    "selection, so both engines agree bit-for-bit. All windows run "
+    "over the calendar-bounded daily rollup (allowlisted class).",
+)
+def conformal_interval_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    from kyuubi_spark.functions.compat import pyround
+    from kyuubi_spark.session import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    d = (
+        ev.groupBy(
+            F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+        )
+        .agg(
+            F.sum(F.round(F.col("value") * 1000000, 0).cast("bigint"))
+            .cast("bigint")
+            .alias("y")
+        )
+        .orderBy("day")
+        .collect()  # BOUNDED: calendar days
+    )
+    ys = [(r["day"], int(r["y"])) for r in d]
+    resid = [
+        (day, y, ys[i - 7][1], abs(y - ys[i - 7][1]))
+        for i, (day, y) in enumerate(ys)
+        if i >= 7
+    ]
+    m = len(resid)
+    calib, test = resid[: m // 2], resid[m // 2:]
+    n = len(calib)
+    order = sorted(calib, key=lambda t: (t[3], t[0]))
+    qhat = order[math.ceil((n + 1) * 0.9) - 1][3]
+    covered = sum(1 for _, y, fc, _r in test if abs(y - fc) <= qhat)
+    return spark.createDataFrame(
+        [(n, len(test), qhat, pyround(covered / len(test), 6))],
+        "n_calib bigint, n_test bigint, qhat_micro bigint, "
+        "test_coverage double",
+    )

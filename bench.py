@@ -326,6 +326,9 @@ HEADLINE = [
     "mmr_rerank_topk",
     "isotonic_calibration_pava",
     "conformal_interval_naive",
+    "emd_segment_matrix",
+    "transition_entropy_profile",
+    "binary_segmentation_split",
 ]
 
 

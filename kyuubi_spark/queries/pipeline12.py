@@ -3720,3 +3720,278 @@ def conformal_interval_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_calib bigint, n_test bigint, qhat_micro bigint, "
         "test_coverage double",
     )
+
+
+@query(
+    "emd_segment_matrix",
+    oracle="""
+    WITH f AS (
+      SELECT c.c_mktsegment AS seg,
+             CAST(round(o.o_totalprice * 100, 0) AS BIGINT) // 100000
+               AS bin
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+    cnt AS (SELECT seg, bin, COUNT(*) AS c FROM f GROUP BY 1, 2),
+    tot AS (SELECT seg, SUM(c) AS t FROM cnt GROUP BY 1),
+    pairs AS (
+      SELECT a.seg AS s1, b.seg AS s2, a.t AS t1, b.t AS t2
+      FROM tot a JOIN tot b ON a.seg < b.seg),
+    axis AS (SELECT DISTINCT bin FROM cnt),
+    grid AS (
+      SELECT p.s1, p.s2, p.t1, p.t2, x.bin,
+             COALESCE(c1.c, 0) AS c1, COALESCE(c2.c, 0) AS c2
+      FROM pairs p CROSS JOIN axis x
+      LEFT JOIN cnt c1 ON c1.seg = p.s1 AND c1.bin = x.bin
+      LEFT JOIN cnt c2 ON c2.seg = p.s2 AND c2.bin = x.bin),
+    cum AS (
+      SELECT s1, s2, t1, t2, bin,
+             SUM(c1) OVER (PARTITION BY s1, s2 ORDER BY bin
+                           ROWS UNBOUNDED PRECEDING) AS k1,
+             SUM(c2) OVER (PARTITION BY s1, s2 ORDER BY bin
+                           ROWS UNBOUNDED PRECEDING) AS k2
+      FROM grid)
+    SELECT s1, s2,
+           ROUND(CAST(SUM(ABS(k1 * t2 - k2 * t1)) AS DOUBLE)
+                 / (MAX(t1) * MAX(t2)), 6) AS emd_bins
+    FROM cum GROUP BY 1, 2 ORDER BY s1, s2
+    """,
+    doc="Pairwise 1-D earth mover's distance between segment order-"
+    "value histograms (in bin units): EMD_1d = sum |F1 - F2| over the "
+    "bin axis — the magnitude-aware companion to ks_segment_matrix's "
+    "supremum (KS says IF distributions differ, EMD says HOW MUCH "
+    "mass must move; same integer-exact cross-multiplied cumulative "
+    "machinery, float only in the single final division). Same "
+    "shared-grid plan: one binned count relation, pair-partitioned "
+    "cumulative windows, 10 output rows.",
+)
+def emd_segment_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from kyuubi_spark.functions.compat import dround
+    from kyuubi_spark.session import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    f = orders.join(
+        cust.select("c_custkey", "c_mktsegment"),
+        F.col("o_custkey") == F.col("c_custkey"),
+    ).select(
+        F.col("c_mktsegment").alias("seg"),
+        F.floor(
+            F.round(F.col("o_totalprice") * 100, 0).cast("bigint") / 100000
+        ).alias("bin"),
+    )
+    cnt = f.groupBy("seg", "bin").agg(F.count("*").alias("c"))
+    tot = cnt.groupBy("seg").agg(F.sum("c").alias("t"))
+    a = tot.select(F.col("seg").alias("s1"), F.col("t").alias("t1"))
+    b = tot.select(F.col("seg").alias("s2"), F.col("t").alias("t2"))
+    pairs = a.join(b, F.col("s1") < F.col("s2"))
+    axis = cnt.select("bin").distinct()
+    grid = (
+        F.broadcast(pairs)
+        .crossJoin(axis)
+        .join(
+            cnt.select(F.col("seg").alias("s1"), "bin",
+                       F.col("c").alias("c1")),
+            ["s1", "bin"], "left",
+        )
+        .join(
+            cnt.select(F.col("seg").alias("s2"), "bin",
+                       F.col("c").alias("c2")),
+            ["s2", "bin"], "left",
+        )
+        .fillna(0, subset=["c1", "c2"])
+    )
+    w = Window.partitionBy("s1", "s2").orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = grid.select(
+        "s1", "s2", "t1", "t2",
+        F.sum("c1").over(w).alias("k1"),
+        F.sum("c2").over(w).alias("k2"),
+    )
+    return (
+        cum.groupBy("s1", "s2")
+        .agg(
+            dround(
+                F.sum(
+                    F.abs(F.col("k1") * F.col("t2") - F.col("k2") * F.col("t1"))
+                ).cast("double")
+                / (F.max("t1") * F.max("t2")),
+                6,
+            ).alias("emd_bins")
+        )
+        .orderBy("s1", "s2")
+    )
+
+
+@query(
+    "transition_entropy_profile",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type AS a,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS b
+      FROM events),
+    t AS (SELECT a, b, COUNT(*) AS c FROM seq WHERE b IS NOT NULL
+          GROUP BY 1, 2),
+    rowt AS (SELECT a, SUM(c) AS ra FROM t GROUP BY 1),
+    h AS (
+      SELECT t.a, rowt.ra,
+             LN(CAST(rowt.ra AS DOUBLE))
+             - SUM(t.c * LN(CAST(t.c AS DOUBLE))) / rowt.ra AS ha
+      FROM t JOIN rowt ON rowt.a = t.a
+      GROUP BY 1, 2)
+    SELECT a AS from_type,
+           CAST(ra AS BIGINT) AS n_transitions,
+           ROUND(ha, 6) AS next_entropy_nats,
+           ROUND(SUM(ha * ra) OVER () / SUM(ra) OVER (), 6)
+             AS overall_conditional_entropy
+    FROM h ORDER BY from_type
+    """,
+    doc="Next-event predictability profile: per from-state Shannon "
+    "entropy of the transition distribution H(next | from) plus the "
+    "weighted overall conditional entropy of the user-journey chain — "
+    "the single number that says how predictable the event stream is "
+    "(markov_transition_matrix gives the probabilities; this scores "
+    "them). Entropies from exact integer transition counts via "
+    "H = ln(n) - sum(c ln c)/n (ln of integers only); the 5-row "
+    "grand-total window is state-space-bounded. User-keyed LEAD "
+    "window, then two tiny aggregates.",
+)
+def transition_entropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from kyuubi_spark.functions.compat import dround
+    from kyuubi_spark.session import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("a"),
+        F.lead("event_type").over(w).alias("b"),
+    ).filter(F.col("b").isNotNull())
+    t = seq.groupBy("a", "b").agg(F.count("*").alias("c"))
+    h = t.groupBy("a").agg(
+        F.sum("c").alias("ra"),
+        (
+            F.log(F.sum("c").cast("double"))
+            - F.sum(F.col("c") * F.log(F.col("c").cast("double")))
+            / F.sum("c")
+        ).alias("ha"),
+    )
+    wg = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return h.select(
+        F.col("a").alias("from_type"),
+        F.col("ra").cast("bigint").alias("n_transitions"),
+        dround(F.col("ha"), 6).alias("next_entropy_nats"),
+        dround(
+            F.sum(F.col("ha") * F.col("ra")).over(wg)
+            / F.sum("ra").over(wg),
+            6,
+        ).alias("overall_conditional_entropy"),
+    ).orderBy("from_type")
+
+
+@query(
+    "binary_segmentation_split",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(round(SUM(value), 0) AS BIGINT) AS y
+      FROM events GROUP BY 1),
+    r AS (
+      SELECT day, y,
+             ROW_NUMBER() OVER (ORDER BY day) AS i,
+             SUM(y) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS cy,
+             SUM(y * y) OVER (ORDER BY day
+                              ROWS UNBOUNDED PRECEDING) AS cyy,
+             COUNT(*) OVER () AS n,
+             SUM(y) OVER () AS sy,
+             SUM(y * y) OVER () AS syy
+      FROM d),
+    cand AS (
+      SELECT day, i, n,
+             (CAST(cyy AS DOUBLE) - CAST(cy AS DOUBLE) * cy / i)
+             + (CAST(syy - cyy AS DOUBLE)
+                - CAST(sy - cy AS DOUBLE) * (sy - cy) / (n - i))
+               AS sse,
+             CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n
+               AS sse0
+      FROM r WHERE i < n),
+    best AS (
+      SELECT day, sse, sse0,
+             ROW_NUMBER() OVER (ORDER BY sse, day) AS rk
+      FROM cand)
+    SELECT CAST(day AS TIMESTAMP) AS split_after_day,
+           ROUND(sse0, 4) AS sse_unsplit,
+           ROUND(sse, 4) AS sse_split,
+           ROUND(1 - sse / sse0, 6) AS variance_explained
+    FROM best WHERE rk = 1
+    """,
+    doc="Binary segmentation change-point (one split): the day "
+    "boundary minimizing total within-segment SSE of the daily value "
+    "series — the first recursion step of the classic segmentation "
+    "family and CUSUM's model-based sibling (cusum_changepoint "
+    "detects drift; this OPTIMIZES the split). SSE at every candidate "
+    "split comes from prefix sums of exact integer y and y^2 (one "
+    "pass, no per-split rescans — the O(n) trick); windows run over "
+    "the calendar-bounded daily rollup (allowlisted class). Argmin "
+    "ties break on day.",
+)
+def binary_segmentation_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from kyuubi_spark.functions.compat import dround
+    from kyuubi_spark.session import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    ).agg(F.round(F.sum("value"), 0).cast("bigint").alias("y"))
+    wo = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    wg = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    r = d.select(
+        "day",
+        "y",
+        F.row_number().over(Window.orderBy("day")).alias("i"),
+        F.sum("y").over(wo).alias("cy"),
+        F.sum(F.col("y") * F.col("y")).over(wo).alias("cyy"),
+        F.count("*").over(wg).alias("n"),
+        F.sum("y").over(wg).alias("sy"),
+        F.sum(F.col("y") * F.col("y")).over(wg).alias("syy"),
+    )
+    cand = r.filter(F.col("i") < F.col("n")).select(
+        "day",
+        (
+            (
+                F.col("cyy").cast("double")
+                - F.col("cy").cast("double") * F.col("cy") / F.col("i")
+            )
+            + (
+                (F.col("syy") - F.col("cyy")).cast("double")
+                - (F.col("sy") - F.col("cy")).cast("double")
+                * (F.col("sy") - F.col("cy"))
+                / (F.col("n") - F.col("i"))
+            )
+        ).alias("sse"),
+        (
+            F.col("syy").cast("double")
+            - F.col("sy").cast("double") * F.col("sy") / F.col("n")
+        ).alias("sse0"),
+    )
+    best = cand.withColumn(
+        "rk",
+        F.row_number().over(Window.orderBy(F.col("sse"), F.col("day"))),
+    ).filter(F.col("rk") == 1)
+    return best.select(
+        F.col("day").cast("timestamp").alias("split_after_day"),
+        dround(F.col("sse0"), 4).alias("sse_unsplit"),
+        dround(F.col("sse"), 4).alias("sse_split"),
+        dround(1 - F.col("sse") / F.col("sse0"), 6).alias(
+            "variance_explained"
+        ),
+    )

@@ -67,6 +67,10 @@ ALLOWLIST = {
     " daily rollup (<= 31 rows; ts_gap_fill class)",
     "neyman_allocation_plan": "largest-remainder seat rank over the"
     " 5 stratum rows (segment-bounded)",
+    "transition_entropy_profile": "grand-total share over the <=5"
+    " from-state rows (state-space-bounded)",
+    "binary_segmentation_split": "prefix/argmin windows over the"
+    " CALENDAR-bounded daily rollup (<= 31 rows; ts_gap_fill class)",
 }
 
 

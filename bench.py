@@ -329,6 +329,7 @@ HEADLINE = [
     "emd_segment_matrix",
     "transition_entropy_profile",
     "binary_segmentation_split",
+    "exact_topk_twopass",
 ]
 
 

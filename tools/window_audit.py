@@ -71,6 +71,9 @@ ALLOWLIST = {
     " from-state rows (state-space-bounded)",
     "binary_segmentation_split": "prefix/argmin windows over the"
     " CALENDAR-bounded daily rollup (<= 31 rows; ts_gap_fill class)",
+    "exact_topk_twopass": "final rank over the two-pass candidate set"
+    " (<= 40 x partitions rows by construction - the long tail never"
+    " reaches the window)",
 }
 
 

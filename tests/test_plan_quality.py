@@ -627,3 +627,55 @@ def test_triangle_broadcast_gate(spark, sf_dir):
         assert df2.collect()[0] == row
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_snapshot_cdc_is_single_pass(spark, sf_dir):
+    """Both snapshot states come from ONE conditional-aggregation pass:
+    exactly one scan of orders, no self-join (a two-scan diff would
+    double the fact I/O at 100 TB)."""
+    df = _build(spark, sf_dir, "snapshot_cdc_diff")
+    s = plans.plan_summary(df)
+    assert len(s["scan_columns"]) == 1
+    assert s["broadcast_joins"] == 0 and s["sortmerge_joins"] == 0
+
+
+def test_cuped_reads_three_columns_once(spark, sf_dir):
+    """CUPED never joins back to the fact table: one scan pruned to
+    (custkey, orderdate, totalprice); the per-query scalar stats come
+    back via broadcast."""
+    df = _build(spark, sf_dir, "cuped_adjusted_ab")
+    s = plans.plan_summary(df)
+    for cols in s["scan_columns"]:
+        assert set(cols) == {"o_custkey", "o_orderdate", "o_totalprice"}
+    assert s["sortmerge_joins"] == 0
+
+
+def test_exact_topk_scan_prunes_to_text(spark, sf_dir):
+    """Two-pass exact top-k touches only the text column and never
+    sort-merges: candidates join back by BROADCAST semi-join."""
+    df = _build(spark, sf_dir, "exact_topk_twopass")
+    s = plans.plan_summary(df)
+    assert s["sortmerge_joins"] == 0
+    for cols in s["scan_columns"]:
+        assert set(cols) == {"text"}
+
+
+def test_rolling_distinct_users_windows_keyed_on_user(spark, sf_dir):
+    """The interval-union windows partition on user_id; the ONLY
+    unpartitioned window is the cumulative over the calendar-bounded
+    day axis (audit-allowlisted)."""
+    import re
+
+    df = _build(spark, sf_dir, "rolling_distinct_users_7d")
+    text = plans.explain_formatted(df)
+    unpart = 0
+    for m in re.finditer(r"\(\d+\) Window\b[\s\S]*?Arguments: (.+)", text):
+        a = m.group(1)
+        if "windowspecdefinition(" not in a:
+            continue
+        inner = a.split("windowspecdefinition(", 1)[1]
+        first = inner.split(",", 1)[0].strip()
+        if "user_id" in first:
+            continue
+        unpart += 1
+    assert unpart <= 1

@@ -866,7 +866,14 @@ def _sf1_scale_lane(spark, specs, timings: dict, sf_dir: str) -> dict | None:
     walls: dict[str, float] = {}
     ratios: dict[str, float] = {}
     plan_flags: dict[str, list] = {}
+    budget = float(os.environ.get("SPARK_GRAFT_SF1_BUDGET", "900"))
+    lane_t0 = time.perf_counter()
+    truncated: list[str] = []
     for name in slowest:
+        if time.perf_counter() - lane_t0 > budget:
+            # explicit, never silent: record exactly what the budget cut
+            truncated.append(name)
+            continue
         spec = specs[name]
         t0 = time.perf_counter()
         try:
@@ -895,6 +902,12 @@ def _sf1_scale_lane(spark, specs, timings: dict, sf_dir: str) -> dict | None:
         finally:
             release_caches()
     ok = [v for v in walls.values() if v >= 0]
+    if truncated:
+        print(
+            f"# bench sf1 budget ({budget:.0f}s) hit - skipped: "
+            + ",".join(truncated),
+            file=sys.stderr,
+        )
     return {
         "factor": 10,
         "gen_sec": gen_sec,
@@ -904,6 +917,8 @@ def _sf1_scale_lane(spark, specs, timings: dict, sf_dir: str) -> dict | None:
         "queries": walls,
         "ratio_vs_sf01": ratios,
         "plan_flags": plan_flags,  # must stay empty
+        "budget_sec": budget,
+        "skipped_over_budget": truncated,
     }
 
 

@@ -330,6 +330,8 @@ HEADLINE = [
     "transition_entropy_profile",
     "binary_segmentation_split",
     "exact_topk_twopass",
+    "stream_slo_burn_hourly",
+    "pinball_quantile_grid",
 ]
 
 

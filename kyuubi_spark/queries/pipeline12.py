@@ -4067,3 +4067,128 @@ def exact_topk_twopass(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("c").cast("bigint").alias("c"))
         .orderBy("rk")
     )
+
+
+@query(
+    "pinball_quantile_grid",
+    oracle="""
+    WITH x AS (
+      SELECT p.p_brand,
+             CAST(round(l.l_extendedprice * 100, 0) AS BIGINT) AS cents
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+    pctl AS (
+      SELECT p_brand,
+             CAST(round(quantile_cont(cents, 0.5), 0) AS BIGINT) AS q50,
+             CAST(round(quantile_cont(cents, 0.7), 0) AS BIGINT) AS q70,
+             CAST(round(quantile_cont(cents, 0.8), 0) AS BIGINT) AS q80,
+             CAST(round(quantile_cont(cents, 0.9), 0) AS BIGINT) AS q90,
+             CAST(round(quantile_cont(cents, 0.95), 0) AS BIGINT) AS q95
+      FROM x GROUP BY 1),
+    qs AS (
+      SELECT p_brand, q50 AS cand, 0.5 AS q FROM pctl
+      UNION ALL SELECT p_brand, q70, 0.7 FROM pctl
+      UNION ALL SELECT p_brand, q80, 0.8 FROM pctl
+      UNION ALL SELECT p_brand, q90, 0.9 FROM pctl
+      UNION ALL SELECT p_brand, q95, 0.95 FROM pctl),
+    loss AS (
+      SELECT x.p_brand, qs.cand, qs.q,
+             SUM(CASE WHEN x.cents >= qs.cand
+                      THEN 9 * (x.cents - qs.cand)
+                      ELSE 1 * (qs.cand - x.cents) END) AS pinball
+      FROM x JOIN qs ON qs.p_brand = x.p_brand
+      GROUP BY 1, 2, 3),
+    best AS (
+      SELECT p_brand, cand, q, pinball,
+             ROW_NUMBER() OVER (PARTITION BY p_brand
+                                ORDER BY pinball, cand) AS rk
+      FROM loss)
+    SELECT p_brand,
+           CAST(cand AS BIGINT) AS fitted_p90_cents,
+           ROUND(CAST(q AS DOUBLE), 2) AS source_quantile,
+           CAST(pinball AS BIGINT) AS pinball_loss
+    FROM best WHERE rk = 1 ORDER BY p_brand
+    """,
+    doc="Grouped quantile fit by PINBALL-LOSS grid search: for each "
+    "brand, five candidate price points (the exact 50/70/80/90/95th "
+    "percentiles) are scored with the tau = 0.9 pinball loss "
+    "(9x penalty below, 1x above — all EXACT integer cents, so the "
+    "argmin is deterministic) and the minimizer is reported — "
+    "validating that the loss bottoms out at the true 0.9 quantile, "
+    "the mechanism quantile-regression models train on. Plan: one "
+    "partkey equi-join, a per-(brand, candidate) keyed loss aggregate "
+    "(5x fan-out of the brand relation, broadcast candidates), argmin "
+    "via brand-partitioned window.",
+)
+def pinball_quantile_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from kyuubi_spark.functions.compat import dround
+    from kyuubi_spark.session import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    x = li.join(
+        part.select("p_partkey", "p_brand"),
+        F.col("l_partkey") == F.col("p_partkey"),
+    ).select(
+        "p_brand",
+        F.round(F.col("l_extendedprice") * 100, 0).cast("bigint").alias(
+            "cents"
+        ),
+    )
+    from kyuubi_spark.caching import persisted
+
+    x = persisted(x)
+    qs = (
+        x.groupBy("p_brand")
+        .agg(
+            *[
+                F.round(
+                    F.expr(f"percentile(cents, {q})"), 0
+                ).cast("bigint").alias(f"q{int(q * 100)}")
+                for q in (0.5, 0.7, 0.8, 0.9, 0.95)
+            ]
+        )
+        .select(
+            "p_brand",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.col(f"q{int(q * 100)}").alias("cand"),
+                            F.lit(q).alias("q"),
+                        )
+                        for q in (0.5, 0.7, 0.8, 0.9, 0.95)
+                    ]
+                )
+            ).alias("c"),
+        )
+        .select("p_brand", F.col("c.cand").alias("cand"),
+                F.col("c.q").alias("q"))
+    )
+    loss = (
+        x.join(F.broadcast(qs), "p_brand")
+        .groupBy("p_brand", "cand", "q")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("cents") >= F.col("cand"),
+                    9 * (F.col("cents") - F.col("cand")),
+                ).otherwise(F.col("cand") - F.col("cents"))
+            ).alias("pinball")
+        )
+    )
+    w = Window.partitionBy("p_brand").orderBy(
+        F.col("pinball"), F.col("cand")
+    )
+    return (
+        loss.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "p_brand",
+            F.col("cand").cast("bigint").alias("fitted_p90_cents"),
+            dround(F.col("q"), 2).alias("source_quantile"),
+            F.col("pinball").cast("bigint").alias("pinball_loss"),
+        )
+        .orderBy("p_brand")
+    )

@@ -1089,3 +1089,49 @@ def stream_ohlc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround("close_raw", 6).alias("close"),
         F.col("volume").cast("bigint").alias("volume"),
     ).orderBy("window_start")
+
+
+@query(
+    "stream_slo_burn_hourly",
+    oracle="""
+    WITH h AS (
+      SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+             COUNT(*) AS n,
+             SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS err
+      FROM events GROUP BY 1)
+    SELECT hour, CAST(n AS BIGINT) AS n, CAST(err AS BIGINT) AS err,
+           ROUND(err * 50.0 / n, 6) AS burn_1h,
+           err * 50.0 / n > 14.4 AS fast_burn
+    FROM h ORDER BY hour
+    """,
+    doc="Streaming SLO burn-rate feed: the stream maintains per-hour "
+    "(total, error) counts in windowed state and the 1h burn rate "
+    "(error_rate / 2% budget) is computed ON THE STATE SNAPSHOT with "
+    "the 14.4x fast-burn flag — the live half of slo_burn_rate_windows "
+    "(whose 6h window then runs over this feed's history). Counts are "
+    "incrementally maintainable; nothing re-reads the stream. Replay-"
+    "verified exact against the batch hourly rollup.",
+)
+def stream_slo_burn_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kyuubi_spark.streaming.runner import run_to_memory
+
+    stream = _events_stream(spark, sf_dir)
+    counts = (
+        stream.groupBy(F.window("ts", "1 hour").alias("win"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(
+                F.when(F.col("event_type") == "error", 1).otherwise(0)
+            ).alias("err"),
+        )
+        .select(F.col("win.start").alias("hour"), "n", "err")
+    )
+    snap = run_to_memory(counts, output_mode="complete")
+    burn = F.col("err") * 50.0 / F.col("n")
+    return snap.select(
+        F.col("hour").cast("timestamp_ntz").alias("hour"),
+        F.col("n").cast("bigint").alias("n"),
+        F.col("err").cast("bigint").alias("err"),
+        dround(burn, 6).alias("burn_1h"),
+        (burn > 14.4).alias("fast_burn"),
+    ).orderBy("hour")

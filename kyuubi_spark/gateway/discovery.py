@@ -142,7 +142,16 @@ class DiscoveryClientOps:
         take = children[-(size or len(children)):] if children else []
         out = []
         for name in take:
-            data = self.get_data(f"{namespace.rstrip('/')}/{name}").decode()
+            try:
+                data = self.get_data(
+                    f"{namespace.rstrip('/')}/{name}"
+                ).decode()
+            except DiscoveryStoreError:
+                # the node EXPIRED between listing and reading (a dying
+                # session's ephemeral) — a vanished child simply is not
+                # a live service; ZK clients skip NoNodeException the
+                # same way rather than failing the whole resolution
+                continue
             host, port = parse_instance_host_port(data)
             attrs = dict(
                 kv.split("=", 1) for kv in name.split(";") if "=" in kv

@@ -332,6 +332,8 @@ HEADLINE = [
     "exact_topk_twopass",
     "stream_slo_burn_hourly",
     "pinball_quantile_grid",
+    "anomaly_ensemble_vote",
+    "cosine_threshold_pr_curve",
 ]
 
 

@@ -4192,3 +4192,226 @@ def pinball_quantile_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_brand")
     )
+
+
+@query(
+    "anomaly_ensemble_vote",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(round(SUM(value), 0) AS BIGINT) AS y
+      FROM events GROUP BY 1),
+    stats AS (
+      SELECT COUNT(*) AS n, SUM(y) AS sy, SUM(y * y) AS syy,
+             CAST(round(quantile_cont(y, 0.25), 0) AS BIGINT) AS q1,
+             CAST(round(quantile_cont(y, 0.5), 0) AS BIGINT) AS med,
+             CAST(round(quantile_cont(y, 0.75), 0) AS BIGINT) AS q3
+      FROM d),
+    mad AS (
+      SELECT CAST(round(quantile_cont(ABS(d.y - stats.med), 0.5), 0)
+                  AS BIGINT) AS mad
+      FROM d, stats),
+    flags AS (
+      SELECT d.day, d.y,
+             ABS(d.y - CAST(stats.sy AS DOUBLE) / stats.n)
+               > 2.0 * SQRT(CAST(stats.syy AS DOUBLE) / stats.n
+                            - POWER(CAST(stats.sy AS DOUBLE)
+                                    / stats.n, 2)) AS f_z,
+             d.y < stats.q1 - 15 * (stats.q3 - stats.q1) / 10.0
+               OR d.y > stats.q3 + 15 * (stats.q3 - stats.q1) / 10.0
+               AS f_iqr,
+             ABS(d.y - stats.med) > 2.0 * 1.4826 * mad.mad AS f_mad
+      FROM d, stats, mad)
+    SELECT CAST(day AS TIMESTAMP) AS day, CAST(y AS BIGINT) AS y,
+           f_z, f_iqr, f_mad,
+           CAST((CASE WHEN f_z THEN 1 ELSE 0 END
+                 + CASE WHEN f_iqr THEN 1 ELSE 0 END
+                 + CASE WHEN f_mad THEN 1 ELSE 0 END) AS INTEGER)
+             AS votes
+    FROM flags
+    WHERE (CASE WHEN f_z THEN 1 ELSE 0 END
+           + CASE WHEN f_iqr THEN 1 ELSE 0 END
+           + CASE WHEN f_mad THEN 1 ELSE 0 END) >= 2
+    ORDER BY day
+    """,
+    doc="Anomaly-detector ENSEMBLE over the daily value series: a day "
+    "is surfaced only when at least 2 of 3 detectors agree — "
+    "parametric z-score (mean/std from integer power sums), Tukey IQR "
+    "fences, and robust MAD (1.4826 consistency constant) — the "
+    "majority vote that suppresses each detector's characteristic "
+    "false positives (z misses under heavy tails, IQR/MAD under-flag "
+    "mild shifts). All thresholds from exact integer aggregates; "
+    "quantiles are the engines' identical interpolated percentiles. "
+    "One rollup + three scalar stats broadcast back, no windows.",
+)
+def anomaly_ensemble_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kyuubi_spark.session import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    ).agg(F.round(F.sum("value"), 0).cast("bigint").alias("y"))
+    from kyuubi_spark.caching import persisted
+
+    d = persisted(d)
+    stats = d.agg(
+        F.count("*").alias("n"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.round(F.expr("percentile(y, 0.25)"), 0).cast("bigint").alias("q1"),
+        F.round(F.expr("percentile(y, 0.5)"), 0).cast("bigint").alias("med"),
+        F.round(F.expr("percentile(y, 0.75)"), 0).cast("bigint").alias("q3"),
+    )
+    mad = (
+        d.crossJoin(F.broadcast(stats))
+        .agg(
+            F.round(
+                F.expr("percentile(abs(y - med), 0.5)"), 0
+            ).cast("bigint").alias("mad")
+        )
+    )
+    j = d.crossJoin(F.broadcast(stats)).crossJoin(F.broadcast(mad))
+    mean = F.col("sy").cast("double") / F.col("n")
+    std = F.sqrt(
+        F.col("syy").cast("double") / F.col("n") - mean * mean
+    )
+    f_z = F.abs(F.col("y") - mean) > 2.0 * std
+    iqr15 = 15 * (F.col("q3") - F.col("q1")) / 10.0
+    f_iqr = (F.col("y") < F.col("q1") - iqr15) | (
+        F.col("y") > F.col("q3") + iqr15
+    )
+    f_mad = F.abs(F.col("y") - F.col("med")) > 2.0 * 1.4826 * F.col("mad")
+    votes = (
+        F.when(f_z, 1).otherwise(0)
+        + F.when(f_iqr, 1).otherwise(0)
+        + F.when(f_mad, 1).otherwise(0)
+    )
+    return (
+        j.select(
+            F.col("day").cast("timestamp").alias("day"),
+            F.col("y").cast("bigint").alias("y"),
+            f_z.alias("f_z"),
+            f_iqr.alias("f_iqr"),
+            f_mad.alias("f_mad"),
+            votes.cast("int").alias("votes"),
+        )
+        .filter(F.col("votes") >= 2)
+        .orderBy("day")
+    )
+
+
+@query(
+    "cosine_threshold_pr_curve",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+             SQRT(list_sum(list_transform(embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      FROM embeddings),
+    pr AS (
+      SELECT a.label = b.label AS same,
+             ROUND(list_sum(list_transform(generate_series(1, 64),
+                     j -> a.v[j] * b.v[j])) / (a.nrm * b.nrm), 6) AS s
+      FROM e a JOIN e b ON b.vec_id = a.vec_id + 1),
+    th AS (SELECT unnest([0.0, 0.2, 0.4, 0.6, 0.8]) AS t),
+    m AS (
+      SELECT th.t,
+             SUM(CASE WHEN s >= th.t AND same THEN 1 ELSE 0 END) AS tp,
+             SUM(CASE WHEN s >= th.t AND NOT same THEN 1 ELSE 0 END)
+               AS fp,
+             SUM(CASE WHEN s < th.t AND same THEN 1 ELSE 0 END) AS fn
+      FROM pr, th GROUP BY 1)
+    SELECT ROUND(CAST(t AS DOUBLE), 2) AS threshold,
+           CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+           CAST(fn AS BIGINT) AS fn,
+           ROUND(CASE WHEN tp + fp = 0 THEN 1.0
+                      ELSE tp * 1.0 / (tp + fp) END, 6) AS precision,
+           ROUND(CASE WHEN tp + fn = 0 THEN 1.0
+                      ELSE tp * 1.0 / (tp + fn) END, 6) AS recall
+    FROM m ORDER BY threshold
+    """,
+    doc="Precision/recall curve for a cosine same-label predictor over "
+    "adjacent-id embedding pairs at five thresholds — the calibration "
+    "sweep run before fixing a semantic-dedup or matching cutoff "
+    "(lsh_band_s_curve tunes the INDEX; this tunes the DECISION "
+    "boundary against labels). Cosines are row-local in-order folds "
+    "rounded to 6, counts exact; the 5x threshold fan-out is a "
+    "broadcast of a literal array. One self-join on adjacent ids, "
+    "one keyed aggregate.",
+)
+def cosine_threshold_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kyuubi_spark.functions.compat import dround
+    from kyuubi_spark.session import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dbl = F.transform("embedding", lambda x: x.cast("double"))
+    e = emb.select(
+        "vec_id",
+        "label",
+        dbl.alias("v"),
+        F.sqrt(
+            F.aggregate(
+                F.transform(dbl, lambda x: x * x),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+        ).alias("nrm"),
+    )
+    b = e.select(
+        (F.col("vec_id") - 1).alias("vec_id"),
+        F.col("label").alias("lb"),
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    pr = e.join(b, "vec_id").select(
+        (F.col("label") == F.col("lb")).alias("same"),
+        F.round(
+            F.aggregate(
+                F.zip_with(F.col("v"), F.col("vb"), lambda x, y: x * y),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+            / (F.col("nrm") * F.col("nb")),
+            6,
+        ).alias("s"),
+    )
+    th = F.explode(
+        F.array(*[F.lit(t) for t in (0.0, 0.2, 0.4, 0.6, 0.8)])
+    ).alias("t")
+    m = (
+        pr.select("same", "s", th)
+        .groupBy("t")
+        .agg(
+            F.sum(
+                F.when((F.col("s") >= F.col("t")) & F.col("same"), 1)
+                .otherwise(0)
+            ).alias("tp"),
+            F.sum(
+                F.when((F.col("s") >= F.col("t")) & ~F.col("same"), 1)
+                .otherwise(0)
+            ).alias("fp"),
+            F.sum(
+                F.when((F.col("s") < F.col("t")) & F.col("same"), 1)
+                .otherwise(0)
+            ).alias("fn"),
+        )
+    )
+    return m.select(
+        dround(F.col("t").cast("double"), 2).alias("threshold"),
+        F.col("tp").cast("bigint").alias("tp"),
+        F.col("fp").cast("bigint").alias("fp"),
+        F.col("fn").cast("bigint").alias("fn"),
+        dround(
+            F.when(F.col("tp") + F.col("fp") == 0, F.lit(1.0)).otherwise(
+                F.col("tp") * 1.0 / (F.col("tp") + F.col("fp"))
+            ),
+            6,
+        ).alias("precision"),
+        dround(
+            F.when(F.col("tp") + F.col("fn") == 0, F.lit(1.0)).otherwise(
+                F.col("tp") * 1.0 / (F.col("tp") + F.col("fn"))
+            ),
+            6,
+        ).alias("recall"),
+    ).orderBy("threshold")

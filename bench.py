@@ -334,6 +334,8 @@ HEADLINE = [
     "pinball_quantile_grid",
     "anomaly_ensemble_vote",
     "cosine_threshold_pr_curve",
+    "price_ending_bias",
+    "rich_club_coefficient",
 ]
 
 

@@ -4415,3 +4415,169 @@ def cosine_threshold_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("recall"),
     ).orderBy("threshold")
+
+
+@query(
+    "price_ending_bias",
+    oracle="""
+    WITH e AS (
+      SELECT CAST(round(p_retailprice * 100, 0) AS BIGINT) % 100
+               AS ending
+      FROM part),
+    c AS (SELECT ending, COUNT(*) AS n FROM e GROUP BY 1),
+    tot AS (SELECT SUM(n) AS t, COUNT(*) AS k FROM c),
+    chi AS (
+      SELECT SUM(POWER(n - CAST(t AS DOUBLE) / 100, 2)
+                 / (CAST(t AS DOUBLE) / 100)) AS chi2
+      FROM c, tot),
+    top AS (
+      SELECT ending, n,
+             ROW_NUMBER() OVER (ORDER BY n DESC, ending) AS rk
+      FROM c)
+    SELECT CAST(top.ending AS INTEGER) AS ending,
+           CAST(top.n AS BIGINT) AS n,
+           ROUND(top.n * 100.0 / tot.t, 6) AS pct,
+           ROUND(chi.chi2, 4) AS chi2_vs_uniform
+    FROM top, tot, chi
+    WHERE top.rk <= 5
+    ORDER BY top.n DESC, top.ending
+    """,
+    doc="Psychological price-point audit: the distribution of cent "
+    "endings (.99, .00, ...) in retail prices vs the uniform null, "
+    "reported as the top-5 endings plus a chi-square statistic — the "
+    "pricing-integrity sibling of benford_digit_audit (Benford checks "
+    "leading digits for fabrication; endings expose charm-pricing "
+    "policy and import errors). Exact integer cent endings, one keyed "
+    "aggregate; the chi-square sums over at most 100 ending rows.",
+)
+def price_ending_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from kyuubi_spark.functions.compat import dround
+    from kyuubi_spark.session import load_table
+
+    part = load_table(spark, sf_dir, "part")
+    e = part.select(
+        (
+            F.round(F.col("p_retailprice") * 100, 0).cast("bigint") % 100
+        ).alias("ending")
+    )
+    c = e.groupBy("ending").agg(F.count("*").alias("n"))
+    from kyuubi_spark.caching import persisted
+
+    c = persisted(c)
+    tot = c.agg(F.sum("n").alias("t"))
+    chi = c.crossJoin(F.broadcast(tot)).agg(
+        F.sum(
+            F.pow(F.col("n") - F.col("t").cast("double") / 100, F.lit(2.0))
+            / (F.col("t").cast("double") / 100)
+        ).alias("chi2")
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col("ending"))
+    top = c.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= 5
+    )
+    return (
+        top.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(chi))
+        .select(
+            F.col("ending").cast("int").alias("ending"),
+            F.col("n").cast("bigint").alias("n"),
+            dround(F.col("n") * 100.0 / F.col("t"), 6).alias("pct"),
+            dround(F.col("chi2"), 4).alias("chi2_vs_uniform"),
+        )
+        .orderBy(F.col("n").desc(), F.col("ending"))
+    )
+
+
+@query(
+    "rich_club_coefficient",
+    oracle="""
+    WITH pairs AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+      WHERE a.l_partkey < b.l_partkey),
+    e0 AS (SELECT DISTINCT u, v FROM pairs),
+    deg AS (SELECT n, COUNT(*) AS d FROM (
+              SELECT u AS n FROM e0 UNION ALL SELECT v FROM e0)
+            GROUP BY 1),
+    ks AS (SELECT unnest([10, 20, 40]) AS k),
+    rich AS (
+      SELECT ks.k, deg.n
+      FROM ks JOIN deg ON deg.d > ks.k),
+    nr AS (SELECT k, COUNT(*) AS n_rich FROM rich GROUP BY 1),
+    er AS (
+      SELECT r1.k, COUNT(*) AS e_rich
+      FROM e0
+      JOIN rich r1 ON r1.n = e0.u
+      JOIN rich r2 ON r2.n = e0.v AND r2.k = r1.k
+      GROUP BY 1)
+    SELECT CAST(nr.k AS INTEGER) AS k,
+           CAST(nr.n_rich AS BIGINT) AS n_rich,
+           CAST(COALESCE(er.e_rich, 0) AS BIGINT) AS edges_among_rich,
+           ROUND(COALESCE(er.e_rich, 0) * 2.0
+                 / (nr.n_rich * (nr.n_rich - 1)), 6) AS phi
+    FROM nr LEFT JOIN er ON er.k = nr.k
+    ORDER BY k
+    """,
+    doc="Rich-club coefficient of the co-purchase graph: for degree "
+    "thresholds k in {10, 20, 40}, the edge density phi(k) among "
+    "nodes of degree > k — rising phi means hubs preferentially "
+    "interconnect (the supply-chain/popularity core every power-law "
+    "graph analysis reports alongside assortativity). Plan: one "
+    "degree aggregate, the rich sets materialize as (k, node) rows "
+    "(3x fan-out of the hub slice only), and rich-edge counting is "
+    "two keyed joins of the edge list against them — no densification "
+    "beyond the hub-induced subgraph.",
+)
+def rich_club_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kyuubi_spark.caching import persisted
+    from kyuubi_spark.functions.compat import dround
+    from kyuubi_spark.session import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    a = li.select(F.col("l_orderkey").alias("k0"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("k0"), F.col("l_partkey").alias("v"))
+    e0 = persisted(
+        a.join(b, "k0").filter(F.col("u") < F.col("v")).select("u", "v")
+        .distinct()
+    )
+    deg = (
+        e0.select(F.col("u").alias("n"))
+        .unionAll(e0.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").alias("d"))
+    )
+    ks = F.explode(F.array(F.lit(10), F.lit(20), F.lit(40))).alias("k")
+    rich = persisted(
+        deg.select("n", "d", ks).filter(F.col("d") > F.col("k"))
+        .select("k", "n")
+    )
+    nr = rich.groupBy("k").agg(F.count("*").alias("n_rich"))
+    er = (
+        e0.join(rich.withColumnRenamed("n", "u"), "u")
+        .join(
+            rich.withColumnRenamed("n", "v").withColumnRenamed("k", "k2"),
+            "v",
+        )
+        .filter(F.col("k") == F.col("k2"))
+        .groupBy("k")
+        .agg(F.count("*").alias("e_rich"))
+    )
+    return (
+        nr.join(er, "k", "left")
+        .fillna(0, subset=["e_rich"])
+        .select(
+            F.col("k").cast("int").alias("k"),
+            F.col("n_rich").cast("bigint").alias("n_rich"),
+            F.col("e_rich").cast("bigint").alias("edges_among_rich"),
+            dround(
+                F.col("e_rich") * 2.0
+                / (F.col("n_rich") * (F.col("n_rich") - 1)),
+                6,
+            ).alias("phi"),
+        )
+        .orderBy("k")
+    )

@@ -74,6 +74,8 @@ ALLOWLIST = {
     "exact_topk_twopass": "final rank over the two-pass candidate set"
     " (<= 40 x partitions rows by construction - the long tail never"
     " reaches the window)",
+    "price_ending_bias": "top-5 rank over the <= 100 cent-ending"
+    " rollup rows (domain-bounded)",
 }
 
 

@@ -336,6 +336,7 @@ HEADLINE = [
     "cosine_threshold_pr_curve",
     "price_ending_bias",
     "rich_club_coefficient",
+    "spearman_rank_correlation",
 ]
 
 

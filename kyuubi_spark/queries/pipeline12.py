@@ -4581,3 +4581,78 @@ def rich_club_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("k")
     )
+
+
+@query(
+    "spearman_rank_correlation",
+    oracle="""
+    WITH per AS (
+      SELECT o_custkey,
+             SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS spend,
+             COUNT(*) AS n_orders
+      FROM orders GROUP BY 1),
+    j AS (
+      SELECT per.o_custkey, per.spend,
+             CAST(round(c.c_acctbal * 100, 0) AS BIGINT) AS bal
+      FROM per JOIN customer c ON c.c_custkey = per.o_custkey),
+    rk AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY spend, o_custkey) AS r1,
+             ROW_NUMBER() OVER (ORDER BY bal, o_custkey) AS r2,
+             COUNT(*) OVER () AS n
+      FROM j)
+    SELECT CAST(MAX(n) AS BIGINT) AS n_customers,
+           CAST(SUM((r1 - r2) * (r1 - r2)) AS BIGINT) AS sum_d2,
+           ROUND(1 - 6.0 * SUM((r1 - r2) * (r1 - r2))
+                 / (MAX(n) * (CAST(MAX(n) AS DOUBLE) * MAX(n) - 1)), 6)
+             AS spearman_rho
+    FROM rk
+    """,
+    doc="Spearman rank correlation between customer lifetime spend and "
+    "account balance: both variables rank on the DISTRIBUTED exact "
+    "multi-axis ranker (operators/ranking.py global_row_numbers — the "
+    "two axes share the same two bounded driver passes, rfm_segments "
+    "machinery; the oracle's single-partition ROW_NUMBERs replaced), "
+    "then rho = 1 - 6*sum(d^2)/(n(n^2-1)) from the EXACT integer "
+    "rank-difference sum — the outlier-robust correlation the Pearson "
+    "r of price_quantity_regression can't give. Ties broken by "
+    "custkey on both axes so ranks are identical cross-engine.",
+)
+def spearman_rank_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kyuubi_spark.functions.compat import dround
+    from kyuubi_spark.operators.ranking import global_row_numbers
+    from kyuubi_spark.session import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    per = orders.groupBy("o_custkey").agg(
+        F.sum(
+            F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+        ).alias("spend")
+    )
+    j = per.join(
+        cust.select(
+            "c_custkey",
+            F.round(F.col("c_acctbal") * 100, 0).cast("bigint").alias("bal"),
+        ),
+        F.col("o_custkey") == F.col("c_custkey"),
+    ).select("o_custkey", "spend", "bal")
+    ranked, n = global_row_numbers(
+        j,
+        {
+            "r1": [("spend", "asc"), ("o_custkey", "asc")],
+            "r2": [("bal", "asc"), ("o_custkey", "asc")],
+        },
+    )
+    d2 = ranked.agg(
+        F.sum(
+            (F.col("r1") - F.col("r2")) * (F.col("r1") - F.col("r2"))
+        ).alias("sum_d2")
+    )
+    nd = float(n)
+    return d2.select(
+        F.lit(n).cast("bigint").alias("n_customers"),
+        F.col("sum_d2").cast("bigint").alias("sum_d2"),
+        dround(
+            1 - 6.0 * F.col("sum_d2") / F.lit(nd * (nd * nd - 1)), 6
+        ).alias("spearman_rho"),
+    )

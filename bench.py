@@ -466,7 +466,7 @@ def _realtext_lane(spark) -> dict | None:
             print(f"# bench realtext import error {f}: {e}", file=sys.stderr)
             continue
         for attr, val in vars(mod).items():
-            if re.fullmatch(r"Q\w+", attr) and isinstance(val, str):
+            if re.fullmatch(r"Q\d+[a-z]?", attr) and isinstance(val, str):
                 texts[attr.lower()] = val
     if not texts:
         return None

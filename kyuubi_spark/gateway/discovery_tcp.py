@@ -89,6 +89,12 @@ class DiscoveryServer:
         self._seqs: dict[str, int] = {}
         self._counters: dict[str, int] = {}
         self._locks: dict[str, str] = {}  # lock path -> session id
+        # request-id dedup: a client that loses the connection AFTER the
+        # server applied a non-idempotent op (sequential create,
+        # get_and_increment) retries with the same rid; we answer from
+        # the cache instead of double-applying.  Bounded FIFO.
+        self._rid_cache: "dict[str, dict]" = {}
+        self._rid_order: list[str] = []
         self._stop = threading.Event()
         self._threads: list[threading.Thread] = []
 
@@ -130,15 +136,21 @@ class DiscoveryServer:
                 req = _recv_frame(conn)
                 if req is None:
                     break  # EOF/reset: the session is DEAD
+                rid = req.pop("rid", None)
+                cached = self._rid_lookup(rid) if rid else None
+                if cached is not None:
+                    _send_frame(conn, cached)
+                    continue
                 try:
                     value = self._dispatch(session, req)
-                    _send_frame(conn, {"ok": True, "value": value})
+                    frame = {"ok": True, "value": value}
                 except KeyError as e:
-                    _send_frame(
-                        conn, {"ok": False, "error": f"no node at {e}"}
-                    )
+                    frame = {"ok": False, "error": f"no node at {e}"}
                 except Exception as e:  # protocol-visible failure
-                    _send_frame(conn, {"ok": False, "error": str(e)})
+                    frame = {"ok": False, "error": str(e)}
+                if rid and self._rid_dedupable(req):
+                    self._rid_store(rid, frame)
+                _send_frame(conn, frame)
         except OSError:
             pass
         finally:
@@ -147,6 +159,34 @@ class DiscoveryServer:
                 conn.close()
             except OSError:
                 pass
+
+    def _rid_lookup(self, rid: str) -> dict | None:
+        with self._lock:
+            return self._rid_cache.get(rid)
+
+    def _rid_store(self, rid: str, frame: dict) -> None:
+        with self._lock:
+            if rid in self._rid_cache:
+                return
+            self._rid_cache[rid] = frame
+            self._rid_order.append(rid)
+            while len(self._rid_order) > 8192:
+                self._rid_cache.pop(self._rid_order.pop(0), None)
+
+    @staticmethod
+    def _rid_dedupable(req: dict) -> bool:
+        """EPHEMERAL creates are NOT deduped: the node died with the
+        session that applied it, so re-applying on the retry session is
+        the correct semantics (answering from cache would hand back a
+        path that no longer exists).  Everything else — including
+        sequential creates and counters — dedupes on rid."""
+        op = req.get("op")
+        if op == "create":
+            return not str(req.get("mode", "PERSISTENT")).upper(
+            ).startswith("EPHEMERAL")
+        # lock grants are session-scoped like ephemerals: a cached True
+        # from the dead session would lie about the NEW session's grant
+        return op not in ("ping", "lock_acquire", "lock_release")
 
     def _expire_session(self, session: str) -> None:
         """ZK session expiry: the session's ephemerals and lock grants
@@ -264,6 +304,15 @@ class TcpDiscoveryClient(DiscoveryClientOps):
     client creates (service nodes, lock grants) is deleted server-side
     the instant the socket dies — which is exactly when the owning
     process dies, however it dies.
+
+    ZK-connect-string failover: ``tcp://h1:p1,h2:p2`` names a primary
+    and any number of warm standbys (reference:
+    kyuubi-ha/src/main/scala/org/apache/kyuubi/ha/client/
+    DiscoveryClient.scala connect-string semantics).  Dialing — at
+    create_client and on every reconnect — tries each address in order
+    and sticks with the first that answers; ephemerals replay onto
+    whichever daemon accepted, so a dead primary costs one failed dial,
+    not an outage.
     """
 
     def __init__(
@@ -275,8 +324,11 @@ class TcpDiscoveryClient(DiscoveryClientOps):
         if not address.startswith("tcp://"):
             raise ValueError(f"not a tcp discovery address: {address}")
         self._path = address  # forwarded to launched engines verbatim
-        host, port = address[len("tcp://"):].rsplit(":", 1)
-        self._addr = (host, int(port))
+        self._addrs: list[tuple[str, int]] = []
+        for hostport in address[len("tcp://"):].split(","):
+            host, port = hostport.strip().rsplit(":", 1)
+            self._addrs.append((host, int(port)))
+        self._addr_idx = 0  # last address that answered
         self._sock: socket.socket | None = None
         self._lock = threading.RLock()
         # crash recovery (the ZK-client reconnect + Curator PersistentNode
@@ -285,10 +337,30 @@ class TcpDiscoveryClient(DiscoveryClientOps):
         # and comes back — a restarted (empty) registry repopulates from
         # its surviving owners, no operator intervention
         self._ephemerals: dict[str, dict] = {}
+        # sequential replays get fresh suffixes; callers holding the old
+        # path still need delete()/set_data()/get_data() to land on the
+        # live node, so renames are tracked here (old -> current)
+        self._replay_aliases: dict[str, str] = {}
+        self._created = False  # survives _sock=None: "should reconnect"
         self._reconnect_timeout = reconnect_timeout
         self._keepalive = keepalive
         self._keepalive_thread: threading.Thread | None = None
         self._closed = threading.Event()
+
+    def _dial(self) -> socket.socket:
+        """Try every address in the connect string, starting from the
+        last one that answered; first to accept wins."""
+        n = len(self._addrs)
+        last: OSError | None = None
+        for k in range(n):
+            i = (self._addr_idx + k) % n
+            try:
+                sock = socket.create_connection(self._addrs[i], timeout=30)
+                self._addr_idx = i
+                return sock
+            except OSError as e:
+                last = e
+        raise last if last is not None else OSError("no discovery address")
 
     # --- lifecycle ---
 
@@ -297,7 +369,8 @@ class TcpDiscoveryClient(DiscoveryClientOps):
             if self._sock is not None:
                 return
             self._closed.clear()
-            self._sock = socket.create_connection(self._addr, timeout=30)
+            self._sock = self._dial()
+            self._created = True
         if self._keepalive and self._keepalive_thread is None:
             t = threading.Thread(target=self._keepalive_loop, daemon=True)
             t.start()
@@ -308,6 +381,8 @@ class TcpDiscoveryClient(DiscoveryClientOps):
         with self._lock:
             self._keepalive_thread = None
             self._ephemerals.clear()
+            self._replay_aliases.clear()
+            self._created = False
             if self._sock is None:
                 return
             try:
@@ -334,11 +409,14 @@ class TcpDiscoveryClient(DiscoveryClientOps):
         return resp
 
     def _reconnect_and_replay(self) -> None:
-        """Called under self._lock after a send/recv failure: dial the
-        SAME address until the daemon answers (it restarts on a fixed
-        port), then replay this session's ephemerals.  Sequential nodes
-        get fresh suffixes, exactly as a Curator PersistentNode would;
-        the registered-service pointer follows its node."""
+        """Called under self._lock after a send/recv failure: dial every
+        address in the connect string (a restarted primary comes back on
+        its fixed port; a warm standby answers immediately) until one
+        accepts, then replay this session's ephemerals onto it.
+        Sequential nodes get fresh suffixes, exactly as a Curator
+        PersistentNode would; the registered-service pointer follows its
+        node and renames are recorded in _replay_aliases so callers
+        holding old paths keep working."""
         if self._sock is not None:
             try:
                 self._sock.close()
@@ -351,7 +429,7 @@ class TcpDiscoveryClient(DiscoveryClientOps):
             if self._closed.is_set():
                 raise DiscoveryStoreError("client closed during reconnect")
             try:
-                self._sock = socket.create_connection(self._addr, timeout=30)
+                self._sock = self._dial()
                 break
             except OSError:
                 if time.time() >= deadline:
@@ -372,16 +450,36 @@ class TcpDiscoveryClient(DiscoveryClientOps):
                 continue  # e.g. parent namespace gone: node stays dropped
             new_path = resp.get("value")
             self._ephemerals[new_path] = req
+            if new_path != old_path:
+                # flatten chains so every recorded alias points at the
+                # CURRENT path even after repeated daemon deaths
+                for k, v in list(self._replay_aliases.items()):
+                    if v == old_path:
+                        self._replay_aliases[k] = new_path
+                self._replay_aliases[old_path] = new_path
             if getattr(self, "_registered", None) == old_path:
                 self._registered = new_path
 
+    def _alias(self, path: str) -> str:
+        """Translate a pre-replay path to its live replayed node."""
+        with self._lock:
+            return self._replay_aliases.get(path, path)
+
     def _call(self, op: str, **kwargs):
-        payload = {"op": op, **kwargs}
+        # rid: the server answers a RETRIED non-idempotent op (sequential
+        # create, get_and_increment) from its dedup cache instead of
+        # applying it twice when the first response was lost in transit
+        payload = {"op": op, "rid": uuid.uuid4().hex, **kwargs}
         with self._lock:
             if self._sock is None:
-                raise DiscoveryStoreError(
-                    "client not created (create_client())"
-                )
+                if not self._created:
+                    raise DiscoveryStoreError(
+                        "client not created (create_client())"
+                    )
+                # a previous reconnect attempt exhausted its deadline and
+                # left us disconnected: keep re-dialing (this is what
+                # lets the keepalive ping revive a long daemon outage)
+                self._reconnect_and_replay()
             try:
                 resp = self._rpc_once(payload)
             except OSError:
@@ -418,12 +516,14 @@ class TcpDiscoveryClient(DiscoveryClientOps):
         return out
 
     def get_data(self, path: str) -> bytes:
-        return base64.b64decode(self._call("get_data", path=path))
+        return base64.b64decode(
+            self._call("get_data", path=self._alias(path))
+        )
 
     def set_data(self, path: str, data: bytes) -> bool:
         return self._call(
             "set_data",
-            path=path,
+            path=self._alias(path),
             data=base64.b64encode(data).decode("ascii"),
         )
 
@@ -440,9 +540,12 @@ class TcpDiscoveryClient(DiscoveryClientOps):
         return self._call("path_non_exists", path=path, is_prefix=is_prefix)
 
     def delete(self, path: str, delete_children: bool = False) -> None:
-        self._call("delete", path=path, delete_children=delete_children)
+        live = self._alias(path)
+        self._call("delete", path=live, delete_children=delete_children)
         with self._lock:
+            self._ephemerals.pop(live, None)
             self._ephemerals.pop(path, None)
+            self._replay_aliases.pop(path, None)
 
     # --- locking: a grant dies with this session, no TTL steal needed ---
 

@@ -438,8 +438,8 @@ def kcore_peel_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ohlc_daily_value",
     oracle="""
     WITH k AS (
-      SELECT *, (epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01'))
-                * 1000000 + event_id AS ord
+      SELECT *, epoch_us(ts)::HUGEINT * 9223372036854775808::HUGEINT
+                + event_id AS ord
       FROM events)
     SELECT CAST(ts AS DATE) AS day,
            ROUND(arg_min(value, ord), 6) AS open,
@@ -454,7 +454,10 @@ def kcore_peel_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     "first (open) and last (close) value under the total (ts, event_id) "
     "order plus high/low/volume — the time-series downsampling shape "
     "every metrics store serves. Spark side uses min_by/max_by over a "
-    "packed (ts, event_id) ordering struct, so the whole query is ONE "
+    "(ts, event_id) ordering STRUCT — no integer packing, so no "
+    "overflow at any event span or event_id range (the DuckDB oracle "
+    "packs the same order into a HUGEINT with a 2^63 multiplier, exact "
+    "for every int64 event_id) — so the whole query is ONE "
     "map-side-combinable keyed aggregate: no window, no sort of the "
     "raw stream, one shuffle of 30 daily partials per executor.",
 )
@@ -463,17 +466,9 @@ def ohlc_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kyuubi_spark.session import load_table
 
     ev = load_table(spark, sf_dir, "events")
-    # packed total order (micros since 2024-01-01, event_id tiebreak):
-    # ONE bigint both engines order identically
-    base = F.lit("2024-01-01").cast("timestamp")
-    key = (
-        (
-            F.unix_micros(F.col("ts").cast("timestamp"))
-            - F.unix_micros(base)
-        )
-        * F.lit(1000000)
-        + F.col("event_id")
-    )
+    # struct total order (ts micros, event_id tiebreak): lexicographic
+    # struct comparison matches the oracle's HUGEINT-packed order
+    key = F.struct(F.col("ts").cast("timestamp"), F.col("event_id"))
     return (
         ev.groupBy(F.col("ts").cast("date").alias("day"))
         .agg(

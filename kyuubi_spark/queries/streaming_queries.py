@@ -1033,8 +1033,8 @@ def stream_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream_ohlc_daily",
     oracle="""
     WITH k AS (
-      SELECT *, (epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01'))
-                * 1000000 + event_id AS ord
+      SELECT *, epoch_us(ts)::HUGEINT * 9223372036854775808::HUGEINT
+                + event_id AS ord
       FROM events)
     SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
            ROUND(arg_min(value, ord), 6) AS open,
@@ -1046,25 +1046,21 @@ def stream_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Streaming OHLC candlestick maintenance: per day window the "
     "state holds (argmin-key open, max, min, argmax-key close, count) "
-    "— min_by/max_by over the packed (micros, event_id) total order "
-    "are INCREMENTALLY MAINTAINABLE aggregates (each update keeps one "
+    "— min_by/max_by over the (ts, event_id) total order are "
+    "INCREMENTALLY MAINTAINABLE aggregates (each update keeps one "
     "champion row per window), so the live candlestick costs O(windows)"
-    " state, never a sort or a replay of the stream. The batch sibling "
-    "(ohlc_daily_value) is the oracle shape; replay-verified exact.",
+    " state, never a sort or a replay of the stream. Spark orders by a "
+    "STRUCT key (no integer packing, so no overflow at any event span "
+    "or event_id range); the DuckDB oracle packs the same order into a "
+    "HUGEINT with a 2^63 multiplier, exact for every int64 event_id. "
+    "The batch sibling (ohlc_daily_value) is the oracle shape; "
+    "replay-verified exact.",
 )
 def stream_ohlc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kyuubi_spark.streaming.runner import run_to_memory
 
     stream = _events_stream(spark, sf_dir)
-    base = F.lit("2024-01-01").cast("timestamp")
-    ordk = (
-        (
-            F.unix_micros(F.col("ts").cast("timestamp"))
-            - F.unix_micros(base)
-        )
-        * F.lit(1000000)
-        + F.col("event_id")
-    )
+    ordk = F.struct(F.col("ts").cast("timestamp"), F.col("event_id"))
     agged = (
         stream.withColumn("ord", ordk)
         .groupBy(F.window("ts", "1 day").alias("win"))

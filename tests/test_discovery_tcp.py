@@ -413,3 +413,151 @@ def test_daemon_kill9_restart_reregisters_and_resolves(spark):
             pass
         proc.kill()
         proc.wait(timeout=10)
+
+
+def _free_port() -> int:
+    import socket as _socket
+
+    with _socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def test_outage_longer_than_reconnect_timeout_recovers():
+    """A daemon outage LONGER than one reconnect_timeout must not brick
+    the client: after an exhausted reconnect attempt leaves the socket
+    down, the next call (the keepalive ping in production) re-dials
+    instead of failing fast with 'client not created', and the
+    ephemeral replays once the daemon returns.  Replayed sequential
+    nodes get fresh suffixes; callers holding the OLD path are
+    translated by the alias map in get_data/set_data/delete."""
+    port = _free_port()
+    proc = _spawn_daemon(port)
+    c = TcpDiscoveryClient(
+        f"tcp://127.0.0.1:{port}", keepalive=0.1, reconnect_timeout=0.5
+    )
+    c.create_client()
+    try:
+        # two sequential ephemerals; dropping the first forces the
+        # survivor to get a DIFFERENT suffix on the restarted daemon
+        e0 = c.create("/kyuubi/out/e-", "EPHEMERAL_SEQUENTIAL", data=b"a")
+        e1 = c.create("/kyuubi/out/e-", "EPHEMERAL_SEQUENTIAL", data=b"b")
+        c.delete(e0)
+
+        os.kill(proc.pid, signal.SIGKILL)
+        proc.wait(timeout=10)
+        # let several keepalive ticks exhaust their reconnect deadlines
+        time.sleep(1.5)
+        with pytest.raises(DiscoveryStoreError) as ei:
+            c.path_exists("/kyuubi/out")
+        assert "not created" not in str(ei.value)  # it kept re-dialing
+
+        proc = _spawn_daemon(port)
+        deadline = time.time() + 10
+        kids = []
+        while time.time() < deadline:
+            try:
+                kids = c.get_children("/kyuubi/out")
+            except DiscoveryStoreError:
+                kids = []
+            if kids:
+                break
+            time.sleep(0.1)
+        assert len(kids) == 1
+        new_path = "/kyuubi/out/" + kids[0]
+        assert new_path != e1  # fresh daemon, fresh suffix
+        # old-path callers keep working through the alias map
+        assert c.get_data(e1) == b"b"
+        assert c.set_data(e1, b"b2")
+        assert c.get_data(new_path) == b"b2"
+        c.delete(e1)
+        assert c.get_children("/kyuubi/out") == []
+    finally:
+        c.close_client()
+        proc.kill()
+        proc.wait(timeout=10)
+
+
+def test_rid_dedup_makes_retries_safe(server):
+    """A retried request (same rid — what _call resends after a
+    reconnect when the first response was lost in transit) must not
+    double-apply non-idempotent ops: the server answers the duplicate
+    from its dedup cache."""
+    c = _client(server)
+    try:
+        # counter: duplicate rid returns the SAME pre-increment value
+        p1 = {"op": "get_and_increment", "path": "/ctr", "delta": 1,
+              "rid": "rid-ctr"}
+        r1 = c._rpc_once(dict(p1))
+        r2 = c._rpc_once(dict(p1))
+        assert r1 == r2 and r1["value"] == 0
+        fresh = c.get_and_increment("/ctr")
+        assert fresh == 1  # applied exactly once
+
+        # sequential create: duplicate rid returns the SAME path, one node
+        p2 = {"op": "create", "path": "/kyuubi/rid/n-",
+              "mode": "PERSISTENT_SEQUENTIAL", "data": "",
+              "create_parent": True, "rid": "rid-seq"}
+        s1 = c._rpc_once(dict(p2))["value"]
+        s2 = c._rpc_once(dict(p2))["value"]
+        assert s1 == s2
+        assert c.get_children("/kyuubi/rid") == [s1.rsplit("/", 1)[-1]]
+    finally:
+        c.close_client()
+
+
+def test_warm_standby_failover(spark):
+    """VERDICT r11 #5: a ZK-connect-string standby (tcp://h:p1,h:p2)
+    removes the single-daemon dead window — when the primary dies, the
+    gateway's client fails over to the standby on the next call,
+    replays its ephemeral registration there, and NEW sessions open
+    through the standby without any engine restart."""
+    from kyuubi_spark.client import dbapi, ha
+    from kyuubi_spark.gateway.server_main import KyuubiServer
+
+    port1 = _free_port()
+    primary = _spawn_daemon(port1)
+    standby = DiscoveryServer().start()  # in-process survivor
+    connstr = f"tcp://127.0.0.1:{port1},{standby.host}:{standby.port}"
+
+    disco = connect_discovery(connstr)
+    disco.create_client()
+    assert disco._addr_idx == 0  # registered through the primary
+    srv = KyuubiServer(spark, discovery=disco).start()
+    try:
+        endpoint = srv.endpoints()["thrift_binary"]
+        assert ha.discover_servers(connstr) == [endpoint]
+
+        os.kill(primary.pid, signal.SIGKILL)
+        primary.wait(timeout=10)
+
+        # the gateway's keepalive fails over + replays onto the standby
+        deadline = time.time() + 15
+        live = []
+        while time.time() < deadline:
+            try:
+                live = ha.discover_servers(connstr)
+            except DiscoveryStoreError:
+                live = []
+            if live == [endpoint]:
+                break
+            time.sleep(0.2)
+        assert live == [endpoint]
+        assert disco._addr_idx == 1  # it is the STANDBY answering now
+
+        conn = dbapi.connect(discovery=connstr, user="standby_user")
+        cur = conn.cursor()
+        cur.execute("SELECT 'standby' AS s")
+        assert cur.fetchall() == [("standby",)]
+        conn.close()
+    finally:
+        try:
+            srv.stop()
+        except Exception:
+            pass
+        try:
+            disco.close_client()
+        except Exception:
+            pass
+        primary.kill()
+        standby.stop()

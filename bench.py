@@ -395,8 +395,71 @@ DROP_ORDER = [
 MAX_LINE = 1900
 
 
+# --- load telemetry (r11 judge Next #1) -----------------------------------
+# The r11 driver sweep ran on a loaded box and its single-shot numbers were
+# 2-3.5x inflated on a third of the repeat lane; adjudicating that required
+# a judge-side idle-box re-run. Recording loadavg + /proc/stat CPU-busy
+# around EVERY lane lets a >1.5x mover under load>cpus self-clear from the
+# artifact alone.
+
+def _ncpu() -> int:
+    try:
+        return int(os.environ.get("SPARK_GRAFT_CPUS", "") or 0) or (
+            os.cpu_count() or 32
+        )
+    except ValueError:
+        return os.cpu_count() or 32
+
+
+def _cpu_ticks() -> tuple[int, int] | None:
+    """(total, idle+iowait) jiffies from /proc/stat, or None off-Linux."""
+    try:
+        with open("/proc/stat") as f:
+            vals = [int(x) for x in f.readline().split()[1:]]
+        idle = vals[3] + (vals[4] if len(vals) > 4 else 0)
+        return sum(vals), idle
+    except (OSError, ValueError, IndexError):
+        return None
+
+
+def _load_1m() -> float:
+    try:
+        return round(os.getloadavg()[0], 2)
+    except OSError:
+        return -1.0
+
+
+def _load_begin() -> dict:
+    return {"t": time.time(), "ticks": _cpu_ticks(), "load": _load_1m()}
+
+
+def _load_end(begin: dict) -> dict:
+    """Per-lane telemetry: loadavg(1m) at both ends + whole-box CPU-busy%
+    over the lane (includes our own work — the diagnostic signal is
+    loadavg vs ncpu: a quiet box running local[N] sits near N, a loaded
+    box sits well above it)."""
+    out = {
+        "loadavg_1m_start": begin["load"],
+        "loadavg_1m_end": _load_1m(),
+        "wall_sec": round(time.time() - begin["t"], 1),
+        "ncpu": _ncpu(),
+    }
+    t1 = _cpu_ticks()
+    if begin["ticks"] and t1:
+        dt = t1[0] - begin["ticks"][0]
+        didle = t1[1] - begin["ticks"][1]
+        if dt > 0:
+            out["cpu_busy_pct"] = round(100.0 * (1.0 - didle / dt), 1)
+    return out
+
+
 def _stdout_payload(
-    timings: dict[str, float], total: float, sf, realtext: dict | None = None
+    timings: dict[str, float],
+    total: float,
+    sf,
+    realtext: dict | None = None,
+    lane_load: dict | None = None,
+    movers_detail: dict | None = None,
 ) -> str:
     """Compact JSON line ≤ MAX_LINE chars; drops cheap entries if needed
     (failures, marked -1.0, are never dropped)."""
@@ -413,6 +476,25 @@ def _stdout_payload(
         payload["realtext_sec"] = realtext["value"]
         payload["realtext_n"] = realtext["n_queries"]
         payload["realtext_failed"] = realtext["n_failed"]
+    if lane_load:
+        # [loadavg1m_start, loadavg1m_end, cpu_busy_pct] per lane — the
+        # full dicts live in BENCH_DETAIL["load"]
+        payload["load_ncpu"] = _ncpu()
+        payload["load"] = {
+            k: [
+                v.get("loadavg_1m_start"),
+                v.get("loadavg_1m_end"),
+                v.get("cpu_busy_pct"),
+            ]
+            for k, v in lane_load.items()
+        }
+    if movers_detail is not None:
+        payload["movers_quiet_moved"] = sum(
+            1 for m in movers_detail.values() if m["moved_while_quiet"]
+        )
+        payload["movers_load_noise"] = sum(
+            1 for m in movers_detail.values() if not m["moved_while_quiet"]
+        )
     # Drop order: the curated cheap list first, then (if the registry has
     # outgrown it) remaining successful entries cheapest-first. Failures
     # (-1.0) are never dropped.
@@ -1000,10 +1082,13 @@ def main() -> None:
             # sequential queries don't accumulate cached partitions
             release_caches()
 
+    lane_load: dict[str, dict] = {}
+    _lb = _load_begin()
     timings: dict[str, float] = {}
     for name in HEADLINE:
         if name in specs:
             timings[name] = run_one(name)
+    lane_load["headline"] = _load_end(_lb)
 
     # Noise-floor lane: re-run the slowest TOP_K queries twice more and
     # report their MEDIAN (machine-load spikes during a 260+-query sweep
@@ -1015,7 +1100,10 @@ def main() -> None:
     repeats_n = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
     top_k = int(os.environ.get("SPARK_GRAFT_BENCH_TOPK", "25"))
     repeats: dict[str, list[float]] = {}
+    repeat_load_1m: dict[str, list[float]] = {}
     movers: dict[str, float] = {}
+    movers_detail: dict[str, dict] = {}
+    _lb = _load_begin()
     if repeats_n > 1 and top_k > 0:
         slowest = sorted(
             (n for n, v in timings.items() if v >= 0),
@@ -1038,22 +1126,56 @@ def main() -> None:
                 slowest.append(name)
         for name in slowest:
             samples = [timings[name]]
+            loads = []
             for _ in range(repeats_n - 1):
-                s = run_one(name)
+                loads.append(_load_1m())  # concurrent-load sample taken
+                s = run_one(name)         # immediately before this rerun
                 if s >= 0:
                     samples.append(s)
             repeats[name] = samples
+            repeat_load_1m[name] = loads
             timings[name] = round(sorted(samples)[len(samples) // 2], 3)
+        # movers table, adjudicable from the artifact alone (r11 judge):
+        # separate "moved" (single shot, any load) from "moved-while-quiet"
+        # (median still >1.5x AND every concurrent load sample <= ~ncpu —
+        # the only rows that indicate a real regression)
+        ncpu = _ncpu()
+        for name, r0 in movers.items():
+            pv = prior.get(name)
+            med = timings[name]
+            ratio_med = round(med / pv, 2) if pv and pv > 0 else None
+            loads = repeat_load_1m.get(name, [])
+            quiet = bool(loads) and max(loads) <= ncpu * 1.1
+            movers_detail[name] = {
+                "ratio_single_shot": r0,
+                "ratio_median": ratio_med,
+                "load_1m_samples": loads,
+                "quiet": quiet,
+                "moved_while_quiet": bool(
+                    quiet
+                    and ratio_med is not None
+                    and (ratio_med > 1.5 or ratio_med < 1 / 1.5)
+                ),
+            }
+    lane_load["repeats"] = _load_end(_lb)
 
     ok = {k: v for k, v in timings.items() if v >= 0}
     total = round(sum(ok.values()), 3)
     sf_name = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     sf = float(sf_name) if sf_name.replace(".", "").isdigit() else sf_name
 
+    _lb = _load_begin()
     realtext = _realtext_lane(spark)
+    lane_load["realtext"] = _load_end(_lb)
+    _lb = _load_begin()
     zorder = _zorder_lane(spark)
+    lane_load["zorder"] = _load_end(_lb)
+    _lb = _load_begin()
     kernels = _baseline_kernels_lane(spark)
+    lane_load["baseline_kernels"] = _load_end(_lb)
+    _lb = _load_begin()
     sf1 = _sf1_scale_lane(spark, specs, timings, sf_dir)
+    lane_load["sf1"] = _load_end(_lb)
 
     # Full-resolution per-query timings for the judge / local diffing.
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
@@ -1070,6 +1192,8 @@ def main() -> None:
                     "n_failed": len(timings) - len(ok),
                     "repeats": repeats,
                     "movers": movers,
+                    "movers_detail": movers_detail,
+                    "load": lane_load,
                     "realtext": realtext,
                     "zorder": zorder,
                     "baseline_kernels": kernels,
@@ -1081,7 +1205,11 @@ def main() -> None:
     except OSError as e:
         print(f"# bench detail write failed: {e}", file=sys.stderr)
 
-    print(_stdout_payload(timings, total, sf, realtext))
+    print(
+        _stdout_payload(
+            timings, total, sf, realtext, lane_load, movers_detail
+        )
+    )
 
 
 if __name__ == "__main__":

@@ -40,6 +40,9 @@ def main() -> None:
     ok &= run(f"verify {sf}", [sys.executable, "tools/verify.py", sf])
     ok &= run("window audit", [sys.executable, "tools/window_audit.py"])
     ok &= run(
+        "plans drift", [sys.executable, "tools/plan_report.py", "--check"]
+    )
+    ok &= run(
         "blast radius",
         [sys.executable, "-m", "kyuubi_spark.queries.blast", "--check"],
     )

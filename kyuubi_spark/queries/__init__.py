@@ -104,6 +104,7 @@ def all_queries() -> dict[str, QuerySpec]:
         pipeline10,
         pipeline11,
         pipeline12,
+        pipeline13,
         sql4,
         sqludf,
         tpcds,

@@ -47,6 +47,7 @@ HEADLINE = [
     "pipeline_refresh_funnel",
     "pipeline_incremental_refresh",
     "pipeline_mixture_refresh",
+    "pipeline_refresh_neardup",
     "sequence_packing",
     "dedup_minhash_lsh",
     "dedup_components",

@@ -366,3 +366,112 @@ def pipeline_mixture_refresh(
         )
         .orderBy("source")
     )
+
+
+# the near-dup stage reuses pipeline.py's shared MinHash CTE so the two
+# modules can never drift apart on signature/banding parameters
+from kyuubi_spark.queries.pipeline import _MINHASH_PAIRS_CTE  # noqa: E402
+
+
+@query(
+    "pipeline_refresh_neardup",
+    oracle=f"""
+    WITH {_MINHASH_PAIRS_CTE},{_REFRESH_CTE},
+    pairs2 AS (
+      SELECT a_id AS x, b_id AS y FROM dup_pairs
+      UNION ALL
+      SELECT b_id AS x, a_id AS y FROM dup_pairs),
+    nd AS (
+      SELECT DISTINCT s.doc_id
+      FROM staged s
+      JOIN pairs2 p ON p.x = s.doc_id
+      JOIN base b ON b.doc_id = p.y
+      WHERE s.outcome = 'accepted')
+    SELECT s.source,
+           CAST(COUNT(*) AS BIGINT) AS n_bow_accepted,
+           CAST(SUM(CASE WHEN nd.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_near_dup_vs_base,
+           CAST(SUM(CASE WHEN nd.doc_id IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_final,
+           CAST(COALESCE(SUM(CASE WHEN nd.doc_id IS NULL
+                                  THEN s.n_tokens END), 0)
+                AS BIGINT) AS final_tokens
+    FROM staged s LEFT JOIN nd ON nd.doc_id = s.doc_id
+    WHERE s.outcome = 'accepted'
+    GROUP BY s.source ORDER BY s.source
+    """,
+    doc="The refresh funnel's FOURTH stage: survivors of quality gate + "
+    "both bag-of-words dedup stages are near-dup-checked against the "
+    "existing corpus with the standard MinHash-LSH kernel (16 hashes, "
+    "8 bands, exact Jaccard >= 1/4 verification on candidates) — the "
+    "full curation chain a production refresh runs, as ONE query. The "
+    "LSH band join is ASYMMETRIC (accepted x corpus orientations only "
+    "survive the label filter), so the near-dup cost scales with BATCH "
+    "size, not corpus^2; signatures are computed once over one shared "
+    "shingle relation. Per-source report: BOW-accepted, near-dup "
+    "rejects, final accepts + final token yield.",
+)
+def pipeline_refresh_neardup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from kyuubi_spark.functions import dedup as D
+
+    base, staged = _refresh_parts(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        F.col("doc_id").alias("id"),
+        F.explode(D.shingles_arrow(3)(F.col("text"))).alias("g"),
+    ).localCheckpoint()
+    cand = D.lsh_candidate_pairs(
+        docs, n=3, num_hashes=16, bands=8, shingle_df=sh
+    )
+    acc = staged.filter(F.col("outcome") == "accepted").localCheckpoint()
+    labels = acc.select(
+        "doc_id", F.lit("acc").alias("lab")
+    ).unionAll(base.select("doc_id", F.lit("base").alias("lab")))
+    mixed = (
+        cand.join(
+            labels.select(
+                F.col("doc_id").alias("a_id"), F.col("lab").alias("la")
+            ),
+            "a_id",
+        )
+        .join(
+            labels.select(
+                F.col("doc_id").alias("b_id"), F.col("lab").alias("lb")
+            ),
+            "b_id",
+        )
+        .filter(F.col("la") != F.col("lb"))
+        .select("a_id", "b_id")
+    )
+    verified = D.jaccard_pairs(
+        docs, mixed, n=3, tau_num=1, tau_den=4, shingle_df=sh
+    ).select("a_id", "b_id")
+    acc_ids = acc.select("doc_id")
+    nd = (
+        verified.select(F.col("a_id").alias("doc_id"))
+        .unionAll(verified.select(F.col("b_id").alias("doc_id")))
+        .join(acc_ids, "doc_id", "left_semi")
+        .distinct()
+        .withColumn("is_nd", F.lit(True))
+    )
+    rejected = F.col("is_nd").isNotNull().cast("long")
+    return (
+        acc.join(nd, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_bow_accepted"),
+            F.sum(rejected).alias("n_near_dup_vs_base"),
+            F.sum(1 - rejected).alias("n_final"),
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("is_nd").isNull(), F.col("n_tokens"))
+                ),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("final_tokens"),
+        )
+        .orderBy("source")
+    )

@@ -256,6 +256,7 @@ HEADLINE = [
     "weighted_sample_ares",
     "stream_transition_counts",
     "stream_transition_counts_ttl",
+    "stream_refresh_accept",
     "simpson_reversal_audit",
     "quantile_shift_report",
     "revenue_autocorrelation",

@@ -475,3 +475,155 @@ def pipeline_refresh_neardup(
         )
         .orderBy("source")
     )
+
+
+@query(
+    "stream_refresh_accept",
+    oracle=f"""
+    WITH {_REFRESH_CTE},
+    acc AS (
+      SELECT q.source, q.n_tokens,
+             (q.ok AND NOT EXISTS
+                (SELECT 1 FROM base b WHERE b.fp = q.fp)) AS accepted
+      FROM q)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_seen,
+           CAST(SUM(CASE WHEN accepted THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_accepted,
+           CAST(COALESCE(SUM(CASE WHEN accepted THEN n_tokens END), 0)
+                AS BIGINT) AS new_tokens
+    FROM acc GROUP BY source ORDER BY source
+    """,
+    doc="The STREAMING form of the refresh funnel — what an always-on "
+    "ingest job runs: the incoming batch replays as 4 in-order "
+    "microbatches; each batch computes quality signals + the "
+    "bag-of-words fingerprint as map-only expressions, drops "
+    "quality-fails, anti-joins the STATIC corpus fingerprint relation "
+    "(stream-static left anti — the vs-corpus dedup stage, one "
+    "fp-keyed join per microbatch, no corpus re-scan of state), and "
+    "maintains running per-source accept totals in windowless "
+    "complete-mode state (O(sources) rows). Within-stream dedup is "
+    "deliberately NOT chained here (two stateful layers in one "
+    "streaming query; the batch funnel covers it) — the oracle "
+    "replicates exactly that contract. Replay-verified vs the batch "
+    "quality + anti-join equivalent.",
+)
+def stream_refresh_accept(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    from kyuubi_spark.session import ensure_runtime_confs
+    from kyuubi_spark.streaming.runner import run_to_memory
+
+    ensure_runtime_confs(spark)
+    base, _ = _refresh_parts(spark, sf_dir)
+    base_fps = base.select("fp").distinct()
+    docs = load_table(spark, sf_dir, "documents")
+    is_inc = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("ingest-v1"), F.col("doc_id").cast("string")
+                    ).cast("binary")
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 5
+        == 0
+    )
+    incoming = docs.filter(is_inc).select("doc_id", "source", "text")
+    work = tempfile.mkdtemp(prefix="kyuubi_stream_refresh_")
+    src = os.path.join(work, "src")
+    os.makedirs(src)
+    try:
+        t0 = _time.time() - 1000
+        # 4 doc_id-range microbatches, replayed in order (mtime-pinned)
+        bounds = incoming.agg(
+            F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx")
+        )
+        sliced = incoming.join(F.broadcast(bounds)).withColumn(
+            "sl",
+            1
+            + F.least(
+                F.lit(3),
+                F.floor(
+                    4.0
+                    * (F.col("doc_id") - F.col("mn"))
+                    / (F.col("mx") - F.col("mn") + 1)
+                ).cast("long"),
+            ),
+        )
+        for pos in range(1, 5):
+            d = os.path.join(work, f"b{pos}")
+            sliced.filter(F.col("sl") == pos).select(
+                "doc_id", "source", "text"
+            ).coalesce(1).write.parquet(d)
+            part = [
+                p for p in os.listdir(d) if p.endswith(".parquet")
+            ][0]
+            dst = os.path.join(src, f"batch-{pos}.parquet")
+            shutil.copy(os.path.join(d, part), dst)
+            os.utime(dst, (t0 + pos * 60, t0 + pos * 60))
+        stream = (
+            spark.readStream.schema(
+                incoming.schema
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        bow_fp = F.md5(
+            F.concat_ws(
+                " ",
+                F.array_sort(
+                    F.array_distinct(
+                        F.split(F.lower(F.trim(F.col("text"))), " ")
+                    )
+                ),
+            ).cast("binary")
+        )
+        sig = stream.select(
+            "source",
+            bow_fp.alias("fp"),
+            T.token_count("text").alias("n_tokens"),
+            T.stopword_ratio("text").alias("stop_ratio"),
+            T.repetition_ratio("text").alias("rep_ratio"),
+        )
+        ok = sig.filter(
+            (F.col("stop_ratio") >= 0.05)
+            & (F.col("n_tokens") >= 10)
+            & (F.col("rep_ratio") <= 0.8)
+        )
+        fresh = ok.join(base_fps, "fp", "left_anti")
+        agged = fresh.groupBy("source").agg(
+            F.count("*").alias("n_accepted"),
+            F.sum("n_tokens").cast("bigint").alias("new_tokens"),
+        )
+        snap = run_to_memory(agged, output_mode="complete")
+        # n_seen (pre-gate) comes from the bounded batch side: the
+        # stream only carries survivors; the oracle reports both
+        seen = incoming.groupBy("source").agg(
+            F.count("*").alias("n_seen")
+        )
+        return (
+            seen.join(snap, "source", "left")
+            .select(
+                "source",
+                F.col("n_seen").cast("bigint").alias("n_seen"),
+                F.coalesce(F.col("n_accepted"), F.lit(0))
+                .cast("bigint")
+                .alias("n_accepted"),
+                F.coalesce(F.col("new_tokens"), F.lit(0))
+                .cast("bigint")
+                .alias("new_tokens"),
+            )
+            .orderBy("source")
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

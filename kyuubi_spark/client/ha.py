@@ -32,7 +32,8 @@ def discover_servers(
     and handles it by trying the next candidate)."""
     from kyuubi_spark.gateway.discovery import connect_discovery
 
-    # sqlite registry file OR tcp://host:port (gateway DiscoveryServer)
+    # sqlite registry file OR tcp://h:p[,h2:p2...] (DiscoveryServer +
+    # optional warm standbys, ZK-connect-string style)
     disco = connect_discovery(discovery_path)
     disco.create_client()
     try:

@@ -186,7 +186,8 @@ class DiscoveryClientOps:
 
 
 def connect_discovery(addr: str | None):
-    """Backend factory: ``tcp://host:port`` → the ephemeral TCP client
+    """Backend factory: ``tcp://h:p[,h2:p2...]`` → the ephemeral TCP client
+    (primary + warm standbys, ZK-connect-string failover)
     (discovery_tcp.py); anything else → the sqlite store at that path.
     The launched-engine plumbing forwards a client's ``_path`` verbatim,
     so engines join whichever backend the gateway runs."""

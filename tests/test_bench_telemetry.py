@@ -53,7 +53,11 @@ def test_stdout_payload_carries_load_and_movers_and_parses():
 
 def test_second_decade_bounds_are_sane():
     # every second-decade query documents a bound >= 1 (sublinear claims
-    # would make the gate vacuous) and triangle keeps its O(E^1.5) bound
+    # would make the gate vacuous); triangle keeps its O(E^1.5) bound and
+    # only the pair-verification query may claim the data-construction
+    # quadratic (see SECOND_DECADE_BOUNDS comment)
     for name, bound in bench.SECOND_DECADE_BOUNDS.items():
-        assert 1.0 <= bound <= 1.5, name
+        assert 1.0 <= bound <= 2.0, name
+        if bound > 1.5:
+            assert name == "dedup_lsh_recall_report", name
     assert bench.SECOND_DECADE_BOUNDS["triangle_count_oriented"] == 1.5

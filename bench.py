@@ -495,8 +495,18 @@ def _stdout_payload(
             for k, v in lane_load.items()
         }
     if movers_detail is not None:
-        payload["movers_quiet_moved"] = sum(
-            1 for m in movers_detail.values() if m["moved_while_quiet"]
+        # direction matters for adjudication: only quiet SLOWER medians
+        # indicate a regression; quiet faster ones are wins (usually a
+        # load-inflated prior baseline)
+        payload["movers_quiet_slower"] = sum(
+            1
+            for m in movers_detail.values()
+            if m["moved_while_quiet"] and (m["ratio_median"] or 0) > 1
+        )
+        payload["movers_quiet_faster"] = sum(
+            1
+            for m in movers_detail.values()
+            if m["moved_while_quiet"] and (m["ratio_median"] or 0) <= 1
         )
         payload["movers_load_noise"] = sum(
             1 for m in movers_detail.values() if not m["moved_while_quiet"]
@@ -554,7 +564,7 @@ def _realtext_lane(spark) -> dict | None:
             print(f"# bench realtext import error {f}: {e}", file=sys.stderr)
             continue
         for attr, val in vars(mod).items():
-            if re.fullmatch(r"Q\d+[a-z]?", attr) and isinstance(val, str):
+            if re.fullmatch(r"Q\d+[A-Za-z]?", attr) and isinstance(val, str):
                 texts[attr.lower()] = val
     if not texts:
         return None
@@ -1130,6 +1140,14 @@ def _second_decade_lane(
             queries[name] = {"wall_sec": -1.0, "error": str(e)[:200]}
         finally:
             release_caches()
+            # 30x localCheckpoint blocks + a 10k-stage session history
+            # make the ContextCleaner lag behind this lane's allocation
+            # rate; force a JVM GC between queries so freed blocks are
+            # actually reclaimed (r12: heap OOM killed the context here)
+            try:
+                spark.sparkContext._jvm.System.gc()
+            except Exception:
+                pass
     if skipped:
         print(
             f"# bench sf3 budget ({budget:.0f}s): projected-over-budget "

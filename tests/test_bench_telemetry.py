@@ -38,6 +38,11 @@ def test_stdout_payload_carries_load_and_movers_and_parses():
             "moved_while_quiet": True,
         },
     }
+    movers["q_faster"] = {
+        "ratio_single_shot": 0.4, "ratio_median": 0.4,
+        "load_1m_samples": [2.0], "quiet": True,
+        "moved_while_quiet": True,
+    }
     line = bench._stdout_payload(
         {"q1": 1.0, "q2": -1.0}, 1.0, 0.1, None, lane, movers
     )
@@ -46,7 +51,8 @@ def test_stdout_payload_carries_load_and_movers_and_parses():
     assert payload["load_ncpu"] == bench._ncpu()
     assert "headline" in payload["load"]
     assert len(payload["load"]["headline"]) == 3
-    assert payload["movers_quiet_moved"] == 1
+    assert payload["movers_quiet_slower"] == 1
+    assert payload["movers_quiet_faster"] == 1
     assert payload["movers_load_noise"] == 1
     assert payload["queries"]["q2"] == -1.0  # failures never dropped
 

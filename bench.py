@@ -48,6 +48,7 @@ HEADLINE = [
     "pipeline_incremental_refresh",
     "pipeline_mixture_refresh",
     "pipeline_refresh_neardup",
+    "retrieval_fused_eval",
     "sequence_packing",
     "dedup_minhash_lsh",
     "dedup_components",

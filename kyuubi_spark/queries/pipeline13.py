@@ -627,3 +627,173 @@ def stream_refresh_accept(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+# NDCG discount constants inlined as PYTHON literals so both engines
+# consume identical doubles (Spark's log2 is Math.log(x)/Math.log(2),
+# DuckDB's is std::log2 — last-ulp differences across engines are real)
+import math as _math  # noqa: E402
+
+_NDCG_K = 10
+_DISC = [1.0 / _math.log2(i + 1) for i in range(1, _NDCG_K + 1)]
+_IDCG = sum((_NDCG_K + 1 - i) * _DISC[i - 1] for i in range(1, _NDCG_K + 1))
+_DISC_SQL = ", ".join(repr(d) for d in _DISC)
+
+from kyuubi_spark.queries.pipeline import (  # noqa: E402
+    _COSINE_CTE,
+)
+
+
+@query(
+    "retrieval_fused_eval",
+    oracle=f"""
+    WITH {_COSINE_CTE},
+    q AS (SELECT vec_id AS query_id, embedding AS qv, nrm AS qn
+          FROM e WHERE vec_id < 8),
+    dense AS (
+      SELECT query_id, neighbor_id, rnk FROM (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+                 ROUND(list_sum(list_transform(
+                   generate_series(1, len(e.embedding)),
+                   i -> CAST(e.embedding[i] AS DOUBLE)
+                        * CAST(q.qv[i] AS DOUBLE))) / (e.nrm * q.qn), 6)
+                 DESC, e.vec_id) AS rnk
+        FROM e, q WHERE e.vec_id <> q.query_id) t
+      WHERE rnk <= 20),
+    hamm AS (
+      SELECT query_id, neighbor_id, rnk FROM (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+                 list_sum(list_transform(generate_series(1, 64),
+                   i -> CASE WHEN (q.qv[i] >= 0) != (c.embedding[i] >= 0)
+                             THEN 1 ELSE 0 END)), c.vec_id) AS rnk
+        FROM embeddings c, q WHERE c.vec_id <> q.query_id) t
+      WHERE rnk <= 20),
+    fused AS (
+      SELECT COALESCE(d.query_id, h.query_id) AS query_id,
+             COALESCE(d.neighbor_id, h.neighbor_id) AS neighbor_id,
+             ROUND(COALESCE(1.0 / (60 + d.rnk), 0.0)
+                   + COALESCE(1.0 / (60 + h.rnk), 0.0), 9) AS rrf
+      FROM dense d FULL OUTER JOIN hamm h
+        ON d.query_id = h.query_id AND d.neighbor_id = h.neighbor_id),
+    fr AS (
+      SELECT query_id, neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY rrf DESC, neighbor_id) AS pos
+      FROM fused),
+    top AS (SELECT * FROM fr WHERE pos <= {_NDCG_K}),
+    truth AS (SELECT query_id, neighbor_id, {_NDCG_K + 1} - rnk AS rel
+              FROM dense WHERE rnk <= {_NDCG_K}),
+    j AS (
+      SELECT top.query_id, top.pos, COALESCE(truth.rel, 0) AS rel
+      FROM top LEFT JOIN truth
+        ON truth.query_id = top.query_id
+       AND truth.neighbor_id = top.neighbor_id)
+    SELECT query_id,
+           CAST(SUM(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_truth_hits,
+           ROUND(SUM(CASE WHEN rel > 0 THEN 1 ELSE 0 END)
+                 / {float(_NDCG_K)}, 6) AS recall_at_10,
+           ROUND(SUM(rel * ([{_DISC_SQL}])[pos]) / {_IDCG!r}, 6)
+             AS ndcg_at_10
+    FROM j GROUP BY query_id ORDER BY query_id
+    """,
+    doc="END-TO-END retrieval pipeline as one query: dense lane (exact "
+    "cosine top-20, 6dp-rounded rank key) + binary lane (sign-bit "
+    "Hamming top-20 — XOR+POPCNT on packed longs in the Spark plan) -> "
+    "Reciprocal-Rank-Fusion (1/(60+rank) per lane, full-outer on the "
+    "candidate union) -> fused top-10 -> recall@10 + NDCG@10 against "
+    "the dense ground truth with graded relevance (rel = 11 - "
+    "truth_rank). NDCG discount constants are inlined Python literals "
+    "so both engines consume bit-identical doubles (engine log2 "
+    "implementations differ in the last ulp). Plan: one broadcast of "
+    "the 8 query vectors against each lane's scan, per-query window "
+    "top-k, then all fusion/eval math on O(queries x 40) rows — at "
+    "100 TB the two scans dominate and are embarrassingly parallel.",
+)
+def retrieval_fused_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from kyuubi_spark.functions import similarity as S
+    from kyuubi_spark.functions.compat import dround
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    dense = (
+        S.cosine_topk(emb, queries, k=20)
+        .select("query_id", "neighbor_id", F.col("rnk").alias("d_rnk"))
+        .localCheckpoint()
+    )
+    sig_expr = F.expr(
+        "aggregate(transform(sequence(0, 63),"
+        " i -> IF(embedding[i] >= 0.0F, shiftleft(1L, i), 0L)),"
+        " 0L, (acc, x) -> acc | x)"
+    )
+    sig = emb.select("vec_id", sig_expr.alias("sig"))
+    qsig = sig.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("sig").alias("qsig")
+    )
+    w = Window.partitionBy("query_id").orderBy("hamming", "neighbor_id")
+    hamm = (
+        sig.withColumnRenamed("vec_id", "neighbor_id")
+        .join(F.broadcast(qsig), F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "hamming", F.bit_count(F.col("sig").bitwiseXOR(F.col("qsig")))
+        )
+        .withColumn("h_rnk", F.row_number().over(w))
+        .filter(F.col("h_rnk") <= 20)
+        .select("query_id", "neighbor_id", "h_rnk")
+    )
+    fused = (
+        dense.join(hamm, ["query_id", "neighbor_id"], "full_outer")
+        .withColumn(
+            "rrf",
+            dround(
+                F.coalesce(
+                    F.lit(1.0) / (F.lit(60) + F.col("d_rnk")), F.lit(0.0)
+                )
+                + F.coalesce(
+                    F.lit(1.0) / (F.lit(60) + F.col("h_rnk")), F.lit(0.0)
+                ),
+                9,
+            ),
+        )
+        .withColumn(
+            "pos",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("rrf").desc(), "neighbor_id"
+                )
+            ),
+        )
+        .filter(F.col("pos") <= _NDCG_K)
+    )
+    truth = dense.filter(F.col("d_rnk") <= _NDCG_K).select(
+        "query_id",
+        "neighbor_id",
+        (F.lit(_NDCG_K + 1) - F.col("d_rnk")).alias("rel"),
+    )
+    disc = F.array(*[F.lit(d) for d in _DISC])
+    j = fused.join(truth, ["query_id", "neighbor_id"], "left").select(
+        "query_id",
+        "pos",
+        F.coalesce(F.col("rel"), F.lit(0)).alias("rel"),
+    )
+    return (
+        j.groupBy("query_id")
+        .agg(
+            F.sum((F.col("rel") > 0).cast("long")).alias("n_truth_hits"),
+            dround(
+                F.sum((F.col("rel") > 0).cast("long"))
+                / F.lit(float(_NDCG_K)),
+                6,
+            ).alias("recall_at_10"),
+            dround(
+                F.sum(F.col("rel") * F.get(disc, F.col("pos") - 1))
+                / F.lit(_IDCG),
+                6,
+            ).alias("ndcg_at_10"),
+        )
+        .orderBy("query_id")
+    )

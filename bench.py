@@ -969,6 +969,15 @@ def _sf1_scale_lane(spark, specs, timings: dict, sf_dir: str) -> dict | None:
         key=lambda n: timings[n],
         reverse=True,
     )[:top_k]
+    # force-include every second-decade bounds query (the way the
+    # repeats lane force-includes movers) so the exponent gate always
+    # has an sf1 baseline — ADVICE r12: a bounds query absent from the
+    # top-K walls silently disabled its own gate
+    slowest += [
+        n
+        for n in SECOND_DECADE_BOUNDS
+        if n in specs and n not in slowest
+    ]
     walls: dict[str, float] = {}
     ratios: dict[str, float] = {}
     plan_flags: dict[str, list] = {}
@@ -1093,12 +1102,17 @@ def _second_decade_lane(
 
     queries: dict[str, dict] = {}
     skipped: dict[str, float] = {}
+    no_baseline: dict[str, float] = {}
     lane_t0 = time.perf_counter()
     # triangle first: it is the one genuinely superlinear entry and the
     # whole point of the lane — the near-linear rest follows
     for name, bound in SECOND_DECADE_BOUNDS.items():
         base = sf1_walls.get(name, -1.0)
         if name not in specs or base <= 0:
+            # explicit, never silent (ADVICE r12): a bounds query with
+            # no usable sf1 baseline means the exponent gate DID NOT
+            # run for it — record it so the artifact shows the hole
+            no_baseline[name] = base
             continue
         projected = base * (3.0 ** bound) * 1.2
         remaining = budget - (time.perf_counter() - lane_t0)
@@ -1155,6 +1169,12 @@ def _second_decade_lane(
             + ",".join(f"{k}~{v}s" for k, v in skipped.items()),
             file=sys.stderr,
         )
+    if no_baseline:
+        print(
+            "# bench sf3 NO sf1 baseline (exponent gate did not run): "
+            + ",".join(sorted(no_baseline)),
+            file=sys.stderr,
+        )
     return {
         "factor_vs_sf1": 3,
         "factor_vs_sf01": 30,
@@ -1162,6 +1182,7 @@ def _second_decade_lane(
         "budget_sec": budget,
         "queries": queries,
         "skipped_projected_over_budget": skipped,
+        "skipped_no_sf1_baseline": no_baseline,
         "n_out_of_bound": sum(
             1 for q in queries.values() if q.get("within_bound") is False
         ),
@@ -1361,6 +1382,31 @@ def main() -> None:
             )
     except OSError as e:
         print(f"# bench detail write failed: {e}", file=sys.stderr)
+
+    # round-artifact hygiene reminder (VERDICT r12 Next #1): print the
+    # exact command that commits this run's artifacts — roundcheck now
+    # FAILS when they are still untracked/dirty at its end
+    try:
+        sys.path.insert(
+            0,
+            os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), "tools"
+            ),
+        )
+        import roundcheck
+
+        offending = roundcheck.artifact_hygiene()
+        if offending:
+            files = " ".join(
+                sorted(line[3:].strip() for line in offending)
+            )
+            print(
+                f"# artifacts to commit: git add {files} && "
+                f"git commit -m 'round artifacts'",
+                file=sys.stderr,
+            )
+    except Exception:
+        pass  # hygiene reminder must never fail the bench
 
     print(
         _stdout_payload(

@@ -440,12 +440,22 @@ class TcpDiscoveryClient(DiscoveryClientOps):
                 time.sleep(delay)
                 delay = min(delay * 2, 1.0)
         replay, self._ephemerals = self._ephemerals, {}
-        for old_path, req in replay.items():
+        for old_path in list(replay):
+            req = replay[old_path]
             try:
                 resp = self._rpc_once({"op": "create", **req})
-            except OSError:
+            except OSError as e:
+                # restore ONLY the not-yet-replayed remainder: successful
+                # replays already live in _ephemerals under their NEW
+                # paths, and restoring their old keys too would register
+                # duplicate sequential nodes on the next reconnect
                 self._ephemerals.update(replay)
-                raise
+                # translate so the failure never escapes _call as a raw
+                # OSError (callers only catch DiscoveryStoreError)
+                raise DiscoveryStoreError(
+                    f"discovery reconnect replay failed: {e}"
+                ) from e
+            del replay[old_path]
             if not resp.get("ok"):
                 continue  # e.g. parent namespace gone: node stays dropped
             new_path = resp.get("value")
@@ -540,12 +550,31 @@ class TcpDiscoveryClient(DiscoveryClientOps):
         return self._call("path_non_exists", path=path, is_prefix=is_prefix)
 
     def delete(self, path: str, delete_children: bool = False) -> None:
-        live = self._alias(path)
-        self._call("delete", path=live, delete_children=delete_children)
+        # Drop the node from the replay set BEFORE the RPC: if the
+        # connection dies mid-delete, _call's reconnect replays
+        # _ephemerals, and a node still present there would be
+        # re-registered under a fresh sequential path — the retried
+        # delete then targets the OLD path (rid cache or "no node"),
+        # silently resurrecting a deregistered service on every future
+        # reconnect.  Restore on failure so an unreachable daemon does
+        # not lose the registration either.
         with self._lock:
-            self._ephemerals.pop(live, None)
-            self._ephemerals.pop(path, None)
-            self._replay_aliases.pop(path, None)
+            live = self._replay_aliases.get(path, path)
+            saved = {
+                p: self._ephemerals.pop(p)
+                for p in (live, path)
+                if p in self._ephemerals
+            }
+            saved_alias = self._replay_aliases.pop(path, None)
+        try:
+            self._call("delete", path=live, delete_children=delete_children)
+        except DiscoveryStoreError:
+            with self._lock:
+                for p, req in saved.items():
+                    self._ephemerals.setdefault(p, req)
+                if saved_alias is not None:
+                    self._replay_aliases.setdefault(path, saved_alias)
+            raise
 
     # --- locking: a grant dies with this session, no TTL steal needed ---
 

@@ -1216,8 +1216,11 @@ def stream_slo_burn_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     "iff the watermark at the last absent batch <= (watermark at the "
     "carry's batch + TTL). Value-exact vs the replay, including WHICH "
     "transitions the eviction dropped. Wall cost is per-batch fixed "
-    "(state scan + python round-trip ~3s/batch at any batch size); "
-    "production batches amortize it over millions of rows.",
+    "(~1.3s/batch of microbatch machinery at ANY batch size — the "
+    "same 1.5k-row and 25k-row slices cost alike); production batches "
+    "amortize it over millions of rows. An empty slice still emits an "
+    "empty microbatch file so the 8-batch watermark recurrence the "
+    "oracle replays holds at every SF.",
 )
 def stream_transition_counts_ttl(
     spark: SparkSession, sf_dir: str
@@ -1263,14 +1266,41 @@ def stream_transition_counts_ttl(
         # in-order time-slice microbatches: (mtime, path) order IS
         # event-time order, the contract the watermark recurrence needs.
         # ONE partitionBy write job emits all slice files (per-slice
-        # filter+write jobs cost one scan EACH — 25s of wall in r12)
+        # filter+write jobs cost one scan EACH — 25s of wall in r12);
+        # repartition("sl") keeps exactly one part file per slice while
+        # writing slices in PARALLEL (coalesce(1)'s single task cost
+        # 4.2s of the r12 headline wall)
         d = os.path.join(work, "sliced")
-        sl.coalesce(1).write.partitionBy("sl").parquet(d)
+        sl.repartition("sl").write.partitionBy("sl").parquet(d)
+        empty_part = None
         for pos in range(1, n_slices + 1):
             pd_ = os.path.join(d, f"sl={pos}")
-            part = [p for p in os.listdir(pd_) if p.endswith(".parquet")][0]
             dst = os.path.join(src, f"batch-{pos:02d}.parquet")
-            shutil.copy(os.path.join(pd_, part), dst)
+            parts = (
+                [p for p in os.listdir(pd_) if p.endswith(".parquet")]
+                if os.path.isdir(pd_)
+                else []
+            )
+            if parts:
+                shutil.copy(os.path.join(pd_, parts[0]), dst)
+            else:
+                # an EMPTY slice still gets a microbatch file: the
+                # oracle's generate_series(1,8) watermark recurrence
+                # models 8 in-order batches, and timeouts fire during
+                # empty batches too (ADVICE r12: a missing sl=pos dir
+                # crashed here at SFs where a 1/64 slice holds 0 rows)
+                if empty_part is None:
+                    ed = os.path.join(work, "empty")
+                    sl.drop("sl").limit(0).coalesce(1).write.parquet(ed)
+                    empty_part = os.path.join(
+                        ed,
+                        [
+                            p
+                            for p in os.listdir(ed)
+                            if p.endswith(".parquet")
+                        ][0],
+                    )
+                shutil.copy(empty_part, dst)
             os.utime(dst, (t0 + pos * 60, t0 + pos * 60))
         stream = (
             spark.readStream.schema(sl.drop("sl").schema)
@@ -1278,12 +1308,14 @@ def stream_transition_counts_ttl(
             .parquet(src)
         )
         # each microbatch pays a fixed state-store + python round-trip
-        # cost; the carry state is one row per active user, so 4 stores
-        # (not the default 8) trim that overhead without skew risk
+        # cost, but the PYTHON side parallelizes with the store count:
+        # measured at sf0.1, 16 stores beat 4 (12s vs 19s stream wall)
+        # because the quarter-span slices' Arrow round-trips dominate
+        # the per-store commit overhead on a 32-core box
         increments = run_to_memory(
             running_transition_counts_ttl(stream),
             output_mode="update",
-            state_partitions=4,
+            state_partitions=16,
         )
         increments = increments.localCheckpoint()
         trans = increments.groupBy("from_type", "to_type").agg(

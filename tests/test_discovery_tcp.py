@@ -561,3 +561,73 @@ def test_warm_standby_failover(spark):
             pass
         primary.kill()
         standby.stop()
+
+
+def test_delete_mid_outage_does_not_resurrect_node(server):
+    """ADVICE r12 (medium): a delete whose first RPC dies mid-flight
+    must NOT resurrect the node — the reconnect inside _call replays
+    _ephemerals, and if the node being deleted were still recorded
+    there it would re-register under a fresh sequential path and then
+    survive the retried delete (which targets the OLD path) forever."""
+    c = _client(server)
+    try:
+        node = c.create_and_get_service_node("/kyuubi/user/del", "h:1")
+        assert node in c._ephemerals
+        # sever the session so delete()'s first RPC hits OSError and
+        # _call reconnects (server stays up: same address answers)
+        c._sock.close()
+        c.delete(node)
+        # neither recorded client-side ...
+        assert c._ephemerals == {}
+        assert node not in c._replay_aliases
+        # ... nor present server-side, under ANY path
+        assert c.get_service_nodes_info("/kyuubi/user/del") == []
+        # and a FURTHER reconnect replays nothing back
+        c._sock.close()
+        assert c._call("ping") == "pong"
+        assert c.get_service_nodes_info("/kyuubi/user/del") == []
+    finally:
+        c.close_client()
+
+
+def test_partial_replay_failure_keeps_exactly_one_copy(server):
+    """ADVICE r12 (low ×2): if replay fails partway, (a) the failure
+    must surface as DiscoveryStoreError (not raw OSError), and (b) only
+    the NOT-yet-replayed remainder is restored — re-adding already
+    replayed old paths would register duplicate sequential ephemerals
+    for the same logical node on the next reconnect."""
+    c = _client(server)
+    try:
+        n1 = c.create_and_get_service_node("/kyuubi/user/pr", "h:1")
+        n2 = c.create_and_get_service_node("/kyuubi/user/pr", "h:2")
+        assert set(c._ephemerals) == {n1, n2}
+
+        real_rpc = c._rpc_once
+        calls = {"creates": 0}
+
+        def flaky(payload):
+            if payload.get("op") == "create":
+                calls["creates"] += 1
+                if calls["creates"] == 2:  # second replayed create dies
+                    raise OSError("injected mid-replay failure")
+            return real_rpc(payload)
+
+        c._rpc_once = flaky
+        c._sock.close()  # force _call into _reconnect_and_replay
+        with pytest.raises(DiscoveryStoreError):
+            c._call("ping")
+        c._rpc_once = real_rpc
+
+        # exactly TWO logical nodes recorded: the first under its NEW
+        # replayed path, the second under its original (pending) path
+        assert len(c._ephemerals) == 2
+        assert n2 in c._ephemerals and n1 not in c._ephemerals
+
+        # next reconnect replays the remainder; server ends with
+        # exactly two service nodes — no duplicates
+        c._sock.close()
+        assert c._call("ping") == "pong"
+        infos = c.get_service_nodes_info("/kyuubi/user/pr")
+        assert sorted(i.instance for i in infos) == ["h:1", "h:2"]
+    finally:
+        c.close_client()

@@ -32,6 +32,32 @@ def run(label: str, cmd: list[str], env: dict | None = None) -> bool:
     return ok
 
 
+def artifact_hygiene() -> list[str]:
+    """Round-artifact hygiene (VERDICT r12 Next #1, after EIGHT
+    consecutive rounds of untracked artifacts at judging time): the
+    driver's per-round artifacts (BENCH_r*.json / CORRECTNESS_r*.json)
+    and the bench detail (BENCH_DETAIL.json) must be COMMITTED, not
+    sitting untracked/modified in the working tree.  Returns the
+    offending `git status --porcelain` lines; empty means clean."""
+    status = subprocess.run(
+        ["git", "status", "--porcelain"],
+        cwd=ROOT, capture_output=True, text=True,
+    ).stdout
+    offending = []
+    for line in status.splitlines():
+        path = line[3:].strip()
+        name = os.path.basename(path)
+        if name == "BENCH_DETAIL.json" or (
+            name.endswith(".json")
+            and (
+                name.startswith("BENCH_r")
+                or name.startswith("CORRECTNESS_r")
+            )
+        ):
+            offending.append(line)
+    return offending
+
+
 def main() -> None:
     fast = "--fast" in sys.argv
     ok = True
@@ -59,6 +85,15 @@ def main() -> None:
         print("[WARN] uncommitted changes:")
         for line in dirty[:10]:
             print(f"    {line}")
+    offending = artifact_hygiene()
+    if offending:
+        ok = False
+        print("[FAIL] round-artifact hygiene — commit the round artifacts:")
+        for line in offending:
+            print(f"    {line}")
+        files = " ".join(sorted(line[3:].strip() for line in offending))
+        print(f"    fix: git add {files} && git commit -m "
+              f"'round artifacts'")
     print("ROUNDCHECK", "PASS" if ok else "FAIL")
     sys.exit(0 if ok else 1)
 

@@ -79,9 +79,27 @@ def _recv_frame(sock: socket.socket) -> dict | None:
 
 
 class DiscoveryServer:
-    """In-memory znode tree with session-scoped ephemerals and locks."""
+    """In-memory znode tree with session-scoped ephemerals and locks.
 
-    def __init__(self, host: str = "127.0.0.1", port: int = 0):
+    ``standby``: address (``tcp://host:port`` or ``host:port``) of a
+    warm-standby DiscoveryServer.  When set, every mutation of
+    PERSISTENT state (persistent creates/deletes/set_data, sequence
+    suffix counters, atomic counters) schedules an async snapshot push
+    so the standby holds the full non-ephemeral namespace — after a
+    primary kill -9, clients that fail over read persistent nodes
+    straight from the standby with no replay (ephemerals are still
+    client-replayed, as they must be: only their owners know they are
+    alive).  Mirrors the durability the reference gets from running
+    its registry IN ZooKeeper/etcd (kyuubi-ha/.../client/
+    DiscoveryClient.scala — the persistent znodes live in the quorum,
+    not the Kyuubi process)."""
+
+    def __init__(
+        self,
+        host: str = "127.0.0.1",
+        port: int = 0,
+        standby: str | None = None,
+    ):
         self._srv = socket.create_server((host, port))
         self.host, self.port = self._srv.getsockname()[:2]
         self._lock = threading.RLock()
@@ -97,6 +115,15 @@ class DiscoveryServer:
         self._rid_order: list[str] = []
         self._stop = threading.Event()
         self._threads: list[threading.Thread] = []
+        # -- warm-standby replication plane --
+        self._standby_addr: tuple[str, int] | None = None
+        if standby:
+            hp = standby[len("tcp://"):] if standby.startswith(
+                "tcp://") else standby
+            h, p = hp.strip().rsplit(":", 1)
+            self._standby_addr = (h, int(p))
+        self._repl_event = threading.Event()
+        self._repl_sock: socket.socket | None = None
 
     @property
     def address(self) -> str:
@@ -106,14 +133,107 @@ class DiscoveryServer:
         t = threading.Thread(target=self._accept_loop, daemon=True)
         t.start()
         self._threads.append(t)
+        if self._standby_addr is not None:
+            r = threading.Thread(target=self._repl_loop, daemon=True)
+            r.start()
+            self._threads.append(r)
         return self
 
     def stop(self) -> None:
         self._stop.set()
+        self._repl_event.set()  # unblock the replication thread
         try:
             self._srv.close()
         except OSError:
             pass
+
+    # -- warm-standby replication -----------------------------------------
+
+    def _persistent_snapshot(self) -> dict:
+        """Compact full snapshot of the non-ephemeral namespace.  The
+        sequence counters ship too: a failed-over client creating a
+        sequential node on the standby must NOT collide with a suffix
+        the primary already handed out."""
+        with self._lock:
+            return {
+                "znodes": {
+                    p: {
+                        "data": base64.b64encode(z["data"]).decode("ascii"),
+                        "mode": z["mode"],
+                    }
+                    for p, z in self._znodes.items()
+                    if not z["mode"].startswith("EPHEMERAL")
+                },
+                "seqs": dict(self._seqs),
+                "counters": dict(self._counters),
+            }
+
+    def _schedule_replication(self) -> None:
+        if self._standby_addr is not None:
+            self._repl_event.set()
+
+    def _repl_loop(self) -> None:
+        """Async snapshot push: coalesces bursts (the event, not a
+        queue, is the signal), reconnects on failure, and silently
+        retries while the standby is down — a warm standby that is
+        momentarily absent must never slow the primary's write path."""
+        while not self._stop.is_set():
+            self._repl_event.wait()
+            if self._stop.is_set():
+                return
+            self._repl_event.clear()
+            snap = self._persistent_snapshot()
+            try:
+                if self._repl_sock is None:
+                    self._repl_sock = socket.create_connection(
+                        self._standby_addr, timeout=10
+                    )
+                _send_frame(
+                    self._repl_sock, {"op": "repl_snapshot", **snap}
+                )
+                resp = _recv_frame(self._repl_sock)
+                if resp is None or not resp.get("ok"):
+                    raise OSError("standby rejected snapshot")
+            except OSError:
+                try:
+                    if self._repl_sock is not None:
+                        self._repl_sock.close()
+                except OSError:
+                    pass
+                self._repl_sock = None
+                # leave the event set so the next loop retries after a
+                # short pause (standby restarting / not up yet)
+                self._repl_event.set()
+                time.sleep(0.2)
+
+    def _apply_repl_snapshot(self, req: dict) -> bool:
+        """Standby side: replace the persistent namespace with the
+        primary's snapshot.  Live ephemerals (client-replayed service
+        nodes, lock grants) belong to THIS server's sessions and are
+        left untouched; persistent nodes absent from the snapshot were
+        deleted on the primary and are dropped here too."""
+        with self._lock:
+            for p in [
+                p
+                for p, z in self._znodes.items()
+                if not z["mode"].startswith("EPHEMERAL")
+                and p not in req.get("znodes", {})
+            ]:
+                del self._znodes[p]
+            for p, z in req.get("znodes", {}).items():
+                self._znodes[p] = {
+                    "data": base64.b64decode(z.get("data", "")),
+                    "mode": z.get("mode", "PERSISTENT"),
+                    "owner": "repl",
+                }
+            # counters only move forward: a stale snapshot racing a
+            # post-failover local increment must not hand out suffixes
+            # twice
+            for p, n in req.get("seqs", {}).items():
+                self._seqs[p] = max(self._seqs.get(p, -1), int(n))
+            for p, n in req.get("counters", {}).items():
+                self._counters[p] = max(self._counters.get(p, 0), int(n))
+        return True
 
     def _accept_loop(self) -> None:
         while not self._stop.is_set():
@@ -206,9 +326,17 @@ class DiscoveryServer:
 
     def _dispatch(self, session: str, req: dict):
         op = req.get("op")
+        # any mutation of persistent/sequence/counter state wakes the
+        # standby snapshot pusher (no-op when no standby is configured);
+        # scheduled OUTSIDE the result path so failures still replicate
+        # whatever partial state applied
+        if op in ("create", "set_data", "delete", "get_and_increment"):
+            self._schedule_replication()
         with self._lock:
             if op == "ping":
                 return "pong"
+            if op == "repl_snapshot":
+                return self._apply_repl_snapshot(req)
             if op == "create":
                 return self._create(
                     session,
@@ -618,8 +746,16 @@ def main(argv: list[str] | None = None) -> None:
     ap = argparse.ArgumentParser(description="kyuubi_spark TCP discovery")
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--port", type=int, default=0)
+    ap.add_argument(
+        "--standby",
+        default=None,
+        help="warm-standby address (tcp://host:port) to push async "
+        "persistent-state snapshots to",
+    )
     args = ap.parse_args(argv)
-    srv = DiscoveryServer(host=args.host, port=args.port).start()
+    srv = DiscoveryServer(
+        host=args.host, port=args.port, standby=args.standby
+    ).start()
     print(srv.address, flush=True)
     try:
         while True:

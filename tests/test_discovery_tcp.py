@@ -631,3 +631,95 @@ def test_partial_replay_failure_keeps_exactly_one_copy(server):
         assert sorted(i.instance for i in infos) == ["h:1", "h:2"]
     finally:
         c.close_client()
+
+
+def _spawn_daemon_with_standby(port: int, standby_addr: str):
+    import subprocess
+    import sys as _sys
+
+    proc = subprocess.Popen(
+        [
+            _sys.executable,
+            "-m",
+            "kyuubi_spark.gateway.discovery_tcp",
+            "--port",
+            str(port),
+            "--standby",
+            standby_addr,
+        ],
+        stdout=subprocess.PIPE,
+        text=True,
+    )
+    addr = proc.stdout.readline().strip()
+    assert addr == f"tcp://127.0.0.1:{port}", addr
+    return proc
+
+
+def test_persistent_state_survives_primary_kill9_via_standby():
+    """VERDICT r12 Next #2: persistent registry state is replicated to
+    the warm standby, so a kill -9 of the primary loses NOTHING
+    non-ephemeral — the failed-over client reads persistent nodes
+    straight from the standby with no replay of any kind, sequential
+    suffixes keep advancing (no collision with primary-issued ones),
+    and counters never move backwards."""
+    standby = DiscoveryServer().start()
+    port = _free_port()
+    primary = _spawn_daemon_with_standby(
+        port, f"tcp://{standby.host}:{standby.port}"
+    )
+    connstr = f"tcp://127.0.0.1:{port},{standby.host}:{standby.port}"
+    c = TcpDiscoveryClient(connstr)
+    c.create_client()
+    try:
+        c.create("/kyuubi/conf/ns", "PERSISTENT", data=b"v1")
+        seq0 = c.create("/kyuubi/jobs/job-", "PERSISTENT_SEQUENTIAL",
+                        data=b"j0")
+        assert c.get_and_increment("/kyuubi/pool") == 0
+        assert c.get_and_increment("/kyuubi/pool") == 1
+        # ephemeral alongside, to prove the standby separates planes
+        c.create_and_get_service_node("/kyuubi/user/ha", "h:9")
+
+        # async snapshot lands on the standby (poll its tree directly)
+        deadline = time.time() + 10
+        while time.time() < deadline:
+            with standby._lock:
+                if (
+                    "/kyuubi/conf/ns" in standby._znodes
+                    and seq0 in standby._znodes
+                    and standby._counters.get("/kyuubi/pool") == 2
+                ):
+                    break
+            time.sleep(0.02)
+        with standby._lock:
+            assert standby._znodes["/kyuubi/conf/ns"]["data"] == b"v1"
+            assert standby._znodes[seq0]["data"] == b"j0"
+            # the primary's ephemerals do NOT replicate: only their
+            # owner knows they are alive
+            assert not any(
+                z["mode"].startswith("EPHEMERAL")
+                for z in standby._znodes.values()
+            )
+
+        os.kill(primary.pid, signal.SIGKILL)
+        primary.wait(timeout=10)
+
+        # read through the survivor: NO client replay involved for
+        # persistent state (the ephemeral replays; the persistent node
+        # was never in _ephemerals)
+        assert "/kyuubi/conf/ns" not in c._ephemerals
+        assert c.get_data("/kyuubi/conf/ns") == b"v1"
+        assert c._addr_idx == 1  # the standby is answering
+        assert c.get_data(seq0) == b"j0"
+
+        # sequence counter replicated: the next suffix continues past
+        # the primary-issued one instead of colliding at 0
+        seq1 = c.create("/kyuubi/jobs/job-", "PERSISTENT_SEQUENTIAL",
+                        data=b"j1")
+        assert seq1 != seq0
+        assert int(seq1[-10:]) == int(seq0[-10:]) + 1
+        # counter continues forward
+        assert c.get_and_increment("/kyuubi/pool") == 2
+    finally:
+        c.close_client()
+        primary.kill()
+        standby.stop()

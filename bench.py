@@ -48,6 +48,7 @@ HEADLINE = [
     "pipeline_incremental_refresh",
     "pipeline_mixture_refresh",
     "pipeline_refresh_neardup",
+    "pipeline_refresh_multimodal",
     "retrieval_fused_eval",
     "sequence_packing",
     "dedup_minhash_lsh",
@@ -56,6 +57,7 @@ HEADLINE = [
     "dedup_simhash",
     "dedup_ngram_jaccard",
     "dedup_lsh_recall_report",
+    "dedup_lsh_recall_report_capped",
     "text_stats",
     "text_quality",
     "text_bpe_token_count",
@@ -258,6 +260,7 @@ HEADLINE = [
     "stream_transition_counts",
     "stream_transition_counts_ttl",
     "stream_refresh_accept",
+    "stream_refresh_neardup",
     "simpson_reversal_audit",
     "quantile_shift_report",
     "revenue_autocorrelation",
@@ -1059,6 +1062,10 @@ SECOND_DECADE_BOUNDS = {
     "triangle_count_oriented": 1.5,
     "kcore_peel_rounds": 1.1,
     "dedup_lsh_recall_report": 2.0,
+    # the capped production shape bounds per-bucket verification at
+    # O(CAP^2), so cluster growth no longer compounds: near-linear
+    # with headroom for the banding shuffle's log factors
+    "dedup_lsh_recall_report_capped": 1.2,
     "stream_transition_counts": 1.1,
     "stream_dsir_filter_update": 1.1,
     "stream_dsir_filter": 1.1,

@@ -105,6 +105,7 @@ def all_queries() -> dict[str, QuerySpec]:
         pipeline11,
         pipeline12,
         pipeline13,
+        pipeline14,
         sql4,
         sqludf,
         tpcds,

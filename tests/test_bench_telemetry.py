@@ -67,3 +67,58 @@ def test_second_decade_bounds_are_sane():
         if bound > 1.5:
             assert name == "dedup_lsh_recall_report", name
     assert bench.SECOND_DECADE_BOUNDS["triangle_count_oriented"] == 1.5
+
+
+def test_schema_contract_keys_pinned():
+    """BENCH_NOTES.md round-13 contract: the telemetry/movers/second-
+    decade/third-point field names are a stable, machine-adjudicable
+    schema.  A refactor that renames any of them must fail HERE, not
+    drift silently past the judge."""
+    # lane load telemetry required keys
+    lane = bench._load_end(bench._load_begin())
+    assert {"loadavg_1m_start", "loadavg_1m_end", "wall_sec", "ncpu"} <= set(
+        lane
+    )
+    # movers classification required keys (what _stdout_payload and the
+    # judge's quiet-movers adjudication consume)
+    MOVER_KEYS = {
+        "ratio_single_shot", "ratio_median", "load_1m_samples",
+        "quiet", "moved_while_quiet",
+    }
+    import inspect
+
+    src = inspect.getsource(bench._movers_detail) if hasattr(
+        bench, "_movers_detail"
+    ) else inspect.getsource(bench)
+    for k in MOVER_KEYS:
+        assert f'"{k}"' in src, f"movers key {k} gone from bench.py"
+    # second-decade per-query + lane keys (including the r13 additions)
+    sd_src = inspect.getsource(bench._second_decade_lane)
+    for k in (
+        "wall_sec", "ratio_vs_sf1", "exponent", "bound", "within_bound",
+        "broadcast_joins", "plan_flags", "load_1m", "predicted_sf10_sec",
+        "skipped_projected_over_budget", "skipped_no_sf1_baseline",
+        "third_point",
+    ):
+        assert f'"{k}"' in sd_src, f"second-decade key {k} gone"
+    # third-point per-query + gate keys
+    tp_src = inspect.getsource(bench._third_point_lane)
+    for k in (
+        "wall_sec", "predicted_sf10_sec", "within_pred",
+        "exponent_two_decades", "bound", "within_bound", "skipped_disk",
+        "skipped_projected_over_budget", "factor_vs_sf01", "gen_sec",
+    ):
+        assert f'"{k}"' in tp_src, f"third-point key {k} gone"
+    assert bench.SF10_TOP2 == [
+        "kcore_peel_rounds", "triangle_count_oriented"
+    ]
+
+
+def test_sf1_lane_force_includes_bounds_queries():
+    """ADVICE r12: every SECOND_DECADE_BOUNDS query must be in the sf1
+    lane's run set even when it is not among the top-K slowest — an
+    absent sf1 baseline silently disabled the exponent gate."""
+    import inspect
+
+    src = inspect.getsource(bench._sf1_scale_lane)
+    assert "SECOND_DECADE_BOUNDS" in src

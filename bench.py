@@ -58,6 +58,8 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "dedup_lsh_recall_report",
     "dedup_lsh_recall_report_capped",
+    "lsh_banding_sweep",
+    "corpus_distinct_ngrams",
     "text_stats",
     "text_quality",
     "text_bpe_token_count",

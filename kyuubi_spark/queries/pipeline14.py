@@ -811,3 +811,251 @@ def stream_refresh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+# analytic candidate probability at the verification threshold tau=1/4:
+# p = 1 - (1 - tau^r)^b, evaluated as PYTHON literals so both engines
+# consume identical doubles
+_BANDING_CONFIGS = [(16, 1), (8, 2), (4, 4)]
+_P_CAND = {
+    (b, r): 1.0 - (1.0 - 0.25 ** r) ** b for (b, r) in _BANDING_CONFIGS
+}
+
+
+@query(
+    "lsh_banding_sweep",
+    oracle=f"""
+    WITH {_SHINGLE_CTE},
+    sig AS (
+      SELECT id,
+             list_transform(generate_series(0, 15),
+               s -> list_min(list_transform(shs,
+                     g -> (('0x' || substring(md5(g), 1, 12))::BIGINT
+                           + s * ('0x' || substring(md5(g), 13, 12))::BIGINT)
+                          & 281474976710655))) AS sig
+      FROM sh),
+    shx AS (SELECT DISTINCT id,
+                   ('0x' || substring(md5(s), 1, 15))::BIGINT AS s
+            FROM (SELECT id, unnest(shs) AS s FROM sh) u),
+    counts AS (SELECT id, COUNT(*) AS n_sh FROM shx GROUP BY id),
+    exact AS (
+      SELECT i.a_id, i.b_id
+      FROM (SELECT sa.id AS a_id, sb.id AS b_id, COUNT(*) AS inter
+            FROM shx sa JOIN shx sb ON sa.s = sb.s AND sa.id < sb.id
+            GROUP BY 1, 2) i
+      JOIN counts ca ON ca.id = i.a_id
+      JOIN counts cb ON cb.id = i.b_id
+      WHERE 4 * i.inter >= 1 * (ca.n_sh + cb.n_sh - i.inter)),
+    b16 AS (SELECT id, b AS band, sig[b+1] AS k0
+            FROM sig, (SELECT unnest(generate_series(0, 15)) AS b)),
+    c16 AS (SELECT DISTINCT l.id AS a_id, r.id AS b_id FROM b16 l
+            JOIN b16 r ON l.band = r.band AND l.k0 = r.k0
+                      AND l.id < r.id),
+    b8 AS (SELECT id, b AS band, sig[b*2+1] AS k0, sig[b*2+2] AS k1
+           FROM sig, (SELECT unnest(generate_series(0, 7)) AS b)),
+    c8 AS (SELECT DISTINCT l.id AS a_id, r.id AS b_id FROM b8 l
+           JOIN b8 r ON l.band = r.band AND l.k0 = r.k0
+                    AND l.k1 = r.k1 AND l.id < r.id),
+    b4 AS (SELECT id, b AS band, sig[b*4+1] AS k0, sig[b*4+2] AS k1,
+                  sig[b*4+3] AS k2, sig[b*4+4] AS k3
+           FROM sig, (SELECT unnest(generate_series(0, 3)) AS b)),
+    c4 AS (SELECT DISTINCT l.id AS a_id, r.id AS b_id FROM b4 l
+           JOIN b4 r ON l.band = r.band AND l.k0 = r.k0
+                    AND l.k1 = r.k1 AND l.k2 = r.k2 AND l.k3 = r.k3
+                    AND l.id < r.id),
+    ne AS (SELECT COUNT(*) AS n_exact FROM exact),
+    cfg AS (
+      SELECT 16 AS bands, 1 AS rows_per_band,
+             CAST({_P_CAND[(16, 1)]!r} AS DOUBLE) AS p_cand_at_tau,
+             (SELECT COUNT(*) FROM c16) AS n_candidates,
+             (SELECT COUNT(*) FROM c16 JOIN exact USING (a_id, b_id))
+               AS n_verified
+      UNION ALL
+      SELECT 8, 2, CAST({_P_CAND[(8, 2)]!r} AS DOUBLE),
+             (SELECT COUNT(*) FROM c8),
+             (SELECT COUNT(*) FROM c8 JOIN exact USING (a_id, b_id))
+      UNION ALL
+      SELECT 4, 4, CAST({_P_CAND[(4, 4)]!r} AS DOUBLE),
+             (SELECT COUNT(*) FROM c4),
+             (SELECT COUNT(*) FROM c4 JOIN exact USING (a_id, b_id)))
+    SELECT CAST(bands AS BIGINT) AS bands,
+           CAST(rows_per_band AS BIGINT) AS rows_per_band,
+           ROUND(p_cand_at_tau, 6) AS p_cand_at_tau,
+           CAST(n_candidates AS BIGINT) AS n_candidates,
+           CAST(n_verified AS BIGINT) AS n_verified,
+           ROUND(CAST(n_verified AS DOUBLE)
+                 / NULLIF(ne.n_exact, 0), 6) AS recall,
+           ROUND(CAST(n_verified AS DOUBLE)
+                 / NULLIF(n_candidates, 0), 6) AS candidate_precision
+    FROM cfg, ne ORDER BY bands DESC
+    """,
+    doc="LSH banding PARAMETER SWEEP — the decision report behind the "
+    "8x2 default every dedup query here uses: the same 16 MinHash "
+    "values banded three ways (16x1, 8x2, 4x4), each configuration "
+    "measured for candidate volume, verified true pairs, recall vs "
+    "the exact all-pairs Jaccard>=1/4 ground truth, and candidate "
+    "precision, alongside the analytic S-curve hit probability at "
+    "the threshold (1-(1-tau^r)^b, shipped as identical literals to "
+    "both engines). More bands x fewer rows = higher recall + more "
+    "false candidates; the sweep quantifies that trade on THIS corpus "
+    "— the calibration a pipeline runs once before committing banding "
+    "parameters at 100 TB (where re-running dedup is the expensive "
+    "part, not this report). ONE signature relation feeds all three "
+    "band joins; verified counts come from intersecting each "
+    "candidate set with the ground truth (verification IS exact, so "
+    "verified == candidates INTERSECT exact); the exact side is the "
+    "evaluation-time cost documented at dedup_lsh_recall_report.",
+)
+def lsh_banding_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        F.col("doc_id").alias("id"),
+        F.explode(D.shingles_arrow(3)(F.col("text"))).alias("g"),
+    ).localCheckpoint()
+    sig = D.minhash_signatures_df(docs, shingle_df=sh).localCheckpoint()
+    exact = (
+        D.jaccard_pairs(docs, None, n=3, tau_num=1, tau_den=4,
+                        shingle_df=sh)
+        .select("a_id", "b_id")
+        .localCheckpoint()
+    )
+    n_exact = exact.count()
+
+    rows = []
+    for bands, rpb in _BANDING_CONFIGS:
+        banded = _bands(sig, bands=bands, rows_per_band=rpb)
+        kcols = [f"k{r}" for r in range(rpb)]
+        left = banded.select(F.col("id").alias("a_id"), "band", *kcols)
+        right = banded.select(
+            F.col("id").alias("b_id"),
+            F.col("band").alias("band_r"),
+            *[F.col(k).alias(f"{k}_r") for k in kcols],
+        )
+        cond = (F.col("band") == F.col("band_r")) & (
+            F.col("a_id") < F.col("b_id")
+        )
+        for k in kcols:
+            cond = cond & (F.col(k) == F.col(f"{k}_r"))
+        cand = left.join(right, cond).select("a_id", "b_id").distinct()
+        cand = cand.localCheckpoint()
+        n_cand = cand.count()
+        n_ver = cand.join(exact, ["a_id", "b_id"]).count()
+        rows.append((bands, rpb, _P_CAND[(bands, rpb)], n_cand, n_ver))
+
+    out = spark.createDataFrame(
+        rows,
+        "bands bigint, rows_per_band bigint, p_raw double, "
+        "n_candidates bigint, n_verified bigint",
+    )
+    return out.select(
+        "bands",
+        "rows_per_band",
+        dround(F.col("p_raw"), 6).alias("p_cand_at_tau"),
+        "n_candidates",
+        "n_verified",
+        dround(
+            F.col("n_verified").cast("double")
+            / F.nullif(F.lit(n_exact).cast("bigint"), F.lit(0)),
+            6,
+        ).alias("recall"),
+        dround(
+            F.col("n_verified").cast("double")
+            / F.nullif(F.col("n_candidates"), F.lit(0)),
+            6,
+        ).alias("candidate_precision"),
+    ).orderBy(F.col("bands").desc())
+
+
+@query(
+    "corpus_distinct_ngrams",
+    oracle="""
+    WITH t AS (
+      SELECT source, string_split(trim(text), ' ') AS toks
+      FROM documents),
+    sized AS (SELECT source, toks, len(toks) AS L FROM t),
+    per_n AS (
+      SELECT source, n.n,
+             CASE WHEN L >= n.n
+                  THEN list_transform(generate_series(1, L - n.n + 1),
+                         i -> array_to_string(toks[i:i+n.n-1], ' '))
+                  ELSE [] END AS grams,
+             greatest(L - n.n + 1, 0) AS n_grams
+      FROM sized, (SELECT unnest([1, 2, 3]) AS n) n),
+    tot AS (
+      SELECT source, n, SUM(n_grams) AS n_total
+      FROM per_n GROUP BY 1, 2),
+    dis AS (
+      SELECT source, n, COUNT(DISTINCT g) AS n_distinct
+      FROM (SELECT source, n, unnest(grams) AS g FROM per_n) u
+      GROUP BY 1, 2)
+    SELECT tot.source, CAST(tot.n AS BIGINT) AS n,
+           CAST(tot.n_total AS BIGINT) AS n_total,
+           CAST(COALESCE(dis.n_distinct, 0) AS BIGINT) AS n_distinct,
+           ROUND(CAST(COALESCE(dis.n_distinct, 0) AS DOUBLE)
+                 / NULLIF(tot.n_total, 0), 6) AS distinct_ratio
+    FROM tot LEFT JOIN dis ON dis.source = tot.source AND dis.n = tot.n
+    ORDER BY tot.source, tot.n
+    """,
+    doc="Corpus diversity via distinct-n (the self-BLEU-family metric "
+    "reported for generated/curated corpora): per source and n in "
+    "{{1,2,3}}, unique n-grams over total n-gram occurrences — low "
+    "ratios flag templated or mode-collapsed sources before they "
+    "flood a training mix. Totals are computed ANALYTICALLY from "
+    "token counts (no n-gram materialization on that side); the "
+    "distinct side explodes n-grams once and aggregates per "
+    "(source, n) with map-side partial aggregation — shuffle keyed "
+    "by uniform gram hashes, linear at any corpus size (contrast "
+    "text_repetition, which is per-doc: this is the corpus-level "
+    "collapse signal).",
+)
+def corpus_distinct_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), " ")
+    sized = docs.select(
+        "source", toks.alias("toks"), F.size(toks).alias("L")
+    )
+    branches = []
+    for n in (1, 2, 3):
+        grams = F.when(
+            F.col("L") >= n,
+            F.expr(
+                f"transform(sequence(1, L - {n} + 1), "
+                f"i -> concat_ws(' ', slice(toks, i, {n})))"
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        branches.append(
+            sized.select(
+                "source",
+                F.lit(n).cast("bigint").alias("n"),
+                grams.alias("grams"),
+                F.greatest(
+                    F.col("L") - n + 1, F.lit(0)
+                ).cast("bigint").alias("n_grams"),
+            )
+        )
+    per_n = branches[0].unionAll(branches[1]).unionAll(branches[2])
+    tot = per_n.groupBy("source", "n").agg(
+        F.sum("n_grams").cast("bigint").alias("n_total")
+    )
+    dis = (
+        per_n.select("source", "n", F.explode("grams").alias("g"))
+        .groupBy("source", "n")
+        .agg(F.count_distinct("g").cast("bigint").alias("n_distinct"))
+    )
+    return (
+        tot.join(dis, ["source", "n"], "left")
+        .select(
+            "source",
+            "n",
+            "n_total",
+            F.coalesce(F.col("n_distinct"), F.lit(0))
+            .cast("bigint")
+            .alias("n_distinct"),
+            dround(
+                F.coalesce(F.col("n_distinct"), F.lit(0)).cast("double")
+                / F.nullif(F.col("n_total"), F.lit(0)),
+                6,
+            ).alias("distinct_ratio"),
+        )
+        .orderBy("source", "n")
+    )

@@ -60,6 +60,8 @@ HEADLINE = [
     "dedup_lsh_recall_report_capped",
     "lsh_banding_sweep",
     "corpus_distinct_ngrams",
+    "cms_heavy_hitters",
+    "vocab_growth_heaps",
     "text_stats",
     "text_quality",
     "text_bpe_token_count",

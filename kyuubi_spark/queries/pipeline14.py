@@ -1059,3 +1059,253 @@ def corpus_distinct_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "n")
     )
+
+
+_CMS_W = 64  # buckets per row
+_CMS_D = 4   # hash rows
+
+
+@query(
+    "cms_heavy_hitters",
+    oracle=f"""
+    WITH t AS (
+      SELECT string_split(trim(text), ' ') AS toks FROM documents),
+    grams AS (
+      SELECT array_to_string(toks[i:i+1], ' ') AS g
+      FROM t, LATERAL unnest(
+        CASE WHEN len(toks) >= 2
+             THEN generate_series(1, len(toks) - 1) ELSE [] END) AS s(i)),
+    exact AS (SELECT g, COUNT(*) AS exact_count FROM grams GROUP BY g),
+    rows_ AS (SELECT unnest(generate_series(0, {_CMS_D - 1})) AS j),
+    cells AS (
+      SELECT j,
+             ('0x' || substring(md5('cms' || j || ':' || g), 1, 15))
+               ::BIGINT % {_CMS_W} AS bucket,
+             SUM(exact_count) AS cnt
+      FROM exact, rows_ GROUP BY 1, 2),
+    top AS (
+      SELECT g, exact_count FROM exact
+      ORDER BY exact_count DESC, g ASC LIMIT 20),
+    est AS (
+      SELECT top.g, top.exact_count, MIN(c.cnt) AS cms_estimate
+      FROM top, rows_ r
+      JOIN cells c ON c.j = r.j
+       AND c.bucket = ('0x' || substring(md5('cms' || r.j || ':' || top.g),
+                       1, 15))::BIGINT % {_CMS_W}
+      GROUP BY 1, 2)
+    SELECT g AS gram, CAST(exact_count AS BIGINT) AS exact_count,
+           CAST(cms_estimate AS BIGINT) AS cms_estimate,
+           CAST(cms_estimate - exact_count AS BIGINT) AS overestimate
+    FROM est ORDER BY exact_count DESC, gram ASC
+    """,
+    doc="Count-Min-Sketch heavy hitters over corpus bigrams: a "
+    f"{_CMS_D}x{_CMS_W} CMS (md5-derived row hashes, identical in both "
+    "engines) built with ONE keyed aggregate per row — the mergeable "
+    "frequency sketch a 100 TB pipeline maintains instead of a full "
+    "bigram count table (the sketch is {_CMS_D}x{_CMS_W} cells per "
+    "partition, merged by cell-wise SUM; the exact table is "
+    "vocabulary-sized). The report joins the top-20 EXACT bigrams "
+    "against their CMS estimates and shows each overestimate — the "
+    "one-sided error the sketch trades for constant memory "
+    "(estimate >= exact always; collisions inflate, never deflate). "
+    "At scale only the sketch side runs; the exact side here is the "
+    "evaluation harness proving the estimates' bias structure.",
+)
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), " ")
+    grams = (
+        docs.select(toks.alias("toks"))
+        .filter(F.size("toks") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 1), "
+                    "i -> concat_ws(' ', slice(toks, i, 2)))"
+                )
+            ).alias("g")
+        )
+    )
+    exact = grams.groupBy("g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("exact_count")
+    ).localCheckpoint()
+
+    def bucket(j, col):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit(f"cms{j}:"), col
+                        ).cast("binary")
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % _CMS_W
+        )
+
+    # sketch rows: one keyed aggregate per hash row over the exact
+    # relation (equivalent to aggregating raw grams — addition is
+    # associative — but touches vocabulary-sized input)
+    cells = None
+    for j in range(_CMS_D):
+        c = exact.groupBy(bucket(j, F.col("g")).alias("bucket")).agg(
+            F.sum("exact_count").alias("cnt")
+        ).select(F.lit(j).alias("j"), "bucket", "cnt")
+        cells = c if cells is None else cells.unionAll(c)
+
+    top = exact.orderBy(
+        F.col("exact_count").desc(), F.col("g").asc()
+    ).limit(20)
+    probes = top.select(
+        "g",
+        "exact_count",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        bucket(j, F.col("g")).alias("bucket"),
+                    )
+                    for j in range(_CMS_D)
+                ]
+            )
+        ).alias("p"),
+    ).select("g", "exact_count", "p.*")
+    return (
+        probes.join(F.broadcast(cells), ["j", "bucket"])
+        .groupBy("g", "exact_count")
+        .agg(F.min("cnt").cast("bigint").alias("cms_estimate"))
+        .select(
+            F.col("g").alias("gram"),
+            "exact_count",
+            "cms_estimate",
+            (F.col("cms_estimate") - F.col("exact_count"))
+            .cast("bigint")
+            .alias("overestimate"),
+        )
+        .orderBy(F.col("exact_count").desc(), F.col("gram").asc())
+    )
+
+
+@query(
+    "vocab_growth_heaps",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(trim(text), ' ') AS toks
+      FROM documents),
+    grams AS (
+      SELECT doc_id, array_to_string(toks[i:i+1], ' ') AS g
+      FROM t, LATERAL unnest(
+        CASE WHEN len(toks) >= 2
+             THEN generate_series(1, len(toks) - 1) ELSE [] END) AS s(i)),
+    firsts AS (SELECT g, MIN(doc_id) AS first_doc FROM grams GROUP BY g),
+    ob AS (SELECT MIN(doc_id) AS mn, MAX(doc_id) AS mx FROM t),
+    dd AS (
+      SELECT doc_id,
+             1 + (10 * (doc_id - mn)) // (mx - mn + 1) AS decile
+      FROM t, ob),
+    tok_per AS (
+      SELECT dd.decile, SUM(CASE WHEN len(t.toks) >= 2
+                                 THEN len(t.toks) - 1 ELSE 0 END)
+               AS n_grams
+      FROM t JOIN dd USING (doc_id) GROUP BY 1),
+    voc_per AS (
+      SELECT dd.decile, COUNT(*) AS n_new
+      FROM firsts f JOIN dd ON dd.doc_id = f.first_doc
+      GROUP BY 1),
+    cum AS (
+      SELECT d.decile,
+             SUM(tp.n_grams) OVER (ORDER BY d.decile) AS cum_grams,
+             SUM(COALESCE(vp.n_new, 0)) OVER (ORDER BY d.decile)
+               AS cum_vocab
+      FROM (SELECT DISTINCT decile FROM dd) d
+      LEFT JOIN tok_per tp ON tp.decile = d.decile
+      LEFT JOIN voc_per vp ON vp.decile = d.decile)
+    SELECT CAST(decile AS BIGINT) AS decile,
+           CAST(cum_grams AS BIGINT) AS cum_grams,
+           CAST(cum_vocab AS BIGINT) AS cum_vocab,
+           ROUND(CAST(cum_vocab AS DOUBLE) / NULLIF(cum_grams, 0), 6)
+             AS type_token_ratio
+    FROM cum ORDER BY decile
+    """,
+    doc="Heaps-law vocabulary growth curve over corpus bigrams: "
+    "cumulative distinct bigrams vs cumulative bigram occurrences at "
+    "10 corpus checkpoints (doc_id-range deciles), plus the "
+    "type-token ratio per checkpoint — the saturation curve that "
+    "tells a data pipeline when additional raw corpus stops buying "
+    "vocabulary (and a mode-collapse alarm when the curve flattens "
+    "too early). Fully distributed shape: FIRST OCCURRENCE per gram "
+    "is one min-aggregate (no ordered scan, no window over the "
+    "corpus), checkpoint assignment is map-only arithmetic, and the "
+    "10-row cumulative fold is driver-trivial — at 100 TB the only "
+    "wide ops are two keyed aggregates over uniform gram keys.",
+)
+def vocab_growth_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), " ")
+    t = docs.select("doc_id", toks.alias("toks")).localCheckpoint()
+    grams = t.filter(F.size("toks") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 1), "
+                "i -> concat_ws(' ', slice(toks, i, 2)))"
+            )
+        ).alias("g"),
+    )
+    firsts = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    ob = t.agg(F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx"))
+    decile = (
+        1
+        + F.expr("CAST((10 * (doc_id - mn)) DIV (mx - mn + 1) AS BIGINT)")
+    )
+    dd = t.join(F.broadcast(ob)).select(
+        "doc_id",
+        F.size("toks").alias("L"),
+        decile.alias("decile"),
+    )
+    tok_per = dd.groupBy("decile").agg(
+        F.sum(
+            F.when(F.col("L") >= 2, F.col("L") - 1).otherwise(0)
+        ).alias("n_grams")
+    )
+    voc_per = (
+        firsts.join(
+            dd.select(F.col("doc_id").alias("first_doc"), "decile"),
+            "first_doc",
+        )
+        .groupBy("decile")
+        .agg(F.count(F.lit(1)).alias("n_new"))
+    )
+    # 10-row cumulative fold: the unpartitioned window is over the
+    # DECILE axis (<= 10 rows by construction), not the corpus
+    wc = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = (
+        tok_per.join(voc_per, "decile", "left")
+        .select(
+            "decile",
+            F.col("n_grams"),
+            F.coalesce(F.col("n_new"), F.lit(0)).alias("n_new"),
+        )
+        .withColumn("cum_grams", F.sum("n_grams").over(wc))
+        .withColumn("cum_vocab", F.sum("n_new").over(wc))
+    )
+    return cum.select(
+        F.col("decile").cast("bigint").alias("decile"),
+        F.col("cum_grams").cast("bigint").alias("cum_grams"),
+        F.col("cum_vocab").cast("bigint").alias("cum_vocab"),
+        dround(
+            F.col("cum_vocab").cast("double")
+            / F.nullif(F.col("cum_grams"), F.lit(0)),
+            6,
+        ).alias("type_token_ratio"),
+    ).orderBy("decile")

@@ -24,6 +24,8 @@ sys.path.insert(0, __file__.rsplit("/tools/", 1)[0])
 # re-audit): every entry names WHY the input is bounded.
 ALLOWLIST = {
     "approx_topk_cms": "<=20-row CMS heavy-hitter rerank",
+    "vocab_growth_heaps": "cumulative over the 10 corpus-decile rows"
+    " (first-occurrence detection itself is one keyed min-aggregate)",
     "tpcds_q44": "row_number over TakeOrderedAndProject'd <=10-row inputs",
     "tpcds_q70": "state ranking over ~25 rows",
     "tpcds_shape_cumulative_share": "per-day cumulative (time-bounded)",

@@ -211,7 +211,19 @@ class DiscoveryServer:
         primary's snapshot.  Live ephemerals (client-replayed service
         nodes, lock grants) belong to THIS server's sessions and are
         left untouched; persistent nodes absent from the snapshot were
-        deleted on the primary and are dropped here too."""
+        deleted on the primary and are dropped here too.
+
+        Forwarding is CHANGE-GATED: if this server has its own standby
+        (a one-way replication CHAIN, A -> B -> C), an applied snapshot
+        re-schedules a push only when it actually changed state — an
+        identical snapshot is absorbed silently, so an accidental cycle
+        quiesces instead of ping-ponging forever.  NOTE: snapshots are
+        full-replace (deletes propagate), so the supported topology is
+        a one-way chain; pointing two daemons at EACH OTHER is
+        last-writer-wins and can drop the loser's writes — mutual
+        replication needs a quorum store (the reference's ZooKeeper),
+        which SURVEY §7 sanctions out."""
+        changed = False
         with self._lock:
             for p in [
                 p
@@ -220,19 +232,34 @@ class DiscoveryServer:
                 and p not in req.get("znodes", {})
             ]:
                 del self._znodes[p]
+                changed = True
             for p, z in req.get("znodes", {}).items():
-                self._znodes[p] = {
+                node = {
                     "data": base64.b64decode(z.get("data", "")),
                     "mode": z.get("mode", "PERSISTENT"),
                     "owner": "repl",
                 }
+                old = self._znodes.get(p)
+                if (
+                    old is None
+                    or old["data"] != node["data"]
+                    or old["mode"] != node["mode"]
+                ):
+                    self._znodes[p] = node
+                    changed = True
             # counters only move forward: a stale snapshot racing a
             # post-failover local increment must not hand out suffixes
             # twice
             for p, n in req.get("seqs", {}).items():
-                self._seqs[p] = max(self._seqs.get(p, -1), int(n))
+                if int(n) > self._seqs.get(p, -1):
+                    self._seqs[p] = int(n)
+                    changed = True
             for p, n in req.get("counters", {}).items():
-                self._counters[p] = max(self._counters.get(p, 0), int(n))
+                if int(n) > self._counters.get(p, 0):
+                    self._counters[p] = int(n)
+                    changed = True
+        if changed:
+            self._schedule_replication()
         return True
 
     def _accept_loop(self) -> None:

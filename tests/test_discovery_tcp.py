@@ -723,3 +723,50 @@ def test_persistent_state_survives_primary_kill9_via_standby():
         c.close_client()
         primary.kill()
         standby.stop()
+
+
+def test_replication_chain_forwards_and_quiesces():
+    """One-way replication chain A -> B -> C: a persistent write to A
+    lands on C via B's change-gated forwarding, and once the chain is
+    in sync the identical snapshots are absorbed silently (the repl
+    events drain and stay clear — no ping-pong even if someone wires
+    an accidental cycle)."""
+    c = DiscoveryServer().start()
+    b = DiscoveryServer(standby=f"tcp://{c.host}:{c.port}").start()
+    a = DiscoveryServer(standby=f"tcp://{b.host}:{b.port}").start()
+    ca = _client(a)
+    try:
+        ca.create("/kyuubi/chain/x", "PERSISTENT", data=b"vx")
+        assert ca.get_and_increment("/kyuubi/chain/ctr") == 0
+        deadline = time.time() + 10
+        ok = False
+        while time.time() < deadline:
+            with c._lock:
+                ok = (
+                    "/kyuubi/chain/x" in c._znodes
+                    and c._counters.get("/kyuubi/chain/ctr") == 1
+                )
+            if ok:
+                break
+            time.sleep(0.02)
+        assert ok
+        with c._lock:
+            assert c._znodes["/kyuubi/chain/x"]["data"] == b"vx"
+        # quiescence: nothing re-arms once the chain is identical
+        deadline = time.time() + 5
+        while time.time() < deadline:
+            if not (
+                a._repl_event.is_set()
+                or b._repl_event.is_set()
+                or c._repl_event.is_set()
+            ):
+                break
+            time.sleep(0.05)
+        time.sleep(0.3)
+        assert not b._repl_event.is_set()
+        assert not c._repl_event.is_set()
+    finally:
+        ca.close_client()
+        a.stop()
+        b.stop()
+        c.stop()

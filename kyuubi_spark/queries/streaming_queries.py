@@ -1133,9 +1133,7 @@ def stream_slo_burn_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("hour")
 
 
-@query(
-    "stream_transition_counts_ttl",
-    oracle="""
+_TTL_REPLAY_ORACLE = """
     WITH ev AS (
       SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
              epoch_us(ts)::HUGEINT * 9223372036854775808::HUGEINT
@@ -1196,7 +1194,12 @@ def stream_slo_burn_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(CAST(trans.n_trans AS DOUBLE) / tot.n_from, 6) AS prob
     FROM trans JOIN tot USING (from_type)
     ORDER BY from_type, to_type
-    """,
+    """
+
+
+@query(
+    "stream_transition_counts_ttl",
+    oracle=_TTL_REPLAY_ORACLE,
     doc="stream_transition_counts with the PRODUCTION state policy "
     "running for real (r11 judge Next #6): a 30-minute event-time "
     "watermark + EventTimeTimeout eviction with a 1h TTL, replayed as "
@@ -1225,13 +1228,54 @@ def stream_slo_burn_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_transition_counts_ttl(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
+    from kyuubi_spark.streaming.stateful import running_transition_counts_ttl
+
+    return _run_ttl_replay(spark, sf_dir, running_transition_counts_ttl)
+
+
+def stream_transition_counts_ttl_tws(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """stream_transition_counts_ttl on Spark 4's
+    transformWithStateInPandas (SPARK-49564): typed ValueState carry +
+    one explicit event-time timer per key instead of the
+    EventTimeTimeout conf, same 8-slice harness, same replay oracle
+    (_TTL_REPLAY_ORACLE).  NOT a registry query in THIS container: the
+    TWS python state-server protocol requires google.protobuf, which
+    is not installed and cannot be (no pip) — the operator and this
+    runner are real and covered by an env-gated test
+    (tests/test_streaming.py) that runs wherever protobuf exists.
+    Requires RocksDBStateStoreProvider (a TWS requirement; set
+    per-query at start and restored)."""
+    from kyuubi_spark.streaming.stateful import running_transition_counts_tws
+
+    return _run_ttl_replay(
+        spark,
+        sf_dir,
+        running_transition_counts_tws,
+        extra_start_confs={
+            "spark.sql.streaming.stateStore.providerClass":
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        },
+    )
+
+
+def _run_ttl_replay(
+    spark: SparkSession,
+    sf_dir: str,
+    op,
+    extra_start_confs: dict | None = None,
+) -> DataFrame:
+    """Shared 8-slice in-order replay harness for the TTL-evicting
+    transition-count operators (applyInPandasWithState and
+    transformWithState forms run the IDENTICAL harness + oracle)."""
     import shutil
     import tempfile
     import time as _time
 
     from kyuubi_spark.session import load_table
     from kyuubi_spark.streaming.runner import run_to_memory
-    from kyuubi_spark.streaming.stateful import running_transition_counts_ttl
 
     ensure_runtime_confs(spark)
     n_slices = 8
@@ -1313,9 +1357,10 @@ def stream_transition_counts_ttl(
         # because the quarter-span slices' Arrow round-trips dominate
         # the per-store commit overhead on a 32-core box
         increments = run_to_memory(
-            running_transition_counts_ttl(stream),
+            op(stream),
             output_mode="update",
             state_partitions=16,
+            extra_start_confs=extra_start_confs,
         )
         increments = increments.localCheckpoint()
         trans = increments.groupBy("from_type", "to_type").agg(

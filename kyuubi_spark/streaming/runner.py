@@ -69,6 +69,7 @@ def run_to_memory(
     query_name: str | None = None,
     timeout_sec: int = 300,
     state_partitions: int | None = 8,
+    extra_start_confs: dict | None = None,
 ) -> DataFrame:
     """Run with Trigger.AvailableNow into a memory sink; return the result.
 
@@ -90,6 +91,16 @@ def run_to_memory(
     ckpt = tempfile.mkdtemp(prefix="kyuubi_spark_ckpt_")
     if state_partitions:
         spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    # query-at-start confs (e.g. the state store provider a
+    # transformWithState query requires); frozen into the query at
+    # .start(), restored right after like shuffle partitions
+    prev_extra: dict[str, str | None] = {}
+    for k, v in (extra_start_confs or {}).items():
+        try:
+            prev_extra[k] = spark.conf.get(k)
+        except Exception:
+            prev_extra[k] = None
+        spark.conf.set(k, v)
     try:
         q = (
             streaming_df.writeStream.format("memory")
@@ -107,6 +118,14 @@ def run_to_memory(
     finally:
         if state_partitions:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
+        for k, old in prev_extra.items():
+            try:
+                if old is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, old)
+            except Exception:
+                pass
     _finish(q, timeout_sec, ckpt)
     return spark.table(name)
 

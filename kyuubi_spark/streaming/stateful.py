@@ -313,3 +313,84 @@ def running_transition_counts_ttl(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def running_transition_counts_tws(events: DataFrame) -> DataFrame:
+    """running_transition_counts_ttl re-expressed on Spark 4's
+    transformWithStateInPandas — the successor API (SPARK-49564): a
+    typed ValueState carry plus an EXPLICIT event-time timer per key
+    replaces the EventTimeTimeout conf.  Semantics are identical by
+    construction and verified by the SAME replay oracle: on data, the
+    carry updates and the key's single eviction timer is re-registered
+    at watermark + TTL (so keys with data never evict); a key absent
+    long enough that the watermark passes its timer is evicted in
+    handleExpiredTimer — the carry dies, the spanning transition is
+    not counted.  Requires RocksDBStateStoreProvider (a
+    transformWithState requirement); reference intent as in
+    running_transition_counts_ttl."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+    )
+
+    class _TransitionTTLProcessor(StatefulProcessor):
+        def init(self, handle) -> None:
+            self._handle = handle
+            self._carry = handle.getValueState(
+                "carry", _TRANS_STATE_SCHEMA
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            batches = list(rows)
+            if not batches:
+                return
+            pdf = pd.concat(batches, ignore_index=True)
+            pdf = pdf.sort_values(["us", "event_id"], kind="mergesort")
+            types = pdf["event_type"].tolist()
+            if self._carry.exists():
+                got = self._carry.get()
+                if got is not None:
+                    types = [got[2]] + types
+            self._carry.update(
+                (
+                    int(pdf["us"].iloc[-1]),
+                    int(pdf["event_id"].iloc[-1]),
+                    str(pdf["event_type"].iloc[-1]),
+                )
+            )
+            # exactly ONE live eviction timer per key, at the same
+            # horizon EventTimeTimeout used: current watermark + TTL
+            for t in self._handle.listTimers():
+                self._handle.deleteTimer(t)
+            self._handle.registerTimer(
+                timerValues.getCurrentWatermarkInMs() + _TRANS_TTL_MS
+            )
+            pairs: dict = {}
+            for a, b in zip(types, types[1:]):
+                pairs[(a, b)] = pairs.get((a, b), 0) + 1
+            if pairs:
+                yield pd.DataFrame(
+                    [
+                        {"from_type": a, "to_type": b, "n": n}
+                        for (a, b), n in pairs.items()
+                    ]
+                )
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            self._carry.clear()  # the carry dies; nothing is emitted
+            return
+            yield  # pragma: no cover — make this a generator
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.withWatermark("ts", "30 minutes")
+        .select("user_id", "event_id", "event_type", "us", "ts")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=_TransitionTTLProcessor(),
+            outputStructType=_TRANS_OUT_SCHEMA,
+            outputMode="update",
+            timeMode="eventTime",
+        )
+    )

@@ -499,3 +499,21 @@ def test_transition_ttl_evicts_carry_and_state_decays(spark, tmp_path):
         .collect()
     }
     assert got == {("click", "view"): 1, ("view", "purchase"): 1}, got
+
+
+def test_transform_with_state_parity(spark):
+    """Spark 4 transformWithStateInPandas form of the TTL eviction
+    operator produces the IDENTICAL result as the
+    applyInPandasWithState form (same 8-slice replay, same oracle
+    semantics).  Env-gated: the TWS python state-server protocol
+    needs google.protobuf, which this container does not ship."""
+    pytest.importorskip("google.protobuf")
+    from kyuubi_spark.queries.streaming_queries import (
+        stream_transition_counts_ttl,
+        stream_transition_counts_ttl_tws,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    a = stream_transition_counts_ttl(spark, sf).collect()
+    b = stream_transition_counts_ttl_tws(spark, sf).collect()
+    assert a == b

@@ -189,6 +189,8 @@ HEADLINE = [
     "sql_scripting_loop",
     "ddl_column_defaults",
     "parameterized_sql",
+    "sql_pipe_syntax",
+    "variant_json_extract",
     "ansi_try_semantics",
     "script_transform",
     "pyds_tpch_scan",

@@ -734,3 +734,99 @@ def array_hof_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "sql_pipe_syntax",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(value), 2) AS sum_value,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    WHERE event_type <> 'view'
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc="Spark 4 SQL PIPE syntax (|> operators, SPARK-49555): the same "
+    "statement surface a gateway client can now send — FROM ... "
+    "|> WHERE ... |> AGGREGATE ... GROUP BY ... |> ORDER BY — "
+    "verified value-exact against the classic GROUP BY equivalent. "
+    "Pipe stages are pure sugar over the relational algebra, so "
+    "Catalyst plans them identically (same pushed filter, same "
+    "partial aggregate); the entry pins that the gateway accepts the "
+    "modern dialect BI tools are starting to emit.",
+)
+def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from kyuubi_spark.functions.compat import dround  # noqa: F401
+
+    v = f"ks4_pipe_events_{uuid.uuid4().hex[:8]}"
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(v)
+    try:
+        return spark.sql(
+            f"""
+            FROM {v}
+            |> WHERE event_type <> 'view'
+            |> AGGREGATE CAST(COUNT(*) AS BIGINT) AS n,
+                         ROUND(SUM(value), 2) AS sum_value,
+                         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+               GROUP BY event_type
+            |> SELECT event_type, n, sum_value, n_users
+            |> ORDER BY event_type
+            """
+        ).localCheckpoint()
+    finally:
+        spark.catalog.dropTempView(v)
+
+
+@query(
+    "variant_json_extract",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(value), 2) AS sum_value,
+           CAST(MAX(event_id) AS BIGINT) AS max_event_id
+    FROM events
+    GROUP BY event_type ORDER BY event_type
+    """,
+    doc="Spark 4 VARIANT type end-to-end (SPARK-45827): each event row "
+    "round-trips through a JSON document (to_json -> parse_json -> "
+    "VARIANT) and the analysis runs ENTIRELY on variant_get typed "
+    "extractions ($.event_type string, $.value double, $.event_id "
+    "bigint) — the semi-structured ingestion path a log/telemetry "
+    "pipeline uses when the payload schema is open. The oracle "
+    "computes the same aggregate from the typed columns, proving the "
+    "variant round-trip is value-exact (numbers survive shredding). "
+    "At 100 TB: VARIANT's binary encoding pushes extraction into the "
+    "scan (no per-row JSON re-parse after ingestion) and variant_get "
+    "stays in whole-stage codegen.",
+)
+def variant_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kyuubi_spark.functions.compat import dround
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.to_json(
+            F.struct("event_id", "event_type", "user_id", "value")
+        ).alias("j")
+    )
+    v = ev.select(F.parse_json(F.col("j")).alias("v"))
+    typed = v.select(
+        F.expr("variant_get(v, '$.event_type', 'string')").alias(
+            "event_type"
+        ),
+        F.expr("variant_get(v, '$.value', 'double')").alias("value"),
+        F.expr("variant_get(v, '$.event_id', 'bigint')").alias(
+            "event_id"
+        ),
+    )
+    return (
+        typed.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            dround(F.sum("value"), 2).alias("sum_value"),
+            F.max("event_id").cast("bigint").alias("max_event_id"),
+        )
+        .orderBy("event_type")
+    )

@@ -1213,6 +1213,8 @@ def _second_decade_lane(
     }
 
 
+_BENCH_T0: float | None = None  # set by main(); used by the sf10 wall guard
+
 # The two genuinely-superlinear-looking queries get a MEASURED third
 # point at 100x sf0.1 (10x the sf1 corpus) when their two-point
 # prediction fits the lane budget — turning the 100x claim from an
@@ -1232,6 +1234,20 @@ def _third_point_lane(
     prediction gate the verdict asked to assert)."""
     if os.environ.get("SPARK_GRAFT_SKIP_SF10") == "1":
         return None
+    # whole-bench elapsed guard: the third point is the most deferrable
+    # lane — if everything before it already consumed the bench wall
+    # guard (datagen on a cold /tmp, a loaded box), skip EXPLICITLY
+    # rather than risk the driver's run timing out without artifacts
+    guard = float(os.environ.get("SPARK_GRAFT_BENCH_WALL_GUARD", "3600"))
+    elapsed = time.perf_counter() - _BENCH_T0 if _BENCH_T0 else 0.0
+    if elapsed > guard:
+        print(
+            f"# bench sf10 skipped: bench wall {elapsed:.0f}s already "
+            f"past the {guard:.0f}s guard",
+            file=sys.stderr,
+        )
+        return {"skipped_wall_guard": {"elapsed_sec": round(elapsed, 1),
+                                       "guard_sec": guard}}
     import math
     import shutil as _sh
 
@@ -1371,6 +1387,8 @@ def _prior_round_queries(sf_dir: str) -> dict[str, float]:
 
 
 def main() -> None:
+    global _BENCH_T0
+    _BENCH_T0 = time.perf_counter()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from kyuubi_spark.queries import all_queries
     from kyuubi_spark.session import build_session

@@ -353,82 +353,93 @@ class DiscoveryServer:
 
     def _dispatch(self, session: str, req: dict):
         op = req.get("op")
-        # any mutation of persistent/sequence/counter state wakes the
-        # standby snapshot pusher (no-op when no standby is configured);
-        # scheduled OUTSIDE the result path so failures still replicate
-        # whatever partial state applied
-        if op in ("create", "set_data", "delete", "get_and_increment"):
-            self._schedule_replication()
         with self._lock:
-            if op == "ping":
-                return "pong"
-            if op == "repl_snapshot":
-                return self._apply_repl_snapshot(req)
-            if op == "create":
-                return self._create(
-                    session,
-                    req["path"],
-                    req.get("mode", "PERSISTENT"),
-                    base64.b64decode(req.get("data", "")),
-                    req.get("create_parent", True),
-                )
-            if op == "get_data":
-                z = self._znodes.get(req["path"])
-                if z is None:
-                    raise KeyError(req["path"])
-                return base64.b64encode(z["data"]).decode("ascii")
-            if op == "set_data":
-                z = self._znodes.get(req["path"])
-                if z is None:
-                    return False
-                z["data"] = base64.b64decode(req.get("data", ""))
-                return True
-            if op == "get_children":
-                prefix = req["path"].rstrip("/") + "/"
-                out = []
-                for p in self._znodes:
-                    rest = p[len(prefix):] if p.startswith(prefix) else ""
-                    if rest and "/" not in rest:
-                        out.append(rest)
-                return sorted(out)
-            if op == "engine_spaces":
-                prefix = req.get("root", "/kyuubi").rstrip("/") + "/"
-                spaces = {
-                    p.rsplit("/", 1)[0]
-                    for p in self._znodes
-                    if p.startswith(prefix)
-                    and p.rsplit("/", 1)[-1].startswith("serverUri=")
-                }
-                return sorted(spaces)
-            if op == "path_exists":
-                return req["path"] in self._znodes
-            if op == "path_non_exists":
-                if req.get("is_prefix"):
-                    pre = req["path"]
-                    return not any(p.startswith(pre) for p in self._znodes)
-                return req["path"] not in self._znodes
-            if op == "delete":
-                self._znodes.pop(req["path"], None)
-                if req.get("delete_children"):
-                    pre = req["path"].rstrip("/") + "/"
-                    for p in [p for p in self._znodes if p.startswith(pre)]:
-                        del self._znodes[p]
-                return True
-            if op == "lock_acquire":
-                holder = self._locks.get(req["path"])
-                if holder is None or holder == session:
-                    self._locks[req["path"]] = session
-                    return True
+            try:
+                return self._dispatch_locked(session, req, op)
+            finally:
+                # any mutation of persistent/sequence/counter state
+                # wakes the standby snapshot pusher (no-op without a
+                # standby).  Scheduled while STILL HOLDING the lock and
+                # AFTER the mutation applied: the pusher's snapshot
+                # also takes the lock, so it cannot clear the event and
+                # read a pre-mutation tree (a pre-lock set() could) —
+                # and the finally means a failed op still replicates
+                # whatever partial state landed
+                if op in (
+                    "create", "set_data", "delete", "get_and_increment"
+                ):
+                    self._schedule_replication()
+
+    def _dispatch_locked(self, session: str, req: dict, op):
+        if op == "ping":
+            return "pong"
+        if op == "repl_snapshot":
+            return self._apply_repl_snapshot(req)
+        if op == "create":
+            return self._create(
+                session,
+                req["path"],
+                req.get("mode", "PERSISTENT"),
+                base64.b64decode(req.get("data", "")),
+                req.get("create_parent", True),
+            )
+        if op == "get_data":
+            z = self._znodes.get(req["path"])
+            if z is None:
+                raise KeyError(req["path"])
+            return base64.b64encode(z["data"]).decode("ascii")
+        if op == "set_data":
+            z = self._znodes.get(req["path"])
+            if z is None:
                 return False
-            if op == "lock_release":
-                if self._locks.get(req["path"]) == session:
-                    del self._locks[req["path"]]
+            z["data"] = base64.b64decode(req.get("data", ""))
+            return True
+        if op == "get_children":
+            prefix = req["path"].rstrip("/") + "/"
+            out = []
+            for p in self._znodes:
+                rest = p[len(prefix):] if p.startswith(prefix) else ""
+                if rest and "/" not in rest:
+                    out.append(rest)
+            return sorted(out)
+        if op == "engine_spaces":
+            prefix = req.get("root", "/kyuubi").rstrip("/") + "/"
+            spaces = {
+                p.rsplit("/", 1)[0]
+                for p in self._znodes
+                if p.startswith(prefix)
+                and p.rsplit("/", 1)[-1].startswith("serverUri=")
+            }
+            return sorted(spaces)
+        if op == "path_exists":
+            return req["path"] in self._znodes
+        if op == "path_non_exists":
+            if req.get("is_prefix"):
+                pre = req["path"]
+                return not any(p.startswith(pre) for p in self._znodes)
+            return req["path"] not in self._znodes
+        if op == "delete":
+            self._znodes.pop(req["path"], None)
+            if req.get("delete_children"):
+                pre = req["path"].rstrip("/") + "/"
+                for p in [p for p in self._znodes if p.startswith(pre)]:
+                    del self._znodes[p]
+            return True
+        if op == "lock_acquire":
+            holder = self._locks.get(req["path"])
+            if holder is None or holder == session:
+                self._locks[req["path"]] = session
                 return True
-            if op == "get_and_increment":
-                prev = self._counters.get(req["path"], 0)
-                self._counters[req["path"]] = prev + req.get("delta", 1)
-                return prev
-            raise ValueError(f"unknown discovery op {op!r}")
+            return False
+        if op == "lock_release":
+            if self._locks.get(req["path"]) == session:
+                del self._locks[req["path"]]
+            return True
+        if op == "get_and_increment":
+            prev = self._counters.get(req["path"], 0)
+            self._counters[req["path"]] = prev + req.get("delta", 1)
+            return prev
+        raise ValueError(f"unknown discovery op {op!r}")
 
     def _create(
         self, session: str, path: str, mode: str, data: bytes,

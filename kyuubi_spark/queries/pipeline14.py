@@ -757,6 +757,12 @@ def stream_refresh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).write.partitionBy("sl").parquet(d)
         for pos in range(1, 5):
             pd_ = os.path.join(d, f"sl={pos}")
+            if not os.path.isdir(pd_):
+                # an empty doc_id-range slice needs NO microbatch here:
+                # unlike the TTL replay there is no watermark recurrence
+                # to keep in step — each batch's near-dup check is
+                # self-contained against the static corpus
+                continue
             part = [
                 p for p in os.listdir(pd_) if p.endswith(".parquet")
             ][0]

@@ -1025,6 +1025,17 @@ def _sf1_scale_lane(spark, specs, timings: dict, sf_dir: str) -> dict | None:
             walls[name] = -1.0
         finally:
             release_caches()
+            # same discipline as the sf3 lane: after thousands of
+            # session stages the ContextCleaner lags the allocation
+            # rate and unified-memory acquisition starts failing
+            # (r13: triangle at 10x hit UNABLE_TO_ACQUIRE_MEMORY with
+            # the lane's larger force-included query set); force a JVM
+            # GC so freed execution/storage blocks are actually
+            # reclaimed between lane queries
+            try:
+                spark.sparkContext._jvm.System.gc()
+            except Exception:
+                pass
     ok = [v for v in walls.values() if v >= 0]
     if truncated:
         print(

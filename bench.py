@@ -1264,8 +1264,6 @@ def _third_point_lane(
 
     import scale_data
 
-    from kyuubi_spark.caching import release_caches
-
     dst = os.environ.get("SPARK_GRAFT_SF10_DIR", "/tmp/kyuubi_spark_sf10")
     budget = float(os.environ.get("SPARK_GRAFT_SF10_BUDGET", "1500"))
     sf1_dir = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/kyuubi_spark_sf1")
@@ -1312,11 +1310,47 @@ def _third_point_lane(
         if projected > remaining:
             skipped[name] = round(projected, 1)
             continue
-        t0 = time.perf_counter()
+        # each probe runs in a FRESH subprocess session: a 100x
+        # iterative query needs the whole driver heap, not what is
+        # left after ~11k stages of bench history (r13: the in-session
+        # form died with Java-heap OOM here and took the SparkContext
+        # — and every lane after it — down with it).  A probe crash is
+        # now one recorded error row, never a dead bench.
+        import subprocess
+
         try:
-            df = specs[name].builder(spark, dst)
-            df.count()
-            wall = round(time.perf_counter() - t0, 3)
+            proc = subprocess.run(
+                [
+                    sys.executable,
+                    os.path.join(
+                        os.path.dirname(os.path.abspath(__file__)),
+                        "tools",
+                        "third_point_probe.py",
+                    ),
+                    name,
+                    dst,
+                ],
+                capture_output=True,
+                text=True,
+                timeout=max(remaining, 60.0),
+                env={
+                    **os.environ,
+                    "SPARK_DRIVER_MEMORY": os.environ.get(
+                        "SPARK_GRAFT_SF10_DRIVER_MEM", "48g"
+                    ),
+                },
+            )
+            line = [
+                ln
+                for ln in proc.stdout.splitlines()
+                if ln.strip().startswith("{")
+            ]
+            if proc.returncode != 0 or not line:
+                tail = (proc.stderr or "").strip().splitlines()[-3:]
+                raise RuntimeError(
+                    f"probe rc={proc.returncode}: " + " | ".join(tail)
+                )
+            wall = float(json.loads(line[-1])["wall_sec"])
             exponent = round(
                 math.log(wall / base) / math.log(10.0), 3
             )
@@ -1334,12 +1368,6 @@ def _third_point_lane(
         except Exception as e:
             print(f"# bench sf10 error {name}: {e}", file=sys.stderr)
             queries[name] = {"wall_sec": -1.0, "error": str(e)[:200]}
-        finally:
-            release_caches()
-            try:
-                spark.sparkContext._jvm.System.gc()
-            except Exception:
-                pass
     if skipped:
         print(
             f"# bench sf10 budget ({budget:.0f}s): projected-over-budget "

@@ -229,9 +229,13 @@ def minhash_signatures_df(
     shingle relation across the signature and verification phases — min is
     unaffected by the dedup, so a distinct relation gives identical sigs.
     """
+    # default shingle source is the Arrow-batched form — element-wise
+    # identical to the interpreted `shingles()` HOF and ~3x faster
+    # (Spark evaluates higher-order array lambdas interpreted; see
+    # shingles_arrow docstring)
     sh = shingle_df if shingle_df is not None else df.select(
         F.col(id_col).alias("id"),
-        F.explode(shingles(F.col(text_col), n)).alias("g"),
+        F.explode(shingles_arrow(n)(F.col(text_col))).alias("g"),
     )
     h1, h2 = _minhash_parts(F.col("g"))
     proj = sh.select("id", h1.alias("h1"), h2.alias("h2"))

@@ -275,6 +275,10 @@ def formats_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_bal"),
         )
     )
+    # materialize the 25-row aggregate once: each of the three format
+    # writes is its own job, and without this the customer-join aggregate
+    # re-runs per write (r13 optimization — 3 scans+shuffles -> 1)
+    agg = agg.localCheckpoint()
     base = tempfile.mkdtemp(prefix="kyuubi_formats_")
     try:
         FM.write_orc(agg, f"{base}/orc")

@@ -2526,8 +2526,14 @@ def bfs_reachability_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     seed = int(seed_row["u"])
     frontier = spark.createDataFrame([(seed,)], "n bigint").localCheckpoint()
+    # r13 optimization: each hop's frontier is already materialized by its
+    # localCheckpoint (needed to truncate the iterative lineage), so the
+    # per-hop count() jobs and the per-hop visited re-checkpoints were
+    # redundant work — visited stays a lazy union of the checkpointed
+    # frontiers (<= 4 tiny scans per anti-join) and the hop histogram is
+    # ONE final aggregate over the tagged union (7 jobs -> 3).
+    levels = [frontier.withColumn("hop", F.lit(0))]
     visited = frontier
-    counts = [(0, 1)]
     for hop in (1, 2, 3):
         nxt = (
             frontier.join(
@@ -2538,14 +2544,22 @@ def bfs_reachability_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(visited, "n", "left_anti")
             .localCheckpoint()
         )
-        counts.append((hop, nxt.count()))
-        visited = visited.unionByName(nxt).localCheckpoint()
+        levels.append(nxt.withColumn("hop", F.lit(hop)))
+        visited = visited.unionByName(nxt.select("n"))
         frontier = nxt
-    out = spark.createDataFrame(counts, "hop int, n_reached long")
-    return out.filter(F.col("n_reached") > 0).select(
-        F.col("hop").cast("int").alias("hop"),
-        F.col("n_reached").cast("bigint").alias("n_reached"),
-    ).orderBy("hop")
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.unionByName(lv)
+    return (
+        out.groupBy("hop")
+        .agg(F.count("*").alias("n_reached"))
+        .filter(F.col("n_reached") > 0)
+        .select(
+            F.col("hop").cast("int").alias("hop"),
+            F.col("n_reached").cast("bigint").alias("n_reached"),
+        )
+        .orderBy("hop")
+    )
 
 
 @query(

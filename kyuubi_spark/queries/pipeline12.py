@@ -4134,15 +4134,21 @@ def pinball_quantile_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kyuubi_spark.caching import persisted
 
     x = persisted(x)
+    # ONE array-percentile aggregate instead of five scalar percentile
+    # aggregates (r13 optimization): the exact percentile aggregate
+    # buffers the group's values once per aggregate expression, so the
+    # array form does a fifth of the buffering/sorting work — identical
+    # values (same function, same interpolation, evaluated on one
+    # buffer).
+    q_list = (0.5, 0.7, 0.8, 0.9, 0.95)
     qs = (
         x.groupBy("p_brand")
         .agg(
-            *[
-                F.round(
-                    F.expr(f"percentile(cents, {q})"), 0
-                ).cast("bigint").alias(f"q{int(q * 100)}")
-                for q in (0.5, 0.7, 0.8, 0.9, 0.95)
-            ]
+            F.expr(
+                "percentile(cents, array("
+                + ", ".join(f"{q}D" for q in q_list)
+                + "))"
+            ).alias("qarr")
         )
         .select(
             "p_brand",
@@ -4150,10 +4156,12 @@ def pinball_quantile_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.array(
                     *[
                         F.struct(
-                            F.col(f"q{int(q * 100)}").alias("cand"),
+                            F.round(F.element_at("qarr", i + 1), 0)
+                            .cast("bigint")
+                            .alias("cand"),
                             F.lit(q).alias("q"),
                         )
-                        for q in (0.5, 0.7, 0.8, 0.9, 0.95)
+                        for i, q in enumerate(q_list)
                     ]
                 )
             ).alias("c"),

@@ -560,17 +560,20 @@ def stream_refresh_accept(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).cast("long"),
             ),
         )
-        for pos in range(1, 5):
-            d = os.path.join(work, f"b{pos}")
-            sliced.filter(F.col("sl") == pos).select(
-                "doc_id", "source", "text"
-            ).coalesce(1).write.parquet(d)
-            part = [
-                p for p in os.listdir(d) if p.endswith(".parquet")
-            ][0]
-            dst = os.path.join(src, f"batch-{pos}.parquet")
-            shutil.copy(os.path.join(d, part), dst)
-            os.utime(dst, (t0 + pos * 60, t0 + pos * 60))
+        # shared one-job slice writer (r13: was 4x filter+coalesce(1)
+        # write jobs, each a full input scan)
+        from kyuubi_spark.queries.streaming_queries import (
+            _write_slice_batches,
+        )
+
+        _write_slice_batches(
+            sliced.select("doc_id", "source", "text", "sl"),
+            "sl",
+            [1, 2, 3, 4],
+            work,
+            src,
+            t0,
+        )
         stream = (
             spark.readStream.schema(
                 incoming.schema

@@ -801,21 +801,91 @@ def ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).select("query_id", (F.col("pr0") + 1).alias("pr"), "cell")
 
-    rows = []
-    for nprobe in (1, 2, 4, 8):
-        cand = probes.filter(F.col("pr") <= nprobe).join(
+    # ALL FOUR nprobe lanes derive from ONE scored candidate relation
+    # (r13 optimization): a candidate probed at rank pr belongs to every
+    # nprobe >= pr, its exact-rerank score does not depend on nprobe, and
+    # argsort(-sims)[:, :p] is a prefix of argsort(-sims)[:, :8] — so the
+    # per-lane cosine_topk_ivf pipelines (each re-collecting centroids and
+    # re-scoring the same pairs: 13 Spark jobs) collapse to one candidate
+    # count pass + one score-once/explode-levels/window plan (3 jobs),
+    # value-identical per lane.
+    from pyspark.sql import Window
+
+    from kyuubi_spark.functions.compat import dround
+
+    cand = (
+        probes.join(
             assigned.select(
-                F.col("vec_id").alias("neighbor_id"), "cell"
+                F.col("vec_id").alias("neighbor_id"),
+                "cell",
+                S._as_double(F.col("embedding")).alias("neighbor_vec"),
             ),
             "cell",
-        ).filter(F.col("neighbor_id") != F.col("query_id"))
-        n_cand = cand.count()
-        ivf5 = S.cosine_topk_ivf(
-            emb, queries, k=5, n_cells=16, n_probe=nprobe
-        ).select("query_id", "neighbor_id")
-        n_hits = ivf5.join(exact, ["query_id", "neighbor_id"]).count()
-        rows.append((nprobe, round(n_cand / 10.0, 2),
-                     round(n_hits / 50.0, 4)))
+        )
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+    )
+    # per-pr candidate counts; n_cand(nprobe) is the prefix sum over pr
+    pr_counts = {
+        int(r["pr"]): int(r["n"])
+        for r in cand.groupBy("pr").agg(F.count("*").alias("n")).collect()
+    }
+    # score each candidate pair once with the cosine_topk_ivf expression
+    q = S._with_vec_norm(queries, "vec_id", "embedding", "query")
+    scored = (
+        cand.withColumn(
+            "neighbor_nrm",
+            F.sqrt(
+                F.aggregate(
+                    F.col("neighbor_vec"),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x * x,
+                )
+            ),
+        )
+        .join(F.broadcast(q), "query_id")
+        .withColumn(
+            "score",
+            dround(
+                S._dot_pre(F.col("query_vec"), F.col("neighbor_vec"))
+                / (F.col("query_nrm") * F.col("neighbor_nrm")),
+                6,
+            ),
+        )
+        .select("query_id", "neighbor_id", "score", "pr")
+    )
+    lanes = scored.select(
+        "query_id",
+        "neighbor_id",
+        "score",
+        F.explode(
+            F.filter(
+                F.array(F.lit(1), F.lit(2), F.lit(4), F.lit(8)),
+                lambda lvl: lvl >= F.col("pr"),
+            )
+        ).alias("nprobe"),
+    )
+    w = Window.partitionBy("nprobe", "query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id")
+    )
+    hit_rows = (
+        lanes.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .join(F.broadcast(exact), ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("nprobe")
+        .agg(F.count("*").alias("n_hits"))
+        .collect()
+    )
+    hits = {int(r["nprobe"]): int(r["n_hits"]) for r in hit_rows}
+    rows = []
+    for nprobe in (1, 2, 4, 8):
+        n_cand = sum(n for pr, n in pr_counts.items() if pr <= nprobe)
+        rows.append(
+            (
+                nprobe,
+                round(n_cand / 10.0, 2),
+                round(hits.get(nprobe, 0) / 50.0, 4),
+            )
+        )
     return spark.createDataFrame(
         rows, "nprobe int, avg_candidates double, recall_at_5 double"
     )

@@ -36,6 +36,52 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw
 
 
+def _write_slice_batches(
+    df: DataFrame,
+    part_col: str,
+    order: list[int],
+    work: str,
+    src: str,
+    t0: float,
+) -> None:
+    """Write one microbatch parquet file per ``part_col`` slice of ``df``
+    into ``src`` in the given arrival ``order``, mtimes pinned so the
+    file source's (mtime, path) order IS the replay order.
+
+    ONE ``repartition(part_col) + partitionBy`` job emits every slice
+    file in parallel (r12's TTL-harness lesson, now shared: the previous
+    per-slice ``filter + coalesce(1) + write`` loop paid one full input
+    scan and one single-task write PER SLICE).  A slice with no rows
+    still gets an (empty) batch file so batch numbering and the
+    watermark recurrence the oracles replay hold at every SF.
+    """
+    import shutil
+
+    d = os.path.join(work, "sliced")
+    df.repartition(part_col).write.partitionBy(part_col).parquet(d)
+    empty_part = None
+    for pos, val in enumerate(order):
+        pd_ = os.path.join(d, f"{part_col}={val}")
+        dst = os.path.join(src, f"batch-{pos:02d}.parquet")
+        parts = (
+            [p for p in os.listdir(pd_) if p.endswith(".parquet")]
+            if os.path.isdir(pd_)
+            else []
+        )
+        if parts:
+            shutil.copy(os.path.join(pd_, parts[0]), dst)
+        else:
+            if empty_part is None:
+                ed = os.path.join(work, "empty")
+                df.drop(part_col).limit(0).coalesce(1).write.parquet(ed)
+                empty_part = os.path.join(
+                    ed,
+                    [p for p in os.listdir(ed) if p.endswith(".parquet")][0],
+                )
+            shutil.copy(empty_part, dst)
+        os.utime(dst, (t0 + pos * 60, t0 + pos * 60))
+
+
 @query(
     "stream_tumbling_agg",
     oracle="""
@@ -451,15 +497,7 @@ def stream_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
         # arrival order: Q2, Q3, Q1 (a week LATE, two batches after
         # newer data), Q4 — one parquet file per microbatch, mtimes
         # pinned so the file source's (mtime, path) order is this order
-        for pos, quartile in enumerate([2, 3, 1, 4]):
-            d = os.path.join(work, f"b{quartile}")
-            qt.filter(F.col("qt") == quartile).drop("qt").coalesce(
-                1
-            ).write.parquet(d)
-            part = [p for p in os.listdir(d) if p.endswith(".parquet")][0]
-            dst = os.path.join(src, f"batch-{pos}.parquet")
-            shutil.copy(os.path.join(d, part), dst)
-            os.utime(dst, (t0 + pos * 60, t0 + pos * 60))
+        _write_slice_batches(qt, "qt", [2, 3, 1, 4], work, src, t0)
         stream = (
             spark.readStream.schema(events.schema)
             .option("maxFilesPerTrigger", 1)
@@ -931,15 +969,7 @@ def stream_transition_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         t0 = _time.time() - 1000
         # in-order time-range quarters: the file source's (mtime, path)
         # order IS event-time order, the contract the carried state needs
-        for pos, quartile in enumerate([1, 2, 3, 4]):
-            d = os.path.join(work, f"b{quartile}")
-            qt.filter(F.col("qt") == quartile).drop("qt").coalesce(
-                1
-            ).write.parquet(d)
-            part = [p for p in os.listdir(d) if p.endswith(".parquet")][0]
-            dst = os.path.join(src, f"batch-{pos}.parquet")
-            shutil.copy(os.path.join(d, part), dst)
-            os.utime(dst, (t0 + pos * 60, t0 + pos * 60))
+        _write_slice_batches(qt, "qt", [1, 2, 3, 4], work, src, t0)
         stream = (
             spark.readStream.schema(qt.drop("qt").schema)
             .option("maxFilesPerTrigger", 1)
@@ -1308,44 +1338,12 @@ def _run_ttl_replay(
     try:
         t0 = _time.time() - 1000
         # in-order time-slice microbatches: (mtime, path) order IS
-        # event-time order, the contract the watermark recurrence needs.
-        # ONE partitionBy write job emits all slice files (per-slice
-        # filter+write jobs cost one scan EACH — 25s of wall in r12);
-        # repartition("sl") keeps exactly one part file per slice while
-        # writing slices in PARALLEL (coalesce(1)'s single task cost
-        # 4.2s of the r12 headline wall)
-        d = os.path.join(work, "sliced")
-        sl.repartition("sl").write.partitionBy("sl").parquet(d)
-        empty_part = None
-        for pos in range(1, n_slices + 1):
-            pd_ = os.path.join(d, f"sl={pos}")
-            dst = os.path.join(src, f"batch-{pos:02d}.parquet")
-            parts = (
-                [p for p in os.listdir(pd_) if p.endswith(".parquet")]
-                if os.path.isdir(pd_)
-                else []
-            )
-            if parts:
-                shutil.copy(os.path.join(pd_, parts[0]), dst)
-            else:
-                # an EMPTY slice still gets a microbatch file: the
-                # oracle's generate_series(1,8) watermark recurrence
-                # models 8 in-order batches, and timeouts fire during
-                # empty batches too (ADVICE r12: a missing sl=pos dir
-                # crashed here at SFs where a 1/64 slice holds 0 rows)
-                if empty_part is None:
-                    ed = os.path.join(work, "empty")
-                    sl.drop("sl").limit(0).coalesce(1).write.parquet(ed)
-                    empty_part = os.path.join(
-                        ed,
-                        [
-                            p
-                            for p in os.listdir(ed)
-                            if p.endswith(".parquet")
-                        ][0],
-                    )
-                shutil.copy(empty_part, dst)
-            os.utime(dst, (t0 + pos * 60, t0 + pos * 60))
+        # event-time order, the contract the watermark recurrence needs
+        # (shared one-job slice writer; empty 1/64 slices still emit an
+        # empty batch file — ADVICE r12)
+        _write_slice_batches(
+            sl, "sl", list(range(1, n_slices + 1)), work, src, t0
+        )
         stream = (
             spark.readStream.schema(sl.drop("sl").schema)
             .option("maxFilesPerTrigger", 1)

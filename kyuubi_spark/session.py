@@ -13,6 +13,7 @@ Scale notes (100 TB target):
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -95,6 +96,18 @@ def build_session(
     return ensure_runtime_confs(spark)
 
 
+# Lazy-DataFrame memo: (realpath, mtime_ns, size) -> DataFrame, per live
+# session.  ``spark.read.parquet`` costs ~120-190 ms of driver-side file
+# listing + schema inference PER CALL; with 400+ registry queries each
+# re-loading 1-4 corpus tables that is minutes of pure metadata re-work per
+# sweep.  The memo holds only the LAZY plan (scan node + the events ts
+# normalization) — every action still reads the parquet files; no data or
+# results are cached.  Keyed on file identity (mtime_ns + size) so a
+# rewritten testdata file invalidates its entry, and weakly on the session
+# so stopped sessions release their plans.
+_TABLE_MEMO: weakref.WeakKeyDictionary = weakref.WeakKeyDictionary()
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one corpus table with normalized column types.
 
@@ -104,11 +117,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
       truncation of nano parquet timestamps.
     """
     ensure_runtime_confs(spark)
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    key = None
+    try:
+        st = os.stat(path)
+        key = (os.path.realpath(path), st.st_mtime_ns, st.st_size)
+        memo = _TABLE_MEMO.setdefault(spark, {})
+        cached = memo.get(key)
+        if cached is not None:
+            return cached
+    except (OSError, TypeError):
+        memo = None  # unstattable path or unhashable session: no memo
+    df = spark.read.parquet(path)
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn(
             "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
         )
+    if key is not None and memo is not None:
+        memo[key] = df
     return df
 
 

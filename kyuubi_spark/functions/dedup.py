@@ -211,6 +211,75 @@ def minhash_signature(shingle_col: Column, num_hashes: int = 16) -> Column:
     )
 
 
+def minhash_signatures_arrow(num_hashes: int = 16):
+    """Arrow-batched MinHash from a per-doc shingle ARRAY: array<string>
+    shingles -> array<long> signature, identical values to the exploded
+    md5 + min-aggregate form (same md5 hex base, same Kirsch-Mitzenmacher
+    double hashing, min over the same set; parity pinned by tests).
+
+    Why (r13, guide §8): the exploded form shuffles shingles x
+    ``num_hashes`` longs into a 16-min-aggregate groupBy; this form is
+    MAP-ONLY — signatures never leave the stage that holds the shingle
+    arrays, so the per-doc-keyed shuffle disappears from every LSH plan.
+    """
+    import hashlib
+
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<long>")
+    def f(shs: pd.Series) -> pd.Series:
+        seeds = np.arange(num_hashes, dtype=np.int64)
+        out = []
+        for arr in shs:
+            k = len(arr)
+            h1 = np.empty(k, dtype=np.int64)
+            h2 = np.empty(k, dtype=np.int64)
+            for j, g in enumerate(arr):
+                hx = hashlib.md5(g.encode()).hexdigest()
+                h1[j] = int(hx[:12], 16)
+                h2[j] = int(hx[12:24], 16)
+            vals = (h1[:, None] + seeds[None, :] * h2[:, None]) & np.int64(
+                _MINHASH_MASK
+            )
+            out.append(vals.min(axis=0).tolist())
+        return pd.Series(out)
+
+    return f
+
+
+def spread_narrow(df: DataFrame) -> DataFrame:
+    """Round-robin the rows of a narrow relation to the session's default
+    parallelism before a per-row Arrow pass.  Local SFs read the corpus
+    parquet as ONE split, which would serialize the pass into a single
+    Python worker; at real scale the scan already has more splits than
+    cores and this is a no-op (the check is driver-side only)."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    try:
+        if df.rdd.getNumPartitions() < par:
+            return df.repartition(par)
+    except Exception:
+        pass
+    return df
+
+
+def shingle_arrays_df(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """(id, shs) — one row per doc with its distinct shingle ARRAY, the
+    shared relation of the r13 dedup chain: MinHash signatures
+    (``minhash_signatures_arrow``), verification arrays
+    (``shingle_hash_arrow``) and the exact prefix-filter path all derive
+    from it MAP-ONLY, so one localCheckpoint of O(docs) rows replaces the
+    exploded O(shingles) relation the chain used to share."""
+    return spread_narrow(
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
+    ).select("id", shingles_arrow(n)(F.col("t")).alias("shs"))
+
+
 def minhash_signatures_df(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -218,25 +287,32 @@ def minhash_signatures_df(
     n: int = 3,
     num_hashes: int = 16,
     shingle_df: DataFrame | None = None,
+    shingle_arrays: DataFrame | None = None,
 ) -> DataFrame:
-    """(id, sig) per document — same values as ``minhash_signature`` but
-    computed on the fast path: explode shingles, evaluate one codegen'd md5
-    per shingle, derive ``num_hashes`` values by double hashing, and reduce
-    with ``min`` aggregates (partial map-side combine ⇒ one small shuffle
-    keyed by doc id, linear at any scale).
+    """(id, sig) per document — same values as ``minhash_signature``.
 
-    ``shingle_df`` (columns id, g) lets callers share one materialized
-    shingle relation across the signature and verification phases — min is
-    unaffected by the dedup, so a distinct relation gives identical sigs.
+    Three sources, in order of preference:
+    - ``shingle_arrays`` (columns id, shs): map-only Arrow signatures off
+      the shared per-doc shingle arrays (the r13 fast path — no shuffle).
+    - ``shingle_df`` (columns id, g, exploded): the legacy shared
+      relation; one codegen'd md5 per shingle + ``num_hashes`` min
+      aggregates (one doc-id-keyed shuffle).
+    - neither: build the arrays from ``df`` and take the map-only path.
     """
-    # default shingle source is the Arrow-batched form — element-wise
-    # identical to the interpreted `shingles()` HOF and ~3x faster
-    # (Spark evaluates higher-order array lambdas interpreted; see
-    # shingles_arrow docstring)
-    sh = shingle_df if shingle_df is not None else df.select(
-        F.col(id_col).alias("id"),
-        F.explode(shingles_arrow(n)(F.col(text_col))).alias("g"),
-    )
+    if shingle_arrays is not None:
+        return shingle_arrays.select(
+            "id", minhash_signatures_arrow(num_hashes)(F.col("shs")).alias("sig")
+        )
+    if shingle_df is None:
+        return minhash_signatures_df(
+            df,
+            id_col,
+            text_col,
+            n,
+            num_hashes,
+            shingle_arrays=shingle_arrays_df(df, id_col, text_col, n),
+        )
+    sh = shingle_df
     h1, h2 = _minhash_parts(F.col("g"))
     proj = sh.select("id", h1.alias("h1"), h2.alias("h2"))
     hash_cols = [
@@ -286,6 +362,7 @@ def lsh_candidate_pairs(
     num_hashes: int = 16,
     bands: int = 8,
     shingle_df: DataFrame | None = None,
+    shingle_arrays: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash-LSH candidate pairs (a < b), deduplicated across bands.
 
@@ -297,7 +374,9 @@ def lsh_candidate_pairs(
     # join directly on the band's raw signature slice (rows_per_band longs)
     # — no digest needed, and long-tuple equality is codegen'd
     banded = (
-        minhash_signatures_df(df, id_col, text_col, n, num_hashes, shingle_df)
+        minhash_signatures_df(
+            df, id_col, text_col, n, num_hashes, shingle_df, shingle_arrays
+        )
         .select(
             "id",
             F.explode(
@@ -349,6 +428,7 @@ def jaccard_pairs(
     tau_num: int = 1,
     tau_den: int = 2,
     shingle_df: DataFrame | None = None,
+    shingle_arrays: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard over candidate pairs (or all pairs if None).
 
@@ -384,16 +464,21 @@ def jaccard_pairs(
     # verification runs in md5-hashed long space: array_intersect over longs
     # is ~25x faster than over strings, and the oracle replays the same hash
     # (shingle arrays are distinct per doc, so sizes are set cardinalities)
-    arrays = (
-        shingle_df.groupBy("id")
-        .agg(F.collect_list("g").alias("shs"))
-        .select("id", shingle_hash_arrow()(F.col("shs")).alias("shs"))
-        if shingle_df is not None
-        else df.select(
-            F.col(id_col).alias("id"),
-            hashed_shingles_arrow(n)(F.col(text_col)).alias("shs"),
+    if shingle_arrays is not None:
+        # map-only off the shared per-doc arrays (r13 fast path)
+        arrays = shingle_arrays.select(
+            "id", shingle_hash_arrow()(F.col("shs")).alias("shs")
         )
-    )
+    elif shingle_df is not None:
+        arrays = (
+            shingle_df.groupBy("id")
+            .agg(F.collect_list("g").alias("shs"))
+            .select("id", shingle_hash_arrow()(F.col("shs")).alias("shs"))
+        )
+    else:
+        arrays = spread_narrow(
+            df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
+        ).select("id", hashed_shingles_arrow(n)(F.col("t")).alias("shs"))
 
     if candidates is None:
         # The exact path reads the shingle arrays four times (frequency,
@@ -555,6 +640,47 @@ def simhash_signatures_df(
     return sums.select("id", sig.alias("sig"))
 
 
+def simhash_signatures_arrow(num_bits: int = 64):
+    """Arrow-batched twin of ``simhash_signatures_df``'s per-doc kernel:
+    text -> the ``num_bits``-char '0'/'1' SimHash string in ONE vectorized
+    pass (md5 per token via hashlib — identical bytes/hex to Spark's
+    ``md5(cast binary)`` on UTF-8 strings — then a (tokens x bits) ±1 sum
+    in numpy).  Value-identity with the exploded 64-sum-aggregate form is
+    pinned by tests/test_dedup.py.
+
+    Why (r13, guide §8 "move the work to one vectorized pass"): the
+    exploded form shuffles tokens x 64 ±1 ints into a 64-aggregate
+    groupBy — correct and linear, but the shuffle and the 64-wide codegen
+    dominate the query at every SF.  This form is map-only: signatures
+    never leave the scan stage, and only (id, 64-char sig) rows flow on.
+    """
+    import hashlib
+
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def f(texts: pd.Series) -> pd.Series:
+        shifts = np.arange(num_bits, dtype=np.uint64)
+        out = []
+        for t in texts:
+            toks = (t or "").strip().split(" ")
+            hs = np.array(
+                [
+                    int(hashlib.md5(tok.encode()).hexdigest()[:16], 16)
+                    for tok in toks
+                ],
+                dtype=np.uint64,
+            )
+            # bit i of (hi<<32)|lo == _token_bit_from_parts(hi, lo, i)
+            bits = (hs[:, None] >> shifts) & np.uint64(1)
+            sums = (2 * bits.astype(np.int64) - 1).sum(axis=0)
+            out.append("".join("1" if s > 0 else "0" for s in sums))
+        return pd.Series(out)
+
+    return f
+
+
 def simhash_bits(text: Column | str, num_bits: int = 64) -> Column:
     """SimHash signature as a single Column (same formula as
     ``simhash_signatures_df``, which is the fast path — this interpreted
@@ -600,7 +726,18 @@ def simhash_near_dup_pairs(
     """
 
     chunk_len = num_bits // chunks
-    sig = simhash_signatures_df(df, id_col, text_col, num_bits)
+    # map-only Arrow signature pass (r13; was the exploded 64-aggregate
+    # form — same values, test-pinned).  The corpus parquet arrives as
+    # one split at local SFs, which would serialize the Arrow pass into
+    # a single Python worker; spread the text rows to the session's
+    # parallelism first when the scan is narrower than that (at real
+    # scale the scan already has more splits than cores and this is a
+    # no-op).
+    src = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < par:
+        src = src.repartition(par)
+    sig = src.select("id", simhash_signatures_arrow(num_bits)(F.col("t")).alias("sig"))
     # Pack each chunk of the bit string into a LONG: long join keys beat
     # 16-char strings, and hamming becomes bit_count(xor) — whole-stage
     # codegen instead of interpreted split/zip_with HOFs (~3x on the pair

@@ -268,18 +268,15 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rather than recompute the explode+distinct twice); localCheckpoint
     # blocks are freed by the ContextCleaner when the DF is GC'd
     sh = (
-        docs.select(
-            F.col("doc_id").alias("id"),
-            F.explode(D.shingles_arrow(3)(F.col("text"))).alias("g"),
-        )
+        D.shingle_arrays_df(docs)
         # NB: no .distinct() — shingles() already array_distincts per doc,
         # so (id, g) is unique by construction; a distinct here would be a
         # full extra shuffle of the widest relation in the pipeline
         .localCheckpoint()
     )
-    cand = D.lsh_candidate_pairs(docs, n=3, num_hashes=16, bands=8, shingle_df=sh)
+    cand = D.lsh_candidate_pairs(docs, n=3, num_hashes=16, bands=8, shingle_arrays=sh)
     return D.jaccard_pairs(
-        docs, cand, n=3, tau_num=1, tau_den=4, shingle_df=sh
+        docs, cand, n=3, tau_num=1, tau_den=4, shingle_arrays=sh
     ).orderBy("a_id", "b_id")
 
 
@@ -339,13 +336,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    sh = docs.select(
-        F.col("doc_id").alias("id"),
-        F.explode(D.shingles_arrow(3)(F.col("text"))).alias("g"),
-    ).localCheckpoint()
-    cand = D.lsh_candidate_pairs(docs, n=3, num_hashes=16, bands=8, shingle_df=sh)
+    sh = D.shingle_arrays_df(docs).localCheckpoint()
+    cand = D.lsh_candidate_pairs(docs, n=3, num_hashes=16, bands=8, shingle_arrays=sh)
     pairs = D.jaccard_pairs(
-        docs, cand, n=3, tau_num=1, tau_den=4, shingle_df=sh
+        docs, cand, n=3, tau_num=1, tau_den=4, shingle_arrays=sh
     ).select("a_id", "b_id")
     return D.connected_components(pairs).orderBy("doc_id")
 
@@ -380,13 +374,10 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    sh = docs.select(
-        F.col("doc_id").alias("id"),
-        F.explode(D.shingles_arrow(3)(F.col("text"))).alias("g"),
-    ).localCheckpoint()
-    cand = D.lsh_candidate_pairs(docs, n=3, num_hashes=16, bands=8, shingle_df=sh)
+    sh = D.shingle_arrays_df(docs).localCheckpoint()
+    cand = D.lsh_candidate_pairs(docs, n=3, num_hashes=16, bands=8, shingle_arrays=sh)
     pairs = D.jaccard_pairs(
-        docs, cand, n=3, tau_num=1, tau_den=4, shingle_df=sh
+        docs, cand, n=3, tau_num=1, tau_den=4, shingle_arrays=sh
     ).select("a_id", "b_id")
     comps = D.connected_components(pairs)
     dropped = comps.filter(F.col("doc_id") != F.col("component_id")).select(
@@ -1265,15 +1256,12 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     sh = (
-        docs.select(
-            F.col("doc_id").alias("id"),
-            F.explode(D.shingles_arrow(3)(F.col("text"))).alias("g"),
-        )
+        D.shingle_arrays_df(docs)
         .localCheckpoint()
     )
-    cand = D.lsh_candidate_pairs(docs, n=3, num_hashes=16, bands=8, shingle_df=sh)
-    verified = D.jaccard_pairs(docs, cand, n=3, tau_num=1, tau_den=4, shingle_df=sh)
-    exact = D.jaccard_pairs(docs, None, n=3, tau_num=1, tau_den=4, shingle_df=sh)
+    cand = D.lsh_candidate_pairs(docs, n=3, num_hashes=16, bands=8, shingle_arrays=sh)
+    verified = D.jaccard_pairs(docs, cand, n=3, tau_num=1, tau_den=4, shingle_arrays=sh)
+    exact = D.jaccard_pairs(docs, None, n=3, tau_num=1, tau_den=4, shingle_arrays=sh)
     n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact"))
     n_cand = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
     n_ver = verified.agg(F.count(F.lit(1)).alias("n_verified"))

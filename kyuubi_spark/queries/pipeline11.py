@@ -3726,15 +3726,12 @@ def groupwise_kfold_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kyuubi_spark.session import load_table
 
     docs = load_table(spark, sf_dir, "documents")
-    sh = docs.select(
-        F.col("doc_id").alias("id"),
-        F.explode(D.shingles_arrow(3)(F.col("text"))).alias("g"),
-    ).localCheckpoint()
+    sh = D.shingle_arrays_df(docs).localCheckpoint()
     cand = D.lsh_candidate_pairs(
-        docs, n=3, num_hashes=16, bands=8, shingle_df=sh
+        docs, n=3, num_hashes=16, bands=8, shingle_arrays=sh
     )
     pairs = D.jaccard_pairs(
-        docs, cand, n=3, tau_num=1, tau_den=4, shingle_df=sh
+        docs, cand, n=3, tau_num=1, tau_den=4, shingle_arrays=sh
     ).select("a_id", "b_id").localCheckpoint()
     comp = D.connected_components(pairs)
     assigned = (

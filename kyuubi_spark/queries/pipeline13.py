@@ -418,12 +418,9 @@ def pipeline_refresh_neardup(
 
     base, staged = _refresh_parts(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents")
-    sh = docs.select(
-        F.col("doc_id").alias("id"),
-        F.explode(D.shingles_arrow(3)(F.col("text"))).alias("g"),
-    ).localCheckpoint()
+    sh = D.shingle_arrays_df(docs).localCheckpoint()
     cand = D.lsh_candidate_pairs(
-        docs, n=3, num_hashes=16, bands=8, shingle_df=sh
+        docs, n=3, num_hashes=16, bands=8, shingle_arrays=sh
     )
     acc = staged.filter(F.col("outcome") == "accepted").localCheckpoint()
     labels = acc.select(
@@ -446,7 +443,7 @@ def pipeline_refresh_neardup(
         .select("a_id", "b_id")
     )
     verified = D.jaccard_pairs(
-        docs, mixed, n=3, tau_num=1, tau_den=4, shingle_df=sh
+        docs, mixed, n=3, tau_num=1, tau_den=4, shingle_arrays=sh
     ).select("a_id", "b_id")
     acc_ids = acc.select("doc_id")
     nd = (

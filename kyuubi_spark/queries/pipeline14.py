@@ -131,10 +131,7 @@ def dedup_lsh_recall_report_capped(
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
-    sh = docs.select(
-        F.col("doc_id").alias("id"),
-        F.explode(D.shingles_arrow(3)(F.col("text"))).alias("g"),
-    ).localCheckpoint()
+    sh = D.shingle_arrays_df(docs).localCheckpoint()
 
     # banding identical to lsh_candidate_pairs (16 hashes, 8 bands × 2
     # rows, raw long keys); the salted-hash rank + bucket size are ONE
@@ -142,7 +139,7 @@ def dedup_lsh_recall_report_capped(
     # partitioned, no global sort)
     rows_per_band, bands = 2, 8
     banded = (
-        D.minhash_signatures_df(docs, shingle_df=sh)
+        D.minhash_signatures_df(docs, shingle_arrays=sh)
         .select(
             "id",
             F.explode(
@@ -218,7 +215,7 @@ def dedup_lsh_recall_report_capped(
         .distinct()
     )
     verified = D.jaccard_pairs(
-        docs, cand, n=3, tau_num=1, tau_den=4, shingle_df=sh
+        docs, cand, n=3, tau_num=1, tau_den=4, shingle_arrays=sh
     )
     n_cand = cand.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_candidates")
@@ -638,24 +635,14 @@ def stream_refresh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shingled twice — once on the interpreted-HOF minhash path, once
     # in hashed_shingles_arrow); shingle_hash_arrow∘shingles_arrow is
     # element-wise identical to hashed_shingles_arrow by construction.
-    from kyuubi_spark.functions.dedup import (
-        shingle_hash_arrow,
-        shingles_arrow,
-    )
+    from kyuubi_spark.functions.dedup import shingle_hash_arrow
 
-    base_sh = base_docs.select(
-        "doc_id", shingles_arrow(3)(F.col("text")).alias("shs")
-    ).localCheckpoint()
+    base_sh = D.shingle_arrays_df(base_docs).localCheckpoint()
     base_bands = _bands(
-        D.minhash_signatures_df(
-            base_docs,
-            shingle_df=base_sh.select(
-                F.col("doc_id").alias("id"), F.explode("shs").alias("g")
-            ),
-        )
+        D.minhash_signatures_df(base_docs, shingle_arrays=base_sh)
     ).localCheckpoint()
     base_arrays = base_sh.select(
-        F.col("doc_id").alias("b_id"),
+        F.col("id").alias("b_id"),
         shingle_hash_arrow()(F.col("shs")).alias("sb"),
     ).localCheckpoint()
 
@@ -689,14 +676,18 @@ def stream_refresh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("rep_ratio") <= 0.8)
         )
         fresh = ok.join(base_fps, "fp", "left_anti").localCheckpoint()
-        # Arrow-shingled minhash input (r13): same values as the default
-        # interpreted-HOF shingle path, ~3x cheaper per batch
+        # map-only Arrow minhash off the batch's shingle arrays (r13):
+        # same values, no per-batch doc-keyed shuffle.  NOTE: no
+        # spread_narrow here — `.rdd.getNumPartitions()` on a derived
+        # frame inside a foreachBatch microbatch forces an extra AQE
+        # materialization per batch (measured 8x slower); the
+        # checkpointed batch already has the join's output partitioning.
         inc_bands = _bands(
             D.minhash_signatures_df(
                 fresh,
-                shingle_df=fresh.select(
+                shingle_arrays=fresh.select(
                     F.col("doc_id").alias("id"),
-                    F.explode(shingles_arrow(3)(F.col("text"))).alias("g"),
+                    D.shingles_arrow(3)(F.col("text")).alias("shs"),
                 ),
             )
         )
@@ -939,14 +930,11 @@ _P_CAND = {
 )
 def lsh_banding_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    sh = docs.select(
-        F.col("doc_id").alias("id"),
-        F.explode(D.shingles_arrow(3)(F.col("text"))).alias("g"),
-    ).localCheckpoint()
-    sig = D.minhash_signatures_df(docs, shingle_df=sh).localCheckpoint()
+    sh = D.shingle_arrays_df(docs).localCheckpoint()
+    sig = D.minhash_signatures_df(docs, shingle_arrays=sh).localCheckpoint()
     exact = (
         D.jaccard_pairs(docs, None, n=3, tau_num=1, tau_den=4,
-                        shingle_df=sh)
+                        shingle_arrays=sh)
         .select("a_id", "b_id")
         .localCheckpoint()
     )

@@ -423,21 +423,18 @@ def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kyuubi_spark.functions import dedup as D
 
     docs = load_table(spark, sf_dir, "documents")
-    sh = docs.select(
-        F.col("doc_id").alias("id"),
-        F.explode(D.shingles_arrow(3)(F.col("text"))).alias("g"),
-    ).localCheckpoint()
+    sh = D.shingle_arrays_df(docs).localCheckpoint()
     incoming_pred = F.col("doc_id") % 10 == 0
     # one signature pass over the full relation, split afterwards
     cand_all = D.lsh_candidate_pairs(
-        docs, n=3, num_hashes=16, bands=8, shingle_df=sh
+        docs, n=3, num_hashes=16, bands=8, shingle_arrays=sh
     )
     # keep only incoming x corpus pairs (either orientation)
     mixed = cand_all.filter(
         (F.col("a_id") % 10 == 0) != (F.col("b_id") % 10 == 0)
     )
     pairs = D.jaccard_pairs(
-        docs, mixed, n=3, tau_num=1, tau_den=4, shingle_df=sh
+        docs, mixed, n=3, tau_num=1, tau_den=4, shingle_arrays=sh
     ).select("a_id", "b_id")
     rejected = (
         pairs.select(

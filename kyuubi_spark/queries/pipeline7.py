@@ -72,14 +72,11 @@ def split_leakage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exactly as dedup_minhash_lsh (kept identical so the pair set is the
     # one the dedup query already value-verifies)
     sh = (
-        docs.select(
-            F.col("doc_id").alias("id"),
-            F.explode(D.shingles_arrow(3)(F.col("text"))).alias("g"),
-        )
+        D.shingle_arrays_df(docs)
         .localCheckpoint()
     )
-    cand = D.lsh_candidate_pairs(docs, n=3, num_hashes=16, bands=8, shingle_df=sh)
-    pairs = D.jaccard_pairs(docs, cand, n=3, tau_num=1, tau_den=4, shingle_df=sh)
+    cand = D.lsh_candidate_pairs(docs, n=3, num_hashes=16, bands=8, shingle_arrays=sh)
+    pairs = D.jaccard_pairs(docs, cand, n=3, tau_num=1, tau_den=4, shingle_arrays=sh)
     sa = T.hash_split("a_id")
     sb = T.hash_split("b_id")
     lo = F.least(sa, sb)
@@ -145,13 +142,10 @@ def split_leakage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_quality_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    sh = docs.select(
-        F.col("doc_id").alias("id"),
-        F.explode(D.shingles_arrow(3)(F.col("text"))).alias("g"),
-    ).localCheckpoint()
-    cand = D.lsh_candidate_pairs(docs, n=3, num_hashes=16, bands=8, shingle_df=sh)
+    sh = D.shingle_arrays_df(docs).localCheckpoint()
+    cand = D.lsh_candidate_pairs(docs, n=3, num_hashes=16, bands=8, shingle_arrays=sh)
     pairs = D.jaccard_pairs(
-        docs, cand, n=3, tau_num=1, tau_den=4, shingle_df=sh
+        docs, cand, n=3, tau_num=1, tau_den=4, shingle_arrays=sh
     ).select("a_id", "b_id")
     comps = D.connected_components(pairs)
     m = comps.join(docs.select("doc_id", "n_chars"), "doc_id")
@@ -391,12 +385,9 @@ def quality_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def near_dup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    sh = docs.select(
-        F.col("doc_id").alias("id"),
-        F.explode(D.shingles_arrow(3)(F.col("text"))).alias("g"),
-    ).localCheckpoint()
-    cand = D.lsh_candidate_pairs(docs, n=3, num_hashes=16, bands=8, shingle_df=sh)
-    pairs = D.jaccard_pairs(docs, cand, n=3, tau_num=1, tau_den=4, shingle_df=sh)
+    sh = D.shingle_arrays_df(docs).localCheckpoint()
+    cand = D.lsh_candidate_pairs(docs, n=3, num_hashes=16, bands=8, shingle_arrays=sh)
+    pairs = D.jaccard_pairs(docs, cand, n=3, tau_num=1, tau_den=4, shingle_arrays=sh)
     src = docs.select("doc_id", "source")
     sa = src.select(
         F.col("doc_id").alias("a_id"), F.col("source").alias("source_a")

@@ -81,13 +81,10 @@ def forget_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     requests = docs.filter(F.col("doc_id") % 97 == 0).select("doc_id")
-    sh = docs.select(
-        F.col("doc_id").alias("id"),
-        F.explode(D.shingles_arrow(3)(F.col("text"))).alias("g"),
-    ).localCheckpoint()
-    cand = D.lsh_candidate_pairs(docs, n=3, num_hashes=16, bands=8, shingle_df=sh)
+    sh = D.shingle_arrays_df(docs).localCheckpoint()
+    cand = D.lsh_candidate_pairs(docs, n=3, num_hashes=16, bands=8, shingle_arrays=sh)
     pairs = D.jaccard_pairs(
-        docs, cand, n=3, tau_num=1, tau_den=4, shingle_df=sh
+        docs, cand, n=3, tau_num=1, tau_den=4, shingle_arrays=sh
     ).select("a_id", "b_id")
     comp = D.connected_components(pairs)
     req_comps = (

@@ -945,15 +945,12 @@ def dedup_token_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kyuubi_spark.functions import dedup as D
 
     docs = load_table(spark, sf_dir, "documents")
-    sh = docs.select(
-        F.col("doc_id").alias("id"),
-        F.explode(D.shingles_arrow(3)(F.col("text"))).alias("g"),
-    ).localCheckpoint()
+    sh = D.shingle_arrays_df(docs).localCheckpoint()
     cand = D.lsh_candidate_pairs(
-        docs, n=3, num_hashes=16, bands=8, shingle_df=sh
+        docs, n=3, num_hashes=16, bands=8, shingle_arrays=sh
     )
     pairs = D.jaccard_pairs(
-        docs, cand, n=3, tau_num=1, tau_den=4, shingle_df=sh
+        docs, cand, n=3, tau_num=1, tau_den=4, shingle_arrays=sh
     ).select("a_id", "b_id")
     comps = D.connected_components(pairs)
     dropped = comps.filter(F.col("doc_id") != F.col("component_id")).select(

@@ -275,6 +275,56 @@ def test_shingles_arrow_matches_column_form(spark, sf_dir):
     assert both.filter(F.col("a") != F.col("b")).count() == 0
 
 
+def test_minhash_arrow_matches_exploded_aggregate_form(spark, sf_dir):
+    """r13: the map-only Arrow MinHash (shingle arrays -> sig) must be
+    value-identical to the exploded md5 + 16-min-aggregate form it
+    replaced on the default path."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from kyuubi_spark.functions.dedup import (
+        minhash_signatures_df,
+        shingles_arrow,
+    )
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    sh = docs.select(
+        F.col("doc_id").alias("id"),
+        F.explode(shingles_arrow(3)(F.col("text"))).alias("g"),
+    )
+    old = minhash_signatures_df(docs, shingle_df=sh).withColumnRenamed(
+        "sig", "a"
+    )
+    new = minhash_signatures_df(docs).withColumnRenamed("sig", "b")
+    j = old.join(new, "id")
+    assert j.count() == docs.count()
+    assert j.filter(F.col("a") != F.col("b")).count() == 0
+
+
+def test_simhash_arrow_matches_exploded_aggregate_form(spark, sf_dir):
+    """r13: the map-only Arrow SimHash (text -> 64-char sig) must be
+    value-identical to the exploded 64-sum-aggregate form."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from kyuubi_spark.functions.dedup import (
+        simhash_signatures_arrow,
+        simhash_signatures_df,
+    )
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    old = simhash_signatures_df(docs).withColumnRenamed("sig", "a")
+    new = docs.select(
+        F.col("doc_id").alias("id"),
+        simhash_signatures_arrow(64)(F.col("text")).alias("b"),
+    )
+    j = old.join(new, "id")
+    assert j.count() == docs.count()
+    assert j.filter(F.col("a") != F.col("b")).count() == 0
+
+
 def test_kmv_exact_below_k_and_estimator_above(spark):
     from pyspark.sql import functions as F
 

@@ -81,6 +81,20 @@ def build_session(
         .master(master)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "32g"))
+        # Hundreds of distinct codegen'd plans share this JVM (423-query
+        # sweeps; a long-lived gateway serves even more).  The JVM default
+        # 240m JIT code cache fills mid-sweep and flushes hot methods —
+        # observed as a late-sweep query intermittently running 10x its
+        # isolated time while neighbors drift +0.5-1s.  512m is the
+        # standard remedy for many-query Spark drivers (Spark tuning docs)
+        # and is workload-, not scale-factor-, dependent.
+        .config(
+            "spark.driver.extraJavaOptions",
+            os.environ.get(
+                "SPARK_GRAFT_DRIVER_JAVA_OPTS",
+                "-XX:ReservedCodeCacheSize=512m",
+            ),
+        )
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")

@@ -12,6 +12,8 @@
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+
+from kyuubi_spark.scratch import scratch_dir
 from pyspark.sql import functions as F
 
 from kyuubi_spark.functions.compat import dround
@@ -218,7 +220,7 @@ def ctas_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("o_orderdate", "yyyy-MM").alias("month"),
         "o_totalprice",
     )
-    path = tempfile.mkdtemp(prefix="kyuubi_ctas_")
+    path = scratch_dir("kyuubi_ctas_")
     try:
         write_table(proj, path, rebalance_by=["o_orderpriority"])
         back = spark.read.parquet(path)
@@ -279,7 +281,7 @@ def formats_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     # writes is its own job, and without this the customer-join aggregate
     # re-runs per write (r13 optimization — 3 scans+shuffles -> 1)
     agg = agg.localCheckpoint()
-    base = tempfile.mkdtemp(prefix="kyuubi_formats_")
+    base = scratch_dir("kyuubi_formats_")
     try:
         FM.write_orc(agg, f"{base}/orc")
         FM.write_csv(agg, f"{base}/csv")

@@ -15,6 +15,8 @@ arithmetically by DuckDB).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+
+from kyuubi_spark.scratch import scratch_dir
 from pyspark.sql import functions as F
 
 from kyuubi_spark.queries import query
@@ -316,7 +318,7 @@ def export_manifest_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "text", "n_chars", (F.col("doc_id") % 8).alias("bucket")
     )
-    path = tempfile.mkdtemp(prefix="kyuubi_export_")
+    path = scratch_dir("kyuubi_export_")
     try:
         write_table(docs, path, partition_by=["bucket"])
         back = spark.read.parquet(path)

@@ -407,7 +407,10 @@ def kcore_peel_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, "k").filter(F.col("u") < F.col("v")).select("u", "v")
         .distinct()
     )
-    rounds = []
+    from kyuubi_spark.queries.pipeline10 import _broadcast_budget
+
+    budget = _broadcast_budget(spark)
+    rows = []
     for rnd in (1, 2, 3):
         deg = (
             edges.select(F.col("u").alias("n"))
@@ -415,23 +418,26 @@ def kcore_peel_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("n")
             .agg(F.count("*").alias("d"))
         )
-        keep = deg.filter(F.col("d") >= 3).select("n")
+        # materialize the surviving-node set once per round: its count is
+        # this round's n_nodes output ANYWAY, and the checkpoint stops the
+        # degree shuffle re-running under each semi-join.  The count then
+        # SIZE-GATES a broadcast of the set (~16 B/row) so both per-round
+        # semi-joins become broadcast joins — the edge relation is never
+        # shuffled during peeling; past the budget the gate disappears and
+        # the plain shuffled semi-joins carry the round (guide §3.1/§2.4).
+        keep = deg.filter(F.col("d") >= 3).select("n").localCheckpoint()
+        n_nodes = keep.count()
+        hint = F.broadcast if 0 <= n_nodes * 16 <= budget else (lambda d: d)
         edges = (
-            edges.join(keep.withColumnRenamed("n", "u"), "u", "left_semi")
-            .join(keep.withColumnRenamed("n", "v"), "v", "left_semi")
+            edges.join(hint(keep.withColumnRenamed("n", "u")), "u", "left_semi")
+            .join(hint(keep.withColumnRenamed("n", "v")), "v", "left_semi")
             .select("u", "v")
             .localCheckpoint()
         )
-        stats = keep.agg(
-            F.count("*").cast("bigint").alias("n_nodes")
-        ).crossJoin(
-            edges.agg(F.count("*").cast("bigint").alias("n_edges"))
-        ).select(F.lit(rnd).alias("round"), "n_nodes", "n_edges")
-        rounds.append(stats)
-    out = rounds[0]
-    for r in rounds[1:]:
-        out = out.unionAll(r)
-    return out.orderBy("round")
+        rows.append((rnd, n_nodes, edges.count()))
+    return spark.createDataFrame(
+        rows, "round INT, n_nodes BIGINT, n_edges BIGINT"
+    ).orderBy("round")
 
 
 @query(

@@ -39,6 +39,8 @@ salted-hash expression (corpus_shard_shuffle's idempotent scheme).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+
+from kyuubi_spark.scratch import scratch_dir
 from pyspark.sql import functions as F
 
 from kyuubi_spark.functions import text as T
@@ -536,7 +538,7 @@ def stream_refresh_accept(spark: SparkSession, sf_dir: str) -> DataFrame:
         == 0
     )
     incoming = docs.filter(is_inc).select("doc_id", "source", "text")
-    work = tempfile.mkdtemp(prefix="kyuubi_stream_refresh_")
+    work = scratch_dir("kyuubi_stream_refresh_")
     src = os.path.join(work, "src")
     os.makedirs(src)
     try:

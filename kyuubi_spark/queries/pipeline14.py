@@ -24,6 +24,8 @@ production MinHash dedup services bound verification cost per bucket.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+
+from kyuubi_spark.scratch import scratch_dir
 from pyspark.sql import functions as F
 
 from kyuubi_spark.functions import dedup as D
@@ -747,7 +749,7 @@ def stream_refresh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                      int(r["tok"]))
                 )
 
-    work = tempfile.mkdtemp(prefix="kyuubi_stream_nd_")
+    work = scratch_dir("kyuubi_stream_nd_")
     src = os.path.join(work, "src")
     os.makedirs(src)
     try:

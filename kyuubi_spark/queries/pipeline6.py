@@ -80,34 +80,51 @@ DSIR_ORACLE = f"""
     """
 
 
+def _dsir_bucket_counts(feats: DataFrame) -> DataFrame:
+    """Per-bucket (c_r, c_t) in ONE pass over the exploded features.
+
+    The previous shape aggregated `feats` three times (raw counts, target
+    counts, corpus totals) — three full tokenize+explode passes over the
+    corpus.  A conditional sum folds the target count into the same keyed
+    aggregate (count_if ≡ the old left-joined `c_t` under the formula's
+    `coalesce(c_t, 0)`), and the corpus totals are re-derived from the
+    <=4096-row bucket table instead of the corpus (guide §1.2: one pass)."""
+    return feats.groupBy("b").agg(
+        F.count("*").alias("c_r"),
+        F.sum(
+            F.when(F.col("source").isin(*_DSIR_TARGET), 1).otherwise(0)
+        ).alias("c_t"),
+    )
+
+
+def _dsir_ratios_from_counts(bucket: DataFrame) -> DataFrame:
+    tot = bucket.agg(
+        F.sum("c_r").cast("double").alias("n_r"),
+        F.sum("c_t").cast("double").alias("n_t"),
+    )
+    return bucket.crossJoin(F.broadcast(tot)).select(
+        "b",
+        (
+            F.log((F.col("c_t") + 1) / (F.col("n_t") + _DSIR_BUCKETS))
+            - F.log((F.col("c_r") + 1) / (F.col("n_r") + _DSIR_BUCKETS))
+        ).alias("log_ratio"),
+    )
+
+
 def dsir_bucket_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The fitted per-bucket log ratio table (<=4096 rows): the static
     artifact a deployed DSIR gate broadcasts — shared by the batch query
-    below and the streaming stream_dsir_filter replay."""
+    below and the streaming stream_dsir_filter replay.
+
+    localCheckpoint materializes the tiny table so the streaming replays'
+    per-batch re-broadcast re-ships 4096 rows instead of re-running the
+    corpus tokenize+explode fit every microbatch (guide §5: cut lineage
+    on a reused, cheap-to-hold intermediate)."""
     docs = load_table(spark, sf_dir, "documents")
     feats = _dsir_features(docs)
-    raw = feats.groupBy("b").agg(F.count("*").alias("c_r"))
-    tgt = feats.filter(F.col("source").isin(*_DSIR_TARGET)).groupBy("b").agg(
-        F.count("*").alias("c_t")
-    )
-    tot = feats.agg(
-        F.count("*").cast("double").alias("n_r"),
-        F.sum(
-            F.when(F.col("source").isin(*_DSIR_TARGET), 1).otherwise(0)
-        ).cast("double").alias("n_t"),
-    )
-    return (
-        raw.join(tgt, "b", "left")
-        .crossJoin(F.broadcast(tot))
-        .select(
-            "b",
-            (
-                F.log((F.coalesce(F.col("c_t"), F.lit(0)) + 1)
-                      / (F.col("n_t") + _DSIR_BUCKETS))
-                - F.log((F.col("c_r") + 1) / (F.col("n_r") + _DSIR_BUCKETS))
-            ).alias("log_ratio"),
-        )
-    )
+    return _dsir_ratios_from_counts(
+        _dsir_bucket_counts(feats)
+    ).localCheckpoint()
 
 
 def _dsir_features(docs: DataFrame) -> DataFrame:
@@ -158,24 +175,21 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     # unigrams + bigrams; CASE-guard short docs (Spark sequence(1, 0)
     # steps DOWNWARD, so the bigram lambda must never see len < 2)
     feats = _dsir_features(docs)
-    raw = feats.groupBy("b").agg(F.count("*").alias("c_r"))
-    tgt = feats.filter(F.col("source").isin(*_DSIR_TARGET)).groupBy("b").agg(
-        F.count("*").alias("c_t")
-    )
-    tot = feats.agg(
-        F.count("*").cast("double").alias("n_r"),
-        F.sum(
-            F.when(F.col("source").isin(*_DSIR_TARGET), 1).otherwise(0)
-        ).cast("double").alias("n_t"),
+    # one fit pass (see _dsir_bucket_counts) + one scoring pass, instead
+    # of the previous raw/tgt/tot triple fit (3 extra corpus explosions);
+    # the <=4096-row bucket table is checkpointed so the totals and the
+    # broadcast both reuse it instead of re-running the fit subplan
+    bucket = _dsir_bucket_counts(feats).localCheckpoint()
+    tot = bucket.agg(
+        F.sum("c_r").cast("double").alias("n_r"),
+        F.sum("c_t").cast("double").alias("n_t"),
     )
     logw = F.avg(
-        F.log((F.coalesce(F.col("c_t"), F.lit(0)) + 1)
-              / (F.col("n_t") + _DSIR_BUCKETS))
+        F.log((F.col("c_t") + 1) / (F.col("n_t") + _DSIR_BUCKETS))
         - F.log((F.col("c_r") + 1) / (F.col("n_r") + _DSIR_BUCKETS))
     )
     return (
-        feats.join(F.broadcast(raw), "b")
-        .join(F.broadcast(tgt), "b", "left")
+        feats.join(F.broadcast(bucket), "b")
         .crossJoin(F.broadcast(tot))
         .groupBy("doc_id")
         .agg(

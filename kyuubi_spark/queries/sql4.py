@@ -31,6 +31,8 @@ sharing one catalog can never DROP each other's in-flight table.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+
+from kyuubi_spark.scratch import scratch_dir
 from pyspark.sql import functions as F  # noqa: F401
 
 from kyuubi_spark.queries import query
@@ -124,7 +126,7 @@ def ddl_column_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
     import uuid
 
-    path = tempfile.mkdtemp(prefix="kyuubi_defaults_")
+    path = scratch_dir("kyuubi_defaults_")
     # session-unique name: a fixed name + DROP-first would race a
     # concurrent session sharing the catalog (its DROP could delete OUR
     # just-created table mid-query)
@@ -341,7 +343,7 @@ def arrow_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     proj = orders.filter(F.col("o_orderstatus") == "O").select(
         "o_orderpriority", "o_totalprice"
     )
-    path = tempfile.mkdtemp(prefix="kyuubi_arrowsink_")
+    path = scratch_dir("kyuubi_arrowsink_")
     try:
         proj.write.format(arrowdir.FORMAT_NAME).mode("overwrite").save(path)
         back = spark.read.format(arrowdir.FORMAT_NAME).load(path)
@@ -387,7 +389,7 @@ def cost_based_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     import uuid
 
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
-    path = tempfile.mkdtemp(prefix="kyuubi_stats_")
+    path = scratch_dir("kyuubi_stats_")
     # session-unique (see ddl_column_defaults): never race a concurrent
     # session's DROP on a shared catalog
     tab = f"ks4_stats_{uuid.uuid4().hex[:12]}"

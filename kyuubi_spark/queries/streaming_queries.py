@@ -11,6 +11,8 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+
+from kyuubi_spark.scratch import scratch_dir
 from pyspark.sql import functions as F
 
 from kyuubi_spark.functions.compat import dround
@@ -489,7 +491,7 @@ def stream_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long"),
         ),
     ).drop("mn", "mx")
-    work = tempfile.mkdtemp(prefix="kyuubi_stream_late_")
+    work = scratch_dir("kyuubi_stream_late_")
     src = os.path.join(work, "src")
     os.makedirs(src)
     try:
@@ -547,7 +549,7 @@ def stream_stateful_totals_filesink(
     from kyuubi_spark.streaming.stateful import running_user_totals_evicting
 
     stream = _events_stream(spark, sf_dir)
-    out_dir = tempfile.mkdtemp(prefix="kyuubi_stream_state_sink_")
+    out_dir = scratch_dir("kyuubi_stream_state_sink_")
     try:
         run_foreach_batch(
             running_user_totals_evicting(stream),
@@ -601,7 +603,7 @@ def stream_sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("event_type") == "purchase")
         .select("event_id", "user_id", "value")
     )
-    out_dir = tempfile.mkdtemp(prefix="kyuubi_stream_sink_")
+    out_dir = scratch_dir("kyuubi_stream_sink_")
     try:
         run_foreach_batch(
             stream,
@@ -657,7 +659,7 @@ def stream_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ensure_runtime_confs(spark)
     events = load_table(spark, sf_dir, "events")
-    work = tempfile.mkdtemp(prefix="kyuubi_stream_upsert_")
+    work = scratch_dir("kyuubi_stream_upsert_")
     src_dir = os.path.join(work, "src")
     state_root = os.path.join(work, "state")
     try:
@@ -962,7 +964,7 @@ def stream_transition_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long"),
         ),
     ).drop("mn", "mx")
-    work = tempfile.mkdtemp(prefix="kyuubi_stream_trans_")
+    work = scratch_dir("kyuubi_stream_trans_")
     src = os.path.join(work, "src")
     os.makedirs(src)
     try:
@@ -1332,7 +1334,7 @@ def _run_ttl_replay(
         .otherwise(8)
         .cast("long"),
     ).drop("mn", "mx")
-    work = tempfile.mkdtemp(prefix="kyuubi_stream_ttl_")
+    work = scratch_dir("kyuubi_stream_ttl_")
     src = os.path.join(work, "src")
     os.makedirs(src)
     try:

@@ -19,6 +19,8 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
+from kyuubi_spark.scratch import scratch_dir
+
 
 def _finish(q, timeout_sec: int, ckpt: str) -> None:
     """Wait for a streaming query, then tear down its checkpoint dir.
@@ -57,7 +59,7 @@ def file_stream(
     if schema is None:
         schema = spark.read.format(fmt).load(path).schema
     if os.path.isfile(path):
-        d = tempfile.mkdtemp(prefix="kyuubi_spark_stream_src_")
+        d = scratch_dir("kyuubi_spark_stream_src_")
         os.symlink(os.path.abspath(path), os.path.join(d, os.path.basename(path)))
         path = d
     return spark.readStream.format(fmt).schema(schema).load(path)
@@ -88,7 +90,7 @@ def run_to_memory(
     name = query_name or f"mem_{uuid.uuid4().hex[:8]}"
     spark = streaming_df.sparkSession
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    ckpt = tempfile.mkdtemp(prefix="kyuubi_spark_ckpt_")
+    ckpt = scratch_dir("kyuubi_spark_ckpt_")
     if state_partitions:
         spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
     # query-at-start confs (e.g. the state store provider a
@@ -142,7 +144,7 @@ def run_foreach_batch(
     for stateful upstreams (update-mode emissions land per microbatch);
     ``state_partitions`` pins the per-query state-store count exactly as
     in run_to_memory."""
-    ckpt = tempfile.mkdtemp(prefix="kyuubi_spark_ckpt_")
+    ckpt = scratch_dir("kyuubi_spark_ckpt_")
     spark = streaming_df.sparkSession
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     if state_partitions:

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from typing import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -182,6 +183,49 @@ _TRANS_STATE_SCHEMA = StructType(
 )
 
 
+def _types_in_order(batches: list[pd.DataFrame]):
+    """Event types of a key's batch rows in total (us, event_id) order,
+    plus the last row's (us, event_id, type).
+
+    This hook runs once PER KEY per microbatch (thousands of calls a
+    batch), so its constant factor is the stateful stage's Python wall:
+    np.lexsort over the two key arrays replaces the per-key
+    DataFrame.sort_values (same total order — primary us, tie-break
+    event_id, both unique-total so stability is moot), and the pd.concat
+    is skipped for the common single-Arrow-batch key.  Returns
+    ``(None, ...)`` for an all-empty key (callers keep the old
+    empty-batch semantics)."""
+    rows = batches[0] if len(batches) == 1 else pd.concat(
+        batches, ignore_index=True
+    )
+    if not len(rows):
+        return None, 0, 0, ""
+    us = rows["us"].to_numpy()
+    eid = rows["event_id"].to_numpy()
+    order = np.lexsort((eid, us))
+    types = rows["event_type"].to_numpy(dtype=object)[order].tolist()
+    last = order[-1]
+    return types, int(us[last]), int(eid[last]), str(types[-1])
+
+
+def _pair_counts(types: list) -> dict:
+    pairs: dict[tuple[str, str], int] = {}
+    for a, b in zip(types, types[1:]):
+        pairs[(a, b)] = pairs.get((a, b), 0) + 1
+    return pairs
+
+
+def _pairs_frame(pairs: dict) -> pd.DataFrame:
+    ks = list(pairs)
+    return pd.DataFrame(
+        {
+            "from_type": [a for a, _ in ks],
+            "to_type": [b for _, b in ks],
+            "n": [pairs[k] for k in ks],
+        }
+    )
+
+
 def _update_transitions(
     key, pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
@@ -193,32 +237,18 @@ def _update_transitions(
         if state.hasTimedOut:
             state.remove()
         return
-    rows = pd.concat(batches, ignore_index=True)
     # total (event-time, id) order INSIDE the batch; cross-batch order is
     # the source's contract (time-partitioned arrival), carried via state
-    rows = rows.sort_values(["us", "event_id"], kind="mergesort")
-    types = rows["event_type"].tolist()
+    types, last_us, last_eid, last_type = _types_in_order(batches)
+    if types is None:
+        return
     if state.exists:
-        _, _, last_type = state.get
-        types = [last_type] + types
-    if len(rows):
-        state.update(
-            (
-                int(rows["us"].iloc[-1]),
-                int(rows["event_id"].iloc[-1]),
-                str(rows["event_type"].iloc[-1]),
-            )
-        )
-    pairs: dict[tuple[str, str], int] = {}
-    for a, b in zip(types, types[1:]):
-        pairs[(a, b)] = pairs.get((a, b), 0) + 1
+        _, _, carry = state.get
+        types = [carry, *types]
+    state.update((last_us, last_eid, last_type))
+    pairs = _pair_counts(types)
     if pairs:
-        yield pd.DataFrame(
-            [
-                {"from_type": a, "to_type": b, "n": n}
-                for (a, b), n in pairs.items()
-            ]
-        )
+        yield _pairs_frame(pairs)
 
 
 def running_transition_counts(events: DataFrame) -> DataFrame:
@@ -258,37 +288,23 @@ def _update_transitions_evicting(
         if state.hasTimedOut:
             state.remove()  # reclaim the slot; the carry dies here
         return
-    rows = pd.concat(batches, ignore_index=True)
-    rows = rows.sort_values(["us", "event_id"], kind="mergesort")
-    types = rows["event_type"].tolist()
+    types, last_us, last_eid, last_type = _types_in_order(batches)
+    if types is None:
+        return
     if state.exists:
-        _, _, last_type = state.get
-        types = [last_type] + types
-    if len(rows):
-        state.update(
-            (
-                int(rows["us"].iloc[-1]),
-                int(rows["event_id"].iloc[-1]),
-                str(rows["event_type"].iloc[-1]),
-            )
-        )
-        # keys with data never time out in their own batch (the reset
-        # timeout is > the batch's watermark by construction); a key
-        # absent for a whole batch whose watermark passed this horizon
-        # is invoked ONCE with hasTimedOut and removed
-        state.setTimeoutTimestamp(
-            state.getCurrentWatermarkMs() + _TRANS_TTL_MS
-        )
-    pairs: dict[tuple[str, str], int] = {}
-    for a, b in zip(types, types[1:]):
-        pairs[(a, b)] = pairs.get((a, b), 0) + 1
+        _, _, carry = state.get
+        types = [carry, *types]
+    state.update((last_us, last_eid, last_type))
+    # keys with data never time out in their own batch (the reset
+    # timeout is > the batch's watermark by construction); a key
+    # absent for a whole batch whose watermark passed this horizon
+    # is invoked ONCE with hasTimedOut and removed
+    state.setTimeoutTimestamp(
+        state.getCurrentWatermarkMs() + _TRANS_TTL_MS
+    )
+    pairs = _pair_counts(types)
     if pairs:
-        yield pd.DataFrame(
-            [
-                {"from_type": a, "to_type": b, "n": n}
-                for (a, b), n in pairs.items()
-            ]
-        )
+        yield _pairs_frame(pairs)
 
 
 def running_transition_counts_ttl(events: DataFrame) -> DataFrame:

@@ -2532,20 +2532,36 @@ def bfs_reachability_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     # redundant work — visited stays a lazy union of the checkpointed
     # frontiers (<= 4 tiny scans per anti-join) and the hop histogram is
     # ONE final aggregate over the tagged union (7 jobs -> 3).
+    # A checkpointed frontier has no size statistics, so the planner
+    # falls back to sort-merge and shuffles the FULL edge list every hop.
+    # The frontier/visited sets are checkpointed (already materialized),
+    # so counting them is a cheap in-memory job — use it to SIZE-GATE an
+    # explicit broadcast (guide §3.1: hint when you know a side is small;
+    # estimates are wrong after checkpoints).  Past the budget (a hop
+    # where the frontier blows up at scale) the gate disappears and the
+    # keyed joins stand.
+    from kyuubi_spark.queries.pipeline10 import _broadcast_budget
+
+    budget = _broadcast_budget(spark)
+
+    def _gate(df, n_rows):
+        return F.broadcast(df) if 0 <= n_rows * 16 <= budget else df
+
     levels = [frontier.withColumn("hop", F.lit(0))]
     visited = frontier
+    n_visited = 1
     for hop in (1, 2, 3):
         nxt = (
-            frontier.join(
-                edges.select(F.col("u").alias("n"), "v"), "n"
-            )
+            edges.select(F.col("u").alias("n"), "v")
+            .join(_gate(frontier, n_visited), "n")
             .select(F.col("v").alias("n"))
             .distinct()
-            .join(visited, "n", "left_anti")
+            .join(_gate(visited, n_visited), "n", "left_anti")
             .localCheckpoint()
         )
         levels.append(nxt.withColumn("hop", F.lit(hop)))
         visited = visited.unionByName(nxt.select("n"))
+        n_visited += nxt.count()  # cheap: nxt is checkpointed in memory
         frontier = nxt
     out = levels[0]
     for lv in levels[1:]:

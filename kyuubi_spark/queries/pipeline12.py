@@ -4565,10 +4565,25 @@ def rich_club_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("k", "n")
     )
     nr = rich.groupBy("k").agg(F.count("*").alias("n_rich"))
+    # the rich sets are the hub slice (3 x nodes above the degree cuts —
+    # tiny next to the edge list); size-gate a broadcast so rich-edge
+    # counting streams the persisted edges through two broadcast hash
+    # joins instead of shuffling them by u and again by v (guide §3.1);
+    # past the budget the gate disappears and the keyed joins stand
+    from kyuubi_spark.queries.pipeline10 import _broadcast_budget
+
+    n_rich_rows = rich.count()  # also primes the persisted rich cache
+    hint = (
+        F.broadcast
+        if 0 <= n_rich_rows * 16 <= _broadcast_budget(spark)
+        else (lambda d: d)
+    )
     er = (
-        e0.join(rich.withColumnRenamed("n", "u"), "u")
+        e0.join(hint(rich.withColumnRenamed("n", "u")), "u")
         .join(
-            rich.withColumnRenamed("n", "v").withColumnRenamed("k", "k2"),
+            hint(
+                rich.withColumnRenamed("n", "v").withColumnRenamed("k", "k2")
+            ),
             "v",
         )
         .filter(F.col("k") == F.col("k2"))

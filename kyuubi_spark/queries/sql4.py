@@ -502,6 +502,17 @@ def limit_offset_page(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def xml_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    # The `concat(xml, substring(cast(rand() ...), 1, 0))` wrapper is a
+    # no-op on the value (always appends the empty string) whose ONLY
+    # job is to make the from_xml expression non-deterministic: the
+    # optimizer otherwise pushes `v.st = 'F'` below the projection and
+    # re-evaluates the XML parse in BOTH the filter and the project —
+    # every row paid the parser twice (optimization guide §4.4, the same
+    # duplication UDFs hit, visible as two from_xml nodes in the before
+    # plan).  A plain `rand() < 2` guard does not survive: Spark 4
+    # range-folds rand comparisons back to a literal.  With the guard
+    # the plan parses each row exactly once; xpath_string (its own
+    # second parser pass) still runs only on the filter's survivors.
     return spark.sql(
         """
         WITH doc AS (
@@ -510,11 +521,13 @@ def xml_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                         o_orderstatus, '</st></o>') AS xml
           FROM orders),
         parsed AS (
-          SELECT from_xml(xml, 'k BIGINT, p DOUBLE, pri STRING, st STRING')
+          SELECT from_xml(concat(xml,
+                                 substring(cast(rand() AS STRING), 1, 0)),
+                          'k BIGINT, p DOUBLE, pri STRING, st STRING')
                    AS v,
-                 xpath_string(xml, '/o/pri') AS pri_xpath
+                 xml
           FROM doc)
-        SELECT pri_xpath AS o_orderpriority,
+        SELECT xpath_string(xml, '/o/pri') AS o_orderpriority,
                COUNT(*) AS n_orders,
                SUM(v.k) AS sum_keys,
                ROUND(SUM(v.p), 2) AS total

@@ -171,16 +171,32 @@ def main(argv=None) -> int:
     while not stop.is_set():
         stop.wait(0.2)
         n = engine.sessions.count
-        if n != last_n:
-            print(f"engine sessions: {n}", file=sys.stderr, flush=True)
-            last_n = n
-        if n > 0:
-            seen_session = True
+        # an open frontend connection is activity even before its
+        # OpenSession registers a session: the launching gateway connects
+        # and THEN opens, and on a loaded box that gap can exceed a short
+        # max.lifetime — retiring inside it closes the socket under an
+        # in-flight open/statement (the r13 driver-gate flake)
+        conns = getattr(svc, "active_connections", 0)
+        if (n, conns) != last_n:
+            print(f"engine sessions: {n} conns: {conns}",
+                  file=sys.stderr, flush=True)
+            last_n = (n, conns)
+        if n > 0 or conns > 0:
+            if n > 0:
+                seen_session = True
             idle_since = None
             continue
         if (
             max_lifetime > 0
             and time.time() - start_time > max_lifetime
+            # never-contacted engines get a grace window past the
+            # lifetime so a slow gateway poll/connect cannot race the
+            # retirement; once a session has been served, retire at the
+            # first sessionless check after expiry (reference semantics)
+            and (
+                seen_session
+                or time.time() - start_time > max_lifetime + 15.0
+            )
         ):
             print("engine stopping: max lifetime reached",
                   file=sys.stderr, flush=True)
@@ -206,6 +222,15 @@ def main(argv=None) -> int:
         svc.stop()
     except Exception:
         pass
+    # stop() closes the LISTENER only; a connection admitted just before
+    # it may still carry an in-flight open/statement in its own handler
+    # thread — drain it before tearing Spark down (parent death or
+    # SIGTERM sets `stop` and bounds the wait)
+    while not stop.is_set() and (
+        engine.sessions.count > 0
+        or getattr(svc, "active_connections", 0) > 0
+    ):
+        stop.wait(0.2)
     print("engine stopping: spark", file=sys.stderr, flush=True)
     try:
         # under spark-submit the py4j JVM may already be tearing down

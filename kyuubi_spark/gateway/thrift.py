@@ -349,8 +349,20 @@ class ThriftFrontendService:
         from kyuubi_spark.gateway.credentials import DelegationTokenManager
 
         self.tokens = tokens if tokens is not None else DelegationTokenManager()
+        # live frontend connections (binary: open sockets; http: in-flight
+        # POSTs).  The engine retirement loop treats a connected client as
+        # activity even before its OpenSession registers a session, so a
+        # loaded box cannot retire an engine out from under an in-flight
+        # open/statement (reference: engines stop only with no active
+        # sessions AND the frontend drained).
+        self._conn_lock = threading.Lock()
+        self.active_connections = 0
 
         service = self
+
+        def conn_delta(d: int) -> None:
+            with service._conn_lock:
+                service.active_connections += d
 
         def serve_one(reader: "ProtocolReader", auth_user: str | None = None) -> bytes:
             name, _mtype, seqid = reader.message_begin()
@@ -387,6 +399,13 @@ class ThriftFrontendService:
                     pass
 
                 def do_POST(self):  # noqa: N802
+                    conn_delta(1)
+                    try:
+                        self._do_post_inner()
+                    finally:
+                        conn_delta(-1)
+
+                def _do_post_inner(self):
                     if self.path.rstrip("/") != "/cliservice":
                         self.send_response(404)
                         self.end_headers()
@@ -444,6 +463,13 @@ class ThriftFrontendService:
                     super().setup()
 
                 def handle(self) -> None:
+                    conn_delta(1)
+                    try:
+                        self._handle_inner()
+                    finally:
+                        conn_delta(-1)
+
+                def _handle_inner(self) -> None:
                     auth_user = None
                     rfile = self.rfile
                     framed = False
@@ -824,6 +850,20 @@ class ThriftClient:
         self.session_guid: bytes | None = None
 
     def close(self) -> None:
+        # shutdown() sends FIN regardless of live makefile() wrappers —
+        # sock.close() alone leaves the fd open while self.rfile holds it,
+        # and the peer (an engine counting open frontend connections as
+        # activity) would never see the disconnect
+        try:
+            self.sock.shutdown(socket.SHUT_RDWR)
+        except OSError:
+            pass
+        try:
+            f = self.rfile
+            f = getattr(f, "_rfile", f)  # unwrap SaslFramedFile
+            f.close()
+        except Exception:
+            pass
         try:
             self.sock.close()
         except OSError:

@@ -427,6 +427,58 @@ def _ncpu() -> int:
         return os.cpu_count() or 32
 
 
+def _lane_guard(lane: str) -> dict | None:
+    """Shared gate for the optional lanes (repeats/realtext/zorder/
+    kernels/sf1 chain).  The driver re-runs this bench at a reduced core
+    count to measure per-query scaling, and the heavy lanes (10x/30x
+    datagen, the TPC-DS star) do not fit its window there — the r13
+    8-core run was killed at rc=124 before the contract JSON line was
+    printed, so the round had no scaling evidence at all.  Two gates,
+    both recorded in the artifact instead of silently vanishing:
+
+    - low-core skip: ``_ncpu() <= SPARK_GRAFT_BENCH_LANE_MIN_CPUS``
+      (default 8) skips every optional lane so the full headline sweep
+      always lands the one-line JSON (``SPARK_GRAFT_BENCH_FORCE_LANES=1``
+      overrides for local lane debugging);
+    - wall guard: elapsed > ``SPARK_GRAFT_BENCH_WALL_GUARD`` (default
+      3600 s — previously honored only by the sf10 lane) skips lanes
+      reached after the budget is spent.
+
+    Returns the skip-reason dict to store in the artifact, or None when
+    the lane may run."""
+    if os.environ.get("SPARK_GRAFT_BENCH_FORCE_LANES") == "1":
+        return None
+    try:
+        min_cpus = int(
+            os.environ.get("SPARK_GRAFT_BENCH_LANE_MIN_CPUS", "8")
+        )
+    except ValueError:
+        min_cpus = 8
+    ncpu = _ncpu()
+    if ncpu <= min_cpus:
+        return {
+            "skipped_low_cpu": {
+                "ncpu": ncpu, "min_cpus": min_cpus, "lane": lane
+            }
+        }
+    try:
+        guard = float(
+            os.environ.get("SPARK_GRAFT_BENCH_WALL_GUARD", "3600")
+        )
+    except ValueError:
+        guard = 3600.0
+    elapsed = time.perf_counter() - _BENCH_T0 if _BENCH_T0 else 0.0
+    if elapsed > guard:
+        return {
+            "skipped_wall_guard": {
+                "elapsed_sec": round(elapsed, 1),
+                "guard_sec": guard,
+                "lane": lane,
+            }
+        }
+    return None
+
+
 def _cpu_ticks() -> tuple[int, int] | None:
     """(total, idle+iowait) jiffies from /proc/stat, or None off-Linux."""
     try:
@@ -487,7 +539,7 @@ def _stdout_payload(
         "queries": queries,
         "sf": sf,
     }
-    if realtext is not None:
+    if realtext is not None and "value" in realtext:
         # summary only on stdout; per-query timings live in BENCH_DETAIL
         payload["realtext_sec"] = realtext["value"]
         payload["realtext_n"] = realtext["n_queries"]
@@ -549,6 +601,9 @@ def _realtext_lane(spark) -> dict | None:
     pytest at tiny scale.  Set SPARK_GRAFT_SKIP_REALTEXT=1 to skip."""
     if os.environ.get("SPARK_GRAFT_SKIP_REALTEXT") == "1":
         return None
+    guard = _lane_guard("realtext")
+    if guard is not None:
+        return guard
     import glob
     import importlib.util
     import re
@@ -628,6 +683,9 @@ def _zorder_lane(spark) -> dict | None:
     Set SPARK_GRAFT_SKIP_ZORDER=1 to skip."""
     if os.environ.get("SPARK_GRAFT_SKIP_ZORDER") == "1":
         return None
+    guard = _lane_guard("zorder")
+    if guard is not None:
+        return guard
     import glob
     import shutil
     import tempfile
@@ -769,6 +827,9 @@ def _baseline_kernels_lane(spark) -> dict | None:
     """
     if os.environ.get("SPARK_GRAFT_BENCH_KERNELS", "1") == "0":
         return None
+    guard = _lane_guard("baseline_kernels")
+    if guard is not None:
+        return guard
     from pyspark.sql import functions as F
 
     from kyuubi_spark.operators.zorder import interleave_bits
@@ -950,6 +1011,9 @@ def _sf1_scale_lane(spark, specs, timings: dict, sf_dir: str) -> dict | None:
     SPARK_GRAFT_SKIP_SF1=1 to skip; SPARK_GRAFT_SF1_TOPK sizes the set."""
     if os.environ.get("SPARK_GRAFT_SKIP_SF1") == "1":
         return None
+    guard = _lane_guard("sf1")
+    if guard is not None:
+        return guard
     if not sf_dir.rstrip("/").endswith("sf0.1"):
         return None  # ratios vs another SF would be meaningless
     import re
@@ -1452,7 +1516,10 @@ def main() -> None:
     # costs the same inside the 423-sweep as in a fresh session).  Kept
     # env-gated for the big-memory lanes where the cleaner genuinely
     # lags (SPARK_GRAFT_BENCH_GC=N -> hygiene every N queries).
-    gc_every = int(os.environ.get("SPARK_GRAFT_BENCH_GC", "0"))
+    try:
+        gc_every = int(os.environ.get("SPARK_GRAFT_BENCH_GC", "0"))
+    except ValueError:
+        gc_every = 0  # malformed env value must not kill the bench
     _since_gc = [0]
 
     def _session_hygiene() -> None:
@@ -1515,7 +1582,8 @@ def main() -> None:
     movers: dict[str, float] = {}
     movers_detail: dict[str, dict] = {}
     _lb = _load_begin()
-    if repeats_n > 1 and top_k > 0:
+    repeats_guard = _lane_guard("repeats")
+    if repeats_n > 1 and top_k > 0 and repeats_guard is None:
         slowest = sorted(
             (n for n, v in timings.items() if v >= 0),
             key=lambda n: timings[n],
@@ -1535,7 +1603,21 @@ def main() -> None:
             if ratio > 1.5 or ratio < 1 / 1.5:
                 movers[name] = round(ratio, 2)
                 slowest.append(name)
+        # the streaming family rides the median lane regardless of
+        # rank-by-cost (r13 judge Next #9): its single shots clustered
+        # as load-noise regressions that round and had to be adjudicated
+        # by hand — a quiet median in the artifact self-adjudicates
+        slowest += [
+            n
+            for n, v in timings.items()
+            if n.startswith("stream_") and v >= 0 and n not in slowest
+        ]
         for name in slowest:
+            if _lane_guard("repeats") is not None:
+                # wall guard tripped mid-lane: remaining queries keep
+                # their single shots; the guard dict lands in the detail
+                repeats_guard = _lane_guard("repeats")
+                break
             samples = [timings[name]]
             loads = []
             for _ in range(repeats_n - 1):
@@ -1602,6 +1684,7 @@ def main() -> None:
                     "n_queries": len(timings),
                     "n_failed": len(timings) - len(ok),
                     "repeats": repeats,
+                    "repeats_guard": repeats_guard,
                     "movers": movers,
                     "movers_detail": movers_detail,
                     "load": lane_load,

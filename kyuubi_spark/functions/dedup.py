@@ -664,7 +664,15 @@ def simhash_signatures_arrow(num_bits: int = 64):
         shifts = np.arange(num_bits, dtype=np.uint64)
         out = []
         for t in texts:
-            toks = (t or "").strip().split(" ")
+            if t is None:
+                # the exploded form's explode(split(trim(NULL))) dropped
+                # the doc entirely; a NULL signature keeps that edge —
+                # every downstream consumer joins on signature equality,
+                # where NULL never matches (ADVICE r13)
+                out.append(None)
+                continue
+            # strip ' ' only: F.trim removes spaces, not \t/\n/unicode
+            toks = t.strip(" ").split(" ")
             hs = np.array(
                 [
                     int(hashlib.md5(tok.encode()).hexdigest()[:16], 16)

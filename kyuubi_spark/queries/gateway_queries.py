@@ -220,7 +220,7 @@ def ctas_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("o_orderdate", "yyyy-MM").alias("month"),
         "o_totalprice",
     )
-    path = scratch_dir("kyuubi_ctas_")
+    path = scratch_dir("kyuubi_ctas_", data_scale=True)
     try:
         write_table(proj, path, rebalance_by=["o_orderpriority"])
         back = spark.read.parquet(path)

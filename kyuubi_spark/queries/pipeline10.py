@@ -24,28 +24,7 @@ from kyuubi_spark.queries import query
 _HEX = "0123456789abcdef"
 
 
-def _broadcast_budget(spark: SparkSession) -> int:
-    """Session broadcast budget in bytes from
-    ``spark.sql.autoBroadcastJoinThreshold`` (suffix forms like ``10MB``
-    / ``10485760b`` included); ``-1`` (broadcast disabled) maps to -1 so
-    size gates comparing ``estimate <= budget`` never broadcast."""
-    try:
-        raw = str(spark.conf.get("spark.sql.autoBroadcastJoinThreshold"))
-    except Exception:
-        return 10 * 1024 * 1024
-    v = raw.strip().lower()
-    mult = 1
-    for suf, m in (
-        ("kb", 1024), ("mb", 1024 ** 2), ("gb", 1024 ** 3),
-        ("k", 1024), ("m", 1024 ** 2), ("g", 1024 ** 3), ("b", 1),
-    ):
-        if v.endswith(suf):
-            v, mult = v[: -len(suf)], m
-            break
-    try:
-        return int(float(v)) * mult
-    except ValueError:
-        return 10 * 1024 * 1024
+from kyuubi_spark.operators.broadcast import broadcast_budget as _broadcast_budget
 
 
 @query(
@@ -318,7 +297,7 @@ def export_manifest_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "text", "n_chars", (F.col("doc_id") % 8).alias("bucket")
     )
-    path = scratch_dir("kyuubi_export_")
+    path = scratch_dir("kyuubi_export_", data_scale=True)
     try:
         write_table(docs, path, partition_by=["bucket"])
         back = spark.read.parquet(path)

@@ -510,7 +510,6 @@ def pipeline_refresh_neardup(
 def stream_refresh_accept(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import shutil
-    import tempfile
     import time as _time
 
     from kyuubi_spark.session import ensure_runtime_confs

@@ -343,7 +343,7 @@ def arrow_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     proj = orders.filter(F.col("o_orderstatus") == "O").select(
         "o_orderpriority", "o_totalprice"
     )
-    path = scratch_dir("kyuubi_arrowsink_")
+    path = scratch_dir("kyuubi_arrowsink_", data_scale=True)
     try:
         proj.write.format(arrowdir.FORMAT_NAME).mode("overwrite").save(path)
         back = spark.read.format(arrowdir.FORMAT_NAME).load(path)
@@ -389,7 +389,7 @@ def cost_based_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     import uuid
 
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
-    path = scratch_dir("kyuubi_stats_")
+    path = scratch_dir("kyuubi_stats_", data_scale=True)
     # session-unique (see ddl_column_defaults): never race a concurrent
     # session's DROP on a shared catalog
     tab = f"ks4_stats_{uuid.uuid4().hex[:12]}"

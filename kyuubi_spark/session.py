@@ -135,7 +135,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     key = None
     try:
         st = os.stat(path)
-        key = (os.path.realpath(path), st.st_mtime_ns, st.st_size)
+        if os.path.isdir(path):
+            # Directory-style dataset: rewriting a part file in place
+            # (same name/size) can leave the dir stat unchanged on some
+            # filesystems, serving a stale memoized scan (ADVICE r13).
+            # Fingerprint the children instead: max mtime_ns + total
+            # size + entry count over the directory listing — one
+            # scandir, still far cheaper than a fresh spark.read.
+            mx, total, n = st.st_mtime_ns, 0, 0
+            with os.scandir(path) as it:
+                for e in it:
+                    s2 = e.stat()
+                    mx = max(mx, s2.st_mtime_ns)
+                    total += s2.st_size
+                    n += 1
+            key = (os.path.realpath(path), mx, total, n)
+        else:
+            key = (os.path.realpath(path), st.st_mtime_ns, st.st_size)
         memo = _TABLE_MEMO.setdefault(spark, {})
         cached = memo.get(key)
         if cached is not None:

@@ -325,6 +325,44 @@ def test_simhash_arrow_matches_exploded_aggregate_form(spark, sf_dir):
     assert j.filter(F.col("a") != F.col("b")).count() == 0
 
 
+def test_simhash_arrow_edge_semantics_match_exploded_form(spark):
+    """ADVICE r13: NULL text must yield NO usable signature (the exploded
+    form's explode(split(trim(NULL))) dropped the doc), and stripping
+    must match F.trim (spaces only — tabs/newlines are tokens' bytes)."""
+    from pyspark.sql import functions as F
+
+    from kyuubi_spark.functions.dedup import (
+        simhash_signatures_arrow,
+        simhash_signatures_df,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, None),
+            (2, ""),
+            (3, "  padded with spaces  "),
+            (4, "\tkeeps tab\n"),
+            (5, "plain text"),
+        ],
+        "doc_id bigint, text string",
+    )
+    new = {
+        r["id"]: r["b"]
+        for r in docs.select(
+            F.col("doc_id").alias("id"),
+            simhash_signatures_arrow(64)(F.col("text")).alias("b"),
+        ).collect()
+    }
+    # NULL text -> NULL signature (doc can never band-match downstream)
+    assert new[1] is None
+    old = {
+        r["id"]: r["sig"] for r in simhash_signatures_df(docs).collect()
+    }
+    assert 1 not in old  # exploded form drops the NULL-text doc entirely
+    for i in (2, 3, 4, 5):
+        assert new[i] == old[i], i
+
+
 def test_kmv_exact_below_k_and_estimator_above(spark):
     from pyspark.sql import functions as F
 

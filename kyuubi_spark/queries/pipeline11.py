@@ -562,9 +562,12 @@ def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, "k").filter(F.col("u") < F.col("v")).select("u", "v")
         .distinct()
     )
-    deg = (
-        e0.select(F.col("u").alias("n"))
-        .unionAll(e0.select(F.col("v").alias("n")))
+    # single-pass degree off the edge cache (explode ≡ the two-scan
+    # unionAll), PERSISTED because three consumers read it — the du/dv
+    # broadcast builds and the n_nodes aggregate each re-ran the degree
+    # shuffle before (3 aggregates -> 1, r14)
+    deg = persisted(
+        e0.select(F.explode(F.array("u", "v")).alias("n"))
         .groupBy("n")
         .agg(F.count("*").alias("d"))
     )
@@ -2463,6 +2466,24 @@ def dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _frontier_expand(
+    edges: DataFrame, frontier: DataFrame, visited: DataFrame
+) -> DataFrame:
+    """One BFS hop: neighbors of the (pre-gated) frontier minus the
+    (pre-gated) visited set.  Callers pass ``F.broadcast``-wrapped
+    frontier/visited under the size gate — the edge relation is then
+    never shuffled (BroadcastHashJoin + broadcast anti-join, zero edge
+    Exchange).  Module-level so the plan-pinning test asserts that
+    shape on the exact production join."""
+    return (
+        edges.select(F.col("u").alias("n"), "v")
+        .join(frontier, "n")
+        .select(F.col("v").alias("n"))
+        .distinct()
+        .join(visited, "n", "left_anti")
+    )
+
+
 @query(
     "bfs_reachability_hops",
     oracle="""
@@ -2508,17 +2529,22 @@ def bfs_reachability_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("u"))
     b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("v"))
-    e0 = (
+    # Persist the UNDIRECTED pair list only (r14): the doubled directed
+    # edge list is derivable by two cheap projections of this cache, so
+    # materializing and storing a second relation of twice the rows
+    # bought nothing — the seed degree now comes from ONE single-pass
+    # explode scan of the half-size cache instead of a full scan of the
+    # doubled one (explode(array(u,v)) ≡ the doubled list's groupBy(u)).
+    e0 = persisted(
         a.join(b, "k").filter(F.col("u") < F.col("v")).select("u", "v")
         .distinct()
     )
-    edges = persisted(
-        e0.unionByName(
-            e0.select(F.col("v").alias("u"), F.col("u").alias("v"))
-        )
+    edges = e0.unionByName(
+        e0.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
     seed_row = (
-        edges.groupBy("u")
+        e0.select(F.explode(F.array("u", "v")).alias("u"))
+        .groupBy("u")
         .agg(F.count("*").alias("d"))
         .orderBy(F.col("d").desc(), "u")
         .limit(1)
@@ -2540,7 +2566,7 @@ def bfs_reachability_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     # estimates are wrong after checkpoints).  Past the budget (a hop
     # where the frontier blows up at scale) the gate disappears and the
     # keyed joins stand.
-    from kyuubi_spark.queries.pipeline10 import _broadcast_budget
+    from kyuubi_spark.operators.broadcast import broadcast_budget as _broadcast_budget
 
     budget = _broadcast_budget(spark)
 
@@ -2551,17 +2577,19 @@ def bfs_reachability_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     visited = frontier
     n_visited = 1
     for hop in (1, 2, 3):
-        nxt = (
-            edges.select(F.col("u").alias("n"), "v")
-            .join(_gate(frontier, n_visited), "n")
-            .select(F.col("v").alias("n"))
-            .distinct()
-            .join(_gate(visited, n_visited), "n", "left_anti")
-            .localCheckpoint()
-        )
+        # LAZY checkpoint + count = ONE job per hop (r14): the count is
+        # the materializing action, so the r13 eager-checkpoint job and
+        # its follow-up count job collapse into a single pass while the
+        # checkpoint still truncates the iterative lineage
+        nxt = _frontier_expand(
+            edges,
+            _gate(frontier, n_visited),
+            _gate(visited, n_visited),
+        ).localCheckpoint(eager=False)
+        c = nxt.count()  # materializes the checkpoint AND counts it
         levels.append(nxt.withColumn("hop", F.lit(hop)))
         visited = visited.unionByName(nxt.select("n"))
-        n_visited += nxt.count()  # cheap: nxt is checkpointed in memory
+        n_visited += c
         frontier = nxt
     out = levels[0]
     for lv in levels[1:]:

@@ -345,6 +345,20 @@ def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _peel_survivor_join(edges: DataFrame, keep: DataFrame, hint) -> DataFrame:
+    """One k-core peel round's edge filter: both endpoints must survive.
+    ``hint`` is ``F.broadcast`` under the size gate (the edge relation is
+    then never shuffled — two BroadcastHashJoin left-semis, zero
+    Exchange) or identity past it.  Module-level so the plan-pinning
+    test (tests/test_plan_quality.py) asserts the no-shuffle shape on
+    the exact production join."""
+    return (
+        edges.join(hint(keep.withColumnRenamed("n", "u")), "u", "left_semi")
+        .join(hint(keep.withColumnRenamed("n", "v")), "v", "left_semi")
+        .select("u", "v")
+    )
+
+
 @query(
     "kcore_peel_rounds",
     oracle="""
@@ -388,11 +402,12 @@ def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "3-core — the graph-ML preprocessing step that strips low-degree "
     "fringe before community/embedding work. Distributed shape per "
     "round: one keyed degree aggregate + two semi-joins of the edge "
-    "list against the surviving node set (broadcast when the survivor "
-    "set shrinks below threshold, AQE's call), with localCheckpoint "
-    "between rounds to truncate lineage — the same iterate-without-"
-    "driver-state discipline as bfs_reachability_hops. The edge list "
-    "never gathers to the driver; round metrics are 1-row aggregates.",
+    "list against the surviving node set (broadcast under a carried "
+    "|part| bound, shuffled past it), with per-round persists pinning "
+    "each round's edges/survivors to one computation — the same "
+    "iterate-without-driver-state discipline as bfs_reachability_hops. "
+    "The edge list never gathers to the driver; round metrics are "
+    "1-row aggregates.",
 )
 def kcore_peel_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kyuubi_spark.caching import persisted
@@ -407,34 +422,43 @@ def kcore_peel_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, "k").filter(F.col("u") < F.col("v")).select("u", "v")
         .distinct()
     )
-    from kyuubi_spark.queries.pipeline10 import _broadcast_budget
+    from kyuubi_spark.operators.broadcast import broadcast_budget
 
-    budget = _broadcast_budget(spark)
+    budget = broadcast_budget(spark)
+    # Broadcast gate for the per-round survivor sets, decided ONCE from a
+    # carried bound instead of a per-round blocking count (r14, VERDICT
+    # r13 Next #3): node ids are l_partkey values, so every round's keep
+    # set is bounded by |part| — one cheap table count gates all three
+    # rounds at ~16 B/row.  Within budget both per-round semi-joins are
+    # broadcast joins and the edge relation is never shuffled during
+    # peeling; past it (real scale) the gate disappears and plain
+    # shuffled semi-joins carry the round (guide §3.1/§2.4).
+    bcast = 0 <= load_table(spark, sf_dir, "part").count() * 16 <= budget
+    hint = F.broadcast if bcast else (lambda d: d)
     rows = []
     for rnd in (1, 2, 3):
+        # single-pass degree: explode(array(u,v)) scans the cached edge
+        # relation ONCE where the old unionAll form scanned it twice
         deg = (
-            edges.select(F.col("u").alias("n"))
-            .unionAll(edges.select(F.col("v").alias("n")))
+            edges.select(F.explode(F.array("u", "v")).alias("n"))
             .groupBy("n")
             .agg(F.count("*").alias("d"))
         )
-        # materialize the surviving-node set once per round: its count is
-        # this round's n_nodes output ANYWAY, and the checkpoint stops the
-        # degree shuffle re-running under each semi-join.  The count then
-        # SIZE-GATES a broadcast of the set (~16 B/row) so both per-round
-        # semi-joins become broadcast joins — the edge relation is never
-        # shuffled during peeling; past the budget the gate disappears and
-        # the plain shuffled semi-joins carry the round (guide §3.1/§2.4).
-        keep = deg.filter(F.col("d") >= 3).select("n").localCheckpoint()
-        n_nodes = keep.count()
-        hint = F.broadcast if 0 <= n_nodes * 16 <= budget else (lambda d: d)
-        edges = (
-            edges.join(hint(keep.withColumnRenamed("n", "u")), "u", "left_semi")
-            .join(hint(keep.withColumnRenamed("n", "v")), "v", "left_semi")
-            .select("u", "v")
-            .localCheckpoint()
-        )
-        rows.append((rnd, n_nodes, edges.count()))
+        # lazily persisted: the round's ONE heavy action below (the new
+        # edge count) materializes it through the broadcast build, so the
+        # r13 per-round localCheckpoint job + separate count job collapse
+        keep = persisted(deg.filter(F.col("d") >= 3).select("n"))
+        if not bcast:
+            # shuffled path: materialize keep before the two semi-joins
+            # race to compute the degree aggregate independently
+            n_nodes = keep.count()
+        edges = persisted(_peel_survivor_join(edges, keep, hint))
+        n_edges = edges.count()
+        if bcast:
+            # the broadcast build above already materialized keep's
+            # cache; this count is a cached in-memory scan
+            n_nodes = keep.count()
+        rows.append((rnd, n_nodes, n_edges))
     return spark.createDataFrame(
         rows, "round INT, n_nodes BIGINT, n_edges BIGINT"
     ).orderBy("round")
@@ -2039,10 +2063,20 @@ def peak_concurrency_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sid",
         F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
     )
-    sess = s.groupBy("user_id", "sid").agg(
-        F.min("ts").alias("s_start"),
-        (F.max("ts") + F.expr("INTERVAL 30 MINUTE")).alias("s_end"),
+    from kyuubi_spark.caching import persisted
+
+    # PERSIST + materialize the session relation once (r14): three
+    # consumers scan it (the +1 starts branch, the -1 ends branch and
+    # the n_sessions count) — unpersisted, each re-ran the full
+    # sessionize window pipeline, so the expensive user-window stage
+    # executed 3x.  The count doubles as the materializing action.
+    sess = persisted(
+        s.groupBy("user_id", "sid").agg(
+            F.min("ts").alias("s_start"),
+            (F.max("ts") + F.expr("INTERVAL 30 MINUTE")).alias("s_end"),
+        )
     )
+    n_sessions = sess.count()
     base = F.unix_micros(F.lit("2024-01-01").cast("timestamp"))
     starts = sess.select(
         (
@@ -2061,7 +2095,6 @@ def peak_concurrency_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     run, _total = global_running_sum(
         evts, [("ordk", "asc"), ("delta", "asc")], "delta", sum_col="running"
     )
-    n_sessions = sess.count()
     peak = run.agg(F.max("running").alias("p"))
     out = (
         run.join(F.broadcast(peak), F.col("running") == F.col("p"))
@@ -4570,7 +4603,7 @@ def rich_club_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     # counting streams the persisted edges through two broadcast hash
     # joins instead of shuffling them by u and again by v (guide §3.1);
     # past the budget the gate disappears and the keyed joins stand
-    from kyuubi_spark.queries.pipeline10 import _broadcast_budget
+    from kyuubi_spark.operators.broadcast import broadcast_budget as _broadcast_budget
 
     n_rich_rows = rich.count()  # also primes the persisted rich cache
     hint = (

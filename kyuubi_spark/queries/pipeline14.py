@@ -607,7 +607,8 @@ def stream_refresh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ensure_runtime_confs(spark)
     base, _ = _refresh_parts(spark, sf_dir)
-    base_fps = base.select("fp").distinct().localCheckpoint()
+    # lazy: the broadcast-gate count below is the materializing action
+    base_fps = base.select("fp").distinct().localCheckpoint(eager=False)
     docs = load_table(spark, sf_dir, "documents")
     is_inc = (
         F.conv(
@@ -639,7 +640,9 @@ def stream_refresh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # element-wise identical to hashed_shingles_arrow by construction.
     from kyuubi_spark.functions.dedup import shingle_hash_arrow
 
-    base_sh = D.shingle_arrays_df(base_docs).localCheckpoint()
+    # base_sh is LAZY (r14): its checkpoint materializes under
+    # base_bands' job below instead of paying its own pre-stream job
+    base_sh = D.shingle_arrays_df(base_docs).localCheckpoint(eager=False)
     base_bands = _bands(
         D.minhash_signatures_df(base_docs, shingle_arrays=base_sh)
     ).localCheckpoint()
@@ -647,6 +650,31 @@ def stream_refresh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id").alias("b_id"),
         shingle_hash_arrow()(F.col("shs")).alias("sb"),
     ).localCheckpoint()
+
+    # Pin the static corpus relations as EXPLICITLY BROADCAST sides
+    # (r14, VERDICT r13 Next #4): checkpointed relations carry no size
+    # statistics, so each microbatch's stream-static joins were planned
+    # as sort-merge — shuffling the corpus band index and shingle arrays
+    # once per batch.  Size-gate off the exact post-checkpoint row
+    # counts (cheap in-memory scans); past the budget (corpus refresh at
+    # real scale) the gate disappears and the keyed joins stand.
+    from kyuubi_spark.operators.broadcast import broadcast_budget
+
+    budget = broadcast_budget(spark)
+
+    def _gate(df: DataFrame, est_bytes: int) -> DataFrame:
+        return F.broadcast(df) if 0 <= est_bytes <= budget else df
+
+    arr_stats = base_arrays.agg(
+        F.count("*").alias("n"),
+        F.coalesce(F.sum(F.size("sb")), F.lit(0)).alias("vals"),
+    ).first()
+    # ~40 B/row: 32-hex-char fp or (id, band, k0, k1) longs + row overhead
+    fps_b = _gate(base_fps, base_fps.count() * 40)
+    bands_b = _gate(base_bands, base_bands.count() * 40)
+    arrays_b = _gate(
+        base_arrays, int(arr_stats["n"]) * 24 + int(arr_stats["vals"]) * 8
+    )
 
     bow_fp = F.md5(
         F.concat_ws(
@@ -677,7 +705,13 @@ def stream_refresh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("n_tokens") >= 10)
             & (F.col("rep_ratio") <= 0.8)
         )
-        fresh = ok.join(base_fps, "fp", "left_anti").localCheckpoint()
+        # LAZY checkpoint (r14): the batch's one collect below is the
+        # materializing action, so the per-batch eager-checkpoint job
+        # disappears; the checkpoint still pins the anti-join's output
+        # so the three fresh consumers share one computation.
+        fresh = ok.join(fps_b, "fp", "left_anti").localCheckpoint(
+            eager=False
+        )
         # map-only Arrow minhash off the batch's shingle arrays (r13):
         # same values, no per-batch doc-keyed shuffle.  NOTE: no
         # spread_narrow here — `.rdd.getNumPartitions()` on a derived
@@ -696,7 +730,7 @@ def stream_refresh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand = (
             inc_bands.select(F.col("id").alias("a_id"), "band", "k0", "k1")
             .join(
-                base_bands.select(
+                bands_b.select(
                     F.col("id").alias("b_id"),
                     F.col("band").alias("band_r"),
                     F.col("k0").alias("k0_r"),
@@ -717,7 +751,7 @@ def stream_refresh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         uni = F.size("sa") + F.size("sb") - inter
         nd = (
             cand.join(inc_arrays, "a_id")
-            .join(base_arrays, "b_id")
+            .join(arrays_b, "b_id")
             .filter(4 * inter >= 1 * uni)
             .select(F.col("a_id").alias("doc_id"))
             .distinct()
@@ -841,6 +875,12 @@ def stream_refresh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # p = 1 - (1 - tau^r)^b, evaluated as PYTHON literals so both engines
 # consume identical doubles
 _BANDING_CONFIGS = [(16, 1), (8, 2), (4, 4)]
+
+# lsh_banding_sweep bucket-skew bounds: buckets over _SWEEP_HOT_BOUND
+# members take the salted join path (per-task pair work m^2/K instead of
+# m^2); counts are exact either way — only the join STRATEGY is bounded.
+_SWEEP_HOT_BOUND = 32
+_SWEEP_SALT_K = 16
 _P_CAND = {
     (b, r): 1.0 - (1.0 - 0.25 ** r) ** b for (b, r) in _BANDING_CONFIGS
 }
@@ -934,11 +974,17 @@ def lsh_banding_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     sh = D.shingle_arrays_df(docs).localCheckpoint()
     sig = D.minhash_signatures_df(docs, shingle_arrays=sh).localCheckpoint()
+    # LAZY checkpoint + count = one job (r14): the count below is the
+    # materializing action, so the r13 eager-checkpoint job and its
+    # follow-up count collapse into a single pass (same fusion as the
+    # kcore/bfs rewrites); the checkpoint still pins `exact` so the
+    # verified-count join reuses it without recomputing the all-pairs
+    # ground truth.
     exact = (
         D.jaccard_pairs(docs, None, n=3, tau_num=1, tau_den=4,
                         shingle_arrays=sh)
         .select("a_id", "b_id")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     n_exact = exact.count()
 
@@ -961,26 +1007,75 @@ def lsh_banding_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         banded_all = (
             banded if banded_all is None else banded_all.unionByName(banded)
         )
-    left = banded_all.select(
-        "cfg", F.col("id").alias("a_id"), "band", "key"
-    )
-    right = banded_all.select(
-        F.col("cfg").alias("cfg_r"),
-        F.col("id").alias("b_id"),
-        F.col("band").alias("band_r"),
-        F.col("key").alias("key_r"),
-    )
-    cand = (
-        left.join(
-            right,
+    # BOUNDED bucket self-join (r14, VERDICT r13 Next #5): a band bucket
+    # with m members emits m^2/2 candidate pairs from ONE join partition
+    # — unbounded at scale, and AQE cannot split it (single key).  Tag
+    # every banded row with its bucket size via a window over EXACTLY
+    # the join partitioning (cfg, band, key): the window's one exchange
+    # is the same distribution both self-join sides need, so the
+    # planner reuses it (Exchange + ReusedExchange) instead of paying
+    # the two per-side shuffles the untagged join paid — measured
+    # FASTER than the r13 form at sf0.1, not just safer.  Buckets at or
+    # under _SWEEP_HOT_BOUND members (all of them at this SF — planted
+    # near-dup clusters are small) take the plain join; buckets over it
+    # (real under a 100 TB corpus's boilerplate shingles) take a SALTED
+    # join (guide §2.3): left salt = hash(id) % K splits each hot
+    # bucket's pair space into K independent groups, the right side
+    # replicated K ways only WITHIN hot buckets, bounding per-task work
+    # at m^2/K while the pair SET — and so every count — is exactly
+    # the unsalted join's.  Buckets are wholly hot or wholly cold, so
+    # no pair crosses the branches; the per-cfg distinct still dedups
+    # pairs matching in several bands.
+    from pyspark.sql import Window
+
+    wb = Window.partitionBy("cfg", "band", "key")
+    tagged = banded_all.withColumn("m", F.count("*").over(wb))
+    cold = tagged.filter(F.col("m") <= _SWEEP_HOT_BOUND)
+    hot = tagged.filter(F.col("m") > _SWEEP_HOT_BOUND)
+    cand_cold = (
+        cold.select("cfg", F.col("id").alias("a_id"), "band", "key")
+        .join(
+            cold.select(
+                F.col("cfg").alias("cfg_r"),
+                F.col("id").alias("b_id"),
+                F.col("band").alias("band_r"),
+                F.col("key").alias("key_r"),
+            ),
             (F.col("cfg") == F.col("cfg_r"))
             & (F.col("band") == F.col("band_r"))
             & (F.col("key") == F.col("key_r"))
             & (F.col("a_id") < F.col("b_id")),
         )
         .select("cfg", "a_id", "b_id")
-        .distinct()
     )
+    hot_left = hot.select(
+        "cfg",
+        F.col("id").alias("a_id"),
+        "band",
+        "key",
+        F.pmod(F.xxhash64("id"), F.lit(_SWEEP_SALT_K)).alias("sa"),
+    )
+    hot_right = hot.select(
+        F.col("cfg").alias("cfg_r"),
+        F.col("id").alias("b_id"),
+        F.col("band").alias("band_r"),
+        F.col("key").alias("key_r"),
+    ).withColumn(
+        "sa_r",
+        F.explode(F.array(*[F.lit(i) for i in range(_SWEEP_SALT_K)])),
+    )
+    cand_hot = (
+        hot_left.join(
+            hot_right,
+            (F.col("cfg") == F.col("cfg_r"))
+            & (F.col("band") == F.col("band_r"))
+            & (F.col("key") == F.col("key_r"))
+            & (F.col("sa") == F.col("sa_r"))
+            & (F.col("a_id") < F.col("b_id")),
+        )
+        .select("cfg", "a_id", "b_id")
+    )
+    cand = cand_cold.unionByName(cand_hot).distinct()
     per_cfg = {
         int(r["cfg"]): (int(r["n_cand"]), int(r["n_ver"]))
         for r in (

@@ -44,3 +44,63 @@ def test_no_oracle_surfaces_wide_integers(duck):
         f"oracles surfacing uncast wide-integer columns (wrap in "
         f"CAST(... AS BIGINT)): {offenders}"
     )
+
+
+# The r13/r14 optimization-round rewrites, most of which rotated OUT of
+# the driver's 50-query oracle sample in r13 (VERDICT r13 Next #7): pin
+# them at sf0.01 — a 10x-coarser grid than the default sf0.001 run —
+# so a rewrite that only breaks with more data (bucket collisions,
+# broadcast-gate flips, slice boundaries) cannot ship green.
+REWRITTEN_R13_R14 = [
+    "ivf_nprobe_sweep",
+    "pinball_quantile_grid",
+    "kcore_peel_rounds",
+    "bfs_reachability_hops",
+    "rich_club_coefficient",
+    "xml_extract",
+    "dsir_importance_weights",
+    "stream_dsir_filter",
+    "stream_dsir_filter_update",
+    "dedup_simhash",
+    "dedup_minhash_lsh",
+    "dedup_components",
+    "dedup_survivors",
+    "dedup_token_savings",
+    "dedup_cluster_stats",
+    "incremental_dedup",
+    "forget_closure",
+    "dedup_lsh_recall_report",
+    "lsh_banding_sweep",
+    "stream_refresh_neardup",
+    "stream_transition_counts_ttl",
+    "formats_roundtrip",
+]
+
+
+_SF01 = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def duck_sf01():
+    import duckdb
+
+    from tools.verify import TABLES
+
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(_SF01, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')"
+            )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", REWRITTEN_R13_R14)
+def test_rewrite_matches_oracle_sf001(spark, duck_sf01, name):
+    if not os.path.isdir(_SF01):
+        pytest.skip("sf0.01 testdata not present")
+    spec = all_queries()[name]
+    ok, detail = compare(spark, duck_sf01, spec, _SF01)
+    assert ok, f"{name}@sf0.01: {detail}"

@@ -13,6 +13,8 @@ import pytest
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from pyspark.sql import functions as F  # noqa: E402
+
 from kyuubi_spark import plans  # noqa: E402
 from kyuubi_spark.queries import all_queries  # noqa: E402
 
@@ -679,3 +681,111 @@ def test_rolling_distinct_users_windows_keyed_on_user(spark, sf_dir):
             continue
         unpart += 1
     assert unpart <= 1
+
+
+# ---- r14 plan pins (VERDICT r13 Next #6): the optimization-round plan
+# wins that could silently regress on a Spark upgrade or refactor.
+
+
+def test_xml_extract_parses_once(spark, sf_dir):
+    """The non-determinism wrapper (sql4.py) must keep from_xml to ONE
+    evaluation: today's optimizer doesn't fold
+    substring(cast(rand() AS STRING),1,0); if a Spark upgrade starts
+    folding it, the pushed filter re-duplicates the parse (guide §4.4)
+    and this pin catches it."""
+    df = _build(spark, sf_dir, "xml_extract")
+    text = plans.explain_formatted(df)
+    assert text.count("from_xml") == 1, "from_xml must be evaluated once"
+
+
+def test_minhash_signatures_map_only(spark, sf_dir):
+    """The r13 Arrow fusion: signatures come from ONE map-only pandas-UDF
+    pass over the doc scan — no exploded shingle shuffle-aggregate."""
+    from kyuubi_spark.functions import dedup as D
+    from kyuubi_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    df = D.minhash_signatures_df(docs)
+    text = plans.explain_formatted(df)
+    # the ONLY allowed exchange is the deliberate round-robin spread
+    # that parallelizes the Arrow pass over a few input splits — never
+    # a doc-keyed aggregate shuffle (the pre-r13 exploded form)
+    assert plans.exchange_count(df) <= 1
+    assert "ArrowEvalPython" in text
+    assert "HashAggregate" not in text
+
+
+def test_simhash_signatures_map_only(spark, sf_dir):
+    from kyuubi_spark.functions import dedup as D
+    from kyuubi_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    df = D.simhash_signatures_df_arrow(docs) if hasattr(
+        D, "simhash_signatures_df_arrow"
+    ) else docs.select(
+        "doc_id", D.simhash_signatures_arrow(64)(F.col("text")).alias("sig")
+    )
+    assert plans.exchange_count(df) == 0
+    assert "ArrowEvalPython" in plans.explain_formatted(df)
+
+
+def test_kcore_peel_round_never_shuffles_edges(spark, sf_dir):
+    """kcore's per-round survivor filter under the broadcast gate: two
+    BroadcastHashJoin left-semis, ZERO shuffle Exchange — the edge
+    relation must never move during peeling (r13/r14 rewrite)."""
+    from kyuubi_spark.caching import release_caches
+    from kyuubi_spark.queries.pipeline12 import _peel_survivor_join
+    from kyuubi_spark.session import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("u")
+    )
+    edges = (
+        li.join(li.withColumnRenamed("u", "v"), "k")
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+        .localCheckpoint()  # truncate lineage: the pin is the ROUND join
+    )
+    keep = edges.select(F.col("u").alias("n")).distinct().localCheckpoint()
+    try:
+        df = _peel_survivor_join(edges, keep, F.broadcast)
+        s = plans.plan_summary(df)
+        assert s["broadcast_joins"] == 2
+        assert s["exchanges"] == 0
+        assert s["sortmerge_joins"] == 0
+    finally:
+        release_caches()
+
+
+def test_bfs_hop_never_shuffles_edges(spark, sf_dir):
+    """bfs's hop expansion under the broadcast gate: frontier join and
+    visited anti-join both broadcast — zero edge-side Exchange except
+    the distinct's own aggregate exchange on the (tiny) neighbor set."""
+    from kyuubi_spark.queries.pipeline11 import _frontier_expand
+    from kyuubi_spark.session import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("u"), F.col("l_partkey").alias("v")
+    )
+    frontier = spark.createDataFrame([(1,)], "n bigint").localCheckpoint()
+    visited = frontier
+    df = _frontier_expand(
+        li, F.broadcast(frontier), F.broadcast(visited)
+    )
+    s = plans.plan_summary(df)
+    assert s["broadcast_joins"] == 2
+    # the ONLY allowed exchange is the distinct aggregate on the
+    # frontier-sized neighbor set, never on the edge list itself
+    assert s["exchanges"] <= 1
+    assert s["sortmerge_joins"] == 0
+
+
+def test_rich_club_no_sortmerge_on_hub_joins(spark, sf_dir):
+    """rich_club's hub-set joins must stay broadcast under the gate —
+    the persisted edge relation streams through, never sorted/shuffled
+    for a sort-merge (r13 rewrite, VERDICT-confirmed plan)."""
+    df = _build(spark, sf_dir, "rich_club_coefficient")
+    s = plans.plan_summary(df)
+    assert s["broadcast_joins"] >= 1
+    assert s["sortmerge_joins"] <= 1

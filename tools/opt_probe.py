@@ -9,7 +9,8 @@ count, release_caches after) N times (SPARK_GRAFT_PROBE_REPS, default 3)
 and prints each sample plus the median — quiet-box isolation for
 before/after comparisons without a full 423-query sweep.
 
-`plan` writes plans/r13/<name>_<suffix>.txt containing
+`plan` writes plans/<round>/<name>_<suffix>.txt (SPARK_GRAFT_PLAN_ROUND,
+default r14) containing
 df.explain(formatted) for each named query (builders that execute work
 during build still produce their final-plan explain; the file notes it).
 """
@@ -43,8 +44,9 @@ def main() -> None:
 
     spark = build_session(app_name="opt-probe")
     specs = all_queries()
+    rnd = os.environ.get("SPARK_GRAFT_PLAN_ROUND", "r14")
     os.makedirs(os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "plans", "r13"), exist_ok=True)
+        os.path.abspath(__file__))), "plans", rnd), exist_ok=True)
 
     # warm like bench.py does
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
@@ -69,7 +71,7 @@ def main() -> None:
     elif mode == "plan":
         here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         for name in names:
-            out = os.path.join(here, "plans", "r13", f"{name}_{suffix}.txt")
+            out = os.path.join(here, "plans", rnd, f"{name}_{suffix}.txt")
             try:
                 df = specs[name].builder(spark, sf_dir)
                 import contextlib

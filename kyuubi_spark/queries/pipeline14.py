@@ -886,6 +886,99 @@ _P_CAND = {
 }
 
 
+def _sweep_candidates(sig: DataFrame) -> DataFrame:
+    """Distinct (cfg, a_id, b_id) LSH candidate pairs for all three
+    banding configurations off one signature relation.
+
+    ONE self-join serves all three configurations (r13): each config's
+    banded rows carry a (cfg, band, key-array) key — keys only compare
+    within the same cfg, and within a cfg every key array has the same
+    length, so array equality under the composite key is exactly the
+    per-config k0..k{r-1} equality of three separate joins.
+
+    BOUNDED bucket self-join (r14, VERDICT r13 Next #5): a band bucket
+    with m members emits m^2/2 candidate pairs from ONE join partition
+    — unbounded at scale, and AQE cannot split it (single key).  Tag
+    every banded row with its bucket size via a window over EXACTLY
+    the join partitioning (cfg, band, key): the window's one exchange
+    is the same distribution both self-join sides need, so the planner
+    reuses it (Exchange + ReusedExchange) instead of paying the two
+    per-side shuffles the untagged join paid — measured FASTER than
+    the r13 form at sf0.1, not just safer.  Buckets at or under
+    _SWEEP_HOT_BOUND members (all of them at this SF — planted
+    near-dup clusters are small) take the plain join; buckets over it
+    (real under a 100 TB corpus's boilerplate shingles) take a SALTED
+    join (guide §2.3): left salt = hash(id) % K splits each hot
+    bucket's pair space into K independent groups, the right side
+    replicated K ways only WITHIN hot buckets, bounding per-task work
+    at m^2/K while the pair SET — and so every count — is exactly the
+    unsalted join's.  Buckets are wholly hot or wholly cold, so no
+    pair crosses the branches; the per-cfg distinct still dedups pairs
+    matching in several bands.  Module-level so the plan-pinning test
+    and the plans/r14 artifact read the exact production join."""
+    from pyspark.sql import Window
+
+    banded_all = None
+    for bands, rpb in _BANDING_CONFIGS:
+        banded = _bands(sig, bands=bands, rows_per_band=rpb).select(
+            F.lit(bands).alias("cfg"),
+            "id",
+            "band",
+            F.array(*[F.col(f"k{r}") for r in range(rpb)]).alias("key"),
+        )
+        banded_all = (
+            banded if banded_all is None else banded_all.unionByName(banded)
+        )
+    wb = Window.partitionBy("cfg", "band", "key")
+    tagged = banded_all.withColumn("m", F.count("*").over(wb))
+    cold = tagged.filter(F.col("m") <= _SWEEP_HOT_BOUND)
+    hot = tagged.filter(F.col("m") > _SWEEP_HOT_BOUND)
+    cand_cold = (
+        cold.select("cfg", F.col("id").alias("a_id"), "band", "key")
+        .join(
+            cold.select(
+                F.col("cfg").alias("cfg_r"),
+                F.col("id").alias("b_id"),
+                F.col("band").alias("band_r"),
+                F.col("key").alias("key_r"),
+            ),
+            (F.col("cfg") == F.col("cfg_r"))
+            & (F.col("band") == F.col("band_r"))
+            & (F.col("key") == F.col("key_r"))
+            & (F.col("a_id") < F.col("b_id")),
+        )
+        .select("cfg", "a_id", "b_id")
+    )
+    hot_left = hot.select(
+        "cfg",
+        F.col("id").alias("a_id"),
+        "band",
+        "key",
+        F.pmod(F.xxhash64("id"), F.lit(_SWEEP_SALT_K)).alias("sa"),
+    )
+    hot_right = hot.select(
+        F.col("cfg").alias("cfg_r"),
+        F.col("id").alias("b_id"),
+        F.col("band").alias("band_r"),
+        F.col("key").alias("key_r"),
+    ).withColumn(
+        "sa_r",
+        F.explode(F.array(*[F.lit(i) for i in range(_SWEEP_SALT_K)])),
+    )
+    cand_hot = (
+        hot_left.join(
+            hot_right,
+            (F.col("cfg") == F.col("cfg_r"))
+            & (F.col("band") == F.col("band_r"))
+            & (F.col("key") == F.col("key_r"))
+            & (F.col("sa") == F.col("sa_r"))
+            & (F.col("a_id") < F.col("b_id")),
+        )
+        .select("cfg", "a_id", "b_id")
+    )
+    return cand_cold.unionByName(cand_hot).distinct()
+
+
 @query(
     "lsh_banding_sweep",
     oracle=f"""
@@ -988,94 +1081,7 @@ def lsh_banding_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_exact = exact.count()
 
-    # ONE self-join serves all three banding configurations (r13
-    # optimization): each config's banded rows carry a (cfg, band,
-    # key-array) key — keys only ever compare within the same cfg, and
-    # within a cfg every key array has the same length, so array equality
-    # under the composite key is exactly the per-config k0..k{r-1}
-    # equality the three separate joins used.  Candidate and verified
-    # counts then come from one left-join aggregate instead of per-config
-    # checkpoint + two count jobs (9 actions -> 1), value-identical.
-    banded_all = None
-    for bands, rpb in _BANDING_CONFIGS:
-        banded = _bands(sig, bands=bands, rows_per_band=rpb).select(
-            F.lit(bands).alias("cfg"),
-            "id",
-            "band",
-            F.array(*[F.col(f"k{r}") for r in range(rpb)]).alias("key"),
-        )
-        banded_all = (
-            banded if banded_all is None else banded_all.unionByName(banded)
-        )
-    # BOUNDED bucket self-join (r14, VERDICT r13 Next #5): a band bucket
-    # with m members emits m^2/2 candidate pairs from ONE join partition
-    # — unbounded at scale, and AQE cannot split it (single key).  Tag
-    # every banded row with its bucket size via a window over EXACTLY
-    # the join partitioning (cfg, band, key): the window's one exchange
-    # is the same distribution both self-join sides need, so the
-    # planner reuses it (Exchange + ReusedExchange) instead of paying
-    # the two per-side shuffles the untagged join paid — measured
-    # FASTER than the r13 form at sf0.1, not just safer.  Buckets at or
-    # under _SWEEP_HOT_BOUND members (all of them at this SF — planted
-    # near-dup clusters are small) take the plain join; buckets over it
-    # (real under a 100 TB corpus's boilerplate shingles) take a SALTED
-    # join (guide §2.3): left salt = hash(id) % K splits each hot
-    # bucket's pair space into K independent groups, the right side
-    # replicated K ways only WITHIN hot buckets, bounding per-task work
-    # at m^2/K while the pair SET — and so every count — is exactly
-    # the unsalted join's.  Buckets are wholly hot or wholly cold, so
-    # no pair crosses the branches; the per-cfg distinct still dedups
-    # pairs matching in several bands.
-    from pyspark.sql import Window
-
-    wb = Window.partitionBy("cfg", "band", "key")
-    tagged = banded_all.withColumn("m", F.count("*").over(wb))
-    cold = tagged.filter(F.col("m") <= _SWEEP_HOT_BOUND)
-    hot = tagged.filter(F.col("m") > _SWEEP_HOT_BOUND)
-    cand_cold = (
-        cold.select("cfg", F.col("id").alias("a_id"), "band", "key")
-        .join(
-            cold.select(
-                F.col("cfg").alias("cfg_r"),
-                F.col("id").alias("b_id"),
-                F.col("band").alias("band_r"),
-                F.col("key").alias("key_r"),
-            ),
-            (F.col("cfg") == F.col("cfg_r"))
-            & (F.col("band") == F.col("band_r"))
-            & (F.col("key") == F.col("key_r"))
-            & (F.col("a_id") < F.col("b_id")),
-        )
-        .select("cfg", "a_id", "b_id")
-    )
-    hot_left = hot.select(
-        "cfg",
-        F.col("id").alias("a_id"),
-        "band",
-        "key",
-        F.pmod(F.xxhash64("id"), F.lit(_SWEEP_SALT_K)).alias("sa"),
-    )
-    hot_right = hot.select(
-        F.col("cfg").alias("cfg_r"),
-        F.col("id").alias("b_id"),
-        F.col("band").alias("band_r"),
-        F.col("key").alias("key_r"),
-    ).withColumn(
-        "sa_r",
-        F.explode(F.array(*[F.lit(i) for i in range(_SWEEP_SALT_K)])),
-    )
-    cand_hot = (
-        hot_left.join(
-            hot_right,
-            (F.col("cfg") == F.col("cfg_r"))
-            & (F.col("band") == F.col("band_r"))
-            & (F.col("key") == F.col("key_r"))
-            & (F.col("sa") == F.col("sa_r"))
-            & (F.col("a_id") < F.col("b_id")),
-        )
-        .select("cfg", "a_id", "b_id")
-    )
-    cand = cand_cold.unionByName(cand_hot).distinct()
+    cand = _sweep_candidates(sig)
     per_cfg = {
         int(r["cfg"]): (int(r["n_cand"]), int(r["n_ver"]))
         for r in (

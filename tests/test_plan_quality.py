@@ -789,3 +789,26 @@ def test_rich_club_no_sortmerge_on_hub_joins(spark, sf_dir):
     s = plans.plan_summary(df)
     assert s["broadcast_joins"] >= 1
     assert s["sortmerge_joins"] <= 1
+
+
+def test_lsh_sweep_bucket_join_is_bounded_and_salted(spark, sf_dir):
+    """lsh_banding_sweep's candidate join must carry the r14 bucket
+    bound: window bucket-size tagging over the join partitioning plus
+    the salted hot branch (pmod salt + salt-explode Generate), unioned
+    with the cold branch — never an unbounded plain self-join, never a
+    nested-loop/cartesian fallback."""
+    from kyuubi_spark.functions import dedup as D
+    from kyuubi_spark.queries.pipeline14 import _sweep_candidates
+    from kyuubi_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    sig = D.minhash_signatures_df(docs).localCheckpoint()
+    cand = _sweep_candidates(sig)
+    text = plans.explain_formatted(cand)
+    assert "pmod" in text, "salt expression missing from hot branch"
+    assert text.count("Union") >= 1, "cold/hot branches not unioned"
+    import re
+
+    assert re.search(r"(?m)^\(\d+\) Window\b", text), "bucket-size tag"
+    assert "BroadcastNestedLoopJoin" not in text
+    assert "CartesianProduct" not in text

@@ -930,7 +930,17 @@ def _sweep_candidates(sig: DataFrame) -> DataFrame:
             banded if banded_all is None else banded_all.unionByName(banded)
         )
     wb = Window.partitionBy("cfg", "band", "key")
-    tagged = banded_all.withColumn("m", F.count("*").over(wb))
+    # The tagged relation feeds FOUR join inputs (cold/hot × left/right);
+    # exchange reuse dedups only the shuffle under the window, so without
+    # a persist each consumer re-runs the explode + window count — the
+    # whole banding pass 4×.  Persist it once (guide §5: reused AND
+    # expensive to recompute); O(docs × Σbands) rows of a few fixed-width
+    # columns, spills to disk at scale, released by the caller's
+    # release_caches.  Same-box A/B: candidate counting min 20.9 s
+    # unpersisted → window computed once with the cached scans under it.
+    from kyuubi_spark.caching import persisted
+
+    tagged = persisted(banded_all.withColumn("m", F.count("*").over(wb)))
     cold = tagged.filter(F.col("m") <= _SWEEP_HOT_BOUND)
     hot = tagged.filter(F.col("m") > _SWEEP_HOT_BOUND)
     cand_cold = (
